@@ -1,0 +1,213 @@
+package graft.cell
+
+import graft.geom.{Env, Geometry, Ops, Pred}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * S2/H3-style cell indexing, from scratch (SURVEY.md §2.6 #44): a 64-bit
+ * Z-order (Morton) quadtree over the web-mercator unit square.
+ *
+ * - `tileX/tileY(lon, lat, level)`: web-mercator tile indices (the same
+ *   XYZ scheme slippy-map tiles use, so #48 tiling is level-z cells).
+ * - `cellId(lon, lat, level)` = Morton interleave of (tileX, tileY):
+ *   x in even bits, y in odd bits. At a fixed level this is
+ *   ANSI-SQL-expressible via unrolled shift/mask arithmetic (design
+ *   constraint for the DuckDB oracle), see [[mortonSqlExpr]].
+ * - parent/child cells nest as bit-prefixes: parent range of a level-L
+ *   cell at level Lp is [p << 2(L-Lp), (p+1) << 2(L-Lp)) — contiguous,
+ *   so covers prune with range predicates and sort locality holds.
+ *
+ * Scale rationale: the Morton curve keeps spatially-near images in
+ * near-contiguous cell ranges, so a sort/bucket by cellId co-locates the
+ * data parquet row-groups touched by a spatial range — min/max column
+ * stats then prune at 100 TB.
+ */
+object Cells {
+
+  val MAX_LEVEL = 30
+  val MAX_LAT = 85.05112877980659
+
+  /** Normalized web-mercator x in [0,1). */
+  def normX(lon: Double): Double = {
+    val x = (lon + 180.0) / 360.0
+    if (x < 0) 0.0 else if (x >= 1) math.nextDown(1.0) else x
+  }
+
+  /** Normalized web-mercator y in [0,1) (y grows southward, slippy convention). */
+  def normY(lat: Double): Double = {
+    val clamped = math.max(-MAX_LAT, math.min(MAX_LAT, lat))
+    val s = math.sin(math.toRadians(clamped))
+    val y = 0.5 - math.log((1 + s) / (1 - s)) / (4 * math.Pi)
+    if (y < 0) 0.0 else if (y >= 1) math.nextDown(1.0) else y
+  }
+
+  def tileX(lon: Double, level: Int): Long = {
+    val t = (normX(lon) * (1L << level)).toLong
+    math.min(t, (1L << level) - 1)
+  }
+
+  def tileY(lat: Double, level: Int): Long = {
+    val t = (normY(lat) * (1L << level)).toLong
+    math.min(t, (1L << level) - 1)
+  }
+
+  /** Spread the low 32 bits of v into even bit positions. */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8))  & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+
+  /** Inverse of spread: gather even bit positions into the low 32 bits. */
+  def compact(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+    x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+    x
+  }
+
+  def morton(tx: Long, ty: Long): Long = spread(tx) | (spread(ty) << 1)
+  def mortonX(cell: Long): Long = compact(cell)
+  def mortonY(cell: Long): Long = compact(cell >>> 1)
+
+  /** Level-L cell id of a lon/lat point. */
+  def cellId(lon: Double, lat: Double, level: Int): Long =
+    morton(tileX(lon, level), tileY(lat, level))
+
+  /** Parent cell id at a coarser level. */
+  def parent(cell: Long, level: Int, parentLevel: Int): Long =
+    cell >>> (2 * (level - parentLevel))
+
+  /** [start, end) of level-L descendants of a level-Lp cell. */
+  def childRange(cell: Long, parentLevel: Int, level: Int): (Long, Long) = {
+    val shift = 2 * (level - parentLevel)
+    (cell << shift, (cell + 1) << shift)
+  }
+
+  /** Envelope (lon/lat) of a cell. */
+  def cellEnvelope(cell: Long, level: Int): Env = {
+    val tx = mortonX(cell); val ty = mortonY(cell)
+    val n = (1L << level).toDouble
+    Env(tileXToLon(tx / n), tileYToLat((ty + 1) / n), tileXToLon((tx + 1) / n), tileYToLat(ty / n))
+  }
+
+  def tileXToLon(nx: Double): Double = nx * 360.0 - 180.0
+  def tileYToLat(ny: Double): Double =
+    math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2 * ny))))
+
+  /**
+   * Level-L cells covering a geometry (via its envelope tile range, refined
+   * by exact cell-rect × geometry intersection). Soundness lemma (tested):
+   * pointInGeom(p) ⇒ cellId(p, L) ∈ cover(geom, L).
+   */
+  def cover(g: Geometry, level: Int, maxCells: Int = 1 << 20): Array[Long] = {
+    val env = g.envelope
+    if (env.isEmpty) return Array.empty
+    val span = tileSpan(env, level)
+    // explicit scale guard: a cover that large means the caller picked a level
+    // far too fine for the geometry — fail loudly rather than OOM an executor
+    if (span > maxCells.toLong)
+      throw new IllegalArgumentException(
+        s"st_cover would emit $span cells at level $level (cap $maxCells); use a coarser level")
+    coverEnvAtLevel(env, g, level)
+  }
+
+  private def tileSpan(env: Env, level: Int): Long = {
+    val x0 = tileX(env.xmin, level); val x1 = tileX(env.xmax, level)
+    val y0 = tileY(env.ymax, level); val y1 = tileY(env.ymin, level)
+    (x1 - x0 + 1) * (y1 - y0 + 1)
+  }
+
+  private def coverEnvAtLevel(env: Env, g: Geometry, level: Int): Array[Long] = {
+    val x0 = tileX(env.xmin, level); val x1 = tileX(env.xmax, level)
+    val y0 = tileY(env.ymax, level); val y1 = tileY(env.ymin, level) // y inverted
+    val out = new ArrayBuffer[Long]()
+    val isRect = isRectangle(g)
+    var ty = y0
+    while (ty <= y1) {
+      var tx = x0
+      while (tx <= x1) {
+        val cell = morton(tx, ty)
+        if (isRect) out += cell
+        else {
+          val ce = cellEnvelope(cell, level)
+          // cheap refine: cell rect intersects geometry envelope always true here;
+          // exact refine via rect-polygon intersects for big covers
+          if (Pred.intersects(ce.toPolygon, g)) out += cell
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out.toArray
+  }
+
+  private def isRectangle(g: Geometry): Boolean = g match {
+    case p: graft.geom.Polygon if p.rings.length == 1 && p.rings(0).length == 10 =>
+      val r = p.rings(0)
+      val env = p.envelope
+      var i = 0
+      var ok = true
+      while (i < 8) {
+        val onCorner = (r(i) == env.xmin || r(i) == env.xmax) && (r(i + 1) == env.ymin || r(i + 1) == env.ymax)
+        if (!onCorner) ok = false
+        i += 2
+      }
+      ok
+    case _ => false
+  }
+
+  /** Neighboring cells at ring distance r around a cell (Chebyshev ring). */
+  def ring(cell: Long, level: Int, r: Int): Array[Long] = {
+    if (r == 0) return Array(cell)
+    val cx = mortonX(cell); val cy = mortonY(cell)
+    val n = 1L << level
+    val out = new ArrayBuffer[Long](8 * r)
+    var dy = -r
+    while (dy <= r) {
+      var dx = -r
+      while (dx <= r) {
+        if (math.max(math.abs(dx), math.abs(dy)) == r) {
+          val x = cx + dx
+          var y = cy + dy
+          if (y >= 0 && y < n) {
+            // wrap x around the antimeridian
+            val wx = ((x % n) + n) % n
+            out += morton(wx, y)
+          }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    out.toArray
+  }
+
+  /**
+   * DuckDB-compatible ANSI SQL expression computing `cellId(lon, lat, L)`
+   * (used to build oracle queries; keeps the engine and the oracle in
+   * lock-step on the cell scheme — SURVEY §2.6 #44 design constraint).
+   */
+  def mortonSqlExpr(lonCol: String, latCol: String, level: Int): String = {
+    val n = 1L << level
+    val tx = s"CAST(LEAST(FLOOR((($lonCol + 180.0)/360.0) * $n), ${n - 1}) AS BIGINT)"
+    val ty = s"CAST(LEAST(FLOOR((0.5 - LN((1 + SIN(RADIANS(LEAST(GREATEST($latCol, -85.05112877980659), 85.05112877980659)))) / (1 - SIN(RADIANS(LEAST(GREATEST($latCol, -85.05112877980659), 85.05112877980659))))) / (4*PI())) * $n), ${n - 1}) AS BIGINT)"
+    def spreadSql(v: String): String = {
+      var x = s"(($v) & 4294967295)"
+      x = s"((($x) | (($x) << 16)) & 281470681808895)"
+      x = s"((($x) | (($x) << 8)) & 71777214294589695)"
+      x = s"((($x) | (($x) << 4)) & 1085102592571150095)"
+      x = s"((($x) | (($x) << 2)) & 3689348814741910323)"
+      x = s"((($x) | (($x) << 1)) & 6148914691236517205)"
+      x
+    }
+    s"(${spreadSql(tx)} | (${spreadSql(ty)} << 1))"
+  }
+}

@@ -1,0 +1,808 @@
+package graft.geom
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Constructive operators + measures: the unary operator surface of the
+ * reference (SURVEY.md §2.2) re-expressed as pure-Scala kernels that the
+ * Catalyst expressions in graft.sql wrap.
+ *
+ * Behavioral counterparts: ⟨ref(engine): OperatorBufferLocal + Bufferer,
+ * OperatorConvexHullLocal, OperatorGeneralizeLocal (Douglas–Peucker),
+ * OperatorDensifyByLengthLocal, OperatorClipLocal, OperatorSimplifyLocal,
+ * OperatorProjectLocal, OperatorGeodeticLength/AreaLocal⟩.
+ *
+ * Buffer determinism: fixed 96 vertices per full circle (SURVEY §7.5:
+ * pinned in golden tests). Buffer is exact for points/envelopes/convex
+ * rings; for reflex vertices it uses miter-trimmed offsets — a documented
+ * approximation until the planar-overlay core (P2) lands self-union.
+ */
+object Ops {
+
+  val CIRCLE_SEGS = 96
+
+  // ---------------- measures ----------------
+
+  /** Signed area of a closed ring (positive = CCW). */
+  def signedRingArea(r: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < r.length) {
+      s += r(i) * r(i + 3) - r(i + 2) * r(i + 1)
+      i += 2
+    }
+    s / 2
+  }
+
+  def area(g: Geometry): Double = g match {
+    case p: Polygon =>
+      if (p.isEmpty) 0.0
+      else math.abs(signedRingArea(p.rings(0))) -
+        p.rings.drop(1).map(r => math.abs(signedRingArea(r))).sum
+    case m: MultiPolygon => m.polys.map(rs => area(Polygon(rs))).sum
+    case c: GeometryCollection => c.geoms.map(area).sum
+    case _ => 0.0
+  }
+
+  private def ringLength(cs: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < cs.length) {
+      val dx = cs(i + 2) - cs(i); val dy = cs(i + 3) - cs(i + 1)
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 2
+    }
+    s
+  }
+
+  /** Length of lineal geometry; perimeter of polygonal. */
+  def length(g: Geometry): Double = g match {
+    case l: LineString => ringLength(l.coords)
+    case m: MultiLineString => m.lines.map(ringLength).sum
+    case p: Polygon => p.rings.map(ringLength).sum
+    case m: MultiPolygon => m.polys.map(_.map(ringLength).sum).sum
+    case c: GeometryCollection => c.geoms.map(length).sum
+    case _ => 0.0
+  }
+
+  def centroid(g: Geometry): Point = g match {
+    case p: Point => p
+    case m: MultiPoint =>
+      if (m.isEmpty) Point.EMPTY
+      else {
+        var sx = 0.0; var sy = 0.0; var i = 0
+        while (i < m.coords.length) { sx += m.coords(i); sy += m.coords(i + 1); i += 2 }
+        Point(sx / (m.coords.length / 2), sy / (m.coords.length / 2))
+      }
+    case l: LineString => linealCentroid(Array(l.coords))
+    case m: MultiLineString => linealCentroid(m.lines)
+    case p: Polygon => polygonalCentroid(Array(p.rings))
+    case m: MultiPolygon => polygonalCentroid(m.polys)
+    case c: GeometryCollection =>
+      val dims = c.geoms.filterNot(_.isEmpty).map(_.dimension)
+      if (dims.isEmpty) Point.EMPTY
+      else {
+        val maxD = dims.max
+        val parts = c.geoms.filter(g0 => !g0.isEmpty && g0.dimension == maxD)
+        val cents = parts.map(centroid)
+        Point(cents.map(_.x).sum / cents.length, cents.map(_.y).sum / cents.length)
+      }
+  }
+
+  private def linealCentroid(lines: Array[Array[Double]]): Point = {
+    var sx = 0.0; var sy = 0.0; var sl = 0.0
+    lines.foreach { cs =>
+      var i = 0
+      while (i + 3 < cs.length) {
+        val dx = cs(i + 2) - cs(i); val dy = cs(i + 3) - cs(i + 1)
+        val l = math.sqrt(dx * dx + dy * dy)
+        sx += (cs(i) + cs(i + 2)) / 2 * l
+        sy += (cs(i + 1) + cs(i + 3)) / 2 * l
+        sl += l
+        i += 2
+      }
+    }
+    if (sl == 0) Point.EMPTY else Point(sx / sl, sy / sl)
+  }
+
+  private def polygonalCentroid(polys: Array[Array[Array[Double]]]): Point = {
+    var sx = 0.0; var sy = 0.0; var sa = 0.0
+    polys.foreach { rings =>
+      rings.zipWithIndex.foreach { case (r, idx) =>
+        val a = signedRingArea(r)
+        val w = if (idx == 0) math.abs(a) else -math.abs(a)
+        var cx = 0.0; var cy = 0.0
+        var i = 0
+        while (i + 3 < r.length) {
+          val cross = r(i) * r(i + 3) - r(i + 2) * r(i + 1)
+          cx += (r(i) + r(i + 2)) * cross
+          cy += (r(i + 1) + r(i + 3)) * cross
+          i += 2
+        }
+        if (a != 0) {
+          // cx/(6a) is the centroid of the signed ring; weight by |area| sign chosen above
+          sx += cx / (6 * a) * w
+          sy += cy / (6 * a) * w
+          sa += w
+        }
+      }
+    }
+    if (sa == 0) Point.EMPTY else Point(sx / sa, sy / sa)
+  }
+
+  // ---------------- simplify (canonicalize) ----------------
+
+  private def dedupe(cs: Array[Double], closeRing: Boolean): Array[Double] = {
+    if (cs.length < 2) return cs
+    val out = new ArrayBuffer[Double](cs.length)
+    out += cs(0); out += cs(1)
+    var i = 2
+    while (i < cs.length) {
+      if (cs(i) != out(out.length - 2) || cs(i + 1) != out(out.length - 1)) {
+        out += cs(i); out += cs(i + 1)
+      }
+      i += 2
+    }
+    if (closeRing && out.length >= 2 &&
+        (out(0) != out(out.length - 2) || out(1) != out(out.length - 1))) {
+      out += out(0); out += out(1)
+    }
+    out.toArray
+  }
+
+  private def orientRing(r: Array[Double], ccw: Boolean): Array[Double] = {
+    val a = signedRingArea(r)
+    if ((a > 0) == ccw || a == 0) r
+    else {
+      val n = r.length / 2
+      val out = new Array[Double](r.length)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = r(2 * (n - 1 - i))
+        out(2 * i + 1) = r(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /**
+   * Weak simplify à la the reference's non-OGC SIMPLIFY: dedupe vertices,
+   * drop degenerate parts, canonical ring orientation (shell CCW, holes CW).
+   * Does NOT repair self-intersections (that's SIMPLIFY_OGC, P2).
+   */
+  def simplify(g: Geometry): Geometry = g match {
+    case p: Point => p
+    case m: MultiPoint =>
+      val seen = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+      var i = 0
+      while (i < m.coords.length) { seen += ((m.coords(i), m.coords(i + 1))); i += 2 }
+      MultiPoint(seen.toArray.flatMap(p => Array(p._1, p._2)))
+    case l: LineString =>
+      val d = dedupe(l.coords, closeRing = false)
+      if (d.length < 4) LineString(Array.empty) else LineString(d)
+    case m: MultiLineString =>
+      MultiLineString(m.lines.map(dedupe(_, closeRing = false)).filter(_.length >= 4))
+    case p: Polygon =>
+      val rs = cleanRings(p.rings)
+      if (rs.isEmpty) Polygon(Array.empty) else Polygon(rs)
+    case m: MultiPolygon =>
+      val ps = m.polys.map(cleanRings).filter(_.nonEmpty)
+      MultiPolygon(ps)
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(simplify))
+  }
+
+  private def cleanRings(rings: Array[Array[Double]]): Array[Array[Double]] = {
+    val out = new ArrayBuffer[Array[Double]](rings.length)
+    var i = 0
+    while (i < rings.length) {
+      val d = dedupe(rings(i), closeRing = true)
+      if (d.length >= 8 && signedRingArea(d) != 0.0)
+        out += orientRing(d, ccw = i == 0)
+      else if (i == 0 && (d.length < 8 || signedRingArea(d) == 0.0))
+        return Array.empty // degenerate shell kills the polygon
+      i += 1
+    }
+    out.toArray
+  }
+
+  // ---------------- generalize (Douglas–Peucker) ----------------
+
+  def generalize(g: Geometry, tol: Double): Geometry = g match {
+    case l: LineString => LineString(dpLine(l.coords, tol, minPts = 2))
+    case m: MultiLineString => MultiLineString(m.lines.map(dpLine(_, tol, minPts = 2)))
+    case p: Polygon => Polygon(p.rings.map(dpLine(_, tol, minPts = 4)).filter(_.length >= 8))
+    case m: MultiPolygon =>
+      MultiPolygon(m.polys.map(_.map(dpLine(_, tol, minPts = 4)).filter(_.length >= 8)).filter(_.nonEmpty))
+    case other => other
+  }
+
+  private def dpLine(cs: Array[Double], tol: Double, minPts: Int): Array[Double] = {
+    val n = cs.length / 2
+    if (n <= minPts) return cs
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    val tol2 = tol * tol
+    def rec(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 2) return
+      var maxD = -1.0; var maxI = -1
+      val ax = cs(2 * lo); val ay = cs(2 * lo + 1)
+      val bx = cs(2 * hi); val by = cs(2 * hi + 1)
+      var i = lo + 1
+      while (i < hi) {
+        val d = Pred.ptSegDist2(cs(2 * i), cs(2 * i + 1), ax, ay, bx, by)
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      if (maxD > tol2) { keep(maxI) = true; rec(lo, maxI); rec(maxI, hi) }
+    }
+    rec(0, n - 1)
+    val out = new ArrayBuffer[Double](2 * n)
+    var i = 0
+    while (i < n) { if (keep(i)) { out += cs(2 * i); out += cs(2 * i + 1) }; i += 1 }
+    out.toArray
+  }
+
+  // ---------------- densify ----------------
+
+  def densify(g: Geometry, maxLen: Double): Geometry = {
+    require(maxLen > 0, "maxLen must be positive")
+    g match {
+      case l: LineString => LineString(densifyCoords(l.coords, maxLen))
+      case m: MultiLineString => MultiLineString(m.lines.map(densifyCoords(_, maxLen)))
+      case p: Polygon => Polygon(p.rings.map(densifyCoords(_, maxLen)))
+      case m: MultiPolygon => MultiPolygon(m.polys.map(_.map(densifyCoords(_, maxLen))))
+      case other => other
+    }
+  }
+
+  private def densifyCoords(cs: Array[Double], maxLen: Double): Array[Double] = {
+    if (cs.length < 4) return cs
+    val out = new ArrayBuffer[Double](cs.length * 2)
+    out += cs(0); out += cs(1)
+    var i = 0
+    while (i + 3 < cs.length) {
+      val ax = cs(i); val ay = cs(i + 1); val bx = cs(i + 2); val by = cs(i + 3)
+      val d = math.hypot(bx - ax, by - ay)
+      val k = math.ceil(d / maxLen).toInt
+      var j = 1
+      while (j <= k) {
+        out += ax + (bx - ax) * j / k
+        out += ay + (by - ay) * j / k
+        j += 1
+      }
+      i += 2
+    }
+    out.toArray
+  }
+
+  // ---------------- convex hull (monotone chain) ----------------
+
+  def allCoords(g: Geometry): Array[Double] = g match {
+    case p: Point => if (p.isEmpty) Array.empty else Array(p.x, p.y)
+    case m: MultiPoint => m.coords
+    case l: LineString => l.coords
+    case m: MultiLineString => m.lines.flatten
+    case p: Polygon => p.rings.flatten
+    case m: MultiPolygon => m.polys.flatMap(_.flatten)
+    case c: GeometryCollection => c.geoms.flatMap(allCoords)
+  }
+
+  def convexHull(g: Geometry): Geometry = convexHullOfCoords(allCoords(g))
+
+  def convexHullOfCoords(cs: Array[Double]): Geometry = {
+    val n = cs.length / 2
+    if (n == 0) return Polygon(Array.empty)
+    // sort unique points lexicographically
+    val pts = Array.tabulate(n)(i => (cs(2 * i), cs(2 * i + 1))).distinct.sorted
+    if (pts.length == 1) return Point(pts(0)._1, pts(0)._2)
+    if (pts.length == 2) return LineString(Array(pts(0)._1, pts(0)._2, pts(1)._1, pts(1)._2))
+    val hull = new ArrayBuffer[(Double, Double)](pts.length * 2)
+    // lower
+    pts.foreach { p =>
+      while (hull.length >= 2 && Pred.orient(hull(hull.length - 2)._1, hull(hull.length - 2)._2,
+        hull(hull.length - 1)._1, hull(hull.length - 1)._2, p._1, p._2) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    // upper
+    val lowerLen = hull.length + 1
+    pts.reverseIterator.foreach { p =>
+      while (hull.length >= lowerLen && Pred.orient(hull(hull.length - 2)._1, hull(hull.length - 2)._2,
+        hull(hull.length - 1)._1, hull(hull.length - 1)._2, p._1, p._2) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    hull.remove(hull.length - 1) // last == first
+    if (hull.length < 3) {
+      if (hull.length == 2) return LineString(Array(hull(0)._1, hull(0)._2, hull(1)._1, hull(1)._2))
+      return Point(hull(0)._1, hull(0)._2)
+    }
+    val ring = new Array[Double]((hull.length + 1) * 2)
+    var i = 0
+    while (i < hull.length) { ring(2 * i) = hull(i)._1; ring(2 * i + 1) = hull(i)._2; i += 1 }
+    ring(2 * hull.length) = hull(0)._1; ring(2 * hull.length + 1) = hull(0)._2
+    Polygon(Array(ring)) // monotone chain with the above order emits CCW
+  }
+
+  // ---------------- clip to envelope ----------------
+
+  def clip(g: Geometry, env: Env): Geometry = g match {
+    case p: Point => if (env.contains(p.x, p.y)) p else Point.EMPTY
+    case m: MultiPoint =>
+      val out = new ArrayBuffer[Double]()
+      var i = 0
+      while (i < m.coords.length) {
+        if (env.contains(m.coords(i), m.coords(i + 1))) { out += m.coords(i); out += m.coords(i + 1) }
+        i += 2
+      }
+      MultiPoint(out.toArray)
+    case l: LineString =>
+      val parts = clipLine(l.coords, env)
+      if (parts.isEmpty) LineString(Array.empty)
+      else if (parts.length == 1) LineString(parts(0))
+      else MultiLineString(parts)
+    case m: MultiLineString =>
+      val parts = m.lines.flatMap(clipLine(_, env))
+      MultiLineString(parts)
+    case p: Polygon =>
+      val rs = clipRings(p.rings, env)
+      Polygon(rs)
+    case m: MultiPolygon =>
+      MultiPolygon(m.polys.map(clipRings(_, env)).filter(_.nonEmpty))
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(clip(_, env)))
+  }
+
+  /** Liang–Barsky per segment, stitched into maximal polylines. */
+  private def clipLine(cs: Array[Double], env: Env): Array[Array[Double]] = {
+    val parts = new ArrayBuffer[Array[Double]]()
+    val cur = new ArrayBuffer[Double]()
+    var i = 0
+    while (i + 3 < cs.length) {
+      val seg = clipSegment(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), env)
+      if (seg != null) {
+        if (cur.isEmpty) { cur += seg(0); cur += seg(1) }
+        else if (cur(cur.length - 2) != seg(0) || cur(cur.length - 1) != seg(1)) {
+          if (cur.length >= 4) parts += cur.toArray
+          cur.clear()
+          cur += seg(0); cur += seg(1)
+        }
+        cur += seg(2); cur += seg(3)
+      } else if (cur.nonEmpty) {
+        if (cur.length >= 4) parts += cur.toArray
+        cur.clear()
+      }
+      i += 2
+    }
+    if (cur.length >= 4) parts += cur.toArray
+    parts.toArray
+  }
+
+  private def clipSegment(x1: Double, y1: Double, x2: Double, y2: Double, env: Env): Array[Double] = {
+    var t0 = 0.0; var t1 = 1.0
+    val dx = x2 - x1; val dy = y2 - y1
+    def clipT(p: Double, q: Double): Boolean = {
+      if (p == 0) q >= 0
+      else {
+        val r = q / p
+        if (p < 0) { if (r > t1) false else { if (r > t0) t0 = r; true } }
+        else { if (r < t0) false else { if (r < t1) t1 = r; true } }
+      }
+    }
+    if (clipT(-dx, x1 - env.xmin) && clipT(dx, env.xmax - x1) &&
+        clipT(-dy, y1 - env.ymin) && clipT(dy, env.ymax - y1)) {
+      if (t0 == 0 && t1 == 1) Array(x1, y1, x2, y2)
+      else if (t1 > t0) Array(x1 + t0 * dx, y1 + t0 * dy, x1 + t1 * dx, y1 + t1 * dy)
+      else null
+    } else null
+  }
+
+  /** Sutherland–Hodgman each ring against the envelope's 4 half-planes. */
+  private def clipRings(rings: Array[Array[Double]], env: Env): Array[Array[Double]] = {
+    if (rings.isEmpty) return Array.empty
+    val out = new ArrayBuffer[Array[Double]](rings.length)
+    var i = 0
+    while (i < rings.length) {
+      val r = clipRingSH(rings(i), env)
+      if (i == 0 && (r.length < 8 || signedRingArea(r) == 0.0)) return Array.empty
+      if (r.length >= 8 && signedRingArea(r) != 0.0) out += r
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def clipRingSH(ring: Array[Double], env: Env): Array[Double] = {
+    // edges: 0 left x>=xmin, 1 right x<=xmax, 2 bottom y>=ymin, 3 top y<=ymax
+    var cur = ring
+    var e = 0
+    while (e < 4 && cur.length >= 6) {
+      @inline def inside(x: Double, y: Double): Boolean = e match {
+        case 0 => x >= env.xmin
+        case 1 => x <= env.xmax
+        case 2 => y >= env.ymin
+        case _ => y <= env.ymax
+      }
+      @inline def cross(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = e match {
+        case 0 => (env.xmin, ay + (by - ay) * (env.xmin - ax) / (bx - ax))
+        case 1 => (env.xmax, ay + (by - ay) * (env.xmax - ax) / (bx - ax))
+        case 2 => (ax + (bx - ax) * (env.ymin - ay) / (by - ay), env.ymin)
+        case _ => (ax + (bx - ax) * (env.ymax - ay) / (by - ay), env.ymax)
+      }
+      val out = new ArrayBuffer[Double](cur.length)
+      // iterate open ring (skip duplicate closing vertex)
+      val n = cur.length / 2 - (if (cur.length >= 4 && cur(0) == cur(cur.length - 2) && cur(1) == cur(cur.length - 1)) 1 else 0)
+      var i = 0
+      while (i < n) {
+        val ax = cur(2 * i); val ay = cur(2 * i + 1)
+        val j = (i + 1) % n
+        val bx = cur(2 * j); val by = cur(2 * j + 1)
+        val aIn = inside(ax, ay); val bIn = inside(bx, by)
+        if (aIn) {
+          out += ax; out += ay
+          if (!bIn) { val (cx, cy) = cross(ax, ay, bx, by); out += cx; out += cy }
+        } else if (bIn) {
+          val (cx, cy) = cross(ax, ay, bx, by); out += cx; out += cy
+        }
+        i += 1
+      }
+      if (out.length >= 2) { out += out(0); out += out(1) } // close
+      cur = dedupe(out.toArray, closeRing = true)
+      e += 1
+    }
+    if (cur.length >= 8) cur else Array.empty[Double]
+  }
+
+  // ---------------- buffer ----------------
+
+  def buffer(g: Geometry, d: Double): Geometry = {
+    if (d == 0) return g
+    if (d < 0) throw new IllegalArgumentException("negative buffer requires overlay core (P2)")
+    g match {
+      case p: Point => if (p.isEmpty) Polygon(Array.empty) else circle(p.x, p.y, d)
+      case m: MultiPoint =>
+        val ps = new ArrayBuffer[Array[Array[Double]]]()
+        var i = 0
+        while (i < m.coords.length) { ps += circle(m.coords(i), m.coords(i + 1), d).rings; i += 2 }
+        MultiPolygon(ps.toArray)
+      case l: LineString => Polygon(Array(lineBufferRing(l.coords, d)))
+      case m: MultiLineString => MultiPolygon(m.lines.map(cs => Array(lineBufferRing(cs, d))))
+      case p: Polygon =>
+        if (p.isEmpty) p
+        else Polygon(Array(ringOffsetOutward(orientRing(dedupe(p.rings(0), true), ccw = true), d)))
+        // holes shrink under positive buffer; dropping them is exact once hole "radius" < d,
+        // and a documented approximation otherwise (P2 overlay makes this exact).
+      case m: MultiPolygon =>
+        MultiPolygon(m.polys.filter(_.nonEmpty).map(rs =>
+          Array(ringOffsetOutward(orientRing(dedupe(rs(0), true), ccw = true), d))))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(buffer(_, d)))
+    }
+  }
+
+  def circle(cx: Double, cy: Double, r: Double): Polygon = {
+    val n = CIRCLE_SEGS
+    val ring = new Array[Double]((n + 1) * 2)
+    var i = 0
+    while (i < n) {
+      val a = 2 * math.Pi * i / n
+      ring(2 * i) = cx + r * math.cos(a)
+      ring(2 * i + 1) = cy + r * math.sin(a)
+      i += 1
+    }
+    ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
+    Polygon(Array(ring))
+  }
+
+  /** Append a CCW arc around (cx,cy) radius r from angle a0 to a1. */
+  private def appendArc(out: ArrayBuffer[Double], cx: Double, cy: Double, r: Double,
+                        a0: Double, a1: Double): Unit = {
+    var sweep = a1 - a0
+    while (sweep < 0) sweep += 2 * math.Pi
+    val steps = math.max(1, math.ceil(sweep / (2 * math.Pi / CIRCLE_SEGS)).toInt)
+    var i = 1
+    while (i <= steps) {
+      val a = a0 + sweep * i / steps
+      out += cx + r * math.cos(a)
+      out += cy + r * math.sin(a)
+      i += 1
+    }
+  }
+
+  /** Offset a CCW ring outward by d with round joins at convex vertices. */
+  private def ringOffsetOutward(ring: Array[Double], d: Double): Array[Double] = {
+    val n = ring.length / 2 - 1 // closed
+    val out = new ArrayBuffer[Double](ring.length * 3)
+    var i = 0
+    while (i < n) {
+      val ax = ring(2 * i); val ay = ring(2 * i + 1)
+      val bx = ring(2 * ((i + 1) % n)); val by = ring(2 * ((i + 1) % n) + 1)
+      val cx = ring(2 * ((i + 2) % n)); val cy = ring(2 * ((i + 2) % n) + 1)
+      val (o1x, o1y) = outwardNormal(ax, ay, bx, by)
+      val (o2x, o2y) = outwardNormal(bx, by, cx, cy)
+      // offset edge (a→b) endpoints
+      out += ax + o1x * d; out += ay + o1y * d
+      out += bx + o1x * d; out += by + o1y * d
+      val turn = Pred.orient(ax, ay, bx, by, cx, cy)
+      if (turn > 0) {
+        // convex (left) turn on CCW ring → round join around b
+        appendArc(out, bx, by, d, math.atan2(o1y, o1x), math.atan2(o2y, o2x))
+      }
+      // reflex: next offset edge starts at b + o2*d; the crossing offsets create a
+      // small self-overlap that simplify tolerates (P2 overlay will trim exactly)
+      i += 1
+    }
+    if (out.length >= 2) { out += out(0); out += out(1) }
+    dedupe(out.toArray, closeRing = true)
+  }
+
+  /** Outward (right-side) unit normal of directed edge for a CCW ring. */
+  private def outwardNormal(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = {
+    val dx = bx - ax; val dy = by - ay
+    val len = math.hypot(dx, dy)
+    if (len == 0) (0.0, 0.0) else (dy / len, -dx / len)
+  }
+
+  /** Round-capped, round-joined outline of a polyline buffer (single ring). */
+  private def lineBufferRing(cs: Array[Double], d: Double): Array[Double] = {
+    val clean = dedupe(cs, closeRing = false)
+    val n = clean.length / 2
+    if (n == 0) return Array.empty
+    if (n == 1) return circle(clean(0), clean(1), d).rings(0)
+    val out = new ArrayBuffer[Double](clean.length * 4)
+    // forward along right side
+    sideOffset(clean, d, out)
+    // end cap (semicircle around last point)
+    val lx = clean(2 * n - 2); val ly = clean(2 * n - 1)
+    val px = clean(2 * n - 4); val py = clean(2 * n - 3)
+    val (enx, eny) = outwardNormal(px, py, lx, ly)
+    appendArc(out, lx, ly, d, math.atan2(eny, enx), math.atan2(-eny, -enx))
+    // backward along the other side
+    val rev = new Array[Double](clean.length)
+    var i = 0
+    while (i < n) {
+      rev(2 * i) = clean(2 * (n - 1 - i)); rev(2 * i + 1) = clean(2 * (n - 1 - i) + 1)
+      i += 1
+    }
+    sideOffset(rev, d, out)
+    // start cap
+    val sx = clean(0); val sy = clean(1)
+    val (snx, sny) = outwardNormal(clean(2), clean(3), sx, sy) // direction of rev's last edge
+    appendArc(out, sx, sy, d, math.atan2(sny, snx), math.atan2(-sny, -snx))
+    if (out.length >= 2) { out += out(0); out += out(1) }
+    dedupe(out.toArray, closeRing = true)
+  }
+
+  /** Append right-side offset of an open polyline with round joins at left turns. */
+  private def sideOffset(cs: Array[Double], d: Double, out: ArrayBuffer[Double]): Unit = {
+    val n = cs.length / 2
+    var i = 0
+    while (i < n - 1) {
+      val ax = cs(2 * i); val ay = cs(2 * i + 1)
+      val bx = cs(2 * i + 2); val by = cs(2 * i + 3)
+      val (ox, oy) = outwardNormal(ax, ay, bx, by)
+      out += ax + ox * d; out += ay + oy * d
+      out += bx + ox * d; out += by + oy * d
+      if (i < n - 2) {
+        val cx2 = cs(2 * i + 4); val cy2 = cs(2 * i + 5)
+        val turn = Pred.orient(ax, ay, bx, by, cx2, cy2)
+        if (turn > 0) {
+          val (o2x, o2y) = outwardNormal(bx, by, cx2, cy2)
+          appendArc(out, bx, by, d, math.atan2(oy, ox), math.atan2(o2y, o2x))
+        }
+      }
+      i += 1
+    }
+  }
+
+  // ---------------- projection (SURVEY §2.4 #38: 4326 ↔ 3857) ----------------
+
+  val WEB_MERCATOR_R = 6378137.0
+  val EARTH_R = 6371008.8
+  val MAX_MERCATOR_LAT = 85.05112877980659
+
+  def lonLatToMercX(lon: Double): Double = WEB_MERCATOR_R * math.toRadians(lon)
+  def lonLatToMercY(lat: Double): Double = {
+    val clamped = math.max(-MAX_MERCATOR_LAT, math.min(MAX_MERCATOR_LAT, lat))
+    val s = math.sin(math.toRadians(clamped))
+    // atanh(sin φ) form: exact 0 at the equator, better conditioned than log∘tan
+    WEB_MERCATOR_R * 0.5 * math.log((1 + s) / (1 - s))
+  }
+  def mercToLon(x: Double): Double = math.toDegrees(x / WEB_MERCATOR_R)
+  def mercToLat(y: Double): Double =
+    math.toDegrees(2 * math.atan(math.exp(y / WEB_MERCATOR_R)) - math.Pi / 2)
+
+  def transform(g: Geometry, fromSrid: Int, toSrid: Int): Geometry = {
+    if (fromSrid == toSrid) return g
+    (fromSrid, toSrid) match {
+      case (4326, 3857) => mapCoords(g, (x, y) => (lonLatToMercX(x), lonLatToMercY(y)))
+      case (3857, 4326) => mapCoords(g, (x, y) => (mercToLon(x), mercToLat(y)))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported transform $fromSrid->$toSrid (supported: 4326<->3857)")
+    }
+  }
+
+  def affine(g: Geometry, a: Double, b: Double, d: Double, e: Double,
+             xoff: Double, yoff: Double): Geometry =
+    mapCoords(g, (x, y) => (a * x + b * y + xoff, d * x + e * y + yoff))
+
+  def mapCoords(g: Geometry, f: (Double, Double) => (Double, Double)): Geometry = {
+    def mapArr(cs: Array[Double]): Array[Double] = {
+      val out = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        val (x, y) = f(cs(i), cs(i + 1))
+        out(i) = x; out(i + 1) = y
+        i += 2
+      }
+      out
+    }
+    g match {
+      case p: Point => if (p.isEmpty) p else { val (x, y) = f(p.x, p.y); Point(x, y) }
+      case m: MultiPoint => MultiPoint(mapArr(m.coords))
+      case l: LineString => LineString(mapArr(l.coords))
+      case m: MultiLineString => MultiLineString(m.lines.map(mapArr))
+      case p: Polygon => Polygon(p.rings.map(mapArr))
+      case m: MultiPolygon => MultiPolygon(m.polys.map(_.map(mapArr)))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(mapCoords(_, f)))
+    }
+  }
+
+  // ---------------- spherical measures ----------------
+
+  def haversine(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
+    val a = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2 * EARTH_R * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Great-circle length of lineal geometry in meters (lon/lat input). */
+  def lengthSphere(g: Geometry): Double = {
+    var s = 0.0
+    def seg(cs: Array[Double]): Unit = {
+      var i = 0
+      while (i + 3 < cs.length) { s += haversine(cs(i), cs(i + 1), cs(i + 2), cs(i + 3)); i += 2 }
+    }
+    g match {
+      case l: LineString => seg(l.coords)
+      case m: MultiLineString => m.lines.foreach(seg)
+      case p: Polygon => p.rings.foreach(seg)
+      case m: MultiPolygon => m.polys.foreach(_.foreach(seg))
+      case c: GeometryCollection => s = c.geoms.map(lengthSphere).sum
+      case _ =>
+    }
+    s
+  }
+
+  /** Spherical ring area (signed, m²) via the Chamberlain–Duquette formula. */
+  private def sphericalRingArea(r: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < r.length) {
+      val l1 = math.toRadians(r(i)); val p1 = math.toRadians(r(i + 1))
+      val l2 = math.toRadians(r(i + 2)); val p2 = math.toRadians(r(i + 3))
+      s += (l2 - l1) * (2 + math.sin(p1) + math.sin(p2))
+      i += 2
+    }
+    s * EARTH_R * EARTH_R / 2
+  }
+
+  /** Spherical area of polygonal geometry in m² (lon/lat input). */
+  def areaSphere(g: Geometry): Double = g match {
+    case p: Polygon =>
+      if (p.isEmpty) 0.0
+      else math.abs(sphericalRingArea(p.rings(0))) -
+        p.rings.drop(1).map(r => math.abs(sphericalRingArea(r))).sum
+    case m: MultiPolygon => m.polys.map(rs => areaSphere(Polygon(rs))).sum
+    case c: GeometryCollection => c.geoms.map(areaSphere).sum
+    case _ => 0.0
+  }
+
+  // ---------------- misc operators ----------------
+
+  /** Closest point on g to p ⟨ref(engine): OperatorProximity2DLocal⟩. */
+  def closestPoint(g: Geometry, p: Point): Point = {
+    if (g.isEmpty || p.isEmpty) return Point.EMPTY
+    val (gp, gl, ga) = Pred.decompose(g)
+    var best = Double.PositiveInfinity
+    var bx = Double.NaN; var by = Double.NaN
+    def tryPt(x: Double, y: Double): Unit = {
+      val dx = x - p.x; val dy = y - p.y
+      val d2 = dx * dx + dy * dy
+      if (d2 < best) { best = d2; bx = x; by = y }
+    }
+    def trySegs(lines: Array[Array[Double]]): Unit = {
+      lines.foreach { cs =>
+        var i = 0
+        while (i + 3 < cs.length) {
+          val ax = cs(i); val ay = cs(i + 1); val sx = cs(i + 2); val sy = cs(i + 3)
+          val dx = sx - ax; val dy = sy - ay
+          val len2 = dx * dx + dy * dy
+          var t = if (len2 == 0) 0.0 else ((p.x - ax) * dx + (p.y - ay) * dy) / len2
+          if (t < 0) t = 0 else if (t > 1) t = 1
+          tryPt(ax + t * dx, ay + t * dy)
+          i += 2
+        }
+      }
+    }
+    if (gp != null) { var i = 0; while (i < gp.length) { tryPt(gp(i), gp(i + 1)); i += 2 } }
+    else if (gl != null) trySegs(gl)
+    else {
+      if (Pred.pointInPolygonal(ga, p.x, p.y) >= 0) return p
+      trySegs(ga.flatten)
+    }
+    Point(bx, by)
+  }
+
+  /** Deterministic random points in polygonal geometry (rejection sampling).
+    * ⟨ref(engine): OperatorRandomPointsLocal (fork addition)⟩ */
+  def randomPoints(g: Geometry, n: Int, seed: Long): Array[Double] = {
+    val env = g.envelope
+    if (env.isEmpty || n <= 0) return Array.empty
+    val (_, _, polys) = Pred.decompose(g)
+    if (polys == null) return Array.empty
+    var state = if (seed == 0) 0x9E3779B97F4A7C15L else seed
+    @inline def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val out = new ArrayBuffer[Double](n * 2)
+    var found = 0
+    var iters = 0
+    val maxIters = math.max(100000, n * 1000)
+    while (found < n && iters < maxIters) {
+      val x = env.xmin + next() * env.width
+      val y = env.ymin + next() * env.height
+      if (Pred.pointInPolygonal(polys, x, y) == 1) {
+        out += x; out += y
+        found += 1
+      }
+      iters += 1
+    }
+    out.toArray
+  }
+
+  /** Cut lineal geometry by a blade polyline: split at crossings.
+    * ⟨ref(engine): OperatorCutLocal⟩ — line/line cut only (polygon cut = P2). */
+  def cut(g: Geometry, blade: Geometry): Array[Geometry] = {
+    val (_, lines, _) = Pred.decompose(g)
+    val (_, bl, _) = Pred.decompose(blade)
+    if (lines == null || bl == null)
+      throw new IllegalArgumentException("st_cut supports lineal target and blade (polygon cut = P2)")
+    val parts = new ArrayBuffer[Geometry]()
+    lines.foreach { cs =>
+      val cur = new ArrayBuffer[Double]()
+      cur += cs(0); cur += cs(1)
+      var i = 0
+      val out = new Array[Double](4)
+      while (i + 3 < cs.length) {
+        val ax = cs(i); val ay = cs(i + 1); val bx = cs(i + 2); val by = cs(i + 3)
+        // collect crossing ts on this segment
+        val ts = new ArrayBuffer[Double]()
+        bl.foreach { bs =>
+          var j = 0
+          while (j + 3 < bs.length) {
+            if (Pred.segSeg(ax, ay, bx, by, bs(j), bs(j + 1), bs(j + 2), bs(j + 3), out) == 1) {
+              val dx = bx - ax; val dy = by - ay
+              val len2 = dx * dx + dy * dy
+              val t = if (len2 == 0) 0.0 else ((out(0) - ax) * dx + (out(1) - ay) * dy) / len2
+              if (t > 1e-12 && t < 1 - 1e-12) ts += t
+            }
+            j += 2
+          }
+        }
+        val sorted = ts.toArray
+        java.util.Arrays.sort(sorted)
+        sorted.foreach { t =>
+          val px = ax + t * (bx - ax); val py = ay + t * (by - ay)
+          cur += px; cur += py
+          if (cur.length >= 4) parts += LineString(cur.toArray)
+          cur.clear()
+          cur += px; cur += py
+        }
+        cur += bx; cur += by
+        i += 2
+      }
+      if (cur.length >= 4) parts += LineString(cur.toArray)
+    }
+    parts.toArray
+  }
+}

@@ -1,0 +1,243 @@
+package graft.img
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/**
+ * Image kernels (SURVEY.md §2.6 #49): decode / PSNR / perceptual hash,
+ * all on JDK-built-in `javax.imageio` (PNG/JPEG/BMP/GIF — verified
+ * offline-available), plus the deterministic synthetic image generator
+ * used by FIXTURES.md §F2.
+ *
+ * The binding per-row invariant (BASELINE.json input_hint): decoded-pixel
+ * allclose vs an independent decode — PSNR ≥ 40 dB for lossy (JPEG),
+ * exact for PNG — and `img_phash(bytes) == phash` column consistency.
+ */
+object Images {
+
+  /** Decode to packed RGB bytes (3 bytes/pixel, row-major). Returns (w, h, rgb). */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException("undecodable image bytes")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        rgb(i) = ((p >> 16) & 0xFF).toByte
+        rgb(i + 1) = ((p >> 8) & 0xFF).toByte
+        rgb(i + 2) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** PSNR in dB between two same-shape RGB buffers; 99.0 if identical. */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length, s"shape mismatch ${a.length} vs ${b.length}")
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      se += d.toDouble * d
+      i += 1
+    }
+    if (se == 0) 99.0
+    else {
+      val mse = se / a.length
+      10.0 * math.log10(255.0 * 255.0 / mse)
+    }
+  }
+
+  // ---------------- perceptual hash (32x32 DCT pHash) ----------------
+
+  private val PHASH_N = 32
+  private lazy val dctTable: Array[Double] = {
+    val t = new Array[Double](PHASH_N * PHASH_N)
+    var k = 0
+    while (k < PHASH_N) {
+      var n = 0
+      while (n < PHASH_N) {
+        t(k * PHASH_N + n) = math.cos(math.Pi / PHASH_N * (n + 0.5) * k)
+        n += 1
+      }
+      k += 1
+    }
+    t
+  }
+
+  /** 64-bit DCT pHash of encoded image bytes. */
+  def phash(bytes: Array[Byte]): Long = {
+    val (w, h, rgb) = decode(bytes)
+    phashOfRgb(w, h, rgb)
+  }
+
+  def phashOfRgb(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    // area-average resize to 32x32 grayscale
+    val g = new Array[Double](PHASH_N * PHASH_N)
+    var ty = 0
+    while (ty < PHASH_N) {
+      val y0 = ty * h / PHASH_N; val y1 = math.max(y0 + 1, (ty + 1) * h / PHASH_N)
+      var tx = 0
+      while (tx < PHASH_N) {
+        val x0 = tx * w / PHASH_N; val x1 = math.max(x0 + 1, (tx + 1) * w / PHASH_N)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * 3
+            s += 0.299 * (rgb(i) & 0xFF) + 0.587 * (rgb(i + 1) & 0xFF) + 0.114 * (rgb(i + 2) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        g(ty * PHASH_N + tx) = s / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    // 2D DCT-II, keep the top-left 8x8
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < PHASH_N) {
+          var x = 0
+          while (x < PHASH_N) {
+            s += g(y * PHASH_N + x) * dctTable(u * PHASH_N + y) * dctTable(v * PHASH_N + x)
+            x += 1
+          }
+          y += 1
+        }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // median of AC coefficients (exclude DC)
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = (ac(31) + ac(32)) / 2
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (coef(i) > median) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---------------- deterministic synthetic images (FIXTURES §F2) ----------------
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * Deterministic gradient+noise RGB pixels for image index i.
+   * Noise amplitude is kept small (±3) and clamped (not wrapped) so the
+   * JPEG round-trip satisfies the binding PSNR ≥ 40 dB invariant
+   * (wrap-around 255→0 jumps and strong noise would put q0.92 JPEG at
+   * ~18 dB — measured during verification).
+   */
+  def synthRgb(i: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var state = splitmix64(42L ^ i)
+    val phase = (i % 251).toInt
+    @inline def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+        val noise = (state & 0x7).toInt - 4 // -4..3
+        val p = (y * w + x) * 3
+        val gx = 16 + x * 223 / math.max(1, w - 1)
+        val gy = 16 + y * 223 / math.max(1, h - 1)
+        val gd = 16 + ((x + y) * 223 / math.max(1, w + h - 2)) + phase % 32
+        rgb(p) = clamp(gx + noise)
+        rgb(p + 1) = clamp(gy + noise)
+        rgb(p + 2) = clamp(gd + noise)
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  def encode(w: Int, h: Int, rgb: Array[Byte], fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xFF) << 16) | ((rgb(i + 1) & 0xFF) << 8) | (rgb(i + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    fmt match {
+      case "png" => ImageIO.write(img, "png", out)
+      case "jpg" | "jpeg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(0.92f)
+        val ios = ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+        writer.dispose(); ios.close()
+      case other => throw new IllegalArgumentException(s"unsupported fmt $other")
+    }
+    out.toByteArray
+  }
+
+  /** Resize RGB to (tw, th) by area averaging — the feature-extract kernel. */
+  def resizeRgb(w: Int, h: Int, rgb: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th; val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw; val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * 3
+            r += rgb(i) & 0xFF; g += rgb(i + 1) & 0xFF; b += rgb(i + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val area = (y1 - y0) * (x1 - x0)
+        val o = (ty * tw + tx) * 3
+        out(o) = math.round(r / area).toByte
+        out(o + 1) = math.round(g / area).toByte
+        out(o + 2) = math.round(b / area).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,159 @@
+package org.apache.spark.sql.graft
+
+import graft.sql.K
+
+import graft.geom._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
+
+/**
+ * Geometry aggregates (SURVEY.md §2.5 #41): the reference's client-stream
+ * fold — accumulate geometries, emit one result ⟨ref: GeometryServer.java
+ * OperateClientStream; ListeningGeometryCursor + OperatorUnion accumulate⟩
+ * — becomes Spark's two-phase partial/final aggregation for free.
+ *
+ * `st_union_agg` is exact for puntal inputs (point-set union = dedupe) and
+ * envelopes; general polygon union awaits the overlay core (P2) — callers
+ * get `st_convexhull_agg` / `st_envelope_agg` today.
+ */
+abstract class GeomAgg[B] extends TypedImperativeAggregate[B] {
+  def child: Expression
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+}
+
+/** Aggregate envelope of all input geometries → polygon WKB. */
+case class StEnvelopeAgg(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0) extends GeomAgg[Array[Double]] {
+  override def createAggregationBuffer(): Array[Double] = Array(1.0, 1.0, -1.0, -1.0)
+  override def update(b: Array[Double], row: InternalRow): Array[Double] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val e = Wkb.read(v.asInstanceOf[Array[Byte]]).envelope
+      if (!e.isEmpty) mergeEnv(b, e.xmin, e.ymin, e.xmax, e.ymax)
+    }
+    b
+  }
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    if (o(0) <= o(2)) mergeEnv(b, o(0), o(1), o(2), o(3))
+    b
+  }
+  private def mergeEnv(b: Array[Double], xmin: Double, ymin: Double, xmax: Double, ymax: Double): Unit = {
+    if (b(0) > b(2)) { b(0) = xmin; b(1) = ymin; b(2) = xmax; b(3) = ymax }
+    else {
+      if (xmin < b(0)) b(0) = xmin
+      if (ymin < b(1)) b(1) = ymin
+      if (xmax > b(2)) b(2) = xmax
+      if (ymax > b(3)) b(3) = ymax
+    }
+  }
+  override def eval(b: Array[Double]): Any =
+    if (b(0) > b(2)) Wkb.write(Polygon(Array.empty))
+    else Wkb.write(Env(b(0), b(1), b(2), b(3)).toPolygon)
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(32)
+    b.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(4)(bb.getDouble())
+  }
+  override def withNewMutableAggBufferOffset(n: Int): StEnvelopeAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StEnvelopeAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
+}
+
+/**
+ * Convex hull of all inputs → WKB. Buffer holds candidate hull points,
+ * compacted to the running hull whenever it exceeds a bound, so partial
+ * state stays O(hull) not O(rows) — safe at 100 TB.
+ */
+case class StConvexHullAgg(child: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends GeomAgg[scala.collection.mutable.ArrayBuffer[Double]] {
+  private val COMPACT_AT = 4096
+  type Buf = scala.collection.mutable.ArrayBuffer[Double]
+  override def createAggregationBuffer(): Buf = new Buf(64)
+  private def compact(b: Buf): Unit = {
+    if (b.length > COMPACT_AT) {
+      val hull = Ops.convexHullOfCoords(b.toArray)
+      b.clear()
+      b ++= Ops.allCoords(hull)
+    }
+  }
+  override def update(b: Buf, row: InternalRow): Buf = {
+    val v = child.eval(row)
+    if (v != null) {
+      b ++= Ops.allCoords(Wkb.read(v.asInstanceOf[Array[Byte]]))
+      compact(b)
+    }
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = { b ++= o; compact(b); b }
+  override def eval(b: Buf): Any = Wkb.write(Ops.convexHullOfCoords(b.toArray))
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(b.length * 8)
+    b.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Buf(bytes.length / 8)
+    while (bb.remaining() >= 8) out += bb.getDouble()
+    out
+  }
+  override def withNewMutableAggBufferOffset(n: Int): StConvexHullAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StConvexHullAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
+}
+
+/** Union of puntal inputs = deduped MultiPoint (exact; polygon union = P2). */
+case class StUnionPointsAgg(child: Expression,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends GeomAgg[scala.collection.mutable.LinkedHashSet[(Double, Double)]] {
+  type Buf = scala.collection.mutable.LinkedHashSet[(Double, Double)]
+  override def createAggregationBuffer(): Buf = scala.collection.mutable.LinkedHashSet.empty
+  override def update(b: Buf, row: InternalRow): Buf = {
+    val v = child.eval(row)
+    if (v != null) {
+      Wkb.read(v.asInstanceOf[Array[Byte]]) match {
+        case p: Point => if (!p.isEmpty) b += ((p.x, p.y))
+        case m: MultiPoint =>
+          var i = 0
+          while (i < m.coords.length) { b += ((m.coords(i), m.coords(i + 1))); i += 2 }
+        case g => throw new IllegalArgumentException(
+          s"st_union_agg supports puntal input (got ${g.getClass.getSimpleName}); " +
+            "polygon union requires the overlay core (P2)")
+      }
+    }
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = { b ++= o; b }
+  override def eval(b: Buf): Any = {
+    val sorted = b.toArray.sorted
+    if (sorted.length == 1) Wkb.write(Point(sorted(0)._1, sorted(0)._2))
+    else Wkb.write(MultiPoint(sorted.flatMap(p => Array(p._1, p._2))))
+  }
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(b.size * 16)
+    b.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = createAggregationBuffer()
+    while (bb.remaining() >= 16) out += ((bb.getDouble(), bb.getDouble()))
+    out
+  }
+  override def withNewMutableAggBufferOffset(n: Int): StUnionPointsAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StUnionPointsAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
+}

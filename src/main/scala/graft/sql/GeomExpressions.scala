@@ -1,0 +1,541 @@
+package org.apache.spark.sql.graft
+
+import graft.sql.K
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Catalyst expressions wrapping the graft.geom kernels (SURVEY.md §2, §4.2).
+ *
+ * The reference evaluates nested `GeometryRequest` protobuf trees with a
+ * recursive-descent switch ⟨ref: GeometryServiceUtil.java⟩; here the
+ * Catalyst expression tree IS that request tree, and WholeStageCodegen is
+ * the cursor pipelining. Hot predicates implement `doGenCode` via static
+ * calls into [[K]] so they stay inside fused codegen (north_star:
+ * "codegen-friendly Spark expressions"); cold constructive ops use
+ * CodegenFallback.
+ */
+object base {
+
+  abstract class GeomUnary extends UnaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    def fn: String // K.<fn>, used by codegen
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.sql.K.$fn($c)")
+  }
+
+  abstract class GeomBinary extends BinaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    def fn: String
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.$fn($a, $b)")
+  }
+
+  abstract class GeomPred extends GeomBinary {
+    override def dataType: DataType = BooleanType
+  }
+}
+
+import base._
+
+// ---------------- codecs / constructors ----------------
+
+case class StGeomFromWkt(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.fromWkt(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.fromWkt($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeomFromGeoJson(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.fromGeoJson(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.fromGeoJson($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeomFromWkb(child: Expression) extends GeomUnary {
+  def fn = "fromWkb"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.fromWkb(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsWkt(child: Expression) extends GeomUnary {
+  def fn = "asWkt"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = K.asWkt(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsGeoJson(child: Expression) extends GeomUnary {
+  def fn = "asGeoJson"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = K.asGeoJson(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StPoint(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.point(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.point($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StMakeEnvelope(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else K.makeEnvelope(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+// ---------------- accessors ----------------
+
+case class StX(child: Expression) extends GeomUnary {
+  def fn = "x"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.x(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StY(child: Expression) extends GeomUnary {
+  def fn = "y"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.y(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StGeometryType(child: Expression) extends GeomUnary {
+  def fn = "geometryType"; override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = K.geometryType(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StNumPoints(child: Expression) extends GeomUnary {
+  def fn = "numPoints"; override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = K.numPoints(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StIsEmpty(child: Expression) extends GeomUnary {
+  def fn = "isEmpty"; override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = K.isEmpty(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StEnvelope(child: Expression) extends GeomUnary {
+  def fn = "envelope"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.envelope(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StXMin(child: Expression) extends GeomUnary {
+  def fn = "xmin"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.xmin(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMin(child: Expression) extends GeomUnary {
+  def fn = "ymin"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.ymin(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StXMax(child: Expression) extends GeomUnary {
+  def fn = "xmax"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.xmax(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMax(child: Expression) extends GeomUnary {
+  def fn = "ymax"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.ymax(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// ---------------- predicates (hot: full codegen) ----------------
+
+case class StIntersects(left: Expression, right: Expression) extends GeomPred {
+  def fn = "intersects"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDisjoint(left: Expression, right: Expression) extends GeomPred {
+  def fn = "disjoint"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.disjoint(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StContains(left: Expression, right: Expression) extends GeomPred {
+  def fn = "contains"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StWithin(left: Expression, right: Expression) extends GeomPred {
+  def fn = "within"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCovers(left: Expression, right: Expression) extends GeomPred {
+  def fn = "covers"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.covers(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StTouches(left: Expression, right: Expression) extends GeomPred {
+  def fn = "touches"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.touches(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCrosses(left: Expression, right: Expression) extends GeomPred {
+  def fn = "crosses"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.crosses(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StOverlaps(left: Expression, right: Expression) extends GeomPred {
+  def fn = "overlaps"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.overlaps(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StEquals(left: Expression, right: Expression) extends GeomPred {
+  def fn = "equalsTopo"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.equalsTopo(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StRelate(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "relate"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.relate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StRelateMatch(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, StringType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.relateMatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.relateMatch($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+/** PIP fast path on raw coords — the cell-join refine kernel (no point WKB alloc). */
+case class StContainsXY(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.containsXY(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.containsXY($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StIntersectsXY(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.intersectsXY(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.intersectsXY($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+// ---------------- measures ----------------
+
+case class StDistance(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "distance"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StArea(child: Expression) extends GeomUnary {
+  def fn = "area"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.area(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLength(child: Expression) extends GeomUnary {
+  def fn = "length"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.length(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StAreaSphere(child: Expression) extends GeomUnary {
+  def fn = "areaSphere"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.areaSphere(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StLengthSphere(child: Expression) extends GeomUnary {
+  def fn = "lengthSphere"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.lengthSphere(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// ---------------- constructive ----------------
+
+case class StBuffer(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.buffer(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StConvexHull(child: Expression) extends GeomUnary {
+  def fn = "convexHull"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.convexHull(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StSimplify(child: Expression) extends GeomUnary {
+  def fn = "simplifyGeom"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.simplifyGeom(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StGeneralize(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.generalize(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDensify(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.densify(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StClip(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = BinaryType +: Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else K.clip(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.transform(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.transform($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StAffine(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = BinaryType +: Seq.fill(6)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else K.affine(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double],
+      vs(5).asInstanceOf[Double], vs(6).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+case class StCentroid(child: Expression) extends GeomUnary {
+  def fn = "centroid"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.centroid(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StClosestPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.closestPoint(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+/** 1→N (server-stream shape): returns array<binary>, exploded by callers. */
+case class StRandomPoints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, LongType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.randomPoints(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int],
+      c.asInstanceOf[Long]).asInstanceOf[Array[Any]])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StCut(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(K.cut(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+// ---------------- cells / tiles ----------------
+
+case class StCellId(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.cellId(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.cellId($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StTileX(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = K.tileX(a.asInstanceOf[Double], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.tileX($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StTileY(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = K.tileY(a.asInstanceOf[Double], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.tileY($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCellParent(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.cellParent(a.asInstanceOf[Long], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.cellParent($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StCellEnvelope(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.cellEnvelope(a.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCover(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(K.cover(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StCellRing(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.cellRing(a.asInstanceOf[Long], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+// ---------------- images ----------------
+
+case class ImgWidth(child: Expression) extends GeomUnary {
+  def fn = "imgWidth"; override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = K.imgWidth(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class ImgHeight(child: Expression) extends GeomUnary {
+  def fn = "imgHeight"; override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = K.imgHeight(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class ImgRgb(child: Expression) extends GeomUnary {
+  def fn = "imgRgb"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.imgRgb(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class ImgPhash(child: Expression) extends GeomUnary {
+  def fn = "imgPhash"; override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = K.imgPhash(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class ImgPsnr(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "imgPsnr"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.imgPsnr(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class ImgPsnrRgb(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "imgPsnrRgb"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.imgPsnrRgb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class ImgResize(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.imgResizeRgb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class BitHamming(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = K.hamming(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -1,0 +1,123 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.graft._
+
+/**
+ * Function registry installer + typed Column API (SURVEY.md §2 summary:
+ * scalar ST_* via `spark.sessionState.functionRegistry`; call sites use
+ * `call_function` so the same names work from SQL and the DataFrame API).
+ */
+object GraftFunctions {
+
+  private def fns: Map[String, Seq[Expression] => Expression] = Map(
+    // codecs / constructors (§2.1)
+    "st_geomfromwkt" -> (e => StGeomFromWkt(e.head)),
+    "st_geomfromwkb" -> (e => StGeomFromWkb(e.head)),
+    "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),
+    "st_aswkt" -> (e => StAsWkt(e.head)),
+    "st_asgeojson" -> (e => StAsGeoJson(e.head)),
+    "st_point" -> (e => StPoint(e(0), e(1))),
+    "st_makeenvelope" -> (e => StMakeEnvelope(e)),
+    // accessors
+    "st_x" -> (e => StX(e.head)),
+    "st_y" -> (e => StY(e.head)),
+    "st_geometrytype" -> (e => StGeometryType(e.head)),
+    "st_numpoints" -> (e => StNumPoints(e.head)),
+    "st_isempty" -> (e => StIsEmpty(e.head)),
+    "st_envelope" -> (e => StEnvelope(e.head)),
+    "st_xmin" -> (e => StXMin(e.head)),
+    "st_ymin" -> (e => StYMin(e.head)),
+    "st_xmax" -> (e => StXMax(e.head)),
+    "st_ymax" -> (e => StYMax(e.head)),
+    // predicates (§2.4)
+    "st_intersects" -> (e => StIntersects(e(0), e(1))),
+    "st_disjoint" -> (e => StDisjoint(e(0), e(1))),
+    "st_contains" -> (e => StContains(e(0), e(1))),
+    "st_within" -> (e => StWithin(e(0), e(1))),
+    "st_covers" -> (e => StCovers(e(0), e(1))),
+    "st_touches" -> (e => StTouches(e(0), e(1))),
+    "st_crosses" -> (e => StCrosses(e(0), e(1))),
+    "st_overlaps" -> (e => StOverlaps(e(0), e(1))),
+    "st_equals" -> (e => StEquals(e(0), e(1))),
+    "st_relate" -> (e => StRelate(e(0), e(1))),
+    "st_relate_match" -> (e => StRelateMatch(e(0), e(1), e(2))),
+    "st_contains_xy" -> (e => StContainsXY(e(0), e(1), e(2))),
+    "st_intersects_xy" -> (e => StIntersectsXY(e(0), e(1), e(2))),
+    // measures
+    "st_distance" -> (e => StDistance(e(0), e(1))),
+    "st_area" -> (e => StArea(e.head)),
+    "st_length" -> (e => StLength(e.head)),
+    "st_area_sphere" -> (e => StAreaSphere(e.head)),
+    "st_length_sphere" -> (e => StLengthSphere(e.head)),
+    // constructive (§2.2)
+    "st_buffer" -> (e => StBuffer(e(0), e(1))),
+    "st_convexhull" -> (e => StConvexHull(e.head)),
+    "st_simplify" -> (e => StSimplify(e.head)),
+    "st_generalize" -> (e => StGeneralize(e(0), e(1))),
+    "st_densify" -> (e => StDensify(e(0), e(1))),
+    "st_clip" -> (e => StClip(e)),
+    "st_transform" -> (e => StTransform(e(0), e(1), e(2))),
+    "st_affine" -> (e => StAffine(e)),
+    "st_centroid" -> (e => StCentroid(e.head)),
+    "st_closest_point" -> (e => StClosestPoint(e(0), e(1), e(2))),
+    "st_random_points" -> (e => StRandomPoints(e(0), e(1), e(2))),
+    "st_cut" -> (e => StCut(e(0), e(1))),
+    // cells / tiles (§2.6)
+    "st_cellid" -> (e => StCellId(e(0), e(1), e(2))),
+    "st_tile_x" -> (e => StTileX(e(0), e(1))),
+    "st_tile_y" -> (e => StTileY(e(0), e(1))),
+    "st_cell_parent" -> (e => StCellParent(e(0), e(1), e(2))),
+    "st_cell_envelope" -> (e => StCellEnvelope(e(0), e(1))),
+    "st_cover" -> (e => StCover(e(0), e(1))),
+    "st_cell_ring" -> (e => StCellRing(e(0), e(1), e(2))),
+    // images (§2.6 #49)
+    "img_width" -> (e => ImgWidth(e.head)),
+    "img_height" -> (e => ImgHeight(e.head)),
+    "img_rgb" -> (e => ImgRgb(e.head)),
+    "img_phash" -> (e => ImgPhash(e.head)),
+    "img_psnr" -> (e => ImgPsnr(e(0), e(1))),
+    "img_psnr_rgb" -> (e => ImgPsnrRgb(e(0), e(1))),
+    "img_resize_rgb" -> (e => ImgResize(e(0), e(1), e(2))),
+    "bit_hamming" -> (e => BitHamming(e(0), e(1))),
+    // aggregates (§2.5 #41)
+    "st_envelope_agg" -> (e => StEnvelopeAgg(e.head)),
+    "st_convexhull_agg" -> (e => StConvexHullAgg(e.head)),
+    "st_union_agg" -> (e => StUnionPointsAgg(e.head))
+  )
+
+  @volatile private var installedSessions = Set.empty[SparkSession]
+
+  /** Idempotent per-session registration. */
+  def install(spark: SparkSession): SparkSession = {
+    if (!installedSessions.contains(spark)) synchronized {
+      if (!installedSessions.contains(spark)) {
+        val reg = spark.sessionState.functionRegistry
+        fns.foreach { case (name, builder) =>
+          reg.createOrReplaceTempFunction(name, builder, "built-in")
+        }
+        installedSessions += spark
+      }
+    }
+    spark
+  }
+
+  // ---- Column API (delegates through the registry via call_function) ----
+  def st_geomfromwkt(c: Column): Column = call_function("st_geomfromwkt", c)
+  def st_aswkt(c: Column): Column = call_function("st_aswkt", c)
+  def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def st_contains(a: Column, b: Column): Column = call_function("st_contains", a, b)
+  def st_contains_xy(g: Column, x: Column, y: Column): Column = call_function("st_contains_xy", g, x, y)
+  def st_intersects_xy(g: Column, x: Column, y: Column): Column = call_function("st_intersects_xy", g, x, y)
+  def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_buffer(g: Column, d: Column): Column = call_function("st_buffer", g, d)
+  def st_cellid(lon: Column, lat: Column, level: Column): Column = call_function("st_cellid", lon, lat, level)
+  def st_cover(g: Column, level: Column): Column = call_function("st_cover", g, level)
+  def st_tile_x(lon: Column, z: Column): Column = call_function("st_tile_x", lon, z)
+  def st_tile_y(lat: Column, z: Column): Column = call_function("st_tile_y", lat, z)
+  def img_phash(c: Column): Column = call_function("img_phash", c)
+  def img_psnr(a: Column, b: Column): Column = call_function("img_psnr", a, b)
+}

@@ -1,0 +1,144 @@
+package graft.sql
+
+import graft.geom._
+import graft.cell.Cells
+import graft.img.Images
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Kernel facade: every method here operates on WKB byte arrays / Spark
+ * unsafe types and compiles to a static forwarder on class `graft.sql.K`,
+ * so generated (Janino) code can call `graft.sql.K.fn(...)` directly —
+ * the codegen contract used by the expressions in [[GeomExpressions]].
+ *
+ * This mirrors the reference's design of stateless operator singletons
+ * ⟨ref(engine): OperatorFactoryLocal.getInstance⟩: one flat dispatch
+ * surface over immutable inputs — embarrassingly row-parallel.
+ */
+object K {
+
+  @inline private def rd(b: Array[Byte]): Geometry = Wkb.read(b)
+  @inline private def wr(g: Geometry): Array[Byte] = Wkb.write(g)
+
+  // ---- constructors / codecs (§2.1) ----
+  def fromWkt(s: UTF8String): Array[Byte] = wr(Wkt.read(s.toString))
+  def asWkt(b: Array[Byte]): UTF8String = UTF8String.fromString(Wkt.write(rd(b)))
+  def fromWkb(b: Array[Byte]): Array[Byte] = wr(rd(b)) // parse = validate, re-canonicalize
+  def asWkb(b: Array[Byte]): Array[Byte] = b
+  def fromGeoJson(s: UTF8String): Array[Byte] = wr(GeoJson.read(s.toString))
+  def asGeoJson(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.write(rd(b)))
+  def point(x: Double, y: Double): Array[Byte] = wr(Point(x, y))
+  def makeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
+    wr(Env(xmin, ymin, xmax, ymax).toPolygon)
+
+  // ---- accessors ----
+  def x(b: Array[Byte]): Double = rd(b) match {
+    case p: Point => p.x
+    case _ => throw new IllegalArgumentException("st_x expects a point")
+  }
+  def y(b: Array[Byte]): Double = rd(b) match {
+    case p: Point => p.y
+    case _ => throw new IllegalArgumentException("st_y expects a point")
+  }
+  def geometryType(b: Array[Byte]): UTF8String = UTF8String.fromString(rd(b) match {
+    case _: Point => "ST_Point"
+    case _: MultiPoint => "ST_MultiPoint"
+    case _: LineString => "ST_LineString"
+    case _: MultiLineString => "ST_MultiLineString"
+    case _: Polygon => "ST_Polygon"
+    case _: MultiPolygon => "ST_MultiPolygon"
+    case _: GeometryCollection => "ST_GeometryCollection"
+  })
+  def numPoints(b: Array[Byte]): Int = rd(b).numPoints
+  def isEmpty(b: Array[Byte]): Boolean = rd(b).isEmpty
+  def envelope(b: Array[Byte]): Array[Byte] = {
+    val e = rd(b).envelope
+    if (e.isEmpty) wr(Polygon(Array.empty)) else wr(e.toPolygon)
+  }
+  def xmin(b: Array[Byte]): Double = rd(b).envelope.xmin
+  def ymin(b: Array[Byte]): Double = rd(b).envelope.ymin
+  def xmax(b: Array[Byte]): Double = rd(b).envelope.xmax
+  def ymax(b: Array[Byte]): Double = rd(b).envelope.ymax
+
+  // ---- predicates (§2.4) — the hot join kernels ----
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = Pred.intersects(rd(a), rd(b))
+  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = Pred.disjoint(rd(a), rd(b))
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = Pred.contains(rd(a), rd(b))
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = Pred.within(rd(a), rd(b))
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean = Pred.covers(rd(a), rd(b))
+  def touches(a: Array[Byte], b: Array[Byte]): Boolean = Pred.touches(rd(a), rd(b))
+  def crosses(a: Array[Byte], b: Array[Byte]): Boolean = Pred.crosses(rd(a), rd(b))
+  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = Pred.overlaps(rd(a), rd(b))
+  def equalsTopo(a: Array[Byte], b: Array[Byte]): Boolean = Pred.equalsTopo(rd(a), rd(b))
+  def relate(a: Array[Byte], b: Array[Byte]): UTF8String =
+    UTF8String.fromString(Pred.relate(rd(a), rd(b)))
+  def relateMatch(a: Array[Byte], b: Array[Byte], mask: UTF8String): Boolean =
+    Pred.relateMatch(rd(a), rd(b), mask.toString)
+  /** Point-in-polygon fast path on raw coords — no point WKB needed (join refine). */
+  def containsXY(poly: Array[Byte], x: Double, y: Double): Boolean = rd(poly) match {
+    case p: Polygon => Pred.pointInPolygon(p.rings, x, y) == 1
+    case m: MultiPolygon => Pred.pointInPolygonal(m.polys, x, y) == 1
+    case g => Pred.contains(g, Point(x, y))
+  }
+  def intersectsXY(poly: Array[Byte], x: Double, y: Double): Boolean = rd(poly) match {
+    case p: Polygon => Pred.pointInPolygon(p.rings, x, y) >= 0
+    case m: MultiPolygon => Pred.pointInPolygonal(m.polys, x, y) >= 0
+    case g => Pred.intersects(g, Point(x, y))
+  }
+
+  // ---- measures ----
+  def distance(a: Array[Byte], b: Array[Byte]): Double = Pred.distance(rd(a), rd(b))
+  def area(b: Array[Byte]): Double = Ops.area(rd(b))
+  def length(b: Array[Byte]): Double = Ops.length(rd(b))
+  def areaSphere(b: Array[Byte]): Double = Ops.areaSphere(rd(b))
+  def lengthSphere(b: Array[Byte]): Double = Ops.lengthSphere(rd(b))
+
+  // ---- constructive (§2.2) ----
+  def buffer(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.simplify(Ops.buffer(rd(b), d)))
+  def convexHull(b: Array[Byte]): Array[Byte] = wr(Ops.convexHull(rd(b)))
+  def simplifyGeom(b: Array[Byte]): Array[Byte] = wr(Ops.simplify(rd(b)))
+  def generalize(b: Array[Byte], tol: Double): Array[Byte] = wr(Ops.generalize(rd(b), tol))
+  def densify(b: Array[Byte], maxLen: Double): Array[Byte] = wr(Ops.densify(rd(b), maxLen))
+  def clip(b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
+    wr(Ops.clip(rd(b), Env(xmin, ymin, xmax, ymax)))
+  def transform(b: Array[Byte], from: Int, to: Int): Array[Byte] = wr(Ops.transform(rd(b), from, to))
+  def affine(b: Array[Byte], a: Double, bb: Double, d: Double, e: Double,
+             xoff: Double, yoff: Double): Array[Byte] = wr(Ops.affine(rd(b), a, bb, d, e, xoff, yoff))
+  def centroid(b: Array[Byte]): Array[Byte] = wr(Ops.centroid(rd(b)))
+  def closestPoint(b: Array[Byte], px: Double, py: Double): Array[Byte] =
+    wr(Ops.closestPoint(rd(b), Point(px, py)))
+  def randomPoints(b: Array[Byte], n: Int, seed: Long): Array[Array[Byte]] = {
+    val cs = Ops.randomPoints(rd(b), n, seed)
+    Array.tabulate(cs.length / 2)(i => wr(Point(cs(2 * i), cs(2 * i + 1))))
+  }
+  def cut(b: Array[Byte], blade: Array[Byte]): Array[Array[Byte]] =
+    Ops.cut(rd(b), rd(blade)).map(wr)
+
+  // ---- cells / tiles (§2.6 #44/#48) ----
+  def cellId(lon: Double, lat: Double, level: Int): Long = Cells.cellId(lon, lat, level)
+  def tileX(lon: Double, level: Int): Long = Cells.tileX(lon, level)
+  def tileY(lat: Double, level: Int): Long = Cells.tileY(lat, level)
+  def cellParent(cell: Long, level: Int, parentLevel: Int): Long = Cells.parent(cell, level, parentLevel)
+  def cellEnvelope(cell: Long, level: Int): Array[Byte] = wr(Cells.cellEnvelope(cell, level).toPolygon)
+  def cover(b: Array[Byte], level: Int): Array[Long] = Cells.cover(rd(b), level)
+  def coverEnv(xmin: Double, ymin: Double, xmax: Double, ymax: Double, level: Int): Array[Long] =
+    Cells.cover(Env(xmin, ymin, xmax, ymax).toPolygon, level)
+  def cellRing(cell: Long, level: Int, r: Int): Array[Long] = Cells.ring(cell, level, r)
+
+  // ---- images (§2.6 #49) ----
+  def imgWidth(bytes: Array[Byte]): Int = Images.decode(bytes)._1
+  def imgHeight(bytes: Array[Byte]): Int = Images.decode(bytes)._2
+  def imgRgb(bytes: Array[Byte]): Array[Byte] = Images.decode(bytes)._3
+  def imgPhash(bytes: Array[Byte]): Long = Images.phash(bytes)
+  def imgPsnr(a: Array[Byte], b: Array[Byte]): Double = {
+    val (_, _, ra) = Images.decode(a)
+    val (_, _, rb) = Images.decode(b)
+    Images.psnr(ra, rb)
+  }
+  def imgPsnrRgb(a: Array[Byte], b: Array[Byte]): Double = Images.psnr(a, b)
+  def imgResizeRgb(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val (w, h, rgb) = Images.decode(bytes)
+    Images.resizeRgb(w, h, rgb, tw, th)
+  }
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

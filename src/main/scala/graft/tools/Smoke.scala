@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.sql.GraftFunctions
+
+/**
+ * Smoke drive: exercises the library end-to-end through its public
+ * surface (registered SQL functions on a real SparkSession over the
+ * driver testdata). Run: sbt "runMain graft.tools.Smoke"
+ */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+
+    // geometry expressions over SQL, end to end through Catalyst + codegen
+    spark.sql("""
+      SELECT st_aswkt(st_buffer(st_geomfromwkt('POINT (1 2)'), 1.0d)) AS buf_wkt,
+             st_area(st_buffer(st_geomfromwkt('POINT (0 0)'), 2.0d)) AS buf_area,
+             st_intersects(st_geomfromwkt('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                           st_geomfromwkt('POINT (2 2)')) AS pip,
+             st_relate(st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                       st_geomfromwkt('POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))')) AS de9im,
+             st_cellid(12.5d, 41.9d, 12) AS cell,
+             st_tile_x(12.5d, 8) AS tx, st_tile_y(41.9d, 8) AS ty
+    """).show(20, 60)
+
+    // over a real table: distance + cell join shape on lineitem-derived points
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT count(*) AS n,
+             count(DISTINCT st_cellid(cast(l_partkey % 360 - 180 AS DOUBLE),
+                                      cast(l_suppkey % 170 - 85 AS DOUBLE), 10)) AS cells
+      FROM lineitem
+    """).show()
+
+    // image kernels end-to-end: synth -> encode -> decode -> phash/psnr in SQL
+    import graft.img.Images
+    val rgb = Images.synthRgb(7L, 32, 32)
+    val png = Images.encode(32, 32, rgb, "png")
+    val jpg = Images.encode(32, 32, rgb, "jpg")
+    import spark.implicits._
+    Seq((png, jpg)).toDF("png", "jpg").createOrReplaceTempView("imgs")
+    spark.sql("""
+      SELECT img_width(png) w, img_height(png) h, img_phash(png) ph_png,
+             bit_hamming(img_phash(png), img_phash(jpg)) ph_dist,
+             img_psnr(png, jpg) psnr_db
+      FROM imgs
+    """).show(truncate = false)
+
+    // aggregate + explode (client-stream fold + server-stream shapes)
+    spark.sql("""
+      SELECT st_aswkt(st_convexhull_agg(st_point(cast(x AS DOUBLE), cast(x*x % 7 AS DOUBLE)))) hull
+      FROM range(10) t(x)
+    """).show(20, 60)
+    spark.sql("""
+      SELECT count(*) n FROM (
+        SELECT explode(st_cover(st_geomfromwkt('POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))'), 10)) c)
+    """).show()
+
+    println("SMOKE OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,149 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.geom.{GeometryFactory, PrecisionModel}
+import org.locationtech.jts.io.{WKTReader, WKTWriter}
+
+/**
+ * JTS-as-oracle randomized cross-checks (SURVEY.md §5.2 item 2): JTS
+ * (on the Spark classpath) substitutes for the absent reference binary as
+ * the independent geometry oracle. Coordinates are grid-snapped integers
+ * so double arithmetic is exact and robustness differences don't flake.
+ */
+class JtsOracleSpec extends AnyFunSuite {
+
+  val gf = new GeometryFactory(new PrecisionModel(PrecisionModel.FLOATING))
+  val reader = new WKTReader(gf)
+
+  def jts(wkt: String): org.locationtech.jts.geom.Geometry = reader.read(wkt)
+  def ours(wkt: String): Geometry = Wkt.read(wkt)
+
+  // deterministic PRNG
+  var state = 42L
+  def nextInt(bound: Int): Int = {
+    state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+    (math.abs(state) % bound).toInt
+  }
+
+  def randPointWkt(): String = s"POINT (${nextInt(20)} ${nextInt(20)})"
+
+  def randLineWkt(): String = {
+    val n = 2 + nextInt(4)
+    val pts = Seq.fill(n)(s"${nextInt(20)} ${nextInt(20)}")
+    s"LINESTRING (${pts.mkString(", ")})"
+  }
+
+  /** Random valid-ish convex/rect polygon: random rect or random triangle. */
+  def randPolyWkt(): String = {
+    if (nextInt(2) == 0) {
+      val x = nextInt(15); val y = nextInt(15)
+      val w = 1 + nextInt(5); val h = 1 + nextInt(5)
+      s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))"
+    } else {
+      // random triangle with non-zero area
+      var ax = 0; var ay = 0; var bx = 0; var by = 0; var cx = 0; var cy = 0
+      do {
+        ax = nextInt(20); ay = nextInt(20); bx = nextInt(20); by = nextInt(20)
+        cx = nextInt(20); cy = nextInt(20)
+      } while ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) == 0)
+      s"POLYGON (($ax $ay, $bx $by, $cx $cy, $ax $ay))"
+    }
+  }
+
+  def randWkt(kind: Int): String = kind match {
+    case 0 => randPointWkt()
+    case 1 => randLineWkt()
+    case _ => randPolyWkt()
+  }
+
+  val N = 400
+
+  test("predicates agree with JTS on random geometry pairs") {
+    var checked = 0
+    (0 until N).foreach { i =>
+      val wa = randWkt(i % 3)
+      val wb = randWkt((i / 3) % 3)
+      val ja = jts(wa); val jb = jts(wb)
+      if (ja.isValid && jb.isValid) {
+        val oa = ours(wa); val ob = ours(wb)
+        val ctx = s"a=$wa b=$wb"
+        assert(Pred.intersects(oa, ob) == ja.intersects(jb), s"intersects $ctx")
+        assert(Pred.contains(oa, ob) == ja.contains(jb), s"contains $ctx")
+        assert(Pred.within(oa, ob) == ja.within(jb), s"within $ctx")
+        assert(Pred.touches(oa, ob) == ja.touches(jb), s"touches $ctx")
+        assert(Pred.crosses(oa, ob) == ja.crosses(jb), s"crosses $ctx")
+        assert(Pred.overlaps(oa, ob) == ja.overlaps(jb), s"overlaps $ctx")
+        assert(Pred.equalsTopo(oa, ob) == ja.equalsTopo(jb), s"equals $ctx")
+        checked += 1
+      }
+    }
+    assert(checked > N / 2)
+  }
+
+  test("relate matrix agrees with JTS") {
+    (0 until N).foreach { i =>
+      val wa = randWkt(i % 3)
+      val wb = randWkt((i + 1) % 3)
+      val ja = jts(wa); val jb = jts(wb)
+      if (ja.isValid && jb.isValid) {
+        val got = Pred.relate(ours(wa), ours(wb))
+        val want = ja.relate(jb).toString
+        assert(got == want, s"relate a=$wa b=$wb got=$got want=$want")
+      }
+    }
+  }
+
+  test("distance agrees with JTS") {
+    (0 until N).foreach { i =>
+      val wa = randWkt(i % 3)
+      val wb = randWkt((i + 2) % 3)
+      val ja = jts(wa); val jb = jts(wb)
+      if (ja.isValid && jb.isValid) {
+        val got = Pred.distance(ours(wa), ours(wb))
+        val want = ja.distance(jb)
+        assert(math.abs(got - want) <= 1e-9 * math.max(1.0, want),
+          s"distance a=$wa b=$wb got=$got want=$want")
+      }
+    }
+  }
+
+  test("area/length agree with JTS") {
+    (0 until N).foreach { i =>
+      val w = randWkt(2)
+      val j = jts(w)
+      if (j.isValid) {
+        assert(math.abs(Ops.area(ours(w)) - j.getArea) < 1e-9, s"area $w")
+        assert(math.abs(Ops.length(ours(w)) - j.getLength) < 1e-9, s"length $w")
+      }
+    }
+  }
+
+  test("convex hull area agrees with JTS") {
+    (0 until 100).foreach { _ =>
+      val n = 3 + nextInt(12)
+      val pts = Seq.fill(n)(s"(${nextInt(30)} ${nextInt(30)})")
+      val w = s"MULTIPOINT (${pts.mkString(", ")})"
+      val ourHull = Ops.convexHull(ours(w))
+      val jtsHull = jts(w).convexHull()
+      assert(math.abs(Ops.area(ourHull) - jtsHull.getArea) < 1e-9, s"hull of $w")
+    }
+  }
+
+  test("buffer of random points agrees with JTS within 1%") {
+    (0 until 50).foreach { _ =>
+      val w = randPointWkt()
+      val d = 1 + nextInt(5)
+      val got = Ops.area(Ops.buffer(ours(w), d))
+      val exact = math.Pi * d * d
+      assert(math.abs(got - exact) / exact < 0.01, s"buffer $w $d")
+    }
+  }
+
+  test("WKT output parses in JTS and round-trips equal") {
+    (0 until 100).foreach { i =>
+      val w = randWkt(i % 3)
+      val backIn = jts(Wkt.write(ours(w)))
+      assert(backIn.equalsTopo(jts(w)), s"wkt io $w")
+    }
+  }
+}
