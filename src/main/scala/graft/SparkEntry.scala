@@ -1,13 +1,363 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.data.GeoTables
+import graft.join.SpatialJoins
+import graft.sql.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Driver contract (SURVEY.md §7.4): one query per implemented operator
+ * family, each with a DuckDB-runnable ANSI oracle where SQL-expressible.
+ *
+ * Conventions that keep the oracle compare exact:
+ *  - money sums use the cents trick (`sum(cast(floor(x*100 + 0.5) as bigint))`)
+ *    so aggregation is integer-exact and order-independent in both engines;
+ *  - rank/top-k orderings always end in a unique id tie-break;
+ *  - geo queries read the synthesized parquet (FIXTURES §F2) whose
+ *    lon/lat/nx/ny doubles are materialized, so both engines consume
+ *    identical bits; the oracle re-derives cell/tile ids arithmetically.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** DuckDB-side path of the synthesized geo tables (Verify runs at sf0.01). */
+  private val IMG = "read_parquet('/tmp/graft_geo/sf0.01/images.parquet/*.parquet')"
+  private val ZON = "read_parquet('/tmp/graft_geo/sf0.01/zones.parquet/*.parquet')"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    sum(floor(c * lit(100) + lit(0.5)).cast("bigint"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q08_pip_tile")(spark, "/root/testdata/sf0.001")
+
+  // web-mercator normalized-y SQL fragment (must match Cells.normY exactly)
+  private def nySql(lat: String): String = {
+    val cl = s"LEAST(GREATEST($lat, -85.05112877980659), 85.05112877980659)"
+    s"(0.5 - LN((1 + SIN(RADIANS($cl))) / (1 - SIN(RADIANS($cl)))) / (4*PI()))"
+  }
+  private def tileSql(v: String, z: Int): String = {
+    val n = 1L << z
+    s"LEAST(CAST(FLOOR(($v) * $n) AS BIGINT), ${n - 1})"
+  }
+  private def txSql(lon: String, z: Int): String = tileSql(s"(($lon + 180.0)/360.0)", z)
+  private def tySql(lat: String, z: Int): String = tileSql(nySql(lat), z)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational coverage (§2.6 #52) ----------------
+    "q01_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          count(lit(1)).as("n"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    }),
+    "q02_join_topn" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"), cents(col("o_totalprice")).as("total_cents"))
+        .orderBy(desc("n_orders"), desc("total_cents"), asc("c_custkey"))
+        .limit(20)
+    }),
+    "q03_window_top3" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .where(col("rn") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("rn"))
+    }),
+    "q04_setop" -> ((s, dir) => {
+      val active = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val rich = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey")).distinct()
+      active.intersect(rich)
+    }),
+    "q05_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq((withO, withoutO)).toDF("n_with_orders", "n_without_orders")
+    }),
+
+    // ---------------- cells / spatial joins / tiling (§2.6) ----------------
+    "q06_cellid" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .select(col("image_id"), call_function("st_cellid", col("lon"), col("lat"), lit(12)).as("cell12"))
+    }),
+    "q07_pip_join" -> ((s, dir) => {
+      SpatialJoins.pipJoin(GeoTables.images(s, dir), GeoTables.zones(s, dir), level = 8)
+        .select(col("zone_id"), col("image_id"))
+    }),
+    "q08_pip_tile" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      SpatialJoins.pipJoin(GeoTables.images(s, dir), GeoTables.zones(s, dir), level = 8)
+        .withColumn("tx", call_function("st_tile_x", col("lon"), lit(8)))
+        .withColumn("ty", call_function("st_tile_y", col("lat"), lit(8)))
+        .groupBy("zone_id", "tx", "ty")
+        .agg(count(lit(1)).as("n_images"))
+    }),
+    "q09_tile_hist" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .withColumn("tx", call_function("st_tile_x", col("lon"), lit(5)))
+        .withColumn("ty", call_function("st_tile_y", col("lat"), lit(5)))
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("fmt") === "png", 1L).otherwise(0L)).as("n_png"))
+    }),
+    "q10_knn" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val img = GeoTables.images(s, dir)
+        .select(col("image_id").as("id"), col("nx"), col("ny"),
+          (substring(col("image_id"), 4, 8).cast("bigint")).as("iid"))
+      val queries = img.where(col("iid") % 1000 === 0).select(col("id"), col("nx"), col("ny"))
+      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+      SpatialJoins.knn(img.select(col("id"), col("nx"), col("ny")), queries, k = 5, level = level)
+        .select(col("q_id"), col("p_id"), col("rank").cast("bigint").as("rank"))
+    }),
+
+    // ---------------- images (§2.6 #49) ----------------
+    "q11_img_consistency" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(when(call_function("img_phash", col("bytes")) === col("phash"), 1L).otherwise(0L)).as("n_phash_ok"),
+          sum(when(call_function("img_width", col("bytes")) === col("w") &&
+                   call_function("img_height", col("bytes")) === col("h"), 1L).otherwise(0L)).as("n_dims_ok"))
+    }),
+
+    // ---------------- text / dedup pipeline ----------------
+    "q13_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+    }),
+    "q14_tokens_by_lang" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+    "q15_quality_buckets" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("bucket", (col("n_chars") / 100).cast("bigint"))
+        .withColumn("chars_nospace", length(regexp_replace(col("text"), " ", "")).cast("bigint"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars_nospace")).as("sum_chars"))
+    }),
+    "q16_langid_hist" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      t(s, dir, "documents")
+        .withColumn("predicted", call_function("text_lang_id", col("text")))
+        .groupBy("predicted")
+        .agg(count(lit(1)).as("n"),
+          avg(call_function("text_quality", col("text"))).as("avg_quality"))
+    }),
+    "q17_fingerprint" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), call_function("text_fingerprint", col("text")).as("fp"),
+          call_function("text_simhash", col("text")).as("sim"),
+          call_function("text_token_count_bpe", col("text")).cast("bigint").as("bpe_tokens"))
+    }),
+    "q18_minhash_pairs" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), call_function("text_minhash", col("text"), lit(16)).as("sig"))
+        .withColumn("band", explode(call_function("lsh_bands", col("sig"), lit(4))))
+      val a = d.select(col("doc_id").as("a"), col("band"))
+      val b = d.select(col("doc_id").as("b"), col("band"))
+      a.join(b, "band").where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+    }),
+    "q19_simhash_near" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), call_function("text_simhash", col("text")).as("sim"))
+      val a = d.select(col("doc_id").as("a"), col("source"), col("sim").as("sim_a"))
+      val b = d.select(col("doc_id").as("b"), col("source"), col("sim").as("sim_b"))
+      a.join(b, "source").where(col("a") < col("b"))
+        .where(call_function("bit_hamming", col("sim_a"), col("sim_b")) <= 12)
+        .agg(count(lit(1)).as("n_near_pairs"))
+    }),
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val a = d.select(col("doc_id").as("a"), col("source"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("b"), col("source"), col("text").as("text_b"))
+      a.join(b, "source").where(col("a") < col("b"))
+        .withColumn("jac", call_function("text_ngram_jaccard", col("text_a"), col("text_b"), lit(3)))
+        .where(col("jac") >= 0.1)
+        .agg(count(lit(1)).as("n_similar_pairs"))
+    }),
+
+    // ---------------- embeddings / ANN ----------------
+    "q21_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // quantized-integer dot/norms (exact in both engines), double cosine
+      val qexpr = expr("""aggregate(zip_with(q_emb, embedding,
+          (x, y) -> cast(floor(cast(x as double)*1000d + 0.5d) as bigint)
+                  * cast(floor(cast(y as double)*1000d + 0.5d) as bigint)),
+          cast(0 as bigint), (acc, v) -> acc + v)""")
+      val nrm = expr("""aggregate(transform(embedding,
+          x -> cast(floor(cast(x as double)*1000d + 0.5d) as bigint)
+             * cast(floor(cast(x as double)*1000d + 0.5d) as bigint)),
+          cast(0 as bigint), (acc, v) -> acc + v)""")
+      val withNorm = e.withColumn("nrm", nrm)
+      val q = withNorm.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val p = withNorm.select(col("vec_id").as("p_vec"), col("embedding"), col("nrm").as("p_nrm"))
+      val w = Window.partitionBy("q_vec").orderBy(desc("cos"), asc("p_vec"))
+      q.crossJoin(p)
+        .withColumn("dot_q", qexpr)
+        .withColumn("cos", col("dot_q") / sqrt(col("q_nrm").cast("double") * col("p_nrm").cast("double")))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .where(col("rank") <= 3)
+        .select(col("q_vec"), col("p_vec"), col("rank"))
+    }),
+    "q22_embed_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
+    }),
+
+    // ---------------- events (stream-shaped batch) ----------------
+    "q23_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("w", (unix_micros(col("ts").cast("timestamp")) / lit(300000000L)).cast("bigint"))
+        .groupBy("w", "event_type")
+        .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_cents"))
+    }),
+
+    // ---------------- geometry operator chain (north_star-named) ----------------
+    "q25_zone_chain" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("buf", call_function("st_simplify",
+          call_function("st_buffer", col("g"), lit(0.5))))
+        .select(col("zone_id"),
+          call_function("st_covers", col("buf"), col("g")).as("buffer_covers"),
+          call_function("st_numpoints", col("buf")).cast("bigint").as("buf_points"),
+          floor(call_function("st_area", col("buf")) * 1000).cast("bigint").as("area_e3"),
+          call_function("st_relate", col("g"), col("buf")).as("de9im"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+         MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+         FROM lineitem GROUP BY 1, 2""",
+    "q02_join_topn" ->
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, total_cents DESC, c_custkey ASC LIMIT 20""",
+    "q03_window_top3" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rn
+           FROM lineitem) WHERE rn <= 3""",
+    "q04_setop" ->
+      """SELECT custkey FROM (SELECT DISTINCT o_custkey AS custkey FROM orders)
+         INTERSECT
+         SELECT custkey FROM (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)""",
+    "q05_semi_anti" ->
+      """SELECT
+         (SELECT COUNT(*) FROM customer WHERE EXISTS
+            (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+         (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+            (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""",
+    "q06_cellid" ->
+      s"""SELECT image_id, ${graft.cell.Cells.mortonSqlExpr("lon", "lat", 12)} AS cell12
+         FROM $IMG""",
+    "q07_pip_join" ->
+      s"""SELECT z.zone_id, i.image_id
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax""",
+    "q08_pip_tile" ->
+      s"""SELECT z.zone_id, ${txSql("i.lon", 8)} AS tx, ${tySql("i.lat", 8)} AS ty,
+         COUNT(*) AS n_images
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
+         GROUP BY 1, 2, 3""",
+    "q09_tile_hist" ->
+      s"""SELECT ${txSql("lon", 5)} AS tx, ${tySql("lat", 5)} AS ty, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END) AS BIGINT) AS n_png
+         FROM $IMG GROUP BY 1, 2""",
+    "q10_knn" ->
+      s"""WITH img AS (SELECT image_id, nx, ny,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
+         q AS (SELECT * FROM img WHERE iid % 1000 = 0),
+         d AS (SELECT q.image_id AS q_id, p.image_id AS p_id,
+             (p.nx - q.nx)*(p.nx - q.nx) + (p.ny - q.ny)*(p.ny - q.ny) AS d2
+           FROM q, img p)
+         SELECT q_id, p_id, rank FROM (
+           SELECT q_id, p_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, p_id ASC) AS BIGINT) AS rank
+           FROM d) WHERE rank <= 5""",
+    "q11_img_consistency" ->
+      s"""SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_phash_ok, COUNT(*) AS n_dims_ok
+         FROM $IMG GROUP BY 1""",
+    "q13_dedup_exact" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
+         FROM documents GROUP BY 1""",
+    "q14_tokens_by_lang" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
+         FROM documents GROUP BY 1""",
+    "q15_quality_buckets" ->
+      """SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+         CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1""",
+    "q21_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           list_sum(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS nrm
+           FROM embeddings),
+         pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+           list_sum(list_transform(list_zip(q.embedding, p.embedding),
+             s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS dot_q,
+           q.nrm AS q_nrm, p.nrm AS p_nrm
+           FROM e q, e p WHERE q.vec_id < 10)
+         SELECT q_vec, p_vec, rank FROM (
+           SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
+             ORDER BY CAST(dot_q AS DOUBLE)/SQRT(CAST(q_nrm AS DOUBLE)*CAST(p_nrm AS DOUBLE)) DESC,
+                      p_vec ASC) AS BIGINT) AS rank
+           FROM pairs) WHERE rank <= 3""",
+    "q22_embed_stats" ->
+      """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
+         FROM embeddings GROUP BY 1""",
+    "q23_events_window" ->
+      """SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS w, event_type,
+         COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2"""
+    // q16–q20, q25: engine-only operators (lang-ID, fingerprint, MinHash/LSH,
+    // SimHash, n-gram Jaccard, buffer chain) — not ANSI-SQL-expressible;
+    // driver records rows-only checks, exact semantics pinned in ScalaTest.
+  )
 }

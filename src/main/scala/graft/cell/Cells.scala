@@ -81,6 +81,14 @@ object Cells {
   def cellId(lon: Double, lat: Double, level: Int): Long =
     morton(tileX(lon, level), tileY(lat, level))
 
+  /** Level-L cell id from normalized unit-square coords (kNN metric space). */
+  def cellIdNorm(nx: Double, ny: Double, level: Int): Long = {
+    val n = 1L << level
+    val tx = math.min(math.max((nx * n).toLong, 0L), n - 1)
+    val ty = math.min(math.max((ny * n).toLong, 0L), n - 1)
+    morton(tx, ty)
+  }
+
   /** Parent cell id at a coarser level. */
   def parent(cell: Long, level: Int, parentLevel: Int): Long =
     cell >>> (2 * (level - parentLevel))

@@ -1,0 +1,141 @@
+package graft.data
+
+import graft.img.Images
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/**
+ * Deterministic synthesized geo tables (FIXTURES.md §F2; binding schema
+ * from BASELINE.json `input_hint`):
+ *
+ *   images(image_id string, bytes binary, w int, h int, fmt string,
+ *          caption string, phash bigint, lon double, lat double)
+ *   zones (zone_id string, xmin double, ymin double, xmax double,
+ *          ymax double, wkt string)
+ *
+ * lon/lat are derived from splitmix64(image index) — NOT re-computable in
+ * ANSI SQL, so they are materialized as columns for the DuckDB oracle
+ * (FIXTURES §F2 ruling); the engine re-derives and asserts equality in
+ * tests. 20% of images are forced into one hot 0.1° cell to exercise
+ * salting + AQE skew handling. Zones are axis-aligned rectangles on a
+ * jittered grid so every oracle query stays SQL-expressible
+ * (`lon BETWEEN xmin AND xmax AND lat BETWEEN ymin AND ymax`).
+ *
+ * Written once per scale factor to /tmp/graft_geo/<sfName>/ with an
+ * atomic tmp→rename commit so Bench/Verify query functions stay pure.
+ */
+object GeoTables {
+
+  val HOT_LON = 10.0; val HOT_LAT = 45.0; val HOT_SPAN = 0.1
+
+  def sfName(sfDir: String): String = new File(sfDir).getName
+  def sfOf(sfDir: String): Double = {
+    val n = sfName(sfDir)
+    try n.stripPrefix("sf").toDouble catch { case _: NumberFormatException => 0.01 }
+  }
+  def baseDir(sfDir: String): String = s"/tmp/graft_geo/${sfName(sfDir)}"
+  def imagesPath(sfDir: String): String = s"${baseDir(sfDir)}/images.parquet"
+  def zonesPath(sfDir: String): String = s"${baseDir(sfDir)}/zones.parquet"
+
+  def nImages(sfDir: String): Int = math.max(2000, (sfOf(sfDir) * 2e6).toInt)
+  def nZones(sfDir: String): Int = math.max(50, (sfOf(sfDir) * 1e4).toInt)
+
+  final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
+                            fmt: String, caption: String, phash: Long,
+                            lon: Double, lat: Double, nx: Double, ny: Double)
+  final case class ZoneRow(zone_id: String, xmin: Double, ymin: Double,
+                           xmax: Double, ymax: Double, wkt: String)
+
+  def lonOf(i: Long): Double = {
+    val hotFrac = frac(Images.splitmix64(i ^ 0x5EEDL))
+    if (hotFrac < 0.2) HOT_LON + frac(Images.splitmix64(i ^ 0xA11CEL)) * HOT_SPAN
+    else -180.0 + 360.0 * frac(Images.splitmix64(i ^ 0x10AL))
+  }
+  def latOf(i: Long): Double = {
+    val hotFrac = frac(Images.splitmix64(i ^ 0x5EEDL))
+    if (hotFrac < 0.2) HOT_LAT + frac(Images.splitmix64(i ^ 0xB0BL)) * HOT_SPAN
+    else -85.0 + 170.0 * frac(Images.splitmix64(i ^ 0x20BL))
+  }
+  @inline private def frac(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+
+  def imageRow(i: Long): ImageRow = {
+    val id = f"img$i%08d"
+    val h1 = Images.splitmix64(i)
+    val w = Array(16, 32, 64)((h1 & 0x7FFFFFFF).toInt % 3)
+    val h = Array(16, 32, 64)(((h1 >>> 32) & 0x7FFFFFFF).toInt % 3)
+    val fmt = if (frac(Images.splitmix64(i ^ 0xF07L)) < 0.8) "png" else "jpg"
+    val rgb = Images.synthRgb(i, w, h)
+    val bytes = Images.encode(w, h, rgb, fmt)
+    // phash over the ENCODED bytes' decode so img_phash(bytes) == phash exactly
+    val ph = Images.phash(bytes)
+    val scenes = Array("city", "forest", "coast", "desert", "mountain")
+    val counts = Array("two", "three", "many", "no")
+    val caption = s"synthetic image $i in ${scenes((h1 & 0xFFF).toInt % 5)} " +
+      s"scene with ${counts(((h1 >>> 12) & 0xFFF).toInt % 4)} objects"
+    val lon = lonOf(i); val lat = latOf(i)
+    ImageRow(id, bytes, w, h, fmt, caption, ph, lon, lat,
+      graft.cell.Cells.normX(lon), graft.cell.Cells.normY(lat))
+  }
+
+  def zoneRow(z: Long, n: Int): ZoneRow = {
+    // jittered grid over the world; zone 0 pinned over the hot cell
+    if (z == 0) {
+      val (x0, y0, x1, y1) = (HOT_LON - 0.5, HOT_LAT - 0.5, HOT_LON + 1.0, HOT_LAT + 1.0)
+      ZoneRow("zone00000", x0, y0, x1, y1, rectWkt(x0, y0, x1, y1))
+    } else {
+      val cols = math.max(1, math.ceil(math.sqrt(n * 2.0)).toInt)
+      val rows = math.max(1, (n + cols - 1) / cols)
+      val ci = (z % cols).toInt; val ri = (z / cols % rows).toInt
+      val cw = 360.0 / cols; val ch = 170.0 / rows
+      val jx = frac(Images.splitmix64(z ^ 0xCAFEL)) * cw * 0.3
+      val jy = frac(Images.splitmix64(z ^ 0xBEEFL)) * ch * 0.3
+      val wspan = cw * (0.4 + 0.5 * frac(Images.splitmix64(z ^ 0xD00DL)))
+      val hspan = ch * (0.4 + 0.5 * frac(Images.splitmix64(z ^ 0xF00DL)))
+      val x0 = -180.0 + ci * cw + jx
+      val y0 = -85.0 + ri * ch + jy
+      val x1 = math.min(180.0, x0 + wspan)
+      val y1 = math.min(85.0, y0 + hspan)
+      ZoneRow(f"zone$z%05d", x0, y0, x1, y1, rectWkt(x0, y0, x1, y1))
+    }
+  }
+
+  private def rectWkt(x0: Double, y0: Double, x1: Double, y1: Double): String =
+    s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+
+  /** Idempotent, atomic: generate-if-absent, then read. */
+  def images(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    spark.read.parquet(imagesPath(sfDir))
+  }
+
+  def zones(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    spark.read.parquet(zonesPath(sfDir))
+  }
+
+  def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_DONE"))) return
+    import spark.implicits._
+    val nImg = nImages(sfDir)
+    val nZ = nZones(sfDir)
+    val tmp = s"$base.tmp${ProcessHandle.current().pid()}"
+    // partition the generation so image encoding parallelizes across cores;
+    // sort by cell-morton-friendly id order is free (ids are sequential)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    spark.range(0, nImg, 1, parts).map(i => imageRow(i))
+      .write.mode("overwrite").parquet(s"$tmp/images.parquet")
+    spark.range(0, nZ, 1, math.min(parts, 8)).map(z => zoneRow(z, nZ))
+      .write.mode("overwrite").parquet(s"$tmp/zones.parquet")
+    Files.createDirectories(Paths.get("/tmp/graft_geo"))
+    // atomic-ish commit: rename tmp dir into place, marker last
+    val target = Paths.get(base)
+    if (!Files.exists(target)) {
+      try Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.AtomicMoveNotSupportedException => }
+    }
+    if (Files.exists(target.resolve("images.parquet")) && !Files.exists(target.resolve("_DONE")))
+      Files.createFile(target.resolve("_DONE"))
+  }
+}

@@ -73,6 +73,9 @@ object GraftFunctions {
     "st_cell_envelope" -> (e => StCellEnvelope(e(0), e(1))),
     "st_cover" -> (e => StCover(e(0), e(1))),
     "st_cell_ring" -> (e => StCellRing(e(0), e(1), e(2))),
+    "st_cellid_norm" -> (e => StCellIdNorm(e(0), e(1), e(2))),
+    "st_norm_x" -> (e => StNormX(e.head)),
+    "st_norm_y" -> (e => StNormY(e.head)),
     // images (§2.6 #49)
     "img_width" -> (e => ImgWidth(e.head)),
     "img_height" -> (e => ImgHeight(e.head)),
@@ -82,6 +85,20 @@ object GraftFunctions {
     "img_psnr_rgb" -> (e => ImgPsnrRgb(e(0), e(1))),
     "img_resize_rgb" -> (e => ImgResize(e(0), e(1), e(2))),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
+    // text analysis / dedup (training-data pipeline ops)
+    "text_lang_id" -> (e => TextLangId(e.head)),
+    "text_quality" -> (e => TextQuality(e.head)),
+    "text_token_count" -> (e => TextTokenCount(e.head)),
+    "text_token_count_bpe" -> (e => TextTokenCountBpe(e.head)),
+    "text_fingerprint" -> (e => TextFingerprint(e.head)),
+    "text_simhash" -> (e => TextSimhash(e.head)),
+    "text_minhash" -> (e => TextMinhash(e(0), e(1))),
+    "lsh_bands" -> (e => LshBands(e(0), e(1))),
+    "text_jaccard" -> (e => TextJaccard(e(0), e(1))),
+    "text_ngram_jaccard" -> (e => TextNgramJaccard(e(0), e(1), e(2))),
+    // embedding vectors
+    "vec_dot" -> (e => VecDot(e(0), e(1))),
+    "vec_cosine" -> (e => VecCosine(e(0), e(1))),
     // aggregates (§2.5 #41)
     "st_envelope_agg" -> (e => StEnvelopeAgg(e.head)),
     "st_convexhull_agg" -> (e => StConvexHullAgg(e.head)),

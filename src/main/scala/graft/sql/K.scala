@@ -116,6 +116,9 @@ object K {
 
   // ---- cells / tiles (§2.6 #44/#48) ----
   def cellId(lon: Double, lat: Double, level: Int): Long = Cells.cellId(lon, lat, level)
+  def cellIdNorm(nx: Double, ny: Double, level: Int): Long = Cells.cellIdNorm(nx, ny, level)
+  def normX(lon: Double): Double = Cells.normX(lon)
+  def normY(lat: Double): Double = Cells.normY(lat)
   def tileX(lon: Double, level: Int): Long = Cells.tileX(lon, level)
   def tileY(lat: Double, level: Int): Long = Cells.tileY(lat, level)
   def cellParent(cell: Long, level: Int, parentLevel: Int): Long = Cells.parent(cell, level, parentLevel)

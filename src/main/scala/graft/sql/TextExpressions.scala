@@ -1,0 +1,167 @@
+package org.apache.spark.sql.graft
+
+import graft.text.Text
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text-analysis + vector expressions for the training-data-pipeline
+ * surface: language-ID, quality scoring, token counting, fingerprinting,
+ * MinHash/LSH, SimHash, and embedding cosine — each a Catalyst expression
+ * so dedup/similarity queries stay inside codegen'd plans.
+ */
+case class TextLangId(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Text.langId(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.text.Text.langId($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class TextQuality(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = Text.qualityScore(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Text.qualityScore($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class TextTokenCount(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = Text.tokens(v.asInstanceOf[UTF8String].toString).length
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Text.tokens($c.toString()).length")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class TextTokenCountBpe(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = Text.tokenCountBpeish(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Text.tokenCountBpeish($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class TextFingerprint(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Text.fingerprint(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Text.fingerprint($c.toString(), 8)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class TextSimhash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Text.simhash(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Text.simhash($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** text_minhash(text, numPerm) → array<bigint> signature. */
+case class TextMinhash(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Text.minhash(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** lsh_bands(signature, rowsPerBand) → array<bigint> band keys. */
+case class LshBands(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sig = a.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(Text.lshBands(sig, b.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class TextNgramJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Text.ngramJaccard(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
+      c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+case class TextJaccard(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Text.jaccard(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+// ---------------- embedding vectors ----------------
+
+object VecOps {
+  /** Sequential-order double accumulation (deterministic, oracle-matchable). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  def norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val d = dot(a, b)
+    val na = norm(a); val nb = norm(b)
+    if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+  }
+}
+
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

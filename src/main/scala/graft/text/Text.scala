@@ -1,0 +1,224 @@
+package graft.text
+
+import graft.img.Images.splitmix64
+
+/**
+ * Text-analysis kernels for the training-data-pipeline operators
+ * (task brief: dedup, language-ID, quality scoring, token counting,
+ * fingerprinting). Pure Scala; wrapped by Catalyst expressions.
+ */
+object Text {
+
+  /** Whitespace tokens (SQL-parity definition: split on \s+ after trim). */
+  def tokens(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** BPE-ish token count: word-pieces of ≤4 chars + punctuation singles. */
+  def tokenCountBpeish(s: String): Int = {
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (Character.isLetterOrDigit(c)) {
+        var j = i
+        while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+        count += math.max(1, (j - i + 3) / 4) // ceil(len/4) word pieces
+        i = j
+      } else { count += 1; i += 1 }
+    }
+    count
+  }
+
+  private val STOPWORDS = Set("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "on", "for", "with", "as", "at", "by", "be", "this", "that")
+
+  /**
+   * Quality score in [0,1]: blend of length band, mean word length band,
+   * stopword presence, alpha ratio, and repetition penalty (most-frequent
+   * token share) — the standard cheap heuristics for corpus filtering.
+   */
+  def qualityScore(s: String): Double = {
+    val toks = tokens(s)
+    if (toks.isEmpty) return 0.0
+    val n = toks.length
+    val lengthBand = math.min(1.0, n / 50.0) * (if (n > 5000) 0.5 else 1.0)
+    val meanWl = toks.map(_.length).sum.toDouble / n
+    val wlBand = if (meanWl >= 3 && meanWl <= 10) 1.0 else 0.5
+    val stopRatio = toks.count(t => STOPWORDS.contains(t.toLowerCase)).toDouble / n
+    val stopBand = if (stopRatio > 0.01 && stopRatio < 0.6) 1.0 else 0.6
+    var alpha = 0; var total = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        total += 1
+        if (Character.isLetter(c)) alpha += 1
+      }
+      i += 1
+    }
+    val alphaBand = if (total == 0) 0.0 else alpha.toDouble / total
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    toks.foreach(t => counts(t) = counts.getOrElse(t, 0) + 1)
+    val topShare = counts.values.max.toDouble / n
+    val repPenalty = if (topShare > 0.2) 1.0 - (topShare - 0.2) else 1.0
+    math.max(0.0, math.min(1.0, 0.25 * lengthBand + 0.2 * wlBand + 0.2 * stopBand +
+      0.2 * alphaBand + 0.15 * math.max(0.0, repPenalty)))
+  }
+
+  /** n-gram/charset heuristic language ID (en/zh/es/de/fr/unknown). */
+  def langId(s: String): String = {
+    if (s.isEmpty) return "unknown"
+    var cjk = 0; var latin = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      else if (Character.isLetter(c)) latin += 1
+      i += 1
+    }
+    if (cjk > 0 && cjk * 10 >= latin) return "zh"
+    val toks = tokens(s.toLowerCase)
+    if (toks.isEmpty) return "unknown"
+    def hits(words: Set[String]): Int = toks.count(words.contains)
+    val en = hits(Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "with"))
+    val es = hits(Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "es"))
+    val de = hits(Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"))
+    val fr = hits(Set("le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour"))
+    val scores = Seq("en" -> en, "es" -> es, "de" -> de, "fr" -> fr)
+    val (best, score) = scores.maxBy(_._2)
+    if (score == 0) "unknown" else best
+  }
+
+  @inline private def mix(h: Long, c: Char): Long = (h * 0x100000001B3L) ^ c
+
+  /** 64-bit content hash (FNV-1a-style over chars). */
+  def hash64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h = mix(h, s.charAt(i)); i += 1 }
+    h
+  }
+
+  /**
+   * Document fingerprint: min rolling hash over character 8-grams
+   * (winnowing-lite) — equal fingerprints ⇒ likely shared content.
+   */
+  def fingerprint(s: String, gram: Int = 8): Long = {
+    if (s.length < gram) return hash64(s)
+    var best = Long.MaxValue
+    var i = 0
+    while (i + gram <= s.length) {
+      var h = 0xCBF29CE484222325L
+      var j = i
+      while (j < i + gram) { h = mix(h, s.charAt(j)); j += 1 }
+      // uniformize before min-selection
+      val u = splitmix64(h)
+      if (u < best) best = u
+      i += 1
+    }
+    best
+  }
+
+  /** Word k-gram shingle hashes (deduped). */
+  def shingles(s: String, k: Int): Array[Long] = {
+    val toks = tokens(s)
+    if (toks.length < k) return Array(hash64(s.trim))
+    val set = new java.util.HashSet[Long]()
+    var i = 0
+    while (i + k <= toks.length) {
+      var h = 0xCBF29CE484222325L
+      var j = i
+      while (j < i + k) {
+        val t = toks(j)
+        var c = 0
+        while (c < t.length) { h = mix(h, t.charAt(c)); c += 1 }
+        h = mix(h, ' ')
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    out
+  }
+
+  /** MinHash signature: numPerm permutations via splitmix64 re-keying. */
+  def minhash(s: String, numPerm: Int, shingleK: Int = 4): Array[Long] = {
+    val sh = shingles(s, shingleK)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var p = 0
+      while (p < numPerm) {
+        val v = splitmix64(sh(i) ^ (0x9E3779B97F4A7C15L * (p + 1)))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: hash groups of `rowsPerBand` signature slots. */
+  def lshBands(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
+    val bands = sig.length / rowsPerBand
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xCBF29CE484222325L ^ b
+      var r = 0
+      while (r < rowsPerBand) {
+        h = (h * 0x100000001B3L) ^ sig(b * rowsPerBand + r)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(s: String): Long = {
+    val toks = tokens(s)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = splitmix64(hash64(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Exact word-set Jaccard similarity of two texts. */
+  def jaccard(a: String, b: String): Double = {
+    val sa = tokens(a).toSet
+    val sb = tokens(b).toSet
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** n-gram (word k-gram) Jaccard via shingle sets. */
+  def ngramJaccard(a: String, b: String, k: Int): Double = {
+    val sa = shingles(a, k).toSet
+    val sb = shingles(b, k).toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
