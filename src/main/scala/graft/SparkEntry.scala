@@ -198,34 +198,46 @@ object SparkEntry {
     }),
     "q20_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.install(s)
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
-      val a = d.select(col("doc_id").as("a"), col("source"), col("text").as("text_a"))
-      val b = d.select(col("doc_id").as("b"), col("source"), col("text").as("text_b"))
-      a.join(b, "source").where(col("a") < col("b"))
-        .withColumn("jac", call_function("text_ngram_jaccard", col("text_a"), col("text_b"), lit(3)))
+      // scalable formulation: explode shingles, count co-occurrences per
+      // (source, shingle) — |A∩B| arrives as a pair count, no array payloads
+      // cross the join. Jaccard from per-doc shingle counts.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          call_function("text_shingles", col("text"), lit(4)).as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+      val sizes = d.select(col("doc_id"), col("n_sh"))
+      val ex = d.select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+      // stop-shingle removal: ubiquitous shingles carry no dedup signal and
+      // quadratically blow up the pair join (df cap = standard practice)
+      val rare = ex.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 100).select("source", "shingle")
+      val exr = ex.join(rare, Seq("source", "shingle"))
+      val a = exr.select(col("doc_id").as("a"), col("source"), col("shingle"))
+      val b = exr.select(col("doc_id").as("b"), col("source"), col("shingle"))
+      val inter = a.join(b, Seq("source", "shingle")).where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), "b")
+        .withColumn("jac", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
         .where(col("jac") >= 0.1)
         .agg(count(lit(1)).as("n_similar_pairs"))
     }),
 
     // ---------------- embeddings / ANN ----------------
     "q21_ann_topk" -> ((s, dir) => {
+      GraftFunctions.install(s)
       val e = t(s, dir, "embeddings")
-      // quantized-integer dot/norms (exact in both engines), double cosine
-      val qexpr = expr("""aggregate(zip_with(q_emb, embedding,
-          (x, y) -> cast(floor(cast(x as double)*1000d + 0.5d) as bigint)
-                  * cast(floor(cast(y as double)*1000d + 0.5d) as bigint)),
-          cast(0 as bigint), (acc, v) -> acc + v)""")
-      val nrm = expr("""aggregate(transform(embedding,
-          x -> cast(floor(cast(x as double)*1000d + 0.5d) as bigint)
-             * cast(floor(cast(x as double)*1000d + 0.5d) as bigint)),
-          cast(0 as bigint), (acc, v) -> acc + v)""")
-      val withNorm = e.withColumn("nrm", nrm)
+      // quantized-integer dot/norms (tight custom expression; exact in both
+      // engines), cosine ranking in double — see oracle for the same math
+      val withNorm = e.withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
       val q = withNorm.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val p = withNorm.select(col("vec_id").as("p_vec"), col("embedding"), col("nrm").as("p_nrm"))
       val w = Window.partitionBy("q_vec").orderBy(desc("cos"), asc("p_vec"))
-      q.crossJoin(p)
-        .withColumn("dot_q", qexpr)
+      p.crossJoin(broadcast(q))
+        .withColumn("dot_q", call_function("vec_dot_q", col("q_emb"), col("embedding")))
         .withColumn("cos", col("dot_q") / sqrt(col("q_nrm").cast("double") * col("p_nrm").cast("double")))
         .withColumn("rank", row_number().over(w).cast("bigint"))
         .where(col("rank") <= 3)

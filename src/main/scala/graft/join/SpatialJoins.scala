@@ -57,72 +57,114 @@ object SpatialJoins {
    * cell index; the loop is driver-side but each iteration is a fully
    * distributed join — the standard scalable formulation.
    */
-  def knn(points: DataFrame, queries: DataFrame, k: Int, level: Int,
-          maxRings: Int = 64): DataFrame = {
+  def knn(points: DataFrame, queries: DataFrame, k: Int, level: Int): DataFrame = {
     val spark = points.sparkSession
     GraftFunctions.install(spark)
     import spark.implicits._
+    import graft.cell.Cells
 
-    val cellSize = 1.0 / (1L << level).toDouble
+    val n = 1L << level
+    val cellSize = 1.0 / n.toDouble
     val pts = points.select(
       col("id").as("p_id"), col("nx").as("p_nx"), col("ny").as("p_ny"),
       call_function("st_cellid_norm", col("nx"), col("ny"), lit(level)).as("cell"))
       .cache()
-    pts.count() // materialize once; reused every ring
+    pts.count() // materialize once; reused every round
 
-    var remaining = queries.select(col("id").as("q_id"), col("nx"), col("ny"),
-      call_function("st_cellid_norm", col("nx"), col("ny"), lit(level)).as("qcell"))
-      .cache()
-    // accumulated per-query top-k candidates: (q_id, p_id, d2)
-    var best = spark.emptyDataFrame
-    var haveBest = false
-    var results = List.empty[DataFrame]
-    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
-    def ranked(df: DataFrame): DataFrame =
-      df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-    var r = 0
-    while (r <= maxRings && !remaining.isEmpty) {
-      val cand = remaining
-        .withColumn("cell", explode(call_function("st_cell_ring", col("qcell"), lit(level), lit(r))))
-        .join(pts, "cell")
+    // The query frontier is collected to the driver (queries ≪ points — the
+    // standard asymmetry; for query sets too large to hold, fall back to the
+    // all-DataFrame ring loop). Points stay fully distributed: each round is
+    // one broadcast-filtered scan of the cached point index.
+    final case class Q(id: String, nx: Double, ny: Double, cx: Long, cy: Long)
+    val qrows = queries.select(col("id"), col("nx"), col("ny")).collect().map { row =>
+      val nx = row.getDouble(1); val ny = row.getDouble(2)
+      val cell = Cells.cellIdNorm(nx, ny, level)
+      Q(row.getString(0), nx, ny, Cells.mortonX(cell), Cells.mortonY(cell))
+    }
+
+    // per-query accumulated candidates (driver-side, ≤ k entries kept)
+    val acc = scala.collection.mutable.HashMap.empty[String, Array[(Double, String)]]
+    var remaining = qrows
+    var lo = 0L   // annulus [lo, hi) of Chebyshev cell rings probed this round
+    var hi = 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double, Int)]
+    // once the annulus would cover a large fraction of the grid, probing
+    // mostly-empty cells costs more than scanning all points once
+    val bruteCutoff = math.max(4L, n / 4)
+    while (remaining.nonEmpty && hi <= bruteCutoff) {
+      // candidate (cell → query) pairs for this round's annuli (deduped:
+      // antimeridian wrap can map two dx offsets to the same cell)
+      val cellPairs = remaining.iterator.flatMap { q =>
+        val cells = scala.collection.mutable.LinkedHashSet.empty[(Long, String)]
+        var dy = -(hi - 1)
+        while (dy <= hi - 1) {
+          var dx = -(hi - 1)
+          while (dx <= hi - 1) {
+            val cheb = math.max(math.abs(dx), math.abs(dy))
+            if (cheb >= lo) {
+              val y = q.cy + dy
+              if (y >= 0 && y < n) {
+                val wx = ((q.cx + dx) % n + n) % n
+                cells += ((Cells.morton(wx, y), q.id))
+              }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        cells
+      }.toSeq
+      if (cellPairs.nonEmpty) {
+        val candCells = spark.createDataset(cellPairs).toDF("cell", "q_id")
+        val qmeta = spark.createDataset(remaining.toSeq.map(q => (q.id, q.nx, q.ny)))
+          .toDF("q_id", "nx", "ny")
+        // broadcast the (small) probe side; the point index never shuffles
+        val got = pts.join(broadcast(candCells), "cell")
+          .join(broadcast(qmeta), "q_id")
+          .select(col("q_id"), col("p_id"),
+            ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
+             (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
+        // server-side top-k per query bounds the collect
+        val w = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
+        val top = got.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+          .select("q_id", "p_id", "d2").collect()
+        top.foreach { row =>
+          val qid = row.getString(0)
+          val cur = acc.getOrElse(qid, Array.empty)
+          val merged = (cur :+ ((row.getDouble(2), row.getString(1))))
+            .sortBy(t => (t._1, t._2)).take(k)
+          acc(qid) = merged
+        }
+      }
+      // done check: k candidates and kth distance within covered radius (hi-1 rings)
+      val bound = ((hi - 1).toDouble * cellSize) * ((hi - 1).toDouble * cellSize)
+      val (done, rest) = remaining.partition { q =>
+        val cand = acc.getOrElse(q.id, Array.empty)
+        cand.length >= k && cand(k - 1)._1 <= bound
+      }
+      done.foreach { q =>
+        acc(q.id).zipWithIndex.foreach { case ((d2, pid), i) =>
+          out += ((q.id, pid, d2, i + 1))
+        }
+      }
+      remaining = rest
+      lo = hi
+      hi = math.min(hi * 2, 2 * n)
+    }
+    if (remaining.nonEmpty) {
+      // sparse-region stragglers: one exact distributed scan replaces their state
+      val qmeta = spark.createDataset(remaining.toSeq.map(q => (q.id, q.nx, q.ny)))
+        .toDF("q_id", "nx", "ny")
+      val w = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
+      val brute = pts.crossJoin(broadcast(qmeta))
         .select(col("q_id"), col("p_id"),
           ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
            (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
-      val newBest = if (haveBest) best.unionByName(cand) else cand
-      // keep only top-k per query (bounds state per round)
-      val pruned = ranked(newBest).select("q_id", "p_id", "d2").cache()
-      pruned.count()
-      if (haveBest) best.unpersist()
-      best = pruned
-      haveBest = true
-      // a query is done when it has k candidates and its kth distance is
-      // within the guaranteed-covered radius r·cellSize
-      val bound = (r.toDouble * cellSize) * (r.toDouble * cellSize)
-      val kth = best.groupBy("q_id")
-        .agg(count(lit(1)).as("n"), max(col("d2")).as("kth_d2"))
-      val done = kth.where(col("n") === k && col("kth_d2") <= bound).select("q_id")
-      results = ranked(best.join(done, "q_id")) :: results
-      // drop completed queries from both frontiers so they aren't re-emitted
-      val trimmedBest = best.join(done, Seq("q_id"), "left_anti").cache()
-      trimmedBest.count()
-      best.unpersist()
-      best = trimmedBest
-      val newRemaining = remaining.join(done, Seq("q_id"), "left_anti").cache()
-      newRemaining.count()
-      remaining.unpersist()
-      remaining = newRemaining
-      r += 1
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select("q_id", "p_id", "d2", "rank").collect()
+      brute.foreach(r => out += ((r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))))
     }
-    if (!remaining.isEmpty) {
-      // ring budget exhausted (ultra-sparse region): exact brute-force for
-      // the few stragglers — bounded work, still distributed
-      val brute = remaining.select(col("q_id"), col("nx"), col("ny"))
-        .crossJoin(pts.select(col("p_id"), col("p_nx"), col("p_ny")))
-        .select(col("q_id"), col("p_id"),
-          ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
-           (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
-      results = ranked(brute) :: results
-    }
-    results.reduceLeft(_ unionByName _).select("q_id", "p_id", "d2", "rank")
+    pts.unpersist()
+    spark.createDataset(out.toSeq).toDF("q_id", "p_id", "d2", "rank")
   }
 }

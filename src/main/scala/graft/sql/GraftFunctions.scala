@@ -96,8 +96,10 @@ object GraftFunctions {
     "lsh_bands" -> (e => LshBands(e(0), e(1))),
     "text_jaccard" -> (e => TextJaccard(e(0), e(1))),
     "text_ngram_jaccard" -> (e => TextNgramJaccard(e(0), e(1), e(2))),
+    "text_shingles" -> (e => TextShingles(e(0), e(1))),
     // embedding vectors
     "vec_dot" -> (e => VecDot(e(0), e(1))),
+    "vec_dot_q" -> (e => VecDotQ(e(0), e(1))),
     "vec_cosine" -> (e => VecCosine(e(0), e(1))),
     // aggregates (§2.5 #41)
     "st_envelope_agg" -> (e => StEnvelopeAgg(e.head)),

@@ -165,3 +165,36 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
     VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** text_shingles(text, k) → deduped word-k-gram hashes (precomputable side
+  * of an n-gram Jaccard join: array_intersect replaces per-pair reshingling). */
+case class TextShingles(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Text.shingles(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Quantized (×1000, floor+0.5) integer dot product — exact in any engine. */
+case class VecDotQ(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(x.getFloat(i).toDouble * 1000 + 0.5).toLong *
+           math.floor(y.getFloat(i).toDouble * 1000 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
