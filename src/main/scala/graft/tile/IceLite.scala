@@ -1,0 +1,183 @@
+package graft.tile
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/**
+ * icelite: Iceberg-style snapshot manifests over parquet (SURVEY.md §7.6).
+ *
+ * No Iceberg jars exist offline, so this layer provides the properties the
+ * north_rule actually uses — snapshot isolation for exact resume,
+ * manifest-driven pruning, lineage — with Iceberg-shaped semantics
+ * (immutable data files + JSON snapshots + an atomically-swapped current
+ * pointer), so swapping in iceberg-spark-runtime later is a config change.
+ *
+ * Layout:
+ *   <root>/data/<bucket>/part-*.parquet      immutable data files
+ *   <root>/meta/snap-<id>.json               snapshot (files + lineage)
+ *   <root>/meta/_current                     atomic pointer (tmp + rename)
+ *
+ * Commit protocol: write data files → write snap-<id>.json (tmp+rename) →
+ * swap _current (tmp+rename). A crash at any point leaves the previous
+ * snapshot intact; orphan data files are ignored by readers (GC later).
+ */
+object IceLite {
+
+  final case class LineageRow(stage: String, partitionId: Int,
+                              inputRows: Long, outputRows: Long, checksum: Long)
+
+  final case class BucketEntry(bucket: Int, rows: Long, checksum: Long,
+                               cellMin: Long, cellMax: Long, dataDir: String,
+                               lineage: Seq[LineageRow])
+
+  final case class Snapshot(snapshotId: Long, parentId: Long, jobId: String,
+                            buckets: Seq[BucketEntry])
+
+  // ---------- tiny JSON (de)serializer — deterministic field order ----------
+
+  private def esc(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def toJson(s: Snapshot): String = {
+    val sb = new StringBuilder
+    sb.append(s"""{"snapshotId":${s.snapshotId},"parentId":${s.parentId},"jobId":${esc(s.jobId)},"buckets":[""")
+    sb.append(s.buckets.sortBy(_.bucket).map { b =>
+      val lin = b.lineage.sortBy(_.partitionId).map { l =>
+        s"""{"stage":${esc(l.stage)},"partitionId":${l.partitionId},"inputRows":${l.inputRows},"outputRows":${l.outputRows},"checksum":${l.checksum}}"""
+      }.mkString("[", ",", "]")
+      s"""{"bucket":${b.bucket},"rows":${b.rows},"checksum":${b.checksum},"cellMin":${b.cellMin},"cellMax":${b.cellMax},"dataDir":${esc(b.dataDir)},"lineage":$lin}"""
+    }.mkString(","))
+    sb.append("]}")
+    sb.toString
+  }
+
+  /** Minimal parser for the exact shape toJson emits. */
+  def fromJson(j: String): Snapshot = {
+    // piggyback on the GeoJson walker's tolerant value model via regex-free scan
+    val p = new JsonP(j)
+    val m = p.obj()
+    def num(k: String): Long = m(k).asInstanceOf[Double].toLong
+    val buckets = m("buckets").asInstanceOf[ArrayBuffer[Any]].map { bAny =>
+      val b = bAny.asInstanceOf[Map[String, Any]]
+      val lineage = b("lineage").asInstanceOf[ArrayBuffer[Any]].map { lAny =>
+        val l = lAny.asInstanceOf[Map[String, Any]]
+        LineageRow(l("stage").asInstanceOf[String], l("partitionId").asInstanceOf[Double].toInt,
+          l("inputRows").asInstanceOf[Double].toLong, l("outputRows").asInstanceOf[Double].toLong,
+          l("checksum").asInstanceOf[Double].toLong)
+      }.toSeq
+      BucketEntry(b("bucket").asInstanceOf[Double].toInt, b("rows").asInstanceOf[Double].toLong,
+        b("checksum").asInstanceOf[Double].toLong, b("cellMin").asInstanceOf[Double].toLong,
+        b("cellMax").asInstanceOf[Double].toLong, b("dataDir").asInstanceOf[String], lineage)
+    }.toSeq
+    Snapshot(num("snapshotId"), num("parentId"), m("jobId").asInstanceOf[String], buckets)
+  }
+
+  /** JSON checksums ride in Long but JSON numbers parse as Double — for
+    * checksums beyond 2^53 precision would be lost, so store them masked. */
+  def mask53(v: Long): Long = v & ((1L << 53) - 1)
+
+  private final class JsonP(s: String) {
+    var pos = 0
+    def ws(): Unit = while (pos < s.length && Character.isWhitespace(s.charAt(pos))) pos += 1
+    def obj(): Map[String, Any] = {
+      ws(); require(s.charAt(pos) == '{'); pos += 1
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      ws()
+      if (s.charAt(pos) == '}') { pos += 1; return m.toMap }
+      while (true) {
+        val k = str(); ws(); require(s.charAt(pos) == ':'); pos += 1
+        m(k) = value()
+        ws()
+        if (s.charAt(pos) == ',') { pos += 1; ws() } else { require(s.charAt(pos) == '}'); pos += 1; return m.toMap }
+      }
+      m.toMap
+    }
+    def arr(): ArrayBuffer[Any] = {
+      ws(); require(s.charAt(pos) == '['); pos += 1
+      val b = ArrayBuffer.empty[Any]
+      ws()
+      if (s.charAt(pos) == ']') { pos += 1; return b }
+      while (true) {
+        b += value()
+        ws()
+        if (s.charAt(pos) == ',') { pos += 1 } else { require(s.charAt(pos) == ']'); pos += 1; return b }
+      }
+      b
+    }
+    def str(): String = {
+      ws(); require(s.charAt(pos) == '"'); pos += 1
+      val sb = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        if (s.charAt(pos) == '\\') {
+          pos += 1
+          s.charAt(pos) match {
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case 'u' => sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar); pos += 4
+            case c => sb.append(c)
+          }
+        } else sb.append(s.charAt(pos))
+        pos += 1
+      }
+      pos += 1
+      sb.toString
+    }
+    def value(): Any = {
+      ws()
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => pos += 4; true
+        case 'f' => pos += 5; false
+        case 'n' => pos += 4; null
+        case _ =>
+          val st = pos
+          while (pos < s.length && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+          s.substring(st, pos).toDouble
+      }
+    }
+  }
+
+  // ---------- snapshot IO ----------
+
+  def metaDir(root: String): Path = Paths.get(root, "meta")
+
+  def currentSnapshot(root: String): Option[Snapshot] = {
+    val cur = metaDir(root).resolve("_current")
+    if (!Files.exists(cur)) None
+    else {
+      val name = new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim
+      val f = metaDir(root).resolve(name)
+      if (!Files.exists(f)) None
+      else Some(fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+    }
+  }
+
+  /** Atomic snapshot commit: write snap file, then swap the pointer. */
+  def commit(root: String, snap: Snapshot): Unit = {
+    val meta = metaDir(root)
+    Files.createDirectories(meta)
+    val name = s"snap-${snap.snapshotId}.json"
+    val tmp = meta.resolve(name + ".tmp")
+    Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, meta.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val curTmp = meta.resolve("_current.tmp")
+    Files.write(curTmp, name.getBytes(StandardCharsets.UTF_8))
+    Files.move(curTmp, meta.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def listSnapshots(root: String): Seq[String] = {
+    val meta = metaDir(root)
+    if (!Files.exists(meta)) Seq.empty
+    else Files.list(meta).iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json")).toSeq.sorted
+  }
+}

@@ -65,6 +65,21 @@ object Smoke {
         SELECT explode(st_cover(st_geomfromwkt('POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))'), 10)) c)
     """).show()
 
+    // tile job + icelite snapshot + resume-read path
+    {
+      import graft.data.GeoTables
+      import graft.tile.{IceLite, TileJob}
+      GeoTables.ensure(spark, "/root/testdata/sf0.001")
+      val root = java.nio.file.Files.createTempDirectory("smoke_tiles").toString
+      val snap = TileJob.run(spark, GeoTables.imagesPath("/root/testdata/sf0.001"), root,
+        zoom = 6, bucketLevel = 1)
+      println(s"tile snapshot: id=${snap.snapshotId} buckets=${snap.buckets.length} " +
+        s"rows=${snap.buckets.map(_.rows).sum} snapshots=${IceLite.listSnapshots(root).length}")
+      TileJob.readCurrent(spark, root)
+        .groupBy("tx", "ty").count().orderBy(org.apache.spark.sql.functions.desc("count"))
+        .show(3)
+    }
+
     println("SMOKE OK")
     spark.stop()
   }

@@ -1,0 +1,83 @@
+package graft.cell
+
+import graft.geom.Env
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cell scheme properties (SURVEY.md §5.2 item 3) over deterministic samples. */
+class CellsSpec extends AnyFunSuite {
+
+  var state = 42L
+  def next(): Long = { state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state }
+  def frac(): Double = (next() >>> 11).toDouble / (1L << 53).toDouble
+  def lon(): Double = -179.999 + 359.998 * frac()
+  def lat(): Double = -84.9 + 169.8 * frac()
+  def level(): Int = 1 + ((next() >>> 40) % 20).toInt
+
+  val N = 2000
+
+  test("morton bijectivity") {
+    (0 until N).foreach { _ =>
+      val x = next() & ((1L << 30) - 1); val y = next() & ((1L << 30) - 1)
+      val m = Cells.morton(x, y)
+      assert(Cells.mortonX(m) == x && Cells.mortonY(m) == y)
+    }
+  }
+
+  test("prefix nesting: parent range contains child cell") {
+    (0 until N).foreach { _ =>
+      val (lo, la, lvl) = (lon(), lat(), level())
+      val child = Cells.cellId(lo, la, lvl)
+      val pl = math.max(0, lvl - 3)
+      val parent = Cells.parent(child, lvl, pl)
+      val (s, e) = Cells.childRange(parent, pl, lvl)
+      assert(child >= s && child < e)
+      assert(parent == Cells.cellId(lo, la, pl))
+    }
+  }
+
+  test("cell envelope contains its point") {
+    (0 until N).foreach { _ =>
+      val (lo, la, lvl) = (lon(), lat(), level())
+      val cell = Cells.cellId(lo, la, lvl)
+      val env = Cells.cellEnvelope(cell, lvl)
+      assert(env.buffer(1e-9).contains(lo, la), s"$env vs ($lo,$la) @$lvl")
+    }
+  }
+
+  test("cover soundness: point in geom => point's cell in cover") {
+    (0 until 200).foreach { _ =>
+      val lo = lon(); val la = lat()
+      val x1 = math.min(179.999, lo + 0.01 + 5 * frac())
+      val y1 = math.min(84.9, la + 0.01 + 5 * frac())
+      val lvl = 4 + ((next() >>> 40) % 7).toInt
+      val rect = Env(lo, la, x1, y1).toPolygon
+      val cover = Cells.cover(rect, lvl).toSet
+      Seq((lo + (x1 - lo) * 0.1, la + (y1 - la) * 0.9),
+          ((lo + x1) / 2, (la + y1) / 2),
+          (x1 - 1e-9, y1 - 1e-9)).foreach { case (px, py) =>
+        assert(cover.contains(Cells.cellId(px, py, lvl)), s"probe ($px,$py) @$lvl rect=$rect")
+      }
+    }
+  }
+
+  test("known golden vectors") {
+    // level 1: world split in 4; (0,0)+ε is the NE quadrant → tx=1, ty=0
+    assert(Cells.cellId(1.0, 1.0, 1) == Cells.morton(1, 0))
+    assert(Cells.cellId(-1.0, 1.0, 1) == Cells.morton(0, 0))
+    assert(Cells.cellId(-1.0, -1.0, 1) == Cells.morton(0, 1))
+    assert(Cells.cellId(1.0, -1.0, 1) == Cells.morton(1, 1))
+    // zoom-8 slippy tile of Rome (12.5, 41.9) is (136, 95) — standard XYZ
+    assert(Cells.tileX(12.5, 8) == 136 && Cells.tileY(41.9, 8) == 95)
+    assert(Cells.cellId(100, 80, 0) == 0)
+  }
+
+  test("ring r=1 has 8 cells in grid interior and wraps at antimeridian") {
+    val c = Cells.cellId(0.0, 0.0, 8)
+    assert(Cells.ring(c, 8, 1).length == 8)
+    assert(Cells.ring(c, 8, 0).sameElements(Array(c)))
+    val edge = Cells.morton(0, 128) // tx=0 → wraps to tx=255
+    val ring = Cells.ring(edge, 8, 1)
+    assert(ring.length == 8)
+    assert(ring.contains(Cells.morton(255, 128)))
+  }
+}
