@@ -1,0 +1,90 @@
+package graft.tools
+
+import graft.data.GeoTables
+import graft.join.SpatialJoins
+import graft.sql.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scaling-efficiency evidence for the north_rule's N→4N gate (≥0.8).
+ *
+ * The sandbox has no multi-executor cluster, so per the bench protocol
+ * (BASELINE.md) the same job runs at local[8] and local[32] on identical
+ * input and we report median throughput at both plus
+ * efficiency = (throughput@32 / throughput@8) / 4.
+ *
+ * The job is the flagship pipeline: scan images parquet → per-row decode +
+ * pHash verification (the real CPU cost of the tiling north_star) →
+ * cell-id → broadcast cell-cover PIP join → tile assignment → aggregate.
+ * It is embarrassingly parallel on the scan side with one small shuffle,
+ * i.e. exactly the shape that must scale linearly on a real cluster.
+ *
+ * Run: SPARK_GRAFT_SCALE_SF=sf0.5 sbt "runMain graft.tools.ScalingBench"
+ */
+object ScalingBench {
+
+  def buildSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(s)
+    s
+  }
+
+  def job(spark: SparkSession, sfDir: String): Long = {
+    val images = spark.read.parquet(GeoTables.imagesPath(sfDir))
+      .where(call_function("img_phash", col("bytes")) === col("phash")) // per-row decode
+    val joined = SpatialJoins.pipJoin(images, GeoTables.zones(spark, sfDir), level = 8)
+      .withColumn("tx", call_function("st_tile_x", col("lon"), lit(8)))
+      .withColumn("ty", call_function("st_tile_y", col("lat"), lit(8)))
+    joined.groupBy("zone_id", "tx", "ty")
+      .agg(count(lit(1)).as("n"), sum(when(col("fmt") === "png", 1L).otherwise(0L)).as("n_png"))
+      .agg(sum("n")).collect()(0).getLong(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfName = sys.env.getOrElse("SPARK_GRAFT_SCALE_SF", "sf0.5")
+    val sfDir = s"/root/testdata/$sfName" // only the name matters to GeoTables
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+
+    // one-time data generation (32-way; content is per-row deterministic)
+    val gen = buildSession(32)
+    GeoTables.ensure(gen, sfDir)
+    val nImages = GeoTables.nImages(sfDir)
+    gen.stop()
+
+    def measure(cpus: Int): (Double, Seq[Double], Long) = {
+      val s = buildSession(cpus)
+      var rows = job(s, sfDir) // warm-up (JIT + codegen + footers)
+      import scala.jdk.CollectionConverters._
+      def gcMs: Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val times = (1 to runs).map { _ =>
+        val g0 = gcMs
+        val t0 = System.nanoTime()
+        rows = job(s, sfDir)
+        val el = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaling] cpus=$cpus t=$el%.1fs gc=${gcMs - g0}ms")
+        el
+      }
+      s.stop()
+      (times.sorted.apply(times.length / 2), times, rows)
+    }
+
+    val (t8, all8, rows8) = measure(8)
+    val (t32, all32, rows32) = measure(32)
+    System.err.println(s"runs8=${all8.map(t => f"$t%.1f").mkString(",")} runs32=${all32.map(t => f"$t%.1f").mkString(",")}")
+    require(rows8 == rows32, s"row mismatch: $rows8 vs $rows32")
+    val thr8 = nImages / t8
+    val thr32 = nImages / t32
+    val eff = (thr32 / thr8) / 4.0
+    println(f"""{"metric":"scaling_efficiency_8_to_32","value":$eff%.3f,"unit":"ratio","t8_sec":$t8%.2f,"t32_sec":$t32%.2f,"images_per_sec_8":${thr8.toLong},"images_per_sec_32":${thr32.toLong},"join_rows":$rows8,"n_images":$nImages,"sf":"$sfName","runs":$runs}""")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming parity: the same expressions produce the same results on a
+  * stream as on the batch table (driven via file source + memory sink). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  test("windowed counts over a stream equal the batch computation") {
+    spark.sparkContext.setLogLevel("WARN")
+    val batch = spark.read.parquet(eventsPath)
+    // file source needs a directory; re-materialize the events under one
+    val dir = java.nio.file.Files.createTempDirectory("stream_events").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = Streams.parquetStream(spark, dir, batch.schema)
+
+    val q = Streams.windowedCounts(stream).writeStream
+      .outputMode("complete").format("memory").queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("win_out")
+      .select(col("window.start").cast("long").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Streams.windowedCounts(batch)
+      .select(col("window.start").cast("long").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("geometry expressions run per streamed row (bidi-stream shape)") {
+    val batch = spark.read.parquet(eventsPath)
+      .withColumn("lon", (col("user_id") % 360 - 180).cast("double"))
+      .withColumn("lat", (col("user_id") % 170 - 85).cast("double"))
+    val tmp = java.nio.file.Files.createTempDirectory("stream_geo").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val stream = Streams.parquetStream(spark, tmp, batch.schema)
+
+    val q = Streams.enrichGeo(stream, level = 8, zoom = 6)
+      .writeStream.outputMode("append").format("memory").queryName("geo_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("geo_out")
+      .agg(count(lit(1)), countDistinct(col("cell"))).collect()(0)
+    val want = Streams.enrichGeo(batch, level = 8, zoom = 6)
+      .agg(count(lit(1)), countDistinct(col("cell"))).collect()(0)
+    assert(got == want)
+    assert(got.getLong(0) > 0)
+  }
+}

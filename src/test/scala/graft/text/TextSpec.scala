@@ -1,0 +1,70 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+
+  test("tokens and token counts") {
+    assert(Text.tokens("  a  b\tc ").toSeq == Seq("a", "b", "c"))
+    assert(Text.tokens("").isEmpty)
+    assert(Text.tokenCountBpeish("hello world") == 4) // ceil(5/4) per word
+    assert(Text.tokenCountBpeish("hi") == 1)
+    assert(Text.tokenCountBpeish("internationalization") == 5) // 20 chars → 5 pieces
+    assert(Text.tokenCountBpeish("a,b") == 3) // a + ',' + b
+  }
+
+  test("quality score ordering: clean text beats degenerate text") {
+    val good = "the quick brown fox jumps over the lazy dog and runs through the field " * 3
+    val bad = "zzz zzz zzz zzz zzz zzz zzz zzz"
+    assert(Text.qualityScore(good) > Text.qualityScore(bad))
+    assert(Text.qualityScore("") == 0.0)
+  }
+
+  test("lang id: charset detection and stopword scoring") {
+    assert(Text.langId("这是 一个 中文 句子 也许") == "zh")
+    assert(Text.langId("the cat sat on the mat with a hat") == "en")
+    assert(Text.langId("el perro es un animal y la casa es grande") == "es")
+    assert(Text.langId("der Hund ist ein Tier und die Katze ist nicht hier") == "de")
+    assert(Text.langId("") == "unknown")
+  }
+
+  test("fingerprint: equal content → equal fp; shared window → shared minimum") {
+    val a = "some shared content here that is long enough"
+    assert(Text.fingerprint(a) == Text.fingerprint(a))
+    assert(Text.fingerprint("ab") == Text.fingerprint("ab")) // shorter than gram
+  }
+
+  test("minhash approximates jaccard") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 xx yy zz qq"
+    val c = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16"
+    val sa = Text.minhash(a, 64); val sb = Text.minhash(b, 64); val sc = Text.minhash(c, 64)
+    def sim(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    val jab = Text.ngramJaccard(a, b, 4)
+    assert(math.abs(sim(sa, sb) - jab) < 0.25, s"minhash ${sim(sa, sb)} vs jaccard $jab")
+    assert(sim(sa, sc) < 0.15) // disjoint docs
+    assert(sim(sa, sa) == 1.0)
+  }
+
+  test("lsh bands: identical docs collide on all bands, disjoint docs on none") {
+    val a = Text.lshBands(Text.minhash("w1 w2 w3 w4 w5 w6 w7 w8", 16), 4)
+    val a2 = Text.lshBands(Text.minhash("w1 w2 w3 w4 w5 w6 w7 w8", 16), 4)
+    val c = Text.lshBands(Text.minhash("z1 z2 z3 z4 z5 z6 z7 z8", 16), 4)
+    assert(a.toSeq == a2.toSeq && a.length == 4)
+    assert(a.intersect(c).isEmpty)
+  }
+
+  test("simhash: near-identical docs are close in hamming, different docs far") {
+    val a = Text.simhash("the quick brown fox jumps over the lazy dog repeatedly every day")
+    val b = Text.simhash("the quick brown fox jumps over the lazy dog repeatedly every night")
+    val c = Text.simhash("completely unrelated words about database query optimization plans")
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
+  }
+
+  test("jaccard exact") {
+    assert(Text.jaccard("a b c", "a b c") == 1.0)
+    assert(Text.jaccard("a b", "c d") == 0.0)
+    assert(Text.jaccard("a b c d", "c d e f") == 1.0 / 3.0) // 2 / 6
+  }
+}
