@@ -257,6 +257,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_cents"))
     }),
 
+    "q26_zone_clip_area" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      // clip + staged intersection vs pure rectangle arithmetic in the oracle
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("clip_env", call_function("st_makeenvelope",
+          lit(0.0), lit(0.0), lit(60.0), lit(60.0)))
+        .select(col("zone_id"),
+          floor(call_function("st_area", call_function("st_clip",
+            col("g"), lit(0.0), lit(0.0), lit(60.0), lit(60.0))) * 100 + lit(0.5))
+            .cast("bigint").as("clip_area_c"),
+          floor(call_function("st_area", call_function("st_intersection",
+            col("g"), col("clip_env"))) * 100 + lit(0.5))
+            .cast("bigint").as("inter_area_c"))
+    }),
+    "q27_transform" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .withColumn("m", call_function("st_transform",
+          call_function("st_point", col("lon"), col("lat")), lit(4326), lit(3857)))
+        .select(col("image_id"),
+          floor(call_function("st_x", col("m"))).cast("bigint").as("merc_x_m"),
+          floor(call_function("st_y", col("m"))).cast("bigint").as("merc_y_m"))
+    }),
+    "q28_distance" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val img = GeoTables.images(s, dir)
+        .withColumn("iid", substring(col("image_id"), 4, 8).cast("bigint"))
+      val a = img.select(col("iid"), col("lon").as("lon_a"), col("lat").as("lat_a"))
+      val b = img.select((col("iid") - 1000).as("iid"),
+        col("lon").as("lon_b"), col("lat").as("lat_b"))
+      a.join(b, "iid")
+        .select(col("iid"),
+          call_function("st_distance",
+            call_function("st_point", col("lon_a"), col("lat_a")),
+            call_function("st_point", col("lon_b"), col("lat_b"))).as("dist"))
+    }),
+
     // ---------------- geometry operator chain (north_star-named) ----------------
     "q25_zone_chain" -> ((s, dir) => {
       GraftFunctions.install(s)
@@ -364,7 +402,24 @@ object SparkEntry {
     "q22_embed_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
          FROM embeddings GROUP BY 1""",
-    "q23_events_window" ->
+    "q26_zone_clip_area" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR(GREATEST(0, LEAST(xmax, 60.0) - GREATEST(xmin, 0.0))
+            * GREATEST(0, LEAST(ymax, 60.0) - GREATEST(ymin, 0.0)) * 100 + 0.5) AS BIGINT) AS clip_area_c,
+         CAST(FLOOR(GREATEST(0, LEAST(xmax, 60.0) - GREATEST(xmin, 0.0))
+            * GREATEST(0, LEAST(ymax, 60.0) - GREATEST(ymin, 0.0)) * 100 + 0.5) AS BIGINT) AS inter_area_c
+         FROM $ZON""",
+    "q27_transform" ->
+      s"""SELECT image_id,
+         CAST(FLOOR(6378137.0 * RADIANS(lon)) AS BIGINT) AS merc_x_m,
+         CAST(FLOOR(6378137.0 * 0.5 * LN((1 + SIN(RADIANS(lat))) / (1 - SIN(RADIANS(lat))))) AS BIGINT) AS merc_y_m
+         FROM $IMG""",
+    "q28_distance" ->
+      s"""SELECT CAST(substr(a.image_id, 4, 8) AS BIGINT) AS iid,
+         SQRT((a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat)) AS dist
+         FROM $IMG a JOIN $IMG b
+           ON CAST(substr(a.image_id, 4, 8) AS BIGINT) = CAST(substr(b.image_id, 4, 8) AS BIGINT) - 1000""",
+        "q23_events_window" ->
       """SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS w, event_type,
          COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2"""

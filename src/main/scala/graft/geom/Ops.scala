@@ -805,4 +805,104 @@ object Ops {
     }
     parts.toArray
   }
+
+  // ---------------- P2 unary operators (SURVEY §2.2 #11/#16/#18/#19) ----------------
+
+  /** Parallel curve at signed distance d (right side for d>0), round joins.
+    * ⟨ref(engine): OperatorOffsetLocal⟩ — lineal input only. */
+  def offset(g: Geometry, d: Double): Geometry = {
+    val (_, lines, _) = Pred.decompose(g)
+    require(lines != null, "st_offset expects lineal input")
+    val parts = lines.filter(_.length >= 4).map { cs0 =>
+      val cs = if (d >= 0) cs0 else {
+        val n = cs0.length / 2
+        val rev = new Array[Double](cs0.length)
+        var i = 0
+        while (i < n) { rev(2*i) = cs0(2*(n-1-i)); rev(2*i+1) = cs0(2*(n-1-i)+1); i += 1 }
+        rev
+      }
+      val out = new ArrayBuffer[Double](cs.length * 2)
+      sideOffset(cs, math.abs(d), out)
+      out.toArray
+    }.filter(_.length >= 4)
+    if (parts.length == 1) LineString(parts(0)) else MultiLineString(parts)
+  }
+
+  /** Visvalingam–Whyatt: drop vertices whose effective triangle area < minArea.
+    * ⟨ref(engine): OperatorGeneralizeByAreaLocal (fork addition)⟩ */
+  def generalizeByArea(g: Geometry, minArea: Double): Geometry = {
+    def vw(cs: Array[Double], minPts: Int): Array[Double] = {
+      var pts = ArrayBuffer.tabulate(cs.length / 2)(i => (cs(2*i), cs(2*i+1)))
+      var changed = true
+      while (changed && pts.length > minPts) {
+        changed = false
+        var bestIdx = -1
+        var bestArea = minArea
+        var i = 1
+        while (i < pts.length - 1) {
+          val a = math.abs(Pred.orient(pts(i-1)._1, pts(i-1)._2, pts(i)._1, pts(i)._2,
+            pts(i+1)._1, pts(i+1)._2)) / 2
+          if (a < bestArea) { bestArea = a; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx > 0) { pts.remove(bestIdx); changed = true }
+      }
+      pts.toArray.flatMap(p => Array(p._1, p._2))
+    }
+    g match {
+      case l: LineString => LineString(vw(l.coords, 2))
+      case m: MultiLineString => MultiLineString(m.lines.map(vw(_, 2)))
+      case p: Polygon => Polygon(p.rings.map(vw(_, 4)).filter(_.length >= 8))
+      case m: MultiPolygon =>
+        MultiPolygon(m.polys.map(_.map(vw(_, 4)).filter(_.length >= 8)).filter(_.nonEmpty))
+      case other => other
+    }
+  }
+
+  /** Buffer in METERS on the sphere via a local equirectangular projection
+    * around the geometry's centroid — documented approximation, accurate for
+    * feature extents ≪ Earth radius ⟨ref(engine): OperatorGeodesicBufferLocal⟩. */
+  def geodesicBuffer(g: Geometry, meters: Double): Geometry = {
+    val env = g.envelope
+    val lon0 = (env.xmin + env.xmax) / 2
+    val lat0 = (env.ymin + env.ymax) / 2
+    val cosLat = math.cos(math.toRadians(lat0))
+    val local = mapCoords(g, (lon, lat) =>
+      (EARTH_R * math.toRadians(lon - lon0) * cosLat, EARTH_R * math.toRadians(lat - lat0)))
+    val buffered = buffer(local, meters)
+    mapCoords(buffered, (x, y) =>
+      (lon0 + math.toDegrees(x / (EARTH_R * cosLat)), lat0 + math.toDegrees(y / EARTH_R)))
+  }
+
+  /** Densify so no segment exceeds maxMeters of great-circle length
+    * ⟨ref(engine): OperatorGeodeticDensifyLocal⟩ (chord interpolation in
+    * lon/lat — adequate at sub-degree segment scale, documented). */
+  def geodeticDensify(g: Geometry, maxMeters: Double): Geometry = {
+    require(maxMeters > 0, "maxMeters must be positive")
+    def dens(cs: Array[Double]): Array[Double] = {
+      if (cs.length < 4) return cs
+      val out = new ArrayBuffer[Double](cs.length * 2)
+      out += cs(0); out += cs(1)
+      var i = 0
+      while (i + 3 < cs.length) {
+        val d = haversine(cs(i), cs(i + 1), cs(i + 2), cs(i + 3))
+        val k = math.max(1, math.ceil(d / maxMeters).toInt)
+        var j = 1
+        while (j <= k) {
+          out += cs(i) + (cs(i + 2) - cs(i)) * j / k
+          out += cs(i + 1) + (cs(i + 3) - cs(i + 1)) * j / k
+          j += 1
+        }
+        i += 2
+      }
+      out.toArray
+    }
+    g match {
+      case l: LineString => LineString(dens(l.coords))
+      case m: MultiLineString => MultiLineString(m.lines.map(dens))
+      case p: Polygon => Polygon(p.rings.map(dens))
+      case m: MultiPolygon => MultiPolygon(m.polys.map(_.map(dens)))
+      case other => other
+    }
+  }
 }

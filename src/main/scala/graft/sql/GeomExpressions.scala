@@ -570,3 +570,54 @@ case class StNormY(child: Expression) extends UnaryExpression with ExpectsInputT
     defineCodeGen(ctx, ev, c => s"graft.sql.K.normY($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+abstract class GeomBinaryToGeom extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+}
+case class StIntersection(left: Expression, right: Expression) extends GeomBinaryToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StDifference(left: Expression, right: Expression) extends GeomBinaryToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.difference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StUnion(left: Expression, right: Expression) extends GeomBinaryToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.unionGeom(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StSymDifference(left: Expression, right: Expression) extends GeomBinaryToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.symDifference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+abstract class GeomDoubleToGeom extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+}
+case class StOffset(left: Expression, right: Expression) extends GeomDoubleToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.offset(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StGeneralizeArea(left: Expression, right: Expression) extends GeomDoubleToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.generalizeArea(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StGeodesicBuffer(left: Expression, right: Expression) extends GeomDoubleToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.geodesicBuffer(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StGeodeticDensify(left: Expression, right: Expression) extends GeomDoubleToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.geodeticDensify(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -65,6 +65,15 @@ object GraftFunctions {
     "st_closest_point" -> (e => StClosestPoint(e(0), e(1), e(2))),
     "st_random_points" -> (e => StRandomPoints(e(0), e(1), e(2))),
     "st_cut" -> (e => StCut(e(0), e(1))),
+    // binary overlay (§2.3, staged — see graft.geom.Overlay)
+    "st_intersection" -> (e => StIntersection(e(0), e(1))),
+    "st_difference" -> (e => StDifference(e(0), e(1))),
+    "st_union" -> (e => StUnion(e(0), e(1))),
+    "st_symdifference" -> (e => StSymDifference(e(0), e(1))),
+    "st_offset" -> (e => StOffset(e(0), e(1))),
+    "st_generalize_area" -> (e => StGeneralizeArea(e(0), e(1))),
+    "st_geodesic_buffer" -> (e => StGeodesicBuffer(e(0), e(1))),
+    "st_geodetic_densify" -> (e => StGeodeticDensify(e(0), e(1))),
     // cells / tiles (§2.6)
     "st_cellid" -> (e => StCellId(e(0), e(1), e(2))),
     "st_tile_x" -> (e => StTileX(e(0), e(1))),

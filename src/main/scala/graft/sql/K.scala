@@ -114,6 +114,25 @@ object K {
   def cut(b: Array[Byte], blade: Array[Byte]): Array[Array[Byte]] =
     Ops.cut(rd(b), rd(blade)).map(wr)
 
+  // ---- binary overlay (§2.3, staged) ----
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    wr(Ops.simplify(Overlay.intersection(rd(a), rd(b))))
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    wr(Ops.simplify(Overlay.difference(rd(a), rd(b))))
+  def unionGeom(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    wr(Ops.simplify(Overlay.union(rd(a), rd(b))))
+  def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    wr(Ops.simplify(Overlay.symDifference(rd(a), rd(b))))
+
+  // ---- P2 unary operators ----
+  def offset(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.offset(rd(b), d))
+  def generalizeArea(b: Array[Byte], minArea: Double): Array[Byte] =
+    wr(Ops.generalizeByArea(rd(b), minArea))
+  def geodesicBuffer(b: Array[Byte], meters: Double): Array[Byte] =
+    wr(Ops.simplify(Ops.geodesicBuffer(rd(b), meters)))
+  def geodeticDensify(b: Array[Byte], maxMeters: Double): Array[Byte] =
+    wr(Ops.geodeticDensify(rd(b), maxMeters))
+
   // ---- cells / tiles (§2.6 #44/#48) ----
   def cellId(lon: Double, lat: Double, level: Int): Long = Cells.cellId(lon, lat, level)
   def cellIdNorm(nx: Double, ny: Double, level: Int): Long = Cells.cellIdNorm(nx, ny, level)
