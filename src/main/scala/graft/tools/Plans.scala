@@ -1,0 +1,23 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans of the flagship queries (plan hygiene
+  * review: pushdown, pruning, broadcast, codegen spans — SURVEY §4). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("q07_pip_join", "q08_pip_tile", "q01_pricing_agg", "q06_cellid").foreach { q =>
+      println(s"===== $q =====")
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}
