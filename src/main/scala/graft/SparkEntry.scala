@@ -101,6 +101,10 @@ object SparkEntry {
       SpatialJoins.pipJoin(GeoTables.images(s, dir), GeoTables.zones(s, dir), level = 8)
         .select(col("zone_id"), col("image_id"))
     }),
+    "q29_pip_rtree" -> ((s, dir) => {
+      SpatialJoins.pipJoinRtree(GeoTables.images(s, dir), GeoTables.zones(s, dir))
+        .select(col("zone_id"), col("image_id"))
+    }),
     "q08_pip_tile" -> ((s, dir) => {
       GraftFunctions.install(s)
       SpatialJoins.pipJoin(GeoTables.images(s, dir), GeoTables.zones(s, dir), level = 8)
@@ -344,6 +348,10 @@ object SparkEntry {
       s"""SELECT image_id, ${graft.cell.Cells.mortonSqlExpr("lon", "lat", 12)} AS cell12
          FROM $IMG""",
     "q07_pip_join" ->
+      s"""SELECT z.zone_id, i.image_id
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax""",
+    "q29_pip_rtree" ->
       s"""SELECT z.zone_id, i.image_id
          FROM $IMG i JOIN $ZON z
            ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax""",

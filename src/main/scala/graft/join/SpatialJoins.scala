@@ -46,6 +46,22 @@ object SpatialJoins {
   }
 
   /**
+   * PIP join via a plan-embedded broadcast STR R-tree (#45 alternative to
+   * the cell join): the tree over all zone polygons is built driver-side,
+   * shipped in the plan, and probed per image row — zero shuffle, zero
+   * explode, exact refine inside the probe. Preferable when zones are few
+   * and covers would be large; the cell join wins when the polygon side is
+   * itself big (see BENCH.md).
+   */
+  def pipJoinRtree(images: DataFrame, zones: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    GraftFunctions.install(spark)
+    val treeBytes = graft.join.RTree.toBytes(graft.join.RTree.fromZones(zones))
+    images.withColumn("zone_id",
+      explode(call_function("rtree_probe", lit(treeBytes), col("lon"), col("lat"))))
+  }
+
+  /**
    * Batch kNN via iterative ring expansion over sorted cell ids (#47).
    *
    * Metric: squared euclidean distance in the normalized web-mercator unit

@@ -106,6 +106,7 @@ object GraftFunctions {
     "text_jaccard" -> (e => TextJaccard(e(0), e(1))),
     "text_ngram_jaccard" -> (e => TextNgramJaccard(e(0), e(1), e(2))),
     "text_shingles" -> (e => TextShingles(e(0), e(1))),
+    "rtree_probe" -> (e => RtreeProbe(e(0), e(1), e(2))),
     // embedding vectors
     "vec_dot" -> (e => VecDot(e(0), e(1))),
     "vec_dot_q" -> (e => VecDotQ(e(0), e(1))),

@@ -198,3 +198,21 @@ case class VecDotQ(left: Expression, right: Expression) extends BinaryExpression
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** rtree_probe(serializedTree, lon, lat) → array<string> of matching zone
+  * ids — the broadcast STR R-tree PIP path (SURVEY §2.6 #45). The tree
+  * bytes ride in the plan as a Literal; executors deserialize once per JVM
+  * via RTree.fromBytesCached. */
+case class RtreeProbe(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val tree = graft.join.RTree.fromBytesCached(a.asInstanceOf[Array[Byte]])
+    val ids = tree.probe(b.asInstanceOf[Double], c.asInstanceOf[Double])
+    new GenericArrayData(ids.map(UTF8String.fromString).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
