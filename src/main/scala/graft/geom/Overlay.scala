@@ -211,9 +211,23 @@ object Overlay {
     if (cb != null) return clipPolygonalByConvex(pa, cb)
     val ca = convexSide(pa)
     if (ca != null) return clipPolygonalByConvex(pb, ca)
+    // general simple hole-free pair: Greiner-Hormann (proper crossings only)
+    ghAttempt(pa, pb, GreinerHormann.Intersection).foreach(return _)
     throw new UnsupportedOperationException(
-      "general concave x concave polygon overlay requires the plane-sweep core (P2); " +
-        "supported today: containment/disjoint pairs and clipping by a convex polygon")
+      "polygon overlay for this input needs the snap-rounding plane-sweep core (P2): " +
+        "degenerate boundary contact or holes on both sides")
+  }
+
+  /** Try Greiner-Hormann when both sides are single hole-free rings. */
+  private def ghAttempt(pa: Array[Array[Array[Double]]], pb: Array[Array[Array[Double]]],
+                        op: GreinerHormann.Op): Option[Geometry] = {
+    if (pa.length == 1 && pa(0).length == 1 && pb.length == 1 && pb(0).length == 1) {
+      try {
+        GreinerHormann.clip(pa(0)(0), pb(0)(0), op).map(GreinerHormann.assemble)
+      } catch {
+        case _: GreinerHormann.Degenerate => None
+      }
+    } else None
   }
 
   /** Sutherland–Hodgman against each half-plane of a convex CCW clip ring. */
@@ -320,8 +334,19 @@ object Overlay {
     } else if (aa != null && ba != null) {
       if (Pred.disjoint(a, b)) a
       else if (Pred.covers(b, a)) GeometryCollection(Array.empty)
-      else throw new UnsupportedOperationException(
-        "polygon difference needs the plane-sweep core (P2) except disjoint/contained pairs")
+      else ghAttempt(aa, ba, GreinerHormann.DifferenceAB).getOrElse {
+        // no proper boundary crossings: B strictly inside A → punch a hole
+        if (aa.length == 1 && ba.length == 1 && ba(0).length == 1 && Pred.contains(a, b)) {
+          val r = ba(0)(0)
+          val holeCW = if (Ops.signedRingArea(r) < 0) r
+            else {
+              val n = r.length / 2
+              Array.tabulate(n)(i => Array(r(2*(n-1-i)), r(2*(n-1-i)+1))).flatten
+            }
+          Polygon(aa(0) :+ holeCW)
+        } else throw new UnsupportedOperationException(
+          "polygon difference for this input needs the plane-sweep core (P2)")
+      }
     } else throw new UnsupportedOperationException(
       s"difference(${a.getClass.getSimpleName}, ${b.getClass.getSimpleName}) staged for P2")
   }
@@ -344,9 +369,9 @@ object Overlay {
       if (Pred.covers(a, b)) a
       else if (Pred.covers(b, a)) b
       else if (Pred.disjoint(a, b)) MultiPolygon(aa ++ ba)
-      else throw new UnsupportedOperationException(
-        "overlapping polygon union needs the plane-sweep core (P2); " +
-          "covered today: disjoint/contained pairs and puntal union")
+      else ghAttempt(aa, ba, GreinerHormann.Union).getOrElse(
+        throw new UnsupportedOperationException(
+          "polygon union for this input needs the plane-sweep core (P2)"))
     } else if (al != null && bl != null) {
       if (Pred.disjoint(a, b)) MultiLineString(al ++ bl)
       else throw new UnsupportedOperationException("noding lineal union staged for P2")

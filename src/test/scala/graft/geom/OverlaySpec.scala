@@ -99,11 +99,12 @@ class OverlaySpec extends AnyFunSuite {
     val far = ours("POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))")
     assert(Ops.area(Overlay.union(big, far)) == 101.0)
     assert(Overlay.intersection(big, far).isEmpty)
+    // concave x concave now routes through Greiner-Hormann
     val concaveA = ours("POLYGON ((0 0, 6 0, 6 6, 3 3, 0 6, 0 0))")
-    val concaveB = ours("POLYGON ((1 -1, 7 -1, 7 5, 4 2, 1 5, 1 -1))")
-    intercept[UnsupportedOperationException] {
-      Overlay.intersection(concaveA, concaveB)
-    }
+    val concaveB = ours("POLYGON ((1 -1, 7.3 -1, 7.3 5.2, 4.1 2.2, 1 5.4, 1 -1))")
+    val got = Ops.area(Overlay.intersection(concaveA, concaveB))
+    val want = jts(Wkt.write(concaveA)).intersection(jts(Wkt.write(concaveB))).getArea
+    assert(math.abs(got - want) < 1e-9, s"got=$got want=$want")
   }
 
   test("geodesic buffer ~ planar circle of right radius in meters") {
