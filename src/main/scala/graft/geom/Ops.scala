@@ -466,14 +466,76 @@ object Ops {
       case m: MultiLineString => MultiPolygon(m.lines.map(cs => Array(lineBufferRing(cs, d))))
       case p: Polygon =>
         if (p.isEmpty) p
-        else Polygon(Array(ringOffsetOutward(orientRing(dedupe(p.rings(0), true), ccw = true), d)))
-        // holes shrink under positive buffer; dropping them is exact once hole "radius" < d,
-        // and a documented approximation otherwise (P2 overlay makes this exact).
+        else bufferPolygonal(Array(p.rings), d)
       case m: MultiPolygon =>
-        MultiPolygon(m.polys.filter(_.nonEmpty).map(rs =>
-          Array(ringOffsetOutward(orientRing(dedupe(rs(0), true), ccw = true), d))))
+        bufferPolygonal(m.polys.filter(_.nonEmpty), d)
       case c: GeometryCollection => GeometryCollection(c.geoms.map(buffer(_, d)))
     }
+  }
+
+  /** Exact-union buffer of hole-free shells (capsule accretion via the
+    * Greiner–Hormann overlay); falls back to the miter-offset approximation
+    * on degenerate contact or when an intermediate union grows holes. */
+  private def bufferPolygonal(polys: Array[Array[Array[Double]]], d: Double): Geometry = {
+    def approx(rings: Array[Array[Double]]): Array[Array[Double]] =
+      Array(ringOffsetOutward(orientRing(dedupe(rings(0), true), ccw = true), d))
+    val parts = polys.map { rings =>
+      if (rings.length == 1) {
+        try bufferShellExact(rings(0), d)
+        catch { case _: UnsupportedOperationException | _: GreinerHormann.Degenerate =>
+          approx(rings) }
+      } else approx(rings) // holes shrink under positive buffer (documented approx)
+    }
+    if (parts.length == 1) Polygon(parts(0)) else MultiPolygon(parts)
+  }
+
+  private def bufferShellExact(shell0: Array[Double], d: Double): Array[Array[Double]] = {
+    val shell = orientRing(dedupe(shell0, closeRing = true), ccw = true)
+    var acc: Geometry = Polygon(Array(shell))
+    val n = shell.length / 2 - 1
+    var i = 0
+    while (i < n) {
+      val cap = capsule(shell(2 * i), shell(2 * i + 1),
+        shell(2 * ((i + 1) % n)), shell(2 * ((i + 1) % n) + 1), d, phase = i + 1)
+      acc = Overlay.union(acc, cap)
+      acc match {
+        case p: Polygon if p.rings.length > 1 =>
+          // cavity appeared mid-accretion — GH union can't continue with holes
+          throw new UnsupportedOperationException("buffer cavity (fallback)")
+        case _: MultiPolygon =>
+          throw new UnsupportedOperationException("buffer split (fallback)")
+        case _ =>
+      }
+      i += 1
+    }
+    acc.asInstanceOf[Polygon].rings
+  }
+
+  /** Convex capsule (stadium) around a segment; `phase` rotates the arc
+    * sample grid so adjacent capsules never share vertices (keeps the GH
+    * union free of coincident-edge degeneracies). */
+  private def capsule(ax: Double, ay: Double, bx: Double, by: Double,
+                      d: Double, phase: Int): Polygon = {
+    val theta = math.atan2(by - ay, bx - ax)
+    val dPhi = 2 * math.Pi / CIRCLE_SEGS
+    val shift = dPhi * ((phase * 0.137) % 1.0)
+    val out = new ArrayBuffer[Double](CIRCLE_SEGS * 2 + 8)
+    // semicircle around b from theta-90° to theta+90° (CCW), then around a
+    var k = 0
+    val half = CIRCLE_SEGS / 2
+    while (k <= half) {
+      val a0 = theta - math.Pi / 2 + shift + math.Pi * k / half
+      out += bx + d * math.cos(a0); out += by + d * math.sin(a0)
+      k += 1
+    }
+    k = 0
+    while (k <= half) {
+      val a0 = theta + math.Pi / 2 + shift + math.Pi * k / half
+      out += ax + d * math.cos(a0); out += ay + d * math.sin(a0)
+      k += 1
+    }
+    out += out(0); out += out(1)
+    Polygon(Array(dedupe(out.toArray, closeRing = true)))
   }
 
   def circle(cx: Double, cy: Double, r: Double): Polygon = {

@@ -1,0 +1,50 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.io.WKTReader
+
+/** Buffer vs JTS on concave polygons (capsule-union path). */
+class BufferSpec extends AnyFunSuite {
+
+  val reader = new WKTReader()
+  var state = 777L
+  def frac(): Double = {
+    state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+    (state >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  def star(cx: Double, cy: Double, rMax: Double): Array[Double] = {
+    val n = 5 + (frac() * 7).toInt
+    val angles = Array.fill(n)(frac() * 2 * math.Pi).sorted
+    val ring = new Array[Double]((n + 1) * 2)
+    var i = 0
+    while (i < n) {
+      val r = rMax * (0.3 + 0.7 * frac())
+      ring(2 * i) = cx + r * math.cos(angles(i))
+      ring(2 * i + 1) = cy + r * math.sin(angles(i))
+      i += 1
+    }
+    ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
+    ring
+  }
+
+  test("concave polygon buffer area within 1% of JTS; contains the input") {
+    var exercised = 0
+    (0 until 120).foreach { _ =>
+      val ring = star(5, 5, 3 + frac() * 2)
+      val g = Polygon(Array(ring))
+      val j = reader.read(Wkt.write(g))
+      if (j.isValid) {
+        val d = 0.3 + frac() * 1.2
+        val buf = Ops.simplify(Ops.buffer(g, d))
+        val want = j.buffer(d).getArea
+        val got = Ops.area(buf)
+        assert(math.abs(got - want) / want < 0.01,
+          s"poly=${Wkt.write(g)} d=$d got=$got want=$want")
+        assert(Pred.covers(buf, g), s"buffer must cover input: ${Wkt.write(g)} d=$d")
+        exercised += 1
+      }
+    }
+    assert(exercised > 100)
+  }
+}
