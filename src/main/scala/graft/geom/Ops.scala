@@ -675,8 +675,12 @@ object Ops {
     (fromSrid, toSrid) match {
       case (4326, 3857) => mapCoords(g, (x, y) => (lonLatToMercX(x), lonLatToMercY(y)))
       case (3857, 4326) => mapCoords(g, (x, y) => (mercToLon(x), mercToLat(y)))
+      case (4326, utm) if utm >= 32601 && utm <= 32760 =>
+        mapCoords(g, (lon, lat) => Utm.forward(lon, lat, utm))
+      case (utm, 4326) if utm >= 32601 && utm <= 32760 =>
+        mapCoords(g, (x, y) => Utm.inverse(x, y, utm))
       case _ => throw new IllegalArgumentException(
-        s"unsupported transform $fromSrid->$toSrid (supported: 4326<->3857)")
+        s"unsupported transform $fromSrid->$toSrid (supported: 4326<->3857, 4326<->326xx/327xx UTM)")
     }
   }
 

@@ -183,4 +183,22 @@ object SpatialJoins {
     pts.unpersist()
     spark.createDataset(out.toSeq).toDF("q_id", "p_id", "d2", "rank")
   }
+
+  /**
+   * Hot-key salting (#50): two-phase aggregation that spreads a skewed key
+   * (e.g. the hot cell holding 20% of all rows) over `salt` reducers before
+   * the final combine. AQE's skew-split handles joins; this handles the
+   * aggregation path when a single key exceeds one reducer's capacity.
+   */
+  def withSalt(df: DataFrame, idCol: String, salt: Int): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salt)))
+
+  /** Skew-safe count per key: partial count per (key, salt), then combine. */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], idCol: String, salt: Int): DataFrame = {
+    val salted = withSalt(df, idCol, salt)
+    val partial = salted.groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_partial"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_partial")).cast("long").as("n"))
+  }
 }

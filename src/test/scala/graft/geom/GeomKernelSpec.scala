@@ -225,3 +225,34 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(c == Point(2, 2))
   }
 }
+
+class UtmSpec extends AnyFunSuite {
+  test("UTM golden values and round-trip") {
+    // central meridian of zone 33N at the equator → (500000, 0)
+    val (x0, y0) = Utm.forward(15.0, 0.0, 32633)
+    assert(math.abs(x0 - 500000.0) < 1e-6 && math.abs(y0) < 1e-6)
+    // meridian arc for the first degree (~110574.4 m) scaled by k0 = 0.9996
+    val (_, y1) = Utm.forward(15.0, 1.0, 32633)
+    assert(math.abs(y1 - 110574.39 * 0.9996) < 1.0, s"y1=$y1")
+    // southern hemisphere false northing
+    val (_, ys) = Utm.forward(15.0, -1.0, 32733)
+    assert(ys > 9.8e6 && ys < 1e7)
+    // round-trips across the zone
+    var lon = 12.0
+    while (lon <= 18.0) {
+      var lat = -80.0
+      while (lat <= 80.0) {
+        val (x, y) = Utm.forward(lon, lat, 32633)
+        val (lon2, lat2) = Utm.inverse(x, y, 32633)
+        assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7, // series ~1 mm
+          s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+        lat += 7.3
+      }
+      lon += 1.1
+    }
+    // via the geometry API
+    val p = Ops.transform(Point(12.5, 41.9), 4326, 32633).asInstanceOf[Point]
+    val back = Ops.transform(p, 32633, 4326).asInstanceOf[Point]
+    assert(math.abs(back.x - 12.5) < 1e-8 && math.abs(back.y - 41.9) < 1e-8)
+  }
+}
