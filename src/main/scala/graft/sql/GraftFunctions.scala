@@ -119,7 +119,7 @@ object GraftFunctions {
 
   @volatile private var installedSessions = Set.empty[SparkSession]
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration (functions + optimizer rule). */
   def install(spark: SparkSession): SparkSession = {
     if (!installedSessions.contains(spark)) synchronized {
       if (!installedSessions.contains(spark)) {
@@ -127,6 +127,9 @@ object GraftFunctions {
         fns.foreach { case (name, builder) =>
           reg.createOrReplaceTempFunction(name, builder, "built-in")
         }
+        if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[SpatialJoinRewrite]))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ SpatialJoinRewrite()
         installedSessions += spark
       }
     }

@@ -1,0 +1,62 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Optimizer rule (SURVEY.md §4.2 row "st_intersects join-condition
+ * auto-rewrite"): an inner join whose ONLY condition is the PIP predicate
+ * `st_intersects_xy(geom, lon, lat)` would plan as a nested-loop join —
+ * O(|points|·|zones|). Rewrite it to the cell-prefix form the manual API
+ * (SpatialJoins.pipJoin) uses:
+ *
+ *   points ⋈_{pip(g,x,y)} zones
+ *     ⇒ (points + st_cellid(x,y,L)) ⋈_{cell = cover_cell ∧ pip(g,x,y)}
+ *       (zones + explode(st_cover(g, L)))
+ *
+ * The added equi-key lets the planner pick hash joins (and AQE handle
+ * sizing); the original predicate remains as the exact refine, so results
+ * are identical. Injected via `spark.experimental.extraOptimizations` or
+ * the [[GraftExtensions]] SparkSessionExtensions class.
+ */
+case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond @ StIntersectsXY(g, lon, lat)), hint) =>
+      val sides =
+        if (g.references.subsetOf(right.outputSet) &&
+            (lon.references ++ lat.references).subsetOf(left.outputSet))
+          Some((left, right, false))
+        else if (g.references.subsetOf(left.outputSet) &&
+                 (lon.references ++ lat.references).subsetOf(right.outputSet))
+          Some((right, left, true))
+        else None
+      sides match {
+        case Some((ptSide, geomSide, flipped)) =>
+          val cellAlias = Alias(StCellId(lon, lat, Literal(level)), "_pip_cell")()
+          val newPts = Project(ptSide.output :+ cellAlias, ptSide)
+          val coverAttr = AttributeReference("_pip_cover_cell", LongType, nullable = false)()
+          val gen = Generate(Explode(StCover(g, Literal(level))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(coverAttr), child = geomSide)
+          val newCond = And(EqualTo(cellAlias.toAttribute, coverAttr), cond)
+          val rewritten =
+            if (flipped) Join(gen, newPts, Inner, Some(newCond), hint)
+            else Join(newPts, gen, Inner, Some(newCond), hint)
+          Project(j.output, rewritten)
+        case None => j
+      }
+  }
+}
+
+/** `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` —
+  * injects the spatial-join rewrite (functions install via GraftFunctions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => SpatialJoinRewrite())
+  }
+}

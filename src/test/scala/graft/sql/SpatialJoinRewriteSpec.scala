@@ -1,0 +1,51 @@
+package graft.sql
+
+import graft.data.GeoTables
+import graft.join.SpatialJoins
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The naive PIP join is auto-rewritten to the cell equi-join and returns
+  * identical rows to both the manual API and a brute-force evaluation. */
+class SpatialJoinRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("join on st_intersects_xy alone plans as a hash join with identical results") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    GeoTables.ensure(spark, sfDir)
+    val images = GeoTables.images(spark, sfDir).select("image_id", "lon", "lat")
+    val zones = GeoTables.zones(spark, sfDir)
+      .withColumn("zone_geom", call_function("st_geomfromwkt", col("wkt")))
+      .select("zone_id", "zone_geom")
+
+    val naive = images.join(zones,
+      call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rewrite did not fire:\n$plan")
+
+    val got = naive.select("zone_id", "image_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = SpatialJoins.pipJoin(GeoTables.images(spark, sfDir), GeoTables.zones(spark, sfDir))
+      .select("zone_id", "image_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+
+    // flipped sides also rewrite
+    val flipped = zones.join(images,
+      call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
+    val planF = flipped.queryExecution.executedPlan.toString
+    assert(!planF.contains("BroadcastNestedLoopJoin") && !planF.contains("CartesianProduct"))
+    val gotF = flipped.select("zone_id", "image_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotF == want)
+  }
+}
