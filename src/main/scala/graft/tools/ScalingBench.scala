@@ -49,6 +49,23 @@ object ScalingBench {
       .agg(sum("n")).collect()(0).getLong(0)
   }
 
+  /** Pure register-arithmetic spin at N threads → seconds. Calibrates the
+    * host's attainable thread-scaling ceiling in the same session (this VM
+    * shows hypervisor steal: guest-idle with loadavg>10 from co-tenants). */
+  def spinSeconds(threads: Int, perThreadOps: Long = 2_000_000_000L): Double = {
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => {
+        var s = 0L
+        var j = 0L
+        while (j < perThreadOps) { s += j * 31 + (s >>> 3); j += 1 }
+        if (s == 42) println("x")
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfName = sys.env.getOrElse("SPARK_GRAFT_SCALE_SF", "sf0.5")
     val sfDir = s"/root/testdata/$sfName" // only the name matters to GeoTables
@@ -78,13 +95,18 @@ object ScalingBench {
       (times.sorted.apply(times.length / 2), times, rows)
     }
 
+    val spin8a = spinSeconds(8)
+    val spin32a = spinSeconds(32)
     val (t8, all8, rows8) = measure(8)
     val (t32, all32, rows32) = measure(32)
+    val spin8b = spinSeconds(8)
+    val spin32b = spinSeconds(32)
+    val spinEff = ((spin8a + spin8b) / (spin32a + spin32b)) / 4.0
     System.err.println(s"runs8=${all8.map(t => f"$t%.1f").mkString(",")} runs32=${all32.map(t => f"$t%.1f").mkString(",")}")
     require(rows8 == rows32, s"row mismatch: $rows8 vs $rows32")
     val thr8 = nImages / t8
     val thr32 = nImages / t32
     val eff = (thr32 / thr8) / 4.0
-    println(f"""{"metric":"scaling_efficiency_8_to_32","value":$eff%.3f,"unit":"ratio","t8_sec":$t8%.2f,"t32_sec":$t32%.2f,"images_per_sec_8":${thr8.toLong},"images_per_sec_32":${thr32.toLong},"join_rows":$rows8,"n_images":$nImages,"sf":"$sfName","runs":$runs}""")
+    println(f"""{"metric":"scaling_efficiency_8_to_32","value":$eff%.3f,"unit":"ratio","t8_sec":$t8%.2f,"t32_sec":$t32%.2f,"images_per_sec_8":${thr8.toLong},"images_per_sec_32":${thr32.toLong},"join_rows":$rows8,"n_images":$nImages,"sf":"$sfName","runs":$runs,"host_spin_ceiling_eff":$spinEff%.3f,"eff_vs_host_ceiling":${eff / spinEff}%.3f}""")
   }
 }
