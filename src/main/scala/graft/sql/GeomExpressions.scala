@@ -621,3 +621,33 @@ case class StGeodeticDensify(left: Expression, right: Expression) extends GeomDo
     K.geodeticDensify(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** st_collect(array<binary>) → GeometryCollection WKB. */
+case class StCollect(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    K.collect(Array.tabulate(arr.numElements())(i => arr.getBinary(i)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** st_dump(geom) → array<binary> of atomic parts (server-stream shape). */
+case class StDump(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.dump(v.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StNumGeometries(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = K.numGeometries(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.numGeometries($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

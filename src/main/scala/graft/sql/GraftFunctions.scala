@@ -65,6 +65,9 @@ object GraftFunctions {
     "st_closest_point" -> (e => StClosestPoint(e(0), e(1), e(2))),
     "st_random_points" -> (e => StRandomPoints(e(0), e(1), e(2))),
     "st_cut" -> (e => StCut(e(0), e(1))),
+    "st_collect" -> (e => StCollect(e.head)),
+    "st_dump" -> (e => StDump(e.head)),
+    "st_num_geometries" -> (e => StNumGeometries(e.head)),
     // binary overlay (§2.3, staged — see graft.geom.Overlay)
     "st_intersection" -> (e => StIntersection(e(0), e(1))),
     "st_difference" -> (e => StDifference(e(0), e(1))),

@@ -133,6 +133,24 @@ object K {
   def geodeticDensify(b: Array[Byte], maxMeters: Double): Array[Byte] =
     wr(Ops.geodeticDensify(rd(b), maxMeters))
 
+  // ---- collections ----
+  def collect(parts: Array[Array[Byte]]): Array[Byte] =
+    wr(GeometryCollection(parts.map(rd)))
+  def dump(b: Array[Byte]): Array[Array[Byte]] = rd(b) match {
+    case c: GeometryCollection => c.geoms.map(wr)
+    case m: MultiPoint => (0 until m.numPoints).toArray.map(i => wr(Point(m.coords(2*i), m.coords(2*i+1))))
+    case m: MultiLineString => m.lines.map(l => wr(LineString(l)))
+    case m: MultiPolygon => m.polys.map(p => wr(Polygon(p)))
+    case g => Array(wr(g))
+  }
+  def numGeometries(b: Array[Byte]): Int = rd(b) match {
+    case c: GeometryCollection => c.geoms.length
+    case m: MultiPoint => m.numPoints
+    case m: MultiLineString => m.lines.length
+    case m: MultiPolygon => m.polys.length
+    case g => if (g.isEmpty) 0 else 1
+  }
+
   // ---- cells / tiles (§2.6 #44/#48) ----
   def cellId(lon: Double, lat: Double, level: Int): Long = Cells.cellId(lon, lat, level)
   def cellIdNorm(nx: Double, ny: Double, level: Int): Long = Cells.cellIdNorm(nx, ny, level)

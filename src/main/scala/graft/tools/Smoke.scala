@@ -80,6 +80,14 @@ object Smoke {
         .show(3)
     }
 
+    // collection utilities round-trip
+    spark.sql("""
+      SELECT st_num_geometries(st_collect(array(
+               st_geomfromwkt('POINT (1 2)'),
+               st_geomfromwkt('LINESTRING (0 0, 1 1)')))) AS n_parts,
+             size(st_dump(st_geomfromwkt('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))'))) AS n_dumped
+    """).show()
+
     println("SMOKE OK")
     spark.stop()
   }
