@@ -83,12 +83,13 @@ object SparkEntry {
       active.intersect(rich)
     }),
     "q05_semi_anti" -> ((s, dir) => {
+      // single lazy job: left join against distinct custkeys, count matched /
+      // unmatched in one aggregate (no eager .count() inside the builder)
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
-      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
-      import s.implicits._
-      Seq((withO, withoutO)).toDF("n_with_orders", "n_without_orders")
+      val o = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .agg(count(when(col("o_custkey").isNotNull, 1)).as("n_with_orders"),
+             count(when(col("o_custkey").isNull, 1)).as("n_without_orders"))
     }),
 
     // ---------------- cells / spatial joins / tiling (§2.6) ----------------
@@ -192,12 +193,21 @@ object SparkEntry {
     }),
     "q19_simhash_near" -> ((s, dir) => {
       GraftFunctions.install(s)
+      // pigeonhole multi-index: split the 64-bit simhash into 13 chunks
+      // (12×5 bits + 1×4); any pair with hamming ≤ 12 differs in ≤ 12 bit
+      // positions, so at least one chunk is bit-identical. Equi-join on
+      // (source, chunk_idx, chunk_val) replaces the O(n²) per-source join;
+      // hamming refine + distinct removes multi-chunk duplicates.
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), call_function("text_simhash", col("text")).as("sim"))
-      val a = d.select(col("doc_id").as("a"), col("source"), col("sim").as("sim_a"))
-      val b = d.select(col("doc_id").as("b"), col("source"), col("sim").as("sim_b"))
-      a.join(b, "source").where(col("a") < col("b"))
+        .withColumn("ci", explode(sequence(lit(0), lit(12))))
+        .withColumn("cv", expr(
+          "CASE WHEN ci < 12 THEN shiftright(sim, 5*ci) & 31L ELSE shiftright(sim, 60) & 15L END"))
+      val a = d.select(col("doc_id").as("a"), col("source"), col("ci"), col("cv"), col("sim").as("sim_a"))
+      val b = d.select(col("doc_id").as("b"), col("source"), col("ci"), col("cv"), col("sim").as("sim_b"))
+      a.join(b, Seq("source", "ci", "cv")).where(col("a") < col("b"))
         .where(call_function("bit_hamming", col("sim_a"), col("sim_b")) <= 12)
+        .select(col("a"), col("b")).distinct()
         .agg(count(lit(1)).as("n_near_pairs"))
     }),
     "q20_ngram_jaccard" -> ((s, dir) => {

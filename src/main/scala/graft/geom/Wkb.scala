@@ -84,6 +84,9 @@ object Wkb {
     val order = buf.get()
     buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val rawType = buf.getInt()
+    if ((rawType & 0x80000000) != 0 || (rawType & 0x40000000) != 0)
+      throw new IllegalArgumentException(
+        s"unsupported WKB type $rawType: EWKB Z/M flag set (2D ISO WKB only)")
     val t = rawType & 0x1FFFFFFF
     if ((rawType & 0x20000000) != 0) buf.getInt() // tolerate + skip EWKB SRID
     if (t < 1 || t > 7) // 2D only: 1001-style Z/M ids rejected loudly

@@ -97,7 +97,10 @@ object RTree {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, RTree]()
 
   def fromBytesCached(bytes: Array[Byte]): RTree = {
-    val key = java.util.Arrays.hashCode(bytes) + ":" + bytes.length
+    // collision-resistant key: two different zone sets in a long-lived
+    // executor must never alias to the same cached tree
+    val key = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
     var t = cache.get(key)
     if (t == null) {
       val ois = new java.io.ObjectInputStream(

@@ -39,49 +39,85 @@ object TileJob {
     val done = prev.map(_.buckets.map(_.bucket).toSet).getOrElse(Set.empty)
     val jobId = s"tile-z$zoom-L$bucketLevel"
 
-    val images = spark.read.parquet(imagesPath)
-      .withColumn("bucket_cell",
-        call_function("st_cellid", col("lon"), col("lat"), lit(bucketLevel)))
+    val pending = (0 until nBuckets).filterNot(done.contains)
 
+    // ONE pass over the input for all pending buckets (the per-bucket
+    // `where(bucket_cell === b)` of the old design got no parquet pushdown
+    // — bucket_cell is computed — so it rescanned the input once per
+    // bucket). Big buckets split across tasks by (cell, image_id) ranges
+    // instead of a coalesce(1) single-task choke; dynamic partition
+    // overwrite only replaces the bucket dirs we actually write, so
+    // committed buckets from a previous run are never touched.
+    if (pending.nonEmpty) {
+      val nParts = math.max(spark.sparkContext.defaultParallelism, pending.size)
+      spark.read.parquet(imagesPath)
+        .withColumn("bucket",
+          call_function("st_cellid", col("lon"), col("lat"), lit(bucketLevel)))
+        .where(col("bucket").isInCollection(pending.map(_.toLong)))
+        .withColumn("tx", call_function("st_tile_x", col("lon"), lit(zoom)))
+        .withColumn("ty", call_function("st_tile_y", col("lat"), lit(zoom)))
+        .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(zoom)))
+        .withColumn("phash_ok", call_function("img_phash", col("bytes")) === col("phash"))
+        .select(col("bucket"), col("image_id"), col("caption"), col("w"), col("h"),
+          col("fmt"), col("lon"), col("lat"), col("cell"), col("tx"), col("ty"),
+          col("phash"), col("phash_ok"))
+        .repartitionByRange(nParts, col("bucket"), col("cell"), col("image_id"))
+        .sortWithinPartitions("bucket", "cell", "image_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(s"$outRoot/data")
+    }
+
+    // stats + lineage for every pending bucket in one read-back of the
+    // committed files (what readers will see), keyed by bucket
+    val statRows: Map[Long, (Long, Long, Long, Long, Seq[IceLite.LineageRow])] =
+      if (pending.isEmpty) Map.empty
+      else {
+        val dirs = pending.map(b => s"$outRoot/data/bucket=$b")
+          .filter(d => Files.exists(Paths.get(d)))
+        if (dirs.isEmpty) Map.empty
+        else {
+          val back = spark.read
+            .option("basePath", s"$outRoot/data")
+            .parquet(dirs: _*)
+            .withColumn("bucket", col("bucket").cast("long"))
+            .withColumn("pid", spark_partition_id())
+            .withColumn("cs", checksumCol)
+          val lin = back.groupBy("bucket", "pid")
+            .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
+            .collect()
+            .groupBy(_.getLong(0))
+            .map { case (b, rows) =>
+              b -> rows.sortBy(_.getInt(1)).map(r => IceLite.LineageRow(
+                jobId, r.getInt(1), r.getLong(2), r.getLong(2),
+                IceLite.mask53(r.getLong(3)))).toSeq
+            }
+          back.groupBy("bucket").agg(count(lit(1)).as("rows"),
+            min("cell").as("cmin"), max("cell").as("cmax"),
+            expr("bit_xor(cs)").as("cs")).collect().map { r =>
+            r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+              IceLite.mask53(r.getLong(4)), lin.getOrElse(r.getLong(0), Seq.empty)))
+          }.toMap
+        }
+      }
+
+    // per-bucket snapshot commits (driver-only) keep the resume granularity:
+    // a crash between commits loses at most one bucket's bookkeeping
     var entries = prev.map(_.buckets.toVector).getOrElse(Vector.empty)
     var snapId = prev.map(_.snapshotId).getOrElse(0L)
-    var parent = prev.map(_.parentId).getOrElse(-1L)
+    var parent = prev.map(_.snapshotId).getOrElse(-1L)
     var processed = 0
-    (0 until nBuckets).foreach { b =>
-      if (!done.contains(b)) {
-        if (failAfter >= 0 && processed >= failAfter) throw Failpoint(failAfter)
-        val dataDir = s"$outRoot/data/bucket=$b"
-        val slice = images.where(col("bucket_cell") === b)
-          .withColumn("tx", call_function("st_tile_x", col("lon"), lit(zoom)))
-          .withColumn("ty", call_function("st_tile_y", col("lat"), lit(zoom)))
-          .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(zoom)))
-          .withColumn("phash_ok", call_function("img_phash", col("bytes")) === col("phash"))
-          .select("image_id", "caption", "w", "h", "fmt", "lon", "lat",
-            "cell", "tx", "ty", "phash", "phash_ok")
-        // deterministic file layout: one file per bucket, rows sorted by id
-        slice.sortWithinPartitions("image_id").coalesce(1)
-          .write.mode("overwrite").parquet(dataDir)
-        // lineage + stats from the committed files (read-back = what readers see)
-        val committed = spark.read.parquet(dataDir)
-          .withColumn("pid", spark_partition_id())
-          .withColumn("cs", checksumCol)
-        val lineage = committed.groupBy("pid")
-          .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
-          .collect().map { r =>
-            IceLite.LineageRow(jobId, r.getInt(0), r.getLong(1), r.getLong(1),
-              IceLite.mask53(r.getLong(2)))
-          }.toSeq
-        val stats = committed.agg(count(lit(1)).as("rows"),
-          coalesce(min("cell"), lit(Long.MaxValue)).as("cmin"),
-          coalesce(max("cell"), lit(Long.MinValue)).as("cmax"),
-          coalesce(expr("bit_xor(cs)"), lit(0L)).as("cs")).collect()(0)
-        entries :+= IceLite.BucketEntry(b, stats.getLong(0), IceLite.mask53(stats.getLong(3)),
-          stats.getLong(1), stats.getLong(2), dataDir, lineage)
-        snapId += 1
-        IceLite.commit(outRoot, IceLite.Snapshot(snapId, parent, jobId, entries))
-        parent = snapId
-        processed += 1
-      }
+    pending.foreach { b =>
+      if (failAfter >= 0 && processed >= failAfter) throw Failpoint(failAfter)
+      val dataDir = s"$outRoot/data/bucket=$b"
+      val (rows, cmin, cmax, cs, lineage) =
+        statRows.getOrElse(b.toLong, (0L, Long.MaxValue, Long.MinValue, 0L, Seq.empty))
+      entries :+= IceLite.BucketEntry(b, rows, cs, cmin, cmax, dataDir, lineage)
+      snapId += 1
+      IceLite.commit(outRoot, IceLite.Snapshot(snapId, parent, jobId, entries))
+      parent = snapId
+      processed += 1
     }
     IceLite.currentSnapshot(outRoot).getOrElse(
       throw new IllegalStateException("no snapshot after run"))
