@@ -473,42 +473,28 @@ object Ops {
     }
   }
 
-  /** Exact-union buffer of hole-free shells (capsule accretion via the
-    * Greiner–Hormann overlay); falls back to the miter-offset approximation
-    * on degenerate contact or when an intermediate union grows holes. */
+  /** Exact buffer of a polygonal set: the set itself unioned with a
+    * capsule around every boundary segment (shells AND holes — a positive
+    * buffer eats into holes by d, which the capsule union delivers
+    * directly). The snap-rounded overlay core handles every intermediate
+    * degenerate contact and any cavities the accretion produces. */
   private def bufferPolygonal(polys: Array[Array[Array[Double]]], d: Double): Geometry = {
-    def approx(rings: Array[Array[Double]]): Array[Array[Double]] =
-      Array(ringOffsetOutward(orientRing(dedupe(rings(0), true), ccw = true), d))
-    val parts = polys.map { rings =>
-      if (rings.length == 1) {
-        try bufferShellExact(rings(0), d)
-        catch { case _: UnsupportedOperationException | _: GreinerHormann.Degenerate =>
-          approx(rings) }
-      } else approx(rings) // holes shrink under positive buffer (documented approx)
-    }
-    if (parts.length == 1) Polygon(parts(0)) else MultiPolygon(parts)
-  }
-
-  private def bufferShellExact(shell0: Array[Double], d: Double): Array[Array[Double]] = {
-    val shell = orientRing(dedupe(shell0, closeRing = true), ccw = true)
-    var acc: Geometry = Polygon(Array(shell))
-    val n = shell.length / 2 - 1
-    var i = 0
-    while (i < n) {
-      val cap = capsule(shell(2 * i), shell(2 * i + 1),
-        shell(2 * ((i + 1) % n)), shell(2 * ((i + 1) % n) + 1), d, phase = i + 1)
-      acc = Overlay.union(acc, cap)
-      acc match {
-        case p: Polygon if p.rings.length > 1 =>
-          // cavity appeared mid-accretion — GH union can't continue with holes
-          throw new UnsupportedOperationException("buffer cavity (fallback)")
-        case _: MultiPolygon =>
-          throw new UnsupportedOperationException("buffer split (fallback)")
-        case _ =>
+    var acc: Geometry = if (polys.length == 1) Polygon(polys(0)) else MultiPolygon(polys)
+    var phase = 1
+    polys.foreach { rings =>
+      rings.foreach { ring0 =>
+        val r = dedupe(ring0, closeRing = true)
+        val n = r.length / 2 - 1
+        var i = 0
+        while (i < n) {
+          acc = Overlay.union(acc,
+            capsule(r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3), d, phase))
+          phase += 1
+          i += 1
+        }
       }
-      i += 1
     }
-    acc.asInstanceOf[Polygon].rings
+    acc
   }
 
   /** Convex capsule (stadium) around a segment; `phase` rotates the arc

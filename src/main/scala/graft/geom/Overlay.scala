@@ -197,37 +197,23 @@ object Overlay {
 
   private def polygonalIntersection(pa: Array[Array[Array[Double]]],
                                     pb: Array[Array[Array[Double]]]): Geometry = {
-    // containment / disjoint fast paths
+    // containment / disjoint fast paths (exact, no snapping)
     val ga = if (pa.length == 1) Polygon(pa(0)) else MultiPolygon(pa)
     val gb = if (pb.length == 1) Polygon(pb(0)) else MultiPolygon(pb)
     if (!ga.envelope.intersects(gb.envelope)) return GeometryCollection(Array.empty)
     if (Pred.covers(gb, ga)) return ga
     if (Pred.covers(ga, gb)) return gb
     if (Pred.disjoint(ga, gb)) return GeometryCollection(Array.empty)
-    // convex-clip path: one side must be a single hole-free convex polygon
+    // exact convex clip only when BOTH sides are single convex rings (the
+    // clipped region is then guaranteed connected; a concave subject could
+    // pinch — advisor finding r1)
     def convexSide(p: Array[Array[Array[Double]]]): Array[Double] =
       if (p.length == 1 && p(0).length == 1 && isConvexRing(p(0)(0))) p(0)(0) else null
     val cb = convexSide(pb)
-    if (cb != null) return clipPolygonalByConvex(pa, cb)
-    val ca = convexSide(pa)
-    if (ca != null) return clipPolygonalByConvex(pb, ca)
-    // general simple hole-free pair: Greiner-Hormann (proper crossings only)
-    ghAttempt(pa, pb, GreinerHormann.Intersection).foreach(return _)
-    throw new UnsupportedOperationException(
-      "polygon overlay for this input needs the snap-rounding plane-sweep core (P2): " +
-        "degenerate boundary contact or holes on both sides")
-  }
-
-  /** Try Greiner-Hormann when both sides are single hole-free rings. */
-  private def ghAttempt(pa: Array[Array[Array[Double]]], pb: Array[Array[Array[Double]]],
-                        op: GreinerHormann.Op): Option[Geometry] = {
-    if (pa.length == 1 && pa(0).length == 1 && pb.length == 1 && pb(0).length == 1) {
-      try {
-        GreinerHormann.clip(pa(0)(0), pb(0)(0), op).map(GreinerHormann.assemble)
-      } catch {
-        case _: GreinerHormann.Degenerate => None
-      }
-    } else None
+    if (cb != null && convexSide(pa) != null) return clipPolygonalByConvex(pa, cb)
+    // general path: snap-rounded node/classify/trace core — handles
+    // concave pairs, holes on both sides, shared edges, vertex-on-edge
+    PlanarOverlay.overlay(pa, pb, PlanarOverlay.Inter)
   }
 
   /** Sutherland–Hodgman against each half-plane of a convex CCW clip ring. */
@@ -334,19 +320,9 @@ object Overlay {
     } else if (aa != null && ba != null) {
       if (Pred.disjoint(a, b)) a
       else if (Pred.covers(b, a)) GeometryCollection(Array.empty)
-      else ghAttempt(aa, ba, GreinerHormann.DifferenceAB).getOrElse {
-        // no proper boundary crossings: B strictly inside A → punch a hole
-        if (aa.length == 1 && ba.length == 1 && ba(0).length == 1 && Pred.contains(a, b)) {
-          val r = ba(0)(0)
-          val holeCW = if (Ops.signedRingArea(r) < 0) r
-            else {
-              val n = r.length / 2
-              Array.tabulate(n)(i => Array(r(2*(n-1-i)), r(2*(n-1-i)+1))).flatten
-            }
-          Polygon(aa(0) :+ holeCW)
-        } else throw new UnsupportedOperationException(
-          "polygon difference for this input needs the plane-sweep core (P2)")
-      }
+      else PlanarOverlay.overlay(aa, ba, PlanarOverlay.DiffAB)
+    } else if (aa != null && ba == null) {
+      a // subtracting a lower-dimensional set leaves the area unchanged
     } else throw new UnsupportedOperationException(
       s"difference(${a.getClass.getSimpleName}, ${b.getClass.getSimpleName}) staged for P2")
   }
@@ -369,9 +345,7 @@ object Overlay {
       if (Pred.covers(a, b)) a
       else if (Pred.covers(b, a)) b
       else if (Pred.disjoint(a, b)) MultiPolygon(aa ++ ba)
-      else ghAttempt(aa, ba, GreinerHormann.Union).getOrElse(
-        throw new UnsupportedOperationException(
-          "polygon union for this input needs the plane-sweep core (P2)"))
+      else PlanarOverlay.overlay(aa, ba, PlanarOverlay.Uni)
     } else if (al != null && bl != null) {
       if (Pred.disjoint(a, b)) MultiLineString(al ++ bl)
       else throw new UnsupportedOperationException("noding lineal union staged for P2")
@@ -379,6 +353,17 @@ object Overlay {
       s"union(${a.getClass.getSimpleName}, ${b.getClass.getSimpleName}) staged for P2")
   }
 
-  def symDifference(a: Geometry, b: Geometry): Geometry =
-    union(difference(a, b), difference(b, a))
+  /** One planar traversal (Xor selection), not union-of-differences — the
+    * two difference pieces share collinear boundary along a∩b, which the
+    * composed formulation re-nodes needlessly (advisor finding r1). */
+  def symDifference(a: Geometry, b: Geometry): Geometry = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val (_, _, aa) = Pred.decompose(a)
+    val (_, _, ba) = Pred.decompose(b)
+    if (aa != null && ba != null) {
+      if (Pred.disjoint(a, b)) MultiPolygon(aa ++ ba)
+      else PlanarOverlay.overlay(aa, ba, PlanarOverlay.Xor)
+    } else union(difference(a, b), difference(b, a))
+  }
 }
