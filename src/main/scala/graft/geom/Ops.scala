@@ -192,6 +192,20 @@ object Ops {
     case c: GeometryCollection => GeometryCollection(c.geoms.map(simplify))
   }
 
+  /**
+   * Strict OGC simple repair (SIMPLIFY_OGC): polygonal input is re-noded
+   * and rebuilt under the even-odd fill rule — self-intersecting rings
+   * split into simple loops, overlapping rings xor-folded, orientation
+   * canonicalized. Non-polygonal input gets the weak simplify.
+   * Counterpart of ⟨ref(engine): OperatorSimplifyLocalOGC⟩.
+   */
+  def simplifyOgc(g: Geometry): Geometry = g match {
+    case p: Polygon if !p.isEmpty      => PlanarOverlay.evenOddRepair(p.rings)
+    case m: MultiPolygon if !m.isEmpty => PlanarOverlay.evenOddRepair(m.polys.flatten)
+    case c: GeometryCollection         => GeometryCollection(c.geoms.map(simplifyOgc))
+    case other                         => simplify(other)
+  }
+
   private def cleanRings(rings: Array[Array[Double]]): Array[Array[Double]] = {
     val out = new ArrayBuffer[Array[Double]](rings.length)
     var i = 0
@@ -812,13 +826,18 @@ object Ops {
     out.toArray
   }
 
-  /** Cut lineal geometry by a blade polyline: split at crossings.
-    * ⟨ref(engine): OperatorCutLocal⟩ — line/line cut only (polygon cut = P2). */
+  /** Cut lineal OR polygonal geometry by a blade polyline.
+    * ⟨ref(engine): OperatorCutLocal⟩. Lineal targets split at crossings;
+    * polygonal targets split into faces along interior blade runs (via the
+    * planar overlay core's cutPolygonal). */
   def cut(g: Geometry, blade: Geometry): Array[Geometry] = {
-    val (_, lines, _) = Pred.decompose(g)
+    val (_, lines, polys) = Pred.decompose(g)
     val (_, bl, _) = Pred.decompose(blade)
-    if (lines == null || bl == null)
-      throw new IllegalArgumentException("st_cut supports lineal target and blade (polygon cut = P2)")
+    if (bl == null)
+      throw new IllegalArgumentException("st_cut blade must be lineal")
+    if (polys != null) return PlanarOverlay.cutPolygonal(polys, bl)
+    if (lines == null)
+      throw new IllegalArgumentException("st_cut supports lineal or polygonal targets")
     val parts = new ArrayBuffer[Geometry]()
     lines.foreach { cs =>
       val cur = new ArrayBuffer[Double]()

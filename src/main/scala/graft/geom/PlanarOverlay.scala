@@ -381,6 +381,154 @@ object PlanarOverlay {
     rings.toArray
   }
 
+  // ---------------- even-odd repair (SIMPLIFY_OGC) ----------------
+
+  /**
+   * Repair a possibly self-intersecting / mis-oriented ring set into a
+   * valid polygonal geometry under the EVEN-ODD fill rule: each ring is
+   * noded against itself and decomposed into simple loops, then the loops
+   * fold with Xor (a point is filled iff it is covered by an odd number of
+   * loops). Behavioral counterpart of ⟨ref(engine): OperatorSimplifyOGC⟩.
+   */
+  def evenOddRepair(rings: Array[Array[Double]]): Geometry = {
+    val loops = rings.flatMap(simpleLoops)
+    if (loops.isEmpty) return GeometryCollection(Array.empty)
+    var acc: Geometry = Polygon(Array(loops(0)))
+    var i = 1
+    while (i < loops.length) {
+      acc = Overlay.symDifference(acc, Polygon(Array(loops(i))))
+      i += 1
+    }
+    acc
+  }
+
+  /** Decompose one closed (possibly self-intersecting) ring into simple
+    * loops by splitting the noded walk at repeated nodes. */
+  def simpleLoops(ring: Array[Double]): Array[Array[Double]] = {
+    val scale = snapScale(ring.foldLeft(0.0)((m, v) => math.max(m, math.abs(v))))
+    val edges = new ArrayBuffer[Edge]()
+    var i = 0
+    while (i + 3 < ring.length) {
+      val x1 = snap(ring(i), scale); val y1 = snap(ring(i + 1), scale)
+      val x2 = snap(ring(i + 2), scale); val y2 = snap(ring(i + 3), scale)
+      if (x1 != x2 || y1 != y2) edges += new Edge(x1, y1, x2, y2, 0)
+      i += 2
+    }
+    if (edges.isEmpty) return Array.empty
+    nodeAll(edges, scale)
+    val subs = splitAll(edges, scale)
+    // walk in order, extracting a loop whenever a node repeats
+    val out = new ArrayBuffer[Array[Double]]()
+    val stack = new ArrayBuffer[Double]() // packed x,y
+    val at = new mutable.HashMap[PKey, Int]() // node -> index in stack (pairs)
+    def push(x: Double, y: Double): Unit = {
+      at(pkey(x, y)) = stack.length / 2
+      stack += x; stack += y
+    }
+    if (subs.isEmpty) return Array.empty
+    push(subs(0).sx, subs(0).sy)
+    subs.foreach { s =>
+      val k = pkey(s.ex, s.ey)
+      at.get(k) match {
+        case Some(j) =>
+          // extract loop stack[j..] + close
+          val loop = new ArrayBuffer[Double]((stack.length / 2 - j + 1) * 2)
+          var p = j
+          while (p < stack.length / 2) { loop += stack(2 * p); loop += stack(2 * p + 1); p += 1 }
+          loop += stack(2 * j); loop += stack(2 * j + 1)
+          // pop extracted nodes (keep j itself as the new top)
+          var q = stack.length / 2 - 1
+          while (q > j) { at.remove(pkey(stack(2 * q), stack(2 * q + 1))); q -= 1 }
+          stack.remove(2 * (j + 1), stack.length - 2 * (j + 1))
+          if (loop.length >= 8 && Ops.signedRingArea(loop.toArray) != 0.0)
+            out += loop.toArray
+        case None =>
+          push(s.ex, s.ey)
+      }
+    }
+    out.toArray
+  }
+
+  // ---------------- polygon cut ----------------
+
+  /**
+   * Cut a polygonal set by a lineal blade: boundary sub-edges keep their
+   * direction, blade sub-edges strictly inside the polygon are doubled
+   * (both directions) after pruning dangling pieces, and the faces of the
+   * resulting planar graph are the cut parts. Counterpart of
+   * ⟨ref(engine): OperatorCutLocal⟩ extended from lineal to polygonal
+   * targets. Returns parts smallest-first; an uncrossed polygon comes
+   * back whole as a single part.
+   */
+  def cutPolygonal(pa: Array[Array[Array[Double]]], blade: Array[Array[Double]]): Array[Geometry] = {
+    val scale = snapScale(math.max(maxAbs(pa), maxAbs(Array(blade))))
+    val a = normalize(pa, scale)
+    if (a.isEmpty) return Array.empty
+    val edges = new ArrayBuffer[Edge]()
+    collectEdges(a, 0, edges)
+    blade.foreach { cs =>
+      var i = 0
+      while (i + 3 < cs.length) {
+        val x1 = snap(cs(i), scale); val y1 = snap(cs(i + 1), scale)
+        val x2 = snap(cs(i + 2), scale); val y2 = snap(cs(i + 3), scale)
+        if (x1 != x2 || y1 != y2) edges += new Edge(x1, y1, x2, y2, 1)
+        i += 2
+      }
+    }
+    nodeAll(edges, scale)
+    val subs = splitAll(edges, scale)
+    val boundaryKeys = new mutable.HashSet[(Long, Long, Long, Long)]()
+    subs.foreach { s => if (s.side == 0) boundaryKeys += s.ukey }
+    // candidate interior blade edges (undirected, deduped)
+    val bladeCand = new mutable.LinkedHashMap[(Long, Long, Long, Long), Sub]()
+    subs.foreach { s =>
+      if (s.side == 1 && !boundaryKeys.contains(s.ukey) && !bladeCand.contains(s.ukey)) {
+        if (classifyStrictInterior(s, a)) bladeCand(s.ukey) = s
+      }
+    }
+    // prune dangling blade pieces: an interior blade edge participates in a
+    // cut only if both endpoints connect onward (to boundary or blade)
+    val boundarySubs = subs.filter(_.side == 0)
+    var changed = true
+    while (changed) {
+      changed = false
+      val degree = new mutable.HashMap[PKey, Int]()
+      def bump(x: Double, y: Double): Unit = {
+        val k = pkey(x, y); degree(k) = degree.getOrElse(k, 0) + 1
+      }
+      boundarySubs.foreach { s => bump(s.sx, s.sy); bump(s.ex, s.ey) }
+      bladeCand.values.foreach { s => bump(s.sx, s.sy); bump(s.ex, s.ey) }
+      val drop = bladeCand.values.filter(s =>
+        degree(pkey(s.sx, s.sy)) < 2 || degree(pkey(s.ex, s.ey)) < 2).map(_.ukey).toList
+      if (drop.nonEmpty) { drop.foreach(bladeCand.remove); changed = true }
+    }
+    val selected = new ArrayBuffer[DirEdge]()
+    boundarySubs.foreach(s => selected += s.asDir(false))
+    bladeCand.values.foreach { s => selected += s.asDir(false); selected += s.asDir(true) }
+    val rings = trace(selected)
+    mkResult(rings) match {
+      case m: MultiPolygon => m.polys.map(Polygon(_): Geometry)
+      case p: Polygon      => Array(p: Geometry)
+      case _               => Array.empty
+    }
+  }
+
+  /** Is the sub-edge strictly interior to the polygonal set? (midpoint
+    * sampling; boundary-coincident runs were excluded via ukey already). */
+  private def classifyStrictInterior(s: Sub, polys: Array[Array[Array[Double]]]): Boolean = {
+    var t = 0.5
+    var attempt = 0
+    while (attempt < 3) {
+      val mx = s.sx + t * (s.ex - s.sx)
+      val my = s.sy + t * (s.ey - s.sy)
+      val r = Pred.pointInPolygonal(polys, mx, my)
+      if (r != 0) return r == 1
+      attempt += 1
+      t = if (attempt == 1) 0.25 else 0.75
+    }
+    false
+  }
+
   // ---------------- assembly ----------------
 
   /** Assemble traced rings (CCW shells / CW holes by signed area) into

@@ -15,9 +15,9 @@ import java.nio.ByteBuffer
  * OperateClientStream; ListeningGeometryCursor + OperatorUnion accumulate⟩
  * — becomes Spark's two-phase partial/final aggregation for free.
  *
- * `st_union_agg` is exact for puntal inputs (point-set union = dedupe) and
- * envelopes; general polygon union awaits the overlay core (P2) — callers
- * get `st_convexhull_agg` / `st_envelope_agg` today.
+ * `st_union_agg` handles the general case (puntal dedupe + polygonal
+ * cascaded union via the snap-rounded overlay core); `st_union_points_agg`
+ * remains as the exact puntal-only fast path.
  */
 abstract class GeomAgg[B] extends TypedImperativeAggregate[B] {
   def child: Expression
@@ -114,7 +114,71 @@ case class StConvexHullAgg(child: Expression,
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
 }
 
-/** Union of puntal inputs = deduped MultiPoint (exact; polygon union = P2). */
+/**
+ * General union aggregate: the reference's client-stream accumulate-then-
+ * union fold ⟨ref: GeometryServer.java OperateClientStream⟩. Buffers WKB
+ * geometries and compacts with a cascaded planar union whenever the buffer
+ * exceeds a bound, so partial state stays O(result), not O(rows). Puntal
+ * inputs dedupe exactly; polygonal inputs union via the snap-rounded
+ * overlay core (vertex coordinates deterministic to the snap grid; merge
+ * order does not affect the point set, only ulp-level vertex noise).
+ */
+case class StUnionAgg(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends GeomAgg[scala.collection.mutable.ArrayBuffer[Array[Byte]]] {
+  private val COMPACT_AT = 16
+  type Buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]
+  override def createAggregationBuffer(): Buf = new Buf(8)
+  private def compact(b: Buf, force: Boolean): Unit = {
+    if (b.length > (if (force) 1 else COMPACT_AT)) {
+      var acc = Wkb.read(b(0))
+      var i = 1
+      while (i < b.length) { acc = Ops.simplify(Overlay.union(acc, Wkb.read(b(i)))); i += 1 }
+      b.clear()
+      b += Wkb.write(acc)
+    }
+  }
+  override def update(b: Buf, row: InternalRow): Buf = {
+    val v = child.eval(row)
+    if (v != null) {
+      b += v.asInstanceOf[Array[Byte]]
+      compact(b, force = false)
+    }
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = { b ++= o; compact(b, force = false); b }
+  override def eval(b: Buf): Any = {
+    if (b.isEmpty) return Wkb.write(GeometryCollection(Array.empty))
+    compact(b, force = true)
+    b(0)
+  }
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + b.map(_.length + 4).sum)
+    bb.putInt(b.length)
+    b.foreach { w => bb.putInt(w.length); bb.put(w) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = new Buf(n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val w = new Array[Byte](len)
+      bb.get(w)
+      out += w
+      i += 1
+    }
+    out
+  }
+  override def withNewMutableAggBufferOffset(n: Int): StUnionAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StUnionAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
+}
+
+/** Union of puntal inputs = deduped MultiPoint (exact fast path). */
 case class StUnionPointsAgg(child: Expression,
                             mutableAggBufferOffset: Int = 0,
                             inputAggBufferOffset: Int = 0)
@@ -130,8 +194,8 @@ case class StUnionPointsAgg(child: Expression,
           var i = 0
           while (i < m.coords.length) { b += ((m.coords(i), m.coords(i + 1))); i += 2 }
         case g => throw new IllegalArgumentException(
-          s"st_union_agg supports puntal input (got ${g.getClass.getSimpleName}); " +
-            "polygon union requires the overlay core (P2)")
+          s"st_union_points_agg supports puntal input (got ${g.getClass.getSimpleName}); " +
+            "use st_union_agg for polygonal union")
       }
     }
     b

@@ -317,6 +317,11 @@ case class StSimplify(child: Expression) extends GeomUnary {
   override def nullSafeEval(v: Any): Any = K.simplifyGeom(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StSimplifyOgc(child: Expression) extends GeomUnary {
+  def fn = "simplifyOgc"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.simplifyOgc(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StGeneralize(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

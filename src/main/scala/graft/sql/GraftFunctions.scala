@@ -56,6 +56,7 @@ object GraftFunctions {
     "st_buffer" -> (e => StBuffer(e(0), e(1))),
     "st_convexhull" -> (e => StConvexHull(e.head)),
     "st_simplify" -> (e => StSimplify(e.head)),
+    "st_simplify_ogc" -> (e => StSimplifyOgc(e.head)),
     "st_generalize" -> (e => StGeneralize(e(0), e(1))),
     "st_densify" -> (e => StDensify(e(0), e(1))),
     "st_clip" -> (e => StClip(e)),
@@ -117,7 +118,8 @@ object GraftFunctions {
     // aggregates (§2.5 #41)
     "st_envelope_agg" -> (e => StEnvelopeAgg(e.head)),
     "st_convexhull_agg" -> (e => StConvexHullAgg(e.head)),
-    "st_union_agg" -> (e => StUnionPointsAgg(e.head))
+    "st_union_agg" -> (e => StUnionAgg(e.head)),
+    "st_union_points_agg" -> (e => StUnionPointsAgg(e.head))
   )
 
   @volatile private var installedSessions = Set.empty[SparkSession]

@@ -97,6 +97,7 @@ object K {
   def buffer(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.simplify(Ops.buffer(rd(b), d)))
   def convexHull(b: Array[Byte]): Array[Byte] = wr(Ops.convexHull(rd(b)))
   def simplifyGeom(b: Array[Byte]): Array[Byte] = wr(Ops.simplify(rd(b)))
+  def simplifyOgc(b: Array[Byte]): Array[Byte] = wr(Ops.simplifyOgc(rd(b)))
   def generalize(b: Array[Byte], tol: Double): Array[Byte] = wr(Ops.generalize(rd(b), tol))
   def densify(b: Array[Byte], maxLen: Double): Array[Byte] = wr(Ops.densify(rd(b), maxLen))
   def clip(b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
