@@ -24,6 +24,46 @@ object SparkEntry {
   /** DuckDB-side path of the synthesized geo tables (Verify runs at sf0.01). */
   private val IMG = "read_parquet('/tmp/graft_geo/sf0.01/images.parquet/*.parquet')"
   private val ZON = "read_parquet('/tmp/graft_geo/sf0.01/zones.parquet/*.parquet')"
+  private val TRI = "read_parquet('/tmp/graft_geo/sf0.01/tri_zones.parquet/*.parquet')"
+
+  // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
+  // Six B-variants of each zone rect A, built with arithmetic both engines
+  // evaluate bit-identically; every DE-9IM / overlay-area oracle below is
+  // a closed-form function of (case, xmin..ymax).
+  private val RECT_CASES = Seq("overlap", "touch", "corner", "inside", "equal", "disjoint")
+  private val RECT_CASES_SQL =
+    "(VALUES ('overlap'), ('touch'), ('corner'), ('inside'), ('equal'), ('disjoint')) AS t(c)"
+
+  private def mkEnv(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+                    x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column) =
+    call_function("st_makeenvelope", x0, y0, x1, y1)
+
+  /** zones + w/h + geometry A + per-case geometry B, one row per (zone, case). */
+  private def rectPairs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.install(s)
+    val base = GeoTables.zones(s, dir)
+      .withColumn("w", col("xmax") - col("xmin"))
+      .withColumn("h", col("ymax") - col("ymin"))
+      .withColumn("a", mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+    def bFor(k: String) = k match {
+      case "overlap" => mkEnv(col("xmin") + col("w") * 0.5, col("ymin") + col("h") * 0.5,
+                              col("xmax") + col("w") * 0.5, col("ymax") + col("h") * 0.5)
+      case "touch"   => mkEnv(col("xmin") + col("w"), col("ymin"),
+                              col("xmax") + col("w"), col("ymax"))
+      case "corner"  => mkEnv(col("xmin") + col("w"), col("ymin") + col("h"),
+                              col("xmax") + col("w"), col("ymax") + col("h"))
+      case "inside"  => mkEnv(col("xmin") + col("w") * 0.25, col("ymin") + col("h") * 0.25,
+                              col("xmax") - col("w") * 0.25, col("ymax") - col("h") * 0.25)
+      case "equal"   => mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+      case _         => mkEnv(col("xmin") + col("w") * 2, col("ymin"),
+                              col("xmax") + col("w") * 2, col("ymax"))
+    }
+    RECT_CASES.map(k => base.withColumn("c", lit(k)).withColumn("b", bFor(k)))
+      .reduce(_.union(_))
+  }
+
+  private def centsOf(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + lit(0.5)).cast("bigint")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -309,6 +349,192 @@ object SparkEntry {
             call_function("st_point", col("lon_b"), col("lat_b"))).as("dist"))
     }),
 
+    // ---------------- general-polygon PIP (triangle fixture) ----------------
+    "q30_pip_tri" -> ((s, dir) => {
+      val tris = GeoTables.triZones(s, dir).select(col("tri_id").as("zone_id"), col("wkt"))
+      SpatialJoins.pipJoin(GeoTables.images(s, dir), tris, level = 6)
+        .select(col("zone_id").as("tri_id"), col("image_id"))
+    }),
+
+    // ---------------- DE-9IM relate + predicate family ----------------
+    "q31_relate" -> ((s, dir) => {
+      rectPairs(s, dir).select(col("zone_id"), col("c"),
+        call_function("st_relate", col("a"), col("b")).as("de9im"),
+        call_function("st_intersects", col("a"), col("b")).cast("bigint").as("f_int"),
+        call_function("st_touches", col("a"), col("b")).cast("bigint").as("f_tch"),
+        call_function("st_contains", col("a"), col("b")).cast("bigint").as("f_con"),
+        call_function("st_within", col("a"), col("b")).cast("bigint").as("f_wi"),
+        call_function("st_overlaps", col("a"), col("b")).cast("bigint").as("f_ov"),
+        call_function("st_equals", col("a"), col("b")).cast("bigint").as("f_eq"))
+    }),
+
+    // ---------------- overlay areas incl. degenerate contact ----------------
+    "q32_overlay_areas" -> ((s, dir) => {
+      rectPairs(s, dir).select(col("zone_id"), col("c"),
+        centsOf(call_function("st_area", call_function("st_intersection", col("a"), col("b")))).as("inter_c"),
+        centsOf(call_function("st_area", call_function("st_union", col("a"), col("b")))).as("union_c"),
+        centsOf(call_function("st_area", call_function("st_difference", col("a"), col("b")))).as("diff_c"),
+        centsOf(call_function("st_area", call_function("st_symdifference", col("a"), col("b")))).as("xor_c"))
+    }),
+
+    // ---------------- point buffer: n-gon area closed form ----------------
+    "q33_buffer_area" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("d", lit(0.1) + (substring(col("zone_id"), 5, 5).cast("int") % 10).cast("double") * 0.1)
+        .withColumn("buf", call_function("st_buffer",
+          call_function("st_point", col("xmin"), col("ymin")), col("d")))
+        .select(col("zone_id"),
+          floor(call_function("st_area", col("buf")) * 10000 + lit(0.5)).cast("bigint").as("buf_area_e4"),
+          call_function("st_numpoints", col("buf")).cast("bigint").as("buf_pts"))
+    }),
+
+    // ---------------- convex hull ----------------
+    "q34_hull" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("hull", call_function("st_convexhull",
+          mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+        .select(col("zone_id"),
+          centsOf(call_function("st_area", col("hull"))).as("hull_area_c"),
+          call_function("st_numpoints", col("hull")).cast("bigint").as("hull_pts"),
+          call_function("st_xmin", col("hull")).as("hxmin"),
+          call_function("st_ymax", col("hull")).as("hymax"))
+    }),
+
+    // ---------------- WKT / GeoJSON round-trip stability ----------------
+    "q35_roundtrip" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("w1", call_function("st_aswkt", col("g")))
+        .withColumn("w2", call_function("st_aswkt", call_function("st_geomfromwkt", col("w1"))))
+        .withColumn("gj", call_function("st_aswkt",
+          call_function("st_geomfromgeojson", call_function("st_asgeojson", col("g")))))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("w1") === col("w2"), 1)).as("n_wkt_stable"),
+          count(when(col("gj") === col("w1"), 1)).as("n_geojson_stable"),
+          sum(centsOf(call_function("st_area", col("g")))).as("area_cents_sum"))
+    }),
+
+    // ---------------- densify / generalize point-count formulas ----------------
+    "q36_densify" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("dg", call_function("st_densify",
+          mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")), lit(1.0)))
+        .select(col("zone_id"),
+          call_function("st_numpoints", col("dg")).cast("bigint").as("dense_pts"),
+          centsOf(call_function("st_area", col("dg"))).as("area_c"))
+    }),
+    "q37_generalize" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("gen", call_function("st_generalize",
+          call_function("st_densify",
+            mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")), lit(1.0)),
+          lit(0.5)))
+        .select(col("zone_id"),
+          call_function("st_numpoints", col("gen")).cast("bigint").as("gen_pts"),
+          centsOf(call_function("st_area", col("gen"))).as("area_c"))
+    }),
+
+    // ---------------- envelope aggregate (client-stream fold) ----------------
+    "q38_envelope_agg" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .withColumn("tx", call_function("st_tile_x", col("lon"), lit(3)))
+        .withColumn("ty", call_function("st_tile_y", col("lat"), lit(3)))
+        .groupBy("tx", "ty")
+        .agg(call_function("st_envelope_agg",
+          call_function("st_point", col("lon"), col("lat"))).as("env"),
+          count(lit(1)).as("n"))
+        .select(col("tx"), col("ty"),
+          call_function("st_xmin", col("env")).as("exmin"),
+          call_function("st_ymin", col("env")).as("eymin"),
+          call_function("st_xmax", col("env")).as("exmax"),
+          call_function("st_ymax", col("env")).as("eymax"),
+          col("n"))
+    }),
+
+    // ---------------- spherical length vs haversine ----------------
+    "q39_length_sphere" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("line", call_function("st_makeline",
+          col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+        .select(col("zone_id"),
+          floor(call_function("st_length_sphere", col("line"))).cast("bigint").as("len_m"))
+    }),
+
+    // ---------------- general polygon union aggregate ----------------
+    "q40_union_agg" -> ((s, dir) => {
+      val pairs = rectPairs(s, dir).where(col("c") === "overlap")
+      val both = pairs.select(col("zone_id"), col("a").as("g"))
+        .union(pairs.select(col("zone_id"), col("b").as("g")))
+      both.groupBy("zone_id")
+        .agg(call_function("st_union_agg", col("g")).as("u"))
+        .select(col("zone_id"),
+          centsOf(call_function("st_area", col("u"))).as("union_area_c"))
+    }),
+
+    // ---------------- proximity (closest point) ----------------
+    "q41_closest_point" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("cp", call_function("st_closest_point",
+          mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")),
+          col("xmin") - lit(1.5), col("ymin") - lit(2.5)))
+        .select(col("zone_id"),
+          call_function("st_x", col("cp")).as("cp_x"),
+          call_function("st_y", col("cp")).as("cp_y"))
+    }),
+
+    // ---------------- affine transform ----------------
+    "q42_affine" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("p", call_function("st_affine",
+          call_function("st_point", col("xmin"), col("ymin")),
+          lit(2.0), lit(0.5), lit(0.25), lit(3.0), lit(10.0), lit(20.0)))
+        .select(col("zone_id"),
+          call_function("st_x", col("p")).as("ax_x"),
+          call_function("st_y", col("p")).as("ax_y"))
+    }),
+
+    // ---------------- polygon cut ----------------
+    "q44_cut" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("w", col("xmax") - col("xmin"))
+        .withColumn("blade", call_function("st_makeline",
+          col("xmin") + col("w") * 0.25, col("ymin") - lit(1.0),
+          col("xmin") + col("w") * 0.25, col("ymax") + lit(1.0)))
+        .withColumn("parts", call_function("st_cut",
+          mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")), col("blade")))
+        .select(col("zone_id"),
+          size(col("parts")).cast("bigint").as("n_parts"),
+          centsOf(expr("array_min(transform(parts, p -> st_area(p)))")).as("small_c"),
+          centsOf(expr("array_max(transform(parts, p -> st_area(p)))")).as("big_c"))
+    }),
+
+    // ---------------- even-odd repair (SIMPLIFY_OGC) ----------------
+    "q45_simplify_ogc" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("bowtie_wkt", concat(lit("POLYGON (("),
+          col("xmin"), lit(" "), col("ymin"), lit(", "),
+          col("xmax"), lit(" "), col("ymax"), lit(", "),
+          col("xmax"), lit(" "), col("ymin"), lit(", "),
+          col("xmin"), lit(" "), col("ymax"), lit(", "),
+          col("xmin"), lit(" "), col("ymin"), lit("))")))
+        .withColumn("fixed", call_function("st_simplify_ogc",
+          call_function("st_geomfromwkt", col("bowtie_wkt"))))
+        .select(col("zone_id"),
+          centsOf(call_function("st_area", col("fixed"))).as("fixed_area_c"),
+          call_function("st_num_geometries", col("fixed")).cast("bigint").as("n_lobes"))
+    }),
+
     // ---------------- geometry operator chain (north_star-named) ----------------
     "q25_zone_chain" -> ((s, dir) => {
       GraftFunctions.install(s)
@@ -440,7 +666,101 @@ object SparkEntry {
         "q23_events_window" ->
       """SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS w, event_type,
          COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q30_pip_tri" ->
+      s"""SELECT t.tri_id, i.image_id
+         FROM $IMG i JOIN $TRI t
+           ON (t.bx - t.ax)*(i.lat - t.ay) - (t.by - t.ay)*(i.lon - t.ax) >= 0
+          AND (t.cx - t.bx)*(i.lat - t.by) - (t.cy - t.by)*(i.lon - t.bx) >= 0
+          AND (t.ax - t.cx)*(i.lat - t.cy) - (t.ay - t.cy)*(i.lon - t.cx) >= 0""",
+    "q31_relate" ->
+      s"""SELECT zone_id, c,
+         CASE c WHEN 'overlap' THEN '212101212' WHEN 'touch' THEN 'FF2F11212'
+                WHEN 'corner' THEN 'FF2F01212' WHEN 'inside' THEN '212FF1FF2'
+                WHEN 'equal' THEN '2FFF1FFF2' ELSE 'FF2FF1212' END AS de9im,
+         CASE WHEN c = 'disjoint' THEN 0 ELSE 1 END AS f_int,
+         CASE WHEN c IN ('touch','corner') THEN 1 ELSE 0 END AS f_tch,
+         CASE WHEN c IN ('inside','equal') THEN 1 ELSE 0 END AS f_con,
+         CASE WHEN c = 'equal' THEN 1 ELSE 0 END AS f_wi,
+         CASE WHEN c = 'overlap' THEN 1 ELSE 0 END AS f_ov,
+         CASE WHEN c = 'equal' THEN 1 ELSE 0 END AS f_eq
+         FROM $ZON CROSS JOIN $RECT_CASES_SQL""",
+    "q32_overlay_areas" ->
+      s"""WITH z AS (SELECT zone_id, c, xmax - xmin AS w, ymax - ymin AS h,
+             xmax - (xmin + (xmax - xmin)*0.5) AS iw, ymax - (ymin + (ymax - ymin)*0.5) AS ih,
+             (xmax - (xmax - xmin)*0.25) - (xmin + (xmax - xmin)*0.25) AS bw,
+             (ymax - (ymax - ymin)*0.25) - (ymin + (ymax - ymin)*0.25) AS bh
+           FROM $ZON CROSS JOIN $RECT_CASES_SQL),
+         e AS (SELECT zone_id, c, w*h AS areaa,
+             CASE c WHEN 'inside' THEN bw*bh ELSE w*h END AS areab,
+             CASE c WHEN 'overlap' THEN iw*ih WHEN 'inside' THEN bw*bh
+                    WHEN 'equal' THEN w*h ELSE 0.0 END AS inter
+           FROM z)
+         SELECT zone_id, c,
+           CAST(FLOOR(inter*100 + 0.5) AS BIGINT) AS inter_c,
+           CAST(FLOOR((areaa + areab - inter)*100 + 0.5) AS BIGINT) AS union_c,
+           CAST(FLOOR((areaa - inter)*100 + 0.5) AS BIGINT) AS diff_c,
+           CAST(FLOOR((areaa + areab - 2*inter)*100 + 0.5) AS BIGINT) AS xor_c
+         FROM e""",
+    "q33_buffer_area" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR(48.0 * d * d * SIN(PI()/48) * 10000 + 0.5) AS BIGINT) AS buf_area_e4,
+         97 AS buf_pts
+         FROM (SELECT zone_id,
+           0.1 + (CAST(substr(zone_id, 5, 5) AS INT) % 10) * 0.1 AS d FROM $ZON)""",
+    "q34_hull" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS hull_area_c,
+         5 AS hull_pts, xmin AS hxmin, ymax AS hymax
+         FROM $ZON""",
+    "q35_roundtrip" ->
+      s"""SELECT COUNT(*) AS n, COUNT(*) AS n_wkt_stable, COUNT(*) AS n_geojson_stable,
+         CAST(SUM(CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT)) AS BIGINT) AS area_cents_sum
+         FROM $ZON""",
+    "q36_densify" ->
+      s"""SELECT zone_id,
+         1 + 2*CAST(CEIL(xmax - xmin) AS BIGINT) + 2*CAST(CEIL(ymax - ymin) AS BIGINT) AS dense_pts,
+         CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS area_c
+         FROM $ZON""",
+    "q37_generalize" ->
+      s"""SELECT zone_id, 5 AS gen_pts,
+         CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS area_c
+         FROM $ZON""",
+    "q38_envelope_agg" ->
+      s"""SELECT ${txSql("lon", 3)} AS tx, ${tySql("lat", 3)} AS ty,
+         MIN(lon) AS exmin, MIN(lat) AS eymin, MAX(lon) AS exmax, MAX(lat) AS eymax,
+         COUNT(*) AS n
+         FROM $IMG GROUP BY 1, 2""",
+    "q39_length_sphere" ->
+      s"""SELECT zone_id, CAST(FLOOR(
+           2.0 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+             SIN((RADIANS(ymax) - RADIANS(ymin))/2) * SIN((RADIANS(ymax) - RADIANS(ymin))/2)
+             + COS(RADIANS(ymin)) * COS(RADIANS(ymax))
+               * SIN(RADIANS(xmax - xmin)/2) * SIN(RADIANS(xmax - xmin)/2))))
+         ) AS BIGINT) AS len_m
+         FROM $ZON""",
+    "q40_union_agg" ->
+      s"""SELECT zone_id, CAST(FLOOR((
+           2*(xmax - xmin)*(ymax - ymin)
+           - (xmax - (xmin + (xmax - xmin)*0.5)) * (ymax - (ymin + (ymax - ymin)*0.5))
+         )*100 + 0.5) AS BIGINT) AS union_area_c
+         FROM $ZON""",
+    "q41_closest_point" ->
+      s"""SELECT zone_id, xmin AS cp_x, ymin AS cp_y FROM $ZON""",
+    "q42_affine" ->
+      s"""SELECT zone_id, 2.0*xmin + 0.5*ymin + 10.0 AS ax_x,
+         0.25*xmin + 3.0*ymin + 20.0 AS ax_y
+         FROM $ZON""",
+    "q44_cut" ->
+      s"""SELECT zone_id, 2 AS n_parts,
+         CAST(FLOOR(((xmax - xmin)*0.25)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS small_c,
+         CAST(FLOOR(((xmax - xmin) - (xmax - xmin)*0.25)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS big_c
+         FROM $ZON""",
+    "q45_simplify_ogc" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR((xmax - xmin)*(ymax - ymin)*0.5*100 + 0.5) AS BIGINT) AS fixed_area_c,
+         2 AS n_lobes
+         FROM $ZON"""
     // q16–q20, q25: engine-only operators (lang-ID, fingerprint, MinHash/LSH,
     // SimHash, n-gram Jaccard, buffer chain) — not ANSI-SQL-expressible;
     // driver records rows-only checks, exact semantics pinned in ScalaTest.

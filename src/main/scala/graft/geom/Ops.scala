@@ -784,7 +784,10 @@ object Ops {
           val len2 = dx * dx + dy * dy
           var t = if (len2 == 0) 0.0 else ((p.x - ax) * dx + (p.y - ay) * dy) / len2
           if (t < 0) t = 0 else if (t > 1) t = 1
-          tryPt(ax + t * dx, ay + t * dy)
+          // exact endpoints at the clamps: ax + 1.0*dx may be one ulp off bx
+          if (t == 0) tryPt(ax, ay)
+          else if (t == 1) tryPt(sx, sy)
+          else tryPt(ax + t * dx, ay + t * dy)
           i += 2
         }
       }

@@ -627,6 +627,24 @@ case class StGeodeticDensify(left: Expression, right: Expression) extends GeomDo
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** st_makeline(x1, y1, x2, y2) → 2-point LineString WKB (blade/segment
+  * construction without string round-trips). */
+case class StMakeLine(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "st_makeline(x1, y1, x2, y2)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.makeLine(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_collect(array<binary>) → GeometryCollection WKB. */
 case class StCollect(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

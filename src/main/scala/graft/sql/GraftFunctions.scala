@@ -21,6 +21,7 @@ object GraftFunctions {
     "st_asgeojson" -> (e => StAsGeoJson(e.head)),
     "st_point" -> (e => StPoint(e(0), e(1))),
     "st_makeenvelope" -> (e => StMakeEnvelope(e)),
+    "st_makeline" -> (e => StMakeLine(e)),
     // accessors
     "st_x" -> (e => StX(e.head)),
     "st_y" -> (e => StY(e.head)),

@@ -114,6 +114,8 @@ object K {
   }
   def cut(b: Array[Byte], blade: Array[Byte]): Array[Array[Byte]] =
     Ops.cut(rd(b), rd(blade)).map(wr)
+  def makeLine(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
+    wr(LineString(Array(x1, y1, x2, y2)))
 
   // ---- binary overlay (§2.3, staged) ----
   def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
