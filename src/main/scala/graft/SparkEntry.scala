@@ -281,21 +281,11 @@ object SparkEntry {
 
     // ---------------- embeddings / ANN ----------------
     "q21_ann_topk" -> ((s, dir) => {
+      // EXACT top-k through the spherical-k-means IVF index: bucket
+      // equi-join probe with a bound-based second round guarantees the
+      // result is identical to the brute-force oracle (see AnnIndex).
       GraftFunctions.install(s)
-      val e = t(s, dir, "embeddings")
-      // quantized-integer dot/norms (tight custom expression; exact in both
-      // engines), cosine ranking in double — see oracle for the same math
-      val withNorm = e.withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
-      val q = withNorm.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      val p = withNorm.select(col("vec_id").as("p_vec"), col("embedding"), col("nrm").as("p_nrm"))
-      val w = Window.partitionBy("q_vec").orderBy(desc("cos"), asc("p_vec"))
-      p.crossJoin(broadcast(q))
-        .withColumn("dot_q", call_function("vec_dot_q", col("q_emb"), col("embedding")))
-        .withColumn("cos", col("dot_q") / sqrt(col("q_nrm").cast("double") * col("p_nrm").cast("double")))
-        .withColumn("rank", row_number().over(w).cast("bigint"))
-        .where(col("rank") <= 3)
-        .select(col("q_vec"), col("p_vec"), col("rank"))
+      graft.join.AnnIndex.topK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 3)
     }),
     "q22_embed_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")

@@ -116,6 +116,8 @@ object GraftFunctions {
     "vec_dot" -> (e => VecDot(e(0), e(1))),
     "vec_dot_q" -> (e => VecDotQ(e(0), e(1))),
     "vec_cosine" -> (e => VecCosine(e(0), e(1))),
+    "vec_ivf_assign" -> (e => VecIvfAssign(e(0), e(1))),
+    "vec_ivf_dot" -> (e => VecIvfDot(e(0), e(1), e(2))),
     // aggregates (§2.5 #41)
     "st_envelope_agg" -> (e => StEnvelopeAgg(e.head)),
     "st_convexhull_agg" -> (e => StConvexHullAgg(e.head)),

@@ -117,6 +117,30 @@ object K {
   def makeLine(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
     wr(LineString(Array(x1, y1, x2, y2)))
 
+  // ---- IVF (exact ANN; centroid blob rides in the plan, cached per JVM) ----
+  def ivfAssign(emb: org.apache.spark.sql.catalyst.util.ArrayData, cents: Array[Byte]): Int = {
+    val cs = graft.join.AnnIndex.unpackCached(cents)
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      var d = 0.0; var i = 0
+      val n = math.min(c.length, emb.numElements())
+      while (i < n) { d += emb.getFloat(i).toDouble * c(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  def ivfDot(emb: org.apache.spark.sql.catalyst.util.ArrayData, cents: Array[Byte], j: Int): Double = {
+    val c = graft.join.AnnIndex.unpackCached(cents)(j)
+    var d = 0.0; var i = 0
+    val n = math.min(c.length, emb.numElements())
+    while (i < n) { d += emb.getFloat(i).toDouble * c(i); i += 1 }
+    d
+  }
+
   // ---- binary overlay (§2.3, staged) ----
   def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     wr(Ops.simplify(Overlay.intersection(rd(a), rd(b))))

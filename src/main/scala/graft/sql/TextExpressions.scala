@@ -199,6 +199,29 @@ case class VecDotQ(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** vec_ivf_assign(embedding, centroidBlob) → bucket id (argmax centroid dot). */
+case class VecIvfAssign(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.sql.K.ivfAssign(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** vec_ivf_dot(embedding, centroidBlob, bucket) → dot with that centroid. */
+case class VecIvfDot(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    graft.sql.K.ivfDot(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 /** rtree_probe(serializedTree, lon, lat) → array<string> of matching zone
   * ids — the broadcast STR R-tree PIP path (SURVEY §2.6 #45). The tree
   * bytes ride in the plan as a Literal; executors deserialize once per JVM
