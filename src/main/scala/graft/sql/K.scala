@@ -117,6 +117,8 @@ object K {
   def makeLine(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
     wr(LineString(Array(x1, y1, x2, y2)))
 
+  def morton(tx: Long, ty: Long): Long = graft.cell.Cells.morton(tx, ty)
+
   // ---- IVF (exact ANN; centroid blob rides in the plan, cached per JVM) ----
   def ivfAssign(emb: org.apache.spark.sql.catalyst.util.ArrayData, cents: Array[Byte]): Int = {
     val cs = graft.join.AnnIndex.unpackCached(cents)
