@@ -85,16 +85,18 @@ object GeoJson {
 
   def read(s: String): Geometry = new P(s).geometry()
 
-  /** Minimal JSON value model, only what GeoJSON geometries need. */
-  private sealed trait J
-  private case class JStr(v: String) extends J
-  private case class JNum(v: Double) extends J
-  private case class JArr(v: ArrayBuffer[J]) extends J
-  private case class JObj(v: scala.collection.mutable.LinkedHashMap[String, J]) extends J
-  private case object JNull extends J
-  private case class JBool(v: Boolean) extends J
+  private[geom] def parseJson(s: String): J = new P(s).value()
 
-  private final class P(s: String) {
+  /** Minimal JSON value model, only what GeoJSON/EsriJSON geometries need. */
+  private[geom] sealed trait J
+  private[geom] case class JStr(v: String) extends J
+  private[geom] case class JNum(v: Double) extends J
+  private[geom] case class JArr(v: ArrayBuffer[J]) extends J
+  private[geom] case class JObj(v: scala.collection.mutable.LinkedHashMap[String, J]) extends J
+  private[geom] case object JNull extends J
+  private[geom] case class JBool(v: Boolean) extends J
+
+  private[geom] final class P(s: String) {
     var pos = 0
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"GeoJSON parse error at $pos: $msg")
@@ -216,12 +218,12 @@ object GeoJson {
     case _ => throw new IllegalArgumentException("GeoJSON root must be an object")
   }
 
-  private def numAt(a: JArr, i: Int): Double = a.v(i) match {
+  private[geom] def numAt(a: JArr, i: Int): Double = a.v(i) match {
     case JNum(v) => v
     case _       => throw new IllegalArgumentException("expected number")
   }
 
-  private def flatPositions(a: JArr): Array[Double] = {
+  private[geom] def flatPositions(a: JArr): Array[Double] = {
     val out = new Array[Double](a.v.length * 2)
     var i = 0
     while (i < a.v.length) {

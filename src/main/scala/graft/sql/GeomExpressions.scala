@@ -87,6 +87,37 @@ case class StAsGeoJson(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+case class StGeomFromEsriShape(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.fromEsriShape(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.fromEsriShape($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StAsEsriShape(child: Expression) extends GeomUnary {
+  def fn = "asEsriShape"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.asEsriShape(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StGeomFromEsriJson(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.fromEsriJson(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.fromEsriJson($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StAsEsriJson(child: Expression) extends GeomUnary {
+  def fn = "asEsriJson"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = K.asEsriJson(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StPoint(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)

@@ -18,6 +18,10 @@ object GraftFunctions {
     "st_geomfromwkb" -> (e => StGeomFromWkb(e.head)),
     "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),
     "st_aswkt" -> (e => StAsWkt(e.head)),
+    "st_geomfromshape" -> (e => StGeomFromEsriShape(e.head)),
+    "st_asshape" -> (e => StAsEsriShape(e.head)),
+    "st_geomfromesrijson" -> (e => StGeomFromEsriJson(e.head)),
+    "st_asesrijson" -> (e => StAsEsriJson(e.head)),
     "st_asgeojson" -> (e => StAsGeoJson(e.head)),
     "st_point" -> (e => StPoint(e(0), e(1))),
     "st_makeenvelope" -> (e => StMakeEnvelope(e)),

@@ -27,6 +27,10 @@ object K {
   def asWkb(b: Array[Byte]): Array[Byte] = b
   def fromGeoJson(s: UTF8String): Array[Byte] = wr(GeoJson.read(s.toString))
   def asGeoJson(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.write(rd(b)))
+  def fromEsriShape(b: Array[Byte]): Array[Byte] = wr(EsriShape.read(b))
+  def asEsriShape(b: Array[Byte]): Array[Byte] = EsriShape.write(rd(b))
+  def fromEsriJson(s: UTF8String): Array[Byte] = wr(EsriJson.read(s.toString))
+  def asEsriJson(b: Array[Byte]): UTF8String = UTF8String.fromString(EsriJson.write(rd(b)))
   def point(x: Double, y: Double): Array[Byte] = wr(Point(x, y))
   def makeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
     wr(Env(xmin, ymin, xmax, ymax).toPolygon)
