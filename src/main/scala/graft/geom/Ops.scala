@@ -468,7 +468,7 @@ object Ops {
 
   def buffer(g: Geometry, d: Double): Geometry = {
     if (d == 0) return g
-    if (d < 0) throw new IllegalArgumentException("negative buffer requires overlay core (P2)")
+    if (d < 0) return erode(g, -d)
     g match {
       case p: Point => if (p.isEmpty) Polygon(Array.empty) else circle(p.x, p.y, d)
       case m: MultiPoint =>
@@ -485,6 +485,32 @@ object Ops {
         bufferPolygonal(m.polys.filter(_.nonEmpty), d)
       case c: GeometryCollection => GeometryCollection(c.geoms.map(buffer(_, d)))
     }
+  }
+
+  /** Negative buffer (erosion) of polygonal input: the morphological
+    * identity erode(P, d) = P − dilate(boundary(P), d) — subtract a capsule
+    * around every boundary segment. Exact via the overlay core; lower-
+    * dimensional input erodes to empty (matching Esri buffer semantics). */
+  private def erode(g: Geometry, d: Double): Geometry = {
+    val (_, _, polys) = Pred.decompose(g)
+    if (polys == null) return Polygon(Array.empty) // puntal/lineal erode away
+    var acc: Geometry = if (polys.length == 1) Polygon(polys(0)) else MultiPolygon(polys)
+    var phase = 1
+    polys.foreach { rings =>
+      rings.foreach { ring0 =>
+        val r = dedupe(ring0, closeRing = true)
+        val n = r.length / 2 - 1
+        var i = 0
+        while (i < n) {
+          if (!acc.isEmpty)
+            acc = Overlay.difference(acc,
+              capsule(r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3), d, phase))
+          phase += 1
+          i += 1
+        }
+      }
+    }
+    acc
   }
 
   /** Exact buffer of a polygonal set: the set itself unioned with a

@@ -348,7 +348,7 @@ object Overlay {
       else PlanarOverlay.overlay(aa, ba, PlanarOverlay.Uni)
     } else if (al != null && bl != null) {
       if (Pred.disjoint(a, b)) MultiLineString(al ++ bl)
-      else throw new UnsupportedOperationException("noding lineal union staged for P2")
+      else PlanarOverlay.linealUnion(al, bl)
     } else throw new UnsupportedOperationException(
       s"union(${a.getClass.getSimpleName}, ${b.getClass.getSimpleName}) staged for P2")
   }

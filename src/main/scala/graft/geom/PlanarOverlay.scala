@@ -449,6 +449,76 @@ object PlanarOverlay {
     out.toArray
   }
 
+  // ---------------- lineal union (noding + dissolve) ----------------
+
+  /**
+   * Union of two lineal sets: node every segment against both sides, drop
+   * duplicate (collinear-overlapping) sub-segments, stitch chains back
+   * through degree-2 nodes. Matches JTS's node-and-dissolve semantics
+   * (total length = measure of the union of the two point sets).
+   */
+  def linealUnion(la: Array[Array[Double]], lb: Array[Array[Double]]): Geometry = {
+    var maxAbs = 0.0
+    (la ++ lb).foreach(_.foreach(v => { val a = math.abs(v); if (a > maxAbs) maxAbs = a }))
+    val scale = snapScale(maxAbs)
+    val edges = new ArrayBuffer[Edge]()
+    def add(lines: Array[Array[Double]], side: Int): Unit = lines.foreach { cs =>
+      var i = 0
+      while (i + 3 < cs.length) {
+        val x1 = snap(cs(i), scale); val y1 = snap(cs(i + 1), scale)
+        val x2 = snap(cs(i + 2), scale); val y2 = snap(cs(i + 3), scale)
+        if (x1 != x2 || y1 != y2) edges += new Edge(x1, y1, x2, y2, side)
+        i += 2
+      }
+    }
+    add(la, 0); add(lb, 1)
+    if (edges.isEmpty) return GeometryCollection(Array.empty)
+    nodeAll(edges, scale)
+    val subs = splitAll(edges, scale)
+    // dedupe by undirected key (collinear overlaps collapse to one copy)
+    val uniq = new mutable.LinkedHashMap[(Long, Long, Long, Long), Sub]()
+    subs.foreach(s => if (!uniq.contains(s.ukey)) uniq(s.ukey) = s)
+    // stitch chains through degree-2 nodes
+    val es = uniq.values.toArray
+    val at = new mutable.HashMap[PKey, ArrayBuffer[Int]]()
+    es.indices.foreach { i =>
+      at.getOrElseUpdate(pkey(es(i).sx, es(i).sy), new ArrayBuffer[Int](2)) += i
+      at.getOrElseUpdate(pkey(es(i).ex, es(i).ey), new ArrayBuffer[Int](2)) += i
+    }
+    val used = new Array[Boolean](es.length)
+    val parts = new ArrayBuffer[Array[Double]]()
+    def walk(start: Int, fromKey: PKey): Unit = {
+      val out = new ArrayBuffer[Double]()
+      var cur = start
+      var key = fromKey
+      out += doubleOf(key._1); out += doubleOf(key._2)
+      var going = true
+      while (going) {
+        used(cur) = true
+        val e = es(cur)
+        val next = if (pkey(e.sx, e.sy) == key) pkey(e.ex, e.ey) else pkey(e.sx, e.sy)
+        out += doubleOf(next._1); out += doubleOf(next._2)
+        key = next
+        val cands = at(key).filter(i => !used(i))
+        if (at(key).length == 2 && cands.length == 1) cur = cands(0)
+        else going = false
+      }
+      parts += out.toArray
+    }
+    // start at non-degree-2 endpoints first (open chains), then cycles
+    es.indices.foreach { i =>
+      if (!used(i)) {
+        val ks = pkey(es(i).sx, es(i).sy); val ke = pkey(es(i).ex, es(i).ey)
+        if (at(ks).length != 2) walk(i, ks)
+        else if (at(ke).length != 2) walk(i, ke)
+      }
+    }
+    es.indices.foreach(i => if (!used(i)) walk(i, pkey(es(i).sx, es(i).sy)))
+    if (parts.length == 1) LineString(parts(0)) else MultiLineString(parts.toArray)
+  }
+
+  @inline private def doubleOf(bits: Long): Double = java.lang.Double.longBitsToDouble(bits)
+
   // ---------------- polygon cut ----------------
 
   /**

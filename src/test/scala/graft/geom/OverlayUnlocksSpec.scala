@@ -10,6 +10,7 @@ class OverlayUnlocksSpec extends AnyFunSuite {
 
   val reader = new WKTReader()
   def ours(w: String): Geometry = Wkt.read(w)
+  def jts(w: String): org.locationtech.jts.geom.Geometry = reader.read(w)
 
   // ---------------- simplify_ogc ----------------
 
@@ -94,6 +95,63 @@ class OverlayUnlocksSpec extends AnyFunSuite {
     val parts = Ops.cut(ours("LINESTRING (0 0, 10 0)"), ours("LINESTRING (5 -1, 5 1)"))
     assert(parts.length == 2)
     assert(parts.map(Ops.length).sorted.toSeq == Seq(5.0, 5.0))
+  }
+
+  // ---------------- negative buffer (erosion) ----------------
+
+  test("negative buffer of a rect erodes to the inner rect (vs JTS within 1%)") {
+    val r = ours("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val got = Ops.area(Ops.buffer(r, -2.0))
+    val want = reader.read(Wkt.write(r)).buffer(-2.0).getArea // exactly 36
+    assert(math.abs(got - want) / want < 0.01, s"got=$got want=$want")
+  }
+
+  test("negative buffer larger than the inradius erodes to empty") {
+    val r = ours("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(Ops.area(Ops.buffer(r, -3.0)) == 0.0)
+  }
+
+  test("negative buffer of a donut erodes both boundaries") {
+    val donut = ours("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (8 8, 8 12, 12 12, 12 8, 8 8))")
+    val got = Ops.area(Ops.buffer(donut, -1.0))
+    val want = reader.read(Wkt.write(donut)).buffer(-1.0).getArea
+    assert(math.abs(got - want) / want < 0.01, s"got=$got want=$want")
+  }
+
+  // ---------------- lineal union (noding + dissolve) ----------------
+
+  test("lineal union length matches JTS on crossing/overlapping lines") {
+    val cases = Seq(
+      ("LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)"),          // cross
+      ("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)"),          // collinear overlap
+      ("LINESTRING (0 0, 4 0)", "LINESTRING (4 0, 4 4)"),          // endpoint touch
+      ("LINESTRING (0 0, 2 0, 2 2)", "LINESTRING (1 0, 3 0, 3 2)"),// partial overlap
+      ("MULTILINESTRING ((0 0, 4 0), (0 2, 4 2))", "LINESTRING (2 -1, 2 3)"))
+    cases.foreach { case (wa, wb) =>
+      val got = Ops.length(Overlay.union(ours(wa), ours(wb)))
+      val want = jts(wa).union(jts(wb)).getLength
+      assert(math.abs(got - want) < 1e-9, s"a=$wa b=$wb got=$got want=$want")
+    }
+  }
+
+  test("lineal union fuzz vs JTS length") {
+    var state = 31L
+    def nextInt(b: Int): Int = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (math.abs(state) % b).toInt
+    }
+    (0 until 200).foreach { _ =>
+      def line(): String = {
+        val n = 2 + nextInt(4)
+        s"LINESTRING (${Seq.fill(n)(s"${nextInt(10)} ${nextInt(10)}").mkString(", ")})"
+      }
+      val wa = line(); val wb = line()
+      if (jts(wa).isSimple && jts(wb).isSimple) {
+        val got = Ops.length(Overlay.union(ours(wa), ours(wb)))
+        val want = jts(wa).union(jts(wb)).getLength
+        assert(math.abs(got - want) < 1e-9, s"a=$wa b=$wb got=$got want=$want")
+      }
+    }
   }
 
   // ---------------- cascaded union (st_union_agg kernel path) ----------------
