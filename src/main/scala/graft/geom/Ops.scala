@@ -746,6 +746,76 @@ object Ops {
     2 * EARTH_R * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /**
+   * WGS84 ellipsoidal inverse distance (Vincenty 1975, public formulae) —
+   * the reference's GEODETIC_LENGTH is ellipsoidal, not spherical
+   * ⟨ref(engine): OperatorGeodeticLength⟩; `st_length_geodesic` exposes
+   * this alongside the spherical `st_length_sphere`. Near-antipodal
+   * non-convergence falls back to the spherical value (documented; Esri
+   * uses a different series there).
+   */
+  def vincenty(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val a = 6378137.0; val f = 1.0 / 298.257223563; val b = a * (1.0 - f)
+    val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - f) * math.tan(math.toRadians(lat2)))
+    val l = math.toRadians(lon2 - lon1)
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lambda = l
+    var iter = 0
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    var converged = false
+    while (iter < 200 && !converged) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      sinSigma = math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0.0) 0.0 // equatorial line
+        else cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+      val prev = lambda
+      lambda = l + (1.0 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
+          (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    if (!converged) return haversine(lon1, lat1, lon2, lat2) // near-antipodal
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+      (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - deltaSigma)
+  }
+
+  /** Ellipsoidal length of lineal geometry in meters (lon/lat input). */
+  def lengthGeodesic(g: Geometry): Double = {
+    var s = 0.0
+    def seg(cs: Array[Double]): Unit = {
+      var i = 0
+      while (i + 3 < cs.length) { s += vincenty(cs(i), cs(i + 1), cs(i + 2), cs(i + 3)); i += 2 }
+    }
+    g match {
+      case l: LineString => seg(l.coords)
+      case m: MultiLineString => m.lines.foreach(seg)
+      case p: Polygon => p.rings.foreach(seg)
+      case m: MultiPolygon => m.polys.foreach(_.foreach(seg))
+      case c: GeometryCollection => s = c.geoms.map(lengthGeodesic).sum
+      case _ => ()
+    }
+    s
+  }
+
   /** Great-circle length of lineal geometry in meters (lon/lat input). */
   def lengthSphere(g: Geometry): Double = {
     var s = 0.0

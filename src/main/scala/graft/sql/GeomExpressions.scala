@@ -326,6 +326,11 @@ case class StLengthSphere(child: Expression) extends GeomUnary {
   override def nullSafeEval(v: Any): Any = K.lengthSphere(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StLengthGeodesic(child: Expression) extends GeomUnary {
+  def fn = "lengthGeodesic"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.lengthGeodesic(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 
 // ---------------- constructive ----------------
 

@@ -57,6 +57,7 @@ object GraftFunctions {
     "st_length" -> (e => StLength(e.head)),
     "st_area_sphere" -> (e => StAreaSphere(e.head)),
     "st_length_sphere" -> (e => StLengthSphere(e.head)),
+    "st_length_geodesic" -> (e => StLengthGeodesic(e.head)),
     // constructive (§2.2)
     "st_buffer" -> (e => StBuffer(e(0), e(1))),
     "st_convexhull" -> (e => StConvexHull(e.head)),

@@ -96,6 +96,7 @@ object K {
   def length(b: Array[Byte]): Double = Ops.length(rd(b))
   def areaSphere(b: Array[Byte]): Double = Ops.areaSphere(rd(b))
   def lengthSphere(b: Array[Byte]): Double = Ops.lengthSphere(rd(b))
+  def lengthGeodesic(b: Array[Byte]): Double = Ops.lengthGeodesic(rd(b))
 
   // ---- constructive (§2.2) ----
   def buffer(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.simplify(Ops.buffer(rd(b), d)))

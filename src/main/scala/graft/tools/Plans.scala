@@ -14,7 +14,10 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("q07_pip_join", "q08_pip_tile", "q01_pricing_agg", "q06_cellid").foreach { q =>
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q07_pip_join", "q08_pip_tile", "q01_pricing_agg", "q06_cellid",
+        "q30_pip_tri", "q19_simhash_near", "q20_ngram_jaccard", "q40_union_agg")
+    qs.foreach { q =>
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").explain("formatted")
     }
