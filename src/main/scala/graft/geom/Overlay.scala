@@ -356,6 +356,28 @@ object Overlay {
   /** One planar traversal (Xor selection), not union-of-differences — the
     * two difference pieces share collinear boundary along a∩b, which the
     * composed formulation re-nodes needlessly (advisor finding r1). */
+  /** Mixed-dimension intersection per the reference's dimension_mask
+    * (bits: 1=points, 2=lines, 4=areas). Polygonal×polygonal gets the full
+    * decomposition; other combinations already produce their natural
+    * dimension via [[intersection]] (filtered by the mask). */
+  def intersectionDim(a: Geometry, b: Geometry, mask: Int): Geometry = {
+    val (_, _, aa) = Pred.decompose(a)
+    val (_, _, ba) = Pred.decompose(b)
+    if (aa != null && ba != null) {
+      if (!a.envelope.intersects(b.envelope)) GeometryCollection(Array.empty)
+      else PlanarOverlay.intersectionDim(aa, ba, mask)
+    } else {
+      val g = intersection(a, b)
+      val dimBit = g.dimension match {
+        case 0 => 1
+        case 1 => 2
+        case 2 => 4
+        case _ => 0
+      }
+      if ((mask & dimBit) != 0) g else GeometryCollection(Array.empty)
+    }
+  }
+
   def symDifference(a: Geometry, b: Geometry): Geometry = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a

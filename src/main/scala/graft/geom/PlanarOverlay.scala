@@ -449,6 +449,90 @@ object PlanarOverlay {
     out.toArray
   }
 
+  // ---------------- mixed-dimension intersection ----------------
+
+  /**
+   * Full point-set intersection of two polygonal operands, decomposed by
+   * dimension (the reference's `IntersectionParams.dimension_mask`
+   * ⟨ref: geometry.proto⟩): the areal part, plus boundary-contact segments
+   * not adjacent to it, plus isolated touch points. `mask` bits: 1 = dim 0,
+   * 2 = dim 1, 4 = dim 2 (Esri convention).
+   */
+  def intersectionDim(pa: Array[Array[Array[Double]]], pb: Array[Array[Array[Double]]],
+                      mask: Int): Geometry = {
+    val scale = snapScale(math.max(maxAbs(pa), maxAbs(pb)))
+    val a = normalize(pa, scale)
+    val b = normalize(pb, scale)
+    if (a.isEmpty || b.isEmpty) return GeometryCollection(Array.empty)
+
+    val areal = overlay(pa, pb, Inter)
+    val arealPolys: Array[Array[Array[Double]]] = areal match {
+      case p: Polygon if !p.isEmpty => Array(p.rings)
+      case m: MultiPolygon          => m.polys
+      case _                        => Array.empty
+    }
+    @inline def inAreal(x: Double, y: Double): Boolean =
+      arealPolys.nonEmpty && Pred.pointInPolygonal(arealPolys, x, y) >= 0
+
+    // re-node to recover shared sub-edges and touch points
+    val edges = new ArrayBuffer[Edge]()
+    collectEdges(a, 0, edges)
+    collectEdges(b, 1, edges)
+    nodeAll(edges, scale)
+    val subs = splitAll(edges, scale)
+    val byKey = new mutable.HashMap[(Long, Long, Long, Long), Int]() // bitmask of sides
+    subs.foreach { s =>
+      val k = s.ukey
+      byKey(k) = byKey.getOrElse(k, 0) | (1 << s.side)
+    }
+    // dim-1: segments on both boundaries whose midpoint is outside the areal closure
+    val dim1 = new ArrayBuffer[Array[Double]]()
+    val onDim1 = new mutable.HashSet[PKey]()
+    subs.foreach { s =>
+      if (s.side == 0 && byKey(s.ukey) == 3) {
+        val mx = s.sx + 0.5 * (s.ex - s.sx); val my = s.sy + 0.5 * (s.ey - s.sy)
+        if (!inAreal(mx, my)) {
+          dim1 += Array(s.sx, s.sy, s.ex, s.ey)
+          onDim1 += pkey(s.sx, s.sy); onDim1 += pkey(s.ex, s.ey)
+        }
+      }
+    }
+    // dim-0: nodes shared by both boundaries, not in the areal closure, not
+    // endpoints of a dim-1 segment. After mutual noding every boundary-touch
+    // point is a sub-edge endpoint present on both sides.
+    val aNodes = new mutable.HashSet[PKey]()
+    val touch = new mutable.LinkedHashSet[PKey]()
+    subs.foreach { s => if (s.side == 0) { aNodes += pkey(s.sx, s.sy); aNodes += pkey(s.ex, s.ey) } }
+    subs.foreach { s =>
+      if (s.side == 1) {
+        Seq(pkey(s.sx, s.sy), pkey(s.ex, s.ey)).foreach { k =>
+          if (aNodes.contains(k) && !onDim1.contains(k)) {
+            val x = doubleOf(k._1); val y = doubleOf(k._2)
+            // a shared node counts as contact only if it lies on BOTH
+            // boundaries (noding inserts it on each side it lies on)
+            if (!inAreal(x, y)) touch += k
+          }
+        }
+      }
+    }
+    val out = new ArrayBuffer[Geometry]()
+    if ((mask & 4) != 0 && !areal.isEmpty) out += areal
+    if ((mask & 2) != 0 && dim1.nonEmpty) out += stitchDim1(dim1)
+    if ((mask & 1) != 0 && touch.nonEmpty) {
+      val cs = touch.toArray.flatMap(k => Array(doubleOf(k._1), doubleOf(k._2)))
+      out += (if (cs.length == 2) Point(cs(0), cs(1)) else MultiPoint(cs))
+    }
+    if (out.isEmpty) GeometryCollection(Array.empty)
+    else if (out.length == 1) out(0)
+    else GeometryCollection(out.toArray)
+  }
+
+  private def stitchDim1(segs: ArrayBuffer[Array[Double]]): Geometry = {
+    val parts = segs.map(s => LineString(s): Geometry)
+    if (parts.length == 1) parts(0)
+    else linealUnion(segs.map(identity).toArray, Array.empty)
+  }
+
   // ---------------- lineal union (noding + dissolve) ----------------
 
   /**

@@ -454,6 +454,19 @@ case class StCut(left: Expression, right: Expression) extends BinaryExpression
 
 // ---------------- cells / tiles ----------------
 
+/** st_intersection_dim(a, b, mask): mixed-dimension intersection —
+  * dimension_mask bits 1=points, 2=lines, 4=areas (Esri convention). */
+case class StIntersectionDim(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.intersectionDim(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 case class StCellId(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true

@@ -77,6 +77,7 @@ object GraftFunctions {
     "st_num_geometries" -> (e => StNumGeometries(e.head)),
     // binary overlay (§2.3, staged — see graft.geom.Overlay)
     "st_intersection" -> (e => StIntersection(e(0), e(1))),
+    "st_intersection_dim" -> (e => StIntersectionDim(e(0), e(1), e(2))),
     "st_difference" -> (e => StDifference(e(0), e(1))),
     "st_union" -> (e => StUnion(e(0), e(1))),
     "st_symdifference" -> (e => StSymDifference(e(0), e(1))),

@@ -151,6 +151,8 @@ object K {
   // ---- binary overlay (§2.3, staged) ----
   def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     wr(Ops.simplify(Overlay.intersection(rd(a), rd(b))))
+  def intersectionDim(a: Array[Byte], b: Array[Byte], mask: Int): Array[Byte] =
+    wr(Overlay.intersectionDim(rd(a), rd(b), mask))
   def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     wr(Ops.simplify(Overlay.difference(rd(a), rd(b))))
   def unionGeom(a: Array[Byte], b: Array[Byte]): Array[Byte] =

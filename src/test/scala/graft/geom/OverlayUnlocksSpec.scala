@@ -97,6 +97,46 @@ class OverlayUnlocksSpec extends AnyFunSuite {
     assert(parts.map(Ops.length).sorted.toSeq == Seq(5.0, 5.0))
   }
 
+  // ---------------- dimension_mask intersection ----------------
+
+  test("edge-touching rects: full-mask intersection is the shared edge (JTS parity)") {
+    val a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val b = "POLYGON ((4 1, 8 1, 8 3, 4 3, 4 1))"
+    val got = Overlay.intersectionDim(ours(a), ours(b), 7)
+    val want = jts(a).intersection(jts(b)) // LINESTRING (4 1, 4 3)
+    assert(got.dimension == 1, Wkt.write(got))
+    assert(math.abs(Ops.length(got) - want.getLength) < 1e-12)
+    // area-only mask drops it
+    assert(Overlay.intersectionDim(ours(a), ours(b), 4).isEmpty)
+  }
+
+  test("corner-touching rects: full-mask intersection is the touch point") {
+    val a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val b = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
+    val got = Overlay.intersectionDim(ours(a), ours(b), 7)
+    assert(got == Point(4.0, 4.0), Wkt.write(got))
+    assert(Overlay.intersectionDim(ours(a), ours(b), 6).isEmpty)
+  }
+
+  test("overlapping rects: full mask returns just the areal part") {
+    val a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val b = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+    val got = Overlay.intersectionDim(ours(a), ours(b), 7)
+    assert(got.dimension == 2 && Ops.area(got) == 4.0, Wkt.write(got))
+  }
+
+  test("vertex-on-edge touch yields a point; mixed contact yields a collection") {
+    val a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val tri = "POLYGON ((4 2, 6 1, 6 3, 4 2))"
+    assert(Overlay.intersectionDim(ours(a), ours(tri), 7) == Point(4.0, 2.0))
+    // B shares an edge segment AND touches a separate corner point
+    val c = "POLYGON ((4 0, 8 0, 8 6, 0 6, 0 5, 4 5, 4 4, 6 4, 6 1, 4 1, 4 0))"
+    val got = Overlay.intersectionDim(ours(a), ours(c), 7)
+    val want = jts(a).intersection(jts(c))
+    assert(math.abs(Ops.length(got) - want.getLength) < 1e-9,
+      s"got=${Wkt.write(got)} want=$want")
+  }
+
   // ---------------- negative buffer (erosion) ----------------
 
   test("negative buffer of a rect erodes to the inner rect (vs JTS within 1%)") {
