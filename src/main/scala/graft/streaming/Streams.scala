@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.sql.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -39,4 +40,38 @@ object Streams {
   /** File-source stream over a parquet dir with explicit schema. */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  // ---------------- custom state (mapGroupsWithState) ----------------
+
+  /** Running per-cell accumulator carried across micro-batches. */
+  final case class CellState(n: Long, xmin: Double, ymin: Double,
+                             xmax: Double, ymax: Double)
+  final case class CellPoint(cell: Long, lon: Double, lat: Double)
+  final case class CellStats(cell: Long, n: Long, xmin: Double, ymin: Double,
+                             xmax: Double, ymax: Double)
+
+  /**
+   * Stateful per-cell fold: count + running envelope maintained in
+   * `GroupState` across micro-batches — the client-stream accumulate shape
+   * with UNBOUNDED stream lifetime (the windowed agg above only folds
+   * within a window). State is O(1) per key regardless of row count, so a
+   * 10^12-row stream carries only #distinct-cells state.
+   */
+  def cellRunningStats(points: Dataset[CellPoint]): Dataset[CellStats] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.cell)
+      .mapGroupsWithState[CellState, CellStats](GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[CellPoint], state: GroupState[CellState]) =>
+          var s = state.getOption.getOrElse(
+            CellState(0L, Double.PositiveInfinity, Double.PositiveInfinity,
+              Double.NegativeInfinity, Double.NegativeInfinity))
+          rows.foreach { p =>
+            s = CellState(s.n + 1,
+              math.min(s.xmin, p.lon), math.min(s.ymin, p.lat),
+              math.max(s.xmax, p.lon), math.max(s.ymax, p.lat))
+          }
+          state.update(s)
+          CellStats(cell, s.n, s.xmin, s.ymin, s.xmax, s.ymax)
+      }
+  }
 }

@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("mapGroupsWithState accumulates per-cell state ACROSS micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.CellPoint]
+    val q = Streams.cellRunningStats(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("cell_state").start()
+    // batch 1: two points in cell 7, one in cell 9
+    input.addData(Streams.CellPoint(7, 1.0, 2.0), Streams.CellPoint(7, 3.0, -1.0),
+      Streams.CellPoint(9, 10.0, 10.0))
+    q.processAllAvailable()
+    // batch 2: cell 7 grows — state must carry the previous count/envelope
+    input.addData(Streams.CellPoint(7, -5.0, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cell_state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(5)))
+    // last update for cell 7: n=3 (2 from batch 1 + 1 from batch 2), envelope spans both batches
+    val last7 = rows.filter(_._1 == 7L).maxBy(_._2)
+    assert(last7._2 == 3L, s"state did not carry across batches: $last7")
+    assert(last7._3 == -5.0 && last7._4 == 4.0)
+    assert(rows.filter(_._1 == 9L).maxBy(_._2)._2 == 1L)
+  }
+
   test("geometry expressions run per streamed row (bidi-stream shape)") {
     val batch = spark.read.parquet(eventsPath)
       .withColumn("lon", (col("user_id") % 360 - 180).cast("double"))
