@@ -369,7 +369,11 @@ object SparkEntry {
         centsOf(call_function("st_area", call_function("st_intersection", col("a"), col("b")))).as("inter_c"),
         centsOf(call_function("st_area", call_function("st_union", col("a"), col("b")))).as("union_c"),
         centsOf(call_function("st_area", call_function("st_difference", col("a"), col("b")))).as("diff_c"),
-        centsOf(call_function("st_area", call_function("st_symdifference", col("a"), col("b")))).as("xor_c"))
+        centsOf(call_function("st_area", call_function("st_symdifference", col("a"), col("b")))).as("xor_c"),
+        // dimension_mask: the lines-only component is the shared edge for
+        // the 'touch' topology and empty for every other engineered case
+        centsOf(call_function("st_length",
+          call_function("st_intersection_dim", col("a"), col("b"), lit(2)))).as("dim1_len_c"))
     }),
 
     // ---------------- point buffer: n-gon area closed form ----------------
@@ -379,9 +383,15 @@ object SparkEntry {
         .withColumn("d", lit(0.1) + (substring(col("zone_id"), 5, 5).cast("int") % 10).cast("double") * 0.1)
         .withColumn("buf", call_function("st_buffer",
           call_function("st_point", col("xmin"), col("ymin")), col("d")))
+        // negative buffer: eroding an axis-aligned rect is exactly the
+        // inset rect (capsule mid-sections dominate the corner arcs)
+        .withColumn("de", least(col("xmax") - col("xmin"), col("ymax") - col("ymin")) * 0.05)
+        .withColumn("er", call_function("st_buffer",
+          mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")), -col("de")))
         .select(col("zone_id"),
           floor(call_function("st_area", col("buf")) * 10000 + lit(0.5)).cast("bigint").as("buf_area_e4"),
-          call_function("st_numpoints", col("buf")).cast("bigint").as("buf_pts"))
+          call_function("st_numpoints", col("buf")).cast("bigint").as("buf_pts"),
+          centsOf(call_function("st_area", col("er"))).as("erode_area_c"))
     }),
 
     // ---------------- convex hull ----------------
@@ -692,7 +702,7 @@ object SparkEntry {
              (xmax - (xmax - xmin)*0.25) - (xmin + (xmax - xmin)*0.25) AS bw,
              (ymax - (ymax - ymin)*0.25) - (ymin + (ymax - ymin)*0.25) AS bh
            FROM $ZON CROSS JOIN $RECT_CASES_SQL),
-         e AS (SELECT zone_id, c, w*h AS areaa,
+         e AS (SELECT zone_id, c, h, w*h AS areaa,
              CASE c WHEN 'inside' THEN bw*bh ELSE w*h END AS areab,
              CASE c WHEN 'overlap' THEN iw*ih WHEN 'inside' THEN bw*bh
                     WHEN 'equal' THEN w*h ELSE 0.0 END AS inter
@@ -701,14 +711,19 @@ object SparkEntry {
            CAST(FLOOR(inter*100 + 0.5) AS BIGINT) AS inter_c,
            CAST(FLOOR((areaa + areab - inter)*100 + 0.5) AS BIGINT) AS union_c,
            CAST(FLOOR((areaa - inter)*100 + 0.5) AS BIGINT) AS diff_c,
-           CAST(FLOOR((areaa + areab - 2*inter)*100 + 0.5) AS BIGINT) AS xor_c
+           CAST(FLOOR((areaa + areab - 2*inter)*100 + 0.5) AS BIGINT) AS xor_c,
+           CASE WHEN c = 'touch'
+             THEN CAST(FLOOR(h*100 + 0.5) AS BIGINT) ELSE 0 END AS dim1_len_c
          FROM e""",
     "q33_buffer_area" ->
       s"""SELECT zone_id,
          CAST(FLOOR(48.0 * d * d * SIN(PI()/48) * 10000 + 0.5) AS BIGINT) AS buf_area_e4,
-         97 AS buf_pts
+         97 AS buf_pts,
+         CAST(FLOOR((w - 2*de)*(h - 2*de)*100 + 0.5) AS BIGINT) AS erode_area_c
          FROM (SELECT zone_id,
-           0.1 + (CAST(substr(zone_id, 5, 5) AS INT) % 10) * 0.1 AS d FROM $ZON)""",
+           0.1 + (CAST(substr(zone_id, 5, 5) AS INT) % 10) * 0.1 AS d,
+           xmax - xmin AS w, ymax - ymin AS h,
+           LEAST(xmax - xmin, ymax - ymin) * 0.05 AS de FROM $ZON)""",
     "q34_hull" ->
       s"""SELECT zone_id,
          CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS hull_area_c,

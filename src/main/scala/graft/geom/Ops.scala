@@ -537,29 +537,34 @@ object Ops {
     acc
   }
 
-  /** Convex capsule (stadium) around a segment; `phase` rotates the arc
-    * sample grid so adjacent capsules never share vertices (keeps the GH
-    * union free of coincident-edge degeneracies). */
+  /** Convex capsule (stadium) around a segment. The four tangent vertices
+    * (at exactly ±90° from the segment direction around each endpoint) are
+    * always emitted, so the long sides lie at EXACTLY distance d — a
+    * phase-shifted tangent would place them at d·cos(δ), a systematic
+    * undersizing that shows up as an area error proportional to the
+    * perimeter. `phase` still rotates the INTERIOR arc samples so adjacent
+    * capsules rarely share arc vertices (cheap insurance; the snap-rounded
+    * overlay handles shared vertices correctly anyway). */
   private def capsule(ax: Double, ay: Double, bx: Double, by: Double,
                       d: Double, phase: Int): Polygon = {
     val theta = math.atan2(by - ay, bx - ax)
-    val dPhi = 2 * math.Pi / CIRCLE_SEGS
-    val shift = dPhi * ((phase * 0.137) % 1.0)
-    val out = new ArrayBuffer[Double](CIRCLE_SEGS * 2 + 8)
-    // semicircle around b from theta-90° to theta+90° (CCW), then around a
-    var k = 0
     val half = CIRCLE_SEGS / 2
-    while (k <= half) {
-      val a0 = theta - math.Pi / 2 + shift + math.Pi * k / half
-      out += bx + d * math.cos(a0); out += by + d * math.sin(a0)
-      k += 1
+    val dPhi = math.Pi / half
+    val shift = dPhi * (0.25 + 0.5 * ((phase * 0.137) % 1.0)) // ∈ (0, dPhi)
+    val out = new ArrayBuffer[Double](CIRCLE_SEGS * 2 + 8)
+    def semicircle(cx: Double, cy: Double, start: Double): Unit = {
+      out += cx + d * math.cos(start); out += cy + d * math.sin(start)
+      var k = 0
+      while (k < half) {
+        val a0 = start + shift + dPhi * k
+        out += cx + d * math.cos(a0); out += cy + d * math.sin(a0)
+        k += 1
+      }
+      out += cx + d * math.cos(start + math.Pi); out += cy + d * math.sin(start + math.Pi)
     }
-    k = 0
-    while (k <= half) {
-      val a0 = theta + math.Pi / 2 + shift + math.Pi * k / half
-      out += ax + d * math.cos(a0); out += ay + d * math.sin(a0)
-      k += 1
-    }
+    // CCW: semicircle around b from θ-90° to θ+90°, then around a
+    semicircle(bx, by, theta - math.Pi / 2)
+    semicircle(ax, ay, theta + math.Pi / 2)
     out += out(0); out += out(1)
     Polygon(Array(dedupe(out.toArray, closeRing = true)))
   }
