@@ -546,6 +546,63 @@ object SparkEntry {
           call_function("st_num_geometries", col("fixed")).cast("bigint").as("n_lobes"))
     }),
 
+    // ---------------- generalize-by-area (Visvalingam–Whyatt) ----------------
+    "q46_generalize_area" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("gen", call_function("st_generalize_area",
+          call_function("st_densify",
+            mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")), lit(1.0)),
+          lit(0.5)))
+        .select(col("zone_id"),
+          call_function("st_numpoints", col("gen")).cast("bigint").as("vw_pts"),
+          centsOf(call_function("st_area", col("gen"))).as("area_c"))
+    }),
+
+    // ---------------- geodetic densify (haversine-bounded) ----------------
+    "q47_geodetic_densify" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("dg", call_function("st_geodetic_densify",
+          call_function("st_makeline", col("xmin"), col("ymin"), col("xmax"), col("ymax")),
+          lit(200000.0)))
+        .select(col("zone_id"),
+          call_function("st_numpoints", col("dg")).cast("bigint").as("gd_pts"))
+    }),
+
+    // ---------------- seeded random points (server-stream 1→N) ----------------
+    "q48_random_points" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+        .withColumn("seed", substring(col("zone_id"), 5, 5).cast("bigint") + lit(1L))
+        .withColumn("pts", call_function("st_random_points", col("g"), lit(20), col("seed")))
+        .select(col("zone_id"),
+          size(col("pts")).cast("bigint").as("n_pts"),
+          size(expr("filter(pts, p -> st_contains(g, p))")).cast("bigint").as("n_inside"))
+    }),
+
+    // ---------------- cell hierarchy ops ----------------
+    "q49_cell_ops" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .withColumn("cell12", call_function("st_cellid", col("lon"), col("lat"), lit(12)))
+        .select(col("image_id"),
+          call_function("st_cell_parent", col("cell12"), lit(12), lit(5)).as("parent5"),
+          call_function("st_cellid_norm", col("nx"), col("ny"), lit(12)).as("cell12n"))
+    }),
+
+    // ---------------- centroid ----------------
+    "q50_centroid" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("ct", call_function("st_centroid",
+          mkEnv(col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+        .select(col("zone_id"),
+          floor(call_function("st_x", col("ct")) * 10000 + lit(0.5)).cast("bigint").as("cx_e4"),
+          floor(call_function("st_y", col("ct")) * 10000 + lit(0.5)).cast("bigint").as("cy_e4"))
+    }),
+
     // ---------------- geometry operator chain (north_star-named) ----------------
     "q25_zone_chain" -> ((s, dir) => {
       GraftFunctions.install(s)
@@ -777,6 +834,30 @@ object SparkEntry {
       s"""SELECT zone_id,
          CAST(FLOOR((xmax - xmin)*(ymax - ymin)*0.5*100 + 0.5) AS BIGINT) AS fixed_area_c,
          2 AS n_lobes
+         FROM $ZON""",
+    "q46_generalize_area" ->
+      s"""SELECT zone_id, 5 AS vw_pts,
+         CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS area_c
+         FROM $ZON""",
+    "q47_geodetic_densify" ->
+      s"""SELECT zone_id, 1 + GREATEST(1, CAST(CEIL(
+           2.0 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+             SIN((RADIANS(ymax) - RADIANS(ymin))/2) * SIN((RADIANS(ymax) - RADIANS(ymin))/2)
+             + COS(RADIANS(ymin)) * COS(RADIANS(ymax))
+               * SIN(RADIANS(xmax - xmin)/2) * SIN(RADIANS(xmax - xmin)/2))))
+           / 200000.0) AS BIGINT)) AS gd_pts
+         FROM $ZON""",
+    "q48_random_points" ->
+      s"""SELECT zone_id, 20 AS n_pts, 20 AS n_inside FROM $ZON""",
+    "q49_cell_ops" ->
+      s"""SELECT image_id,
+         ${graft.cell.Cells.mortonSqlExpr("lon", "lat", 5)} AS parent5,
+         ${graft.cell.Cells.mortonSqlExpr("lon", "lat", 12)} AS cell12n
+         FROM $IMG""",
+    "q50_centroid" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR((xmin + xmax)*0.5*10000 + 0.5) AS BIGINT) AS cx_e4,
+         CAST(FLOOR((ymin + ymax)*0.5*10000 + 0.5) AS BIGINT) AS cy_e4
          FROM $ZON"""
     // q16–q20, q25: engine-only operators (lang-ID, fingerprint, MinHash/LSH,
     // SimHash, n-gram Jaccard, buffer chain) — not ANSI-SQL-expressible;
