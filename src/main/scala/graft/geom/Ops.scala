@@ -466,24 +466,43 @@ object Ops {
 
   // ---------------- buffer ----------------
 
-  def buffer(g: Geometry, d: Double): Geometry = {
+  def buffer(g: Geometry, d: Double): Geometry = buffer(g, d, CIRCLE_SEGS)
+
+  /** BufferParams.max_deviation ⟨ref: geometry.proto BufferParams⟩: arc
+    * tessellation chosen so chords deviate from the true circle by at most
+    * `maxDev` (sagitta bound r·(1−cos(π/n)) ≤ maxDev), clamped to [8, 720]
+    * segments/circle and rounded up to a multiple of 4 for quadrant
+    * symmetry; maxDev ≤ 0 keeps the default. */
+  def bufferDeviation(g: Geometry, d: Double, maxDev: Double): Geometry = {
+    val r = math.abs(d)
+    val segs =
+      if (maxDev <= 0 || r == 0) CIRCLE_SEGS
+      else {
+        val ratio = math.min(0.999999, maxDev / r)
+        val n = math.ceil(math.Pi / math.acos(1.0 - ratio)).toInt
+        math.min(720, math.max(8, ((n + 3) / 4) * 4))
+      }
+    buffer(g, d, segs)
+  }
+
+  def buffer(g: Geometry, d: Double, segs: Int): Geometry = {
     if (d == 0) return g
-    if (d < 0) return erode(g, -d)
+    if (d < 0) return erode(g, -d, segs)
     g match {
-      case p: Point => if (p.isEmpty) Polygon(Array.empty) else circle(p.x, p.y, d)
+      case p: Point => if (p.isEmpty) Polygon(Array.empty) else circle(p.x, p.y, d, segs)
       case m: MultiPoint =>
         val ps = new ArrayBuffer[Array[Array[Double]]]()
         var i = 0
-        while (i < m.coords.length) { ps += circle(m.coords(i), m.coords(i + 1), d).rings; i += 2 }
+        while (i < m.coords.length) { ps += circle(m.coords(i), m.coords(i + 1), d, segs).rings; i += 2 }
         MultiPolygon(ps.toArray)
-      case l: LineString => Polygon(Array(lineBufferRing(l.coords, d)))
-      case m: MultiLineString => MultiPolygon(m.lines.map(cs => Array(lineBufferRing(cs, d))))
+      case l: LineString => Polygon(Array(lineBufferRing(l.coords, d, segs)))
+      case m: MultiLineString => MultiPolygon(m.lines.map(cs => Array(lineBufferRing(cs, d, segs))))
       case p: Polygon =>
         if (p.isEmpty) p
-        else bufferPolygonal(Array(p.rings), d)
+        else bufferPolygonal(Array(p.rings), d, segs)
       case m: MultiPolygon =>
-        bufferPolygonal(m.polys.filter(_.nonEmpty), d)
-      case c: GeometryCollection => GeometryCollection(c.geoms.map(buffer(_, d)))
+        bufferPolygonal(m.polys.filter(_.nonEmpty), d, segs)
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(buffer(_, d, segs)))
     }
   }
 
@@ -491,7 +510,7 @@ object Ops {
     * identity erode(P, d) = P − dilate(boundary(P), d) — subtract a capsule
     * around every boundary segment. Exact via the overlay core; lower-
     * dimensional input erodes to empty (matching Esri buffer semantics). */
-  private def erode(g: Geometry, d: Double): Geometry = {
+  private def erode(g: Geometry, d: Double, segs: Int = CIRCLE_SEGS): Geometry = {
     val (_, _, polys) = Pred.decompose(g)
     if (polys == null) return Polygon(Array.empty) // puntal/lineal erode away
     var acc: Geometry = if (polys.length == 1) Polygon(polys(0)) else MultiPolygon(polys)
@@ -504,7 +523,7 @@ object Ops {
         while (i < n) {
           if (!acc.isEmpty)
             acc = Overlay.difference(acc,
-              capsule(r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3), d, phase))
+              capsule(r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3), d, phase, segs))
           phase += 1
           i += 1
         }
@@ -518,7 +537,8 @@ object Ops {
     * buffer eats into holes by d, which the capsule union delivers
     * directly). The snap-rounded overlay core handles every intermediate
     * degenerate contact and any cavities the accretion produces. */
-  private def bufferPolygonal(polys: Array[Array[Array[Double]]], d: Double): Geometry = {
+  private def bufferPolygonal(polys: Array[Array[Array[Double]]], d: Double,
+                              segs: Int = CIRCLE_SEGS): Geometry = {
     var acc: Geometry = if (polys.length == 1) Polygon(polys(0)) else MultiPolygon(polys)
     var phase = 1
     polys.foreach { rings =>
@@ -528,7 +548,7 @@ object Ops {
         var i = 0
         while (i < n) {
           acc = Overlay.union(acc,
-            capsule(r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3), d, phase))
+            capsule(r(2 * i), r(2 * i + 1), r(2 * i + 2), r(2 * i + 3), d, phase, segs))
           phase += 1
           i += 1
         }
@@ -546,12 +566,12 @@ object Ops {
     * capsules rarely share arc vertices (cheap insurance; the snap-rounded
     * overlay handles shared vertices correctly anyway). */
   private def capsule(ax: Double, ay: Double, bx: Double, by: Double,
-                      d: Double, phase: Int): Polygon = {
+                      d: Double, phase: Int, segs: Int = CIRCLE_SEGS): Polygon = {
     val theta = math.atan2(by - ay, bx - ax)
-    val half = CIRCLE_SEGS / 2
+    val half = segs / 2
     val dPhi = math.Pi / half
     val shift = dPhi * (0.25 + 0.5 * ((phase * 0.137) % 1.0)) // ∈ (0, dPhi)
-    val out = new ArrayBuffer[Double](CIRCLE_SEGS * 2 + 8)
+    val out = new ArrayBuffer[Double](segs * 2 + 8)
     def semicircle(cx: Double, cy: Double, start: Double): Unit = {
       out += cx + d * math.cos(start); out += cy + d * math.sin(start)
       var k = 0
@@ -569,8 +589,8 @@ object Ops {
     Polygon(Array(dedupe(out.toArray, closeRing = true)))
   }
 
-  def circle(cx: Double, cy: Double, r: Double): Polygon = {
-    val n = CIRCLE_SEGS
+  def circle(cx: Double, cy: Double, r: Double, segs: Int = CIRCLE_SEGS): Polygon = {
+    val n = segs
     val ring = new Array[Double]((n + 1) * 2)
     var i = 0
     while (i < n) {
@@ -585,10 +605,10 @@ object Ops {
 
   /** Append a CCW arc around (cx,cy) radius r from angle a0 to a1. */
   private def appendArc(out: ArrayBuffer[Double], cx: Double, cy: Double, r: Double,
-                        a0: Double, a1: Double): Unit = {
+                        a0: Double, a1: Double, segs: Int = CIRCLE_SEGS): Unit = {
     var sweep = a1 - a0
     while (sweep < 0) sweep += 2 * math.Pi
-    val steps = math.max(1, math.ceil(sweep / (2 * math.Pi / CIRCLE_SEGS)).toInt)
+    val steps = math.max(1, math.ceil(sweep / (2 * math.Pi / segs)).toInt)
     var i = 1
     while (i <= steps) {
       val a = a0 + sweep * i / steps
@@ -633,19 +653,19 @@ object Ops {
   }
 
   /** Round-capped, round-joined outline of a polyline buffer (single ring). */
-  private def lineBufferRing(cs: Array[Double], d: Double): Array[Double] = {
+  private def lineBufferRing(cs: Array[Double], d: Double, segs: Int = CIRCLE_SEGS): Array[Double] = {
     val clean = dedupe(cs, closeRing = false)
     val n = clean.length / 2
     if (n == 0) return Array.empty
-    if (n == 1) return circle(clean(0), clean(1), d).rings(0)
+    if (n == 1) return circle(clean(0), clean(1), d, segs).rings(0)
     val out = new ArrayBuffer[Double](clean.length * 4)
     // forward along right side
-    sideOffset(clean, d, out)
+    sideOffset(clean, d, out, segs)
     // end cap (semicircle around last point)
     val lx = clean(2 * n - 2); val ly = clean(2 * n - 1)
     val px = clean(2 * n - 4); val py = clean(2 * n - 3)
     val (enx, eny) = outwardNormal(px, py, lx, ly)
-    appendArc(out, lx, ly, d, math.atan2(eny, enx), math.atan2(-eny, -enx))
+    appendArc(out, lx, ly, d, math.atan2(eny, enx), math.atan2(-eny, -enx), segs)
     // backward along the other side
     val rev = new Array[Double](clean.length)
     var i = 0
@@ -653,17 +673,18 @@ object Ops {
       rev(2 * i) = clean(2 * (n - 1 - i)); rev(2 * i + 1) = clean(2 * (n - 1 - i) + 1)
       i += 1
     }
-    sideOffset(rev, d, out)
+    sideOffset(rev, d, out, segs)
     // start cap
     val sx = clean(0); val sy = clean(1)
     val (snx, sny) = outwardNormal(clean(2), clean(3), sx, sy) // direction of rev's last edge
-    appendArc(out, sx, sy, d, math.atan2(sny, snx), math.atan2(-sny, -snx))
+    appendArc(out, sx, sy, d, math.atan2(sny, snx), math.atan2(-sny, -snx), segs)
     if (out.length >= 2) { out += out(0); out += out(1) }
     dedupe(out.toArray, closeRing = true)
   }
 
   /** Append right-side offset of an open polyline with round joins at left turns. */
-  private def sideOffset(cs: Array[Double], d: Double, out: ArrayBuffer[Double]): Unit = {
+  private def sideOffset(cs: Array[Double], d: Double, out: ArrayBuffer[Double],
+                         segs: Int = CIRCLE_SEGS): Unit = {
     val n = cs.length / 2
     var i = 0
     while (i < n - 1) {
@@ -677,7 +698,7 @@ object Ops {
         val turn = Pred.orient(ax, ay, bx, by, cx2, cy2)
         if (turn > 0) {
           val (o2x, o2y) = outwardNormal(bx, by, cx2, cy2)
-          appendArc(out, bx, by, d, math.atan2(oy, ox), math.atan2(o2y, o2x))
+          appendArc(out, bx, by, d, math.atan2(oy, ox), math.atan2(o2y, o2x), segs)
         }
       }
       i += 1

@@ -343,6 +343,19 @@ case class StBuffer(left: Expression, right: Expression) extends BinaryExpressio
     K.buffer(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+/** st_buffer(g, d, max_deviation): arc tessellation bounded by the max
+  * chord-to-arc deviation (BufferParams.max_deviation). */
+case class StBufferDev(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.bufferDev(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 case class StConvexHull(child: Expression) extends GeomUnary {
   def fn = "convexHull"; override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any = K.convexHull(v.asInstanceOf[Array[Byte]])

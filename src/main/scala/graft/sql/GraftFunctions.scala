@@ -59,7 +59,7 @@ object GraftFunctions {
     "st_length_sphere" -> (e => StLengthSphere(e.head)),
     "st_length_geodesic" -> (e => StLengthGeodesic(e.head)),
     // constructive (§2.2)
-    "st_buffer" -> (e => StBuffer(e(0), e(1))),
+    "st_buffer" -> (e => if (e.length >= 3) StBufferDev(e(0), e(1), e(2)) else StBuffer(e(0), e(1))),
     "st_convexhull" -> (e => StConvexHull(e.head)),
     "st_simplify" -> (e => StSimplify(e.head)),
     "st_simplify_ogc" -> (e => StSimplifyOgc(e.head)),

@@ -100,6 +100,8 @@ object K {
 
   // ---- constructive (§2.2) ----
   def buffer(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.simplify(Ops.buffer(rd(b), d)))
+  def bufferDev(b: Array[Byte], d: Double, maxDev: Double): Array[Byte] =
+    wr(Ops.simplify(Ops.bufferDeviation(rd(b), d, maxDev)))
   def convexHull(b: Array[Byte]): Array[Byte] = wr(Ops.convexHull(rd(b)))
   def simplifyGeom(b: Array[Byte]): Array[Byte] = wr(Ops.simplify(rd(b)))
   def simplifyOgc(b: Array[Byte]): Array[Byte] = wr(Ops.simplifyOgc(rd(b)))

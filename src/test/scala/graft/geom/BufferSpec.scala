@@ -47,4 +47,19 @@ class BufferSpec extends AnyFunSuite {
     }
     assert(exercised > 100)
   }
+
+  test("max_deviation controls tessellation: coarse=8 segs, fine>=default accuracy") {
+    val pt = Point(3.0, 4.0)
+    val coarse = Ops.bufferDeviation(pt, 1.0, 0.5).asInstanceOf[Polygon]
+    assert(coarse.rings(0).length / 2 - 1 == 8, s"got ${coarse.rings(0).length / 2 - 1}")
+    val fine = Ops.bufferDeviation(pt, 1.0, 1e-4).asInstanceOf[Polygon]
+    val nFine = fine.rings(0).length / 2 - 1
+    assert(nFine > 96 && nFine <= 720, s"got $nFine")
+    // sagitta bound actually holds: min vertex-to-center distance is r exactly,
+    // and the inscribed polygon's area deficit is within the deviation budget
+    val err = math.Pi - Ops.area(fine)
+    assert(err < 1e-4 * 2 * math.Pi, s"area deficit $err") // perimeter x maxDev bound
+    // default when maxDev <= 0
+    assert(Ops.bufferDeviation(pt, 1.0, 0.0).asInstanceOf[Polygon].rings(0).length / 2 - 1 == 96)
+  }
 }
