@@ -77,28 +77,39 @@ object ScalingBench {
     val nImages = GeoTables.nImages(sfDir)
     gen.stop()
 
-    def measure(cpus: Int): (Double, Seq[Double], Long) = {
-      val s = buildSession(cpus)
-      var rows = job(s, sfDir) // warm-up (JIT + codegen + footers)
-      import scala.jdk.CollectionConverters._
-      def gcMs: Long = java.lang.management.ManagementFactory
-        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-      val times = (1 to runs).map { _ =>
+    // INTERLEAVED protocol (round-2 revision): alternate 8-core and 32-core
+    // timed runs within one session so co-tenant noise bursts penalize both
+    // configs equally instead of whichever config happened to run during
+    // the burst (three sessions of the sequential protocol produced 0.30,
+    // 0.42 and 1.19 purely from burst timing).
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val s8 = buildSession(8)
+    var rows8 = job(s8, sfDir) // warm-up
+    s8.stop()
+    val s32 = buildSession(32)
+    var rows32 = job(s32, sfDir) // warm-up
+    s32.stop()
+    val all8 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val all32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to runs).foreach { _ =>
+      Seq(8, 32).foreach { cpus =>
+        val s = buildSession(cpus)
         val g0 = gcMs
         val t0 = System.nanoTime()
-        rows = job(s, sfDir)
+        val rows = job(s, sfDir)
         val el = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scaling] cpus=$cpus t=$el%.1fs gc=${gcMs - g0}ms")
-        el
+        if (cpus == 8) { all8 += el; rows8 = rows } else { all32 += el; rows32 = rows }
+        s.stop()
       }
-      s.stop()
-      (times.sorted.apply(times.length / 2), times, rows)
     }
+    val t8 = all8.sorted.apply(all8.length / 2)
+    val t32 = all32.sorted.apply(all32.length / 2)
 
     val spin8a = spinSeconds(8)
     val spin32a = spinSeconds(32)
-    val (t8, all8, rows8) = measure(8)
-    val (t32, all32, rows32) = measure(32)
     val spin8b = spinSeconds(8)
     val spin32b = spinSeconds(32)
     val spinEff = ((spin8a + spin8b) / (spin32a + spin32b)) / 4.0
