@@ -23,10 +23,29 @@ import org.apache.spark.sql.types.LongType
  * are identical. Injected via `spark.experimental.extraOptimizations` or
  * the [[GraftExtensions]] SparkSessionExtensions class.
  */
-case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan] {
+case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  /** First PIP conjunct (closed or interior-only semantics — the original
+    * predicate stays as the exact refine either way). */
+  private def pipConjunct(cond: Expression): Option[(Expression, Expression, Expression)] =
+    splitConjunctivePredicates(cond).collectFirst {
+      case StIntersectsXY(g, lon, lat) => (g, lon, lat)
+      case StContainsXY(g, lon, lat)   => (g, lon, lat)
+    }
+
+  /** Already rewritten? (the added equi-key would match again → fixpoint guard) */
+  private def alreadyRewritten(cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(a: AttributeReference, _) if a.name == "_pip_cell" => true
+      case EqualTo(_, b: AttributeReference) if b.name == "_pip_cover_cell" => true
+      case _ => false
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond @ StIntersectsXY(g, lon, lat)), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !alreadyRewritten(cond) && pipConjunct(cond).isDefined =>
+      val (g, lon, lat) = pipConjunct(cond).get
       val sides =
         if (g.references.subsetOf(right.outputSet) &&
             (lon.references ++ lat.references).subsetOf(left.outputSet))

@@ -47,5 +47,24 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
     val gotF = flipped.select("zone_id", "image_id").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(gotF == want)
+
+    // st_contains_xy rewrites too
+    val viaContains = images.join(zones,
+      call_function("st_contains_xy", col("zone_geom"), col("lon"), col("lat")))
+    val planC = viaContains.queryExecution.executedPlan.toString
+    assert(!planC.contains("BroadcastNestedLoopJoin") && !planC.contains("CartesianProduct"),
+      s"contains_xy rewrite did not fire:\n$planC")
+    assert(viaContains.count() > 0)
+
+    // PIP predicate inside a conjunction rewrites, extra conjunct still applies
+    val conj = images.join(zones,
+      call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat"))
+        && col("zone_id") =!= "zone00000")
+    val planJ = conj.queryExecution.executedPlan.toString
+    assert(!planJ.contains("BroadcastNestedLoopJoin") && !planJ.contains("CartesianProduct"),
+      s"conjunction rewrite did not fire:\n$planJ")
+    val gotJ = conj.select("zone_id", "image_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotJ == want.filterNot(_._1 == "zone00000") && gotJ.nonEmpty)
   }
 }
