@@ -1058,16 +1058,46 @@ object Ops {
   /** Buffer in METERS on the sphere via a local equirectangular projection
     * around the geometry's centroid — documented approximation, accurate for
     * feature extents ≪ Earth radius ⟨ref(engine): OperatorGeodesicBufferLocal⟩. */
+  /**
+   * Geodesic buffer via a spherical azimuthal-equidistant projection
+   * centered on the geometry: distances FROM the center are exact, so a
+   * point buffer is an exact spherical circle at any latitude, and the
+   * distortion for extended geometries is O((span/R)²) — far better than
+   * the previous equirectangular local plane at high latitudes.
+   * Counterpart of ⟨ref(engine): OperatorGeodesicBuffer⟩ (documented
+   * spherical-vs-ellipsoidal approximation).
+   */
   def geodesicBuffer(g: Geometry, meters: Double): Geometry = {
     val env = g.envelope
-    val lon0 = (env.xmin + env.xmax) / 2
-    val lat0 = (env.ymin + env.ymax) / 2
-    val cosLat = math.cos(math.toRadians(lat0))
-    val local = mapCoords(g, (lon, lat) =>
-      (EARTH_R * math.toRadians(lon - lon0) * cosLat, EARTH_R * math.toRadians(lat - lat0)))
+    val lon0r = math.toRadians((env.xmin + env.xmax) / 2)
+    val lat0r = math.toRadians((env.ymin + env.ymax) / 2)
+    val sin0 = math.sin(lat0r); val cos0 = math.cos(lat0r)
+    // forward AEQ: angular distance c and azimuth from the center
+    val local = mapCoords(g, (lon, lat) => {
+      val lr = math.toRadians(lat); val dl = math.toRadians(lon) - lon0r
+      val sinL = math.sin(lr); val cosL = math.cos(lr)
+      val cosC = sin0 * sinL + cos0 * cosL * math.cos(dl)
+      val c = math.acos(math.max(-1.0, math.min(1.0, cosC)))
+      if (c == 0.0) (0.0, 0.0)
+      else {
+        val k = c / math.sin(c)
+        (EARTH_R * k * cosL * math.sin(dl),
+         EARTH_R * k * (cos0 * sinL - sin0 * cosL * math.cos(dl)))
+      }
+    })
     val buffered = buffer(local, meters)
-    mapCoords(buffered, (x, y) =>
-      (lon0 + math.toDegrees(x / (EARTH_R * cosLat)), lat0 + math.toDegrees(y / EARTH_R)))
+    // inverse AEQ
+    mapCoords(buffered, (x, y) => {
+      val rho = math.hypot(x, y)
+      if (rho == 0.0) (math.toDegrees(lon0r), math.toDegrees(lat0r))
+      else {
+        val c = rho / EARTH_R
+        val sinC = math.sin(c); val cosC = math.cos(c)
+        val lat = math.asin(cosC * sin0 + y * sinC * cos0 / rho)
+        val lon = lon0r + math.atan2(x * sinC, rho * cos0 * cosC - y * sin0 * sinC)
+        (math.toDegrees(lon), math.toDegrees(lat))
+      }
+    })
   }
 
   /** Densify so no segment exceeds maxMeters of great-circle length

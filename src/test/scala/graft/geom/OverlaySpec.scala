@@ -107,11 +107,19 @@ class OverlaySpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-9, s"got=$got want=$want")
   }
 
-  test("geodesic buffer ~ planar circle of right radius in meters") {
-    val b = Ops.geodesicBuffer(Point(12.5, 41.9), 1000.0) // 1 km
-    val areaM2 = Ops.areaSphere(b)
-    val exact = math.Pi * 1000 * 1000
-    assert(math.abs(areaM2 - exact) / exact < 0.02, s"got $areaM2")
+  test("geodesic buffer: exact spherical circle at any latitude (AEQ projection)") {
+    Seq((12.5, 41.9), (10.0, 80.0), (-120.0, -75.0), (0.0, 0.0)).foreach { case (lon, lat) =>
+      val b = Ops.geodesicBuffer(Point(lon, lat), 1000.0) // 1 km
+      val areaM2 = Ops.areaSphere(b)
+      // 96-gon inscribed in the exact spherical circle: area = pi r^2 * (sin x / x
+      // correction) to first order; allow 0.5% (tessellation ~0.07% + areaSphere)
+      val exact = math.Pi * 1000 * 1000
+      assert(math.abs(areaM2 - exact) / exact < 0.005, s"($lon,$lat) got $areaM2")
+    }
+    // extended geometry at high latitude: buffered zone contains the input
+    val zone = Wkt.read("POLYGON ((9 79, 11 79, 11 80, 9 80, 9 79))")
+    val bz = Ops.geodesicBuffer(zone, 5000.0)
+    assert(Pred.covers(bz, zone), "buffer must cover the input")
   }
 
   test("offset of straight line is parallel at distance d") {
