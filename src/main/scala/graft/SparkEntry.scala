@@ -603,6 +603,24 @@ object SparkEntry {
           floor(call_function("st_y", col("ct")) * 10000 + lit(0.5)).cast("bigint").as("cy_e4"))
     }),
 
+    // ---------------- embedding-cosine near-dup (dedup pipeline) ----------------
+    "q51_cos_neardup" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      graft.join.AnnIndex.cosineNearDup(t(s, dir, "embeddings"), tau = 0.4)
+        .select(col("a_vec"), col("b_vec")) // cos column dropped: float-division
+        // ranking is engine-identical but the oracle re-derives membership only
+    }),
+
+    // ---------------- salted skew-safe aggregation (#50) ----------------
+    "q52_salted_count" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val img = GeoTables.images(s, dir)
+        .withColumn("tx", call_function("st_tile_x", col("lon"), lit(5)))
+        .withColumn("ty", call_function("st_tile_y", col("lat"), lit(5)))
+      SpatialJoins.saltedCount(img, Seq("tx", "ty"), "image_id", salt = 8)
+        .select(col("tx"), col("ty"), col("n"))
+    }),
+
     // ---------------- geometry operator chain (north_star-named) ----------------
     "q25_zone_chain" -> ((s, dir) => {
       GraftFunctions.install(s)
@@ -858,7 +876,22 @@ object SparkEntry {
       s"""SELECT zone_id,
          CAST(FLOOR((xmin + xmax)*0.5*10000 + 0.5) AS BIGINT) AS cx_e4,
          CAST(FLOOR((ymin + ymax)*0.5*10000 + 0.5) AS BIGINT) AS cy_e4
-         FROM $ZON"""
+         FROM $ZON""",
+    "q51_cos_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           list_sum(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS a_vec, b.vec_id AS b_vec
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS DOUBLE)
+           / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.4""",
+    "q52_salted_count" ->
+      s"""SELECT ${txSql("lon", 5)} AS tx, ${tySql("lat", 5)} AS ty, COUNT(*) AS n
+         FROM $IMG GROUP BY 1, 2"""
     // q16–q20, q25: engine-only operators (lang-ID, fingerprint, MinHash/LSH,
     // SimHash, n-gram Jaccard, buffer chain) — not ANSI-SQL-expressible;
     // driver records rows-only checks, exact semantics pinned in ScalaTest.

@@ -94,6 +94,70 @@ object AnnIndex {
     math.acos(math.max(-1.0, math.min(1.0, d)))
 
   /**
+   * EXACT embedding-cosine near-duplicate pairs (cos ≥ tau, quantized
+   * metric). Bucket-pair pruning: members of buckets i, j satisfy
+   * cos(x, y) ≤ cos(max(0, angle(c_i, c_j) − r_i − r_j)), so bucket pairs
+   * whose bound clears tau − ε are the only ones joined — an equi-join on
+   * the broadcast bucket-pair list. On CLUSTERED embeddings this prunes
+   * most pairs; on uniformly random vectors (the synthetic fixture) radii
+   * approach 90° and no exact algorithm can prune, so the join degenerates
+   * to all-pairs — a data property, not a plan defect.
+   * Output: (a_vec, b_vec, cos) with a_vec < b_vec.
+   */
+  def cosineNearDup(emb: DataFrame, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.install(spark)
+    import spark.implicits._
+
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val nBuckets = math.max(4, math.min(256, (n / 64).toInt))
+    val step = math.max(1L, n / 4096)
+    val sample = base.where(pmod(col("vec_id"), lit(step)) === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).map(_._2)
+    val cents = kmeans(sample, math.min(nBuckets, sample.length))
+    val centBytes = packCentroids(cents)
+
+    val assigned = base
+      .withColumn("bucket", call_function("vec_ivf_assign", col("embedding"), lit(centBytes)))
+      .withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
+
+    val radii = assigned.groupBy("bucket")
+      .agg(min(call_function("vec_ivf_dot", col("embedding"), lit(centBytes), col("bucket"))).as("mincos"))
+      .collect().map(r => r.getInt(0) -> clampAcos(r.getDouble(1))).toMap
+
+    // bucket pairs whose angular bound clears tau (both orientations so the
+    // a<b id filter never drops a cross-bucket pair)
+    val ids = radii.keys.toSeq.sorted
+    val bucketPairs = for {
+      i <- ids; j <- ids
+      if i <= j
+      theta = {
+        var d = 0.0; var k = 0
+        val ci = cents(i); val cj = cents(j)
+        while (k < ci.length) { d += ci(k) * cj(k); k += 1 }
+        clampAcos(d)
+      }
+      if math.cos(math.max(0.0, theta - radii(i) - radii(j))) >= tau - EPS
+      p <- if (i == j) Seq((i, j)) else Seq((i, j), (j, i))
+    } yield p
+    val bp = broadcast(bucketPairs.toDF("ba", "bb"))
+
+    val a = assigned.select(col("vec_id").as("a_vec"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("bucket").as("ba"))
+    val b = assigned.select(col("vec_id").as("b_vec"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket").as("bb"))
+    a.join(bp, "ba").join(b, "bb")
+      .where(col("a_vec") < col("b_vec"))
+      .withColumn("dot_q", call_function("vec_dot_q", col("emb_a"), col("emb_b")))
+      .withColumn("cos", col("dot_q") / sqrt(col("nrm_a").cast("double") * col("nrm_b").cast("double")))
+      .where(col("cos") >= tau)
+      .select(col("a_vec"), col("b_vec"), col("cos"))
+  }
+
+  /**
    * Exact cosine top-k of every query row (rows of `emb` matching
    * `queryPred`) against all of `emb`. Ranking metric is the quantized
    * integer cosine (vec_dot_q), identical to the brute-force oracle.
