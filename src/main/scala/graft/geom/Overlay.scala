@@ -329,9 +329,71 @@ object Overlay {
 
   // ---------------- union ----------------
 
+  /** Decompose ANY geometry (incl. heterogeneous collections) into its
+    * puntal / lineal / polygonal components (each possibly empty). */
+  private def decomposeAll(g: Geometry): (ArrayBuffer[Double], ArrayBuffer[Array[Double]], ArrayBuffer[Array[Array[Double]]]) = {
+    val pts = new ArrayBuffer[Double]()
+    val lines = new ArrayBuffer[Array[Double]]()
+    val polys = new ArrayBuffer[Array[Array[Double]]]()
+    def walk(x: Geometry): Unit = x match {
+      case p: Point           => if (!p.isEmpty) { pts += p.x; pts += p.y }
+      case m: MultiPoint      => pts ++= m.coords
+      case l: LineString      => if (!l.isEmpty) lines += l.coords
+      case m: MultiLineString => lines ++= m.lines
+      case p: Polygon         => if (!p.isEmpty) polys += p.rings
+      case m: MultiPolygon    => polys ++= m.polys
+      case c: GeometryCollection => c.geoms.foreach(walk)
+    }
+    walk(g)
+    (pts, lines, polys)
+  }
+
+  /**
+   * Union of MIXED-dimension operands (OGC set semantics): polygonal parts
+   * union first; lineal parts node/dissolve and keep only what lies outside
+   * the polygonal closure; points keep only what lies on neither. Result is
+   * the homogeneous geometry when one class remains, else a collection.
+   */
+  private def unionMixed(a: Geometry, b: Geometry): Geometry = {
+    val (pts, lines, polys) = decomposeAll(GeometryCollection(Array(a, b)))
+    val arealG: Geometry =
+      if (polys.isEmpty) GeometryCollection(Array.empty)
+      else polys.map(rs => Polygon(rs): Geometry).reduce((x, y) => Ops.simplify(union(x, y)))
+    val linealAll: Geometry =
+      if (lines.isEmpty) GeometryCollection(Array.empty)
+      else PlanarOverlay.linealUnion(lines.toArray, Array.empty)
+    val linealG = (linealAll, arealG) match {
+      case (l, _) if l.isEmpty => l
+      case (l, ar) if ar.isEmpty => l
+      case (l, ar) => difference(l, ar)
+    }
+    val keepPts = new ArrayBuffer[Double]()
+    var i = 0
+    while (i < pts.length) {
+      val x = pts(i); val y = pts(i + 1)
+      val covered =
+        (!arealG.isEmpty && onClosure(arealG, x, y)) ||
+        (!linealAll.isEmpty && onClosure(linealAll, x, y)) ||
+        { var dup = false; var j = 0
+          while (j < keepPts.length && !dup) { dup = keepPts(j) == x && keepPts(j + 1) == y; j += 2 }
+          dup }
+      if (!covered) { keepPts += x; keepPts += y }
+      i += 2
+    }
+    val parts = new ArrayBuffer[Geometry]()
+    if (!arealG.isEmpty) parts += arealG
+    if (!linealG.isEmpty) parts += linealG
+    if (keepPts.nonEmpty) parts += mkPuntal(keepPts.toArray)
+    if (parts.isEmpty) GeometryCollection(Array.empty)
+    else if (parts.length == 1) parts(0)
+    else GeometryCollection(parts.toArray)
+  }
+
   def union(a: Geometry, b: Geometry): Geometry = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
+    if (a.isInstanceOf[GeometryCollection] || b.isInstanceOf[GeometryCollection] ||
+        a.dimension != b.dimension) return unionMixed(a, b)
     val (ap, al, aa) = Pred.decompose(a)
     val (bp, bl, ba) = Pred.decompose(b)
     if (ap != null && bp != null) {

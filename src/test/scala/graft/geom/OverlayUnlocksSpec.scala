@@ -194,6 +194,51 @@ class OverlayUnlocksSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------- mixed-dimension union ----------------
+
+  test("union of point/line/polygon keeps only uncovered lower-dim parts (JTS parity)") {
+    def jtsLineal(g: org.locationtech.jts.geom.Geometry): Double = {
+      var s = 0.0
+      (0 until g.getNumGeometries).foreach { i =>
+        val p = g.getGeometryN(i)
+        if (p.getDimension == 1) s += p.getLength
+      }
+      s
+    }
+    val poly = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    // line half inside, half outside
+    val line = "LINESTRING (5 5, 15 5)"
+    val u1 = Overlay.union(ours(line), ours(poly))
+    val j1 = jts(line).union(jts(poly))
+    assert(math.abs(Ops.area(u1) - j1.getArea) < 1e-9)
+    val ourLineal = u1 match {
+      case GeometryCollection(gs) => gs.filter(_.dimension == 1).map(Ops.length).sum
+      case g if g.dimension == 1  => Ops.length(g)
+      case _                      => 0.0
+    }
+    assert(math.abs(ourLineal - jtsLineal(j1)) < 1e-9, s"lineal $ourLineal vs ${jtsLineal(j1)}")
+
+    // point inside → absorbed; point outside → kept
+    val inside = Overlay.union(ours("POINT (5 5)"), ours(poly))
+    assert(inside.dimension == 2 && Ops.area(inside) == 100.0)
+    val outside = Overlay.union(ours("POINT (20 20)"), ours(poly))
+    assert(outside.isInstanceOf[GeometryCollection] && outside.numPoints == 6)
+
+    // heterogeneous collection operand (JTS refuses GC union args entirely —
+    // we are strictly more general; expectation from arithmetic:
+    // area = 100 + 16 − 4 overlap = 112; line keeps only the run outside
+    // both polygons: x∈[10,12] is inside the inner poly at y=5? no — inner
+    // poly spans y∈[8,12]; outside-part = x∈[10,15] → length 5)
+    val gc = ours("GEOMETRYCOLLECTION (POINT (20 20), LINESTRING (5 5, 15 5), POLYGON ((8 8, 12 8, 12 12, 8 12, 8 8)))")
+    val u2 = Overlay.union(gc, ours(poly))
+    assert(math.abs(Ops.area(u2) - 112.0) < 1e-9, s"area ${Ops.area(u2)}")
+    val lineal2 = u2.asInstanceOf[GeometryCollection].geoms.filter(_.dimension == 1)
+      .map(Ops.length).sum
+    assert(math.abs(lineal2 - 5.0) < 1e-9, s"lineal $lineal2")
+    // the outside point survives
+    assert(u2.asInstanceOf[GeometryCollection].geoms.exists(_ == Point(20.0, 20.0)))
+  }
+
   // ---------------- cascaded union (st_union_agg kernel path) ----------------
 
   test("cascaded union of an overlapping rect grid matches JTS") {
