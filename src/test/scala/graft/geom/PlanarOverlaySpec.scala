@@ -82,6 +82,17 @@ class PlanarOverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("web-mercator-magnitude coordinates: adaptive snap grid holds (×1e6 scale fuzz)") {
+    // coordinates ~2e7 m force snapScale down to 2^26 (~1.5e-8 m grid) —
+    // verifies the scale adaptation, not just lon/lat-sized inputs
+    (0 until 100).foreach { _ =>
+      val s = 1e6
+      val a = star(5 * s + frac() * 2 * s, 5 * s + frac() * 2 * s, (3 + frac() * 2) * s)
+      val b = star(6 * s + frac() * 2 * s, 6 * s + frac() * 2 * s, (3 + frac() * 2) * s)
+      checkAll(Wkt.write(Polygon(Array(a))), Wkt.write(Polygon(Array(b))))
+    }
+  }
+
   test("engineered degenerate contacts (the GH-killer corpus)") {
     val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     // shared full edge
