@@ -12,10 +12,11 @@ import scala.collection.mutable.ArrayBuffer
  * OperatorDensifyByLengthLocal, OperatorClipLocal, OperatorSimplifyLocal,
  * OperatorProjectLocal, OperatorGeodeticLength/AreaLocal⟩.
  *
- * Buffer determinism: fixed 96 vertices per full circle (SURVEY §7.5:
- * pinned in golden tests). Buffer is exact for points/envelopes/convex
- * rings; for reflex vertices it uses miter-trimmed offsets — a documented
- * approximation until the planar-overlay core (P2) lands self-union.
+ * Buffer determinism: 96 vertices per full circle by default (SURVEY
+ * §7.5: pinned in golden tests), overridable via max_deviation. Buffer is
+ * exact for every input class: positive distances accrete capsules per
+ * boundary segment through the snap-rounded overlay core; negative
+ * distances erode via capsule difference.
  */
 object Ops {
 
@@ -169,7 +170,7 @@ object Ops {
   /**
    * Weak simplify à la the reference's non-OGC SIMPLIFY: dedupe vertices,
    * drop degenerate parts, canonical ring orientation (shell CCW, holes CW).
-   * Does NOT repair self-intersections (that's SIMPLIFY_OGC, P2).
+   * Does NOT repair self-intersections — that's [[simplifyOgc]].
    */
   def simplify(g: Geometry): Geometry = g match {
     case p: Point => p
@@ -616,33 +617,6 @@ object Ops {
       out += cy + r * math.sin(a)
       i += 1
     }
-  }
-
-  /** Offset a CCW ring outward by d with round joins at convex vertices. */
-  private def ringOffsetOutward(ring: Array[Double], d: Double): Array[Double] = {
-    val n = ring.length / 2 - 1 // closed
-    val out = new ArrayBuffer[Double](ring.length * 3)
-    var i = 0
-    while (i < n) {
-      val ax = ring(2 * i); val ay = ring(2 * i + 1)
-      val bx = ring(2 * ((i + 1) % n)); val by = ring(2 * ((i + 1) % n) + 1)
-      val cx = ring(2 * ((i + 2) % n)); val cy = ring(2 * ((i + 2) % n) + 1)
-      val (o1x, o1y) = outwardNormal(ax, ay, bx, by)
-      val (o2x, o2y) = outwardNormal(bx, by, cx, cy)
-      // offset edge (a→b) endpoints
-      out += ax + o1x * d; out += ay + o1y * d
-      out += bx + o1x * d; out += by + o1y * d
-      val turn = Pred.orient(ax, ay, bx, by, cx, cy)
-      if (turn > 0) {
-        // convex (left) turn on CCW ring → round join around b
-        appendArc(out, bx, by, d, math.atan2(o1y, o1x), math.atan2(o2y, o2x))
-      }
-      // reflex: next offset edge starts at b + o2*d; the crossing offsets create a
-      // small self-overlap that simplify tolerates (P2 overlay will trim exactly)
-      i += 1
-    }
-    if (out.length >= 2) { out += out(0); out += out(1) }
-    dedupe(out.toArray, closeRing = true)
   }
 
   /** Outward (right-side) unit normal of directed edge for a CCW ring. */

@@ -3,21 +3,19 @@ package graft.geom
 import scala.collection.mutable.ArrayBuffer
 
 /**
- * Staged planar overlay (SURVEY.md §2.3, §7.5 item 1).
+ * Planar overlay dispatch (SURVEY.md §2.3) — behavioral counterpart of
+ * ⟨ref(engine): OperatorIntersectionLocal / OperatorDifferenceLocal /
+ * OperatorUnionLocal → TopoGraph overlay⟩.
  *
- * Behavioral counterpart of ⟨ref(engine): OperatorIntersectionLocal /
- * OperatorDifferenceLocal / OperatorUnionLocal → TopoGraph overlay⟩,
- * staged per the survey's ruling: exact results for
- *   - puntal × anything (PIP classification),
- *   - lineal × polygonal (split-at-boundary sub-segments),
- *   - lineal × lineal (collinear overlaps / crossing points),
- *   - polygonal × CONVEX polygonal (Sutherland–Hodgman against the convex
- *     side's half-planes — exact for any subject whose clipped region
- *     stays connected),
- *   - identical / disjoint / contained polygon pairs.
- * The general concave×concave case needs the snap-rounded plane-sweep
- * core (P2) and throws `UnsupportedOperationException` rather than
- * returning silently-wrong geometry.
+ * Exact cheap paths are taken first (puntal classification, lineal×
+ * polygonal splitting, lineal×lineal segment arithmetic, convex×convex
+ * Sutherland–Hodgman, containment/disjoint); everything else — concave
+ * pairs, degenerate boundary contact, holes on both sides, mixed
+ * dimensions — routes through the snap-rounded node/classify/trace core
+ * in [[PlanarOverlay]]. The remaining `UnsupportedOperationException`
+ * throws guard only genuinely undefined combinations (e.g. subtracting a
+ * higher-dimensional set from a lower-dimensional one is handled; the
+ * reverse of nothing meaningful is not).
  */
 object Overlay {
 

@@ -162,7 +162,7 @@ object K {
   def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     wr(Ops.simplify(Overlay.symDifference(rd(a), rd(b))))
 
-  // ---- P2 unary operators ----
+  // ---- additional unary operators ----
   def offset(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.offset(rd(b), d))
   def generalizeArea(b: Array[Byte], minArea: Double): Array[Byte] =
     wr(Ops.generalizeByArea(rd(b), minArea))
