@@ -109,7 +109,10 @@ object SpatialJoins {
     val acc = scala.collection.mutable.HashMap.empty[String, Array[(Double, String)]]
     var remaining = qrows
     var lo = 0L   // annulus [lo, hi) of Chebyshev cell rings probed this round
-    var hi = 1L
+    // start at hi=2 (rings 0-1 together): a ring-0-only round can never
+    // satisfy the termination bound (covered radius is 0), so it would
+    // always cost a full distributed round for nothing
+    var hi = 2L
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double, Int)]
     // once the annulus would cover a large fraction of the grid, probing
     // mostly-empty cells costs more than scanning all points once
@@ -224,7 +227,7 @@ object SpatialJoins {
     var frontier = qAll
     var cands: DataFrame = null // (q_id, nx, ny, p_id, d2) — global top-k so far
     var lo = 0L
-    var hi = 1L
+    var hi = 2L // rings 0-1 together; a ring-0-only round can never terminate
     val bruteCutoff = math.max(4L, n / 4)
     val wTop = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
 
