@@ -137,6 +137,45 @@ class OverlayUnlocksSpec extends AnyFunSuite {
       s"got=${Wkt.write(got)} want=$want")
   }
 
+  test("dimension_mask fuzz: full-mask intersection matches JTS per-dimension measures") {
+    var state = 41L
+    def nextInt(b: Int): Int = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (math.abs(state) % b).toInt
+    }
+    def rect(): String = {
+      val x = nextInt(8); val y = nextInt(8)
+      s"POLYGON (($x $y, ${x + 1 + nextInt(4)} $y, ${x + 1 + nextInt(4)} ${y + 1 + nextInt(4)}, $x ${y + 1 + nextInt(4)}, $x $y))"
+    }
+    var mixed = 0
+    (0 until 300).foreach { _ =>
+      val wa = rect(); val wb = rect()
+      if (jts(wa).isValid && jts(wb).isValid) {
+        val got = Overlay.intersectionDim(ours(wa), ours(wb), 7)
+        val want = jts(wa).intersection(jts(wb))
+        def dims(g: Geometry, d: Int): Seq[Geometry] = g match {
+          case GeometryCollection(gs) => gs.filter(_.dimension == d).toSeq
+          case x if x.dimension == d  => Seq(x)
+          case _                      => Seq.empty
+        }
+        def jdim(d: Int): Seq[org.locationtech.jts.geom.Geometry] =
+          (0 until want.getNumGeometries).map(want.getGeometryN).filter(_.getDimension == d)
+        val areaGot = dims(got, 2).map(Ops.area).sum
+        val areaWant = jdim(2).map(_.getArea).sum
+        assert(math.abs(areaGot - areaWant) < 1e-9, s"area a=$wa b=$wb")
+        val lenGot = dims(got, 1).map(Ops.length).sum
+        val lenWant = jdim(1).map(_.getLength).sum
+        assert(math.abs(lenGot - lenWant) < 1e-9, s"len a=$wa b=$wb got=$lenGot want=$lenWant")
+        val ptsGot = dims(got, 0).map(_.numPoints).sum
+        val ptsWant = jdim(0).map(_.getNumPoints).sum
+        assert(ptsGot == ptsWant, s"pts a=$wa b=$wb got=$ptsGot want=$ptsWant")
+        if (want.getNumGeometries > 1 || want.getDimension < 2) mixed += 1
+      }
+    }
+    info(s"mixed-dimension results exercised: $mixed")
+    assert(mixed > 20, s"only $mixed mixed cases in the corpus")
+  }
+
   // ---------------- negative buffer (erosion) ----------------
 
   test("negative buffer of a rect erodes to the inner rect (vs JTS within 1%)") {
