@@ -420,7 +420,10 @@ object SparkEntry {
           call_function("st_geomfromshape", call_function("st_asshape", col("g")))))
         .withColumn("ej", call_function("st_aswkt",
           call_function("st_geomfromesrijson", call_function("st_asesrijson", col("g")))))
+        .withColumn("wb", call_function("st_aswkt",
+          call_function("st_geomfromwkb", call_function("st_aswkb", col("g")))))
         .agg(count(lit(1)).as("n"),
+          count(when(col("wb") === col("w1"), 1)).as("n_wkb_stable"),
           count(when(col("w1") === col("w2"), 1)).as("n_wkt_stable"),
           count(when(col("gj") === col("w1"), 1)).as("n_geojson_stable"),
           count(when(col("sh") === col("w1"), 1)).as("n_shape_stable"),
@@ -511,6 +514,18 @@ object SparkEntry {
         .select(col("zone_id"),
           call_function("st_x", col("p")).as("ax_x"),
           call_function("st_y", col("p")).as("ax_y"))
+    }),
+
+    // ---------------- ellipsoidal (WGS84) area ----------------
+    // hectare resolution absorbs cross-engine sin/ln ulp drift while still
+    // validating the authalic q-function to ~1e-9 relative on zone areas
+    "q43_area_geodesic" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .select(col("zone_id"),
+          floor(call_function("st_area_geodesic", col("g")) / lit(10000.0) + lit(0.5))
+            .cast("bigint").as("area_ha"))
     }),
 
     // ---------------- polygon cut ----------------
@@ -805,7 +820,7 @@ object SparkEntry {
          5 AS hull_pts, xmin AS hxmin, ymax AS hymax
          FROM $ZON""",
     "q35_roundtrip" ->
-      s"""SELECT COUNT(*) AS n, COUNT(*) AS n_wkt_stable, COUNT(*) AS n_geojson_stable,
+      s"""SELECT COUNT(*) AS n, COUNT(*) AS n_wkb_stable, COUNT(*) AS n_wkt_stable, COUNT(*) AS n_geojson_stable,
          COUNT(*) AS n_shape_stable, COUNT(*) AS n_esrijson_stable,
          CAST(SUM(CAST(FLOOR((xmax - xmin)*(ymax - ymin)*100 + 0.5) AS BIGINT)) AS BIGINT) AS area_cents_sum
          FROM $ZON""",
@@ -843,6 +858,20 @@ object SparkEntry {
       s"""SELECT zone_id, 2.0*xmin + 0.5*ymin + 10.0 AS ax_x,
          0.25*xmin + 3.0*ymin + 20.0 AS ax_y
          FROM $ZON""",
+    // closed-form spheroid strip area: rect area = (a²/2)·Δλ·(q(ymax)−q(ymin))
+    // with Snyder's q(φ) = (1−e²)(sinφ/(1−e²sin²φ) + atanh(e·sinφ)/e)
+    "q43_area_geodesic" -> {
+      val A = "6378137.0"
+      val E2 = (1.0 / 298.257223563 * (2.0 - 1.0 / 298.257223563)).toString
+      val E = math.sqrt(1.0 / 298.257223563 * (2.0 - 1.0 / 298.257223563)).toString
+      def q(c: String) =
+        s"""((1-$E2)*( SIN(RADIANS($c))/(1-$E2*SIN(RADIANS($c))*SIN(RADIANS($c)))
+           + (0.5/$E)*LN((1+$E*SIN(RADIANS($c)))/(1-$E*SIN(RADIANS($c)))) ))"""
+      s"""SELECT zone_id,
+         CAST(FLOOR( ($A*$A/2)*(RADIANS(xmax)-RADIANS(xmin))*(${q("ymax")} - ${q("ymin")})
+                     / 10000.0 + 0.5 ) AS BIGINT) AS area_ha
+         FROM $ZON"""
+    },
     "q44_cut" ->
       s"""SELECT zone_id, 2 AS n_parts,
          CAST(FLOOR(((xmax - xmin)*0.25)*(ymax - ymin)*100 + 0.5) AS BIGINT) AS small_c,

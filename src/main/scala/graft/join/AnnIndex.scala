@@ -162,8 +162,14 @@ object AnnIndex {
    * `queryPred`) against all of `emb`. Ranking metric is the quantized
    * integer cosine (vec_dot_q), identical to the brute-force oracle.
    * Output: (q_vec, p_vec, rank) with rank ∈ 1..k.
+   *
+   * CONTRACT: the query side is materialized on the driver (rows matching
+   * `queryPred`, plus per-(query,bucket) bounds), so it must stay small —
+   * `maxQueries` ENFORCES this rather than assuming it: exceeding it fails
+   * loudly with the fix spelled out, mirroring `SpatialJoins.knn`'s
+   * auto-dispatch (which this op lacks an all-DataFrame fallback for).
    */
-  def topK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  def topK(emb: DataFrame, queryPred: Column, k: Int, maxQueries: Int = 8192): DataFrame = {
     val spark = emb.sparkSession
     GraftFunctions.install(spark)
 
@@ -190,10 +196,17 @@ object AnnIndex {
         min(call_function("vec_ivf_dot", col("embedding"), lit(centBytes), col("bucket"))).as("mincos"))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), clampAcos(r.getDouble(2))))).toMap
 
-    // query rows (small by construction: the probe side)
-    val qRows = assigned.where(queryPred)
+    // query rows — the collect is bounded so a too-wide queryPred fails
+    // loudly instead of flooding the driver (contract enforcement)
+    val qRowsRaw = assigned.where(queryPred)
       .select(col("vec_id"), col("embedding"), col("bucket"))
+      .limit(maxQueries + 1)
       .collect()
+    require(qRowsRaw.length <= maxQueries,
+      s"AnnIndex.topK materializes the query side on the driver; queryPred " +
+        s"matches > $maxQueries rows. Shrink the query set, raise maxQueries " +
+        s"deliberately, or use cosineNearDup for set-vs-set workloads.")
+    val qRows = qRowsRaw
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
 

@@ -73,6 +73,13 @@ case class StGeomFromWkb(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+case class StAsWkb(child: Expression) extends GeomUnary {
+  def fn = "asWkb"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.asWkb(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StAsWkt(child: Expression) extends GeomUnary {
   def fn = "asWkt"
   override def dataType: DataType = StringType
@@ -329,6 +336,11 @@ case class StLengthSphere(child: Expression) extends GeomUnary {
 case class StLengthGeodesic(child: Expression) extends GeomUnary {
   def fn = "lengthGeodesic"; override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = K.lengthGeodesic(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StAreaGeodesic(child: Expression) extends GeomUnary {
+  def fn = "areaGeodesic"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.areaGeodesic(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

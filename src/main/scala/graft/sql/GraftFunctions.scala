@@ -16,6 +16,7 @@ object GraftFunctions {
     // codecs / constructors (§2.1)
     "st_geomfromwkt" -> (e => StGeomFromWkt(e.head)),
     "st_geomfromwkb" -> (e => StGeomFromWkb(e.head)),
+    "st_aswkb" -> (e => StAsWkb(e.head)),
     "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),
     "st_aswkt" -> (e => StAsWkt(e.head)),
     "st_geomfromshape" -> (e => StGeomFromEsriShape(e.head)),
@@ -58,6 +59,7 @@ object GraftFunctions {
     "st_area_sphere" -> (e => StAreaSphere(e.head)),
     "st_length_sphere" -> (e => StLengthSphere(e.head)),
     "st_length_geodesic" -> (e => StLengthGeodesic(e.head)),
+    "st_area_geodesic" -> (e => StAreaGeodesic(e.head)),
     // constructive (§2.2)
     "st_buffer" -> (e => if (e.length >= 3) StBufferDev(e(0), e(1), e(2)) else StBuffer(e(0), e(1))),
     "st_convexhull" -> (e => StConvexHull(e.head)),

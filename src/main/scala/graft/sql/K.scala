@@ -97,6 +97,7 @@ object K {
   def areaSphere(b: Array[Byte]): Double = Ops.areaSphere(rd(b))
   def lengthSphere(b: Array[Byte]): Double = Ops.lengthSphere(rd(b))
   def lengthGeodesic(b: Array[Byte]): Double = Ops.lengthGeodesic(rd(b))
+  def areaGeodesic(b: Array[Byte]): Double = Ops.areaGeodesic(rd(b))
 
   // ---- constructive (§2.2) ----
   def buffer(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.simplify(Ops.buffer(rd(b), d)))

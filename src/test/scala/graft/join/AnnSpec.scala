@@ -45,4 +45,15 @@ class AnnSpec extends AnyFunSuite {
     val b = brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b, s"ivf=${a.size} brute=${b.size} diff=${(a diff b).take(5)} ${(b diff a).take(5)}")
   }
+
+  test("topK enforces its small-query-set contract instead of assuming it") {
+    GraftFunctions.install(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.topK(e, lit(true), k = 3, maxQueries = 100) // every row a query
+    }
+    assert(err.getMessage.contains("driver"))
+    // at or under the cap it still runs
+    assert(AnnIndex.topK(e, col("vec_id") < 8, k = 3, maxQueries = 100).count() == 24)
+  }
 }
