@@ -705,8 +705,27 @@ object Ops {
         mapCoords(g, (lon, lat) => Utm.forward(lon, lat, utm))
       case (utm, 4326) if utm >= 32601 && utm <= 32760 =>
         mapCoords(g, (x, y) => Utm.inverse(x, y, utm))
+      // proj4-lite general path (TM/LCC families + OSGB datum shift); any
+      // supported pair pivots through WGS84 lon/lat
+      case (4326, to) if Proj.crsFor(to).isDefined =>
+        mapCoords(g, (lon, lat) => Proj.forward(lon, lat, to))
+      case (from, 4326) if Proj.crsFor(from).isDefined =>
+        mapCoords(g, (x, y) => Proj.inverse(x, y, from))
+      case (3857, to) if Proj.crsFor(to).isDefined =>
+        mapCoords(g, (x, y) => Proj.forward(mercToLon(x), mercToLat(y), to))
+      case (from, 3857) if Proj.crsFor(from).isDefined =>
+        mapCoords(g, (x, y) => {
+          val (lon, lat) = Proj.inverse(x, y, from)
+          (lonLatToMercX(lon), lonLatToMercY(lat))
+        })
+      case (from, to) if Proj.crsFor(from).isDefined && Proj.crsFor(to).isDefined =>
+        mapCoords(g, (x, y) => {
+          val (lon, lat) = Proj.inverse(x, y, from)
+          Proj.forward(lon, lat, to)
+        })
       case _ => throw new IllegalArgumentException(
-        s"unsupported transform $fromSrid->$toSrid (supported: 4326<->3857, 4326<->326xx/327xx UTM)")
+        s"unsupported transform $fromSrid->$toSrid (supported: 4326<->3857, " +
+          "UTM/ETRS89/NAD83/MGA TM zones, NZTM, TM35FIN, Lambert-93, Canada/StatCan/Maryland LCC, OSGB)")
     }
   }
 

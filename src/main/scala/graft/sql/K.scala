@@ -65,29 +65,53 @@ object K {
   def ymax(b: Array[Byte]): Double = rd(b).envelope.ymax
 
   // ---- predicates (§2.4) — the hot join kernels ----
-  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = Pred.intersects(rd(a), rd(b))
-  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = Pred.disjoint(rd(a), rd(b))
-  def contains(a: Array[Byte], b: Array[Byte]): Boolean = Pred.contains(rd(a), rd(b))
-  def within(a: Array[Byte], b: Array[Byte]): Boolean = Pred.within(rd(a), rd(b))
-  def covers(a: Array[Byte], b: Array[Byte]): Boolean = Pred.covers(rd(a), rd(b))
-  def touches(a: Array[Byte], b: Array[Byte]): Boolean = Pred.touches(rd(a), rd(b))
-  def crosses(a: Array[Byte], b: Array[Byte]): Boolean = Pred.crosses(rd(a), rd(b))
-  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = Pred.overlaps(rd(a), rd(b))
-  def equalsTopo(a: Array[Byte], b: Array[Byte]): Boolean = Pred.equalsTopo(rd(a), rd(b))
-  def relate(a: Array[Byte], b: Array[Byte]): UTF8String =
-    UTF8String.fromString(Pred.relate(rd(a), rd(b)))
-  def relateMatch(a: Array[Byte], b: Array[Byte], mask: UTF8String): Boolean =
-    Pred.relateMatch(rd(a), rd(b), mask.toString)
-  /** Point-in-polygon fast path on raw coords — no point WKB needed (join refine). */
-  def containsXY(poly: Array[Byte], x: Double, y: Double): Boolean = rd(poly) match {
-    case p: Polygon => Pred.pointInPolygon(p.rings, x, y) == 1
-    case m: MultiPolygon => Pred.pointInPolygonal(m.polys, x, y) == 1
-    case g => Pred.contains(g, Point(x, y))
+  // Decode is routed through Prepared.of: geometries big enough to matter
+  // are decoded ONCE per executor JVM (a broadcast zone set probes the
+  // same WKB bytes millions of times), and point-vs-polygonal probes use
+  // the lazily built y-stripe edge index ⟨ref(engine):
+  // Operator.accelerateGeometry⟩. Answers are bit-identical (PreparedSpec).
+  @inline private def prd(b: Array[Byte]): Geometry = Prepared.of(b).geom
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val pa = Prepared.of(a); val gb = rd(b)
+    gb match {
+      case p: Point if pa.isPolygonal && !p.isEmpty => pa.locate(p.x, p.y) >= 0
+      case _ => Pred.intersects(pa.geom, gb)
+    }
   }
-  def intersectsXY(poly: Array[Byte], x: Double, y: Double): Boolean = rd(poly) match {
-    case p: Polygon => Pred.pointInPolygon(p.rings, x, y) >= 0
-    case m: MultiPolygon => Pred.pointInPolygonal(m.polys, x, y) >= 0
-    case g => Pred.intersects(g, Point(x, y))
+  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = !intersects(a, b)
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val pa = Prepared.of(a); val gb = rd(b)
+    gb match {
+      case p: Point if pa.isPolygonal && !p.isEmpty => pa.locate(p.x, p.y) == 1
+      case _ => Pred.contains(pa.geom, gb)
+    }
+  }
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = contains(b, a)
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val pa = Prepared.of(a); val gb = rd(b)
+    gb match {
+      case p: Point if pa.isPolygonal && !p.isEmpty => pa.locate(p.x, p.y) >= 0
+      case _ => Pred.covers(pa.geom, gb)
+    }
+  }
+  def touches(a: Array[Byte], b: Array[Byte]): Boolean = Pred.touches(prd(a), prd(b))
+  def crosses(a: Array[Byte], b: Array[Byte]): Boolean = Pred.crosses(prd(a), prd(b))
+  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = Pred.overlaps(prd(a), prd(b))
+  def equalsTopo(a: Array[Byte], b: Array[Byte]): Boolean = Pred.equalsTopo(prd(a), prd(b))
+  def relate(a: Array[Byte], b: Array[Byte]): UTF8String =
+    UTF8String.fromString(Pred.relate(prd(a), prd(b)))
+  def relateMatch(a: Array[Byte], b: Array[Byte], mask: UTF8String): Boolean =
+    Pred.relateMatch(prd(a), prd(b), mask.toString)
+  /** Point-in-polygon fast path on raw coords — no point WKB needed (join refine). */
+  def containsXY(poly: Array[Byte], x: Double, y: Double): Boolean = {
+    val p = Prepared.of(poly)
+    if (p.isPolygonal) p.locate(x, y) == 1
+    else Pred.contains(p.geom, Point(x, y))
+  }
+  def intersectsXY(poly: Array[Byte], x: Double, y: Double): Boolean = {
+    val p = Prepared.of(poly)
+    if (p.isPolygonal) p.locate(x, y) >= 0
+    else Pred.intersects(p.geom, Point(x, y))
   }
 
   // ---- measures ----
