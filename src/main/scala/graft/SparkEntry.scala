@@ -643,11 +643,37 @@ object SparkEntry {
         .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
         .withColumn("buf", call_function("st_simplify",
           call_function("st_buffer", col("g"), lit(0.5))))
+        // buffered-rect area = w·h + 2(w+h)d + corner fans; the fans are
+        // unions of phase-shifted inscribed arcs, so the exact area sits in
+        // (96-gon, circle] — pin the EXCESS over the 96-gon closed form to
+        // that analytic band (catches undersized tangents, wrong radius,
+        // lost corners; the r2 capsule bug was 1000× this band)
+        .withColumn("closed", (col("xmax") - col("xmin")) * (col("ymax") - col("ymin"))
+          + ((col("xmax") - col("xmin")) + (col("ymax") - col("ymin")))
+          + lit(48.0 * 0.25 * math.sin(2 * math.Pi / 96)))
+        .withColumn("excess", call_function("st_area", col("buf")) - col("closed"))
         .select(col("zone_id"),
-          call_function("st_covers", col("buf"), col("g")).as("buffer_covers"),
+          call_function("st_covers", col("buf"), col("g")).cast("bigint").as("buffer_covers"),
           call_function("st_numpoints", col("buf")).cast("bigint").as("buf_points"),
-          floor(call_function("st_area", col("buf")) * 1000).cast("bigint").as("area_e3"),
+          (col("excess") >= 0 && col("excess") < 0.001).cast("bigint").as("area_excess_ok"),
           call_function("st_relate", col("g"), col("buf")).as("de9im"))
+    }),
+
+    // ---------------- parallel curve (OFFSET) ----------------
+    // single-segment diagonal: the right-hand parallel at d is closed-form
+    "q24_offset" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("line", call_function("st_makeline",
+          col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+        .withColumn("off", call_function("st_offset", col("line"), lit(0.25)))
+        .select(col("zone_id"),
+          call_function("st_numpoints", col("off")).cast("bigint").as("n_pts"),
+          centsOf(call_function("st_length", col("off"))).as("len_c"),
+          floor(call_function("st_xmin", col("off")) * 1e6).cast("bigint").as("ox1"),
+          floor(call_function("st_ymin", col("off")) * 1e6).cast("bigint").as("oy1"),
+          floor(call_function("st_xmax", col("off")) * 1e6).cast("bigint").as("ox2"),
+          floor(call_function("st_ymax", col("off")) * 1e6).cast("bigint").as("oy2"))
     })
   )
 
@@ -768,6 +794,24 @@ object SparkEntry {
       """SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS w, event_type,
          COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2""",
+    // right-hand parallel of the (xmin,ymin)->(xmax,ymax) diagonal at
+    // d=0.25: endpoints shift by d*(h,-w)/L, length is unchanged
+    "q24_offset" ->
+      s"""SELECT zone_id, CAST(2 AS BIGINT) AS n_pts,
+         CAST(FLOOR(SQRT((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin))*100 + 0.5) AS BIGINT) AS len_c,
+         CAST(FLOOR((xmin + 0.25*(ymax-ymin)/SQRT((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)))*1e6) AS BIGINT) AS ox1,
+         CAST(FLOOR((ymin - 0.25*(xmax-xmin)/SQRT((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)))*1e6) AS BIGINT) AS oy1,
+         CAST(FLOOR((xmax + 0.25*(ymax-ymin)/SQRT((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)))*1e6) AS BIGINT) AS ox2,
+         CAST(FLOOR((ymax - 0.25*(xmax-xmin)/SQRT((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)))*1e6) AS BIGINT) AS oy2
+         FROM $ZON""",
+    // buffer(rect, 0.5) area = w*h + (w+h) + corner fans ∈ (96-gon, circle]
+    // — the engine reports the excess-over-96-gon band membership; the
+    // simplified outline is a constant 391 vertices; g vs its strict
+    // superset relates 2FF1FF212
+    "q25_zone_chain" ->
+      s"""SELECT zone_id, CAST(1 AS BIGINT) AS buffer_covers, CAST(391 AS BIGINT) AS buf_points,
+         CAST(1 AS BIGINT) AS area_excess_ok, '2FF1FF212' AS de9im
+         FROM $ZON""",
     "q30_pip_tri" ->
       s"""SELECT t.tri_id, i.image_id
          FROM $IMG i JOIN $TRI t
