@@ -25,6 +25,7 @@ object SparkEntry {
   private val IMG = "read_parquet('/tmp/graft_geo/sf0.01/images.parquet/*.parquet')"
   private val ZON = "read_parquet('/tmp/graft_geo/sf0.01/zones.parquet/*.parquet')"
   private val TRI = "read_parquet('/tmp/graft_geo/sf0.01/tri_zones.parquet/*.parquet')"
+  private val NDUP = "read_parquet('/tmp/graft_geo/sf0.01/neardup_images.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -183,6 +184,16 @@ object SparkEntry {
           sum(when(call_function("img_phash", col("bytes")) === col("phash"), 1L).otherwise(0L)).as("n_phash_ok"),
           sum(when(call_function("img_width", col("bytes")) === col("w") &&
                    call_function("img_height", col("bytes")) === col("h"), 1L).otherwise(0L)).as("n_dims_ok"))
+    }),
+
+    // ---------------- image near-dup (pHash pigeonhole) ----------------
+    // hamming ≤ 4 ⇒ one of 5 chunks bit-identical: equi-join candidates,
+    // exact refine — the image-modality sibling of q19's SimHash index
+    "q12_phash_neardup" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val nd = GeoTables.nearDupImages(s, dir)
+      graft.join.ImageDedup.nearDup(nd, "id", "phash", maxHamming = 4)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     }),
 
     // ---------------- text / dedup pipeline ----------------
@@ -742,6 +753,13 @@ object SparkEntry {
     "q11_img_consistency" ->
       s"""SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_phash_ok, COUNT(*) AS n_dims_ok
          FROM $IMG GROUP BY 1""",
+    // brute-force all-pairs ground truth over the same parquet
+    "q12_phash_neardup" ->
+      s"""SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+         COUNT(*) AS n_pairs
+         FROM $NDUP a JOIN $NDUP b ON a.id < b.id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 4
+         GROUP BY 1""",
     "q13_dedup_exact" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
          FROM documents GROUP BY 1""",

@@ -154,6 +154,53 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_TRI_DONE"))
   }
 
+  def nearDupImagesPath(sfDir: String): String = s"${baseDir(sfDir)}/neardup_images.parquet"
+
+  def nearDupImages(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureNearDup(spark, sfDir)
+    spark.read.parquet(nearDupImagesPath(sfDir))
+  }
+
+  /**
+   * Near-duplicate pHash fixture (additive, own marker — mirrors the tri
+   * pattern): the synthetic phashes are near-uniform (min pairwise hamming
+   * ≈ 8), so true near-dups are PLANTED — every 10th of the first
+   * min(5000, n) images gets a variant row whose phash differs in 1–4
+   * deterministic bit positions. Gives the phash near-dup join (q12) a
+   * realistic cluster structure with a brute-forceable oracle.
+   */
+  def ensureNearDup(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_NEARDUP_DONE"))) return
+    import spark.implicits._
+    val n = math.min(5000L, nImages(sfDir)).toInt
+    val baseRows = spark.read.parquet(imagesPath(sfDir))
+      .select("image_id", "phash").orderBy("image_id").limit(n)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val variants = baseRows.zipWithIndex.collect { case ((id, ph), i) if i % 10 == 0 =>
+      val flips = 1 + (i / 10) % 4
+      var v = ph
+      var h = mix(ph ^ i)
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (seen.size < flips) {
+        h = mix(h)
+        val pos = (h >>> 58).toInt // 0..63
+        if (!seen.contains(pos)) { seen += pos; v ^= 1L << pos }
+      }
+      (s"${id}_v", v)
+    }
+    spark.createDataset((baseRows ++ variants).toSeq).toDF("id", "phash")
+      .repartition(4).write.mode("overwrite").parquet(nearDupImagesPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_NEARDUP_DONE"))
+  }
+
   /** Idempotent, atomic: generate-if-absent, then read. */
   def images(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)
