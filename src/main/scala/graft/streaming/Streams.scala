@@ -41,6 +41,40 @@ object Streams {
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /**
+   * Stream-static spatial enrichment: the flagship broadcast cell-cover
+   * PIP join, streaming flavor — each micro-batch of (lon, lat) rows
+   * joins the STATIC broadcast zone cover on the cell key with the exact
+   * `st_intersects_xy` refine. No stream-side state: at 10^12 streamed
+   * rows the only standing cost is the broadcast cover, identical to the
+   * batch plan. (A training-data ingest tags every incoming image with
+   * its zones this way.)
+   */
+  def spatialEnrich(stream: DataFrame, zones: DataFrame, level: Int = 8): DataFrame = {
+    GraftFunctions.install(stream.sparkSession)
+    val cover = broadcast(graft.join.SpatialJoins.zoneCover(zones, level)
+      .select(col("zone_id"), col("zone_geom"), col("cell")))
+    stream
+      .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(level)))
+      .join(cover, "cell")
+      .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
+      .drop("zone_geom")
+  }
+
+  /**
+   * Streaming exact dedup on a key column (e.g. the pHash of an image
+   * ingest): state is bounded by the event-time watermark instead of
+   * growing forever — `dropDuplicatesWithinWatermark` keeps a key only
+   * until the watermark passes it, the streaming analog of q13's
+   * hash-groupBy dedup.
+   */
+  def dedupWithinWatermark(stream: DataFrame, keyCols: Seq[String],
+                           tsCol: String, watermark: String): DataFrame =
+    stream
+      .withColumn("_ts", col(tsCol).cast("timestamp"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   // ---------------- custom state (mapGroupsWithState) ----------------
 
   /** Running per-cell accumulator carried across micro-batches. */

@@ -63,6 +63,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 9L).maxBy(_._2)._2 == 1L)
   }
 
+  test("stream-static spatial enrichment equals the batch PIP join") {
+    import graft.data.GeoTables
+    val sfDir = "/root/testdata/sf0.001"
+    GeoTables.ensure(spark, sfDir)
+    val images = GeoTables.images(spark, sfDir).select("image_id", "lon", "lat")
+    val zones = GeoTables.zones(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("stream_pip").toString
+    images.write.mode("overwrite").parquet(dir)
+    val stream = Streams.parquetStream(spark, dir, images.schema)
+
+    val q = Streams.spatialEnrich(stream, zones).writeStream
+      .outputMode("append").format("memory").queryName("pip_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("pip_out").select("zone_id", "image_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = graft.join.SpatialJoins.pipJoin(images, zones)
+      .select("zone_id", "image_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty, s"got=${got.size} want=${want.size}")
+  }
+
+  test("watermarked streaming dedup drops in-watermark duplicate phashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val deduped = Streams.dedupWithinWatermark(
+      input.toDF().toDF("id", "phash", "ts"), Seq("phash"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData(("a", 11L, ts(0)), ("b", 11L, ts(1)), ("c", 22L, ts(2)))
+    q.processAllAvailable()
+    input.addData(("d", 11L, ts(3)), ("e", 33L, ts(4))) // 11 still in watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("a", "c", "e"), s"got $ids")
+  }
+
   test("geometry expressions run per streamed row (bidi-stream shape)") {
     val batch = spark.read.parquet(eventsPath)
       .withColumn("lon", (col("user_id") % 360 - 180).cast("double"))
