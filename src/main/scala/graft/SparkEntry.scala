@@ -670,6 +670,24 @@ object SparkEntry {
           call_function("st_relate", col("g"), col("buf")).as("de9im"))
     }),
 
+    // ---------------- geodesic buffer (AEQ construction) ----------------
+    // every vertex of the r-meter point buffer sits at spherical distance
+    // exactly r from the center (AEQ preserves center distances); Vincenty
+    // (ellipsoidal — an INDEPENDENT formula) must agree within 1% at 50 km
+    "q53_geodesic_buffer" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("buf", call_function("st_geodesic_buffer",
+          call_function("st_point", col("xmin"), col("ymin")), lit(50000.0)))
+        .withColumn("v", explode(call_function("st_dumppoints", col("buf"))))
+        .withColumn("d", call_function("st_length_geodesic",
+          call_function("st_makeline", col("xmin"), col("ymin"),
+            call_function("st_x", col("v")), call_function("st_y", col("v")))))
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_pts"),
+          count(when(abs(col("d") / 50000.0 - 1.0) < 0.01, 1)).as("n_on_circle"))
+    }),
+
     // ---------------- parallel curve (OFFSET) ----------------
     // single-segment diagonal: the right-hand parallel at d is closed-form
     "q24_offset" -> ((s, dir) => {
@@ -812,6 +830,9 @@ object SparkEntry {
       """SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS w, event_type,
          COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2""",
+    "q53_geodesic_buffer" ->
+      s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
     // right-hand parallel of the (xmin,ymin)->(xmax,ymax) diagonal at
     // d=0.25: endpoints shift by d*(h,-w)/L, length is unchanged
     "q24_offset" ->

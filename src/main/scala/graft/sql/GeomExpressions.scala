@@ -751,6 +751,14 @@ case class StDump(child: Expression) extends UnaryExpression with ExpectsInputTy
     new GenericArrayData(K.dump(v.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+case class StDumpPoints(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.dumpPoints(v.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class StNumGeometries(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)

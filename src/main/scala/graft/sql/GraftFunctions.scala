@@ -76,6 +76,7 @@ object GraftFunctions {
     "st_cut" -> (e => StCut(e(0), e(1))),
     "st_collect" -> (e => StCollect(e.head)),
     "st_dump" -> (e => StDump(e.head)),
+    "st_dumppoints" -> (e => StDumpPoints(e.head)),
     "st_num_geometries" -> (e => StNumGeometries(e.head)),
     // binary overlay (§2.3, staged — see graft.geom.Overlay)
     "st_intersection" -> (e => StIntersection(e(0), e(1))),

@@ -206,6 +206,27 @@ object K {
     case m: MultiPolygon => m.polys.map(p => wr(Polygon(p)))
     case g => Array(wr(g))
   }
+  /** Every stored vertex as a point (rings keep their closing duplicate —
+    * PostGIS ST_DumpPoints path semantics). */
+  def dumpPoints(b: Array[Byte]): Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def arr(cs: Array[Double]): Unit = {
+      var i = 0
+      while (i + 1 < cs.length) { out += wr(Point(cs(i), cs(i + 1))); i += 2 }
+    }
+    def walk(g: Geometry): Unit = g match {
+      case p: Point => if (!p.isEmpty) out += wr(p)
+      case m: MultiPoint => arr(m.coords)
+      case l: LineString => arr(l.coords)
+      case m: MultiLineString => m.lines.foreach(arr)
+      case p: Polygon => p.rings.foreach(arr)
+      case m: MultiPolygon => m.polys.foreach(_.foreach(arr))
+      case c: GeometryCollection => c.geoms.foreach(walk)
+    }
+    walk(rd(b))
+    out.toArray
+  }
+
   def numGeometries(b: Array[Byte]): Int = rd(b) match {
     case c: GeometryCollection => c.geoms.length
     case m: MultiPoint => m.numPoints
