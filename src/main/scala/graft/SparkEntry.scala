@@ -670,6 +670,24 @@ object SparkEntry {
           call_function("st_relate", col("g"), col("buf")).as("de9im"))
     }),
 
+    // ---------------- Z/M vertex attributes ----------------
+    // z survives the WKB and WKT codecs bit-exactly; operators stay 2D
+    // (st_x/st_y of the same point) — ⟨ref(engine): VertexDescription⟩
+    "q54_zm_roundtrip" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("pz", call_function("st_makepointz",
+          col("xmin"), col("ymin"), col("xmin") + col("ymin")))
+        .select(col("zone_id"),
+          call_function("st_z",
+            call_function("st_geomfromwkb", call_function("st_aswkb", col("pz")))).as("z_wkb"),
+          call_function("st_z",
+            call_function("st_geomfromwkt", call_function("st_aswkt", col("pz")))).as("z_wkt"),
+          call_function("st_hasz", col("pz")).cast("bigint").as("has_z"),
+          call_function("st_hasz", call_function("st_force2d", col("pz"))).cast("bigint").as("has_z_2d"),
+          call_function("st_x", col("pz")).as("px"))
+    }),
+
     // ---------------- geodesic buffer (AEQ construction) ----------------
     // every vertex of the r-meter point buffer sits at spherical distance
     // exactly r from the center (AEQ preserves center distances); Vincenty
@@ -832,6 +850,10 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q54_zm_roundtrip" ->
+      s"""SELECT zone_id, xmin + ymin AS z_wkb, xmin + ymin AS z_wkt,
+         CAST(1 AS BIGINT) AS has_z, CAST(0 AS BIGINT) AS has_z_2d, xmin AS px
          FROM $ZON""",
     // right-hand parallel of the (xmin,ymin)->(xmax,ymax) diagonal at
     // d=0.25: endpoints shift by d*(h,-w)/L, length is unchanged

@@ -18,7 +18,8 @@ object EsriJson {
 
   // ---------------- writer ----------------
 
-  def write(g: Geometry): String = {
+  def write(g0: Geometry): String = {
+    val g = GeometryZM.strip(g0) // Esri JSON codec is 2D-only (documented)
     val sb = new java.lang.StringBuilder(96)
     g match {
       case p: Point =>

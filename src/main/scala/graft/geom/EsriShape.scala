@@ -27,7 +27,7 @@ object EsriShape {
 
   // ---------------- writer ----------------
 
-  def write(g: Geometry): Array[Byte] = g match {
+  def write(g0: Geometry): Array[Byte] = GeometryZM.strip(g0) match { // 2D-only codec
     case p: Point =>
       if (p.isEmpty) nullShape()
       else {

@@ -17,34 +17,49 @@ object GeoJson {
 
   def write(g: Geometry): String = {
     val sb = new java.lang.StringBuilder(96)
-    writeGeom(g, sb)
+    writeAny(g, sb)
     sb.toString
   }
 
-  private def writeGeom(g: Geometry, sb: java.lang.StringBuilder): Unit = g match {
+  /** Mutable Z cursor (GeoJSON positions carry Z as the 3rd element; M has
+    * no RFC 7946 representation and is dropped on export — documented). */
+  private final class ZCur(val zs: Array[Double]) { var i = 0 }
+  private val Z2D = new ZCur(null)
+
+  private def writeAny(g: Geometry, sb: java.lang.StringBuilder): Unit = g match {
+    case zm: GeometryZM if zm.zs != null => writeGeom(zm.base, sb, new ZCur(zm.zs))
+    case zm: GeometryZM => writeGeom(zm.base, sb, Z2D) // M-only: dropped
+    case other => writeGeom(other, sb, Z2D)
+  }
+
+  private def writeGeom(g: Geometry, sb: java.lang.StringBuilder, zc: ZCur): Unit = g match {
     case p: Point =>
       sb.append("{\"type\":\"Point\",\"coordinates\":")
       if (p.isEmpty) sb.append("[]")
-      else { sb.append('['); Wkt.num(p.x, sb); sb.append(','); Wkt.num(p.y, sb); sb.append(']') }
+      else {
+        sb.append('['); Wkt.num(p.x, sb); sb.append(','); Wkt.num(p.y, sb)
+        if (zc.zs != null) { sb.append(','); Wkt.num(zc.zs(zc.i), sb); zc.i += 1 }
+        sb.append(']')
+      }
       sb.append('}')
     case m: MultiPoint =>
       sb.append("{\"type\":\"MultiPoint\",\"coordinates\":")
-      coordArray(m.coords, sb); sb.append('}')
+      coordArray(m.coords, sb, zc); sb.append('}')
     case l: LineString =>
       sb.append("{\"type\":\"LineString\",\"coordinates\":")
-      coordArray(l.coords, sb); sb.append('}')
+      coordArray(l.coords, sb, zc); sb.append('}')
     case m: MultiLineString =>
       sb.append("{\"type\":\"MultiLineString\",\"coordinates\":")
-      nested(m.lines, sb); sb.append('}')
+      nested(m.lines, sb, zc); sb.append('}')
     case p: Polygon =>
       sb.append("{\"type\":\"Polygon\",\"coordinates\":")
-      nested(p.rings, sb); sb.append('}')
+      nested(p.rings, sb, zc); sb.append('}')
     case m: MultiPolygon =>
       sb.append("{\"type\":\"MultiPolygon\",\"coordinates\":[")
       var i = 0
       while (i < m.polys.length) {
         if (i > 0) sb.append(',')
-        nested(m.polys(i), sb)
+        nested(m.polys(i), sb, zc)
         i += 1
       }
       sb.append("]}")
@@ -53,29 +68,32 @@ object GeoJson {
       var i = 0
       while (i < c.geoms.length) {
         if (i > 0) sb.append(',')
-        writeGeom(c.geoms(i), sb)
+        writeAny(c.geoms(i), sb) // children carry their own Z
         i += 1
       }
       sb.append("]}")
+    case _: GeometryZM => throw new IllegalStateException("nested GeometryZM")
   }
 
-  private def coordArray(cs: Array[Double], sb: java.lang.StringBuilder): Unit = {
+  private def coordArray(cs: Array[Double], sb: java.lang.StringBuilder, zc: ZCur): Unit = {
     sb.append('[')
     var i = 0
     while (i < cs.length) {
       if (i > 0) sb.append(',')
-      sb.append('['); Wkt.num(cs(i), sb); sb.append(','); Wkt.num(cs(i + 1), sb); sb.append(']')
+      sb.append('['); Wkt.num(cs(i), sb); sb.append(','); Wkt.num(cs(i + 1), sb)
+      if (zc.zs != null) { sb.append(','); Wkt.num(zc.zs(zc.i), sb); zc.i += 1 }
+      sb.append(']')
       i += 2
     }
     sb.append(']')
   }
 
-  private def nested(parts: Array[Array[Double]], sb: java.lang.StringBuilder): Unit = {
+  private def nested(parts: Array[Array[Double]], sb: java.lang.StringBuilder, zc: ZCur): Unit = {
     sb.append('[')
     var i = 0
     while (i < parts.length) {
       if (i > 0) sb.append(',')
-      coordArray(parts(i), sb)
+      coordArray(parts(i), sb, zc)
       i += 1
     }
     sb.append(']')
@@ -201,18 +219,37 @@ object GeoJson {
         case Some(a: JArr) => a
         case _             => throw new IllegalArgumentException("missing 'coordinates'")
       }
+      val zb = Array.newBuilder[Double]
+      var sawZ = false
+      def flatZ(a: JArr): Array[Double] = {
+        val out = new Array[Double](a.v.length * 2)
+        var i = 0
+        while (i < a.v.length) {
+          val p = a.v(i).asInstanceOf[JArr]
+          out(2 * i) = numAt(p, 0)
+          out(2 * i + 1) = numAt(p, 1)
+          if (p.v.length >= 3) { zb += numAt(p, 2); sawZ = true }
+          else zb += Double.NaN
+          i += 1
+        }
+        out
+      }
+      def withZ(base: Geometry): Geometry =
+        if (sawZ && !base.isEmpty) GeometryZM(base, zb.result(), null) else base
       t match {
         case "Point" =>
           if (coords.v.isEmpty) Point.EMPTY
+          else if (coords.v.length >= 3)
+            GeometryZM(Point(numAt(coords, 0), numAt(coords, 1)), Array(numAt(coords, 2)), null)
           else Point(numAt(coords, 0), numAt(coords, 1))
-        case "MultiPoint"      => MultiPoint(flatPositions(coords))
-        case "LineString"      => LineString(flatPositions(coords))
-        case "MultiLineString" => MultiLineString(coords.v.map(x => flatPositions(x.asInstanceOf[JArr])).toArray)
-        case "Polygon"         => Polygon(coords.v.map(x => flatPositions(x.asInstanceOf[JArr])).toArray)
+        case "MultiPoint"      => withZ(MultiPoint(flatZ(coords)))
+        case "LineString"      => withZ(LineString(flatZ(coords)))
+        case "MultiLineString" => withZ(MultiLineString(coords.v.map(x => flatZ(x.asInstanceOf[JArr])).toArray))
+        case "Polygon"         => withZ(Polygon(coords.v.map(x => flatZ(x.asInstanceOf[JArr])).toArray))
         case "MultiPolygon" =>
-          MultiPolygon(coords.v.map { p =>
-            p.asInstanceOf[JArr].v.map(r => flatPositions(r.asInstanceOf[JArr])).toArray
-          }.toArray)
+          withZ(MultiPolygon(coords.v.map { p =>
+            p.asInstanceOf[JArr].v.map(r => flatZ(r.asInstanceOf[JArr])).toArray
+          }.toArray))
         case other => throw new IllegalArgumentException(s"unknown GeoJSON type '$other'")
       }
     case _ => throw new IllegalArgumentException("GeoJSON root must be an object")

@@ -146,3 +146,42 @@ final case class GeometryCollection(geoms: Array[Geometry]) extends Geometry {
   def envelope: Env = geoms.foldLeft(Env.EMPTY)((e, g) => e.expand(g.envelope))
   def numPoints: Int = geoms.map(_.numPoints).sum
 }
+
+/**
+ * Geometry with per-vertex Z and/or M attribute streams (SURVEY §1.1
+ * "VertexDescription" row ⟨ref(engine): com.esri.core.geometry
+ * .VertexDescription⟩): `zs`/`ms` run parallel to the base geometry's
+ * vertices in storage order (rings concatenated shell-first, polygons in
+ * sequence — the same order `K.dumpPoints` walks). Either stream may be
+ * null (Z-only, M-only, or ZM).
+ *
+ * Semantics: computational operators are 2D — they receive the stripped
+ * `base` (OGC relate/measure semantics ignore Z/M) — while storage, the
+ * WKT/WKB/GeoJSON codecs, and the accessor surface (`st_z`, `st_m`,
+ * `st_hasz`, `st_hasm`, `st_force2d`) preserve the attribute streams.
+ * Collections carry ZM per CHILD (each element wraps itself); the
+ * collection node stays plain.
+ */
+final case class GeometryZM(base: Geometry, zs: Array[Double], ms: Array[Double]) extends Geometry {
+  require(!base.isInstanceOf[GeometryZM], "GeometryZM must not nest")
+  require((zs == null || zs.length == base.numPoints) &&
+          (ms == null || ms.length == base.numPoints),
+    s"attribute stream length != vertex count ${base.numPoints}")
+  def hasZ: Boolean = zs != null
+  def hasM: Boolean = ms != null
+  def typeCode: Int = base.typeCode
+  def isEmpty: Boolean = base.isEmpty
+  def dimension: Int = base.dimension
+  def envelope: Env = base.envelope
+  def numPoints: Int = base.numPoints
+}
+
+object GeometryZM {
+  /** 2D view for operators: unwrap, recursing into collection children. */
+  def strip(g: Geometry): Geometry = g match {
+    case zm: GeometryZM => zm.base
+    case c: GeometryCollection if c.geoms.exists(_.isInstanceOf[GeometryZM]) =>
+      GeometryCollection(c.geoms.map(strip))
+    case other => other
+  }
+}

@@ -91,12 +91,12 @@ object Prepared {
     * repeated decoding dominates. Small payloads get a fresh uncached
     * decode — identical cost to the pre-acceleration path. */
   def of(wkb: Array[Byte]): Prepared = {
-    if (disabled || wkb.length < MIN_CACHE_BYTES) return new Prepared(Wkb.read(wkb))
+    if (disabled || wkb.length < MIN_CACHE_BYTES) return new Prepared(GeometryZM.strip(Wkb.read(wkb)))
     val k = new BKey(wkb)
     var p = cache.get(k)
     if (p == null) {
       if (cache.size() >= MAX_ENTRIES) cache.clear() // crude, bounded, refillable
-      p = new Prepared(Wkb.read(wkb))
+      p = new Prepared(GeometryZM.strip(Wkb.read(wkb)))
       cache.put(k, p)
     }
     p

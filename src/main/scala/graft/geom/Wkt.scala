@@ -4,13 +4,16 @@ import scala.collection.mutable.ArrayBuffer
 
 /**
  * WKT reader/writer — hand-written recursive descent, zero deps.
+ * 2D + Z/M vertex attributes ("POINT Z (1 2 3)", "LINESTRING ZM (…)" —
+ * round 3; attribute streams ride in [[GeometryZM]]).
  *
  * Behavioral counterpart of ⟨ref(engine): OperatorImportFromWktLocal /
  * OperatorExportToWktLocal + WktParser⟩ (SURVEY.md §2.1 #1/#2).
  *
  * Canonical number formatting (SURVEY §7.5 item 3): integral values are
  * printed without a fractional part ("POINT (1 2)"), everything else uses
- * shortest-roundtrip `Double.toString`. Golden tests pin this.
+ * shortest-roundtrip `Double.toString`. Golden tests pin this. 2D output
+ * is byte-identical to rounds 1–2.
  */
 object Wkt {
 
@@ -18,92 +21,113 @@ object Wkt {
 
   def write(g: Geometry): String = {
     val sb = new java.lang.StringBuilder(64)
-    writeGeom(g, sb)
+    writeAny(g, sb)
     sb.toString
   }
 
-  private def writeGeom(g: Geometry, sb: java.lang.StringBuilder): Unit = g match {
+  private final class Cur(val zs: Array[Double], val ms: Array[Double]) {
+    var i = 0
+    def hasZ: Boolean = zs != null
+    def hasM: Boolean = ms != null
+    def dimsTag: String = if (hasZ && hasM) "ZM " else if (hasM) "M " else if (hasZ) "Z " else ""
+  }
+  private val CUR2D = new Cur(null, null)
+
+  private def writeAny(g: Geometry, sb: java.lang.StringBuilder): Unit = g match {
+    case zm: GeometryZM => writeGeom(zm.base, sb, new Cur(zm.zs, zm.ms))
+    case other => writeGeom(other, sb, CUR2D)
+  }
+
+  private def writeGeom(g: Geometry, sb: java.lang.StringBuilder, c: Cur): Unit = g match {
     case p: Point =>
-      sb.append("POINT ")
+      sb.append("POINT ").append(c.dimsTag)
       if (p.isEmpty) sb.append("EMPTY")
-      else { sb.append('('); num(p.x, sb); sb.append(' '); num(p.y, sb); sb.append(')') }
+      else { sb.append('('); vertex(p.x, p.y, sb, c); sb.append(')') }
     case m: MultiPoint =>
-      sb.append("MULTIPOINT ")
+      sb.append("MULTIPOINT ").append(c.dimsTag)
       if (m.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
         var i = 0
         while (i < m.coords.length) {
           if (i > 0) sb.append(", ")
-          sb.append('('); num(m.coords(i), sb); sb.append(' '); num(m.coords(i + 1), sb); sb.append(')')
+          sb.append('('); vertex(m.coords(i), m.coords(i + 1), sb, c); sb.append(')')
           i += 2
         }
         sb.append(')')
       }
     case l: LineString =>
-      sb.append("LINESTRING ")
-      if (l.isEmpty) sb.append("EMPTY") else coordSeq(l.coords, sb)
+      sb.append("LINESTRING ").append(c.dimsTag)
+      if (l.isEmpty) sb.append("EMPTY") else coordSeq(l.coords, sb, c)
     case m: MultiLineString =>
-      sb.append("MULTILINESTRING ")
+      sb.append("MULTILINESTRING ").append(c.dimsTag)
       if (m.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
         var i = 0
         while (i < m.lines.length) {
           if (i > 0) sb.append(", ")
-          coordSeq(m.lines(i), sb)
+          coordSeq(m.lines(i), sb, c)
           i += 1
         }
         sb.append(')')
       }
     case p: Polygon =>
-      sb.append("POLYGON ")
-      if (p.isEmpty) sb.append("EMPTY") else rings(p.rings, sb)
+      sb.append("POLYGON ").append(c.dimsTag)
+      if (p.isEmpty) sb.append("EMPTY") else rings(p.rings, sb, c)
     case m: MultiPolygon =>
-      sb.append("MULTIPOLYGON ")
+      sb.append("MULTIPOLYGON ").append(c.dimsTag)
       if (m.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
         var i = 0
         while (i < m.polys.length) {
           if (i > 0) sb.append(", ")
-          rings(m.polys(i), sb)
+          rings(m.polys(i), sb, c)
           i += 1
         }
         sb.append(')')
       }
-    case c: GeometryCollection =>
+    case col: GeometryCollection =>
       sb.append("GEOMETRYCOLLECTION ")
-      if (c.geoms.isEmpty) sb.append("EMPTY")
+      if (col.geoms.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
         var i = 0
-        while (i < c.geoms.length) {
+        while (i < col.geoms.length) {
           if (i > 0) sb.append(", ")
-          writeGeom(c.geoms(i), sb)
+          writeAny(col.geoms(i), sb) // children carry their own Z/M
           i += 1
         }
         sb.append(')')
       }
+    case _: GeometryZM => throw new IllegalStateException("nested GeometryZM")
   }
 
-  private def rings(rs: Array[Array[Double]], sb: java.lang.StringBuilder): Unit = {
+  @inline private def vertex(x: Double, y: Double, sb: java.lang.StringBuilder, c: Cur): Unit = {
+    num(x, sb); sb.append(' '); num(y, sb)
+    if (c.hasZ) { sb.append(' '); num(if (c.i < c.zs.length) c.zs(c.i) else Double.NaN, sb) }
+    if (c.hasM) { sb.append(' '); num(if (c.i < c.ms.length) c.ms(c.i) else Double.NaN, sb) }
+    c.i += 1
+  }
+
+  private def rings(rs: Array[Array[Double]], sb: java.lang.StringBuilder, c: Cur): Unit = {
     sb.append('(')
     var i = 0
     while (i < rs.length) {
       if (i > 0) sb.append(", ")
-      coordSeq(rs(i), sb)
+      coordSeq(rs(i), sb, c)
       i += 1
     }
     sb.append(')')
   }
 
-  private def coordSeq(cs: Array[Double], sb: java.lang.StringBuilder): Unit = {
+  private def coordSeq(cs: Array[Double], sb: java.lang.StringBuilder, c: Cur): Unit = {
     sb.append('(')
     var i = 0
     while (i < cs.length) {
       if (i > 0) sb.append(", ")
-      num(cs(i), sb); sb.append(' '); num(cs(i + 1), sb)
+      vertex(cs(i), cs(i + 1), sb, c)
       i += 2
     }
     sb.append(')')
@@ -175,12 +199,50 @@ object Wkt {
       if (s.regionMatches(true, pos, "EMPTY", 0, 5)) { pos += 5; true } else false
     }
 
+    // per-geometry dimension state (set right after the type keyword)
+    private var hasZ = false
+    private var hasM = false
+    private var zb: ArrayBuffer[Double] = null
+    private var mb: ArrayBuffer[Double] = null
+
+    /** Optional Z / M / ZM tag after the type keyword ("NaN"-proof: EMPTY
+      * and coordinates never start with these letters). */
+    private def dimsTag(): Unit = {
+      hasZ = false; hasM = false; zb = null; mb = null
+      skipWs()
+      if (!eof) {
+        val c = s.charAt(pos)
+        if (c == 'Z' || c == 'z') {
+          pos += 1
+          if (!eof && (s.charAt(pos) == 'M' || s.charAt(pos) == 'm')) { pos += 1; hasM = true }
+          hasZ = true
+        } else if ((c == 'M' || c == 'm') &&
+                   !s.regionMatches(true, pos, "MULTI", 0, 5)) { // not a nested keyword
+          pos += 1; hasM = true
+        }
+      }
+      if (hasZ) zb = new ArrayBuffer[Double](16)
+      if (hasM) mb = new ArrayBuffer[Double](16)
+    }
+
+    @inline private def vertexInto(buf: ArrayBuffer[Double]): Unit = {
+      buf += number(); buf += number()
+      if (hasZ) zb += number()
+      if (hasM) mb += number()
+    }
+
+    private def wrap(base: Geometry): Geometry =
+      if ((!hasZ && !hasM) || base.isEmpty) base
+      else GeometryZM(base,
+        if (hasZ) zb.toArray else null,
+        if (hasM) mb.toArray else null)
+
     def coordSeq(): Array[Double] = {
       expect('(')
       val buf = new ArrayBuffer[Double](16)
       var more = true
       while (more) {
-        buf += number(); buf += number()
+        vertexInto(buf)
         more = tryConsume(',')
       }
       expect(')')
@@ -201,13 +263,23 @@ object Wkt {
 
     def parseGeometry(): Geometry = word() match {
       case "POINT" =>
+        dimsTag()
         if (emptyTag()) Point.EMPTY
-        else { expect('('); val x = number(); val y = number(); expect(')'); Point(x, y) }
+        else {
+          expect('(')
+          val buf = new ArrayBuffer[Double](2)
+          vertexInto(buf)
+          expect(')')
+          wrap(Point(buf(0), buf(1)))
+        }
       case "LINESTRING" =>
-        if (emptyTag()) LineString(Array.empty) else LineString(coordSeq())
+        dimsTag()
+        if (emptyTag()) LineString(Array.empty) else wrap(LineString(coordSeq()))
       case "POLYGON" =>
-        if (emptyTag()) Polygon(Array.empty) else Polygon(ringList())
+        dimsTag()
+        if (emptyTag()) Polygon(Array.empty) else wrap(Polygon(ringList()))
       case "MULTIPOINT" =>
+        dimsTag()
         if (emptyTag()) MultiPoint(Array.empty)
         else {
           // accept both MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4)
@@ -215,16 +287,18 @@ object Wkt {
           val buf = new ArrayBuffer[Double](16)
           var more = true
           while (more) {
-            if (peekChar() == '(') { expect('('); buf += number(); buf += number(); expect(')') }
-            else { buf += number(); buf += number() }
+            if (peekChar() == '(') { expect('('); vertexInto(buf); expect(')') }
+            else vertexInto(buf)
             more = tryConsume(',')
           }
           expect(')')
-          MultiPoint(buf.toArray)
+          wrap(MultiPoint(buf.toArray))
         }
       case "MULTILINESTRING" =>
-        if (emptyTag()) MultiLineString(Array.empty) else MultiLineString(ringList())
+        dimsTag()
+        if (emptyTag()) MultiLineString(Array.empty) else wrap(MultiLineString(ringList()))
       case "MULTIPOLYGON" =>
+        dimsTag()
         if (emptyTag()) MultiPolygon(Array.empty)
         else {
           expect('(')
@@ -235,9 +309,13 @@ object Wkt {
             more = tryConsume(',')
           }
           expect(')')
-          MultiPolygon(buf.toArray)
+          wrap(MultiPolygon(buf.toArray))
         }
       case "GEOMETRYCOLLECTION" =>
+        // a collection-level Z/M tag is consumed and ignored: children
+        // declare (and wrap) their own per ISO output practice
+        dimsTag()
+        hasZ = false; hasM = false
         if (emptyTag()) GeometryCollection(Array.empty)
         else {
           expect('(')

@@ -91,7 +91,7 @@ case class StConvexHullAgg(child: Expression,
   override def update(b: Buf, row: InternalRow): Buf = {
     val v = child.eval(row)
     if (v != null) {
-      b ++= Ops.allCoords(Wkb.read(v.asInstanceOf[Array[Byte]]))
+      b ++= Ops.allCoords(GeometryZM.strip(Wkb.read(v.asInstanceOf[Array[Byte]])))
       compact(b)
     }
     b
@@ -132,9 +132,9 @@ case class StUnionAgg(child: Expression,
   override def createAggregationBuffer(): Buf = new Buf(8)
   private def compact(b: Buf, force: Boolean): Unit = {
     if (b.length > (if (force) 1 else COMPACT_AT)) {
-      var acc = Wkb.read(b(0))
+      var acc = GeometryZM.strip(Wkb.read(b(0)))
       var i = 1
-      while (i < b.length) { acc = Ops.simplify(Overlay.union(acc, Wkb.read(b(i)))); i += 1 }
+      while (i < b.length) { acc = Ops.simplify(Overlay.union(acc, GeometryZM.strip(Wkb.read(b(i))))); i += 1 }
       b.clear()
       b += Wkb.write(acc)
     }
@@ -188,7 +188,7 @@ case class StUnionPointsAgg(child: Expression,
   override def update(b: Buf, row: InternalRow): Buf = {
     val v = child.eval(row)
     if (v != null) {
-      Wkb.read(v.asInstanceOf[Array[Byte]]) match {
+      GeometryZM.strip(Wkb.read(v.asInstanceOf[Array[Byte]])) match {
         case p: Point => if (!p.isEmpty) b += ((p.x, p.y))
         case m: MultiPoint =>
           var i = 0

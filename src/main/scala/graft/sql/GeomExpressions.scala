@@ -152,6 +152,56 @@ case class StMakeEnvelope(children: Seq[Expression]) extends Expression with Exp
 
 // ---------------- accessors ----------------
 
+// ---------------- Z/M vertex attributes (r3) ----------------
+
+case class StMakePointZ(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(children.length)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val d = vs.map(_.asInstanceOf[Double])
+      if (d.length == 4) K.makePointZM(d(0), d(1), d(2), d(3))
+      else K.makePointZ(d(0), d(1), d(2))
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
+}
+case class StZ(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = K.z(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StM(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = K.m(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StHasZ(child: Expression) extends GeomUnary {
+  def fn = "hasZ"; override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = K.hasZ(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StHasM(child: Expression) extends GeomUnary {
+  def fn = "hasM"; override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = K.hasM(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StForce2D(child: Expression) extends GeomUnary {
+  def fn = "force2D"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.force2D(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StX(child: Expression) extends GeomUnary {
   def fn = "x"; override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = K.x(v.asInstanceOf[Array[Byte]])

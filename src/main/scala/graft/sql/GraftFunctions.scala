@@ -25,6 +25,12 @@ object GraftFunctions {
     "st_asesrijson" -> (e => StAsEsriJson(e.head)),
     "st_asgeojson" -> (e => StAsGeoJson(e.head)),
     "st_point" -> (e => StPoint(e(0), e(1))),
+    "st_makepointz" -> (e => StMakePointZ(e)),
+    "st_z" -> (e => StZ(e.head)),
+    "st_m" -> (e => StM(e.head)),
+    "st_hasz" -> (e => StHasZ(e.head)),
+    "st_hasm" -> (e => StHasM(e.head)),
+    "st_force2d" -> (e => StForce2D(e.head)),
     "st_makeenvelope" -> (e => StMakeEnvelope(e)),
     "st_makeline" -> (e => StMakeLine(e)),
     // accessors

@@ -17,16 +17,48 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object K {
 
-  @inline private def rd(b: Array[Byte]): Geometry = Wkb.read(b)
+  /** Operator-path reader: Z/M attribute streams are stripped — the
+    * computational surface is 2D (OGC relate/measure semantics), while
+    * storage + codecs + accessors below preserve them. */
+  @inline private def rd(b: Array[Byte]): Geometry = GeometryZM.strip(Wkb.read(b))
+  /** Codec-path reader: keeps Z/M. */
+  @inline private def rdFull(b: Array[Byte]): Geometry = Wkb.read(b)
   @inline private def wr(g: Geometry): Array[Byte] = Wkb.write(g)
 
   // ---- constructors / codecs (§2.1) ----
   def fromWkt(s: UTF8String): Array[Byte] = wr(Wkt.read(s.toString))
-  def asWkt(b: Array[Byte]): UTF8String = UTF8String.fromString(Wkt.write(rd(b)))
-  def fromWkb(b: Array[Byte]): Array[Byte] = wr(rd(b)) // parse = validate, re-canonicalize
+  def asWkt(b: Array[Byte]): UTF8String = UTF8String.fromString(Wkt.write(rdFull(b)))
+  def fromWkb(b: Array[Byte]): Array[Byte] = wr(rdFull(b)) // parse = validate, re-canonicalize
   def asWkb(b: Array[Byte]): Array[Byte] = b
   def fromGeoJson(s: UTF8String): Array[Byte] = wr(GeoJson.read(s.toString))
-  def asGeoJson(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.write(rd(b)))
+  def asGeoJson(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.write(rdFull(b)))
+
+  // ---- Z/M vertex attributes (r3; ⟨ref(engine): VertexDescription⟩) ----
+  def makePointZ(x: Double, y: Double, z: Double): Array[Byte] =
+    wr(GeometryZM(Point(x, y), Array(z), null))
+  def makePointZM(x: Double, y: Double, z: Double, m: Double): Array[Byte] =
+    wr(GeometryZM(Point(x, y), Array(z), Array(m)))
+  def z(b: Array[Byte]): java.lang.Double = rdFull(b) match {
+    case zm: GeometryZM if zm.hasZ && zm.base.isInstanceOf[Point] => zm.zs(0)
+    case _: Point | _: GeometryZM => null
+    case _ => throw new IllegalArgumentException("st_z expects a point")
+  }
+  def m(b: Array[Byte]): java.lang.Double = rdFull(b) match {
+    case zm: GeometryZM if zm.hasM && zm.base.isInstanceOf[Point] => zm.ms(0)
+    case _: Point | _: GeometryZM => null
+    case _ => throw new IllegalArgumentException("st_m expects a point")
+  }
+  def hasZ(b: Array[Byte]): Boolean = rdFull(b) match {
+    case zm: GeometryZM => zm.hasZ
+    case c: GeometryCollection => c.geoms.exists { case z: GeometryZM => z.hasZ; case _ => false }
+    case _ => false
+  }
+  def hasM(b: Array[Byte]): Boolean = rdFull(b) match {
+    case zm: GeometryZM => zm.hasM
+    case c: GeometryCollection => c.geoms.exists { case z: GeometryZM => z.hasM; case _ => false }
+    case _ => false
+  }
+  def force2D(b: Array[Byte]): Array[Byte] = wr(rd(b))
   def fromEsriShape(b: Array[Byte]): Array[Byte] = wr(EsriShape.read(b))
   def asEsriShape(b: Array[Byte]): Array[Byte] = EsriShape.write(rd(b))
   def fromEsriJson(s: UTF8String): Array[Byte] = wr(EsriJson.read(s.toString))

@@ -1,0 +1,94 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z/M vertex attributes (round 3): codec round-trips for every geometry
+  * type, EWKB flag parsing, JTS cross-validation, 2D operator semantics,
+  * and the exact-size WKB fix. */
+class ZmSpec extends AnyFunSuite {
+
+  private val zWkts = Seq(
+    "POINT Z (1 2 3)",
+    "LINESTRING Z (0 0 1, 1 1 2, 2 0 3)",
+    "POLYGON Z ((0 0 5, 4 0 6, 4 4 7, 0 4 8, 0 0 5))",
+    "MULTIPOINT Z ((1 2 9), (3 4 10))",
+    "MULTILINESTRING Z ((0 0 1, 1 0 2), (2 2 3, 3 3 4))",
+    "MULTIPOLYGON Z (((0 0 1, 1 0 2, 1 1 3, 0 0 1)))",
+    "GEOMETRYCOLLECTION (POINT Z (1 2 3), LINESTRING (0 0, 1 1))")
+
+  test("WKT Z / M / ZM round-trips for every type") {
+    zWkts.foreach { w =>
+      assert(Wkt.write(Wkt.read(w)) == w, s"WKT Z round-trip: $w")
+    }
+    val m = "POINT M (1 2 4)"
+    assert(Wkt.write(Wkt.read(m)) == m)
+    val zm = "LINESTRING ZM (0 0 1 10, 1 1 2 20)"
+    assert(Wkt.write(Wkt.read(zm)) == zm)
+    // 2D output strings unchanged
+    assert(Wkt.write(Wkt.read("POINT (1 2)")) == "POINT (1 2)")
+  }
+
+  test("WKB round-trips preserve Z/M; 2D WKB is exact-sized (no trailing zeros)") {
+    zWkts.foreach { w =>
+      val g = Wkt.read(w)
+      assert(Wkt.write(Wkb.read(Wkb.write(g))) == w, s"WKB Z round-trip: $w")
+    }
+    val zm = Wkt.read("LINESTRING ZM (0 0 1 10, 1 1 2 20)")
+    assert(Wkt.write(Wkb.read(Wkb.write(zm))) == "LINESTRING ZM (0 0 1 10, 1 1 2 20)")
+    // exact sizes: 2D linestring = 9 + 2*16 = 41 (round-2 wrote 4 spare bytes)
+    assert(Wkb.write(Wkt.read("LINESTRING (0 0, 1 1)")).length == 41)
+    assert(Wkb.write(Wkt.read("POINT (1 2)")).length == 21)
+    // Z point = 5 + 24
+    assert(Wkb.write(Wkt.read("POINT Z (1 2 3)")).length == 29)
+  }
+
+  test("EWKB Z flag (0x80000000) parses as Z") {
+    val buf = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1: Byte).putInt(0x80000001).putDouble(1).putDouble(2).putDouble(3)
+    assert(Wkt.write(Wkb.read(buf.array())) == "POINT Z (1 2 3)")
+  }
+
+  test("JTS cross-validation: our WKT Z parses in JTS with the same Z") {
+    val rdr = new org.locationtech.jts.io.WKTReader()
+    val g = rdr.read("LINESTRING Z (0 0 1, 1 1 2, 2 0 3)")
+    val ours = Wkt.read("LINESTRING Z (0 0 1, 1 1 2, 2 0 3)").asInstanceOf[GeometryZM]
+    val cs = g.getCoordinates
+    (0 until 3).foreach { i =>
+      assert(cs(i).getZ == ours.zs(i), s"vertex $i z")
+    }
+    // and JTS reads what we write
+    val jts2 = rdr.read(Wkt.write(ours))
+    assert(jts2.getCoordinates()(2).getZ == 3.0)
+  }
+
+  test("GeoJSON: 3rd position element round-trips as Z (M dropped, documented)") {
+    val g = Wkt.read("LINESTRING Z (0 0 1, 1 1 2)")
+    val json = GeoJson.write(g)
+    assert(json.contains("[0,0,1]") && json.contains("[1,1,2]"), json)
+    assert(Wkt.write(GeoJson.read(json)) == "LINESTRING Z (0 0 1, 1 1 2)")
+    val zm = Wkt.read("POINT ZM (1 2 3 4)")
+    assert(Wkt.write(GeoJson.read(GeoJson.write(zm))) == "POINT Z (1 2 3)") // M dropped
+  }
+
+  test("operators are 2D: Z inputs give identical answers to force2d") {
+    val zPoly = Wkt.read("POLYGON Z ((0 0 5, 4 0 6, 4 4 7, 0 4 8, 0 0 5))")
+    val flat = GeometryZM.strip(zPoly)
+    assert(Ops.area(GeometryZM.strip(zPoly)) == 16.0)
+    assert(Pred.intersects(flat, Point(2, 2)))
+    // through the K facade (as SQL would): predicates/measures strip
+    val zb = Wkb.write(zPoly)
+    assert(graft.sql.K.area(zb) == 16.0)
+    assert(graft.sql.K.containsXY(zb, 2, 2))
+    val dumped = graft.sql.K.dumpPoints(zb)
+    assert(dumped.length == 5)
+    // force2d strips the attribute stream
+    assert(Wkt.write(Wkb.read(graft.sql.K.force2D(zb))) ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // accessors
+    val pz = graft.sql.K.makePointZ(1, 2, 3)
+    assert(graft.sql.K.z(pz) == 3.0 && graft.sql.K.m(pz) == null)
+    assert(graft.sql.K.hasZ(pz) && !graft.sql.K.hasM(pz))
+    val pzm = graft.sql.K.makePointZM(1, 2, 3, 4)
+    assert(graft.sql.K.z(pzm) == 3.0 && graft.sql.K.m(pzm) == 4.0)
+  }
+}
