@@ -156,6 +156,101 @@ object Proj {
     }
   }
 
+  // ---------------- Albers equal-area conic, 2SP (Snyder §14) ----------------
+
+  final case class AlbersEqualArea(ell: Ellipsoid, lat0: Double, lon0: Double,
+                                   lat1: Double, lat2: Double,
+                                   fe: Double, fn: Double) extends Projection {
+    private val e = ell.e; private val e2 = ell.e2; private val a = ell.a
+
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    /** Snyder's q (14-12) — NOT normalized like the authalic q in Ops. */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+
+    private val p1 = math.toRadians(lat1); private val p2 = math.toRadians(lat2)
+    private val n =
+      if (lat1 == lat2) math.sin(p1)
+      else (mOf(p1) * mOf(p1) - mOf(p2) * mOf(p2)) / (qOf(p2) - qOf(p1))
+    private val bigC = mOf(p1) * mOf(p1) + n * qOf(p1)
+    private val rho0 = a * math.sqrt(bigC - n * qOf(math.toRadians(lat0))) / n
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val q = qOf(math.toRadians(lat))
+      val rho = a * math.sqrt(bigC - n * q) / n
+      val theta = n * math.toRadians(lon - lon0)
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val sign = if (n >= 0) 1.0 else -1.0
+      val rho = sign * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sign * dx, sign * dy)
+      val q = (bigC - (rho * n / a) * (rho * n / a)) / n
+      // iterate Snyder (3-16) for φ from q
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val d = 1 - e2 * s * s
+        val next = phi + d * d / (2 * math.cos(phi)) *
+          (q / (1 - e2) - s / d + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 } else { phi = next; i += 1 }
+      }
+      (lon0 + math.toDegrees(theta / n), math.toDegrees(phi))
+    }
+  }
+
+  // ---------------- polar stereographic, variant B (Snyder §21) ----------------
+
+  final case class PolarStereographic(ell: Ellipsoid, latTs: Double, lon0: Double,
+                                      north: Boolean, fe: Double, fn: Double) extends Projection {
+    private val e = ell.e; private val a = ell.a
+
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    // scale so the projection is true at latTs
+    private val phiTs = math.toRadians(math.abs(latTs))
+    private val mTs = math.cos(phiTs) / math.sqrt(1 - ell.e2 * math.sin(phiTs) * math.sin(phiTs))
+    private val k = a * mTs / tOf(phiTs) // ρ = k·t(φ)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      // south: mirror latitudes/longitudes (Snyder's convention)
+      val phi = math.toRadians(if (north) lat else -lat)
+      val lam = math.toRadians(if (north) lon - lon0 else -(lon - lon0))
+      val rho = k * tOf(phi)
+      val x = rho * math.sin(lam)
+      val y = -rho * math.cos(lam)
+      if (north) (fe + x, fn + y) else (fe - x, fn - y)
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val (x, y) = if (north) (x0 - fe, y0 - fn) else (-(x0 - fe), -(y0 - fn))
+      val rho = math.hypot(x, y)
+      val t = rho / k
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(t * math.pow((1 - e * s) / (1 + e * s), e / 2))
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 } else { phi = next; i += 1 }
+      }
+      val lam = math.atan2(x, -y)
+      if (north) (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+      else (lon0 - math.toDegrees(lam), -math.toDegrees(phi))
+    }
+  }
+
   // ---------------- datum shift (geocentric Helmert) ----------------
 
   private def geodeticToXyz(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
@@ -239,7 +334,17 @@ object Proj {
     def lcc(ell: Ellipsoid, lat0: Double, lon0: Double, lat1: Double, lat2: Double,
             fe: Double, fn: Double) =
       Some(Crs(LambertConformal2SP(ell, lat0, lon0, lat1, lat2, fe, fn), None))
+    def aea(ell: Ellipsoid, lat0: Double, lon0: Double, lat1: Double, lat2: Double,
+            fe: Double, fn: Double) =
+      Some(Crs(AlbersEqualArea(ell, lat0, lon0, lat1, lat2, fe, fn), None))
+    def ps(ell: Ellipsoid, latTs: Double, lon0: Double, north: Boolean,
+           fe: Double, fn: Double) =
+      Some(Crs(PolarStereographic(ell, latTs, lon0, north, fe, fn), None))
     srid match {
+      case 5070 => aea(GRS80, 23, -96, 29.5, 45.5, 0, 0)        // NAD83 / Conus Albers
+      case 3577 => aea(GRS80, 0, 132, -18, -36, 0, 0)           // GDA94 / Australian Albers
+      case 3031 => ps(WGS84, -71, 0, north = false, 0, 0)       // WGS84 / Antarctic PS
+      case 3413 => ps(WGS84, 70, -45, north = true, 0, 0)       // WGS84 / NSIDC Arctic PS
       case z if z >= 32601 && z <= 32660 => tm(WGS84, 0, utmCm(z - 32600), 0.9996, 500000, 0)
       case z if z >= 32701 && z <= 32760 => tm(WGS84, 0, utmCm(z - 32700), 0.9996, 500000, 1e7)
       case z if z >= 25828 && z <= 25838 => tm(GRS80, 0, utmCm(z - 25800), 0.9996, 500000, 0) // ETRS89 UTM

@@ -121,6 +121,58 @@ class ProjSpec extends AnyFunSuite {
     assert(wx > 1744000 && wx < 1752000 && wy > 5424000 && wy < 5432000, s"Wellington ($wx,$wy)")
   }
 
+  test("Albers IS equal-area: projected planar area == ellipsoidal area (vs areaGeodesic)") {
+    // densify a lon/lat rect, project every vertex, take the PLANAR area of
+    // the projected polygon and compare with the independent ellipsoidal
+    // area — the defining property, no reference coordinates needed
+    Seq((5070, -100.0, -90.0, 35.0, 42.0), (3577, 120.0, 145.0, -35.0, -20.0)).foreach {
+      case (srid, x1, x2, y1, y2) =>
+        val rect = Wkt.read(s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))")
+        val dense = Ops.densify(rect, 0.02)
+        val proj = Ops.mapCoords(dense, (lon, lat) => Proj.forward(lon, lat, srid))
+        val planar = Ops.area(proj)
+        val truth = Ops.areaGeodesic(rect)
+        assert(math.abs(planar / truth - 1.0) < 1e-6,
+          s"EPSG:$srid area ratio ${planar / truth}")
+    }
+  }
+
+  test("polar stereographic: pole anchors, true scale at the standard parallel, conformal") {
+    // poles project to the grid origin
+    val (sx, sy) = Proj.forward(123.0, -90.0, 3031) // any lon at the pole
+    assert(math.hypot(sx, sy) < 1e-6, s"south pole ($sx,$sy)")
+    val (nx2, ny2) = Proj.forward(-7.0, 90.0, 3413)
+    assert(math.hypot(nx2, ny2) < 1e-6, s"north pole ($nx2,$ny2)")
+    // scale is exactly 1 along the standard parallel (71S / 70N)
+    Seq((3031, -71.0), (3413, 70.0)).foreach { case (srid, lat) =>
+      val (x1, y1) = Proj.forward(10.0, lat, srid)
+      val (x2, y2) = Proj.forward(10.2, lat, srid)
+      val ell = Proj.crsFor(srid).get.proj.ell
+      val scale = math.hypot(x2 - x1, y2 - y1) / parallelArc(ell, lat, 0.2)
+      assert(math.abs(scale - 1.0) < 1e-5, s"EPSG:$srid scale $scale at $lat")
+    }
+    // conformal: isotropic local scale away from the parallel
+    val d = 1e-4
+    Seq((3031, 100.0, -80.0), (3413, -45.0, 75.0)).foreach { case (srid, lon, lat) =>
+      val ell = Proj.crsFor(srid).get.proj.ell
+      val (x0, y0) = Proj.forward(lon, lat, srid)
+      val (xe, ye) = Proj.forward(lon + d, lat, srid)
+      val (xn, yn) = Proj.forward(lon, lat + d, srid)
+      val sEast = math.hypot(xe - x0, ye - y0) / parallelArc(ell, lat, d)
+      val sNorth = math.hypot(xn - x0, yn - y0) / meridianArc(ell, lat, lat + d)
+      assert(math.abs(sEast / sNorth - 1.0) < 1e-5, s"EPSG:$srid anisotropy ${sEast / sNorth}")
+    }
+    // round trips
+    Seq((3031, 166.67, -77.85), (3031, -60.0, -75.0), (3413, -45.0, 80.0),
+      (3413, 120.0, 66.0), (5070, -96.5, 39.0), (3577, 133.0, -25.0)).foreach {
+      case (srid, lon, lat) =>
+        val (x, y) = Proj.forward(lon, lat, srid)
+        val (lon2, lat2) = Proj.inverse(x, y, srid)
+        assert(math.abs(lon2 - lon) < 5e-8 && math.abs(lat2 - lat) < 5e-8,
+          s"EPSG:$srid round-trip ($lon,$lat)->($lon2,$lat2)")
+    }
+  }
+
   test("st_transform end-to-end through Ops for a new CRS, incl. cross-CRS pivot") {
     val g = Wkt.read("POINT (2.3522 48.8566)")
     val p = Ops.transform(g, 4326, 2154).asInstanceOf[Point]
