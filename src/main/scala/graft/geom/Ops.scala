@@ -291,6 +291,63 @@ object Ops {
     out.toArray
   }
 
+  /**
+   * Z/M-preserving densify (r3): identical vertex placement to [[densify]]
+   * (same per-segment split counts and t parameters — golden-compatible
+   * with the 2D path), with the attribute streams linearly interpolated at
+   * the same t. Vertex-attribute interpolation is the reference's behavior
+   * for densify ⟨ref(engine): VertexDescription interpolation⟩.
+   */
+  def densifyZM(zm: GeometryZM, maxLen: Double): GeometryZM = {
+    require(maxLen > 0, "maxLen must be positive")
+    val zb = new ArrayBuffer[Double](64)
+    val mb = new ArrayBuffer[Double](64)
+    var cursor = 0 // input-vertex cursor across the whole geometry
+    def seg(cs: Array[Double]): Array[Double] = {
+      val n = cs.length / 2
+      if (n < 2) {
+        var t = 0
+        while (t < n) {
+          if (zm.hasZ) zb += zm.zs(cursor)
+          if (zm.hasM) mb += zm.ms(cursor)
+          cursor += 1; t += 1
+        }
+        return cs
+      }
+      val out = new ArrayBuffer[Double](cs.length * 2)
+      out += cs(0); out += cs(1)
+      if (zm.hasZ) zb += zm.zs(cursor)
+      if (zm.hasM) mb += zm.ms(cursor)
+      var i = 0
+      while (i + 3 < cs.length) {
+        val ax = cs(i); val ay = cs(i + 1); val bx = cs(i + 2); val by = cs(i + 3)
+        val vi = cursor + i / 2 // input index of vertex a
+        val d = math.hypot(bx - ax, by - ay)
+        val k = math.ceil(d / maxLen).toInt
+        var j = 1
+        while (j <= k) {
+          out += ax + (bx - ax) * j / k
+          out += ay + (by - ay) * j / k
+          if (zm.hasZ) zb += zm.zs(vi) + (zm.zs(vi + 1) - zm.zs(vi)) * j / k
+          if (zm.hasM) mb += zm.ms(vi) + (zm.ms(vi + 1) - zm.ms(vi)) * j / k
+          j += 1
+        }
+        i += 2
+      }
+      cursor += n
+      out.toArray
+    }
+    val base = zm.base match {
+      case l: LineString => LineString(seg(l.coords))
+      case m: MultiLineString => MultiLineString(m.lines.map(seg))
+      case p: Polygon => Polygon(p.rings.map(seg))
+      case m: MultiPolygon => MultiPolygon(m.polys.map(_.map(seg)))
+      case other => // puntal: vertices unchanged
+        return zm
+    }
+    GeometryZM(base, if (zm.hasZ) zb.toArray else null, if (zm.hasM) mb.toArray else null)
+  }
+
   // ---------------- convex hull (monotone chain) ----------------
 
   def allCoords(g: Geometry): Array[Double] = g match {
@@ -752,6 +809,8 @@ object Ops {
       case p: Polygon => Polygon(p.rings.map(mapArr))
       case m: MultiPolygon => MultiPolygon(m.polys.map(_.map(mapArr)))
       case c: GeometryCollection => GeometryCollection(c.geoms.map(mapCoords(_, f)))
+      // xy-only maps preserve vertex count/order → Z/M streams carry over
+      case zm: GeometryZM => GeometryZM(mapCoords(zm.base, f), zm.zs, zm.ms)
     }
   }
 

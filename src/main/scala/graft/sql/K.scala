@@ -163,12 +163,16 @@ object K {
   def simplifyGeom(b: Array[Byte]): Array[Byte] = wr(Ops.simplify(rd(b)))
   def simplifyOgc(b: Array[Byte]): Array[Byte] = wr(Ops.simplifyOgc(rd(b)))
   def generalize(b: Array[Byte], tol: Double): Array[Byte] = wr(Ops.generalize(rd(b), tol))
-  def densify(b: Array[Byte], maxLen: Double): Array[Byte] = wr(Ops.densify(rd(b), maxLen))
+  def densify(b: Array[Byte], maxLen: Double): Array[Byte] = rdFull(b) match {
+    case zm: GeometryZM => wr(Ops.densifyZM(zm, maxLen)) // interpolates Z/M
+    case g => wr(Ops.densify(g, maxLen))
+  }
   def clip(b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
     wr(Ops.clip(rd(b), Env(xmin, ymin, xmax, ymax)))
-  def transform(b: Array[Byte], from: Int, to: Int): Array[Byte] = wr(Ops.transform(rd(b), from, to))
+  // transform/affine preserve Z/M: xy-only maps keep vertex count + order
+  def transform(b: Array[Byte], from: Int, to: Int): Array[Byte] = wr(Ops.transform(rdFull(b), from, to))
   def affine(b: Array[Byte], a: Double, bb: Double, d: Double, e: Double,
-             xoff: Double, yoff: Double): Array[Byte] = wr(Ops.affine(rd(b), a, bb, d, e, xoff, yoff))
+             xoff: Double, yoff: Double): Array[Byte] = wr(Ops.affine(rdFull(b), a, bb, d, e, xoff, yoff))
   def centroid(b: Array[Byte]): Array[Byte] = wr(Ops.centroid(rd(b)))
   def closestPoint(b: Array[Byte], px: Double, py: Double): Array[Byte] =
     wr(Ops.closestPoint(rd(b), Point(px, py)))

@@ -70,6 +70,33 @@ class ZmSpec extends AnyFunSuite {
     assert(Wkt.write(GeoJson.read(GeoJson.write(zm))) == "POINT Z (1 2 3)") // M dropped
   }
 
+  test("vertex-mapped operators PRESERVE Z/M: transform, affine, densify") {
+    // transform: xy reprojected, Z carried verbatim
+    val zl = Wkt.read("LINESTRING ZM (10 50 100 1, 11 51 200 2)")
+    val t = Ops.transform(zl, 4326, 3857)
+    val tz = t.asInstanceOf[GeometryZM]
+    assert(tz.zs.toSeq == Seq(100.0, 200.0) && tz.ms.toSeq == Seq(1.0, 2.0))
+    val back = Ops.transform(t, 3857, 4326).asInstanceOf[GeometryZM]
+    assert(back.zs.toSeq == Seq(100.0, 200.0))
+    // affine keeps streams too (through the K facade, as SQL would)
+    val ab = graft.sql.K.affine(Wkb.write(zl), 2, 0, 0, 2, 1, 1)
+    val az = Wkb.read(ab).asInstanceOf[GeometryZM]
+    assert(az.zs.toSeq == Seq(100.0, 200.0) && az.base.asInstanceOf[LineString].coords(0) == 21.0)
+    // densify: same vertex placement as the 2D path, Z/M linearly interpolated
+    val dz = Wkt.read("LINESTRING Z (0 0 0, 10 0 100)")
+    val dd = Wkb.read(graft.sql.K.densify(Wkb.write(dz), 2.5)).asInstanceOf[GeometryZM]
+    val flat = Ops.densify(GeometryZM.strip(dz), 2.5).asInstanceOf[LineString]
+    assert(dd.base.asInstanceOf[LineString].coords.toSeq == flat.coords.toSeq,
+      "ZM densify must place vertices exactly like the 2D path")
+    assert(dd.zs.toSeq == Seq(0.0, 25.0, 50.0, 75.0, 100.0), dd.zs.toSeq.toString)
+    // polygon ring: closing vertex keeps its duplicated attribute
+    val pz = Wkt.read("POLYGON Z ((0 0 1, 4 0 2, 4 4 3, 0 0 1))")
+    val pd = Wkb.read(graft.sql.K.densify(Wkb.write(pz), 2.0)).asInstanceOf[GeometryZM]
+    val ring = pd.base.asInstanceOf[Polygon].rings(0)
+    assert(pd.zs.length == ring.length / 2)
+    assert(pd.zs.head == 1.0 && pd.zs.last == 1.0)
+  }
+
   test("operators are 2D: Z inputs give identical answers to force2d") {
     val zPoly = Wkt.read("POLYGON Z ((0 0 5, 4 0 6, 4 4 7, 0 4 8, 0 0 5))")
     val flat = GeometryZM.strip(zPoly)
