@@ -196,6 +196,17 @@ object SparkEntry {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // near-dup CLUSTERS: hash-min connected components over the pigeonhole
+    // pairs → cluster-size histogram (the keep-one-per-cluster end-step)
+    "q55_dedup_components" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val nd = GeoTables.nearDupImages(s, dir)
+      val pairs = graft.join.ImageDedup.nearDup(nd, "id", "phash", maxHamming = 4)
+      graft.join.ImageDedup.components(pairs)
+        .groupBy("rep").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // ---------------- text / dedup pipeline ----------------
     "q13_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -795,6 +806,20 @@ object SparkEntry {
          COUNT(*) AS n_pairs
          FROM $NDUP a JOIN $NDUP b ON a.id < b.id
          WHERE bit_count(xor(a.phash, b.phash)) <= 4
+         GROUP BY 1""",
+    // ground truth: transitive closure via recursive CTE, min per component
+    "q55_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT a.id AS pa, b.id AS pb FROM $NDUP a JOIN $NDUP b
+           ON a.id < b.id AND bit_count(xor(a.phash, b.phash)) <= 4),
+         edges AS (SELECT pa AS s, pb AS d FROM pairs UNION SELECT pb, pa FROM pairs),
+         cc(node, rep) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.rep FROM cc JOIN edges e ON e.s = cc.node),
+         reps AS (SELECT node, MIN(rep) AS rep FROM cc GROUP BY node)
+         SELECT CAST(cnt AS BIGINT) AS size, COUNT(*) AS n_clusters
+         FROM (SELECT rep, COUNT(*) AS cnt FROM reps GROUP BY rep)
          GROUP BY 1""",
     "q13_dedup_exact" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct

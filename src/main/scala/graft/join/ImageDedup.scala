@@ -49,4 +49,43 @@ object ImageDedup {
       .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))
       .distinct()
   }
+
+  /**
+   * Connected components over near-dup pairs — the keep-one-per-cluster
+   * end-step of a dedup pipeline. Hash-min label propagation: every node
+   * starts as its own representative; each round every node adopts the
+   * minimum representative among itself and its neighbors; convergence in
+   * O(component diameter) rounds (near-dup clusters are shallow). All
+   * state lives in DataFrames — the driver loop only reads one changed
+   * count per round — so it scales to any pair count; localCheckpoint
+   * cuts the per-round lineage.
+   *
+   * Input: (a, b) pair columns. Output: (id, rep) for every node that
+   * appears in at least one pair; rep = lexicographic min of its component.
+   */
+  def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) { // 64 ≫ any real near-dup diameter
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy("src").agg(F.min("nrep").as("min_n"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("min_n"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("rep").as("old")), "id")
+        .where(col("rep") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -42,4 +42,32 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(gotSet == want,
       s"got=${gotSet.size} want=${want.size} diff=${(want diff gotSet).take(3)}")
   }
+
+  test("components equals driver-side union-find exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val nd = GeoTables.nearDupImages(spark, sfDir)
+    val pairs = ImageDedup.nearDup(nd, "id", "phash", maxHamming = 4)
+    val pairList = pairs.select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairList.nonEmpty)
+
+    val got = ImageDedup.components(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+
+    // union-find ground truth with min-id representatives
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(x: String, y: String): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+    }
+    pairList.foreach { case (a, b) => union(a, b) }
+    val want = pairList.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    assert(got == want, s"got=${got.size} want=${want.size} " +
+      s"diff=${(want.toSet diff got.toSet).take(3)}")
+  }
 }
