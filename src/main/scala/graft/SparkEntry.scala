@@ -196,6 +196,27 @@ object SparkEntry {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---------------- compositional image ops (invariant oracle) ----------------
+    // flip is an involution; gray is idempotent; integer luma weights sum
+    // to 256 so grayscaling preserves mean luma EXACTLY; crop dims clamp
+    "q56_img_ops" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("gray", call_function("img_gray_rgb", col("rgb")))
+        .agg(count(lit(1)).as("n"),
+          count(when(call_function("img_flip_rgb",
+            call_function("img_flip_rgb", col("rgb"), col("w"), col("h"), lit(true)),
+            col("w"), col("h"), lit(true)) === col("rgb"), 1)).as("n_flip_involution"),
+          count(when(call_function("img_gray_rgb", col("gray")) === col("gray"), 1))
+            .as("n_gray_idempotent"),
+          count(when(length(call_function("img_crop_rgb",
+            col("rgb"), col("w"), col("h"), lit(2), lit(2), lit(12), lit(12)))
+            === lit(12 * 12 * 3), 1)).as("n_crop_dims"), // min image is 16×16
+          count(when(call_function("img_luma_mean", col("gray"))
+            === call_function("img_luma_mean", col("rgb")), 1)).as("n_luma_preserved"))
+    }),
+
     // near-dup CLUSTERS: hash-min connected components over the pigeonhole
     // pairs → cluster-size histogram (the keep-one-per-cluster end-step)
     "q55_dedup_components" -> ((s, dir) => {
@@ -807,6 +828,10 @@ object SparkEntry {
          FROM $NDUP a JOIN $NDUP b ON a.id < b.id
          WHERE bit_count(xor(a.phash, b.phash)) <= 4
          GROUP BY 1""",
+    "q56_img_ops" ->
+      s"""SELECT COUNT(*) AS n, COUNT(*) AS n_flip_involution, COUNT(*) AS n_gray_idempotent,
+         COUNT(*) AS n_crop_dims, COUNT(*) AS n_luma_preserved
+         FROM $IMG""",
     // ground truth: transitive closure via recursive CTE, min per component
     "q55_dedup_components" ->
       s"""WITH RECURSIVE pairs AS (

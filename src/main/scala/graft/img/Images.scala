@@ -238,6 +238,72 @@ object Images {
   }
 
   /** Resize RGB to (tw, th) by area averaging — the feature-extract kernel. */
+  // ---------------- compositional RGB ops (r3 training-pipeline surface) ----------------
+
+  /** Rec.601 integer luma, weights summing to 256 so gray∘gray = gray and
+    * luma(gray(x)) = luma(x) EXACTLY (the q56 invariants). */
+  @inline private def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+
+  /** Grayscale: per-pixel luma replicated to all three channels. */
+  def grayRgb(rgb: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](rgb.length)
+    var i = 0
+    while (i + 2 < rgb.length) {
+      val l = luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF).toByte
+      out(i) = l; out(i + 1) = l; out(i + 2) = l
+      i += 3
+    }
+    out
+  }
+
+  /** Horizontal (mirror) or vertical flip. An involution: flip∘flip = id. */
+  def flipRgb(w: Int, h: Int, rgb: Array[Byte], horizontal: Boolean): Array[Byte] = {
+    val out = new Array[Byte](rgb.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = if (horizontal) w - 1 - x else x
+        val sy = if (horizontal) y else h - 1 - y
+        val si = (sy * w + sx) * 3
+        val di = (y * w + x) * 3
+        out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Axis-aligned crop, clamped to the image bounds. */
+  def cropRgb(w: Int, h: Int, rgb: Array[Byte],
+              x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] = {
+    val cx = math.max(0, math.min(x0, w))
+    val cy = math.max(0, math.min(y0, h))
+    val ow = math.max(0, math.min(cw, w - cx))
+    val oh = math.max(0, math.min(ch, h - cy))
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      System.arraycopy(rgb, ((cy + y) * w + cx) * 3, out, y * ow * 3, ow * 3)
+      y += 1
+    }
+    out
+  }
+
+  /** Mean integer luma over all pixels (quality-filter feature). */
+  def lumaMean(rgb: Array[Byte]): Double = {
+    val n = rgb.length / 3
+    if (n == 0) return 0.0
+    var s = 0L
+    var i = 0
+    while (i + 2 < rgb.length) {
+      s += luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF)
+      i += 3
+    }
+    s.toDouble / n
+  }
+
   def resizeRgb(w: Int, h: Int, rgb: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     val out = new Array[Byte](tw * th * 3)
     var ty = 0

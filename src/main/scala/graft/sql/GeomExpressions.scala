@@ -661,6 +661,47 @@ case class ImgPsnrRgb(left: Expression, right: Expression) extends GeomBinary {
     K.imgPsnrRgb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+case class ImgGray(child: Expression) extends GeomUnary {
+  def fn = "imgGray"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.imgGray(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class ImgLumaMean(child: Expression) extends GeomUnary {
+  def fn = "imgLumaMean"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.imgLumaMean(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** (rgb, w, h, horizontal) → flipped rgb. */
+case class ImgFlip(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType, BooleanType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else K.imgFlip(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Boolean])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
+}
+/** (rgb, w, h, x0, y0, cw, ch) → cropped rgb (bounds-clamped). */
+case class ImgCrop(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType) ++ Seq.fill(6)(IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else K.imgCrop(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int],
+      vs(5).asInstanceOf[Int], vs(6).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
+}
+
 case class ImgResize(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

@@ -114,6 +114,10 @@ object GraftFunctions {
     "img_psnr" -> (e => ImgPsnr(e(0), e(1))),
     "img_psnr_rgb" -> (e => ImgPsnrRgb(e(0), e(1))),
     "img_resize_rgb" -> (e => ImgResize(e(0), e(1), e(2))),
+    "img_gray_rgb" -> (e => ImgGray(e.head)),
+    "img_flip_rgb" -> (e => ImgFlip(e)),
+    "img_crop_rgb" -> (e => ImgCrop(e)),
+    "img_luma_mean" -> (e => ImgLumaMean(e.head)),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
     // text analysis / dedup (training-data pipeline ops)
     "text_lang_id" -> (e => TextLangId(e.head)),

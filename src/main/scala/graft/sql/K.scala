@@ -301,4 +301,11 @@ object K {
     Images.resizeRgb(w, h, rgb, tw, th)
   }
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  // compositional RGB ops (r3): gray/flip/crop/luma-mean over raw buffers
+  def imgGray(rgb: Array[Byte]): Array[Byte] = Images.grayRgb(rgb)
+  def imgFlip(rgb: Array[Byte], w: Int, h: Int, horizontal: Boolean): Array[Byte] =
+    Images.flipRgb(w, h, rgb, horizontal)
+  def imgCrop(rgb: Array[Byte], w: Int, h: Int, x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] =
+    Images.cropRgb(w, h, rgb, x0, y0, cw, ch)
+  def imgLumaMean(rgb: Array[Byte]): Double = Images.lumaMean(rgb)
 }
