@@ -225,8 +225,24 @@ object Wkt {
       if (hasM) mb = new ArrayBuffer[Double](16)
     }
 
+    @inline private def isNumStart(c: Char): Boolean =
+      (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.'
+
     @inline private def vertexInto(buf: ArrayBuffer[Double]): Unit = {
       buf += number(); buf += number()
+      if (!hasZ && !hasM && buf.length == 2) {
+        // untagged extra ordinates on the FIRST vertex (PostGIS/JTS accept
+        // "POINT (1 2 3)"): 3 ordinates ⇒ Z, 4 ⇒ ZM
+        skipWs()
+        if (!eof && isNumStart(s.charAt(pos))) {
+          hasZ = true; zb = new ArrayBuffer[Double](16); zb += number()
+          skipWs()
+          if (!eof && isNumStart(s.charAt(pos))) {
+            hasM = true; mb = new ArrayBuffer[Double](16); mb += number()
+          }
+        }
+        return
+      }
       if (hasZ) zb += number()
       if (hasM) mb += number()
     }

@@ -61,6 +61,49 @@ class ZmSpec extends AnyFunSuite {
     assert(jts2.getCoordinates()(2).getZ == 3.0)
   }
 
+  test("untagged 3/4-ordinate WKT parses as Z/ZM (PostGIS/JTS style); JTS fuzz") {
+    assert(Wkt.write(Wkt.read("POINT (1 2 3)")) == "POINT Z (1 2 3)")
+    assert(Wkt.write(Wkt.read("LINESTRING (0 0 1 9, 1 1 2 8)")) == "LINESTRING ZM (0 0 1 9, 1 1 2 8)")
+    assert(Wkt.write(Wkt.read("POLYGON ((0 0 1, 1 0 2, 1 1 3, 0 0 1))")) ==
+      "POLYGON Z ((0 0 1, 1 0 2, 1 1 3, 0 0 1))")
+    // fuzz: random Z linestrings survive our-write → JTS-read and
+    // JTS-write → our-read with exact doubles
+    var state = 99L
+    def rnd(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      val m = (state >>> 11).toDouble / (1L << 53).toDouble
+      (m - 0.5) * math.pow(10.0, (state % 7).toInt - 3)
+    }
+    val rdr = new org.locationtech.jts.io.WKTReader()
+    val wtr = new org.locationtech.jts.io.WKTWriter(3)
+    (0 until 200).foreach { _ =>
+      val n = 2 + (math.abs(state) % 5).toInt
+      val cs = Array.fill(n * 2)(rnd())
+      val zs = Array.fill(n)(rnd())
+      val ours = GeometryZM(LineString(cs), zs, null)
+      val jts = rdr.read(Wkt.write(ours))
+      (0 until n).foreach { i =>
+        assert(jts.getCoordinates()(i).x == cs(2 * i))
+        assert(jts.getCoordinates()(i).y == cs(2 * i + 1))
+        assert(jts.getCoordinates()(i).getZ == zs(i))
+      }
+      // JTS-write leg checks OUR PARSER handles JTS's tag/format style;
+      // JTS's writer rounds to ~14 sig digits, so compare relatively
+      val back = Wkt.read(wtr.write(jts)) match {
+        case zm: GeometryZM => zm
+        case other => fail(s"JTS output lost Z: ${wtr.write(jts)} -> $other")
+      }
+      // JTS prints ~16 decimal PLACES (absolute, not sig figs): floor at 1e-15
+      def close(a: Double, b: Double): Boolean =
+        a == b || math.abs(a - b) <= math.max(1e-15, 1e-12 * math.max(math.abs(a), math.abs(b)))
+      val bcs = back.base.asInstanceOf[LineString].coords
+      (0 until n).foreach { i =>
+        assert(close(bcs(2 * i), cs(2 * i)) && close(bcs(2 * i + 1), cs(2 * i + 1)))
+        assert(close(back.zs(i), zs(i)))
+      }
+    }
+  }
+
   test("GeoJSON: 3rd position element round-trips as Z (M dropped, documented)") {
     val g = Wkt.read("LINESTRING Z (0 0 1, 1 1 2)")
     val json = GeoJson.write(g)
