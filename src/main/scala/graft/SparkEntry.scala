@@ -196,6 +196,24 @@ object SparkEntry {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---------------- raster↔vector tile mask (Raptor-style) ----------------
+    // rasterize each zone into the 16×16 mask of its center tile at z=6;
+    // for rect zones the exact pixel count is the product of two 1D
+    // pixel-center counts, recomputed closed-form in the oracle
+    "q57_raster_mask" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("tx", call_function("st_tile_x",
+          (col("xmin") + col("xmax")) / 2, lit(6)))
+        .withColumn("ty", call_function("st_tile_y",
+          (col("ymin") + col("ymax")) / 2, lit(6)))
+        .select(col("zone_id"), col("tx"), col("ty"),
+          call_function("mask_popcount", call_function("st_rasterize_mask",
+            col("g"), lit(6), col("tx"), col("ty"), lit(16)))
+            .cast("bigint").as("n_pix"))
+    }),
+
     // ---------------- compositional image ops (invariant oracle) ----------------
     // flip is an involution; gray is idempotent; integer luma weights sum
     // to 256 so grayscaling preserves mean luma EXACTLY; crop dims clamp
@@ -828,6 +846,23 @@ object SparkEntry {
          FROM $NDUP a JOIN $NDUP b ON a.id < b.id
          WHERE bit_count(xor(a.phash, b.phash)) <= 4
          GROUP BY 1""",
+    // pixel-center counts: lon_i = ((tx+(i+0.5)/16)/64)*360-180;
+    // lat_j = gudermannian of the tile-row center (inverse web-mercator)
+    "q57_raster_mask" -> {
+      val cx = "((xmin + xmax)/2)"
+      val cy = "((ymin + ymax)/2)"
+      val txS = txSql(cx, 6)
+      val tyS = tySql(cy, 6)
+      val countX = (0 until 16).map(i =>
+        s"(CASE WHEN (((tx + ($i + 0.5)/16.0)/64.0)*360.0 - 180.0) BETWEEN xmin AND xmax THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val countY = (0 until 16).map(j =>
+        s"(CASE WHEN DEGREES(2*ATAN(EXP(PI()*(1 - 2*((ty + ($j + 0.5)/16.0)/64.0)))) - PI()/2) BETWEEN ymin AND ymax THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT zone_id, tx, ty, CAST(($countX) * ($countY) AS BIGINT) AS n_pix
+         FROM (SELECT zone_id, xmin, ymin, xmax, ymax,
+                 $txS AS tx, $tyS AS ty FROM $ZON)"""
+    },
     "q56_img_ops" ->
       s"""SELECT COUNT(*) AS n, COUNT(*) AS n_flip_involution, COUNT(*) AS n_gray_idempotent,
          COUNT(*) AS n_crop_dims, COUNT(*) AS n_luma_preserved

@@ -661,6 +661,27 @@ case class ImgPsnrRgb(left: Expression, right: Expression) extends GeomBinary {
     K.imgPsnrRgb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+/** (geom, z, tx, ty, size) → size×size tile bit mask (Raptor-style). */
+case class StRasterizeMask(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, IntegerType, LongType, LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else K.rasterizeMask(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Long], vs(3).asInstanceOf[Long], vs(4).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
+}
+case class MaskPopcount(child: Expression) extends GeomUnary {
+  def fn = "maskPopcount"; override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = K.maskPopcount(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class ImgGray(child: Expression) extends GeomUnary {
   def fn = "imgGray"; override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any = K.imgGray(v.asInstanceOf[Array[Byte]])

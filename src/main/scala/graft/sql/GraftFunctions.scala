@@ -114,6 +114,8 @@ object GraftFunctions {
     "img_psnr" -> (e => ImgPsnr(e(0), e(1))),
     "img_psnr_rgb" -> (e => ImgPsnrRgb(e(0), e(1))),
     "img_resize_rgb" -> (e => ImgResize(e(0), e(1), e(2))),
+    "st_rasterize_mask" -> (e => StRasterizeMask(e)),
+    "mask_popcount" -> (e => MaskPopcount(e.head)),
     "img_gray_rgb" -> (e => ImgGray(e.head)),
     "img_flip_rgb" -> (e => ImgFlip(e)),
     "img_crop_rgb" -> (e => ImgCrop(e)),

@@ -285,6 +285,48 @@ object K {
     Cells.cover(Env(xmin, ymin, xmax, ymax).toPolygon, level)
   def cellRing(cell: Long, level: Int, r: Int): Array[Long] = Cells.ring(cell, level, r)
 
+  // ---- raster↔vector tile masks (§2.6 #48 Raptor-style; r3) ----
+  /**
+   * Rasterize a geometry into a size×size bit mask for web-mercator tile
+   * (tx, ty) at zoom z: bit (row j, col i) = pixel CENTER inside-or-on the
+   * geometry (closed semantics, matching the BETWEEN oracle). Probes the
+   * prepared stripe index, so rasterizing many tiles of one broadcast zone
+   * costs O(pixels · edges/stripes), not O(pixels · edges).
+   */
+  def rasterizeMask(geom: Array[Byte], z: Int, tx: Long, ty: Long, size: Int): Array[Byte] = {
+    require(size > 0 && size <= 4096, s"mask size out of range: $size")
+    val p = Prepared.of(geom)
+    val g = p.geom
+    val n = (1L << z).toDouble
+    val out = new Array[Byte]((size * size + 7) / 8)
+    var j = 0
+    while (j < size) {
+      val ny = (ty + (j + 0.5) / size) / n
+      val lat = Cells.tileYToLat(ny)
+      var i = 0
+      while (i < size) {
+        val lon = Cells.tileXToLon((tx + (i + 0.5) / size) / n)
+        val inside =
+          if (p.isPolygonal) p.locate(lon, lat) >= 0
+          else Pred.intersects(g, Point(lon, lat))
+        if (inside) {
+          val bit = j * size + i
+          out(bit >> 3) = (out(bit >> 3) | (1 << (bit & 7))).toByte
+        }
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  def maskPopcount(mask: Array[Byte]): Int = {
+    var s = 0
+    var i = 0
+    while (i < mask.length) { s += java.lang.Integer.bitCount(mask(i) & 0xFF); i += 1 }
+    s
+  }
+
   // ---- images (§2.6 #49) ----
   def imgWidth(bytes: Array[Byte]): Int = Images.decode(bytes)._1
   def imgHeight(bytes: Array[Byte]): Int = Images.decode(bytes)._2
