@@ -196,6 +196,26 @@ object SparkEntry {
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---------------- structural accessors ----------------
+    // exterior ring of the zone rect: length 2(w+h), endpoints = corners;
+    // buffer chain: the rect buffer dumps to one polygon (st_geometryn)
+    "q58_accessors" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("ring", call_function("st_exteriorring", col("g")))
+        .select(col("zone_id"),
+          centsOf(call_function("st_length", col("ring"))).as("ring_len_c"),
+          call_function("st_x", call_function("st_startpoint", col("ring"))).as("sx"),
+          call_function("st_y", call_function("st_startpoint", col("ring"))).as("sy"),
+          call_function("st_x", call_function("st_pointn", col("ring"), lit(3))).as("p3x"),
+          call_function("st_y", call_function("st_pointn", col("ring"), lit(3))).as("p3y"),
+          call_function("st_numinteriorrings", col("g")).cast("bigint").as("n_holes"),
+          call_function("st_x", call_function("st_endpoint", col("ring"))).as("ex"),
+          call_function("st_numpoints",
+            call_function("st_geometryn", col("g"), lit(1))).cast("bigint").as("g1_pts"))
+    }),
+
     // ---------------- raster↔vector tile mask (Raptor-style) ----------------
     // rasterize each zone into the 16×16 mask of its center tile at z=6;
     // for rect zones the exact pixel count is the product of two 1D
@@ -846,6 +866,12 @@ object SparkEntry {
          FROM $NDUP a JOIN $NDUP b ON a.id < b.id
          WHERE bit_count(xor(a.phash, b.phash)) <= 4
          GROUP BY 1""",
+    "q58_accessors" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR(2*((xmax-xmin)+(ymax-ymin))*100 + 0.5) AS BIGINT) AS ring_len_c,
+         xmin AS sx, ymin AS sy, xmax AS p3x, ymax AS p3y,
+         CAST(0 AS BIGINT) AS n_holes, xmin AS ex, CAST(5 AS BIGINT) AS g1_pts
+         FROM $ZON""",
     // pixel-center counts: lon_i = ((tx+(i+0.5)/16)/64)*360-180;
     // lat_j = gudermannian of the tile-row center (inverse web-mercator)
     "q57_raster_mask" -> {

@@ -661,6 +661,52 @@ case class ImgPsnrRgb(left: Expression, right: Expression) extends GeomBinary {
     K.imgPsnrRgb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+// ---------------- structural accessors (r3) ----------------
+
+case class StExteriorRing(child: Expression) extends GeomUnary {
+  def fn = "exteriorRing"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.exteriorRing(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StNumInteriorRings(child: Expression) extends GeomUnary {
+  def fn = "numInteriorRings"; override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = K.numInteriorRings(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+abstract class GeomIndexed extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+}
+case class StInteriorRingN(left: Expression, right: Expression) extends GeomIndexed {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.interiorRingN(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StGeometryN(left: Expression, right: Expression) extends GeomIndexed {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.geometryN(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StPointN(left: Expression, right: Expression) extends GeomIndexed {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.pointN(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StStartPoint(child: Expression) extends GeomUnary {
+  def fn = "startPoint"; override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = K.startPoint(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StEndPoint(child: Expression) extends GeomUnary {
+  def fn = "endPoint"; override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = K.endPoint(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** (geom, z, tx, ty, size) → size×size tile bit mask (Raptor-style). */
 case class StRasterizeMask(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

@@ -114,6 +114,13 @@ object GraftFunctions {
     "img_psnr" -> (e => ImgPsnr(e(0), e(1))),
     "img_psnr_rgb" -> (e => ImgPsnrRgb(e(0), e(1))),
     "img_resize_rgb" -> (e => ImgResize(e(0), e(1), e(2))),
+    "st_exteriorring" -> (e => StExteriorRing(e.head)),
+    "st_interiorring_n" -> (e => StInteriorRingN(e(0), e(1))),
+    "st_numinteriorrings" -> (e => StNumInteriorRings(e.head)),
+    "st_geometryn" -> (e => StGeometryN(e(0), e(1))),
+    "st_pointn" -> (e => StPointN(e(0), e(1))),
+    "st_startpoint" -> (e => StStartPoint(e.head)),
+    "st_endpoint" -> (e => StEndPoint(e.head)),
     "st_rasterize_mask" -> (e => StRasterizeMask(e)),
     "mask_popcount" -> (e => MaskPopcount(e.head)),
     "img_gray_rgb" -> (e => ImgGray(e.head)),

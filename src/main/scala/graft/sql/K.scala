@@ -285,6 +285,38 @@ object K {
     Cells.cover(Env(xmin, ymin, xmax, ymax).toPolygon, level)
   def cellRing(cell: Long, level: Int, r: Int): Array[Long] = Cells.ring(cell, level, r)
 
+  // ---- structural accessors (r3 API completeness) ----
+  def exteriorRing(b: Array[Byte]): Array[Byte] = rd(b) match {
+    case p: Polygon => if (p.isEmpty) wr(LineString(Array.empty)) else wr(LineString(p.rings(0)))
+    case _ => throw new IllegalArgumentException("st_exteriorring expects a polygon")
+  }
+  def interiorRingN(b: Array[Byte], i: Int): Array[Byte] = rd(b) match {
+    case p: Polygon if i >= 1 && i < p.rings.length => wr(LineString(p.rings(i)))
+    case _: Polygon => null
+    case _ => throw new IllegalArgumentException("st_interiorring_n expects a polygon")
+  }
+  def numInteriorRings(b: Array[Byte]): Int = rd(b) match {
+    case p: Polygon => math.max(0, p.rings.length - 1)
+    case _ => 0
+  }
+  def geometryN(b: Array[Byte], i: Int): Array[Byte] = {
+    val parts = dump(b)
+    if (i >= 1 && i <= parts.length) parts(i - 1) else null
+  }
+  def pointN(b: Array[Byte], i: Int): Array[Byte] = rd(b) match {
+    case l: LineString if i >= 1 && i * 2 <= l.coords.length =>
+      wr(Point(l.coords(2 * (i - 1)), l.coords(2 * (i - 1) + 1)))
+    case _: LineString => null
+    case _ => throw new IllegalArgumentException("st_pointn expects a linestring")
+  }
+  def startPoint(b: Array[Byte]): Array[Byte] = pointN(b, 1)
+  def endPoint(b: Array[Byte]): Array[Byte] = rd(b) match {
+    case l: LineString if l.coords.length >= 2 =>
+      wr(Point(l.coords(l.coords.length - 2), l.coords(l.coords.length - 1)))
+    case _: LineString => null
+    case _ => throw new IllegalArgumentException("st_endpoint expects a linestring")
+  }
+
   // ---- raster↔vector tile masks (§2.6 #48 Raptor-style; r3) ----
   /**
    * Rasterize a geometry into a size×size bit mask for web-mercator tile
