@@ -201,6 +201,94 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_NEARDUP_DONE"))
   }
 
+  // ---------------- text-dedup fixtures (q16–q20 exact oracles) ----------------
+  //
+  // The r3 judge ruling: language-ID / MinHash / SimHash / shingle values
+  // are engine-only, but — exactly like lon/lat — they become oracle-able
+  // once MATERIALIZED into a fixture parquet both engines read; DuckDB then
+  // verifies the JOIN/AGGREGATION algorithm over them (brute-force
+  // xor+bit_count ≡ pigeonhole, unnest ≡ explode), the q12 template. The
+  // synthetic documents are near-orthogonal (no natural near-dups), so true
+  // near-duplicates are PLANTED: every 5th doc gets a variant with 1–4
+  // deterministic token substitutions (mirrors the pHash planted-bit-flip
+  // fixture).
+
+  def docsAugPath(sfDir: String): String = s"${baseDir(sfDir)}/docs_aug.parquet"
+  def textFeaturesPath(sfDir: String): String = s"${baseDir(sfDir)}/text_features.parquet"
+
+  final case class DocRow(doc_id: Long, source: String, text: String)
+  final case class FeatRow(doc_id: Long, source: String, lang_pred: String,
+                           quality_c: Long, fp: Long, sim: Long, sim_hi: Long,
+                           sim_lo: Long, bpe_tokens: Long, bands: Array[Long],
+                           n_sh: Long, shingles: Array[Long])
+
+  /** Variant id namespace: base doc_ids are dense from 0; variants live at
+    * +10^7 so the two never collide at any SF this sandbox reaches. */
+  val VARIANT_OFFSET = 10000000L
+
+  /** Deterministic near-duplicate text: substitute 1–4 token positions
+    * (seeded by doc_id) with out-of-vocabulary tokens. */
+  def variantText(id: Long, text: String): String = {
+    val toks = graft.text.Text.tokens(text)
+    if (toks.isEmpty) return "zq0"
+    val m = 1 + ((id / 5) % 4).toInt
+    val out = toks.clone()
+    var h = Images.splitmix64(id ^ 0x7E47B00CL)
+    var i = 0
+    while (i < m) {
+      h = Images.splitmix64(h)
+      val pos = ((h >>> 33) % toks.length).toInt
+      out(pos) = "zq" + ((h & 0x7FFFFFFF) % 97)
+      i += 1
+    }
+    out.mkString(" ")
+  }
+
+  def featRow(doc_id: Long, source: String, text: String): FeatRow = {
+    import graft.text.Text
+    val q = Text.qualityScore(text)
+    val s128 = Text.simhash128(text)
+    val sh = Text.shingles(text, 4)
+    FeatRow(doc_id, source,
+      Text.langId(text),
+      math.floor(q * 1000000.0 + 0.5).toLong,
+      Text.fingerprint(text),
+      Text.simhash(text), s128(0), s128(1),
+      Text.tokenCountBpeish(text).toLong,
+      Text.lshBands(Text.minhash(text, 16), 4),
+      sh.length.toLong, sh)
+  }
+
+  def docsAug(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTextFeat(spark, sfDir)
+    spark.read.parquet(docsAugPath(sfDir))
+  }
+
+  def textFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTextFeat(spark, sfDir)
+    spark.read.parquet(textFeaturesPath(sfDir))
+  }
+
+  /** Additive fixture (own marker, mirrors the tri pattern): docs_aug =
+    * documents ∪ planted variants; text_features = per-doc derived columns
+    * computed by the SAME Text kernels the expressions wrap. */
+  def ensureTextFeat(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_TEXTFEAT_DONE"))) return
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").as[DocRow]
+    val variants = docs.filter(_.doc_id % 5 == 0)
+      .map(d => DocRow(d.doc_id + VARIANT_OFFSET, d.source, variantText(d.doc_id, d.text)))
+    val aug = docs.union(variants)
+    aug.repartition(8).write.mode("overwrite").parquet(docsAugPath(sfDir))
+    spark.read.parquet(docsAugPath(sfDir)).as[DocRow]
+      .map(d => featRow(d.doc_id, d.source, d.text))
+      .write.mode("overwrite").parquet(textFeaturesPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_TEXTFEAT_DONE"))
+  }
+
   /** Idempotent, atomic: generate-if-absent, then read. */
   def images(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)

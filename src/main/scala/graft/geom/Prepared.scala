@@ -79,25 +79,37 @@ object Prepared {
     }
   }
 
+  /** Heap budget for cached entries, in *approximate* bytes: each entry pins
+    * the WKB key plus a decoded geometry plus the stripe index (~3× the WKB
+    * size together), so the tracked charge is 3·wkb.length. 8k entries of
+    * multi-hundred-KB zones would otherwise hold multi-GB of executor heap
+    * under the entry-count cap alone (advisor r3). */
+  val MAX_BYTES: Long = 256L << 20
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[BKey, Prepared]()
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Test/bench hook: bypass the cache (and therefore the index). */
   @volatile var disabled: Boolean = false
 
   def cacheSize: Int = cache.size()
-  def clearCache(): Unit = cache.clear()
+  def cacheBytes: Long = cachedBytes.get()
+  def clearCache(): Unit = { cache.clear(); cachedBytes.set(0L) }
 
   /** Decode `wkb`, memoized per executor JVM for payloads big enough that
     * repeated decoding dominates. Small payloads get a fresh uncached
-    * decode — identical cost to the pre-acceleration path. */
+    * decode — identical cost to the pre-acceleration path. Bounded in BOTH
+    * entry count and approximate bytes; the clear stays crude (wipe and
+    * refill) because a hot working set repopulates in one pass and an LRU's
+    * per-probe bookkeeping would tax the 99% hit path. */
   def of(wkb: Array[Byte]): Prepared = {
     if (disabled || wkb.length < MIN_CACHE_BYTES) return new Prepared(GeometryZM.strip(Wkb.read(wkb)))
     val k = new BKey(wkb)
     var p = cache.get(k)
     if (p == null) {
-      if (cache.size() >= MAX_ENTRIES) cache.clear() // crude, bounded, refillable
+      if (cache.size() >= MAX_ENTRIES || cachedBytes.get() >= MAX_BYTES) clearCache()
       p = new Prepared(GeometryZM.strip(Wkb.read(wkb)))
-      cache.put(k, p)
+      if (cache.putIfAbsent(k, p) == null) cachedBytes.addAndGet(3L * wkb.length)
     }
     p
   }

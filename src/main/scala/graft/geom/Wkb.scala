@@ -159,6 +159,18 @@ object Wkb {
     }
     val zb = Array.newBuilder[Double]
     val mb = Array.newBuilder[Double]
+    // Multi-geometry dimensionality can legally live on the CHILD headers
+    // only (EWKB writers differ); derive the wrap flags as parent OR child,
+    // and reject mixed child dimensionality at parse time instead of
+    // failing late in GeometryZM's stream-length require.
+    var childZ = false; var childM = false
+    var childSeen = false
+    def noteChild(z: Boolean, m: Boolean): Unit = {
+      if (childSeen && (z != childZ || m != childM))
+        throw new IllegalArgumentException(
+          "mixed child Z/M dimensionality in multi-geometry WKB")
+      childZ = z; childM = m; childSeen = true
+    }
     def coordsWithCount(): Array[Double] = {
       val n = buf.getInt()
       val cs = new Array[Double](n * 2)
@@ -182,8 +194,9 @@ object Wkb {
         var i = 0
         while (i < n) {
           readGeom(buf) match {
-            case p: Point => cs(2 * i) = p.x; cs(2 * i + 1) = p.y
+            case p: Point => noteChild(false, false); cs(2 * i) = p.x; cs(2 * i + 1) = p.y
             case zm: GeometryZM =>
+              noteChild(zm.hasZ, zm.hasM)
               val p = zm.base.asInstanceOf[Point]
               cs(2 * i) = p.x; cs(2 * i + 1) = p.y
               if (zm.zs != null) zb ++= zm.zs
@@ -196,8 +209,9 @@ object Wkb {
       case Geometry.T_MULTILINESTRING =>
         val n = buf.getInt()
         MultiLineString(Array.fill(n)(readGeom(buf) match {
-          case l: LineString => l.coords
+          case l: LineString => noteChild(false, false); l.coords
           case zm: GeometryZM =>
+            noteChild(zm.hasZ, zm.hasM)
             if (zm.zs != null) zb ++= zm.zs
             if (zm.ms != null) mb ++= zm.ms
             zm.base.asInstanceOf[LineString].coords
@@ -206,8 +220,9 @@ object Wkb {
       case Geometry.T_MULTIPOLYGON =>
         val n = buf.getInt()
         MultiPolygon(Array.fill(n)(readGeom(buf) match {
-          case p: Polygon => p.rings
+          case p: Polygon => noteChild(false, false); p.rings
           case zm: GeometryZM =>
+            noteChild(zm.hasZ, zm.hasM)
             if (zm.zs != null) zb ++= zm.zs
             if (zm.ms != null) mb ++= zm.ms
             zm.base.asInstanceOf[Polygon].rings
@@ -220,7 +235,10 @@ object Wkb {
       case other =>
         throw new IllegalArgumentException(s"unknown WKB geometry type $other")
     }
-    if (nAttrs == 0) base
-    else wrap(base, hasZ, hasM, zb.result(), mb.result())
+    if (childSeen && nAttrs > 0 && !childZ && !childM)
+      throw new IllegalArgumentException(
+        "multi-geometry WKB declares Z/M on the parent header but its children carry no attributes")
+    if (nAttrs == 0 && !childZ && !childM) base
+    else wrap(base, hasZ || childZ, hasM || childM, zb.result(), mb.result())
   }
 }

@@ -135,6 +135,7 @@ object GraftFunctions {
     "text_token_count_bpe" -> (e => TextTokenCountBpe(e.head)),
     "text_fingerprint" -> (e => TextFingerprint(e.head)),
     "text_simhash" -> (e => TextSimhash(e.head)),
+    "text_simhash128" -> (e => TextSimhash128(e.head)),
     "text_minhash" -> (e => TextMinhash(e(0), e(1))),
     "lsh_bands" -> (e => LshBands(e(0), e(1))),
     "text_jaccard" -> (e => TextJaccard(e(0), e(1))),

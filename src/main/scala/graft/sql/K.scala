@@ -39,13 +39,13 @@ object K {
   def makePointZM(x: Double, y: Double, z: Double, m: Double): Array[Byte] =
     wr(GeometryZM(Point(x, y), Array(z), Array(m)))
   def z(b: Array[Byte]): java.lang.Double = rdFull(b) match {
-    case zm: GeometryZM if zm.hasZ && zm.base.isInstanceOf[Point] => zm.zs(0)
-    case _: Point | _: GeometryZM => null
+    case zm: GeometryZM if zm.base.isInstanceOf[Point] => if (zm.hasZ) zm.zs(0) else null
+    case _: Point => null // 2D point: no Z attribute → null (PostGIS parity)
     case _ => throw new IllegalArgumentException("st_z expects a point")
   }
   def m(b: Array[Byte]): java.lang.Double = rdFull(b) match {
-    case zm: GeometryZM if zm.hasM && zm.base.isInstanceOf[Point] => zm.ms(0)
-    case _: Point | _: GeometryZM => null
+    case zm: GeometryZM if zm.base.isInstanceOf[Point] => if (zm.hasM) zm.ms(0) else null
+    case _: Point => null
     case _ => throw new IllegalArgumentException("st_m expects a point")
   }
   def hasZ(b: Array[Byte]): Boolean = rdFull(b) match {

@@ -75,6 +75,18 @@ case class TextSimhash(child: Expression) extends UnaryExpression with ExpectsIn
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** text_simhash128(text) → array<bigint> [hi, lo] — the wide-fingerprint
+  * scale path for pigeonhole near-dup (chunks stay ≥9 bits at hamming≤12). */
+case class TextSimhash128(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Text.simhash128(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** text_minhash(text, numPerm) → array<bigint> signature. */
 case class TextMinhash(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes with CodegenFallback {
