@@ -48,6 +48,45 @@ class ZmSpec extends AnyFunSuite {
     assert(Wkt.write(Wkb.read(buf.array())) == "POINT Z (1 2 3)")
   }
 
+  test("EWKB multi-geometry Z on CHILD headers only still parses as Z (advisor r3)") {
+    // parent = plain MULTIPOINT, children = EWKB Z points (how some EWKB
+    // writers emit multis)
+    val buf = java.nio.ByteBuffer.allocate(9 + 2 * 29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1: Byte).putInt(4).putInt(2)
+    buf.put(1: Byte).putInt(0x80000001).putDouble(1).putDouble(2).putDouble(3)
+    buf.put(1: Byte).putInt(0x80000001).putDouble(4).putDouble(5).putDouble(6)
+    assert(Wkt.write(Wkb.read(buf.array())) == "MULTIPOINT Z ((1 2 3), (4 5 6))")
+  }
+
+  test("EWKB multi-geometry with MIXED child dimensionality is a clear parse error") {
+    val buf = java.nio.ByteBuffer.allocate(9 + 29 + 21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1: Byte).putInt(4).putInt(2)
+    buf.put(1: Byte).putInt(0x80000001).putDouble(1).putDouble(2).putDouble(3)
+    buf.put(1: Byte).putInt(1).putDouble(4).putDouble(5)
+    val ex = intercept[IllegalArgumentException](Wkb.read(buf.array()))
+    assert(ex.getMessage.contains("mixed child"), ex.getMessage)
+  }
+
+  test("EWKB multi-geometry with PARENT-only Z flag is a clear parse error") {
+    val buf = java.nio.ByteBuffer.allocate(9 + 2 * 21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1: Byte).putInt(0x80000004).putInt(2)
+    buf.put(1: Byte).putInt(1).putDouble(1).putDouble(2)
+    buf.put(1: Byte).putInt(1).putDouble(4).putDouble(5)
+    val ex = intercept[IllegalArgumentException](Wkb.read(buf.array()))
+    assert(ex.getMessage.contains("children carry no attributes"), ex.getMessage)
+  }
+
+  test("st_z/st_m accessor semantics: null for missing attribute, throw for non-points") {
+    import graft.sql.K
+    assert(K.z(Wkb.write(Wkt.read("POINT Z (1 2 3)"))) == 3.0)
+    assert(K.z(Wkb.write(Wkt.read("POINT (1 2)"))) == null)
+    assert(K.m(Wkb.write(Wkt.read("POINT Z (1 2 3)"))) == null) // Z point, no M
+    // non-point: throws whether or not it carries Z (advisor r3 — was null for LINESTRING Z)
+    intercept[IllegalArgumentException](K.z(Wkb.write(Wkt.read("LINESTRING (0 0, 1 1)"))))
+    intercept[IllegalArgumentException](K.z(Wkb.write(Wkt.read("LINESTRING Z (0 0 1, 1 1 2)"))))
+    intercept[IllegalArgumentException](K.m(Wkb.write(Wkt.read("LINESTRING Z (0 0 1, 1 1 2)"))))
+  }
+
   test("JTS cross-validation: our WKT Z parses in JTS with the same Z") {
     val rdr = new org.locationtech.jts.io.WKTReader()
     val g = rdr.read("LINESTRING Z (0 0 1, 1 1 2, 2 0 3)")
