@@ -797,9 +797,21 @@ object SparkEntry {
     // (st_x/st_y of the same point) — ⟨ref(engine): VertexDescription⟩
     "q54_zm_roundtrip" -> ((s, dir) => {
       GraftFunctions.install(s)
+      // clip round-trip (r4): a LINESTRING Z with z ≡ x, clipped to the
+      // middle half of the zone, must emit 2 vertices whose interpolated z
+      // is BIT-EQUAL to the clipped x (same Liang–Barsky t, same lerp)
       GeoTables.zones(s, dir)
         .withColumn("pz", call_function("st_makepointz",
           col("xmin"), col("ymin"), col("xmin") + col("ymin")))
+        .withColumn("w", col("xmax") - col("xmin"))
+        .withColumn("ymid", (col("ymin") + col("ymax")) / 2)
+        .withColumn("zline", call_function("st_makelinez",
+          col("xmin"), col("ymid"), col("xmin"),
+          col("xmax"), col("ymid"), col("xmax")))
+        .withColumn("zclip", call_function("st_clip", col("zline"),
+          col("xmin") + col("w") * 0.25, col("ymin"),
+          col("xmax") - col("w") * 0.25, col("ymax")))
+        .withColumn("vs", call_function("st_dumppoints", col("zclip")))
         .select(col("zone_id"),
           call_function("st_z",
             call_function("st_geomfromwkb", call_function("st_aswkb", col("pz")))).as("z_wkb"),
@@ -807,7 +819,12 @@ object SparkEntry {
             call_function("st_geomfromwkt", call_function("st_aswkt", col("pz")))).as("z_wkt"),
           call_function("st_hasz", col("pz")).cast("bigint").as("has_z"),
           call_function("st_hasz", call_function("st_force2d", col("pz"))).cast("bigint").as("has_z_2d"),
-          call_function("st_x", col("pz")).as("px"))
+          call_function("st_x", col("pz")).as("px"),
+          call_function("st_hasz", col("zclip")).cast("bigint").as("clip_has_z"),
+          size(col("vs")).cast("bigint").as("n_clip_pts"),
+          size(filter(col("vs"), v =>
+            call_function("st_z", v) === call_function("st_x", v)))
+            .cast("bigint").as("n_z_eq_x"))
     }),
 
     // ---------------- geodesic buffer (AEQ construction) ----------------
@@ -1016,7 +1033,9 @@ object SparkEntry {
          FROM $ZON""",
     "q54_zm_roundtrip" ->
       s"""SELECT zone_id, xmin + ymin AS z_wkb, xmin + ymin AS z_wkt,
-         CAST(1 AS BIGINT) AS has_z, CAST(0 AS BIGINT) AS has_z_2d, xmin AS px
+         CAST(1 AS BIGINT) AS has_z, CAST(0 AS BIGINT) AS has_z_2d, xmin AS px,
+         CAST(1 AS BIGINT) AS clip_has_z, CAST(2 AS BIGINT) AS n_clip_pts,
+         CAST(2 AS BIGINT) AS n_z_eq_x
          FROM $ZON""",
     // right-hand parallel of the (xmin,ymin)->(xmax,ymax) diagonal at
     // d=0.25: endpoints shift by d*(h,-w)/L, length is unchanged

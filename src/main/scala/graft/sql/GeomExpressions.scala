@@ -889,6 +889,24 @@ case class StMakeLine(children: Seq[Expression]) extends Expression
     copy(children = cs)
 }
 
+/** st_makelinez(x1, y1, z1, x2, y2, z2) → 2-point LineString Z WKB. */
+case class StMakeLineZ(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 6, "st_makelinez(x1, y1, z1, x2, y2, z2)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(6)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.makeLineZ(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Double], vs(5).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_collect(array<binary>) → GeometryCollection WKB. */
 case class StCollect(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

@@ -33,6 +33,7 @@ object GraftFunctions {
     "st_force2d" -> (e => StForce2D(e.head)),
     "st_makeenvelope" -> (e => StMakeEnvelope(e)),
     "st_makeline" -> (e => StMakeLine(e)),
+    "st_makelinez" -> (e => StMakeLineZ(e)),
     // accessors
     "st_x" -> (e => StX(e.head)),
     "st_y" -> (e => StY(e.head)),

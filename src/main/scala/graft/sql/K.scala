@@ -167,8 +167,12 @@ object K {
     case zm: GeometryZM => wr(Ops.densifyZM(zm, maxLen)) // interpolates Z/M
     case g => wr(Ops.densify(g, maxLen))
   }
+  // clip/cut interpolate Z/M for point/lineal inputs (r4; polygonal stays 2D)
   def clip(b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
-    wr(Ops.clip(rd(b), Env(xmin, ymin, xmax, ymax)))
+    rdFull(b) match {
+      case zm: GeometryZM => wr(ZmOps.clipZM(zm, Env(xmin, ymin, xmax, ymax)))
+      case g => wr(Ops.clip(GeometryZM.strip(g), Env(xmin, ymin, xmax, ymax)))
+    }
   // transform/affine preserve Z/M: xy-only maps keep vertex count + order
   def transform(b: Array[Byte], from: Int, to: Int): Array[Byte] = wr(Ops.transform(rdFull(b), from, to))
   def affine(b: Array[Byte], a: Double, bb: Double, d: Double, e: Double,
@@ -181,9 +185,15 @@ object K {
     Array.tabulate(cs.length / 2)(i => wr(Point(cs(2 * i), cs(2 * i + 1))))
   }
   def cut(b: Array[Byte], blade: Array[Byte]): Array[Array[Byte]] =
-    Ops.cut(rd(b), rd(blade)).map(wr)
+    rdFull(b) match {
+      case zm: GeometryZM => ZmOps.cutZM(zm, rd(blade)).map(wr)
+      case g => Ops.cut(GeometryZM.strip(g), rd(blade)).map(wr)
+    }
   def makeLine(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
     wr(LineString(Array(x1, y1, x2, y2)))
+  def makeLineZ(x1: Double, y1: Double, z1: Double,
+                x2: Double, y2: Double, z2: Double): Array[Byte] =
+    wr(GeometryZM(LineString(Array(x1, y1, x2, y2)), Array(z1, z2), null))
 
   def morton(tx: Long, ty: Long): Long = graft.cell.Cells.morton(tx, ty)
 
@@ -243,15 +253,29 @@ object K {
     case g => Array(wr(g))
   }
   /** Every stored vertex as a point (rings keep their closing duplicate —
-    * PostGIS ST_DumpPoints path semantics). */
+    * PostGIS ST_DumpPoints path semantics). Z/M ride along per vertex (r4). */
   def dumpPoints(b: Array[Byte]): Array[Array[Byte]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var zs: Array[Double] = null
+    var ms: Array[Double] = null
+    var vi = 0
+    def pt(x: Double, y: Double): Unit = {
+      if (zs == null && ms == null) out += wr(Point(x, y))
+      else out += wr(GeometryZM(Point(x, y),
+        if (zs == null) null else Array(zs(vi)),
+        if (ms == null) null else Array(ms(vi))))
+      vi += 1
+    }
     def arr(cs: Array[Double]): Unit = {
       var i = 0
-      while (i + 1 < cs.length) { out += wr(Point(cs(i), cs(i + 1))); i += 2 }
+      while (i + 1 < cs.length) { pt(cs(i), cs(i + 1)); i += 2 }
     }
     def walk(g: Geometry): Unit = g match {
-      case p: Point => if (!p.isEmpty) out += wr(p)
+      case zm: GeometryZM =>
+        zs = zm.zs; ms = zm.ms; vi = 0
+        walk(zm.base)
+        zs = null; ms = null
+      case p: Point => if (!p.isEmpty) pt(p.x, p.y)
       case m: MultiPoint => arr(m.coords)
       case l: LineString => arr(l.coords)
       case m: MultiLineString => m.lines.foreach(arr)
@@ -259,7 +283,7 @@ object K {
       case m: MultiPolygon => m.polys.foreach(_.foreach(arr))
       case c: GeometryCollection => c.geoms.foreach(walk)
     }
-    walk(rd(b))
+    walk(rdFull(b))
     out.toArray
   }
 

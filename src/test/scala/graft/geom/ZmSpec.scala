@@ -87,6 +87,66 @@ class ZmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](K.m(Wkb.write(Wkt.read("LINESTRING Z (0 0 1, 1 1 2)"))))
   }
 
+  test("CLIP interpolates Z/M at split points; XY bit-equal to the 2D path (r4)") {
+    // z ≡ x so the interpolated z must be bit-equal to the clipped x
+    val zm = Wkt.read("LINESTRING Z (0 0 0, 10 0 10)").asInstanceOf[GeometryZM]
+    val env = Env(2, -1, 8, 1)
+    val out = ZmOps.clipZM(zm, env).asInstanceOf[GeometryZM]
+    val l = out.base.asInstanceOf[LineString]
+    assert(l.coords.toSeq == Seq(2.0, 0.0, 8.0, 0.0))
+    assert(out.zs.toSeq == Seq(2.0, 8.0))
+    // fully inside: attrs verbatim
+    val in = ZmOps.clipZM(zm, Env(-1, -1, 11, 1)).asInstanceOf[GeometryZM]
+    assert(in.zs.toSeq == Seq(0.0, 10.0))
+    // ZM both interpolate, multi-part output when the line exits and re-enters
+    val zz = Wkt.read("LINESTRING ZM (0 0 0 100, 10 0 10 200, 10 5 20 300, 0 5 30 400)")
+      .asInstanceOf[GeometryZM]
+    val out2 = ZmOps.clipZM(zz, Env(0, -1, 6, 6)).asInstanceOf[GeometryZM]
+    assert(out2.base.isInstanceOf[MultiLineString])
+    val parts = out2.base.asInstanceOf[MultiLineString].lines
+    assert(parts.length == 2)
+    assert(out2.zs.toSeq == Seq(0.0, 6.0, 20.0 + 0.4 * 10.0, 30.0)) // z at re-entry x=6: t=0.4 on seg 3
+    assert(out2.ms.toSeq == Seq(100.0, 100.0 + 0.6 * 100.0, 300.0 + 0.4 * 100.0, 400.0))
+    // XY parity: the 2D view equals clipping the stripped geometry
+    val flat = Ops.clip(GeometryZM.strip(zz), Env(0, -1, 6, 6))
+    assert(Wkt.write(flat) == Wkt.write(GeometryZM.strip(out2)))
+    // points keep attrs; outside points vanish
+    val p = Wkt.read("POINT Z (1 2 3)").asInstanceOf[GeometryZM]
+    assert(Wkt.write(ZmOps.clipZM(p, Env(0, 0, 5, 5))) == "POINT Z (1 2 3)")
+    assert(ZmOps.clipZM(p, Env(10, 10, 11, 11)).isEmpty)
+    val mp = Wkt.read("MULTIPOINT Z ((1 1 7), (9 9 8))").asInstanceOf[GeometryZM]
+    assert(Wkt.write(ZmOps.clipZM(mp, Env(0, 0, 5, 5))) == "MULTIPOINT Z ((1 1 7))")
+  }
+
+  test("CUT interpolates Z/M at blade crossings; XY bit-equal to the 2D path (r4)") {
+    val zm = Wkt.read("LINESTRING Z (0 0 0, 10 0 10)").asInstanceOf[GeometryZM]
+    val blade = Wkt.read("LINESTRING (5 -1, 5 1)")
+    val parts = ZmOps.cutZM(zm, blade)
+    assert(parts.length == 2)
+    val p0 = parts(0).asInstanceOf[GeometryZM]; val p1 = parts(1).asInstanceOf[GeometryZM]
+    assert(p0.zs.toSeq == Seq(0.0, 5.0), "z at the crossing is the lerp at t")
+    assert(p1.zs.toSeq == Seq(5.0, 10.0))
+    // XY parity with the 2D cut
+    val flat = Ops.cut(GeometryZM.strip(zm), blade)
+    assert(flat.length == 2)
+    flat.zip(parts).foreach { case (f, z) =>
+      assert(Wkt.write(f) == Wkt.write(GeometryZM.strip(z)))
+    }
+    // M-only cut
+    val m = Wkt.read("LINESTRING M (0 0 100, 10 0 300)").asInstanceOf[GeometryZM]
+    val mp = ZmOps.cutZM(m, blade)
+    assert(mp(0).asInstanceOf[GeometryZM].ms.toSeq == Seq(100.0, 200.0))
+    assert(mp(1).asInstanceOf[GeometryZM].ms.toSeq == Seq(200.0, 300.0))
+  }
+
+  test("st_dumppoints carries Z/M per vertex (r4)") {
+    import graft.sql.K
+    val wkb = Wkb.write(Wkt.read("LINESTRING Z (0 0 7, 1 1 8)"))
+    val pts = K.dumpPoints(wkb)
+    assert(pts.length == 2)
+    assert(K.z(pts(0)) == 7.0 && K.z(pts(1)) == 8.0)
+  }
+
   test("JTS cross-validation: our WKT Z parses in JTS with the same Z") {
     val rdr = new org.locationtech.jts.io.WKTReader()
     val g = rdr.read("LINESTRING Z (0 0 1, 1 1 2, 2 0 3)")
