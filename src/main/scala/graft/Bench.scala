@@ -29,8 +29,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.install(spark)
 
-    GeoTables.ensure(spark, sfDir)    // one-time synth, untimed
-    GeoTables.ensureTri(spark, sfDir) // triangle fixture, untimed
+    GeoTables.ensure(spark, sfDir)         // one-time synth, untimed
+    GeoTables.ensureTri(spark, sfDir)      // triangle fixture, untimed
+    GeoTables.ensureNearDup(spark, sfDir)  // planted pHash variants, untimed
+    GeoTables.ensureTextFeat(spark, sfDir) // docs_aug + text_features, untimed
 
     // warm-up: flagship join + the headline q07 itself (JIT, codegen,
     // parquet footers — the driver-visible q07 number should reflect warm
