@@ -77,14 +77,22 @@ object AnnIndex {
     val n = base.count()
     require(n > 0, "fitCentroids: empty input")
     val k = math.max(4, math.min(maxBuckets.toLong, math.sqrt(n.toDouble).toLong)).toInt
-    val step = math.max(1L, n / k)
+    // training SAMPLE: ~64 vectors per bucket, stride-selected but kept
+    // DISTRIBUTED (never collected) — Lloyd rounds cost O(k·64·dim)
+    // aggregation instead of full-corpus scans; centroid quality only
+    // affects pruning power, never exactness.
+    val step = math.max(1L, n / (64L * k))
+    val train = base.where(pmod(col("vec_id"), lit(step)) === 0).cache()
     def unit(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       val nrm = math.sqrt(s)
       if (nrm == 0) v else v.map(_ / nrm)
     }
-    var cents = base.where(pmod(col("vec_id"), lit(step)) === 0)
+    // init: k stride-spread rows from BASE (not train — two stride filters
+    // would compose as their lcm and under-sample); bounded collect — the
+    // centroid table is driver-sized by definition
+    var cents = base.where(pmod(col("vec_id"), lit(math.max(1L, n / k))) === 0)
       .orderBy("vec_id").limit(k)
       .collect()
       .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -93,11 +101,11 @@ object AnnIndex {
     var it = 0
     while (it < iters) {
       val cb = packCentroids(cents)
-      val rows = base
+      val rows = train
         .withColumn("bucket", call_function("vec_ivf_assign", col("embedding"), lit(cb)))
         .select(col("bucket"), posexplode(col("embedding")))
         .groupBy("bucket", "pos").agg(sum(col("col").cast("double")).as("s"))
-        .collect() // k·dim rows — driver-sized by definition
+        .collect() // ≤ k·dim rows — driver-sized by definition
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val seen = new Array[Boolean](cents.length)
       rows.foreach { r =>
@@ -113,6 +121,7 @@ object AnnIndex {
       }
       it += 1
     }
+    train.unpersist()
     cents
   }
 
