@@ -75,6 +75,26 @@ object Streams {
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /**
+   * Watermarked STREAM-STREAM interval join (r4): two live streams joined
+   * on a key within an event-time window — e.g. an image-bytes ingest
+   * matched to its caption/annotation stream. Both watermarks plus the
+   * time-range conjunct bound the join state on BOTH sides (Spark evicts
+   * rows older than watermark − within), so state is O(rows within the
+   * window), never O(stream) — the only stream-stream join shape that
+   * survives an unbounded 10^12-row ingest.
+   */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   // ---------------- custom state (mapGroupsWithState) ----------------
 
   /** Running per-cell accumulator carried across micro-batches. */

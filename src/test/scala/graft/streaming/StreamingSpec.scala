@@ -105,6 +105,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Set("a", "c", "e"), s"got $ids")
   }
 
+  test("stream-stream interval join matches in-window pairs and evicts out-of-watermark state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val imgs = MemoryStream[(String, java.sql.Timestamp)]
+    val caps = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = Streams.streamStreamJoin(
+      imgs.toDF().toDF("img_id", "img_ts"), caps.toDF().toDF("cap_id", "cap_ts"),
+      "img_id", "cap_id", "img_ts", "cap_ts",
+      watermark = "10 minutes", within = "5 minutes")
+    val q = joined.select("img_id", "img_ts", "cap_ts").writeStream
+      .outputMode("append").format("memory").queryName("ss_join").start()
+    // batch 1: a matches within 5 min; b's caption is 7 min late → no pair
+    imgs.addData(("a", ts(10, 0)), ("b", ts(10, 2)))
+    caps.addData(("a", ts(10, 3)), ("b", ts(10, 9)))
+    q.processAllAvailable()
+    // batch 2: advance both watermarks far past 10:00 (max ts 11:00 → wm 10:50)
+    imgs.addData(("c", ts(11, 0)))
+    caps.addData(("c", ts(10, 58)))
+    q.processAllAvailable()
+    // batch 3: a caption for 'b' at 10:04 would match b@10:02, but both
+    // sides' state before ~10:35 is evicted → must NOT produce a pair
+    caps.addData(("b", ts(10, 4)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").select("img_id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a", "c"), s"got $got")
+  }
+
   test("geometry expressions run per streamed row (bidi-stream shape)") {
     val batch = spark.read.parquet(eventsPath)
       .withColumn("lon", (col("user_id") % 360 - 180).cast("double"))
