@@ -112,13 +112,21 @@ object RTree {
     t
   }
 
-  /** Build from a zones frame (zone_id, wkt) — driver-side collect. */
-  def fromZones(zones: org.apache.spark.sql.DataFrame): RTree = {
-    val entries = zones.select("zone_id", "wkt").collect().map { r =>
+  /** Build from a zones frame (zone_id, wkt) — driver-side collect.
+    * `maxZones` ENFORCES the zones≪points contract the broadcast-tree path
+    * depends on (the tree rides the plan as a Literal): a polygon side too
+    * big to broadcast fails loudly with the alternative named, instead of
+    * OOMing the driver — the pipJoin broadcast-guard pattern (r4). */
+  def fromZones(zones: org.apache.spark.sql.DataFrame, maxZones: Int = 200000): RTree = {
+    val entries = zones.select("zone_id", "wkt").limit(maxZones + 1).collect().map { r =>
       val g = graft.geom.Wkt.read(r.getString(1))
       val e = g.envelope
       Entry(e.xmin, e.ymin, e.xmax, e.ymax, r.getString(0), g)
     }
+    require(entries.length <= maxZones,
+      s"pipJoinRtree builds the zone R-tree on the driver; the zone side exceeds " +
+        s"$maxZones rows. Use pipJoin (cell-cover equi-join, shuffled above its own " +
+        s"broadcast threshold) for large polygon sides, or raise maxZones deliberately.")
     build(entries)
   }
 }
