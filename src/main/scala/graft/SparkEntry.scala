@@ -382,6 +382,28 @@ object SparkEntry {
         Seq("sim_hi", "sim_lo"), 12)
         .select(col("a"), col("b"), col("hamming"))
     }),
+    // the FULL training-corpus dedup end-step as one query: near-dup pairs
+    // (pigeonhole) → hash-min connected components → drop non-representative
+    // cluster members → per-language kept/dropped counts. Oracle replays it
+    // in DuckDB: brute-force pairs + recursive-CTE closure (q55 template).
+    "q61_corpus_filter" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = GeoTables.docsAug(s, dir)
+        .select(col("doc_id"), col("source"),
+          call_function("text_simhash", col("text")).as("sim"),
+          call_function("text_lang_id", col("text")).as("lang"))
+      val pairs = graft.join.TextDedup
+        .nearDupPairs(d, "doc_id", Seq("source"), Seq("sim"), 12)
+        .select("a", "b")
+      val drop = graft.join.ImageDedup.components(pairs)
+        .where(col("id") =!= col("rep"))
+        .select(col("id").as("doc_id"), lit(1L).as("is_dup"))
+      d.join(drop, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(when(col("is_dup").isNull, 1)).as("n_kept"),
+             count(when(col("is_dup").isNotNull, 1)).as("n_dropped"))
+    }),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.install(s)
       // scalable formulation: explode shingles, count co-occurrences per
@@ -1241,6 +1263,23 @@ object SparkEntry {
          CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
          FROM $TFEAT a JOIN $TFEAT b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 12""",
+    "q61_corpus_filter" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT a.doc_id AS pa, b.doc_id AS pb FROM $TFEAT a JOIN $TFEAT b
+           ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sim, b.sim)) <= 12),
+         edges AS (SELECT pa AS s, pb AS d FROM pairs UNION SELECT pb, pa FROM pairs),
+         cc(node, rep) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.rep FROM cc JOIN edges e ON e.s = cc.node),
+         reps AS (SELECT node, MIN(rep) AS rep FROM cc GROUP BY node),
+         dropped AS (SELECT node FROM reps WHERE node <> rep)
+         SELECT lang_pred AS lang,
+           CAST(SUM(CASE WHEN d.node IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         FROM $TFEAT tf LEFT JOIN dropped d ON tf.doc_id = d.node
+         GROUP BY 1""",
     "q20_ngram_jaccard" ->
       s"""WITH tf AS (SELECT doc_id, source, n_sh, shingles FROM $TFEAT),
          ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM tf),
