@@ -78,29 +78,35 @@ case class TextSimhash(child: Expression) extends UnaryExpression with ExpectsIn
 /** text_simhash128(text) → array<bigint> [hi, lo] — the wide-fingerprint
   * scale path for pigeonhole near-dup (chunks stay ≥9 bits at hamming≤12). */
 case class TextSimhash128(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(Text.simhash128(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.Text.simhash128($c.toString()))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** text_minhash(text, numPerm) → array<bigint> signature. */
 case class TextMinhash(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any, b: Any): Any =
-    new GenericArrayData(Text.minhash(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int]))
+    new GenericArrayData(Text.minhash(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int], 4))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.Text.minhash($a.toString(), $b, 4))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** lsh_bands(signature, rowsPerBand) → array<bigint> band keys. */
 case class LshBands(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -108,28 +114,37 @@ case class LshBands(left: Expression, right: Expression) extends BinaryExpressio
     val sig = a.asInstanceOf[ArrayData].toLongArray()
     new GenericArrayData(Text.lshBands(sig, b.asInstanceOf[Int]))
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.Text.lshBands($a.toLongArray(), $b))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class TextNgramJaccard(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends TernaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     Text.ngramJaccard(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
       c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.text.Text.ngramJaccard($a.toString(), $b.toString(), $c)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
 
 case class TextJaccard(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Text.jaccard(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.text.Text.jaccard($a.toString(), $b.toString())")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
@@ -156,80 +171,100 @@ object VecOps {
     val na = norm(a); val nb = norm(b)
     if (na == 0 || nb == 0) 0.0 else d / (na * nb)
   }
+  /** Quantized (×1000, floor+0.5) integer dot — exact in any engine. */
+  def dotQ(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getFloat(i).toDouble * 1000 + 0.5).toLong *
+           math.floor(b.getFloat(i).toDouble * 1000 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+  /** Codegen-callable R-tree PIP probe (tree deserialized once per JVM). */
+  def rtreeProbe(bytes: Array[Byte], lon: Double, lat: Double): ArrayData = {
+    val ids = graft.join.RTree.fromBytesCached(bytes).probe(lon, lat)
+    new GenericArrayData(ids.map(UTF8String.fromString).asInstanceOf[Array[Any]])
+  }
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.VecOps.dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class VecCosine(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.VecOps.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** text_shingles(text, k) → deduped word-k-gram hashes (precomputable side
   * of an n-gram Jaccard join: array_intersect replaces per-pair reshingling). */
 case class TextShingles(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any, b: Any): Any =
     new GenericArrayData(Text.shingles(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.Text.shingles($a.toString(), $b))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** Quantized (×1000, floor+0.5) integer dot product — exact in any engine. */
 case class VecDotQ(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0L
-    var i = 0
-    while (i < n) {
-      s += math.floor(x.getFloat(i).toDouble * 1000 + 0.5).toLong *
-           math.floor(y.getFloat(i).toDouble * 1000 + 0.5).toLong
-      i += 1
-    }
-    s
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.VecOps.dotQ($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** vec_ivf_assign(embedding, centroidBlob) → bucket id (argmax centroid dot). */
 case class VecIvfAssign(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.sql.K.ivfAssign(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.ivfAssign($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** vec_ivf_dot(embedding, centroidBlob, bucket) → dot with that centroid. */
 case class VecIvfDot(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends TernaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType, IntegerType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     graft.sql.K.ivfDot(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.ivfDot($a, $b, $c)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
@@ -239,15 +274,15 @@ case class VecIvfDot(first: Expression, second: Expression, third: Expression)
   * bytes ride in the plan as a Literal; executors deserialize once per JVM
   * via RTree.fromBytesCached. */
 case class RtreeProbe(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends TernaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
-    val tree = graft.join.RTree.fromBytesCached(a.asInstanceOf[Array[Byte]])
-    val ids = tree.probe(b.asInstanceOf[Double], c.asInstanceOf[Double])
-    new GenericArrayData(ids.map(UTF8String.fromString).asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    VecOps.rtreeProbe(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"org.apache.spark.sql.graft.VecOps.rtreeProbe($a, $b, $c)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
