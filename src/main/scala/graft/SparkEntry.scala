@@ -68,6 +68,14 @@ object SparkEntry {
   private def centsOf(c: org.apache.spark.sql.Column) =
     floor(c * 100 + lit(0.5)).cast("bigint")
 
+  /** WKT for an axis-aligned POLYGON Z rect whose corners carry z = x+y
+    * (so z is linear along every edge — any boundary lerp is exact). */
+  private def zRectWkt(x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column,
+                       x2: org.apache.spark.sql.Column, y2: org.apache.spark.sql.Column) =
+    format_string(
+      "POLYGON Z ((%.9f %.9f %.9f, %.9f %.9f %.9f, %.9f %.9f %.9f, %.9f %.9f %.9f, %.9f %.9f %.9f))",
+      x1, y1, x1 + y1, x2, y1, x2 + y1, x2, y2, x2 + y2, x1, y2, x1 + y2, x1, y1, x1 + y1)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -834,6 +842,18 @@ object SparkEntry {
           col("xmin") + col("w") * 0.25, col("ymin"),
           col("xmax") - col("w") * 0.25, col("ymax")))
         .withColumn("vs", call_function("st_dumppoints", col("zclip")))
+        // overlay Z population (r4): two POLYGON Z rects whose boundaries
+        // carry z ≡ x+y (linear along every axis-aligned edge) — every
+        // intersection vertex, original or node, must come back with
+        // z = x+y (exact vertex hits + lerp on the nearest source segment)
+        .withColumn("h", col("ymax") - col("ymin"))
+        .withColumn("xmid", (col("xmin") + col("xmax")) / 2)
+        .withColumn("az", call_function("st_geomfromwkt", zRectWkt(
+          col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+        .withColumn("bz", call_function("st_geomfromwkt", zRectWkt(
+          col("xmid"), col("ymid"), col("xmax") + col("w"), col("ymax") + col("h"))))
+        .withColumn("olap", call_function("st_intersection", col("az"), col("bz")))
+        .withColumn("ov", call_function("st_dumppoints", col("olap")))
         .select(col("zone_id"),
           call_function("st_z",
             call_function("st_geomfromwkb", call_function("st_aswkb", col("pz")))).as("z_wkb"),
@@ -846,7 +866,13 @@ object SparkEntry {
           size(col("vs")).cast("bigint").as("n_clip_pts"),
           size(filter(col("vs"), v =>
             call_function("st_z", v) === call_function("st_x", v)))
-            .cast("bigint").as("n_z_eq_x"))
+            .cast("bigint").as("n_z_eq_x"),
+          call_function("st_hasz", col("olap")).cast("bigint").as("olap_has_z"),
+          size(col("ov")).cast("bigint").as("n_olap_pts"),
+          size(filter(col("ov"), v =>
+            abs(call_function("st_z", v) -
+              (call_function("st_x", v) + call_function("st_y", v))) < 1e-6))
+            .cast("bigint").as("n_olap_z_ok"))
     }),
 
     // ---------------- geodesic buffer (AEQ construction) ----------------
@@ -1057,7 +1083,9 @@ object SparkEntry {
       s"""SELECT zone_id, xmin + ymin AS z_wkb, xmin + ymin AS z_wkt,
          CAST(1 AS BIGINT) AS has_z, CAST(0 AS BIGINT) AS has_z_2d, xmin AS px,
          CAST(1 AS BIGINT) AS clip_has_z, CAST(2 AS BIGINT) AS n_clip_pts,
-         CAST(2 AS BIGINT) AS n_z_eq_x
+         CAST(2 AS BIGINT) AS n_z_eq_x,
+         CAST(1 AS BIGINT) AS olap_has_z, CAST(5 AS BIGINT) AS n_olap_pts,
+         CAST(5 AS BIGINT) AS n_olap_z_ok
          FROM $ZON""",
     // right-hand parallel of the (xmin,ymin)->(xmax,ymax) diagonal at
     // d=0.25: endpoints shift by d*(h,-w)/L, length is unchanged

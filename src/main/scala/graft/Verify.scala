@@ -34,8 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The oracle strings are authored against the sf0.01 geo-table paths
+    // (the driver's gate SF); when Verify runs at another SF, point them
+    // at that SF's synthesized dir so local runs compare like-for-like.
+    val geoDir = graft.data.GeoTables.baseDir(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("/tmp/graft_geo/sf0.01", geoDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

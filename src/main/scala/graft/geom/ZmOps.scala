@@ -14,10 +14,15 @@ import scala.collection.mutable.ArrayBuffer
  * of a Z/M result is bit-equal to clipping/cutting the stripped input —
  * asserted in ZmSpec.
  *
- * Scope: point and lineal bases interpolate; POLYGONAL bases stay 2D
- * (documented): Sutherland–Hodgman emits envelope-corner vertices that lie
- * in the polygon INTERIOR, where a boundary attribute stream defines no
- * value — matching the engine-wide rule that areal operators are 2D.
+ * Scope: point and lineal bases interpolate at exact split parameters.
+ * POLYGONAL results (overlay intersection/union/difference/xor and polygon
+ * clip) are populated post-hoc by `populateOverlay`: every overlay output
+ * vertex lies on an input boundary (an original vertex or an edge×edge
+ * node), so its attribute value is defined — exact at vertex hits, lerped
+ * at the projection parameter onto the nearest source segment otherwise
+ * (the same convention JTS OverlayNG uses to populate Z). The only
+ * vertices NOT on a source boundary are polygon-clip envelope corners,
+ * which take the nearest-boundary value (documented extension rule).
  */
 object ZmOps {
 
@@ -58,8 +63,9 @@ object ZmOps {
       }
       assemble(parts.toArray)
     case other =>
-      // polygonal (and anything else): 2D result, documented scope bound
-      Ops.clip(other, env)
+      // polygonal: 2D clip, then populate from the source boundary
+      // (envelope corners take the nearest-boundary value — see header)
+      populateOverlay(Ops.clip(other, env), zm)
   }
 
   private def assemble(parts: Array[(Array[Double], Array[Double], Array[Double])]): Geometry = {
@@ -222,6 +228,121 @@ object ZmOps {
       }
       parts.toArray
     case other =>
-      Ops.cut(other, GeometryZM.strip(blade)) // polygonal: documented 2D
+      // polygonal: 2D cut, each part populated from the source + blade
+      Ops.cut(other, GeometryZM.strip(blade)).map(populateOverlay(_, zm))
+  }
+
+  // ---------------- polygonal overlay population (r4) ----------------
+
+  /**
+   * Attribute lookup over one stream (Z or M) of one-or-more sources:
+   * exact value at bit-equal vertex hits, otherwise lerped at the clamped
+   * projection parameter onto the nearest source segment. Brute-force
+   * nearest is the same O(|result|·|edges|) cost class as the snap-rounded
+   * overlay that produced the result, so it never dominates the operator.
+   */
+  private final class AttrLookup(srcs: Array[(Geometry, Array[Double])]) {
+    private val vx = new ArrayBuffer[Double]()
+    private val vy = new ArrayBuffer[Double]()
+    private val va = new ArrayBuffer[Double]()
+    private val s1 = new ArrayBuffer[Int]()
+    private val s2 = new ArrayBuffer[Int]()
+    private val exact = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+
+    srcs.foreach { case (base, attrs) =>
+      var cursor = 0
+      partsOf(base).foreach { cs =>
+        val start = vx.length
+        val npts = cs.length / 2
+        var j = 0
+        while (j < npts) {
+          val x = cs(2 * j); val y = cs(2 * j + 1)
+          vx += x; vy += y; va += attrs(cursor + j)
+          val key = (java.lang.Double.doubleToLongBits(x), java.lang.Double.doubleToLongBits(y))
+          if (!exact.contains(key)) exact(key) = start + j
+          j += 1
+        }
+        if (npts == 1) { s1 += start; s2 += start } // puntal part: degenerate segment
+        j = 0
+        while (j < npts - 1) { s1 += start + j; s2 += start + j + 1; j += 1 }
+        cursor += npts
+      }
+    }
+
+    def value(x: Double, y: Double): Double = {
+      val hit = exact.get((java.lang.Double.doubleToLongBits(x), java.lang.Double.doubleToLongBits(y)))
+      if (hit.isDefined) return va(hit.get)
+      var best = Double.PositiveInfinity
+      var bv = 0.0
+      var k = 0
+      val ns = s1.length
+      while (k < ns) {
+        val i1 = s1(k); val i2 = s2(k)
+        val ax = vx(i1); val ay = vy(i1)
+        val dx = vx(i2) - ax; val dy = vy(i2) - ay
+        val len2 = dx * dx + dy * dy
+        var t = if (len2 == 0) 0.0 else ((x - ax) * dx + (y - ay) * dy) / len2
+        if (t < 0) t = 0 else if (t > 1) t = 1
+        val px = ax + t * dx; val py = ay + t * dy
+        val d2 = (x - px) * (x - px) + (y - py) * (y - py)
+        if (d2 < best) { best = d2; bv = lerp(va(i1), va(i2), t) }
+        k += 1
+      }
+      bv
+    }
+  }
+
+  /** Flat coordinate parts of a base geometry in ATTRIBUTE STORAGE ORDER
+    * (rings shell-first, polygons in sequence — the `dumpPoints` walk). */
+  private def partsOf(g: Geometry): Array[Array[Double]] = g match {
+    case p: Point => if (p.isEmpty) Array.empty else Array(Array(p.x, p.y))
+    case mp: MultiPoint =>
+      Array.tabulate(mp.coords.length / 2)(i => Array(mp.coords(2 * i), mp.coords(2 * i + 1)))
+    case l: LineString => Array(l.coords)
+    case ml: MultiLineString => ml.lines
+    case pg: Polygon => pg.rings
+    case mp: MultiPolygon => mp.polys.flatten
+    case _ => Array.empty
+  }
+
+  /**
+   * Populate Z/M streams onto a 2D overlay/clip/cut result from whichever
+   * inputs carry them. Coordinates are untouched, so the 2D view of the
+   * populated result is bit-equal to the plain 2D operator — asserted in
+   * ZmSpec. No-op (and zero-cost) when no input is a GeometryZM: the hot
+   * 2D path never pays for this.
+   */
+  def populateOverlay(res: Geometry, sources: Geometry*): Geometry = {
+    val zms = sources.collect { case zm: GeometryZM => zm }
+    if (zms.isEmpty || res.isEmpty) return res
+    val zsrcs = zms.filter(_.hasZ).map(zm => (zm.base, zm.zs)).toArray
+    val msrcs = zms.filter(_.hasM).map(zm => (zm.base, zm.ms)).toArray
+    if (zsrcs.isEmpty && msrcs.isEmpty) return res
+    val zl = if (zsrcs.nonEmpty) new AttrLookup(zsrcs) else null
+    val ml = if (msrcs.nonEmpty) new AttrLookup(msrcs) else null
+    wrapResult(res, zl, ml)
+  }
+
+  private def wrapResult(res: Geometry, zl: AttrLookup, ml: AttrLookup): Geometry = res match {
+    case c: GeometryCollection =>
+      // collections carry ZM per child; the collection node stays plain
+      GeometryCollection(c.geoms.map(wrapResult(_, zl, ml)))
+    case zm: GeometryZM => zm
+    case g if g.isEmpty => g
+    case g =>
+      val n = g.numPoints
+      val zs = if (zl == null) null else new Array[Double](n)
+      val ms = if (ml == null) null else new Array[Double](n)
+      var i = 0
+      partsOf(g).foreach { cs =>
+        var j = 0
+        while (2 * j + 1 < cs.length) {
+          val x = cs(2 * j); val y = cs(2 * j + 1)
+          if (zs != null) zs(i) = zl.value(x, y)
+          if (ms != null) ms(i) = ml.value(x, y)
+          i += 1; j += 1
+        }
+      }
+      GeometryZM(g, zs, ms)
   }
 }

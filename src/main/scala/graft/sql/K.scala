@@ -167,7 +167,8 @@ object K {
     case zm: GeometryZM => wr(Ops.densifyZM(zm, maxLen)) // interpolates Z/M
     case g => wr(Ops.densify(g, maxLen))
   }
-  // clip/cut interpolate Z/M for point/lineal inputs (r4; polygonal stays 2D)
+  // clip/cut interpolate Z/M: exact split-parameter lerp for point/lineal
+  // inputs; polygonal results populated via nearest-boundary (r4)
   def clip(b: Array[Byte], xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
     rdFull(b) match {
       case zm: GeometryZM => wr(ZmOps.clipZM(zm, Env(xmin, ymin, xmax, ymax)))
@@ -222,16 +223,25 @@ object K {
   }
 
   // ---- binary overlay (§2.3, staged) ----
+  // Z/M inputs: the 2D core runs on the stripped view, then
+  // ZmOps.populateOverlay restores the attribute streams (r4) — exact at
+  // vertex hits, lerped on the nearest source segment; no-op for 2D input.
+  @inline private def overlay2(a: Array[Byte], b: Array[Byte],
+                               op: (Geometry, Geometry) => Geometry): Array[Byte] = {
+    val ga = Wkb.read(a); val gb = Wkb.read(b)
+    val res = op(GeometryZM.strip(ga), GeometryZM.strip(gb))
+    wr(ZmOps.populateOverlay(res, ga, gb))
+  }
   def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    wr(Ops.simplify(Overlay.intersection(rd(a), rd(b))))
+    overlay2(a, b, (x, y) => Ops.simplify(Overlay.intersection(x, y)))
   def intersectionDim(a: Array[Byte], b: Array[Byte], mask: Int): Array[Byte] =
-    wr(Overlay.intersectionDim(rd(a), rd(b), mask))
+    overlay2(a, b, (x, y) => Overlay.intersectionDim(x, y, mask))
   def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    wr(Ops.simplify(Overlay.difference(rd(a), rd(b))))
+    overlay2(a, b, (x, y) => Ops.simplify(Overlay.difference(x, y)))
   def unionGeom(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    wr(Ops.simplify(Overlay.union(rd(a), rd(b))))
+    overlay2(a, b, (x, y) => Ops.simplify(Overlay.union(x, y)))
   def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    wr(Ops.simplify(Overlay.symDifference(rd(a), rd(b))))
+    overlay2(a, b, (x, y) => Ops.simplify(Overlay.symDifference(x, y)))
 
   // ---- additional unary operators ----
   def offset(b: Array[Byte], d: Double): Array[Byte] = wr(Ops.offset(rd(b), d))

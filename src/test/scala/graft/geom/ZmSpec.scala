@@ -260,4 +260,76 @@ class ZmSpec extends AnyFunSuite {
     val pzm = graft.sql.K.makePointZM(1, 2, 3, 4)
     assert(graft.sql.K.z(pzm) == 3.0 && graft.sql.K.m(pzm) == 4.0)
   }
+
+  /** Vertices of a base geometry in attribute storage order. */
+  private def verts(g: Geometry): Seq[(Double, Double)] = g match {
+    case p: Point => if (p.isEmpty) Seq.empty else Seq((p.x, p.y))
+    case mp: MultiPoint => mp.coords.grouped(2).map(a => (a(0), a(1))).toSeq
+    case l: LineString => l.coords.grouped(2).map(a => (a(0), a(1))).toSeq
+    case ml: MultiLineString => ml.lines.toSeq.flatMap(_.grouped(2).map(a => (a(0), a(1))))
+    case pg: Polygon => pg.rings.toSeq.flatMap(_.grouped(2).map(a => (a(0), a(1))))
+    case mp: MultiPolygon =>
+      mp.polys.toSeq.flatMap(_.toSeq.flatMap(_.grouped(2).map(a => (a(0), a(1)))))
+    case c: GeometryCollection => c.geoms.toSeq.flatMap(g2 => verts(GeometryZM.strip(g2)))
+    case zm: GeometryZM => verts(zm.base)
+  }
+
+  test("overlay populates Z through intersection/union/difference (r4): z ≡ x+y survives") {
+    // both boundaries carry z = x + y, linear along every axis-aligned
+    // edge, so EVERY output vertex (original or edge×edge node) must get
+    // exactly z = x + y — exact at vertex hits, exact through the lerp.
+    val a = Wkt.read("POLYGON Z ((0 0 0, 4 0 4, 4 4 8, 0 4 4, 0 0 0))")
+    val b = Wkt.read("POLYGON Z ((2 2 4, 6 2 8, 6 6 12, 2 6 8, 2 2 4))")
+    val wa = Wkb.write(a); val wb = Wkb.write(b)
+    def checkXpY(bytes: Array[Byte]): Unit = {
+      val g = Wkb.read(bytes)
+      val zm = g.asInstanceOf[GeometryZM]
+      assert(zm.hasZ && !zm.hasM)
+      val vs = verts(zm.base)
+      assert(vs.nonEmpty && zm.zs.length == vs.length)
+      vs.zip(zm.zs.toSeq).foreach { case ((x, y), z) =>
+        assert(z == x + y, s"z at ($x,$y) was $z, expected ${x + y}")
+      }
+    }
+    checkXpY(graft.sql.K.intersection(wa, wb))
+    checkXpY(graft.sql.K.unionGeom(wa, wb))
+    checkXpY(graft.sql.K.difference(wa, wb))
+    checkXpY(graft.sql.K.symDifference(wa, wb))
+    // dim-1 shared edge: two squares touching along x=4 → LINESTRING Z
+    val c = Wkt.read("POLYGON Z ((4 0 4, 8 0 8, 8 4 12, 4 4 8, 4 0 4))")
+    checkXpY(graft.sql.K.intersectionDim(wa, Wkb.write(c), 2))
+    // XY bit-parity: the 2D view equals the plain 2D overlay
+    val z2d = Wkb.read(graft.sql.K.intersection(wa, wb))
+    val flat = Wkb.read(graft.sql.K.intersection(
+      graft.sql.K.force2D(wa), graft.sql.K.force2D(wb)))
+    assert(Wkt.write(GeometryZM.strip(z2d)) == Wkt.write(flat))
+    // mixed: 2D ∩ 2D stays 2D (populate is a no-op)
+    assert(!Wkb.read(graft.sql.K.intersection(
+      graft.sql.K.force2D(wa), graft.sql.K.force2D(wb))).isInstanceOf[GeometryZM])
+    // one-sided Z: result still carries Z, populated from A's boundary
+    val oneSided = Wkb.read(graft.sql.K.intersection(wa, graft.sql.K.force2D(wb)))
+      .asInstanceOf[GeometryZM]
+    assert(oneSided.hasZ)
+    // vertices ON a's boundary are exact; B-only vertices take nearest-A
+    verts(oneSided.base).zip(oneSided.zs.toSeq).foreach { case ((x, y), z) =>
+      if (x == 4.0 || y == 4.0 || x == 0.0 || y == 0.0) assert(z == x + y)
+      else assert(z >= 0 && z <= 8, s"nearest-boundary z out of range at ($x,$y): $z")
+    }
+  }
+
+  test("polygon CLIP populates Z: boundary vertices exact, corners nearest-boundary (r4)") {
+    val a = Wkt.read("POLYGON Z ((0 0 0, 4 0 4, 4 4 8, 0 4 4, 0 0 0))").asInstanceOf[GeometryZM]
+    // window covering everything: all vertices are exact hits
+    val full = ZmOps.clipZM(a, Env(-1, -1, 5, 5)).asInstanceOf[GeometryZM]
+    verts(full.base).zip(full.zs.toSeq).foreach { case ((x, y), z) => assert(z == x + y) }
+    // half-window: result rect (2,0)-(4,4); every vertex lies ON a's boundary
+    val half = ZmOps.clipZM(a, Env(2, -1, 5, 5)).asInstanceOf[GeometryZM]
+    verts(half.base).zip(half.zs.toSeq).foreach { case ((x, y), z) => assert(z == x + y) }
+    // interior corner (2,2): equidistant to bottom (2,0,z=2) and left
+    // (0,2,z=2) edges — both interpolate to 2, so the rule is unambiguous here
+    val corner = ZmOps.clipZM(a, Env(2, 2, 5, 5)).asInstanceOf[GeometryZM]
+    val cz = verts(corner.base).zip(corner.zs.toSeq).toMap
+    assert(cz((2.0, 2.0)) == 2.0)
+    assert(cz((4.0, 4.0)) == 8.0 && cz((4.0, 2.0)) == 6.0 && cz((2.0, 4.0)) == 6.0)
+  }
 }
