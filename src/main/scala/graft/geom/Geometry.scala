@@ -7,8 +7,9 @@ package graft.geom
  * `Array[Double]` coordinate buffers (struct-of-arrays inside a value —
  * the same layout idea the reference engine uses for its attribute
  * streams ⟨ref(engine): com.esri.core.geometry.AttributeStreamOfDbl⟩),
- * which is cache- and codegen-friendly. 2D only (Z/M are an explicit
- * scope cut — the north_rule never exercises them).
+ * which is cache- and codegen-friendly. Coordinates are 2D; per-vertex
+ * Z/M attribute streams ride alongside via [[GeometryZM]] (r3+), with
+ * interpolation through the vertex-mapped and splitting operators.
  *
  * Type codes match ISO WKB geometry type ids so the WKB codec is a thin
  * layer. Coordinates are interleaved `[x0, y0, x1, y1, ...]`.
