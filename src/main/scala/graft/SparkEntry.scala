@@ -412,6 +412,18 @@ object SparkEntry {
              count(when(col("is_dup").isNotNull, 1)).as("n_dropped"))
     }),
 
+    // ---------------- cell-bucketed co-located PIP join ----------------
+    // the recurring-join layout: both sides bucketBy(cell)+sortBy(cell),
+    // join = SortMergeJoin with ZERO Exchange (plan-asserted in
+    // BucketedJoinSpec); must return exactly the q07 pair counts
+    "q62_bucketed_pip" -> ((s, dir) => {
+      val tag = GeoTables.sfName(dir)
+      graft.join.Bucketed.layoutPip(GeoTables.images(s, dir), GeoTables.zones(s, dir),
+        level = 8, nBuckets = 32, dir = s"/tmp/graft_bucketed/$tag", tag = tag)
+      graft.join.Bucketed.pipJoinBucketed(s, tag)
+        .groupBy("zone_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.install(s)
       // scalable formulation: explode shingles, count co-occurrences per
@@ -1291,6 +1303,11 @@ object SparkEntry {
          CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
          FROM $TFEAT a JOIN $TFEAT b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 12""",
+    "q62_bucketed_pip" ->
+      s"""SELECT z.zone_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
+         GROUP BY z.zone_id""",
     "q61_corpus_filter" ->
       s"""WITH RECURSIVE pairs AS (
            SELECT a.doc_id AS pa, b.doc_id AS pb FROM $TFEAT a JOIN $TFEAT b
