@@ -28,6 +28,7 @@ object SparkEntry {
   private val NDUP = "read_parquet('/tmp/graft_geo/sf0.01/neardup_images.parquet/*.parquet')"
   private val DOCA = "read_parquet('/tmp/graft_geo/sf0.01/docs_aug.parquet/*.parquet')"
   private val TFEAT = "read_parquet('/tmp/graft_geo/sf0.01/text_features.parquet/*.parquet')"
+  private val MED = "read_parquet('/tmp/graft_geo/sf0.01/media.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -422,6 +423,31 @@ object SparkEntry {
         level = 8, nBuckets = 32, dir = s"/tmp/graft_bucketed/$tag", tag = tag)
       graft.join.Bucketed.pipJoinBucketed(s, tag)
         .groupBy("zone_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // ---------------- multimodal opaque-binary columns ----------------
+    // GMV1 media containers (stub codec, real plumbing): videos explode to
+    // every-3rd raw-RGB frame feeding the SAME img_luma_mean as images;
+    // audio explodes to 800-sample RMS windows. The fixture's expected
+    // columns were computed from the pre-encoding arrays, so matching
+    // pins the codec round-trip AND the per-frame/window pipeline.
+    "q63_media_pipeline" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val m = GeoTables.media(s, dir)
+      val vid = m.where(col("kind") === "video")
+        .withColumn("fr", explode(call_function("media_frame_sample", col("bytes"), lit(3))))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_parts"),
+             sum(centsOf(call_function("img_luma_mean", col("fr")))).as("feat_c"))
+      val aud = m.where(col("kind") === "audio")
+        .withColumn("r", explode(call_function("audio_rms_windows", col("bytes"), lit(800))))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_parts"), sum(centsOf(col("r"))).as("feat_c"))
+      val md = m.select(col("media_id"), col("kind"),
+          call_function("media_meta", col("bytes")).as("meta"))
+        .select(col("media_id"), col("kind"), col("meta.duration_ms").as("dur_ms"))
+      vid.unionByName(aud).join(md, "media_id")
+        .select("media_id", "kind", "n_parts", "feat_c", "dur_ms")
     }),
 
     "q20_ngram_jaccard" -> ((s, dir) => {
@@ -1308,6 +1334,10 @@ object SparkEntry {
          FROM $IMG i JOIN $ZON z
            ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
          GROUP BY z.zone_id""",
+    "q63_media_pipeline" ->
+      s"""SELECT media_id, kind, exp_n_parts AS n_parts, exp_feat_c AS feat_c,
+         exp_dur_ms AS dur_ms
+         FROM $MED""",
     "q61_corpus_filter" ->
       s"""WITH RECURSIVE pairs AS (
            SELECT a.doc_id AS pa, b.doc_id AS pb FROM $TFEAT a JOIN $TFEAT b

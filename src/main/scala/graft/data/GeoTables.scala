@@ -289,6 +289,56 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_TEXTFEAT_DONE"))
   }
 
+  // ---- multimodal media fixture (GMV1 opaque-binary; stub codec) ----
+
+  def mediaPath(sfDir: String): String = s"${baseDir(sfDir)}/media.parquet"
+  def nMedia(sfDir: String): Int = math.max(200, (sfOf(sfDir) * 4000).toInt)
+
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                            exp_n_parts: Long, exp_feat_c: Long, exp_dur_ms: Long)
+
+  /** Expected columns computed from the PRE-encoding synth arrays (frames /
+    * PCM); the engine re-derives them by decoding the container through the
+    * media_* expressions — the oracle therefore pins the codec round-trip
+    * AND the explode/feature plumbing. */
+  def mediaRow(i: Long): MediaRow = {
+    import graft.img.Media
+    if (i % 2 == 0) {
+      val w = 16; val h = 12; val fps = 10
+      val nf = 8 + (i % 5).toInt * 4 // 8..24 frames
+      val frames = Media.synthFrames(i, w, h, nf)
+      val sampled = Array.range(0, nf, 3).map(frames(_))
+      val lumaC = sampled.map(f => math.floor(Images.lumaMean(f) * 100 + 0.5).toLong).sum
+      MediaRow(i, "video", Media.encodeVideo(w, h, fps, frames),
+        sampled.length.toLong, lumaC, nf.toLong * 1000 / fps)
+    } else {
+      val rate = 8000
+      val ns = 4000 + (i % 7).toInt * 1000
+      val samples = Media.synthSamples(i, ns)
+      val rms = Media.audioRmsOf(samples, 800)
+      val rmsC = rms.map(v => math.floor(v * 100 + 0.5).toLong).sum
+      MediaRow(i, "audio", Media.encodeAudio(rate, samples),
+        rms.length.toLong, rmsC, ns.toLong * 1000 / rate)
+    }
+  }
+
+  def media(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureMedia(spark, sfDir)
+    spark.read.parquet(mediaPath(sfDir))
+  }
+
+  /** Additive fixture (own marker, mirrors the textfeat pattern). */
+  def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE"))) return
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    spark.range(0, nMedia(sfDir), 1, parts).map(mediaRow(_))
+      .write.mode("overwrite").parquet(mediaPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_MEDIA_DONE"))
+  }
+
   /** Idempotent, atomic: generate-if-absent, then read. */
   def images(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)

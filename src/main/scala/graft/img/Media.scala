@@ -1,0 +1,154 @@
+package graft.img
+
+/**
+ * Opaque multimodal columns (training-pipeline mandate): audio/video ride
+ * in DataFrames as a `binary` column in the "GMV1" container plus typed
+ * metadata, with frame-sampling and feature extraction as Catalyst
+ * expressions so a 100 TB media corpus processes exactly like the text
+ * and image corpora (narrow per-row ops, explode for per-frame fan-out,
+ * the same pigeonhole/pHash dedup downstream on sampled frames).
+ *
+ * The CODEC IS A DETERMINISTIC STUB: real audio/video codecs are not in
+ * this container, so "GMV1" stores raw little-endian payloads (RGB frames
+ * / s16 PCM). Everything AROUND the codec — schema, binary layout,
+ * metadata struct, per-frame explode shape, feature windows, oracle
+ * checks — is the real Spark-side plumbing and is exactly what a
+ * libavcodec-backed decoder would slot into (swap `frame`/`pcm` for the
+ * real bitstream decode; signatures unchanged).
+ *
+ * Layout ("GMV1", all ints little-endian):
+ *   magic  4B 'G''M''V''1'
+ *   kind   1B: 0 = audio, 1 = video
+ *   video: i32 w, i32 h, i32 fps, i32 nFrames, nFrames×(w·h·3) raw RGB
+ *   audio: i32 sampleRate, i32 nSamples, nSamples×2 s16 PCM
+ */
+object Media {
+  private val MAGIC = Array[Byte]('G', 'M', 'V', '1')
+
+  private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+  private def getInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+    ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def checkMagic(b: Array[Byte]): Unit = {
+    require(b.length >= 5 && b(0) == 'G' && b(1) == 'M' && b(2) == 'V' && b(3) == '1',
+      "not a GMV1 media container")
+  }
+
+  def encodeVideo(w: Int, h: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val fb = w * h * 3
+    require(frames.forall(_.length == fb), s"every frame must be w*h*3 = $fb bytes")
+    val out = new Array[Byte](21 + frames.length * fb)
+    MAGIC.copyToArray(out); out(4) = 1
+    putInt(out, 5, w); putInt(out, 9, h); putInt(out, 13, fps); putInt(out, 17, frames.length)
+    var i = 0
+    while (i < frames.length) { frames(i).copyToArray(out, 21 + i * fb); i += 1 }
+    out
+  }
+
+  def encodeAudio(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](13 + samples.length * 2)
+    MAGIC.copyToArray(out); out(4) = 0
+    putInt(out, 5, sampleRate); putInt(out, 9, samples.length)
+    var i = 0
+    while (i < samples.length) {
+      out(13 + 2 * i) = samples(i).toByte
+      out(13 + 2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    out
+  }
+
+  def kind(b: Array[Byte]): String = { checkMagic(b); if (b(4) == 1) "video" else "audio" }
+
+  /** (w, h, rate(fps|Hz), n(frames|samples), durationMs). Audio: w=h=0. */
+  def meta(b: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    checkMagic(b)
+    if (b(4) == 1) {
+      val w = getInt(b, 5); val h = getInt(b, 9); val fps = getInt(b, 13); val n = getInt(b, 17)
+      (w, h, fps, n, if (fps == 0) 0L else n.toLong * 1000 / fps)
+    } else {
+      val rate = getInt(b, 5); val n = getInt(b, 9)
+      (0, 0, rate, n, if (rate == 0) 0L else n.toLong * 1000 / rate)
+    }
+  }
+
+  /** Frame i as a raw RGB buffer — plugs into img_gray_rgb / img_flip_rgb /
+    * img_crop_rgb / img_resize / img_luma_mean unchanged. */
+  def frame(b: Array[Byte], i: Int): Array[Byte] = {
+    checkMagic(b); require(b(4) == 1, "media_frame expects video")
+    val w = getInt(b, 5); val h = getInt(b, 9); val n = getInt(b, 17)
+    require(i >= 0 && i < n, s"frame $i out of [0, $n)")
+    val fb = w * h * 3
+    java.util.Arrays.copyOfRange(b, 21 + i * fb, 21 + (i + 1) * fb)
+  }
+
+  /** Every `step`-th frame (0, step, 2·step, …) — the decimation shape a
+    * frame-dedup or captioning pipeline runs before per-frame work. */
+  def sampleFrames(b: Array[Byte], step: Int): Array[Array[Byte]] = {
+    checkMagic(b); require(b(4) == 1, "media_frame_sample expects video")
+    require(step > 0, "step must be positive")
+    val n = getInt(b, 17)
+    Array.range(0, n, step).map(frame(b, _))
+  }
+
+  /** PCM samples of an audio container. */
+  def pcm(b: Array[Byte]): Array[Short] = {
+    checkMagic(b); require(b(4) == 0, "expects audio")
+    val n = getInt(b, 9)
+    Array.tabulate(n)(i =>
+      (((b(13 + 2 * i) & 0xFF)) | (b(13 + 2 * i + 1) << 8)).toShort)
+  }
+
+  /** RMS per non-overlapping `win`-sample window (trailing partial window
+    * dropped) — the feature-extraction shape for audio quality filters. */
+  def audioRmsWindows(b: Array[Byte], win: Int): Array[Double] =
+    audioRmsOf(pcm(b), win)
+
+  def audioRmsOf(s: Array[Short], win: Int): Array[Double] = {
+    require(win > 0, "window must be positive")
+    val nw = s.length / win
+    Array.tabulate(nw) { w =>
+      var acc = 0.0
+      var i = w * win
+      val end = i + win
+      while (i < end) { val v = s(i).toDouble; acc += v * v; i += 1 }
+      math.sqrt(acc / win)
+    }
+  }
+
+  // ---- deterministic synthesis (fixture generation) ----
+
+  private def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic synthetic frames: pixel bytes from a splitmix of
+    * (seed, frame, pixel) — stable across JVMs and runs. */
+  def synthFrames(seed: Long, w: Int, h: Int, nFrames: Int): Array[Array[Byte]] =
+    Array.tabulate(nFrames) { f =>
+      val buf = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < buf.length) {
+        buf(i) = (mix(seed * 1000003 + f * 4093 + i) & 0xFF).toByte
+        i += 1
+      }
+      buf
+    }
+
+  def synthVideo(seed: Long, w: Int, h: Int, fps: Int, nFrames: Int): Array[Byte] =
+    encodeVideo(w, h, fps, synthFrames(seed, w, h, nFrames))
+
+  /** Deterministic synthetic PCM: bounded s16 from the same mix. */
+  def synthSamples(seed: Long, nSamples: Int): Array[Short] =
+    Array.tabulate(nSamples)(i => (mix(seed * 7919 + i) % 8192).toShort)
+
+  def synthAudio(seed: Long, rate: Int, nSamples: Int): Array[Byte] =
+    encodeAudio(rate, synthSamples(seed, nSamples))
+}

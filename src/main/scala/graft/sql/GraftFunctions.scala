@@ -129,6 +129,12 @@ object GraftFunctions {
     "img_crop_rgb" -> (e => ImgCrop(e)),
     "img_luma_mean" -> (e => ImgLumaMean(e.head)),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
+    // multimodal opaque-binary columns (GMV1 container; stub codec)
+    "media_kind" -> (e => MediaKind(e.head)),
+    "media_meta" -> (e => MediaMeta(e.head)),
+    "media_frame" -> (e => MediaFrame(e(0), e(1))),
+    "media_frame_sample" -> (e => MediaFrameSample(e(0), e(1))),
+    "audio_rms_windows" -> (e => AudioRmsWindows(e(0), e(1))),
     // text analysis / dedup (training-data pipeline ops)
     "text_lang_id" -> (e => TextLangId(e.head)),
     "text_quality" -> (e => TextQuality(e.head)),

@@ -1,0 +1,97 @@
+package org.apache.spark.sql.graft
+
+import graft.img.Media
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Multimodal (audio/video) column expressions over the GMV1 opaque-binary
+ * container (graft.img.Media — the codec itself is a documented
+ * deterministic stub; this layer is the real Spark-side plumbing: typed
+ * metadata struct, per-frame explode fan-out, windowed features). Sampled
+ * frames are raw RGB, so the whole image surface (img_gray_rgb,
+ * img_resize, img_luma_mean, phash dedup) composes downstream unchanged.
+ */
+case class MediaKind(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Media.kind(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.img.Media.kind($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** media_meta(bytes) → struct<w,h,rate,n,duration_ms> (audio: w=h=0). */
+case class MediaMeta(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("rate", IntegerType, nullable = false),
+    StructField("n", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val (w, h, rate, n, dur) = Media.meta(v.asInstanceOf[Array[Byte]])
+    InternalRow(w, h, rate, n, dur)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.MediaMeta.row($c)")
+}
+object MediaMeta {
+  /** Codegen-callable struct builder. */
+  def row(b: Array[Byte]): InternalRow = {
+    val (w, h, rate, n, dur) = Media.meta(b)
+    InternalRow(w, h, rate, n, dur)
+  }
+}
+
+/** media_frame(bytes, i) → raw RGB frame. */
+case class MediaFrame(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Media.frame(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.img.Media.frame($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** media_frame_sample(bytes, step) → array<binary> of every step-th frame. */
+case class MediaFrameSample(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Media.sampleFrames(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+      .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) graft.img.Media.sampleFrames($a, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** audio_rms_windows(bytes, win) → array<double> RMS per window. */
+case class AudioRmsWindows(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Media.audioRmsWindows(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.img.Media.audioRmsWindows($a, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -1,0 +1,61 @@
+package graft.img
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GMV1 opaque-binary media containers: codec round-trips, frame
+  * sampling, windowed audio features, and composition with the RGB image
+  * surface (sampled frames ARE raw RGB buffers). */
+class MediaSpec extends AnyFunSuite {
+
+  test("video round-trip: meta, frame extraction, sampling") {
+    val frames = Media.synthFrames(seed = 7, w = 4, h = 3, nFrames = 10)
+    val b = Media.encodeVideo(4, 3, 5, frames)
+    assert(Media.kind(b) == "video")
+    assert(Media.meta(b) == ((4, 3, 5, 10, 2000L))) // 10 frames @ 5 fps = 2 s
+    (0 until 10).foreach { i =>
+      assert(Media.frame(b, i).toSeq == frames(i).toSeq, s"frame $i")
+    }
+    val sampled = Media.sampleFrames(b, 3) // 0, 3, 6, 9
+    assert(sampled.length == 4)
+    assert(sampled(1).toSeq == frames(3).toSeq)
+    intercept[IllegalArgumentException](Media.frame(b, 10))
+    intercept[IllegalArgumentException](Media.frame(b, -1))
+  }
+
+  test("audio round-trip: meta, pcm, RMS windows; pre-encode parity") {
+    val samples = Media.synthSamples(seed = 11, nSamples = 2500)
+    val b = Media.encodeAudio(8000, samples)
+    assert(Media.kind(b) == "audio")
+    assert(Media.meta(b) == ((0, 0, 8000, 2500, 312L)))
+    assert(Media.pcm(b).toSeq == samples.toSeq) // incl. negative samples
+    // decode-then-window ≡ window-the-raw-samples (the oracle contract)
+    assert(Media.audioRmsWindows(b, 800).toSeq == Media.audioRmsOf(samples, 800).toSeq)
+    assert(Media.audioRmsWindows(b, 800).length == 3) // trailing 100 dropped
+    // constant signal → RMS is exactly the amplitude
+    val const = Media.encodeAudio(8000, Array.fill[Short](1600)(100))
+    assert(Media.audioRmsWindows(const, 800).toSeq == Seq(100.0, 100.0))
+  }
+
+  test("sampled frames compose with the RGB image surface") {
+    val frames = Media.synthFrames(seed = 3, w = 8, h = 6, nFrames = 6)
+    val b = Media.encodeVideo(8, 6, 10, frames)
+    val f0 = Media.frame(b, 0)
+    // luma on a decoded frame equals luma on the source frame
+    assert(Images.lumaMean(f0) == Images.lumaMean(frames(0)))
+    // gray is idempotent on the frame; flip is an involution
+    val g = Images.grayRgb(f0)
+    assert(Images.grayRgb(g).toSeq == g.toSeq)
+    assert(Images.flipRgb(8, 6, Images.flipRgb(8, 6, f0, true), true).toSeq == f0.toSeq)
+  }
+
+  test("malformed containers fail loudly") {
+    intercept[IllegalArgumentException](Media.kind(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](Media.kind("XXXX?".getBytes))
+    val audio = Media.synthAudio(1, 8000, 100)
+    intercept[IllegalArgumentException](Media.frame(audio, 0))
+    intercept[IllegalArgumentException](Media.sampleFrames(audio, 2))
+    val video = Media.synthVideo(1, 4, 4, 10, 2)
+    intercept[IllegalArgumentException](Media.audioRmsWindows(video, 100))
+    intercept[IllegalArgumentException](Media.sampleFrames(video, 0))
+  }
+}

@@ -81,6 +81,22 @@ class CodegenSpec extends AnyFunSuite {
     assert(v(0).getAs[Int]("bucket") == 1)   // argmax centroid dot: c1·a=2 > c0·a=1
     assert(v(0).getAs[Double]("cdot") == 2.0)
 
+    val vb = graft.img.Media.synthVideo(5, 4, 3, 10, 6)
+    val ab = graft.img.Media.synthAudio(5, 8000, 1700)
+    val med = Seq((1L, vb), (2L, ab)).toDF("id", "bytes")
+    val mm = med.select(
+      call_function("media_kind", $"bytes").as("kind"),
+      call_function("media_meta", $"bytes").as("meta"),
+      when($"id" === 1, size(call_function("media_frame_sample", $"bytes", lit(2))))
+        .otherwise(size(call_function("audio_rms_windows", $"bytes", lit(800)))).as("n_parts"),
+      when($"id" === 1, length(call_function("media_frame", $"bytes", lit(0))))
+        .otherwise(lit(-1)).as("f0len")
+    ).collect()
+    assert(mm(0).getAs[String]("kind") == "video" && mm(1).getAs[String]("kind") == "audio")
+    assert(mm(0).getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("n") == 6)
+    assert(mm(0).getAs[Int]("n_parts") == 3 && mm(1).getAs[Int]("n_parts") == 2)
+    assert(mm(0).getAs[Int]("f0len") == 4 * 3 * 3)
+
     val unit = graft.geom.Wkt.read("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
     val tree = RTree.build(Array(RTree.Entry(0, 0, 2, 2, "z1", unit)))
     val tb = RTree.toBytes(tree)
