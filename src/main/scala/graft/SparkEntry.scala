@@ -450,6 +450,20 @@ object SparkEntry {
         .select("media_id", "kind", "n_parts", "feat_c", "dur_ms")
     }),
 
+    // frame-level near-dup ACROSS videos: phash the first frame of every
+    // video (decode → raw RGB → img_phash_rgb) and find hamming≤10 pairs
+    // through the same pigeonhole index that dedups text and images — the
+    // fixture plants a shared watermarked intro frame in every 10th video
+    "q64_frame_neardup" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val v = GeoTables.media(s, dir).where(col("kind") === "video")
+        .select(col("media_id"), call_function("img_phash_rgb",
+          call_function("media_frame", col("bytes"), lit(0)),
+          lit(16), lit(12)).as("ph"))
+      graft.join.TextDedup.nearDupPairs(v, "media_id", Seq(), Seq("ph"), 10)
+        .select(col("a"), col("b"), col("hamming"))
+    }),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.install(s)
       // scalable formulation: explode shingles, count co-occurrences per
@@ -1338,6 +1352,12 @@ object SparkEntry {
       s"""SELECT media_id, kind, exp_n_parts AS n_parts, exp_feat_c AS feat_c,
          exp_dur_ms AS dur_ms
          FROM $MED""",
+    "q64_frame_neardup" ->
+      s"""SELECT a.media_id AS a, b.media_id AS b,
+         CAST(bit_count(xor(a.exp_f0_phash, b.exp_f0_phash)) AS BIGINT) AS hamming
+         FROM $MED a JOIN $MED b
+           ON a.kind = 'video' AND b.kind = 'video' AND a.media_id < b.media_id
+         WHERE bit_count(xor(a.exp_f0_phash, b.exp_f0_phash)) <= 10""",
     "q61_corpus_filter" ->
       s"""WITH RECURSIVE pairs AS (
            SELECT a.doc_id AS pa, b.doc_id AS pb FROM $TFEAT a JOIN $TFEAT b

@@ -295,7 +295,25 @@ object GeoTables {
   def nMedia(sfDir: String): Int = math.max(200, (sfOf(sfDir) * 4000).toInt)
 
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
-                            exp_n_parts: Long, exp_feat_c: Long, exp_dur_ms: Long)
+                            exp_n_parts: Long, exp_feat_c: Long, exp_dur_ms: Long,
+                            exp_f0_phash: Long)
+
+  /** Every 10th video opens with a shared "intro" frame perturbed by a
+    * per-video watermark (8 high-bit pixel flips) — a planted frame-level
+    * NEAR-duplicate cluster for q64, mirroring the q12 image fixture. */
+  private def introFrame(i: Long, w: Int, h: Int): Array[Byte] = {
+    import graft.img.Media
+    val f = Media.synthFrames(424242L, w, h, 1)(0)
+    var hsh = Images.splitmix64(i ^ 0x51DE0L)
+    var k = 0
+    while (k < 8) {
+      hsh = Images.splitmix64(hsh)
+      val p = ((hsh >>> 33) % f.length).toInt
+      f(p) = (f(p) ^ 0x80).toByte
+      k += 1
+    }
+    f
+  }
 
   /** Expected columns computed from the PRE-encoding synth arrays (frames /
     * PCM); the engine re-derives them by decoding the container through the
@@ -307,10 +325,12 @@ object GeoTables {
       val w = 16; val h = 12; val fps = 10
       val nf = 8 + (i % 5).toInt * 4 // 8..24 frames
       val frames = Media.synthFrames(i, w, h, nf)
+      if (i % 10 == 0) frames(0) = introFrame(i, w, h)
       val sampled = Array.range(0, nf, 3).map(frames(_))
       val lumaC = sampled.map(f => math.floor(Images.lumaMean(f) * 100 + 0.5).toLong).sum
       MediaRow(i, "video", Media.encodeVideo(w, h, fps, frames),
-        sampled.length.toLong, lumaC, nf.toLong * 1000 / fps)
+        sampled.length.toLong, lumaC, nf.toLong * 1000 / fps,
+        Images.phashOfRgb(w, h, frames(0)))
     } else {
       val rate = 8000
       val ns = 4000 + (i % 7).toInt * 1000
@@ -318,7 +338,7 @@ object GeoTables {
       val rms = Media.audioRmsOf(samples, 800)
       val rmsC = rms.map(v => math.floor(v * 100 + 0.5).toLong).sum
       MediaRow(i, "audio", Media.encodeAudio(rate, samples),
-        rms.length.toLong, rmsC, ns.toLong * 1000 / rate)
+        rms.length.toLong, rmsC, ns.toLong * 1000 / rate, 0L)
     }
   }
 
@@ -327,16 +347,17 @@ object GeoTables {
     spark.read.parquet(mediaPath(sfDir))
   }
 
-  /** Additive fixture (own marker, mirrors the textfeat pattern). */
+  /** Additive fixture (own VERSIONED marker, mirrors the textfeat pattern
+    * — bump the suffix when the synthesis changes so stale dirs regen). */
   def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {
     ensure(spark, sfDir)
     val base = baseDir(sfDir)
-    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE"))) return
+    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V2"))) return
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     spark.range(0, nMedia(sfDir), 1, parts).map(mediaRow(_))
       .write.mode("overwrite").parquet(mediaPath(sfDir))
-    Files.createFile(Paths.get(s"$base/_MEDIA_DONE"))
+    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V2"))
   }
 
   /** Idempotent, atomic: generate-if-absent, then read. */

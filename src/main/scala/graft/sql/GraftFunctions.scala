@@ -135,6 +135,7 @@ object GraftFunctions {
     "media_frame" -> (e => MediaFrame(e(0), e(1))),
     "media_frame_sample" -> (e => MediaFrameSample(e(0), e(1))),
     "audio_rms_windows" -> (e => AudioRmsWindows(e(0), e(1))),
+    "img_phash_rgb" -> (e => ImgPhashRgb(e(0), e(1), e(2))),
     // text analysis / dedup (training-data pipeline ops)
     "text_lang_id" -> (e => TextLangId(e.head)),
     "text_quality" -> (e => TextQuality(e.head)),

@@ -409,6 +409,7 @@ object K {
     Images.resizeRgb(w, h, rgb, tw, th)
   }
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  def imgPhashRgb(rgb: Array[Byte], w: Int, h: Int): Long = Images.phashOfRgb(w, h, rgb)
   // compositional RGB ops (r3): gray/flip/crop/luma-mean over raw buffers
   def imgGray(rgb: Array[Byte]): Array[Byte] = Images.grayRgb(rgb)
   def imgFlip(rgb: Array[Byte], w: Int, h: Int, horizontal: Boolean): Array[Byte] =

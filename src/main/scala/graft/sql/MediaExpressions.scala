@@ -82,6 +82,22 @@ case class MediaFrameSample(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** img_phash_rgb(rgb, w, h) → 64-bit DCT pHash of a RAW RGB buffer — the
+  * sampled-frame flavor of img_phash (which decodes jpg/png first), so
+  * frame-level near-dup composes with the pigeonhole index unchanged. */
+case class ImgPhashRgb(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    graft.sql.K.imgPhashRgb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.imgPhashRgb($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 /** audio_rms_windows(bytes, win) → array<double> RMS per window. */
 case class AudioRmsWindows(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes {

@@ -48,6 +48,22 @@ class MediaSpec extends AnyFunSuite {
     assert(Images.flipRgb(8, 6, Images.flipRgb(8, 6, f0, true), true).toSeq == f0.toSeq)
   }
 
+  test("planted intro frames are NEAR duplicates: hamming<=10, not all exact") {
+    import graft.data.GeoTables
+    // the fixture's frame-0 phash, for the planted cluster (i%10==0)
+    val planted = (0L until 200L by 10).map(i => GeoTables.mediaRow(i).exp_f0_phash)
+    val others = (2L until 200L by 2).filter(_ % 10 != 0).take(20)
+      .map(i => GeoTables.mediaRow(i).exp_f0_phash)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val pairHams = for (i <- planted.indices; j <- i + 1 until planted.length)
+      yield ham(planted(i), planted(j))
+    assert(pairHams.forall(_ <= 10), s"max planted hamming ${pairHams.max}")
+    assert(pairHams.exists(_ > 0), "watermark noise should perturb some phash bits")
+    // unplanted first frames are far from the intro cluster
+    val cross = for (p <- planted; o <- others) yield ham(p, o)
+    assert(cross.forall(_ > 10), s"min cross hamming ${cross.min}")
+  }
+
   test("malformed containers fail loudly") {
     intercept[IllegalArgumentException](Media.kind(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Media.kind("XXXX?".getBytes))
