@@ -507,6 +507,17 @@ object SparkEntry {
       GraftFunctions.install(s)
       graft.join.AnnIndex.topK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 3)
     }),
+    // build-once/probe-many: the persisted IVF layout (bucketed vectors
+    // with stored assignment + norm, stats parquet, centroid blob) must
+    // return the SAME top-k as q21's ad-hoc path — no re-training, probe
+    // scans bucket-file-pruned (plan-asserted in AnnSpec)
+    "q65_ann_indexed" -> ((s, dir) => {
+      val tag = GeoTables.sfName(dir)
+      graft.join.AnnIndex.writeIndex(t(s, dir, "embeddings"),
+        s"/tmp/graft_ann/$tag", tag)
+      graft.join.AnnIndex.topKIndexed(s, s"/tmp/graft_ann/$tag", tag,
+        col("vec_id") < 10, k = 3)
+    }),
     "q22_embed_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .groupBy("label")
@@ -1088,6 +1099,23 @@ object SparkEntry {
          CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1""",
     "q21_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           list_sum(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS nrm
+           FROM embeddings),
+         pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+           list_sum(list_transform(list_zip(q.embedding, p.embedding),
+             s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS dot_q,
+           q.nrm AS q_nrm, p.nrm AS p_nrm
+           FROM e q, e p WHERE q.vec_id < 10)
+         SELECT q_vec, p_vec, rank FROM (
+           SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
+             ORDER BY CAST(dot_q AS DOUBLE)/SQRT(CAST(q_nrm AS DOUBLE)*CAST(p_nrm AS DOUBLE)) DESC,
+                      p_vec ASC) AS BIGINT) AS rank
+           FROM pairs) WHERE rank <= 3""",
+    "q65_ann_indexed" ->
       """WITH e AS (SELECT vec_id, embedding,
            list_sum(list_transform(embedding,
              x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)

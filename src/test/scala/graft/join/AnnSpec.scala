@@ -44,6 +44,16 @@ class AnnSpec extends AnyFunSuite {
     val a = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val b = brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b, s"ivf=${a.size} brute=${b.size} diff=${(a diff b).take(5)} ${(b diff a).take(5)}")
+
+    // persisted layout (build once, probe many): same answers, no
+    // re-training/assignment, bucket-file-pruned probe scans
+    AnnIndex.writeIndex(e, "/tmp/graft_ann_spec", "spec")
+    val idx = AnnIndex.topKIndexed(spark, "/tmp/graft_ann_spec", "spec", pred, k)
+    val iplan = idx.queryExecution.executedPlan.toString
+    assert(iplan.contains("SelectedBucketsCount"),
+      s"indexed probe must scan the bucketed layout with pruning:\n$iplan")
+    val c = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c == b, s"indexed=${c.size} brute=${b.size}")
   }
 
   test("100k vectors, >256 buckets (√n law), distributed training: still hash-exact") {
