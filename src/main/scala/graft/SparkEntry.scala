@@ -282,9 +282,10 @@ object SparkEntry {
       def rm(p: String): Unit = {
         val f = new java.io.File(p)
         if (f.exists()) {
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
+          val st = java.nio.file.Files.walk(f.toPath)
+          try st.sorted(java.util.Comparator.reverseOrder())
             .forEach(q => java.nio.file.Files.delete(q))
+          finally st.close() // Files.walk holds a directory fd until closed
         }
       }
       rm(outDir); rm(ckDir)

@@ -299,14 +299,14 @@ object GeoTables {
                             exp_f0_phash: Long)
 
   /** Every 10th video opens with a shared "intro" frame perturbed by a
-    * per-video watermark (8 high-bit pixel flips) — a planted frame-level
+    * per-video watermark (4 high-bit pixel flips) — a planted frame-level
     * NEAR-duplicate cluster for q64, mirroring the q12 image fixture. */
   private def introFrame(i: Long, w: Int, h: Int): Array[Byte] = {
     import graft.img.Media
     val f = Media.synthFrames(424242L, w, h, 1)(0)
     var hsh = Images.splitmix64(i ^ 0x51DE0L)
     var k = 0
-    while (k < 8) {
+    while (k < 4) {
       hsh = Images.splitmix64(hsh)
       val p = ((hsh >>> 33) % f.length).toInt
       f(p) = (f(p) ^ 0x80).toByte
@@ -352,12 +352,12 @@ object GeoTables {
   def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {
     ensure(spark, sfDir)
     val base = baseDir(sfDir)
-    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V2"))) return
+    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V3"))) return
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     spark.range(0, nMedia(sfDir), 1, parts).map(mediaRow(_))
       .write.mode("overwrite").parquet(mediaPath(sfDir))
-    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V2"))
+    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V3"))
   }
 
   /** Idempotent, atomic: generate-if-absent, then read. */

@@ -130,13 +130,17 @@ object Media {
   }
 
   /** Deterministic synthetic frames: pixel bytes from a splitmix of
-    * (seed, frame, pixel) — stable across JVMs and runs. */
+    * (seed, frame, pixel) — stable across JVMs and runs. The per-frame
+    * base is itself mixed so frames are never byte-shifted copies of
+    * their neighbors (a linear `f·const + i` index would alias whenever
+    * the frame byte count exceeds the stride — review r4). */
   def synthFrames(seed: Long, w: Int, h: Int, nFrames: Int): Array[Array[Byte]] =
     Array.tabulate(nFrames) { f =>
+      val base = mix(seed * 1000003 + f)
       val buf = new Array[Byte](w * h * 3)
       var i = 0
       while (i < buf.length) {
-        buf(i) = (mix(seed * 1000003 + f * 4093 + i) & 0xFF).toByte
+        buf(i) = (mix(base + i) & 0xFF).toByte
         i += 1
       }
       buf

@@ -60,9 +60,12 @@ object ImageDedup {
       }
       expr(s"CASE ${cases.mkString(" ")} END")
     }
+    // materialized once: read by the guard scan and BOTH join sides (the
+    // upstream phash derivation would otherwise re-run three times)
     val d = df.select(col(idCol).as("id"), col(phashCol).as("ph"))
       .withColumn("ci", explode(sequence(lit(0), lit(c - 1))))
       .withColumn("cv", chunkExpr)
+      .localCheckpoint()
     guardCandidates(d, Seq("ci", "cv"), maxCandidates,
       "use a wider hash (e.g. simhash128's two-long fingerprint) or recursively sub-band hot buckets")
     val a = d.select(col("id").as("a"), col("ci"), col("cv"), col("ph").as("ph_a"))

@@ -50,8 +50,12 @@ object SpatialJoins {
       call_function("st_cellid", col("lon"), col("lat"), lit(level)))
     val coverRaw = zoneCover(zones, level)
       .select(col("zone_id"), col("zone_geom"), col("cell"))
-    val cover =
-      if (zones.count() <= broadcastMaxZones) broadcast(coverRaw) else coverRaw
+    // bounded dispatch probe (review r4): limit(max+1).count() answers the
+    // ≤ test without fully scanning a huge zones side (the RTree.fromZones
+    // pattern)
+    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
+      .count() <= broadcastMaxZones
+    val cover = if (few) broadcast(coverRaw) else coverRaw
     pts.join(cover, "cell")
       .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
   }
@@ -132,7 +136,17 @@ object SpatialJoins {
     // up. Each extra initial ring costs only more (cell, query) probe rows
     // (broadcast side), never a new job. Floor 2: a ring-0-only round can
     // never satisfy the termination bound (covered radius is 0).
-    var hi = initialHi(k, nPts, n)
+    // Budget clamp (review r4): the GLOBAL density underestimates local
+    // density on clustered data, and the annulus cells are materialized
+    // driver-side per query — cap the first round at ~4M (cell, query)
+    // tuples so a sparse-but-clustered corpus can't balloon the driver
+    // Seq/broadcast; clustered queries then retire in the cheap hi=2-ish
+    // round exactly as under the fixed start.
+    var hi = {
+      val perQ = math.max(9L, (1L << 22) / math.max(1, qrows.length))
+      val hiCap = math.max(2L, (math.sqrt(perQ.toDouble).toLong - 1) / 2 + 1)
+      math.min(initialHi(k, nPts, n), hiCap)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double, Int)]
     // once the annulus would cover a large fraction of the grid, probing
     // mostly-empty cells costs more than scanning all points once

@@ -49,8 +49,15 @@ object TextDedup {
     // simCol (least-significant long). Chunks that straddle a long
     // boundary combine an unsigned-masked low part with a shifted high
     // part — all plain column arithmetic, fully codegen'd.
+    //
+    // Chunks WIDER than 64 bits (multi-long fingerprints with small
+    // maxHamming) key on their low 64 bits: a 64-bit key column can't
+    // hold more, and any sub-range of a chunk is still a sound pigeonhole
+    // key (equal chunk ⇒ equal sub-range, so candidates only widen,
+    // never drop — exactness preserved; the hamming refine culls extras).
     val words = simCols.reverse.map(col) // words(0) = least-significant
-    def chunkValue(off: Int, w: Int) = {
+    def chunkValue(off: Int, wFull: Int) = {
+      val w = math.min(wFull, 64)
       val mask = if (w == 64) -1L else (1L << w) - 1
       val wi = off / 64
       val bo = off % 64
@@ -74,9 +81,15 @@ object TextDedup {
     }
 
     val keep = (idCol +: (keyCols ++ simCols)).distinct.map(col)
+    // localCheckpoint: the exploded frame is read three times (guard scan,
+    // both join sides) — materializing the narrow (id, keys, sims, ci, cv)
+    // projection once stops the upstream per-row kernels (text_simhash over
+    // the whole corpus) from being recomputed per read; same pattern as
+    // ImageDedup.components' round state.
     val d = df.select(keep: _*)
       .withColumn("ci", explode(sequence(lit(0), lit(c - 1))))
       .withColumn("cv", chunkExpr)
+      .localCheckpoint()
     ImageDedup.guardCandidates(d, keyCols ++ Seq("ci", "cv"), maxCandidates,
       "widen the fingerprint (text_simhash128) or recursively sub-band hot buckets")
 

@@ -90,9 +90,12 @@ object Streams {
                        watermark: String, within: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
-    l.join(r, col(leftKey) === col(rightKey) &&
-      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+    // dataframe-qualified references: bare col(name) is ambiguous whenever
+    // both streams share the key/timestamp column name — the most natural
+    // call shape this signature invites (review r4)
+    l.join(r, l(leftKey) === r(rightKey) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $within") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
   }
 
   // ---------------- custom state (mapGroupsWithState) ----------------

@@ -92,7 +92,9 @@ object ScalingBench {
     // expiry the protocol runs anyway and the ceiling in the output marks
     // the attempt as throttled.
     val minCeiling = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_CEILING", "0").toDouble
-    val deadlineSecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_SECS", "0").toLong
+    // default wait: 6 h — a gate with a ceiling but a zero deadline would
+    // silently run throttled immediately, defeating its purpose (review r4)
+    val deadlineSecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_SECS", "21600").toLong
     if (minCeiling > 0) {
       val t0 = System.nanoTime()
       var c = probeCeiling()

@@ -87,6 +87,39 @@ class SimhashPigeonholeSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should produce at least one 128-bit near pair")
   }
 
+  test("chunks wider than 64 bits key on their low long (128-bit, maxHamming 0/1)") {
+    // review r4: c = maxHamming+1 ≤ 2 over two longs gives 64–128-bit
+    // chunks; the key clamps to the low 64 bits (a sound pigeonhole
+    // sub-range) instead of a wrapped mask that collapsed every row to
+    // cv=0. Exactness: equal-fingerprint pairs at h=0; h≤1 brute parity.
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s", 0x1234L, 0x5678L), (2L, "s", 0x1234L, 0x5678L), // exact dup
+      (3L, "s", 0x1234L, 0x5679L),                              // h=1 from 1/2
+      (4L, "s", 0x9234L, 0x5678L),                              // h=1 (high long)
+      (5L, "s", 0xFFFFL, 0x0L)
+    ).toDF("doc_id", "source", "sim_hi", "sim_lo")
+    def brute(h: Int) = {
+      val a0 = d.select(col("doc_id").as("a"), col("source"),
+        col("sim_hi").as("ha"), col("sim_lo").as("la"))
+      val b0 = d.select(col("doc_id").as("b"), col("source"),
+        col("sim_hi").as("hb"), col("sim_lo").as("lb"))
+      a0.join(b0, "source").where(col("a") < col("b"))
+        .where(call_function("bit_hamming", col("ha"), col("hb")) +
+          call_function("bit_hamming", col("la"), col("lb")) <= h)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    Seq(0, 1).foreach { h =>
+      val got = graft.join.TextDedup
+        .nearDupPairs(d, "doc_id", Seq("source"), Seq("sim_hi", "sim_lo"), h)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(h), s"h=$h got=$got brute=${brute(h)}")
+    }
+    assert(brute(0) == Set((1L, 2L)) && brute(1).size == 5)
+  }
+
   test("128-bit chunks bound candidate counts where 64-bit chunks go quadratic (100k docs)") {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.install(spark)
