@@ -455,6 +455,18 @@ object SparkEntry {
     // video (decode → raw RGB → img_phash_rgb) and find hamming≤10 pairs
     // through the same pigeonhole index that dedups text and images — the
     // fixture plants a shared watermarked intro frame in every 10th video
+    // long-document chunking: 32-token windows, stride 24 (8-token
+    // overlap) — chunk CONTENT is compared row-for-row against a pure-SQL
+    // DuckDB reconstruction (string_split_regex + list slices), so the
+    // tokenizer and window arithmetic are pinned end-to-end
+    "q66_doc_chunks" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.docsAug(s, dir)
+        .select(col("doc_id"),
+          posexplode(call_function("text_chunks", col("text"), lit(32), lit(24))))
+        .select(col("doc_id"), col("pos").cast("bigint").as("ci"), col("col").as("chunk"))
+    }),
+
     "q64_frame_neardup" -> ((s, dir) => {
       GraftFunctions.install(s)
       val v = GeoTables.media(s, dir).where(col("kind") === "video")
@@ -1381,6 +1393,14 @@ object SparkEntry {
       s"""SELECT media_id, kind, exp_n_parts AS n_parts, exp_feat_c AS feat_c,
          exp_dur_ms AS dur_ms
          FROM $MED""",
+    "q66_doc_chunks" ->
+      s"""WITH d AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+           FROM $DOCA),
+         st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s0 FROM d)
+         SELECT doc_id, CAST(s0 // 24 AS BIGINT) AS ci,
+           array_to_string(toks[s0 + 1 : least(s0 + 32, len(toks))], ' ') AS chunk
+         FROM st""",
     "q64_frame_neardup" ->
       s"""SELECT a.media_id AS a, b.media_id AS b,
          CAST(bit_count(xor(a.exp_f0_phash, b.exp_f0_phash)) AS BIGINT) AS hamming

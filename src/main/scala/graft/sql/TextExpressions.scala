@@ -148,6 +148,28 @@ case class TextJaccard(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** text_chunks(text, size, step) → array<string> of token windows (size
+  * tokens, stride step) — long-document chunking for training pipelines. */
+case class TextChunks(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(Text.chunks(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[Int], c.asInstanceOf[Int]).map(UTF8String.fromString).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"org.apache.spark.sql.graft.TextChunks.arr($a.toString(), $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+object TextChunks {
+  /** Codegen-callable array builder. */
+  def arr(s: String, size: Int, step: Int): GenericArrayData =
+    new GenericArrayData(Text.chunks(s, size, step).map(UTF8String.fromString).asInstanceOf[Array[Any]])
+}
+
 // ---------------- embedding vectors ----------------
 
 object VecOps {

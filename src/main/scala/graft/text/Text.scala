@@ -123,6 +123,18 @@ object Text {
     best
   }
 
+  /** Token-window document chunking — the standard long-document
+    * preprocessing step of a training pipeline: windows of `size` tokens
+    * starting every `step` tokens (overlap = size − step), last window
+    * possibly shorter, single-space re-joined. Empty text → no chunks. */
+  def chunks(s: String, size: Int, step: Int): Array[String] = {
+    require(size > 0 && step > 0, s"chunk size/step must be positive: $size/$step")
+    val toks = tokens(s)
+    if (toks.isEmpty) return Array.empty
+    val starts = Array.range(0, toks.length, step)
+    starts.map(st => toks.slice(st, math.min(st + size, toks.length)).mkString(" "))
+  }
+
   /** Word k-gram shingle hashes (deduped). */
   def shingles(s: String, k: Int): Array[Long] = {
     val toks = tokens(s)

@@ -45,7 +45,8 @@ class CodegenSpec extends AnyFunSuite {
       call_function("lsh_bands", call_function("text_minhash", $"text", lit(16)), lit(4)).as("bands"),
       call_function("text_jaccard", $"text", $"text").as("jac_self"),
       call_function("text_ngram_jaccard", $"text", $"text", lit(4)).as("njac_self"),
-      call_function("text_shingles", $"text", lit(4)).as("shingles")
+      call_function("text_shingles", $"text", lit(4)).as("shingles"),
+      call_function("text_chunks", $"text", lit(4), lit(3)).as("chunks")
     ).collect()
 
     assert(r.length == 3)
@@ -56,6 +57,7 @@ class CodegenSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Seq[Long]]("mh").length == 16))
     assert(r.forall(_.getAs[Seq[Long]]("bands").length == 4))
     assert(r.forall(_.getAs[Seq[Long]]("shingles").nonEmpty))
+    assert(r.forall(_.getAs[Seq[String]]("chunks").nonEmpty))
     // codegen and interpreted paths must agree bit-for-bit
     assert(r(0).getAs[Long]("sh") == graft.text.Text.simhash(
       "the quick brown fox jumps over the lazy dog and keeps running"))

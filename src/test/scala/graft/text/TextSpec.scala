@@ -13,6 +13,20 @@ class TextSpec extends AnyFunSuite {
     assert(Text.tokenCountBpeish("a,b") == 3) // a + ',' + b
   }
 
+  test("token-window chunking: sizes, stride, overlap, edge cases") {
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val ch = Text.chunks(doc, 32, 24)
+    assert(ch.length == 5) // starts 0,24,48,72,96
+    assert(ch(0) == (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(ch(1).startsWith("w25 ") && ch(1).endsWith(" w56")) // 8-token overlap
+    assert(ch(4) == (97 to 100).map(i => s"w$i").mkString(" ")) // short tail
+    assert(Text.chunks("", 32, 24).isEmpty)
+    assert(Text.chunks("one two", 32, 24).toSeq == Seq("one two"))
+    assert(Text.chunks(doc, 10, 10).length == 10) // no overlap: exact partition
+    intercept[IllegalArgumentException](Text.chunks(doc, 0, 5))
+    intercept[IllegalArgumentException](Text.chunks(doc, 5, 0))
+  }
+
   test("quality score ordering: clean text beats degenerate text") {
     val good = "the quick brown fox jumps over the lazy dog and runs through the field " * 3
     val bad = "zzz zzz zzz zzz zzz zzz zzz zzz"
