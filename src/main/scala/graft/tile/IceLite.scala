@@ -174,6 +174,14 @@ object IceLite {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Load a specific snapshot by id — snapshots are immutable, so any
+    * committed id stays readable forever (time travel). */
+  def snapshotById(root: String, snapshotId: Long): Option[Snapshot] = {
+    val f = metaDir(root).resolve(s"snap-$snapshotId.json")
+    if (!Files.exists(f)) None
+    else Some(fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+  }
+
   def listSnapshots(root: String): Seq[String] = {
     val meta = metaDir(root)
     if (!Files.exists(meta)) Seq.empty

@@ -131,6 +131,20 @@ object TileJob {
     spark.read.parquet(dirs: _*)
   }
 
+  /** TIME TRAVEL: read the table as of an older committed snapshot.
+    * Data files are immutable and snapshots are never rewritten, so any
+    * historical id reproduces exactly the rows visible at that commit —
+    * the audit/rollback read an Iceberg catalog would serve with
+    * `VERSION AS OF`. */
+  def readAt(spark: SparkSession, outRoot: String, snapshotId: Long): DataFrame = {
+    val snap = IceLite.snapshotById(outRoot, snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $snapshotId at $outRoot (have: ${IceLite.listSnapshots(outRoot).mkString(", ")})"))
+    val dirs = snap.buckets.map(_.dataDir).filter(d => Files.exists(Paths.get(d)))
+    if (dirs.isEmpty) readCurrent(spark, outRoot).limit(0)
+    else spark.read.parquet(dirs: _*)
+  }
+
   /** Manifest-driven pruning: only buckets whose cell range intersects. */
   def readCellRange(spark: SparkSession, outRoot: String,
                     cellMin: Long, cellMax: Long): DataFrame = {

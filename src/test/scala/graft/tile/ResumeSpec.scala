@@ -61,5 +61,20 @@ class ResumeSpec extends AnyFunSuite {
     val full = TileJob.readCurrent(spark, rootA)
       .where(org.apache.spark.sql.functions.col("cell").between(mid.cellMin, mid.cellMax)).count()
     assert(pruned == full)
+
+    // TIME TRAVEL: the pre-resume 3-bucket snapshot stays readable AFTER
+    // the resumed commit superseded it, returning exactly its own rows
+    val oldId = partial.get.snapshotId
+    assert(TileJob.readAt(spark, rootB, oldId).count() ==
+      partial.get.buckets.map(_.rows).sum)
+    assert(TileJob.readAt(spark, rootB, snapB.snapshotId).count() ==
+      TileJob.readCurrent(spark, rootB).count())
+    // the resume commits once per bucket, so the superseded snapshot is an
+    // ANCESTOR of the final one — walk the parent chain to it
+    val chain = Iterator.iterate(snapB.snapshotId)(id =>
+      IceLite.snapshotById(rootB, id).map(_.parentId).getOrElse(-1L))
+      .takeWhile(_ >= 0).take(64).toSeq
+    assert(chain.contains(oldId), s"parent chain $chain must reach $oldId")
+    intercept[IllegalArgumentException](TileJob.readAt(spark, rootB, -12345L))
   }
 }
