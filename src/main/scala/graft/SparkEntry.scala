@@ -308,6 +308,55 @@ object SparkEntry {
         .groupBy("zone_id").agg(count(lit(1)).as("n_images"))
     }),
 
+    // STREAM-STREAM watermarked interval join, end-to-end (r4 late): two
+    // live file-source streams (signups / purchases) joined per user
+    // within ±30 min, multi-micro-batch AvailableNow, parquet sink — must
+    // emit exactly the batch interval join. The watermark delay here is
+    // deliberately larger than the corpus span so NO pair can be dropped
+    // as late (completeness is what the oracle pins); state EVICTION
+    // under a tight watermark is pinned separately by StreamingSpec.
+    "q67_stream_interval_join" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      import org.apache.spark.sql.streaming.Trigger
+      GeoTables.ensure(s, dir)
+      val base = GeoTables.baseDir(dir)
+      val outDir = s"$base/stream_ssj_out"
+      val ckDir = s"$base/stream_ssj_ck"
+      def rm(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          val st = java.nio.file.Files.walk(f.toPath)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.delete(q))
+          finally st.close()
+        }
+      }
+      rm(outDir); rm(ckDir)
+      // file-source streams need a DIRECTORY; split the events table into
+      // parts so maxFilesPerTrigger=1 drives real multi-batch progress
+      val evPath = s"$base/stream_ssj_src"
+      rm(evPath)
+      s.read.parquet(s"$dir/events.parquet").repartition(6)
+        .write.mode("overwrite").parquet(evPath)
+      val schema = s.read.parquet(evPath).schema
+      def src(tpe: String, pfx: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(evPath)
+        .where(col("event_type") === tpe)
+        .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
+          col("ts").cast("timestamp").as(s"${pfx}_ts")) // NTZ → TIMESTAMP: watermarks demand it; session tz is pinned UTC so the instant is unchanged
+      val joined = graft.streaming.Streams.streamStreamJoin(
+        src("signup", "s"), src("purchase", "p"),
+        "s_user", "p_user", "s_ts", "p_ts",
+        watermark = "3650 days", within = "30 minutes")
+      val q = joined.select("s_id", "p_id").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).select(col("s_id"), col("p_id"))
+    }),
+
     // near-dup CLUSTERS: hash-min connected components over the pigeonhole
     // pairs → cluster-size histogram (the keep-one-per-cluster end-step)
     "q55_dedup_components" -> ((s, dir) => {
@@ -1364,6 +1413,12 @@ object SparkEntry {
          FROM $IMG i JOIN $ZON z
            ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
          GROUP BY 1""",
+    "q67_stream_interval_join" ->
+      """SELECT s.event_id AS s_id, p.event_id AS p_id
+         FROM events s JOIN events p
+           ON s.user_id = p.user_id
+          AND s.event_type = 'signup' AND p.event_type = 'purchase'
+          AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE""",
     "q16_langid_hist" ->
       s"""SELECT lang_pred AS predicted, COUNT(*) AS n,
          CAST(SUM(quality_c) AS BIGINT) AS quality_c
