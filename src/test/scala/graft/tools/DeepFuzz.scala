@@ -1,0 +1,148 @@
+package graft.tools
+
+import graft.geom._
+import org.locationtech.jts.io.WKTReader
+
+/**
+ * One-off deep differential fuzz vs JTS (the independent oracle on the
+ * classpath) — the same generators and comparisons as the CI specs
+ * (PlanarOverlaySpec / JtsOracleSpec / BufferSpec) at 100–1000× the
+ * iteration count, for idle-capacity bug hunting between rounds. Not
+ * part of `sbt test` (runtime scales with N).
+ *
+ * Usage: runMain graft.tools.DeepFuzz [seed] [N]
+ * Prints a one-line summary; exits 1 with the failing WKT pair on any
+ * divergence.
+ */
+object DeepFuzz {
+
+  val reader = new WKTReader()
+  var state = 1L
+  def frac(): Double = {
+    state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+    (state >>> 11).toDouble / (1L << 53).toDouble
+  }
+  def nextInt(bound: Int): Int = (frac() * bound).toInt
+
+  def star(cx: Double, cy: Double, rMax: Double): Array[Double] = {
+    val n = 5 + (frac() * 8).toInt
+    val angles = Array.fill(n)(frac() * 2 * math.Pi).sorted
+    val ring = new Array[Double]((n + 1) * 2)
+    var i = 0
+    while (i < n) {
+      val r = rMax * (0.25 + 0.75 * frac())
+      ring(2 * i) = cx + r * math.cos(angles(i))
+      ring(2 * i + 1) = cy + r * math.sin(angles(i))
+      i += 1
+    }
+    ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
+    ring
+  }
+
+  def rect(lim: Int, span: Int): String = {
+    val x = nextInt(lim); val y = nextInt(lim)
+    val w = 1 + nextInt(span); val h = 1 + nextInt(span)
+    s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))"
+  }
+  def tri(lim: Int): String = {
+    var ax = 0; var ay = 0; var bx = 0; var by = 0; var cx = 0; var cy = 0
+    do {
+      ax = nextInt(lim); ay = nextInt(lim); bx = nextInt(lim); by = nextInt(lim)
+      cx = nextInt(lim); cy = nextInt(lim)
+    } while ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) == 0)
+    s"POLYGON (($ax $ay, $bx $by, $cx $cy, $ax $ay))"
+  }
+  def line(lim: Int): String = {
+    val n = 2 + nextInt(4)
+    s"LINESTRING (${Seq.fill(n)(s"${nextInt(lim)} ${nextInt(lim)}").mkString(", ")})"
+  }
+  def point(lim: Int): String = s"POINT (${nextInt(lim)} ${nextInt(lim)})"
+
+  private var fails = 0
+  private def check(cond: Boolean, msg: => String): Unit =
+    if (!cond) { fails += 1; System.err.println(s"[deepfuzz] ESCAPE: $msg") }
+
+  def overlayCase(wa: String, wb: String, tol: Double): Unit = {
+    val ja = reader.read(wa); val jb = reader.read(wb)
+    if (!ja.isValid || !jb.isValid) return
+    val ga = Wkt.read(wa); val gb = Wkt.read(wb)
+    val ops = Seq[(String, () => Double, () => Double)](
+      ("INT", () => Ops.area(Overlay.intersection(ga, gb)), () => ja.intersection(jb).getArea),
+      ("UNION", () => Ops.area(Overlay.union(ga, gb)), () => ja.union(jb).getArea),
+      ("DIFF", () => Ops.area(Overlay.difference(ga, gb)), () => ja.difference(jb).getArea),
+      ("XOR", () => Ops.area(Overlay.symDifference(ga, gb)), () => ja.symDifference(jb).getArea))
+    ops.foreach { case (name, got, want) =>
+      try {
+        val g = got(); val w = want()
+        check(math.abs(g - w) < tol * math.max(1, w), s"$name a=$wa b=$wb got=$g want=$w")
+      } catch {
+        case e: Exception => check(cond = false, s"$name a=$wa b=$wb threw ${e.getMessage}")
+      }
+    }
+  }
+
+  def predicateCase(wa: String, wb: String): Unit = {
+    val ja = reader.read(wa); val jb = reader.read(wb)
+    if (!ja.isValid || !jb.isValid) return
+    val oa = Wkt.read(wa); val ob = Wkt.read(wb)
+    try {
+      check(Pred.relate(oa, ob) == ja.relate(jb).toString,
+        s"relate a=$wa b=$wb got=${Pred.relate(oa, ob)} want=${ja.relate(jb)}")
+      val gd = Pred.distance(oa, ob); val wd = ja.distance(jb)
+      check(math.abs(gd - wd) < 1e-9 * math.max(1, wd), s"distance a=$wa b=$wb got=$gd want=$wd")
+    } catch {
+      case e: Exception => check(cond = false, s"pred a=$wa b=$wb threw ${e.getMessage}")
+    }
+  }
+
+  def bufferCase(): Unit = {
+    val g = Polygon(Array(star(5, 5, 3 + frac() * 2)))
+    val w = Wkt.write(g)
+    val j = reader.read(w)
+    if (!j.isValid) return
+    val d = 0.3 + frac() * 1.2
+    try {
+      val buf = Ops.simplify(Ops.buffer(g, d))
+      val want = j.buffer(d).getArea
+      val got = Ops.area(buf)
+      check(math.abs(got - want) / want < 0.01, s"buffer poly=$w d=$d got=$got want=$want")
+      check(Pred.covers(buf, g), s"buffer must cover input: $w d=$d")
+    } catch {
+      case e: Exception => check(cond = false, s"buffer poly=$w d=$d threw ${e.getMessage}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    state = if (args.length > 0) args(0).toLong else 99991L
+    val n = if (args.length > 1) args(1).toInt else 50000
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) {
+      (i % 5) match {
+        case 0 => // concave star overlay (float coords)
+          overlayCase(
+            Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)))),
+            Wkt.write(Polygon(Array(star(6 + frac() * 2, 6 + frac() * 2, 3 + frac() * 2)))), 1e-6)
+        case 1 => // integer-grid degenerate contacts
+          val wa = if (nextInt(2) == 0) rect(8, 5) else tri(12)
+          val wb = if (nextInt(2) == 0) rect(8, 5) else tri(12)
+          overlayCase(wa, wb, 1e-9)
+        case 2 => // mixed-type predicates + relate + distance
+          def rnd(k: Int): String = k match {
+            case 0 => point(20); case 1 => line(20); case _ => if (nextInt(2) == 0) rect(15, 5) else tri(20)
+          }
+          predicateCase(rnd(nextInt(3)), rnd(nextInt(3)))
+        case 3 => bufferCase()
+        case _ => // web-mercator magnitude overlay (snap-grid adaptation)
+          val s = 1e6
+          overlayCase(
+            Wkt.write(Polygon(Array(star(5 * s + frac() * 2 * s, 5 * s + frac() * 2 * s, (3 + frac() * 2) * s)))),
+            Wkt.write(Polygon(Array(star(6 * s + frac() * 2 * s, 6 * s + frac() * 2 * s, (3 + frac() * 2) * s)))), 1e-6)
+      }
+      i += 1
+      if (i % 10000 == 0) System.err.println(s"[deepfuzz] $i/$n, fails=$fails, ${(System.nanoTime() - t0) / 1e9}%.0f s")
+    }
+    println(s"""{"tool":"deepfuzz","seed":${args.headOption.getOrElse("99991")},"n":$n,"escapes":$fails,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+    if (fails > 0) sys.exit(1)
+  }
+}
