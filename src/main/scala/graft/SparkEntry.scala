@@ -154,6 +154,15 @@ object SparkEntry {
       SpatialJoins.pipJoin(GeoTables.images(s, dir), GeoTables.zones(s, dir), level = 8)
         .select(col("zone_id"), col("image_id"))
     }),
+    // polygon × polygon intersects join (zones vs zones, r4 late): cell
+    // covers on BOTH sides → shuffle equi-join on cell → pair dedup →
+    // exact refine; no broadcast requirement on either side
+    "q68_poly_join" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      SpatialJoins.polyJoin(z, z, level = 8)
+        .where(col("a_id") < col("b_id"))
+    }),
+
     "q29_pip_rtree" -> ((s, dir) => {
       SpatialJoins.pipJoinRtree(GeoTables.images(s, dir), GeoTables.zones(s, dir))
         .select(col("zone_id"), col("image_id"))
@@ -1077,6 +1086,12 @@ object SparkEntry {
       s"""SELECT z.zone_id, i.image_id
          FROM $IMG i JOIN $ZON z
            ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax""",
+    "q68_poly_join" ->
+      s"""SELECT a.zone_id AS a_id, b.zone_id AS b_id
+         FROM $ZON a JOIN $ZON b
+           ON a.zone_id < b.zone_id
+          AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+          AND a.ymin <= b.ymax AND b.ymin <= a.ymax""",
     "q08_pip_tile" ->
       s"""SELECT z.zone_id, ${txSql("i.lon", 8)} AS tx, ${tySql("i.lat", 8)} AS ty,
          COUNT(*) AS n_images

@@ -61,6 +61,32 @@ object SpatialJoins {
   }
 
   /**
+   * Polygon × polygon intersects join (the zones-vs-zones shape): both
+   * sides explode to cell covers at `level`, equi-join on cell, dedup the
+   * (a, b) pairs that share several cells, exact `st_intersects` refine.
+   *
+   * Exactness: if A ∩ B ≠ ∅, any point of the intersection lies in one
+   * level-`level` cell of each cover, and covers are supersets of their
+   * geometry — so that cell is in BOTH covers and the equi-join emits the
+   * pair. Scale: a pure shuffle equi-join on the compact cell key — no
+   * broadcast requirement on either side, AQE splits hot cells; dedup
+   * runs BEFORE the geometry refine so each candidate pair pays exactly
+   * one exact predicate.
+   */
+  def polyJoin(zonesA: DataFrame, zonesB: DataFrame, level: Int = 8): DataFrame = {
+    GraftFunctions.install(zonesA.sparkSession)
+    val a = zoneCover(zonesA, level)
+      .select(col("zone_id").as("a_id"), col("zone_geom").as("a_geom"), col("cell"))
+    val b = zoneCover(zonesB, level)
+      .select(col("zone_id").as("b_id"), col("zone_geom").as("b_geom"), col("cell"))
+    a.join(b, "cell")
+      .groupBy("a_id", "b_id")
+      .agg(first(col("a_geom")).as("a_geom"), first(col("b_geom")).as("b_geom"))
+      .where(call_function("st_intersects", col("a_geom"), col("b_geom")))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /**
    * PIP join via a plan-embedded broadcast STR R-tree (#45 alternative to
    * the cell join): the tree over all zone polygons is built driver-side,
    * shipped in the plan, and probed per image row — zero shuffle, zero
