@@ -35,9 +35,29 @@ object PlanarOverlay {
   case object Xor extends Op
 
   /** Overlay of two polygonal sets (array of polygons, each = rings with
-    * shell first). Returns Polygon / MultiPolygon / empty collection. */
+    * shell first). Returns Polygon / MultiPolygon / empty collection.
+    *
+    * Robustness ladder (the OverlayNG pattern): the default 2^-43-relative
+    * snap grid resolves ~all inputs bit-stably; on the rare
+    * near-degenerate configuration where classification and tracing
+    * disagree (sub-edge degrees don't close — e.g. two capsule arcs
+    * tangent within an ulp), retry on a coarser power-of-two grid, which
+    * forces the almost-shared edges to become EXACTLY shared and the
+    * selection consistent. Deterministic: same input → same ladder → same
+    * output; inputs that succeed at the default grid are untouched. */
   def overlay(pa: Array[Array[Array[Double]]], pb: Array[Array[Array[Double]]], op: Op): Geometry = {
-    val scale = snapScale(math.max(maxAbs(pa), maxAbs(pb)))
+    val scale0 = snapScale(math.max(maxAbs(pa), maxAbs(pb)))
+    var k = 0
+    var last: IllegalStateException = null
+    while (k < 4) {
+      try return overlayAt(pa, pb, op, scale0 / (1L << (4 * k)))
+      catch { case e: IllegalStateException => last = e; k += 1 }
+    }
+    throw last
+  }
+
+  private def overlayAt(pa: Array[Array[Array[Double]]], pb: Array[Array[Array[Double]]],
+                        op: Op, scale: Double): Geometry = {
     val a = normalize(pa, scale)
     val b = normalize(pb, scale)
     if (a.isEmpty || b.isEmpty) return op match {

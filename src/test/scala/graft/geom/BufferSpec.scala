@@ -48,6 +48,24 @@ class BufferSpec extends AnyFunSuite {
     assert(exercised > 100)
   }
 
+  test("snap-ladder regression: DeepFuzz seed-101 capsule union no longer dead-ends") {
+    // found 2026-08-17 by Test/runMain graft.tools.DeepFuzz 101 100000:
+    // two capsule arcs tangent within an ulp made overlay classification
+    // and tracing disagree at the default snap grid — the coarser-grid
+    // retry ladder (PlanarOverlay.overlay) resolves it
+    val w = "POLYGON ((6.108786037096861 5.05086130068804, 6.302702148749027 5.108938920230858, " +
+      "6.530921647642393 6.196414603566598, 5.6174171049747565 6.724035106501056, " +
+      "4.757160274976361 6.7130900479293265, 4.489732914057353 6.106017878190258, " +
+      "1.7992334399965233 4.408489348587485, 6.108786037096861 5.05086130068804))"
+    val g = Wkt.read(w)
+    val d = 0.4153826746580283
+    val buf = Ops.simplify(Ops.buffer(g, d))
+    val want = reader.read(w).buffer(d).getArea
+    val got = Ops.area(buf)
+    assert(math.abs(got - want) / want < 0.01, s"got=$got want=$want")
+    assert(Pred.covers(buf, g))
+  }
+
   test("max_deviation controls tessellation: coarse=8 segs, fine>=default accuracy") {
     val pt = Point(3.0, 4.0)
     val coarse = Ops.bufferDeviation(pt, 1.0, 0.5).asInstanceOf[Polygon]
