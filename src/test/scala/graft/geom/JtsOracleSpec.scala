@@ -80,17 +80,28 @@ class JtsOracleSpec extends AnyFunSuite {
     assert(checked > N / 2)
   }
 
-  test("relate matrix agrees with JTS") {
+  test("relate matrix agrees with JTS (simple inputs)") {
+    // SIMPLE inputs only: on a line that self-crosses exactly at a point
+    // of the other geometry's boundary/interior, JTS relate reports a
+    // different intersection DIMENSION than JTS's own overlay computes
+    // for the same set (DeepFuzz 2026-08-17: relate said dim 1 where
+    // intersection() returned MULTIPOINT, and dim 0 where a collinear
+    // run exists) — the oracle contradicts itself on non-simple lines,
+    // so the full-matrix comparison is restricted to simple geometries.
+    // Boolean predicates are unaffected (0 and 1 both match T).
+    var checked = 0
     (0 until N).foreach { i =>
       val wa = randWkt(i % 3)
       val wb = randWkt((i + 1) % 3)
       val ja = jts(wa); val jb = jts(wb)
-      if (ja.isValid && jb.isValid) {
+      if (ja.isValid && jb.isValid && ja.isSimple && jb.isSimple) {
         val got = Pred.relate(ours(wa), ours(wb))
         val want = ja.relate(jb).toString
         assert(got == want, s"relate a=$wa b=$wb got=$got want=$want")
+        checked += 1
       }
     }
+    assert(checked > N / 3)
   }
 
   test("distance agrees with JTS") {
