@@ -535,6 +535,23 @@ object SparkEntry {
         .select(col("a"), col("b"), col("hamming"))
     }),
 
+    // 256-bit perceptual hash near-dup (the wide-fingerprint scale path
+    // for images/frames): planted/stranger separation ratio improves from
+    // 2.2x at 64 bits to 2.9x at 256, and the SAME multi-long pigeonhole
+    // index (TextDedup.nearDupPairs, 4 longs) serves the join
+    "q69_frame_neardup256" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val v = GeoTables.media(s, dir).where(col("kind") === "video")
+        .withColumn("p256", call_function("img_phash256_rgb",
+          call_function("media_frame", col("bytes"), lit(0)), lit(16), lit(12)))
+        .select(col("media_id"),
+          col("p256").getItem(3).as("h3"), col("p256").getItem(2).as("h2"),
+          col("p256").getItem(1).as("h1"), col("p256").getItem(0).as("h0"))
+      graft.join.TextDedup.nearDupPairs(v, "media_id", Seq(),
+        Seq("h3", "h2", "h1", "h0"), 48)
+        .select(col("a"), col("b"), col("hamming"))
+    }),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.install(s)
       // scalable formulation: explode shingles, count co-occurrences per
@@ -1477,6 +1494,12 @@ object SparkEntry {
          FROM $MED a JOIN $MED b
            ON a.kind = 'video' AND b.kind = 'video' AND a.media_id < b.media_id
          WHERE bit_count(xor(a.exp_f0_phash, b.exp_f0_phash)) <= 10""",
+    "q69_frame_neardup256" ->
+      s"""SELECT a.media_id AS a, b.media_id AS b,
+         CAST(bit_count(xor(a.p256_0, b.p256_0)) AS BIGINT) + CAST(bit_count(xor(a.p256_1, b.p256_1)) AS BIGINT) + CAST(bit_count(xor(a.p256_2, b.p256_2)) AS BIGINT) + CAST(bit_count(xor(a.p256_3, b.p256_3)) AS BIGINT) AS hamming
+         FROM $MED a JOIN $MED b
+           ON a.kind = 'video' AND b.kind = 'video' AND a.media_id < b.media_id
+         WHERE CAST(bit_count(xor(a.p256_0, b.p256_0)) AS BIGINT) + CAST(bit_count(xor(a.p256_1, b.p256_1)) AS BIGINT) + CAST(bit_count(xor(a.p256_2, b.p256_2)) AS BIGINT) + CAST(bit_count(xor(a.p256_3, b.p256_3)) AS BIGINT) <= 48""",
     "q61_corpus_filter" ->
       s"""WITH RECURSIVE pairs AS (
            SELECT a.doc_id AS pa, b.doc_id AS pb FROM $TFEAT a JOIN $TFEAT b

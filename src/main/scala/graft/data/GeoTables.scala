@@ -296,7 +296,8 @@ object GeoTables {
 
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
                             exp_n_parts: Long, exp_feat_c: Long, exp_dur_ms: Long,
-                            exp_f0_phash: Long)
+                            exp_f0_phash: Long, p256_0: Long, p256_1: Long,
+                            p256_2: Long, p256_3: Long)
 
   /** Every 10th video opens with a shared "intro" frame perturbed by a
     * per-video watermark (4 high-bit pixel flips) — a planted frame-level
@@ -328,9 +329,10 @@ object GeoTables {
       if (i % 10 == 0) frames(0) = introFrame(i, w, h)
       val sampled = Array.range(0, nf, 3).map(frames(_))
       val lumaC = sampled.map(f => math.floor(Images.lumaMean(f) * 100 + 0.5).toLong).sum
+      val p256 = Images.phash256OfRgb(w, h, frames(0))
       MediaRow(i, "video", Media.encodeVideo(w, h, fps, frames),
         sampled.length.toLong, lumaC, nf.toLong * 1000 / fps,
-        Images.phashOfRgb(w, h, frames(0)))
+        Images.phashOfRgb(w, h, frames(0)), p256(0), p256(1), p256(2), p256(3))
     } else {
       val rate = 8000
       val ns = 4000 + (i % 7).toInt * 1000
@@ -338,7 +340,7 @@ object GeoTables {
       val rms = Media.audioRmsOf(samples, 800)
       val rmsC = rms.map(v => math.floor(v * 100 + 0.5).toLong).sum
       MediaRow(i, "audio", Media.encodeAudio(rate, samples),
-        rms.length.toLong, rmsC, ns.toLong * 1000 / rate, 0L)
+        rms.length.toLong, rmsC, ns.toLong * 1000 / rate, 0L, 0L, 0L, 0L, 0L)
     }
   }
 
@@ -352,12 +354,12 @@ object GeoTables {
   def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {
     ensure(spark, sfDir)
     val base = baseDir(sfDir)
-    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V3"))) return
+    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V4"))) return
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     spark.range(0, nMedia(sfDir), 1, parts).map(mediaRow(_))
       .write.mode("overwrite").parquet(mediaPath(sfDir))
-    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V3"))
+    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V4"))
   }
 
   /** Idempotent, atomic: generate-if-absent, then read. */

@@ -109,8 +109,8 @@ object Images {
     phashOfRgb(w, h, rgb)
   }
 
-  def phashOfRgb(w: Int, h: Int, rgb: Array[Byte]): Long = {
-    // area-average resize to 32x32 grayscale
+  /** Area-average resize to 32×32 grayscale. */
+  private def gray32(w: Int, h: Int, rgb: Array[Byte]): Array[Double] = {
     val g = new Array[Double](PHASH_N * PHASH_N)
     var ty = 0
     while (ty < PHASH_N) {
@@ -134,12 +134,16 @@ object Images {
       }
       ty += 1
     }
-    // 2D DCT-II, keep the top-left 8x8
-    val coef = new Array[Double](64)
+    g
+  }
+
+  /** Top-left K×K block of the 2D DCT-II of the 32×32 gray image. */
+  private def dctBlock(g: Array[Double], k: Int): Array[Double] = {
+    val coef = new Array[Double](k * k)
     var u = 0
-    while (u < 8) {
+    while (u < k) {
       var v = 0
-      while (v < 8) {
+      while (v < k) {
         var s = 0.0
         var y = 0
         while (y < PHASH_N) {
@@ -150,11 +154,16 @@ object Images {
           }
           y += 1
         }
-        coef(u * 8 + v) = s
+        coef(u * k + v) = s
         v += 1
       }
       u += 1
     }
+    coef
+  }
+
+  def phashOfRgb(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val coef = dctBlock(gray32(w, h, rgb), 8)
     // median of AC coefficients (exclude DC)
     val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
     java.util.Arrays.sort(ac)
@@ -166,6 +175,30 @@ object Images {
       i += 1
     }
     bits
+  }
+
+  /** 256-bit DCT pHash (16×16 low block, AC-median threshold) — the
+    * wide-fingerprint scale path for frame/image near-dup: at a matched
+    * detection level, random pairs concentrate near 128 bits apart
+    * (vs ~32 of 64-bit), so pigeonhole chunks prune far more candidates.
+    * Word i holds coefficient bits [64·i, 64·i+64) in row-major order. */
+  def phash256OfRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
+    val coef = dctBlock(gray32(w, h, rgb), 16)
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 256)
+    java.util.Arrays.sort(ac)
+    val median = (ac(126) + ac(127)) / 2 // 255 AC coefficients
+    val words = new Array[Long](4)
+    var i = 0
+    while (i < 256) {
+      if (coef(i) > median) words(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    words
+  }
+
+  def phash256(bytes: Array[Byte]): Array[Long] = {
+    val (w, h, rgb) = decode(bytes)
+    phash256OfRgb(w, h, rgb)
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

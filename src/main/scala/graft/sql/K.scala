@@ -410,6 +410,8 @@ object K {
   }
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
   def imgPhashRgb(rgb: Array[Byte], w: Int, h: Int): Long = Images.phashOfRgb(w, h, rgb)
+  def imgPhash256(b: Array[Byte]): Array[Long] = Images.phash256(b)
+  def imgPhash256Rgb(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.phash256OfRgb(w, h, rgb)
   // compositional RGB ops (r3): gray/flip/crop/luma-mean over raw buffers
   def imgGray(rgb: Array[Byte]): Array[Byte] = Images.grayRgb(rgb)
   def imgFlip(rgb: Array[Byte], w: Int, h: Int, horizontal: Boolean): Array[Byte] =

@@ -98,6 +98,36 @@ case class ImgPhashRgb(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** img_phash256(bytes) → array<bigint>[4] — 256-bit DCT pHash of an
+  * encoded (jpg/png) image; the wide-fingerprint near-dup scale path. */
+case class ImgPhash256(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(graft.sql.K.imgPhash256(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.sql.K.imgPhash256($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** img_phash256_rgb(rgb, w, h) → array<bigint>[4] over a RAW RGB buffer. */
+case class ImgPhash256Rgb(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(graft.sql.K.imgPhash256Rgb(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.sql.K.imgPhash256Rgb($a, $b, $c))")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 /** audio_rms_windows(bytes, win) → array<double> RMS per window. */
 case class AudioRmsWindows(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes {

@@ -62,6 +62,24 @@ class MediaSpec extends AnyFunSuite {
     // unplanted first frames are far from the intro cluster
     val cross = for (p <- planted; o <- others) yield ham(p, o)
     assert(cross.forall(_ > 10), s"min cross hamming ${cross.min}")
+
+    // 256-bit separation: wider hash widens the planted/stranger margin
+    // (measured 2.2× → 2.9×); q69's threshold 48 covers planted with room
+    def ph256(i: Long): Array[Long] = {
+      val f0 = Media.frame(GeoTables.mediaRow(i).bytes, 0)
+      Images.phash256OfRgb(16, 12, f0)
+    }
+    def ham4(a: Array[Long], b: Array[Long]) =
+      (0 until 4).map(k => java.lang.Long.bitCount(a(k) ^ b(k))).sum
+    val p2 = (0L until 200L by 10).map(ph256)
+    val o2 = (2L until 200L by 2).filter(_ % 10 != 0).take(20).map(ph256)
+    val ph2 = for (i <- p2.indices; j <- i + 1 until p2.length) yield ham4(p2(i), p2(j))
+    val cr2 = for (p <- p2; o <- o2) yield ham4(p, o)
+    assert(ph2.max <= 48, s"planted 256-bit max ${ph2.max} must clear q69's threshold")
+    assert(cr2.min > 96, s"cross 256-bit min ${cr2.min}")
+    val ratio64 = cross.min.toDouble / pairHams.max
+    val ratio256 = cr2.min.toDouble / ph2.max
+    assert(ratio256 > ratio64, s"256-bit margin $ratio256 must beat 64-bit $ratio64")
   }
 
   test("malformed containers fail loudly") {
