@@ -119,13 +119,56 @@ object DeepFuzz {
     }
   }
 
+  /** Clip vs JTS intersection-with-envelope: AREA/LENGTH comparison only
+    * (Sutherland–Hodgman emits zero-width bridges on concave splits —
+    * area-neutral, topology-degenerate by design). Lines must be SIMPLE:
+    * clip preserves PATH multiplicity (a retraced run keeps both passes,
+    * the Esri Clip semantics) while JTS intersection is a point SET that
+    * counts a retraced run once — the two only coincide on simple lines. */
+  def clipCase(): Unit = {
+    val poly = nextInt(2) == 0
+    val w = if (poly) Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2))))
+            else line(14)
+    val j = reader.read(w)
+    if (!j.isValid || !j.isSimple) return
+    val x0 = frac() * 8; val y0 = frac() * 8
+    val env = Env(x0, y0, x0 + 1 + frac() * 6, y0 + 1 + frac() * 6)
+    val envWkt = s"POLYGON ((${env.xmin} ${env.ymin}, ${env.xmax} ${env.ymin}, " +
+      s"${env.xmax} ${env.ymax}, ${env.xmin} ${env.ymax}, ${env.xmin} ${env.ymin}))"
+    val je = reader.read(envWkt)
+    try {
+      val got = Wkt.read(w) match { case g =>
+        val c = Ops.clip(g, env)
+        if (poly) Ops.area(c) else Ops.length(c)
+      }
+      val want = if (poly) j.intersection(je).getArea else j.intersection(je).getLength
+      check(math.abs(got - want) < 1e-6 * math.max(1, want),
+        s"clip g=$w env=$env got=$got want=$want")
+    } catch {
+      case e: Exception => check(cond = false, s"clip g=$w env=$env threw ${e.getMessage}")
+    }
+  }
+
+  def hullCase(): Unit = {
+    val w = Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2))))
+    val j = reader.read(w)
+    if (!j.isValid) return
+    try {
+      val got = Ops.area(Ops.convexHull(Wkt.read(w)))
+      val want = j.convexHull().getArea
+      check(math.abs(got - want) < 1e-9 * math.max(1, want), s"hull g=$w got=$got want=$want")
+    } catch {
+      case e: Exception => check(cond = false, s"hull g=$w threw ${e.getMessage}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     state = if (args.length > 0) args(0).toLong else 99991L
     val n = if (args.length > 1) args(1).toInt else 50000
     val t0 = System.nanoTime()
     var i = 0
     while (i < n) {
-      (i % 5) match {
+      (i % 7) match {
         case 0 => // concave star overlay (float coords)
           overlayCase(
             Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)))),
@@ -140,6 +183,8 @@ object DeepFuzz {
           }
           predicateCase(rnd(nextInt(3)), rnd(nextInt(3)))
         case 3 => bufferCase()
+        case 5 => clipCase()
+        case 6 => hullCase()
         case _ => // web-mercator magnitude overlay (snap-grid adaptation)
           val s = 1e6
           overlayCase(
