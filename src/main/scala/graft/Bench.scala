@@ -33,6 +33,7 @@ object Bench {
     GeoTables.ensureTri(spark, sfDir)      // triangle fixture, untimed
     GeoTables.ensureNearDup(spark, sfDir)  // planted pHash variants, untimed
     GeoTables.ensureTextFeat(spark, sfDir) // docs_aug + text_features, untimed
+    GeoTables.ensureMedia(spark, sfDir)    // GMV1 media fixture, untimed
 
     // warm-up: flagship join + the headline q07 itself (JIT, codegen,
     // parquet footers — the driver-visible q07 number should reflect warm

@@ -348,8 +348,11 @@ object SparkEntry {
       s.read.parquet(s"$dir/events.parquet").repartition(6)
         .write.mode("overwrite").parquet(evPath)
       val schema = s.read.parquet(evPath).schema
+      // 3 files/trigger over 6 files = 2+ micro-batches per side — real
+      // cross-batch state, but bounded trigger count (each trigger pays
+      // fixed scheduling cost: this is the suite's most overhead-bound row)
       def src(tpe: String, pfx: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "3")
         .parquet(evPath)
         .where(col("event_type") === tpe)
         .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
