@@ -42,5 +42,24 @@ class BucketedJoinSpec extends AnyFunSuite {
     Bucketed.layoutPip(img, zon, level = 8, nBuckets = 8,
       dir = "/tmp/graft_bucketed_spec/data", tag = "spec")
     assert(Bucketed.pipJoinBucketed(spark, "spec").count() == got.size)
+
+    // regional queries prune bucket FILES: a literal cell filter over the
+    // bucketed table scans strictly fewer than all 8 buckets. (Plain
+    // filter scans need autoBucketedScan off — Spark's planner otherwise
+    // reads the table unbucketed; JOIN probes like AnnSpec's q65 get the
+    // bucketed scan + pruning automatically.)
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val someCells = spark.table("graft_pts_spec").select("cell")
+        .limit(3).collect().map(_.getLong(0)).distinct
+      val regional = spark.table("graft_pts_spec")
+        .where(col("cell").isin(someCells.map(Long.box): _*))
+      val rplan = regional.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(rplan)
+      assert(m.isDefined, s"expected a bucketed scan:\n$rplan")
+      assert(m.get.group(1).toInt < 8, s"expected bucket pruning:\n$rplan")
+      assert(regional.count() > 0)
+    } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 }
