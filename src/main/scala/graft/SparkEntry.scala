@@ -1044,7 +1044,9 @@ object SparkEntry {
             call_function("st_x", col("v")), call_function("st_y", col("v")))))
         .groupBy("zone_id")
         .agg(count(lit(1)).as("n_pts"),
-          count(when(abs(col("d") / 50000.0 - 1.0) < 0.01, 1)).as("n_on_circle"))
+          // r4: point buffers come from the DIRECT geodesic problem, so the
+          // inverse distance of every vertex is r to ~1e-9 rel (was 1%).
+          count(when(abs(col("d") / 50000.0 - 1.0) < 1e-7, 1)).as("n_on_circle"))
     }),
 
     // ---------------- parallel curve (OFFSET) ----------------

@@ -876,6 +876,106 @@ object Ops {
     b * bigA * (sigma - deltaSigma)
   }
 
+  /**
+   * WGS84 direct geodesic problem (Vincenty 1975 direct formulae, public):
+   * from (lon1, lat1), initial azimuth `azimuthDeg` (degrees clockwise from
+   * north) and distance `s` meters → destination (lon2, lat2) in degrees.
+   * Exact counterpart of the inverse above: direct∘inverse round-trips to
+   * <1e-9 relative (GeodesicSpec). ⟨ref(engine): geodetic "move a point
+   * along a geodesic" primitive underlying GeodesicBuffer [M]⟩
+   */
+  def vincentyDirect(lon1: Double, lat1: Double, azimuthDeg: Double, s: Double): (Double, Double) = {
+    if (s == 0.0) return (lon1, lat1)
+    val a = 6378137.0; val f = 1.0 / 298.257223563; val b = a * (1.0 - f)
+    val alpha1 = math.toRadians(azimuthDeg)
+    val sinA1 = math.sin(alpha1); val cosA1 = math.cos(alpha1)
+    val tanU1 = (1.0 - f) * math.tan(math.toRadians(lat1))
+    val cosU1 = 1.0 / math.sqrt(1.0 + tanU1 * tanU1); val sinU1 = tanU1 * cosU1
+    val sigma1 = math.atan2(tanU1, cosA1)
+    val sinAlpha = cosU1 * sinA1
+    val cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    var sigma = s / (b * bigA)
+    var sigmaP = Double.MaxValue
+    var cos2SigmaM = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var iter = 0
+    while (math.abs(sigma - sigmaP) > 1e-13 && iter < 200) {
+      cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+      sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+      val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+        (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+          bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+            (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+      sigmaP = sigma
+      sigma = s / (b * bigA) + deltaSigma
+      iter += 1
+    }
+    cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+    sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+    val tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosA1
+    val lat2 = math.atan2(sinU1 * cosSigma + cosU1 * sinSigma * cosA1,
+      (1.0 - f) * math.sqrt(sinAlpha * sinAlpha + tmp * tmp))
+    val lambda = math.atan2(sinSigma * sinA1, cosU1 * cosSigma - sinU1 * sinSigma * cosA1)
+    val c = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+    val l = lambda - (1.0 - c) * f * sinAlpha *
+      (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
+        (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+    var lon2 = lon1 + math.toDegrees(l)
+    if (lon2 > 180.0) lon2 -= 360.0 else if (lon2 < -180.0) lon2 += 360.0
+    (lon2, math.toDegrees(lat2))
+  }
+
+  /**
+   * WGS84 forward azimuth (degrees clockwise from north, [0, 360)) from
+   * point 1 to point 2 along the connecting geodesic — the α1 of the same
+   * Vincenty inverse iteration `vincenty` runs for distance. Falls back to
+   * the spherical initial bearing when the inverse does not converge
+   * (near-antipodal), mirroring the distance fallback.
+   */
+  def vincentyAzimuth(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val f = 1.0 / 298.257223563
+    val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - f) * math.tan(math.toRadians(lat2)))
+    val l = math.toRadians(lon2 - lon1)
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lambda = l
+    var iter = 0
+    var converged = false
+    var sinL = 0.0; var cosL = 1.0
+    while (iter < 200 && !converged) {
+      sinL = math.sin(lambda); cosL = math.cos(lambda)
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      val sinSigma = math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0.0) return 0.0 // coincident
+      val cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      val sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      val cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      val cos2SigmaM = if (cosSqAlpha == 0.0) 0.0
+        else cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+      val prev = lambda
+      lambda = l + (1.0 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
+          (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    val azR =
+      if (converged) math.atan2(cosU2 * sinL, cosU1 * sinU2 - sinU1 * cosU2 * cosL)
+      else { // spherical initial bearing fallback, same trigger as `vincenty`
+        val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+        math.atan2(math.sin(l) * math.cos(p2),
+          math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(l))
+      }
+    val deg = math.toDegrees(azR)
+    if (deg < 0.0) deg + 360.0 else deg
+  }
+
   /** Ellipsoidal length of lineal geometry in meters (lon/lat input). */
   def lengthGeodesic(g: Geometry): Double = {
     var s = 0.0
@@ -1179,7 +1279,31 @@ object Ops {
    * Counterpart of ⟨ref(engine): OperatorGeodesicBuffer⟩ (documented
    * spherical-vs-ellipsoidal approximation).
    */
-  def geodesicBuffer(g: Geometry, meters: Double): Geometry = {
+  def geodesicBuffer(g: Geometry, meters: Double): Geometry = g match {
+    // Point input: ring vertices from the DIRECT geodesic problem — every
+    // vertex sits at exactly `meters` ellipsoidal distance from the center
+    // (r4: replaces the spherical-AEQ approximation for this, the dominant
+    // case; GeodesicSpec asserts inverse(vertex) = meters to <1e-6 rel).
+    case Point(x, y) if meters > 0 && !g.isEmpty =>
+      val n = 96 // matches the planar default tessellation (96-gon, q33/q53)
+      val cs = new Array[Double]((n + 1) * 2)
+      var k = 0
+      while (k < n) {
+        // CCW shell in lon/lat: azimuth sweeps counter-clockwise from north
+        val az = ((n - k) % n) * (360.0 / n)
+        val (lon, lat) = vincentyDirect(x, y, az, meters)
+        cs(2 * k) = lon; cs(2 * k + 1) = lat
+        k += 1
+      }
+      cs(2 * n) = cs(0); cs(2 * n + 1) = cs(1)
+      Polygon(Array(cs))
+    case _ => geodesicBufferAeq(g, meters)
+  }
+
+  /** General-geometry geodesic buffer via azimuthal-equidistant projection
+    * about the envelope center (documented approximation; exact for the
+    * point case above, which no longer routes here). */
+  private def geodesicBufferAeq(g: Geometry, meters: Double): Geometry = {
     val env = g.envelope
     val lon0r = math.toRadians((env.xmin + env.xmax) / 2)
     val lat0r = math.toRadians((env.ymin + env.ymax) / 2)

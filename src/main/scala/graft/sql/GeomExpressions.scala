@@ -889,6 +889,43 @@ case class StMakeLine(children: Seq[Expression]) extends Expression
     copy(children = cs)
 }
 
+/** st_geodesic_project(lon, lat, azimuth_deg, meters) → point WKB at the
+  * given ellipsoidal distance and initial bearing (Vincenty direct).
+  * ⟨ref(engine): geodetic point-projection primitive [M]⟩ */
+case class StGeodesicProject(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "st_geodesic_project(lon, lat, azimuth_deg, meters)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.geodesicProject(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_azimuth_geodesic(lon1, lat1, lon2, lat2) → WGS84 forward azimuth in
+  * degrees clockwise from north, [0, 360). */
+case class StAzimuthGeodesic(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "st_azimuth_geodesic(lon1, lat1, lon2, lat2)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.azimuthGeodesic(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_makelinez(x1, y1, z1, x2, y2, z2) → 2-point LineString Z WKB. */
 case class StMakeLineZ(children: Seq[Expression]) extends Expression
     with ExpectsInputTypes with CodegenFallback {

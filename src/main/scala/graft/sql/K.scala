@@ -251,6 +251,12 @@ object K {
     wr(Ops.simplify(Ops.geodesicBuffer(rd(b), meters)))
   def geodeticDensify(b: Array[Byte], maxMeters: Double): Array[Byte] =
     wr(Ops.geodeticDensify(rd(b), maxMeters))
+  def geodesicProject(lon: Double, lat: Double, azDeg: Double, meters: Double): Array[Byte] = {
+    val (x, y) = Ops.vincentyDirect(lon, lat, azDeg, meters)
+    wr(Point(x, y))
+  }
+  def azimuthGeodesic(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+    Ops.vincentyAzimuth(lon1, lat1, lon2, lat2)
 
   // ---- collections ----
   def collect(parts: Array[Array[Byte]]): Array[Byte] =

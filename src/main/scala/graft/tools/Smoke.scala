@@ -88,6 +88,13 @@ object Smoke {
              size(st_dump(st_geomfromwkt('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))'))) AS n_dumped
     """).show()
 
+    // geodesic direct problem (r4): project 100 km east, azimuth back ≈ 90°+
+    spark.sql("""
+      SELECT round(st_x(p) * 1e4) / 1e4 AS lon2,
+             round(st_azimuth_geodesic(0.0D, 45.0D, st_x(p), st_y(p)) * 1e3) / 1e3 AS az
+      FROM (SELECT st_geodesic_project(0.0D, 45.0D, 90.0D, 100000.0D) AS p)
+    """).show()
+
     println("SMOKE OK")
     spark.stop()
   }

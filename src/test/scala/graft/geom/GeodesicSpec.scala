@@ -115,4 +115,51 @@ class GeodesicSpec extends AnyFunSuite {
     val triArea = Ops.areaGeodesic(tri)
     assert(math.abs(triArea / (rect / 2) - 1.0) < 2e-3, s"tri=$triArea rect/2=${rect / 2}")
   }
+
+  // ---------------- direct problem (r4) ----------------
+
+  test("vincentyDirect: known arcs invert the inverse constants") {
+    // 90° along the equator from (0,0) heading east → (90, 0)
+    val (lonE, latE) = Ops.vincentyDirect(0, 0, 90, 10018754.171)
+    assert(math.abs(lonE - 90) < 1e-6 && math.abs(latE) < 1e-6, s"($lonE,$latE)")
+    // quarter meridian north from (0,0) → the pole
+    val (_, latN) = Ops.vincentyDirect(0, 0, 0, 10001965.729)
+    assert(math.abs(latN - 90) < 1e-6, s"lat=$latN")
+  }
+
+  test("direct ∘ inverse round-trips distance and azimuth on random pairs") {
+    var state = 99L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 500).foreach { _ =>
+      val lon1 = -180 + 360 * frac(); val lat1 = -80 + 160 * frac()
+      val az = 360 * frac(); val s = 10.0 + 5.0e6 * frac()
+      val (lon2, lat2) = Ops.vincentyDirect(lon1, lat1, az, s)
+      val d = Ops.vincenty(lon1, lat1, lon2, lat2)
+      assert(math.abs(d - s) < 1e-3 + 1e-9 * s, s"dist $d vs $s")
+      val azBack = Ops.vincentyAzimuth(lon1, lat1, lon2, lat2)
+      val dAz = math.min(math.abs(azBack - az), 360 - math.abs(azBack - az))
+      assert(dAz < 1e-6, s"az $azBack vs $az")
+    }
+  }
+
+  test("point geodesic buffer: every vertex at exactly r (1e-6 relative)") {
+    Seq((0.0, 0.0, 50000.0), (-73.97, 40.78, 120000.0), (18.0, -72.5, 5000.0),
+        (151.2, -33.9, 250000.0)).foreach { case (lon, lat, r) =>
+      val buf = Ops.geodesicBuffer(Point(lon, lat), r)
+      val p = buf.asInstanceOf[Polygon]
+      val ring = p.rings(0)
+      assert(ring.length == 97 * 2, s"ring pts ${ring.length / 2}")
+      var i = 0
+      while (i + 1 < ring.length) {
+        val d = Ops.vincenty(lon, lat, ring(i), ring(i + 1))
+        assert(math.abs(d / r - 1.0) < 1e-6, s"vertex $i at $d vs $r")
+        i += 2
+      }
+      // CCW shell (positive signed area in lon/lat)
+      assert(Ops.area(p) > 0, "shell must be CCW")
+    }
+  }
 }

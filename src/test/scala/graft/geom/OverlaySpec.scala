@@ -107,12 +107,12 @@ class OverlaySpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-9, s"got=$got want=$want")
   }
 
-  test("geodesic buffer: exact spherical circle at any latitude (AEQ projection)") {
+  test("geodesic buffer: exact ellipsoidal circle at any latitude (Vincenty direct)") {
     Seq((12.5, 41.9), (10.0, 80.0), (-120.0, -75.0), (0.0, 0.0)).foreach { case (lon, lat) =>
       val b = Ops.geodesicBuffer(Point(lon, lat), 1000.0) // 1 km
-      val areaM2 = Ops.areaSphere(b)
-      // 96-gon inscribed in the exact spherical circle: area = pi r^2 * (sin x / x
-      // correction) to first order; allow 0.5% (tessellation ~0.07% + areaSphere)
+      // r4: point buffers are ellipsoidal (direct geodesic vertices), so the
+      // ELLIPSOIDAL area must be pi r^2 up to 96-gon tessellation (~0.21%)
+      val areaM2 = Ops.areaGeodesic(b)
       val exact = math.Pi * 1000 * 1000
       assert(math.abs(areaM2 - exact) / exact < 0.005, s"($lon,$lat) got $areaM2")
     }
