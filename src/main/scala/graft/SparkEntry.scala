@@ -29,6 +29,7 @@ object SparkEntry {
   private val DOCA = "read_parquet('/tmp/graft_geo/sf0.01/docs_aug.parquet/*.parquet')"
   private val TFEAT = "read_parquet('/tmp/graft_geo/sf0.01/text_features.parquet/*.parquet')"
   private val MED = "read_parquet('/tmp/graft_geo/sf0.01/media.parquet/*.parquet')"
+  private val GNODE = "read_parquet('/tmp/graft_geo/sf0.01/grid_nodes.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -1049,6 +1050,23 @@ object SparkEntry {
           count(when(abs(col("d") / 50000.0 - 1.0) < 1e-7, 1)).as("n_on_circle"))
     }),
 
+    // ---------------- NTv2 grid-shift datum step (r4) ----------------
+    // The engine loads the .gsb grid file and interpolates bilinearly;
+    // DuckDB reconstructs the identical arithmetic from the materialized
+    // node table — bit-exact doubles (float32 nodes promote exactly).
+    "q70_grid_shift" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureGrid(s, dir)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .where(col("lon") >= 0.0 && col("lon") < 20.0 &&
+               col("lat") >= 40.0 && col("lat") < 50.0)
+        .withColumn("sh", call_function("st_grid_shift",
+          col("lon"), col("lat"), lit(GeoTables.gridGsbPath(dir))))
+        .select(col("image_id"),
+          col("sh.dlon_sec").as("dlon_sec"),
+          col("sh.dlat_sec").as("dlat_sec"))
+    }),
+
     // ---------------- parallel curve (OFFSET) ----------------
     // single-segment diagonal: the right-hand parallel at d is closed-form
     "q24_offset" -> ((s, dir) => {
@@ -1258,6 +1276,27 @@ object SparkEntry {
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
          FROM $ZON""",
+    "q70_grid_shift" ->
+      s"""WITH pts AS (
+           SELECT image_id, lon, lat FROM $IMG
+           WHERE lon >= 0.0 AND lon < 20.0 AND lat >= 40.0 AND lat < 50.0),
+         c AS (
+           SELECT image_id,
+             CAST(FLOOR((lon - 0.0) / 0.5) AS INTEGER) AS c0,
+             CAST(FLOOR((lat - 40.0) / 0.5) AS INTEGER) AS r0,
+             (lon - 0.0) / 0.5 - FLOOR((lon - 0.0) / 0.5) AS fx,
+             (lat - 40.0) / 0.5 - FLOOR((lat - 40.0) / 0.5) AS fy
+           FROM pts)
+         SELECT c.image_id,
+           (1-fy)*((1-fx)*n00.dlon_sec + fx*n10.dlon_sec)
+             + fy*((1-fx)*n01.dlon_sec + fx*n11.dlon_sec) AS dlon_sec,
+           (1-fy)*((1-fx)*n00.dlat_sec + fx*n10.dlat_sec)
+             + fy*((1-fx)*n01.dlat_sec + fx*n11.dlat_sec) AS dlat_sec
+         FROM c
+         JOIN $GNODE n00 ON n00.ci = c.c0     AND n00.ri = c.r0
+         JOIN $GNODE n10 ON n10.ci = c.c0 + 1 AND n10.ri = c.r0
+         JOIN $GNODE n01 ON n01.ci = c.c0     AND n01.ri = c.r0 + 1
+         JOIN $GNODE n11 ON n11.ci = c.c0 + 1 AND n11.ri = c.r0 + 1""",
     "q54_zm_roundtrip" ->
       s"""SELECT zone_id, xmin + ymin AS z_wkb, xmin + ymin AS z_wkt,
          CAST(1 AS BIGINT) AS has_z, CAST(0 AS BIGINT) AS has_z_2d, xmin AS px,

@@ -154,6 +154,59 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_TRI_DONE"))
   }
 
+  // ---------------- NTv2 shift-grid fixture (q70) ----------------
+  // Coverage lon [0,20] × lat [40,50] deliberately contains the hot cell
+  // (10, 45) so ~20% of images fall inside and exercise interpolation.
+  val GRID_LON0 = 0.0; val GRID_LAT0 = 40.0; val GRID_INC = 0.5
+  val GRID_COLS = 41; val GRID_ROWS = 21
+
+  def gridGsbPath(sfDir: String): String = s"${baseDir(sfDir)}/shift_grid.gsb"
+  def gridNodesPath(sfDir: String): String = s"${baseDir(sfDir)}/grid_nodes.parquet"
+
+  final case class GridNodeRow(ci: Int, ri: Int, dlon_sec: Float, dlat_sec: Float)
+
+  /** Smooth deterministic shift field, a few arc-seconds — synthetic (no
+    * real grid ships in the zero-egress sandbox; the machinery is the
+    * deliverable, FIXTURES §F2 style). Float32 exactly as NTv2 stores. */
+  def gridNode(ci: Int, ri: Int): (Float, Float) = {
+    val lon = GRID_LON0 + ci * GRID_INC; val lat = GRID_LAT0 + ri * GRID_INC
+    val dlon = (2.0 + 1.5 * math.sin(lon * 0.31) * math.cos(lat * 0.17) +
+      0.3 * math.sin(lat * 0.7)).toFloat
+    val dlat = (-1.0 + 1.2 * math.cos(lon * 0.23) * math.sin(lat * 0.19) +
+      0.4 * math.cos(lon * 0.5)).toFloat
+    (dlon, dlat)
+  }
+
+  /** Additive fixture: writes the .gsb the engine loads AND the same nodes
+    * as parquet for the DuckDB oracle's bilinear reconstruction. */
+  def ensureGrid(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_GRID_DONE"))) return
+    import spark.implicits._
+    val n = GRID_COLS * GRID_ROWS
+    val lonS = new Array[Float](n); val latS = new Array[Float](n)
+    val rows = new scala.collection.mutable.ArrayBuffer[GridNodeRow](n)
+    var ri = 0
+    while (ri < GRID_ROWS) {
+      var ci = 0
+      while (ci < GRID_COLS) {
+        val (dlon, dlat) = gridNode(ci, ri)
+        lonS(ri * GRID_COLS + ci) = dlon
+        latS(ri * GRID_COLS + ci) = dlat
+        rows += GridNodeRow(ci, ri, dlon, dlat)
+        ci += 1
+      }
+      ri += 1
+    }
+    graft.geom.GridShift.write(
+      graft.geom.GridShift.ShiftGrid(GRID_LON0, GRID_LAT0, GRID_INC, GRID_INC,
+        GRID_COLS, GRID_ROWS, lonS, latS),
+      gridGsbPath(sfDir))
+    rows.toSeq.toDF().coalesce(1).write.mode("overwrite").parquet(gridNodesPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_GRID_DONE"))
+  }
+
   def nearDupImagesPath(sfDir: String): String = s"${baseDir(sfDir)}/neardup_images.parquet"
 
   def nearDupImages(spark: SparkSession, sfDir: String): DataFrame = {

@@ -786,6 +786,33 @@ object Ops {
     }
   }
 
+  /**
+   * `st_transform` with an NTv2 shift-grid datum step (OSTN15-class
+   * accuracy where the grid has coverage; the CRS's Helmert elsewhere).
+   * Exactly one side of the pair must be a proj4-lite CRS; the other must
+   * be 4326 or 3857 — a grid file describes a single datum pair.
+   */
+  def transformGrid(g: Geometry, fromSrid: Int, toSrid: Int, gridPath: String): Geometry = {
+    if (fromSrid == toSrid) return g
+    val grid = GridShift.cached(gridPath)
+    (fromSrid, toSrid) match {
+      case (4326, to) if Proj.crsFor(to).isDefined =>
+        mapCoords(g, (lon, lat) => Proj.forwardGrid(lon, lat, to, grid))
+      case (from, 4326) if Proj.crsFor(from).isDefined =>
+        mapCoords(g, (x, y) => Proj.inverseGrid(x, y, from, grid))
+      case (3857, to) if Proj.crsFor(to).isDefined =>
+        mapCoords(g, (x, y) => Proj.forwardGrid(mercToLon(x), mercToLat(y), to, grid))
+      case (from, 3857) if Proj.crsFor(from).isDefined =>
+        mapCoords(g, (x, y) => {
+          val (lon, lat) = Proj.inverseGrid(x, y, from, grid)
+          (lonLatToMercX(lon), lonLatToMercY(lat))
+        })
+      case _ => throw new IllegalArgumentException(
+        s"unsupported grid transform $fromSrid->$toSrid (one side must be a " +
+          "proj4-lite CRS, the other 4326 or 3857)")
+    }
+  }
+
   def affine(g: Geometry, a: Double, b: Double, d: Double, e: Double,
              xoff: Double, yoff: Double): Geometry =
     mapCoords(g, (x, y) => (a * x + b * y + xoff, d * x + e * y + yoff))

@@ -361,6 +361,26 @@ object Proj {
     }
   }
 
+  /** WGS84 lon/lat → projected coordinates of `srid`, with the datum step
+    * taken from an NTv2-style shift grid where it has coverage (OSTN15-class
+    * accuracy) and from the CRS's Helmert elsewhere — the standard
+    * grid+fallback pairing of production projection engines. */
+  def forwardGrid(lon: Double, lat: Double, srid: Int, grid: GridShift.ShiftGrid): (Double, Double) = {
+    val crs = crsFor(srid).getOrElse(
+      throw new IllegalArgumentException(s"unsupported projected CRS EPSG:$srid"))
+    val (dl, dp) = grid.fromWgs(lon, lat).getOrElse(wgsToDatum(crs, lon, lat))
+    crs.proj.forward(dl, dp)
+  }
+
+  /** Projected coordinates of `srid` → WGS84 lon/lat via the shift grid
+    * (Helmert fallback outside coverage). */
+  def inverseGrid(x: Double, y: Double, srid: Int, grid: GridShift.ShiftGrid): (Double, Double) = {
+    val crs = crsFor(srid).getOrElse(
+      throw new IllegalArgumentException(s"unsupported projected CRS EPSG:$srid"))
+    val (dl, dp) = crs.proj.inverse(x, y)
+    grid.toWgs(dl, dp).getOrElse(datumToWgs(crs, dl, dp))
+  }
+
   /** WGS84 lon/lat → projected coordinates of `srid`. */
   def forward(lon: Double, lat: Double, srid: Int): (Double, Double) = {
     val crs = crsFor(srid).getOrElse(

@@ -889,6 +889,51 @@ case class StMakeLine(children: Seq[Expression]) extends Expression
     copy(children = cs)
 }
 
+/** st_transform_grid(geom, from_srid, to_srid, grid_path) — st_transform
+  * with an NTv2 shift-grid datum step; the grid file is loaded lazily and
+  * cached per executor JVM (the path is plain data in the plan, so a real
+  * cluster needs no driver-side registration). */
+case class StTransformGrid(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "st_transform_grid(geom, from_srid, to_srid, grid_path)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, IntegerType, IntegerType, StringType)
+  override def dataType: DataType = BinaryType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.transformGrid(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_grid_shift(lon, lat, grid_path) → struct(dlon_sec, dlat_sec): the raw
+  * bilinear NTv2 shift at source-datum lon/lat (null outside coverage) —
+  * the oracle-able core of the grid machinery (q70). */
+case class StGridShift(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 3, "st_grid_shift(lon, lat, grid_path)")
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dlon_sec", DoubleType, nullable = false),
+    StructField("dlat_sec", DoubleType, nullable = false)))
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.gridShiftSec(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[UTF8String].toString) match {
+      case Some((dl, dp)) => new GenericInternalRow(Array[Any](dl, dp))
+      case None => null
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_geodesic_project(lon, lat, azimuth_deg, meters) → point WKB at the
   * given ellipsoidal distance and initial bearing (Vincenty direct).
   * ⟨ref(engine): geodetic point-projection primitive [M]⟩ */

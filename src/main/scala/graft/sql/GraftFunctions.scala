@@ -95,6 +95,8 @@ object GraftFunctions {
     "st_generalize_area" -> (e => StGeneralizeArea(e(0), e(1))),
     "st_geodesic_buffer" -> (e => StGeodesicBuffer(e(0), e(1))),
     "st_geodesic_project" -> (e => StGeodesicProject(e)),
+    "st_transform_grid" -> (e => StTransformGrid(e)),
+    "st_grid_shift" -> (e => StGridShift(e)),
     "st_azimuth_geodesic" -> (e => StAzimuthGeodesic(e)),
     "st_geodetic_densify" -> (e => StGeodeticDensify(e(0), e(1))),
     // cells / tiles (§2.6)

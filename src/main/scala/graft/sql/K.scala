@@ -176,6 +176,12 @@ object K {
     }
   // transform/affine preserve Z/M: xy-only maps keep vertex count + order
   def transform(b: Array[Byte], from: Int, to: Int): Array[Byte] = wr(Ops.transform(rdFull(b), from, to))
+  def transformGrid(b: Array[Byte], from: Int, to: Int, path: String): Array[Byte] =
+    wr(Ops.transformGrid(rdFull(b), from, to, path))
+  /** Bilinear NTv2 shift sampled at SOURCE-datum lon/lat (the grid's native
+    * side) → (dLonSec, dLatSec); None outside coverage. */
+  def gridShiftSec(lon: Double, lat: Double, path: String): Option[(Double, Double)] =
+    graft.geom.GridShift.cached(path).shiftAt(lon, lat)
   def affine(b: Array[Byte], a: Double, bb: Double, d: Double, e: Double,
              xoff: Double, yoff: Double): Array[Byte] = wr(Ops.affine(rdFull(b), a, bb, d, e, xoff, yoff))
   def centroid(b: Array[Byte]): Array[Byte] = wr(Ops.centroid(rd(b)))
