@@ -1067,6 +1067,63 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- subdivide (scale tool, r4 cont.) ----------------
+    // Constant normalized structure (unit square densified to 65 boundary
+    // points, maxVertices=20 → 4 parts, worst part 19 points, areas sum to
+    // exactly 1.0 — PolygonizeSpec) so the part-structure constants are
+    // oracle-able; the area column scales by the zone's own extent.
+    "q71_subdivide" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("w", col("xmax") - col("xmin"))
+        .withColumn("h", col("ymax") - col("ymin"))
+        .withColumn("dens", call_function("st_densify",
+          call_function("st_makeenvelope", lit(0.0), lit(0.0), lit(1.0), lit(1.0)),
+          lit(1.0 / 16)))
+        .withColumn("parts", call_function("st_subdivide", col("dens"), lit(20)))
+        .select(col("zone_id"),
+          size(col("parts")).cast("bigint").as("n_parts"),
+          aggregate(transform(col("parts"),
+              p => call_function("st_numpoints", p)), lit(0),
+            (acc, x) => greatest(acc, x)).cast("bigint").as("max_pts"),
+          floor(aggregate(transform(col("parts"),
+              p => call_function("st_area", p)), lit(0.0),
+            (acc, x) => acc + x) * col("w") * col("h") * 1e4 + 0.5)
+            .cast("bigint").as("area_cents"))
+    }),
+
+    // ---------------- polygonize + linemerge (r4 cont.) ----------------
+    // Zone boundary split into 4 free-floating edges + the two midlines:
+    // polygonize must re-form the 4 quadrant faces (noding the crossings),
+    // linemerge must sew the boundary edges into one closed 5-point ring.
+    "q72_polygonize" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val mx = (col("xmin") + col("xmax")) / 2
+      val my = (col("ymin") + col("ymax")) / 2
+      def line(x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column, x2: org.apache.spark.sql.Column, y2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        call_function("st_makeline", x1, y1, x2, y2)
+      val boundary = array(
+        line(col("xmin"), col("ymin"), col("xmax"), col("ymin")),
+        line(col("xmax"), col("ymin"), col("xmax"), col("ymax")),
+        line(col("xmax"), col("ymax"), col("xmin"), col("ymax")),
+        line(col("xmin"), col("ymax"), col("xmin"), col("ymin")))
+      GeoTables.zones(s, dir)
+        .withColumn("faces", call_function("st_polygonize",
+          call_function("st_collect", concat(boundary, array(
+            line(mx, col("ymin"), mx, col("ymax")),
+            line(col("xmin"), my, col("xmax"), my))))))
+        .withColumn("merged", call_function("st_linemerge",
+          call_function("st_collect", boundary)))
+        .select(col("zone_id"),
+          size(col("faces")).cast("bigint").as("n_faces"),
+          floor(aggregate(transform(col("faces"),
+              p => call_function("st_area", p)), lit(0.0),
+            (acc, x) => acc + x) * 1e4 + 0.5).cast("bigint").as("faces_area_cents"),
+          call_function("st_numpoints", col("merged")).cast("bigint").as("merged_pts"),
+          floor(call_function("st_length", col("merged")) * 1e4 + 0.5)
+            .cast("bigint").as("merged_len_cents"))
+    }),
+
     // ---------------- parallel curve (OFFSET) ----------------
     // single-segment diagonal: the right-hand parallel at d is closed-form
     "q24_offset" -> ((s, dir) => {
@@ -1275,6 +1332,16 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q71_subdivide" ->
+      s"""SELECT zone_id, CAST(4 AS BIGINT) AS n_parts, CAST(19 AS BIGINT) AS max_pts,
+         CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS area_cents
+         FROM $ZON""",
+    "q72_polygonize" ->
+      s"""SELECT zone_id, CAST(4 AS BIGINT) AS n_faces,
+         CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS faces_area_cents,
+         CAST(5 AS BIGINT) AS merged_pts,
+         CAST(FLOOR(2 * ((xmax - xmin) + (ymax - ymin)) * 1e4 + 0.5) AS BIGINT) AS merged_len_cents
          FROM $ZON""",
     "q70_grid_shift" ->
       s"""WITH pts AS (

@@ -1,5 +1,6 @@
 package graft.geom
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /**
@@ -393,6 +394,126 @@ object Ops {
     while (i < hull.length) { ring(2 * i) = hull(i)._1; ring(2 * i + 1) = hull(i)._2; i += 1 }
     ring(2 * hull.length) = hull(0)._1; ring(2 * hull.length + 1) = hull(0)._2
     Polygon(Array(ring)) // monotone chain with the above order emits CCW
+  }
+
+  // ---------------- subdivide (scale tool) ----------------
+
+  /**
+   * Split a geometry into parts of at most `maxVertices` vertices by
+   * recursive envelope halving along the longer axis (the PostGIS
+   * ST_Subdivide contract). The 100 TB rationale: a mega-polygon zone
+   * (coastlines, admin boundaries) makes every broadcast copy and every
+   * refine O(V); subdividing once turns the spatial join's per-row work
+   * into O(maxVertices) with the same union of matches. Parts partition
+   * the input (clip is exact on shared split lines), so
+   * Σ area(part) = area(input) — the q71 oracle invariant.
+   */
+  def subdivide(g: Geometry, maxVertices: Int): Array[Geometry] = {
+    require(maxVertices >= 8, s"maxVertices must be >= 8, got $maxVertices")
+    val out = new ArrayBuffer[Geometry]()
+    def rec(h: Geometry, depth: Int): Unit = {
+      if (h.isEmpty) return
+      if (h.numPoints <= maxVertices || depth >= 48) { out += h; return }
+      val e = h.envelope
+      val (e1, e2) =
+        if (e.xmax - e.xmin >= e.ymax - e.ymin) {
+          val mx = (e.xmin + e.xmax) / 2
+          (Env(e.xmin, e.ymin, mx, e.ymax), Env(mx, e.ymin, e.xmax, e.ymax))
+        } else {
+          val my = (e.ymin + e.ymax) / 2
+          (Env(e.xmin, e.ymin, e.xmax, my), Env(e.xmin, my, e.xmax, e.ymax))
+        }
+      rec(clip(h, e1), depth + 1)
+      rec(clip(h, e2), depth + 1)
+    }
+    rec(g, 0)
+    out.toArray
+  }
+
+  // ---------------- line merge ----------------
+
+  /**
+   * Sew lineal parts together at endpoints where exactly two line ends
+   * meet (JTS LineMerger semantics: no noding — interior crossings are
+   * left alone; a chain that closes on itself stays a closed LineString).
+   */
+  def lineMerge(g: Geometry): Geometry = {
+    val paths = new ArrayBuffer[ArrayBuffer[Double]]()
+    def add(cs: Array[Double]): Unit =
+      if (cs.length >= 4) { val b = new ArrayBuffer[Double](cs.length); b ++= cs; paths += b }
+    g match {
+      case l: LineString => add(l.coords)
+      case m: MultiLineString => m.lines.foreach(add)
+      case c: GeometryCollection => c.geoms.foreach {
+        case l: LineString => add(l.coords)
+        case m: MultiLineString => m.lines.foreach(add)
+        case _ => ()
+      }
+      case _ => return g // non-lineal input passes through
+    }
+    if (paths.isEmpty) return LineString(Array.empty)
+    @inline def key(x: Double, y: Double): (Long, Long) =
+      (java.lang.Double.doubleToLongBits(x), java.lang.Double.doubleToLongBits(y))
+    val live = mutable.LinkedHashSet(paths.indices: _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      // endpoint → incident (pathIdx, atStart) pairs, rebuilt per round
+      val ends = new mutable.LinkedHashMap[(Long, Long), ArrayBuffer[(Int, Boolean)]]()
+      live.foreach { i =>
+        val p = paths(i)
+        ends.getOrElseUpdate(key(p(0), p(1)), new ArrayBuffer) += ((i, true))
+        ends.getOrElseUpdate(key(p(p.length - 2), p(p.length - 1)), new ArrayBuffer) += ((i, false))
+      }
+      val it = ends.valuesIterator
+      while (it.hasNext && !changed) {
+        val inc = it.next()
+        if (inc.length == 2 && inc(0)._1 != inc(1)._1) {
+          val (ia, aStart) = inc(0); val (ib, bStart) = inc(1)
+          val a = paths(ia); val b = paths(ib)
+          // orient: a ending at the node, b starting at it
+          val left = if (aStart) reversed(a) else a
+          val right = if (bStart) b else reversed(b)
+          val joined = new ArrayBuffer[Double](left.length + right.length - 2)
+          joined ++= left
+          var j = 2 // skip the duplicated node
+          while (j < right.length) { joined += right(j); j += 1 }
+          paths(ia) = joined
+          live -= ib
+          changed = true
+        }
+      }
+    }
+    val merged = live.toArray.map(i => paths(i).toArray)
+    if (merged.length == 1) LineString(merged(0)) else MultiLineString(merged)
+  }
+
+  private def reversed(b: ArrayBuffer[Double]): ArrayBuffer[Double] = {
+    val out = new ArrayBuffer[Double](b.length)
+    var i = b.length - 2
+    while (i >= 0) { out += b(i); out += b(i + 1); i -= 2 }
+    out
+  }
+
+  /**
+   * Form all planar faces from the noded arrangement of the input's lineal
+   * parts (JTS Polygonizer / PostGIS ST_Polygonize semantics): node
+   * crossings, drop dangling edges, trace minimal rings; CW rings become
+   * holes of the smallest containing shell, the unbounded face is dropped.
+   */
+  def polygonize(g: Geometry): Array[Geometry] = {
+    val lines = new ArrayBuffer[Array[Double]]()
+    def add(h: Geometry): Unit = h match {
+      case l: LineString => lines += l.coords
+      case m: MultiLineString => m.lines.foreach(lines += _)
+      case p: Polygon => p.rings.foreach(lines += _) // ring boundaries node too
+      case m: MultiPolygon => m.polys.foreach(_.foreach(lines += _))
+      case c: GeometryCollection => c.geoms.foreach(add)
+      case _ => ()
+    }
+    add(g)
+    if (lines.isEmpty) Array.empty
+    else PlanarOverlay.polygonize(lines.toArray)
   }
 
   // ---------------- clip to envelope ----------------

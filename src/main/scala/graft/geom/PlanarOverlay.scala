@@ -687,6 +687,97 @@ object PlanarOverlay {
     }
   }
 
+  /**
+   * Polygonize a set of lineal paths: node every crossing, dedupe
+   * undirected sub-edges, iteratively drop dangling edges (an edge can
+   * bound a face only if both endpoints connect onward), trace minimal
+   * rings from BOTH directions of every surviving edge, and assemble CCW
+   * shells with CW holes — dropping CW rings contained in no shell (the
+   * unbounded face). JTS Polygonizer semantics without the JTS graph.
+   */
+  def polygonize(lines: Array[Array[Double]]): Array[Geometry] = {
+    var mx = 1.0
+    lines.foreach { cs =>
+      var i = 0
+      while (i < cs.length) { val v = math.abs(cs(i)); if (v > mx) mx = v; i += 1 }
+    }
+    val scale = snapScale(mx)
+    val edges = new ArrayBuffer[Edge]()
+    lines.foreach { cs =>
+      var i = 0
+      while (i + 3 < cs.length) {
+        val x1 = snap(cs(i), scale); val y1 = snap(cs(i + 1), scale)
+        val x2 = snap(cs(i + 2), scale); val y2 = snap(cs(i + 3), scale)
+        if (x1 != x2 || y1 != y2) edges += new Edge(x1, y1, x2, y2, 0)
+        i += 2
+      }
+    }
+    if (edges.isEmpty) return Array.empty
+    nodeAll(edges, scale)
+    val subs = splitAll(edges, scale)
+    val uniq = new mutable.LinkedHashMap[(Long, Long, Long, Long), Sub]()
+    subs.foreach { s => if (!uniq.contains(s.ukey)) uniq(s.ukey) = s }
+    // iterative dangling-edge removal (same pattern as cutPolygonal)
+    var changed = true
+    while (changed) {
+      changed = false
+      val degree = new mutable.HashMap[PKey, Int]()
+      uniq.values.foreach { s =>
+        val k1 = pkey(s.sx, s.sy); degree(k1) = degree.getOrElse(k1, 0) + 1
+        val k2 = pkey(s.ex, s.ey); degree(k2) = degree.getOrElse(k2, 0) + 1
+      }
+      val drop = uniq.values.filter(s =>
+        degree(pkey(s.sx, s.sy)) < 2 || degree(pkey(s.ex, s.ey)) < 2).map(_.ukey).toList
+      if (drop.nonEmpty) { drop.foreach(uniq.remove); changed = true }
+    }
+    if (uniq.isEmpty) return Array.empty
+    val selected = new ArrayBuffer[DirEdge]()
+    uniq.values.foreach { s => selected += s.asDir(false); selected += s.asDir(true) }
+    val rings = trace(selected)
+    // assemble: CCW shells; CW rings attach as holes or are the unbounded
+    // face boundary (dropped)
+    val shells = new ArrayBuffer[(Array[Double], Double, ArrayBuffer[Array[Double]])]()
+    val cw = new ArrayBuffer[Array[Double]]()
+    rings.foreach { r =>
+      val a = Ops.signedRingArea(r)
+      if (a > 0) shells += ((r, a, new ArrayBuffer[Array[Double]]()))
+      else if (a < 0) cw += r
+    }
+    val byArea = shells.sortBy(_._2)
+    // a CW ring is the reverse walk of SOME undirected ring; it must not
+    // attach to the shell that is that same ring (vertex-set + area test),
+    // and with no other containing shell it is the unbounded face → drop
+    @inline def vset(r: Array[Double]): mutable.HashSet[(Long, Long)] = {
+      val s = new mutable.HashSet[(Long, Long)]()
+      var i = 0
+      while (i + 1 < r.length) {
+        s += ((java.lang.Double.doubleToLongBits(r(i)),
+               java.lang.Double.doubleToLongBits(r(i + 1))))
+        i += 2
+      }
+      s
+    }
+    cw.foreach { h =>
+      val hv = vset(h); val ha = -Ops.signedRingArea(h)
+      val (ix, iy) = Pred.interiorPoint(Array(h))
+      // containment must hold for the WHOLE ring, not just one interior
+      // point — the unbounded-face ring ENCLOSES small shells (its interior
+      // point lands inside them) but its vertices stick out
+      @inline def ringInShell(shell: Array[Double]): Boolean = {
+        var i = 0
+        while (i + 1 < h.length) {
+          if (Pred.pointInRing(shell, h(i), h(i + 1)) < 0) return false
+          i += 2
+        }
+        Pred.pointInRing(shell, ix, iy) >= 0
+      }
+      byArea.find { case (shell, a, _) =>
+        !(math.abs(a - ha) < 1e-12 * ha && vset(shell) == hv) && ringInShell(shell)
+      }.foreach { case (_, _, hs) => hs += h }
+    }
+    byArea.map { case (shell, _, hs) => Polygon(shell +: hs.toArray): Geometry }.toArray
+  }
+
   /** Is the sub-edge strictly interior to the polygonal set? (midpoint
     * sampling; boundary-coincident runs were excluded via ukey already). */
   private def classifyStrictInterior(s: Sub, polys: Array[Array[Array[Double]]]): Boolean = {

@@ -1001,6 +1001,39 @@ case class StCollect(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 /** st_dump(geom) → array<binary> of atomic parts (server-stream shape). */
+/** st_subdivide(geom, max_vertices) → array<binary>: envelope-halving parts
+  * of bounded vertex count (explode for the 1→N scale shape; see
+  * Ops.subdivide for the 100 TB rationale). */
+case class StSubdivide(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(K.subdivide(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int]).asInstanceOf[Array[Any]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** st_linemerge(geom) → sew lineal parts at degree-2 endpoints. */
+case class StLineMerge(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.lineMerge(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_polygonize(geom) → array<binary> of planar faces formed by the
+  * input's lineal parts (noded arrangement). */
+case class StPolygonize(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.polygonize(v.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class StDump(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)

@@ -96,6 +96,9 @@ object GraftFunctions {
     "st_geodesic_buffer" -> (e => StGeodesicBuffer(e(0), e(1))),
     "st_geodesic_project" -> (e => StGeodesicProject(e)),
     "st_transform_grid" -> (e => StTransformGrid(e)),
+    "st_subdivide" -> (e => StSubdivide(e(0), e(1))),
+    "st_linemerge" -> (e => StLineMerge(e.head)),
+    "st_polygonize" -> (e => StPolygonize(e.head)),
     "st_grid_shift" -> (e => StGridShift(e)),
     "st_azimuth_geodesic" -> (e => StAzimuthGeodesic(e)),
     "st_geodetic_densify" -> (e => StGeodeticDensify(e(0), e(1))),

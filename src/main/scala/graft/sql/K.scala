@@ -264,6 +264,11 @@ object K {
   def azimuthGeodesic(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
     Ops.vincentyAzimuth(lon1, lat1, lon2, lat2)
 
+  def subdivide(b: Array[Byte], maxVertices: Int): Array[Array[Byte]] =
+    Ops.subdivide(rd(b), maxVertices).map(wr)
+  def lineMerge(b: Array[Byte]): Array[Byte] = wr(Ops.lineMerge(rd(b)))
+  def polygonize(b: Array[Byte]): Array[Array[Byte]] = Ops.polygonize(rd(b)).map(wr)
+
   // ---- collections ----
   def collect(parts: Array[Array[Byte]]): Array[Byte] =
     wr(GeometryCollection(parts.map(rd)))
