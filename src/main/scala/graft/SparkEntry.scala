@@ -1067,6 +1067,17 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- S2-style spherical cells (r4 cont.) ----------------
+    // Cube-face quadtree id per image + its level-4 prefix parent; DuckDB
+    // replays the identical face/uv/tan/morton arithmetic.
+    "q73_sphere_cell" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id"),
+          call_function("st_cellid_sphere", col("lon"), col("lat"), lit(10)).as("cell10"))
+        .withColumn("cell4", expr("shiftright(cell10, 12)"))
+    }),
+
     // ---------------- subdivide (scale tool, r4 cont.) ----------------
     // Constant normalized structure (unit square densified to 65 boundary
     // points, maxVertices=20 → 4 parts, worst part 19 points, areas sum to
@@ -1333,6 +1344,11 @@ object SparkEntry {
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
          FROM $ZON""",
+    "q73_sphere_cell" ->
+      s"""SELECT image_id,
+         ${graft.cell.Cells.sphereCellSqlExpr("lon", "lat", 10)} AS cell10,
+         (${graft.cell.Cells.sphereCellSqlExpr("lon", "lat", 10)} >> 12) AS cell4
+         FROM $IMG""",
     "q71_subdivide" ->
       s"""SELECT zone_id, CAST(4 AS BIGINT) AS n_parts, CAST(19 AS BIGINT) AS max_pts,
          CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS area_cents

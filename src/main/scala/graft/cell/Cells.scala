@@ -218,4 +218,92 @@ object Cells {
     }
     s"(${spreadSql(tx)} | (${spreadSql(ty)} << 1))"
   }
+
+  // ---------------- spherical cube-face cells (S2-style, r4 cont.) -------
+  //
+  // The web-mercator Morton grid above clamps at ±85.05° and its cell AREA
+  // diverges toward the poles — fine for web imagery, wrong for global
+  // science data. This is the S2 remedy (public design: cube faces + a
+  // per-face quadtree with an area-equalizing tangent reprojection), kept
+  // Morton-indexed within each face so the id stays one BIGINT and stays
+  // ANSI-SQL-expressible (design constraint #44, same as mortonSqlExpr).
+  // Layout: cell = face · 4^L + morton(si, ti) — parents are still plain
+  // right-shifts (face bits sit above the interleave), so every existing
+  // prefix-range trick (covers, bucketing, row-group pruning) carries over.
+
+  /** Face (0..5 for +x,+y,+z,−x,−y,−z by largest |component|) and the S2
+    * (u,v) in [-1,1]² on that face, from lon/lat degrees. */
+  def faceUv(lon: Double, lat: Double): (Int, Double, Double) = {
+    val lonR = math.toRadians(lon); val latR = math.toRadians(lat)
+    val cl = math.cos(latR)
+    val x = cl * math.cos(lonR); val y = cl * math.sin(lonR); val z = math.sin(latR)
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    // deterministic tie-break order (x, then y, then z) — mirrored in SQL
+    if (ax >= ay && ax >= az) {
+      if (x >= 0) (0, y / x, z / x) else (3, z / x, y / x)
+    } else if (ay >= az) {
+      if (y >= 0) (1, -x / y, z / y) else (4, z / y, -x / y)
+    } else {
+      if (z >= 0) (2, -x / z, -y / z) else (5, -y / z, -x / z)
+    }
+  }
+
+  /** S2 tangent reprojection: u ∈ [-1,1] → s ∈ [0,1]; equalizes cell areas
+    * across a face (max/min cell-area ratio ~1.4 vs ~5.2 linear). */
+  @inline def uvToSt(u: Double): Double = 0.5 + math.atan(u) * (2.0 / math.Pi) * 0.5
+
+  /** Spherical cell id at `level`: face · 4^L + morton(si, ti). Total ids
+    * 6·4^L; level ≤ 30 keeps the id in 63 bits. Every lat/lon maps to
+    * exactly one cell — including the poles the mercator grid clamps. */
+  def cellIdSphere(lon: Double, lat: Double, level: Int): Long = {
+    require(level >= 0 && level <= MAX_LEVEL, s"level $level out of [0,$MAX_LEVEL]")
+    val (face, u, v) = faceUv(lon, lat)
+    val n = 1L << level
+    val si = math.min((uvToSt(u) * n).toLong, n - 1)
+    val ti = math.min((uvToSt(v) * n).toLong, n - 1)
+    (face.toLong << (2 * level)) | spread(si) | (spread(ti) << 1)
+  }
+
+  /** Parent of a spherical cell — identical arithmetic to [[parent]]
+    * because the face bits ride above the Morton interleave. */
+  def parentSphere(cell: Long, level: Int, parentLevel: Int): Long = {
+    require(parentLevel <= level, s"parent level $parentLevel > $level")
+    cell >> (2 * (level - parentLevel))
+  }
+
+  /** ANSI-SQL replica of [[cellIdSphere]] (the q73 oracle contract —
+    * engine and oracle stay in lock-step on the cell scheme). */
+  def sphereCellSqlExpr(lonCol: String, latCol: String, level: Int): String = {
+    val n = 1L << level
+    val x = s"(COS(RADIANS($latCol)) * COS(RADIANS($lonCol)))"
+    val y = s"(COS(RADIANS($latCol)) * SIN(RADIANS($lonCol)))"
+    val z = s"(SIN(RADIANS($latCol)))"
+    val cond = s"(ABS($x) >= ABS($y) AND ABS($x) >= ABS($z))"
+    val condY = s"(ABS($y) >= ABS($z))"
+    val face =
+      s"""(CASE WHEN $cond THEN (CASE WHEN $x >= 0 THEN 0 ELSE 3 END)
+                WHEN $condY THEN (CASE WHEN $y >= 0 THEN 1 ELSE 4 END)
+                ELSE (CASE WHEN $z >= 0 THEN 2 ELSE 5 END) END)"""
+    val u =
+      s"""(CASE WHEN $cond THEN (CASE WHEN $x >= 0 THEN $y/$x ELSE $z/$x END)
+                WHEN $condY THEN (CASE WHEN $y >= 0 THEN -($x)/$y ELSE $z/$y END)
+                ELSE (CASE WHEN $z >= 0 THEN -($x)/$z ELSE -($y)/$z END) END)"""
+    val v =
+      s"""(CASE WHEN $cond THEN (CASE WHEN $x >= 0 THEN $z/$x ELSE $y/$x END)
+                WHEN $condY THEN (CASE WHEN $y >= 0 THEN $z/$y ELSE -($x)/$y END)
+                ELSE (CASE WHEN $z >= 0 THEN -($y)/$z ELSE -($x)/$z END) END)"""
+    def st(e: String): String = s"(0.5 + ATAN($e) * (2.0/PI()) * 0.5)"
+    def idx(e: String): String =
+      s"LEAST(CAST(FLOOR(${st(e)} * $n) AS BIGINT), ${n - 1})"
+    def spreadSql(vv: String): String = {
+      var s0 = s"(($vv) & 4294967295)"
+      s0 = s"((($s0) | (($s0) << 16)) & 281470681808895)"
+      s0 = s"((($s0) | (($s0) << 8)) & 71777214294589695)"
+      s0 = s"((($s0) | (($s0) << 4)) & 1085102592571150095)"
+      s0 = s"((($s0) | (($s0) << 2)) & 3689348814741910323)"
+      s0 = s"((($s0) | (($s0) << 1)) & 6148914691236517205)"
+      s0
+    }
+    s"((CAST($face AS BIGINT) << ${2 * level}) | ${spreadSql(idx(u))} | (${spreadSql(idx(v))} << 1))"
+  }
 }

@@ -104,6 +104,7 @@ object GraftFunctions {
     "st_geodetic_densify" -> (e => StGeodeticDensify(e(0), e(1))),
     // cells / tiles (§2.6)
     "st_cellid" -> (e => StCellId(e(0), e(1), e(2))),
+    "st_cellid_sphere" -> (e => StCellIdSphere(e(0), e(1), e(2))),
     "st_tile_x" -> (e => StTileX(e(0), e(1))),
     "st_tile_y" -> (e => StTileY(e(0), e(1))),
     "st_cell_parent" -> (e => StCellParent(e(0), e(1), e(2))),

@@ -80,4 +80,64 @@ class CellsSpec extends AnyFunSuite {
     assert(ring.length == 8)
     assert(ring.contains(Cells.morton(255, 128)))
   }
+
+  // ---------------- spherical cube-face cells (r4 cont.) ----------------
+
+  private def sphereRand(n: Int, seed: Long): Seq[(Double, Double)] = {
+    var state = seed
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    // uniform on the sphere: lon uniform, sin(lat) uniform
+    (0 until n).map { _ =>
+      val lon = -180.0 + 360.0 * frac()
+      val lat = math.toDegrees(math.asin(-1.0 + 2.0 * frac()))
+      (lon, lat)
+    }
+  }
+
+  test("sphere cells: one id per point, ids in range, prefix nesting") {
+    sphereRand(5000, 8675309L).foreach { case (lon, lat) =>
+      val c10 = Cells.cellIdSphere(lon, lat, 10)
+      assert(c10 >= 0 && c10 < 6L * (1L << 20), s"($lon,$lat) id $c10")
+      // parent at every coarser level is a plain right-shift AND equals
+      // re-encoding at that level (the nesting contract)
+      (0 to 9).foreach { lp =>
+        assert(Cells.parentSphere(c10, 10, lp) == Cells.cellIdSphere(lon, lat, lp),
+          s"($lon,$lat) level $lp")
+      }
+    }
+  }
+
+  test("sphere cells cover the poles the mercator grid clamps away") {
+    // mercator: everything north of 85.05° collapses into the clamped row
+    val mercA = Cells.cellId(10.0, 88.0, 10)
+    val mercB = Cells.cellId(10.0, 89.9, 10)
+    assert(mercA == mercB, "mercator clamp (expected, documents the gap)")
+    // sphere cells keep resolving up there
+    val sphA = Cells.cellIdSphere(10.0, 88.0, 10)
+    val sphB = Cells.cellIdSphere(10.0, 89.9, 10)
+    assert(sphA != sphB, "sphere cells must distinguish high-latitude points")
+    // both poles resolve on the ±z faces
+    assert(Cells.cellIdSphere(0.0, 90.0, 10) >> 20 == 2L)
+    assert(Cells.cellIdSphere(0.0, -90.0, 10) >> 20 == 5L)
+  }
+
+  test("tan reprojection keeps occupancy near-uniform vs mercator blowup") {
+    val pts = sphereRand(120000, 424242L)
+    // level-3 cells: 6*64 = 384 sphere cells vs 64 mercator rows... use
+    // counts-per-cell coefficient: max/mean occupancy
+    def stats(ids: Seq[Long]): (Double, Double) = {
+      val byId = ids.groupBy(identity).view.mapValues(_.size).values.toSeq
+      (byId.max.toDouble, ids.size.toDouble / byId.size)
+    }
+    val (maxS, meanS) = stats(pts.map { case (lon, lat) => Cells.cellIdSphere(lon, lat, 3) })
+    val (maxM, meanM) = stats(pts.map { case (lon, lat) => Cells.cellId(lon, lat, 3) })
+    // sphere: every cell within ~2.1x of the mean (tan projection bound
+    // ~1.4 area ratio + sampling noise); mercator: polar rows overflow
+    assert(maxS / meanS < 2.1, s"sphere max/mean ${maxS / meanS}")
+    assert(maxM / meanM > maxS / meanS,
+      s"mercator should be MORE skewed: ${maxM / meanM} vs ${maxS / meanS}")
+  }
 }
