@@ -3,7 +3,7 @@ package graft
 import graft.data.GeoTables
 import graft.join.SpatialJoins
 import graft.sql.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1067,6 +1067,91 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- voronoi / delaunay (r4 cont.) ----------------
+    // Five deterministic seeds per zone (fixed fractions of the rect → an
+    // affine image of one fixed general-position configuration). Voronoi
+    // cells clipped to the zone rect PARTITION it (area sum = rect area)
+    // and each cell contains exactly its own seed; Delaunay over seeds +
+    // corners is a triangulation of 9 points with hull=4 → exactly
+    // 2·9−2−4 = 12 triangles, areas summing to the rect.
+    "q75_voronoi" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin"); val h = col("ymax") - col("ymin")
+      def seed(fx: Double, fy: Double): Column =
+        call_function("st_point", col("xmin") + w * fx, col("ymin") + h * fy)
+      val seeds = array(seed(0.21, 0.34), seed(0.63, 0.27), seed(0.78, 0.69),
+        seed(0.36, 0.82), seed(0.52, 0.55))
+      GeoTables.zones(s, dir)
+        .withColumn("cells", call_function("st_voronoi",
+          call_function("st_collect", seeds),
+          call_function("st_makeenvelope", col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+        .withColumn("cell", explode(col("cells")))
+        .withColumn("n_inside",
+          Seq((0.21, 0.34), (0.63, 0.27), (0.78, 0.69), (0.36, 0.82), (0.52, 0.55))
+            .map { case (fx, fy) =>
+              call_function("st_contains", col("cell"), seed(fx, fy)).cast("long") }
+            .reduce(_ + _))
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n_inside")).as("total_inside"),
+          floor(sum(call_function("st_area", col("cell"))) * 1e4 + 0.5)
+            .cast("bigint").as("cells_area_cents"))
+    }),
+
+    "q76_delaunay" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin"); val h = col("ymax") - col("ymin")
+      def seed(fx: Double, fy: Double): Column =
+        call_function("st_point", col("xmin") + w * fx, col("ymin") + h * fy)
+      val nine = array(
+        call_function("st_point", col("xmin"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymax")),
+        call_function("st_point", col("xmin"), col("ymax")),
+        seed(0.21, 0.34), seed(0.63, 0.27), seed(0.78, 0.69),
+        seed(0.36, 0.82), seed(0.52, 0.55))
+      GeoTables.zones(s, dir)
+        .withColumn("tris", call_function("st_delaunay", call_function("st_collect", nine)))
+        .select(col("zone_id"),
+          size(col("tris")).cast("bigint").as("n_tris"),
+          floor(aggregate(transform(col("tris"),
+              t => call_function("st_area", t)), lit(0.0),
+            (acc, x) => acc + x) * 1e4 + 0.5).cast("bigint").as("tri_area_cents"))
+    }),
+
+    // ---------------- utility-op batch (r4 cont.) ----------------
+    // snaptogrid / reverse / boundary / pointonsurface / isclosed /
+    // azimuth / hausdorff — every column has a closed form per zone.
+    "q74_util_ops" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin")
+      val h = col("ymax") - col("ymin")
+      GeoTables.zones(s, dir)
+        .withColumn("poly", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("snap", call_function("st_snaptogrid", col("poly"), lit(0.25)))
+        .withColumn("diag", call_function("st_makeline",
+          col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+        .withColumn("inner", call_function("st_makeenvelope",
+          col("xmin") + w / 4, col("ymin") + h / 4,
+          col("xmax") - w / 4, col("ymax") - h / 4))
+        .select(col("zone_id"),
+          floor(call_function("st_xmin", col("snap")) * 1e6).cast("bigint").as("snap_x"),
+          floor(call_function("st_ymin", col("snap")) * 1e6).cast("bigint").as("snap_y"),
+          floor(call_function("st_x", call_function("st_startpoint",
+            call_function("st_reverse", col("diag")))) * 1e6).cast("bigint").as("rev_x"),
+          floor(call_function("st_length",
+            call_function("st_boundary", col("poly"))) * 1e4 + 0.5).cast("bigint").as("bnd_len_c"),
+          call_function("st_contains", col("poly"),
+            call_function("st_pointonsurface", col("poly"))).cast("bigint").as("pos_in"),
+          call_function("st_isclosed",
+            call_function("st_boundary", col("poly"))).cast("bigint").as("bnd_closed"),
+          call_function("st_isclosed", col("diag")).cast("bigint").as("diag_closed"),
+          floor(call_function("st_azimuth",
+            col("xmin"), col("ymin"), col("xmax"), col("ymax")) * 1e2).cast("bigint").as("az_c"),
+          floor(call_function("st_hausdorff_distance",
+            col("poly"), col("inner")) * 1e6).cast("bigint").as("haus_u"))
+    }),
+
     // ---------------- S2-style spherical cells (r4 cont.) ----------------
     // Cube-face quadtree id per image + its level-4 prefix parent; DuckDB
     // replays the identical face/uv/tan/morton arithmetic.
@@ -1111,7 +1196,7 @@ object SparkEntry {
       GraftFunctions.install(s)
       val mx = (col("xmin") + col("xmax")) / 2
       val my = (col("ymin") + col("ymax")) / 2
-      def line(x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column, x2: org.apache.spark.sql.Column, y2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      def line(x1: Column, y1: Column, x2: Column, y2: Column): Column =
         call_function("st_makeline", x1, y1, x2, y2)
       val boundary = array(
         line(col("xmin"), col("ymin"), col("xmax"), col("ymin")),
@@ -1343,6 +1428,27 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q75_voronoi" ->
+      s"""SELECT zone_id, CAST(5 AS BIGINT) AS n_cells, CAST(5 AS BIGINT) AS total_inside,
+         CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS cells_area_cents
+         FROM $ZON""",
+    "q76_delaunay" ->
+      s"""SELECT zone_id, CAST(12 AS BIGINT) AS n_tris,
+         CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS tri_area_cents
+         FROM $ZON""",
+    "q74_util_ops" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR(ROUND(xmin / 0.25) * 0.25 * 1e6) AS BIGINT) AS snap_x,
+         CAST(FLOOR(ROUND(ymin / 0.25) * 0.25 * 1e6) AS BIGINT) AS snap_y,
+         CAST(FLOOR(xmax * 1e6) AS BIGINT) AS rev_x,
+         CAST(FLOOR(2 * ((xmax - xmin) + (ymax - ymin)) * 1e4 + 0.5) AS BIGINT) AS bnd_len_c,
+         CAST(1 AS BIGINT) AS pos_in,
+         CAST(1 AS BIGINT) AS bnd_closed,
+         CAST(0 AS BIGINT) AS diag_closed,
+         CAST(FLOOR(DEGREES(ATAN2(xmax - xmin, ymax - ymin)) * 1e2) AS BIGINT) AS az_c,
+         CAST(FLOOR(SQRT(((xmax - xmin) / 4) * ((xmax - xmin) / 4)
+           + ((ymax - ymin) / 4) * ((ymax - ymin) / 4)) * 1e6) AS BIGINT) AS haus_u
          FROM $ZON""",
     "q73_sphere_cell" ->
       s"""SELECT image_id,

@@ -396,6 +396,161 @@ object Ops {
     Polygon(Array(ring)) // monotone chain with the above order emits CCW
   }
 
+  // ---------------- coordinate/structure utilities (r4 cont.) -----------
+
+  /** Round every coordinate to a multiple of `size` (PostGIS ST_SnapToGrid
+    * with origin 0; pure per-vertex rounding — no topology repair, pair
+    * with st_simplify/st_simplify_ogc when collapse matters). */
+  def snapToGrid(g: Geometry, size: Double): Geometry = {
+    require(size > 0, "grid size must be positive")
+    mapCoords(g, (x, y) => (math.rint(x / size) * size, math.rint(y / size) * size))
+  }
+
+  /** Reverse vertex order of every path/ring (OGC ST_Reverse). */
+  def reverse(g: Geometry): Geometry = {
+    def rev(cs: Array[Double]): Array[Double] = {
+      val out = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        out(i) = cs(cs.length - 2 - i); out(i + 1) = cs(cs.length - 1 - i)
+        i += 2
+      }
+      out
+    }
+    g match {
+      case l: LineString => LineString(rev(l.coords))
+      case m: MultiLineString => MultiLineString(m.lines.map(rev))
+      case p: Polygon => Polygon(p.rings.map(rev))
+      case m: MultiPolygon => MultiPolygon(m.polys.map(_.map(rev)))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(reverse))
+      case zm: GeometryZM =>
+        // attribute streams reverse WITHIN each part slice (part order is
+        // unchanged by reverse, only vertex order inside each path/ring)
+        val sizes: Array[Int] = zm.base match {
+          case l: LineString => Array(l.coords.length / 2)
+          case m: MultiLineString => m.lines.map(_.length / 2)
+          case p: Polygon => p.rings.map(_.length / 2)
+          case m: MultiPolygon => m.polys.flatMap(_.map(_.length / 2))
+          case other => Array(other.numPoints)
+        }
+        def revSliced(a: Array[Double]): Array[Double] = {
+          if (a == null) return null
+          val out = new Array[Double](a.length)
+          var off = 0
+          sizes.foreach { n =>
+            var i = 0
+            while (i < n) { out(off + i) = a(off + n - 1 - i); i += 1 }
+            off += n
+          }
+          out
+        }
+        GeometryZM(reverse(zm.base), revSliced(zm.zs), revSliced(zm.ms))
+      case other => other // points are their own reverse
+    }
+  }
+
+  /** OGC boundary operator: polygon → rings as closed lines; line →
+    * endpoints (empty for closed lines); point → empty. */
+  def boundary(g: Geometry): Geometry = g match {
+    case p: Polygon =>
+      if (p.rings.length == 1) LineString(p.rings(0))
+      else MultiLineString(p.rings)
+    case m: MultiPolygon => MultiLineString(m.polys.flatten)
+    case l: LineString =>
+      val cs = l.coords
+      if (cs.length < 4) MultiPoint(Array.empty)
+      else if (cs(0) == cs(cs.length - 2) && cs(1) == cs(cs.length - 1))
+        MultiPoint(Array.empty) // closed: empty boundary (mod-2 rule)
+      else MultiPoint(Array(cs(0), cs(1), cs(cs.length - 2), cs(cs.length - 1)))
+    case m: MultiLineString =>
+      // mod-2 rule: endpoints appearing an odd number of times
+      val counts = new mutable.LinkedHashMap[(Long, Long), (Double, Double, Int)]()
+      m.lines.foreach { cs =>
+        if (cs.length >= 4) Seq((cs(0), cs(1)), (cs(cs.length - 2), cs(cs.length - 1))).foreach {
+          case (x, y) =>
+            val k = (java.lang.Double.doubleToLongBits(x), java.lang.Double.doubleToLongBits(y))
+            val prev = counts.getOrElse(k, (x, y, 0))
+            counts(k) = (x, y, prev._3 + 1)
+        }
+      }
+      val pts = counts.values.filter(_._3 % 2 == 1).toArray
+      MultiPoint(pts.flatMap(p => Array(p._1, p._2)))
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(boundary))
+    case zm: GeometryZM => boundary(zm.base)
+    case _ => MultiPoint(Array.empty) // point/multipoint boundary is empty
+  }
+
+  /** A point guaranteed interior to the geometry (ST_PointOnSurface):
+    * polygons use the even-odd midpoint scan, lines take a segment
+    * midpoint, points return themselves. */
+  def pointOnSurface(g: Geometry): Geometry = g match {
+    case p: Point => p
+    case m: MultiPoint => if (m.coords.length >= 2) Point(m.coords(0), m.coords(1)) else Point.EMPTY
+    case l: LineString =>
+      val cs = l.coords
+      if (cs.length < 4) Point.EMPTY
+      else Point((cs(0) + cs(2)) / 2, (cs(1) + cs(3)) / 2)
+    case m: MultiLineString => if (m.lines.nonEmpty) pointOnSurface(LineString(m.lines(0))) else Point.EMPTY
+    case p: Polygon =>
+      val (x, y) = Pred.interiorPoint(p.rings)
+      Point(x, y)
+    case m: MultiPolygon =>
+      if (m.polys.isEmpty) Point.EMPTY
+      else { val (x, y) = Pred.interiorPoint(m.polys(0)); Point(x, y) }
+    case c: GeometryCollection =>
+      c.geoms.collectFirst { case g2 if !g2.isEmpty => pointOnSurface(g2) }.getOrElse(Point.EMPTY)
+    case zm: GeometryZM => pointOnSurface(zm.base)
+  }
+
+  /** Is every path closed? (ST_IsClosed; true for points/polygons per
+    * PostGIS, false for an empty/degenerate line). */
+  def isClosed(g: Geometry): Boolean = g match {
+    case l: LineString =>
+      val cs = l.coords
+      cs.length >= 4 && cs(0) == cs(cs.length - 2) && cs(1) == cs(cs.length - 1)
+    case m: MultiLineString => m.lines.nonEmpty && m.lines.forall(cs => isClosed(LineString(cs)))
+    case c: GeometryCollection => c.geoms.nonEmpty && c.geoms.forall(isClosed)
+    case zm: GeometryZM => isClosed(zm.base)
+    case _ => !g.isEmpty
+  }
+
+  /** Planar azimuth of the segment (x1,y1)→(x2,y2), degrees clockwise from
+    * north in [0, 360) — the PostGIS ST_Azimuth convention. */
+  def azimuthPlanar(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    require(x1 != x2 || y1 != y2, "azimuth of coincident points is undefined")
+    val a = math.toDegrees(math.atan2(x2 - x1, y2 - y1))
+    if (a < 0) a + 360.0 else a
+  }
+
+  /** Discrete Hausdorff distance (vertex-sampled, symmetric — the PostGIS /
+    * JTS DiscreteHausdorffDistance contract; densify first to tighten). */
+  def hausdorff(a: Geometry, b: Geometry): Double = {
+    def oneWay(from: Geometry, to: Geometry): Double = {
+      var worst = 0.0
+      def visit(cs: Array[Double]): Unit = {
+        var i = 0
+        while (i + 1 < cs.length) {
+          val d = Pred.distance(Point(cs(i), cs(i + 1)), to)
+          if (d > worst) worst = d
+          i += 2
+        }
+      }
+      def walk(g: Geometry): Unit = g match {
+        case p: Point => if (!p.isEmpty) visit(Array(p.x, p.y))
+        case m: MultiPoint => visit(m.coords)
+        case l: LineString => visit(l.coords)
+        case m: MultiLineString => m.lines.foreach(visit)
+        case p: Polygon => p.rings.foreach(visit)
+        case m: MultiPolygon => m.polys.foreach(_.foreach(visit))
+        case c: GeometryCollection => c.geoms.foreach(walk)
+        case zm: GeometryZM => walk(zm.base)
+      }
+      walk(from)
+      worst
+    }
+    math.max(oneWay(a, b), oneWay(b, a))
+  }
+
   // ---------------- subdivide (scale tool) ----------------
 
   /**

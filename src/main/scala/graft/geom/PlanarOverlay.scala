@@ -338,7 +338,16 @@ object PlanarOverlay {
     * At a multi-degree node the next edge is the first outgoing edge
     * CLOCKWISE from the reversed incoming direction — this keeps touching
     * faces separate and never crosses the boundary. */
-  def trace(selected: ArrayBuffer[DirEdge]): Array[Array[Double]] = {
+  def trace(selected: ArrayBuffer[DirEdge]): Array[Array[Double]] =
+    trace(selected, closeAtStartEdge = false)
+
+  /** `closeAtStartEdge = true` (polygonize) closes a walk only when the
+    * angular rule selects the STARTING edge again — the JTS EdgeRing rule.
+    * Faces whose boundary legitimately revisits a vertex (pinched faces in
+    * a noded line soup) are then traced whole instead of being split at
+    * the first vertex revisit. Overlay keeps the vertex-closing rule its
+    * 1.5M-case fuzz was run against. */
+  def trace(selected: ArrayBuffer[DirEdge], closeAtStartEdge: Boolean): Array[Array[Double]] = {
     val outgoing = new mutable.HashMap[PKey, ArrayBuffer[Int]]()
     selected.indices.foreach { i =>
       val e = selected(i)
@@ -363,18 +372,21 @@ object PlanarOverlay {
           if (steps > selected.length + 1)
             throw new IllegalStateException("overlay tracing did not terminate")
           val endKey = pkey(e.ex, e.ey)
-          if (endKey == startKey) closed = true
+          if (!closeAtStartEdge && endKey == startKey) closed = true
           else {
             val cands = outgoing.getOrElse(endKey, null)
             var next = -1
             if (cands != null) {
-              if (cands.length == 1) { if (!used(cands(0))) next = cands(0) }
-              else {
+              if (cands.length == 1) {
+                val c = cands(0)
+                if (!used(c)) next = c
+                else if (closeAtStartEdge && c == start) next = start
+              } else {
                 // clockwise-first from reversed incoming direction
                 val inAngle = math.atan2(e.sy - e.ey, e.sx - e.ex) // reverse of incoming
                 var bestDelta = Double.MaxValue
                 cands.foreach { c =>
-                  if (!used(c)) {
+                  if (!used(c) || (closeAtStartEdge && c == start)) {
                     val o = selected(c)
                     val outAngle = math.atan2(o.ey - o.sy, o.ex - o.sx)
                     var delta = inAngle - outAngle
@@ -388,7 +400,8 @@ object PlanarOverlay {
             if (next < 0)
               throw new IllegalStateException(
                 s"overlay tracing dead-ended at (${e.ex},${e.ey})")
-            cur = next
+            if (closeAtStartEdge && next == start) closed = true
+            else cur = next
           }
         }
         if (ring.length >= 6) {
@@ -714,7 +727,60 @@ object PlanarOverlay {
     }
     if (edges.isEmpty) return Array.empty
     nodeAll(edges, scale)
-    val subs = splitAll(edges, scale)
+    val subs0 = splitAll(edges, scale)
+    // Merge near-coincident nodes (≤2.5 grid steps): three nearly-concurrent
+    // crossings can snap onto ADJACENT grid cells, splitting one geometric
+    // node in two and scrambling the angular order around each half — the
+    // walk then weaves through the micro-edge and merges real faces
+    // (DeepFuzz seed 20260817, 53-vs-54 soup). Union-find to the
+    // lexicographically smallest representative, then drop collapsed edges.
+    val res0 = 1.0 / scale
+    val nodePts = new mutable.LinkedHashMap[(Long, Long), Int]()
+    val xs = new ArrayBuffer[Double](); val ys = new ArrayBuffer[Double]()
+    @inline def nodeIdx(x: Double, y: Double): Int = {
+      val k = (java.lang.Double.doubleToLongBits(x), java.lang.Double.doubleToLongBits(y))
+      nodePts.getOrElseUpdate(k, { xs += x; ys += y; xs.length - 1 })
+    }
+    subs0.foreach { s => nodeIdx(s.sx, s.sy); nodeIdx(s.ex, s.ey) }
+    val parent = Array.tabulate(xs.length)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); var c = i; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }; r }
+    def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val cellW = 4 * res0
+    val buckets = new mutable.HashMap[(Long, Long), ArrayBuffer[Int]]()
+    (0 until xs.length).foreach { i =>
+      buckets.getOrElseUpdate(
+        (math.floor(xs(i) / cellW).toLong, math.floor(ys(i) / cellW).toLong),
+        new ArrayBuffer[Int]()) += i
+    }
+    val tol = 2.5 * res0
+    (0 until xs.length).foreach { i =>
+      val bx = math.floor(xs(i) / cellW).toLong; val by = math.floor(ys(i) / cellW).toLong
+      var dx = -1L
+      while (dx <= 1) {
+        var dy = -1L
+        while (dy <= 1) {
+          buckets.get((bx + dx, by + dy)).foreach(_.foreach { j =>
+            if (j > i && math.hypot(xs(i) - xs(j), ys(i) - ys(j)) <= tol) union(i, j)
+          })
+          dy += 1
+        }
+        dx += 1
+      }
+    }
+    // canonical coordinate per cluster: lexicographically smallest member
+    val canonOf = new Array[Int](xs.length)
+    (0 until xs.length).foreach { i => canonOf(i) = i }
+    (0 until xs.length).foreach { i =>
+      val r = find(i)
+      val c = canonOf(r)
+      if (xs(i) < xs(c) || (xs(i) == xs(c) && ys(i) < ys(c))) canonOf(r) = i
+    }
+    val subs = new ArrayBuffer[Sub](subs0.length)
+    subs0.foreach { s =>
+      val a = canonOf(find(nodeIdx(s.sx, s.sy)))
+      val b = canonOf(find(nodeIdx(s.ex, s.ey)))
+      if (a != b) subs += Sub(xs(a), ys(a), xs(b), ys(b), s.side)
+    }
     val uniq = new mutable.LinkedHashMap[(Long, Long, Long, Long), Sub]()
     subs.foreach { s => if (!uniq.contains(s.ukey)) uniq(s.ukey) = s }
     // iterative dangling-edge removal (same pattern as cutPolygonal)
@@ -733,15 +799,26 @@ object PlanarOverlay {
     if (uniq.isEmpty) return Array.empty
     val selected = new ArrayBuffer[DirEdge]()
     uniq.values.foreach { s => selected += s.asDir(false); selected += s.asDir(true) }
-    val rings = trace(selected)
+    val rings = trace(selected, closeAtStartEdge = true)
     // assemble: CCW shells; CW rings attach as holes or are the unbounded
-    // face boundary (dropped)
+    // face boundary (dropped). Rings THINNER than the snap grid (area <
+    // perimeter × grid step) are noise: three nearly-concurrent crossings
+    // can land on adjacent grid nodes and leave a sliver face between them
+    // where full-precision noding sees one node (DeepFuzz seed 20260817).
+    val res = 1.0 / scale
+    @inline def perim(r: Array[Double]): Double = {
+      var p = 0.0; var i = 0
+      while (i + 3 < r.length) { p += math.hypot(r(i + 2) - r(i), r(i + 3) - r(i + 1)); i += 2 }
+      p
+    }
     val shells = new ArrayBuffer[(Array[Double], Double, ArrayBuffer[Array[Double]])]()
     val cw = new ArrayBuffer[Array[Double]]()
     rings.foreach { r =>
       val a = Ops.signedRingArea(r)
-      if (a > 0) shells += ((r, a, new ArrayBuffer[Array[Double]]()))
-      else if (a < 0) cw += r
+      if (math.abs(a) >= perim(r) * res) {
+        if (a > 0) shells += ((r, a, new ArrayBuffer[Array[Double]]()))
+        else if (a < 0) cw += r
+      }
     }
     val byArea = shells.sortBy(_._2)
     // a CW ring is the reverse walk of SOME undirected ring; it must not

@@ -1017,6 +1017,102 @@ case class StCollect(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 /** st_dump(geom) → array<binary> of atomic parts (server-stream shape). */
+/** st_snaptogrid(geom, size) → per-vertex rounding to a grid multiple. */
+case class StSnapToGrid(left: Expression, right: Expression) extends GeomDoubleToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.snapToGrid(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** st_reverse(geom) → vertex order reversed per path/ring (Z/M ride). */
+case class StReverse(child: Expression) extends GeomUnary {
+  def fn = "reverse"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.reverse(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_boundary(geom) → OGC boundary (rings as lines / mod-2 endpoints). */
+case class StBoundary(child: Expression) extends GeomUnary {
+  def fn = "boundary"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.boundary(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_pointonsurface(geom) → a point interior to the geometry. */
+case class StPointOnSurface(child: Expression) extends GeomUnary {
+  def fn = "pointOnSurface"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.pointOnSurface(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_isclosed(geom) → every path closed. */
+case class StIsClosed(child: Expression) extends GeomUnary {
+  def fn = "isClosed"; override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = K.isClosed(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_azimuth(x1, y1, x2, y2) → planar azimuth, degrees CW from north. */
+case class StAzimuth(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "st_azimuth(x1, y1, x2, y2)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.azimuthPlanar(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_hausdorff_distance(a, b) → discrete (vertex-sampled) Hausdorff. */
+case class StHausdorff(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.hausdorff(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** st_delaunay(geom) → array<binary> of CCW Delaunay triangles over the
+  * geometry's distinct vertices. */
+case class StDelaunay(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.delaunay(v.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_voronoi(geom[, env_geom]) → array<binary> of Voronoi cells (seed
+  * order), clipped to env_geom's envelope (default: expanded vertex env);
+  * the cells exactly partition the clip envelope. */
+case class StVoronoi(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 1 || children.length == 2, "st_voronoi(geom[, env_geom])")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(children.length)(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else if (vs.length == 1)
+      new GenericArrayData(K.voronoi(vs(0).asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+    else
+      new GenericArrayData(K.voronoiEnv(vs(0).asInstanceOf[Array[Byte]],
+        vs(1).asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_subdivide(geom, max_vertices) → array<binary>: envelope-halving parts
   * of bounded vertex count (explode for the 1→N scale shape; see
   * Ops.subdivide for the 100 TB rationale). */

@@ -97,6 +97,15 @@ object GraftFunctions {
     "st_geodesic_project" -> (e => StGeodesicProject(e)),
     "st_transform_grid" -> (e => StTransformGrid(e)),
     "st_subdivide" -> (e => StSubdivide(e(0), e(1))),
+    "st_snaptogrid" -> (e => StSnapToGrid(e(0), e(1))),
+    "st_reverse" -> (e => StReverse(e.head)),
+    "st_boundary" -> (e => StBoundary(e.head)),
+    "st_pointonsurface" -> (e => StPointOnSurface(e.head)),
+    "st_isclosed" -> (e => StIsClosed(e.head)),
+    "st_azimuth" -> (e => StAzimuth(e)),
+    "st_hausdorff_distance" -> (e => StHausdorff(e(0), e(1))),
+    "st_delaunay" -> (e => StDelaunay(e.head)),
+    "st_voronoi" -> (e => StVoronoi(e)),
     "st_linemerge" -> (e => StLineMerge(e.head)),
     "st_polygonize" -> (e => StPolygonize(e.head)),
     "st_grid_shift" -> (e => StGridShift(e)),

@@ -266,6 +266,18 @@ object K {
 
   def subdivide(b: Array[Byte], maxVertices: Int): Array[Array[Byte]] =
     Ops.subdivide(rd(b), maxVertices).map(wr)
+  def snapToGrid(b: Array[Byte], size: Double): Array[Byte] = wr(Ops.snapToGrid(rd(b), size))
+  def reverse(b: Array[Byte]): Array[Byte] = wr(Ops.reverse(rdFull(b))) // ZM preserved
+  def boundary(b: Array[Byte]): Array[Byte] = wr(Ops.boundary(rd(b)))
+  def pointOnSurface(b: Array[Byte]): Array[Byte] = wr(Ops.pointOnSurface(rd(b)))
+  def isClosed(b: Array[Byte]): Boolean = Ops.isClosed(rd(b))
+  def azimuthPlanar(x1: Double, y1: Double, x2: Double, y2: Double): Double =
+    Ops.azimuthPlanar(x1, y1, x2, y2)
+  def hausdorff(a: Array[Byte], b: Array[Byte]): Double = Ops.hausdorff(rd(a), rd(b))
+  def delaunay(b: Array[Byte]): Array[Array[Byte]] = Triangulate.delaunay(rd(b)).map(wr)
+  def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
+  def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =
+    Triangulate.voronoi(rd(b), Some(rd(envGeom).envelope)).map(wr)
   def lineMerge(b: Array[Byte]): Array[Byte] = wr(Ops.lineMerge(rd(b)))
   def polygonize(b: Array[Byte]): Array[Array[Byte]] = Ops.polygonize(rd(b)).map(wr)
 

@@ -88,6 +88,41 @@ class PolygonizeSpec extends AnyFunSuite {
     }
   }
 
+  test("regression: pinched-face soups trace whole (DeepFuzz escapes)") {
+    // three arrangements where vertex-closing split faces at revisited
+    // vertices (found by the r4 DeepFuzz polygonize axis, seed 20260817);
+    // the fix is the JTS EdgeRing rule: close only at the starting EDGE
+    val soups = Seq(
+      Seq("LINESTRING (5 5, 0 10)", "LINESTRING (11 1, 0 4, 8 4, 0 5)",
+        "LINESTRING (10 4, 9 0)", "LINESTRING (3 2, 3 11)",
+        "LINESTRING (3 4, 3 7, 11 5)", "LINESTRING (2 7, 6 11, 9 2)",
+        "LINESTRING (5 9, 0 10)"),
+      Seq("LINESTRING (6 7, 0 1, 9 8, 9 5, 10 8)", "LINESTRING (7 2, 2 3, 5 11)",
+        "LINESTRING (1 3, 0 4, 6 0, 9 10, 6 6)", "LINESTRING (0 8, 9 11, 4 1, 0 11)",
+        "LINESTRING (9 3, 7 10)", "LINESTRING (5 11, 2 3)",
+        "LINESTRING (5 6, 7 0, 11 9, 1 11, 0 4)", "LINESTRING (4 9, 8 6, 6 9)",
+        "LINESTRING (9 4, 11 3, 3 10, 1 4)"),
+      Seq("LINESTRING (1 8, 10 10, 11 2)", "LINESTRING (4 2, 4 4)",
+        "LINESTRING (4 11, 4 3, 3 2, 2 2)", "LINESTRING (1 3, 7 6)",
+        "LINESTRING (5 4, 4 6)", "LINESTRING (9 2, 10 8, 11 1)",
+        "LINESTRING (10 11, 9 11)", "LINESTRING (10 11, 11 6, 1 11, 0 4)"),
+      // near-concurrent crossings landing on ADJACENT snap cells: without
+      // post-noding node merging the micro-edge scrambles angular order
+      // and two real faces merge (53 vs 54)
+      Seq("LINESTRING (2 4, 4 4, 8 8, 6 3, 7 8)", "LINESTRING (2 9, 1 2, 1 7)",
+        "LINESTRING (0 11, 10 4)", "LINESTRING (1 0, 7 6, 4 4, 10 9)",
+        "LINESTRING (10 7, 7 2)", "LINESTRING (7 8, 7 6, 6 6)",
+        "LINESTRING (4 2, 0 7, 10 4)", "LINESTRING (7 8, 6 5, 0 11, 10 4, 2 5)",
+        "LINESTRING (5 3, 2 1, 5 11)"))
+    soups.foreach { lines =>
+      val faces = Ops.polygonize(GeometryCollection(lines.map(Wkt.read).toArray))
+      val (jn, ja) = jtsPolygonize(lines)
+      assert(faces.length == jn, s"${faces.length} faces vs JTS $jn")
+      assert(math.abs(faces.map(Ops.area).sum - ja) < 1e-9,
+        s"area ${faces.map(Ops.area).sum} vs JTS $ja")
+    }
+  }
+
   test("linemerge sews a chain and closes a ring; parity vs JTS LineMerger") {
     // four boundary edges in scrambled order/orientation
     val segs = Seq(

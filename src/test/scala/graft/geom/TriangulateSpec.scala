@@ -1,0 +1,107 @@
+package graft.geom
+
+import org.locationtech.jts.io.WKTReader
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Delaunay + Voronoi vs JTS and the partition invariants q75/q76 encode. */
+class TriangulateSpec extends AnyFunSuite {
+
+  private val reader = new WKTReader()
+  private val gf = new org.locationtech.jts.geom.GeometryFactory()
+
+  private def mp(pts: Seq[(Double, Double)]): String =
+    s"MULTIPOINT (${pts.map { case (x, y) => s"($x $y)" }.mkString(", ")})"
+
+  // the q75/q76 unit configuration — must be in general position (affine
+  // images inherit it), verified here once
+  private val inner = Seq((0.21, 0.34), (0.63, 0.27), (0.78, 0.69), (0.36, 0.82), (0.52, 0.55))
+  private val corners = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))
+
+  test("q76 unit configuration is in general position (no 3 collinear)") {
+    val all = (corners ++ inner).toArray
+    for (i <- all.indices; j <- all.indices; k <- all.indices
+         if i < j && j < k) {
+      val (ax, ay) = all(i); val (bx, by) = all(j); val (cx, cy) = all(k)
+      val o = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      assert(math.abs(o) > 1e-9, s"collinear: $i $j $k")
+    }
+  }
+
+  test("delaunay triangle count and area vs JTS on random point sets") {
+    var state = 271828L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 40).foreach { trial =>
+      val n = 4 + (frac() * 30).toInt
+      val pts = Seq.fill(n)((math.rint(frac() * 1000) / 10, math.rint(frac() * 1000) / 10)).distinct
+      if (pts.length >= 3) {
+        val tris = Triangulate.delaunay(Wkt.read(mp(pts)))
+        val builder = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder()
+        builder.setSites(reader.read(mp(pts)))
+        val jt = builder.getTriangles(gf)
+        val jtsTris = (0 until jt.getNumGeometries).map(jt.getGeometryN)
+        // counts can differ on exactly-cocircular quadruples (both answers
+        // legal); areas must always agree — the triangulation covers the hull
+        val got = tris.map(Ops.area).sum
+        val want = jtsTris.map(_.getArea).sum
+        assert(math.abs(got - want) < 1e-6 * math.max(1, want),
+          s"trial $trial: area $got vs $want (${pts.length} pts)")
+        if (tris.length != jtsTris.length)
+          info(s"trial $trial: count ${tris.length} vs ${jtsTris.length} (cocircular tie)")
+        // every triangle CCW and non-degenerate
+        tris.foreach(t => assert(Ops.area(t) > 0, "triangle must be CCW"))
+      }
+    }
+  }
+
+  test("delaunay of the 9-point q76 configuration has exactly 12 triangles under affine maps") {
+    Seq((1.0, 1.0, 0.0, 0.0), (3.7, 0.4, -20.0, 55.0), (0.01, 12.0, 7.7, -3.3),
+        (5.5, 5.5, 120.0, 40.0)).foreach { case (sx, sy, ox, oy) =>
+      val pts = (corners ++ inner).map { case (x, y) => (ox + sx * x, oy + sy * y) }
+      val tris = Triangulate.delaunay(Wkt.read(mp(pts)))
+      assert(tris.length == 12, s"scale ($sx,$sy): got ${tris.length}")
+      val area = tris.map(Ops.area).sum
+      assert(math.abs(area - sx * sy) < 1e-9 * math.max(1, sx * sy), s"area $area vs ${sx * sy}")
+    }
+  }
+
+  test("voronoi cells partition the clip envelope and contain their seeds") {
+    val pts = inner.map { case (x, y) => (x * 10, y * 10) }
+    val env = Env(0, 0, 10, 10)
+    val cells = Triangulate.voronoi(Wkt.read(mp(pts)), Some(env))
+    assert(cells.length == 5)
+    assert(math.abs(cells.map(Ops.area).sum - 100.0) < 1e-9, "cells must partition the envelope")
+    // seed containment: seed order is SORTED vertex order
+    val sorted = pts.sortBy(identity)
+    cells.zip(sorted).foreach { case (cell, (x, y)) =>
+      assert(Pred.contains(cell, Point(x, y)), s"cell must contain its seed ($x,$y)")
+    }
+    // pairwise interiors disjoint (area of pairwise intersections ~ 0)
+    for (i <- cells.indices; j <- cells.indices if i < j) {
+      val inter = Overlay.intersection(cells(i), cells(j))
+      assert(Ops.area(inter) < 1e-9, s"cells $i,$j overlap")
+    }
+  }
+
+  test("voronoi per-cell areas match JTS VoronoiDiagramBuilder") {
+    val pts = Seq((1.0, 1.0), (8.0, 2.0), (4.0, 7.0), (6.5, 5.0), (2.0, 5.5), (9.0, 9.0))
+    val env = Env(0, 0, 10, 10)
+    val cells = Triangulate.voronoi(Wkt.read(mp(pts)), Some(env))
+    val vdb = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder()
+    vdb.setSites(reader.read(mp(pts)))
+    vdb.setClipEnvelope(new org.locationtech.jts.geom.Envelope(0, 10, 0, 10))
+    val jd = vdb.getDiagram(gf)
+    // JTS may return cells exceeding the clip env; intersect with the env
+    val envPoly = reader.read("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val jtsAreas = (0 until jd.getNumGeometries)
+      .map(i => jd.getGeometryN(i).intersection(envPoly).getArea).sorted
+    val ourAreas = cells.map(Ops.area).sorted
+    assert(ourAreas.length == jtsAreas.length)
+    ourAreas.zip(jtsAreas).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"cell area $a vs JTS $b")
+    }
+  }
+}

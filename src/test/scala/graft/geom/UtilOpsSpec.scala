@@ -1,0 +1,82 @@
+package graft.geom
+
+import org.locationtech.jts.io.WKTReader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** snaptogrid / reverse / boundary / pointonsurface / isclosed / azimuth /
+  * hausdorff on irregular shapes, pinned against JTS where it has the
+  * operator (q74 covers the rectangular closed forms). */
+class UtilOpsSpec extends AnyFunSuite {
+
+  private val reader = new WKTReader()
+  private val star = "POLYGON ((5 0, 6 4, 10 5, 6 6, 5 10, 4 6, 0 5, 4 4, 5 0))"
+  private val hole = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+  private val zig = "LINESTRING (0 0, 3 1, 5 -1, 8 2)"
+
+  test("boundary matches JTS on polygon-with-hole and open line") {
+    val b = Ops.boundary(Wkt.read(hole))
+    val jb = reader.read(hole).getBoundary
+    assert(Ops.length(b) == jb.getLength)
+    assert(b.asInstanceOf[MultiLineString].lines.length == 2)
+    val lb = Ops.boundary(Wkt.read(zig)).asInstanceOf[MultiPoint]
+    assert(lb.coords.toSeq == Seq(0.0, 0.0, 8.0, 2.0))
+    // closed line → empty boundary
+    assert(Ops.boundary(Wkt.read("LINESTRING (0 0, 1 0, 1 1, 0 0)")).isEmpty)
+    // mod-2: the Y junction has degree 3 (odd) → it IS boundary, like the
+    // three leaf endpoints: 4 boundary points total (matches JTS)
+    val yWkt = "MULTILINESTRING ((0 0, 1 1), (2 0, 1 1), (1 1, 1 3))"
+    val y = Ops.boundary(Wkt.read(yWkt))
+    assert(y.asInstanceOf[MultiPoint].coords.length / 2 == 4)
+    assert(reader.read(yWkt).getBoundary.getNumGeometries == 4)
+  }
+
+  test("reverse: involution, start/end swap, Z stream rides per part") {
+    val l = Wkt.read(zig)
+    val r = Ops.reverse(l).asInstanceOf[LineString]
+    assert(r.coords.toSeq == Seq(8.0, 2.0, 5.0, -1.0, 3.0, 1.0, 0.0, 0.0))
+    assert(Ops.reverse(r).asInstanceOf[LineString].coords.sameElements(
+      l.asInstanceOf[LineString].coords))
+    val zl = Wkt.read("LINESTRING Z (0 0 10, 1 0 20, 2 0 30)")
+    val zr = Ops.reverse(zl).asInstanceOf[GeometryZM]
+    assert(zr.zs.toSeq == Seq(30.0, 20.0, 10.0))
+    // multi-part: parts keep their order, streams reverse within each
+    val ml = Wkt.read("MULTILINESTRING Z ((0 0 1, 1 0 2), (5 5 7, 6 5 8, 7 5 9))")
+    val mr = Ops.reverse(ml).asInstanceOf[GeometryZM]
+    assert(mr.zs.toSeq == Seq(2.0, 1.0, 9.0, 8.0, 7.0))
+  }
+
+  test("pointonsurface lands strictly inside, including with holes") {
+    Seq(star, hole).foreach { w =>
+      val p = Ops.pointOnSurface(Wkt.read(w)).asInstanceOf[Point]
+      assert(Pred.contains(Wkt.read(w), p), s"POS outside for $w")
+    }
+  }
+
+  test("snaptogrid matches JTS-style rounding and keeps vertex count") {
+    val g = Wkt.read(zig)
+    val s = Ops.snapToGrid(g, 0.5).asInstanceOf[LineString]
+    assert(s.coords.toSeq == Seq(0.0, 0.0, 3.0, 1.0, 5.0, -1.0, 8.0, 2.0))
+    val s2 = Ops.snapToGrid(Wkt.read("LINESTRING (0.26 0.24, 1.13 0.88)"), 0.25)
+      .asInstanceOf[LineString]
+    assert(s2.coords.toSeq == Seq(0.25, 0.25, 1.25, 1.0))
+  }
+
+  test("discrete hausdorff parity vs JTS on star/hole/line pairs") {
+    val pairs = Seq((star, hole), (star, zig), (hole, zig),
+      ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))
+    pairs.foreach { case (wa, wb) =>
+      val got = Ops.hausdorff(Wkt.read(wa), Wkt.read(wb))
+      val want = org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+        .distance(reader.read(wa), reader.read(wb))
+      assert(math.abs(got - want) < 1e-9, s"hausdorff($wa, $wb) got=$got want=$want")
+    }
+  }
+
+  test("azimuth convention: CW from north, [0,360)") {
+    assert(Ops.azimuthPlanar(0, 0, 0, 1) == 0.0)   // north
+    assert(Ops.azimuthPlanar(0, 0, 1, 0) == 90.0)  // east
+    assert(Ops.azimuthPlanar(0, 0, 0, -1) == 180.0)
+    assert(Ops.azimuthPlanar(0, 0, -1, 0) == 270.0)
+    intercept[IllegalArgumentException](Ops.azimuthPlanar(1, 1, 1, 1))
+  }
+}

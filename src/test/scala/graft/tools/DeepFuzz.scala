@@ -162,13 +162,60 @@ object DeepFuzz {
     }
   }
 
+  /** Polygonize vs JTS Polygonizer over the UNION-noded arrangement (ours
+    * nodes internally, ST_Polygonize∘ST_Node — see PolygonizeSpec). */
+  def polygonizeCase(): Unit = {
+    val lines = (0 until 6 + nextInt(8)).map(_ => line(12)).filter { w =>
+      val c = reader.read(w).getCoordinates
+      !(c.length == 2 && c(0).equals2D(c(1)))
+    }
+    if (lines.isEmpty) return
+    try {
+      val faces = Ops.polygonize(GeometryCollection(lines.map(Wkt.read).toArray))
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      val noded = gf.createGeometryCollection(lines.map(reader.read).toArray).union()
+      val pz = new org.locationtech.jts.operation.polygonize.Polygonizer()
+      pz.add(noded)
+      import scala.jdk.CollectionConverters._
+      val jpolys = pz.getPolygons.asScala.toSeq
+        .map(_.asInstanceOf[org.locationtech.jts.geom.Polygon])
+      check(faces.length == jpolys.length,
+        s"polygonize count ${faces.length} vs ${jpolys.length}: ${lines.mkString(" | ")}")
+      val got = faces.map(Ops.area).sum; val want = jpolys.map(_.getArea).sum
+      check(math.abs(got - want) < 1e-9 * math.max(1, want),
+        s"polygonize area $got vs $want: ${lines.mkString(" | ")}")
+    } catch {
+      case e: Exception => check(cond = false, s"polygonize threw ${e.getMessage}: ${lines.mkString(" | ")}")
+    }
+  }
+
+  /** Subdivide invariants: parts respect the vertex bound and partition
+    * the input area (no JTS counterpart — analytic oracle). */
+  def subdivideCase(): Unit = {
+    val g = Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)))
+    val j = reader.read(Wkt.write(g))
+    if (!j.isValid) return
+    val dense = Ops.densify(g, 0.05 + frac() * 0.2)
+    val maxV = 16 + nextInt(48)
+    try {
+      val parts = Ops.subdivide(dense, maxV)
+      check(parts.forall(_.numPoints <= maxV),
+        s"subdivide bound maxV=$maxV worst=${parts.map(_.numPoints).max} g=${Wkt.write(g)}")
+      val got = parts.map(Ops.area).sum; val want = Ops.area(g)
+      check(math.abs(got - want) < 1e-6 * math.max(1, want),
+        s"subdivide area $got vs $want g=${Wkt.write(g)} maxV=$maxV")
+    } catch {
+      case e: Exception => check(cond = false, s"subdivide threw ${e.getMessage} g=${Wkt.write(g)}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     state = if (args.length > 0) args(0).toLong else 99991L
     val n = if (args.length > 1) args(1).toInt else 50000
     val t0 = System.nanoTime()
     var i = 0
     while (i < n) {
-      (i % 7) match {
+      (i % 9) match {
         case 0 => // concave star overlay (float coords)
           overlayCase(
             Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)))),
@@ -185,6 +232,8 @@ object DeepFuzz {
         case 3 => bufferCase()
         case 5 => clipCase()
         case 6 => hullCase()
+        case 7 => polygonizeCase()
+        case 8 => subdivideCase()
         case _ => // web-mercator magnitude overlay (snap-grid adaptation)
           val s = 1e6
           overlayCase(
