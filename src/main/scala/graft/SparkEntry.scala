@@ -1067,6 +1067,23 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- sessionization (r4 cont.) ----------------
+    // session_window(ts, 30 min) per user — the training-pipeline
+    // sessionize shape (Structured Streaming runs the same expression with
+    // a watermark); DuckDB replays it as gaps-and-islands. Exact: epoch
+    // micros + integer cents.
+    "q77_sessionize" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("vc", floor(col("value") * 100 + 0.5).cast("bigint"))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("value_cents"))
+        .select(col("user_id"),
+          unix_micros(col("w.start").cast("timestamp")).as("sess_start_us"),
+          unix_micros(col("w.end").cast("timestamp")).as("sess_end_us"),
+          col("n_events"), col("value_cents"))
+    }),
+
     // ---------------- voronoi / delaunay (r4 cont.) ----------------
     // Five deterministic seeds per zone (fixed fractions of the rect → an
     // affine image of one fixed general-position configuration). Voronoi
@@ -1429,6 +1446,23 @@ object SparkEntry {
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
          FROM $ZON""",
+    "q77_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         m AS (
+           SELECT user_id, ts, vc,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         SELECT user_id,
+           epoch_us(MIN(ts)) AS sess_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(vc) AS BIGINT) AS value_cents
+         FROM s GROUP BY user_id, sid""",
     "q75_voronoi" ->
       s"""SELECT zone_id, CAST(5 AS BIGINT) AS n_cells, CAST(5 AS BIGINT) AS total_inside,
          CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS cells_area_cents

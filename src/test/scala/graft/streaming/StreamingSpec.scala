@@ -39,6 +39,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("session_window sessionization over a stream equals the batch result (q77 shape)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val batch = spark.read.parquet(eventsPath)
+    val dir = java.nio.file.Files.createTempDirectory("stream_sess").toString
+    batch.repartition(4).write.mode("overwrite").parquet(dir) // multi-file → multi-batch
+    val stream = Streams.parquetStream(spark, dir, batch.schema)
+
+    def sessionize(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tst", col("ts").cast("timestamp"))
+      .withWatermark("tst", "1 hour")
+      .groupBy(col("user_id"), session_window(col("tst"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").cast("long").as("ss"),
+        col("w.end").cast("long").as("se"), col("n_events"))
+
+    val q = sessionize(stream).writeStream
+      .outputMode("complete").format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = sessionize(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size} sessions")
+  }
+
   test("mapGroupsWithState accumulates per-cell state ACROSS micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
