@@ -1067,6 +1067,31 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- linear referencing (r4 cont.) ----------------
+    // Two-segment L path (SW → SE → NE corner): interpolate at 0.5 takes a
+    // branch per zone (w≥h or not) that the oracle mirrors with a CASE;
+    // locate of the SE corner is w/(w+h); substring(0.25,0.75) has half
+    // the path's length. All 1e-6-rounded.
+    "q78_linear_ref" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin"); val h = col("ymax") - col("ymin")
+      GeoTables.zones(s, dir)
+        .withColumn("path", call_function("st_linemerge",
+          call_function("st_collect", array(
+            call_function("st_makeline", col("xmin"), col("ymin"), col("xmax"), col("ymin")),
+            call_function("st_makeline", col("xmax"), col("ymin"), col("xmax"), col("ymax"))))))
+        .withColumn("mid", call_function("st_line_interpolate_point", col("path"), lit(0.5)))
+        .withColumn("sub", call_function("st_line_substring", col("path"), lit(0.25), lit(0.75)))
+        .select(col("zone_id"),
+          floor(call_function("st_x", col("mid")) * 1e6 + 0.5).cast("bigint").as("mid_x_u"),
+          floor(call_function("st_y", col("mid")) * 1e6 + 0.5).cast("bigint").as("mid_y_u"),
+          floor(call_function("st_line_locate_point", col("path"),
+            col("xmax"), col("ymin")) * 1e6 + 0.5).cast("bigint").as("corner_frac_u"),
+          floor(call_function("st_length", col("sub")) * 1e4 + 0.5).cast("bigint").as("sub_len_c"),
+          floor(call_function("st_line_locate_point", col("path"),
+            (col("xmin") + col("xmax")) / 2, col("ymin")) * 1e6 + 0.5).cast("bigint").as("halfseg_frac_u"))
+    }),
+
     // ---------------- sessionization (r4 cont.) ----------------
     // session_window(ts, 30 min) per user — the training-pipeline
     // sessionize shape (Structured Streaming runs the same expression with
@@ -1445,6 +1470,18 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q78_linear_ref" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR((CASE WHEN (xmax-xmin) >= 0.5*((xmax-xmin)+(ymax-ymin))
+           THEN xmin + (0.5*((xmax-xmin)+(ymax-ymin)) / (xmax-xmin)) * (xmax-xmin)
+           ELSE xmax END) * 1e6 + 0.5) AS BIGINT) AS mid_x_u,
+         CAST(FLOOR((CASE WHEN (xmax-xmin) >= 0.5*((xmax-xmin)+(ymax-ymin))
+           THEN ymin
+           ELSE ymin + ((0.5*((xmax-xmin)+(ymax-ymin)) - (xmax-xmin)) / (ymax-ymin)) * (ymax-ymin) END) * 1e6 + 0.5) AS BIGINT) AS mid_y_u,
+         CAST(FLOOR((xmax-xmin) / ((xmax-xmin)+(ymax-ymin)) * 1e6 + 0.5) AS BIGINT) AS corner_frac_u,
+         CAST(FLOOR(0.5*((xmax-xmin)+(ymax-ymin)) * 1e4 + 0.5) AS BIGINT) AS sub_len_c,
+         CAST(FLOOR(((xmax-xmin)/2) / ((xmax-xmin)+(ymax-ymin)) * 1e6 + 0.5) AS BIGINT) AS halfseg_frac_u
          FROM $ZON""",
     "q77_sessionize" ->
       """WITH e AS (

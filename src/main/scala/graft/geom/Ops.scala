@@ -551,6 +551,123 @@ object Ops {
     math.max(oneWay(a, b), oneWay(b, a))
   }
 
+  // ---------------- linear referencing (r4 cont.) ----------------
+
+  private def firstLine(g: Geometry): Array[Double] = g match {
+    case l: LineString => l.coords
+    case m: MultiLineString if m.lines.nonEmpty => m.lines(0)
+    case zm: GeometryZM => firstLine(zm.base)
+    case c: GeometryCollection =>
+      c.geoms.collectFirst {
+        case l: LineString => l.coords
+        case m: MultiLineString if m.lines.nonEmpty => m.lines(0)
+      }.getOrElse(throw new IllegalArgumentException("no lineal part"))
+    case other => throw new IllegalArgumentException(
+      s"linear referencing expects lineal input, got ${other.getClass.getSimpleName}")
+  }
+
+  /** Point at `frac` ∈ [0,1] of the line's length (ST_LineInterpolatePoint;
+    * Z/M interpolated when the input carries attribute streams). */
+  def lineInterpolate(g: Geometry, frac: Double): Geometry = {
+    val f = math.max(0.0, math.min(1.0, frac))
+    val cs = firstLine(g)
+    require(cs.length >= 4, "line must have >= 2 points")
+    var total = 0.0
+    var i = 0
+    while (i + 3 < cs.length) { total += math.hypot(cs(i + 2) - cs(i), cs(i + 3) - cs(i + 1)); i += 2 }
+    val (zs, ms) = g match {
+      case zm: GeometryZM => (zm.zs, zm.ms)
+      case _ => (null, null)
+    }
+    if (total == 0.0) {
+      val p = Point(cs(0), cs(1))
+      return if (zs != null || ms != null)
+        GeometryZM(p, if (zs == null) null else Array(zs(0)), if (ms == null) null else Array(ms(0)))
+      else p
+    }
+    val target = f * total
+    var acc = 0.0
+    i = 0
+    while (i + 3 < cs.length) {
+      val seg = math.hypot(cs(i + 2) - cs(i), cs(i + 3) - cs(i + 1))
+      if (acc + seg >= target || i + 5 >= cs.length) {
+        val t = if (seg == 0.0) 0.0 else math.min(1.0, (target - acc) / seg)
+        val p = Point(cs(i) + t * (cs(i + 2) - cs(i)), cs(i + 1) + t * (cs(i + 3) - cs(i + 1)))
+        val vi = i / 2
+        return if (zs != null || ms != null)
+          GeometryZM(p,
+            if (zs == null) null else Array(zs(vi) + t * (zs(vi + 1) - zs(vi))),
+            if (ms == null) null else Array(ms(vi) + t * (ms(vi + 1) - ms(vi))))
+        else p
+      }
+      acc += seg
+      i += 2
+    }
+    Point(cs(cs.length - 2), cs(cs.length - 1)) // unreachable
+  }
+
+  /** Fraction of the line's length at the point closest to (px,py)
+    * (ST_LineLocatePoint). */
+  def lineLocate(g: Geometry, px: Double, py: Double): Double = {
+    val cs = firstLine(g)
+    require(cs.length >= 4, "line must have >= 2 points")
+    var total = 0.0
+    var i = 0
+    while (i + 3 < cs.length) { total += math.hypot(cs(i + 2) - cs(i), cs(i + 3) - cs(i + 1)); i += 2 }
+    if (total == 0.0) return 0.0
+    var bestD = Double.MaxValue
+    var bestAt = 0.0
+    var acc = 0.0
+    i = 0
+    while (i + 3 < cs.length) {
+      val ax = cs(i); val ay = cs(i + 1); val bx = cs(i + 2); val by = cs(i + 3)
+      val dx = bx - ax; val dy = by - ay
+      val seg = math.hypot(dx, dy)
+      val t =
+        if (seg == 0.0) 0.0
+        else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+      val qx = ax + t * dx; val qy = ay + t * dy
+      val d = math.hypot(px - qx, py - qy)
+      if (d < bestD) { bestD = d; bestAt = acc + t * seg }
+      acc += seg
+      i += 2
+    }
+    bestAt / total
+  }
+
+  /** Sub-line between fractions f1 ≤ f2 of the length (ST_LineSubstring). */
+  def lineSubstring(g: Geometry, f1: Double, f2: Double): Geometry = {
+    val a = math.max(0.0, math.min(1.0, math.min(f1, f2)))
+    val b = math.max(0.0, math.min(1.0, math.max(f1, f2)))
+    val cs = firstLine(g)
+    require(cs.length >= 4, "line must have >= 2 points")
+    if (a == b) return lineInterpolate(g, a)
+    var total = 0.0
+    var i = 0
+    while (i + 3 < cs.length) { total += math.hypot(cs(i + 2) - cs(i), cs(i + 3) - cs(i + 1)); i += 2 }
+    if (total == 0.0) return LineString(Array(cs(0), cs(1), cs(0), cs(1)))
+    val t1 = a * total; val t2 = b * total
+    val out = new ArrayBuffer[Double]()
+    var acc = 0.0
+    i = 0
+    while (i + 3 < cs.length) {
+      val ax = cs(i); val ay = cs(i + 1); val bx = cs(i + 2); val by = cs(i + 3)
+      val seg = math.hypot(bx - ax, by - ay)
+      val s0 = acc; val s1 = acc + seg
+      if (seg > 0 && s1 >= t1 && s0 <= t2) {
+        val ta = math.max(0.0, (t1 - s0) / seg)
+        val tb = math.min(1.0, (t2 - s0) / seg)
+        val x1 = ax + ta * (bx - ax); val y1 = ay + ta * (by - ay)
+        val x2 = ax + tb * (bx - ax); val y2 = ay + tb * (by - ay)
+        if (out.isEmpty) { out += x1; out += y1 }
+        if (x2 != out(out.length - 2) || y2 != out(out.length - 1)) { out += x2; out += y2 }
+      }
+      acc = s1
+      i += 2
+    }
+    if (out.length < 4) lineInterpolate(g, a) else LineString(out.toArray)
+  }
+
   // ---------------- subdivide (scale tool) ----------------
 
   /**

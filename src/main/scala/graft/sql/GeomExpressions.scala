@@ -1080,6 +1080,39 @@ case class StHausdorff(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** st_line_interpolate_point(line, frac) → point at the fraction of the
+  * line's length (Z/M interpolated when present). */
+case class StLineInterpolate(left: Expression, right: Expression) extends GeomDoubleToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.lineInterpolate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** st_line_locate_point(line, x, y) → fraction of length at the closest
+  * point of the line. */
+case class StLineLocate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.lineLocate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+/** st_line_substring(line, f1, f2) → the sub-line between two fractions. */
+case class StLineSubstring(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.lineSubstring(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 /** st_delaunay(geom) → array<binary> of CCW Delaunay triangles over the
   * geometry's distinct vertices. */
 case class StDelaunay(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {

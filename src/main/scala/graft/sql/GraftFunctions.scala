@@ -105,6 +105,9 @@ object GraftFunctions {
     "st_azimuth" -> (e => StAzimuth(e)),
     "st_hausdorff_distance" -> (e => StHausdorff(e(0), e(1))),
     "st_delaunay" -> (e => StDelaunay(e.head)),
+    "st_line_interpolate_point" -> (e => StLineInterpolate(e(0), e(1))),
+    "st_line_locate_point" -> (e => StLineLocate(e(0), e(1), e(2))),
+    "st_line_substring" -> (e => StLineSubstring(e(0), e(1), e(2))),
     "st_voronoi" -> (e => StVoronoi(e)),
     "st_linemerge" -> (e => StLineMerge(e.head)),
     "st_polygonize" -> (e => StPolygonize(e.head)),

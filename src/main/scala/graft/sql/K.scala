@@ -274,6 +274,10 @@ object K {
   def azimuthPlanar(x1: Double, y1: Double, x2: Double, y2: Double): Double =
     Ops.azimuthPlanar(x1, y1, x2, y2)
   def hausdorff(a: Array[Byte], b: Array[Byte]): Double = Ops.hausdorff(rd(a), rd(b))
+  def lineInterpolate(b: Array[Byte], f: Double): Array[Byte] = wr(Ops.lineInterpolate(rdFull(b), f))
+  def lineLocate(b: Array[Byte], x: Double, y: Double): Double = Ops.lineLocate(rd(b), x, y)
+  def lineSubstring(b: Array[Byte], f1: Double, f2: Double): Array[Byte] =
+    wr(Ops.lineSubstring(rd(b), f1, f2))
   def delaunay(b: Array[Byte]): Array[Array[Byte]] = Triangulate.delaunay(rd(b)).map(wr)
   def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
   def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =

@@ -72,6 +72,40 @@ class UtilOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("linear referencing: interpolate/locate/substring invariants") {
+    val path = Wkt.read("LINESTRING (0 0, 10 0, 10 5)") // L = 15
+    // interpolate on each segment
+    val p1 = Ops.lineInterpolate(path, 1.0 / 3).asInstanceOf[Point]
+    assert(p1.x == 5.0 && p1.y == 0.0)
+    val p2 = Ops.lineInterpolate(path, 0.8).asInstanceOf[Point]
+    assert(p2.x == 10.0 && math.abs(p2.y - 2.0) < 1e-12)
+    // endpoints + clamping
+    assert(Ops.lineInterpolate(path, 0.0) == Point(0, 0))
+    assert(Ops.lineInterpolate(path, 1.0) == Point(10, 5))
+    assert(Ops.lineInterpolate(path, 2.0) == Point(10, 5))
+    // locate inverts interpolate
+    (1 to 9).foreach { k =>
+      val f = k / 10.0
+      val p = Ops.lineInterpolate(path, f).asInstanceOf[Point]
+      assert(math.abs(Ops.lineLocate(path, p.x, p.y) - f) < 1e-12, s"f=$f")
+    }
+    // off-line point projects to the closest vertex/segment
+    assert(Ops.lineLocate(path, 5.0, 3.0) == 5.0 / 15)
+    assert(Ops.lineLocate(path, 20.0, 20.0) == 1.0)
+    // substring: length proportional, concatenation recovers endpoints
+    val sub = Ops.lineSubstring(path, 0.2, 0.9).asInstanceOf[LineString]
+    assert(math.abs(Ops.length(sub) - 0.7 * 15) < 1e-12)
+    assert(sub.coords(0) == 3.0 && sub.coords(1) == 0.0)
+    assert(sub.coords(sub.coords.length - 2) == 10.0 &&
+      math.abs(sub.coords(sub.coords.length - 1) - 3.5) < 1e-12)
+    // degenerate: f1 == f2 → the point
+    assert(Ops.lineSubstring(path, 0.5, 0.5).isInstanceOf[Point])
+    // Z stream interpolates with the vertex parameter
+    val zl = Wkt.read("LINESTRING Z (0 0 100, 10 0 200)")
+    val zp = Ops.lineInterpolate(zl, 0.25).asInstanceOf[GeometryZM]
+    assert(zp.base == Point(2.5, 0) && zp.zs(0) == 125.0)
+  }
+
   test("azimuth convention: CW from north, [0,360)") {
     assert(Ops.azimuthPlanar(0, 0, 0, 1) == 0.0)   // north
     assert(Ops.azimuthPlanar(0, 0, 1, 0) == 90.0)  // east
