@@ -1067,6 +1067,37 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- concave hull (r4 cont.) ----------------
+    // chi on the fixed unit config (constants — TriangulateSpec derives
+    // them analytically) + λ=∞ on the per-zone 9-point config (= convex
+    // hull = the zone rect).
+    "q79_concavehull" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin"); val h = col("ymax") - col("ymin")
+      def seed(fx: Double, fy: Double): Column =
+        call_function("st_point", col("xmin") + w * fx, col("ymin") + h * fy)
+      def up(x: Double, y: Double): Column =
+        call_function("st_point", lit(x), lit(y))
+      val nine = array(
+        call_function("st_point", col("xmin"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymax")),
+        call_function("st_point", col("xmin"), col("ymax")),
+        seed(0.21, 0.34), seed(0.63, 0.27), seed(0.78, 0.69),
+        seed(0.36, 0.82), seed(0.52, 0.55))
+      GeoTables.zones(s, dir)
+        .withColumn("chi", call_function("st_concavehull",
+          call_function("st_collect", array(up(0, 0), up(1, 0), up(1, 0.5),
+            up(0, 0.5), up(0.5, 0.2))), lit(0.75)))
+        .withColumn("hull", call_function("st_concavehull",
+          call_function("st_collect", nine), lit(1e18)))
+        .select(col("zone_id"),
+          floor(call_function("st_area", col("chi")) * 1e6 + 0.5).cast("bigint").as("chi_area_u"),
+          call_function("st_numpoints", col("chi")).cast("bigint").as("chi_pts"),
+          floor(call_function("st_area", col("hull")) * 1e4 + 0.5).cast("bigint").as("hull_area_c"),
+          call_function("st_numpoints", col("hull")).cast("bigint").as("hull_pts"))
+    }),
+
     // ---------------- linear referencing (r4 cont.) ----------------
     // Two-segment L path (SW → SE → NE corner): interpolate at 0.5 takes a
     // branch per zone (w≥h or not) that the oracle mirrors with a CASE;
@@ -1470,6 +1501,12 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q79_concavehull" ->
+      s"""SELECT zone_id,
+         CAST(400000 AS BIGINT) AS chi_area_u, CAST(6 AS BIGINT) AS chi_pts,
+         CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS hull_area_c,
+         CAST(5 AS BIGINT) AS hull_pts
          FROM $ZON""",
     "q78_linear_ref" ->
       s"""SELECT zone_id,

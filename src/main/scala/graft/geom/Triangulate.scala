@@ -62,8 +62,22 @@ object Triangulate {
    */
   def delaunay(g: Geometry): Array[Geometry] = {
     val pts = distinctPoints(g)
+    val (xs2, ys2, tris) = delaunayIndexed(pts)
+    tris.map { t =>
+      Polygon(Array(Array(xs2(t.a), ys2(t.a), xs2(t.b), ys2(t.b),
+        xs2(t.c), ys2(t.c), xs2(t.a), ys2(t.a)))): Geometry
+    }
+  }
+
+  /** Index-form Delaunay over a packed point array (used by delaunay and
+    * the chi-shape concave hull). Returns (xs, ys, CCW triangles). */
+  private def delaunayIndexed(pts: Array[Double]): (Array[Double], Array[Double], Array[Tri]) = {
     val n = pts.length / 2
-    if (n < 3) return Array.empty
+    if (n < 3) {
+      val px = Array.tabulate(n)(i => pts(2 * i))
+      val py = Array.tabulate(n)(i => pts(2 * i + 1))
+      return (px, py, Array.empty)
+    }
     // bounding super-triangle, comfortably outside the data
     val env = {
       var x0 = pts(0); var y0 = pts(1); var x1 = pts(0); var y1 = pts(1)
@@ -184,12 +198,71 @@ object Triangulate {
       p += 1
     }
 
-    tris.toArray
-      .filter(t => t.a < n && t.b < n && t.c < n)
-      .map { t =>
-        Polygon(Array(Array(xs(t.a), ys(t.a), xs(t.b), ys(t.b),
-          xs(t.c), ys(t.c), xs(t.a), ys(t.a)))): Geometry
+    (xs, ys, tris.toArray.filter(t => t.a < n && t.b < n && t.c < n))
+  }
+
+  /**
+   * Chi-shape concave hull (Duckham et al. 2008, public): start from the
+   * Delaunay triangulation, repeatedly remove the longest boundary edge
+   * exceeding `maxEdgeLen` whose adjacent triangle's opposite vertex is
+   * NOT already on the boundary (keeps the boundary simple and the region
+   * connected), then trace the remaining region's boundary.
+   * `maxEdgeLen = ∞` (or large) reproduces the convex hull exactly.
+   */
+  def concaveHull(g: Geometry, maxEdgeLen: Double): Geometry = {
+    val pts = distinctPoints(g)
+    val (xs, ys, tris0) = delaunayIndexed(pts)
+    if (tris0.isEmpty) return Ops.convexHull(g)
+    val live = mutable.LinkedHashSet(tris0.indices: _*)
+    @inline def ekey(u: Int, v: Int): (Int, Int) = if (u < v) (u, v) else (v, u)
+    @inline def elen(u: Int, v: Int): Double = math.hypot(xs(u) - xs(v), ys(u) - ys(v))
+    // edge → adjacent live triangles
+    val adj = new mutable.HashMap[(Int, Int), ArrayBuffer[Int]]()
+    tris0.zipWithIndex.foreach { case (t, i) =>
+      Seq(ekey(t.a, t.b), ekey(t.b, t.c), ekey(t.c, t.a)).foreach { k =>
+        adj.getOrElseUpdate(k, new ArrayBuffer[Int](2)) += i
       }
+    }
+    def boundaryEdges: Seq[(Int, Int)] =
+      adj.keysIterator.filter(k => adj(k).count(live.contains) == 1).toSeq
+    var changed = true
+    while (changed) {
+      changed = false
+      val bset = boundaryEdges
+      val onBoundary = mutable.HashSet[Int]()
+      bset.foreach { case (u, v) => onBoundary += u; onBoundary += v }
+      // longest removable first (canonical: ties by key)
+      val candidates = bset.filter { case (u, v) => elen(u, v) > maxEdgeLen }
+        .sortBy { case (u, v) => (-elen(u, v), u, v) }
+      val it = candidates.iterator
+      while (it.hasNext && !changed) {
+        val (u, v) = it.next()
+        val ts = adj(ekey(u, v)).filter(live.contains)
+        if (ts.length == 1) {
+          val t = tris0(ts.head)
+          val w = if (t.a != u && t.a != v) t.a else if (t.b != u && t.b != v) t.b else t.c
+          if (!onBoundary.contains(w) && live.size > 1) {
+            live -= ts.head
+            changed = true
+          }
+        }
+      }
+    }
+    // trace the boundary of the remaining region via the face tracer
+    val dir = new ArrayBuffer[PlanarOverlay.DirEdge]()
+    boundaryEdges.foreach { case (u, v) =>
+      // orient so the region interior is on the LEFT: the live triangle's
+      // winding gives the direction (CCW triangle edge order)
+      val ti = adj(ekey(u, v)).filter(live.contains).head
+      val t = tris0(ti)
+      val (su, sv) =
+        if ((t.a == u && t.b == v) || (t.b == u && t.c == v) || (t.c == u && t.a == v)) (u, v)
+        else (v, u)
+      dir += PlanarOverlay.DirEdge(xs(su), ys(su), xs(sv), ys(sv))
+    }
+    if (dir.isEmpty) return Ops.convexHull(g)
+    val rings = PlanarOverlay.trace(dir)
+    PlanarOverlay.mkResult(rings)
   }
 
   /** Clip a ring by the half-plane {(x,y) : a·x + b·y ≤ c} (SH step). */

@@ -1113,6 +1113,14 @@ case class StLineSubstring(first: Expression, second: Expression, third: Express
     copy(a, b, c)
 }
 
+/** st_concavehull(geom, max_edge_len) → chi-shape concave hull (Delaunay
+  * boundary erosion); max_edge_len = ∞ reproduces the convex hull. */
+case class StConcaveHull(left: Expression, right: Expression) extends GeomDoubleToGeom {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.concaveHull(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** st_delaunay(geom) → array<binary> of CCW Delaunay triangles over the
   * geometry's distinct vertices. */
 case class StDelaunay(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {

@@ -72,6 +72,10 @@ object GraftFunctions {
     "st_convexhull" -> (e => StConvexHull(e.head)),
     "st_simplify" -> (e => StSimplify(e.head)),
     "st_simplify_ogc" -> (e => StSimplifyOgc(e.head)),
+    // PostGIS-familiar alias: even-odd self-intersection repair IS the
+    // make-valid operation this engine implements
+    "st_makevalid" -> (e => StSimplifyOgc(e.head)),
+    "st_concavehull" -> (e => StConcaveHull(e(0), e(1))),
     "st_generalize" -> (e => StGeneralize(e(0), e(1))),
     "st_densify" -> (e => StDensify(e(0), e(1))),
     "st_clip" -> (e => StClip(e)),

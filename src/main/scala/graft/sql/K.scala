@@ -282,6 +282,8 @@ object K {
   def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
   def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =
     Triangulate.voronoi(rd(b), Some(rd(envGeom).envelope)).map(wr)
+  def concaveHull(b: Array[Byte], maxEdge: Double): Array[Byte] =
+    wr(Triangulate.concaveHull(rd(b), maxEdge))
   def lineMerge(b: Array[Byte]): Array[Byte] = wr(Ops.lineMerge(rd(b)))
   def polygonize(b: Array[Byte]): Array[Array[Byte]] = Ops.polygonize(rd(b)).map(wr)
 

@@ -86,6 +86,31 @@ class TriangulateSpec extends AnyFunSuite {
     }
   }
 
+  test("concave hull: chi-shape removes the notch; infinite length = convex hull") {
+    // 4 corners of (0,0)-(1,0.5) + interior (0.5,0.2): Delaunay is the
+    // 4-triangle fan; λ=0.75 removes exactly the bottom edge (len 1, tie
+    // with top broken by sorted-index order; sides 0.5 < λ stay)
+    val pts = "MULTIPOINT ((0 0), (1 0), (1 0.5), (0 0.5), (0.5 0.2))"
+    val chi = Triangulate.concaveHull(Wkt.read(pts), 0.75)
+    assert(math.abs(Ops.area(chi) - 0.4) < 1e-12, s"got ${Ops.area(chi)}")
+    assert(chi.asInstanceOf[Polygon].rings(0).length / 2 == 6) // 5 distinct + close
+    // λ = ∞ → convex hull
+    val hull = Triangulate.concaveHull(Wkt.read(pts), 1e18)
+    assert(math.abs(Ops.area(hull) - 0.5) < 1e-12)
+    // monotone: smaller λ ⇒ area never larger; always contains the points
+    val star = "MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 1), (1 2), (3 2), (2 3), (2 2))"
+    var prev = Double.MaxValue
+    Seq(1e18, 4.0, 3.0, 2.5).foreach { lam =>
+      val h = Triangulate.concaveHull(Wkt.read(star), lam)
+      val a = Ops.area(h)
+      assert(a <= prev + 1e-12, s"λ=$lam area $a > $prev")
+      prev = a
+      Wkt.read(star).asInstanceOf[MultiPoint].coords.grouped(2).foreach { p =>
+        assert(Pred.covers(h, Point(p(0), p(1))), s"λ=$lam lost point ${p.toSeq}")
+      }
+    }
+  }
+
   test("voronoi per-cell areas match JTS VoronoiDiagramBuilder") {
     val pts = Seq((1.0, 1.0), (8.0, 2.0), (4.0, 7.0), (6.5, 5.0), (2.0, 5.5), (9.0, 9.0))
     val env = Env(0, 0, 10, 10)
