@@ -1067,6 +1067,31 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- tf-idf top terms (r4 cont.) ----------------
+    // Smooth-idf scoring with ULP-safe ranking: both engines rank by the
+    // ROUNDED score (ln differs at ulp level between libms), term asc.
+    "q80_tfidf" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(split(
+          regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " ")).as("term"))
+        .where(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .withColumn("score_u", floor(
+          (col("tf") * (log((lit(nDocs.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0))
+            * 1e6 + 0.5).cast("bigint"))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_u").desc, col("term").asc)))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("bigint").as("rn"), col("term"), col("score_u"))
+    }),
+
     // ---------------- concave hull (r4 cont.) ----------------
     // chi on the fixed unit config (constants — TriangulateSpec derives
     // them analytically) + λ=∞ on the per-zone 9-point config (= convex
@@ -1502,6 +1527,25 @@ object SparkEntry {
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
          FROM $ZON""",
+    "q80_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, t AS term
+           FROM documents, UNNEST(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS u(t)
+           WHERE t <> ''),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             CAST(FLOOR((tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0))
+               * 1e6 + 0.5) AS BIGINT) AS score_u
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, score_u FROM (
+           SELECT doc_id, term, score_u,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score_u DESC, term ASC) AS rn
+           FROM scored) WHERE rn <= 3""",
     "q79_concavehull" ->
       s"""SELECT zone_id,
          CAST(400000 AS BIGINT) AS chi_area_u, CAST(6 AS BIGINT) AS chi_pts,
