@@ -711,8 +711,16 @@ object Ops {
    */
   def lineMerge(g: Geometry): Geometry = {
     val paths = new ArrayBuffer[ArrayBuffer[Double]]()
-    def add(cs: Array[Double]): Unit =
-      if (cs.length >= 4) { val b = new ArrayBuffer[Double](cs.length); b ++= cs; paths += b }
+    def add(cs: Array[Double]): Unit = {
+      // zero-length inputs (all vertices identical) are ignored, matching
+      // JTS LineMerger (DeepFuzz utilCase parity)
+      var i = 2; var nonzero = false
+      while (i + 1 < cs.length && !nonzero) {
+        if (cs(i) != cs(0) || cs(i + 1) != cs(1)) nonzero = true
+        i += 2
+      }
+      if (cs.length >= 4 && nonzero) { val b = new ArrayBuffer[Double](cs.length); b ++= cs; paths += b }
+    }
     g match {
       case l: LineString => add(l.coords)
       case m: MultiLineString => m.lines.foreach(add)

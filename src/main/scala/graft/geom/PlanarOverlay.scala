@@ -797,9 +797,75 @@ object PlanarOverlay {
       if (drop.nonEmpty) { drop.foreach(uniq.remove); changed = true }
     }
     if (uniq.isEmpty) return Array.empty
-    val selected = new ArrayBuffer[DirEdge]()
-    uniq.values.foreach { s => selected += s.asDir(false); selected += s.asDir(true) }
-    val rings = trace(selected, closeAtStartEdge = true)
+    // DCEL face orbits: directed edges in pairs (2k = forward, 2k+1 =
+    // reverse); next(e) = the predecessor of reverse(e) in CCW angular
+    // order around e's endpoint (interior-on-the-left convention). This is
+    // a pure permutation — every directed edge lies on exactly one face
+    // orbit — so pinched faces trace whole with no walk-order state to
+    // corrupt (the seed-424243 DeepFuzz escape: a wrong early walk with
+    // used-flags consumed edges a later face needed).
+    val dirEdges = new ArrayBuffer[DirEdge]()
+    uniq.values.foreach { s => dirEdges += s.asDir(false); dirEdges += s.asDir(true) }
+    val nE = dirEdges.length
+    val nodeOut = new mutable.HashMap[PKey, ArrayBuffer[Int]]()
+    (0 until nE).foreach { i =>
+      val e = dirEdges(i)
+      nodeOut.getOrElseUpdate(pkey(e.sx, e.sy), new ArrayBuffer[Int]()) += i
+    }
+    val posInNode = new Array[Int](nE)
+    nodeOut.values.foreach { lst =>
+      val sorted = lst.sortBy { i =>
+        val e = dirEdges(i); math.atan2(e.ey - e.sy, e.ex - e.sx)
+      }
+      lst.clear(); lst ++= sorted
+      sorted.zipWithIndex.foreach { case (i, p) => posInNode(i) = p }
+    }
+    @inline def nextEdge(i: Int): Int = {
+      val rev = i ^ 1
+      val lst = nodeOut(pkey(dirEdges(rev).sx, dirEdges(rev).sy))
+      lst((posInNode(rev) - 1 + lst.length) % lst.length)
+    }
+    // connected components over the arrangement's nodes: a CW orbit is the
+    // OUTER boundary of its own component (drop it) — it can only be a
+    // hole of a shell from a DIFFERENT component (nested, unconnected).
+    // Two components that touched anywhere would share a node (noding
+    // splits vertex-on-edge contacts), i.e. be one component — so holes
+    // never share vertices with their shell.
+    val nodeIds = new mutable.LinkedHashMap[PKey, Int]()
+    uniq.values.foreach { s =>
+      nodeIds.getOrElseUpdate(pkey(s.sx, s.sy), nodeIds.size)
+      nodeIds.getOrElseUpdate(pkey(s.ex, s.ey), nodeIds.size)
+    }
+    val compParent = Array.tabulate(nodeIds.size)(identity)
+    def compFind(i: Int): Int = { var r = i; while (compParent(r) != r) r = compParent(r); r }
+    uniq.values.foreach { s =>
+      val a = compFind(nodeIds(pkey(s.sx, s.sy)))
+      val b = compFind(nodeIds(pkey(s.ex, s.ey)))
+      if (a != b) compParent(math.max(a, b)) = math.min(a, b)
+    }
+
+    val visited = new Array[Boolean](nE)
+    val ringsBuf = new ArrayBuffer[(Array[Double], Int)]()
+    (0 until nE).foreach { start =>
+      if (!visited(start)) {
+        val ring = new ArrayBuffer[Double]()
+        var cur = start
+        var guard = 0
+        while (!visited(cur)) {
+          visited(cur) = true
+          ring += dirEdges(cur).sx; ring += dirEdges(cur).sy
+          cur = nextEdge(cur)
+          guard += 1
+          if (guard > nE + 1) throw new IllegalStateException("face orbit did not close")
+        }
+        if (ring.length >= 6) {
+          ring += ring(0); ring += ring(1)
+          val arr = ring.toArray
+          if (Ops.signedRingArea(arr) != 0.0)
+            ringsBuf += ((arr, compFind(nodeIds(pkey(arr(0), arr(1))))))
+        }
+      }
+    }
     // assemble: CCW shells; CW rings attach as holes or are the unbounded
     // face boundary (dropped). Rings THINNER than the snap grid (area <
     // perimeter × grid step) are noise: three nearly-concurrent crossings
@@ -811,48 +877,31 @@ object PlanarOverlay {
       while (i + 3 < r.length) { p += math.hypot(r(i + 2) - r(i), r(i + 3) - r(i + 1)); i += 2 }
       p
     }
-    val shells = new ArrayBuffer[(Array[Double], Double, ArrayBuffer[Array[Double]])]()
-    val cw = new ArrayBuffer[Array[Double]]()
-    rings.foreach { r =>
+    val shells = new ArrayBuffer[(Array[Double], Double, Int, ArrayBuffer[Array[Double]])]()
+    val cw = new ArrayBuffer[(Array[Double], Int)]()
+    ringsBuf.foreach { case (r, comp) =>
       val a = Ops.signedRingArea(r)
       if (math.abs(a) >= perim(r) * res) {
-        if (a > 0) shells += ((r, a, new ArrayBuffer[Array[Double]]()))
-        else if (a < 0) cw += r
+        if (a > 0) shells += ((r, a, comp, new ArrayBuffer[Array[Double]]()))
+        else if (a < 0) cw += ((r, comp))
       }
     }
     val byArea = shells.sortBy(_._2)
-    // a CW ring is the reverse walk of SOME undirected ring; it must not
-    // attach to the shell that is that same ring (vertex-set + area test),
-    // and with no other containing shell it is the unbounded face → drop
-    @inline def vset(r: Array[Double]): mutable.HashSet[(Long, Long)] = {
-      val s = new mutable.HashSet[(Long, Long)]()
-      var i = 0
-      while (i + 1 < r.length) {
-        s += ((java.lang.Double.doubleToLongBits(r(i)),
-               java.lang.Double.doubleToLongBits(r(i + 1))))
-        i += 2
-      }
-      s
-    }
-    cw.foreach { h =>
-      val hv = vset(h); val ha = -Ops.signedRingArea(h)
+    // a CW orbit is its component's OUTER boundary: within its own
+    // component it is never a hole (drop — that is the unbounded side);
+    // from a DIFFERENT component it is a hole of the smallest CCW shell
+    // strictly containing it (nested components never share vertices).
+    cw.foreach { case (h, comp) =>
       val (ix, iy) = Pred.interiorPoint(Array(h))
-      // containment must hold for the WHOLE ring, not just one interior
-      // point — the unbounded-face ring ENCLOSES small shells (its interior
-      // point lands inside them) but its vertices stick out
-      @inline def ringInShell(shell: Array[Double]): Boolean = {
-        var i = 0
-        while (i + 1 < h.length) {
-          if (Pred.pointInRing(shell, h(i), h(i + 1)) < 0) return false
-          i += 2
-        }
-        Pred.pointInRing(shell, ix, iy) >= 0
-      }
-      byArea.find { case (shell, a, _) =>
-        !(math.abs(a - ha) < 1e-12 * ha && vset(shell) == hv) && ringInShell(shell)
-      }.foreach { case (_, _, hs) => hs += h }
+      val ha = -Ops.signedRingArea(h)
+      // a strictly-contained hole is never larger than its shell — this
+      // also rejects a component's unbounded ring (area = whole component)
+      // whose interior point happens to fall inside a small nested shell
+      byArea.find { case (shell, a, sComp, _) =>
+        sComp != comp && ha <= a && Pred.pointInRing(shell, ix, iy) > 0
+      }.foreach { case (_, _, _, hs) => hs += h }
     }
-    byArea.map { case (shell, _, hs) => Polygon(shell +: hs.toArray): Geometry }.toArray
+    byArea.map { case (shell, _, _, hs) => Polygon(shell +: hs.toArray): Geometry }.toArray
   }
 
   /** Is the sub-edge strictly interior to the polygonal set? (midpoint

@@ -1113,6 +1113,20 @@ case class StLineSubstring(first: Expression, second: Expression, third: Express
     copy(a, b, c)
 }
 
+/** st_isvalid(geom) → OGC validity (see graft.geom.Valid). */
+case class StIsValid(child: Expression) extends GeomUnary {
+  def fn = "isValid"; override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = K.isValid(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_isvalid_reason(geom) → human-readable validity verdict. */
+case class StIsValidReason(child: Expression) extends GeomUnary {
+  def fn = "isValidReason"; override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = K.isValidReason(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** st_concavehull(geom, max_edge_len) → chi-shape concave hull (Delaunay
   * boundary erosion); max_edge_len = ∞ reproduces the convex hull. */
 case class StConcaveHull(left: Expression, right: Expression) extends GeomDoubleToGeom {

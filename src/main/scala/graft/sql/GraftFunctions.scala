@@ -76,6 +76,8 @@ object GraftFunctions {
     // make-valid operation this engine implements
     "st_makevalid" -> (e => StSimplifyOgc(e.head)),
     "st_concavehull" -> (e => StConcaveHull(e(0), e(1))),
+    "st_isvalid" -> (e => StIsValid(e.head)),
+    "st_isvalid_reason" -> (e => StIsValidReason(e.head)),
     "st_generalize" -> (e => StGeneralize(e(0), e(1))),
     "st_densify" -> (e => StDensify(e(0), e(1))),
     "st_clip" -> (e => StClip(e)),

@@ -284,6 +284,9 @@ object K {
     Triangulate.voronoi(rd(b), Some(rd(envGeom).envelope)).map(wr)
   def concaveHull(b: Array[Byte], maxEdge: Double): Array[Byte] =
     wr(Triangulate.concaveHull(rd(b), maxEdge))
+  def isValid(b: Array[Byte]): Boolean = Valid.check(rd(b)).valid
+  def isValidReason(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(Valid.check(rd(b)).reason)
   def lineMerge(b: Array[Byte]): Array[Byte] = wr(Ops.lineMerge(rd(b)))
   def polygonize(b: Array[Byte]): Array[Array[Byte]] = Ops.polygonize(rd(b)).map(wr)
 

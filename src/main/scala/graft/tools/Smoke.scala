@@ -88,6 +88,15 @@ object Smoke {
              size(st_dump(st_geomfromwkt('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))'))) AS n_dumped
     """).show()
 
+    // validity + new constructive surface (r4 cont.)
+    spark.sql("""
+      SELECT st_isvalid(st_geomfromwkt('POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))')) AS bowtie_valid,
+             st_isvalid_reason(st_geomfromwkt('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS rect_reason,
+             size(st_delaunay(st_geomfromwkt('MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 1))'))) AS n_tris,
+             size(st_voronoi(st_geomfromwkt('MULTIPOINT ((1 1), (3 3))'))) AS n_cells,
+             round(st_area(st_concavehull(st_geomfromwkt('MULTIPOINT ((0 0), (1 0), (1 0.5), (0 0.5), (0.5 0.2))'), 0.75D)) * 100) AS chi_area_pct
+    """).show()
+
     // geodesic direct problem (r4): project 100 km east, azimuth back ≈ 90°+
     spark.sql("""
       SELECT round(st_x(p) * 1e4) / 1e4 AS lon2,

@@ -113,7 +113,14 @@ class PolygonizeSpec extends AnyFunSuite {
         "LINESTRING (0 11, 10 4)", "LINESTRING (1 0, 7 6, 4 4, 10 9)",
         "LINESTRING (10 7, 7 2)", "LINESTRING (7 8, 7 6, 6 6)",
         "LINESTRING (4 2, 0 7, 10 4)", "LINESTRING (7 8, 6 5, 0 11, 10 4, 2 5)",
-        "LINESTRING (5 3, 2 1, 5 11)"))
+        "LINESTRING (5 3, 2 1, 5 11)"),
+      // a component's unbounded CW orbit shares every vertex with its big
+      // shell — assembly must use CONNECTED COMPONENTS (a hole only comes
+      // from a different, nested component), not vertex containment
+      Seq("LINESTRING (7 1, 2 8, 10 9)", "LINESTRING (0 7, 6 11, 9 9, 0 8)",
+        "LINESTRING (10 0, 9 1)", "LINESTRING (6 7, 0 2)",
+        "LINESTRING (2 5, 8 6)", "LINESTRING (8 5, 1 1, 9 0, 8 4, 11 0)",
+        "LINESTRING (10 9, 11 0)"))
     soups.foreach { lines =>
       val faces = Ops.polygonize(GeometryCollection(lines.map(Wkt.read).toArray))
       val (jn, ja) = jtsPolygonize(lines)

@@ -209,13 +209,118 @@ object DeepFuzz {
     }
   }
 
+  /** Delaunay vs JTS: area must match; counts too (float coords make exact
+    * cocircularity measure-zero). */
+  def delaunayCase(): Unit = {
+    val m = 4 + nextInt(24)
+    val pts = Seq.fill(m)((frac() * 100, frac() * 100)).distinct
+    if (pts.length < 3) return
+    val wkt = s"MULTIPOINT (${pts.map { case (x, y) => s"($x $y)" }.mkString(", ")})"
+    try {
+      val tris = Triangulate.delaunay(Wkt.read(wkt))
+      val builder = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder()
+      builder.setSites(reader.read(wkt))
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      val jt = builder.getTriangles(gf)
+      val want = (0 until jt.getNumGeometries).map(jt.getGeometryN(_).getArea).sum
+      val got = tris.map(Ops.area).sum
+      check(tris.length == jt.getNumGeometries,
+        s"delaunay count ${tris.length} vs ${jt.getNumGeometries}: $wkt")
+      check(math.abs(got - want) < 1e-6 * math.max(1, want), s"delaunay area $got vs $want: $wkt")
+    } catch {
+      case e: Exception => check(cond = false, s"delaunay threw ${e.getMessage}: $wkt")
+    }
+  }
+
+  /** Voronoi vs JTS: sorted per-cell areas within the clip env + exact
+    * partition of the envelope. */
+  def voronoiCase(): Unit = {
+    val m = 2 + nextInt(10)
+    val pts = Seq.fill(m)((1.0 + frac() * 8, 1.0 + frac() * 8)).distinct
+    val wkt = s"MULTIPOINT (${pts.map { case (x, y) => s"($x $y)" }.mkString(", ")})"
+    try {
+      val cells = Triangulate.voronoi(Wkt.read(wkt), Some(Env(0, 0, 10, 10)))
+      check(math.abs(cells.map(Ops.area).sum - 100.0) < 1e-9, s"voronoi partition: $wkt")
+      val vdb = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder()
+      vdb.setSites(reader.read(wkt))
+      vdb.setClipEnvelope(new org.locationtech.jts.geom.Envelope(0, 10, 0, 10))
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      val jd = vdb.getDiagram(gf)
+      val envPoly = reader.read("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+      val wantAreas = (0 until jd.getNumGeometries)
+        .map(i => jd.getGeometryN(i).intersection(envPoly).getArea).sorted
+      val gotAreas = cells.map(Ops.area).sorted.toSeq
+      check(gotAreas.length == wantAreas.length &&
+        gotAreas.zip(wantAreas).forall { case (a, b) => math.abs(a - b) < 1e-6 },
+        s"voronoi areas $gotAreas vs $wantAreas: $wkt")
+    } catch {
+      case e: Exception => check(cond = false, s"voronoi threw ${e.getMessage}: $wkt")
+    }
+  }
+
+  /** Discrete Hausdorff + LineMerger parity on random inputs. */
+  def utilCase(): Unit = {
+    val wa = if (nextInt(2) == 0) rect(10, 5) else line(14)
+    val wb = if (nextInt(2) == 0) tri(14) else line(14)
+    try {
+      val got = Ops.hausdorff(Wkt.read(wa), Wkt.read(wb))
+      val want = org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+        .distance(reader.read(wa), reader.read(wb))
+      check(math.abs(got - want) < 1e-9, s"hausdorff($wa, $wb) $got vs $want")
+      // linemerge: merged total length and piece count match JTS
+      val segs = Seq.fill(3 + nextInt(4))(line(8))
+      val merged = Ops.lineMerge(GeometryCollection(segs.map(Wkt.read).toArray))
+      val lm = new org.locationtech.jts.operation.linemerge.LineMerger()
+      segs.foreach(w => lm.add(reader.read(w)))
+      import scala.jdk.CollectionConverters._
+      val jls = lm.getMergedLineStrings.asScala.toSeq
+        .map(_.asInstanceOf[org.locationtech.jts.geom.LineString])
+      val gotN = merged match {
+        case m: MultiLineString => m.lines.length
+        case _: LineString => 1
+        case _ => 0
+      }
+      check(gotN == jls.length, s"linemerge count $gotN vs ${jls.length}: ${segs.mkString(" | ")}")
+      check(math.abs(Ops.length(merged) - jls.map(_.getLength).sum) < 1e-9,
+        s"linemerge length: ${segs.mkString(" | ")}")
+    } catch {
+      case e: Exception => check(cond = false, s"util threw ${e.getMessage}: $wa $wb")
+    }
+  }
+
+  /** st_isvalid vs JTS isValid over generators that produce BOTH valid and
+    * invalid polygons (stars, random quads incl. bowties, rects with
+    * random holes, pairs of rects as multipolygons). */
+  def validCase(): Unit = {
+    val fixed = nextInt(4) match {
+      case 0 => Wkt.write(Polygon(Array(star(5, 5, 3 + frac() * 2))))
+      case 1 => // random quad — frequently a bowtie
+        val p = (0 until 4).map(_ => s"${nextInt(10)} ${nextInt(10)}")
+        s"POLYGON ((${p.mkString(", ")}, ${p.head}))"
+      case 2 => // rect with a random (often protruding/crossing) hole
+        val hx = nextInt(12) - 2; val hy = nextInt(12) - 2
+        s"POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), ($hx $hy, ${hx + 4} $hy, ${hx + 4} ${hy + 4}, $hx ${hy + 4}, $hx $hy))"
+      case _ => // two rects — may overlap, touch, nest, or be disjoint
+        val x = nextInt(8); val y = nextInt(8)
+        s"MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), (($x $y, ${x + 4} $y, ${x + 4} ${y + 4}, $x ${y + 4}, $x $y)))"
+    }
+    try {
+      val j = reader.read(fixed)
+      val got = Valid.check(Wkt.read(fixed)).valid
+      val want = j.isValid
+      check(got == want, s"isvalid $got vs JTS $want: $fixed")
+    } catch {
+      case e: Exception => check(cond = false, s"isvalid threw ${e.getMessage}: $fixed")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     state = if (args.length > 0) args(0).toLong else 99991L
     val n = if (args.length > 1) args(1).toInt else 50000
     val t0 = System.nanoTime()
     var i = 0
     while (i < n) {
-      (i % 9) match {
+      (i % 13) match {
         case 0 => // concave star overlay (float coords)
           overlayCase(
             Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)))),
@@ -234,6 +339,10 @@ object DeepFuzz {
         case 6 => hullCase()
         case 7 => polygonizeCase()
         case 8 => subdivideCase()
+        case 9 => delaunayCase()
+        case 10 => voronoiCase()
+        case 11 => utilCase()
+        case 12 => validCase()
         case _ => // web-mercator magnitude overlay (snap-grid adaptation)
           val s = 1e6
           overlayCase(
