@@ -1067,6 +1067,34 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- noding (r4 cont.) ----------------
+    // Boundary edges + crossing midlines per zone: ST_Node must produce
+    // exactly 12 segments (each boundary edge split at its midline touch,
+    // each midline split at the center), total length = perimeter + w + h,
+    // and 9 distinct nodes (4 corners + 4 edge midpoints + center).
+    "q81_node" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val mx = (col("xmin") + col("xmax")) / 2
+      val my = (col("ymin") + col("ymax")) / 2
+      def line(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+        call_function("st_makeline", x1, y1, x2, y2)
+      GeoTables.zones(s, dir)
+        .withColumn("noded", call_function("st_node",
+          call_function("st_collect", array(
+            line(col("xmin"), col("ymin"), col("xmax"), col("ymin")),
+            line(col("xmax"), col("ymin"), col("xmax"), col("ymax")),
+            line(col("xmax"), col("ymax"), col("xmin"), col("ymax")),
+            line(col("xmin"), col("ymax"), col("xmin"), col("ymin")),
+            line(mx, col("ymin"), mx, col("ymax")),
+            line(col("xmin"), my, col("xmax"), my)))))
+        .select(col("zone_id"),
+          call_function("st_num_geometries", col("noded")).cast("bigint").as("n_segs"),
+          floor(call_function("st_length", col("noded")) * 1e4 + 0.5)
+            .cast("bigint").as("len_c"),
+          size(array_distinct(call_function("st_dumppoints", col("noded"))))
+            .cast("bigint").as("n_nodes"))
+    }),
+
     // ---------------- tf-idf top terms (r4 cont.) ----------------
     // Smooth-idf scoring with ULP-safe ranking: both engines rank by the
     // ROUNDED score (ln differs at ulp level between libms), term asc.
@@ -1526,6 +1554,11 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q81_node" ->
+      s"""SELECT zone_id, CAST(12 AS BIGINT) AS n_segs,
+         CAST(FLOOR((3 * ((xmax - xmin) + (ymax - ymin))) * 1e4 + 0.5) AS BIGINT) AS len_c,
+         CAST(9 AS BIGINT) AS n_nodes
          FROM $ZON""",
     "q80_tfidf" ->
       """WITH terms AS (

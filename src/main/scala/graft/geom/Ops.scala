@@ -775,6 +775,22 @@ object Ops {
     out
   }
 
+  /** Node the input's lineal parts (PostGIS ST_Node, segment form) —
+    * crossings and overlaps split, duplicates dissolved, dangles kept. */
+  def node(g: Geometry): Geometry = {
+    val lines = new ArrayBuffer[Array[Double]]()
+    def add(h: Geometry): Unit = h match {
+      case l: LineString => lines += l.coords
+      case m: MultiLineString => m.lines.foreach(lines += _)
+      case p: Polygon => p.rings.foreach(lines += _)
+      case m: MultiPolygon => m.polys.foreach(_.foreach(lines += _))
+      case c: GeometryCollection => c.geoms.foreach(add)
+      case _ => ()
+    }
+    add(g)
+    MultiLineString(PlanarOverlay.nodeLinework(lines.toArray))
+  }
+
   /**
    * Form all planar faces from the noded arrangement of the input's lineal
    * parts (JTS Polygonizer / PostGIS ST_Polygonize semantics): node

@@ -701,6 +701,37 @@ object PlanarOverlay {
   }
 
   /**
+   * Node a set of lineal paths (PostGIS ST_Node contract, segment form):
+   * split every crossing/overlap, snap, dedupe undirected duplicates, and
+   * return the resulting 2-point segments. Zero-length input segments are
+   * dropped; dangling parts are KEPT (noding, not polygonizing).
+   */
+  def nodeLinework(lines: Array[Array[Double]]): Array[Array[Double]] = {
+    var mx = 1.0
+    lines.foreach { cs =>
+      var i = 0
+      while (i < cs.length) { val v = math.abs(cs(i)); if (v > mx) mx = v; i += 1 }
+    }
+    val scale = snapScale(mx)
+    val edges = new ArrayBuffer[Edge]()
+    lines.foreach { cs =>
+      var i = 0
+      while (i + 3 < cs.length) {
+        val x1 = snap(cs(i), scale); val y1 = snap(cs(i + 1), scale)
+        val x2 = snap(cs(i + 2), scale); val y2 = snap(cs(i + 3), scale)
+        if (x1 != x2 || y1 != y2) edges += new Edge(x1, y1, x2, y2, 0)
+        i += 2
+      }
+    }
+    if (edges.isEmpty) return Array.empty
+    nodeAll(edges, scale)
+    val subs = splitAll(edges, scale)
+    val uniq = new mutable.LinkedHashMap[(Long, Long, Long, Long), Sub]()
+    subs.foreach { s => if (!uniq.contains(s.ukey)) uniq(s.ukey) = s }
+    uniq.values.map(s => Array(s.sx, s.sy, s.ex, s.ey)).toArray
+  }
+
+  /**
    * Polygonize a set of lineal paths: node every crossing, dedupe
    * undirected sub-edges, iteratively drop dangling edges (an edge can
    * bound a face only if both endpoints connect onward), trace minimal

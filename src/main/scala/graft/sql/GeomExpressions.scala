@@ -1190,6 +1190,14 @@ case class StLineMerge(child: Expression) extends UnaryExpression with ExpectsIn
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_node(geom) → noded linework of the input's lineal parts
+  * (crossings split, duplicates dissolved, dangles kept; segment form). */
+case class StNode(child: Expression) extends GeomUnary {
+  def fn = "nodeLines"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.nodeLines(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** st_polygonize(geom) → array<binary> of planar faces formed by the
   * input's lineal parts (noded arrangement). */
 case class StPolygonize(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {

@@ -117,6 +117,7 @@ object GraftFunctions {
     "st_voronoi" -> (e => StVoronoi(e)),
     "st_linemerge" -> (e => StLineMerge(e.head)),
     "st_polygonize" -> (e => StPolygonize(e.head)),
+    "st_node" -> (e => StNode(e.head)),
     "st_grid_shift" -> (e => StGridShift(e)),
     "st_azimuth_geodesic" -> (e => StAzimuthGeodesic(e)),
     "st_geodetic_densify" -> (e => StGeodeticDensify(e(0), e(1))),

@@ -289,6 +289,7 @@ object K {
     UTF8String.fromString(Valid.check(rd(b)).reason)
   def lineMerge(b: Array[Byte]): Array[Byte] = wr(Ops.lineMerge(rd(b)))
   def polygonize(b: Array[Byte]): Array[Array[Byte]] = Ops.polygonize(rd(b)).map(wr)
+  def nodeLines(b: Array[Byte]): Array[Byte] = wr(Ops.node(rd(b)))
 
   // ---- collections ----
   def collect(parts: Array[Array[Byte]]): Array[Byte] =
