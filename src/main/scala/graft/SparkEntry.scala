@@ -1067,6 +1067,16 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- spherical PIP join (r4 cont.) ----------------
+    // Same pair set as q07's mercator-cell join, driven entirely by the
+    // cube-face cells: polar-safe spatial indexing as a first-class join.
+    "q82_pip_sphere" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      SpatialJoins.pipJoinSphere(
+        s.read.parquet(GeoTables.imagesPath(dir)), GeoTables.zones(s, dir))
+        .select(col("zone_id"), col("image_id"))
+    }),
+
     // ---------------- noding (r4 cont.) ----------------
     // Boundary edges + crossing midlines per zone: ST_Node must produce
     // exactly 12 segments (each boundary edge split at its midline touch,
@@ -1555,6 +1565,10 @@ object SparkEntry {
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
          FROM $ZON""",
+    "q82_pip_sphere" ->
+      s"""SELECT z.zone_id, i.image_id
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax""",
     "q81_node" ->
       s"""SELECT zone_id, CAST(12 AS BIGINT) AS n_segs,
          CAST(FLOOR((3 * ((xmax - xmin) + (ymax - ymin))) * 1e4 + 0.5) AS BIGINT) AS len_c,

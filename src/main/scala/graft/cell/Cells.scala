@@ -271,6 +271,128 @@ object Cells {
     cell >> (2 * (level - parentLevel))
   }
 
+  /** Inverse of [[uvToSt]]: s ∈ [0,1] → u ∈ [-1,1]. */
+  @inline def stToUv(s: Double): Double = math.tan((s - 0.5) * math.Pi)
+
+  /**
+   * RIGOROUS lon/lat bounds of a sphere cell — closed forms per face, no
+   * sampling (soundness is what makes [[coverSphere]] exact):
+   * on equatorial faces lon depends on one uv axis monotonically and
+   * |lat| is maximized where the other axis is closest to 0; on polar
+   * faces lat is a function of the uv radius (extremes at the rect's
+   * closest point / farthest corner from the origin) and the lon interval
+   * is the minimal arc covering the corner angles (attained at corners —
+   * the rect is convex and the origin lies outside, else the pole is
+   * inside and lon is the full circle).
+   * Returns (lonIntervals — one interval, or two when the cell crosses
+   * the antimeridian, or the full circle at a pole — latMin, latMax).
+   */
+  def sphereCellBounds(face: Int, u1: Double, u2: Double, v1: Double, v2: Double):
+      (Array[(Double, Double)], Double, Double) = {
+    @inline def deg(r: Double): Double = math.toDegrees(r)
+    // |lat|-extreme helper for lat = atan(w / sqrt(1 + t^2)), t ∈ [t1,t2]
+    @inline def tNear(t1: Double, t2: Double): Double =
+      if (t1 <= 0 && 0 <= t2) 0.0 else math.min(math.abs(t1), math.abs(t2))
+    @inline def tFar(t1: Double, t2: Double): Double = math.max(math.abs(t1), math.abs(t2))
+    @inline def latOf(w: Double, t: Double): Double = deg(math.atan(w / math.sqrt(1 + t * t)))
+    def eqFaceLats(w1: Double, w2: Double, t1: Double, t2: Double): (Double, Double) = {
+      val lmax = latOf(w2, if (w2 >= 0) tNear(t1, t2) else tFar(t1, t2))
+      val lmin = latOf(w1, if (w1 <= 0) tNear(t1, t2) else tFar(t1, t2))
+      (lmin, lmax)
+    }
+    def wrap(lo: Double, hi: Double): Array[(Double, Double)] =
+      if (lo <= hi) Array((lo, hi)) else Array((-180.0, hi), (lo, 180.0))
+    face match {
+      case 0 => // dir (1, u, v): lon = atan(u); lat = atan(v/√(1+u²))
+        val (lmin, lmax) = eqFaceLats(v1, v2, u1, u2)
+        (Array((deg(math.atan(u1)), deg(math.atan(u2)))), lmin, lmax)
+      case 1 => // dir (-u, 1, v): lon = atan2(1, -u) ↑ in u
+        val (lmin, lmax) = eqFaceLats(v1, v2, u1, u2)
+        (Array((deg(math.atan2(1, -u1)), deg(math.atan2(1, -u2)))), lmin, lmax)
+      case 3 => // dir (-1, -v, -u): lon runs CCW (increasing, wrapping
+        // through ±180) as v increases: v=-1 → +135°, v=0 → 180°≡-180°,
+        // v=+1 → -135°
+        val (lmin, lmax) = eqFaceLats(-u2, -u1, v1, v2)
+        (wrap(deg(math.atan2(-v1, -1)), deg(math.atan2(-v2, -1))), lmin, lmax)
+      case 4 => // dir (v, -1, -u): lon = atan2(-1, v) ↑ in v
+        val (lmin, lmax) = eqFaceLats(-u2, -u1, v1, v2)
+        (Array((deg(math.atan2(-1, v1)), deg(math.atan2(-1, v2)))), lmin, lmax)
+      case 2 | 5 =>
+        // polar: face 2 dir (-u, -v, 1); face 5 dir (v, u, -1)
+        val containsOrigin = u1 <= 0 && 0 <= u2 && v1 <= 0 && 0 <= v2
+        val du = math.max(math.abs(u1), math.abs(u2))
+        val dv = math.max(math.abs(v1), math.abs(v2))
+        val rFar = math.hypot(du, dv)
+        val ru = if (u1 <= 0 && 0 <= u2) 0.0 else math.min(math.abs(u1), math.abs(u2))
+        val rv = if (v1 <= 0 && 0 <= v2) 0.0 else math.min(math.abs(v1), math.abs(v2))
+        val rNear = math.hypot(ru, rv)
+        val latFar = deg(math.atan2(1, rFar))  // |lat| at farthest corner
+        val latNear = if (containsOrigin) 90.0 else deg(math.atan2(1, rNear))
+        val (lmin, lmax) = if (face == 2) (latFar, latNear) else (-latNear, -latFar)
+        if (containsOrigin) (Array((-180.0, 180.0)), lmin, lmax)
+        else {
+          val corners = Array((u1, v1), (u1, v2), (u2, v1), (u2, v2))
+          val angs = corners.map { case (u, v) =>
+            if (face == 2) deg(math.atan2(-v, -u)) else deg(math.atan2(u, v))
+          }.sorted
+          // minimal covering arc: complement of the largest gap
+          var gapAt = 0; var gapSize = -1.0
+          var i = 0
+          while (i < 4) {
+            val next = if (i == 3) angs(0) + 360 else angs(i + 1)
+            val gap = next - angs(i)
+            if (gap > gapSize) { gapSize = gap; gapAt = i }
+            i += 1
+          }
+          // covering arc = complement of the largest gap: starts at the
+          // angle AFTER the gap, ends at the angle where the gap begins
+          val start = angs((gapAt + 1) % 4)
+          val end = angs(gapAt)
+          (wrap(start, end), lmin, lmax)
+        }
+      case other => throw new IllegalArgumentException(s"bad face $other")
+    }
+  }
+
+  /**
+   * Cells at `level` intersecting a non-wrapping lon/lat rectangle —
+   * recursive descent from the 6 face roots using [[sphereCellBounds]]
+   * (sound: a point in the rect always lands in an emitted cell —
+   * CellsSpec cover-soundness fuzz). The spherical counterpart of
+   * [[cover]] for the polar-safe join path.
+   */
+  def coverSphere(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                  level: Int): Array[Long] = {
+    require(level >= 0 && level <= 15, s"cover level $level out of [0,15]")
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    // 1e-9° pad: the closed-form bounds are exact in real arithmetic; the
+    // pad absorbs atan/atan2 rounding so boundary points never fall out
+    val EPS = 1e-9
+    def overlaps(b: (Array[(Double, Double)], Double, Double)): Boolean = {
+      val (lons, lmin, lmax) = b
+      if (lmax + EPS < ymin || lmin - EPS > ymax) return false
+      lons.exists { case (lo, hi) => hi + EPS >= xmin && lo - EPS <= xmax }
+    }
+    def rec(face: Int, lvl: Int, si: Long, ti: Long): Unit = {
+      val n = 1L << lvl
+      val u1 = stToUv(si.toDouble / n); val u2 = stToUv((si + 1).toDouble / n)
+      val v1 = stToUv(ti.toDouble / n); val v2 = stToUv((ti + 1).toDouble / n)
+      if (!overlaps(sphereCellBounds(face, u1, u2, v1, v2))) return
+      if (lvl == level) {
+        out += (face.toLong << (2 * level)) | spread(si) | (spread(ti) << 1)
+      } else {
+        var c = 0
+        while (c < 4) {
+          rec(face, lvl + 1, si * 2 + (c & 1), ti * 2 + (c >> 1))
+          c += 1
+        }
+      }
+    }
+    var f = 0
+    while (f < 6) { rec(f, 0, 0, 0); f += 1 }
+    out.toArray
+  }
+
   /** ANSI-SQL replica of [[cellIdSphere]] (the q73 oracle contract —
     * engine and oracle stay in lock-step on the cell scheme). */
   def sphereCellSqlExpr(lonCol: String, latCol: String, level: Int): String = {

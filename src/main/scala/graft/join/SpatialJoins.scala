@@ -61,6 +61,33 @@ object SpatialJoins {
   }
 
   /**
+   * Spherical PIP join — the polar-safe variant of [[pipJoin]]: points key
+   * by `st_cellid_sphere`, zones explode their RIGOROUS spherical cover
+   * (`Cells.coverSphere` closed-form face bounds — sound at the poles and
+   * across the antimeridian where the mercator grid clamps or wraps), same
+   * broadcast dispatch, same exact refine. Result set is IDENTICAL to
+   * pipJoin (the index never decides membership, only candidates) — the
+   * q82 oracle states exactly that.
+   */
+  def pipJoinSphere(images: DataFrame, zones: DataFrame, level: Int = 7,
+                    broadcastMaxZones: Long = 100000): DataFrame = {
+    val spark = images.sparkSession
+    GraftFunctions.install(spark)
+    val pts = images.withColumn("cell",
+      call_function("st_cellid_sphere", col("lon"), col("lat"), lit(level)))
+    val coverRaw = zones
+      .withColumn("cell", explode(call_function("st_cover_sphere",
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
+      .select(col("zone_id"), col("xmin"), col("ymin"), col("xmax"), col("ymax"), col("cell"))
+    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
+      .count() <= broadcastMaxZones
+    val cover = if (few) broadcast(coverRaw) else coverRaw
+    pts.join(cover, "cell")
+      .where(col("lon") >= col("xmin") && col("lon") <= col("xmax") &&
+             col("lat") >= col("ymin") && col("lat") <= col("ymax"))
+  }
+
+  /**
    * Polygon × polygon intersects join (the zones-vs-zones shape): both
    * sides explode to cell covers at `level`, equi-join on cell, dedup the
    * (a, b) pairs that share several cells, exact `st_intersects` refine.

@@ -570,6 +570,28 @@ case class StCellIdSphere(first: Expression, second: Expression, third: Expressi
     copy(a, b, c)
 }
 
+/** st_cover_sphere(xmin, ymin, xmax, ymax, level) → array<long> of
+  * spherical cells intersecting the lon/lat rect (rigorous closed-form
+  * face bounds — sound at poles and across face boundaries). */
+case class StCoverSphere(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "st_cover_sphere(xmin, ymin, xmax, ymax, level)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else new GenericArrayData(graft.cell.Cells.coverSphere(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_morton(tx, ty) → interleaved-bit cell id (grid-coordinate form of
   * st_cellid, used by the distributed kNN ring join). */
 case class StMorton(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {

@@ -124,6 +124,7 @@ object GraftFunctions {
     // cells / tiles (§2.6)
     "st_cellid" -> (e => StCellId(e(0), e(1), e(2))),
     "st_cellid_sphere" -> (e => StCellIdSphere(e(0), e(1), e(2))),
+    "st_cover_sphere" -> (e => StCoverSphere(e)),
     "st_tile_x" -> (e => StTileX(e(0), e(1))),
     "st_tile_y" -> (e => StTileY(e(0), e(1))),
     "st_cell_parent" -> (e => StCellParent(e(0), e(1), e(2))),

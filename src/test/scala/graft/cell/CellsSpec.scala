@@ -124,6 +124,52 @@ class CellsSpec extends AnyFunSuite {
     assert(Cells.cellIdSphere(0.0, -90.0, 10) >> 20 == 5L)
   }
 
+  test("coverSphere soundness: point in rect ⇒ its sphere cell is emitted") {
+    var state = 1234567L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 250).foreach { trial =>
+      // rects across the globe, biased to include polar and face-boundary
+      // regions the mercator grid cannot express
+      val cx = -180 + 360 * frac()
+      val cy = -88 + 176 * frac()
+      val w = 0.5 + frac() * 40
+      val h = 0.5 + frac() * 30
+      val xmin = math.max(-180, cx - w / 2); val xmax = math.min(180, cx + w / 2)
+      val ymin = math.max(-89.99, cy - h / 2); val ymax = math.min(89.99, cy + h / 2)
+      val level = 4 + (trial % 4)
+      val cover = Cells.coverSphere(xmin, ymin, xmax, ymax, level).toSet
+      assert(cover.nonEmpty, s"trial $trial empty cover")
+      (0 until 60).foreach { _ =>
+        val lon = xmin + frac() * (xmax - xmin)
+        val lat = ymin + frac() * (ymax - ymin)
+        val c = Cells.cellIdSphere(lon, lat, level)
+        assert(cover.contains(c),
+          s"trial $trial level $level: point ($lon,$lat) cell $c not in cover " +
+            s"of [$xmin,$xmax]x[$ymin,$ymax] (${cover.size} cells)")
+      }
+    }
+  }
+
+  test("coverSphere includes polar caps and antimeridian-adjacent rects") {
+    // rect straddling the north pole region (high lat, wide lon)
+    val polar = Cells.coverSphere(-180, 85, 180, 89.99, 6).toSet
+    (0 until 200).foreach { k =>
+      val lon = -180 + k * 1.8
+      val lat = 85.5 + (k % 40) * 0.1
+      assert(polar.contains(Cells.cellIdSphere(lon, lat, 6)), s"polar point $lon,$lat")
+    }
+    // rect hugging the antimeridian on the west side
+    val am = Cells.coverSphere(170, -10, 180, 10, 6).toSet
+    (0 until 100).foreach { k =>
+      val lon = 170.05 + (k % 50) * 0.19
+      val lat = -9.9 + k * 0.19
+      assert(am.contains(Cells.cellIdSphere(lon, lat, 6)), s"am point $lon,$lat")
+    }
+  }
+
   test("tan reprojection keeps occupancy near-uniform vs mercator blowup") {
     val pts = sphereRand(120000, 424242L)
     // level-3 cells: 6*64 = 384 sphere cells vs 64 mercator rows... use
