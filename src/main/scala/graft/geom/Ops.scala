@@ -424,6 +424,11 @@ object Ops {
       case m: MultiPolygon => MultiPolygon(m.polys.map(_.map(rev)))
       case c: GeometryCollection => GeometryCollection(c.geoms.map(reverse))
       case zm: GeometryZM =>
+        // point/multipoint bases are their own reverse — streams must stay
+        // untouched too (a global reverse would desynchronize Z/M from the
+        // unchanged coordinates)
+        val rb = reverse(zm.base)
+        if (rb eq zm.base) return zm
         // attribute streams reverse WITHIN each part slice (part order is
         // unchanged by reverse, only vertex order inside each path/ring)
         val sizes: Array[Int] = zm.base match {
@@ -444,7 +449,7 @@ object Ops {
           }
           out
         }
-        GeometryZM(reverse(zm.base), revSliced(zm.zs), revSliced(zm.ms))
+        GeometryZM(rb, revSliced(zm.zs), revSliced(zm.ms))
       case other => other // points are their own reverse
     }
   }
@@ -695,8 +700,17 @@ object Ops {
           val my = (e.ymin + e.ymax) / 2
           (Env(e.xmin, e.ymin, e.xmax, my), Env(e.xmin, my, e.xmax, e.ymax))
         }
-      rec(clip(h, e1), depth + 1)
-      rec(clip(h, e2), depth + 1)
+      val h1 = clip(h, e1)
+      val h2 = clip(h, e2)
+      // progress guard: clip is boundary-inclusive, so a degenerate input
+      // (coincident points, zero-extent envelope) can leave BOTH halves at
+      // full vertex count — recursing would fan out 2^depth no-op leaves
+      if (h1.numPoints >= h.numPoints && h2.numPoints >= h.numPoints) {
+        out += h
+        return
+      }
+      rec(h1, depth + 1)
+      rec(h2, depth + 1)
     }
     rec(g, 0)
     out.toArray
@@ -1735,7 +1749,12 @@ object Ops {
       while (k < n) {
         // CCW shell in lon/lat: azimuth sweeps counter-clockwise from north
         val az = ((n - k) % n) * (360.0 / n)
-        val (lon, lat) = vincentyDirect(x, y, az, meters)
+        val (lon0, lat) = vincentyDirect(x, y, az, meters)
+        // unwrap relative to the center so rings crossing the antimeridian
+        // stay CONTIGUOUS (the AEQ path's behavior): a normalized-per-vertex
+        // ring at lon ≈ ±180 would bowtie across the whole map
+        var lon = lon0
+        if (lon - x > 180.0) lon -= 360.0 else if (x - lon > 180.0) lon += 360.0
         cs(2 * k) = lon; cs(2 * k + 1) = lat
         k += 1
       }

@@ -338,16 +338,7 @@ object PlanarOverlay {
     * At a multi-degree node the next edge is the first outgoing edge
     * CLOCKWISE from the reversed incoming direction — this keeps touching
     * faces separate and never crosses the boundary. */
-  def trace(selected: ArrayBuffer[DirEdge]): Array[Array[Double]] =
-    trace(selected, closeAtStartEdge = false)
-
-  /** `closeAtStartEdge = true` (polygonize) closes a walk only when the
-    * angular rule selects the STARTING edge again — the JTS EdgeRing rule.
-    * Faces whose boundary legitimately revisits a vertex (pinched faces in
-    * a noded line soup) are then traced whole instead of being split at
-    * the first vertex revisit. Overlay keeps the vertex-closing rule its
-    * 1.5M-case fuzz was run against. */
-  def trace(selected: ArrayBuffer[DirEdge], closeAtStartEdge: Boolean): Array[Array[Double]] = {
+  def trace(selected: ArrayBuffer[DirEdge]): Array[Array[Double]] = {
     val outgoing = new mutable.HashMap[PKey, ArrayBuffer[Int]]()
     selected.indices.foreach { i =>
       val e = selected(i)
@@ -372,21 +363,18 @@ object PlanarOverlay {
           if (steps > selected.length + 1)
             throw new IllegalStateException("overlay tracing did not terminate")
           val endKey = pkey(e.ex, e.ey)
-          if (!closeAtStartEdge && endKey == startKey) closed = true
+          if (endKey == startKey) closed = true
           else {
             val cands = outgoing.getOrElse(endKey, null)
             var next = -1
             if (cands != null) {
-              if (cands.length == 1) {
-                val c = cands(0)
-                if (!used(c)) next = c
-                else if (closeAtStartEdge && c == start) next = start
-              } else {
+              if (cands.length == 1) { if (!used(cands(0))) next = cands(0) }
+              else {
                 // clockwise-first from reversed incoming direction
                 val inAngle = math.atan2(e.sy - e.ey, e.sx - e.ex) // reverse of incoming
                 var bestDelta = Double.MaxValue
                 cands.foreach { c =>
-                  if (!used(c) || (closeAtStartEdge && c == start)) {
+                  if (!used(c)) {
                     val o = selected(c)
                     val outAngle = math.atan2(o.ey - o.sy, o.ex - o.sx)
                     var delta = inAngle - outAngle
@@ -400,8 +388,7 @@ object PlanarOverlay {
             if (next < 0)
               throw new IllegalStateException(
                 s"overlay tracing dead-ended at (${e.ex},${e.ey})")
-            if (closeAtStartEdge && next == start) closed = true
-            else cur = next
+            cur = next
           }
         }
         if (ring.length >= 6) {

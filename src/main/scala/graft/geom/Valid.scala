@@ -188,9 +188,9 @@ object Valid {
       }
       if (anySubMid(h, Array(shell), (x, y) => Pred.pointInRing(shell, x, y) < 0))
         return Result(valid = false, "Hole lies outside shell")
+      val (ix, iy) = Pred.interiorPoint(Array(h))
       holes.zipWithIndex.foreach { case (h2, hj) =>
         if (hi != hj) {
-          val (ix, iy) = Pred.interiorPoint(Array(h))
           if (Pred.pointInRing(h2, ix, iy) > 0 && {
             // strictly nested only if every vertex is inside-or-on too
             var k = 0; var allIn = true
@@ -207,7 +207,6 @@ object Valid {
     val n = rings.length
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-    var touchEdges = 0
     var a = 0
     while (a < n) {
       var b = a + 1
@@ -220,7 +219,6 @@ object Valid {
               val ra = find(a); val rb = find(b)
               if (ra == rb) return Result(valid = false, "Interior is disconnected")
               parent(ra) = rb
-              touchEdges += 1
             }
         }
         b += 1
@@ -247,9 +245,16 @@ object Valid {
     while (a < polys.length) {
       var b = a + 1
       while (b < polys.length) {
+        // edge contact between ANY ring of A and ANY ring of B is a
+        // self-intersection — e.g. a polygon nested in another's hole
+        // sharing an edge run with that hole's boundary (review finding)
+        polys(a).foreach { ra =>
+          polys(b).foreach { rb =>
+            if (ringContacts(ra, rb).isEmpty)
+              return Result(valid = false, "Elements share an edge")
+          }
+        }
         val sa = polys(a)(0); val sb = polys(b)(0)
-        if (ringContacts(sa, sb).isEmpty)
-          return Result(valid = false, "Shells share an edge")
         if (midStrictlyInside(sa, polys(b)) || midStrictlyInside(sb, polys(a)))
           return Result(valid = false, "Nested or overlapping shells")
         b += 1

@@ -106,6 +106,26 @@ class UtilOpsSpec extends AnyFunSuite {
     assert(zp.base == Point(2.5, 0) && zp.zs(0) == 125.0)
   }
 
+  test("review regressions: antimeridian buffer, degenerate subdivide, ZM multipoint reverse") {
+    // geodesic point buffer at lon ≈ 180 must stay a CONTIGUOUS ring
+    // (unwrapped lons, like the AEQ path) — not a map-wide bowtie
+    val buf = Ops.geodesicBuffer(Point(179.9, 0.0), 50000.0).asInstanceOf[Polygon]
+    val lons = buf.rings(0).indices.collect { case i if i % 2 == 0 => buf.rings(0)(i) }
+    assert(lons.max - lons.min < 2.0, s"ring spans ${lons.max - lons.min} degrees of lon")
+    assert(Ops.area(buf) > 0, "ring must stay CCW")
+    // degenerate inputs terminate promptly instead of 2^48 recursion
+    val dup = MultiPoint(Array.fill(10)(Array(1.0, 2.0)).flatten)
+    val parts = Ops.subdivide(dup, 8)
+    assert(parts.length == 1)
+    val zig = LineString((0 until 30).flatMap(i =>
+      Seq(if (i % 2 == 0) 0.0 else 1.0, if (i % 2 == 0) 0.0 else 1.0)).toArray)
+    Ops.subdivide(zig, 8) // must return quickly (progress guard), any split
+    // ZM multipoint: reverse must not desynchronize streams
+    val mpz = Wkt.read("MULTIPOINT Z ((0 0 1), (1 1 2))")
+    val r = Ops.reverse(mpz).asInstanceOf[GeometryZM]
+    assert(r.zs.toSeq == Seq(1.0, 2.0), "streams must stay aligned with unchanged coords")
+  }
+
   test("azimuth convention: CW from north, [0,360)") {
     assert(Ops.azimuthPlanar(0, 0, 0, 1) == 0.0)   // north
     assert(Ops.azimuthPlanar(0, 0, 1, 0) == 90.0)  // east

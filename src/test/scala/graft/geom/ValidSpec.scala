@@ -48,6 +48,9 @@ class ValidSpec extends AnyFunSuite {
     both("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((0 0, 4 0, 4 4, 0 4, 0 0)))", expectValid = false)
     // nested shells without a hole
     both("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((2 2, 4 2, 4 4, 2 4, 2 2)))", expectValid = false)
+    // polygon in another's hole SHARING AN EDGE with the hole boundary
+    // (review finding: shell-vs-shell contact check alone missed this)
+    both("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2)), ((2 2, 8 2, 8 5, 2 5, 2 2)))", expectValid = false)
     // collinear spike
     both("POLYGON ((0 0, 4 0, 8 0, 4 0, 4 4, 0 0))", expectValid = false)
     // zero-length line
