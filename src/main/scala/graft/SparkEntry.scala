@@ -1067,6 +1067,36 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- bounding constructs (r4 cont.) ----------------
+    // MBC of the zone corners has closed-form radius diag/2 (96-gon area
+    // = 48 r² sin(π/48)); the min-area oriented rect of an inscribed
+    // diamond is edge-aligned with closed-form area (w·h/4)·max(w²,h²)/(w²+h²).
+    "q83_bounding" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin"); val h = col("ymax") - col("ymin")
+      val cx = (col("xmin") + col("xmax")) / 2; val cy = (col("ymin") + col("ymax")) / 2
+      val corners = call_function("st_collect", array(
+        call_function("st_point", col("xmin"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymax")),
+        call_function("st_point", col("xmin"), col("ymax"))))
+      val diamond = call_function("st_collect", array(
+        call_function("st_point", cx + w / 4, cy),
+        call_function("st_point", cx, cy + h / 4),
+        call_function("st_point", cx - w / 4, cy),
+        call_function("st_point", cx, cy - h / 4)))
+      GeoTables.zones(s, dir)
+        .select(col("zone_id"),
+          floor(call_function("st_minimumboundingradius", corners) * 1e6 + 0.5)
+            .cast("bigint").as("r_u"),
+          floor(call_function("st_area",
+            call_function("st_minimumboundingcircle", corners)) * 1e4 + 0.5)
+            .cast("bigint").as("circ_area_c"),
+          floor(call_function("st_area",
+            call_function("st_orientedenvelope", diamond)) * 1e4 + 0.5)
+            .cast("bigint").as("obb_area_c"))
+    }),
+
     // ---------------- spherical PIP join (r4 cont.) ----------------
     // Same pair set as q07's mercator-cell join, driven entirely by the
     // cube-face cells: polar-safe spatial indexing as a first-class join.
@@ -1564,6 +1594,14 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q83_bounding" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR(SQRT((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)) / 2 * 1e6 + 0.5) AS BIGINT) AS r_u,
+         CAST(FLOOR(48 * ((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)) / 4 * SIN(PI()/48) * 1e4 + 0.5) AS BIGINT) AS circ_area_c,
+         CAST(FLOOR(((xmax-xmin) * (ymax-ymin) / 4)
+           * GREATEST((xmax-xmin)*(xmax-xmin), (ymax-ymin)*(ymax-ymin))
+           / ((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)) * 1e4 + 0.5) AS BIGINT) AS obb_area_c
          FROM $ZON""",
     "q82_pip_sphere" ->
       s"""SELECT z.zone_id, i.image_id

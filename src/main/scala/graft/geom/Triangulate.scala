@@ -265,6 +265,110 @@ object Triangulate {
     PlanarOverlay.mkResult(rings)
   }
 
+  /**
+   * Smallest enclosing circle (Welzl 1991, public; deterministic input
+   * order — no shuffle — which is O(n²) worst-case and fine at per-row
+   * vertex counts). Returns (cx, cy, r).
+   */
+  def minimumBoundingCircle(g: Geometry): (Double, Double, Double) = {
+    val pts = distinctPoints(g)
+    val n = pts.length / 2
+    require(n > 0, "empty geometry has no bounding circle")
+    @inline def d(x1: Double, y1: Double, x2: Double, y2: Double) = math.hypot(x1 - x2, y1 - y2)
+    def circum(ax: Double, ay: Double, bx: Double, by: Double,
+               cx: Double, cy: Double): (Double, Double, Double) = {
+      val dd = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+      if (dd == 0) { // collinear: diameter of the extreme pair
+        val pairs = Seq(((ax, ay), (bx, by)), ((ax, ay), (cx, cy)), ((bx, by), (cx, cy)))
+        val ((x1, y1), (x2, y2)) = pairs.maxBy { case ((p, q), (r2, s2)) => d(p, q, r2, s2) }
+        ((x1 + x2) / 2, (y1 + y2) / 2, d(x1, y1, x2, y2) / 2)
+      } else {
+        val ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) +
+          (cx * cx + cy * cy) * (ay - by)) / dd
+        val uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) +
+          (cx * cx + cy * cy) * (bx - ax)) / dd
+        (ux, uy, d(ux, uy, ax, ay))
+      }
+    }
+    val EPS = 1e-10
+    @inline def in(c: (Double, Double, Double), x: Double, y: Double): Boolean =
+      d(c._1, c._2, x, y) <= c._3 * (1 + EPS) + EPS
+    var c: (Double, Double, Double) = (pts(0), pts(1), 0.0)
+    var i = 1
+    while (i < n) {
+      val (px, py) = (pts(2 * i), pts(2 * i + 1))
+      if (!in(c, px, py)) {
+        c = (px, py, 0.0)
+        var j = 0
+        while (j < i) {
+          val (qx, qy) = (pts(2 * j), pts(2 * j + 1))
+          if (!in(c, qx, qy)) {
+            c = ((px + qx) / 2, (py + qy) / 2, d(px, py, qx, qy) / 2)
+            var k = 0
+            while (k < j) {
+              val (rx, ry) = (pts(2 * k), pts(2 * k + 1))
+              if (!in(c, rx, ry)) c = circum(px, py, qx, qy, rx, ry)
+              k += 1
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    c
+  }
+
+  /**
+   * Minimum-area oriented bounding rectangle (rotating calipers over the
+   * convex hull, public textbook method) → 5-point CCW ring Polygon.
+   */
+  def orientedEnvelope(g: Geometry): Geometry = {
+    val hull = Ops.convexHull(g) match {
+      case p: Polygon => p.rings(0)
+      case other => return other // point/segment inputs: the hull itself
+    }
+    val m = hull.length / 2 - 1 // closed ring
+    var best = Double.MaxValue
+    var bestRect: Array[Double] = null
+    var e = 0
+    while (e < m) {
+      val ex = hull(2 * ((e + 1) % m)) - hull(2 * e)
+      val ey = hull(2 * ((e + 1) % m) + 1) - hull(2 * e + 1)
+      val len = math.hypot(ex, ey)
+      if (len > 0) {
+        val ux = ex / len; val uy = ey / len // edge direction
+        var minU = Double.MaxValue; var maxU = Double.MinValue
+        var minV = Double.MaxValue; var maxV = Double.MinValue
+        var i = 0
+        while (i < m) {
+          val px = hull(2 * i); val py = hull(2 * i + 1)
+          val u = px * ux + py * uy
+          val v = -px * uy + py * ux
+          if (u < minU) minU = u; if (u > maxU) maxU = u
+          if (v < minV) minV = v; if (v > maxV) maxV = v
+          i += 1
+        }
+        val area = (maxU - minU) * (maxV - minV)
+        if (area < best) {
+          best = area
+          @inline def pt(u: Double, v: Double): (Double, Double) =
+            (u * ux - v * uy, u * uy + v * ux)
+          val corners = Seq(pt(minU, minV), pt(maxU, minV), pt(maxU, maxV), pt(minU, maxV))
+          bestRect = (corners.flatMap { case (x, y) => Seq(x, y) } ++
+            Seq(corners.head._1, corners.head._2)).toArray
+        }
+      }
+      e += 1
+    }
+    if (bestRect == null) Ops.convexHull(g)
+    else {
+      val ring = if (Ops.signedRingArea(bestRect) < 0)
+        PlanarOverlay.reverseRing(bestRect) else bestRect
+      Polygon(Array(ring))
+    }
+  }
+
   /** Clip a ring by the half-plane {(x,y) : a·x + b·y ≤ c} (SH step). */
   private def clipHalfPlane(ring: Array[Double], a: Double, b: Double, c: Double): Array[Double] = {
     val out = new ArrayBuffer[Double]()

@@ -1135,6 +1135,26 @@ case class StLineSubstring(first: Expression, second: Expression, third: Express
     copy(a, b, c)
 }
 
+/** st_minimumboundingcircle(geom) → 96-gon of the smallest enclosing
+  * circle (Welzl); st_minimumboundingradius gives the radius directly. */
+case class StMinBoundingCircle(child: Expression) extends GeomUnary {
+  def fn = "minBoundingCircle"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.minBoundingCircle(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StMinBoundingRadius(child: Expression) extends GeomUnary {
+  def fn = "minBoundingRadius"; override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = K.minBoundingRadius(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_orientedenvelope(geom) → minimum-area rotated bounding rectangle. */
+case class StOrientedEnvelope(child: Expression) extends GeomUnary {
+  def fn = "orientedEnvelope"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.orientedEnvelope(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** st_isvalid(geom) → OGC validity (see graft.geom.Valid). */
 case class StIsValid(child: Expression) extends GeomUnary {
   def fn = "isValid"; override def dataType: DataType = BooleanType

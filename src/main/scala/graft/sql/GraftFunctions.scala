@@ -77,6 +77,9 @@ object GraftFunctions {
     "st_makevalid" -> (e => StSimplifyOgc(e.head)),
     "st_concavehull" -> (e => StConcaveHull(e(0), e(1))),
     "st_isvalid" -> (e => StIsValid(e.head)),
+    "st_minimumboundingcircle" -> (e => StMinBoundingCircle(e.head)),
+    "st_minimumboundingradius" -> (e => StMinBoundingRadius(e.head)),
+    "st_orientedenvelope" -> (e => StOrientedEnvelope(e.head)),
     "st_isvalid_reason" -> (e => StIsValidReason(e.head)),
     "st_generalize" -> (e => StGeneralize(e(0), e(1))),
     "st_densify" -> (e => StDensify(e(0), e(1))),

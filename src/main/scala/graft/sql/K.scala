@@ -282,6 +282,25 @@ object K {
   def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
   def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =
     Triangulate.voronoi(rd(b), Some(rd(envGeom).envelope)).map(wr)
+  def minBoundingCircle(b: Array[Byte]): Array[Byte] = {
+    val (cx, cy, r) = Triangulate.minimumBoundingCircle(rd(b))
+    // emitted as the standard 96-gon ring around (cx, cy)
+    if (r == 0.0) wr(Point(cx, cy))
+    else {
+      val n = 96
+      val cs = new Array[Double]((n + 1) * 2)
+      var k = 0
+      while (k < n) {
+        val a = 2 * math.Pi * k / n
+        cs(2 * k) = cx + r * math.cos(a); cs(2 * k + 1) = cy + r * math.sin(a)
+        k += 1
+      }
+      cs(2 * n) = cs(0); cs(2 * n + 1) = cs(1)
+      wr(Polygon(Array(cs)))
+    }
+  }
+  def minBoundingRadius(b: Array[Byte]): Double = Triangulate.minimumBoundingCircle(rd(b))._3
+  def orientedEnvelope(b: Array[Byte]): Array[Byte] = wr(Triangulate.orientedEnvelope(rd(b)))
   def concaveHull(b: Array[Byte], maxEdge: Double): Array[Byte] =
     wr(Triangulate.concaveHull(rd(b), maxEdge))
   def isValid(b: Array[Byte]): Boolean = Valid.check(rd(b)).valid

@@ -111,6 +111,38 @@ class TriangulateSpec extends AnyFunSuite {
     }
   }
 
+  test("minimum bounding circle and oriented envelope match JTS") {
+    var state = 1618033L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 40).foreach { trial =>
+      val n = 3 + (frac() * 20).toInt
+      val pts = Seq.fill(n)((frac() * 100, frac() * 100)).distinct
+      if (pts.length >= 3) {
+        val wkt = mp(pts)
+        val (cx, cy, r) = Triangulate.minimumBoundingCircle(Wkt.read(wkt))
+        val jmbc = new org.locationtech.jts.algorithm.MinimumBoundingCircle(reader.read(wkt))
+        val jc = jmbc.getCentre; val jr = jmbc.getRadius
+        assert(math.abs(r - jr) < 1e-6 * math.max(1, jr), s"trial $trial r=$r vs $jr")
+        assert(math.hypot(cx - jc.x, cy - jc.y) < 1e-6, s"trial $trial center")
+        // oriented envelope minimizes AREA; JTS MinimumDiameter's
+        // rectangle minimizes WIDTH — ours must never be larger
+        val obb = Triangulate.orientedEnvelope(Wkt.read(wkt))
+        val jobb = org.locationtech.jts.algorithm.MinimumDiameter
+          .getMinimumRectangle(reader.read(wkt))
+        assert(Ops.area(obb) <= jobb.getArea * (1 + 1e-9),
+          s"trial $trial obb ${Ops.area(obb)} vs JTS width-minimal ${jobb.getArea}")
+        // the envelope covers every input point (to FP tolerance: hull
+        // points ON the rect boundary can land 1 ulp outside)
+        pts.foreach { case (x, y) =>
+          assert(Pred.distance(obb, Point(x, y)) < 1e-9, s"trial $trial obb lost ($x,$y)")
+        }
+      }
+    }
+  }
+
   test("voronoi per-cell areas match JTS VoronoiDiagramBuilder") {
     val pts = Seq((1.0, 1.0), (8.0, 2.0), (4.0, 7.0), (6.5, 5.0), (2.0, 5.5), (9.0, 9.0))
     val env = Env(0, 0, 10, 10)
