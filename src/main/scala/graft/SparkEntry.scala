@@ -1067,6 +1067,30 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- witness lines / angles / rotation (r4 cont.) -------
+    "q84_witness_ops" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin"); val h = col("ymax") - col("ymin")
+      val cx = (col("xmin") + col("xmax")) / 2; val cy = (col("ymin") + col("ymax")) / 2
+      GeoTables.zones(s, dir)
+        .withColumn("poly", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("center", call_function("st_point", cx, cy))
+        .withColumn("rot", call_function("st_rotate", col("poly"), lit(90.0), cx, cy))
+        .select(col("zone_id"),
+          floor(call_function("st_length", call_function("st_shortestline",
+            call_function("st_boundary", col("poly")), col("center"))) * 1e6 + 0.5)
+            .cast("bigint").as("sl_len_u"),
+          floor(call_function("st_maxdistance",
+            col("center"), col("poly")) * 1e6 + 0.5).cast("bigint").as("maxd_u"),
+          floor(call_function("st_angle", col("xmax"), col("ymin"),
+            col("xmin"), col("ymin"), col("xmin"), col("ymax")) * 1e2 + 0.5)
+            .cast("bigint").as("corner_deg_c"),
+          floor(call_function("st_area", col("rot")) * 1e4 + 0.5)
+            .cast("bigint").as("rot_area_c"),
+          floor(call_function("st_xmin", col("rot")) * 1e6 + 0.5)
+            .cast("bigint").as("rot_xmin_u"))
+    }),
+
     // ---------------- bounding constructs (r4 cont.) ----------------
     // MBC of the zone corners has closed-form radius diag/2 (96-gon area
     // = 48 r² sin(π/48)); the min-area oriented rect of an inscribed
@@ -1594,6 +1618,14 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q84_witness_ops" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR(LEAST(xmax - xmin, ymax - ymin) / 2 * 1e6 + 0.5) AS BIGINT) AS sl_len_u,
+         CAST(FLOOR(SQRT((xmax-xmin)*(xmax-xmin) + (ymax-ymin)*(ymax-ymin)) / 2 * 1e6 + 0.5) AS BIGINT) AS maxd_u,
+         CAST(9000 AS BIGINT) AS corner_deg_c,
+         CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS rot_area_c,
+         CAST(FLOOR(((xmin + xmax) / 2 - (ymax - ymin) / 2) * 1e6 + 0.5) AS BIGINT) AS rot_xmin_u
          FROM $ZON""",
     "q83_bounding" ->
       s"""SELECT zone_id,

@@ -556,6 +556,144 @@ object Ops {
     math.max(oneWay(a, b), oneWay(b, a))
   }
 
+  // ---------------- witness lines / max distance (r4 cont.) -------------
+
+  private def segmentsOf(g: Geometry): Array[Double] = {
+    // flatten to a segment soup (x1,y1,x2,y2)*; points become zero-length
+    val out = new ArrayBuffer[Double]()
+    def path(cs: Array[Double]): Unit = {
+      if (cs.length == 2) { out += cs(0); out += cs(1); out += cs(0); out += cs(1) }
+      var i = 0
+      while (i + 3 < cs.length) {
+        out += cs(i); out += cs(i + 1); out += cs(i + 2); out += cs(i + 3)
+        i += 2
+      }
+    }
+    def walk(h: Geometry): Unit = h match {
+      case p: Point => if (!p.isEmpty) { out += p.x; out += p.y; out += p.x; out += p.y }
+      case m: MultiPoint =>
+        var i = 0
+        while (i + 1 < m.coords.length) {
+          out += m.coords(i); out += m.coords(i + 1)
+          out += m.coords(i); out += m.coords(i + 1)
+          i += 2
+        }
+      case l: LineString => path(l.coords)
+      case m: MultiLineString => m.lines.foreach(path)
+      case p: Polygon => p.rings.foreach(path)
+      case m: MultiPolygon => m.polys.foreach(_.foreach(path))
+      case c: GeometryCollection => c.geoms.foreach(walk)
+      case zm: GeometryZM => walk(zm.base)
+    }
+    walk(g)
+    out.toArray
+  }
+
+  /** Closest pair of points between two geometries → 2-point LineString
+    * (ST_ShortestLine): zero-length at an interior witness when one input
+    * lies inside the other polygonal input (JTS/PostGIS areal semantics),
+    * or at a crossing point when boundaries cross. */
+  def shortestLine(a: Geometry, b: Geometry): Geometry = {
+    val sa = segmentsOf(a); val sb = segmentsOf(b)
+    require(sa.nonEmpty && sb.nonEmpty, "shortestLine expects non-empty inputs")
+    // areal semantics (JTS/PostGIS): a vertex of one input strictly inside
+    // the other polygonal input means distance zero — the witness is that
+    // vertex (boundary crossings are caught by the segment loop below)
+    def insideWitness(pts: Array[Double], other: Geometry): Option[(Double, Double)] = {
+      val polys: Array[Array[Array[Double]]] = other match {
+        case p: Polygon => Array(p.rings)
+        case m: MultiPolygon => m.polys
+        case _ => return None
+      }
+      var i = 0
+      while (i + 1 < pts.length) {
+        if (Pred.pointInPolygonal(polys, pts(i), pts(i + 1)) > 0)
+          return Some((pts(i), pts(i + 1)))
+        i += 2
+      }
+      None
+    }
+    insideWitness(sb, GeometryZM.strip(a))
+      .orElse(insideWitness(sa, GeometryZM.strip(b))).foreach { case (x, y) =>
+        return LineString(Array(x, y, x, y))
+      }
+    var best = Double.MaxValue
+    var bx1 = 0.0; var by1 = 0.0; var bx2 = 0.0; var by2 = 0.0
+    @inline def clampT(px: Double, py: Double, x1: Double, y1: Double, x2: Double, y2: Double): (Double, Double) = {
+      val dx = x2 - x1; val dy = y2 - y1
+      val d2 = dx * dx + dy * dy
+      if (d2 == 0) (x1, y1)
+      else {
+        val t = math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / d2))
+        (x1 + t * dx, y1 + t * dy)
+      }
+    }
+    var i = 0
+    while (i + 3 < sa.length) {
+      var j = 0
+      while (j + 3 < sb.length) {
+        // candidate witness pairs: each endpoint against the other segment
+        val cands = Array(
+          { val (qx, qy) = clampT(sa(i), sa(i + 1), sb(j), sb(j + 1), sb(j + 2), sb(j + 3)); (sa(i), sa(i + 1), qx, qy) },
+          { val (qx, qy) = clampT(sa(i + 2), sa(i + 3), sb(j), sb(j + 1), sb(j + 2), sb(j + 3)); (sa(i + 2), sa(i + 3), qx, qy) },
+          { val (qx, qy) = clampT(sb(j), sb(j + 1), sa(i), sa(i + 1), sa(i + 2), sa(i + 3)); (qx, qy, sb(j), sb(j + 1)) },
+          { val (qx, qy) = clampT(sb(j + 2), sb(j + 3), sa(i), sa(i + 1), sa(i + 2), sa(i + 3)); (qx, qy, sb(j + 2), sb(j + 3)) })
+        cands.foreach { case (x1, y1, x2, y2) =>
+          val d = math.hypot(x2 - x1, y2 - y1)
+          if (d < best) { best = d; bx1 = x1; by1 = y1; bx2 = x2; by2 = y2 }
+        }
+        // crossing segments: witness is the intersection point itself
+        if (best > 0) {
+          val out = new Array[Double](4)
+          if (Pred.segSeg(sa(i), sa(i + 1), sa(i + 2), sa(i + 3),
+            sb(j), sb(j + 1), sb(j + 2), sb(j + 3), out) >= 1) {
+            best = 0.0; bx1 = out(0); by1 = out(1); bx2 = out(0); by2 = out(1)
+          }
+        }
+        j += 4
+      }
+      i += 4
+    }
+    LineString(Array(bx1, by1, bx2, by2))
+  }
+
+  /** Maximum distance between any vertex of `a` and any vertex of `b`
+    * (ST_MaxDistance — attained at vertices for polygonal/lineal inputs). */
+  def maxDistance(a: Geometry, b: Geometry): Double = {
+    val sa = segmentsOf(a); val sb = segmentsOf(b)
+    require(sa.nonEmpty && sb.nonEmpty, "maxDistance expects non-empty inputs")
+    var best = 0.0
+    var i = 0
+    while (i + 1 < sa.length) {
+      var j = 0
+      while (j + 1 < sb.length) {
+        val d = math.hypot(sa(i) - sb(j), sa(i + 1) - sb(j + 1))
+        if (d > best) best = d
+        j += 2
+      }
+      i += 2
+    }
+    best
+  }
+
+  /** Interior angle at p2 formed by p1-p2-p3, degrees in [0, 180]. */
+  def angle(x1: Double, y1: Double, x2: Double, y2: Double,
+            x3: Double, y3: Double): Double = {
+    val ax = x1 - x2; val ay = y1 - y2
+    val bx = x3 - x2; val by = y3 - y2
+    val la = math.hypot(ax, ay); val lb = math.hypot(bx, by)
+    require(la > 0 && lb > 0, "angle of coincident points is undefined")
+    val c = math.max(-1.0, math.min(1.0, (ax * bx + ay * by) / (la * lb)))
+    math.toDegrees(math.acos(c))
+  }
+
+  /** Rotate about (ox, oy) by `deg` CCW (ST_Rotate via the affine map). */
+  def rotate(g: Geometry, deg: Double, ox: Double, oy: Double): Geometry = {
+    val r = math.toRadians(deg)
+    val c = math.cos(r); val s = math.sin(r)
+    mapCoords(g, (x, y) => (ox + c * (x - ox) - s * (y - oy), oy + s * (x - ox) + c * (y - oy)))
+  }
+
   // ---------------- linear referencing (r4 cont.) ----------------
 
   private def firstLine(g: Geometry): Array[Double] = g match {

@@ -1155,6 +1155,64 @@ case class StOrientedEnvelope(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_shortestline(a, b) → 2-point witness line of the minimum distance. */
+case class StShortestLine(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.shortestLine(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** st_maxdistance(a, b) → maximum vertex-to-vertex distance. */
+case class StMaxDistance(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.maxDistance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** st_angle(x1,y1, x2,y2, x3,y3) → interior angle at the middle point. */
+case class StAngle(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 6, "st_angle(x1, y1, x2, y2, x3, y3)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(6)(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.angle(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      vs(4).asInstanceOf[Double], vs(5).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_rotate(geom, deg, ox, oy) → CCW rotation about a point. */
+case class StRotate(children: Seq[Expression]) extends Expression
+    with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "st_rotate(geom, deg, origin_x, origin_y)")
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(row))
+    if (vs.contains(null)) null
+    else K.rotate(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_isvalid(geom) → OGC validity (see graft.geom.Valid). */
 case class StIsValid(child: Expression) extends GeomUnary {
   def fn = "isValid"; override def dataType: DataType = BooleanType

@@ -78,6 +78,10 @@ object GraftFunctions {
     "st_concavehull" -> (e => StConcaveHull(e(0), e(1))),
     "st_isvalid" -> (e => StIsValid(e.head)),
     "st_minimumboundingcircle" -> (e => StMinBoundingCircle(e.head)),
+    "st_shortestline" -> (e => StShortestLine(e(0), e(1))),
+    "st_maxdistance" -> (e => StMaxDistance(e(0), e(1))),
+    "st_angle" -> (e => StAngle(e)),
+    "st_rotate" -> (e => StRotate(e)),
     "st_minimumboundingradius" -> (e => StMinBoundingRadius(e.head)),
     "st_orientedenvelope" -> (e => StOrientedEnvelope(e.head)),
     "st_isvalid_reason" -> (e => StIsValidReason(e.head)),

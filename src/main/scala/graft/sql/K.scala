@@ -282,6 +282,13 @@ object K {
   def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
   def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =
     Triangulate.voronoi(rd(b), Some(rd(envGeom).envelope)).map(wr)
+  def shortestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    wr(Ops.shortestLine(rd(a), rd(b)))
+  def maxDistance(a: Array[Byte], b: Array[Byte]): Double = Ops.maxDistance(rd(a), rd(b))
+  def angle(x1: Double, y1: Double, x2: Double, y2: Double, x3: Double, y3: Double): Double =
+    Ops.angle(x1, y1, x2, y2, x3, y3)
+  def rotate(b: Array[Byte], deg: Double, ox: Double, oy: Double): Array[Byte] =
+    wr(Ops.rotate(rd(b), deg, ox, oy))
   def minBoundingCircle(b: Array[Byte]): Array[Byte] = {
     val (cx, cy, r) = Triangulate.minimumBoundingCircle(rd(b))
     // emitted as the standard 96-gon ring around (cx, cy)

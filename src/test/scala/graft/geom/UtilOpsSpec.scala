@@ -106,6 +106,35 @@ class UtilOpsSpec extends AnyFunSuite {
     assert(zp.base == Point(2.5, 0) && zp.zs(0) == 125.0)
   }
 
+  test("shortestline/maxdistance parity vs JTS on mixed random pairs") {
+    var state = 246810L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def rnd(): String = (frac() * 3).toInt match {
+      case 0 =>
+        val x = (frac() * 10).toInt; val y = (frac() * 10).toInt
+        s"POLYGON (($x $y, ${x + 2} $y, ${x + 2} ${y + 2}, $x ${y + 2}, $x $y))"
+      case 1 =>
+        s"LINESTRING (${(frac() * 12).toInt} ${(frac() * 12).toInt}, " +
+          s"${(frac() * 12).toInt} ${(frac() * 12).toInt})"
+      case _ => s"POINT (${(frac() * 12).toInt} ${(frac() * 12).toInt})"
+    }
+    (0 until 200).foreach { trial =>
+      val wa = rnd(); val wb = rnd()
+      val ja = reader.read(wa); val jb = reader.read(wb)
+      val sl = Ops.shortestLine(Wkt.read(wa), Wkt.read(wb))
+      val want = ja.distance(jb)
+      assert(math.abs(Ops.length(sl) - want) < 1e-9,
+        s"trial $trial shortestline len ${Ops.length(sl)} vs $want ($wa | $wb)")
+      // witness endpoints actually lie on the inputs
+      val l = sl.asInstanceOf[LineString]
+      assert(Pred.distance(Wkt.read(wa), Point(l.coords(0), l.coords(1))) < 1e-9)
+      assert(Pred.distance(Wkt.read(wb), Point(l.coords(2), l.coords(3))) < 1e-9)
+    }
+  }
+
   test("review regressions: antimeridian buffer, degenerate subdivide, ZM multipoint reverse") {
     // geodesic point buffer at lon ≈ 180 must stay a CONTIGUOUS ring
     // (unwrapped lons, like the AEQ path) — not a map-wide bowtie
