@@ -778,19 +778,31 @@ object Ops {
     bestAt / total
   }
 
-  /** Sub-line between fractions f1 ≤ f2 of the length (ST_LineSubstring). */
+  /** Sub-line between fractions f1 ≤ f2 of the length (ST_LineSubstring;
+    * Z/M attribute streams interpolate at the cut parameters). */
   def lineSubstring(g: Geometry, f1: Double, f2: Double): Geometry = {
     val a = math.max(0.0, math.min(1.0, math.min(f1, f2)))
     val b = math.max(0.0, math.min(1.0, math.max(f1, f2)))
     val cs = firstLine(g)
     require(cs.length >= 4, "line must have >= 2 points")
     if (a == b) return lineInterpolate(g, a)
+    val (zsIn, msIn) = g match {
+      case zm: GeometryZM => (zm.zs, zm.ms)
+      case _ => (null, null)
+    }
     var total = 0.0
     var i = 0
     while (i + 3 < cs.length) { total += math.hypot(cs(i + 2) - cs(i), cs(i + 3) - cs(i + 1)); i += 2 }
     if (total == 0.0) return LineString(Array(cs(0), cs(1), cs(0), cs(1)))
     val t1 = a * total; val t2 = b * total
     val out = new ArrayBuffer[Double]()
+    val zOut = if (zsIn == null) null else new ArrayBuffer[Double]()
+    val mOut = if (msIn == null) null else new ArrayBuffer[Double]()
+    @inline def push(x: Double, y: Double, vi: Int, t: Double): Unit = {
+      out += x; out += y
+      if (zOut != null) zOut += zsIn(vi) + t * (zsIn(vi + 1) - zsIn(vi))
+      if (mOut != null) mOut += msIn(vi) + t * (msIn(vi + 1) - msIn(vi))
+    }
     var acc = 0.0
     i = 0
     while (i + 3 < cs.length) {
@@ -798,17 +810,25 @@ object Ops {
       val seg = math.hypot(bx - ax, by - ay)
       val s0 = acc; val s1 = acc + seg
       if (seg > 0 && s1 >= t1 && s0 <= t2) {
+        val vi = i / 2
         val ta = math.max(0.0, (t1 - s0) / seg)
         val tb = math.min(1.0, (t2 - s0) / seg)
         val x1 = ax + ta * (bx - ax); val y1 = ay + ta * (by - ay)
         val x2 = ax + tb * (bx - ax); val y2 = ay + tb * (by - ay)
-        if (out.isEmpty) { out += x1; out += y1 }
-        if (x2 != out(out.length - 2) || y2 != out(out.length - 1)) { out += x2; out += y2 }
+        if (out.isEmpty) push(x1, y1, vi, ta)
+        if (x2 != out(out.length - 2) || y2 != out(out.length - 1)) push(x2, y2, vi, tb)
       }
       acc = s1
       i += 2
     }
-    if (out.length < 4) lineInterpolate(g, a) else LineString(out.toArray)
+    if (out.length < 4) lineInterpolate(g, a)
+    else {
+      val base = LineString(out.toArray)
+      if (zOut == null && mOut == null) base
+      else GeometryZM(base,
+        if (zOut == null) null else zOut.toArray,
+        if (mOut == null) null else mOut.toArray)
+    }
   }
 
   // ---------------- subdivide (scale tool) ----------------

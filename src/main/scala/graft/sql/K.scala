@@ -277,7 +277,7 @@ object K {
   def lineInterpolate(b: Array[Byte], f: Double): Array[Byte] = wr(Ops.lineInterpolate(rdFull(b), f))
   def lineLocate(b: Array[Byte], x: Double, y: Double): Double = Ops.lineLocate(rd(b), x, y)
   def lineSubstring(b: Array[Byte], f1: Double, f2: Double): Array[Byte] =
-    wr(Ops.lineSubstring(rd(b), f1, f2))
+    wr(Ops.lineSubstring(rdFull(b), f1, f2)) // Z/M interpolate through
   def delaunay(b: Array[Byte]): Array[Array[Byte]] = Triangulate.delaunay(rd(b)).map(wr)
   def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
   def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =

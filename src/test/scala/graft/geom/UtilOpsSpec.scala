@@ -104,6 +104,10 @@ class UtilOpsSpec extends AnyFunSuite {
     val zl = Wkt.read("LINESTRING Z (0 0 100, 10 0 200)")
     val zp = Ops.lineInterpolate(zl, 0.25).asInstanceOf[GeometryZM]
     assert(zp.base == Point(2.5, 0) && zp.zs(0) == 125.0)
+    // ... and through substring (both cut points + interior vertices)
+    val zsub = Ops.lineSubstring(Wkt.read("LINESTRING Z (0 0 100, 10 0 200, 10 10 300)"),
+      0.25, 0.75).asInstanceOf[GeometryZM]
+    assert(zsub.zs.toSeq == Seq(150.0, 200.0, 250.0), s"zs=${zsub.zs.toSeq}")
   }
 
   test("shortestline/maxdistance parity vs JTS on mixed random pairs") {
