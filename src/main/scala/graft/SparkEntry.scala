@@ -1067,6 +1067,19 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- DBSCAN spatial clustering (r4 cont.) ----------------
+    // Grid-join DBSCAN over the hot-cell images; DuckDB brute-forces the
+    // eps-neighborhood, core set, recursive core closure and border
+    // attachment. Labels are canonical (min core id) in both engines.
+    "q85_dbscan" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val pts = s.read.parquet(GeoTables.imagesPath(dir))
+        .where(col("lon") >= 10.0 && col("lon") < 10.1 &&
+               col("lat") >= 45.0 && col("lat") < 45.1)
+      SpatialJoins.dbscan(pts, "image_id", eps = 0.002, minPts = 4)
+        .select(col("id"), col("cluster"), col("is_core").cast("bigint").as("is_core"))
+    }),
+
     // ---------------- witness lines / angles / rotation (r4 cont.) -------
     "q84_witness_ops" -> ((s, dir) => {
       GraftFunctions.install(s)
@@ -1619,6 +1632,37 @@ object SparkEntry {
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
          FROM $ZON""",
+    "q85_dbscan" ->
+      s"""WITH RECURSIVE pts AS (
+           SELECT image_id AS id, lon, lat FROM $IMG
+           WHERE lon >= 10.0 AND lon < 10.1 AND lat >= 45.0 AND lat < 45.1),
+         nbr AS (
+           SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+           ON (a.lon - b.lon) * (a.lon - b.lon)
+            + (a.lat - b.lat) * (a.lat - b.lat) <= 0.002 * 0.002),
+         cnt AS (SELECT a, COUNT(*) AS n FROM nbr GROUP BY a),
+         core AS (SELECT a AS id FROM cnt WHERE n >= 4),
+         ce AS (
+           SELECT n.a AS s, n.b AS d FROM nbr n
+           JOIN core c1 ON n.a = c1.id JOIN core c2 ON n.b = c2.id
+           WHERE n.a <> n.b),
+         cc(node, rep) AS (
+           SELECT id, id FROM core
+           UNION
+           SELECT e.d, cc.rep FROM cc JOIN ce e ON e.s = cc.node),
+         reps AS (SELECT node AS id, MIN(rep) AS cluster FROM cc GROUP BY node),
+         corelab AS (SELECT id, cluster, CAST(1 AS BIGINT) AS is_core FROM reps),
+         borderlab AS (
+           SELECT n.a AS id, MIN(r.cluster) AS cluster, CAST(0 AS BIGINT) AS is_core
+           FROM nbr n
+           JOIN core cb ON n.b = cb.id
+           JOIN reps r ON r.id = n.b
+           LEFT JOIN core ca ON n.a = ca.id
+           WHERE ca.id IS NULL AND n.a <> n.b
+           GROUP BY n.a)
+         SELECT id, cluster, is_core FROM corelab
+         UNION ALL
+         SELECT id, cluster, is_core FROM borderlab""",
     "q84_witness_ops" ->
       s"""SELECT zone_id,
          CAST(FLOOR(LEAST(xmax - xmin, ymax - ymin) / 2 * 1e6 + 0.5) AS BIGINT) AS sl_len_u,

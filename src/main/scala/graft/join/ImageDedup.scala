@@ -104,17 +104,34 @@ object ImageDedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy("src").agg(F.min("nrep").as("min_n"))
+      // pointer doubling (path halving): fold in rep(rep) each round so
+      // convergence is O(log diameter), not O(diameter) — a DBSCAN chain
+      // across a dense region can have diameter in the hundreds (q85)
+      val repMap = labels.select(col("id").as("rep"), col("rep").as("_rep2"))
       // ONE distributed pass per round: the changed flag rides in the
       // checkpointed result, so counting it scans cached blocks only
       // (the former next⋈labels compare job is gone — judge r3 nit #4).
       val next = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .join(repMap, Seq("rep"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("min_n"), col("rep"))).as("rep"),
-          (coalesce(col("min_n"), col("rep")) < col("rep")).as("_changed"))
+          least(col("rep"),
+            least(coalesce(col("min_n"), col("rep")),
+              coalesce(col("_rep2"), col("rep")))).as("rep"),
+          (least(coalesce(col("min_n"), col("rep")),
+            coalesce(col("_rep2"), col("rep"))) < col("rep")).as("_changed"))
         .localCheckpoint(true)
       changed = next.where(col("_changed")).count() // cached-block scan, no shuffle
-      labels = next.drop("_changed")
+      // STATS FIREWALL: localCheckpoint's LogicalRDD inherits the
+      // ESTIMATED stats of the pre-checkpoint plan, whose size is the
+      // product over its joins — and this round's estimate feeds the
+      // next round's product, so sizeInBytes compounds EXPONENTIALLY
+      // across rounds (S → S³ with the doubling join; Catalyst then
+      // spends minutes multiplying million-digit BigInts inside
+      // SizeInBytesOnlyStatsPlanVisitor). Rebuilding the frame from the
+      // checkpointed RDD resets the leaf to default stats each round.
+      val clean = next.drop("_changed")
+      labels = clean.sparkSession.createDataFrame(clean.rdd, clean.schema)
       rounds += 1
     }
     edges.unpersist()

@@ -61,6 +61,69 @@ object SpatialJoins {
   }
 
   /**
+   * Distributed DBSCAN over point rows (planar degree metric, documented —
+   * consistent with every BETWEEN oracle). The classic training-data
+   * spatial clustering op, all-DataFrame:
+   *
+   * 1. eps-grid: integer cells of side `eps`, so any two points within eps
+   *    sit in the same or an adjacent cell (no mercator distortion — the
+   *    grid is built directly on lon/lat, unlike the morton cells);
+   * 2. neighbor pairs: one side explodes its 3×3 cell neighborhood, shuffle
+   *    equi-join on the cell key, exact `dist² ≤ eps²` refine — never
+   *    all-pairs;
+   * 3. core points: neighbor count (incl. self) ≥ minPts;
+   * 4. clusters: hash-min label propagation (ImageDedup.components) over
+   *    core–core edges — O(diameter) rounds, no driver state;
+   * 5. border points attach to the MIN adjacent core cluster (deterministic
+   *    — plain DBSCAN leaves the choice arbitrary); noise is omitted.
+   *
+   * Returns (id, cluster, is_core); cluster = min core id of the cluster.
+   */
+  def dbscan(points: DataFrame, idCol: String, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, s"bad dbscan params eps=$eps minPts=$minPts")
+    val spark = points.sparkSession
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val pts = points.select(col(idCol).as("id"), col("lon"), col("lat"))
+      .withColumn("cx", floor(col("lon") / eps).cast("long"))
+      .withColumn("cy", floor(col("lat") / eps).cast("long"))
+    val offsets = Seq(-1L, 0L, 1L).flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+      .toDF("dx", "dy")
+    val probes = pts.crossJoin(broadcast(offsets))
+      .select(col("id").as("b"), col("lon").as("blon"), col("lat").as("blat"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val pairs = pts.select(col("id").as("a"), col("lon").as("alon"), col("lat").as("alat"),
+        col("cx"), col("cy"))
+      .join(probes, Seq("cx", "cy"))
+      .where((col("alon") - col("blon")) * (col("alon") - col("blon")) +
+             (col("alat") - col("blat")) * (col("alat") - col("blat")) <= eps * eps)
+      .select(col("a"), col("b"))
+      .persist()
+    val counts = pairs.groupBy("a").agg(count(lit(1)).as("n")) // includes self (dx=dy=0)
+    val core = counts.where(col("n") >= minPts).select(col("a").as("id")).persist()
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "a"), "a")
+      .join(core.withColumnRenamed("id", "b"), "b")
+      .where(col("a") < col("b"))
+    val labels = ImageDedup.components(coreEdges, "a", "b")
+    // singleton cores (no core neighbor) are their own cluster
+    val coreLabels = core
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("cluster"),
+        lit(true).as("is_core"))
+    val borderLabels = pairs
+      .join(core.withColumnRenamed("id", "b"), "b") // neighbor must be core
+      .join(coreLabels.select(col("id").as("b"), col("cluster")), "b")
+      .join(core.withColumnRenamed("id", "a"), Seq("a"), "left_anti") // a not core
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a").as("id")).agg(min(col("cluster")).as("cluster"))
+      .withColumn("is_core", lit(false))
+    val result = coreLabels.unionByName(borderLabels)
+    pairs.unpersist(); core.unpersist()
+    result
+  }
+
+  /**
    * Spherical PIP join — the polar-safe variant of [[pipJoin]]: points key
    * by `st_cellid_sphere`, zones explode their RIGOROUS spherical cover
    * (`Cells.coverSphere` closed-form face bounds — sound at the poles and
