@@ -1,0 +1,87 @@
+package graft.join
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** SpatialJoins.dbscan vs an independent in-memory DBSCAN (brute-force
+  * eps-graph + BFS over cores + min-cluster border rule) on randomized
+  * configurations — clusters, border points reachable from two clusters,
+  * noise, and minPts edge cases. */
+class DbscanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference: same canonicalization (cluster = min core id; border joins
+    * the MIN adjacent core's cluster; noise omitted). */
+  private def reference(pts: Seq[(String, Double, Double)], eps: Double, minPts: Int)
+      : Map[String, (String, Boolean)] = {
+    def near(a: (String, Double, Double), b: (String, Double, Double)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3
+      dx * dx + dy * dy <= eps * eps
+    }
+    val nbrs = pts.map(p => p._1 -> pts.filter(q => near(p, q)).map(_._1)).toMap
+    val core = pts.filter(p => nbrs(p._1).size >= minPts).map(_._1).toSet
+    // BFS components over core-core adjacency
+    val rep = mutable.Map[String, String]()
+    core.toSeq.sorted.foreach { c =>
+      if (!rep.contains(c)) {
+        val queue = mutable.Queue(c)
+        val comp = mutable.ArrayBuffer[String]()
+        val seen = mutable.Set(c)
+        while (queue.nonEmpty) {
+          val x = queue.dequeue(); comp += x
+          nbrs(x).filter(core.contains).foreach { y =>
+            if (!seen.contains(y)) { seen += y; queue.enqueue(y) }
+          }
+        }
+        val m = comp.min
+        comp.foreach(x => rep(x) = m)
+      }
+    }
+    val out = mutable.Map[String, (String, Boolean)]()
+    core.foreach(c => out(c) = (rep(c), true))
+    pts.foreach { p =>
+      if (!core.contains(p._1)) {
+        val adjCores = nbrs(p._1).filter(c => core.contains(c) && c != p._1)
+        if (adjCores.nonEmpty) out(p._1) = (adjCores.map(rep).min, false)
+      }
+    }
+    out.toMap
+  }
+
+  test("dbscan matches the reference on random configurations") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    var state = 13579L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 6).foreach { trial =>
+      // a few dense blobs + uniform noise; eps/minPts vary per trial
+      val blobs = 2 + trial % 3
+      val pts = (0 until blobs).flatMap { b =>
+        val cx = 10 * frac(); val cy = 10 * frac()
+        (0 until 15 + (frac() * 20).toInt).map { i =>
+          (f"p$trial%d_$b%d_$i%03d", cx + (frac() - 0.5) * 0.8, cy + (frac() - 0.5) * 0.8)
+        }
+      } ++ (0 until 25).map(i => (f"n$trial%d_$i%03d", 10 * frac(), 10 * frac()))
+      val eps = 0.15 + frac() * 0.2
+      val minPts = 3 + (frac() * 3).toInt
+      val df = pts.toDF("image_id", "lon", "lat")
+      val got = SpatialJoins.dbscan(df, "image_id", eps, minPts)
+        .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      val want = reference(pts, eps, minPts)
+      assert(got == want,
+        s"trial $trial eps=$eps minPts=$minPts: " +
+          s"only-got=${(got.keySet -- want.keySet).take(5)} " +
+          s"only-want=${(want.keySet -- got.keySet).take(5)} " +
+          s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(5)}")
+    }
+  }
+}
