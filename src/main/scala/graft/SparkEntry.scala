@@ -1067,6 +1067,33 @@ object SparkEntry {
           col("sh.dlat_sec").as("dlat_sec"))
     }),
 
+    // ---------------- geometric median (r4 cont.) ----------------
+    // Weiszfeld on two engineered configs with UNIQUE closed-form optima:
+    // the 4 corners (→ diagonal intersection = center) and 5 collinear
+    // points (→ the middle one, the 1D median).
+    "q86_geometric_median" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = col("xmax") - col("xmin")
+      val cx = (col("xmin") + col("xmax")) / 2; val cy = (col("ymin") + col("ymax")) / 2
+      val corners = call_function("st_collect", array(
+        call_function("st_point", col("xmin"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymin")),
+        call_function("st_point", col("xmax"), col("ymax")),
+        call_function("st_point", col("xmin"), col("ymax"))))
+      def bp(f: Double): Column =
+        call_function("st_point", col("xmin") + w * f, col("ymin"))
+      val collinear = call_function("st_collect",
+        array(bp(0.0), bp(0.1), bp(0.3), bp(0.8), bp(0.9)))
+      GeoTables.zones(s, dir)
+        .withColumn("gm1", call_function("st_geometricmedian", corners))
+        .withColumn("gm2", call_function("st_geometricmedian", collinear))
+        .select(col("zone_id"),
+          floor(call_function("st_x", col("gm1")) * 1e6 + 0.5).cast("bigint").as("gm1_x_u"),
+          floor(call_function("st_y", col("gm1")) * 1e6 + 0.5).cast("bigint").as("gm1_y_u"),
+          floor(call_function("st_x", col("gm2")) * 1e6 + 0.5).cast("bigint").as("gm2_x_u"),
+          floor(call_function("st_y", col("gm2")) * 1e6 + 0.5).cast("bigint").as("gm2_y_u"))
+    }),
+
     // ---------------- DBSCAN spatial clustering (r4 cont.) ----------------
     // Grid-join DBSCAN over the hot-cell images; DuckDB brute-forces the
     // eps-neighborhood, core set, recursive core closure and border
@@ -1631,6 +1658,13 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q53_geodesic_buffer" ->
       s"""SELECT zone_id, CAST(97 AS BIGINT) AS n_pts, CAST(97 AS BIGINT) AS n_on_circle
+         FROM $ZON""",
+    "q86_geometric_median" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR((xmin + xmax) / 2 * 1e6 + 0.5) AS BIGINT) AS gm1_x_u,
+         CAST(FLOOR((ymin + ymax) / 2 * 1e6 + 0.5) AS BIGINT) AS gm1_y_u,
+         CAST(FLOOR((xmin + (xmax - xmin) * 0.3) * 1e6 + 0.5) AS BIGINT) AS gm2_x_u,
+         CAST(FLOOR(ymin * 1e6 + 0.5) AS BIGINT) AS gm2_y_u
          FROM $ZON""",
     "q85_dbscan" ->
       s"""WITH RECURSIVE pts AS (

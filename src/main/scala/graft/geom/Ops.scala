@@ -676,6 +676,72 @@ object Ops {
     best
   }
 
+  /**
+   * Geometric median of the geometry's vertices (Weiszfeld 1937, public):
+   * the point minimizing the sum of Euclidean distances — the robust
+   * center a training-data pipeline wants for noisy GPS clusters (vs the
+   * outlier-sensitive centroid). Deterministic: starts at the centroid,
+   * fixed 200-iteration cap, 1e-12 relative step tolerance; an iterate
+   * landing exactly ON an input vertex perturbs per Vardi–Zhang.
+   */
+  def geometricMedian(g: Geometry): Geometry = {
+    val pts = Triangulate.distinctPoints(g)
+    val n = pts.length / 2
+    require(n > 0, "geometric median of empty geometry")
+    if (n == 1) return Point(pts(0), pts(1))
+    var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i + 1 < pts.length) { cx += pts(i); cy += pts(i + 1); i += 2 }
+    cx /= n; cy /= n
+    var iter = 0
+    var done = false
+    while (iter < 500 && !done) {
+      var sw = 0.0; var sx = 0.0; var sy = 0.0
+      var onVertex = false
+      i = 0
+      while (i + 1 < pts.length) {
+        val d = math.hypot(cx - pts(i), cy - pts(i + 1))
+        if (d < 1e-15) onVertex = true
+        else {
+          val w = 1.0 / d
+          sw += w; sx += w * pts(i); sy += w * pts(i + 1)
+        }
+        i += 2
+      }
+      if (onVertex) {
+        // Vardi–Zhang: the coincident vertex IS the median iff the summed
+        // unit pull of the other points has magnitude ≤ 1 — then return
+        // the vertex EXACTLY (a nudge here would leave ~1e-9·mag error,
+        // which flips floor-rounded oracle cents; q86 found it). Otherwise
+        // step away along the pull direction.
+        var vk = -1
+        var rx = 0.0; var ry = 0.0; var swv = 0.0
+        i = 0
+        while (i + 1 < pts.length) {
+          val d = math.hypot(cx - pts(i), cy - pts(i + 1))
+          if (d < 1e-15) vk = i
+          else {
+            rx += (pts(i) - cx) / d; ry += (pts(i + 1) - cy) / d
+            swv += 1.0 / d
+          }
+          i += 2
+        }
+        val rmag = math.hypot(rx, ry)
+        if (rmag <= 1.0 + 1e-12) return Point(pts(vk), pts(vk + 1))
+        val step = (rmag - 1.0) / swv
+        cx += step * rx / rmag; cy += step * ry / rmag
+      } else {
+        val nx = sx / sw; val ny = sy / sw
+        val step = math.hypot(nx - cx, ny - cy)
+        val mag = math.max(1.0, math.hypot(cx, cy))
+        if (step < 1e-13 * mag) done = true
+        cx = nx; cy = ny
+      }
+      iter += 1
+    }
+    Point(cx, cy)
+  }
+
   /** Interior angle at p2 formed by p1-p2-p3, degrees in [0, 180]. */
   def angle(x1: Double, y1: Double, x2: Double, y2: Double,
             x3: Double, y3: Double): Double = {

@@ -1155,6 +1155,14 @@ case class StOrientedEnvelope(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_geometricmedian(geom) → Weiszfeld point minimizing summed distance
+  * to the vertices (robust center for noisy point clusters). */
+case class StGeometricMedian(child: Expression) extends GeomUnary {
+  def fn = "geometricMedian"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.geometricMedian(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** st_shortestline(a, b) → 2-point witness line of the minimum distance. */
 case class StShortestLine(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes with CodegenFallback {

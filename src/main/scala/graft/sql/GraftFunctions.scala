@@ -79,6 +79,7 @@ object GraftFunctions {
     "st_isvalid" -> (e => StIsValid(e.head)),
     "st_minimumboundingcircle" -> (e => StMinBoundingCircle(e.head)),
     "st_shortestline" -> (e => StShortestLine(e(0), e(1))),
+    "st_geometricmedian" -> (e => StGeometricMedian(e.head)),
     "st_maxdistance" -> (e => StMaxDistance(e(0), e(1))),
     "st_angle" -> (e => StAngle(e)),
     "st_rotate" -> (e => StRotate(e)),

@@ -282,6 +282,7 @@ object K {
   def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
   def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =
     Triangulate.voronoi(rd(b), Some(rd(envGeom).envelope)).map(wr)
+  def geometricMedian(b: Array[Byte]): Array[Byte] = wr(Ops.geometricMedian(rd(b)))
   def shortestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     wr(Ops.shortestLine(rd(a), rd(b)))
   def maxDistance(a: Array[Byte], b: Array[Byte]): Double = Ops.maxDistance(rd(a), rd(b))

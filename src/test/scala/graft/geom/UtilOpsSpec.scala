@@ -110,6 +110,30 @@ class UtilOpsSpec extends AnyFunSuite {
     assert(zsub.zs.toSeq == Seq(150.0, 200.0, 250.0), s"zs=${zsub.zs.toSeq}")
   }
 
+  test("geometric median: symmetric center, 1D median vertex, Fermat 120° rule") {
+    // 4 corners → diagonal intersection
+    val sq = Ops.geometricMedian(Wkt.read("MULTIPOINT ((0 0), (4 0), (4 2), (0 2))"))
+      .asInstanceOf[Point]
+    assert(math.abs(sq.x - 2.0) < 1e-10 && math.abs(sq.y - 1.0) < 1e-10)
+    // 5 collinear → the middle vertex EXACTLY (Vardi–Zhang vertex test)
+    val col5 = Ops.geometricMedian(Wkt.read(
+      "MULTIPOINT ((0 0), (1 0), (3 0), (8 0), (9 0))")).asInstanceOf[Point]
+    assert(col5.x == 3.0 && col5.y == 0.0, s"got $col5")
+    // obtuse triangle with a ≥120° vertex → that vertex IS the median
+    // (vertex (0,0), arms along azimuths ±65° from x-axis ⇒ 130° apart)
+    val arms = Ops.geometricMedian(Wkt.read(
+      "MULTIPOINT ((0 0), (4.226182617406994 9.063077870366499), (4.226182617406994 -9.063077870366499))"))
+      .asInstanceOf[Point] // 10·(cos65°, ±sin65°)
+    assert(math.hypot(arms.x, arms.y) < 1e-9, s"got $arms — 130° vertex must win")
+    // median minimizes summed distance vs centroid on a skewed set
+    val skew = "MULTIPOINT ((0 0), (0.1 0), (0 0.1), (0.1 0.1), (10 10))"
+    val gm = Ops.geometricMedian(Wkt.read(skew)).asInstanceOf[Point]
+    def cost(x: Double, y: Double): Double =
+      Wkt.read(skew).asInstanceOf[MultiPoint].coords.grouped(2)
+        .map(p => math.hypot(x - p(0), y - p(1))).sum
+    assert(cost(gm.x, gm.y) < cost(2.04, 2.04) - 1.0, "median must beat the centroid")
+  }
+
   test("shortestline/maxdistance parity vs JTS on mixed random pairs") {
     var state = 246810L
     def frac(): Double = {
