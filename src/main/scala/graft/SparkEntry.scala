@@ -1074,7 +1074,6 @@ object SparkEntry {
     "q86_geometric_median" -> ((s, dir) => {
       GraftFunctions.install(s)
       val w = col("xmax") - col("xmin")
-      val cx = (col("xmin") + col("xmax")) / 2; val cy = (col("ymin") + col("ymax")) / 2
       val corners = call_function("st_collect", array(
         call_function("st_point", col("xmin"), col("ymin")),
         call_function("st_point", col("xmax"), col("ymin")),

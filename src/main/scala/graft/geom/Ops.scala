@@ -617,37 +617,47 @@ object Ops {
       .orElse(insideWitness(sa, GeometryZM.strip(b))).foreach { case (x, y) =>
         return LineString(Array(x, y, x, y))
       }
-    var best = Double.MaxValue
+    // scalar O(n·m) loop: squared distances in locals, no per-iteration
+    // allocation (review finding — the tuple-array variant boxed 4 tuples
+    // per segment pair), one sqrt implied only by the caller's st_length
+    var best2 = Double.MaxValue
     var bx1 = 0.0; var by1 = 0.0; var bx2 = 0.0; var by2 = 0.0
-    @inline def clampT(px: Double, py: Double, x1: Double, y1: Double, x2: Double, y2: Double): (Double, Double) = {
-      val dx = x2 - x1; val dy = y2 - y1
-      val d2 = dx * dx + dy * dy
-      if (d2 == 0) (x1, y1)
-      else {
-        val t = math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / d2))
-        (x1 + t * dx, y1 + t * dy)
-      }
-    }
+    val out = new Array[Double](4)
     var i = 0
     while (i + 3 < sa.length) {
       var j = 0
       while (j + 3 < sb.length) {
-        // candidate witness pairs: each endpoint against the other segment
-        val cands = Array(
-          { val (qx, qy) = clampT(sa(i), sa(i + 1), sb(j), sb(j + 1), sb(j + 2), sb(j + 3)); (sa(i), sa(i + 1), qx, qy) },
-          { val (qx, qy) = clampT(sa(i + 2), sa(i + 3), sb(j), sb(j + 1), sb(j + 2), sb(j + 3)); (sa(i + 2), sa(i + 3), qx, qy) },
-          { val (qx, qy) = clampT(sb(j), sb(j + 1), sa(i), sa(i + 1), sa(i + 2), sa(i + 3)); (qx, qy, sb(j), sb(j + 1)) },
-          { val (qx, qy) = clampT(sb(j + 2), sb(j + 3), sa(i), sa(i + 1), sa(i + 2), sa(i + 3)); (qx, qy, sb(j + 2), sb(j + 3)) })
-        cands.foreach { case (x1, y1, x2, y2) =>
-          val d = math.hypot(x2 - x1, y2 - y1)
-          if (d < best) { best = d; bx1 = x1; by1 = y1; bx2 = x2; by2 = y2 }
+        // each endpoint against the other segment (4 candidate witnesses)
+        var c = 0
+        while (c < 4) {
+          // candidate c: point (px,py) vs segment (x1,y1)-(x2,y2); aSide
+          // tells which input the point belongs to (witness ordering)
+          val aSide = c < 2
+          val px = if (c == 0) sa(i) else if (c == 1) sa(i + 2) else if (c == 2) sb(j) else sb(j + 2)
+          val py = if (c == 0) sa(i + 1) else if (c == 1) sa(i + 3) else if (c == 2) sb(j + 1) else sb(j + 3)
+          val x1 = if (aSide) sb(j) else sa(i)
+          val y1 = if (aSide) sb(j + 1) else sa(i + 1)
+          val x2 = if (aSide) sb(j + 2) else sa(i + 2)
+          val y2 = if (aSide) sb(j + 3) else sa(i + 3)
+          val dx = x2 - x1; val dy = y2 - y1
+          val den = dx * dx + dy * dy
+          val t = if (den == 0) 0.0
+            else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / den))
+          val qx = x1 + t * dx; val qy = y1 + t * dy
+          val ddx = qx - px; val ddy = qy - py
+          val d2 = ddx * ddx + ddy * ddy
+          if (d2 < best2) {
+            best2 = d2
+            if (aSide) { bx1 = px; by1 = py; bx2 = qx; by2 = qy }
+            else { bx1 = qx; by1 = qy; bx2 = px; by2 = py }
+          }
+          c += 1
         }
         // crossing segments: witness is the intersection point itself
-        if (best > 0) {
-          val out = new Array[Double](4)
+        if (best2 > 0) {
           if (Pred.segSeg(sa(i), sa(i + 1), sa(i + 2), sa(i + 3),
             sb(j), sb(j + 1), sb(j + 2), sb(j + 3), out) >= 1) {
-            best = 0.0; bx1 = out(0); by1 = out(1); bx2 = out(0); by2 = out(1)
+            best2 = 0.0; bx1 = out(0); by1 = out(1); bx2 = out(0); by2 = out(1)
           }
         }
         j += 4
@@ -658,22 +668,25 @@ object Ops {
   }
 
   /** Maximum distance between any vertex of `a` and any vertex of `b`
-    * (ST_MaxDistance — attained at vertices for polygonal/lineal inputs). */
+    * (ST_MaxDistance — attained at vertices for polygonal/lineal inputs).
+    * Distinct vertices + squared distances in the O(n·m) loop (duplicates
+    * cannot change a maximum; one sqrt at the end — review finding). */
   def maxDistance(a: Geometry, b: Geometry): Double = {
-    val sa = segmentsOf(a); val sb = segmentsOf(b)
+    val sa = Triangulate.distinctPoints(a); val sb = Triangulate.distinctPoints(b)
     require(sa.nonEmpty && sb.nonEmpty, "maxDistance expects non-empty inputs")
-    var best = 0.0
+    var best2 = 0.0
     var i = 0
     while (i + 1 < sa.length) {
       var j = 0
       while (j + 1 < sb.length) {
-        val d = math.hypot(sa(i) - sb(j), sa(i + 1) - sb(j + 1))
-        if (d > best) best = d
+        val dx = sa(i) - sb(j); val dy = sa(i + 1) - sb(j + 1)
+        val d2 = dx * dx + dy * dy
+        if (d2 > best2) best2 = d2
         j += 2
       }
       i += 2
     }
-    best
+    math.sqrt(best2)
   }
 
   /**
@@ -681,11 +694,29 @@ object Ops {
    * the point minimizing the sum of Euclidean distances — the robust
    * center a training-data pipeline wants for noisy GPS clusters (vs the
    * outlier-sensitive centroid). Deterministic: starts at the centroid,
-   * fixed 200-iteration cap, 1e-12 relative step tolerance; an iterate
-   * landing exactly ON an input vertex perturbs per Vardi–Zhang.
+   * 500-iteration cap, 1e-13 relative step tolerance; an iterate landing
+   * on an input vertex applies the Vardi–Zhang optimality test. Vertices
+   * keep their MULTIPLICITY (coincident GPS fixes carry weight — a dedup
+   * here returned the wrong median for multisets, review finding).
    */
   def geometricMedian(g: Geometry): Geometry = {
-    val pts = Triangulate.distinctPoints(g)
+    val pts = {
+      // all vertices, duplicates preserved
+      val out = new ArrayBuffer[Double]()
+      def add(cs: Array[Double]): Unit = { out ++= cs }
+      def walk(h: Geometry): Unit = h match {
+        case p: Point => if (!p.isEmpty) { out += p.x; out += p.y }
+        case m: MultiPoint => add(m.coords)
+        case l: LineString => add(l.coords)
+        case m: MultiLineString => m.lines.foreach(add)
+        case p: Polygon => p.rings.foreach(add)
+        case m: MultiPolygon => m.polys.foreach(_.foreach(add))
+        case c: GeometryCollection => c.geoms.foreach(walk)
+        case zm: GeometryZM => walk(zm.base)
+      }
+      walk(g)
+      out.toArray
+    }
     val n = pts.length / 2
     require(n > 0, "geometric median of empty geometry")
     if (n == 1) return Point(pts(0), pts(1))
@@ -715,11 +746,12 @@ object Ops {
         // which flips floor-rounded oracle cents; q86 found it). Otherwise
         // step away along the pull direction.
         var vk = -1
+        var mult = 0.0 // multiplicity = the coincident vertex's weight
         var rx = 0.0; var ry = 0.0; var swv = 0.0
         i = 0
         while (i + 1 < pts.length) {
           val d = math.hypot(cx - pts(i), cy - pts(i + 1))
-          if (d < 1e-15) vk = i
+          if (d < 1e-15) { vk = i; mult += 1.0 }
           else {
             rx += (pts(i) - cx) / d; ry += (pts(i + 1) - cy) / d
             swv += 1.0 / d
@@ -727,8 +759,8 @@ object Ops {
           i += 2
         }
         val rmag = math.hypot(rx, ry)
-        if (rmag <= 1.0 + 1e-12) return Point(pts(vk), pts(vk + 1))
-        val step = (rmag - 1.0) / swv
+        if (rmag <= mult + 1e-12) return Point(pts(vk), pts(vk + 1))
+        val step = (rmag - mult) / swv
         cx += step * rx / rmag; cy += step * ry / rmag
       } else {
         val nx = sx / sw; val ny = sy / sw
@@ -859,7 +891,14 @@ object Ops {
     var total = 0.0
     var i = 0
     while (i + 3 < cs.length) { total += math.hypot(cs(i + 2) - cs(i), cs(i + 3) - cs(i + 1)); i += 2 }
-    if (total == 0.0) return LineString(Array(cs(0), cs(1), cs(0), cs(1)))
+    if (total == 0.0) {
+      // degenerate input: keep the Z/M streams like every other path does
+      val base = LineString(Array(cs(0), cs(1), cs(0), cs(1)))
+      return if (zsIn == null && msIn == null) base
+      else GeometryZM(base,
+        if (zsIn == null) null else Array(zsIn(0), zsIn(0)),
+        if (msIn == null) null else Array(msIn(0), msIn(0)))
+    }
     val t1 = a * total; val t2 = b * total
     val out = new ArrayBuffer[Double]()
     val zOut = if (zsIn == null) null else new ArrayBuffer[Double]()
@@ -916,22 +955,33 @@ object Ops {
       if (h.isEmpty) return
       if (h.numPoints <= maxVertices || depth >= 48) { out += h; return }
       val e = h.envelope
-      val (e1, e2) =
-        if (e.xmax - e.xmin >= e.ymax - e.ymin) {
+      def halves(alongX: Boolean): (Env, Env) =
+        if (alongX) {
           val mx = (e.xmin + e.xmax) / 2
           (Env(e.xmin, e.ymin, mx, e.ymax), Env(mx, e.ymin, e.xmax, e.ymax))
         } else {
           val my = (e.ymin + e.ymax) / 2
           (Env(e.xmin, e.ymin, e.xmax, my), Env(e.xmin, my, e.xmax, e.ymax))
         }
-      val h1 = clip(h, e1)
-      val h2 = clip(h, e2)
-      // progress guard: clip is boundary-inclusive, so a degenerate input
-      // (coincident points, zero-extent envelope) can leave BOTH halves at
-      // full vertex count — recursing would fan out 2^depth no-op leaves
+      // progress guard: clip is boundary-inclusive, so a split can leave
+      // BOTH halves at full vertex count (a zig-zag crossing the midline
+      // gains as many clip vertices as it loses, or a degenerate input has
+      // a zero-extent envelope). Try the preferred (longer) axis first,
+      // fall back to the PERPENDICULAR axis, and only emit oversized when
+      // BOTH axes fail — a single-axis bail returned un-subdividable parts
+      // for exactly the dense shapes subdivide exists for (review finding).
+      val preferX = e.xmax - e.xmin >= e.ymax - e.ymin
+      val (a1, a2) = halves(preferX)
+      var h1 = clip(h, a1)
+      var h2 = clip(h, a2)
       if (h1.numPoints >= h.numPoints && h2.numPoints >= h.numPoints) {
-        out += h
-        return
+        val (b1, b2) = halves(!preferX)
+        h1 = clip(h, b1)
+        h2 = clip(h, b2)
+        if (h1.numPoints >= h.numPoints && h2.numPoints >= h.numPoints) {
+          out += h
+          return
+        }
       }
       rec(h1, depth + 1)
       rec(h2, depth + 1)

@@ -73,7 +73,7 @@ object SpatialJoins {
    *    all-pairs;
    * 3. core points: neighbor count (incl. self) ≥ minPts;
    * 4. clusters: hash-min label propagation (ImageDedup.components) over
-   *    core–core edges — O(diameter) rounds, no driver state;
+   *    core–core edges — pointer-doubled, O(log diameter) rounds, no driver state;
    * 5. border points attach to the MIN adjacent core cluster (deterministic
    *    — plain DBSCAN leaves the choice arbitrary); noise is omitted.
    *
@@ -118,7 +118,11 @@ object SpatialJoins {
       .where(col("a") =!= col("b"))
       .groupBy(col("a").as("id")).agg(min(col("cluster")).as("cluster"))
       .withColumn("is_core", lit(false))
-    val result = coreLabels.unionByName(borderLabels)
+    // materialize BEFORE releasing the caches: the returned frame still
+    // references pairs/core, and unpersisting first forced the caller's
+    // action to recompute the 9x-explode neighbor join several times
+    // (review finding)
+    val result = coreLabels.unionByName(borderLabels).localCheckpoint(true)
     pairs.unpersist(); core.unpersist()
     result
   }

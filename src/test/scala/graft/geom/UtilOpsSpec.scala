@@ -183,6 +183,25 @@ class UtilOpsSpec extends AnyFunSuite {
     assert(r.zs.toSeq == Seq(1.0, 2.0), "streams must stay aligned with unchanged coords")
   }
 
+  test("second-review regressions: subdivide both-axes, median multiset, ZM degenerate substring") {
+    // zig-zag whose PREFERRED (taller) axis split makes no progress: the
+    // perpendicular split must be tried before emitting oversized parts
+    val zz = LineString((0 until 31).flatMap(i =>
+      Seq(i * 0.2, if (i % 2 == 0) 0.0 else 10.0)).toArray)
+    val parts = Ops.subdivide(zz, 8)
+    assert(parts.length > 1, "must actually subdivide")
+    assert(parts.forall(_.numPoints <= 8), s"worst=${parts.map(_.numPoints).max}")
+    // duplicate points keep their weight: 3x(0,0) + 1x(10,0) → (0,0)
+    val mm = Ops.geometricMedian(Wkt.read(
+      "MULTIPOINT ((0 0), (0 0), (0 0), (10 0))")).asInstanceOf[Point]
+    // (the deduped variant returned (5,0); with multiplicity the iteration
+    // converges to the triple point — numerically, within step tolerance)
+    assert(math.hypot(mm.x, mm.y) < 1e-9, s"got $mm")
+    // zero-length Z line keeps its stream through substring
+    val zdeg = Ops.lineSubstring(Wkt.read("LINESTRING Z (1 1 5, 1 1 7)"), 0.2, 0.8)
+    assert(zdeg.asInstanceOf[GeometryZM].zs(0) == 5.0)
+  }
+
   test("azimuth convention: CW from north, [0,360)") {
     assert(Ops.azimuthPlanar(0, 0, 0, 1) == 0.0)   // north
     assert(Ops.azimuthPlanar(0, 0, 1, 0) == 90.0)  // east
