@@ -528,9 +528,21 @@ object Ops {
   }
 
   /** Discrete Hausdorff distance (vertex-sampled, symmetric — the PostGIS /
-    * JTS DiscreteHausdorffDistance contract; densify first to tighten). */
+    * JTS DiscreteHausdorffDistance contract; densify first to tighten).
+    * Polygons measure to their BOUNDARY, matching JTS's
+    * EuclideanDistanceToPoint (a vertex INSIDE the other polygon has
+    * positive distance — DeepFuzz seed 77788899 caught the inside=0
+    * variant diverging). */
   def hausdorff(a: Geometry, b: Geometry): Double = {
-    def oneWay(from: Geometry, to: Geometry): Double = {
+    def boundaryForm(g: Geometry): Geometry = g match {
+      case p: Polygon => MultiLineString(p.rings)
+      case mp: MultiPolygon => MultiLineString(mp.polys.flatten)
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(boundaryForm))
+      case zm: GeometryZM => boundaryForm(zm.base)
+      case other => other
+    }
+    def oneWay(from: Geometry, to0: Geometry): Double = {
+      val to = boundaryForm(to0)
       var worst = 0.0
       def visit(cs: Array[Double]): Unit = {
         var i = 0

@@ -280,10 +280,13 @@ object Pred {
   }
 
   /** Split points (parameter ts) of segment (ax,ay)-(bx,by) against a lineal set. */
-  private def splitTs(ax: Double, ay: Double, bx: Double, by: Double,
-                      other: Array[Array[Double]]): Array[Double] = {
-    val ts = new ArrayBuffer[Double](8)
-    ts += 0.0; ts += 1.0
+  /** Split points (t, x, y) of a segment against cutter segments, sorted
+    * by t, with the EXACT intersection coordinates preserved (collinear
+    * overlaps return the cutter's own endpoint coords). */
+  private def splitPts(ax: Double, ay: Double, bx: Double, by: Double,
+                       other: Array[Array[Double]]): Array[(Double, Double, Double)] = {
+    val ts = new ArrayBuffer[(Double, Double, Double)](8)
+    ts += ((0.0, ax, ay)); ts += ((1.0, bx, by))
     val out = new Array[Double](4)
     val dx = bx - ax; val dy = by - ay
     val len2 = dx * dx + dy * dy
@@ -295,22 +298,27 @@ object Pred {
       var j = 0
       while (j + 3 < cs.length) {
         segSeg(ax, ay, bx, by, cs(j), cs(j + 1), cs(j + 2), cs(j + 3), out) match {
-          case 1 => ts += tOf(out(0), out(1))
-          case 2 => ts += tOf(out(0), out(1)); ts += tOf(out(2), out(3))
+          case 1 => ts += ((tOf(out(0), out(1)), out(0), out(1)))
+          case 2 => ts += ((tOf(out(0), out(1)), out(0), out(1)))
+                    ts += ((tOf(out(2), out(3)), out(2), out(3)))
           case _ =>
         }
         j += 2
       }
       i += 1
     }
-    val arr = ts.toArray
-    java.util.Arrays.sort(arr)
-    arr
+    ts.sortBy(_._1).toArray
   }
 
-  /** Iterate sub-segment midpoints of `lines` split against `cutter`. */
+  /** Iterate sub-segment midpoints of `lines` split against `cutter`. The
+    * callback's third argument is TRUE when the sub-segment is a COLLINEAR
+    * RUN along one cutter segment — decided EXACTLY from the stored split
+    * coordinates (both interval endpoints on one cutter segment), because
+    * the t-interpolated midpoint of a run lands an ulp off the cutter and
+    * misclassifies (DeepFuzz seed 77788899: line-along-triangle-edge lost
+    * its 1-dimensional interior∩boundary entry). */
   private def foreachSubMid(lines: Array[Array[Double]], cutter: Array[Array[Double]])
-                           (f: (Double, Double) => Unit): Unit = {
+                           (f: (Double, Double, Boolean) => Unit): Unit = {
     var i = 0
     while (i < lines.length) {
       val cs = lines(i)
@@ -318,13 +326,26 @@ object Pred {
       while (j + 3 < cs.length) {
         val ax = cs(j); val ay = cs(j + 1); val bx = cs(j + 2); val by = cs(j + 3)
         if (ax != bx || ay != by) {
-          val ts = splitTs(ax, ay, bx, by, cutter)
+          val pts = splitPts(ax, ay, bx, by, cutter)
           var k = 0
-          while (k < ts.length - 1) {
-            val t0 = ts(k); val t1 = ts(k + 1)
+          while (k < pts.length - 1) {
+            val (t0, x0, y0) = pts(k)
+            val (t1, x1, y1) = pts(k + 1)
             if (t1 - t0 > 1e-12) {
+              var onRun = false
+              var c = 0
+              while (c < cutter.length && !onRun) {
+                val rs = cutter(c)
+                var l = 0
+                while (l + 3 < rs.length && !onRun) {
+                  if (onSegment(rs(l), rs(l + 1), rs(l + 2), rs(l + 3), x0, y0) &&
+                      onSegment(rs(l), rs(l + 1), rs(l + 2), rs(l + 3), x1, y1)) onRun = true
+                  l += 2
+                }
+                c += 1
+              }
               val tm = (t0 + t1) / 2
-              f(ax + tm * (bx - ax), ay + tm * (by - ay))
+              f(ax + tm * (bx - ax), ay + tm * (by - ay), onRun)
             }
             k += 1
           }
@@ -381,10 +402,10 @@ object Pred {
     }
     // IE / EI via coverage tests
     var aCovered = true
-    foreachSubMid(la, lb)((x, y) => if (!onLineal(lb, x, y)) aCovered = false)
+    foreachSubMid(la, lb)((x, y, run) => if (!run && !onLineal(lb, x, y)) aCovered = false)
     if (!aCovered) upd(m, IE, 1)
     var bCovered = true
-    foreachSubMid(lb, la)((x, y) => if (!onLineal(la, x, y)) bCovered = false)
+    foreachSubMid(lb, la)((x, y, run) => if (!run && !onLineal(la, x, y)) bCovered = false)
     if (!bCovered) upd(m, EI, 1)
     // boundary vs other line / exterior
     i = 0
@@ -412,9 +433,11 @@ object Pred {
       while (i < bnd.length) { if (bnd(i) == x && bnd(i + 1) == y) return true; i += 2 }
       false
     }
-    // line sub-segments vs polygon
-    foreachSubMid(lines, rings) { (x, y) =>
-      pointInPolygonal(polys, x, y) match {
+    // line sub-segments vs polygon (a collinear run along a ring IS the
+    // 1-dimensional interior∩boundary case, decided exactly)
+    foreachSubMid(lines, rings) { (x, y, run) =>
+      if (run) put(m, IB, 1, flip)
+      else pointInPolygonal(polys, x, y) match {
         case 1  => put(m, II, 1, flip)
         case 0  => put(m, IB, 1, flip)
         case _  => put(m, IE, 1, flip)
@@ -463,7 +486,7 @@ object Pred {
     put(m, EI, 2, flip)
     // polygon boundary outside the line?
     var ringCovered = true
-    foreachSubMid(rings, lines)((x, y) => if (!onLineal(lines, x, y)) ringCovered = false)
+    foreachSubMid(rings, lines)((x, y, run) => if (!run && !onLineal(lines, x, y)) ringCovered = false)
     if (!ringCovered) put(m, EB, 1, flip)
   }
 
@@ -515,17 +538,18 @@ object Pred {
                     m: Array[Int]): Unit = {
     val ringsA = ringsOf(pa)
     val ringsB = ringsOf(pb)
-    // A boundary vs B
-    foreachSubMid(ringsA, ringsB) { (x, y) =>
-      pointInPolygonal(pb, x, y) match {
+    // A boundary vs B (a collinear run along B's boundary = shared edge)
+    foreachSubMid(ringsA, ringsB) { (x, y, run) =>
+      if (run) upd(m, BB, 1)
+      else pointInPolygonal(pb, x, y) match {
         case 1  => upd(m, BI, 1)
         case 0  => upd(m, BB, 1)
         case _  => upd(m, BE, 1)
       }
     }
     // B boundary vs A
-    foreachSubMid(ringsB, ringsA) { (x, y) =>
-      pointInPolygonal(pa, x, y) match {
+    foreachSubMid(ringsB, ringsA) { (x, y, run) =>
+      if (!run) pointInPolygonal(pa, x, y) match {
         case 1  => upd(m, IB, 1)
         case 0  => // BB already handled
         case _  => upd(m, EB, 1)

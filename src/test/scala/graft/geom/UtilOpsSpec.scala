@@ -63,6 +63,9 @@ class UtilOpsSpec extends AnyFunSuite {
 
   test("discrete hausdorff parity vs JTS on star/hole/line pairs") {
     val pairs = Seq((star, hole), (star, zig), (hole, zig),
+      // seed-77788899 escape: a line vertex INSIDE the polygon must measure
+      // to the BOUNDARY (JTS semantics), not zero
+      ("LINESTRING (1 12, 4 3, 10 9, 11 10, 5 8)", "POLYGON ((1 12, 4 1, 11 9, 1 12))"),
       ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))
     pairs.foreach { case (wa, wb) =>
       val got = Ops.hausdorff(Wkt.read(wa), Wkt.read(wb))
