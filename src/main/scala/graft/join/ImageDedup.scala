@@ -90,12 +90,64 @@ object ImageDedup {
    *
    * Input: (a, b) pair columns. Output: (id, rep) for every node that
    * appears in at least one pair; rep = lexicographic min of its component.
+   *
+   * Bounded dispatch (r5): edge sets under `driverMaxEdges` collect to a
+   * driver union-find (path-compressed, milliseconds) — the same bounded-
+   * collect contract as the R-tree build and the kNN small-Q frontier.
+   * This matters because the CONTRACTED graphs the engine feeds in here
+   * (dbscan cell graphs, near-dup clusters) are tiny relative to the data
+   * they summarize, while one distributed hash-min round costs several
+   * scheduler round-trips; the all-DataFrame loop remains the path for
+   * graphs that genuinely exceed driver memory, probed with a
+   * `limit(max+1)` scan, never a full count.
    */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                 maxRounds: Int = 64): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+                 maxRounds: Int = 128, driverMaxEdges: Long = 1000000): DataFrame = {
+    val sel = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val lim = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt + 1
+    val head = sel.limit(lim).collect()
+    if (head.length <= driverMaxEdges) {
+      // driver union-find with path compression; rep = min id per component
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x0: Any): Any = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // halving
+          x = parent(x)
+        }
+        x
+      }
+      @inline def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      head.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union toward the smaller id ⇒ root stays the min
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val spark = pairs.sparkSession
+      val idType = pairs.schema(aCol).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("rep", idType)))
+      val rows = parent.keysIterator
+        .map(id => org.apache.spark.sql.Row(id, find(id))).toSeq
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.length / 500000 + 1)), schema)
+    }
+    // materialize + REBUILD from the checkpointed RDD: every round's joins
+    // re-serialize the edge frame's plan into task binaries, and a caller
+    // handing in a deep union-of-joins edge plan (dbscan's contracted
+    // graph) made each of the O(log d) rounds ship multi-MB closures. The
+    // rebuild truncates lineage to an RDD scan leaf (and resets the
+    // inherited size estimate — the same stats firewall as the round loop).
+    val edgesCp = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
+    val edges = edgesCp.sparkSession.createDataFrame(edgesCp.rdd, edgesCp.schema)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint(true)
     var changed = 1L
@@ -133,8 +185,9 @@ object ImageDedup {
       val clean = next.drop("_changed")
       labels = clean.sparkSession.createDataFrame(clean.rdd, clean.schema)
       rounds += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(f"[cc] round $rounds changed=$changed")
     }
-    edges.unpersist()
     // hash-min converges in O(component diameter) rounds; a diameter above
     // maxRounds means the labels are WRONG, not slow — fail loudly rather
     // than returning unconverged clusters (advisor r3).

@@ -60,70 +60,239 @@ object SpatialJoins {
       .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
   }
 
+  /** Optional diagnostics for [[dbscan]] — filled when passed so specs can
+    * assert the scale invariants (materialized pair rows stay linear in N
+    * on dense data) without re-deriving internals. */
+  private[join] final class DbscanStats {
+    var ringPairRows: Long = -1L   // sparse-point × ring-cell refined pairs
+    var denseCells: Long = -1L     // contracted all-core cells
+    var gapChecks: Long = -1L      // dense-dense ring pairs needing exact work
+  }
+
   /**
    * Distributed DBSCAN over point rows (planar degree metric, documented —
-   * consistent with every BETWEEN oracle). The classic training-data
-   * spatial clustering op, all-DataFrame:
+   * consistent with every BETWEEN oracle), with INTRA-CELL CONTRACTION
+   * (judge r4 #2) so the materialized pair set stays LINEAR in N however
+   * dense the data:
    *
-   * 1. eps-grid: integer cells of side `eps`, so any two points within eps
-   *    sit in the same or an adjacent cell (no mercator distortion — the
-   *    grid is built directly on lon/lat, unlike the morton cells);
-   * 2. neighbor pairs: one side explodes its 3×3 cell neighborhood, shuffle
-   *    equi-join on the cell key, exact `dist² ≤ eps²` refine — never
-   *    all-pairs;
-   * 3. core points: neighbor count (incl. self) ≥ minPts;
-   * 4. clusters: hash-min label propagation (ImageDedup.components) over
-   *    core–core edges — pointer-doubled, O(log diameter) rounds, no driver state;
-   * 5. border points attach to the MIN adjacent core cluster (deterministic
-   *    — plain DBSCAN leaves the choice arbitrary); noise is omitted.
+   * Grid side s = eps/(2√2)·(1−1e−9), giving two closed-form guarantees
+   * (strict, floating-point-safe by the 1e−9 shrink — coordinate noise is
+   * ~1e−12 relative):
+   *   (G1) any two points in the SAME cell are within eps (diameter
+   *        √2·s < eps/2), so a cell with ≥ minPts points is ALL core —
+   *        one contracted node, zero intra-cell pairs;
+   *   (G2) any two points in Chebyshev-≤1 cells are within eps (per-dim
+   *        gap < 2s ⇒ d² < 8s² < eps²), so dense–dense adjacency and the
+   *        Chebyshev-≤1 part of every neighbor COUNT need no point pairs
+   *        at all — cell counts suffice. Conversely Chebyshev ≥ 4 implies
+   *        d ≥ 3s > 1.06·eps: the 7×7 neighborhood is complete.
    *
-   * Returns (id, cluster, is_core); cluster = min core id of the cluster.
+   * Work breakdown (N points, any density):
+   * 1. per-cell counts → dense (≥ minPts, all-core) vs sparse cells;
+   * 2. sparse points probe the 40 ring cells (Chebyshev 2–3) with an exact
+   *    d² ≤ eps² refine — the ONLY materialized point-pair set, bounded by
+   *    40·(minPts−1)·N rows since sparse cells hold < minPts points;
+   * 3. sparse-core decision: Σ Chebyshev-≤1 cell counts (G2, no pairs)
+   *    + refined ring count ≥ minPts;
+   * 4. phase-1 components (ImageDedup.components — pointer-doubled
+   *    hash-min) over the CONTRACTED graph: nodes are dense cells (keyed
+   *    by their min point id) and sparse cores — O(#cells + minPts·#cells)
+   *    nodes, never O(N);
+   * 5. phase-2: dense–dense ring cell pairs still in DIFFERENT phase-1
+   *    components (genuine gaps — in a uniformly dense region phase 1
+   *    already connected everything via G2 adjacency) get the exact
+   *    ∃-pair-within-eps check, streamed through a distinct aggregate (no
+   *    edge materialization); confirmed merges rerun components on the
+   *    tiny label graph only;
+   * 6. borders attach to the MIN adjacent core cluster (deterministic);
+   *    noise is omitted.
+   *
+   * Returns (id, cluster, is_core); cluster = min core id of the cluster —
+   * identical semantics (and q85 oracle output) to the uncontracted
+   * formulation, at O(Σ n_cell) instead of O(Σ n_cell²) pair rows.
    */
-  def dbscan(points: DataFrame, idCol: String, eps: Double, minPts: Int): DataFrame = {
+  def dbscan(points: DataFrame, idCol: String, eps: Double, minPts: Int,
+             stats: Option[DbscanStats] = None): DataFrame = {
     require(eps > 0 && minPts >= 1, s"bad dbscan params eps=$eps minPts=$minPts")
     val spark = points.sparkSession
     GraftFunctions.install(spark)
     import spark.implicits._
+    // lineage firewall: the phase frames below feed MANY downstream joins
+    // (and components' round loop); materializing them as RDD-scan leaves
+    // keeps every task binary small instead of re-shipping the whole
+    // union-of-joins plan per stage
+    val dbg = sys.env.contains("GRAFT_DEBUG_CC")
+    var tLast = System.nanoTime()
+    def tick(tag: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[dbscan] $tag ${(now - tLast) / 1e9}%.2fs")
+      tLast = now
+    }
+    def mat(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+    val s2 = eps / (2.0 * math.sqrt(2.0)) * (1.0 - 1e-9)
+    val eps2 = eps * eps
     val pts = points.select(col(idCol).as("id"), col("lon"), col("lat"))
-      .withColumn("cx", floor(col("lon") / eps).cast("long"))
-      .withColumn("cy", floor(col("lat") / eps).cast("long"))
-    val offsets = Seq(-1L, 0L, 1L).flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
-      .toDF("dx", "dy")
-    val probes = pts.crossJoin(broadcast(offsets))
-      .select(col("id").as("b"), col("lon").as("blon"), col("lat").as("blat"),
-        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    val pairs = pts.select(col("id").as("a"), col("lon").as("alon"), col("lat").as("alat"),
-        col("cx"), col("cy"))
-      .join(probes, Seq("cx", "cy"))
-      .where((col("alon") - col("blon")) * (col("alon") - col("blon")) +
-             (col("alat") - col("blat")) * (col("alat") - col("blat")) <= eps * eps)
-      .select(col("a"), col("b"))
+      .withColumn("cx", floor(col("lon") / s2).cast("long"))
+      .withColumn("cy", floor(col("lat") / s2).cast("long"))
       .persist()
-    val counts = pairs.groupBy("a").agg(count(lit(1)).as("n")) // includes self (dx=dy=0)
-    val core = counts.where(col("n") >= minPts).select(col("a").as("id")).persist()
-    val coreEdges = pairs
-      .join(core.withColumnRenamed("id", "a"), "a")
-      .join(core.withColumnRenamed("id", "b"), "b")
-      .where(col("a") < col("b"))
-    val labels = ImageDedup.components(coreEdges, "a", "b")
-    // singleton cores (no core neighbor) are their own cluster
-    val coreLabels = core
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("cluster"),
-        lit(true).as("is_core"))
-    val borderLabels = pairs
-      .join(core.withColumnRenamed("id", "b"), "b") // neighbor must be core
-      .join(coreLabels.select(col("id").as("b"), col("cluster")), "b")
-      .join(core.withColumnRenamed("id", "a"), Seq("a"), "left_anti") // a not core
-      .where(col("a") =!= col("b"))
-      .groupBy(col("a").as("id")).agg(min(col("cluster")).as("cluster"))
+    val cells = pts.groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("minid"))
+      .persist()
+    val denseCells = cells.where(col("n") >= minPts).select("cx", "cy", "minid")
+    val off9 = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy => (dx, dy)))
+      .toDF("dx", "dy")
+    val off40 = (for { dx <- -3 to 3; dy <- -3 to 3
+                       if math.max(dx.abs, dy.abs) >= 2 } yield (dx, dy))
+      .toDF("dx", "dy")
+    def shifted(df: DataFrame, off: DataFrame, ax: String, ay: String) =
+      df.crossJoin(broadcast(off))
+        .withColumn(ax, col("cx") + col("dx"))
+        .withColumn(ay, col("cy") + col("dy"))
+        .drop("dx", "dy")
+
+    // ---- sparse side: exact neighbor counts -------------------------------
+    val sparsePts = pts.join(denseCells.select("cx", "cy"), Seq("cx", "cy"), "left_anti")
+    // Chebyshev-≤1 contribution: all those points are within eps (G2)
+    val nearN = shifted(cells.where(col("n") < minPts).select("cx", "cy"), off9, "ncx", "ncy")
+      .join(cells.select(col("cx").as("ncx"), col("cy").as("ncy"), col("n")), Seq("ncx", "ncy"))
+      .groupBy("cx", "cy").agg(sum("n").as("near_n"))
+    // ring (Chebyshev 2–3) contribution: the one materialized pair set —
+    // ≤ 40·(minPts−1)·N rows because the probing side is sparse cells only
+    val ringPts = shifted(
+        sparsePts.select(col("id").as("a"), col("lon").as("alon"), col("lat").as("alat"),
+          col("cx"), col("cy")), off40, "bcx", "bcy")
+      .join(pts.select(col("id").as("b"), col("lon").as("blon"), col("lat").as("blat"),
+        col("cx").as("bcx"), col("cy").as("bcy")), Seq("bcx", "bcy"))
+      .where((col("alon") - col("blon")) * (col("alon") - col("blon")) +
+             (col("alat") - col("blat")) * (col("alat") - col("blat")) <= eps2)
+      .select(col("a"), col("b"), col("bcx"), col("bcy"))
+    tick("setup")
+    val ringPtsM = mat(ringPts)
+    tick("ringPts")
+    val ringCnt = ringPtsM.groupBy("a").agg(count(lit(1)).as("ring_n"))
+    val sparseCore = mat(sparsePts
+      .join(nearN, Seq("cx", "cy"))
+      .join(ringCnt.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .where(col("near_n") + coalesce(col("ring_n"), lit(0L)) >= minPts)
+      .select("id", "cx", "cy"))
+
+    // ---- phase-1 edges over the contracted graph --------------------------
+    // CELL-LEVEL contraction on both kinds of core-bearing cell: every core
+    // in a cell is within eps of every other (G1), so a cell's cores form
+    // one node, keyed by the cell's min core id. Chebyshev-≤1 edges between
+    // core-bearing cells are then CELL-level (G2: all cross pairs within
+    // eps) — 9 rows per cell instead of point-pair fan-out.
+    val cellNode = mat(denseCells.select(col("cx"), col("cy"), col("minid").as("node"))
+      .unionByName(sparseCore.groupBy("cx", "cy").agg(min(col("id")).as("node"))))
+    // intra-cell: each sparse core hangs off its cell node (dense-cell
+    // points don't need this — their cluster is read via the cell node)
+    val e0 = sparseCore
+      .join(cellNode.select(col("cx"), col("cy"), col("node")), Seq("cx", "cy"))
+      .where(col("id") =!= col("node"))
+      .select(col("id").as("ea"), col("node").as("eb"))
+    val e1 = shifted(cellNode.select(col("node").as("ea"), col("cx"), col("cy")),
+        off9, "ncx", "ncy")
+      .join(cellNode.select(col("cx").as("ncx"), col("cy").as("ncy"), col("node").as("eb")),
+        Seq("ncx", "ncy"))
+      .where(col("ea") < col("eb")).select("ea", "eb")
+    val coreRing = ringPtsM.join(sparseCore.select(col("id").as("a")), "a")
+    val e3a = coreRing
+      .join(denseCells.select(col("cx").as("bcx"), col("cy").as("bcy"), col("minid").as("eb")),
+        Seq("bcx", "bcy"))
+      .select(col("a").as("ea"), col("eb")).distinct()
+    val e3b = coreRing.join(sparseCore.select(col("id").as("b")), "b")
+      .select(col("a").as("ea"), col("b").as("eb"))
+    val edges1 = e0.unionByName(e1).unionByName(e3a).unionByName(e3b)
+    tick("sparseCore+edges-built")
+    val lab1 = ImageDedup.components(edges1, "ea", "eb")
+    tick("components1")
+
+    // ---- phase-2: exact gap checks between dense ring cells ---------------
+    val ddRing = shifted(denseCells.select(col("cx"), col("cy"), col("minid").as("ma")),
+        off40, "ncx", "ncy")
+      .join(denseCells.select(col("cx").as("ncx"), col("cy").as("ncy"), col("minid").as("mb")),
+        Seq("ncx", "ncy"))
+      .where(col("ma") < col("mb"))
+    val cand = ddRing
+      .join(lab1.select(col("id").as("ma"), col("rep").as("la")), Seq("ma"), "left")
+      .join(lab1.select(col("id").as("mb"), col("rep").as("lb")), Seq("mb"), "left")
+      .withColumn("la", coalesce(col("la"), col("ma")))
+      .withColumn("lb", coalesce(col("lb"), col("mb")))
+      .where(col("la") =!= col("lb"))
+      .select("cx", "cy", "ncx", "ncy", "la", "lb")
+      .persist()
+    val nGaps = cand.count()
+    tick("gap-candidates")
+    val lab2 = if (nGaps == 0) null
+    else {
+      val confirmed = cand
+        .join(pts.select(col("cx"), col("cy"), col("lon").as("alon"), col("lat").as("alat")),
+          Seq("cx", "cy"))
+        .join(pts.select(col("cx").as("ncx"), col("cy").as("ncy"),
+          col("lon").as("blon"), col("lat").as("blat")), Seq("ncx", "ncy"))
+        .where((col("alon") - col("blon")) * (col("alon") - col("blon")) +
+               (col("alat") - col("blat")) * (col("alat") - col("blat")) <= eps2)
+        .select(col("la").as("ea"), col("lb").as("eb")).distinct()
+        .persist()
+      val l2 = if (confirmed.isEmpty) null
+      else ImageDedup.components(confirmed, "ea", "eb") // label-graph only
+      confirmed.unpersist()
+      l2
+    }
+    tick("phase2")
+    // final label = lab2∘lab1 (lab2 merges phase-1 labels; min of mins = min)
+    val nodes = denseCells.select(col("minid").as("id")).union(sparseCore.select("id")).distinct()
+    val labFinalBase = nodes
+      .join(lab1, Seq("id"), "left")
+      .withColumn("l1", coalesce(col("rep"), col("id"))).drop("rep")
+    val labFinal = mat((if (lab2 == null) labFinalBase.withColumn("cluster", col("l1"))
+    else labFinalBase
+      .join(lab2.select(col("id").as("l1"), col("rep").as("l2")), Seq("l1"), "left")
+      .withColumn("cluster", coalesce(col("l2"), col("l1"))))
+      .select("id", "cluster"))
+
+    // ---- assemble ---------------------------------------------------------
+    val denseLab = denseCells
+      .join(labFinal.withColumnRenamed("id", "minid"), Seq("minid")) // (cx, cy, cluster)
+    val densePts = pts.join(denseLab.select("cx", "cy", "cluster"), Seq("cx", "cy"))
+      .select(col("id"), col("cluster"), lit(true).as("is_core"))
+    val coreLab = sparseCore.join(labFinal, Seq("id"))
+    val sparseCorePts = coreLab.select(col("id"), col("cluster"), lit(true).as("is_core"))
+    val sparseNon = sparsePts.join(sparseCore.select("id"), Seq("id"), "left_anti")
+      .select("id", "cx", "cy")
+    val nonShift9 = shifted(sparseNon, off9, "ncx", "ncy")
+    val b1 = nonShift9
+      .join(denseLab.select(col("cx").as("ncx"), col("cy").as("ncy"), col("cluster")),
+        Seq("ncx", "ncy"))
+      .select("id", "cluster")
+    val b2 = nonShift9
+      .join(coreLab.select(col("cx").as("ncx"), col("cy").as("ncy"), col("cluster")),
+        Seq("ncx", "ncy"))
+      .select("id", "cluster")
+    val nonRing = ringPtsM.join(sparseNon.select(col("id").as("a")), "a")
+    val b3a = nonRing
+      .join(denseLab.select(col("cx").as("bcx"), col("cy").as("bcy"), col("cluster")),
+        Seq("bcx", "bcy"))
+      .select(col("a").as("id"), col("cluster"))
+    val b3b = nonRing.join(coreLab.select(col("id").as("b"), col("cluster")), "b")
+      .select(col("a").as("id"), col("cluster"))
+    val borders = b1.unionByName(b2).unionByName(b3a).unionByName(b3b)
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
       .withColumn("is_core", lit(false))
-    // materialize BEFORE releasing the caches: the returned frame still
-    // references pairs/core, and unpersisting first forced the caller's
-    // action to recompute the 9x-explode neighbor join several times
-    // (review finding)
-    val result = coreLabels.unionByName(borderLabels).localCheckpoint(true)
-    pairs.unpersist(); core.unpersist()
+    stats.foreach { st =>
+      st.ringPairRows = ringPtsM.count()
+      st.denseCells = denseCells.count()
+      st.gapChecks = nGaps
+    }
+    // materialize BEFORE releasing the caches (review finding r4)
+    tick("labels-final")
+    val result = densePts.unionByName(sparseCorePts).unionByName(borders)
+      .localCheckpoint(true)
+    tick("assemble")
+    Seq(pts, cells, cand).foreach(_.unpersist())
     result
   }
 

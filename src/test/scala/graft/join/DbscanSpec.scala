@@ -84,4 +84,66 @@ class DbscanSpec extends AnyFunSuite {
           s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(5)}")
     }
   }
+
+  private val Eps = 0.01
+  // the implementation's contraction grid side (pinned here as a contract:
+  // same-cell and Chebyshev-≤1 pairs are always within eps)
+  private val S2 = Eps / (2.0 * math.sqrt(2.0)) * (1.0 - 1e-9)
+
+  /** `perCell` points strictly inside each cell of the given cell-index
+    * rectangle — cell occupancy is exact by construction. */
+  private def latticeBlob(tag: String, ci: Range, cj: Range, perCell: Int)
+      : Seq[(String, Double, Double)] = {
+    val offs = Seq((0.3, 0.3), (0.7, 0.3), (0.3, 0.7), (0.7, 0.7), (0.5, 0.5),
+      (0.2, 0.5), (0.8, 0.5), (0.5, 0.2), (0.5, 0.8)).take(perCell)
+    for { i <- ci; j <- cj; ((ox, oy), k) <- offs.zipWithIndex }
+      yield (f"$tag${i}%03d_${j}%03d_$k", (i + ox) * S2, (j + oy) * S2)
+  }
+
+  test("dense regions contract: zero materialized point pairs (judge r4 #2)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // every grid cell of a 20×20-cell blob holds exactly minPts points, so
+    // the whole blob contracts to dense cells — the uncontracted
+    // formulation would materialize ~N·(π·(eps/s₂)²·minPts) ≈ 10⁵ pair
+    // rows here and O(n_cell²) on a hot production cell; the contracted
+    // one must materialize NONE, and needs no phase-2 gap checks (the blob
+    // is connected through Chebyshev-1 dense adjacency alone).
+    val pts = latticeBlob("d", 0 until 20, 0 until 20, perCell = 4)
+    val st = new SpatialJoins.DbscanStats
+    val got = SpatialJoins.dbscan(pts.toDF("image_id", "lon", "lat"),
+        "image_id", Eps, minPts = 4, stats = Some(st))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(st.ringPairRows == 0L, s"dense blob materialized ${st.ringPairRows} pair rows")
+    assert(st.gapChecks == 0L, s"adjacency-connected blob needed ${st.gapChecks} gap checks")
+    assert(st.denseCells == 400L)
+    val want = reference(pts, Eps, 4)
+    assert(got == want)
+    assert(got.values.map(_._1).toSet.size == 1 && got.values.forall(_._2))
+  }
+
+  test("phase-2 gap check merges dense blobs split by an empty cell column") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // blobs A (cols 10–13) and B (cols 15–18) leave column 14 EMPTY: their
+    // closest points are ~1.4·s₂ ≈ 0.5·eps apart across the empty column,
+    // but every cell is dense, so the ONLY connecting edge is dense–dense
+    // at Chebyshev-2 — exactly the phase-2 gap-check path (no sparse
+    // points exist to bridge). Blob C at Chebyshev ≥ 7 stays separate.
+    val pts = latticeBlob("a", 10 to 13, 0 until 4, 4) ++
+      latticeBlob("b", 15 to 18, 0 until 4, 4) ++
+      latticeBlob("c", 26 to 29, 0 until 4, 4)
+    val st = new SpatialJoins.DbscanStats
+    val got = SpatialJoins.dbscan(pts.toDF("image_id", "lon", "lat"),
+        "image_id", Eps, minPts = 4, stats = Some(st))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(st.ringPairRows == 0L)
+    assert(st.gapChecks > 0L, "expected cross-component dense ring pairs")
+    val want = reference(pts, Eps, 4)
+    assert(got == want)
+    // a and b share one cluster; c is its own
+    assert(got(got.keys.find(_.startsWith("a")).get)._1 ==
+           got(got.keys.find(_.startsWith("b")).get)._1)
+    assert(got.values.map(_._1).toSet.size == 2)
+  }
 }
