@@ -64,7 +64,11 @@ class MediaSpec extends AnyFunSuite {
     assert(cross.forall(_ > 10), s"min cross hamming ${cross.min}")
 
     // 256-bit separation: wider hash widens the planted/stranger margin
-    // (measured 2.2× → 2.9×); q69's threshold 48 covers planted with room
+    // (measured 2.2× → 2.9×). q69 runs at threshold 16 (15-bit chunks —
+    // the candidate-linear operating point, PigeonholeScaleSpec); the
+    // margin pinned here (planted ≤ 48, strangers > 96) is what lets a
+    // user raise h toward ~24 for looser matching without losing the
+    // ≥9-bit chunk class.
     def ph256(i: Long): Array[Long] = {
       val f0 = Media.frame(GeoTables.mediaRow(i).bytes, 0)
       Images.phash256OfRgb(16, 12, f0)
@@ -75,7 +79,7 @@ class MediaSpec extends AnyFunSuite {
     val o2 = (2L until 200L by 2).filter(_ % 10 != 0).take(20).map(ph256)
     val ph2 = for (i <- p2.indices; j <- i + 1 until p2.length) yield ham4(p2(i), p2(j))
     val cr2 = for (p <- p2; o <- o2) yield ham4(p, o)
-    assert(ph2.max <= 48, s"planted 256-bit max ${ph2.max} must clear q69's threshold")
+    assert(ph2.max <= 48, s"planted 256-bit max ${ph2.max} exceeds the documented margin")
     assert(cr2.min > 96, s"cross 256-bit min ${cr2.min}")
     val ratio64 = cross.min.toDouble / pairHams.max
     val ratio256 = cr2.min.toDouble / ph2.max
