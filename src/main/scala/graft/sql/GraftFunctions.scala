@@ -59,6 +59,9 @@ object GraftFunctions {
     "st_relate_match" -> (e => StRelateMatch(e(0), e(1), e(2))),
     "st_contains_xy" -> (e => StContainsXY(e(0), e(1), e(2))),
     "st_intersects_xy" -> (e => StIntersectsXY(e(0), e(1), e(2))),
+    "st_dwithin" -> (e => StDwithin(e(0), e(1), e(2))),
+    "st_dwithin_xy" -> (e => StDwithinXY(e(0), e(1), e(2), e(3))),
+    "st_expand" -> (e => StExpand(e(0), e(1))),
     // measures
     "st_distance" -> (e => StDistance(e(0), e(1))),
     "st_area" -> (e => StArea(e.head)),
@@ -230,6 +233,9 @@ object GraftFunctions {
   def st_contains_xy(g: Column, x: Column, y: Column): Column = call_function("st_contains_xy", g, x, y)
   def st_intersects_xy(g: Column, x: Column, y: Column): Column = call_function("st_intersects_xy", g, x, y)
   def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_dwithin(a: Column, b: Column, d: Column): Column = call_function("st_dwithin", a, b, d)
+  def st_dwithin_xy(g: Column, x: Column, y: Column, d: Column): Column = call_function("st_dwithin_xy", g, x, y, d)
+  def st_expand(g: Column, d: Column): Column = call_function("st_expand", g, d)
   def st_buffer(g: Column, d: Column): Column = call_function("st_buffer", g, d)
   def st_cellid(lon: Column, lat: Column, level: Column): Column = call_function("st_cellid", lon, lat, level)
   def st_cover(g: Column, level: Column): Column = call_function("st_cover", g, level)

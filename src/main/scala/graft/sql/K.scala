@@ -146,6 +146,37 @@ object K {
     else Pred.intersects(p.geom, Point(x, y))
   }
 
+  /** Fixed-radius predicate ("within distance d") — the most common
+    * spatial-join condition in production radius workloads ⟨ref(engine):
+    * OperatorDistanceLocal composed into relational use⟩. Envelope-gap
+    * quick reject (min distance between boxes > d ⇒ false, no exact
+    * kernel) before the exact segment-pair distance. */
+  def dwithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean = {
+    val ga = rd(a); val gb = rd(b)
+    val ea = ga.envelope; val eb = gb.envelope
+    val gx = math.max(0.0, math.max(eb.xmin - ea.xmax, ea.xmin - eb.xmax))
+    val gy = math.max(0.0, math.max(eb.ymin - ea.ymax, ea.ymin - eb.ymax))
+    gx * gx + gy * gy <= d * d && Pred.distance(ga, gb) <= d
+  }
+  /** dwithin fast path on raw coords — the distance-join refine kernel
+    * (no point WKB alloc; prepared decode-once on the geometry side). */
+  def dwithinXY(g: Array[Byte], x: Double, y: Double, d: Double): Boolean = {
+    val p = Prepared.of(g)
+    val e = p.geom.envelope
+    val gx = math.max(0.0, math.max(e.xmin - x, x - e.xmax))
+    val gy = math.max(0.0, math.max(e.ymin - y, y - e.ymax))
+    if (gx * gx + gy * gy > d * d) false
+    else if (p.isPolygonal && p.locate(x, y) >= 0) true
+    else Pred.distance(p.geom, Point(x, y)) <= d
+  }
+  /** ST_Expand: the envelope dilated by d on each side, as a rect polygon —
+    * the cover target for distance joins (a superset of the d-dilation). */
+  def expand(b: Array[Byte], d: Double): Array[Byte] = {
+    val e = rd(b).envelope
+    require(!e.isEmpty, "st_expand of an empty geometry")
+    wr(Env(e.xmin - d, e.ymin - d, e.xmax + d, e.ymax + d).toPolygon)
+  }
+
   // ---- measures ----
   def distance(a: Array[Byte], b: Array[Byte]): Double = Pred.distance(rd(a), rd(b))
   def area(b: Array[Byte]): Double = Ops.area(rd(b))

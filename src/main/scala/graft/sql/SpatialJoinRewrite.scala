@@ -26,12 +26,17 @@ import org.apache.spark.sql.types.LongType
 case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  /** First PIP conjunct (closed or interior-only semantics — the original
-    * predicate stays as the exact refine either way). */
-  private def pipConjunct(cond: Expression): Option[(Expression, Expression, Expression)] =
+  /** First PIP-or-radius conjunct (the original predicate stays as the
+    * exact refine either way). The optional 4th element is the dwithin
+    * radius: the cover side then covers the d-EXPANDED envelope, exactly
+    * SpatialJoins.dwithinJoin's manual form. The radius must not depend
+    * on the POINT side (it feeds the geometry-side cover) — geometry-side
+    * columns and foldable literals are both fine. */
+  private def pipConjunct(cond: Expression): Option[(Expression, Expression, Expression, Option[Expression])] =
     splitConjunctivePredicates(cond).collectFirst {
-      case StIntersectsXY(g, lon, lat) => (g, lon, lat)
-      case StContainsXY(g, lon, lat)   => (g, lon, lat)
+      case StIntersectsXY(g, lon, lat) => (g, lon, lat, None)
+      case StContainsXY(g, lon, lat)   => (g, lon, lat, None)
+      case StDwithinXY(g, lon, lat, d) => (g, lon, lat, Some(d))
     }
 
   /** Already rewritten? (the added equi-key would match again → fixpoint guard) */
@@ -69,7 +74,7 @@ case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan]
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !alreadyRewritten(cond) && !hasEquiJoinKey(left, right, cond) &&
            pipConjunct(cond).isDefined =>
-      val (g, lon, lat) = pipConjunct(cond).get
+      val (g, lon, lat, dOpt) = pipConjunct(cond).get
       val sides =
         if (g.references.subsetOf(right.outputSet) &&
             (lon.references ++ lat.references).subsetOf(left.outputSet))
@@ -79,11 +84,13 @@ case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan]
           Some((right, left, true))
         else None
       sides match {
-        case Some((ptSide, geomSide, flipped)) =>
+        case Some((ptSide, geomSide, flipped))
+            if dOpt.forall(d => d.foldable || d.references.subsetOf(geomSide.outputSet)) =>
           val cellAlias = Alias(StCellId(lon, lat, Literal(level)), "_pip_cell")()
           val newPts = Project(ptSide.output :+ cellAlias, ptSide)
           val coverAttr = AttributeReference("_pip_cover_cell", LongType, nullable = false)()
-          val gen = Generate(Explode(StCover(g, Literal(level))),
+          val coverTarget = dOpt.fold(g)(d => StExpand(g, d))
+          val gen = Generate(Explode(StCover(coverTarget, Literal(level))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(coverAttr), child = geomSide)
           val newCond = And(EqualTo(cellAlias.toAttribute, coverAttr), cond)
@@ -91,7 +98,7 @@ case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan]
             if (flipped) Join(gen, newPts, Inner, Some(newCond), hint)
             else Join(newPts, gen, Inner, Some(newCond), hint)
           Project(j.output, rewritten)
-        case None => j
+        case _ => j // unmatched sides, or a radius depending on the point side
       }
   }
 }
