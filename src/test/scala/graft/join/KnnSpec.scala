@@ -45,6 +45,43 @@ class KnnSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("annulus doubling is budget-capped: driver tuples stay ≤ ~2^22 per round (r5)") {
+    // unit bound: for any (lo, remaining) the capped hi keeps the annulus
+    // tuple count remaining·((2hi−1)²−(2lo−1)²) inside the budget (with
+    // the ≥9-cells-per-query floor), while still progressing ≥ 1 ring
+    for (lo <- Seq(1L, 2L, 7L, 64L, 1000L); rem <- Seq(1, 10, 1999)) {
+      val hi = SpatialJoins.annulusCap(lo, rem)
+      assert(hi > lo, s"no progress at lo=$lo rem=$rem")
+      val tuples = rem.toLong * ((2 * hi - 1) * (2 * hi - 1) - (2 * lo - 1) * (2 * lo - 1))
+      val perQFloor = 9L * rem
+      assert(tuples <= (1L << 22) + perQFloor + 8L * hi * rem, // +ring granularity slack
+        s"lo=$lo rem=$rem hi=$hi tuples=$tuples")
+    }
+    // end-to-end: adversarially clustered points (global density says the
+    // first annulus is huge, but everything sits in one tiny blob far from
+    // the queries) — must stay exact without ballooning the driver
+    import spark.implicits._
+    var state = 99L
+    def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val pts = (0 until 4000).map(i => (f"c$i%05d", 0.9 + next() * 1e-4, 0.9 + next() * 1e-4))
+    val queries = (0 until 30).map(i => (f"q$i%03d", next() * 0.2, next() * 0.2))
+    val k = 5
+    val got = SpatialJoins.knn(pts.toDF("id", "nx", "ny"), queries.toDF("id", "nx", "ny"),
+        k = k, level = 9)
+      .select("q_id", "p_id", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = queries.flatMap { case (qid, qx, qy) =>
+      pts.map { case (pid, px, py) =>
+        (qid, pid, (px - qx) * (px - qx) + (py - qy) * (py - qy))
+      }.sortBy(t => (t._3, t._2)).take(k).zipWithIndex
+        .map { case ((_, pid, _), i) => (qid, pid, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("small-Q dispatch runs ONE bounded job, not a full count plus collect") {
     import spark.implicits._
     // jobs whose sole purpose is dispatch show up as extra job launches;
