@@ -1819,9 +1819,17 @@ object SparkEntry {
          CAST(FLOOR((xmax - xmin) * (ymax - ymin) * 1e4 + 0.5) AS BIGINT) AS tri_area_cents
          FROM $ZON""",
     "q74_util_ops" ->
+      // snap_x/snap_y mirror the engine's math.rint HALF-EVEN tie rule
+      // (advisor r4: DuckDB ROUND is half-away-from-zero, which would
+      // disagree by a whole grid step on an exact odd multiple of 0.125;
+      // x/0.25 is exact scaling, so the = 0.5 tie test is exact too)
       s"""SELECT zone_id,
-         CAST(FLOOR(ROUND(xmin / 0.25) * 0.25 * 1e6) AS BIGINT) AS snap_x,
-         CAST(FLOOR(ROUND(ymin / 0.25) * 0.25 * 1e6) AS BIGINT) AS snap_y,
+         CAST(FLOOR((CASE WHEN xmin / 0.25 - FLOOR(xmin / 0.25) = 0.5
+           THEN FLOOR(xmin / 0.25) + CAST(CAST(FLOOR(xmin / 0.25) AS BIGINT) % 2 <> 0 AS INT)
+           ELSE ROUND(xmin / 0.25) END) * 0.25 * 1e6) AS BIGINT) AS snap_x,
+         CAST(FLOOR((CASE WHEN ymin / 0.25 - FLOOR(ymin / 0.25) = 0.5
+           THEN FLOOR(ymin / 0.25) + CAST(CAST(FLOOR(ymin / 0.25) AS BIGINT) % 2 <> 0 AS INT)
+           ELSE ROUND(ymin / 0.25) END) * 0.25 * 1e6) AS BIGINT) AS snap_y,
          CAST(FLOOR(xmax * 1e6) AS BIGINT) AS rev_x,
          CAST(FLOOR(2 * ((xmax - xmin) + (ymax - ymin)) * 1e4 + 0.5) AS BIGINT) AS bnd_len_c,
          CAST(1 AS BIGINT) AS pos_in,

@@ -1,7 +1,6 @@
 package graft.geom
 
 import java.io.{DataInputStream, DataOutputStream, BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
-import java.util.concurrent.ConcurrentHashMap
 
 /**
  * NTv2-style datum-shift grids — the mechanism behind OSTN15-class accuracy
@@ -229,15 +228,26 @@ object GridShift {
 
   /** Per-JVM decode-once cache keyed by file path — the grid rides into the
     * plan as a path string (plain data), so every executor lazily loads its
-    * own copy; no driver-side registration to desynchronize. Entry-capped:
-    * realistic deployments use a handful of grids. */
-  private val cache = new ConcurrentHashMap[String, ShiftGrid]()
+    * own copy; no driver-side registration to desynchronize. Entry-capped
+    * LRU (access-ordered LinkedHashMap under the object lock — advisor r4:
+    * the former clear-everything-at-64 bound thrashed full .gsb re-reads
+    * for every lookup once a workload touched more paths than the cap, and
+    * the size-check/clear/insert sequence raced across task threads).
+    * Realistic deployments use a handful of grids; lookups after the first
+    * load are one synchronized map probe against an in-heap array pair. */
   private val MAX_GRIDS = 64
+  private val cache = new java.util.LinkedHashMap[String, ShiftGrid](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, ShiftGrid]): Boolean =
+      size() > MAX_GRIDS
+  }
 
-  def cached(path: String): ShiftGrid = {
+  def cached(path: String): ShiftGrid = cache.synchronized {
     val hit = cache.get(path)
-    if (hit != null) return hit
-    if (cache.size >= MAX_GRIDS) cache.clear() // crude, loud-enough bound
-    cache.computeIfAbsent(path, p => read(p))
+    if (hit != null) hit
+    else {
+      val g = read(path)
+      cache.put(path, g)
+      g
+    }
   }
 }

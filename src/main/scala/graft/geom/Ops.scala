@@ -741,10 +741,15 @@ object Ops {
     while (iter < 500 && !done) {
       var sw = 0.0; var sx = 0.0; var sy = 0.0
       var onVertex = false
+      // scale-invariant vertex-coincidence tolerance (advisor r4): an
+      // absolute 1e-15 can never trigger at large coordinate magnitudes,
+      // stranding the iterate in slow sublinear convergence next to a
+      // vertex optimum and off by ~1e-13·|coord|
+      val vtol = 1e-15 * math.max(1.0, math.hypot(cx, cy))
       i = 0
       while (i + 1 < pts.length) {
         val d = math.hypot(cx - pts(i), cy - pts(i + 1))
-        if (d < 1e-15) onVertex = true
+        if (d < vtol) onVertex = true
         else {
           val w = 1.0 / d
           sw += w; sx += w * pts(i); sy += w * pts(i + 1)
@@ -763,7 +768,7 @@ object Ops {
         i = 0
         while (i + 1 < pts.length) {
           val d = math.hypot(cx - pts(i), cy - pts(i + 1))
-          if (d < 1e-15) { vk = i; mult += 1.0 }
+          if (d < vtol) { vk = i; mult += 1.0 }
           else {
             rx += (pts(i) - cx) / d; ry += (pts(i + 1) - cy) / d
             swv += 1.0 / d

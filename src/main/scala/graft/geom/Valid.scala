@@ -228,11 +228,15 @@ object Valid {
     OK
   }
 
-  private def checkMulti(polys: Array[Array[Array[Double]]]): Result = {
-    polys.foreach { p =>
+  private def checkMulti(polysIn: Array[Array[Array[Double]]]): Result = {
+    polysIn.foreach { p =>
       val res = checkPolygon(p)
       if (!res.valid) return res
     }
+    // ring-less elements are valid-empty (checkPolygon accepts them) and
+    // have no interior to overlap — drop them before the pairwise shell
+    // checks, which dereference polys(x)(0) (advisor r4)
+    val polys = polysIn.filter(_.nonEmpty)
     // element interiors must be disjoint: for each pair, boundaries may
     // touch at points (never share edges), and no shell edge midpoint may
     // lie STRICTLY inside the other polygon (inside its shell and not

@@ -58,6 +58,13 @@ class ValidSpec extends AnyFunSuite {
     // unclosed ring is invalid structurally (JTS WKT reader rejects it, so
     // check only our side)
     assert(!Valid.check(Polygon(Array(Array(0.0, 0, 4, 0, 4, 4, 0, 4)))).valid)
+    // a ring-less (empty) element must not crash the multipolygon pairwise
+    // shell checks (advisor r4: polys(a)(0) on an empty element threw);
+    // the non-empty elements still get verdicts
+    val rect = Array(0.0, 0, 4, 0, 4, 4, 0, 4, 0, 0)
+    val rect2 = Array(10.0, 0, 14, 0, 14, 4, 10, 4, 10, 0)
+    assert(Valid.check(MultiPolygon(Array(Array.empty, Array(rect), Array(rect2)))).valid)
+    assert(!Valid.check(MultiPolygon(Array(Array.empty, Array(rect), Array(rect)))).valid)
   }
 
   test("reasons are specific") {
