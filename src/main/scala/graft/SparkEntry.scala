@@ -534,6 +534,28 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("bigint").as("ci"), col("col").as("chunk"))
     }),
 
+    // JPEG-coded GMV videos (r5): media_frame DECODES the per-frame JPEG
+    // payloads back to raw RGB, so the identical explode/luma/phash
+    // pipeline runs over a lossy-codec container; expected columns were
+    // computed from the reference decode at fixture build, so matching
+    // pins the ImageIO round-trip (PSNR≥40dB pinned in MediaSpec) AND the
+    // plumbing.
+    "q88_media_jpeg" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val m = GeoTables.media(s, dir).where(col("fmt") === "jpeg")
+      val feats = m
+        .withColumn("fr", explode(call_function("media_frame_sample", col("bytes"), lit(3))))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_parts"),
+             sum(centsOf(call_function("img_luma_mean", col("fr")))).as("feat_c"))
+      m.select(col("media_id"),
+          call_function("img_phash_rgb",
+            call_function("media_frame", col("bytes"), lit(0)), lit(16), lit(12)).as("f0_ph"),
+          call_function("media_meta", col("bytes")).getField("duration_ms").as("dur_ms"))
+        .join(feats, "media_id")
+        .select("media_id", "n_parts", "feat_c", "f0_ph", "dur_ms")
+    }),
+
     "q64_frame_neardup" -> ((s, dir) => {
       GraftFunctions.install(s)
       val v = GeoTables.media(s, dir).where(col("kind") === "video")
@@ -2110,6 +2132,10 @@ object SparkEntry {
          SELECT doc_id, CAST(s0 // 24 AS BIGINT) AS ci,
            array_to_string(toks[s0 + 1 : least(s0 + 32, len(toks))], ' ') AS chunk
          FROM st""",
+    "q88_media_jpeg" ->
+      s"""SELECT media_id, exp_n_parts AS n_parts, exp_feat_c AS feat_c,
+         exp_f0_phash AS f0_ph, exp_dur_ms AS dur_ms
+         FROM $MED WHERE fmt = 'jpeg'""",
     "q64_frame_neardup" ->
       s"""SELECT a.media_id AS a, b.media_id AS b,
          CAST(bit_count(xor(a.exp_f0_phash, b.exp_f0_phash)) AS BIGINT) AS hamming

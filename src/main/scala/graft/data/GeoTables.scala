@@ -347,7 +347,7 @@ object GeoTables {
   def mediaPath(sfDir: String): String = s"${baseDir(sfDir)}/media.parquet"
   def nMedia(sfDir: String): Int = math.max(200, (sfOf(sfDir) * 4000).toInt)
 
-  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+  final case class MediaRow(media_id: Long, kind: String, fmt: String, bytes: Array[Byte],
                             exp_n_parts: Long, exp_feat_c: Long, exp_dur_ms: Long,
                             exp_f0_phash: Long, p256_0: Long, p256_1: Long,
                             p256_2: Long, p256_3: Long)
@@ -378,21 +378,37 @@ object GeoTables {
     if (i % 2 == 0) {
       val w = 16; val h = 12; val fps = 10
       val nf = 8 + (i % 5).toInt * 4 // 8..24 frames
+      if (i % 10 == 4) {
+        // JPEG-coded video (r5): smooth synthRgb frames encoded at q=0.97
+        // per frame (PSNR≥40dB vs the pre-encode frames — MediaSpec pins
+        // it); expected columns computed from the REFERENCE DECODE of the
+        // payloads, so matching pins ImageIO round-trip AND plumbing.
+        val frames = Array.tabulate(nf)(f => Images.synthRgb(i * 1009 + f, w, h))
+        val payloads = frames.map(Images.encode(w, h, _, "jpg", 0.995f))
+        val dec = payloads.map(p => Images.decode(p)._3)
+        val sampled = Array.range(0, nf, 3).map(dec(_))
+        val lumaC = sampled.map(f => math.floor(Images.lumaMean(f) * 100 + 0.5).toLong).sum
+        val p256 = Images.phash256OfRgb(w, h, dec(0))
+        MediaRow(i, "video", "jpeg", Media.encodeVideoCoded(w, h, fps, payloads),
+          sampled.length.toLong, lumaC, nf.toLong * 1000 / fps,
+          Images.phashOfRgb(w, h, dec(0)), p256(0), p256(1), p256(2), p256(3))
+      } else {
       val frames = Media.synthFrames(i, w, h, nf)
       if (i % 10 == 0) frames(0) = introFrame(i, w, h)
       val sampled = Array.range(0, nf, 3).map(frames(_))
       val lumaC = sampled.map(f => math.floor(Images.lumaMean(f) * 100 + 0.5).toLong).sum
       val p256 = Images.phash256OfRgb(w, h, frames(0))
-      MediaRow(i, "video", Media.encodeVideo(w, h, fps, frames),
+      MediaRow(i, "video", "raw", Media.encodeVideo(w, h, fps, frames),
         sampled.length.toLong, lumaC, nf.toLong * 1000 / fps,
         Images.phashOfRgb(w, h, frames(0)), p256(0), p256(1), p256(2), p256(3))
+      }
     } else {
       val rate = 8000
       val ns = 4000 + (i % 7).toInt * 1000
       val samples = Media.synthSamples(i, ns)
       val rms = Media.audioRmsOf(samples, 800)
       val rmsC = rms.map(v => math.floor(v * 100 + 0.5).toLong).sum
-      MediaRow(i, "audio", Media.encodeAudio(rate, samples),
+      MediaRow(i, "audio", "pcm", Media.encodeAudio(rate, samples),
         rms.length.toLong, rmsC, ns.toLong * 1000 / rate, 0L, 0L, 0L, 0L, 0L)
     }
   }
@@ -407,12 +423,12 @@ object GeoTables {
   def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {
     ensure(spark, sfDir)
     val base = baseDir(sfDir)
-    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V4"))) return
+    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V5"))) return
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     spark.range(0, nMedia(sfDir), 1, parts).map(mediaRow(_))
       .write.mode("overwrite").parquet(mediaPath(sfDir))
-    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V4"))
+    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V5"))
   }
 
   /** Idempotent, atomic: generate-if-absent, then read. */

@@ -244,7 +244,10 @@ object Images {
     rgb
   }
 
-  def encode(w: Int, h: Int, rgb: Array[Byte], fmt: String): Array[Byte] = {
+  def encode(w: Int, h: Int, rgb: Array[Byte], fmt: String): Array[Byte] =
+    encode(w, h, rgb, fmt, 0.97f)
+
+  def encode(w: Int, h: Int, rgb: Array[Byte], fmt: String, quality: Float): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val px = new Array[Int](w * h)
     var i = 0
@@ -260,7 +263,7 @@ object Images {
         val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
         val params = writer.getDefaultWriteParam
         params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        params.setCompressionQuality(0.97f)
+        params.setCompressionQuality(quality)
         val ios = ImageIO.createImageOutputStream(out)
         writer.setOutput(ios)
         writer.write(null, new javax.imageio.IIOImage(img, null, null), params)

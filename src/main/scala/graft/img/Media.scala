@@ -18,9 +18,15 @@ package graft.img
  *
  * Layout ("GMV1", all ints little-endian):
  *   magic  4B 'G''M''V''1'
- *   kind   1B: 0 = audio, 1 = video
- *   video: i32 w, i32 h, i32 fps, i32 nFrames, nFrames×(w·h·3) raw RGB
- *   audio: i32 sampleRate, i32 nSamples, nSamples×2 s16 PCM
+ *   kind   1B: 0 = audio, 1 = video (raw), 2 = video (coded frames)
+ *   video:   i32 w, i32 h, i32 fps, i32 nFrames, nFrames×(w·h·3) raw RGB
+ *   video-2: i32 w, i32 h, i32 fps, i32 nFrames, nFrames×i32 payload
+ *            lengths, then the concatenated ImageIO-decodable payloads
+ *            (JPEG/PNG — r5: closes half the stub-codec distance with
+ *            zero new dependencies; `frame` decodes through
+ *            [[Images.decode]] and still returns raw RGB, so the whole
+ *            downstream frame surface composes unchanged)
+ *   audio:   i32 sampleRate, i32 nSamples, nSamples×2 s16 PCM
  */
 object Media {
   private val MAGIC = Array[Byte]('G', 'M', 'V', '1')
@@ -62,12 +68,18 @@ object Media {
     out
   }
 
-  def kind(b: Array[Byte]): String = { checkMagic(b); if (b(4) == 1) "video" else "audio" }
+  def kind(b: Array[Byte]): String = { checkMagic(b); if (b(4) >= 1) "video" else "audio" }
+
+  /** Frame payload format: "raw" (kind 1), "coded" (kind 2), "pcm" (audio). */
+  def fmt(b: Array[Byte]): String = {
+    checkMagic(b)
+    b(4) match { case 2 => "coded"; case 1 => "raw"; case _ => "pcm" }
+  }
 
   /** (w, h, rate(fps|Hz), n(frames|samples), durationMs). Audio: w=h=0. */
   def meta(b: Array[Byte]): (Int, Int, Int, Int, Long) = {
     checkMagic(b)
-    if (b(4) == 1) {
+    if (b(4) >= 1) {
       val w = getInt(b, 5); val h = getInt(b, 9); val fps = getInt(b, 13); val n = getInt(b, 17)
       (w, h, fps, n, if (fps == 0) 0L else n.toLong * 1000 / fps)
     } else {
@@ -76,20 +88,50 @@ object Media {
     }
   }
 
+  /** Encoded-frame video (kind 2): each payload is an ImageIO-decodable
+    * image (JPEG/PNG) of exactly w×h — the container a real lossy codec
+    * would write per keyframe. */
+  def encodeVideoCoded(w: Int, h: Int, fps: Int, payloads: Array[Array[Byte]]): Array[Byte] = {
+    val lenTab = payloads.length * 4
+    val out = new Array[Byte](21 + lenTab + payloads.map(_.length).sum)
+    MAGIC.copyToArray(out); out(4) = 2
+    putInt(out, 5, w); putInt(out, 9, h); putInt(out, 13, fps); putInt(out, 17, payloads.length)
+    var off = 21 + lenTab
+    var i = 0
+    while (i < payloads.length) {
+      putInt(out, 21 + 4 * i, payloads(i).length)
+      payloads(i).copyToArray(out, off)
+      off += payloads(i).length
+      i += 1
+    }
+    out
+  }
+
   /** Frame i as a raw RGB buffer — plugs into img_gray_rgb / img_flip_rgb /
-    * img_crop_rgb / img_resize / img_luma_mean unchanged. */
+    * img_crop_rgb / img_resize / img_luma_mean unchanged. Coded frames
+    * (kind 2) decode through ImageIO on the way out. */
   def frame(b: Array[Byte], i: Int): Array[Byte] = {
-    checkMagic(b); require(b(4) == 1, "media_frame expects video")
+    checkMagic(b); require(b(4) >= 1, "media_frame expects video")
     val w = getInt(b, 5); val h = getInt(b, 9); val n = getInt(b, 17)
     require(i >= 0 && i < n, s"frame $i out of [0, $n)")
-    val fb = w * h * 3
-    java.util.Arrays.copyOfRange(b, 21 + i * fb, 21 + (i + 1) * fb)
+    if (b(4) == 1) {
+      val fb = w * h * 3
+      java.util.Arrays.copyOfRange(b, 21 + i * fb, 21 + (i + 1) * fb)
+    } else {
+      var off = 21 + 4 * n
+      var j = 0
+      while (j < i) { off += getInt(b, 21 + 4 * j); j += 1 }
+      val payload = java.util.Arrays.copyOfRange(b, off, off + getInt(b, 21 + 4 * i))
+      val (dw, dh, rgb) = Images.decode(payload)
+      require(dw == w && dh == h, s"coded frame $i is $dw x $dh, header says $w x $h")
+      rgb
+    }
   }
 
   /** Every `step`-th frame (0, step, 2·step, …) — the decimation shape a
     * frame-dedup or captioning pipeline runs before per-frame work. */
   def sampleFrames(b: Array[Byte], step: Int): Array[Array[Byte]] = {
-    checkMagic(b); require(b(4) == 1, "media_frame_sample expects video")
+    checkMagic(b); require(b(4) >= 1, "media_frame_sample expects video")
     require(step > 0, "step must be positive")
     val n = getInt(b, 17)
     Array.range(0, n, step).map(frame(b, _))

@@ -86,6 +86,31 @@ class MediaSpec extends AnyFunSuite {
     assert(ratio256 > ratio64, s"256-bit margin $ratio256 must beat 64-bit $ratio64")
   }
 
+  test("JPEG-coded videos decode back to RGB at PSNR≥40dB (r5)") {
+    val w = 16; val h = 12
+    val frames = Array.tabulate(6)(f => Images.synthRgb(777L * 1009 + f, w, h))
+    val payloads = frames.map(Images.encode(w, h, _, "jpg", 0.995f))
+    val v = Media.encodeVideoCoded(w, h, 10, payloads)
+    assert(Media.kind(v) == "video" && Media.fmt(v) == "coded")
+    val (mw, mh, fps, n, dur) = Media.meta(v)
+    assert(mw == w && mh == h && fps == 10 && n == 6 && dur == 600L)
+    frames.indices.foreach { i =>
+      val dec = Media.frame(v, i)
+      assert(dec.length == w * h * 3)
+      val p = Images.psnr(frames(i), dec)
+      assert(p >= 40.0, s"frame $i PSNR $p below the lossy invariant")
+      assert(p < 99.0, "JPEG must actually be lossy here, else the test is vacuous")
+    }
+    assert(Media.sampleFrames(v, 3).length == 2)
+    // fixture: every i%10==4 video is JPEG-coded, exp columns from the
+    // reference decode (what q88 matches), and the q63/q64 pipelines keep
+    // treating it as kind 'video'
+    val row = graft.data.GeoTables.mediaRow(4)
+    assert(row.kind == "video" && row.fmt == "jpeg" && Media.fmt(row.bytes) == "coded")
+    val p0 = Images.psnr(Images.synthRgb(4L * 1009, 16, 12), Media.frame(row.bytes, 0))
+    assert(p0 >= 40.0, s"fixture frame PSNR $p0")
+  }
+
   test("malformed containers fail loudly") {
     intercept[IllegalArgumentException](Media.kind(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Media.kind("XXXX?".getBytes))
