@@ -556,6 +556,32 @@ object SparkEntry {
         .select("media_id", "n_parts", "feat_c", "f0_ph", "dur_ms")
     }),
 
+    // ---------------- geodesic radius join (r5) ----------------
+    // "Every image within 300 km of each site" — the production geo-radius
+    // ask on the SPHERE: conservative per-site lon/lat cover boxes (wider
+    // near the poles, antimeridian-wrapped), exact haversine refine on
+    // q39's R=6371008.8. Oracle mirrors the identical formula in DuckDB.
+    "q89_geo_radius" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val sites = GeoTables.zones(s, dir).select(col("zone_id").as("site_id"),
+        ((col("xmin") + col("xmax")) / 2).as("site_lon"),
+        ((col("ymin") + col("ymax")) / 2).as("site_lat"))
+      SpatialJoins.geoRadiusJoin(
+        s.read.parquet(GeoTables.imagesPath(dir)), sites, meters = 300000.0)
+        .select(col("site_id"), col("image_id"))
+    }),
+
+    // geometry × geometry fixed-radius pairs (r5): zones within 1° of each
+    // other — polyJoin's both-sides-cover shape with the A side expanded
+    // by d; DuckDB closed-form rect-gap oracle.
+    "q90_zone_dwithin" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val z = GeoTables.zones(s, dir)
+      SpatialJoins.dwithinPolyJoin(z, z, d = 1.0)
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }),
+
     "q64_frame_neardup" -> ((s, dir) => {
       GraftFunctions.install(s)
       val v = GeoTables.media(s, dir).where(col("kind") === "video")
@@ -2136,6 +2162,24 @@ object SparkEntry {
       s"""SELECT media_id, exp_n_parts AS n_parts, exp_feat_c AS feat_c,
          exp_f0_phash AS f0_ph, exp_dur_ms AS dur_ms
          FROM $MED WHERE fmt = 'jpeg'""",
+    // mirrors K.distanceSphere term-for-term: dphi as a difference OF
+    // radians, dlon as radians OF the difference (float-sensitive order)
+    "q89_geo_radius" ->
+      s"""SELECT z.zone_id AS site_id, i.image_id
+         FROM $IMG i JOIN $ZON z ON
+           2.0 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+             SIN((RADIANS(i.lat) - RADIANS((z.ymin + z.ymax) / 2)) / 2)
+               * SIN((RADIANS(i.lat) - RADIANS((z.ymin + z.ymax) / 2)) / 2)
+             + COS(RADIANS((z.ymin + z.ymax) / 2)) * COS(RADIANS(i.lat))
+               * SIN(RADIANS(i.lon - (z.xmin + z.xmax) / 2) / 2)
+               * SIN(RADIANS(i.lon - (z.xmin + z.xmax) / 2) / 2)
+           ))) <= 300000.0""",
+    "q90_zone_dwithin" ->
+      s"""SELECT a.zone_id AS a_id, b.zone_id AS b_id
+         FROM $ZON a JOIN $ZON b ON a.zone_id < b.zone_id
+           AND GREATEST(a.xmin - b.xmax, b.xmin - a.xmax, 0) * GREATEST(a.xmin - b.xmax, b.xmin - a.xmax, 0)
+             + GREATEST(a.ymin - b.ymax, b.ymin - a.ymax, 0) * GREATEST(a.ymin - b.ymax, b.ymin - a.ymax, 0)
+           <= 1.0 * 1.0""",
     "q64_frame_neardup" ->
       s"""SELECT a.media_id AS a, b.media_id AS b,
          CAST(bit_count(xor(a.exp_f0_phash, b.exp_f0_phash)) AS BIGINT) AS hamming

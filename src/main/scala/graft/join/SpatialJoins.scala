@@ -90,6 +90,90 @@ object SpatialJoins {
       .where(call_function("st_dwithin_xy", col("zone_geom"), col("lon"), col("lat"), lit(d)))
   }
 
+  /**
+   * GEODESIC fixed-radius join: all images within `meters` great-circle
+   * meters of each site point — "everything within 50 km of X", the
+   * production geo-radius ask. Shape: each site covers a conservative
+   * lon/lat box around its radius cap (lat margin from 110 km/degree — an
+   * UNDERestimate of meters-per-degree, so degrees overestimate; lon
+   * margin divided by cos at the extreme latitude of the box, full-lon
+   * near the poles), points key by cell, and the exact haversine
+   * (`st_distance_sphere`, R=6371008.8 — the q39 oracle sphere) refines.
+   * The box-containment argument: a great-circle cap of radius r rad
+   * spans ≤ r·(180/π) degrees of latitude and ≤ asin(sin r / cos φ)
+   * degrees of longitude; 110 km/deg under-reads the 111.195 km/deg true
+   * scale by 1.1%, which dominates the asin/sin curvature up to
+   * `maxMeters` (guarded).
+   */
+  def geoRadiusJoin(images: DataFrame, sites: DataFrame, meters: Double, level: Int = 8,
+                    broadcastMaxSites: Long = 100000): DataFrame = {
+    require(meters >= 0 && meters <= 1500000.0,
+      s"geoRadiusJoin supports radii up to 1500 km (got $meters m) — the conservative " +
+        "cover-box margin is only proven there; larger radii want a coarser plan anyway")
+    val spark = images.sparkSession
+    GraftFunctions.install(spark)
+    val pts = images.withColumn("cell",
+      call_function("st_cellid", col("lon"), col("lat"), lit(level)))
+    val dLat = meters / 110000.0
+    val siteBox = sites
+      .withColumn("_phimax", least(lit(89.0), abs(col("site_lat")) + lit(dLat)))
+      .withColumn("_dlon",
+        when(abs(col("site_lat")) + lit(dLat) >= 85.0, lit(180.0))
+          .otherwise(lit(dLat) / cos(radians(col("_phimax")))))
+      .withColumn("env", call_function("st_makeenvelope",
+        greatest(col("site_lon") - col("_dlon"), lit(-180.0)),
+        greatest(col("site_lat") - lit(dLat), lit(-89.999)),
+        least(col("site_lon") + col("_dlon"), lit(180.0)),
+        least(col("site_lat") + lit(dLat), lit(89.999))))
+    // antimeridian: when the lon window wraps past ±180, also cover the
+    // wrapped remainder so sites near the date line stay exact
+    val wrapped = siteBox
+      .where(col("site_lon") - col("_dlon") < -180.0 || col("site_lon") + col("_dlon") > 180.0)
+      .withColumn("env", call_function("st_makeenvelope",
+        when(col("site_lon") + col("_dlon") > 180.0, lit(-180.0))
+          .otherwise(col("site_lon") - col("_dlon") + 360.0),
+        greatest(col("site_lat") - lit(dLat), lit(-89.999)),
+        when(col("site_lon") + col("_dlon") > 180.0, col("site_lon") + col("_dlon") - 360.0)
+          .otherwise(lit(180.0)),
+        least(col("site_lat") + lit(dLat), lit(89.999))))
+    val coverRaw = siteBox.unionByName(wrapped)
+      .withColumn("cell", explode(call_function("st_cover", col("env"), lit(level))))
+      .select(col("site_id"), col("site_lon"), col("site_lat"), col("cell"))
+      .distinct() // wrap overlap must not duplicate candidate pairs
+    val few = sites.limit(math.min(broadcastMaxSites, Int.MaxValue - 1L).toInt + 1)
+      .count() <= broadcastMaxSites
+    val cover = if (few) broadcast(coverRaw) else coverRaw
+    pts.join(cover, "cell")
+      .where(call_function("st_distance_sphere",
+        col("site_lon"), col("site_lat"), col("lon"), col("lat")) <= meters)
+  }
+
+  /**
+   * Geometry × geometry fixed-radius join (the zones-vs-zones dwithin
+   * shape): side A covers its d-EXPANDED envelope, side B covers itself,
+   * shuffle equi-join on cell, pair dedup BEFORE the one exact
+   * `st_dwithin` refine — [[polyJoin]]'s shape with a radius. Exact by
+   * the dilation argument: dist(A,B) ≤ d ⇒ the d-dilation of A (⊆ its
+   * expanded-envelope cover) intersects B, so some cell holds both.
+   */
+  def dwithinPolyJoin(zonesA: DataFrame, zonesB: DataFrame, d: Double,
+                      level: Int = 8): DataFrame = {
+    require(d >= 0, s"negative radius $d")
+    GraftFunctions.install(zonesA.sparkSession)
+    val a = zonesA
+      .withColumn("a_geom", call_function("st_geomfromwkt", col("wkt")))
+      .withColumn("cell", explode(call_function("st_cover",
+        call_function("st_expand", col("a_geom"), lit(d)), lit(level))))
+      .select(col("zone_id").as("a_id"), col("a_geom"), col("cell"))
+    val b = zoneCover(zonesB, level)
+      .select(col("zone_id").as("b_id"), col("zone_geom").as("b_geom"), col("cell"))
+    a.join(b, "cell")
+      .groupBy("a_id", "b_id")
+      .agg(first(col("a_geom")).as("a_geom"), first(col("b_geom")).as("b_geom"))
+      .where(call_function("st_dwithin", col("a_geom"), col("b_geom"), lit(d)))
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Optional diagnostics for [[dbscan]] — filled when passed so specs can
     * assert the scale invariants (materialized pair rows stay linear in N
     * on dense data) without re-deriving internals. */

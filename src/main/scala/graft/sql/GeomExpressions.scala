@@ -383,6 +383,22 @@ case class StDwithinXY(first: Expression, second: Expression, third: Expression,
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): Expression = copy(a, b, c, d)
 }
+/** Great-circle meters between two lon/lat points (haversine, R=6371008.8). */
+case class StDistanceSphere(first: Expression, second: Expression, third: Expression,
+                            fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    K.distanceSphere(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.sql.K.distanceSphere($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+}
 /** ST_Expand: envelope dilated by d as a rect polygon (cover target for
   * distance joins — a superset of the geometry's d-dilation). */
 case class StExpand(left: Expression, right: Expression) extends BinaryExpression

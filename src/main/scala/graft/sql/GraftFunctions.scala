@@ -62,6 +62,7 @@ object GraftFunctions {
     "st_dwithin" -> (e => StDwithin(e(0), e(1), e(2))),
     "st_dwithin_xy" -> (e => StDwithinXY(e(0), e(1), e(2), e(3))),
     "st_expand" -> (e => StExpand(e(0), e(1))),
+    "st_distance_sphere" -> (e => StDistanceSphere(e(0), e(1), e(2), e(3))),
     // measures
     "st_distance" -> (e => StDistance(e(0), e(1))),
     "st_area" -> (e => StArea(e.head)),

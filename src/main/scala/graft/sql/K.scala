@@ -176,6 +176,18 @@ object K {
     require(!e.isEmpty, "st_expand of an empty geometry")
     wr(Env(e.xmin - d, e.ymin - d, e.xmax + d, e.ymax + d).toPolygon)
   }
+  /** Great-circle distance in METERS between two lon/lat points (haversine
+    * on the mean sphere R=6371008.8 — the exact formula every spherical
+    * oracle uses, q39's constant). */
+  def distanceSphere(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val R = 6371008.8
+    val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
+    val dphi = phi2 - phi1
+    val dlmb = math.toRadians(lon2 - lon1)
+    val s = math.sin(dphi / 2) * math.sin(dphi / 2) +
+      math.cos(phi1) * math.cos(phi2) * math.sin(dlmb / 2) * math.sin(dlmb / 2)
+    2.0 * R * math.asin(math.min(1.0, math.sqrt(s)))
+  }
 
   // ---- measures ----
   def distance(a: Array[Byte], b: Array[Byte]): Double = Pred.distance(rd(a), rd(b))

@@ -97,6 +97,36 @@ class DwithinSpec extends AnyFunSuite {
     assert(gotN == brute)
   }
 
+  test("geoRadiusJoin ≡ brute haversine, incl. antimeridian and high-latitude sites") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    // points spread worldwide + clusters near the date line and at 80°N
+    val pts = (0 until 3000).map { i =>
+      val lon = -180.0 + 360.0 * frac(); val lat = -85.0 + 170.0 * frac()
+      (f"p$i%04d", lon, lat)
+    } ++ (0 until 300).map(i => (f"d$i%04d", 179.0 + frac() * 2.0 - 1.0 * (frac() * 2).toInt * 358.0, -60.0 + 120 * frac())) ++
+      (0 until 300).map(i => (f"h$i%04d", -180.0 + 360.0 * frac(), 78.0 + 6.0 * frac()))
+    val sites = Seq(
+      ("s_dateline_e", 179.7, 10.0), ("s_dateline_w", -179.8, -20.0),
+      ("s_high_north", 12.0, 81.0), ("s_equator", 0.0, 0.0),
+      ("s_mid", -60.0, 45.0))
+    val m = 900000.0 // 900 km — wide caps, heavy lon stretching at 81°N
+    val got = SpatialJoins.geoRadiusJoin(
+        pts.toDF("image_id", "lon", "lat"),
+        sites.toDF("site_id", "site_lon", "site_lat"), m, level = 6)
+      .select("site_id", "image_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def hav(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+      graft.sql.K.distanceSphere(lon1, lat1, lon2, lat2)
+    val want = (for {
+      (sid, slon, slat) <- sites
+      (pid, plon, plat) <- pts if hav(slon, slat, plon, plat) <= m
+    } yield (sid, pid)).toSet
+    assert(got == want, s"only-got=${(got -- want).take(5)} only-want=${(want -- got).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("st_expand emits the dilated envelope rect") {
     GraftFunctions.install(spark)
     import spark.implicits._
