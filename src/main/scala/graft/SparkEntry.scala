@@ -676,6 +676,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
 
+    // ---------------- as-of join (r5) ----------------
+    // Each click aligned to the user's latest view at-or-before it —
+    // the operator Spark lacks natively (SURVEY §2 custom-operator list),
+    // via AsofJoin's one-shuffle union+running-last-struct formulation.
+    // DuckDB's native ASOF JOIN is the oracle.
+    "q91_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("v_id"), col("value"))
+      graft.join.AsofJoin.asof(clicks, views, Seq("user_id"), "ts", Seq("v_id", "value"))
+        .select(col("c_id"), col("user_id"), col("asof_v_id").as("v_id"),
+          centsOf(col("asof_value")).as("v_value_c"))
+    }),
+
     // ---------------- events (stream-shaped batch) ----------------
     "q23_events_window" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2174,6 +2190,12 @@ object SparkEntry {
                * SIN(RADIANS(i.lon - (z.xmin + z.xmax) / 2) / 2)
                * SIN(RADIANS(i.lon - (z.xmin + z.xmax) / 2) / 2)
            ))) <= 300000.0""",
+    "q91_asof_join" ->
+      """SELECT c.event_id AS c_id, c.user_id, v.event_id AS v_id,
+         CAST(FLOOR(v.value * 100 + 0.5) AS BIGINT) AS v_value_c
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON c.user_id = v.user_id AND c.ts >= v.ts""",
     "q90_zone_dwithin" ->
       s"""SELECT a.zone_id AS a_id, b.zone_id AS b_id
          FROM $ZON a JOIN $ZON b ON a.zone_id < b.zone_id
