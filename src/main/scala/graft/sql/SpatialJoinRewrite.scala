@@ -70,7 +70,59 @@ case class SpatialJoinRewrite(level: Int = 8) extends Rule[LogicalPlan]
     }
   }
 
+  /** Geometry × geometry conjunct (st_intersects / st_dwithin over two
+    * geometry columns) — rescued to the BOTH-sides-cover form
+    * (SpatialJoins.polyJoin / dwithinPolyJoin). */
+  private def geomPairConjunct(cond: Expression): Option[(Expression, Expression, Option[Expression])] =
+    splitConjunctivePredicates(cond).collectFirst {
+      case StIntersects(a, b) => (a, b, None)
+      case StDwithin(a, b, d) => (a, b, Some(d))
+    }
+
+  /**
+   * Rewrite a geometry×geometry join: explode covers on BOTH sides and
+   * equi-join on the cell. Unlike the point case (a point has exactly one
+   * cell, so multiplicity is automatic), two covers can share several
+   * cells — each candidate pair is therefore kept only at its CANONICAL
+   * shared cell (`coverL = array_min(array_intersect(coverA, coverB))`),
+   * which preserves the join's exact row multiplicity. The original
+   * predicate stays as the exact refine.
+   */
+  private def rewriteGeomPair(j: Join, left: LogicalPlan, right: LogicalPlan,
+                              cond: Expression, hint: JoinHint): LogicalPlan = {
+    val (ga, gb, dOpt) = geomPairConjunct(cond).get
+    val sides =
+      if (ga.references.subsetOf(left.outputSet) && gb.references.subsetOf(right.outputSet))
+        Some((ga, gb))
+      else if (ga.references.subsetOf(right.outputSet) && gb.references.subsetOf(left.outputSet))
+        Some((gb, ga)) // dwithin and intersects are symmetric in (a, b)
+      else None
+    sides match {
+      case Some((gl, gr)) if dOpt.forall(_.foldable) =>
+        val glCover = dOpt.fold(gl)(d => StExpand(gl, d))
+        val attrL = AttributeReference("_pip_cell", LongType, nullable = false)()
+        val attrR = AttributeReference("_pip_cover_cell", LongType, nullable = false)()
+        val genL = Generate(Explode(StCover(glCover, Literal(level))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(attrL), child = left)
+        val genR = Generate(Explode(StCover(gr, Literal(level))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(attrR), child = right)
+        val canonical = EqualTo(attrL,
+          ArrayMin(ArrayIntersect(StCover(glCover, Literal(level)),
+            StCover(gr, Literal(level)))))
+        val newCond = And(And(EqualTo(attrL, attrR), canonical), cond)
+        Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+      case _ => j
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !alreadyRewritten(cond) && !hasEquiJoinKey(left, right, cond) &&
+           pipConjunct(cond).isEmpty && geomPairConjunct(cond).isDefined =>
+      rewriteGeomPair(j, left, right, cond, hint)
+
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !alreadyRewritten(cond) && !hasEquiJoinKey(left, right, cond) &&
            pipConjunct(cond).isDefined =>

@@ -68,6 +68,54 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
     assert(gotJ == want.filterNot(_._1 == "zone00000") && gotJ.nonEmpty)
   }
 
+  test("geometry×geometry st_intersects/st_dwithin joins rescue with exact multiplicity (r5)") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    // overlapping rects whose covers share SEVERAL cells — the canonical-
+    // shared-cell condition must keep each pair exactly once; a duplicated
+    // input row must stay duplicated (bag semantics)
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+      s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+    val aRows = Seq(
+      ("a0", rect(0, 0, 30, 20)), ("a1", rect(25, 5, 60, 40)),
+      ("a2", rect(100, -40, 140, -5)), ("a2", rect(100, -40, 140, -5)), // duplicate row
+      ("a3", rect(-170, 50, -130, 80)))
+    val bRows = Seq(
+      ("b0", rect(10, 10, 50, 30)), ("b1", rect(55, 35, 90, 60)),
+      ("b2", rect(135, -10, 160, 20)), ("b3", rect(-140, 75, -100, 85)))
+    val a = aRows.toDF("a_id", "wkt")
+      .select(col("a_id"), call_function("st_geomfromwkt", col("wkt")).as("ga"))
+    val b = bRows.toDF("b_id", "wkt")
+      .select(col("b_id"), call_function("st_geomfromwkt", col("wkt")).as("gb"))
+
+    val naive = a.join(b, call_function("st_intersects", col("ga"), col("gb")))
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"geom-pair rewrite did not fire:\n$plan")
+    def bag(rows: Array[org.apache.spark.sql.Row]): Map[(String, String), Int] =
+      rows.map(r => (r.getString(0), r.getString(1))).groupBy(identity).view.mapValues(_.length).toMap
+    val got = bag(naive.select("a_id", "b_id").collect())
+    // brute force via the predicate only (tiny inputs)
+    val brute = bag(a.crossJoin(b)
+      .where(call_function("st_intersects", col("ga"), col("gb")))
+      .select("a_id", "b_id").collect())
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(brute(("a2", "b2")) == 2, "duplicate input row must keep multiplicity 2")
+
+    // st_dwithin geometry-pair rescue (radius pulls in pairs intersects misses)
+    val naiveD = a.join(b, call_function("st_dwithin", col("ga"), col("gb"), lit(30.0)))
+    val planD = naiveD.queryExecution.executedPlan.toString
+    assert(!planD.contains("BroadcastNestedLoopJoin") && !planD.contains("CartesianProduct"),
+      s"geom-pair dwithin rewrite did not fire:\n$planD")
+    val gotD = bag(naiveD.select("a_id", "b_id").collect())
+    val bruteD = bag(a.crossJoin(b)
+      .where(call_function("st_dwithin", col("ga"), col("gb"), lit(30.0)))
+      .select("a_id", "b_id").collect())
+    assert(gotD == bruteD)
+    assert(bruteD.keySet != brute.keySet, "radius should add at least one pair")
+  }
+
   test("rule does NOT re-rewrite the already-cell-joined manual pipJoin (r2 regression)") {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.install(spark)
