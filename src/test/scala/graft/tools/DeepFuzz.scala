@@ -314,13 +314,41 @@ object DeepFuzz {
     }
   }
 
+  /** r5 axis: st_dwithin differential vs JTS isWithinDistance on mixed
+    * geometry pairs (skipping exact-boundary radii where libm ulps decide),
+    * plus st_expand envelope arithmetic. */
+  def dwithinCase(): Unit = {
+    def rnd(k: Int): String = k match {
+      case 0 => point(20); case 1 => line(20)
+      case _ => if (nextInt(2) == 0) rect(15, 5) else tri(20)
+    }
+    val wa = rnd(nextInt(3)); val wb = rnd(nextInt(3))
+    val d = frac() * 10
+    try {
+      val ja = reader.read(wa); val jb = reader.read(wb)
+      val ba = Wkb.write(Wkt.read(wa)); val bb = Wkb.write(Wkt.read(wb))
+      val got = graft.sql.K.dwithin(ba, bb, d)
+      val jd = ja.distance(jb)
+      if (math.abs(jd - d) > 1e-9) // away from the ulp boundary
+        check(got == ja.isWithinDistance(jb, d),
+          s"dwithin($d) $got vs JTS (dist=$jd): $wa | $wb")
+      val e = Wkb.read(graft.sql.K.expand(ba, d)).envelope
+      val g = Wkt.read(wa).envelope
+      check(e.xmin == g.xmin - d && e.ymin == g.ymin - d &&
+            e.xmax == g.xmax + d && e.ymax == g.ymax + d,
+        s"expand($d) envelope mismatch: $wa")
+    } catch {
+      case e: Exception => check(cond = false, s"dwithin threw ${e.getMessage}: $wa | $wb")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     state = if (args.length > 0) args(0).toLong else 99991L
     val n = if (args.length > 1) args(1).toInt else 50000
     val t0 = System.nanoTime()
     var i = 0
     while (i < n) {
-      (i % 13) match {
+      (i % 14) match {
         case 0 => // concave star overlay (float coords)
           overlayCase(
             Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)))),
@@ -343,6 +371,7 @@ object DeepFuzz {
         case 10 => voronoiCase()
         case 11 => utilCase()
         case 12 => validCase()
+        case 13 => dwithinCase()
         case _ => // web-mercator magnitude overlay (snap-grid adaptation).
           // Tolerance 1e-5: at 1e7 coordinate magnitude the snap grid is
           // ~2e-6 absolute, so a thin sliver's area differs from JTS's
