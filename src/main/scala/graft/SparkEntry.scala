@@ -676,6 +676,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
 
+    // ---------------- geohash (r5) ----------------
+    // Base-32 interchange encoding next to the Morton ids; the oracle
+    // mirrors the floor-arithmetic definition closed-form (no libm), so
+    // every character is exact. The precision-5 prefix is re-derived both
+    // ways to pin the prefix-truncation=parent property.
+    "q92_geohash" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id"),
+          call_function("st_geohash", col("lon"), col("lat"), lit(9)).as("gh9"),
+          call_function("st_geohash", col("lon"), col("lat"), lit(5)).as("gh5"))
+    }),
+
     // ---------------- as-of join (r5) ----------------
     // Each click aligned to the user's latest view at-or-before it —
     // the operator Spark lacks natively (SURVEY §2 custom-operator list),
@@ -2190,6 +2203,11 @@ object SparkEntry {
                * SIN(RADIANS(i.lon - (z.xmin + z.xmax) / 2) / 2)
                * SIN(RADIANS(i.lon - (z.xmin + z.xmax) / 2) / 2)
            ))) <= 300000.0""",
+    "q92_geohash" ->
+      s"""SELECT image_id,
+         ${graft.cell.Cells.geohashSqlExpr("lon", "lat", 9)} AS gh9,
+         ${graft.cell.Cells.geohashSqlExpr("lon", "lat", 5)} AS gh5
+         FROM $IMG""",
     "q91_asof_join" ->
       """SELECT c.event_id AS c_id, c.user_id, v.event_id AS v_id,
          CAST(FLOOR(v.value * 100 + 0.5) AS BIGINT) AS v_value_c

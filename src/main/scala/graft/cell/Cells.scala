@@ -219,6 +219,62 @@ object Cells {
     s"(${spreadSql(tx)} | (${spreadSql(ty)} << 1))"
   }
 
+  // ---------------- geohash (r5) ----------------
+  //
+  // The base-32 interchange encoding users expect alongside the Morton id
+  // (PostGIS ST_GeoHash). Defined here via FLOOR arithmetic on integer
+  // cell indices (lon gets ⌈5p/2⌉ bits, lat ⌊5p/2⌋, alternating lon-first
+  // per the public geohash spec) rather than the textbook bisection loop,
+  // so the DuckDB oracle can mirror it closed-form with exact integer ops
+  // — same lock-step constraint as mortonSqlExpr. Prefix-truncation =
+  // parent cell, as with the Morton ids.
+
+  private val GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geohash(lon: Double, lat: Double, precision: Int): String = {
+    require(precision >= 1 && precision <= 12, s"geohash precision $precision out of [1,12]")
+    val bits = 5 * precision
+    val nLon = (bits + 1) / 2
+    val nLat = bits / 2
+    val ix = math.min((1L << nLon) - 1,
+      math.floor((lon + 180.0) / 360.0 * (1L << nLon)).toLong).max(0L)
+    val iy = math.min((1L << nLat) - 1,
+      math.floor((lat + 90.0) / 180.0 * (1L << nLat)).toLong).max(0L)
+    // interleave lon-first: bit k of the stream (k=0 most significant)
+    val sb = new java.lang.StringBuilder(precision)
+    var k = 0
+    var acc = 0
+    while (k < bits) {
+      val bit =
+        if (k % 2 == 0) ((ix >>> (nLon - 1 - k / 2)) & 1L).toInt
+        else ((iy >>> (nLat - 1 - k / 2)) & 1L).toInt
+      acc = (acc << 1) | bit
+      if (k % 5 == 4) { sb.append(GH32.charAt(acc)); acc = 0 }
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** DuckDB SQL mirroring [[geohash]] exactly (integer arithmetic only). */
+  def geohashSqlExpr(lonCol: String, latCol: String, precision: Int): String = {
+    val bits = 5 * precision
+    val nLon = (bits + 1) / 2
+    val nLat = bits / 2
+    val ix = s"GREATEST(LEAST(CAST(FLOOR((($lonCol) + 180.0) / 360.0 * ${1L << nLon}) AS BIGINT), ${(1L << nLon) - 1}), 0)"
+    val iy = s"GREATEST(LEAST(CAST(FLOOR((($latCol) + 90.0) / 180.0 * ${1L << nLat}) AS BIGINT), ${(1L << nLat) - 1}), 0)"
+    val chars = (0 until precision).map { c =>
+      val charVal = (0 until 5).map { j =>
+        val k = 5 * c + j
+        val bit =
+          if (k % 2 == 0) s"((($ix) >> ${nLon - 1 - k / 2}) & 1)"
+          else s"((($iy) >> ${nLat - 1 - k / 2}) & 1)"
+        s"(($bit) << ${4 - j})"
+      }.mkString(" + ")
+      s"SUBSTRING('$GH32', CAST(($charVal) AS INT) + 1, 1)"
+    }
+    chars.mkString("(", " || ", ")")
+  }
+
   // ---------------- spherical cube-face cells (S2-style, r4 cont.) -------
   //
   // The web-mercator Morton grid above clamps at ±85.05° and its cell AREA

@@ -613,6 +613,20 @@ case class StCellId(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+/** st_geohash(lon, lat, precision) → base-32 geohash string (floor-
+  * arithmetic definition, mirrored closed-form by Cells.geohashSqlExpr). */
+case class StGeohash(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.geohash(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.geohash($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
 /** st_cellid_sphere(lon, lat, level) → S2-style cube-face quadtree cell
   * (face · 4^L + morton; no polar clamp, near-uniform cell areas). Full
   * codegen like st_cellid — this sits on the 100 TB scan hot path. */

@@ -186,4 +186,29 @@ class CellsSpec extends AnyFunSuite {
     assert(maxM / meanM > maxS / meanS,
       s"mercator should be MORE skewed: ${maxM / meanM} vs ${maxS / meanS}")
   }
+
+  test("geohash: canonical values, prefix nesting, range clamps (r5)") {
+    // the textbook example (geohash.org): (42.605, -5.603) -> ezs42 at p=5
+    assert(Cells.geohash(-5.603, 42.605, 5) == "ezs42")
+    assert(Cells.geohash(-5.603, 42.605, 9).startsWith("ezs42"))
+    // well-known: Jutland "u4pruydqqvj" (57.64911, 10.40744)
+    assert(Cells.geohash(10.40744, 57.64911, 11) == "u4pruydqqvj")
+    // prefix-truncation = parent, exactly (floor composition)
+    var st = 424242L
+    def frac(): Double = {
+      st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+      (st >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 2000).foreach { _ =>
+      val lon = -180.0 + 360.0 * frac(); val lat = -90.0 + 180.0 * frac()
+      val g12 = Cells.geohash(lon, lat, 12)
+      (1 to 11).foreach(p => assert(Cells.geohash(lon, lat, p) == g12.take(p)))
+    }
+    // boundary clamps never throw or emit out-of-alphabet chars
+    Seq((-180.0, -90.0), (180.0, 90.0), (0.0, 0.0), (179.9999999, 89.9999999))
+      .foreach { case (lon, lat) =>
+        val g = Cells.geohash(lon, lat, 12)
+        assert(g.length == 12 && g.forall("0123456789bcdefghjkmnpqrstuvwxyz".contains(_)))
+      }
+  }
 }
