@@ -676,6 +676,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
 
+    // ---------------- k-means clustering (r5) ----------------
+    // ST_ClusterKMeans analog: deterministic Lloyd (smallest-id init,
+    // integer-microdegree centroid sums so reduction order can't perturb
+    // the doubles, ties to the smallest cluster) — the oracle unrolls the
+    // identical rounds in SQL and every label compares exactly.
+    "q93_kmeans" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      graft.join.KMeans.cluster(
+          s.read.parquet(GeoTables.imagesPath(dir)), "image_id", k = 5, rounds = 2)
+        .select(col("id").as("image_id"), col("cluster").cast("bigint").as("cluster"))
+    }),
+
     // ---------------- geohash (r5) ----------------
     // Base-32 interchange encoding next to the Morton ids; the oracle
     // mirrors the floor-arithmetic definition closed-form (no libm), so
@@ -1573,7 +1585,41 @@ object SparkEntry {
     })
   )
 
+  /** q93's oracle: KMeans.cluster replayed exactly in SQL — Lloyd with
+    * integer-microdegree centroid sums (partition-order-independent, so
+    * the doubles match bit-for-bit), argmin ties to the smallest cluster,
+    * `rounds` unrolled update CTEs, empty clusters carried. */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT image_id, lon, lat, j AS cluster FROM (
+         SELECT p.image_id, p.lon, p.lat, c.j,
+           ROW_NUMBER() OVER (PARTITION BY p.image_id
+             ORDER BY (p.lon - c.lon) * (p.lon - c.lon) + (p.lat - c.lat) * (p.lat - c.lat), c.j) AS rn
+         FROM $IMG p CROSS JOIN $cents c) WHERE rn = 1)"""
+    def update(uname: String, cname: String, aname: String) =
+      s"""$uname AS (SELECT cluster AS j,
+           CAST(SUM(CAST(FLOOR(lon * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS lon,
+           CAST(SUM(CAST(FLOOR(lat * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS lat
+         FROM $aname GROUP BY 1),
+         $cname AS (SELECT i.j, COALESCE(u.lon, i.lon) AS lon, COALESCE(u.lat, i.lat) AS lat
+         FROM init i LEFT JOIN $uname u ON i.j = u.j)"""
+    val ctes = new StringBuilder(
+      s"""WITH init AS (
+         SELECT lon, lat, CAST(ROW_NUMBER() OVER (ORDER BY image_id) - 1 AS INT) AS j
+         FROM (SELECT image_id, lon, lat FROM $IMG ORDER BY image_id LIMIT $k))""")
+    var cents = "init"
+    (1 to rounds).foreach { r =>
+      ctes.append(",\n" + assign(s"a$r", cents))
+      ctes.append(",\n" + update(s"u$r", s"c$r", s"a$r"))
+      cents = s"c$r"
+    }
+    ctes.append(",\n" + assign("afinal", cents))
+    ctes.append("\nSELECT image_id, CAST(cluster AS BIGINT) AS cluster FROM afinal")
+    ctes.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q93_kmeans" -> kmeansOracleSql(5, 2),
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
