@@ -676,6 +676,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
 
+    // ---------------- deterministic corpus split + per-source cap (r5) --
+    // The training-corpus mixing primitive: an md5-keyed 80/10/10
+    // train/val/test split (content-stable — reshuffling or rescaling the
+    // corpus never moves a document between splits) plus a per-source
+    // fairness cap (keep the 100 md5-first docs per source, so no domain
+    // dominates). Lowercase-hex md5 compares identically in both engines,
+    // making every row exact — no engine-specific hash in sight.
+    "q94_corpus_split" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = GeoTables.docsAug(s, dir)
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      d.withColumn("split",
+          when(substring(col("h"), 1, 8) < "cccccccc", "train")
+            .when(substring(col("h"), 1, 8) < "e6666666", "val")
+            .otherwise(lit("test")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("source"), col("split"),
+          (col("rn") <= 100).cast("bigint").as("kept"))
+    }),
+
     // ---------------- k-means clustering (r5) ----------------
     // ST_ClusterKMeans analog: deterministic Lloyd (smallest-id init,
     // integer-microdegree centroid sums so reduction order can't perturb
@@ -1620,6 +1641,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q93_kmeans" -> kmeansOracleSql(5, 2),
+    "q94_corpus_split" ->
+      s"""WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM $DOCA)
+         SELECT doc_id, source,
+           CASE WHEN SUBSTRING(h, 1, 8) < 'cccccccc' THEN 'train'
+                WHEN SUBSTRING(h, 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) <= 100 AS BIGINT) AS kept
+         FROM d""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
