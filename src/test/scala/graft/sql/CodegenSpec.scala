@@ -108,4 +108,24 @@ class CodegenSpec extends AnyFunSuite {
     assert(p(0).getSeq[String](0).toList == List("z1"))
     assert(p(1).getSeq[String](0).isEmpty)
   }
+
+  test("r5 spatial scalar expressions evaluate under CODEGEN_ONLY") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val rows = Seq((1.0, 2.0, 4.0, 6.0)).toDF("x1", "y1", "x2", "y2")
+      .withColumn("ga", call_function("st_point", $"x1", $"y1"))
+      .withColumn("gb", call_function("st_point", $"x2", $"y2"))
+    val r = rows.select(
+      call_function("st_dwithin", $"ga", $"gb", lit(6.0)).as("dw"),
+      call_function("st_dwithin_xy", $"ga", $"x2", $"y2", lit(6.0)).as("dwxy"),
+      call_function("st_aswkt", call_function("st_expand", $"ga", lit(1.0))).as("ex"),
+      call_function("st_distance_sphere", $"x1", $"y1", $"x2", $"y2").as("ds"),
+      call_function("st_geohash", $"x1", $"y1", lit(7)).as("gh")
+    ).collect()(0)
+    assert(r.getAs[Boolean]("dw") && r.getAs[Boolean]("dwxy"))
+    assert(r.getAs[String]("ex") == "POLYGON ((0 1, 2 1, 2 3, 0 3, 0 1))")
+    assert(math.abs(r.getAs[Double]("ds") - 555984.2) < 1000.0) // ~5 deg arc
+    assert(r.getAs[String]("gh").length == 7)
+  }
 }
