@@ -676,6 +676,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
 
+    // ---------------- the whole corpus pipeline, end to end (r5) --------
+    // Quality gate → language gate → 128-bit near-dup dedup (keep one per
+    // cluster) → content-stable md5 split → per-split doc/token budgets:
+    // the full training-data preparation flow as ONE query, every stage
+    // the scale-path variant. DuckDB replays it over the materialized
+    // feature columns with the recursive-CTE closure.
+    "q95_pipeline_e2e" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = GeoTables.docsAug(s, dir)
+        .withColumn("s128", call_function("text_simhash128", col("text")))
+        .select(col("doc_id"), col("source"),
+          col("s128").getItem(0).as("sim_hi"), col("s128").getItem(1).as("sim_lo"),
+          call_function("text_lang_id", col("text")).as("lang"),
+          floor(call_function("text_quality", col("text")) * 1000000.0 + 0.5)
+            .cast("bigint").as("quality_u"),
+          call_function("text_token_count_bpe", col("text")).cast("bigint").as("bpe_tokens"))
+        .where(col("lang") === "en" && col("quality_u") >= 950000L)
+      val pairs = graft.join.TextDedup
+        .nearDupPairs(d, "doc_id", Seq("source"), Seq("sim_hi", "sim_lo"), 12)
+        .select("a", "b")
+      val drop = graft.join.ImageDedup.components(pairs)
+        .where(col("id") =!= col("rep")).select(col("id").as("doc_id"))
+      d.join(drop, Seq("doc_id"), "left_anti")
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("split",
+          when(substring(col("h"), 1, 8) < "cccccccc", "train")
+            .when(substring(col("h"), 1, 8) < "e6666666", "val")
+            .otherwise(lit("test")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("sum_bpe"))
+    }),
+
     // ---------------- deterministic corpus split + per-source cap (r5) --
     // The training-corpus mixing primitive: an md5-keyed 80/10/10
     // train/val/test split (content-stable — reshuffling or rescaling the
@@ -1641,6 +1673,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q93_kmeans" -> kmeansOracleSql(5, 2),
+    "q95_pipeline_e2e" ->
+      s"""WITH RECURSIVE surv AS (
+           SELECT doc_id, source, sim_hi, sim_lo, bpe_tokens FROM $TFEAT
+           WHERE lang_pred = 'en' AND quality_c >= 950000),
+         pairs AS (
+           SELECT a.doc_id AS pa, b.doc_id AS pb FROM surv a JOIN surv b
+           ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 12),
+         edges AS (SELECT pa AS s, pb AS d FROM pairs UNION SELECT pb, pa FROM pairs),
+         cc(node, rep) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.rep FROM cc JOIN edges e ON e.s = cc.node),
+         reps AS (SELECT node, MIN(rep) AS rep FROM cc GROUP BY node),
+         dropped AS (SELECT node FROM reps WHERE node <> rep),
+         kept AS (
+           SELECT s.doc_id, s.bpe_tokens, md5(CAST(s.doc_id AS VARCHAR)) AS h
+           FROM surv s LEFT JOIN dropped d ON s.doc_id = d.node WHERE d.node IS NULL)
+         SELECT CASE WHEN SUBSTRING(h, 1, 8) < 'cccccccc' THEN 'train'
+                     WHEN SUBSTRING(h, 1, 8) < 'e6666666' THEN 'val'
+                     ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS sum_bpe
+         FROM kept GROUP BY 1""",
     "q94_corpus_split" ->
       s"""WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM $DOCA)
          SELECT doc_id, source,
