@@ -600,9 +600,10 @@ object SparkEntry {
     // bucket cardinality is 2^15 and candidates stay ~linear to 10^5+
     // frames (PigeonholeScaleSpec) — the former proportional h=48 left
     // 5-bit chunks, re-creating the 64-bit quadratic-bucket problem. The
-    // fixture margin (planted <= 36, strangers >= 98) leaves headroom: a
-    // user needing looser matching can raise h to ~24 (10-bit chunks, the
-    // proven 128-bit operating class) before the guard starts objecting.
+    // fixture margin MediaSpec pins (planted <= 48, strangers > 96;
+    // measured 36 / 98 at sf0.01) leaves headroom: a user needing looser
+    // matching can raise h to ~24 (10-bit chunks, the proven 128-bit
+    // operating class) before the guard starts objecting.
     "q69_frame_neardup256" -> ((s, dir) => {
       GraftFunctions.install(s)
       val v = GeoTables.media(s, dir).where(col("kind") === "video")
@@ -1649,13 +1650,13 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY p.image_id
              ORDER BY (p.lon - c.lon) * (p.lon - c.lon) + (p.lat - c.lat) * (p.lat - c.lat), c.j) AS rn
          FROM $IMG p CROSS JOIN $cents c) WHERE rn = 1)"""
-    def update(uname: String, cname: String, aname: String) =
+    def update(uname: String, cname: String, aname: String, prev: String) =
       s"""$uname AS (SELECT cluster AS j,
            CAST(SUM(CAST(FLOOR(lon * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS lon,
            CAST(SUM(CAST(FLOOR(lat * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS lat
          FROM $aname GROUP BY 1),
          $cname AS (SELECT i.j, COALESCE(u.lon, i.lon) AS lon, COALESCE(u.lat, i.lat) AS lat
-         FROM init i LEFT JOIN $uname u ON i.j = u.j)"""
+         FROM $prev i LEFT JOIN $uname u ON i.j = u.j)"""
     val ctes = new StringBuilder(
       s"""WITH init AS (
          SELECT lon, lat, CAST(ROW_NUMBER() OVER (ORDER BY image_id) - 1 AS INT) AS j
@@ -1663,7 +1664,9 @@ object SparkEntry {
     var cents = "init"
     (1 to rounds).foreach { r =>
       ctes.append(",\n" + assign(s"a$r", cents))
-      ctes.append(",\n" + update(s"u$r", s"c$r", s"a$r"))
+      // empty clusters carry the PREVIOUS round's centroid, matching
+      // KMeans.cluster's m.getOrElse(j, cents(j)) (review r5)
+      ctes.append(",\n" + update(s"u$r", s"c$r", s"a$r", cents))
       cents = s"c$r"
     }
     ctes.append(",\n" + assign("afinal", cents))

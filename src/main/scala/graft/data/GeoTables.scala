@@ -379,7 +379,7 @@ object GeoTables {
       val w = 16; val h = 12; val fps = 10
       val nf = 8 + (i % 5).toInt * 4 // 8..24 frames
       if (i % 10 == 4) {
-        // JPEG-coded video (r5): smooth synthRgb frames encoded at q=0.97
+        // JPEG-coded video (r5): smooth synthRgb frames encoded at q=0.995
         // per frame (PSNR≥40dB vs the pre-encode frames — MediaSpec pins
         // it); expected columns computed from the REFERENCE DECODE of the
         // payloads, so matching pins ImageIO round-trip AND plumbing.

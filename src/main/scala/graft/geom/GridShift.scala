@@ -1,6 +1,7 @@
 package graft.geom
 
 import java.io.{DataInputStream, DataOutputStream, BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
+import java.util.concurrent.ConcurrentHashMap
 
 /**
  * NTv2-style datum-shift grids — the mechanism behind OSTN15-class accuracy
@@ -229,25 +230,43 @@ object GridShift {
   /** Per-JVM decode-once cache keyed by file path — the grid rides into the
     * plan as a path string (plain data), so every executor lazily loads its
     * own copy; no driver-side registration to desynchronize. Entry-capped
-    * LRU (access-ordered LinkedHashMap under the object lock — advisor r4:
-    * the former clear-everything-at-64 bound thrashed full .gsb re-reads
-    * for every lookup once a workload touched more paths than the cap, and
-    * the size-check/clear/insert sequence raced across task threads).
-    * Realistic deployments use a handful of grids; lookups after the first
-    * load are one synchronized map probe against an in-heap array pair. */
+    * with single-entry LRU eviction (advisor r4: the former
+    * clear-everything-at-64 bound thrashed full .gsb re-reads once a
+    * workload touched more paths than the cap, and the check/clear/insert
+    * sequence raced). HITS stay LOCK-FREE (review r5): `cached` sits on
+    * the per-row grid-shift kernel, so the hot path is one
+    * ConcurrentHashMap.get plus a relaxed last-used stamp; only MISSES
+    * take the load lock (double-checked), and eviction — the oldest
+    * last-used entry — happens inside that rare path. */
   private val MAX_GRIDS = 64
-  private val cache = new java.util.LinkedHashMap[String, ShiftGrid](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, ShiftGrid]): Boolean =
-      size() > MAX_GRIDS
+  private final class Entry(val grid: ShiftGrid) {
+    val lastUsed = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
   }
+  private val cache = new ConcurrentHashMap[String, Entry]()
+  private val loadLock = new Object
 
-  def cached(path: String): ShiftGrid = cache.synchronized {
+  def cached(path: String): ShiftGrid = {
     val hit = cache.get(path)
-    if (hit != null) hit
-    else {
-      val g = read(path)
-      cache.put(path, g)
-      g
+    if (hit != null) { hit.lastUsed.set(System.nanoTime()); return hit.grid }
+    loadLock.synchronized {
+      val again = cache.get(path)
+      if (again != null) { again.lastUsed.set(System.nanoTime()); again.grid }
+      else {
+        if (cache.size >= MAX_GRIDS) {
+          var oldest: String = null
+          var oldestT = Long.MaxValue
+          val it = cache.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val t = e.getValue.lastUsed.get()
+            if (t < oldestT) { oldestT = t; oldest = e.getKey }
+          }
+          if (oldest != null) cache.remove(oldest)
+        }
+        val g = read(path)
+        cache.put(path, new Entry(g))
+        g
+      }
     }
   }
 }

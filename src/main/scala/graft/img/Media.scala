@@ -42,6 +42,10 @@ object Media {
   private def checkMagic(b: Array[Byte]): Unit = {
     require(b.length >= 5 && b(0) == 'G' && b(1) == 'M' && b(2) == 'V' && b(3) == '1',
       "not a GMV1 media container")
+    // an unknown kind byte must fail HERE, loudly — a >= 1 branch test
+    // would otherwise route kind 3 garbage into the coded-frame length
+    // table parser (review r5)
+    require(b(4) >= 0 && b(4) <= 2, s"unknown GMV1 kind ${b(4)}")
   }
 
   def encodeVideo(w: Int, h: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {

@@ -39,6 +39,8 @@ object AsofJoin {
     val leftOnly = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq
     require(left.columns.toSeq.intersect(rightCols.map("asof_" + _)).isEmpty,
       "left columns collide with asof_* output names")
+    require(!left.columns.contains("_r") && !left.columns.contains("_side"),
+      "left columns collide with asof's internal _r/_side working columns")
     val rStructType = StructType(rightCols.map(c => right.schema(c)))
 
     val lTag = left.select(

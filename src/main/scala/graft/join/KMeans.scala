@@ -56,7 +56,9 @@ object KMeans {
       val m = upd.toMap
       cents = cents.indices.map(j => m.getOrElse(j, cents(j))).toArray
     }
-    val out = pts.withColumn("cluster", assignExpr(cents))
+    // materialize BEFORE releasing the cache — the returned frame still
+    // references pts (the dbscan review-r4 pattern)
+    val out = pts.withColumn("cluster", assignExpr(cents)).localCheckpoint(true)
     pts.unpersist()
     out
   }

@@ -114,6 +114,10 @@ class MediaSpec extends AnyFunSuite {
   test("malformed containers fail loudly") {
     intercept[IllegalArgumentException](Media.kind(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Media.kind("XXXX?".getBytes))
+    // an unknown kind byte fails at the header, not inside a frame parser
+    val badKind = "GMV1".getBytes :+ 3.toByte
+    intercept[IllegalArgumentException](Media.kind(badKind))
+    intercept[IllegalArgumentException](Media.frame(badKind :+ 0.toByte, 0))
     val audio = Media.synthAudio(1, 8000, 100)
     intercept[IllegalArgumentException](Media.frame(audio, 0))
     intercept[IllegalArgumentException](Media.sampleFrames(audio, 2))
