@@ -408,6 +408,13 @@ object GeoTables {
       val samples = Media.synthSamples(i, ns)
       val rms = Media.audioRmsOf(samples, 800)
       val rmsC = rms.map(v => math.floor(v * 100 + 0.5).toLong).sum
+      // every i%10==7 audio row ships a REAL RIFF/WAV payload (kind 3,
+      // decoded via javax.sound.sampled — lossless, so the expecteds are
+      // the same samples)
+      if (i % 10 == 7)
+        MediaRow(i, "audio", "wav", Media.encodeAudioWav(rate, samples),
+          rms.length.toLong, rmsC, ns.toLong * 1000 / rate, 0L, 0L, 0L, 0L, 0L)
+      else
       MediaRow(i, "audio", "pcm", Media.encodeAudio(rate, samples),
         rms.length.toLong, rmsC, ns.toLong * 1000 / rate, 0L, 0L, 0L, 0L, 0L)
     }
@@ -423,12 +430,12 @@ object GeoTables {
   def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {
     ensure(spark, sfDir)
     val base = baseDir(sfDir)
-    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V5"))) return
+    if (Files.exists(Paths.get(s"$base/_MEDIA_DONE_V6"))) return
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     spark.range(0, nMedia(sfDir), 1, parts).map(mediaRow(_))
       .write.mode("overwrite").parquet(mediaPath(sfDir))
-    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V5"))
+    Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V6"))
   }
 
   /** Idempotent, atomic: generate-if-absent, then read. */

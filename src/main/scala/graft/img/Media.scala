@@ -8,17 +8,20 @@ package graft.img
  * and image corpora (narrow per-row ops, explode for per-frame fan-out,
  * the same pigeonhole/pHash dedup downstream on sampled frames).
  *
- * The CODEC IS A DETERMINISTIC STUB: real audio/video codecs are not in
- * this container, so "GMV1" stores raw little-endian payloads (RGB frames
- * / s16 PCM). Everything AROUND the codec — schema, binary layout,
- * metadata struct, per-frame explode shape, feature windows, oracle
- * checks — is the real Spark-side plumbing and is exactly what a
- * libavcodec-backed decoder would slot into (swap `frame`/`pcm` for the
- * real bitstream decode; signatures unchanged).
+ * Codec status (r5): frames decode REAL JPEG/PNG payloads through
+ * ImageIO (kind 2) and audio decodes REAL RIFF/WAV through
+ * javax.sound.sampled (kind 3) — actual interchange containers, not
+ * stubs; only inter-frame video compression (H.264-class) remains a
+ * documented stub via the raw kinds 0/1, because bitstream codecs are
+ * not in this sandbox. Everything AROUND the codec — schema, binary
+ * layout, metadata struct, per-frame explode shape, feature windows,
+ * oracle checks — is the real Spark-side plumbing a libavcodec-backed
+ * decoder would slot into (signatures unchanged).
  *
  * Layout ("GMV1", all ints little-endian):
  *   magic  4B 'G''M''V''1'
- *   kind   1B: 0 = audio, 1 = video (raw), 2 = video (coded frames)
+ *   kind   1B: 0 = audio (raw PCM), 1 = video (raw RGB),
+ *              2 = video (coded frames), 3 = audio (RIFF/WAV)
  *   video:   i32 w, i32 h, i32 fps, i32 nFrames, nFrames×(w·h·3) raw RGB
  *   video-2: i32 w, i32 h, i32 fps, i32 nFrames, nFrames×i32 payload
  *            lengths, then the concatenated ImageIO-decodable payloads
@@ -27,6 +30,10 @@ package graft.img
  *            [[Images.decode]] and still returns raw RGB, so the whole
  *            downstream frame surface composes unchanged)
  *   audio:   i32 sampleRate, i32 nSamples, nSamples×2 s16 PCM
+ *   audio-3: a complete RIFF/WAV file (PCM s16 mono) parsed through
+ *            javax.sound.sampled (r5: the real interchange container for
+ *            audio with zero new dependencies; `pcm`/`meta` route through
+ *            AudioSystem, everything downstream composes unchanged)
  */
 object Media {
   private val MAGIC = Array[Byte]('G', 'M', 'V', '1')
@@ -45,7 +52,7 @@ object Media {
     // an unknown kind byte must fail HERE, loudly — a >= 1 branch test
     // would otherwise route kind 3 garbage into the coded-frame length
     // table parser (review r5)
-    require(b(4) >= 0 && b(4) <= 2, s"unknown GMV1 kind ${b(4)}")
+    require(b(4) >= 0 && b(4) <= 3, s"unknown GMV1 kind ${b(4)}")
   }
 
   def encodeVideo(w: Int, h: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {
@@ -72,24 +79,77 @@ object Media {
     out
   }
 
-  def kind(b: Array[Byte]): String = { checkMagic(b); if (b(4) >= 1) "video" else "audio" }
+  def kind(b: Array[Byte]): String = {
+    checkMagic(b)
+    if (b(4) == 1 || b(4) == 2) "video" else "audio"
+  }
 
-  /** Frame payload format: "raw" (kind 1), "coded" (kind 2), "pcm" (audio). */
+  /** Payload format: "raw"/"coded" (video kinds 1/2), "pcm"/"wav" (audio
+    * kinds 0/3). */
   def fmt(b: Array[Byte]): String = {
     checkMagic(b)
-    b(4) match { case 2 => "coded"; case 1 => "raw"; case _ => "pcm" }
+    b(4) match { case 2 => "coded"; case 1 => "raw"; case 3 => "wav"; case _ => "pcm" }
   }
 
   /** (w, h, rate(fps|Hz), n(frames|samples), durationMs). Audio: w=h=0. */
   def meta(b: Array[Byte]): (Int, Int, Int, Int, Long) = {
     checkMagic(b)
-    if (b(4) >= 1) {
+    if (b(4) == 1 || b(4) == 2) {
       val w = getInt(b, 5); val h = getInt(b, 9); val fps = getInt(b, 13); val n = getInt(b, 17)
       (w, h, fps, n, if (fps == 0) 0L else n.toLong * 1000 / fps)
+    } else if (b(4) == 3) {
+      val (rate, samples) = wavDecode(b)
+      val n = samples.length
+      (0, 0, rate, n, if (rate == 0) 0L else n.toLong * 1000 / rate)
     } else {
       val rate = getInt(b, 5); val n = getInt(b, 9)
       (0, 0, rate, n, if (rate == 0) 0L else n.toLong * 1000 / rate)
     }
+  }
+
+  /** WAV-coded audio (kind 3): the payload after the 5-byte GMV1 header is
+    * a COMPLETE RIFF/WAV file (PCM s16 LE mono), parsed through
+    * javax.sound.sampled — a real interchange codec, not the stub. */
+  def encodeAudioWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val wav = new Array[Byte](44 + dataLen)
+    def w4(off: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(wav, off)
+    def wi(off: Int, v: Int): Unit = { wav(off) = v.toByte; wav(off + 1) = (v >>> 8).toByte
+      wav(off + 2) = (v >>> 16).toByte; wav(off + 3) = (v >>> 24).toByte }
+    def ws(off: Int, v: Int): Unit = { wav(off) = v.toByte; wav(off + 1) = (v >>> 8).toByte }
+    w4(0, "RIFF"); wi(4, 36 + dataLen); w4(8, "WAVE")
+    w4(12, "fmt "); wi(16, 16); ws(20, 1 /* PCM */); ws(22, 1 /* mono */)
+    wi(24, sampleRate); wi(28, sampleRate * 2); ws(32, 2); ws(34, 16)
+    w4(36, "data"); wi(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      wav(44 + 2 * i) = samples(i).toByte
+      wav(44 + 2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    val out = new Array[Byte](5 + wav.length)
+    MAGIC.copyToArray(out); out(4) = 3
+    wav.copyToArray(out, 5)
+    out
+  }
+
+  private def wavDecode(b: Array[Byte]): (Int, Array[Short]) = {
+    val in = new java.io.ByteArrayInputStream(b, 5, b.length - 5)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"GMV1 wav payloads are PCM s16 LE mono, got $f")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (((bytes(2 * i) & 0xFF)) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (math.round(f.getSampleRate), samples)
+    } finally ais.close()
   }
 
   /** Encoded-frame video (kind 2): each payload is an ImageIO-decodable
@@ -141,12 +201,15 @@ object Media {
     Array.range(0, n, step).map(frame(b, _))
   }
 
-  /** PCM samples of an audio container. */
+  /** PCM samples of an audio container (raw kind 0 or WAV kind 3). */
   def pcm(b: Array[Byte]): Array[Short] = {
-    checkMagic(b); require(b(4) == 0, "expects audio")
-    val n = getInt(b, 9)
-    Array.tabulate(n)(i =>
-      (((b(13 + 2 * i) & 0xFF)) | (b(13 + 2 * i + 1) << 8)).toShort)
+    checkMagic(b); require(b(4) == 0 || b(4) == 3, "expects audio")
+    if (b(4) == 3) wavDecode(b)._2
+    else {
+      val n = getInt(b, 9)
+      Array.tabulate(n)(i =>
+        (((b(13 + 2 * i) & 0xFF)) | (b(13 + 2 * i + 1) << 8)).toShort)
+    }
   }
 
   /** RMS per non-overlapping `win`-sample window (trailing partial window

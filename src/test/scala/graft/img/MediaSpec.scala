@@ -111,11 +111,32 @@ class MediaSpec extends AnyFunSuite {
     assert(p0 >= 40.0, s"fixture frame PSNR $p0")
   }
 
+  test("WAV-coded audio decodes through javax.sound.sampled losslessly (r5)") {
+    val samples = Media.synthSamples(seed = 21, nSamples = 2500)
+    val b = Media.encodeAudioWav(8000, samples)
+    assert(Media.kind(b) == "audio" && Media.fmt(b) == "wav")
+    assert(Media.meta(b) == ((0, 0, 8000, 2500, 312L)))
+    assert(Media.pcm(b).toSeq == samples.toSeq) // RIFF round-trip is exact
+    assert(Media.audioRmsWindows(b, 800).toSeq == Media.audioRmsOf(samples, 800).toSeq)
+    // the payload after the GMV1 header is a plain standalone WAV file
+    val wav = b.drop(5)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+           new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 8000f); ais.close()
+    // fixture: every i%10==7 audio row is WAV-coded with identical expecteds
+    val row = graft.data.GeoTables.mediaRow(7)
+    assert(row.kind == "audio" && row.fmt == "wav" && Media.fmt(row.bytes) == "wav")
+    val rawRow = graft.data.GeoTables.mediaRow(9)
+    assert(rawRow.fmt == "pcm")
+  }
+
   test("malformed containers fail loudly") {
     intercept[IllegalArgumentException](Media.kind(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Media.kind("XXXX?".getBytes))
     // an unknown kind byte fails at the header, not inside a frame parser
-    val badKind = "GMV1".getBytes :+ 3.toByte
+    val badKind = "GMV1".getBytes :+ 4.toByte
     intercept[IllegalArgumentException](Media.kind(badKind))
     intercept[IllegalArgumentException](Media.frame(badKind :+ 0.toByte, 0))
     val audio = Media.synthAudio(1, 8000, 100)
