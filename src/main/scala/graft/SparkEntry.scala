@@ -750,9 +750,13 @@ object SparkEntry {
     "q92_geohash" -> ((s, dir) => {
       GraftFunctions.install(s)
       s.read.parquet(GeoTables.imagesPath(dir))
+        .withColumn("c9", call_function("st_pointfromgeohash",
+          call_function("st_geohash", col("lon"), col("lat"), lit(9))))
         .select(col("image_id"),
           call_function("st_geohash", col("lon"), col("lat"), lit(9)).as("gh9"),
-          call_function("st_geohash", col("lon"), col("lat"), lit(5)).as("gh5"))
+          call_function("st_geohash", col("lon"), col("lat"), lit(5)).as("gh5"),
+          floor(call_function("st_x", col("c9")) * 1e6).cast("bigint").as("cx_u"),
+          floor(call_function("st_y", col("c9")) * 1e6).cast("bigint").as("cy_u"))
     }),
 
     // ---------------- as-of join (r5) ----------------
@@ -2340,7 +2344,9 @@ object SparkEntry {
     "q92_geohash" ->
       s"""SELECT image_id,
          ${graft.cell.Cells.geohashSqlExpr("lon", "lat", 9)} AS gh9,
-         ${graft.cell.Cells.geohashSqlExpr("lon", "lat", 5)} AS gh5
+         ${graft.cell.Cells.geohashSqlExpr("lon", "lat", 5)} AS gh5,
+         CAST(FLOOR((((GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 8388608) AS BIGINT), 8388607), 0)) + 0.5) / 8388608 * 360.0 - 180.0) * 1e6) AS BIGINT) AS cx_u,
+         CAST(FLOOR((((GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 4194304) AS BIGINT), 4194303), 0)) + 0.5) / 4194304 * 180.0 - 90.0) * 1e6) AS BIGINT) AS cy_u
          FROM $IMG""",
     "q91_asof_join" ->
       """SELECT c.event_id AS c_id, c.user_id, v.event_id AS v_id,

@@ -255,6 +255,29 @@ object Cells {
     sb.toString
   }
 
+  /** Decode a geohash to its cell-CENTER (lon, lat) — the inverse of
+    * [[geohash]] up to cell resolution: geohash(decode(g), |g|) == g. */
+  def geohashDecode(s: String): (Double, Double) = {
+    require(s.nonEmpty && s.length <= 12, s"geohash length ${s.length} out of [1,12]")
+    val bits = 5 * s.length
+    val nLon = (bits + 1) / 2
+    val nLat = bits / 2
+    var ix = 0L; var iy = 0L
+    var k = 0
+    s.foreach { ch =>
+      val v = GH32.indexOf(ch.toLower)
+      require(v >= 0, s"invalid geohash char '$ch'")
+      var j = 4
+      while (j >= 0) {
+        val bit = (v >>> j) & 1
+        if (k % 2 == 0) ix = (ix << 1) | bit else iy = (iy << 1) | bit
+        j -= 1; k += 1
+      }
+    }
+    (((ix + 0.5) / (1L << nLon)) * 360.0 - 180.0,
+     ((iy + 0.5) / (1L << nLat)) * 180.0 - 90.0)
+  }
+
   /** DuckDB SQL mirroring [[geohash]] exactly (integer arithmetic only). */
   def geohashSqlExpr(lonCol: String, latCol: String, precision: Int): String = {
     val bits = 5 * precision

@@ -627,6 +627,17 @@ case class StGeohash(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+/** st_pointfromgeohash(s) → the hash cell's CENTER point (PostGIS
+  * ST_PointFromGeoHash semantics). */
+case class StPointFromGeohash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.pointFromGeohash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.pointFromGeohash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 /** st_cellid_sphere(lon, lat, level) → S2-style cube-face quadtree cell
   * (face · 4^L + morton; no polar clamp, near-uniform cell areas). Full
   * codegen like st_cellid — this sits on the 100 TB scan hot path. */

@@ -136,6 +136,7 @@ object GraftFunctions {
     // cells / tiles (§2.6)
     "st_cellid" -> (e => StCellId(e(0), e(1), e(2))),
     "st_geohash" -> (e => StGeohash(e(0), e(1), e(2))),
+    "st_pointfromgeohash" -> (e => StPointFromGeohash(e.head)),
     "st_cellid_sphere" -> (e => StCellIdSphere(e(0), e(1), e(2))),
     "st_cover_sphere" -> (e => StCoverSphere(e)),
     "st_tile_x" -> (e => StTileX(e(0), e(1))),

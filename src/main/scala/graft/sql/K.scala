@@ -418,6 +418,10 @@ object K {
   def cellId(lon: Double, lat: Double, level: Int): Long = Cells.cellId(lon, lat, level)
   def geohash(lon: Double, lat: Double, precision: Int): UTF8String =
     UTF8String.fromString(Cells.geohash(lon, lat, precision))
+  def pointFromGeohash(s: UTF8String): Array[Byte] = {
+    val (lon, lat) = Cells.geohashDecode(s.toString)
+    wr(Point(lon, lat))
+  }
   def cellIdSphere(lon: Double, lat: Double, level: Int): Long = Cells.cellIdSphere(lon, lat, level)
   def cellIdNorm(nx: Double, ny: Double, level: Int): Long = Cells.cellIdNorm(nx, ny, level)
   def normX(lon: Double): Double = Cells.normX(lon)

@@ -16,7 +16,8 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("q07_pip_join", "q08_pip_tile", "q01_pricing_agg", "q06_cellid",
-        "q30_pip_tri", "q19_simhash_near", "q20_ngram_jaccard", "q40_union_agg")
+        "q30_pip_tri", "q19_simhash_near", "q20_ngram_jaccard", "q40_union_agg",
+        "q87_dwithin_join", "q89_geo_radius", "q91_asof_join", "q95_pipeline_e2e")
     qs.foreach { q =>
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").explain("formatted")

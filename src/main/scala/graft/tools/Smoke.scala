@@ -104,6 +104,15 @@ object Smoke {
       FROM (SELECT st_geodesic_project(0.0D, 45.0D, 90.0D, 100000.0D) AS p)
     """).show()
 
+    // r5 surface: fixed-radius predicates, spherical distance, geohash
+    spark.sql("""
+      SELECT st_dwithin(st_geomfromwkt('POINT (0 0)'), st_geomfromwkt('POINT (3 4)'), 5.0D) AS dw5,
+             st_dwithin(st_geomfromwkt('POINT (0 0)'), st_geomfromwkt('POINT (3 4)'), 4.9D) AS dw49,
+             st_aswkt(st_expand(st_geomfromwkt('POINT (2 3)'), 1.0D)) AS expanded,
+             round(st_distance_sphere(0.0D, 0.0D, 1.0D, 0.0D) / 1000) AS km_per_deg,
+             st_geohash(-5.603D, 42.605D, 5) AS gh
+    """).show(20, 60)
+
     println("SMOKE OK")
     spark.stop()
   }

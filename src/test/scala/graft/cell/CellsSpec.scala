@@ -204,6 +204,16 @@ class CellsSpec extends AnyFunSuite {
       val g12 = Cells.geohash(lon, lat, 12)
       (1 to 11).foreach(p => assert(Cells.geohash(lon, lat, p) == g12.take(p)))
     }
+    // decode returns the cell CENTER: re-encoding it at the same (or any
+    // coarser) precision reproduces the hash exactly
+    (0 until 500).foreach { _ =>
+      val lon = -180.0 + 360.0 * frac(); val lat = -90.0 + 180.0 * frac()
+      val p = 1 + (frac() * 11).toInt
+      val g = Cells.geohash(lon, lat, p)
+      val (clon, clat) = Cells.geohashDecode(g)
+      assert(Cells.geohash(clon, clat, p) == g, s"roundtrip $g")
+      assert(math.abs(clon - lon) <= 360.0 / (1L << ((5 * p + 1) / 2)))
+    }
     // boundary clamps never throw or emit out-of-alphabet chars
     Seq((-180.0, -90.0), (180.0, 90.0), (0.0, 0.0), (179.9999999, 89.9999999))
       .foreach { case (lon, lat) =>
