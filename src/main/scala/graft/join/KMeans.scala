@@ -38,7 +38,10 @@ object KMeans {
 
   /** (idCol, lon, lat) → (id, cluster, lon, lat); cluster ∈ [0, k). */
   def cluster(points: DataFrame, idCol: String, k: Int, rounds: Int): DataFrame = {
-    require(k >= 1 && k <= 1024, s"k=$k out of [1,1024]")
+    // cap keeps the per-row argmin expression comfortably inside Janino
+    // method limits (k structs in one array literal); larger k belongs to
+    // AnnIndex's distributed Lloyd
+    require(k >= 1 && k <= 256, s"k=$k out of [1,256]")
     require(rounds >= 0, s"negative rounds $rounds")
     val pts = points.select(col(idCol).as("id"), col("lon"), col("lat")).persist()
     var cents = pts.orderBy("id").limit(k).collect()
