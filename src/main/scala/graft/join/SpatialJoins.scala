@@ -177,7 +177,7 @@ object SpatialJoins {
   /** Optional diagnostics for [[dbscan]] — filled when passed so specs can
     * assert the scale invariants (materialized pair rows stay linear in N
     * on dense data) without re-deriving internals. */
-  private[join] final class DbscanStats {
+  private[graft] final class DbscanStats {
     var ringPairRows: Long = -1L   // sparse-point × ring-cell refined pairs
     var denseCells: Long = -1L     // contracted all-core cells
     var gapChecks: Long = -1L      // dense-dense ring pairs needing exact work
