@@ -677,6 +677,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
 
+    // ---------------- discrete Fréchet distance (r5) ----------------
+    // Order-aware curve similarity (trajectory dedup): parallel edges →
+    // height; edge vs diagonal → height; edge vs its own REVERSAL → width
+    // (where Hausdorff is 0 — the order-awareness witness). Closed forms.
+    "q96_frechet" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      def line(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+        call_function("st_makeline", x1, y1, x2, y2)
+      val bottom = line(col("xmin"), col("ymin"), col("xmax"), col("ymin"))
+      val top = line(col("xmin"), col("ymax"), col("xmax"), col("ymax"))
+      val diag = line(col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+      val bottomRev = line(col("xmax"), col("ymin"), col("xmin"), col("ymin"))
+      GeoTables.zones(s, dir).select(col("zone_id"),
+        floor(call_function("st_frechet_distance", bottom, top) * 1e6 + 0.5)
+          .cast("bigint").as("par_u"),
+        floor(call_function("st_frechet_distance", bottom, diag) * 1e6 + 0.5)
+          .cast("bigint").as("diag_u"),
+        floor(call_function("st_frechet_distance", bottom, bottomRev) * 1e6 + 0.5)
+          .cast("bigint").as("rev_u"),
+        floor(call_function("st_hausdorff_distance", bottom, bottomRev) * 1e6 + 0.5)
+          .cast("bigint").as("rev_haus_u"))
+    }),
+
     // ---------------- the whole corpus pipeline, end to end (r5) --------
     // Quality gate → language gate → 128-bit near-dup dedup (keep one per
     // cluster) → content-stable md5 split → per-split doc/token budgets:
@@ -1680,6 +1703,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q93_kmeans" -> kmeansOracleSql(5, 2),
+    "q96_frechet" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR((ymax - ymin) * 1e6 + 0.5) AS BIGINT) AS par_u,
+         CAST(FLOOR((ymax - ymin) * 1e6 + 0.5) AS BIGINT) AS diag_u,
+         CAST(FLOOR((xmax - xmin) * 1e6 + 0.5) AS BIGINT) AS rev_u,
+         CAST(0 AS BIGINT) AS rev_haus_u
+         FROM $ZON""",
     "q95_pipeline_e2e" ->
       s"""WITH RECURSIVE surv AS (
            SELECT doc_id, source, sim_hi, sim_lo, bpe_tokens FROM $TFEAT

@@ -533,6 +533,43 @@ object Ops {
     * EuclideanDistanceToPoint (a vertex INSIDE the other polygon has
     * positive distance — DeepFuzz seed 77788899 caught the inside=0
     * variant diverging). */
+  /** Discrete Fréchet distance between two linestrings — the order-aware
+    * curve-similarity metric (trajectory dedup): the minimal leash length
+    * when both curves are traversed monotonically over their VERTICES
+    * (JTS DiscreteFrechetDistance / PostGIS ST_FrechetDistance
+    * densify=0 semantics). Iterative DP over the n×m vertex grid,
+    * row-rolling O(min-row) memory. */
+  def frechet(a: Geometry, b: Geometry): Double = {
+    def lineCoords(g: Geometry): Array[Double] = g match {
+      case l: LineString => l.coords
+      case p: Point => Array(p.x, p.y)
+      case zm: GeometryZM => lineCoords(zm.base)
+      case other => throw new IllegalArgumentException(
+        s"st_frechet_distance expects lineal/point inputs, got ${other.getClass.getSimpleName}")
+    }
+    val ca = lineCoords(a); val cb = lineCoords(b)
+    require(ca.length >= 2 && cb.length >= 2, "st_frechet_distance of an empty geometry")
+    val n = ca.length / 2; val m = cb.length / 2
+    @inline def d(i: Int, j: Int): Double =
+      math.hypot(ca(2 * i) - cb(2 * j), ca(2 * i + 1) - cb(2 * j + 1))
+    var prev = new Array[Double](m)
+    var cur = new Array[Double](m)
+    var j = 0
+    while (j < m) { prev(j) = math.max(if (j == 0) 0.0 else prev(j - 1), d(0, j)); j += 1 }
+    var i = 1
+    while (i < n) {
+      cur(0) = math.max(prev(0), d(i, 0))
+      j = 1
+      while (j < m) {
+        cur(j) = math.max(math.min(math.min(prev(j), prev(j - 1)), cur(j - 1)), d(i, j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m - 1)
+  }
+
   def hausdorff(a: Geometry, b: Geometry): Double = {
     def boundaryForm(g: Geometry): Geometry = g match {
       case p: Polygon => MultiLineString(p.rings)

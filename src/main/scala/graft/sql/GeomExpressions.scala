@@ -1176,6 +1176,14 @@ case class StAzimuth(children: Seq[Expression]) extends Expression
 }
 
 /** st_hausdorff_distance(a, b) → discrete (vertex-sampled) Hausdorff. */
+/** Discrete Fréchet distance (order-aware curve similarity). */
+case class StFrechet(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "frechet"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.frechet(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StHausdorff(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

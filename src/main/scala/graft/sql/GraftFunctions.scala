@@ -122,6 +122,7 @@ object GraftFunctions {
     "st_isclosed" -> (e => StIsClosed(e.head)),
     "st_azimuth" -> (e => StAzimuth(e)),
     "st_hausdorff_distance" -> (e => StHausdorff(e(0), e(1))),
+    "st_frechet_distance" -> (e => StFrechet(e(0), e(1))),
     "st_delaunay" -> (e => StDelaunay(e.head)),
     "st_line_interpolate_point" -> (e => StLineInterpolate(e(0), e(1))),
     "st_line_locate_point" -> (e => StLineLocate(e(0), e(1), e(2))),

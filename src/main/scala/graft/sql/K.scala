@@ -317,6 +317,7 @@ object K {
   def azimuthPlanar(x1: Double, y1: Double, x2: Double, y2: Double): Double =
     Ops.azimuthPlanar(x1, y1, x2, y2)
   def hausdorff(a: Array[Byte], b: Array[Byte]): Double = Ops.hausdorff(rd(a), rd(b))
+  def frechet(a: Array[Byte], b: Array[Byte]): Double = Ops.frechet(rd(a), rd(b))
   def lineInterpolate(b: Array[Byte], f: Double): Array[Byte] = wr(Ops.lineInterpolate(rdFull(b), f))
   def lineLocate(b: Array[Byte], x: Double, y: Double): Double = Ops.lineLocate(rd(b), x, y)
   def lineSubstring(b: Array[Byte], f1: Double, f2: Double): Array[Byte] =

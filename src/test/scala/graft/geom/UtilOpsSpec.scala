@@ -75,6 +75,30 @@ class UtilOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("discrete Fréchet parity vs JTS on random lines; order-awareness (r5)") {
+    var st = 13571113L
+    def frac(): Double = {
+      st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+      (st >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 200).foreach { _ =>
+      def randLine(): String = {
+        val n = 2 + (frac() * 6).toInt
+        s"LINESTRING (${Seq.fill(n)(s"${frac() * 20} ${frac() * 20}").mkString(", ")})"
+      }
+      val wa = randLine(); val wb = randLine()
+      val got = Ops.frechet(Wkt.read(wa), Wkt.read(wb))
+      val want = org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance
+        .distance(reader.read(wa), reader.read(wb))
+      assert(math.abs(got - want) < 1e-9, s"frechet($wa, $wb) got=$got want=$want")
+    }
+    // order-awareness: a segment vs its reversal is far in Fréchet, 0 in Hausdorff
+    val fwd = Wkt.read("LINESTRING (0 0, 8 0)")
+    val rev = Wkt.read("LINESTRING (8 0, 0 0)")
+    assert(Ops.frechet(fwd, rev) == 8.0 && Ops.hausdorff(fwd, rev) == 0.0)
+    intercept[IllegalArgumentException](Ops.frechet(fwd, Wkt.read("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
+  }
+
   test("linear referencing: interpolate/locate/substring invariants") {
     val path = Wkt.read("LINESTRING (0 0, 10 0, 10 5)") // L = 15
     // interpolate on each segment
