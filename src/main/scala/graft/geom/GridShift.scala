@@ -247,7 +247,14 @@ object GridShift {
 
   def cached(path: String): ShiftGrid = {
     val hit = cache.get(path)
-    if (hit != null) { hit.lastUsed.set(System.nanoTime()); return hit.grid }
+    if (hit != null) {
+      // coarse recency is enough for LRU: stamp at most ~once/ms so the
+      // per-row hot path doesn't ping-pong one cache line across cores
+      // (review r5 — AtomicLong.set is a full volatile store)
+      val now = System.nanoTime()
+      if (now - hit.lastUsed.get() > 1000000L) hit.lastUsed.lazySet(now)
+      return hit.grid
+    }
     loadLock.synchronized {
       val again = cache.get(path)
       if (again != null) { again.lastUsed.set(System.nanoTime()); again.grid }

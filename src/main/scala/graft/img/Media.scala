@@ -98,8 +98,11 @@ object Media {
       val w = getInt(b, 5); val h = getInt(b, 9); val fps = getInt(b, 13); val n = getInt(b, 17)
       (w, h, fps, n, if (fps == 0) 0L else n.toLong * 1000 / fps)
     } else if (b(4) == 3) {
-      val (rate, samples) = wavDecode(b)
-      val n = samples.length
+      // header-only: frame length + rate without reading the data chunk
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(b, 5, b.length - 5))
+      val rate = math.round(aff.getFormat.getSampleRate)
+      val n = aff.getFrameLength
       (0, 0, rate, n, if (rate == 0) 0L else n.toLong * 1000 / rate)
     } else {
       val rate = getInt(b, 5); val n = getInt(b, 9)
@@ -141,14 +144,7 @@ object Media {
       require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
         s"GMV1 wav payloads are PCM s16 LE mono, got $f")
       val bytes = ais.readAllBytes()
-      val n = bytes.length / 2
-      val samples = new Array[Short](n)
-      var i = 0
-      while (i < n) {
-        samples(i) = (((bytes(2 * i) & 0xFF)) | (bytes(2 * i + 1) << 8)).toShort
-        i += 1
-      }
-      (math.round(f.getSampleRate), samples)
+      (math.round(f.getSampleRate), s16le(bytes, 0, bytes.length / 2))
     } finally ais.close()
   }
 
@@ -175,7 +171,7 @@ object Media {
     * img_crop_rgb / img_resize / img_luma_mean unchanged. Coded frames
     * (kind 2) decode through ImageIO on the way out. */
   def frame(b: Array[Byte], i: Int): Array[Byte] = {
-    checkMagic(b); require(b(4) >= 1, "media_frame expects video")
+    checkMagic(b); require(b(4) == 1 || b(4) == 2, "media_frame expects video")
     val w = getInt(b, 5); val h = getInt(b, 9); val n = getInt(b, 17)
     require(i >= 0 && i < n, s"frame $i out of [0, $n)")
     if (b(4) == 1) {
@@ -195,21 +191,22 @@ object Media {
   /** Every `step`-th frame (0, step, 2·step, …) — the decimation shape a
     * frame-dedup or captioning pipeline runs before per-frame work. */
   def sampleFrames(b: Array[Byte], step: Int): Array[Array[Byte]] = {
-    checkMagic(b); require(b(4) >= 1, "media_frame_sample expects video")
+    checkMagic(b); require(b(4) == 1 || b(4) == 2, "media_frame_sample expects video")
     require(step > 0, "step must be positive")
     val n = getInt(b, 17)
     Array.range(0, n, step).map(frame(b, _))
   }
 
+  /** s16 little-endian decode — the one copy of the byte-pair idiom. */
+  private def s16le(b: Array[Byte], off: Int, n: Int): Array[Short] =
+    Array.tabulate(n)(i =>
+      (((b(off + 2 * i) & 0xFF)) | (b(off + 2 * i + 1) << 8)).toShort)
+
   /** PCM samples of an audio container (raw kind 0 or WAV kind 3). */
   def pcm(b: Array[Byte]): Array[Short] = {
     checkMagic(b); require(b(4) == 0 || b(4) == 3, "expects audio")
     if (b(4) == 3) wavDecode(b)._2
-    else {
-      val n = getInt(b, 9)
-      Array.tabulate(n)(i =>
-        (((b(13 + 2 * i) & 0xFF)) | (b(13 + 2 * i + 1) << 8)).toShort)
-    }
+    else s16le(b, 13, getInt(b, 9))
   }
 
   /** RMS per non-overlapping `win`-sample window (trailing partial window

@@ -130,6 +130,10 @@ class MediaSpec extends AnyFunSuite {
     assert(row.kind == "audio" && row.fmt == "wav" && Media.fmt(row.bytes) == "wav")
     val rawRow = graft.data.GeoTables.mediaRow(9)
     assert(rawRow.fmt == "pcm")
+    // WAV is audio: the frame surface must reject it LOUDLY, not parse
+    // 'WAVE' bytes as a frame count (review r5 #2)
+    intercept[IllegalArgumentException](Media.frame(b, 0))
+    intercept[IllegalArgumentException](Media.sampleFrames(b, 3))
   }
 
   test("malformed containers fail loudly") {
