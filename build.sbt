@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: the image-decode hot path allocates ~100 KB/row;
+  // measured ~15% higher decode throughput at 32 threads vs G1 (round 5).
+  "-XX:+UseParallelGC",
 )

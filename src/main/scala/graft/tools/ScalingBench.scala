@@ -29,6 +29,14 @@ object ScalingBench {
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // Split the scan so every config gets ~3.5 task waves. The sf0.5
+      // images table is ~3.5 GB in 32 files; the default 128 MB split makes
+      // exactly 32 input partitions = ONE wave at local[32] with zero
+      // straggler slack (decode cost varies per image), which capped the
+      // measured 8→32 speedup at ~2× on an otherwise clean host. On a real
+      // 100 TB cluster files ≫ cores makes this automatic; here we emulate
+      // it. 32 MB → ~110 scan tasks for both configs.
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -66,23 +74,40 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Fast host-ceiling probe (≈6 s): the 8→32 spin-scaling efficiency the
-    * host can currently express. Clean hosts show ≥0.75; a quota-collapsed
-    * co-tenant evening shows 0.13–0.22 (round-2/3 learnings). */
-  def probeCeiling(perThreadOps: Long = 400_000_000L): Double = {
-    val s8 = spinSeconds(8, perThreadOps)
-    val s32 = spinSeconds(32, perThreadOps)
-    (s8 / s32) / 4.0
+  /** Fast host-ceiling probe (≈6 s): the lo→hi spin-scaling efficiency the
+    * host can currently express. Clean hosts show ≥0.75 at 8→32; a
+    * quota-collapsed co-tenant evening shows 0.13–0.22 (round-2/3
+    * learnings). When the hypervisor quota itself is ~Q effective cores,
+    * a pair with hi ≤ Q can still express genuine scaling — which is why
+    * the pair is parameterized (round-5: the 8→32 ceiling sat at 0.20 for
+    * three sessions while 2→8 remained cleanly expressible). */
+  def probeCeiling(perThreadOps: Long = 400_000_000L, lo: Int = 8, hi: Int = 32): Double = {
+    val sLo = spinSeconds(lo, perThreadOps)
+    val sHi = spinSeconds(hi, perThreadOps)
+    // Each config does perThreadOps PER THREAD, so throughput_N = N*ops/t_N
+    // and the lo→hi throughput-scaling efficiency is
+    //   (hi*ops/sHi) / (lo*ops/sLo) / (hi/lo)  =  sLo / sHi.
+    // (Rounds 2–5 divided this by (hi/lo) again — a unit error that capped
+    // the reported "ceiling" at ~0.25 on a perfectly clean host and kept
+    // the ≥0.75 auto-gate from ever firing. The historical
+    // SCALING_RUNS.jsonl `host_spin_ceiling_eff` values before 2026-08-17
+    // are therefore 4× understated.)
+    sLo / sHi
   }
 
   def main(args: Array[String]): Unit = {
     val sfName = sys.env.getOrElse("SPARK_GRAFT_SCALE_SF", "sf0.5")
     val sfDir = s"/root/testdata/$sfName" // only the name matters to GeoTables
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    // N→4N pair under test: default 8→32; a quota-capped host (~Q effective
+    // cores) can still express a genuine 4× pair with hi ≤ Q, e.g. 2→8.
+    val loN = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
+    val hiN = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt
+    require(hiN == 4 * loN, s"pair must be N and 4N, got $loN/$hiN")
 
     if (args.contains("probe")) {
       // print the current ceiling and exit — cheap scheduling signal
-      println(f"""{"metric":"host_spin_ceiling_eff","value":${probeCeiling()}%.3f,"unit":"ratio"}""")
+      println(f"""{"metric":"host_spin_ceiling_eff","value":${probeCeiling(lo = loN, hi = hiN)}%.3f,"unit":"ratio","lo":$loN,"hi":$hiN}""")
       return
     }
 
@@ -97,11 +122,11 @@ object ScalingBench {
     val deadlineSecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_SECS", "21600").toLong
     if (minCeiling > 0) {
       val t0 = System.nanoTime()
-      var c = probeCeiling()
+      var c = probeCeiling(lo = loN, hi = hiN)
       while (c < minCeiling && (System.nanoTime() - t0) / 1e9 < deadlineSecs) {
         System.err.println(f"[scaling] host ceiling $c%.3f < $minCeiling%.2f — waiting 60 s")
         Thread.sleep(60000)
-        c = probeCeiling()
+        c = probeCeiling(lo = loN, hi = hiN)
       }
       System.err.println(f"[scaling] proceeding at host ceiling $c%.3f")
     }
@@ -120,40 +145,41 @@ object ScalingBench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    val s8 = buildSession(8)
-    var rows8 = job(s8, sfDir) // warm-up
-    s8.stop()
-    val s32 = buildSession(32)
-    var rows32 = job(s32, sfDir) // warm-up
-    s32.stop()
-    val all8 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val all32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sLoW = buildSession(loN)
+    var rowsLo = job(sLoW, sfDir) // warm-up
+    sLoW.stop()
+    val sHiW = buildSession(hiN)
+    var rowsHi = job(sHiW, sfDir) // warm-up
+    sHiW.stop()
+    val allLo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val allHi = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to runs).foreach { _ =>
-      Seq(8, 32).foreach { cpus =>
+      Seq(loN, hiN).foreach { cpus =>
         val s = buildSession(cpus)
         val g0 = gcMs
         val t0 = System.nanoTime()
         val rows = job(s, sfDir)
         val el = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scaling] cpus=$cpus t=$el%.1fs gc=${gcMs - g0}ms")
-        if (cpus == 8) { all8 += el; rows8 = rows } else { all32 += el; rows32 = rows }
+        if (cpus == loN) { allLo += el; rowsLo = rows } else { allHi += el; rowsHi = rows }
         s.stop()
       }
     }
-    val t8 = all8.sorted.apply(all8.length / 2)
-    val t32 = all32.sorted.apply(all32.length / 2)
+    val tLo = allLo.sorted.apply(allLo.length / 2)
+    val tHi = allHi.sorted.apply(allHi.length / 2)
 
-    val spin8a = spinSeconds(8)
-    val spin32a = spinSeconds(32)
-    val spin8b = spinSeconds(8)
-    val spin32b = spinSeconds(32)
-    val spinEff = ((spin8a + spin8b) / (spin32a + spin32b)) / 4.0
-    System.err.println(s"runs8=${all8.map(t => f"$t%.1f").mkString(",")} runs32=${all32.map(t => f"$t%.1f").mkString(",")}")
-    require(rows8 == rows32, s"row mismatch: $rows8 vs $rows32")
-    val thr8 = nImages / t8
-    val thr32 = nImages / t32
-    val eff = (thr32 / thr8) / 4.0
-    val line = f"""{"metric":"scaling_efficiency_8_to_32","value":$eff%.3f,"unit":"ratio","t8_sec":$t8%.2f,"t32_sec":$t32%.2f,"images_per_sec_8":${thr8.toLong},"images_per_sec_32":${thr32.toLong},"join_rows":$rows8,"n_images":$nImages,"sf":"$sfName","runs":$runs,"host_spin_ceiling_eff":$spinEff%.3f,"eff_vs_host_ceiling":${eff / spinEff}%.3f}"""
+    val spinLoA = spinSeconds(loN)
+    val spinHiA = spinSeconds(hiN)
+    val spinLoB = spinSeconds(loN)
+    val spinHiB = spinSeconds(hiN)
+    // per-thread-fixed work → efficiency = t_lo/t_hi (see probeCeiling)
+    val spinEff = (spinLoA + spinLoB) / (spinHiA + spinHiB)
+    System.err.println(s"runs$loN=${allLo.map(t => f"$t%.1f").mkString(",")} runs$hiN=${allHi.map(t => f"$t%.1f").mkString(",")}")
+    require(rowsLo == rowsHi, s"row mismatch: $rowsLo vs $rowsHi")
+    val thrLo = nImages / tLo
+    val thrHi = nImages / tHi
+    val eff = (thrHi / thrLo) / (hiN.toDouble / loN)
+    val line = f"""{"metric":"scaling_efficiency_${loN}_to_$hiN","value":$eff%.3f,"unit":"ratio","t${loN}_sec":$tLo%.2f,"t${hiN}_sec":$tHi%.2f,"images_per_sec_$loN":${thrLo.toLong},"images_per_sec_$hiN":${thrHi.toLong},"join_rows":$rowsLo,"n_images":$nImages,"sf":"$sfName","runs":$runs,"host_spin_ceiling_eff":$spinEff%.3f,"eff_vs_host_ceiling":${eff / spinEff}%.3f}"""
     println(line)
     // persist every attempt — the gate evidence survives the session
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING_RUNS.jsonl"), line + "\n",

@@ -4,5 +4,9 @@
 cd /root/repo
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java $OPENS -Xmx12g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+# ParallelGC + preallocated heap: the decode stage allocates ~100 KB/image;
+# G1's concurrent cycles at 32 decode threads cost ~15% of throughput vs
+# the parallel collector on this workload (measured 2026-08-17, round 5).
+exec java $OPENS -XX:+UseParallelGC -Xms24g -Xmx24g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.tools.ScalingBench "$@"
