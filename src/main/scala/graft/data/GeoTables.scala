@@ -34,7 +34,12 @@ object GeoTables {
     val n = sfName(sfDir)
     try n.stripPrefix("sf").toDouble catch { case _: NumberFormatException => 0.01 }
   }
-  def baseDir(sfDir: String): String = s"/tmp/graft_geo/${sfName(sfDir)}"
+  /** Fixture-cache GENERATION: bump whenever generated CONTENT semantics
+    * change (e.g. the pHash DCT went separable in round 5, which can move
+    * coefficient/median ties by an ulp) so every cached scale factor
+    * regenerates in lockstep with the code that verifies it. */
+  val GEN = "g2"
+  def baseDir(sfDir: String): String = s"/tmp/graft_geo/$GEN/${sfName(sfDir)}"
   def imagesPath(sfDir: String): String = s"${baseDir(sfDir)}/images.parquet"
   def zonesPath(sfDir: String): String = s"${baseDir(sfDir)}/zones.parquet"
 

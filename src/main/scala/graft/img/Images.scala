@@ -51,8 +51,18 @@ object Images {
     }
   }
 
-  /** Decode to packed RGB bytes (3 bytes/pixel, row-major). Returns (w, h, rgb). */
+  /** Decode to packed RGB bytes (3 bytes/pixel, row-major). Returns (w, h, rgb).
+    * 8-bit RGB non-interlaced PNG takes the allocation-lean [[FastPng]] path
+    * (bit-identical — PNG is lossless, FastPngSpec pins ImageIO equality);
+    * everything else decodes through ImageIO. */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') {
+      val d = FastPng.dims(bytes)
+      if (d != null) {
+        val fast = FastPng.decodeRgb(bytes)
+        if (fast != null) return (d(0), d(1), fast)
+      }
+    }
     val img = decodeImage(bytes)
     if (img == null) throw new IllegalArgumentException("undecodable image bytes")
     val w = img.getWidth; val h = img.getHeight
@@ -137,22 +147,44 @@ object Images {
     g
   }
 
-  /** Top-left K×K block of the 2D DCT-II of the 32×32 gray image. */
+  /** Top-left K×K block of the 2D DCT-II of the 32×32 gray image.
+    * Separable two-pass form — k·N² + k²·N multiply-adds instead of the
+    * naive k²·N² (6× fewer for k=8, 10× for k=16; the naive form was 45%
+    * of the whole decode+hash budget). The summation order differs from
+    * the naive double loop by O(1e-13) relative — hash bits only move on
+    * exact coefficient-vs-median ties, which the AC median (average of
+    * two order statistics of irrational-weighted sums) doesn't produce
+    * on real images; the fixture corpus is regenerated with the hash
+    * implementation in lockstep either way. */
   private def dctBlock(g: Array[Double], k: Int): Array[Double] = {
-    val coef = new Array[Double](k * k)
+    // pass 1: rows[u][x] = Σ_y c(u,y) · g(y,x)
+    val rows = new Array[Double](k * PHASH_N)
     var u = 0
+    while (u < k) {
+      var x = 0
+      while (x < PHASH_N) {
+        var s = 0.0
+        var y = 0
+        while (y < PHASH_N) {
+          s += dctTable(u * PHASH_N + y) * g(y * PHASH_N + x)
+          y += 1
+        }
+        rows(u * PHASH_N + x) = s
+        x += 1
+      }
+      u += 1
+    }
+    // pass 2: coef[u][v] = Σ_x rows[u][x] · c(v,x)
+    val coef = new Array[Double](k * k)
+    u = 0
     while (u < k) {
       var v = 0
       while (v < k) {
         var s = 0.0
-        var y = 0
-        while (y < PHASH_N) {
-          var x = 0
-          while (x < PHASH_N) {
-            s += g(y * PHASH_N + x) * dctTable(u * PHASH_N + y) * dctTable(v * PHASH_N + x)
-            x += 1
-          }
-          y += 1
+        var x = 0
+        while (x < PHASH_N) {
+          s += rows(u * PHASH_N + x) * dctTable(v * PHASH_N + x)
+          x += 1
         }
         coef(u * k + v) = s
         v += 1
