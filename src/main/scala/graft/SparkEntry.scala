@@ -700,6 +700,29 @@ object SparkEntry {
           .cast("bigint").as("rev_haus_u"))
     }),
 
+    // ---------------- hex density binning (r5) ----------------
+    // The heatmap/density aggregation users reach for next to the square
+    // tile grid: one codegen'd st_hexbin + groupBy IS the whole job (no
+    // neighbor structure, no join — row-parallel then one shuffle on the
+    // bin key, the shape that scales to 10^12 points unchanged). The
+    // DuckDB oracle replays the cube-rounding closed form bit-exactly
+    // (Cells.hexbinSqlFrom, the mortonSqlExpr lock-step contract).
+    "q97_hexbin" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val sz = 2.5 // circumradius in degrees of the lon/lat plane
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .withColumn("hex", call_function("st_hexbin", col("lon"), col("lat"), lit(sz)))
+        .groupBy("hex")
+        .agg(count(lit(1)).as("n_images"))
+        .select(shiftright(col("hex"), 32).as("hex_q"),
+          shiftright(shiftleft(col("hex"), 32), 32).as("hex_r"),
+          col("n_images"),
+          floor(call_function("st_hexbin_centerx", col("hex"), lit(sz)) * 1e6)
+            .cast("bigint").as("cx_u"),
+          floor(call_function("st_hexbin_centery", col("hex"), lit(sz)) * 1e6)
+            .cast("bigint").as("cy_u"))
+    }),
+
     // ---------------- the whole corpus pipeline, end to end (r5) --------
     // Quality gate → language gate → 128-bit near-dup dedup (keep one per
     // cluster) → content-stable md5 split → per-split doc/token budgets:
@@ -1710,6 +1733,13 @@ object SparkEntry {
          CAST(FLOOR((xmax - xmin) * 1e6 + 0.5) AS BIGINT) AS rev_u,
          CAST(0 AS BIGINT) AS rev_haus_u
          FROM $ZON""",
+    "q97_hexbin" ->
+      s"""SELECT CAST(hex_fq AS BIGINT) AS hex_q, CAST(hex_fr AS BIGINT) AS hex_r,
+         COUNT(*) AS n_images,
+         CAST(FLOOR(((2.5 * SQRT(3)) * (hex_fq + hex_fr/2)) * 1e6) AS BIGINT) AS cx_u,
+         CAST(FLOOR(((2.5 * 1.5) * hex_fr) * 1e6) AS BIGINT) AS cy_u
+         FROM ${graft.cell.Cells.hexbinSqlFrom(IMG, "lon", "lat", 2.5)} hx
+         GROUP BY hex_fq, hex_fr""",
     "q95_pipeline_e2e" ->
       s"""WITH RECURSIVE surv AS (
            SELECT doc_id, source, sim_hi, sim_lo, bpe_tokens FROM $TFEAT

@@ -198,6 +198,82 @@ object Cells {
     out.toArray
   }
 
+  // ---------------- hex tessellation (r5) ----------------
+  //
+  // Pointy-top hexagonal binning over an arbitrary planar (x, y) frame —
+  // the standard density-aggregation complement to the square Morton grid
+  // (one codegen'd expression + groupBy = the whole heatmap job; no
+  // neighbor structure is ever materialized). Axial coordinates (q, r)
+  // with circumradius `size`; cube-rounding resolves the nearest hex
+  // center. The id packs q in the high and r in the low 32 bits.
+  //
+  // Oracle contract (same as mortonSqlExpr): hexbinSqlExpr mirrors the
+  // EXACT IEEE operation order below, so DuckDB reproduces the packed id
+  // bit-for-bit. Rounding is floor(v + 0.5) on both sides — no reliance
+  // on either engine's ROUND tie semantics (advisor r4, q74 finding).
+
+  def hexbin(x: Double, y: Double, size: Double): Long = {
+    val qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    val rf = (2.0 / 3.0 * y) / size
+    val cy = -qf - rf
+    var rx = math.floor(qf + 0.5)
+    var ry = math.floor(cy + 0.5)
+    var rz = math.floor(rf + 0.5)
+    val dx = math.abs(rx - qf)
+    val dy = math.abs(ry - cy)
+    val dz = math.abs(rz - rf)
+    if (dx > dy && dx > dz) rx = -ry - rz
+    else if (dy > dz) ry = -rx - rz
+    else rz = -rx - ry
+    (rx.toLong << 32) | (rz.toLong & 0xFFFFFFFFL)
+  }
+
+  @inline def hexQ(id: Long): Int = (id >> 32).toInt
+  @inline def hexR(id: Long): Int = id.toInt
+
+  def hexCenterX(id: Long, size: Double): Double =
+    size * math.sqrt(3.0) * (hexQ(id) + hexR(id) / 2.0)
+  def hexCenterY(id: Long, size: Double): Double = size * 1.5 * hexR(id)
+
+  /** The hexagon polygon of a bin (6 vertices, pointy-top, CCW, closed). */
+  def hexPolygon(id: Long, size: Double): graft.geom.Polygon = {
+    val cx = hexCenterX(id, size); val cy = hexCenterY(id, size)
+    val ring = new Array[Double](14)
+    var i = 0
+    while (i < 6) {
+      val a = math.Pi / 180.0 * (60.0 * i - 30.0)
+      // CCW in a y-up frame; vertex 0 at angle -30° (pointy top at +90°)
+      ring(2 * i) = cx + size * math.cos(a)
+      ring(2 * i + 1) = cy + size * math.sin(a)
+      i += 1
+    }
+    ring(12) = ring(0); ring(13) = ring(1)
+    graft.geom.Polygon(Array(ring))
+  }
+
+  /**
+   * DuckDB SQL mirror of [[hexbin]]: a derived table over `src` exposing
+   * all of `src`'s columns plus integral-double `hex_fq`/`hex_fr` (the
+   * axial bin coordinates) — identical operation order to the Scala, so
+   * the bins hash-compare bit-exactly (mortonSqlExpr contract). The fix-up
+   * step mirrors the branch structure: only the branch actually taken
+   * rewrites its coordinate; (q, r) = (rx, rz) where case A rewrites rx
+   * and case C rewrites rz (case B rewrites ry, which (q, r) never reads).
+   */
+  def hexbinSqlFrom(src: String, xCol: String, yCol: String, size: Double): String =
+    s"""(SELECT * ,
+           CASE WHEN ABS(rx - qf) > ABS(ry - cy) AND ABS(rx - qf) > ABS(rz - rf)
+                THEN -ry - rz ELSE rx END AS hex_fq,
+           CASE WHEN NOT (ABS(rx - qf) > ABS(ry - cy) AND ABS(rx - qf) > ABS(rz - rf))
+                 AND NOT (ABS(ry - cy) > ABS(rz - rf))
+                THEN -rx - ry ELSE rz END AS hex_fr
+         FROM (SELECT * , FLOOR(qf + 0.5) AS rx, FLOOR(cy + 0.5) AS ry, FLOOR(rf + 0.5) AS rz
+               FROM (SELECT * ,
+                       (SQRT(3)/3 * ($xCol) - ($yCol)/3) / ($size) AS qf,
+                       (2.0/3 * ($yCol)) / ($size) AS rf,
+                       -((SQRT(3)/3 * ($xCol) - ($yCol)/3) / ($size)) - ((2.0/3 * ($yCol)) / ($size)) AS cy
+                     FROM $src) h0) h1)"""
+
   /**
    * DuckDB-compatible ANSI SQL expression computing `cellId(lon, lat, L)`
    * (used to build oracle queries; keeps the engine and the oracle in

@@ -1434,3 +1434,66 @@ case class StNumGeometries(child: Expression) extends UnaryExpression with Expec
     defineCodeGen(ctx, ev, c => s"graft.sql.K.numGeometries($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+// ---------------- hex tessellation + tile envelopes (r5) ----------------
+
+/** Packed pointy-top hex bin id of a planar point (q<<32 | r). */
+case class StHexbin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.hexbin(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.hexbin($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+case class StHexbinCenterX(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.hexCenterX(a.asInstanceOf[Long], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.hexCenterX($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class StHexbinCenterY(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.hexCenterY(a.asInstanceOf[Long], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.hexCenterY($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+/** The hexagon polygon of a bin id (vector-tile/geojson emission path). */
+case class StHexbinGeom(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.hexbinGeom(a.asInstanceOf[Long], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.hexbinGeom($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+/** Lon/lat envelope polygon of slippy tile (z, x, y) — ST_TileEnvelope. */
+case class StTileEnvelope(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.tileEnvelope(a.asInstanceOf[Int], b.asInstanceOf[Long], c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.tileEnvelope($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}

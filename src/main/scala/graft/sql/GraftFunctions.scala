@@ -145,6 +145,11 @@ object GraftFunctions {
     "st_cell_parent" -> (e => StCellParent(e(0), e(1), e(2))),
     "st_cell_envelope" -> (e => StCellEnvelope(e(0), e(1))),
     "st_cover" -> (e => StCover(e(0), e(1))),
+    "st_hexbin" -> (e => StHexbin(e(0), e(1), e(2))),
+    "st_hexbin_centerx" -> (e => StHexbinCenterX(e(0), e(1))),
+    "st_hexbin_centery" -> (e => StHexbinCenterY(e(0), e(1))),
+    "st_hexbin_geom" -> (e => StHexbinGeom(e(0), e(1))),
+    "st_tile_envelope" -> (e => StTileEnvelope(e(0), e(1), e(2))),
     "st_cell_ring" -> (e => StCellRing(e(0), e(1), e(2))),
     "st_cellid_norm" -> (e => StCellIdNorm(e(0), e(1), e(2))),
     "st_morton" -> (e => StMorton(e(0), e(1))),

@@ -436,6 +436,26 @@ object K {
     Cells.cover(Env(xmin, ymin, xmax, ymax).toPolygon, level)
   def cellRing(cell: Long, level: Int, r: Int): Array[Long] = Cells.ring(cell, level, r)
 
+  // ---- hex tessellation (r5; the density-binning complement to the square
+  // Morton grid — pointy-top axial coordinates, `size` = circumradius in the
+  // input plane's units). Every step is closed-form double arithmetic whose
+  // operation ORDER mirrors Cells.hexbinSqlExpr exactly, so the DuckDB
+  // oracle reproduces the packed ids bit-for-bit (mortonSqlExpr contract).
+  def hexbin(x: Double, y: Double, size: Double): Long = Cells.hexbin(x, y, size)
+  def hexCenterX(id: Long, size: Double): Double = Cells.hexCenterX(id, size)
+  def hexCenterY(id: Long, size: Double): Double = Cells.hexCenterY(id, size)
+  def hexbinGeom(id: Long, size: Double): Array[Byte] = wr(Cells.hexPolygon(id, size))
+  /** Web-mercator lon/lat envelope polygon of slippy tile (z, x, y) —
+    * PostGIS ST_TileEnvelope's role for vector-tile generation. */
+  def tileEnvelope(z: Int, x: Long, y: Long): Array[Byte] = {
+    require(z >= 0 && z <= Cells.MAX_LEVEL, s"tile zoom $z out of range")
+    val n = (1L << z).toDouble
+    require(x >= 0 && x < (1L << z) && y >= 0 && y < (1L << z), s"tile ($x,$y) out of range at z=$z")
+    val env = Env(Cells.tileXToLon(x / n), Cells.tileYToLat((y + 1) / n),
+      Cells.tileXToLon((x + 1) / n), Cells.tileYToLat(y / n))
+    wr(env.toPolygon)
+  }
+
   // ---- structural accessors (r3 API completeness) ----
   def exteriorRing(b: Array[Byte]): Array[Byte] = rd(b) match {
     case p: Polygon => if (p.isEmpty) wr(LineString(Array.empty)) else wr(LineString(p.rings(0)))

@@ -120,7 +120,8 @@ object ScalingBench {
     // default wait: 6 h — a gate with a ceiling but a zero deadline would
     // silently run throttled immediately, defeating its purpose (review r4)
     val deadlineSecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_SECS", "21600").toLong
-    if (minCeiling > 0) {
+    val pairGated = sys.env.get("SPARK_GRAFT_SCALE_PAIRGATE").contains("1")
+    if (minCeiling > 0 && !pairGated) {
       val t0 = System.nanoTime()
       var c = probeCeiling(lo = loN, hi = hiN)
       while (c < minCeiling && (System.nanoTime() - t0) / 1e9 < deadlineSecs) {
@@ -136,6 +137,64 @@ object ScalingBench {
     GeoTables.ensure(gen, sfDir)
     val nImages = GeoTables.nImages(sfDir)
     gen.stop()
+
+    // PAIR-GATED protocol (round 5): the host's expressible ceiling swings
+    // 0.2→0.9 minute-to-minute, so a 4-minute session-level gate routinely
+    // opens clean and closes dirty (r5 logs: ceiling 0.85 at fire time,
+    // one 46 s straggler run mid-protocol). Instead, bracket EACH timed
+    // (N, 4N) pair with its own ~3 s spin probes and accept the pair only
+    // if BOTH probes clear minCeiling — every accepted measurement then
+    // sits inside a verified-clean ~40 s window. Median over accepted
+    // pairs is the datum.
+    if (pairGated && minCeiling > 0) {
+      val warm = buildSession(hiN)
+      val rowsW = job(warm, sfDir) // JIT + page-cache warm
+      warm.stop()
+      val warmLo = buildSession(loN)
+      job(warmLo, sfDir)
+      warmLo.stop()
+      final case class Pair(tLo: Double, tHi: Double, cPre: Double, cPost: Double)
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Pair]
+      val t0 = System.nanoTime()
+      var attempts = 0
+      while (accepted.length < runs && (System.nanoTime() - t0) / 1e9 < deadlineSecs) {
+        val cPre = probeCeiling(200_000_000L, loN, hiN)
+        if (cPre < minCeiling) {
+          System.err.println(f"[pairgate] pre-ceiling $cPre%.3f < $minCeiling%.2f — wait 30 s")
+          Thread.sleep(30000)
+        } else {
+          attempts += 1
+          val sLo = buildSession(loN)
+          val tA = System.nanoTime(); val rLo = job(sLo, sfDir)
+          val tLo = (System.nanoTime() - tA) / 1e9
+          sLo.stop()
+          val sHi = buildSession(hiN)
+          val tB = System.nanoTime(); val rHi = job(sHi, sfDir)
+          val tHi = (System.nanoTime() - tB) / 1e9
+          sHi.stop()
+          require(rLo == rHi && rLo == rowsW, s"row mismatch: $rLo vs $rHi vs $rowsW")
+          val cPost = probeCeiling(200_000_000L, loN, hiN)
+          val eff = (tLo / tHi) / (hiN.toDouble / loN)
+          if (cPost >= minCeiling) {
+            accepted += Pair(tLo, tHi, cPre, cPost)
+            System.err.println(f"[pairgate] ACCEPT t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f (pre=$cPre%.2f post=$cPost%.2f)")
+          } else {
+            System.err.println(f"[pairgate] reject t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f — post-ceiling $cPost%.3f dirty")
+          }
+        }
+      }
+      if (accepted.isEmpty) { System.err.println("[pairgate] no clean pairs before deadline"); return }
+      val effs = accepted.map(p => (p.tLo / p.tHi) / (hiN.toDouble / loN)).sorted
+      val eff = effs(effs.length / 2)
+      val tLo = accepted.map(_.tLo).sorted.apply(accepted.length / 2)
+      val tHi = accepted.map(_.tHi).sorted.apply(accepted.length / 2)
+      val cMin = accepted.flatMap(p => Seq(p.cPre, p.cPost)).min
+      val line = f"""{"metric":"scaling_efficiency_${loN}_to_$hiN","value":$eff%.3f,"unit":"ratio","t${loN}_sec":$tLo%.2f,"t${hiN}_sec":$tHi%.2f,"images_per_sec_$loN":${(nImages / tLo).toLong},"images_per_sec_$hiN":${(nImages / tHi).toLong},"join_rows":$rowsW,"n_images":$nImages,"sf":"$sfName","runs":${accepted.length},"protocol":"pair_gated","attempts":$attempts,"host_spin_ceiling_eff":$cMin%.3f,"eff_vs_host_ceiling":${eff / cMin}%.3f}"""
+      println(line)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING_RUNS.jsonl"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      return
+    }
 
     // INTERLEAVED protocol (round-2 revision): alternate 8-core and 32-core
     // timed runs within one session so co-tenant noise bursts penalize both

@@ -113,6 +113,20 @@ object Smoke {
              st_geohash(-5.603D, 42.605D, 5) AS gh
     """).show(20, 60)
 
+    // r5 late surface: hex density binning + slippy-tile envelopes
+    spark.sql("""
+      SELECT st_hexbin(12.5D, 41.9D, 2.5D) AS hex,
+             round(st_hexbin_centerx(st_hexbin(12.5D, 41.9D, 2.5D), 2.5D), 3) AS hcx,
+             round(st_hexbin_centery(st_hexbin(12.5D, 41.9D, 2.5D), 2.5D), 3) AS hcy,
+             st_hexbin(st_hexbin_centerx(st_hexbin(12.5D, 41.9D, 2.5D), 2.5D),
+                       st_hexbin_centery(st_hexbin(12.5D, 41.9D, 2.5D), 2.5D), 2.5D)
+               = st_hexbin(12.5D, 41.9D, 2.5D) AS hex_roundtrip,
+             round(st_area(st_hexbin_geom(st_hexbin(12.5D, 41.9D, 2.5D), 2.5D)), 4) AS hex_area,
+             st_aswkt(st_tile_envelope(2, 2L, 1L)) AS tile_env,
+             st_contains(st_tile_envelope(8, st_tile_x(12.5D, 8), st_tile_y(41.9D, 8)),
+                         st_point(12.5D, 41.9D)) AS tile_contains
+    """).show(20, 80)
+
     println("SMOKE OK")
     spark.stop()
   }

@@ -221,4 +221,56 @@ class CellsSpec extends AnyFunSuite {
         assert(g.length == 12 && g.forall("0123456789bcdefghjkmnpqrstuvwxyz".contains(_)))
       }
   }
+
+  test("hexbin assigns the nearest hex center (r5)") {
+    val sizes = Seq(0.013, 1.0, 2.5, 47.0)
+    (0 until N).foreach { i =>
+      val s = sizes(i % sizes.length)
+      val x = (frac() - 0.5) * 300.0; val y = (frac() - 0.5) * 160.0
+      val id = Cells.hexbin(x, y, s)
+      val cx = Cells.hexCenterX(id, s); val cy = Cells.hexCenterY(id, s)
+      val d0 = math.hypot(x - cx, y - cy)
+      // within the circumradius of the assigned bin...
+      assert(d0 <= s + 1e-9, s"point ($x,$y) size $s dist $d0")
+      // ...and no neighboring bin center is strictly closer
+      val q = Cells.hexQ(id); val r = Cells.hexR(id)
+      for (dq <- -2 to 2; dr <- -2 to 2 if dq != 0 || dr != 0) {
+        val nid = ((q + dq).toLong << 32) | ((r + dr).toLong & 0xFFFFFFFFL)
+        val d = math.hypot(x - Cells.hexCenterX(nid, s), y - Cells.hexCenterY(nid, s))
+        assert(d >= d0 - 1e-9, s"neighbor ($dq,$dr) closer: $d < $d0")
+      }
+    }
+  }
+
+  test("hexbin center round-trips to its own bin; ids pack/unpack (r5)") {
+    (0 until N).foreach { _ =>
+      val s = 0.5 + 3.0 * frac()
+      val x = (frac() - 0.5) * 300.0; val y = (frac() - 0.5) * 160.0
+      val id = Cells.hexbin(x, y, s)
+      assert(Cells.hexbin(Cells.hexCenterX(id, s), Cells.hexCenterY(id, s), s) == id)
+      // negative-coordinate packing round-trip
+      val q = Cells.hexQ(id); val r = Cells.hexR(id)
+      assert(((q.toLong << 32) | (r.toLong & 0xFFFFFFFFL)) == id)
+    }
+  }
+
+  test("hexPolygon tiles the bin: area + vertex membership (r5)") {
+    val s = 2.5
+    (0 until 200).foreach { _ =>
+      val x = (frac() - 0.5) * 300.0; val y = (frac() - 0.5) * 160.0
+      val id = Cells.hexbin(x, y, s)
+      val hexp = Cells.hexPolygon(id, s)
+      // area of a regular hexagon with circumradius s
+      assert(math.abs(graft.geom.Ops.area(hexp) - 3.0 * math.sqrt(3.0) / 2.0 * s * s) < 1e-9)
+      val cx = Cells.hexCenterX(id, s); val cy = Cells.hexCenterY(id, s)
+      assert(graft.geom.Pred.intersects(graft.geom.Point(cx, cy), hexp))
+      // points just inside each vertex still bin to this hex
+      val ring = hexp.rings(0)
+      (0 until 6).foreach { k =>
+        val px = cx + (ring(2 * k) - cx) * 0.999
+        val py = cy + (ring(2 * k + 1) - cy) * 0.999
+        assert(Cells.hexbin(px, py, s) == id, s"vertex $k of bin $id")
+      }
+    }
+  }
 }
