@@ -155,6 +155,16 @@ object SparkEntry {
       SpatialJoins.pipJoin(GeoTables.images(s, dir), GeoTables.zones(s, dir), level = 8)
         .select(col("zone_id"), col("image_id"))
     }),
+    // compact multi-level cover PIP join (r5): identical row set to q07,
+    // but the zone side explodes to a perimeter-bound (coarse-interior +
+    // fine-boundary) disjoint cover instead of a single fine level — the
+    // layout that keeps continent-sized zones broadcastable at fine
+    // refinement levels (see SpatialJoins.pipJoinCompact scaladoc)
+    "q98_pip_compact" -> ((s, dir) => {
+      SpatialJoins.pipJoinCompact(GeoTables.images(s, dir), GeoTables.zones(s, dir),
+        minLevel = 5, maxLevel = 12)
+        .select(col("zone_id"), col("image_id"))
+    }),
     // polygon × polygon intersects join (zones vs zones, r4 late): cell
     // covers on BOTH sides → shuffle equi-join on cell → pair dedup →
     // exact refine; no broadcast requirement on either side
@@ -1805,6 +1815,10 @@ object SparkEntry {
       s"""SELECT image_id, ${graft.cell.Cells.mortonSqlExpr("lon", "lat", 12)} AS cell12
          FROM $IMG""",
     "q07_pip_join" ->
+      s"""SELECT z.zone_id, i.image_id
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax""",
+    "q98_pip_compact" ->
       s"""SELECT z.zone_id, i.image_id
          FROM $IMG i JOIN $ZON z
            ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax""",

@@ -172,6 +172,76 @@ object Cells {
     case _ => false
   }
 
+  // ---------------- compact (multi-level) covers (r5) ----------------
+  //
+  // S2-style interior compaction: a single-level cover of a polygon costs
+  // O(area / cellArea(L)) rows — at the fine levels big-geometry joins
+  // want, that is the dominant shuffle/broadcast cost (a continent-sized
+  // zone at level 14 is ~10^6 cells). The compact cover instead keeps any
+  // coarse cell FULLY INSIDE the geometry at its coarse level and refines
+  // only boundary-crossing cells, so the row count is O(perimeter /
+  // cellSize(maxLevel) + area / cellArea(minLevel)) — perimeter-bound,
+  // not area-bound. Cells are packed as (cellId << 5) | level (levels
+  // 0..28: cellId < 2^56, so the shift never overflows a Long).
+  //
+  // Disjointness invariant (CompactCoverSpec): the emitted cells PARTITION
+  // the covered region — a quadtree node is emitted XOR recursed into —
+  // so a point's ancestor chain meets the cover in AT MOST one cell and
+  // a join on packed ids preserves exact bag multiplicity with no dedup.
+
+  val COMPACT_MAX_LEVEL = 28
+
+  @inline def packCell(cell: Long, level: Int): Long = (cell << 5) | level
+  @inline def packedCell(p: Long): Long = p >>> 5
+  @inline def packedLevel(p: Long): Int = (p & 31L).toInt
+
+  def compactCover(g: Geometry, minLevel: Int, maxLevel: Int,
+                   maxCells: Int = 1 << 20): Array[Long] = {
+    require(minLevel >= 0 && minLevel <= maxLevel && maxLevel <= COMPACT_MAX_LEVEL,
+      s"compact cover levels out of range: $minLevel..$maxLevel (cap $COMPACT_MAX_LEVEL)")
+    val env = g.envelope
+    if (env.isEmpty) return Array.empty
+    val out = new ArrayBuffer[Long]()
+    def rec(cell: Long, lvl: Int): Unit = {
+      val ce = cellEnvelope(cell, lvl).toPolygon
+      if (!Pred.intersects(ce, g)) return
+      if (lvl == maxLevel || Pred.contains(g, ce)) {
+        if (out.length >= maxCells)
+          throw new IllegalArgumentException(
+            s"st_cover_compact would exceed $maxCells cells at levels $minLevel..$maxLevel; use coarser levels")
+        out += packCell(cell, lvl)
+      } else {
+        var c = 0L
+        while (c < 4) { rec((cell << 2) | c, lvl + 1); c += 1 }
+      }
+    }
+    // seed from the envelope's minLevel tile range (same guard as cover())
+    val x0 = tileX(env.xmin, minLevel); val x1 = tileX(env.xmax, minLevel)
+    val y0 = tileY(env.ymax, minLevel); val y1 = tileY(env.ymin, minLevel)
+    if ((x1 - x0 + 1) * (y1 - y0 + 1) > maxCells.toLong)
+      throw new IllegalArgumentException(
+        s"st_cover_compact minLevel $minLevel spans more than $maxCells seed cells; use a coarser minLevel")
+    var ty = y0
+    while (ty <= y1) {
+      var tx = x0
+      while (tx <= x1) { rec(morton(tx, ty), minLevel); tx += 1 }
+      ty += 1
+    }
+    out.toArray
+  }
+
+  /** The packed ancestor chain of a level-`level` cell down to minLevel —
+    * the point-side keys that meet a disjoint compact cover in ≤1 cell. */
+  def cellAncestors(cell: Long, level: Int, minLevel: Int): Array[Long] = {
+    require(minLevel >= 0 && minLevel <= level && level <= COMPACT_MAX_LEVEL,
+      s"ancestor levels out of range: $minLevel..$level")
+    val out = new Array[Long](level - minLevel + 1)
+    var l = level
+    var c = cell
+    while (l >= minLevel) { out(level - l) = packCell(c, l); c >>>= 2; l -= 1 }
+    out
+  }
+
   /** Neighboring cells at ring distance r around a cell (Chebyshev ring). */
   def ring(cell: Long, level: Int, r: Int): Array[Long] = {
     if (r == 0) return Array(cell)

@@ -61,6 +61,40 @@ object SpatialJoins {
   }
 
   /**
+   * PIP join over a COMPACT multi-level cover (r5; S2-style interior
+   * compaction, Cells.compactCover). Same one-scan shape as [[pipJoin]],
+   * but the zone side explodes to O(perimeter/cellSize(maxLevel) +
+   * area/cellArea(minLevel)) rows instead of O(area/cellArea(level)) —
+   * at the fine levels big zones want, that is the difference between a
+   * broadcastable cover and an area-bound shuffle (a continent at level
+   * 14 is ~10^6 single-level cells but ~10^3 compact ones). The point
+   * side pays one st_cellid at maxLevel plus an explode over its
+   * (maxLevel-minLevel+1)-entry ancestor chain; because the compact
+   * cover cells are DISJOINT (quadtree node emitted XOR recursed), each
+   * point meets each zone's cover in at most one cell — exact bag
+   * multiplicity with no dedup step.
+   */
+  def pipJoinCompact(images: DataFrame, zones: DataFrame,
+                     minLevel: Int = 6, maxLevel: Int = 12,
+                     broadcastMaxZones: Long = 100000): DataFrame = {
+    val spark = images.sparkSession
+    GraftFunctions.install(spark)
+    val pts = images.withColumn("pk", explode(call_function("st_cell_ancestors",
+      call_function("st_cellid", col("lon"), col("lat"), lit(maxLevel)),
+      lit(maxLevel), lit(minLevel))))
+    val coverRaw = zones
+      .withColumn("zone_geom", call_function("st_geomfromwkt", col("wkt")))
+      .withColumn("pk", explode(call_function("st_cover_compact",
+        col("zone_geom"), lit(minLevel), lit(maxLevel))))
+      .select(col("zone_id"), col("zone_geom"), col("pk"))
+    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
+      .count() <= broadcastMaxZones
+    val cover = if (few) broadcast(coverRaw) else coverRaw
+    pts.join(cover, "pk")
+      .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
+  }
+
+  /**
    * Fixed-radius distance join ("all images within d of each zone") —
    * the most common production spatial-join predicate (judge r4 missing
    * #1). Same one-scan shape as [[pipJoin]]: the geometry side covers its

@@ -1497,3 +1497,28 @@ case class StTileEnvelope(first: Expression, second: Expression, third: Expressi
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+/** Compact multi-level cover: packed (cell<<5)|level cells, coarse in the
+  * interior, fine at the boundary — perimeter-bound cover row counts for
+  * big-geometry joins (Cells.compactCover contract). */
+case class StCoverCompact(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.coverCompact(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+/** Packed ancestor chain of a cell down to minLevel — the point-side join
+  * keys that meet a disjoint compact cover in at most one cell. */
+case class StCellAncestors(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.cellAncestors(a.asInstanceOf[Long], b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}

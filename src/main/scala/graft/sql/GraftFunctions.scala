@@ -145,6 +145,8 @@ object GraftFunctions {
     "st_cell_parent" -> (e => StCellParent(e(0), e(1), e(2))),
     "st_cell_envelope" -> (e => StCellEnvelope(e(0), e(1))),
     "st_cover" -> (e => StCover(e(0), e(1))),
+    "st_cover_compact" -> (e => StCoverCompact(e(0), e(1), e(2))),
+    "st_cell_ancestors" -> (e => StCellAncestors(e(0), e(1), e(2))),
     "st_hexbin" -> (e => StHexbin(e(0), e(1), e(2))),
     "st_hexbin_centerx" -> (e => StHexbinCenterX(e(0), e(1))),
     "st_hexbin_centery" -> (e => StHexbinCenterY(e(0), e(1))),

@@ -127,6 +127,16 @@ object Smoke {
                          st_point(12.5D, 41.9D)) AS tile_contains
     """).show(20, 80)
 
+    // compact multi-level covers: coarse interior + fine boundary, and the
+    // point-side ancestor chain that meets a disjoint cover exactly once
+    spark.sql("""
+      SELECT size(st_cover(st_makeenvelope(0.0D, 40.0D, 8.0D, 46.0D), 12)) AS flat12,
+             size(st_cover_compact(st_makeenvelope(0.0D, 40.0D, 8.0D, 46.0D), 5, 12)) AS compact,
+             size(st_cell_ancestors(st_cellid(4.0D, 43.0D, 12), 12, 5)) AS chain_len,
+             size(array_intersect(st_cell_ancestors(st_cellid(4.0D, 43.0D, 12), 12, 5),
+                                  st_cover_compact(st_makeenvelope(0.0D, 40.0D, 8.0D, 46.0D), 5, 12))) AS hits
+    """).show()
+
     println("SMOKE OK")
     spark.stop()
   }
