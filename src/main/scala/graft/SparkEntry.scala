@@ -35,6 +35,13 @@ object SparkEntry {
   // Six B-variants of each zone rect A, built with arithmetic both engines
   // evaluate bit-identically; every DE-9IM / overlay-area oracle below is
   // a closed-form function of (case, xmin..ymax).
+  // q99 deterministic PII fixture: both engines concatenate these EXACT
+  // constants around doc_id (tab + double space exercise the whitespace
+  // collapse; "é" exercises NFC composition; mixed case exercises
+  // the casefold)
+  private val PII_PRE = " Contact\tinfo: user."
+  private val PII_POST = "@Example.COM or +1 (415) 555-0100, IP 10.0.0.1, Cafe\u0301  ZONE "
+
   private val RECT_CASES = Seq("overlap", "touch", "corner", "inside", "equal", "disjoint")
   private val RECT_CASES_SQL =
     "(VALUES ('overlap'), ('touch'), ('corner'), ('inside'), ('equal'), ('disjoint')) AS t(c)"
@@ -731,6 +738,25 @@ object SparkEntry {
             .cast("bigint").as("cx_u"),
           floor(call_function("st_hexbin_centery", col("hex"), lit(sz)) * 1e6)
             .cast("bigint").as("cy_u"))
+    }),
+
+    // ---------------- PII redaction + canonical text form (r5) ----------
+    // The two pre-tokenization passes of a corpus pipeline: scrub PII
+    // (email → ip → phone placeholders; RE2-subset patterns shared
+    // VERBATIM with the oracle), then normalize (NFC + casefold +
+    // whitespace collapse). Deterministic PII is injected around doc_id
+    // from constants used by BOTH engines, incl. a combining-accent
+    // sequence (e + U+0301) that NFC must compose and a tab + double
+    // space the collapse must fold. Row-parallel codegen'd scalars —
+    // nothing here shuffles at any scale.
+    "q99_redact" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val contact = concat(col("text"), lit(PII_PRE), col("doc_id"), lit(PII_POST))
+      GeoTables.docsAug(s, dir)
+        .select(col("doc_id"),
+          call_function("text_redact_pii", contact).as("redacted"),
+          call_function("text_normalize",
+            call_function("text_redact_pii", contact)).as("norm"))
     }),
 
     // ---------------- the whole corpus pipeline, end to end (r5) --------
@@ -1750,6 +1776,16 @@ object SparkEntry {
          CAST(FLOOR(((2.5 * 1.5) * hex_fr) * 1e6) AS BIGINT) AS cy_u
          FROM ${graft.cell.Cells.hexbinSqlFrom(IMG, "lon", "lat", 2.5)} hx
          GROUP BY hex_fq, hex_fr""",
+    "q99_redact" ->
+      s"""SELECT doc_id, redacted,
+         TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(redacted)), '[ \t\n\r]+', ' ', 'g')) AS norm
+         FROM (SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             text || '${PII_PRE}' || doc_id || '${PII_POST}',
+             '${graft.text.Text.EMAIL_RE}', '<EMAIL>', 'g'),
+             '${graft.text.Text.IP_RE}', '<IP>', 'g'),
+             '${graft.text.Text.PHONE_RE}', '<PHONE>', 'g') AS redacted
+           FROM $DOCA) r""",
     "q95_pipeline_e2e" ->
       s"""WITH RECURSIVE surv AS (
            SELECT doc_id, source, sim_hi, sim_lo, bpe_tokens FROM $TFEAT

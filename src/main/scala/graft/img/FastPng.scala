@@ -41,18 +41,82 @@ object FastPng {
   /** Decode 8-bit RGB non-interlaced PNG to (w, h, packed rgb). Returns
     * null for any input outside the fast-path subset (caller falls back). */
   def decodeRgb(bytes: Array[Byte]): Array[Byte] = {
-    if (bytes.length < 45) return null // sig(8) + IHDR(25) + shortest IDAT/IEND
+    val wh = unfilterToScratch(bytes)
+    if (wh < 0) return null
+    val w = (wh >>> 32).toInt; val h = (wh & 0xFFFFFFFFL).toInt
+    val stride = w * 3
+    val raw = scratchTL.get().raw
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(raw, y * (stride + 1) + 1, out, y * stride, stride)
+      y += 1
+    }
+    out
+  }
+
+  /**
+   * 32×32 grayscale tile means straight off the unfiltered rows — the
+   * fused pHash front end. Bit-identical to `Images.gray32` over
+   * `decodeRgb` output: the tile loops below visit pixels in the same
+   * row-major-within-tile order and accumulate the same doubles in the
+   * same order, they just index the scratch rows (stride+1 filter-byte
+   * layout) instead of a materialized RGB plane. Skipping that plane
+   * saves ~2/3 of the per-image memory traffic (write + re-read of
+   * w·h·3 bytes), which is the binding resource at 32 decode threads
+   * (ScalingBench memprobe: the host's 8→32 memory-bandwidth scaling is
+   * ~0.5 while its CPU spin scaling is ~0.9). Returns null outside the
+   * fast-path subset.
+   */
+  def gray32FromPng(bytes: Array[Byte], n: Int): Array[Double] = {
+    val wh = unfilterToScratch(bytes)
+    if (wh < 0) return null
+    val w = (wh >>> 32).toInt; val h = (wh & 0xFFFFFFFFL).toInt
+    val stride = w * 3
+    val raw = scratchTL.get().raw
+    val g = new Array[Double](n * n)
+    var ty = 0
+    while (ty < n) {
+      val y0 = ty * h / n; val y1 = math.max(y0 + 1, (ty + 1) * h / n)
+      var tx = 0
+      while (tx < n) {
+        val x0 = tx * w / n; val x1 = math.max(x0 + 1, (tx + 1) * w / n)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          val rowBase = y * (stride + 1) + 1
+          var x = x0
+          while (x < x1) {
+            val i = rowBase + x * 3
+            s += 0.299 * (raw(i) & 0xFF) + 0.587 * (raw(i + 1) & 0xFF) + 0.114 * (raw(i + 2) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        g(ty * n + tx) = s / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    g
+  }
+
+  /** Inflate + unfilter into the thread-local scratch. Returns packed
+    * (w << 32) | h, or -1 outside the fast-path subset. Row y's pixels
+    * live at raw(y*(w*3+1)+1 ..) until the next call on this thread. */
+  private def unfilterToScratch(bytes: Array[Byte]): Long = {
+    if (bytes.length < 45) return -1L // sig(8) + IHDR(25) + shortest IDAT/IEND
     // signature
-    if ((bytes(0) & 0xFF) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' || bytes(3) != 'G') return null
+    if ((bytes(0) & 0xFF) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' || bytes(3) != 'G') return -1L
     // IHDR must be first chunk
-    if (i32(bytes, 8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R') return null
+    if (i32(bytes, 8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R') return -1L
     val w = i32(bytes, 16)
     val h = i32(bytes, 20)
     val bitDepth = bytes(24)
     val colorType = bytes(25)
     val interlace = bytes(28)
-    if (bitDepth != 8 || colorType != 2 || bytes(26) != 0 || bytes(27) != 0 || interlace != 0) return null
-    if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue - 16) return null
+    if (bitDepth != 8 || colorType != 2 || bytes(26) != 0 || bytes(27) != 0 || interlace != 0) return -1L
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue - 16) return -1L
 
     val stride = w * 3
     val rawLen = h * (stride + 1)
@@ -67,24 +131,23 @@ object FastPng {
     var sawEnd = false
     while (!sawEnd && p + 8 <= bytes.length) {
       val len = i32(bytes, p)
-      if (len < 0 || p + 12 + len > bytes.length) return null
+      if (len < 0 || p + 12 + len > bytes.length) return -1L
       val t0 = bytes(p + 4); val t1 = bytes(p + 5); val t2 = bytes(p + 6); val t3 = bytes(p + 7)
       if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         inf.setInput(bytes, p + 8, len)
         while (!inf.needsInput() && !inf.finished() && produced < rawLen) {
           val n = inf.inflate(raw, produced, rawLen - produced)
           produced += n
-          if (n == 0 && !inf.needsInput() && !inf.finished()) return null // dictionary or stall
+          if (n == 0 && !inf.needsInput() && !inf.finished()) return -1L // dictionary or stall
         }
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
         sawEnd = true
       }
       p += 12 + len
     }
-    if (produced < rawLen) return null
+    if (produced < rawLen) return -1L
 
-    // unfilter in place → pack rows into the output (RFC 2083 §6.3-6.9)
-    val out = new Array[Byte](h * stride)
+    // unfilter in place (RFC 2083 §6.3-6.9); rows stay in the scratch
     val bpp = 3
     var y = 0
     while (y < h) {
@@ -122,12 +185,11 @@ object FastPng {
             raw(row + i) = (raw(row + i) + pred).toByte
             i += 1
           }
-        case _ => return null
+        case _ => return -1L
       }
-      System.arraycopy(raw, row, out, y * stride, stride)
       y += 1
     }
-    out
+    (w.toLong << 32) | (h.toLong & 0xFFFFFFFFL)
   }
 
   /** Header sniff: (w, h) for a PNG the fast path would accept, else null. */

@@ -190,6 +190,8 @@ object GraftFunctions {
     "img_phash256_rgb" -> (e => ImgPhash256Rgb(e(0), e(1), e(2))),
     // text analysis / dedup (training-data pipeline ops)
     "text_lang_id" -> (e => TextLangId(e.head)),
+    "text_redact_pii" -> (e => TextRedactPii(e.head)),
+    "text_normalize" -> (e => TextNormalize(e.head)),
     "text_quality" -> (e => TextQuality(e.head)),
     "text_token_count" -> (e => TextTokenCount(e.head)),
     "text_token_count_bpe" -> (e => TextTokenCountBpe(e.head)),

@@ -308,3 +308,30 @@ case class RtreeProbe(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+
+/** PII scrub (email → ip → phone placeholders; Text.redactPii contract:
+  * RE2-compatible patterns shared verbatim with the DuckDB oracle). */
+case class TextRedactPii(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Text.redactPii(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.text.Text.redactPii($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Canonical text form: NFC + ROOT lowercase + whitespace collapse + trim. */
+case class TextNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Text.normalize(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.text.Text.normalize($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

@@ -267,4 +267,36 @@ object Text {
     val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  // ---------------- normalization + PII redaction (r5) ----------------
+  //
+  // The two pre-tokenization passes every corpus pipeline runs before
+  // dedup/quality: canonical text form (NFC + casefold + whitespace
+  // collapse, so near-dup hashes don't split on invisible variation) and
+  // PII scrubbing. The patterns are deliberately the RE2-compatible
+  // subset (no backrefs, no lookaround, no alternation) so the DuckDB
+  // oracle runs the IDENTICAL pattern strings through regexp_replace —
+  // same lock-step contract as the cell arithmetic. Replacement order is
+  // fixed (email → ip → phone): earlier placeholders contain no digits,
+  // so later passes cannot re-match inside them.
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PHONE_RE = "\\+\\d[\\d() -]{6,}\\d"
+  private val emailP = java.util.regex.Pattern.compile(EMAIL_RE)
+  private val ipP = java.util.regex.Pattern.compile(IP_RE)
+  private val phoneP = java.util.regex.Pattern.compile(PHONE_RE)
+  private val wsP = java.util.regex.Pattern.compile("[ \\t\\n\\r]+")
+
+  def redactPii(s: String): String =
+    phoneP.matcher(
+      ipP.matcher(
+        emailP.matcher(s).replaceAll("<EMAIL>")
+      ).replaceAll("<IP>")
+    ).replaceAll("<PHONE>")
+
+  /** NFC → ROOT-locale lowercase → whitespace collapse → trim. */
+  def normalize(s: String): String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    wsP.matcher(nfc.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
+  }
 }

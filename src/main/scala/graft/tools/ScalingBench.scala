@@ -95,6 +95,34 @@ object ScalingBench {
     sLo / sHi
   }
 
+  /** Per-thread-fixed STREAM-style traffic (read+write over a private
+    * buffer far larger than LLC share) → seconds. The memory-bandwidth
+    * analogue of [[spinSeconds]]: sLo/sHi is the 8→32 scaling the host's
+    * MEMORY system can express. The decode pipeline moves ~100 KB per
+    * image (decode buffers + RGB planes), so at 32 threads the flagship
+    * job wants ~20 GB/s of churn — if the VM's memory share saturates
+    * below that, job efficiency is bandwidth-bound no matter how clean
+    * the CPU ceiling reads. */
+  def memSeconds(threads: Int, mb: Int = 192, passes: Int = 6): Double = {
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => {
+        val n = mb * 1024 * 1024 / 8
+        val a = new Array[Long](n)
+        var s = 0L
+        var p = 0
+        while (p < passes) {
+          var i = 0
+          while (i < n) { s += a(i); a(i) = s + i; i += 1 }
+          p += 1
+        }
+        if (s == 42) println("x")
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfName = sys.env.getOrElse("SPARK_GRAFT_SCALE_SF", "sf0.5")
     val sfDir = s"/root/testdata/$sfName" // only the name matters to GeoTables
@@ -105,6 +133,14 @@ object ScalingBench {
     val hiN = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt
     require(hiN == 4 * loN, s"pair must be N and 4N, got $loN/$hiN")
 
+    if (args.contains("memprobe")) {
+      // CPU vs MEMORY scaling ceilings side by side (diagnosis mode)
+      val cSpin = probeCeiling(lo = loN, hi = hiN)
+      val mLo = memSeconds(loN); val mHi = memSeconds(hiN)
+      val gbLo = loN * 192.0 * 6 * 2 / 1024.0; val gbHi = hiN * 192.0 * 6 * 2 / 1024.0
+      println(f"""{"metric":"host_ceilings","spin_eff":$cSpin%.3f,"mem_eff":${mLo / mHi}%.3f,"mem_gbps_$loN":${gbLo / mLo}%.1f,"mem_gbps_$hiN":${gbHi / mHi}%.1f,"lo":$loN,"hi":$hiN}""")
+      return
+    }
     if (args.contains("probe")) {
       // print the current ceiling and exit — cheap scheduling signal
       println(f"""{"metric":"host_spin_ceiling_eff","value":${probeCeiling(lo = loN, hi = hiN)}%.3f,"unit":"ratio","lo":$loN,"hi":$hiN}""")

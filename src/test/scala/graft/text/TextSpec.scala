@@ -81,4 +81,33 @@ class TextSpec extends AnyFunSuite {
     assert(Text.jaccard("a b", "c d") == 0.0)
     assert(Text.jaccard("a b c d", "c d e f") == 1.0 / 3.0) // 2 / 6
   }
+
+  test("redactPii: placeholders, order, idempotence (r5)") {
+    assert(Text.redactPii("mail a.b+c_d%e@sub.example.org now") == "mail <EMAIL> now")
+    assert(Text.redactPii("srv at 192.168.0.1 and 10.0.0.255.") == "srv at <IP> and <IP>.")
+    assert(Text.redactPii("call +44 20 7946 0958 or +1 (415) 555-0100 now")
+      == "call <PHONE> or <PHONE> now")
+    // plain national-format numbers (no +) are NOT matched — documented scope
+    assert(Text.redactPii("call 555-0100") == "call 555-0100")
+    val mixed = "x y@z.co +1 234 567 890, 1.2.3.4 end"
+    val once = Text.redactPii(mixed)
+    assert(once == "x <EMAIL> <PHONE>, <IP> end")
+    // idempotent: placeholders contain nothing the patterns can re-match
+    assert(Text.redactPii(once) == once)
+    // an email's dotted host is consumed by the email pass, not the ip pass
+    assert(Text.redactPii("a@1.2.3.4.co b") == "<EMAIL> b")
+    // a bare dotted quad with a non-TLD tail is neither (no \b after the 4)
+    assert(Text.redactPii("a@1.2.3.4x b") == "a@1.2.3.4x b")
+  }
+
+  test("normalize: NFC + casefold + whitespace collapse + trim (r5)") {
+    assert(Text.normalize("  A\tB\r\nC  ") == "a b c")
+    // combining acute composes to precomposed é, then lowercases
+    assert(Text.normalize("CAFÉ") == "café")
+    assert(Text.normalize("") == "")
+    assert(Text.normalize(" \t\r\n ") == "")
+    // idempotent
+    val s = Text.normalize("  MiXed É CASE  ")
+    assert(Text.normalize(s) == s)
+  }
 }
