@@ -114,9 +114,20 @@ object Images {
   }
 
   /** 64-bit DCT pHash of encoded image bytes. */
-  def phash(bytes: Array[Byte]): Long = {
+  def phash(bytes: Array[Byte]): Long = phashOfGray(grayTiles(bytes))
+
+  /** The 32×32 gray-tile front end shared by both hash widths. Fast-path
+    * PNGs skip the packed-RGB plane entirely ([[FastPng.gray32FromPng]]
+    * reads tile means straight off the unfiltered rows — bit-identical
+    * accumulation order, pinned by FastPngSpec); everything else decodes
+    * and area-averages. */
+  private def grayTiles(bytes: Array[Byte]): Array[Double] = {
+    if (bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') {
+      val g = FastPng.gray32FromPng(bytes, PHASH_N)
+      if (g != null) return g
+    }
     val (w, h, rgb) = decode(bytes)
-    phashOfRgb(w, h, rgb)
+    gray32(w, h, rgb)
   }
 
   /** Area-average resize to 32×32 grayscale. */
@@ -194,8 +205,11 @@ object Images {
     coef
   }
 
-  def phashOfRgb(w: Int, h: Int, rgb: Array[Byte]): Long = {
-    val coef = dctBlock(gray32(w, h, rgb), 8)
+  def phashOfRgb(w: Int, h: Int, rgb: Array[Byte]): Long =
+    phashOfGray(gray32(w, h, rgb))
+
+  private def phashOfGray(g: Array[Double]): Long = {
+    val coef = dctBlock(g, 8)
     // median of AC coefficients (exclude DC)
     val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
     java.util.Arrays.sort(ac)
@@ -214,8 +228,11 @@ object Images {
     * detection level, random pairs concentrate near 128 bits apart
     * (vs ~32 of 64-bit), so pigeonhole chunks prune far more candidates.
     * Word i holds coefficient bits [64·i, 64·i+64) in row-major order. */
-  def phash256OfRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
-    val coef = dctBlock(gray32(w, h, rgb), 16)
+  def phash256OfRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Long] =
+    phash256OfGray(gray32(w, h, rgb))
+
+  private def phash256OfGray(g: Array[Double]): Array[Long] = {
+    val coef = dctBlock(g, 16)
     val ac = java.util.Arrays.copyOfRange(coef, 1, 256)
     java.util.Arrays.sort(ac)
     val median = (ac(126) + ac(127)) / 2 // 255 AC coefficients
@@ -228,10 +245,7 @@ object Images {
     words
   }
 
-  def phash256(bytes: Array[Byte]): Array[Long] = {
-    val (w, h, rgb) = decode(bytes)
-    phash256OfRgb(w, h, rgb)
-  }
+  def phash256(bytes: Array[Byte]): Array[Long] = phash256OfGray(grayTiles(bytes))
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 

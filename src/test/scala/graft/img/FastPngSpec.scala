@@ -93,6 +93,23 @@ class FastPngSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(fast, rgb))
   }
 
+  test("fused gray tiles == unfused decode→gray32 (both hash widths, r5)") {
+    for (i <- 0 until 20; (w, h) <- Seq((16, 16), (32, 64), (64, 64), (1, 1), (33, 17), (70, 3), (64, 48))) {
+      val rgb = Images.synthRgb(i.toLong * 97 + h, w, h)
+      val png = Images.encode(w, h, rgb, "png")
+      // phash(bytes) rides gray32FromPng; phashOfRgb rides the RGB plane —
+      // the accumulation order is identical by construction, so the HASH
+      // (not just the tiles) must be bit-equal
+      assert(Images.phash(png) == Images.phashOfRgb(w, h, rgb), s"64-bit fused mismatch i=$i ${w}x$h")
+      assert(java.util.Arrays.equals(Images.phash256(png), Images.phash256OfRgb(w, h, rgb)),
+        s"256-bit fused mismatch i=$i ${w}x$h")
+    }
+    // non-fast-path inputs still hash through the fallback decode
+    val jpg = Images.encode(32, 32, Images.synthRgb(5L, 32, 32), "jpg")
+    val (jw, jh, jrgb) = Images.decode(jpg)
+    assert(Images.phash(jpg) == Images.phashOfRgb(jw, jh, jrgb))
+  }
+
   test("non-subset inputs punt to null (ARGB png, jpeg, garbage)") {
     val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_ARGB)
     img.setRGB(2, 2, 0x80FF00FF)
