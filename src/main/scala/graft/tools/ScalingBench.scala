@@ -37,7 +37,11 @@ object ScalingBench {
       // 100 TB cluster files ≫ cores makes this automatic; here we emulate
       // it. 32 MB → ~110 scan tasks for both configs.
       .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays ON by default (it is the skew story at real scale), but the
+      // serial cost of its driver re-plan barriers is measurable on this
+      // 5-second job — SPARK_GRAFT_SCALE_AQE=0 quantifies it (ScalePhases).
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_SCALE_AQE", "1") != "0").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
