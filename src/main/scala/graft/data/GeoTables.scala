@@ -36,9 +36,10 @@ object GeoTables {
   }
   /** Fixture-cache GENERATION: bump whenever generated CONTENT semantics
     * change (e.g. the pHash DCT went separable in round 5, which can move
-    * coefficient/median ties by an ulp) so every cached scale factor
-    * regenerates in lockstep with the code that verifies it. */
-  val GEN = "g2"
+    * coefficient/median ties by an ulp; g3: JPEG pHash gray tiles read the
+    * FastJpeg Y plane instead of ImageIO's RGB round-trip) so every cached
+    * scale factor regenerates in lockstep with the code that verifies it. */
+  val GEN = "g3"
   def baseDir(sfDir: String): String = s"/tmp/graft_geo/$GEN/${sfName(sfDir)}"
   def imagesPath(sfDir: String): String = s"${baseDir(sfDir)}/images.parquet"
   def zonesPath(sfDir: String): String = s"${baseDir(sfDir)}/zones.parquet"
@@ -443,15 +444,25 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_MEDIA_DONE_V6"))
   }
 
+  /** Fixed table schemas (the binding input_hint shape). Passing these to
+    * the reader skips the parquet footer-inference job Spark otherwise
+    * runs per `spark.read.parquet` — one fewer serial driver job at every
+    * session start (it shows up in the N→4N Amdahl budget: ~100 ms + gap
+    * per read on this host, paid before any executor works). */
+  lazy val imagesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[ImageRow].schema
+  lazy val zonesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[ZoneRow].schema
+
   /** Idempotent, atomic: generate-if-absent, then read. */
   def images(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)
-    spark.read.parquet(imagesPath(sfDir))
+    spark.read.schema(imagesSchema).parquet(imagesPath(sfDir))
   }
 
   def zones(spark: SparkSession, sfDir: String): DataFrame = {
     ensure(spark, sfDir)
-    spark.read.parquet(zonesPath(sfDir))
+    spark.read.schema(zonesSchema).parquet(zonesPath(sfDir))
   }
 
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {

@@ -119,11 +119,19 @@ object Images {
   /** The 32×32 gray-tile front end shared by both hash widths. Fast-path
     * PNGs skip the packed-RGB plane entirely ([[FastPng.gray32FromPng]]
     * reads tile means straight off the unfiltered rows — bit-identical
-    * accumulation order, pinned by FastPngSpec); everything else decodes
-    * and area-averages. */
+    * accumulation order, pinned by FastPngSpec); baseline JPEGs read tile
+    * means straight off the decoded Y plane ([[FastJpeg.gray32FromJpeg]]
+    * — gray := luma channel, which ImageIO's YCbCr→RGB→weighted-luma
+    * round-trip re-derives modulo chroma-clamp rounding, |Δ| ≤ ~1 gray
+    * level; FastJpegSpec pins the agreement and every fixture
+    * materializes hashes with this same code). Everything else decodes
+    * through ImageIO and area-averages. */
   private def grayTiles(bytes: Array[Byte]): Array[Double] = {
     if (bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') {
       val g = FastPng.gray32FromPng(bytes, PHASH_N)
+      if (g != null) return g
+    } else if (FastJpeg.looksJpeg(bytes)) {
+      val g = FastJpeg.gray32FromJpeg(bytes, PHASH_N)
       if (g != null) return g
     }
     val (w, h, rgb) = decode(bytes)

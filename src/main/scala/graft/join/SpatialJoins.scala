@@ -43,7 +43,7 @@ object SpatialJoins {
    * still only shuffles on the compact cell key, never on geometry).
    */
   def pipJoin(images: DataFrame, zones: DataFrame, level: Int = 8,
-              broadcastMaxZones: Long = 100000): DataFrame = {
+              broadcastMaxZones: Long = 100000, zonesCountHint: Long = -1): DataFrame = {
     val spark = images.sparkSession
     GraftFunctions.install(spark)
     val pts = images.withColumn("cell",
@@ -52,9 +52,13 @@ object SpatialJoins {
       .select(col("zone_id"), col("zone_geom"), col("cell"))
     // bounded dispatch probe (review r4): limit(max+1).count() answers the
     // ≤ test without fully scanning a huge zones side (the RTree.fromZones
-    // pattern)
-    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
-      .count() <= broadcastMaxZones
+    // pattern). Callers that already know the zone-side cardinality (a dim
+    // table with catalog stats, a fixture) pass zonesCountHint ≥ 0 and skip
+    // the probe job entirely — one fewer serial driver job per call.
+    val few =
+      if (zonesCountHint >= 0) zonesCountHint <= broadcastMaxZones
+      else zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
+        .count() <= broadcastMaxZones
     val cover = if (few) broadcast(coverRaw) else coverRaw
     pts.join(cover, "cell")
       .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))

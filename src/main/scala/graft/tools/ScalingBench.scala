@@ -36,7 +36,8 @@ object ScalingBench {
       // measured 8→32 speedup at ~2× on an otherwise clean host. On a real
       // 100 TB cluster files ≫ cores makes this automatic; here we emulate
       // it. 32 MB → ~110 scan tasks for both configs.
-      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        (sys.env.getOrElse("SPARK_GRAFT_SCALE_SPLIT_MB", "32").toLong * 1024 * 1024).toString)
       // AQE stays ON by default (it is the skew story at real scale), but the
       // serial cost of its driver re-plan barriers is measurable on this
       // 5-second job — SPARK_GRAFT_SCALE_AQE=0 quantifies it (ScalePhases).
@@ -51,9 +52,14 @@ object ScalingBench {
   }
 
   def job(spark: SparkSession, sfDir: String): Long = {
-    val images = spark.read.parquet(GeoTables.imagesPath(sfDir))
+    // explicit schema + zone-count hint: no footer-infer jobs, no dispatch
+    // probe job — the serial driver prelude is planning + broadcast only
+    // (these fixed per-job costs are exactly what Amdahl charges at 4N)
+    val images = spark.read.schema(GeoTables.imagesSchema)
+      .parquet(GeoTables.imagesPath(sfDir))
       .where(call_function("img_phash", col("bytes")) === col("phash")) // per-row decode
-    val joined = SpatialJoins.pipJoin(images, GeoTables.zones(spark, sfDir), level = 8)
+    val joined = SpatialJoins.pipJoin(images, GeoTables.zones(spark, sfDir), level = 8,
+      zonesCountHint = GeoTables.nZones(sfDir).toLong)
       .withColumn("tx", call_function("st_tile_x", col("lon"), lit(8)))
       .withColumn("ty", call_function("st_tile_y", col("lat"), lit(8)))
     joined.groupBy("zone_id", "tx", "ty")
@@ -193,7 +199,7 @@ object ScalingBench {
       val warmLo = buildSession(loN)
       job(warmLo, sfDir)
       warmLo.stop()
-      final case class Pair(tLo: Double, tHi: Double, cPre: Double, cPost: Double)
+      final case class Pair(tLo: Double, tHi: Double, cPre: Double, cPost: Double, memEff: Double)
       val accepted = scala.collection.mutable.ArrayBuffer.empty[Pair]
       val t0 = System.nanoTime()
       var attempts = 0
@@ -216,7 +222,14 @@ object ScalingBench {
           val cPost = probeCeiling(200_000_000L, loN, hiN)
           val eff = (tLo / tHi) / (hiN.toDouble / loN)
           if (cPost >= minCeiling) {
-            accepted += Pair(tLo, tHi, cPre, cPost)
+            // memory-bandwidth ceiling INSIDE the same clean window: the
+            // lo→hi scaling the host's DRAM system can express. The job's
+            // raw eff is bounded by a mix of the spin and mem ceilings —
+            // recording both per pair makes the binding constraint explicit
+            // (a real N→4N cluster adds memory channels with nodes; this
+            // single-box probe shares one memory system across both configs).
+            val memEff = memSeconds(loN, mb = 96, passes = 3) / memSeconds(hiN, mb = 96, passes = 3)
+            accepted += Pair(tLo, tHi, cPre, cPost, memEff)
             System.err.println(f"[pairgate] ACCEPT t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f (pre=$cPre%.2f post=$cPost%.2f)")
           } else {
             System.err.println(f"[pairgate] reject t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f — post-ceiling $cPost%.3f dirty")
@@ -229,7 +242,8 @@ object ScalingBench {
       val tLo = accepted.map(_.tLo).sorted.apply(accepted.length / 2)
       val tHi = accepted.map(_.tHi).sorted.apply(accepted.length / 2)
       val cMin = accepted.flatMap(p => Seq(p.cPre, p.cPost)).min
-      val line = f"""{"metric":"scaling_efficiency_${loN}_to_$hiN","value":$eff%.3f,"unit":"ratio","t${loN}_sec":$tLo%.2f,"t${hiN}_sec":$tHi%.2f,"images_per_sec_$loN":${(nImages / tLo).toLong},"images_per_sec_$hiN":${(nImages / tHi).toLong},"join_rows":$rowsW,"n_images":$nImages,"sf":"$sfName","runs":${accepted.length},"protocol":"pair_gated","attempts":$attempts,"host_spin_ceiling_eff":$cMin%.3f,"eff_vs_host_ceiling":${eff / cMin}%.3f}"""
+      val memMed = accepted.map(_.memEff).sorted.apply(accepted.length / 2)
+      val line = f"""{"metric":"scaling_efficiency_${loN}_to_$hiN","value":$eff%.3f,"unit":"ratio","t${loN}_sec":$tLo%.2f,"t${hiN}_sec":$tHi%.2f,"images_per_sec_$loN":${(nImages / tLo).toLong},"images_per_sec_$hiN":${(nImages / tHi).toLong},"join_rows":$rowsW,"n_images":$nImages,"sf":"$sfName","runs":${accepted.length},"protocol":"pair_gated","attempts":$attempts,"host_spin_ceiling_eff":$cMin%.3f,"host_mem_ceiling_eff":$memMed%.3f,"eff_vs_host_ceiling":${eff / cMin}%.3f}"""
       println(line)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING_RUNS.jsonl"), line + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -1,0 +1,137 @@
+package graft.img
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/**
+ * FastJpeg vs the ImageIO reference path.
+ *
+ * Contract under test: for every baseline JPEG the fixture encoder can
+ * produce (ImageIO writer, 4:2:0, varying size/quality), the Y-plane tile
+ * means agree with the ImageIO RGB→weighted-luma tile means within the
+ * chroma-clamp rounding bound (|Δ| ≤ 1.5 gray levels per tile), and the
+ * resulting pHash is within a few bits — the same robustness envelope
+ * JPEG re-encoding itself moves hashes by. Unsupported streams
+ * (progressive) must return null so the ImageIO fallback decides.
+ */
+class FastJpegSpec extends AnyFunSuite {
+
+  /** ImageIO-reference tile means: decode to RGB, weighted luma, area avg. */
+  private def refTiles(bytes: Array[Byte], n: Int): Array[Double] = {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val g = new Array[Double](n * n)
+    for (ty <- 0 until n; tx <- 0 until n) {
+      val y0 = ty * h / n; val y1 = math.max(y0 + 1, (ty + 1) * h / n)
+      val x0 = tx * w / n; val x1 = math.max(x0 + 1, (tx + 1) * w / n)
+      var s = 0.0
+      for (y <- y0 until y1; x <- x0 until x1) {
+        val p = px(y * w + x)
+        s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+      }
+      g(ty * n + tx) = s / ((y1 - y0) * (x1 - x0))
+    }
+    g
+  }
+
+  test("fast path decodes every fixture-shaped JPEG; tiles track ImageIO luma") {
+    var checked = 0
+    for (i <- 0 until 60; q <- Seq(0.85f, 0.92f, 0.97f)) {
+      val w = 16 + (i * 7) % 49
+      val h = 16 + (i * 11) % 49
+      val rgb = Images.synthRgb(i.toLong * 31 + q.toInt, w, h)
+      val jpg = Images.encode(w, h, rgb, "jpg", q)
+      val fast = FastJpeg.gray32FromJpeg(jpg, 32)
+      assert(fast != null, s"fast path rejected baseline JPEG ${w}x$h q=$q")
+      val ref = refTiles(jpg, 32)
+      var maxD = 0.0
+      for (k <- fast.indices) maxD = math.max(maxD, math.abs(fast(k) - ref(k)))
+      assert(maxD <= 1.5, s"tile-mean divergence $maxD > 1.5 at ${w}x$h q=$q")
+      checked += 1
+    }
+    assert(checked == 180)
+  }
+
+  test("phash over the Y-plane path stays within the JPEG robustness envelope") {
+    for (i <- 0 until 40) {
+      val w = 24 + (i * 5) % 41; val h = 24 + (i * 13) % 41
+      val rgb = Images.synthRgb(1000L + i, w, h)
+      val png = Images.encode(w, h, rgb, "png")
+      val jpg = Images.encode(w, h, rgb, "jpg", 0.95f)
+      // the cross-format envelope ImagesSpec already pins, now via FastJpeg
+      assert(Images.hamming(Images.phash(png), Images.phash(jpg)) <= 10)
+      // determinism
+      assert(Images.phash(jpg) == Images.phash(jpg))
+    }
+  }
+
+  test("grayscale (1-component) JPEG decodes on the fast path") {
+    val w = 40; val h = 28
+    val rgb = Images.grayRgb(Images.synthRgb(7L, w, h))
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rgb((y * w + x) * 3) & 0xFF)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    val jpg = out.toByteArray
+    val fast = FastJpeg.gray32FromJpeg(jpg, 32)
+    assert(fast != null, "1-component JPEG must take the fast path")
+    // reference = RAW raster samples (getRaster.getSample), NOT getRGB:
+    // Java treats TYPE_BYTE_GRAY as LINEAR gray and getRGB gamma-lifts it
+    // into sRGB (stored Y 14 → RGB 66). pHash wants the stored sample.
+    val dimg = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val ref = new Array[Double](32 * 32)
+    for (ty <- 0 until 32; tx <- 0 until 32) {
+      val y0 = ty * h / 32; val y1 = math.max(y0 + 1, (ty + 1) * h / 32)
+      val x0 = tx * w / 32; val x1 = math.max(x0 + 1, (tx + 1) * w / 32)
+      var s = 0.0
+      for (y <- y0 until y1; x <- x0 until x1) s += dimg.getRaster.getSample(x, y, 0)
+      ref(ty * 32 + tx) = s / ((y1 - y0) * (x1 - x0))
+    }
+    var maxD = 0.0
+    for (k <- fast.indices) maxD = math.max(maxD, math.abs(fast(k) - ref(k)))
+    assert(maxD <= 1.0, s"grayscale divergence $maxD")
+  }
+
+  test("progressive JPEG returns null and the grayTiles fallback still hashes") {
+    val w = 48; val h = 32
+    val rgb = Images.synthRgb(99L, w, h)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(p) & 0xFF) << 16) | ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); ios.close()
+    val jpg = out.toByteArray
+    assert(FastJpeg.gray32FromJpeg(jpg, 32) == null, "progressive must fall back")
+    // the public hash surface still works via ImageIO
+    val pngHash = Images.phash(Images.encode(w, h, rgb, "png"))
+    assert(Images.hamming(Images.phash(jpg), pngHash) <= 10)
+  }
+
+  test("truncated / corrupt streams return null, never throw") {
+    val rgb = Images.synthRgb(5L, 32, 32)
+    val jpg = Images.encode(32, 32, rgb, "jpg", 0.9f)
+    for (cut <- Seq(2, 10, 50, jpg.length / 2, jpg.length - 3)) {
+      val t = java.util.Arrays.copyOf(jpg, cut)
+      // must not throw; null (reject) is the only acceptable failure mode
+      val r = FastJpeg.gray32FromJpeg(t, 32)
+      assert(r == null || r.length == 1024)
+    }
+    val garbled = jpg.clone()
+    for (k <- 100 until math.min(140, garbled.length)) garbled(k) = 0x55
+    val r2 = try FastJpeg.gray32FromJpeg(garbled, 32) catch {
+      case e: Throwable => fail(s"corrupt stream threw ${e.getClass.getSimpleName}")
+    }
+    assert(r2 == null || r2.length == 1024)
+  }
+}

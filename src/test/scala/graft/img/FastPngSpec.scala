@@ -104,10 +104,13 @@ class FastPngSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(Images.phash256(png), Images.phash256OfRgb(w, h, rgb)),
         s"256-bit fused mismatch i=$i ${w}x$h")
     }
-    // non-fast-path inputs still hash through the fallback decode
+    // JPEG bytes hash via the FastJpeg Y plane (r5), while phashOfRgb over
+    // the ImageIO decode rides RGB-weighted luma — same Y modulo chroma
+    // clamp rounding, so the hashes agree within a few bits but are NOT
+    // bit-equal by contract (FastJpegSpec pins the tile-mean bound)
     val jpg = Images.encode(32, 32, Images.synthRgb(5L, 32, 32), "jpg")
     val (jw, jh, jrgb) = Images.decode(jpg)
-    assert(Images.phash(jpg) == Images.phashOfRgb(jw, jh, jrgb))
+    assert(Images.hamming(Images.phash(jpg), Images.phashOfRgb(jw, jh, jrgb)) <= 6)
   }
 
   test("non-subset inputs punt to null (ARGB png, jpeg, garbage)") {
