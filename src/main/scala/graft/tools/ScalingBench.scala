@@ -214,6 +214,12 @@ object ScalingBench {
           val tA = System.nanoTime(); val rLo = job(sLo, sfDir)
           val tLo = (System.nanoTime() - tA) / 1e9
           sLo.stop()
+          // MID probe (r5 protocol tightening): pre/post alone bracket a
+          // ~30 s window, long enough for a co-tenant burst to hit exactly
+          // one timed run while both endpoints read clean (observed:
+          // ACCEPT eff=0.345 at pre=1.30/post=0.96). Probing between the
+          // two runs halves every verified window to ~run length.
+          val cMid = probeCeiling(200_000_000L, loN, hiN)
           val sHi = buildSession(hiN)
           val tB = System.nanoTime(); val rHi = job(sHi, sfDir)
           val tHi = (System.nanoTime() - tB) / 1e9
@@ -221,7 +227,7 @@ object ScalingBench {
           require(rLo == rHi && rLo == rowsW, s"row mismatch: $rLo vs $rHi vs $rowsW")
           val cPost = probeCeiling(200_000_000L, loN, hiN)
           val eff = (tLo / tHi) / (hiN.toDouble / loN)
-          if (cPost >= minCeiling) {
+          if (cPost >= minCeiling && cMid >= minCeiling) {
             // memory-bandwidth ceiling INSIDE the same clean window: the
             // lo→hi scaling the host's DRAM system can express. The job's
             // raw eff is bounded by a mix of the spin and mem ceilings —
@@ -230,9 +236,9 @@ object ScalingBench {
             // single-box probe shares one memory system across both configs).
             val memEff = memSeconds(loN, mb = 96, passes = 3) / memSeconds(hiN, mb = 96, passes = 3)
             accepted += Pair(tLo, tHi, cPre, cPost, memEff)
-            System.err.println(f"[pairgate] ACCEPT t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f (pre=$cPre%.2f post=$cPost%.2f)")
+            System.err.println(f"[pairgate] ACCEPT t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f (pre=$cPre%.2f mid=$cMid%.2f post=$cPost%.2f)")
           } else {
-            System.err.println(f"[pairgate] reject t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f — post-ceiling $cPost%.3f dirty")
+            System.err.println(f"[pairgate] reject t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f — mid/post ceiling $cMid%.3f/$cPost%.3f dirty")
           }
         }
       }
@@ -241,9 +247,14 @@ object ScalingBench {
       val eff = effs(effs.length / 2)
       val tLo = accepted.map(_.tLo).sorted.apply(accepted.length / 2)
       val tHi = accepted.map(_.tHi).sorted.apply(accepted.length / 2)
+      // min-based estimator: co-tenant noise can only ADD time, so the
+      // minimum over clean-bracketed runs is the noise-robust bound — the
+      // standard benchmarking estimator; reported alongside the median,
+      // never instead of it.
+      val effMin = (accepted.map(_.tLo).min / accepted.map(_.tHi).min) / (hiN.toDouble / loN)
       val cMin = accepted.flatMap(p => Seq(p.cPre, p.cPost)).min
       val memMed = accepted.map(_.memEff).sorted.apply(accepted.length / 2)
-      val line = f"""{"metric":"scaling_efficiency_${loN}_to_$hiN","value":$eff%.3f,"unit":"ratio","t${loN}_sec":$tLo%.2f,"t${hiN}_sec":$tHi%.2f,"images_per_sec_$loN":${(nImages / tLo).toLong},"images_per_sec_$hiN":${(nImages / tHi).toLong},"join_rows":$rowsW,"n_images":$nImages,"sf":"$sfName","runs":${accepted.length},"protocol":"pair_gated","attempts":$attempts,"host_spin_ceiling_eff":$cMin%.3f,"host_mem_ceiling_eff":$memMed%.3f,"eff_vs_host_ceiling":${eff / cMin}%.3f}"""
+      val line = f"""{"metric":"scaling_efficiency_${loN}_to_$hiN","value":$eff%.3f,"unit":"ratio","value_min_based":$effMin%.3f,"t${loN}_sec":$tLo%.2f,"t${hiN}_sec":$tHi%.2f,"images_per_sec_$loN":${(nImages / tLo).toLong},"images_per_sec_$hiN":${(nImages / tHi).toLong},"join_rows":$rowsW,"n_images":$nImages,"sf":"$sfName","runs":${accepted.length},"protocol":"pair_gated","attempts":$attempts,"host_spin_ceiling_eff":$cMin%.3f,"host_mem_ceiling_eff":$memMed%.3f,"eff_vs_host_ceiling":${eff / cMin}%.3f}"""
       println(line)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING_RUNS.jsonl"), line + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
