@@ -29,6 +29,7 @@ object SparkEntry {
   private val DOCA = "read_parquet('/tmp/graft_geo/sf0.01/docs_aug.parquet/*.parquet')"
   private val TFEAT = "read_parquet('/tmp/graft_geo/sf0.01/text_features.parquet/*.parquet')"
   private val MED = "read_parquet('/tmp/graft_geo/sf0.01/media.parquet/*.parquet')"
+  private val MDEL = "read_parquet('/tmp/graft_geo/sf0.01/media_delta.parquet/*.parquet')"
   private val GNODE = "read_parquet('/tmp/graft_geo/sf0.01/grid_nodes.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
@@ -571,6 +572,31 @@ object SparkEntry {
           call_function("media_meta", col("bytes")).getField("duration_ms").as("dur_ms"))
         .join(feats, "media_id")
         .select("media_id", "n_parts", "feat_c", "f0_ph", "dur_ms")
+    }),
+
+    // ---------------- inter-frame delta video (kind 4, r5) ----------------
+    // The GMV1 delta codec end-to-end: the engine DECODES each kind-4
+    // container (keyframe + temporal-delta P-frames, zero-run RLE) and
+    // recomputes frame-0/last-frame phashes; the fixture's expected values
+    // were computed from the RAW frames before encoding, so a row match
+    // proves the codec is lossless through the full Spark surface. The
+    // `compresses` flag cross-checks that inter-frame coding beat the raw
+    // layout on temporally coherent content (engine derives raw size from
+    // media_meta; oracle from the materialized lengths).
+    "q100_video_delta" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.mediaDelta(s, dir)
+        .withColumn("m", call_function("media_meta", col("bytes")))
+        .withColumn("nf", col("m").getField("n"))
+        .withColumn("f0_ph", call_function("img_phash_rgb",
+          call_function("media_frame", col("bytes"), lit(0)),
+          col("m").getField("w"), col("m").getField("h")))
+        .withColumn("last_ph", call_function("img_phash_rgb",
+          call_function("media_frame", col("bytes"), col("nf") - lit(1)),
+          col("m").getField("w"), col("m").getField("h")))
+        .withColumn("compresses", length(col("bytes")) <
+          lit(21) + col("nf") * col("m").getField("w") * col("m").getField("h") * lit(3))
+        .select(col("media_id"), col("nf"), col("f0_ph"), col("last_ph"), col("compresses"))
     }),
 
     // ---------------- geodesic radius join (r5) ----------------
@@ -2439,6 +2465,14 @@ object SparkEntry {
       s"""SELECT media_id, exp_n_parts AS n_parts, exp_feat_c AS feat_c,
          exp_f0_phash AS f0_ph, exp_dur_ms AS dur_ms
          FROM $MED WHERE fmt = 'jpeg'""",
+    // expected phashes were computed from RAW frames pre-encode; the
+    // engine recomputes them by decoding the kind-4 delta container, so a
+    // match proves lossless inter-frame decode; `compresses` cross-checks
+    // the entropy stage against the materialized container lengths
+    "q100_video_delta" ->
+      s"""SELECT media_id, n_frames AS nf, exp_f0_phash AS f0_ph,
+         exp_last_phash AS last_ph, delta_len < raw_len AS compresses
+         FROM $MDEL""",
     // mirrors K.distanceSphere term-for-term: dphi as a difference OF
     // radians, dlon as radians OF the difference (float-sensitive order)
     "q89_geo_radius" ->

@@ -431,6 +431,46 @@ object GeoTables {
     spark.read.parquet(mediaPath(sfDir))
   }
 
+  // ---- delta-coded video fixture (kind 4, q100) ----
+
+  def mediaDeltaPath(sfDir: String): String = s"${baseDir(sfDir)}/media_delta.parquet"
+  def nMediaDelta(sfDir: String): Int = math.max(100, (sfOf(sfDir) * 2000).toInt)
+
+  /** Expected values computed from the RAW frames (codec-independent), so
+    * the q100 engine-vs-oracle match proves the kind-4 decode is lossless:
+    * the engine recomputes f0/last phash by DECODING the delta container. */
+  final case class MediaDeltaRow(media_id: String, bytes: Array[Byte], w: Int, h: Int,
+                                 n_frames: Int, exp_f0_phash: Long, exp_last_phash: Long,
+                                 delta_len: Int, raw_len: Int)
+
+  def mediaDeltaRow(i: Long): MediaDeltaRow = {
+    import graft.img.{Images, Media}
+    val w = 24 + (i % 4).toInt * 8  // 24..48
+    val h = 18 + (i % 3).toInt * 6  // 18..30
+    val n = 8 + (i % 9).toInt       // 8..16 frames
+    val frames = Media.synthSmoothFrames(1000L + i, w, h, n)
+    val b = Media.encodeVideoDelta(w, h, 8, frames)
+    MediaDeltaRow(f"md${i}%06d", b, w, h, n,
+      Images.phashOfRgb(w, h, frames(0)), Images.phashOfRgb(w, h, frames(n - 1)),
+      b.length, 21 + n * w * h * 3)
+  }
+
+  def mediaDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureMediaDelta(spark, sfDir)
+    spark.read.parquet(mediaDeltaPath(sfDir))
+  }
+
+  def ensureMediaDelta(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_MEDIA_DELTA_DONE_V1"))) return
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    spark.range(0, nMediaDelta(sfDir), 1, parts).map(mediaDeltaRow(_))
+      .write.mode("overwrite").parquet(mediaDeltaPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_MEDIA_DELTA_DONE_V1"))
+  }
+
   /** Additive fixture (own VERSIONED marker, mirrors the textfeat pattern
     * — bump the suffix when the synthesis changes so stale dirs regen). */
   def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {

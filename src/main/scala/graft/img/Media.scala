@@ -9,19 +9,21 @@ package graft.img
  * the same pigeonhole/pHash dedup downstream on sampled frames).
  *
  * Codec status (r5): frames decode REAL JPEG/PNG payloads through
- * ImageIO (kind 2) and audio decodes REAL RIFF/WAV through
- * javax.sound.sampled (kind 3) — actual interchange containers, not
- * stubs; only inter-frame video compression (H.264-class) remains a
- * documented stub via the raw kinds 0/1, because bitstream codecs are
- * not in this sandbox. Everything AROUND the codec — schema, binary
- * layout, metadata struct, per-frame explode shape, feature windows,
- * oracle checks — is the real Spark-side plumbing a libavcodec-backed
- * decoder would slot into (signatures unchanged).
+ * ImageIO (kind 2), audio decodes REAL RIFF/WAV through
+ * javax.sound.sampled (kind 3), and kind 4 is a real INTER-FRAME video
+ * codec: keyframe + temporal-delta P-frames with zero-run RLE entropy
+ * coding — the I/P-frame structure every bitstream codec shares, losslessly
+ * decodable (MediaSpec pins frame-exact round-trips and the compression
+ * ratio on temporally-coherent content). What remains out of scope is
+ * only the H.264-class TRANSFORM stack (motion search, in-loop filters),
+ * honestly beyond an offline sandbox with no codec jars; a libavcodec
+ * decoder would slot into the same `frame`/`sampleFrames` signatures.
  *
  * Layout ("GMV1", all ints little-endian):
  *   magic  4B 'G''M''V''1'
  *   kind   1B: 0 = audio (raw PCM), 1 = video (raw RGB),
- *              2 = video (coded frames), 3 = audio (RIFF/WAV)
+ *              2 = video (coded frames), 3 = audio (RIFF/WAV),
+ *              4 = video (delta-coded)
  *   video:   i32 w, i32 h, i32 fps, i32 nFrames, nFrames×(w·h·3) raw RGB
  *   video-2: i32 w, i32 h, i32 fps, i32 nFrames, nFrames×i32 payload
  *            lengths, then the concatenated ImageIO-decodable payloads
@@ -29,6 +31,15 @@ package graft.img
  *            zero new dependencies; `frame` decodes through
  *            [[Images.decode]] and still returns raw RGB, so the whole
  *            downstream frame surface composes unchanged)
+ *   video-4: i32 w, i32 h, i32 fps, i32 nFrames, nFrames×i32 payload
+ *            lengths, then per-frame RLE streams: frame 0 encodes its raw
+ *            RGB, frame i>0 encodes (frame_i − frame_{i−1}) mod 256
+ *            byte-wise; RLE tokens are [0x00][u16 len] for a zero run and
+ *            [0x01][u16 len][len bytes] for literals. Temporal deltas of
+ *            coherent video are mostly zeros, so the zero-run coder is
+ *            the whole entropy stage; decode is strictly sequential
+ *            (frame i needs 0..i−1 — `frame` documents the O(i) cost and
+ *            `sampleFrames` decodes the container in ONE forward pass).
  *   audio:   i32 sampleRate, i32 nSamples, nSamples×2 s16 PCM
  *   audio-3: a complete RIFF/WAV file (PCM s16 mono) parsed through
  *            javax.sound.sampled (r5: the real interchange container for
@@ -52,8 +63,11 @@ object Media {
     // an unknown kind byte must fail HERE, loudly — a >= 1 branch test
     // would otherwise route kind 3 garbage into the coded-frame length
     // table parser (review r5)
-    require(b(4) >= 0 && b(4) <= 3, s"unknown GMV1 kind ${b(4)}")
+    require(b(4) >= 0 && b(4) <= 4, s"unknown GMV1 kind ${b(4)}")
   }
+
+  @inline private def isVideo(b: Array[Byte]): Boolean =
+    b(4) == 1 || b(4) == 2 || b(4) == 4
 
   def encodeVideo(w: Int, h: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {
     val fb = w * h * 3
@@ -81,20 +95,20 @@ object Media {
 
   def kind(b: Array[Byte]): String = {
     checkMagic(b)
-    if (b(4) == 1 || b(4) == 2) "video" else "audio"
+    if (isVideo(b)) "video" else "audio"
   }
 
-  /** Payload format: "raw"/"coded" (video kinds 1/2), "pcm"/"wav" (audio
-    * kinds 0/3). */
+  /** Payload format: "raw"/"coded"/"delta" (video kinds 1/2/4),
+    * "pcm"/"wav" (audio kinds 0/3). */
   def fmt(b: Array[Byte]): String = {
     checkMagic(b)
-    b(4) match { case 2 => "coded"; case 1 => "raw"; case 3 => "wav"; case _ => "pcm" }
+    b(4) match { case 2 => "coded"; case 4 => "delta"; case 1 => "raw"; case 3 => "wav"; case _ => "pcm" }
   }
 
   /** (w, h, rate(fps|Hz), n(frames|samples), durationMs). Audio: w=h=0. */
   def meta(b: Array[Byte]): (Int, Int, Int, Int, Long) = {
     checkMagic(b)
-    if (b(4) == 1 || b(4) == 2) {
+    if (isVideo(b)) {
       val w = getInt(b, 5); val h = getInt(b, 9); val fps = getInt(b, 13); val n = getInt(b, 17)
       (w, h, fps, n, if (fps == 0) 0L else n.toLong * 1000 / fps)
     } else if (b(4) == 3) {
@@ -167,16 +181,128 @@ object Media {
     out
   }
 
+  // ---- inter-frame delta codec (kind 4) ----
+
+  /** Zero-run RLE encode of `src` into a growable buffer; returns bytes.
+    * Tokens: [0x00][u16 runLen] zero run, [0x01][u16 len][bytes] literal.
+    * Runs cap at 65535 and re-emit — worst case (no zeros) adds 3 bytes
+    * per 64 KiB (+0.005%). */
+  private def rleEncode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length / 8 + 16)
+    var i = 0
+    while (i < src.length) {
+      if (src(i) == 0) {
+        var j = i
+        while (j < src.length && src(j) == 0 && j - i < 65535) j += 1
+        out.write(0); out.write((j - i) & 0xFF); out.write(((j - i) >>> 8) & 0xFF)
+        i = j
+      } else {
+        var j = i
+        // a literal run ends at a WORTHWHILE zero run (≥4 zeros — shorter
+        // ones cost more in token overhead than they save)
+        while (j < src.length && j - i < 65535 &&
+               !(src(j) == 0 && j + 3 < src.length && src(j + 1) == 0 && src(j + 2) == 0 && src(j + 3) == 0))
+          j += 1
+        out.write(1); out.write((j - i) & 0xFF); out.write(((j - i) >>> 8) & 0xFF)
+        out.write(src, i, j - i)
+        i = j
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decode an RLE stream into `dst` (must be exactly the frame size). */
+  private def rleDecode(b: Array[Byte], off: Int, len: Int, dst: Array[Byte]): Unit = {
+    var p = off
+    val end = off + len
+    var o = 0
+    while (p < end) {
+      val tag = b(p) & 0xFF
+      val n = (b(p + 1) & 0xFF) | ((b(p + 2) & 0xFF) << 8)
+      p += 3
+      require(o + n <= dst.length, "RLE overruns frame")
+      if (tag == 0) {
+        java.util.Arrays.fill(dst, o, o + n, 0.toByte)
+      } else {
+        require(tag == 1, s"bad RLE tag $tag")
+        System.arraycopy(b, p, dst, o, n)
+        p += n
+      }
+      o += n
+    }
+    require(o == dst.length, s"RLE underruns frame: $o of ${dst.length}")
+  }
+
+  /** Delta-coded video (kind 4): frame 0 = RLE(raw RGB); frame i>0 =
+    * RLE((frame_i − frame_{i−1}) mod 256). Lossless by construction. */
+  def encodeVideoDelta(w: Int, h: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val fb = w * h * 3
+    require(frames.forall(_.length == fb), s"every frame must be w*h*3 = $fb bytes")
+    val delta = new Array[Byte](fb)
+    val payloads = frames.indices.map { i =>
+      if (i == 0) rleEncode(frames(0))
+      else {
+        var k = 0
+        while (k < fb) { delta(k) = (frames(i)(k) - frames(i - 1)(k)).toByte; k += 1 }
+        rleEncode(delta)
+      }
+    }.toArray
+    val lenTab = payloads.length * 4
+    val out = new Array[Byte](21 + lenTab + payloads.map(_.length).sum)
+    MAGIC.copyToArray(out); out(4) = 4
+    putInt(out, 5, w); putInt(out, 9, h); putInt(out, 13, fps); putInt(out, 17, payloads.length)
+    var off = 21 + lenTab
+    var i = 0
+    while (i < payloads.length) {
+      putInt(out, 21 + 4 * i, payloads(i).length)
+      payloads(i).copyToArray(out, off)
+      off += payloads(i).length
+      i += 1
+    }
+    out
+  }
+
+  /** Sequentially reconstruct delta frames 0..upto (inclusive); returns
+    * the kept frames at indices 0, step, 2·step, … ≤ upto. */
+  private def deltaDecodeTo(b: Array[Byte], upto: Int, step: Int): Array[Array[Byte]] = {
+    val w = getInt(b, 5); val h = getInt(b, 9); val n = getInt(b, 17)
+    require(upto >= 0 && upto < n, s"frame $upto out of [0, $n)")
+    val fb = w * h * 3
+    val cur = new Array[Byte](fb)
+    val buf = new Array[Byte](fb)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 21 + 4 * n
+    var i = 0
+    while (i <= upto) {
+      val len = getInt(b, 21 + 4 * i)
+      if (i == 0) rleDecode(b, off, len, cur)
+      else {
+        rleDecode(b, off, len, buf)
+        var k = 0
+        while (k < fb) { cur(k) = (cur(k) + buf(k)).toByte; k += 1 }
+      }
+      if (i % step == 0) kept += cur.clone()
+      off += len
+      i += 1
+    }
+    kept.toArray
+  }
+
   /** Frame i as a raw RGB buffer — plugs into img_gray_rgb / img_flip_rgb /
     * img_crop_rgb / img_resize / img_luma_mean unchanged. Coded frames
-    * (kind 2) decode through ImageIO on the way out. */
+    * (kind 2) decode through ImageIO on the way out; delta frames (kind 4)
+    * reconstruct sequentially from the keyframe — O(i) per call, so batch
+    * access should go through [[sampleFrames]] (one forward pass). */
   def frame(b: Array[Byte], i: Int): Array[Byte] = {
-    checkMagic(b); require(b(4) == 1 || b(4) == 2, "media_frame expects video")
+    checkMagic(b); require(isVideo(b), "media_frame expects video")
     val w = getInt(b, 5); val h = getInt(b, 9); val n = getInt(b, 17)
     require(i >= 0 && i < n, s"frame $i out of [0, $n)")
     if (b(4) == 1) {
       val fb = w * h * 3
       java.util.Arrays.copyOfRange(b, 21 + i * fb, 21 + (i + 1) * fb)
+    } else if (b(4) == 4) {
+      val fs = deltaDecodeTo(b, i, math.max(1, i))
+      fs.last
     } else {
       var off = 21 + 4 * n
       var j = 0
@@ -189,12 +315,15 @@ object Media {
   }
 
   /** Every `step`-th frame (0, step, 2·step, …) — the decimation shape a
-    * frame-dedup or captioning pipeline runs before per-frame work. */
+    * frame-dedup or captioning pipeline runs before per-frame work. Delta
+    * containers decode in ONE forward pass (never O(n²) repeated
+    * reconstruction). */
   def sampleFrames(b: Array[Byte], step: Int): Array[Array[Byte]] = {
-    checkMagic(b); require(b(4) == 1 || b(4) == 2, "media_frame_sample expects video")
+    checkMagic(b); require(isVideo(b), "media_frame_sample expects video")
     require(step > 0, "step must be positive")
     val n = getInt(b, 17)
-    Array.range(0, n, step).map(frame(b, _))
+    if (b(4) == 4) deltaDecodeTo(b, n - 1, step)
+    else Array.range(0, n, step).map(frame(b, _))
   }
 
   /** s16 little-endian decode — the one copy of the byte-pair idiom. */
@@ -254,6 +383,46 @@ object Media {
 
   def synthVideo(seed: Long, w: Int, h: Int, fps: Int, nFrames: Int): Array[Byte] =
     encodeVideo(w, h, fps, synthFrames(seed, w, h, nFrames))
+
+  /** Temporally COHERENT synthetic frames — a static gradient background
+    * with a small moving block — the content class inter-frame coding
+    * exists for (frame deltas are zero outside the block's old+new
+    * positions, so kind 4 compresses hard; `synthFrames`' per-pixel
+    * noise is the adversarial case where delta ≈ raw). */
+  def synthSmoothFrames(seed: Long, w: Int, h: Int, nFrames: Int): Array[Array[Byte]] = {
+    val bw = math.min(w, math.max(2, w / 4)); val bh = math.min(h, math.max(2, h / 4))
+    Array.tabulate(nFrames) { f =>
+      val buf = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          buf(p) = (16 + x * 223 / math.max(1, w - 1)).toByte
+          buf(p + 1) = (16 + y * 223 / math.max(1, h - 1)).toByte
+          buf(p + 2) = (((seed & 0x3F) + 32) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // moving block: walks diagonally one pixel per frame, wraps
+      val x0 = ((mix(seed) >>> 33).toInt + f) % math.max(1, w - bw + 1)
+      val y0 = ((mix(seed + 1) >>> 33).toInt + f) % math.max(1, h - bh + 1)
+      var by = y0
+      while (by < y0 + bh) {
+        var bx = x0
+        while (bx < x0 + bw) {
+          val p = (by * w + bx) * 3
+          buf(p) = (255 - (buf(p) & 0xFF)).toByte
+          buf(p + 1) = (mix(seed + bx) & 0xFF).toByte
+          buf(p + 2) = 200.toByte
+          bx += 1
+        }
+        by += 1
+      }
+      buf
+    }
+  }
 
   /** Deterministic synthetic PCM: bounded s16 from the same mix. */
   def synthSamples(seed: Long, nSamples: Int): Array[Short] =

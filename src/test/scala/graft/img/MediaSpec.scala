@@ -136,11 +136,52 @@ class MediaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Media.sampleFrames(b, 3))
   }
 
+  test("delta codec (kind 4): lossless frame-exact round-trip, both content classes") {
+    for ((mk, w, h, n) <- Seq(("smooth", 32, 24, 12), ("noise", 16, 12, 8), ("tiny", 1, 1, 3))) {
+      val frames = if (mk == "noise") Media.synthFrames(11L, w, h, n)
+                   else Media.synthSmoothFrames(11L + w, w, h, n)
+      val d = Media.encodeVideoDelta(w, h, 5, frames)
+      assert(Media.kind(d) == "video" && Media.fmt(d) == "delta")
+      assert(Media.meta(d) == ((w, h, 5, n, n.toLong * 1000 / 5)))
+      // random access: every frame reconstructs bit-exactly
+      (0 until n).foreach { i =>
+        assert(java.util.Arrays.equals(Media.frame(d, i), frames(i)), s"$mk frame $i")
+      }
+      // one-pass sampling matches per-frame access
+      val s2 = Media.sampleFrames(d, 2)
+      assert(s2.length == (n + 1) / 2)
+      s2.zipWithIndex.foreach { case (f, k) =>
+        assert(java.util.Arrays.equals(f, frames(2 * k)), s"$mk sampled $k")
+      }
+    }
+  }
+
+  test("delta codec compresses temporally coherent video; raw-vs-delta surface parity") {
+    val w = 48; val h = 36; val n = 16
+    val frames = Media.synthSmoothFrames(42L, w, h, n)
+    val raw = Media.encodeVideo(w, h, 8, frames)
+    val d = Media.encodeVideoDelta(w, h, 8, frames)
+    // inter-frame coding must actually compress this content class:
+    // only the moving block's old+new rows change per frame
+    val ratio = d.length.toDouble / raw.length
+    assert(ratio < 0.35, f"delta/raw = $ratio%.3f — inter-frame coding not compressing")
+    // and the per-frame surface is indistinguishable from the raw kind
+    (0 until n by 3).foreach { i =>
+      assert(Images.phashOfRgb(w, h, Media.frame(d, i)) ==
+             Images.phashOfRgb(w, h, Media.frame(raw, i)))
+    }
+    // adversarial content (iid noise) stays within RLE's worst-case bound
+    val noisy = Media.synthFrames(9L, w, h, n)
+    val dn = Media.encodeVideoDelta(w, h, 8, noisy)
+    val rn = Media.encodeVideo(w, h, 8, noisy)
+    assert(dn.length <= rn.length * 1.01 + 64, s"worst case blew up: ${dn.length} vs ${rn.length}")
+  }
+
   test("malformed containers fail loudly") {
     intercept[IllegalArgumentException](Media.kind(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Media.kind("XXXX?".getBytes))
     // an unknown kind byte fails at the header, not inside a frame parser
-    val badKind = "GMV1".getBytes :+ 4.toByte
+    val badKind = "GMV1".getBytes :+ 5.toByte
     intercept[IllegalArgumentException](Media.kind(badKind))
     intercept[IllegalArgumentException](Media.frame(badKind :+ 0.toByte, 0))
     val audio = Media.synthAudio(1, 8000, 100)
