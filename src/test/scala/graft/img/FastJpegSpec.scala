@@ -118,6 +118,55 @@ class FastJpegSpec extends AnyFunSuite {
     assert(Images.hamming(Images.phash(jpg), pngHash) <= 10)
   }
 
+  test("extreme dimensions stay on the fast path and track the reference") {
+    // bound is looser than the fixture-shaped test: Y == 0.299R+0.587G+0.114B
+    // exactly only while reconstructed RGB stays in gamut; where a channel
+    // clips at 0/255 the identity breaks by a few levels per pixel, and a
+    // 1–2-pixel tile (w or h ≤ 3) has no averaging to damp it. Hash-grade
+    // agreement, not pixel-grade, is the contract here.
+    for ((w, h) <- Seq((1, 1), (1, 40), (40, 1), (7, 7), (8, 8), (9, 17), (128, 3), (3, 128))) {
+      val rgb = Images.synthRgb(w * 1000L + h, w, h)
+      val jpg = Images.encode(w, h, rgb, "jpg", 0.9f)
+      val fast = FastJpeg.gray32FromJpeg(jpg, 32)
+      assert(fast != null, s"rejected ${w}x$h")
+      val ref = refTiles(jpg, 32)
+      var maxD = 0.0
+      for (k <- fast.indices) maxD = math.max(maxD, math.abs(fast(k) - ref(k)))
+      val bound = if (math.min(w, h) <= 3) 4.0 else 1.5
+      assert(maxD <= bound, s"divergence $maxD at ${w}x$h")
+    }
+  }
+
+  test("adversarial fuzz: random bit flips and truncations never throw") {
+    val rnd = new scala.util.Random(20260817L)
+    var nullCount = 0
+    for (trial <- 0 until 2000) {
+      val w = 8 + rnd.nextInt(56); val h = 8 + rnd.nextInt(56)
+      val rgb = Images.synthRgb(trial.toLong, w, h)
+      val jpg = Images.encode(w, h, rgb, "jpg", 0.85f + rnd.nextFloat() * 0.14f)
+      val mutated = jpg.clone()
+      if (rnd.nextBoolean()) { // single bit flip anywhere
+        val p = rnd.nextInt(mutated.length)
+        mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+      } else { // byte-range scramble
+        val p = rnd.nextInt(mutated.length)
+        val n = math.min(1 + rnd.nextInt(32), mutated.length - p)
+        for (k <- p until p + n) mutated(k) = rnd.nextInt(256).toByte
+      }
+      val cut = if (rnd.nextInt(3) == 2) 1 + rnd.nextInt(mutated.length) else mutated.length
+      val input = java.util.Arrays.copyOf(mutated, cut)
+      // the ONLY acceptable outcomes: a 1024-tile array or null — a bad
+      // stream must never escape as an exception or an OOB access
+      val r = try FastJpeg.gray32FromJpeg(input, 32) catch {
+        case e: Throwable =>
+          fail(s"trial $trial (${w}x$h cut=$cut/${mutated.length}) threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+      if (r == null) nullCount += 1 else assert(r.length == 1024)
+    }
+    // sanity: the fuzz actually produced rejects (and some survivors whose
+    // mutation hit a comment/metadata byte)
+    assert(nullCount > 200, s"fuzz too weak: only $nullCount rejects")
+  }
   test("truncated / corrupt streams return null, never throw") {
     val rgb = Images.synthRgb(5L, 32, 32)
     val jpg = Images.encode(32, 32, rgb, "jpg", 0.9f)
