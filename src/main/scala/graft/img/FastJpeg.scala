@@ -39,6 +39,7 @@ object FastJpeg {
     * the Y plane, and the bit reader — zero per-image allocation. */
   private final class Scratch {
     val quant = Array.ofDim[Int](4, 64)
+    val quantSet = new Array[Boolean](4)
     // huffman tables [class 0=DC|1=AC][id 0..3]; built canonically per spec
     // F.2.2.3 plus an 8-bit lookahead (value | length<<8, -1 = slow path)
     val huffLook = Array.ofDim[Int](2, 4, 256)
@@ -135,6 +136,10 @@ object FastJpeg {
   private def decodeY(bytes: Array[Byte], sc: Scratch): Long = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return -1L
     java.util.Arrays.fill(sc.dcPred, 0)
+    // per-decode table state reset: a stream that never (re)defines a table
+    // it references must be rejected, not silently reuse the previous
+    // image's tables on this thread (nondeterministic hash — review r5)
+    java.util.Arrays.fill(sc.quantSet, false)
     var i = 0
     while (i < 2) { var j = 0; while (j < 4) { sc.huffSet(i)(j) = false; j += 1 }; i += 1 }
     var w = 0; var h = 0; var nComp = 0
@@ -153,10 +158,12 @@ object FastJpeg {
           case 0xC0 => // SOF0 baseline
             if (sofSeen) return -1L
             sofSeen = true
+            if (len < 8) return -1L // segment must hold prec+dims+nComp
             val prec = bytes(p + 4) & 0xFF
             h = u16(bytes, p + 5); w = u16(bytes, p + 7)
             nComp = bytes(p + 9) & 0xFF
             if (prec != 8 || w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return -1L
+            if (len < 8 + 3 * nComp) return -1L // component specs must fit
             if (w.toLong * h > (Int.MaxValue >> 3)) return -1L
             var c = 0
             while (c < nComp) {
@@ -174,6 +181,7 @@ object FastJpeg {
             var q = p + 4
             val end = p + 2 + len
             while (q < end) {
+              if (q + 17 > end) return -1L // count table must fit the segment
               val tc = (bytes(q) & 0xF0) >> 4
               val th = bytes(q) & 0x0F
               if (tc > 1 || th > 3) return -1L
@@ -202,13 +210,16 @@ object FastJpeg {
                 while (k < 64) { sc.quant(tq)(k) = u16(bytes, q + 1 + 2 * k); k += 1 }
                 q += 129
               }
+              sc.quantSet(tq) = true
             }
           case 0xDD =>
+            if (len < 4) return -1L
             restartInterval = u16(bytes, p + 4)
           case 0xDA => // SOS — single interleaved baseline scan
-            if (!sofSeen) return -1L
+            if (!sofSeen || len < 3) return -1L
             val ns = bytes(p + 4) & 0xFF
             if (ns != nComp) return -1L // non-interleaved multi-scan: fall back
+            if (len < 3 + 2 * ns) return -1L // component selectors must fit
             // components appear in SOF order in the interleaved baseline
             // scans every JFIF writer emits; a reordered scan is outside
             // the fast-path subset (the MCU layout below assumes SOF order)
@@ -334,12 +345,19 @@ object FastJpeg {
 
   private def decodeScan(bytes: Array[Byte], scanStart: Int, sc: Scratch,
                          w: Int, h: Int, nComp: Int, restartInterval: Int): Long = {
+    // single-component scans are NON-interleaved per ISO 10918-1 A.2.2:
+    // one 8×8 data unit per MCU in raster order, sampling factors ignored
+    // (a grayscale stream carrying H=V=2 — e.g. a luma-only transcode that
+    // kept the source's factors — would otherwise desync and hash garbage;
+    // review r5)
+    if (nComp == 1) { sc.compH(0) = 1; sc.compV(0) = 1 }
     var hMax = 1; var vMax = 1
     var c = 0
     while (c < nComp) {
       if (sc.compH(c) > hMax) hMax = sc.compH(c)
       if (sc.compV(c) > vMax) vMax = sc.compV(c)
       if (!sc.huffSet(0)(sc.compDcTab(c)) || !sc.huffSet(1)(sc.compAcTab(c))) return -1L
+      if (!sc.quantSet(sc.compQ(c))) return -1L
       c += 1
     }
     // luma must be component 0 with full resolution (JFIF YCbCr / grayscale)

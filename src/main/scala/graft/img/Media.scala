@@ -211,12 +211,19 @@ object Media {
     out.toByteArray
   }
 
-  /** Decode an RLE stream into `dst` (must be exactly the frame size). */
+  /** Decode an RLE stream into `dst` (must be exactly the frame size).
+    * Every token header and literal payload is bounds-checked against the
+    * DECLARED payload window [off, off+len) — a malformed container must
+    * fail loudly here, never read the next frame's bytes or run off the
+    * array (review r5). */
   private def rleDecode(b: Array[Byte], off: Int, len: Int, dst: Array[Byte]): Unit = {
+    require(off >= 0 && len >= 0 && off.toLong + len <= b.length,
+      s"RLE payload window [$off, ${off.toLong + len}) outside container of ${b.length}")
     var p = off
     val end = off + len
     var o = 0
     while (p < end) {
+      require(p + 3 <= end, s"RLE token header crosses payload end at $p")
       val tag = b(p) & 0xFF
       val n = (b(p + 1) & 0xFF) | ((b(p + 2) & 0xFF) << 8)
       p += 3
@@ -225,6 +232,7 @@ object Media {
         java.util.Arrays.fill(dst, o, o + n, 0.toByte)
       } else {
         require(tag == 1, s"bad RLE tag $tag")
+        require(p + n <= end, s"RLE literal crosses payload end at $p")
         System.arraycopy(b, p, dst, o, n)
         p += n
       }
@@ -267,6 +275,7 @@ object Media {
   private def deltaDecodeTo(b: Array[Byte], upto: Int, step: Int): Array[Array[Byte]] = {
     val w = getInt(b, 5); val h = getInt(b, 9); val n = getInt(b, 17)
     require(upto >= 0 && upto < n, s"frame $upto out of [0, $n)")
+    require(n >= 0 && 21L + 4L * n <= b.length, s"kind-4 length table truncated (n=$n)")
     val fb = w * h * 3
     val cur = new Array[Byte](fb)
     val buf = new Array[Byte](fb)
@@ -275,6 +284,7 @@ object Media {
     var i = 0
     while (i <= upto) {
       val len = getInt(b, 21 + 4 * i)
+      require(len >= 0, s"negative payload length for frame $i")
       if (i == 0) rleDecode(b, off, len, cur)
       else {
         rleDecode(b, off, len, buf)
@@ -322,8 +332,10 @@ object Media {
     checkMagic(b); require(isVideo(b), "media_frame_sample expects video")
     require(step > 0, "step must be positive")
     val n = getInt(b, 17)
-    if (b(4) == 4) deltaDecodeTo(b, n - 1, step)
-    else Array.range(0, n, step).map(frame(b, _))
+    if (b(4) == 4) {
+      if (n == 0) Array.empty // parity with the kind-1/2 empty-range path
+      else deltaDecodeTo(b, n - 1, step)
+    } else Array.range(0, n, step).map(frame(b, _))
   }
 
   /** s16 little-endian decode — the one copy of the byte-pair idiom. */

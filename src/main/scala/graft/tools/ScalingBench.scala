@@ -199,7 +199,8 @@ object ScalingBench {
       val warmLo = buildSession(loN)
       job(warmLo, sfDir)
       warmLo.stop()
-      final case class Pair(tLo: Double, tHi: Double, cPre: Double, cPost: Double, memEff: Double)
+      final case class Pair(tLo: Double, tHi: Double, cPre: Double, cMid: Double,
+                            cPost: Double, memEff: Double)
       val accepted = scala.collection.mutable.ArrayBuffer.empty[Pair]
       val t0 = System.nanoTime()
       var attempts = 0
@@ -235,7 +236,7 @@ object ScalingBench {
             // (a real N→4N cluster adds memory channels with nodes; this
             // single-box probe shares one memory system across both configs).
             val memEff = memSeconds(loN, mb = 96, passes = 3) / memSeconds(hiN, mb = 96, passes = 3)
-            accepted += Pair(tLo, tHi, cPre, cPost, memEff)
+            accepted += Pair(tLo, tHi, cPre, cMid, cPost, memEff)
             System.err.println(f"[pairgate] ACCEPT t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f (pre=$cPre%.2f mid=$cMid%.2f post=$cPost%.2f)")
           } else {
             System.err.println(f"[pairgate] reject t$loN=$tLo%.1f t$hiN=$tHi%.1f eff=$eff%.3f — mid/post ceiling $cMid%.3f/$cPost%.3f dirty")
@@ -252,7 +253,9 @@ object ScalingBench {
       // standard benchmarking estimator; reported alongside the median,
       // never instead of it.
       val effMin = (accepted.map(_.tLo).min / accepted.map(_.tHi).min) / (hiN.toDouble / loN)
-      val cMin = accepted.flatMap(p => Seq(p.cPre, p.cPost)).min
+      // the published in-window ceiling must include the mid probe — it is
+      // often the window's worst reading (review r5)
+      val cMin = accepted.flatMap(p => Seq(p.cPre, p.cMid, p.cPost)).min
       val memMed = accepted.map(_.memEff).sorted.apply(accepted.length / 2)
       val line = f"""{"metric":"scaling_efficiency_${loN}_to_$hiN","value":$eff%.3f,"unit":"ratio","value_min_based":$effMin%.3f,"t${loN}_sec":$tLo%.2f,"t${hiN}_sec":$tHi%.2f,"images_per_sec_$loN":${(nImages / tLo).toLong},"images_per_sec_$hiN":${(nImages / tHi).toLong},"join_rows":$rowsW,"n_images":$nImages,"sf":"$sfName","runs":${accepted.length},"protocol":"pair_gated","attempts":$attempts,"host_spin_ceiling_eff":$cMin%.3f,"host_mem_ceiling_eff":$memMed%.3f,"eff_vs_host_ceiling":${eff / cMin}%.3f}"""
       println(line)

@@ -167,6 +167,43 @@ class FastJpegSpec extends AnyFunSuite {
     // mutation hit a comment/metadata byte)
     assert(nullCount > 200, s"fuzz too weak: only $nullCount rejects")
   }
+  test("header segments truncated AT the array end return null (review r5)") {
+    // each is a stream whose declared segment length passes the coarse
+    // p+2+len bound but whose field reads would run off the array
+    val cases = Seq(
+      Array(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x03, 0x00),       // DHT: counts truncated
+      Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x02),             // SOF0: fields truncated
+      Array(0xFF, 0xD8, 0xFF, 0xDD, 0x00, 0x02),             // DRI: interval truncated
+      Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08, 0x01, // SOF 1 comp
+            0x01, 0x11, 0x00, 0xFF, 0xDA, 0x00, 0x02)        // SOS: selectors truncated
+    ).map(_.map(_.toByte))
+    cases.zipWithIndex.foreach { case (bs, k) =>
+      val r = try FastJpeg.gray32FromJpeg(bs, 32) catch {
+        case e: Throwable => fail(s"case $k threw ${e.getClass.getSimpleName}")
+      }
+      assert(r == null, s"case $k must reject")
+    }
+  }
+
+  test("missing DQT rejects — tables never leak across decodes on a thread (review r5)") {
+    val rgb = Images.synthRgb(3L, 32, 32)
+    val jpg = Images.encode(32, 32, rgb, "jpg", 0.9f)
+    // decode once so this thread's scratch holds valid tables
+    assert(FastJpeg.gray32FromJpeg(jpg, 32) != null)
+    // retag every DQT marker as APP11 (skipped): quant tables now undefined
+    val noDqt = jpg.clone()
+    var p = 2
+    while (p + 4 <= noDqt.length && (noDqt(p + 1) & 0xFF) != 0xDA) {
+      val m = noDqt(p + 1) & 0xFF
+      val len = ((noDqt(p + 2) & 0xFF) << 8) | (noDqt(p + 3) & 0xFF)
+      if (m == 0xDB) noDqt(p + 1) = 0xEB.toByte
+      p += 2 + len
+    }
+    // must REJECT (fall back), not silently decode with the previous
+    // image's tables still sitting in the thread-local scratch
+    assert(FastJpeg.gray32FromJpeg(noDqt, 32) == null, "missing DQT must reject")
+  }
+
   test("truncated / corrupt streams return null, never throw") {
     val rgb = Images.synthRgb(5L, 32, 32)
     val jpg = Images.encode(32, 32, rgb, "jpg", 0.9f)

@@ -177,6 +177,24 @@ class MediaSpec extends AnyFunSuite {
     assert(dn.length <= rn.length * 1.01 + 64, s"worst case blew up: ${dn.length} vs ${rn.length}")
   }
 
+  test("malformed kind-4 payloads fail loudly, never splice frames (review r5)") {
+    val frames = Media.synthSmoothFrames(5L, 16, 12, 4)
+    val good = Media.encodeVideoDelta(16, 12, 5, frames)
+    // corrupt frame 0's declared length to 3 while leaving a literal token
+    // that claims the whole frame — decode must reject the crossing read,
+    // not copy bytes from frame 1's payload region
+    val bad = good.clone()
+    bad(21) = 3; bad(22) = 0; bad(23) = 0; bad(24) = 0 // len[0] = 3 (LE)
+    intercept[IllegalArgumentException](Media.frame(bad, 0))
+    // truncated length table
+    val short = java.util.Arrays.copyOf(good, 22)
+    intercept[IllegalArgumentException](Media.frame(short, 0))
+    // zero-frame delta container: sampleFrames returns empty like kinds 1/2
+    val empty = Media.encodeVideoDelta(16, 12, 5, Array.empty)
+    assert(Media.sampleFrames(empty, 2).isEmpty)
+    intercept[IllegalArgumentException](Media.frame(empty, 0))
+  }
+
   test("malformed containers fail loudly") {
     intercept[IllegalArgumentException](Media.kind(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](Media.kind("XXXX?".getBytes))
