@@ -719,6 +719,14 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
+    // product-quantization EXACT top-k (memory-scale ANN: the probe scans
+    // the ~24 B/row PQ sketch, not the 256 B/row float vectors; ADC lower
+    // bound sqrt(adc)−r + exact rerank ⇒ identical to the brute-force
+    // integer-L2 oracle — see graft.join.Pq)
+    "q101_pq_topk" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      graft.join.Pq.topK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
+    }),
 
     // ---------------- discrete Fréchet distance (r5) ----------------
     // Order-aware curve similarity (trajectory dedup): parallel edges →
@@ -2014,6 +2022,19 @@ object SparkEntry {
     "q22_embed_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
          FROM embeddings GROUP BY 1""",
+    // brute-force quantized-integer L2 ground truth (PQ is exact-by-bounds)
+    "q101_pq_topk" ->
+      """WITH pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+           list_sum(list_transform(list_zip(q.embedding, p.embedding),
+             s -> (CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                * (CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT)))) AS d2
+           FROM embeddings q, embeddings p WHERE q.vec_id < 10)
+         SELECT q_vec, p_vec, rank FROM (
+           SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
+             ORDER BY d2 ASC, p_vec ASC) AS BIGINT) AS rank
+           FROM pairs) WHERE rank <= 5""",
     "q26_zone_clip_area" ->
       s"""SELECT zone_id,
          CAST(FLOOR(GREATEST(0, LEAST(xmax, 60.0) - GREATEST(xmin, 0.0))

@@ -291,6 +291,63 @@ case class VecIvfDot(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** vec_pq_encode(embedding, codebookBlob) → m PQ code bytes (argmin per
+  * subspace in the quantized-integer space; see graft.join.Pq). */
+case class VecPqEncode(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.join.Pq.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.join.Pq.encode($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** vec_pq_radius(embedding, codebookBlob, codes) → quantization residual
+  * ||x − recon(x)|| — the per-row term of the exact PQ lower bound. */
+case class VecPqRadius(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    graft.join.Pq.radius(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]], c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.join.Pq.radius($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+/** vec_pq_adc(codes, lutBlob) → Σ_s lut[s][code_s] — the asymmetric-
+  * distance (integer ||q − recon(x)||²) table lookup. */
+case class VecPqAdc(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.join.Pq.adc(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.join.Pq.adc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** vec_l2_q(a, b) → quantized (×1000, floor+0.5) integer squared L2 —
+  * exact in any engine, the PQ rerank/oracle metric. */
+case class VecL2Q(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.join.Pq.l2q(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.join.Pq.l2q($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** rtree_probe(serializedTree, lon, lat) → array<string> of matching zone
   * ids — the broadcast STR R-tree PIP path (SURVEY §2.6 #45). The tree
   * bytes ride in the plan as a Literal; executors deserialize once per JVM

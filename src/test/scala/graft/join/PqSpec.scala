@@ -1,0 +1,113 @@
+package graft.join
+
+import graft.sql.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pq.topK must be exact vs the brute-force quantized-integer-L2 ranking
+  * (the ADC lower bound sqrt(adc) − r can never exclude a true top-k
+  * member), the codebook must be bit-deterministic, and the round-2
+  * survivor set must actually PRUNE on clustered data (the whole point of
+  * scanning the 24 B/row sketch instead of the 256 B/row vectors). */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def brute(e: org.apache.spark.sql.DataFrame,
+                    pred: org.apache.spark.sql.Column, k: Int) = {
+    val q = e.where(pred).select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_vec").orderBy(asc("d2"), asc("p_vec"))
+    e.select(col("vec_id").as("p_vec"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("q_vec"), col("p_vec"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("PQ top-k equals brute force exactly on the sf0.01 fixture") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("vec_id") % 20 === 0 // 25 queries
+    val got = Pq.topK(e, pred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = brute(e, pred, 5)
+    assert(got == want, s"pq=${got.size} brute=${want.size} " +
+      s"diff=${(got diff want).take(5)} ${(want diff got).take(5)}")
+  }
+
+  test("codebook training is bit-deterministic") {
+    GraftFunctions.install(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = Pq.train(e.select("vec_id", "embedding"), m = 8, kCodes = 16)
+    val b = Pq.train(e.select("vec_id", "embedding"), m = 8, kCodes = 16)
+    assert(java.util.Arrays.equals(a, b), "same input must give byte-identical codebooks")
+  }
+
+  test("encode/radius/adc are mutually consistent: adc(q=x) + bound sanity") {
+    GraftFunctions.install(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = Pq.train(e.select("vec_id", "embedding"), m = 8, kCodes = 16)
+    val cbArr = Pq.unpackCached(cb)
+    val rows = e.limit(64).collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Float](1).map(Pq.qz).toArray
+      val lut = Pq.lutBytes(qv, cbArr)
+      val sk = e.where(col("vec_id") === r.getLong(0))
+        .withColumn("codes", call_function("vec_pq_encode", col("embedding"), lit(cb)))
+        .withColumn("rr", call_function("vec_pq_radius", col("embedding"), lit(cb), col("codes")))
+        .select("codes", "rr").head()
+      val codes = sk.getAs[Array[Byte]](0)
+      val rad = sk.getDouble(1)
+      val adc = Pq.adc(codes, lut)
+      // for q = x: d(q,x) = 0 and adc = ||x − recon(x)||² = r², so the
+      // lower bound sqrt(adc) − r must be ~0 (never positive beyond fp)
+      assert(math.abs(math.sqrt(adc.toDouble) - rad) < 1e-6,
+        s"self-ADC ${math.sqrt(adc.toDouble)} != radius $rad")
+    }
+  }
+
+  test("clustered 20k vectors: exact AND round-2 survivors actually pruned") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val n = 20000L
+    val dim = 16
+    // 32 tight clusters: center c = vec_id % 32, coords = f(c) + tiny jitter
+    val e = spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        array((0 until dim).map(j =>
+          (sin(col("vec_id") % 32 * (j + 1) * 2.39996).cast("float") +
+           (pmod(col("vec_id") * (j + 7), lit(97)).cast("float") / lit(97000.0f)))
+            .cast("float")): _*))
+      .cache()
+    val pred = col("vec_id") < 8
+    val got = Pq.topK(e, pred, k = 3, m = 4, kCodes = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = brute(e, pred, 3)
+    assert(got == want, s"diff=${(got diff want).take(5)} ${(want diff got).take(5)}")
+    val surv = Pq.survivorCount(e, pred, k = 3, m = 4, kCodes = 32)
+    // 8 queries × 20k rows = 160k sketch pairs; pruning must kill ≥ 90%
+    assert(surv < 16000, s"round-2 survivors $surv — PQ bound is not pruning")
+    e.unpersist()
+  }
+
+  test("degenerate inputs: corpus smaller than k, and n < kCodes") {
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val tiny = (0L until 3L).map(i => (i, Array(i.toFloat, 1f - i, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = Pq.topK(tiny, col("vec_id") === 0, k = 10, m = 2, kCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = brute(tiny, col("vec_id") === 0, 10)
+    assert(got == want)
+    assert(got.size == 3) // all rows ranked, rank never exceeds corpus size
+  }
+}
