@@ -719,6 +719,26 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
+    // MVT vector-tile geometry encoding (PostGIS ST_AsMVTGeom's role):
+    // each zone clipped to the z=6 tile holding its center, quantized to
+    // the 4096 grid, emitted as MVT 2.1 command integers in canonical
+    // ring form (min-(py,px) start, spec winding) — closed-form oracle
+    // for rect∩tile rings; exploded so the compare is value-exact
+    "q102_mvt_encode" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("cx", (col("xmin") + col("xmax")) / 2)
+        .withColumn("cy", (col("ymin") + col("ymax")) / 2)
+        .withColumn("tx", call_function("st_tile_x", col("cx"), lit(6)))
+        .withColumn("ty", call_function("st_tile_y", col("cy"), lit(6)))
+        .withColumn("mvt", call_function("st_asmvt_geom",
+          col("g"), lit(6), col("tx"), col("ty"), lit(4096)))
+        .where(col("mvt").isNotNull)
+        .select(col("zone_id"), col("tx"), col("ty"), posexplode(col("mvt")))
+        .select(col("zone_id"), col("tx"), col("ty"),
+          col("pos").cast("bigint").as("pos"), col("col").cast("bigint").as("v"))
+    }),
     // product-quantization EXACT top-k (memory-scale ANN: the probe scans
     // the ~24 B/row PQ sketch, not the 256 B/row float vectors; ADC lower
     // bound sqrt(adc)−r + exact rerank ⇒ identical to the brute-force
@@ -2022,6 +2042,35 @@ object SparkEntry {
     "q22_embed_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
          FROM embeddings GROUP BY 1""",
+    // closed-form MVT ring of each zone rect clipped to its center tile:
+    // commands [MoveTo(1), zz(x0), zz(y0), LineTo(3), zz(dx), 0, 0,
+    // zz(dy), zz(-dx), 0, ClosePath] from the quantized clipped corners
+    "q102_mvt_encode" ->
+      s"""WITH zc AS (SELECT zone_id, xmin, ymin, xmax, ymax,
+           (xmin+xmax)/2 AS cx, (ymin+ymax)/2 AS cy FROM $ZON),
+         tt AS (SELECT *,
+           LEAST(GREATEST(CAST(FLOOR(((cx+180.0)/360.0)*64) AS BIGINT), 0), 63) AS tx,
+           LEAST(GREATEST(CAST(FLOOR((0.5 - LN((1+SIN(RADIANS(LEAST(GREATEST(cy,-85.05112877980659),85.05112877980659))))
+             /(1-SIN(RADIANS(LEAST(GREATEST(cy,-85.05112877980659),85.05112877980659)))))/(4*PI()))*64) AS BIGINT), 0), 63) AS ty
+           FROM zc),
+         cl AS (SELECT zone_id, tx, ty,
+           GREATEST(xmin, tx/64.0*360-180) AS a, LEAST(xmax, (tx+1)/64.0*360-180) AS b,
+           GREATEST(ymin, DEGREES(ATAN(((EXP(PI()*(1 - 2*(ty+1)/64.0)) - EXP(-PI()*(1 - 2*(ty+1)/64.0)))/2)))) AS c,
+           LEAST(ymax, DEGREES(ATAN(((EXP(PI()*(1 - 2*ty/64.0)) - EXP(-PI()*(1 - 2*ty/64.0)))/2)))) AS d
+           FROM tt),
+         qq AS (SELECT zone_id, tx, ty,
+           CAST(FLOOR((((a+180.0)/360.0)*64 - tx)*4096 + 0.5) AS BIGINT) AS x0,
+           CAST(FLOOR((((b+180.0)/360.0)*64 - tx)*4096 + 0.5) AS BIGINT) AS x1,
+           CAST(FLOOR(((0.5 - LN((1+SIN(RADIANS(d)))/(1-SIN(RADIANS(d))))/(4*PI()))*64 - ty)*4096 + 0.5) AS BIGINT) AS y0,
+           CAST(FLOOR(((0.5 - LN((1+SIN(RADIANS(c)))/(1-SIN(RADIANS(c))))/(4*PI()))*64 - ty)*4096 + 0.5) AS BIGINT) AS y1
+           FROM cl WHERE a <= b AND c <= d)
+         SELECT zone_id, tx, ty,
+           CAST(UNNEST([0,1,2,3,4,5,6,7,8,9,10]) AS BIGINT) AS pos,
+           CAST(UNNEST([9, 2*x0, 2*y0, 26,
+             CASE WHEN x1 >= x0 THEN 2*(x1-x0) ELSE -2*(x1-x0)-1 END, 0, 0,
+             CASE WHEN y1 >= y0 THEN 2*(y1-y0) ELSE -2*(y1-y0)-1 END,
+             CASE WHEN x0 >= x1 THEN 2*(x0-x1) ELSE -2*(x0-x1)-1 END, 0, 15]) AS BIGINT) AS v
+         FROM qq WHERE x1 > x0 AND y1 > y0""",
     // brute-force quantized-integer L2 ground truth (PQ is exact-by-bounds)
     "q101_pq_topk" ->
       """WITH pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,

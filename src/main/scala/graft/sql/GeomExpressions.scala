@@ -844,6 +844,33 @@ case class StRasterizeMask(children: Seq[Expression]) extends Expression with Ex
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
 }
+/** st_asmvt_geom(geom, z, tx, ty, extent) → MVT 2.1 command integers of
+  * the geometry clipped to slippy tile (z,tx,ty) and quantized to the
+  * extent grid (canonical ring form — see graft.tile.Mvt); null when the
+  * geometry vanishes under clip + quantization (PostGIS ST_AsMVTGeom's
+  * contract). Output op, not hot-path: CodegenFallback like the other
+  * Seq-arity tile expressions. */
+case class StAsMvtGeom(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, IntegerType, LongType, LongType, IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val out = graft.tile.Mvt.encode(
+        graft.geom.Wkb.read(vs(0).asInstanceOf[Array[Byte]]),
+        vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
+        vs(3).asInstanceOf[Long], vs(4).asInstanceOf[Int])
+      if (out == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
+}
+
 case class MaskPopcount(child: Expression) extends GeomUnary {
   def fn = "maskPopcount"; override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any = K.maskPopcount(v.asInstanceOf[Array[Byte]])

@@ -173,6 +173,7 @@ object GraftFunctions {
     "st_startpoint" -> (e => StStartPoint(e.head)),
     "st_endpoint" -> (e => StEndPoint(e.head)),
     "st_rasterize_mask" -> (e => StRasterizeMask(e)),
+    "st_asmvt_geom" -> (e => StAsMvtGeom(e)),
     "mask_popcount" -> (e => MaskPopcount(e.head)),
     "img_gray_rgb" -> (e => ImgGray(e.head)),
     "img_flip_rgb" -> (e => ImgFlip(e)),
