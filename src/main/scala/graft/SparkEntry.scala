@@ -719,6 +719,24 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
+    // trajectory building: st_line_agg (ordered ST_MakeLine) assembles a
+    // per-entity track from scattered points in one shuffle; per-track
+    // stats ride existing accessors — the GPS/track-analytics shape
+    "q103_trajectory" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .withColumn("iid", substring(col("image_id"), 4, 8).cast("bigint"))
+        .withColumn("entity", pmod(col("iid"), lit(50)).cast("bigint"))
+        .groupBy("entity")
+        .agg(call_function("st_line_agg", col("lon"), col("lat"), col("iid")).as("track"))
+        .select(col("entity"),
+          call_function("st_numpoints", col("track")).cast("bigint").as("n_points"),
+          centsOf(call_function("st_length", col("track"))).as("len_c"),
+          call_function("st_x", call_function("st_startpoint", col("track"))).as("sx"),
+          call_function("st_y", call_function("st_startpoint", col("track"))).as("sy"),
+          call_function("st_x", call_function("st_endpoint", col("track"))).as("ex"),
+          call_function("st_y", call_function("st_endpoint", col("track"))).as("ey"))
+    }),
     // MVT vector-tile geometry encoding (PostGIS ST_AsMVTGeom's role):
     // each zone clipped to the z=6 tile holding its center, quantized to
     // the 4096 grid, emitted as MVT 2.1 command integers in canonical
@@ -2042,6 +2060,19 @@ object SparkEntry {
     "q22_embed_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
          FROM embeddings GROUP BY 1""",
+    // track length = lag-window segment sum; endpoints = arg_min/arg_max
+    "q103_trajectory" ->
+      s"""WITH pts AS (SELECT CAST(substring(image_id, 4, 8) AS BIGINT) AS iid, lon, lat FROM $IMG),
+         t AS (SELECT iid % 50 AS entity, iid, lon, lat,
+           LAG(lon) OVER (PARTITION BY iid % 50 ORDER BY iid) AS plon,
+           LAG(lat) OVER (PARTITION BY iid % 50 ORDER BY iid) AS plat
+           FROM pts)
+         SELECT entity, COUNT(*) AS n_points,
+           CAST(FLOOR(SUM(CASE WHEN plon IS NULL THEN 0
+             ELSE SQRT((lon-plon)*(lon-plon)+(lat-plat)*(lat-plat)) END)*100 + 0.5) AS BIGINT) AS len_c,
+           ARG_MIN(lon, iid) AS sx, ARG_MIN(lat, iid) AS sy,
+           ARG_MAX(lon, iid) AS ex, ARG_MAX(lat, iid) AS ey
+         FROM t GROUP BY 1""",
     // closed-form MVT ring of each zone rect clipped to its center tile:
     // commands [MoveTo(1), zz(x0), zz(y0), LineTo(3), zz(dx), 0, 0,
     // zz(dy), zz(-dx), 0, ClosePath] from the quantized clipped corners

@@ -221,3 +221,54 @@ case class StUnionPointsAgg(child: Expression,
   override def withNewInputAggBufferOffset(n: Int): StUnionPointsAgg = copy(inputAggBufferOffset = n)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
 }
+
+/**
+ * st_line_agg(x, y, seq) → LineString WKB of the group's points ordered
+ * by `seq` (PostGIS ST_MakeLine(geom ORDER BY ...) — the trajectory
+ * builder). Two-phase safe: partials carry (seq, x, y) triples and the
+ * global sort happens once in eval, so map-side combine works and the
+ * result is independent of partitioning. Ties on `seq` break by (x, y)
+ * for determinism. CONTRACT: per-group state is the whole track — groups
+ * are entities (10²–10⁵ points), never the corpus.
+ */
+case class StLineAgg(first: Expression, second: Expression, third: Expression,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]]
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  type Buf = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): Buf = scala.collection.mutable.ArrayBuffer.empty
+  override def update(b: Buf, row: InternalRow): Buf = {
+    val x = first.eval(row); val y = second.eval(row); val s = third.eval(row)
+    if (x != null && y != null && s != null)
+      b += ((s.asInstanceOf[Long], x.asInstanceOf[Double], y.asInstanceOf[Double]))
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = { b ++= o; b }
+  override def eval(b: Buf): Any = {
+    val sorted = b.sorted
+    val cs = new Array[Double](sorted.length * 2)
+    var i = 0
+    while (i < sorted.length) { cs(2 * i) = sorted(i)._2; cs(2 * i + 1) = sorted(i)._3; i += 1 }
+    Wkb.write(LineString(cs))
+  }
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(b.length * 24)
+    b.foreach { case (s, x, y) => bb.putLong(s); bb.putDouble(x); bb.putDouble(y) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = createAggregationBuffer()
+    while (bb.remaining() >= 24) out += ((bb.getLong(), bb.getDouble(), bb.getDouble()))
+    out
+  }
+  override def withNewMutableAggBufferOffset(n: Int): StLineAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StLineAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(first = cs(0), second = cs(1), third = cs(2))
+}

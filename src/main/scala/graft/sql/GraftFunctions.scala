@@ -220,7 +220,8 @@ object GraftFunctions {
     "st_envelope_agg" -> (e => StEnvelopeAgg(e.head)),
     "st_convexhull_agg" -> (e => StConvexHullAgg(e.head)),
     "st_union_agg" -> (e => StUnionAgg(e.head)),
-    "st_union_points_agg" -> (e => StUnionPointsAgg(e.head))
+    "st_union_points_agg" -> (e => StUnionPointsAgg(e.head)),
+    "st_line_agg" -> (e => StLineAgg(e(0), e(1), e(2)))
   )
 
   @volatile private var installedSessions = Set.empty[SparkSession]
