@@ -719,6 +719,54 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
+    // streaming ingest dedup: two copies of the event stream unioned
+    // (every row arrives at least twice), watermarked
+    // dropDuplicatesWithinWatermark keeps state BOUNDED by event time —
+    // the 10^12-row ingest shape where unwatermarked dropDuplicates would
+    // grow state forever; dedup exactness proven by the per-type counts
+    "q104_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      GeoTables.ensure(s, dir)
+      val base = GeoTables.baseDir(dir)
+      val outDir = s"$base/stream_dedup_out"
+      val ckDir = s"$base/stream_dedup_ck"
+      def rm(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          val st = java.nio.file.Files.walk(f.toPath)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.delete(q))
+          finally st.close()
+        }
+      }
+      rm(outDir); rm(ckDir)
+      // the testdata events table is a single FILE; the file-source
+      // stream needs a directory — stage a copy under the writable base
+      val evPath = s"$base/events_stream"
+      val staged = java.nio.file.Paths.get(evPath, "events.parquet")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(staged.getParent)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+      }
+      val schema = s.read.parquet(evPath).schema
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(evPath)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val deduped = src.union(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
     // trajectory building: st_line_agg (ordered ST_MakeLine) assembles a
     // per-entity track from scattered points in one shuffle; per-track
     // stats ride existing accessors — the GPS/track-analytics shape
@@ -2060,6 +2108,9 @@ object SparkEntry {
     "q22_embed_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
          FROM embeddings GROUP BY 1""",
+    // doubled-then-deduped stream must reproduce the plain event counts
+    "q104_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""",
     // track length = lag-window segment sum; endpoints = arg_min/arg_max
     "q103_trajectory" ->
       s"""WITH pts AS (SELECT CAST(substring(image_id, 4, 8) AS BIGINT) AS iid, lon, lat FROM $IMG),
