@@ -813,6 +813,16 @@ object SparkEntry {
       GraftFunctions.install(s)
       graft.join.Pq.topK(t(s, dir, "embeddings"), col("vec_id") < 10, k = 5)
     }),
+    // build-once/probe-many PQ: the persisted sketch (codes + radius +
+    // codebook blob) is the only probe-side scan — no re-training, no
+    // re-encode (plan-asserted in PqSpec); same exactness as q101
+    "q105_pq_sketched" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val tag = GeoTables.sfName(dir)
+      graft.join.Pq.writeSketch(t(s, dir, "embeddings"), s"/tmp/graft_pq/$tag")
+      graft.join.Pq.topKSketched(t(s, dir, "embeddings"), s"/tmp/graft_pq/$tag",
+        pmod(col("vec_id"), lit(25)) === 3, k = 4)
+    }),
 
     // ---------------- discrete Fréchet distance (r5) ----------------
     // Order-aware curve similarity (trajectory dedup): parallel edges →
@@ -2166,6 +2176,18 @@ object SparkEntry {
            SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
              ORDER BY d2 ASC, p_vec ASC) AS BIGINT) AS rank
            FROM pairs) WHERE rank <= 5""",
+    "q105_pq_sketched" ->
+      """WITH pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+           list_sum(list_transform(list_zip(q.embedding, p.embedding),
+             s -> (CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                * (CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT)))) AS d2
+           FROM embeddings q, embeddings p WHERE q.vec_id % 25 = 3)
+         SELECT q_vec, p_vec, rank FROM (
+           SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
+             ORDER BY d2 ASC, p_vec ASC) AS BIGINT) AS rank
+           FROM pairs) WHERE rank <= 4""",
     "q26_zone_clip_area" ->
       s"""SELECT zone_id,
          CAST(FLOOR(GREATEST(0, LEAST(xmax, 60.0) - GREATEST(xmin, 0.0))

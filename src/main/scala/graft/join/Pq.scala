@@ -260,19 +260,55 @@ object Pq {
 
   private def core(emb: DataFrame, queryPred: Column, k: Int, m: Int,
                    kCodes: Int, maxQueries: Int): (DataFrame, DataFrame) = {
-    val spark = emb.sparkSession
-    GraftFunctions.install(spark)
-    import spark.implicits._
-
     val base = emb.select(col("vec_id"), col("embedding"))
     val cbBytes = train(base, m, kCodes)
-    val cb = unpackCached(cbBytes)
+    // the one full-corpus projection; writeSketch persists exactly this
+    val sketch = sketchOf(base, cbBytes)
+    probeCore(sketch, base, cbBytes, queryPred, k, maxQueries)
+  }
 
-    // the one full-corpus projection; at scale this sketch is persisted
-    val sketch = base
+  private def sketchOf(base: DataFrame, cbBytes: Array[Byte]): DataFrame = {
+    GraftFunctions.install(base.sparkSession)
+    base
       .withColumn("codes", call_function("vec_pq_encode", col("embedding"), lit(cbBytes)))
       .withColumn("r", call_function("vec_pq_radius", col("embedding"), lit(cbBytes), col("codes")))
       .select(col("vec_id"), col("codes"), col("r"))
+  }
+
+  /**
+   * Persist the PQ sketch ONCE (the 100 TB shape: at 10¹² vectors the
+   * encode scan reads all 256 TB of floats — a recurring-query service
+   * pays that once and every probe after scans only the ~24 TB sketch).
+   * Artifacts under `dir`: sketch.parquet (vec_id, codes, r) and
+   * codebook.bin. Training is bit-deterministic, so rebuilds reproduce
+   * the identical sketch.
+   */
+  def writeSketch(emb: DataFrame, dir: String, m: Int = 8, kCodes: Int = 16): Unit = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val cbBytes = train(base, m, kCodes)
+    sketchOf(base, cbBytes).write.mode("overwrite").parquet(s"$dir/sketch.parquet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/codebook.bin"), cbBytes)
+  }
+
+  /** Exact top-k over a `writeSketch` layout — no re-training and no
+    * re-encode: both probe rounds scan the persisted sketch; `emb` is
+    * touched only for the query rows and the candidate rerank. */
+  def topKSketched(emb: DataFrame, dir: String, queryPred: Column, k: Int,
+                   maxQueries: Int = 8192): DataFrame = {
+    val spark = emb.sparkSession
+    val cbBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/codebook.bin"))
+    val sketch = spark.read.parquet(s"$dir/sketch.parquet")
+    probeCore(sketch, emb.select(col("vec_id"), col("embedding")), cbBytes,
+      queryPred, k, maxQueries)._1
+  }
+
+  private def probeCore(sketch: DataFrame, base: DataFrame, cbBytes: Array[Byte],
+                        queryPred: Column, k: Int, maxQueries: Int): (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val cb = unpackCached(cbBytes)
 
     // bounded driver query set (contract enforcement, like AnnIndex.topK)
     val qRaw = base.where(queryPred).select(col("vec_id"), col("embedding"))

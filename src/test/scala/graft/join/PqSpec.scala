@@ -99,6 +99,22 @@ class PqSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("persisted sketch: same answers as ad-hoc, probe plan has no re-encode") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("vec_id") % 40 === 1
+    Pq.writeSketch(e, "/tmp/graft_pq_spec")
+    val got = Pq.topKSketched(e, "/tmp/graft_pq_spec", pred, k = 5)
+    val plan = got.queryExecution.analyzed.toString
+    assert(!plan.contains("vec_pq_encode"),
+      "sketched probe must read the persisted codes, not re-encode:\n" + plan)
+    val a = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == brute(e, pred, 5))
+    assert(a == Pq.topK(e, pred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("degenerate inputs: corpus smaller than k, and n < kCodes") {
     GraftFunctions.install(spark)
     import spark.implicits._
