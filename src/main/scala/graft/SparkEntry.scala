@@ -746,7 +746,15 @@ object SparkEntry {
       val staged = java.nio.file.Paths.get(evPath, "events.parquet")
       if (!java.nio.file.Files.exists(staged)) {
         java.nio.file.Files.createDirectories(staged.getParent)
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+        // copy to a temp name + atomic move so an interrupted first run
+        // can never leave a truncated file behind the exists() guard
+        val tmp = java.nio.file.Paths.get(evPath, s".events.parquet.tmp${ProcessHandle.current().pid()}")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try java.nio.file.Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) // another process won the race
+        }
       }
       val schema = s.read.parquet(evPath).schema
       def src = s.readStream.schema(schema)
@@ -820,8 +828,10 @@ object SparkEntry {
       GraftFunctions.install(s)
       val tag = GeoTables.sfName(dir)
       graft.join.Pq.writeSketch(t(s, dir, "embeddings"), s"/tmp/graft_pq/$tag")
+      // bounded predicate: query count must not scale with the corpus
+      // (Pq.topK's maxQueries contract — code-review r5)
       graft.join.Pq.topKSketched(t(s, dir, "embeddings"), s"/tmp/graft_pq/$tag",
-        pmod(col("vec_id"), lit(25)) === 3, k = 4)
+        pmod(col("vec_id"), lit(25)) === 3 && col("vec_id") < 2000, k = 4)
     }),
 
     // ---------------- discrete Fréchet distance (r5) ----------------
@@ -2183,7 +2193,7 @@ object SparkEntry {
                  - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))
                 * (CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
                  - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT)))) AS d2
-           FROM embeddings q, embeddings p WHERE q.vec_id % 25 = 3)
+           FROM embeddings q, embeddings p WHERE q.vec_id % 25 = 3 AND q.vec_id < 2000)
          SELECT q_vec, p_vec, rank FROM (
            SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
              ORDER BY d2 ASC, p_vec ASC) AS BIGINT) AS rank

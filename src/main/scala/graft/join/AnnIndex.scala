@@ -41,20 +41,13 @@ object AnnIndex {
     bb.array()
   }
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val cache = new graft.sql.BlobCache[Array[Array[Double]]](bytes => {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt(); val dim = bb.getInt()
+    Array.fill(k)(Array.fill(dim)(bb.getDouble()))
+  })
 
-  def unpackCached(bytes: Array[Byte]): Array[Array[Double]] = {
-    val key = java.util.Base64.getEncoder.encodeToString(
-      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
-    var c = cache.get(key)
-    if (c == null) {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val k = bb.getInt(); val dim = bb.getInt()
-      c = Array.fill(k)(Array.fill(dim)(bb.getDouble()))
-      cache.put(key, c)
-    }
-    c
-  }
+  def unpackCached(bytes: Array[Byte]): Array[Array[Double]] = cache.get(bytes)
 
   /**
    * Distributed spherical k-means (judge r3 #2 — replaces the ≤4096-row

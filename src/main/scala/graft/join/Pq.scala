@@ -69,21 +69,14 @@ object Pq {
     bb.array()
   }
 
-  private val cbCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+  private val cbCache = new graft.sql.BlobCache[Array[Array[Array[Long]]]](bytes => {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val m = bb.getInt(); val k = bb.getInt(); val dsub = bb.getInt()
+    Array.fill(m)(Array.fill(k)(Array.fill(dsub)(bb.getLong())))
+  })
 
   /** Executor-side decode, cached per JVM (the blob rides as a Literal). */
-  def unpackCached(bytes: Array[Byte]): Array[Array[Array[Long]]] = {
-    val key = java.util.Base64.getEncoder.encodeToString(
-      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
-    var c = cbCache.get(key)
-    if (c == null) {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val m = bb.getInt(); val k = bb.getInt(); val dsub = bb.getInt()
-      c = Array.fill(m)(Array.fill(k)(Array.fill(dsub)(bb.getLong())))
-      cbCache.put(key, c)
-    }
-    c
-  }
+  def unpackCached(bytes: Array[Byte]): Array[Array[Array[Long]]] = cbCache.get(bytes)
 
   // ---------------- deterministic integer training ----------------
 
@@ -159,6 +152,11 @@ object Pq {
   def encode(emb: ArrayData, cbBytes: Array[Byte]): Array[Byte] = {
     val cb = unpackCached(cbBytes)
     val m = cb.length; val dsub = cb(0)(0).length
+    // loud failure on ragged corpora: train() validates only sample rows,
+    // so a dim-mismatched row must error here, not read out of bounds and
+    // silently corrupt the pruning bound (code-review r5)
+    require(emb.numElements() == m * dsub,
+      s"vec_pq_encode: embedding dim ${emb.numElements()} != codebook dim ${m * dsub}")
     val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
@@ -182,6 +180,8 @@ object Pq {
   def radius(emb: ArrayData, cbBytes: Array[Byte], codes: Array[Byte]): Double = {
     val cb = unpackCached(cbBytes)
     val dsub = cb(0)(0).length
+    require(emb.numElements() == cb.length * dsub,
+      s"vec_pq_radius: embedding dim ${emb.numElements()} != codebook dim ${cb.length * dsub}")
     var d = 0L
     var s = 0
     while (s < codes.length) {

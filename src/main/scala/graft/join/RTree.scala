@@ -94,23 +94,15 @@ object RTree {
     bos.toByteArray
   }
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, RTree]()
-
-  def fromBytesCached(bytes: Array[Byte]): RTree = {
-    // collision-resistant key: two different zone sets in a long-lived
-    // executor must never alias to the same cached tree
-    val key = java.util.Base64.getEncoder.encodeToString(
-      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
-    var t = cache.get(key)
-    if (t == null) {
-      val ois = new java.io.ObjectInputStream(
-        new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)))
-      t = ois.readObject().asInstanceOf[RTree]
-      ois.close()
-      cache.put(key, t)
-    }
+  private val cache = new graft.sql.BlobCache[RTree](bytes => {
+    val ois = new java.io.ObjectInputStream(
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)))
+    val t = ois.readObject().asInstanceOf[RTree]
+    ois.close()
     t
-  }
+  })
+
+  def fromBytesCached(bytes: Array[Byte]): RTree = cache.get(bytes)
 
   /** Build from a zones frame (zone_id, wkt) — driver-side collect.
     * `maxZones` ENFORCES the zones≪points contract the broadcast-tree path

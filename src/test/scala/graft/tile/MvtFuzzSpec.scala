@@ -62,7 +62,11 @@ class MvtFuzzSpec extends AnyFunSuite {
       val n = latOfTy(ty.toDouble, z); val s = latOfTy(ty + 1.0, z)
       val cx = w + (e - w) * rnd.nextDouble(); val cy = s + (n - s) * rnd.nextDouble()
       val hw = (e - w) * (0.01 + rnd.nextDouble()); val hh = (n - s) * (0.01 + rnd.nextDouble())
-      val (x0, y0, x1, y1) = (cx - hw, math.max(-85.0, cy - hh), cx + hw, math.min(85.0, cy + hh))
+      // clamp can invert the rect near the ±85 rows (y0 > y1 would be a
+      // reverse-wound rect, not a degenerate one) — order the pair
+      val (x0, x1) = (cx - hw, cx + hw)
+      val (yA, yB) = (math.max(-85.0, cy - hh), math.min(85.0, cy + hh))
+      val (y0, y1) = (math.min(yA, yB), math.max(yA, yB))
       val g = Polygon(Array(Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)))
       val got = Mvt.encode(g, z, tx, ty, extent)
       // closed form: quantized corners of the lon/lat clip
