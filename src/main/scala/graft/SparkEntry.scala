@@ -775,6 +775,16 @@ object SparkEntry {
       s.read.parquet(outDir)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     }),
+    // IVF-PQ (FAISS architecture, exact flavor): coarse cells prune which
+    // bucket FILES are read, PQ codes shrink the bytes inside them, exact
+    // rerank on the surviving candidates — same brute-force L2 oracle
+    "q106_ivfpq" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val tag = GeoTables.sfName(dir)
+      graft.join.Pq.writeIvfPq(t(s, dir, "embeddings"), s"/tmp/graft_ivfpq/$tag", tag)
+      graft.join.Pq.topKIvfPq(t(s, dir, "embeddings"), s"/tmp/graft_ivfpq/$tag", tag,
+        pmod(col("vec_id"), lit(33)) === 7 && col("vec_id") < 2000, k = 3)
+    }),
     // trajectory building: st_line_agg (ordered ST_MakeLine) assembles a
     // per-entity track from scattered points in one shuffle; per-track
     // stats ride existing accessors — the GPS/track-analytics shape
@@ -2186,6 +2196,18 @@ object SparkEntry {
            SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
              ORDER BY d2 ASC, p_vec ASC) AS BIGINT) AS rank
            FROM pairs) WHERE rank <= 5""",
+    "q106_ivfpq" ->
+      """WITH pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+           list_sum(list_transform(list_zip(q.embedding, p.embedding),
+             s -> (CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                * (CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT)))) AS d2
+           FROM embeddings q, embeddings p WHERE q.vec_id % 33 = 7 AND q.vec_id < 2000)
+         SELECT q_vec, p_vec, rank FROM (
+           SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
+             ORDER BY d2 ASC, p_vec ASC) AS BIGINT) AS rank
+           FROM pairs) WHERE rank <= 3""",
     "q105_pq_sketched" ->
       """WITH pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
            list_sum(list_transform(list_zip(q.embedding, p.embedding),

@@ -210,6 +210,27 @@ object Pq {
     sum
   }
 
+  /** vec_pq_bucket(embedding, coarseCb) → argmin-L2² coarse cell id (the
+    * IVF-PQ coarse quantizer: a codebook with m=1). Ties to lowest id. */
+  def bucket(emb: ArrayData, cbBytes: Array[Byte]): Int = {
+    val cb = unpackCached(cbBytes)
+    require(cb.length == 1, s"vec_pq_bucket expects an m=1 coarse codebook, got m=${cb.length}")
+    val cents = cb(0)
+    val dim = cents(0).length
+    require(emb.numElements() == dim,
+      s"vec_pq_bucket: embedding dim ${emb.numElements()} != codebook dim $dim")
+    var best = 0; var bestD = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var d = 0L; var i = 0
+      while (i < dim) { val t = qz(emb.getFloat(i)) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
   /** vec_l2_q(a, b) → quantized-integer squared L2 (exact in any engine). */
   def l2q(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -301,6 +322,141 @@ object Pq {
     val sketch = spark.read.parquet(s"$dir/sketch.parquet")
     probeCore(sketch, emb.select(col("vec_id"), col("embedding")), cbBytes,
       queryPred, k, maxQueries)._1
+  }
+
+  // ---------------- IVF-PQ: coarse partition + PQ codes, exact ----------------
+
+  private def sketchTable(tag: String): String =
+    "graft_ivfpq_" + tag.map(c => if (c.isLetterOrDigit) c else '_')
+
+  /**
+   * FAISS-architecture IVF-PQ layout, EXACT flavor (the 10¹²-vector probe
+   * shape: the coarse quantizer prunes which bucket FILES are read at
+   * all — `SelectedBucketsCount` in the plan — and within a probed bucket
+   * only the ~24 B/row PQ sketch is scanned). Coarse quantizer = an m=1
+   * integer codebook (codes are cell ids, vec_pq_radius against it is the
+   * distance-to-centroid); per-bucket stats keep (count, max radius R_j),
+   * so for any x in bucket j: d(q,x) ≥ d(q,c_j) − R_j — buckets whose
+   * bound clears the kth distance are provably skippable, and within a
+   * probed bucket the per-row ADC bound applies as in `topK`. Both
+   * codebooks train bit-deterministically.
+   *
+   * Artifacts under `dir`: bucketed sketch table (vec_id, bucket, codes,
+   * r), stats.parquet (bucket, cnt, rmax), coarse.bin, fine.bin.
+   */
+  def writeIvfPq(emb: DataFrame, dir: String, tag: String, kCoarse: Int = 64,
+                 m: Int = 8, kCodes: Int = 16, buckets: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    GraftFunctions.install(spark)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val coarse = train(base, 1, kCoarse)
+    val fine = train(base, m, kCodes)
+    val sk = base
+      .withColumn("bucket", call_function("vec_pq_bucket", col("embedding"), lit(coarse)))
+      .withColumn("ccode", call_function("vec_pq_encode", col("embedding"), lit(coarse)))
+      .withColumn("rc", call_function("vec_pq_radius", col("embedding"), lit(coarse), col("ccode")))
+      .withColumn("codes", call_function("vec_pq_encode", col("embedding"), lit(fine)))
+      .withColumn("r", call_function("vec_pq_radius", col("embedding"), lit(fine), col("codes")))
+    Bucketed.writeBucketed(sk.select(col("vec_id"), col("bucket"), col("codes"), col("r")),
+      sketchTable(tag), s"$dir/sketch", "bucket", buckets)
+    sk.groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), max(col("rc")).as("rmax"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats.parquet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/coarse.bin"), coarse)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/fine.bin"), fine)
+  }
+
+  /** Exact L2 top-k over a `writeIvfPq` layout: only bound-cleared
+    * buckets are scanned (file-pruned via the literal bucket filter),
+    * only the PQ sketch bytes are read in them, and the rerank touches
+    * |candidates| full vectors. Same output contract as `topK`. */
+  def topKIvfPq(emb: DataFrame, dir: String, tag: String, queryPred: Column,
+                k: Int, maxQueries: Int = 8192): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val coarse = unpackCached(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/coarse.bin")))(0)
+    val fine = unpackCached(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/fine.bin")))
+    val stats = spark.read.parquet(s"$dir/stats.parquet")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val base = emb.select(col("vec_id"), col("embedding"))
+
+    val qRaw = base.where(queryPred).select(col("vec_id"), col("embedding"))
+      .limit(maxQueries + 1).collect()
+    require(qRaw.length <= maxQueries,
+      s"Pq.topKIvfPq materializes the query side on the driver; queryPred matches " +
+        s"> $maxQueries rows. Shrink the query set or raise maxQueries deliberately.")
+    val qs = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).map(qz).toArray)).sortBy(_._1)
+    val fineCb = fine
+    val luts = qs.map { case (id, qv) => id -> lutBytes(qv, fineCb) }.toMap
+
+    // per-(query, bucket) lower bound: d(q, c_j) − R_j
+    def bounds(qv: Array[Long]): Array[(Int, Double)] =
+      stats.toArray.map { case (j, (_, rmax)) =>
+        val c = coarse(j)
+        var d = 0L; var i = 0
+        while (i < qv.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
+        j -> math.max(0.0, math.sqrt(d.toDouble) - rmax)
+      }.sortBy(_._2)
+    val qBounds = qs.map { case (id, qv) => id -> bounds(qv) }.toMap
+
+    val qemb = broadcast(base.where(queryPred)
+      .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))
+    val wd = Window.partitionBy("q_vec").orderBy(asc("d2"), asc("vec_id"))
+    val sketch = spark.table(sketchTable(tag))
+
+    def probeDf(pairs: Seq[(Long, Int)]): DataFrame = {
+      val p = broadcast(pairs.map { case (q, b) => (q, b, luts(q)) }.toDF("q_vec", "bucket", "lut"))
+      // literal bucket filter ahead of the join → bucket-FILE pruning
+      val probed = pairs.map(_._2).distinct.map(Int.box)
+      sketch.where(col("bucket").isin(probed: _*))
+        .join(p, "bucket")
+        .withColumn("adc", call_function("vec_pq_adc", col("codes"), col("lut")))
+    }
+
+    // round 1: best-bound bucket prefix holding ≥ k+2 rows per query →
+    // top-adc candidates → exact kth distance D_k (upper bound on truth)
+    val round1 = qBounds.map { case (id, bs) =>
+      var cum = 0L
+      id -> bs.takeWhile { case (j, _) =>
+        val take = cum < k + 2
+        cum += stats(j)._1
+        take
+      }.map(_._1).toSet
+    }
+    val wAdc = Window.partitionBy("q_vec").orderBy(asc("adc"), asc("vec_id"))
+    val pairs1 = round1.toSeq.flatMap { case (id, js) => js.map(id -> _) }
+    val cut = probeDf(pairs1)
+      .withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= math.max(2 * k, k + 4))
+      .join(qemb, "q_vec").join(base, "vec_id")
+      .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(wd))
+      .where(col("rk") === k)
+      .select(col("q_vec"), sqrt(col("d2").cast("double")).as("dk"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // round 2: buckets whose bound clears D_k + ε (round-1 buckets always
+    // included), per-row ADC gate inside them, exact rerank
+    val pairs2 = qBounds.toSeq.flatMap { case (id, bs) =>
+      val probed = round1(id)
+      val cutoff = cut.getOrElse(id, Double.MaxValue)
+      bs.filter { case (j, b) => probed.contains(j) || b <= cutoff + 1e-6 }.map(p => id -> p._1)
+    }
+    val dkDf = broadcast(qs.map { case (id, _) =>
+      (id, cut.getOrElse(id, Double.MaxValue)) }.toSeq.toDF("q_vec", "dk"))
+    probeDf(pairs2)
+      .join(dkDf, "q_vec")
+      .where(greatest(sqrt(col("adc").cast("double")) - col("r"), lit(0.0)) <= col("dk") + lit(1e-6))
+      .join(qemb, "q_vec").join(base, "vec_id")
+      .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wd).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("q_vec"), col("vec_id").as("p_vec"), col("rank"))
   }
 
   private def probeCore(sketch: DataFrame, base: DataFrame, cbBytes: Array[Byte],

@@ -215,6 +215,7 @@ object GraftFunctions {
     "vec_pq_encode" -> (e => VecPqEncode(e(0), e(1))),
     "vec_pq_radius" -> (e => VecPqRadius(e(0), e(1), e(2))),
     "vec_pq_adc" -> (e => VecPqAdc(e(0), e(1))),
+    "vec_pq_bucket" -> (e => VecPqBucket(e(0), e(1))),
     "vec_l2_q" -> (e => VecL2Q(e(0), e(1))),
     // aggregates (§2.5 #41)
     "st_envelope_agg" -> (e => StEnvelopeAgg(e.head)),

@@ -334,6 +334,20 @@ case class VecPqAdc(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** vec_pq_bucket(embedding, coarseCb) → IVF-PQ coarse cell (argmin-L2²
+  * against an m=1 codebook; ties to the lowest id). */
+case class VecPqBucket(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.join.Pq.bucket(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.join.Pq.bucket($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** vec_l2_q(a, b) → quantized (×1000, floor+0.5) integer squared L2 —
   * exact in any engine, the PQ rerank/oracle metric. */
 case class VecL2Q(left: Expression, right: Expression) extends BinaryExpression

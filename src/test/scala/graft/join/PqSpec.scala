@@ -115,6 +115,40 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("IVF-PQ: exact vs brute force, bucket-file-pruned probe plan") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("vec_id") % 21 === 2
+    Pq.writeIvfPq(e, "/tmp/graft_ivfpq_spec", "spec")
+    val got = Pq.topKIvfPq(e, "/tmp/graft_ivfpq_spec", "spec", pred, k = 5)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"IVF-PQ probe must scan the bucketed layout with file pruning:\n$plan")
+    val a = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == brute(e, pred, 5))
+  }
+
+  test("IVF-PQ on clustered 20k vectors: exact, coarse partition prunes buckets") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val n = 20000L
+    val dim = 16
+    val e = spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        array((0 until dim).map(j =>
+          (sin(col("vec_id") % 32 * (j + 1) * 2.39996).cast("float") +
+           (pmod(col("vec_id") * (j + 7), lit(97)).cast("float") / lit(97000.0f)))
+            .cast("float")): _*))
+      .cache()
+    val pred = col("vec_id") < 6
+    Pq.writeIvfPq(e, "/tmp/graft_ivfpq_spec20k", "spec20k", kCoarse = 48, m = 4, kCodes = 32)
+    val got = Pq.topKIvfPq(e, "/tmp/graft_ivfpq_spec20k", "spec20k", pred, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute(e, pred, 3))
+    e.unpersist()
+  }
+
   test("degenerate inputs: corpus smaller than k, and n < kCodes") {
     GraftFunctions.install(spark)
     import spark.implicits._
