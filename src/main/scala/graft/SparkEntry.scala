@@ -775,6 +775,39 @@ object SparkEntry {
       s.read.parquet(outDir)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     }),
+    // BM25 retrieval scoring (k1=1.2, b=0.75): the corpus-ranking shape —
+    // tf/df/dl all map-side-combinable aggregates, the query-term df join
+    // broadcast, top-10 via TakeOrderedAndProject (never a global sort of
+    // the corpus). Constants written as the same literals in both engines
+    // so every double op matches bit-for-bit under the 1e-6 floor.
+    "q107_bm25" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val terms = docs.select(col("doc_id"), explode(split(
+          regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " ")).as("term"))
+        .where(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = terms.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      val qTerms = Seq("spark", "join", "merge").toDF("term")
+      val df = terms.select("doc_id", "term").distinct()
+        .join(broadcast(qTerms), "term")
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+        .withColumn("score_u", floor(col("score") * lit(1e6) + lit(0.5)).cast("bigint"))
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+        .limit(10)
+        .withColumn("rn", row_number().over(Window.orderBy(col("score_u").desc, col("doc_id").asc)).cast("bigint"))
+        .select(col("doc_id"), col("rn"), col("score_u"))
+    }),
     // IVF-PQ (FAISS architecture, exact flavor): coarse cells prune which
     // bucket FILES are read, PQ codes shrink the bytes inside them, exact
     // rerank on the surviving candidates — same brute-force L2 oracle
@@ -2196,6 +2229,28 @@ object SparkEntry {
            SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
              ORDER BY d2 ASC, p_vec ASC) AS BIGINT) AS rank
            FROM pairs) WHERE rank <= 5""",
+    "q107_bm25" ->
+      """WITH terms AS (
+           SELECT doc_id, t AS term
+           FROM documents, UNNEST(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS u(t)
+           WHERE t <> ''),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM terms GROUP BY 1),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM terms WHERE term IN ('spark', 'join', 'merge') GROUP BY 1),
+         sc AS (SELECT t.doc_id,
+             SUM(LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+           FROM tf t JOIN dfq f USING (term) JOIN dl d USING (doc_id), stats s
+           GROUP BY 1)
+         SELECT doc_id, rn, score_u FROM (
+           SELECT doc_id, CAST(FLOOR(score*1e6 + 0.5) AS BIGINT) AS score_u,
+             CAST(ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(score*1e6 + 0.5) AS BIGINT) DESC,
+               doc_id ASC) AS BIGINT) AS rn
+           FROM sc) WHERE rn <= 10""",
     "q106_ivfpq" ->
       """WITH pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
            list_sum(list_transform(list_zip(q.embedding, p.embedding),
