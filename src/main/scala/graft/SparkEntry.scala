@@ -775,6 +775,29 @@ object SparkEntry {
       s.read.parquet(outDir)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     }),
+    // full MVT tile blobs: group the q102 command streams per tile and
+    // serialize the vector-tile-spec 2.1 protobuf layer — the serving
+    // artifact. Byte output isn't SQL-expressible → rows-only driver
+    // check; the blob bytes are golden-pinned in MvtLayerSpec.
+    "q108_mvt_layer" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("cx", (col("xmin") + col("xmax")) / 2)
+        .withColumn("cy", (col("ymin") + col("ymax")) / 2)
+        .withColumn("tx", call_function("st_tile_x", col("cx"), lit(6)))
+        .withColumn("ty", call_function("st_tile_y", col("cy"), lit(6)))
+        .withColumn("mvt", call_function("st_asmvt_geom",
+          col("g"), lit(6), col("tx"), col("ty"), lit(4096)))
+        .where(col("mvt").isNotNull)
+        .withColumn("zid", substring(col("zone_id"), 5, 5).cast("bigint"))
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).cast("bigint").as("n_features"),
+          call_function("st_asmvt_agg", col("zid"), col("mvt")).as("blob"))
+        .select(col("tx"), col("ty"), col("n_features"),
+          length(col("blob")).cast("bigint").as("blob_len"),
+          md5(col("blob")).as("blob_md5"))
+    }),
     // BM25 retrieval scoring (k1=1.2, b=0.75): the corpus-ranking shape —
     // tf/df/dl all map-side-combinable aggregates, the query-term df join
     // broadcast, top-10 via TakeOrderedAndProject (never a global sort of

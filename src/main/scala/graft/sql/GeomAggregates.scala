@@ -272,3 +272,62 @@ case class StLineAgg(first: Expression, second: Expression, third: Expression,
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(first = cs(0), second = cs(1), third = cs(2))
 }
+
+/**
+ * st_asmvt_agg(id, cmds) → a complete Mapbox-Vector-Tile protobuf blob
+ * (one layer named "layer", extent 4096, no attributes) from the group's
+ * already-encoded feature geometries (st_asmvt_geom output) — the
+ * serving artifact a tile pipeline actually ships. Encoding is the
+ * PUBLIC vector-tile-spec 2.1 proto: Tile.layer = field 3; Layer
+ * {version=2 (field 15), name (1), features (2), extent (5)}; Feature
+ * {id (1), type (3), geometry (4, packed)}. Geometry type is derived
+ * from the command stream (ClosePath ⇒ POLYGON, LineTo ⇒ LINESTRING,
+ * else POINT). CANONICAL: features sort by id in eval, field order is
+ * fixed (version, name, extent, features), so the blob is byte-stable
+ * across partitionings — goldens pinned in MvtLayerSpec.
+ */
+case class StAsMvtAgg(first: Expression, second: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Array[Int])]]
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  type Buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Int])]
+  override def children: Seq[Expression] = Seq(first, second)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, ArrayType(IntegerType, containsNull = false))
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): Buf = scala.collection.mutable.ArrayBuffer.empty
+  override def update(b: Buf, row: InternalRow): Buf = {
+    val id = first.eval(row); val cmds = second.eval(row)
+    if (id != null && cmds != null)
+      b += ((id.asInstanceOf[Long],
+        cmds.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()))
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = { b ++= o; b }
+  override def eval(b: Buf): Any = graft.tile.Mvt.layerBlob(b.sortBy(_._1).toArray)
+  override def serialize(b: Buf): Array[Byte] = {
+    val n = b.map(f => 12 + 4 * f._2.length).sum
+    val bb = ByteBuffer.allocate(4 + n)
+    bb.putInt(b.length)
+    b.foreach { case (id, cmds) =>
+      bb.putLong(id); bb.putInt(cmds.length); cmds.foreach(bb.putInt)
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val id = bb.getLong(); val m = bb.getInt()
+      out += ((id, Array.fill(m)(bb.getInt())))
+    }
+    out
+  }
+  override def withNewMutableAggBufferOffset(n: Int): StAsMvtAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StAsMvtAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(first = cs(0), second = cs(1))
+}

@@ -222,7 +222,8 @@ object GraftFunctions {
     "st_convexhull_agg" -> (e => StConvexHullAgg(e.head)),
     "st_union_agg" -> (e => StUnionAgg(e.head)),
     "st_union_points_agg" -> (e => StUnionPointsAgg(e.head)),
-    "st_line_agg" -> (e => StLineAgg(e(0), e(1), e(2)))
+    "st_line_agg" -> (e => StLineAgg(e(0), e(1), e(2))),
+    "st_asmvt_agg" -> (e => StAsMvtAgg(e(0), e(1)))
   )
 
   @volatile private var installedSessions = Set.empty[SparkSession]

@@ -190,6 +190,61 @@ object Mvt {
     }
   }
 
+  // ---------------- full tile blob (vector-tile-spec 2.1 protobuf) ----------------
+
+  private final class PbBuf {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { buf += ((v & 0x7F) | 0x80).toByte; v >>>= 7 }
+      buf += v.toByte
+    }
+    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): Unit = { tag(field, 2); varint(b.length); buf ++= b }
+    def result: Array[Byte] = buf.toArray
+  }
+
+  /** Geometry type from a command stream: ClosePath ⇒ POLYGON(3),
+    * LineTo ⇒ LINESTRING(2), else POINT(1). */
+  def geomType(cmds: Array[Int]): Int = {
+    var t = 1
+    var i = 0
+    while (i < cmds.length) {
+      val id = cmds(i) & 0x7; val n = cmds(i) >>> 3
+      if (id == 7) return 3
+      if (id == 2) t = 2
+      i += 1 + (if (id == 7) 0 else 2 * n)
+    }
+    t
+  }
+
+  /**
+   * Complete MVT tile blob: one layer ("layer", extent 4096, version 2,
+   * no attributes) over (feature id, command stream) pairs — the caller
+   * (StAsMvtAgg) passes them already sorted for byte-stability. Proto
+   * schema is the public vector-tile-spec 2.1: Tile.layers = field 3;
+   * Layer.version/name/features/extent = 15/1/2/5; Feature.id/type/
+   * geometry = 1/3/4 (geometry packed).
+   */
+  def layerBlob(features: Array[(Long, Array[Int])]): Array[Byte] = {
+    val layer = new PbBuf
+    layer.tag(15, 0); layer.varint(2) // version
+    layer.bytes(1, "layer".getBytes("UTF-8")) // name
+    layer.tag(5, 0); layer.varint(4096) // extent
+    features.foreach { case (id, cmds) =>
+      val f = new PbBuf
+      f.tag(1, 0); f.varint(id)
+      f.tag(3, 0); f.varint(geomType(cmds))
+      val g = new PbBuf
+      cmds.foreach(c => g.varint(c.toLong & 0xFFFFFFFFL))
+      f.bytes(4, g.result)
+      layer.bytes(2, f.result)
+    }
+    val tile = new PbBuf
+    tile.bytes(3, layer.result)
+    tile.result
+  }
+
   /** MVT command-integer encoding of `g` in tile (z, tx, ty); null if the
     * geometry vanishes under clip + quantization. */
   def encode(g: Geometry, z: Int, tx: Long, ty: Long, extent: Int): Array[Int] = {
