@@ -239,6 +239,17 @@ object Pq {
     d
   }
 
+  /** The broadcast LUT table is Q × m·k·8 bytes — at kCodes=256/m=16 a
+    * full 8192-query batch would ship 256 MB. Fail loudly with the fix
+    * spelled out instead of OOMing the broadcast (scale guard). */
+  private def checkLutBudget(nQueries: Int, cb: Array[Array[Array[Long]]]): Unit = {
+    val lutBytesEach = cb.length.toLong * cb(0).length * 8
+    val total = nQueries * lutBytesEach
+    require(total <= 64L * 1024 * 1024,
+      s"PQ probe would broadcast $nQueries LUTs x $lutBytesEach B = ${total >> 20} MB " +
+        "(> 64 MB). Probe in smaller query batches, or reduce kCodes/m.")
+  }
+
   /** Driver-side per-query LUT: m·k longs of ||q_s − c_{s,j}||². */
   def lutBytes(qv: Array[Long], cb: Array[Array[Array[Long]]]): Array[Byte] = {
     val m = cb.length; val k = cb(0).length; val dsub = cb(0)(0).length
@@ -393,6 +404,7 @@ object Pq {
     val qs = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).map(qz).toArray)).sortBy(_._1)
     val fineCb = fine
     val luts = qs.map { case (id, qv) => id -> lutBytes(qv, fineCb) }.toMap
+    checkLutBudget(qs.length, fineCb)
 
     // per-(query, bucket) lower bound: d(q, c_j) − R_j
     def bounds(qv: Array[Long]): Array[(Int, Double)] =
@@ -474,6 +486,7 @@ object Pq {
         s"> $maxQueries rows. Shrink the query set or raise maxQueries deliberately.")
     val qs = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).map(qz).toArray)).sortBy(_._1)
     val luts = qs.map { case (id, qv) => (id, lutBytes(qv, cb)) }.toSeq
+    checkLutBudget(qs.length, cb)
 
     val qemb = broadcast(base.where(queryPred)
       .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))

@@ -149,6 +149,37 @@ class PqSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("randomized configs: 10 (dim, m, kCodes, distribution) draws stay exact") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED5EEDL)
+    (0 until 10).foreach { t =>
+      val dim = Seq(8, 16, 32)(rnd.nextInt(3))
+      val m = Seq(2, 4, 8).filter(dim % _ == 0)(rnd.nextInt(3))
+      val kCodes = Seq(4, 16, 64)(rnd.nextInt(3))
+      val clustered = rnd.nextBoolean()
+      val n = 400 + rnd.nextInt(400)
+      val seed = rnd.nextLong()
+      val local = new scala.util.Random(seed)
+      val rows = (0L until n.toLong).map { i =>
+        val base = if (clustered) {
+          val c = (i % 13).toInt
+          Array.tabulate(dim)(j => math.sin((c + 1) * (j + 1) * 0.7).toFloat)
+        } else Array.fill(dim)(0f)
+        (i, base.map(v => v + (local.nextFloat() - 0.5f) * (if (clustered) 0.02f else 2f)))
+      }
+      val e = rows.toDF("vec_id", "embedding")
+      val pred = col("vec_id") < 5
+      val got = Pq.topK(e, pred, k = 4, m = m, kCodes = kCodes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = brute(e, pred, 4)
+      assert(got == want,
+        s"config $t: dim=$dim m=$m k=$kCodes clustered=$clustered n=$n seed=$seed " +
+          s"diff=${(got diff want).take(3)} ${(want diff got).take(3)}")
+    }
+  }
+
   test("degenerate inputs: corpus smaller than k, and n < kCodes") {
     GraftFunctions.install(spark)
     import spark.implicits._
