@@ -719,6 +719,35 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
+    // Chaikin corner-cut smoothing: ×0.25/×0.75 exact factors give the
+    // rect a closed-form smoothed area (0.875·w·h) and perimeter
+    // (w + h + √(w²+h²)) — one iteration oracled; deeper in SmoothSpec
+    "q109_chaikin" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("sm", call_function("st_chaikin", col("g"), lit(1)))
+        .select(col("zone_id"),
+          call_function("st_numpoints", col("sm")).cast("bigint").as("n_points"),
+          centsOf(call_function("st_area", col("sm"))).as("area_c"),
+          centsOf(call_function("st_length", col("sm"))).as("len_c"))
+    }),
+    // pole of inaccessibility (polylabel) on per-zone squares: unique
+    // optimum ⇒ the deterministic refinement pins center AND radius to
+    // 1e-9, closed-form oracle (elongated rects have a non-unique optimum
+    // segment — SmoothSpec covers those shapes instead)
+    "q110_inscribed" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("side", least(col("xmax") - col("xmin"), col("ymax") - col("ymin")))
+        .withColumn("g", call_function("st_makeenvelope",
+          col("xmin"), col("ymin"), col("xmin") + col("side"), col("ymin") + col("side")))
+        .withColumn("c", call_function("st_inscribedcircle", col("g"), lit(1e-9)))
+        .select(col("zone_id"),
+          centsOf(element_at(col("c"), 3)).as("r_c"),
+          centsOf(element_at(col("c"), 1)).as("cx_c"),
+          centsOf(element_at(col("c"), 2)).as("cy_c"))
+    }),
     // streaming ingest dedup: two copies of the event stream unioned
     // (every row arrives at least twice), watermarked
     // dropDuplicatesWithinWatermark keeps state BOUNDED by event time —
@@ -2194,6 +2223,18 @@ object SparkEntry {
     "q22_embed_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
          FROM embeddings GROUP BY 1""",
+    "q109_chaikin" ->
+      s"""SELECT zone_id, CAST(9 AS BIGINT) AS n_points,
+         CAST(FLOOR(0.875*(xmax-xmin)*(ymax-ymin)*100 + 0.5) AS BIGINT) AS area_c,
+         CAST(FLOOR(((xmax-xmin)+(ymax-ymin)
+           + SQRT((xmax-xmin)*(xmax-xmin)+(ymax-ymin)*(ymax-ymin)))*100 + 0.5) AS BIGINT) AS len_c
+         FROM $ZON""",
+    "q110_inscribed" ->
+      s"""SELECT zone_id,
+         CAST(FLOOR(LEAST(xmax-xmin, ymax-ymin)/2*100 + 0.5) AS BIGINT) AS r_c,
+         CAST(FLOOR((xmin + LEAST(xmax-xmin, ymax-ymin)/2)*100 + 0.5) AS BIGINT) AS cx_c,
+         CAST(FLOOR((ymin + LEAST(xmax-xmin, ymax-ymin)/2)*100 + 0.5) AS BIGINT) AS cy_c
+         FROM $ZON""",
     // doubled-then-deduped stream must reproduce the plain event counts
     "q104_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""",

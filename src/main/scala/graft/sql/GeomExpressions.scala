@@ -501,6 +501,31 @@ case class StGeneralize(left: Expression, right: Expression) extends BinaryExpre
     K.generalize(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+/** st_chaikin(geom, iters): Chaikin corner-cut smoothing (×0.25/×0.75
+  * exact factors; PostGIS ST_ChaikinSmoothing). */
+case class StChaikin(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.chaikin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+/** st_inscribedcircle(geom, precision) → [cx, cy, radius] — pole of
+  * inaccessibility via deterministic polylabel refinement (PostGIS
+  * ST_MaximumInscribedCircle's role); radius within `precision` of the
+  * true maximum. */
+case class StInscribedCircle(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      K.inscribedCircle(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 case class StDensify(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

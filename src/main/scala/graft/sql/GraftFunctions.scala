@@ -174,6 +174,8 @@ object GraftFunctions {
     "st_endpoint" -> (e => StEndPoint(e.head)),
     "st_rasterize_mask" -> (e => StRasterizeMask(e)),
     "st_asmvt_geom" -> (e => StAsMvtGeom(e)),
+    "st_chaikin" -> (e => StChaikin(e(0), e(1))),
+    "st_inscribedcircle" -> (e => StInscribedCircle(e(0), e(1))),
     "mask_popcount" -> (e => MaskPopcount(e.head)),
     "img_gray_rgb" -> (e => ImgGray(e.head)),
     "img_flip_rgb" -> (e => ImgFlip(e)),

@@ -206,6 +206,9 @@ object K {
   def simplifyGeom(b: Array[Byte]): Array[Byte] = wr(Ops.simplify(rd(b)))
   def simplifyOgc(b: Array[Byte]): Array[Byte] = wr(Ops.simplifyOgc(rd(b)))
   def generalize(b: Array[Byte], tol: Double): Array[Byte] = wr(Ops.generalize(rd(b), tol))
+  def chaikin(b: Array[Byte], iters: Int): Array[Byte] = wr(Smooth.chaikin(rd(b), iters))
+  def inscribedCircle(b: Array[Byte], precision: Double): Array[Double] =
+    Smooth.inscribedCircle(rd(b), precision)
   def densify(b: Array[Byte], maxLen: Double): Array[Byte] = rdFull(b) match {
     case zm: GeometryZM => wr(Ops.densifyZM(zm, maxLen)) // interpolates Z/M
     case g => wr(Ops.densify(g, maxLen))
