@@ -819,7 +819,7 @@ object SparkEntry {
         .withColumn("mvt", call_function("st_asmvt_geom",
           col("g"), lit(6), col("tx"), col("ty"), lit(4096)))
         .where(col("mvt").isNotNull)
-        .withColumn("zid", substring(col("zone_id"), 5, 5).cast("bigint"))
+        .withColumn("zid", substring(col("zone_id"), 5, 16).cast("bigint")) // all digits — ids stay unique at any sf
         .groupBy("tx", "ty")
         .agg(count(lit(1)).cast("bigint").as("n_features"),
           call_function("st_asmvt_agg", col("zid"), col("mvt")).as("blob"))

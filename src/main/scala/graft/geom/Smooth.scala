@@ -163,10 +163,15 @@ object Smooth {
       }
       steps += 1
     }
+    // the refinement is O(extent/precision) when the optimum is a
+    // CONTINUUM (e.g. an elongated rectangle's centerline), so a fixed
+    // budget must exist; report the certified bound actually achieved so
+    // the caller knows how coarse a precision WOULD converge
     require(queue.isEmpty || queue.head.max - best.d <= precision,
-      s"st_inscribedcircle did not converge within the step budget " +
-        s"(precision $precision too fine for this extent — optimum may be non-unique; " +
-        "use a coarser precision)")
+      f"st_inscribedcircle exhausted its step budget before certifying precision=$precision%g " +
+        f"(radius is correct within ${queue.head.max - best.d}%g). Cost grows ~extent/precision " +
+        "when the optimum region is a continuum (elongated shapes) — use a precision at least " +
+        "the reported bound, or simplify the shape.")
     Array(best.x, best.y, math.max(0.0, best.d))
   }
 }

@@ -211,24 +211,13 @@ object Pq {
   }
 
   /** vec_pq_bucket(embedding, coarseCb) → argmin-L2² coarse cell id (the
-    * IVF-PQ coarse quantizer: a codebook with m=1). Ties to lowest id. */
+    * IVF-PQ coarse quantizer: a codebook with m=1). Same tie-break as
+    * encode — this IS encode's single code byte (kernel deduped,
+    * code-review r5 s4). */
   def bucket(emb: ArrayData, cbBytes: Array[Byte]): Int = {
-    val cb = unpackCached(cbBytes)
-    require(cb.length == 1, s"vec_pq_bucket expects an m=1 coarse codebook, got m=${cb.length}")
-    val cents = cb(0)
-    val dim = cents(0).length
-    require(emb.numElements() == dim,
-      s"vec_pq_bucket: embedding dim ${emb.numElements()} != codebook dim $dim")
-    var best = 0; var bestD = Long.MaxValue
-    var j = 0
-    while (j < cents.length) {
-      val c = cents(j)
-      var d = 0L; var i = 0
-      while (i < dim) { val t = qz(emb.getFloat(i)) - c(i); d += t * t; i += 1 }
-      if (d < bestD) { bestD = d; best = j }
-      j += 1
-    }
-    best
+    require(unpackCached(cbBytes).length == 1,
+      s"vec_pq_bucket expects an m=1 coarse codebook, got m=${unpackCached(cbBytes).length}")
+    encode(emb, cbBytes)(0) & 0xFF
   }
 
   /** vec_l2_q(a, b) → quantized-integer squared L2 (exact in any engine). */
@@ -240,10 +229,13 @@ object Pq {
   }
 
   /** The broadcast LUT table is Q × m·k·8 bytes — at kCodes=256/m=16 a
-    * full 8192-query batch would ship 256 MB. Fail loudly with the fix
-    * spelled out instead of OOMing the broadcast (scale guard). */
-  private def checkLutBudget(nQueries: Int, cb: Array[Array[Array[Long]]]): Unit = {
-    val lutBytesEach = cb.length.toLong * cb(0).length * 8
+    * full 8192-query batch would ship 256 MB. Checked BEFORE the LUTs
+    * are materialized on the driver, and the probe broadcasts each LUT
+    * exactly once per query (a separate q_vec-keyed join, never repeated
+    * per probed bucket pair). Fail loudly with the fix spelled out
+    * instead of OOMing the broadcast (scale guard; code-review r5 s4). */
+  private def checkLutBudget(nQueries: Int, m: Int, k: Int): Unit = {
+    val lutBytesEach = m.toLong * k * 8
     val total = nQueries * lutBytesEach
     require(total <= 64L * 1024 * 1024,
       s"PQ probe would broadcast $nQueries LUTs x $lutBytesEach B = ${total >> 20} MB " +
@@ -362,9 +354,12 @@ object Pq {
     val base = emb.select(col("vec_id"), col("embedding"))
     val coarse = train(base, 1, kCoarse)
     val fine = train(base, m, kCodes)
+    // ONE coarse-assignment scan per row: encode once, derive the bucket
+    // from the single code byte (conv-on-hex is stock Spark — no second
+    // argmin pass; code-review r5 s4)
     val sk = base
-      .withColumn("bucket", call_function("vec_pq_bucket", col("embedding"), lit(coarse)))
       .withColumn("ccode", call_function("vec_pq_encode", col("embedding"), lit(coarse)))
+      .withColumn("bucket", conv(hex(substring(col("ccode"), 1, 1)), 16, 10).cast("int"))
       .withColumn("rc", call_function("vec_pq_radius", col("embedding"), lit(coarse), col("ccode")))
       .withColumn("codes", call_function("vec_pq_encode", col("embedding"), lit(fine)))
       .withColumn("r", call_function("vec_pq_radius", col("embedding"), lit(fine), col("codes")))
@@ -402,9 +397,9 @@ object Pq {
       s"Pq.topKIvfPq materializes the query side on the driver; queryPred matches " +
         s"> $maxQueries rows. Shrink the query set or raise maxQueries deliberately.")
     val qs = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).map(qz).toArray)).sortBy(_._1)
-    val fineCb = fine
-    val luts = qs.map { case (id, qv) => id -> lutBytes(qv, fineCb) }.toMap
-    checkLutBudget(qs.length, fineCb)
+    checkLutBudget(qs.length, fine.length, fine(0).length)
+    val luts = qs.map { case (id, qv) => id -> lutBytes(qv, fine) }.toMap
+    val lutDf = broadcast(luts.toSeq.toDF("q_vec", "lut"))
 
     // per-(query, bucket) lower bound: d(q, c_j) − R_j
     def bounds(qv: Array[Long]): Array[(Int, Double)] =
@@ -422,11 +417,14 @@ object Pq {
     val sketch = spark.table(sketchTable(tag))
 
     def probeDf(pairs: Seq[(Long, Int)]): DataFrame = {
-      val p = broadcast(pairs.map { case (q, b) => (q, b, luts(q)) }.toDF("q_vec", "bucket", "lut"))
+      // pair list and LUTs broadcast SEPARATELY: the (q_vec, bucket) list
+      // is tiny, and each query's LUT ships once (not once per pair)
+      val p = broadcast(pairs.toDF("q_vec", "bucket"))
       // literal bucket filter ahead of the join → bucket-FILE pruning
       val probed = pairs.map(_._2).distinct.map(Int.box)
       sketch.where(col("bucket").isin(probed: _*))
         .join(p, "bucket")
+        .join(lutDf, "q_vec")
         .withColumn("adc", call_function("vec_pq_adc", col("codes"), col("lut")))
     }
 
@@ -485,8 +483,8 @@ object Pq {
       s"Pq.topK materializes the query side on the driver; queryPred matches " +
         s"> $maxQueries rows. Shrink the query set or raise maxQueries deliberately.")
     val qs = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).map(qz).toArray)).sortBy(_._1)
+    checkLutBudget(qs.length, cb.length, cb(0).length)
     val luts = qs.map { case (id, qv) => (id, lutBytes(qv, cb)) }.toSeq
-    checkLutBudget(qs.length, cb)
 
     val qemb = broadcast(base.where(queryPred)
       .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))

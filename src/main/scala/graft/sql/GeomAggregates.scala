@@ -300,13 +300,32 @@ case class StAsMvtAgg(first: Expression, second: Expression,
   override def createAggregationBuffer(): Buf = scala.collection.mutable.ArrayBuffer.empty
   override def update(b: Buf, row: InternalRow): Buf = {
     val id = first.eval(row); val cmds = second.eval(row)
-    if (id != null && cmds != null)
-      b += ((id.asInstanceOf[Long],
-        cmds.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()))
+    // loud failure: silently dropping a null id/geometry would make the
+    // blob's feature count disagree with a separately-computed group
+    // count — a serving-artifact inconsistency (code-review r5 s4)
+    require(id != null && cmds != null,
+      "st_asmvt_agg: null feature id or command stream (filter them out explicitly)")
+    b += ((id.asInstanceOf[Long],
+      cmds.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()))
     b
   }
   override def merge(b: Buf, o: Buf): Buf = { b ++= o; b }
-  override def eval(b: Buf): Any = graft.tile.Mvt.layerBlob(b.sortBy(_._1).toArray)
+  // canonical order: (id, then lexicographic commands) — a plain id sort
+  // is stable wrt the nondeterministic partition-merge order, so
+  // duplicate ids would leak partitioning into the blob bytes
+  private def cmdCompare(a: Array[Int], b: Array[Int]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a(i) != b(i)) return Integer.compare(a(i), b(i))
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+  override def eval(b: Buf): Any = graft.tile.Mvt.layerBlob(
+    b.sortWith { case ((ia, ca), (ib, cb)) =>
+      if (ia != ib) ia < ib else cmdCompare(ca, cb) < 0
+    }.toArray)
   override def serialize(b: Buf): Array[Byte] = {
     val n = b.map(f => 12 + 4 * f._2.length).sum
     val bb = ByteBuffer.allocate(4 + n)

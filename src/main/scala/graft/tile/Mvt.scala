@@ -193,15 +193,22 @@ object Mvt {
   // ---------------- full tile blob (vector-tile-spec 2.1 protobuf) ----------------
 
   private final class PbBuf {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var buf = new Array[Byte](64)
+    private var len = 0
+    @inline private def ensure(n: Int): Unit =
+      if (len + n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + n))
     def varint(v0: Long): Unit = {
+      ensure(10)
       var v = v0
-      while ((v & ~0x7FL) != 0) { buf += ((v & 0x7F) | 0x80).toByte; v >>>= 7 }
-      buf += v.toByte
+      while ((v & ~0x7FL) != 0) { buf(len) = ((v & 0x7F) | 0x80).toByte; len += 1; v >>>= 7 }
+      buf(len) = v.toByte; len += 1
     }
     def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
-    def bytes(field: Int, b: Array[Byte]): Unit = { tag(field, 2); varint(b.length); buf ++= b }
-    def result: Array[Byte] = buf.toArray
+    def bytes(field: Int, b: Array[Byte]): Unit = {
+      tag(field, 2); varint(b.length)
+      ensure(b.length); System.arraycopy(b, 0, buf, len, b.length); len += b.length
+    }
+    def result: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
   /** Geometry type from a command stream: ClosePath ⇒ POLYGON(3),
@@ -213,7 +220,7 @@ object Mvt {
       val id = cmds(i) & 0x7; val n = cmds(i) >>> 3
       if (id == 7) return 3
       if (id == 2) t = 2
-      i += 1 + (if (id == 7) 0 else 2 * n)
+      i += 1 + 2 * n // id ∈ {1, 2} here — ClosePath returned above
     }
     t
   }

@@ -96,6 +96,33 @@ class MvtLayerSpec extends AnyFunSuite {
       (12L, 2L, Seq(9L, 2L, 2L, 10L, 4L, 4L))))
   }
 
+  test("duplicate feature ids: blob still canonical (secondary command-stream sort)") {
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    // same id, different geometries — a plain id sort would leak the
+    // partition-merge order into the bytes
+    val rows = Seq((0L, 5L, Array(9, 10, 10)), (0L, 5L, Array(9, 20, 20)),
+      (0L, 5L, Array(9, 2, 2)), (0L, 1L, Array(9, 4, 4)))
+    def h(df: org.apache.spark.sql.DataFrame): String =
+      df.groupBy("tile")
+        .agg(md5(call_function("st_asmvt_agg", col("fid"), col("cmds"))).as("h"))
+        .head.getString(1)
+    val a = h(rows.toDF("tile", "fid", "cmds").repartition(1))
+    val b = h(rows.reverse.toDF("tile", "fid", "cmds").repartition(4, col("cmds")))
+    assert(a == b, "duplicate-id blobs must not depend on merge order")
+  }
+
+  test("null feature id fails loudly (count/blob consistency contract)") {
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val df = Seq((Some(1L), Array(9, 2, 2)), (None, Array(9, 4, 4)))
+      .toDF("fid", "cmds")
+    val ex = intercept[Exception] {
+      df.agg(call_function("st_asmvt_agg", col("fid"), col("cmds"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("st_asmvt_agg: blob independent of partitioning and input order") {
     GraftFunctions.install(spark)
     import spark.implicits._
