@@ -88,8 +88,9 @@ object Smooth {
   }
 
   /** Signed distance: + inside, − outside; |·| = distance to the nearest
-    * ring segment (even-odd containment over all rings of all parts). */
-  private def signedDist(parts: Array[Array[Array[Double]]], x: Double, y: Double): Double = {
+    * ring segment (even-odd containment over all rings of all parts).
+    * Package-visible for the SmoothSpec grid cross-check. */
+  private[geom] def signedDist(parts: Array[Array[Array[Double]]], x: Double, y: Double): Double = {
     var inside = false
     var minD2 = Double.MaxValue
     parts.foreach(_.foreach { ring =>

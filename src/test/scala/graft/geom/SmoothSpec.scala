@@ -67,6 +67,48 @@ class SmoothSpec extends AnyFunSuite {
     assert(math.abs(cy - 1.0) < 2e-3, s"cy=$cy")
   }
 
+  test("fuzz: 300 random convex polygons — chaikin invariants + polylabel vs grid") {
+    val rnd = new scala.util.Random(0x600D5EEDL)
+    var done = 0
+    while (done < 300) {
+      val n = 6 + rnd.nextInt(10)
+      val cs = Array.fill(n)((rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 30 - 15))
+      Ops.convexHullOfCoords(cs.flatMap(p => Array(p._1, p._2))) match {
+        case hull: Polygon if !hull.isEmpty =>
+          done += 1
+          val a0 = math.abs(Ops.area(hull)); val l0 = Ops.length(hull)
+          val iters = 1 + rnd.nextInt(3)
+          val sm = Smooth.chaikin(hull, iters).asInstanceOf[Polygon]
+          val a1 = math.abs(Ops.area(sm)); val l1 = Ops.length(sm)
+          // corner cutting on a convex ring strictly shrinks area+perimeter
+          assert(a1 < a0 + 1e-12 && l1 < l0 + 1e-12, s"area $a0->$a1 len $l0->$l1")
+          // point-count law: distinct vertices double per pass
+          val v0 = hull.rings(0).length / 2 - 1
+          assert(sm.rings(0).length / 2 - 1 == v0 * (1 << iters))
+          // smoothed ring stays inside the hull (convexity preserved)
+          val env0 = hull.envelope; val env1 = sm.envelope
+          assert(env1.xmin >= env0.xmin - 1e-12 && env1.xmax <= env0.xmax + 1e-12 &&
+                 env1.ymin >= env0.ymin - 1e-12 && env1.ymax <= env0.ymax + 1e-12)
+
+          // polylabel sanity vs a dense grid lower bound
+          val Array(_, _, r) = Smooth.inscribedCircle(hull, 1e-4)
+          var gridMax = 0.0
+          val e = hull.envelope
+          val steps = 40
+          (1 until steps).foreach { i =>
+            (1 until steps).foreach { j =>
+              val x = e.xmin + e.width * i / steps
+              val y = e.ymin + e.height * j / steps
+              val d = Smooth.signedDist(Array(hull.rings), x, y)
+              if (d > gridMax) gridMax = d
+            }
+          }
+          assert(r >= gridMax - 1e-4, s"polylabel r=$r below grid bound $gridMax")
+        case _ => // degenerate sample — redraw
+      }
+    }
+  }
+
   test("SQL surface: st_chaikin + st_inscribedcircle via the registry") {
     GraftFunctions.install(spark)
     val row = spark.sql(
