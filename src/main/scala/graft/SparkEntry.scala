@@ -719,6 +719,24 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).cast("bigint").as("sum_dim"))
     }),
+    // Z-order (Morton) clustered layout: points range-sorted by cell id
+    // so a coarse cell's descendants are ONE contiguous interval — the
+    // pushed-down BETWEEN scan skips row groups whose stats miss it
+    // (bytes read scale with the region, not the corpus; measured in
+    // ZOrderSpec). Counts per parent cell pinned against lon/lat math.
+    "q111_zorder" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val tag = GeoTables.sfName(dir)
+      val path = s"/tmp/graft_zorder/$tag"
+      graft.join.Bucketed.layoutZOrder(
+        GeoTables.images(s, dir).select("image_id", "lon", "lat"), 8, path)
+      import s.implicits._
+      Seq((7L, 7L), (8L, 7L), (9L, 5L), (3L, 3L)).map { case (tx, ty) =>
+        val n = graft.join.Bucketed.zOrderRangeCount(
+          s, path, graft.cell.Cells.morton(tx, ty), 4, 8)
+        (tx, ty, n)
+      }.toDF("tx4", "ty4", "n")
+    }),
     // Chaikin corner-cut smoothing: ×0.25/×0.75 exact factors give the
     // rect a closed-form smoothed area (0.875·w·h) and perimeter
     // (w + h + √(w²+h²)) — one iteration oracled; deeper in SmoothSpec
@@ -2223,6 +2241,16 @@ object SparkEntry {
     "q22_embed_stats" ->
       """SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim
          FROM embeddings GROUP BY 1""",
+    // level-4 tile-coord counts via the web-mercator formulas
+    "q111_zorder" ->
+      s"""WITH t AS (SELECT
+           LEAST(GREATEST(CAST(FLOOR(((lon+180.0)/360.0)*16) AS BIGINT), 0), 15) AS tx,
+           LEAST(GREATEST(CAST(FLOOR((0.5 - LN((1+SIN(RADIANS(lat)))/(1-SIN(RADIANS(lat))))/(4*PI()))*16) AS BIGINT), 0), 15) AS ty
+           FROM $IMG),
+         c AS (SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY 1, 2)
+         SELECT v.tx4, v.ty4, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         FROM (VALUES (CAST(7 AS BIGINT), CAST(7 AS BIGINT)), (8, 7), (9, 5), (3, 3)) v(tx4, ty4)
+         LEFT JOIN c ON c.tx = v.tx4 AND c.ty = v.ty4""",
     "q109_chaikin" ->
       s"""SELECT zone_id, CAST(9 AS BIGINT) AS n_points,
          CAST(FLOOR(0.875*(xmax-xmin)*(ymax-ymin)*100 + 0.5) AS BIGINT) AS area_c,

@@ -58,6 +58,40 @@ object Bucketed {
     writeBucketed(cover, s"graft_cover_${ident(tag)}", s"$dir/cover", "cell", nBuckets)
   }
 
+  /**
+   * Z-ORDER (Morton) clustered layout: points sorted globally by their
+   * level-L cell id (range-partitioned, sorted within files), so every
+   * parquet row group's cell min/max spans a small Morton range. A
+   * recurring "everything near X" query then filters `cell BETWEEN
+   * range(parent)` — the pushed-down predicate (PushedFilters in the
+   * scan) lets the parquet reader SKIP whole row groups whose stats
+   * miss the range: the lakehouse data-skipping lever for spatial data
+   * at 100 TB (bytes read scale with the query region, not the corpus).
+   * Locality quality is the Morton curve's: a parent cell's descendants
+   * are one contiguous id range (Cells.childRange), so region queries
+   * are single intervals. Exactness never depends on the layout —
+   * ZOrderSpec measures the bytes actually read; q111 pins counts.
+   */
+  def layoutZOrder(images: DataFrame, level: Int, dir: String, files: Int = 16): Unit = {
+    val spark = images.sparkSession
+    GraftFunctions.install(spark)
+    images
+      .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(level)))
+      .repartitionByRange(files, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Count rows of a z-order layout inside one coarse cell's descendant
+    * range — the pushed-down interval scan. */
+  def zOrderRangeCount(spark: SparkSession, dir: String, parentCell: Long,
+                       parentLevel: Int, level: Int): Long = {
+    val (lo, hi) = graft.cell.Cells.childRange(parentCell, parentLevel, level)
+    spark.read.parquet(dir)
+      .where(col("cell") >= lo && col("cell") < hi)
+      .count()
+  }
+
   /** The recurring join over a `layoutPip` layout: SortMergeJoin on cell
     * with no Exchange below the join, exact PIP refine as residual. */
   def pipJoinBucketed(spark: SparkSession, tag: String): DataFrame = {
