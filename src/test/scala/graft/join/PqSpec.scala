@@ -180,6 +180,26 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ at 100k vectors: still exact, training + probe stay bounded") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val n = 100000L
+    val dim = 16
+    val e = spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        array((0 until dim).map(j =>
+          (sin(col("vec_id") % 64 * (j + 1) * 1.17).cast("float") +
+           (pmod(col("vec_id") * (j + 11), lit(101)).cast("float") / lit(50500.0f)))
+            .cast("float")): _*))
+      .cache()
+    val pred = col("vec_id") < 4
+    Pq.writeIvfPq(e, "/tmp/graft_ivfpq_100k", "spec100k", kCoarse = 64, m = 4, kCodes = 64)
+    val got = Pq.topKIvfPq(e, "/tmp/graft_ivfpq_100k", "spec100k", pred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute(e, pred, 5))
+    e.unpersist()
+  }
+
   test("degenerate inputs: corpus smaller than k, and n < kCodes") {
     GraftFunctions.install(spark)
     import spark.implicits._
