@@ -737,6 +737,19 @@ object SparkEntry {
         (tx, ty, n)
       }.toDF("tx4", "ty4", "n")
     }),
+    // Web-mercator quadkeys (the north_rule's tile-assignment key): the
+    // zoom-8 quadkey, its zoom-5 ancestor (= 5-prefix, asserted bitwise
+    // by recomputing at z=5), and the decode round-trip back to (tx, ty).
+    // Oracle rebuilds the string from pure shift/mask arithmetic.
+    "q112_quadkey" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .withColumn("qk8", call_function("st_quadkey", col("lon"), col("lat"), lit(8)))
+        .select(col("image_id"), col("qk8"),
+          call_function("st_quadkey", col("lon"), col("lat"), lit(5)).as("qk5"),
+          call_function("st_quadkey_x", col("qk8")).as("tx"),
+          call_function("st_quadkey_y", col("qk8")).as("ty"))
+    }),
     // Chaikin corner-cut smoothing: ×0.25/×0.75 exact factors give the
     // rect a closed-form smoothed area (0.875·w·h) and perimeter
     // (w + h + √(w²+h²)) — one iteration oracled; deeper in SmoothSpec
@@ -2251,6 +2264,17 @@ object SparkEntry {
          SELECT v.tx4, v.ty4, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
          FROM (VALUES (CAST(7 AS BIGINT), CAST(7 AS BIGINT)), (8, 7), (9, 5), (3, 3)) v(tx4, ty4)
          LEFT JOIN c ON c.tx = v.tx4 AND c.ty = v.ty4""",
+    // quadkey digits rebuilt from pure shift/mask arithmetic over the
+    // web-mercator tile indices; the z=5 ancestor key uses (tx>>3, ty>>3)
+    // (floor-then-clamp commutes with >>), which also proves qk5 is the
+    // 5-prefix of qk8
+    "q112_quadkey" ->
+      s"""SELECT image_id,
+         ${graft.cell.Cells.quadkeySqlExpr("tx", "ty", 8)} AS qk8,
+         ${graft.cell.Cells.quadkeySqlExpr("(tx >> 3)", "(ty >> 3)", 5)} AS qk5,
+         tx, ty
+         FROM (SELECT image_id, ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty
+               FROM $IMG)""",
     "q109_chaikin" ->
       s"""SELECT zone_id, CAST(9 AS BIGINT) AS n_points,
          CAST(FLOOR(0.875*(xmax-xmin)*(ymax-ymin)*100 + 0.5) AS BIGINT) AS area_c,

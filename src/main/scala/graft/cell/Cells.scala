@@ -444,6 +444,56 @@ object Cells {
     chars.mkString("(", " || ", ")")
   }
 
+  // ---------------- web-mercator quadkeys (north_rule term, r5) ----------
+  // Bing-maps tile-system convention (public spec): the zoom-z tile
+  // (tx, ty) is the z-character base-4 string whose k-th character (MSB
+  // first) is 2·bit(ty, z-1-k) + bit(tx, z-1-k). Properties the tests and
+  // the DuckDB oracle rely on: length(qk) = z; the zoom-(z-j) ancestor is
+  // the (z-j)-prefix (tileX/tileY floor-then-clamp commutes with >> j);
+  // lexicographic order of same-zoom quadkeys = Morton order of tiles.
+
+  /** Quadkey string of tile (tx, ty) at zoom z. */
+  def quadkeyOfTile(tx: Long, ty: Long, z: Int): String = {
+    require(z >= 1 && z <= MAX_LEVEL, s"quadkey zoom $z out of [1,$MAX_LEVEL]")
+    val sb = new java.lang.StringBuilder(z)
+    var k = z - 1
+    while (k >= 0) {
+      sb.append(('0' + (2L * ((ty >>> k) & 1L) + ((tx >>> k) & 1L)).toInt).toChar)
+      k -= 1
+    }
+    sb.toString
+  }
+
+  /** Quadkey of the zoom-z web-mercator tile containing (lon, lat). */
+  def quadkey(lon: Double, lat: Double, z: Int): String =
+    quadkeyOfTile(tileX(lon, z), tileY(lat, z), z)
+
+  /** (tx, ty) of a quadkey; the zoom is s.length. Inverse of
+    * [[quadkeyOfTile]]: quadkeyTile(quadkeyOfTile(tx, ty, z)) == (tx, ty). */
+  def quadkeyTile(s: String): (Long, Long) = {
+    require(s.nonEmpty && s.length <= MAX_LEVEL,
+      s"quadkey length ${s.length} out of [1,$MAX_LEVEL]")
+    var tx = 0L; var ty = 0L
+    var i = 0
+    while (i < s.length) {
+      val d = s.charAt(i) - '0'
+      require(d >= 0 && d <= 3, s"invalid quadkey digit '${s.charAt(i)}'")
+      tx = (tx << 1) | (d & 1L)
+      ty = (ty << 1) | ((d >> 1) & 1L)
+      i += 1
+    }
+    (tx, ty)
+  }
+
+  /** DuckDB SQL mirroring [[quadkeyOfTile]] exactly over integer tile-index
+    * expressions (pure shift/mask arithmetic, same design constraint as
+    * [[geohashSqlExpr]]). */
+  def quadkeySqlExpr(txExpr: String, tyExpr: String, z: Int): String =
+    (0 until z).map { k =>
+      val sh = z - 1 - k
+      s"SUBSTRING('0123', CAST(2*((($tyExpr) >> $sh) & 1) + ((($txExpr) >> $sh) & 1) AS INT) + 1, 1)"
+    }.mkString("(", " || ", ")")
+
   // ---------------- spherical cube-face cells (S2-style, r4 cont.) -------
   //
   // The web-mercator Morton grid above clamps at ±85.05° and its cell AREA

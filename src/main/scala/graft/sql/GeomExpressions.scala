@@ -652,6 +652,41 @@ case class StGeohash(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+/** st_quadkey(lon, lat, z) → zoom-z web-mercator quadkey string (Bing tile
+  * system; the north_rule's tile-assignment key. Mirrored closed-form by
+  * Cells.quadkeySqlExpr; prefix = ancestor tile). */
+case class StQuadkey(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.quadkey(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.quadkey($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+/** st_quadkey_x(qk) → tile x of a quadkey (zoom = length(qk)). */
+case class StQuadkeyX(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = K.quadkeyX(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.quadkeyX($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+/** st_quadkey_y(qk) → tile y of a quadkey (zoom = length(qk)). */
+case class StQuadkeyY(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = K.quadkeyY(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.K.quadkeyY($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 /** st_pointfromgeohash(s) → the hash cell's CENTER point (PostGIS
   * ST_PointFromGeoHash semantics). */
 case class StPointFromGeohash(child: Expression) extends UnaryExpression with ExpectsInputTypes {

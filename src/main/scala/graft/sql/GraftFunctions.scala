@@ -138,6 +138,9 @@ object GraftFunctions {
     "st_cellid" -> (e => StCellId(e(0), e(1), e(2))),
     "st_geohash" -> (e => StGeohash(e(0), e(1), e(2))),
     "st_pointfromgeohash" -> (e => StPointFromGeohash(e.head)),
+    "st_quadkey" -> (e => StQuadkey(e(0), e(1), e(2))),
+    "st_quadkey_x" -> (e => StQuadkeyX(e.head)),
+    "st_quadkey_y" -> (e => StQuadkeyY(e.head)),
     "st_cellid_sphere" -> (e => StCellIdSphere(e(0), e(1), e(2))),
     "st_cover_sphere" -> (e => StCoverSphere(e)),
     "st_tile_x" -> (e => StTileX(e(0), e(1))),

@@ -426,6 +426,10 @@ object K {
     val (lon, lat) = Cells.geohashDecode(s.toString)
     wr(Point(lon, lat))
   }
+  def quadkey(lon: Double, lat: Double, z: Int): UTF8String =
+    UTF8String.fromString(Cells.quadkey(lon, lat, z))
+  def quadkeyX(s: UTF8String): Long = Cells.quadkeyTile(s.toString)._1
+  def quadkeyY(s: UTF8String): Long = Cells.quadkeyTile(s.toString)._2
   def cellIdSphere(lon: Double, lat: Double, level: Int): Long = Cells.cellIdSphere(lon, lat, level)
   def cellIdNorm(nx: Double, ny: Double, level: Int): Long = Cells.cellIdNorm(nx, ny, level)
   def normX(lon: Double): Double = Cells.normX(lon)

@@ -222,6 +222,39 @@ class CellsSpec extends AnyFunSuite {
       }
   }
 
+  test("quadkey: canonical digits, prefix=ancestor, decode round-trip, Morton order (r5)") {
+    // Bing tile-system worked example (public spec): tile (3, 5) at z=3 → "213"
+    assert(Cells.quadkeyOfTile(3L, 5L, 3) == "213")
+    assert(Cells.quadkeyTile("213") == (3L, 5L))
+    // zoom-1 quadrants
+    assert(Cells.quadkeyOfTile(0, 0, 1) == "0" && Cells.quadkeyOfTile(1, 0, 1) == "1")
+    assert(Cells.quadkeyOfTile(0, 1, 1) == "2" && Cells.quadkeyOfTile(1, 1, 1) == "3")
+    var st = 99991L
+    def frac(): Double = {
+      st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+      (st >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 2000).foreach { _ =>
+      val lon = -180.0 + 360.0 * frac(); val lat = -90.0 + 180.0 * frac()
+      val q20 = Cells.quadkey(lon, lat, 20)
+      // prefix-truncation = ancestor tile at every coarser zoom
+      (1 until 20).foreach(z => assert(Cells.quadkey(lon, lat, z) == q20.take(z)))
+      // decode inverts encode, and (tx, ty) match tileX/tileY directly
+      val (tx, ty) = Cells.quadkeyTile(q20)
+      assert(tx == Cells.tileX(lon, 20) && ty == Cells.tileY(lat, 20))
+      // same-zoom lexicographic order == Morton order of the tiles
+      val lon2 = -180.0 + 360.0 * frac(); val lat2 = -90.0 + 180.0 * frac()
+      val q2 = Cells.quadkey(lon2, lat2, 20)
+      val m1 = Cells.cellId(lon, lat, 20); val m2 = Cells.cellId(lon2, lat2, 20)
+      assert(Integer.signum(q20.compareTo(q2)) == java.lang.Long.compare(m1, m2).sign)
+    }
+    // clamps at the poles / antimeridian stay in-range
+    Seq((-180.0, -90.0), (180.0, 90.0), (179.9999999, 89.9999999)).foreach { case (lon, lat) =>
+      val q = Cells.quadkey(lon, lat, 23)
+      assert(q.length == 23 && q.forall(c => c >= '0' && c <= '3'))
+    }
+  }
+
   test("hexbin assigns the nearest hex center (r5)") {
     val sizes = Seq(0.013, 1.0, 2.5, 47.0)
     (0 until N).foreach { i =>
