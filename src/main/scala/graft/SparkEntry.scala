@@ -750,6 +750,25 @@ object SparkEntry {
           call_function("st_quadkey_x", col("qk8")).as("tx"),
           call_function("st_quadkey_y", col("qk8")).as("ty"))
     }),
+    // EXACT-substring dedup (the "duplicated w-token span" recipe from
+    // public training-data dedup work, suffix-array-free): every 8-token
+    // window keyed by a 60-bit md5-prefix signature; a span is duplicated
+    // iff its signature occurs in ≥2 distinct docs. Per-doc output =
+    // (total windows, duplicated windows) — the "duplicate fraction"
+    // signal used to drop or trim documents. Plan: scan → explode (no
+    // shuffle) → groupBy sig (map-side partial) → shuffle join back →
+    // groupBy doc; every stage is an equi-key shuffle, never all-pairs.
+    "q113_substring_dedup" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val wins = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(call_function("text_window_sig", col("text"), lit(8))).as("sig"))
+      val multi = wins.groupBy("sig").agg(countDistinct(col("doc_id")).as("n_docs"))
+      wins.join(multi, "sig")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_win"))
+    }),
     // Chaikin corner-cut smoothing: ×0.25/×0.75 exact factors give the
     // rect a closed-form smoothed area (0.875·w·h) and perimeter
     // (w + h + √(w²+h²)) — one iteration oracled; deeper in SmoothSpec
@@ -2275,6 +2294,21 @@ object SparkEntry {
          tx, ty
          FROM (SELECT image_id, ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty
                FROM $IMG)""",
+    // same 60-bit signature rebuilt in SQL: md5 of the single-space
+    // re-joined 8-token window, first 15 hex chars cast via a 0x literal
+    "q113_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+           FROM toks),
+         wins AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS sig
+           FROM idx),
+         multi AS (SELECT sig, COUNT(DISTINCT doc_id) AS n_docs FROM wins GROUP BY 1)
+         SELECT w.doc_id, COUNT(*) AS n_win,
+           CAST(SUM(CASE WHEN m.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_win
+         FROM wins w JOIN multi m ON w.sig = m.sig
+         GROUP BY 1""",
     "q109_chaikin" ->
       s"""SELECT zone_id, CAST(9 AS BIGINT) AS n_points,
          CAST(FLOOR(0.875*(xmax-xmin)*(ymax-ymin)*100 + 0.5) AS BIGINT) AS area_c,

@@ -209,6 +209,7 @@ object GraftFunctions {
     "text_jaccard" -> (e => TextJaccard(e(0), e(1))),
     "text_ngram_jaccard" -> (e => TextNgramJaccard(e(0), e(1), e(2))),
     "text_shingles" -> (e => TextShingles(e(0), e(1))),
+    "text_window_sig" -> (e => TextWindowSig(e(0), e(1))),
     "text_chunks" -> (e => TextChunks(e(0), e(1), e(2))),
     "rtree_probe" -> (e => RtreeProbe(e(0), e(1), e(2))),
     // embedding vectors

@@ -251,6 +251,21 @@ case class TextShingles(left: Expression, right: Expression) extends BinaryExpre
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** text_window_sig(text, w) → 60-bit md5-prefix signature of every w-token
+  * window (exact-substring dedup key; see Text.windowSignatures). */
+case class TextWindowSig(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Text.windowSignatures(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.Text.windowSignatures($a.toString(), $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Quantized (×1000, floor+0.5) integer dot product — exact in any engine. */
 case class VecDotQ(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes {

@@ -135,6 +135,47 @@ object Text {
     starts.map(st => toks.slice(st, math.min(st + size, toks.length)).mkString(" "))
   }
 
+  /** 60-bit window signatures for EXACT-substring dedup — the public
+    * "deduplicating training data" recipe (find duplicated w-token spans
+    * across documents) re-shaped for Spark: no suffix array; every
+    * w-token window is keyed by a signature and duplicated spans are the
+    * signatures seen in ≥2 documents (equi-join/groupBy shapes that
+    * shuffle-scale). Signature = first 15 hex chars (60 bits) of
+    * md5(single-space-rejoined window), so the DuckDB oracle mirrors it
+    * as CAST(('0x' || substr(md5(win), 1, 15)) AS BIGINT) — and the
+    * shuffle key is 8 bytes instead of a 32-char hex string at 100 TB.
+    * A doc with fewer than w tokens yields no signatures. (A Karp-Rabin
+    * rolling hash would drop the O(w) per-window cost; md5 is kept for
+    * bit-exact cross-engine parity — the hashing is row-parallel either
+    * way, never a shuffle.) */
+  def windowSignatures(s: String, w: Int): Array[Long] = {
+    require(w > 0, s"window size must be positive: $w")
+    val toks = tokens(s)
+    val n = toks.length - w + 1
+    if (n <= 0) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + w) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      out(i) = h >>> 4 // big-endian first 8 bytes >> 4 = first 15 hex chars
+      i += 1
+    }
+    out
+  }
+
   /** Word k-gram shingle hashes (deduped). */
   def shingles(s: String, k: Int): Array[Long] = {
     val toks = tokens(s)

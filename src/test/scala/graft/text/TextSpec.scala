@@ -100,6 +100,24 @@ class TextSpec extends AnyFunSuite {
     assert(Text.redactPii("a@1.2.3.4x b") == "a@1.2.3.4x b")
   }
 
+  test("windowSignatures: count, 60-bit range, cross-doc equality (r5)") {
+    // n - w + 1 windows; short/empty docs yield none
+    assert(Text.windowSignatures("a b c d e", 3).length == 3)
+    assert(Text.windowSignatures("a b", 3).isEmpty)
+    assert(Text.windowSignatures("", 3).isEmpty)
+    assert(Text.windowSignatures("a b c", 3).length == 1)
+    // signature is whitespace-normalized: same token span → same key
+    val s1 = Text.windowSignatures("the quick  brown\tfox jumps", 4)
+    val s2 = Text.windowSignatures("  the quick brown fox leaps", 4)
+    assert(s1(0) == s2(0)) // shared leading 4-token span
+    assert(s1(1) != s2(1)) // diverging second window
+    // 60-bit: top nibble always clear (matches the 15-hex-char oracle)
+    val many = Text.windowSignatures(((1 to 200).map(i => s"t$i")).mkString(" "), 8)
+    assert(many.length == 193 && many.forall(h => (h >>> 60) == 0L))
+    // distinct windows ⇒ distinct signatures at this scale
+    assert(many.distinct.length == many.length)
+  }
+
   test("normalize: NFC + casefold + whitespace collapse + trim (r5)") {
     assert(Text.normalize("  A\tB\r\nC  ") == "a b c")
     // combining acute composes to precomposed é, then lowercases
