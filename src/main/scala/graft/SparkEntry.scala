@@ -769,6 +769,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_win"),
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_win"))
     }),
+    // Benchmark DECONTAMINATION: drop/flag training docs sharing any
+    // 8-token window with an eval set (here: source = 'src0' stands in
+    // for the held-out benchmark). Real benchmark sets are tiny (MMLU
+    // et al. ≈ MBs), so the eval-signature side is DISTINCT'd and
+    // broadcast — the 100 TB training scan never shuffles; contamination
+    // is a map-side broadcast hash join per window. Output: per training
+    // doc, total windows + contaminated windows (the trim/drop signal).
+    "q114_decontaminate" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val wins = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(call_function("text_window_sig", col("text"), lit(8))).as("sig"))
+      val evalSigs = wins.filter(col("source") === "src0")
+        .select(col("sig")).distinct()
+        .withColumn("hit", lit(1L))
+      wins.filter(col("source") =!= "src0")
+        .join(broadcast(evalSigs), Seq("sig"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contam"))
+    }),
+    // Gopher-style REPETITION quality signals, exact-integer form:
+    // per doc, the count of the most frequent 2-gram (top2_cnt) and the
+    // number of 5-gram positions inside duplicated 5-grams (dup5_cnt,
+    // over n5 positions). Pure built-in composition — split/slice/
+    // array_join/explode stay in whole-stage codegen; two equi-key
+    // shuffles ((doc,n,gram) count, then per-doc fold), never all-pairs.
+    "q115_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("tk", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), explode(array(lit(2), lit(5))).as("n"), col("tk"))
+        .select(col("doc_id"), col("n"), explode(expr(
+          """CASE WHEN size(tk) >= n
+               THEN transform(sequence(1, size(tk) - n + 1),
+                              i -> array_join(slice(tk, i, n), ' '))
+               ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max(when(col("n") === 2, col("cnt"))).as("top2_cnt"),
+          sum(when(col("n") === 5, col("cnt")).otherwise(0L)).as("n5"),
+          sum(when(col("n") === 5 && col("cnt") >= 2, col("cnt")).otherwise(0L))
+            .as("dup5_cnt"))
+    }),
     // Chaikin corner-cut smoothing: ×0.25/×0.75 exact factors give the
     // rect a closed-form smoothed area (0.875·w·h) and perimeter
     // (w + h + √(w²+h²)) — one iteration oracled; deeper in SmoothSpec
@@ -2309,6 +2352,35 @@ object SparkEntry {
            CAST(SUM(CASE WHEN m.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_win
          FROM wins w JOIN multi m ON w.sig = m.sig
          GROUP BY 1""",
+    "q114_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         idx AS (SELECT doc_id, source, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+           FROM toks),
+         wins AS (SELECT doc_id, source,
+           CAST(('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS sig
+           FROM idx),
+         ev AS (SELECT DISTINCT sig FROM wins WHERE source = 'src0')
+         SELECT w.doc_id, COUNT(*) AS n_win,
+           CAST(SUM(CASE WHEN e.sig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+         FROM wins w LEFT JOIN ev e ON w.sig = e.sig
+         WHERE w.source <> 'src0'
+         GROUP BY 1""",
+    "q115_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, 2 AS n, array_to_string(tk[i:i+1], ' ') AS g
+             FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+           UNION ALL
+           SELECT doc_id, 5 AS n, array_to_string(tk[i:i+4], ' ') AS g
+             FROM toks, unnest(generate_series(1, len(tk) - 4)) AS t(i)),
+         c AS (SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3)
+         SELECT doc_id,
+           MAX(CASE WHEN n = 2 THEN cnt END) AS top2_cnt,
+           CAST(SUM(CASE WHEN n = 5 THEN cnt ELSE 0 END) AS BIGINT) AS n5,
+           CAST(SUM(CASE WHEN n = 5 AND cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup5_cnt
+         FROM c GROUP BY 1""",
     "q109_chaikin" ->
       s"""SELECT zone_id, CAST(9 AS BIGINT) AS n_points,
          CAST(FLOOR(0.875*(xmax-xmin)*(ymax-ymin)*100 + 0.5) AS BIGINT) AS area_c,
