@@ -72,14 +72,20 @@ object Bucketed {
    * are single intervals. Exactness never depends on the layout —
    * ZOrderSpec measures the bytes actually read; q111 pins counts.
    */
-  def layoutZOrder(images: DataFrame, level: Int, dir: String, files: Int = 16): Unit = {
+  def layoutZOrder(images: DataFrame, level: Int, dir: String, files: Int = 16,
+                   blockBytes: Long = 0L): Unit = {
     val spark = images.sparkSession
     GraftFunctions.install(spark)
-    images
+    val w = images
       .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(level)))
       .repartitionByRange(files, col("cell"))
       .sortWithinPartitions("cell")
-      .write.mode(SaveMode.Overwrite).parquet(dir)
+      .write.mode(SaveMode.Overwrite)
+    // write-time row-group size (session-level parquet.block.size is
+    // static and ignored once a shared SparkSession exists — tests tune
+    // this per layout to get many skippable groups)
+    (if (blockBytes > 0) w.option("parquet.block.size", blockBytes) else w)
+      .parquet(dir)
   }
 
   /** Count rows of a z-order layout inside one coarse cell's descendant

@@ -182,6 +182,48 @@ object IceLite {
     else Some(fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
   }
 
+  /**
+   * Retention GC (Iceberg `expire_snapshots` analog): keep the last
+   * `keep` snapshots on the _current parent chain (the current one
+   * always survives), delete every other snapshot file, then delete the
+   * data dirs no retained snapshot references. Deletion order is
+   * crash-safe: metadata first — an interrupted run strands orphan data
+   * dirs, which readers never see (they only follow manifests) — data
+   * second. Returns (snapshotsRemoved, dataDirsRemoved).
+   */
+  def expireSnapshots(root: String, keep: Int): (Int, Int) = {
+    require(keep >= 1, s"must keep at least the current snapshot: $keep")
+    val cur = currentSnapshot(root).getOrElse(return (0, 0))
+    val retainedIds = Iterator.iterate(cur.snapshotId)(id =>
+        snapshotById(root, id).map(_.parentId).getOrElse(-1L))
+      .takeWhile(_ >= 0).take(keep).toSet
+    val all = listSnapshots(root)
+    val expireNames = all.filter { n =>
+      val id = n.stripPrefix("snap-").stripSuffix(".json").toLong
+      !retainedIds.contains(id)
+    }
+    val retainedDirs = retainedIds.flatMap(id =>
+      snapshotById(root, id).toSeq.flatMap(_.buckets.map(_.dataDir)))
+    // parse expiring manifests BEFORE deleting them to learn their dirs
+    val expireDirs = expireNames.flatMap { n =>
+      fromJson(new String(Files.readAllBytes(metaDir(root).resolve(n)),
+        StandardCharsets.UTF_8)).buckets.map(_.dataDir)
+    }.toSet -- retainedDirs
+    expireNames.foreach(n => Files.deleteIfExists(metaDir(root).resolve(n)))
+    var dirsRemoved = 0
+    expireDirs.foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+        dirsRemoved += 1
+      }
+    }
+    (expireNames.size, dirsRemoved)
+  }
+
   def listSnapshots(root: String): Seq[String] = {
     val meta = metaDir(root)
     if (!Files.exists(meta)) Seq.empty

@@ -4,6 +4,7 @@ import graft.sql.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /**
  * Raster↔vector tiling job with checkpointed manifests and exact resume
@@ -121,6 +122,88 @@ object TileJob {
     }
     IceLite.currentSnapshot(outRoot).getOrElse(
       throw new IllegalStateException("no snapshot after run"))
+  }
+
+  /**
+   * COMPACTION — the small-file problem at 10^12 rows: a resumed/parallel
+   * ingest leaves each bucket dir with many small parquet files, and scan
+   * cost at scale is dominated by file-open overhead + lost row-group
+   * locality. Rewrites every bucket whose dir holds more than
+   * `maxFilesPerBucket` part files into EXACTLY ONE sorted file under a
+   * fresh immutable dir (`data-c<snapId>/bucket=<b>`), verifies the
+   * rewrite (row count + order-independent xxhash64 checksum must equal
+   * the manifest entry — a mismatch aborts BEFORE publishing, leaving
+   * only orphan files readers never see), then commits one new snapshot
+   * whose entries point at the new dirs. Old dirs are untouched, so time
+   * travel to pre-compaction snapshots keeps working; space is reclaimed
+   * separately by [[IceLite.expireSnapshots]]. One distributed job
+   * rewrites all selected buckets (repartition on the bucket key — a
+   * bucket lives in exactly one task, so each new dir gets exactly one
+   * file); nothing is collected to the driver but the per-bucket stats.
+   */
+  def compact(spark: SparkSession, outRoot: String,
+              maxFilesPerBucket: Int = 1): IceLite.Snapshot = {
+    val snap = IceLite.currentSnapshot(outRoot)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at $outRoot"))
+    def partFiles(dir: String): Int = {
+      val p = Paths.get(dir)
+      if (!Files.exists(p)) 0
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.count { f =>
+          val n = f.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        } finally s.close()
+      }
+    }
+    val selected = snap.buckets
+      .filter(b => b.rows > 0 && partFiles(b.dataDir) > maxFilesPerBucket)
+    if (selected.isEmpty) return snap
+
+    val newId = snap.snapshotId + 1
+    val newRoot = s"$outRoot/data-c$newId"
+    def newDir(b: Int): String = s"$newRoot/bucket=$b"
+    // bucket rides as a literal per source (the dir-name partition column
+    // is not stored in the files), so one union plan rewrites every
+    // selected bucket in a single job
+    selected.map(b => spark.read.parquet(b.dataDir)
+        .withColumn("bucket", lit(b.bucket.toLong)))
+      .reduce(_ unionByName _)
+      .repartition(selected.size, col("bucket"))
+      .sortWithinPartitions("bucket", "cell", "image_id")
+      // overwrite: a compaction that crashed between write and commit
+      // leaves data-c<id> orphaned (no manifest references it) — the
+      // retry recomputes the same id and must be able to reclaim it
+      .write.mode("overwrite").partitionBy("bucket").parquet(newRoot)
+
+    // verify the rewrite against the committed manifest BEFORE publishing
+    val back = selected.map(b => spark.read.parquet(newDir(b.bucket))
+        .withColumn("bucket", lit(b.bucket.toLong)))
+      .reduce(_ unionByName _)
+      .withColumn("cs", checksumCol)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), IceLite.mask53(r.getLong(2)))))
+      .toMap
+    selected.foreach { b =>
+      val (rows, cs) = back.getOrElse(b.bucket.toLong, (-1L, -1L))
+      if (rows != b.rows || cs != b.checksum)
+        throw new IllegalStateException(
+          s"compaction verify failed for bucket ${b.bucket}: " +
+            s"rows $rows vs ${b.rows}, checksum $cs vs ${b.checksum} — not committed")
+    }
+
+    val selectedIds = selected.map(_.bucket).toSet
+    val entries = snap.buckets.map { b =>
+      if (!selectedIds.contains(b.bucket)) b
+      else b.copy(dataDir = newDir(b.bucket),
+        lineage = b.lineage :+ IceLite.LineageRow(
+          "compact", b.bucket, b.rows, b.rows, b.checksum))
+    }
+    val out = IceLite.Snapshot(newId, snap.snapshotId, s"compact-${snap.jobId}", entries)
+    IceLite.commit(outRoot, out)
+    out
   }
 
   /** Read the table as of the current snapshot (manifest-driven file list). */

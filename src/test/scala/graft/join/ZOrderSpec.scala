@@ -15,8 +15,6 @@ class ZOrderSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
-    // small row groups so a 200k-row fixture has many skippable groups
-    .config("spark.hadoop.parquet.block.size", (64 * 1024).toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -57,7 +55,9 @@ class ZOrderSpec extends AnyFunSuite {
       .withColumn("image_id", concat(lit("p"), col("id")))
       .withColumn("payload", md5(col("image_id")))
     val dir = "/tmp/graft_zorder_spec"
-    Bucketed.layoutZOrder(pts, 8, dir, files = 8)
+    // small write-time row groups so the fixture has many skippable
+    // groups regardless of which suite created the shared session
+    Bucketed.layoutZOrder(pts, 8, dir, files = 8, blockBytes = 64 * 1024)
 
     val parent = graft.cell.Cells.morton(7, 7)
     val (lo, hi) = graft.cell.Cells.childRange(parent, 4, 8)
