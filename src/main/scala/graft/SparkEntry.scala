@@ -769,6 +769,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_win"),
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_win"))
     }),
+    // Raptor-style HEAT RASTER: vector→raster pixel binning (global pixel
+    // grid at z+4 = per-tile 16×16), threshold algebra (hot = count ≥ 3),
+    // and per-tile bitmask assembly — the rasterize-by-aggregation shape
+    // that scales: two equi-key shuffles ((px,py) count, then per-tile
+    // fold), no driver raster, no UDF. Masks ride as five 52-bit chunks
+    // so the bit_or aggregate is sign-safe in BOTH engines; a tile row is
+    // the finished raster artifact (counts + hot bitmask) a tile server
+    // would publish.
+    "q116_heat_raster" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val px = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
+          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
+        .groupBy("px", "py").agg(count(lit(1)).as("cnt"))
+        .select(expr("px div 16").as("tx"), expr("py div 16").as("ty"),
+          ((col("py") % 16) * 16 + (col("px") % 16)).as("i"),
+          col("cnt"), (col("cnt") >= 3).as("hot"))
+      val masks = (0 to 4).map(j =>
+        coalesce(expr(
+          s"bit_or(IF(hot AND i div 52 = $j, shiftleft(CAST(1 AS BIGINT), CAST(i % 52 AS INT)), CAST(0 AS BIGINT)))"),
+          lit(0L)).as(s"m$j"))
+      val aggs = Seq(sum(col("cnt")).as("n_img"), count(lit(1)).as("n_pix"),
+        sum(when(col("hot"), 1L).otherwise(0L)).as("n_hot"),
+        max(col("cnt")).as("max_heat")) ++ masks
+      px.groupBy("tx", "ty").agg(aggs.head, aggs.tail: _*)
+    }),
     // Benchmark DECONTAMINATION: drop/flag training docs sharing any
     // 8-token window with an eval set (here: source = 'src0' stands in
     // for the held-out benchmark). Real benchmark sets are tiny (MMLU
@@ -2352,6 +2378,20 @@ object SparkEntry {
            CAST(SUM(CASE WHEN m.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_win
          FROM wins w JOIN multi m ON w.sig = m.sig
          GROUP BY 1""",
+    "q116_heat_raster" -> {
+      val maskCols = (0 to 4).map(j =>
+        s"COALESCE(bit_or(CASE WHEN hot AND i // 52 = $j THEN (CAST(1 AS BIGINT) << CAST(i % 52 AS INT)) ELSE 0 END), 0) AS m$j")
+        .mkString(", ")
+      s"""WITH pix AS (
+           SELECT ${txSql("lon", 8)} AS px, ${tySql("lat", 8)} AS py, COUNT(*) AS cnt
+           FROM $IMG GROUP BY 1, 2),
+         p2 AS (SELECT px // 16 AS tx, py // 16 AS ty,
+                  (py % 16) * 16 + (px % 16) AS i, cnt, cnt >= 3 AS hot
+                FROM pix)
+         SELECT tx, ty, CAST(SUM(cnt) AS BIGINT) AS n_img, COUNT(*) AS n_pix,
+           CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+           MAX(cnt) AS max_heat, $maskCols
+         FROM p2 GROUP BY 1, 2""" },
     "q114_decontaminate" ->
       """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
            FROM documents),
