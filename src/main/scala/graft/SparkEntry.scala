@@ -769,6 +769,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_win"),
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_win"))
     }),
+    // ZONAL IMAGE STATISTICS: the raster side of a Raptor zonal-stats op
+    // — per zone, aggregate the images that fall inside it, running the
+    // DECODER inside the join (img_phash(bytes) revalidated against the
+    // stored hash per matched row). Plan = the q07 broadcast-cell PIP
+    // join with decode on the probe side (stays row-parallel; the decode
+    // never shuffles) + one per-zone fold. n_phash_ok == n_img is the
+    // decode invariant the oracle pins alongside the stored-column sums.
+    "q117_zonal_imgstats" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      SpatialJoins.pipJoin(GeoTables.images(s, dir), GeoTables.zones(s, dir), level = 8)
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_img"),
+          sum(col("w").cast("bigint") * col("h")).as("sum_px"),
+          sum(when(col("fmt") === "png", 1L).otherwise(0L)).as("n_png"),
+          sum(when(call_function("img_phash", col("bytes")) === col("phash"), 1L)
+            .otherwise(0L)).as("n_phash_ok"),
+          max(col("phash")).as("max_phash"))
+    }),
     // Raptor-style HEAT RASTER: vector→raster pixel binning (global pixel
     // grid at z+4 = per-tile 16×16), threshold algebra (hot = count ≥ 3),
     // and per-tile bitmask assembly — the rasterize-by-aggregation shape
@@ -2377,6 +2395,15 @@ object SparkEntry {
          SELECT w.doc_id, COUNT(*) AS n_win,
            CAST(SUM(CASE WHEN m.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_win
          FROM wins w JOIN multi m ON w.sig = m.sig
+         GROUP BY 1""",
+    "q117_zonal_imgstats" ->
+      s"""SELECT z.zone_id, COUNT(*) AS n_img,
+         CAST(SUM(CAST(i.w AS BIGINT) * i.h) AS BIGINT) AS sum_px,
+         CAST(SUM(CASE WHEN i.fmt = 'png' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+         COUNT(*) AS n_phash_ok,
+         MAX(i.phash) AS max_phash
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
          GROUP BY 1""",
     "q116_heat_raster" -> {
       val maskCols = (0 to 4).map(j =>
