@@ -2382,9 +2382,14 @@ object SparkEntry {
          FROM (SELECT image_id, ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty
                FROM $IMG)""",
     // same 60-bit signature rebuilt in SQL: md5 of the single-space
-    // re-joined 8-token window, first 15 hex chars cast via a 0x literal
+    // re-joined 8-token window, first 15 hex chars cast via a 0x literal.
+    // Tokenization spells out Text.wsTokens' six-char whitespace class
+    // literally (RE2 \s ≠ Java \s on \x0B; Java trim strips ≤ U+0020)
+    // so both engines tokenize identically on ANY input.
     "q113_substring_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      """WITH toks AS (SELECT doc_id,
+           string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+                              '[ \t\n\x0b\f\r]+') AS tk
            FROM documents),
          idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
            FROM toks),
@@ -2420,7 +2425,9 @@ object SparkEntry {
            MAX(cnt) AS max_heat, $maskCols
          FROM p2 GROUP BY 1, 2""" },
     "q114_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+      """WITH toks AS (SELECT doc_id, source,
+           string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+                              '[ \t\n\x0b\f\r]+') AS tk
            FROM documents),
          idx AS (SELECT doc_id, source, tk, unnest(generate_series(1, len(tk) - 7)) AS i
            FROM toks),

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.img.Images.splitmix64
+import scala.collection.mutable.ArrayBuffer
 
 /**
  * Text-analysis kernels for the training-data-pipeline operators
@@ -150,7 +151,7 @@ object Text {
     * way, never a shuffle.) */
   def windowSignatures(s: String, w: Int): Array[Long] = {
     require(w > 0, s"window size must be positive: $w")
-    val toks = tokens(s)
+    val toks = wsTokens(s)
     val n = toks.length - w + 1
     if (n <= 0) return Array.empty
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -174,6 +175,28 @@ object Text {
       i += 1
     }
     out
+  }
+
+  /** Tokenizer with an EXPLICIT cross-engine whitespace contract for the
+    * signature operators: tokens are maximal runs of characters outside
+    * { \t \n \x0B \f \r ' ' } — the same six-char class the DuckDB
+    * oracles spell out literally (`[ \t\n\x0b\f\r]+` / trim char set),
+    * so Spark and the oracle tokenize identically on ANY input.
+    * (Text.tokens' Java trim/\s+ differs from DuckDB's RE2 \s on
+    * exotica like \x1F-adjacent text; the scanner closes that gap.) */
+  def wsTokens(s: String): Array[String] = {
+    @inline def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && ws(s.charAt(i))) i += 1
+      val st = i
+      while (i < n && !ws(s.charAt(i))) i += 1
+      if (i > st) out += s.substring(st, i)
+    }
+    out.toArray
   }
 
   /** Word k-gram shingle hashes (deduped). */
