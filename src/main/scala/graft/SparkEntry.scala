@@ -108,6 +108,23 @@ object SparkEntry {
   private def txSql(lon: String, z: Int): String = tileSql(s"(($lon + 180.0)/360.0)", z)
   private def tySql(lat: String, z: Int): String = tileSql(nySql(lat), z)
 
+  /** DuckDB fragment of the pinned six-char whitespace tokenization
+    * contract (mirrors Text.wsTokens — RE2 \s ≠ Java \s on \x0B, Java
+    * trim strips ≤ U+0020, so both sides spell the class out literally).
+    * Plain val, NOT an s-string: the regex backslashes must reach DuckDB. */
+  private val wsToksSql: String =
+    """string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0b\f\r]+')"""
+
+  /** Shared q113/q114 oracle prefix: tokenize → index every 8-token
+    * window → 60-bit md5-prefix signature, carrying `cols` through. */
+  private def windowSigSql(cols: String): String =
+    s"""WITH toks AS (SELECT $cols, $wsToksSql AS tk FROM documents),
+         idx AS (SELECT $cols, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+           FROM toks),
+         wins AS (SELECT $cols,
+           CAST(('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS sig
+           FROM idx)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational coverage (§2.6 #52) ----------------
     "q01_pricing_agg" -> ((s, dir) => {
@@ -842,7 +859,10 @@ object SparkEntry {
     // shuffles ((doc,n,gram) count, then per-doc fold), never all-pairs.
     "q115_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("tk", split(trim(col("text")), "\\s+"))
+        // the pinned six-char whitespace contract (= Text.wsTokens /
+        // wsToksSql): explicit class on BOTH engines, never \s
+        .withColumn("tk", split(trim(col("text"), " \t\n\u000B\f\r"),
+          "[ \\t\\n\\x0B\\f\\r]+"))
         .select(col("doc_id"), explode(array(lit(2), lit(5))).as("n"), col("tk"))
         .select(col("doc_id"), col("n"), explode(expr(
           """CASE WHEN size(tk) >= n
@@ -2382,20 +2402,10 @@ object SparkEntry {
          FROM (SELECT image_id, ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty
                FROM $IMG)""",
     // same 60-bit signature rebuilt in SQL: md5 of the single-space
-    // re-joined 8-token window, first 15 hex chars cast via a 0x literal.
-    // Tokenization spells out Text.wsTokens' six-char whitespace class
-    // literally (RE2 \s ≠ Java \s on \x0B; Java trim strips ≤ U+0020)
-    // so both engines tokenize identically on ANY input.
+    // re-joined 8-token window, first 15 hex chars cast via a 0x literal
+    // (tokenization = the shared wsToksSql contract, see windowSigSql)
     "q113_substring_dedup" ->
-      """WITH toks AS (SELECT doc_id,
-           string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-                              '[ \t\n\x0b\f\r]+') AS tk
-           FROM documents),
-         idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
-           FROM toks),
-         wins AS (SELECT doc_id,
-           CAST(('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS sig
-           FROM idx),
+      s"""${windowSigSql("doc_id")},
          multi AS (SELECT sig, COUNT(DISTINCT doc_id) AS n_docs FROM wins GROUP BY 1)
          SELECT w.doc_id, COUNT(*) AS n_win,
            CAST(SUM(CASE WHEN m.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_win
@@ -2425,15 +2435,7 @@ object SparkEntry {
            MAX(cnt) AS max_heat, $maskCols
          FROM p2 GROUP BY 1, 2""" },
     "q114_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, source,
-           string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-                              '[ \t\n\x0b\f\r]+') AS tk
-           FROM documents),
-         idx AS (SELECT doc_id, source, tk, unnest(generate_series(1, len(tk) - 7)) AS i
-           FROM toks),
-         wins AS (SELECT doc_id, source,
-           CAST(('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS sig
-           FROM idx),
+      s"""${windowSigSql("doc_id, source")},
          ev AS (SELECT DISTINCT sig FROM wins WHERE source = 'src0')
          SELECT w.doc_id, COUNT(*) AS n_win,
            CAST(SUM(CASE WHEN e.sig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
@@ -2441,7 +2443,7 @@ object SparkEntry {
          WHERE w.source <> 'src0'
          GROUP BY 1""",
     "q115_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      s"""WITH toks AS (SELECT doc_id, $wsToksSql AS tk
            FROM documents),
          grams AS (
            SELECT doc_id, 2 AS n, array_to_string(tk[i:i+1], ' ') AS g

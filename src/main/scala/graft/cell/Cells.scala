@@ -455,6 +455,10 @@ object Cells {
   /** Quadkey string of tile (tx, ty) at zoom z. */
   def quadkeyOfTile(tx: Long, ty: Long, z: Int): String = {
     require(z >= 1 && z <= MAX_LEVEL, s"quadkey zoom $z out of [1,$MAX_LEVEL]")
+    // out-of-range indices would silently alias (only the low z bits are
+    // read), breaking the documented quadkeyTile inverse — reject instead
+    require(tx >= 0 && tx < (1L << z) && ty >= 0 && ty < (1L << z),
+      s"tile ($tx,$ty) out of range for zoom $z")
     val sb = new java.lang.StringBuilder(z)
     var k = z - 1
     while (k >= 0) {

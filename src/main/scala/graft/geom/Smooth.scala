@@ -127,9 +127,26 @@ object Smooth {
     val env = g.envelope
     if (parts.isEmpty || env.isEmpty)
       return Array((env.xmin + env.xmax) / 2, (env.ymin + env.ymax) / 2, 0.0)
-    val cell = math.min(env.width, env.height)
+    val short = math.min(env.width, env.height)
     val cx0 = (env.xmin + env.xmax) / 2; val cy0 = (env.ymin + env.ymax) / 2
-    if (cell == 0) return Array(cx0, cy0, 0.0)
+    if (short == 0) return Array(cx0, cy0, 0.0)
+    // Seed with the classic min-extent grid, but bound the seed COUNT: a
+    // sliver envelope (aspect ratio ~1e9) would otherwise allocate
+    // aspect-ratio-many cells — each eagerly running signedDist — before
+    // the step budget below ever applies. A coarser uniform cover is
+    // equally valid for this branch-and-bound (max = d + h·√2 still
+    // upper-bounds every point of the cell); shapes with aspect ≤ 2¹⁶
+    // keep the exact original seeding.
+    val cell = {
+      val n0 = math.ceil(env.width / short) * math.ceil(env.height / short)
+      val maxSeeds = (1 << 16).toDouble
+      if (n0 <= maxSeeds) short
+      else {
+        var c = short * math.sqrt(n0 / maxSeeds)
+        while (math.ceil(env.width / c) * math.ceil(env.height / c) > maxSeeds) c *= 1.5
+        c
+      }
+    }
 
     final case class Cell(x: Double, y: Double, h: Double) {
       val d: Double = signedDist(parts, x, y)

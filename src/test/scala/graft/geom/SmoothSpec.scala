@@ -67,6 +67,17 @@ class SmoothSpec extends AnyFunSuite {
     assert(math.abs(cy - 1.0) < 2e-3, s"cy=$cy")
   }
 
+  test("polylabel: sliver envelope (aspect 1e9) terminates under the seed cap") {
+    // pre-cap this allocated ~1e9 eager-signedDist seed cells (OOM before
+    // the step budget); the capped coarse cover must return promptly with
+    // the radius still bounded by the short half-extent
+    val t0 = System.nanoTime()
+    val Array(_, cy, r) = Smooth.inscribedCircle(rect(0, 0, 1e6, 1e-3), 10.0)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "sliver polylabel took too long")
+    assert(r <= 5e-4 + 1e-9, s"r=$r exceeds the short half-extent")
+    assert(cy >= 0 && cy <= 1e-3, s"cy=$cy outside the sliver")
+  }
+
   test("fuzz: 300 random convex polygons — chaikin invariants + polylabel vs grid") {
     val rnd = new scala.util.Random(0x600D5EEDL)
     var done = 0
