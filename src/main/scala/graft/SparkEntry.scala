@@ -2,6 +2,7 @@ package graft
 
 import graft.data.GeoTables
 import graft.join.SpatialJoins
+import graft.tile.TileJob
 import graft.sql.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -803,6 +804,43 @@ object SparkEntry {
           sum(when(call_function("img_phash", col("bytes")) === col("phash"), 1L)
             .otherwise(0L)).as("n_phash_ok"),
           max(col("phash")).as("max_phash"))
+    }),
+    // CONTINUOUS INGEST end-to-end: Structured Streaming file source →
+    // per-micro-batch exactly-once IceLite snapshot commits (batchId-keyed
+    // idempotent appends) → compaction merging the per-batch bucket
+    // entries → manifest-driven read-back, aggregated per tile. The full
+    // standing-pipeline story (ingest → commit → compact → read) behind
+    // one exact oracle: the tile counts must equal a direct batch
+    // computation over the same images.
+    "q118_stream_ingest" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensure(s, dir)
+      import org.apache.spark.sql.streaming.Trigger
+      val base = GeoTables.baseDir(dir)
+      val outRoot = s"$base/stream_ingest_tbl"
+      val ckDir = s"$base/stream_ingest_ck"
+      def rm(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          val st = java.nio.file.Files.walk(f.toPath)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.delete(q))
+          finally st.close()
+        }
+      }
+      rm(outRoot); rm(ckDir)
+      val imgPath = GeoTables.imagesPath(dir)
+      val schema = s.read.parquet(imgPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4") // several micro-batches, not one
+        .parquet(imgPath)
+      graft.streaming.Streams.tileIngest(stream, outRoot, ckDir, zoom = 8)
+        .awaitTermination()
+      TileJob.compact(s, outRoot) // merge the per-batch bucket entries
+      TileJob.readCurrent(s, outRoot)
+        .groupBy("tx", "ty")
+        .agg(count(lit(1)).as("n_img"),
+          sum(when(col("phash_ok"), 1L).otherwise(0L)).as("n_ok"))
     }),
     // Raptor-style HEAT RASTER: vector→raster pixel binning (global pixel
     // grid at z+4 = per-tile 16×16), threshold algebra (hot = count ≥ 3),
@@ -2411,6 +2449,12 @@ object SparkEntry {
            CAST(SUM(CASE WHEN m.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_win
          FROM wins w JOIN multi m ON w.sig = m.sig
          GROUP BY 1""",
+    // stream-ingested tile table must equal the direct batch tile counts
+    // (phash revalidation passes by construction of the synthesized table)
+    "q118_stream_ingest" ->
+      s"""SELECT ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty,
+         COUNT(*) AS n_img, COUNT(*) AS n_ok
+         FROM $IMG GROUP BY 1, 2""",
     "q117_zonal_imgstats" ->
       s"""SELECT z.zone_id, COUNT(*) AS n_img,
          CAST(SUM(CAST(i.w AS BIGINT) * i.h) AS BIGINT) AS sum_px,

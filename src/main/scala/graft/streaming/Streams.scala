@@ -3,7 +3,7 @@ package graft.streaming
 import graft.sql.GraftFunctions
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -40,6 +40,33 @@ object Streams {
   /** File-source stream over a parquet dir with explicit schema. */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /**
+   * CONTINUOUS tile ingestion into an IceLite table — the streaming
+   * flavor of [[graft.tile.TileJob.run]] (north_rule: resumable ingest
+   * with per-partition lineage). Each micro-batch lands as one immutable
+   * per-batch data dir plus one snapshot commit, exactly-once via the
+   * batchId-keyed idempotent commit in [[graft.tile.TileJob.ingestBatch]]:
+   * a replayed batch (kill between the snapshot commit and the streaming
+   * checkpoint advancing) is detected on the snapshot chain and skipped.
+   * At 10^12 rows this is the standing ingest: per-batch dirs stay
+   * read-optimal via [[graft.tile.TileJob.compact]] (merges same-bucket
+   * entries) and [[graft.tile.IceLite.expireSnapshots]] (reclaims
+   * superseded per-batch dirs).
+   */
+  def tileIngest(images: DataFrame, outRoot: String, checkpoint: String,
+                 zoom: Int = 8, bucketLevel: Int = 2,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    images.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.tile.TileJob.ingestBatch(batch.sparkSession, batch, outRoot, id,
+          zoom, bucketLevel)
+        ()
+      }
+      .start()
 
   /**
    * Stream-static spatial enrichment: the flagship broadcast cell-cover

@@ -29,6 +29,104 @@ object TileJob {
     * (no overflow under ANSI mode, which Spark 4 enables by default). */
   private def checksumCol = xxhash64(col("image_id"), col("tx"), col("ty"), col("phash"))
 
+  /** Per-bucket (rows, cellMin, cellMax, checksum, lineage) from ONE
+    * read-back of the committed files under `basePath` (what readers
+    * will see), keyed by bucket id. */
+  private def bucketStats(spark: SparkSession, basePath: String, dirs: Seq[String],
+      jobId: String): Map[Long, (Long, Long, Long, Long, Seq[IceLite.LineageRow])] = {
+    if (dirs.isEmpty) return Map.empty
+    val back = spark.read
+      .option("basePath", basePath)
+      .parquet(dirs: _*)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cs", checksumCol)
+    val lin = back.groupBy("bucket", "pid")
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (b, rows) =>
+        b -> rows.sortBy(_.getInt(1)).map(r => IceLite.LineageRow(
+          jobId, r.getInt(1), r.getLong(2), r.getLong(2),
+          IceLite.mask53(r.getLong(3)))).toSeq
+      }
+    back.groupBy("bucket").agg(count(lit(1)).as("rows"),
+      min("cell").as("cmin"), max("cell").as("cmax"),
+      expr("bit_xor(cs)").as("cs")).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        IceLite.mask53(r.getLong(4)), lin.getOrElse(r.getLong(0), Seq.empty)))
+    }.toMap
+  }
+
+  /** The tile-assignment projection shared by the batch job and the
+    * streaming ingest: bucket (coarse Morton cell), tile x/y, fine cell,
+    * and the per-row pHash revalidation. */
+  private def tileProjection(df: DataFrame, zoom: Int, bucketLevel: Int): DataFrame =
+    df.withColumn("bucket",
+        call_function("st_cellid", col("lon"), col("lat"), lit(bucketLevel)))
+      .withColumn("tx", call_function("st_tile_x", col("lon"), lit(zoom)))
+      .withColumn("ty", call_function("st_tile_y", col("lat"), lit(zoom)))
+      .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(zoom)))
+      .withColumn("phash_ok", call_function("img_phash", col("bytes")) === col("phash"))
+      .select(col("bucket"), col("image_id"), col("caption"), col("w"), col("h"),
+        col("fmt"), col("lon"), col("lat"), col("cell"), col("tx"), col("ty"),
+        col("phash"), col("phash_ok"))
+
+  /**
+   * EXACTLY-ONCE streaming micro-batch append (the `foreachBatch` +
+   * idempotent-sink pattern; driven by [[graft.streaming.Streams.tileIngest]]):
+   * batch rows → tile assignment → one immutable per-batch dir
+   * (`data-s<batchId>/bucket=<b>`) → ONE snapshot commit whose jobId
+   * records the batchId. A replayed batch (crash after the commit but
+   * before the streaming checkpoint advanced) finds its jobId already on
+   * the snapshot chain and returns without writing, so rows are never
+   * duplicated; a crash BEFORE the commit leaves an orphan dir no
+   * manifest references, which the retry's mode("overwrite") reclaims.
+   * Buckets therefore repeat across snapshots (one entry per batch per
+   * bucket) — readers union entry dirs, [[compact]] merges same-bucket
+   * entries, [[IceLite.expireSnapshots]] reclaims per-batch dirs.
+   */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, outRoot: String,
+                  batchId: Long, zoom: Int = 8, bucketLevel: Int = 2): IceLite.Snapshot = {
+    GraftFunctions.install(spark)
+    val jobId = s"stream-$batchId"
+    val prev = IceLite.currentSnapshot(outRoot)
+    // idempotence scan: walk the retained chain (driver-side, bounded by
+    // retention). Spark only ever replays the LAST batch, but checking
+    // the whole chain keeps the contract independent of that detail.
+    var cur = prev
+    while (cur.isDefined) {
+      if (cur.get.jobId == jobId) return prev.get
+      cur = if (cur.get.parentId < 0) None
+            else IceLite.snapshotById(outRoot, cur.get.parentId)
+    }
+
+    val base = s"$outRoot/data-s$batchId"
+    tileProjection(batch, zoom, bucketLevel)
+      .sortWithinPartitions("bucket", "cell", "image_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(base)
+
+    val dirs = {
+      val p = Paths.get(base)
+      if (!Files.exists(p)) Seq.empty[String]
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.map(_.toString)
+          .filter(_.contains("bucket=")).toSeq.sorted
+        finally s.close()
+      }
+    }
+    val stats = bucketStats(spark, base, dirs, jobId)
+    val entries = prev.map(_.buckets.toVector).getOrElse(Vector.empty) ++
+      stats.toSeq.sortBy(_._1).map { case (b, (rows, cmin, cmax, cs, lineage)) =>
+        IceLite.BucketEntry(b.toInt, rows, cs, cmin, cmax, s"$base/bucket=$b", lineage)
+      }
+    val snap = IceLite.Snapshot(prev.map(_.snapshotId).getOrElse(0L) + 1,
+      prev.map(_.snapshotId).getOrElse(-1L), jobId, entries)
+    IceLite.commit(outRoot, snap)
+    snap
+  }
+
   final case class Failpoint(afterBuckets: Int) extends RuntimeException(
     s"injected failure after $afterBuckets buckets (test hook)")
 
@@ -51,17 +149,10 @@ object TileJob {
     // committed buckets from a previous run are never touched.
     if (pending.nonEmpty) {
       val nParts = math.max(spark.sparkContext.defaultParallelism, pending.size)
-      spark.read.parquet(imagesPath)
-        .withColumn("bucket",
-          call_function("st_cellid", col("lon"), col("lat"), lit(bucketLevel)))
+      // the bucket filter is pushed below the projection by Catalyst
+      // (alias substitution), so img_phash never runs on skipped buckets
+      tileProjection(spark.read.parquet(imagesPath), zoom, bucketLevel)
         .where(col("bucket").isInCollection(pending.map(_.toLong)))
-        .withColumn("tx", call_function("st_tile_x", col("lon"), lit(zoom)))
-        .withColumn("ty", call_function("st_tile_y", col("lat"), lit(zoom)))
-        .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(zoom)))
-        .withColumn("phash_ok", call_function("img_phash", col("bytes")) === col("phash"))
-        .select(col("bucket"), col("image_id"), col("caption"), col("w"), col("h"),
-          col("fmt"), col("lon"), col("lat"), col("cell"), col("tx"), col("ty"),
-          col("phash"), col("phash_ok"))
         .repartitionByRange(nParts, col("bucket"), col("cell"), col("image_id"))
         .sortWithinPartitions("bucket", "cell", "image_id")
         .write.mode("overwrite")
@@ -74,34 +165,9 @@ object TileJob {
     // committed files (what readers will see), keyed by bucket
     val statRows: Map[Long, (Long, Long, Long, Long, Seq[IceLite.LineageRow])] =
       if (pending.isEmpty) Map.empty
-      else {
-        val dirs = pending.map(b => s"$outRoot/data/bucket=$b")
-          .filter(d => Files.exists(Paths.get(d)))
-        if (dirs.isEmpty) Map.empty
-        else {
-          val back = spark.read
-            .option("basePath", s"$outRoot/data")
-            .parquet(dirs: _*)
-            .withColumn("bucket", col("bucket").cast("long"))
-            .withColumn("pid", spark_partition_id())
-            .withColumn("cs", checksumCol)
-          val lin = back.groupBy("bucket", "pid")
-            .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
-            .collect()
-            .groupBy(_.getLong(0))
-            .map { case (b, rows) =>
-              b -> rows.sortBy(_.getInt(1)).map(r => IceLite.LineageRow(
-                jobId, r.getInt(1), r.getLong(2), r.getLong(2),
-                IceLite.mask53(r.getLong(3)))).toSeq
-            }
-          back.groupBy("bucket").agg(count(lit(1)).as("rows"),
-            min("cell").as("cmin"), max("cell").as("cmax"),
-            expr("bit_xor(cs)").as("cs")).collect().map { r =>
-            r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-              IceLite.mask53(r.getLong(4)), lin.getOrElse(r.getLong(0), Seq.empty)))
-          }.toMap
-        }
-      }
+      else bucketStats(spark, s"$outRoot/data",
+        pending.map(b => s"$outRoot/data/bucket=$b")
+          .filter(d => Files.exists(Paths.get(d))), jobId)
 
     // per-bucket snapshot commits (driver-only) keep the resume granularity:
     // a crash between commits loses at most one bucket's bookkeeping
@@ -156,8 +222,14 @@ object TileJob {
         } finally s.close()
       }
     }
-    val selected = snap.buckets
-      .filter(b => b.rows > 0 && partFiles(b.dataDir) > maxFilesPerBucket)
+    // entries grouped by bucket id: a streamed table (ingestBatch) holds
+    // one entry per micro-batch per bucket — compaction merges them into
+    // one entry with one file. Expected merged checksum = XOR of entry
+    // checksums (disjoint row sets; XOR commutes with the 53-bit mask).
+    val grouped = snap.buckets.filter(_.rows > 0).groupBy(_.bucket)
+    val selected = grouped.filter { case (_, es) =>
+      es.size > 1 || es.iterator.map(e => partFiles(e.dataDir)).sum > maxFilesPerBucket
+    }.toSeq.sortBy(_._1)
     if (selected.isEmpty) return snap
 
     val newId = snap.snapshotId + 1
@@ -166,8 +238,8 @@ object TileJob {
     // bucket rides as a literal per source (the dir-name partition column
     // is not stored in the files), so one union plan rewrites every
     // selected bucket in a single job
-    selected.map(b => spark.read.parquet(b.dataDir)
-        .withColumn("bucket", lit(b.bucket.toLong)))
+    selected.flatMap { case (b, es) => es.map(e =>
+        spark.read.parquet(e.dataDir).withColumn("bucket", lit(b.toLong))) }
       .reduce(_ unionByName _)
       .repartition(selected.size, col("bucket"))
       .sortWithinPartitions("bucket", "cell", "image_id")
@@ -177,8 +249,8 @@ object TileJob {
       .write.mode("overwrite").partitionBy("bucket").parquet(newRoot)
 
     // verify the rewrite against the committed manifest BEFORE publishing
-    val back = selected.map(b => spark.read.parquet(newDir(b.bucket))
-        .withColumn("bucket", lit(b.bucket.toLong)))
+    val back = selected.map { case (b, _) => spark.read.parquet(newDir(b))
+        .withColumn("bucket", lit(b.toLong)) }
       .reduce(_ unionByName _)
       .withColumn("cs", checksumCol)
       .groupBy("bucket")
@@ -186,20 +258,29 @@ object TileJob {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), IceLite.mask53(r.getLong(2)))))
       .toMap
-    selected.foreach { b =>
-      val (rows, cs) = back.getOrElse(b.bucket.toLong, (-1L, -1L))
-      if (rows != b.rows || cs != b.checksum)
+    selected.foreach { case (b, es) =>
+      val expRows = es.map(_.rows).sum
+      val expCs = es.map(_.checksum).reduce(_ ^ _)
+      val (rows, cs) = back.getOrElse(b.toLong, (-1L, -1L))
+      if (rows != expRows || cs != expCs)
         throw new IllegalStateException(
-          s"compaction verify failed for bucket ${b.bucket}: " +
-            s"rows $rows vs ${b.rows}, checksum $cs vs ${b.checksum} — not committed")
+          s"compaction verify failed for bucket $b: " +
+            s"rows $rows vs $expRows, checksum $cs vs $expCs — not committed")
     }
 
-    val selectedIds = selected.map(_.bucket).toSet
-    val entries = snap.buckets.map { b =>
-      if (!selectedIds.contains(b.bucket)) b
-      else b.copy(dataDir = newDir(b.bucket),
-        lineage = b.lineage :+ IceLite.LineageRow(
-          "compact", b.bucket, b.rows, b.rows, b.checksum))
+    val merged = selected.map { case (b, es) =>
+      val rows = es.map(_.rows).sum; val cs = es.map(_.checksum).reduce(_ ^ _)
+      b -> IceLite.BucketEntry(b, rows, cs,
+        es.map(_.cellMin).min, es.map(_.cellMax).max, newDir(b),
+        es.flatMap(_.lineage) :+ IceLite.LineageRow("compact", b, rows, rows, cs))
+    }.toMap
+    // in-place: the merged entry takes the FIRST slot of its bucket;
+    // later same-bucket entries drop — manifest order is preserved
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val entries = snap.buckets.flatMap { b =>
+      if (b.rows == 0 || !merged.contains(b.bucket)) Some(b)
+      else if (seen.add(b.bucket)) Some(merged(b.bucket))
+      else None
     }
     val out = IceLite.Snapshot(newId, snap.snapshotId, s"compact-${snap.jobId}", entries)
     IceLite.commit(outRoot, out)
