@@ -842,6 +842,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_img"),
           sum(when(col("phash_ok"), 1L).otherwise(0L)).as("n_ok"))
     }),
+    // ASPECT-RATIO BUCKETED BATCHING (NaViT/SDXL-style multimodal batch
+    // prep): images binned by integer aspect ratio, then packed into
+    // fixed-size training batches by a deterministic in-bucket order.
+    // Pure integer arithmetic + one window per bucket — row-parallel,
+    // shuffles only on the bucket key.
+    "q119_ar_buckets" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id"), col("w"), col("h"))
+        .withColumn("ar_bucket",
+          least(greatest(expr("CAST((w * 4) div h AS BIGINT)"), lit(2L)), lit(8L)))
+      val win = Window.partitionBy("ar_bucket").orderBy("image_id")
+      img.withColumn("batch_id",
+          expr("CAST((row_number() OVER (PARTITION BY ar_bucket ORDER BY image_id) - 1) div 32 AS BIGINT)"))
+        .groupBy("ar_bucket", "batch_id")
+        .agg(count(lit(1)).as("n"),
+          min(expr("CAST((w * 1000) div h AS BIGINT)")).as("min_ar_k"),
+          max(expr("CAST((w * 1000) div h AS BIGINT)")).as("max_ar_k"))
+    }),
+    // SEQUENCE PACKING (GPT-style concat-and-chunk pretraining prep):
+    // docs concatenated in doc_id order, split into 2048-token training
+    // sequences; per sequence = docs starting in it, token mass, and the
+    // boundary-straddle count (the fragmentation signal packing tries to
+    // minimize). The global running sum is a DISTRIBUTED two-phase prefix
+    // sum: ≤1024 per-range partials collected (bounded at ANY table size
+    // by deriving the range width from max(doc_id)), broadcast offsets,
+    // then a within-range window — never a single-partition global window.
+    "q120_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val cap = 2048L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text"), " \t\n\u000B\f\r"), "[ \\t\\n\\x0B\\f\\r]+"))
+            .cast("bigint").as("n_tok"))
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val width = math.max(1L, (maxId + 1024L) / 1024L)
+      val grouped = docs.withColumn("grp", expr(s"doc_id div $width"))
+      val partials = grouped.groupBy("grp").agg(sum("n_tok").as("g_sum"))
+        .orderBy("grp").collect()
+      var acc = 0L
+      val offs = partials.map { r =>
+        val o = (r.getLong(0), acc); acc += r.getLong(1); o
+      }.toSeq.toDF("grp", "g_off")
+      val win = Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grouped.join(broadcast(offs), "grp")
+        .withColumn("before", col("g_off") + coalesce(sum("n_tok").over(win), lit(0L)))
+        .withColumn("seq_id", expr(s"CAST(before div $cap AS BIGINT)"))
+        .withColumn("straddle",
+          when(expr(s"(before + n_tok - 1) div $cap") =!= col("seq_id"), 1L).otherwise(0L))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+          sum("straddle").as("n_straddle"))
+    }),
     // Raptor-style HEAT RASTER: vector→raster pixel binning (global pixel
     // grid at z+4 = per-tile 16×16), threshold algebra (hot = count ≥ 3),
     // and per-tile bitmask assembly — the rasterize-by-aggregation shape
@@ -2455,6 +2509,31 @@ object SparkEntry {
       s"""SELECT ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty,
          COUNT(*) AS n_img, COUNT(*) AS n_ok
          FROM $IMG GROUP BY 1, 2""",
+    "q119_ar_buckets" ->
+      s"""WITH a AS (SELECT image_id, w, h,
+           LEAST(GREATEST(CAST((w * 4) // h AS BIGINT), 2), 8) AS ar_bucket
+           FROM $IMG),
+         b AS (SELECT *, CAST((ROW_NUMBER() OVER
+             (PARTITION BY ar_bucket ORDER BY image_id) - 1) // 32 AS BIGINT) AS batch_id
+           FROM a)
+         SELECT ar_bucket, batch_id, COUNT(*) AS n,
+           MIN(CAST((w * 1000) // h AS BIGINT)) AS min_ar_k,
+           MAX(CAST((w * 1000) // h AS BIGINT)) AS max_ar_k
+         FROM b GROUP BY 1, 2""",
+    // plain window cumsum mirrors the engine's two-phase distributed
+    // prefix sum exactly (same doc_id order, same integer arithmetic)
+    "q120_seq_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($wsToksSql) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, n_tok,
+           COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM d)
+         SELECT CAST(before // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(SUM(CASE WHEN (before + n_tok - 1) // 2048 <> before // 2048
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+         FROM c GROUP BY 1""",
     "q117_zonal_imgstats" ->
       s"""SELECT z.zone_id, COUNT(*) AS n_img,
          CAST(SUM(CAST(i.w AS BIGINT) * i.h) AS BIGINT) AS sum_px,
