@@ -1908,6 +1908,21 @@ object SparkEntry {
         .select(col("zone_id"), col("image_id"))
     }),
 
+    // MAP-MATCHING: snap each image point to the nearest zone boundary
+    // within 0.05° — cover-candidates → exact boundary distance → per-
+    // point (dist, zone_id) argmin → snapped boundary point. The oracle
+    // rebuilds rect-boundary distance and the snap closed-form in SQL.
+    "q121_snap_join" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      SpatialJoins.nearestSnapJoin(
+        s.read.parquet(GeoTables.imagesPath(dir)), GeoTables.zones(s, dir),
+        d = 0.05, level = 8)
+        .select(col("image_id"), col("zone_id"),
+          expr("CAST(FLOOR(dist * 1e6 + 0.5) AS BIGINT)").as("dist_u"),
+          expr("CAST(FLOOR(st_x(snap) * 1e6 + 0.5) AS BIGINT)").as("snap_x_u"),
+          expr("CAST(FLOOR(st_y(snap) * 1e6 + 0.5) AS BIGINT)").as("snap_y_u"))
+    }),
+
     // ---------------- noding (r4 cont.) ----------------
     // Boundary edges + crossing midlines per zone: ST_Node must produce
     // exactly 12 segments (each boundary edge split at its midline touch,
@@ -2784,6 +2799,39 @@ object SparkEntry {
            ON GREATEST(z.xmin - i.lon, i.lon - z.xmax, 0) * GREATEST(z.xmin - i.lon, i.lon - z.xmax, 0)
             + GREATEST(z.ymin - i.lat, i.lat - z.ymax, 0) * GREATEST(z.ymin - i.lat, i.lat - z.ymax, 0)
            <= 0.05 * 0.05""",
+    // rect-boundary distance closed form: outside = hypot of the axis
+    // overhangs, inside = nearest side; snap = clamp (outside) / nearest
+    // side projection (inside, same <= priority as the engine argmin)
+    "q121_snap_join" ->
+      s"""WITH cand AS (
+           SELECT i.image_id, z.zone_id, i.lon, i.lat,
+             z.xmin, z.ymin, z.xmax, z.ymax,
+             GREATEST(z.xmin - i.lon, i.lon - z.xmax, 0) AS dxo,
+             GREATEST(z.ymin - i.lat, i.lat - z.ymax, 0) AS dyo
+           FROM $IMG i JOIN $ZON z
+             ON i.lon BETWEEN z.xmin - 0.05 AND z.xmax + 0.05
+            AND i.lat BETWEEN z.ymin - 0.05 AND z.ymax + 0.05),
+         d AS (SELECT *,
+             CASE WHEN dxo > 0 OR dyo > 0 THEN SQRT(dxo*dxo + dyo*dyo)
+                  ELSE LEAST(lon - xmin, xmax - lon, lat - ymin, ymax - lat) END AS dist
+           FROM cand),
+         r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY dist, zone_id) AS rn
+           FROM d WHERE dist <= 0.05)
+         SELECT image_id, zone_id,
+           CAST(FLOOR(dist * 1e6 + 0.5) AS BIGINT) AS dist_u,
+           CAST(FLOOR((CASE
+             WHEN dxo > 0 OR dyo > 0 THEN LEAST(GREATEST(lon, xmin), xmax)
+             WHEN lon - xmin <= LEAST(xmax - lon, lat - ymin, ymax - lat) THEN xmin
+             WHEN xmax - lon <= LEAST(lat - ymin, ymax - lat) THEN xmax
+             ELSE lon END) * 1e6 + 0.5) AS BIGINT) AS snap_x_u,
+           CAST(FLOOR((CASE
+             WHEN dxo > 0 OR dyo > 0 THEN LEAST(GREATEST(lat, ymin), ymax)
+             WHEN lon - xmin <= LEAST(xmax - lon, lat - ymin, ymax - lat) THEN lat
+             WHEN xmax - lon <= LEAST(lat - ymin, ymax - lat) THEN lat
+             WHEN lat - ymin <= ymax - lat THEN ymin
+             ELSE ymax END) * 1e6 + 0.5) AS BIGINT) AS snap_y_u
+         FROM r WHERE rn = 1""",
     "q81_node" ->
       s"""SELECT zone_id, CAST(12 AS BIGINT) AS n_segs,
          CAST(FLOOR((3 * ((xmax - xmin) + (ymax - ymin))) * 1e4 + 0.5) AS BIGINT) AS len_c,

@@ -129,6 +129,45 @@ object SpatialJoins {
   }
 
   /**
+   * MAP-MATCHING join: snap each point to the NEAREST zone boundary
+   * within `d` (planar) — the "match GPS fix to road/parcel edge" shape.
+   * Candidates come from the same expanded cell cover as [[dwithinJoin]]
+   * (a point meets a zone at most once: one cell per point at a fixed
+   * level, disjoint cover cells), refined by exact boundary distance,
+   * then reduced per point by a deterministic (dist, zone_id) argmin
+   * window. The window partitions on image_id over cover-bounded
+   * candidate rows (a few zones per point), never over all zones, so the
+   * reduction shuffles O(candidates) and scales like the radius join.
+   * Output adds the snapped boundary point (st_closest_point).
+   */
+  def nearestSnapJoin(points: DataFrame, zones: DataFrame, d: Double, level: Int = 8,
+                      broadcastMaxZones: Long = 100000): DataFrame = {
+    require(d >= 0, s"negative radius $d")
+    val spark = points.sparkSession
+    GraftFunctions.install(spark)
+    val pts = points.withColumn("cell",
+      call_function("st_cellid", col("lon"), col("lat"), lit(level)))
+    val coverRaw = zones
+      .withColumn("zone_geom", call_function("st_geomfromwkt", col("wkt")))
+      .withColumn("boundary", call_function("st_boundary", col("zone_geom")))
+      .withColumn("cell", explode(call_function("st_cover",
+        call_function("st_expand", col("zone_geom"), lit(d)), lit(level))))
+      .select(col("zone_id"), col("boundary"), col("cell"))
+    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
+      .count() <= broadcastMaxZones
+    val cover = if (few) broadcast(coverRaw) else coverRaw
+    val cand = pts.join(cover, "cell")
+      .withColumn("dist", call_function("st_distance", col("boundary"),
+        call_function("st_point", col("lon"), col("lat"))))
+      .where(col("dist") <= d)
+    val win = Window.partitionBy("image_id").orderBy(col("dist"), col("zone_id"))
+    cand.withColumn("rn", row_number().over(win)).where(col("rn") === 1)
+      .withColumn("snap", call_function("st_closest_point", col("boundary"),
+        col("lon"), col("lat")))
+      .drop("rn", "cell", "boundary")
+  }
+
+  /**
    * GEODESIC fixed-radius join: all images within `meters` great-circle
    * meters of each site point — "everything within 50 km of X", the
    * production geo-radius ask. Shape: each site covers a conservative

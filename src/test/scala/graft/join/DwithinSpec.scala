@@ -97,6 +97,55 @@ class DwithinSpec extends AnyFunSuite {
     assert(gotN == brute)
   }
 
+  test("nearestSnapJoin ≡ brute rect-boundary argmin; inside points snap to the nearest side") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    GeoTables.ensure(spark, sfDir)
+    val images = GeoTables.images(spark, sfDir)
+    val zones = GeoTables.zones(spark, sfDir)
+    val d = 0.07
+
+    val got = SpatialJoins.nearestSnapJoin(images, zones, d)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"snap join must ride the cell equi-join:\n$plan")
+    val gotMap = got.select("image_id", "zone_id", "dist").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+
+    // brute force: closed-form distance to the rect BOUNDARY, argmin per
+    // point with the same (dist, zone_id) order
+    val dxo = greatest(col("xmin") - col("lon"), col("lon") - col("xmax"), lit(0.0))
+    val dyo = greatest(col("ymin") - col("lat"), col("lat") - col("ymax"), lit(0.0))
+    val bDist = when(dxo > 0 || dyo > 0, sqrt(dxo * dxo + dyo * dyo))
+      .otherwise(least(col("lon") - col("xmin"), col("xmax") - col("lon"),
+        col("lat") - col("ymin"), col("ymax") - col("lat")))
+    val brute = images.crossJoin(zones)
+      .withColumn("bd", bDist).where(col("bd") <= d)
+      .select("image_id", "zone_id", "bd").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (img, rows) =>
+        val best = rows.minBy(r => (r._3, r._2)); img -> ((best._2, best._3)) }
+    assert(gotMap.keySet == brute.keySet,
+      s"got=${gotMap.size} brute=${brute.size}")
+    gotMap.foreach { case (img, (z, dist)) =>
+      val (bz, bd) = brute(img)
+      assert(z == bz && math.abs(dist - bd) < 1e-12, s"$img: got ($z,$dist) want ($bz,$bd)")
+    }
+
+    // handmade inside point: nearest side is the west edge → snap (xmin, lat)
+    import spark.implicits._
+    val pt = Seq(("p0", 0.2, 3.0)).toDF("image_id", "lon", "lat")
+    val zn = Seq(("z0", 0.0, 0.0, 10.0, 10.0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+      .toDF("zone_id", "xmin", "ymin", "xmax", "ymax", "wkt")
+    val row = SpatialJoins.nearestSnapJoin(pt, zn, d = 1.0)
+      .select(col("dist"), call_function("st_x", col("snap")),
+        call_function("st_y", col("snap"))).head
+    assert(math.abs(row.getDouble(0) - 0.2) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 0.0) < 1e-12 && math.abs(row.getDouble(2) - 3.0) < 1e-12)
+  }
+
   test("geoRadiusJoin ≡ brute haversine, incl. antimeridian and high-latitude sites") {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.install(spark)
