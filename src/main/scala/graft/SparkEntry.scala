@@ -896,6 +896,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
           sum("straddle").as("n_straddle"))
     }),
+    // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
+    // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
+    // image pixel-count field from points in the 3×3 neighbor cells — a
+    // bounded equi-join (explode 9 neighbor keys on the SMALL distinct-
+    // node side), never a radius cross join. Weights are integer-
+    // quantized (FLOOR(1e6/(1+1e4·d²)), pure ±*/ arithmetic on both
+    // engines) so the aggregation is exact BIGINT math — no float-sum
+    // ordering hazard between Spark and the oracle.
+    "q122_idw" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val pts = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("lon"), col("lat"),
+          (col("w").cast("bigint") * col("h")).as("v"),
+          expr("CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT)").as("pgx"),
+          expr("CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT)").as("pgy"))
+      val nodes = pts.select("pgx", "pgy").distinct()
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("pgx").as("gx"), col("pgy").as("gy"),
+          (col("pgx") + col("dx")).as("ngx"), (col("pgy") + col("dy")).as("ngy"))
+      nodes.join(pts, col("ngx") === col("pgx") && col("ngy") === col("pgy"))
+        // 0.5D/360.0D: bare 0.5 parses as DECIMAL in Spark SQL and the
+        // whole node-center expression would round at decimal scale —
+        // the oracle computes in doubles, so force doubles here
+        .withColumn("cx", expr("(CAST(gx AS DOUBLE) + 0.5D) * 360.0D / 1024.0D - 180.0D"))
+        .withColumn("cy", expr("(CAST(gy AS DOUBLE) + 0.5D) * 180.0D / 512.0D - 90.0D"))
+        .withColumn("wt", expr(
+          "CAST(FLOOR(1e6 / (1.0 + 1e4 * ((lon - cx)*(lon - cx) + (lat - cy)*(lat - cy)))) AS BIGINT)"))
+        .groupBy("gx", "gy")
+        .agg(count(lit(1)).as("n_pts"), sum("wt").as("wsum"),
+          sum(expr("wt * v")).as("vsum"))
+        .withColumn("idw_q", expr("CAST(vsum div GREATEST(wsum, 1) AS BIGINT)"))
+    }),
     // Raptor-style HEAT RASTER: vector→raster pixel binning (global pixel
     // grid at z+4 = per-tile 16×16), threshold algebra (hot = count ≥ 3),
     // and per-tile bitmask assembly — the rasterize-by-aggregation shape
@@ -2524,6 +2557,29 @@ object SparkEntry {
       s"""SELECT ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty,
          COUNT(*) AS n_img, COUNT(*) AS n_ok
          FROM $IMG GROUP BY 1, 2""",
+    "q122_idw" ->
+      s"""WITH pts AS (SELECT lon, lat, CAST(w AS BIGINT) * h AS v,
+           CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
+           CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT) AS pgy
+           FROM $IMG),
+         pix AS (SELECT DISTINCT pgx, pgy FROM pts),
+         nb AS (SELECT p.pgx AS gx, p.pgy AS gy,
+             p.pgx + dx.x AS ngx, p.pgy + dy.y AS ngy
+           FROM pix p,
+             (SELECT unnest(generate_series(-1, 1)) AS x) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS y) dy),
+         j AS (SELECT nb.gx, nb.gy, t.lon, t.lat, t.v,
+             (nb.gx + 0.5) * 360.0 / 1024 - 180.0 AS cx,
+             (nb.gy + 0.5) * 180.0 / 512 - 90.0 AS cy
+           FROM nb JOIN pts t ON t.pgx = nb.ngx AND t.pgy = nb.ngy),
+         w AS (SELECT gx, gy, v,
+             CAST(FLOOR(1e6 / (1.0 + 1e4 *
+               ((lon - cx)*(lon - cx) + (lat - cy)*(lat - cy)))) AS BIGINT) AS wt
+           FROM j)
+         SELECT gx, gy, COUNT(*) AS n_pts, CAST(SUM(wt) AS BIGINT) AS wsum,
+           CAST(SUM(wt * v) AS BIGINT) AS vsum,
+           CAST(SUM(wt * v) // GREATEST(SUM(wt), 1) AS BIGINT) AS idw_q
+         FROM w GROUP BY 1, 2""",
     "q119_ar_buckets" ->
       s"""WITH a AS (SELECT image_id, w, h,
            LEAST(GREATEST(CAST((w * 4) // h AS BIGINT), 2), 8) AS ar_bucket
