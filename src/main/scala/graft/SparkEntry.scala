@@ -896,6 +896,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
           sum("straddle").as("n_straddle"))
     }),
+    // TEMPERATURE-WEIGHTED DATA MIXING (GPT-3/PaLM-style source
+    // reweighting, α = 0.5): per-source sample targets ∝ n_s^α, realized
+    // by a deterministic md5-threshold Bernoulli over doc_id. Everything
+    // after one correctly-rounded SQRT is ppm-quantized INTEGER math
+    // (targets, thresholds, the 52-bit hash compare), so both engines
+    // agree exactly; the source stats ride a broadcast single-row total,
+    // never a driver scalar.
+    "q123_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_int",
+          expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)"))
+      val tot = per.agg(sum("w_int").as("w_tot"))
+      val tgt = per.crossJoin(broadcast(tot))
+        .withColumn("m_target", expr("(w_int * 200) div w_tot"))
+        .withColumn("thr", expr("(m_target * 4503599627370496) div n_docs"))
+      docs.join(broadcast(tgt), "source")
+        .withColumn("u", expr(
+          "CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"))
+        .withColumn("sampled", when(col("u") < col("thr"), 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"), max("m_target").as("m_target"),
+          sum("sampled").as("n_sampled"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -2557,6 +2581,22 @@ object SparkEntry {
       s"""SELECT ${txSql("lon", 8)} AS tx, ${tySql("lat", 8)} AS ty,
          COUNT(*) AS n_img, COUNT(*) AS n_ok
          FROM $IMG GROUP BY 1, 2""",
+    "q123_temperature_mix" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+           CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w_int
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS w_tot FROM per),
+         tgt AS (SELECT source, n_docs, (w_int * 200) // w_tot AS m_target,
+             ((w_int * 200) // w_tot * 4503599627370496) // n_docs AS thr
+           FROM per, tot),
+         s AS (SELECT d.source, t.n_docs, t.m_target,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                  < t.thr THEN 1 ELSE 0 END AS sampled
+           FROM documents d JOIN tgt t USING (source))
+         SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(MAX(m_target) AS BIGINT) AS m_target,
+           CAST(SUM(sampled) AS BIGINT) AS n_sampled
+         FROM s GROUP BY 1""",
     "q122_idw" ->
       s"""WITH pts AS (SELECT lon, lat, CAST(w AS BIGINT) * h AS v,
            CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
