@@ -109,6 +109,18 @@ object SparkEntry {
   private def txSql(lon: String, z: Int): String = tileSql(s"(($lon + 180.0)/360.0)", z)
   private def tySql(lat: String, z: Int): String = tileSql(nySql(lat), z)
 
+  /** Recursive delete for the streaming queries' scratch out/checkpoint
+    * dirs (Files.walk holds a directory fd until closed). */
+  private def rmTree(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.exists()) {
+      val st = java.nio.file.Files.walk(f.toPath)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.delete(q))
+      finally st.close()
+    }
+  }
+
   /** DuckDB fragment of the pinned six-char whitespace tokenization
     * contract (mirrors Text.wsTokens — RE2 \s ≠ Java \s on \x0B, Java
     * trim strips ≤ U+0020, so both sides spell the class out literally).
@@ -325,16 +337,7 @@ object SparkEntry {
       val base = GeoTables.baseDir(dir)
       val outDir = s"$base/stream_enrich_out"
       val ckDir = s"$base/stream_enrich_ck"
-      def rm(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          val st = java.nio.file.Files.walk(f.toPath)
-          try st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => java.nio.file.Files.delete(q))
-          finally st.close() // Files.walk holds a directory fd until closed
-        }
-      }
-      rm(outDir); rm(ckDir)
+      rmTree(outDir); rmTree(ckDir)
       val imgPath = GeoTables.imagesPath(dir)
       val schema = s.read.parquet(imgPath).schema
       val stream = s.readStream.schema(schema)
@@ -368,20 +371,11 @@ object SparkEntry {
       val base = GeoTables.baseDir(dir)
       val outDir = s"$base/stream_ssj_out"
       val ckDir = s"$base/stream_ssj_ck"
-      def rm(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          val st = java.nio.file.Files.walk(f.toPath)
-          try st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => java.nio.file.Files.delete(q))
-          finally st.close()
-        }
-      }
-      rm(outDir); rm(ckDir)
+      rmTree(outDir); rmTree(ckDir)
       // file-source streams need a DIRECTORY; split the events table into
       // parts so maxFilesPerTrigger=1 drives real multi-batch progress
       val evPath = s"$base/stream_ssj_src"
-      rm(evPath)
+      rmTree(evPath)
       s.read.parquet(s"$dir/events.parquet").repartition(6)
         .write.mode("overwrite").parquet(evPath)
       val schema = s.read.parquet(evPath).schema
@@ -815,20 +809,10 @@ object SparkEntry {
     "q118_stream_ingest" -> ((s, dir) => {
       GraftFunctions.install(s)
       GeoTables.ensure(s, dir)
-      import org.apache.spark.sql.streaming.Trigger
       val base = GeoTables.baseDir(dir)
       val outRoot = s"$base/stream_ingest_tbl"
       val ckDir = s"$base/stream_ingest_ck"
-      def rm(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          val st = java.nio.file.Files.walk(f.toPath)
-          try st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => java.nio.file.Files.delete(q))
-          finally st.close()
-        }
-      }
-      rm(outRoot); rm(ckDir)
+      rmTree(outRoot); rmTree(ckDir)
       val imgPath = GeoTables.imagesPath(dir)
       val schema = s.read.parquet(imgPath).schema
       val stream = s.readStream.schema(schema)
@@ -853,7 +837,6 @@ object SparkEntry {
         .select(col("image_id"), col("w"), col("h"))
         .withColumn("ar_bucket",
           least(greatest(expr("CAST((w * 4) div h AS BIGINT)"), lit(2L)), lit(8L)))
-      val win = Window.partitionBy("ar_bucket").orderBy("image_id")
       img.withColumn("batch_id",
           expr("CAST((row_number() OVER (PARTITION BY ar_bucket ORDER BY image_id) - 1) div 32 AS BIGINT)"))
         .groupBy("ar_bucket", "batch_id")
@@ -1065,16 +1048,7 @@ object SparkEntry {
       val base = GeoTables.baseDir(dir)
       val outDir = s"$base/stream_dedup_out"
       val ckDir = s"$base/stream_dedup_ck"
-      def rm(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          val st = java.nio.file.Files.walk(f.toPath)
-          try st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => java.nio.file.Files.delete(q))
-          finally st.close()
-        }
-      }
-      rm(outDir); rm(ckDir)
+      rmTree(outDir); rmTree(ckDir)
       // the testdata events table is a single FILE; the file-source
       // stream needs a directory — stage a copy under the writable base
       val evPath = s"$base/events_stream"
@@ -2897,7 +2871,10 @@ object SparkEntry {
            <= 0.05 * 0.05""",
     // rect-boundary distance closed form: outside = hypot of the axis
     // overhangs, inside = nearest side; snap = clamp (outside) / nearest
-    // side projection (inside, same <= priority as the engine argmin)
+    // side projection (inside). On an exact inside tie the engine keeps
+    // the FIRST strict-min segment in ring order — zones' WKT rings run
+    // S,E,N,W (GeoTables rect wkt) — so the CASE priority below is
+    // S,E,N,W with <=, matching the kernel's < scan exactly.
     "q121_snap_join" ->
       s"""WITH cand AS (
            SELECT i.image_id, z.zone_id, i.lon, i.lat,
@@ -2918,15 +2895,16 @@ object SparkEntry {
            CAST(FLOOR(dist * 1e6 + 0.5) AS BIGINT) AS dist_u,
            CAST(FLOOR((CASE
              WHEN dxo > 0 OR dyo > 0 THEN LEAST(GREATEST(lon, xmin), xmax)
-             WHEN lon - xmin <= LEAST(xmax - lon, lat - ymin, ymax - lat) THEN xmin
-             WHEN xmax - lon <= LEAST(lat - ymin, ymax - lat) THEN xmax
-             ELSE lon END) * 1e6 + 0.5) AS BIGINT) AS snap_x_u,
+             WHEN lat - ymin <= LEAST(xmax - lon, ymax - lat, lon - xmin) THEN lon
+             WHEN xmax - lon <= LEAST(ymax - lat, lon - xmin) THEN xmax
+             WHEN ymax - lat <= lon - xmin THEN lon
+             ELSE xmin END) * 1e6 + 0.5) AS BIGINT) AS snap_x_u,
            CAST(FLOOR((CASE
              WHEN dxo > 0 OR dyo > 0 THEN LEAST(GREATEST(lat, ymin), ymax)
-             WHEN lon - xmin <= LEAST(xmax - lon, lat - ymin, ymax - lat) THEN lat
-             WHEN xmax - lon <= LEAST(lat - ymin, ymax - lat) THEN lat
-             WHEN lat - ymin <= ymax - lat THEN ymin
-             ELSE ymax END) * 1e6 + 0.5) AS BIGINT) AS snap_y_u
+             WHEN lat - ymin <= LEAST(xmax - lon, ymax - lat, lon - xmin) THEN ymin
+             WHEN xmax - lon <= LEAST(ymax - lat, lon - xmin) THEN lat
+             WHEN ymax - lat <= lon - xmin THEN ymax
+             ELSE lat END) * 1e6 + 0.5) AS BIGINT) AS snap_y_u
          FROM r WHERE rn = 1""",
     "q81_node" ->
       s"""SELECT zone_id, CAST(12 AS BIGINT) AS n_segs,

@@ -42,6 +42,15 @@ object SpatialJoins {
    * dropped and Catalyst/AQE pick a shuffled hash join (the points side
    * still only shuffles on the compact cell key, never on geometry).
    */
+  /** Broadcast-dispatch decision shared by every cover join: true when
+    * the dim side is small enough to broadcast. The probe is bounded
+    * (`limit(max+1).count()` — never a full scan of a huge side) and
+    * skipped entirely when the caller passes a cardinality hint ≥ 0. */
+  private def fewDims(dims: DataFrame, broadcastMax: Long, countHint: Long): Boolean =
+    if (countHint >= 0) countHint <= broadcastMax
+    else dims.limit(math.min(broadcastMax, Int.MaxValue - 1L).toInt + 1)
+      .count() <= broadcastMax
+
   def pipJoin(images: DataFrame, zones: DataFrame, level: Int = 8,
               broadcastMaxZones: Long = 100000, zonesCountHint: Long = -1): DataFrame = {
     val spark = images.sparkSession
@@ -55,10 +64,7 @@ object SpatialJoins {
     // pattern). Callers that already know the zone-side cardinality (a dim
     // table with catalog stats, a fixture) pass zonesCountHint ≥ 0 and skip
     // the probe job entirely — one fewer serial driver job per call.
-    val few =
-      if (zonesCountHint >= 0) zonesCountHint <= broadcastMaxZones
-      else zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
-        .count() <= broadcastMaxZones
+    val few = fewDims(zones, broadcastMaxZones, zonesCountHint)
     val cover = if (few) broadcast(coverRaw) else coverRaw
     pts.join(cover, "cell")
       .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
@@ -80,7 +86,8 @@ object SpatialJoins {
    */
   def pipJoinCompact(images: DataFrame, zones: DataFrame,
                      minLevel: Int = 6, maxLevel: Int = 12,
-                     broadcastMaxZones: Long = 100000): DataFrame = {
+                     broadcastMaxZones: Long = 100000,
+                     zonesCountHint: Long = -1): DataFrame = {
     val spark = images.sparkSession
     GraftFunctions.install(spark)
     val pts = images.withColumn("pk", explode(call_function("st_cell_ancestors",
@@ -91,8 +98,7 @@ object SpatialJoins {
       .withColumn("pk", explode(call_function("st_cover_compact",
         col("zone_geom"), lit(minLevel), lit(maxLevel))))
       .select(col("zone_id"), col("zone_geom"), col("pk"))
-    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
-      .count() <= broadcastMaxZones
+    val few = fewDims(zones, broadcastMaxZones, zonesCountHint)
     val cover = if (few) broadcast(coverRaw) else coverRaw
     pts.join(cover, "pk")
       .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
@@ -110,7 +116,8 @@ object SpatialJoins {
    * every BETWEEN oracle. Broadcast dispatch identical to pipJoin.
    */
   def dwithinJoin(images: DataFrame, zones: DataFrame, d: Double, level: Int = 8,
-                  broadcastMaxZones: Long = 100000): DataFrame = {
+                  broadcastMaxZones: Long = 100000,
+                  zonesCountHint: Long = -1): DataFrame = {
     require(d >= 0, s"negative radius $d")
     val spark = images.sparkSession
     GraftFunctions.install(spark)
@@ -121,8 +128,7 @@ object SpatialJoins {
       .withColumn("cell", explode(call_function("st_cover",
         call_function("st_expand", col("zone_geom"), lit(d)), lit(level))))
       .select(col("zone_id"), col("zone_geom"), col("cell"))
-    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
-      .count() <= broadcastMaxZones
+    val few = fewDims(zones, broadcastMaxZones, zonesCountHint)
     val cover = if (few) broadcast(coverRaw) else coverRaw
     pts.join(cover, "cell")
       .where(call_function("st_dwithin_xy", col("zone_geom"), col("lon"), col("lat"), lit(d)))
@@ -141,7 +147,8 @@ object SpatialJoins {
    * Output adds the snapped boundary point (st_closest_point).
    */
   def nearestSnapJoin(points: DataFrame, zones: DataFrame, d: Double, level: Int = 8,
-                      broadcastMaxZones: Long = 100000): DataFrame = {
+                      broadcastMaxZones: Long = 100000,
+                      zonesCountHint: Long = -1): DataFrame = {
     require(d >= 0, s"negative radius $d")
     val spark = points.sparkSession
     GraftFunctions.install(spark)
@@ -153,8 +160,7 @@ object SpatialJoins {
       .withColumn("cell", explode(call_function("st_cover",
         call_function("st_expand", col("zone_geom"), lit(d)), lit(level))))
       .select(col("zone_id"), col("boundary"), col("cell"))
-    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
-      .count() <= broadcastMaxZones
+    val few = fewDims(zones, broadcastMaxZones, zonesCountHint)
     val cover = if (few) broadcast(coverRaw) else coverRaw
     val cand = pts.join(cover, "cell")
       .withColumn("dist", call_function("st_distance", col("boundary"),
@@ -183,7 +189,8 @@ object SpatialJoins {
    * `maxMeters` (guarded).
    */
   def geoRadiusJoin(images: DataFrame, sites: DataFrame, meters: Double, level: Int = 8,
-                    broadcastMaxSites: Long = 100000): DataFrame = {
+                    broadcastMaxSites: Long = 100000,
+                    sitesCountHint: Long = -1): DataFrame = {
     require(meters >= 0 && meters <= 1500000.0,
       s"geoRadiusJoin supports radii up to 1500 km (got $meters m) — the conservative " +
         "cover-box margin is only proven there; larger radii want a coarser plan anyway")
@@ -217,8 +224,7 @@ object SpatialJoins {
       .withColumn("cell", explode(call_function("st_cover", col("env"), lit(level))))
       .select(col("site_id"), col("site_lon"), col("site_lat"), col("cell"))
       .distinct() // wrap overlap must not duplicate candidate pairs
-    val few = sites.limit(math.min(broadcastMaxSites, Int.MaxValue - 1L).toInt + 1)
-      .count() <= broadcastMaxSites
+    val few = fewDims(sites, broadcastMaxSites, sitesCountHint)
     val cover = if (few) broadcast(coverRaw) else coverRaw
     pts.join(cover, "cell")
       .where(call_function("st_distance_sphere",
@@ -497,7 +503,8 @@ object SpatialJoins {
    * q82 oracle states exactly that.
    */
   def pipJoinSphere(images: DataFrame, zones: DataFrame, level: Int = 7,
-                    broadcastMaxZones: Long = 100000): DataFrame = {
+                    broadcastMaxZones: Long = 100000,
+                    zonesCountHint: Long = -1): DataFrame = {
     val spark = images.sparkSession
     GraftFunctions.install(spark)
     val pts = images.withColumn("cell",
@@ -506,8 +513,7 @@ object SpatialJoins {
       .withColumn("cell", explode(call_function("st_cover_sphere",
         col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
       .select(col("zone_id"), col("xmin"), col("ymin"), col("xmax"), col("ymax"), col("cell"))
-    val few = zones.limit(math.min(broadcastMaxZones, Int.MaxValue - 1L).toInt + 1)
-      .count() <= broadcastMaxZones
+    val few = fewDims(zones, broadcastMaxZones, zonesCountHint)
     val cover = if (few) broadcast(coverRaw) else coverRaw
     pts.join(cover, "cell")
       .where(col("lon") >= col("xmin") && col("lon") <= col("xmax") &&

@@ -54,16 +54,21 @@ object Streams {
    * entries) and [[graft.tile.IceLite.expireSnapshots]] (reclaims
    * superseded per-batch dirs).
    */
+  /** `runId` keys the exactly-once markers together with the batchId:
+    * batch numbering restarts at 0 under a FRESH checkpoint, so reusing a
+    * runId across checkpoints would silently skip the renumbered batches
+    * — keep (checkpoint, runId) paired for the life of a query. */
   def tileIngest(images: DataFrame, outRoot: String, checkpoint: String,
                  zoom: Int = 8, bucketLevel: Int = 2,
-                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 runId: String = "stream"): StreamingQuery =
     images.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.tile.TileJob.ingestBatch(batch.sparkSession, batch, outRoot, id,
-          zoom, bucketLevel)
+          zoom, bucketLevel, runId)
         ()
       }
       .start()

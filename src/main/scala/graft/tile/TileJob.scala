@@ -87,19 +87,35 @@ object TileJob {
    * entries, [[IceLite.expireSnapshots]] reclaims per-batch dirs.
    */
   def ingestBatch(spark: SparkSession, batch: DataFrame, outRoot: String,
-                  batchId: Long, zoom: Int = 8, bucketLevel: Int = 2): IceLite.Snapshot = {
+                  batchId: Long, zoom: Int = 8, bucketLevel: Int = 2,
+                  runId: String = "stream"): IceLite.Snapshot = {
     GraftFunctions.install(spark)
-    val jobId = s"stream-$batchId"
+    val jobId = s"$runId-$batchId"
     val prev = IceLite.currentSnapshot(outRoot)
-    // idempotence scan: walk the retained chain (driver-side, bounded by
-    // retention). Spark only ever replays the LAST batch, but checking
-    // the whole chain keeps the contract independent of that detail.
-    var cur = prev
-    while (cur.isDefined) {
-      if (cur.get.jobId == jobId) return prev.get
-      cur = if (cur.get.parentId < 0) None
-            else IceLite.snapshotById(outRoot, cur.get.parentId)
+    // Idempotence is RETENTION-PROOF: a durable marker file per committed
+    // batch (meta/ingest-<jobId>.done, written after the commit, never
+    // GC'd by expireSnapshots which only deletes snap-*.json) — without
+    // it, compact + expireSnapshots between a commit and the streaming
+    // checkpoint advancing would truncate the jobId off the snapshot
+    // chain and a replay would double-ingest. The chain scan stays as a
+    // secondary for the crash window between commit and marker write.
+    // The key includes `runId` because batchId alone is only meaningful
+    // per checkpoint: restarting with a FRESH checkpoint renumbers
+    // batches from 0, so reusing the old runId would silently skip them
+    // — pass a new runId when the checkpoint does not carry over.
+    val marker = IceLite.metaDir(outRoot).resolve(s"ingest-$jobId.done")
+    def chainHas(id: String): Boolean = {
+      var cur = prev
+      while (cur.isDefined) {
+        if (cur.get.jobId == id) return true
+        cur = if (cur.get.parentId < 0) None
+              else IceLite.snapshotById(outRoot, cur.get.parentId)
+      }
+      false
     }
+    if (Files.exists(marker) || chainHas(jobId))
+      return prev.getOrElse(throw new IllegalStateException(
+        s"ingest marker $marker exists but the table has no current snapshot"))
 
     val base = s"$outRoot/data-s$batchId"
     tileProjection(batch, zoom, bucketLevel)
@@ -124,6 +140,11 @@ object TileJob {
     val snap = IceLite.Snapshot(prev.map(_.snapshotId).getOrElse(0L) + 1,
       prev.map(_.snapshotId).getOrElse(-1L), jobId, entries)
     IceLite.commit(outRoot, snap)
+    val tmp = IceLite.metaDir(outRoot).resolve(s"ingest-$jobId.done.tmp")
+    Files.write(tmp, Array.emptyByteArray)
+    Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     snap
   }
 
@@ -238,8 +259,13 @@ object TileJob {
     // bucket rides as a literal per source (the dir-name partition column
     // is not stored in the files), so one union plan rewrites every
     // selected bucket in a single job
-    selected.flatMap { case (b, es) => es.map(e =>
-        spark.read.parquet(e.dataDir).withColumn("bucket", lit(b.toLong))) }
+    // ONE multi-path scan per bucket (not per entry): a standing stream
+    // accumulates one entry per micro-batch per bucket, and a per-entry
+    // union would grow the plan with stream length — per-bucket it stays
+    // bounded by the bucket count like the batch table
+    selected.map { case (b, es) =>
+        spark.read.parquet(es.map(_.dataDir): _*)
+          .withColumn("bucket", lit(b.toLong)) }
       .reduce(_ unionByName _)
       .repartition(selected.size, col("bucket"))
       .sortWithinPartitions("bucket", "cell", "image_id")

@@ -84,8 +84,10 @@ class StreamIngestSpec extends AnyFunSuite {
     val images = spark.read.parquet(GeoTables.imagesPath(sfDir))
     val root = Files.createTempDirectory("ingest_replay").toString
 
-    val firstHalf = images.where("pmod(phash, 2) = 0")
-    val secondHalf = images.where("pmod(phash, 2) = 1")
+    // split on the numeric id suffix (phash is odd for every fixture row,
+    // so a parity split on it would be empty/full)
+    val firstHalf = images.where("pmod(CAST(substring(image_id, 4) AS BIGINT), 2) = 0")
+    val secondHalf = images.where("pmod(CAST(substring(image_id, 4) AS BIGINT), 2) = 1")
 
     // simulate a crash BEFORE the commit: an orphan partial batch dir
     val orphan = new java.io.File(s"$root/data-s0/bucket=99")
@@ -106,5 +108,22 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(r0.snapshotId == s1.snapshotId && r1.snapshotId == s1.snapshotId,
       "replay must not commit new snapshots")
     assert(TileJob.readCurrent(spark, root).count() == total, "replay duplicated rows")
+
+    // RETENTION-PROOF replay: compact + expire truncate the snapshot
+    // chain below the ingest commits; the durable markers must still
+    // detect the replayed batch (the crash-after-commit + maintenance
+    // window) — without them this would double-ingest
+    TileJob.compact(spark, root)
+    IceLite.expireSnapshots(root, keep = 1)
+    val r2 = TileJob.ingestBatch(spark, firstHalf, root, batchId = 1, zoom = 6)
+    assert(r2.jobId.startsWith("compact-"), "post-GC replay must be a no-op")
+    assert(TileJob.readCurrent(spark, root).count() == total,
+      "post-GC replay duplicated rows")
+
+    // a NEW runId is a fresh key: batch 0 under runId 'restart' ingests
+    val s2 = TileJob.ingestBatch(spark, firstHalf, root, batchId = 0, zoom = 6,
+      runId = "restart")
+    assert(s2.jobId == "restart-0")
+    assert(TileJob.readCurrent(spark, root).count() > total)
   }
 }
