@@ -815,8 +815,14 @@ object SparkEntry {
       rmTree(outRoot); rmTree(ckDir)
       val imgPath = GeoTables.imagesPath(dir)
       val schema = s.read.parquet(imgPath).schema
+      // ~3 micro-batches at ANY SF: per-batch cost is a snapshot commit
+      // + one stats job, so triggers scale with the file count instead
+      // of fixing a per-trigger file budget (multi-batch semantics are
+      // pinned at 1-file triggers in StreamIngestSpec)
+      val nFiles = math.max(1, new java.io.File(imgPath)
+        .listFiles().count(_.getName.endsWith(".parquet")))
       val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "4") // several micro-batches, not one
+        .option("maxFilesPerTrigger", ((nFiles + 2) / 3).toString)
         .parquet(imgPath)
       graft.streaming.Streams.tileIngest(stream, outRoot, ckDir, zoom = 8)
         .awaitTermination()

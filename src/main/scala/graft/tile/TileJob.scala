@@ -35,27 +35,29 @@ object TileJob {
   private def bucketStats(spark: SparkSession, basePath: String, dirs: Seq[String],
       jobId: String): Map[Long, (Long, Long, Long, Long, Seq[IceLite.LineageRow])] = {
     if (dirs.isEmpty) return Map.empty
-    val back = spark.read
+    // ONE job: per-(bucket, partition) stats collected once; bucket
+    // totals fold in the driver (rows/cmin/cmax by sum/min/max, checksum
+    // by XOR over disjoint partition sets — commutes with the 53-bit
+    // mask). Was two full read-back jobs per call; on the streaming
+    // ingest path that is one job per micro-batch saved.
+    val perPid = spark.read
       .option("basePath", basePath)
       .parquet(dirs: _*)
       .withColumn("bucket", col("bucket").cast("long"))
       .withColumn("pid", spark_partition_id())
       .withColumn("cs", checksumCol)
-    val lin = back.groupBy("bucket", "pid")
-      .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
+      .groupBy("bucket", "pid")
+      .agg(count(lit(1)).as("rows"), min("cell").as("cmin"),
+        max("cell").as("cmax"), expr("bit_xor(cs)").as("cs"))
       .collect()
-      .groupBy(_.getLong(0))
-      .map { case (b, rows) =>
-        b -> rows.sortBy(_.getInt(1)).map(r => IceLite.LineageRow(
-          jobId, r.getInt(1), r.getLong(2), r.getLong(2),
-          IceLite.mask53(r.getLong(3)))).toSeq
-      }
-    back.groupBy("bucket").agg(count(lit(1)).as("rows"),
-      min("cell").as("cmin"), max("cell").as("cmax"),
-      expr("bit_xor(cs)").as("cs")).collect().map { r =>
-      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        IceLite.mask53(r.getLong(4)), lin.getOrElse(r.getLong(0), Seq.empty)))
-    }.toMap
+    perPid.groupBy(_.getLong(0)).map { case (b, rows) =>
+      val lineage = rows.sortBy(_.getInt(1)).map(r => IceLite.LineageRow(
+        jobId, r.getInt(1), r.getLong(2), r.getLong(2),
+        IceLite.mask53(r.getLong(5)))).toSeq
+      b -> ((rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(3)).min, rows.map(_.getLong(4)).max,
+        IceLite.mask53(rows.map(_.getLong(5)).reduce(_ ^ _)), lineage))
+    }
   }
 
   /** The tile-assignment projection shared by the batch job and the
