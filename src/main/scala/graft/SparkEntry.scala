@@ -909,6 +909,45 @@ object SparkEntry {
         .agg(max("n_docs").as("n_docs"), max("m_target").as("m_target"),
           sum("sampled").as("n_sampled"))
     }),
+    // GETIS-ORD Gi* HOT-SPOT DETECTION (Ord & Getis 1995, public): z-score
+    // per lattice cell of the 3×3-window count sum against the global
+    // mean/variance over the FULL 1024×512 study lattice. The skew story's
+    // other half: q52 *handles* the hot cell, this *finds* it. All
+    // aggregates are exact BIGINTs (counts, Σc, Σc²), so shuffle order
+    // never perturbs them; the z-score is ONE fixed per-row double
+    // expression over those integers — bit-identical in any engine — and
+    // ships quantized to millis. Lattice-edge cells get their true window
+    // size kk (<9) rather than a wrapped or padded one. Only cells whose
+    // 3×3 window holds ≥1 point ever materialize: the explode is 9 rows
+    // per OCCUPIED cell, never 524288 lattice rows — at 100 TB the cost
+    // tracks data density, not lattice resolution.
+    "q124_hotspot" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(expr("CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT)").as("pgx"),
+          expr("CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT)").as("pgy"))
+        .groupBy("pgx", "pgy").agg(count(lit(1)).as("c"))
+      val glob = cells.agg(sum("c").as("s1"), sum(expr("c * c")).as("s2"))
+      val nbr = cells
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select((col("pgx") + col("dx")).as("gx"), (col("pgy") + col("dy")).as("gy"),
+          col("c"),
+          when(col("dx") === 0L && col("dy") === 0L, col("c")).otherwise(0L).as("own"))
+        .where(col("gx").between(0L, 1023L) && col("gy").between(0L, 511L))
+      nbr.groupBy("gx", "gy")
+        .agg(sum("c").as("wi"), sum("own").as("c_own"))
+        .crossJoin(broadcast(glob))
+        .withColumn("kk", expr(
+          "(LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) * " +
+          "(LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1)"))
+        .withColumn("zq", expr(
+          "CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) / " +
+          "(SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) * " +
+          "SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT)"))
+        .where(col("zq") >= 1960L)
+        .select("gx", "gy", "c_own", "wi", "kk", "zq")
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -2577,6 +2616,32 @@ object SparkEntry {
            CAST(MAX(m_target) AS BIGINT) AS m_target,
            CAST(SUM(sampled) AS BIGINT) AS n_sampled
          FROM s GROUP BY 1""",
+    // exact-integer window sums; the z-score is the identical double
+    // expression over exact integers in both engines (IEEE +,-,*,/ and a
+    // correctly-rounded SQRT are bit-deterministic), then milli-quantized
+    "q124_hotspot" ->
+      s"""WITH pts AS (SELECT CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
+           CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT) AS pgy FROM $IMG),
+         cells AS (SELECT pgx, pgy, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+         gstats AS (SELECT CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2 FROM cells),
+         nbr AS (SELECT pgx + dx.x AS gx, pgy + dy.y AS gy, c,
+             CASE WHEN dx.x = 0 AND dy.y = 0 THEN c ELSE 0 END AS own
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS x) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS y) dy
+           WHERE pgx + dx.x BETWEEN 0 AND 1023 AND pgy + dy.y BETWEEN 0 AND 511),
+         agg AS (SELECT gx, gy, CAST(SUM(c) AS BIGINT) AS wi,
+             CAST(SUM(own) AS BIGINT) AS c_own FROM nbr GROUP BY 1, 2),
+         z AS (SELECT gx, gy, c_own, wi,
+             CAST((LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) *
+                  (LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1) AS BIGINT) AS kk,
+             s1, s2 FROM agg, gstats),
+         q AS (SELECT gx, gy, c_own, wi, kk,
+             CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) /
+               (SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) *
+                SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT) AS zq
+           FROM z)
+         SELECT gx, gy, c_own, wi, kk, zq FROM q WHERE zq >= 1960""",
     "q122_idw" ->
       s"""WITH pts AS (SELECT lon, lat, CAST(w AS BIGINT) * h AS v,
            CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
