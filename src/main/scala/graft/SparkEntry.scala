@@ -948,6 +948,23 @@ object SparkEntry {
         .where(col("zq") >= 1960L)
         .select("gx", "gy", "c_own", "wi", "kk", "zq")
     }),
+    // SPATIAL-NETWORK SHORTEST PATH: BFS hop distance from the hot zone
+    // over the zone-adjacency graph (edges = q68's rect-intersects pairs
+    // from the same cell-cover equi-join — never all-pairs). Frontier BFS
+    // in Graph.bfsHops: O(diameter) rounds, each joining only the live
+    // frontier, so edge-side work totals O(E) over the whole traversal.
+    // Unreachable zones surface as dist = -1, not silence.
+    "q125_bfs_hops" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      val edges = SpatialJoins.polyJoin(z, z, level = 8)
+        .where(col("a_id") =!= col("b_id"))
+      val dist = graft.join.Graph.bfsHops(edges, "a_id", "b_id",
+        sources = z.where(col("zone_id") === "zone00000")
+          .select(col("zone_id").as("id")))
+      z.select(col("zone_id"))
+        .join(dist.withColumnRenamed("id", "zone_id"), Seq("zone_id"), "left")
+        .select(col("zone_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -2642,6 +2659,24 @@ object SparkEntry {
                 SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT) AS zq
            FROM z)
          SELECT gx, gy, c_own, wi, kk, zq FROM q WHERE zq >= 1960""",
+    // ground truth: recursive-CTE level exploration (UNION dedupes
+    // (node,dist) pairs, so work is bounded by |E|·depth), MIN(dist) per
+    // node = BFS hop distance; the engine's convergence `require` plus the
+    // 64-level oracle bound must agree on any diameter-<64 fixture
+    "q125_bfs_hops" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT a.zone_id AS s, b.zone_id AS d FROM $ZON a JOIN $ZON b
+             ON a.zone_id <> b.zone_id
+            AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+            AND a.ymin <= b.ymax AND b.ymin <= a.ymax),
+         walk(node, dist) AS (
+           SELECT 'zone00000', 0
+           UNION
+           SELECT e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.node
+           WHERE walk.dist < 64),
+         best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
+         SELECT z.zone_id, CAST(COALESCE(best.dist, -1) AS BIGINT) AS dist
+         FROM $ZON z LEFT JOIN best ON best.node = z.zone_id""",
     "q122_idw" ->
       s"""WITH pts AS (SELECT lon, lat, CAST(w AS BIGINT) * h AS v,
            CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
