@@ -32,6 +32,7 @@ object SparkEntry {
   private val MED = "read_parquet('/tmp/graft_geo/sf0.01/media.parquet/*.parquet')"
   private val MDEL = "read_parquet('/tmp/graft_geo/sf0.01/media_delta.parquet/*.parquet')"
   private val GNODE = "read_parquet('/tmp/graft_geo/sf0.01/grid_nodes.parquet/*.parquet')"
+  private val IMGQ = "read_parquet('/tmp/graft_geo/sf0.01/img_quality.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -964,6 +965,32 @@ object SparkEntry {
       z.select(col("zone_id"))
         .join(dist.withColumnRenamed("id", "zone_id"), Seq("zone_id"), "left")
         .select(col("zone_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    }),
+    // BLUR/SHARPNESS QUALITY FILTER (LAION-style curation): Laplacian
+    // sharpness of each decoded image and of its 3×3 box-blurred copy,
+    // recomputed through the SQL expressions and joined against the
+    // materialized fixture — n_exact == n pins every row's recompute
+    // bit-equal (the q12 phash pattern); histogram buckets by decimal
+    // digit count (exact integer in both engines, no FP log). row-parallel
+    // decode+kernel, one shuffle for the histogram — scales like q11.
+    "q126_blur_filter" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgQuality(s, dir)
+      val feat = s.read.parquet(GeoTables.imgQualityPath(dir))
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .select(col("image_id"),
+          call_function("img_sharpness", col("rgb"), col("w"), col("h")).as("s0"),
+          call_function("img_sharpness",
+            call_function("img_boxblur_rgb", col("rgb"), col("w"), col("h")),
+            col("w"), col("h")).as("s1"))
+        .join(feat, "image_id")
+        .groupBy(length(col("s0").cast("string")).cast("bigint").as("mag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("s1") <= col("s0"), 1L).otherwise(0L)).as("n_blur_le"),
+          sum("s0").as("sum_sharp"), sum("s1").as("sum_blur"),
+          sum(when(col("s0") === col("sharp") && col("s1") === col("sharp_blur"), 1L)
+            .otherwise(0L)).as("n_exact"))
     }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
@@ -2677,6 +2704,18 @@ object SparkEntry {
          best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
          SELECT z.zone_id, CAST(COALESCE(best.dist, -1) AS BIGINT) AS dist
          FROM $ZON z LEFT JOIN best ON best.node = z.zone_id""",
+    // the engine recomputes sharp/sharp_blur through SQL expressions and
+    // compares against these materialized columns row-by-row (n_exact);
+    // the oracle reads the fixture directly — any recompute divergence
+    // breaks n_exact == n AND the per-bucket sums
+    "q126_blur_filter" ->
+      s"""SELECT CAST(LENGTH(CAST(sharp AS VARCHAR)) AS BIGINT) AS mag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN sharp_blur <= sharp THEN 1 ELSE 0 END) AS BIGINT) AS n_blur_le,
+           CAST(SUM(sharp) AS BIGINT) AS sum_sharp,
+           CAST(SUM(sharp_blur) AS BIGINT) AS sum_blur,
+           COUNT(*) AS n_exact
+         FROM $IMGQ GROUP BY 1""",
     "q122_idw" ->
       s"""WITH pts AS (SELECT lon, lat, CAST(w AS BIGINT) * h AS v,
            CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,

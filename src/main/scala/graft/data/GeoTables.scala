@@ -348,6 +348,34 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_TEXTFEAT_DONE"))
   }
 
+  // ---- image-quality fixture (blur/sharpness filter oracle) ----
+
+  def imgQualityPath(sfDir: String): String = s"${baseDir(sfDir)}/img_quality.parquet"
+
+  final case class ImgQualityRow(image_id: String, sharp: Long, sharp_blur: Long)
+
+  /** Materializes per-image Laplacian sharpness (raw and after one 3×3
+    * box blur) through the SAME kernels the SQL expressions call — the
+    * phash precedent (q12): the oracle then checks the Spark expression
+    * path recomputes every row identically AND the downstream relational
+    * logic, while closed-form kernel cases live in BlurSpec. */
+  def ensureImgQuality(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGQUALITY_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes", "w", "h")
+      .as[(String, Array[Byte], Int, Int)]
+      .map { case (id, bytes, w, h) =>
+        val rgb = Images.decode(bytes)._3
+        ImgQualityRow(id, Images.sharpness(w, h, rgb),
+          Images.sharpness(w, h, Images.boxBlur3Rgb(w, h, rgb)))
+      }
+      .write.mode("overwrite").parquet(imgQualityPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGQUALITY_DONE"))
+  }
+
   // ---- multimodal media fixture (GMV1 opaque-binary; stub codec) ----
 
   def mediaPath(sfDir: String): String = s"${baseDir(sfDir)}/media.parquet"

@@ -424,4 +424,70 @@ object Images {
     }
     out
   }
+
+  /** 3×3 box blur per channel, replicate border, floor division by 9 —
+    * the low-pass half of the blur/sharpness quality filter (LAION-style
+    * training-data curation, public). Pure integer: deterministic across
+    * JVMs and shuffle orders. */
+  def boxBlur3Rgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    if (w * h * 3 != rgb.length) return rgb.clone()
+    val out = new Array[Byte](rgb.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          var s = 0
+          var dy = -1
+          while (dy <= 1) {
+            val sy = math.max(0, math.min(h - 1, y + dy))
+            var dx = -1
+            while (dx <= 1) {
+              val sx = math.max(0, math.min(w - 1, x + dx))
+              s += rgb((sy * w + sx) * 3 + c) & 0xFF
+              dx += 1
+            }
+            dy += 1
+          }
+          out((y * w + x) * 3 + c) = (s / 9).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Laplacian sharpness: Σ over interior pixels of
+    * (4·center − up − down − left − right)² on integer luma. Exact BIGINT
+    * (|lap| ≤ 2040 so lap² ≤ ~4.2e6/pixel — overflow needs ~2e12 pixels
+    * in ONE image). 0 for constant images and for images thinner than
+    * 3 px (no interior). The standard blur-detection feature: a blurred
+    * copy scores strictly lower on any non-constant interior. */
+  def sharpness(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    if (w < 3 || h < 3 || w * h * 3 != rgb.length) return 0L
+    val lum = new Array[Int](w * h)
+    var i = 0
+    var p = 0
+    while (p < w * h) {
+      lum(p) = luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF)
+      i += 3; p += 1
+    }
+    var s = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c = lum(y * w + x)
+        val lap = 4 * c - lum((y - 1) * w + x) - lum((y + 1) * w + x) -
+          lum(y * w + x - 1) - lum(y * w + x + 1)
+        s += lap.toLong * lap
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
 }

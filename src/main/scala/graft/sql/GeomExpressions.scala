@@ -978,6 +978,33 @@ case class ImgCrop(children: Seq[Expression]) extends Expression with ExpectsInp
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
 }
 
+/** (rgb, w, h) → 3×3 box-blurred rgb (codegen'd: one static call). */
+case class ImgBoxBlur(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.imgBoxBlur3(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.imgBoxBlur3($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+/** (rgb, w, h) → Laplacian sharpness, exact BIGINT (blur-filter feature). */
+case class ImgSharpness(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.imgSharpness(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.imgSharpness($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 case class ImgResize(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

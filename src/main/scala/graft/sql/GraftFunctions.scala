@@ -184,6 +184,8 @@ object GraftFunctions {
     "img_flip_rgb" -> (e => ImgFlip(e)),
     "img_crop_rgb" -> (e => ImgCrop(e)),
     "img_luma_mean" -> (e => ImgLumaMean(e.head)),
+    "img_boxblur_rgb" -> (e => ImgBoxBlur(e(0), e(1), e(2))),
+    "img_sharpness" -> (e => ImgSharpness(e(0), e(1), e(2))),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
     // multimodal opaque-binary columns (GMV1 container; stub codec)
     "media_kind" -> (e => MediaKind(e.head)),

@@ -569,4 +569,6 @@ object K {
   def imgCrop(rgb: Array[Byte], w: Int, h: Int, x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] =
     Images.cropRgb(w, h, rgb, x0, y0, cw, ch)
   def imgLumaMean(rgb: Array[Byte]): Double = Images.lumaMean(rgb)
+  def imgBoxBlur3(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = Images.boxBlur3Rgb(w, h, rgb)
+  def imgSharpness(rgb: Array[Byte], w: Int, h: Int): Long = Images.sharpness(w, h, rgb)
 }
