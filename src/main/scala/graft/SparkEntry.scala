@@ -992,6 +992,43 @@ object SparkEntry {
           sum(when(col("s0") === col("sharp") && col("s1") === col("sharp_blur"), 1L)
             .otherwise(0L)).as("n_exact"))
     }),
+    // ADAPTIVE QUADTREE TILING: every tile holding > cap points splits,
+    // down to maxZ — the skew-balanced output layout (the hot cell gets
+    // deep small tiles, empty oceans stay coarse). Scale shape: points
+    // shuffle ONCE to max-depth quadkeys; every quadtree decision then
+    // runs on CELL-sized rollups (≤ min(n_pts, 4^z) rows/level), and the
+    // final depth lookup joins points against a cell-sized side. A
+    // point's tile is its shallowest ancestor (z ≥ 1) whose subtree count
+    // fits the cap — equivalent to recursive splitting, because an
+    // ancestor over the cap is exactly one the recursion would split.
+    "q127_adaptive_tiles" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val maxZ = 10
+      val cap = 64L
+      val pts = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_quadkey", col("lon"), col("lat"), lit(maxZ)).as("qk"))
+      var counts = pts.groupBy("qk").agg(count(lit(1)).as("c"))
+      var all = counts.withColumn("z", lit(maxZ))
+      var z = maxZ
+      while (z > 1) {
+        z -= 1
+        counts = counts.groupBy(expr(s"substring(qk, 1, $z)").as("qk"))
+          .agg(sum("c").as("c"))
+        all = all.union(counts.withColumn("z", lit(z)))
+      }
+      val leaves = all.where(col("z") === maxZ).select(col("qk").as("leaf"))
+      val anc = leaves
+        .withColumn("z", explode(array((1 to maxZ).map(lit(_)): _*)))
+        .select(col("leaf"), col("z"), expr("substring(leaf, 1, z)").as("qk"))
+      val fz = anc.join(all, Seq("z", "qk"))
+        .groupBy("leaf")
+        .agg(coalesce(min(when(col("c") <= cap, col("z"))), lit(maxZ)).as("fz"))
+      pts.join(fz, pts("qk") === fz("leaf"))
+        .select(expr("substring(qk, 1, fz)").as("tile"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n"))
+        .select(col("tile"), length(col("tile")).cast("bigint").as("z"), col("n"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -2716,6 +2753,22 @@ object SparkEntry {
            CAST(SUM(sharp_blur) AS BIGINT) AS sum_blur,
            COUNT(*) AS n_exact
          FROM $IMGQ GROUP BY 1""",
+    // ground truth: counts per prefix at every level, each point's tile =
+    // its shallowest cap-fitting prefix (else the maxZ leaf)
+    "q127_adaptive_tiles" ->
+      s"""WITH qk AS (SELECT ${graft.cell.Cells.quadkeySqlExpr("tx", "ty", 10)} AS qk
+           FROM (SELECT ${txSql("lon", 10)} AS tx, ${tySql("lat", 10)} AS ty FROM $IMG)),
+         lv AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT) AS z),
+         cnt AS (SELECT z, substring(qk, 1, z) AS p, COUNT(*) AS c
+           FROM qk, lv GROUP BY 1, 2),
+         leaf AS (SELECT l.qk, MIN(CASE WHEN cnt.c <= 64 THEN cnt.z END) AS fit_z
+           FROM (SELECT DISTINCT qk FROM qk) l
+           JOIN cnt ON cnt.p = substring(l.qk, 1, cnt.z)
+           GROUP BY 1),
+         asg AS (SELECT substring(q.qk, 1, CAST(COALESCE(l.fit_z, 10) AS INT)) AS tile
+           FROM qk q JOIN leaf l ON l.qk = q.qk)
+         SELECT tile, CAST(LENGTH(tile) AS BIGINT) AS z, COUNT(*) AS n
+         FROM asg GROUP BY 1""",
     "q122_idw" ->
       s"""WITH pts AS (SELECT lon, lat, CAST(w AS BIGINT) * h AS v,
            CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
