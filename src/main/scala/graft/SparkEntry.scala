@@ -1029,6 +1029,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("tile"), length(col("tile")).cast("bigint").as("z"), col("n"))
     }),
+    // WEIGHTED SHORTEST PATH (road-network min-cost routing analog):
+    // frontier Bellman-Ford (Graph.sssp) over the same zone-adjacency
+    // edges as q125, with exact-integer edge costs — microdegree envelope-
+    // center Manhattan distance folded mod 7 (+1) so both engines do pure
+    // BIGINT arithmetic and the oracle's recursive-CTE state space stays
+    // bounded (dist values ≤ 7·hops). A round relaxes only edges out of
+    // vertices improved last round, so converged regions cost nothing;
+    // total edge work is O(E · improvement-rounds), never all-pairs.
+    "q128_sssp" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      val cz = z.select(col("zone_id"),
+        expr("CAST(FLOOR((xmin + xmax) * 5e5) AS BIGINT)").as("cx"),
+        expr("CAST(FLOOR((ymin + ymax) * 5e5) AS BIGINT)").as("cy"))
+      val we = SpatialJoins.polyJoin(z, z, level = 8)
+        .where(col("a_id") =!= col("b_id"))
+        .join(cz.select(col("zone_id").as("a_id"), col("cx").as("acx"), col("cy").as("acy")), "a_id")
+        .join(cz.select(col("zone_id").as("b_id"), col("cx").as("bcx"), col("cy").as("bcy")), "b_id")
+        .select(col("a_id").as("src"), col("b_id").as("dst"),
+          expr("(ABS(acx - bcx) + ABS(acy - bcy)) % 7 + 1").as("w"))
+      val dist = graft.join.Graph.sssp(we, "src", "dst", "w",
+        sources = z.where(col("zone_id") === "zone00000")
+          .select(col("zone_id").as("id")))
+      z.select(col("zone_id"))
+        .join(dist.withColumnRenamed("id", "zone_id"), Seq("zone_id"), "left")
+        .select(col("zone_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -2738,6 +2764,30 @@ object SparkEntry {
            UNION
            SELECT e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.node
            WHERE walk.dist < 64),
+         best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
+         SELECT z.zone_id, CAST(COALESCE(best.dist, -1) AS BIGINT) AS dist
+         FROM $ZON z LEFT JOIN best ON best.node = z.zone_id""",
+    // ground truth: weighted recursive-CTE relaxation — UNION dedupes
+    // (node, dist) states, dist is monotone along any walk and capped, so
+    // the exploration is bounded by V · cap states; MIN(dist) per node is
+    // the true shortest cost because every optimal path (≤ 7 per hop,
+    // hop-diameter < 100) stays under the 700 cap
+    "q128_sssp" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT a.zone_id AS s, b.zone_id AS d,
+             (ABS(CAST(FLOOR((a.xmin + a.xmax) * 5e5) AS BIGINT) -
+                  CAST(FLOOR((b.xmin + b.xmax) * 5e5) AS BIGINT)) +
+              ABS(CAST(FLOOR((a.ymin + a.ymax) * 5e5) AS BIGINT) -
+                  CAST(FLOOR((b.ymin + b.ymax) * 5e5) AS BIGINT))) % 7 + 1 AS w
+           FROM $ZON a JOIN $ZON b
+             ON a.zone_id <> b.zone_id
+            AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+            AND a.ymin <= b.ymax AND b.ymin <= a.ymax),
+         walk(node, dist) AS (
+           SELECT 'zone00000', 0
+           UNION
+           SELECT e.d, walk.dist + e.w FROM walk JOIN e ON e.s = walk.node
+           WHERE walk.dist < 700),
          best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
          SELECT z.zone_id, CAST(COALESCE(best.dist, -1) AS BIGINT) AS dist
          FROM $ZON z LEFT JOIN best ON best.node = z.zone_id""",

@@ -2,6 +2,7 @@ package graft.join
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{functions => F}
 
 /**
  * Distributed graph traversal primitives over plain edge DataFrames —
@@ -74,5 +75,55 @@ object Graph {
       s"Graph.bfsHops did not exhaust the frontier within $maxRounds rounds; " +
         s"raise maxRounds for graphs with diameter > $maxRounds")
     settled
+  }
+
+  /**
+   * Single/multi-source shortest WEIGHTED path over an undirected edge
+   * list with non-negative integer weights (`wCol`, LongType) — frontier
+   * Bellman-Ford: a round relaxes only edges out of vertices whose
+   * distance improved last round, so a converged region stops costing
+   * anything. Rounds needed = max hop count over all shortest paths
+   * (≤ V−1 worst case; diameter-ish in practice). Converges exactly or
+   * fails loudly — never returns a partially-relaxed table.
+   */
+  def sssp(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+           wCol: String = "w", sources: DataFrame, maxRounds: Int = 512): DataFrame = {
+    def rebuild(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val e = rebuild(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d"), col(wCol).as("w"))
+        .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d"), col(wCol).as("w")))
+        .where(col("s") =!= col("d"))
+        .groupBy("s", "d").agg(F.min("w").as("w"))) // parallel edges: keep the cheapest
+    var dist = rebuild(sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var round = 0
+    var live = !frontier.isEmpty
+    while (live && round < maxRounds) {
+      round += 1
+      val cand = e.join(frontier.select(col("id").as("s"), col("dist").as("fd")), "s")
+        .groupBy(col("d").as("id")).agg(F.min(col("fd") + col("w")).as("nd"))
+      val improved = rebuild(
+        cand.join(dist, Seq("id"), "left")
+          .where(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("id"), col("nd").as("dist")))
+      val n = improved.count()
+      live = n > 0
+      if (live) {
+        dist = rebuild(
+          dist.join(improved.select(col("id"), col("dist").as("nd")), Seq("id"), "full")
+            .select(col("id"),
+              F.when(col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist")),
+                col("nd")).otherwise(col("dist")).as("dist")))
+        frontier = improved
+      }
+    }
+    require(!live,
+      s"Graph.sssp did not converge within $maxRounds rounds; raise maxRounds " +
+        s"for graphs whose shortest paths exceed $maxRounds hops")
+    dist
   }
 }

@@ -73,6 +73,77 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  private def runSssp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+                      maxRounds: Int = 512): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst", "w")
+    val s = sources.toDF("id")
+    Graph.sssp(e, "src", "dst", "w", s, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def bruteDijkstra(edges: Seq[(Long, Long, Long)],
+                            sources: Seq[Long]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, List[(Long, Long)]]().withDefaultValue(Nil)
+    edges.foreach { case (a, b, w) =>
+      if (a != b) { adj(a) = (b, w) :: adj(a); adj(b) = (a, w) :: adj(b) }
+    }
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    val pq = scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+      Ordering.by[(Long, Long), Long](_._1).reverse)
+    sources.distinct.foreach { s => dist(s) = 0L; pq.enqueue((0L, s)) }
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d) adj(u).foreach { case (v, w) =>
+        if (!dist.contains(v) || d + w < dist(v)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+      }
+    }
+    dist.toMap
+  }
+
+  test("sssp: hand-built weighted shapes + parallel-edge min") {
+    spark.sparkContext.setLogLevel("WARN")
+    // weighted chain with a costly shortcut the relaxation must reject
+    val g = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 10L))
+    assert(runSssp(g, Seq(0L)) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // a cheap long way that BEATS a direct heavy edge (hop count > bfs)
+    val g2 = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (0L, 4L, 9L))
+    assert(runSssp(g2, Seq(0L))(4L) == 4L)
+    // parallel edges keep the cheapest; self-loops dropped
+    val g3 = Seq((0L, 1L, 7L), (0L, 1L, 2L), (1L, 1L, 1L))
+    assert(runSssp(g3, Seq(0L)) == Map(0L -> 0L, 1L -> 2L))
+    // disconnected vertex absent; multi-source takes the nearer seed
+    val g4 = Seq((0L, 1L, 5L), (2L, 3L, 1L))
+    val d4 = runSssp(g4, Seq(0L, 2L))
+    assert(d4 == Map(0L -> 0L, 1L -> 5L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("sssp: 20 random weighted graphs match driver Dijkstra") {
+    spark.sparkContext.setLogLevel("WARN")
+    var state = 1234L
+    def rnd(n: Int): Int = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      ((state >>> 33) % n).toInt
+    }
+    (1 to 20).foreach { _ =>
+      val n = 5 + rnd(30)
+      val m = 1 + rnd(3 * n)
+      val edges = Seq.fill(m)(
+        (rnd(n).toLong, rnd(n).toLong, 1L + rnd(9))).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val src = Seq(edges.head._1)
+        assert(runSssp(edges, src) == bruteDijkstra(edges, src))
+      }
+    }
+  }
+
+  test("sssp: round budget fails loudly") {
+    spark.sparkContext.setLogLevel("WARN")
+    val chain = (0L until 6L).map(i => (i, i + 1, 1L))
+    val e = intercept[IllegalArgumentException](runSssp(chain, Seq(0L), maxRounds = 3))
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
   test("round budget fails loudly, not silently short") {
     spark.sparkContext.setLogLevel("WARN")
     val chain = (0L until 6L).map(i => (i, i + 1))
