@@ -1055,6 +1055,55 @@ object SparkEntry {
         .join(dist.withColumnRenamed("id", "zone_id"), Seq("zone_id"), "left")
         .select(col("zone_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
     }),
+    // CLUSTER-WITHIN (ST_ClusterWithin analog): single-linkage components
+    // of the within-d graph over all image points — dbscan(minPts=1), so
+    // it inherits the cell-contraction shape: intra-cell cliques are free,
+    // Chebyshev-≤1 cell adjacency is edge-free, only label-straddling ring
+    // cells pay an exact ∃-pair check. d=0.001° keeps the hot cell
+    // subcritical (mean degree ~1.3 « the ~4.5 continuum-percolation
+    // threshold) so the oracle's transitive closure stays small; the
+    // ENGINE itself has no such constraint.
+    "q129_cluster_within" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val pts = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("lon"), col("lat"))
+      SpatialJoins.clusterWithin(pts, "id", 0.001)
+        .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt").as("size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+    // INTERVAL-OVERLAP JOIN (batch; the Flink-interval-join shape without
+    // an equi key): events become [ts, ts + value minutes] intervals;
+    // each interval explodes to the 1-hour epoch buckets it spans (≤2
+    // here), pairs meet on the bucket equi-join, the exact overlap
+    // predicate refines, and the count-once rule (bucket ==
+    // greatest(starts) DIV B) replaces a distinct — no shuffle-wide
+    // dedup. At 100 TB, B is picked near the p99 duration so the
+    // explode factor stays O(1) and buckets spread uniformly in time.
+    "q130_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("s0", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("e0", col("s0") + expr("CAST(FLOOR(value * 60e6) AS BIGINT)"))
+        .select(col("event_id").as("eid"), col("event_type").as("etype"),
+          col("s0"), col("e0"))
+      graft.join.IntervalJoin.overlapJoin(ev, ev, "s0", "e0",
+          bucketUs = 3600000000L, idCol = "eid", antiReflexive = true)
+        .groupBy(col("a_etype").as("ta"), col("b_etype").as("tb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("least(a_e0, b_e0) - greatest(a_s0, b_s0)")).as("sum_overlap_us"))
+    }),
+    // INTEGER PAGERANK (link-analysis importance weighting for curation):
+    // 5 fixed iterations of pure-BIGINT PageRank over the zone-adjacency
+    // graph — every step is ⌊85·⌊r/deg⌋/100⌋ floor arithmetic, so Spark
+    // and the oracle's unrolled CTE chain agree bit-for-bit with no
+    // float-sum ordering hazard. One equi-join + one agg per iteration.
+    "q131_pagerank" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      val edges = SpatialJoins.polyJoin(z, z, level = 8)
+        .where(col("a_id") =!= col("b_id"))
+      graft.join.Graph.pagerank(edges, "a_id", "b_id",
+        vertices = z.select(col("zone_id").as("id")))
+        .select(col("id").as("zone_id"), col("r").as("rank5"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -2791,6 +2840,58 @@ object SparkEntry {
          best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
          SELECT z.zone_id, CAST(COALESCE(best.dist, -1) AS BIGINT) AS dist
          FROM $ZON z LEFT JOIN best ON best.node = z.zone_id""",
+    // ground truth: exact within-d pair join (the ±0.002 box prefilter is
+    // a strict superset of the d=0.001 circle even at FP edges) +
+    // recursive-CTE closure; singletons coalesce to their own id. Both
+    // engines refine with the IDENTICAL double predicate dx²+dy² ≤ d·d.
+    "q129_cluster_within" ->
+      s"""WITH RECURSIVE p AS (SELECT image_id AS id, lon, lat FROM $IMG),
+         pr AS (SELECT a.id AS pa, b.id AS pb FROM p a JOIN p b
+           ON a.id < b.id
+          AND a.lon BETWEEN b.lon - 0.002 AND b.lon + 0.002
+          AND a.lat BETWEEN b.lat - 0.002 AND b.lat + 0.002
+          AND (a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat)
+              <= 1e-3 * 1e-3),
+         edges AS (SELECT pa AS s, pb AS d FROM pr UNION SELECT pb, pa FROM pr),
+         cc(node, rep) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.rep FROM cc JOIN edges e ON e.s = cc.node),
+         reps AS (SELECT node, MIN(rep) AS rep FROM cc GROUP BY node),
+         lab AS (SELECT p.id, COALESCE(r.rep, p.id) AS cluster
+           FROM p LEFT JOIN reps r ON r.node = p.id),
+         sz AS (SELECT cluster, COUNT(*) AS cnt FROM lab GROUP BY 1)
+         SELECT cnt AS size, COUNT(*) AS n_clusters FROM sz GROUP BY 1""",
+    // ground truth: direct range self-join (DuckDB IEJoin); both engines
+    // derive identical BIGINT interval bounds (epoch micros + FLOOR of the
+    // same double product), so counts and overlap sums are exact
+    "q130_interval_join" ->
+      """WITH iv AS (SELECT event_id, event_type, epoch_us(ts) AS s0,
+           epoch_us(ts) + CAST(FLOOR(value * 60e6) AS BIGINT) AS e0 FROM events)
+         SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_pairs,
+           CAST(SUM(LEAST(a.e0, b.e0) - GREATEST(a.s0, b.s0)) AS BIGINT) AS sum_overlap_us
+         FROM iv a JOIN iv b
+           ON a.event_id < b.event_id AND a.s0 <= b.e0 AND b.s0 <= a.e0
+         GROUP BY 1, 2""",
+    // ground truth: the 5 iterations unrolled as a CTE chain — pure BIGINT
+    // floor arithmetic mirrors the engine term-for-term (⌊85·⌊r/deg⌋/100⌋)
+    "q131_pagerank" -> {
+      def iter(k: Int): String =
+        s"""r$k AS (SELECT z.zone_id AS id,
+           CAST(150000000 AS BIGINT) + COALESCE(SUM((85 * (p.r // dg.deg)) // 100), 0) AS r
+           FROM $ZON z LEFT JOIN e ON e.d = z.zone_id
+           LEFT JOIN deg dg ON dg.s = e.s
+           LEFT JOIN r${k - 1} p ON p.id = e.s
+           GROUP BY 1)"""
+      s"""WITH e AS (SELECT a.zone_id AS s, b.zone_id AS d FROM $ZON a JOIN $ZON b
+             ON a.zone_id <> b.zone_id
+            AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+            AND a.ymin <= b.ymax AND b.ymin <= a.ymax),
+         deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT zone_id AS id, CAST(1000000000 AS BIGINT) AS r FROM $ZON),
+         ${(1 to 5).map(iter).mkString(",\n         ")}
+         SELECT id AS zone_id, CAST(r AS BIGINT) AS rank5 FROM r5"""
+    },
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence

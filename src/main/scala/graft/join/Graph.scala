@@ -126,4 +126,53 @@ object Graph {
         s"for graphs whose shortest paths exceed $maxRounds hops")
     dist
   }
+
+  /**
+   * Fixed-iteration INTEGER PageRank over a directed edge list — link-
+   * analysis importance weighting (used in training-data curation to
+   * weight documents by reference-graph centrality). All arithmetic is
+   * BIGINT with explicit floor division, so the result is bit-identical
+   * on any engine (no float-sum ordering hazard):
+   *
+   *   r₀(v)    = scale                    (1e9 by default)
+   *   rₖ₊₁(v) = ⌊scale·15/100⌋ + Σ_{u→v} ⌊85·⌊rₖ(u)/outdeg(u)⌋/100⌋
+   *
+   * Dangling vertices (outdeg 0) simply leak their mass — the documented
+   * integer-PR convention here; callers wanting conservation add a sink.
+   * Scale shape: one equi-join + one aggregation per iteration, keyed on
+   * the vertex id — O(E·iters) total, no all-pairs anywhere; the rebuild
+   * firewall caps plan growth across iterations.
+   *
+   * @param vertices one column `id` — the full vertex set (isolated
+   *                 vertices keep the base score)
+   */
+  def pagerank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               vertices: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0 && scale > 0, s"bad pagerank params iters=$iters scale=$scale")
+    def rebuild(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val v = rebuild(vertices.select(col("id")).distinct())
+    val e = rebuild(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+        .where(col("s") =!= col("d")).distinct())
+    val deg = rebuild(e.groupBy("s").agg(F.count(lit(1)).as("deg")))
+    val base = scale * 15L / 100L
+    var rank = v.withColumn("r", lit(scale))
+    var k = 0
+    while (k < iters) {
+      k += 1
+      val contrib = e.join(deg, "s")
+        .join(rank.select(col("id").as("s"), col("r")), "s")
+        .select(col("d").as("id"),
+          F.expr("(85 * (r DIV deg)) DIV 100").as("c")) // pure BIGINT floor-div
+        .groupBy("id").agg(F.sum("c").as("in_mass"))
+      rank = rebuild(
+        v.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + F.coalesce(col("in_mass"), lit(0L))).as("r")))
+    }
+    rank
+  }
 }

@@ -85,6 +85,46 @@ class DbscanSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterWithin: single-linkage parity vs brute union-find") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    var state = 24680L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def brute(pts: Seq[(String, Double, Double)], d: Double): Map[String, String] = {
+      val parent = mutable.Map[String, String]()
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      for (a <- pts; b <- pts if a._1 < b._1) {
+        val dx = a._2 - b._2; val dy = a._3 - b._3
+        if (dx * dx + dy * dy <= d * d) {
+          val (ra, rb) = (find(a._1), find(b._1))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      pts.map(p => p._1 -> find(p._1)).toMap
+    }
+    (0 until 5).foreach { trial =>
+      val pts = (0 until 3).flatMap { b =>
+        val cx = 5 * frac(); val cy = 5 * frac()
+        (0 until 10 + (frac() * 25).toInt).map { i =>
+          (f"c$trial%d_$b%d_$i%03d", cx + (frac() - 0.5) * 0.6, cy + (frac() - 0.5) * 0.6)
+        }
+      } ++ (0 until 20).map(i => (f"s$trial%d_$i%03d", 5 * frac(), 5 * frac()))
+      val d = 0.05 + frac() * 0.25
+      val got = SpatialJoins.clusterWithin(pts.toDF("image_id", "lon", "lat"), "image_id", d)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = brute(pts, d)
+      assert(got == want, s"trial $trial d=$d " +
+        s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(5)}")
+    }
+  }
+
   private val Eps = 0.01
   // the implementation's contraction grid side (pinned here as a contract:
   // same-cell and Chebyshev-≤1 pairs are always within eps)

@@ -144,6 +144,51 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxRounds"))
   }
 
+  private def brutePagerank(edges: Seq[(Long, Long)], vertices: Seq[Long],
+                            iters: Int, scale: Long = 1000000000L): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale * 15L / 100L
+    var r = vertices.distinct.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        85L * (r(u) / deg(u)) / 100L
+      }.sum).toMap
+      r = vertices.distinct.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("pagerank: exact integer replay on hand-built and random graphs") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    def runPr(edges: Seq[(Long, Long)], vs: Seq[Long], iters: Int): Map[Long, Long] = {
+      val e = edges.toDF("src", "dst")
+      val v = vs.toDF("id")
+      Graph.pagerank(e, "src", "dst", v, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // star with a dangling center-out edge + an isolated vertex (id 9)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L))
+    val vs = Seq(0L, 1L, 2L, 3L, 9L)
+    assert(runPr(star, vs, 5) == brutePagerank(star, vs, 5))
+    // isolated vertex keeps the base score after one iteration
+    assert(runPr(star, vs, 1)(9L) == 150000000L)
+    // random graphs, duplicate edges and self-loops dropped identically
+    var state = 77L
+    def rnd(n: Int): Int = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      ((state >>> 33) % n).toInt
+    }
+    (1 to 10).foreach { _ =>
+      val n = 4 + rnd(20)
+      val m = 1 + rnd(4 * n)
+      val edges = Seq.fill(m)((rnd(n).toLong, rnd(n).toLong))
+      val verts = (0L until n.toLong).toSeq
+      assert(runPr(edges, verts, 4) == brutePagerank(edges, verts, 4))
+    }
+  }
+
   test("round budget fails loudly, not silently short") {
     spark.sparkContext.setLogLevel("WARN")
     val chain = (0L until 6L).map(i => (i, i + 1))
