@@ -1104,6 +1104,72 @@ object SparkEntry {
         vertices = z.select(col("zone_id").as("id")))
         .select(col("id").as("zone_id"), col("r").as("rank5"))
     }),
+    // IMAGE-CORPUS CURATION E2E (the image-side q95): AOI spatial filter
+    // (one-zone broadcast PIP) → quality gate with the q126 recompute pin
+    // (img_sharpness/img_phash through the SQL expressions must equal the
+    // materialized fixture bit-for-bit) + min-resolution gate → pHash
+    // near-dup components keep the min-id representative (banded candidate
+    // join, never all-pairs; random content ⇒ few dups at this SF — the
+    // PLANTED-dup path is proven by q12/q55) → deterministic md5-ranked
+    // per-scene cap → per-scene corpus stats. Every stage is the 100 TB
+    // shape already proven by its standalone query.
+    "q132_img_curation" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgQuality(s, dir)
+      val feat = s.read.parquet(GeoTables.imgQualityPath(dir)).select("image_id", "sharp")
+      val aoi = GeoTables.zones(s, dir).where(col("zone_id") === "zone00000")
+      val inAoi = SpatialJoins.pipJoin(GeoTables.images(s, dir), aoi,
+          level = 8, zonesCountHint = 1)
+        .select(col("image_id"), col("bytes"), col("w"), col("h"),
+          col("caption"), col("phash"))
+      val gated = inAoi.join(feat, "image_id")
+        .withColumn("scene", split(col("caption"), " ")(4))
+        .withColumn("sharp_rt", call_function("img_sharpness",
+          call_function("img_rgb", col("bytes")), col("w"), col("h")))
+        .withColumn("ph_rt", call_function("img_phash", col("bytes")))
+        .where(col("sharp_rt") === col("sharp") && col("ph_rt") === col("phash") &&
+          col("w").cast("bigint") * col("h") >= 1024L)
+        .select("image_id", "scene", "sharp", "phash")
+      val pairs = graft.join.ImageDedup.nearDup(gated, "image_id", "phash", maxHamming = 4)
+      val reps = graft.join.ImageDedup.components(pairs)
+      val kept = gated
+        .join(reps.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
+        .where(col("rep").isNull || col("rep") === col("image_id"))
+      val fin = kept.withColumn("rn", row_number().over(
+          Window.partitionBy("scene").orderBy(md5(col("image_id").cast("binary")), col("image_id"))))
+        .where(col("rn") <= 500)
+      val pre = gated.groupBy("scene").agg(count(lit(1)).as("n_gated"))
+      fin.groupBy("scene")
+        .agg(count(lit(1)).as("n_kept"), sum("sharp").as("sum_sharp"))
+        .join(pre, "scene")
+        .select("scene", "n_gated", "n_kept", "sum_sharp")
+    }),
+    // STAY-POINT / DWELL DETECTION (classic trajectory mining): per-entity
+    // tracks (the q103 fixture convention) split into segments at any
+    // step longer than 0.2° — a lag + running-sum-of-breaks window, the
+    // canonical sessionize-by-distance shape. Dwell = a segment of ≥3
+    // consecutive points (≥2 short steps). Scale: one shuffle keyed on
+    // the entity; window state is O(1) per row; no joins at all.
+    "q133_staypoints" -> ((s, dir) => {
+      val d2 = 0.04 // the plain literal on BOTH sides: 0.2*0.2 ≠ 0.04 by 1 ulp
+      val w = Window.partitionBy("entity").orderBy("iid")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      GeoTables.images(s, dir)
+        .withColumn("iid", substring(col("image_id"), 4, 8).cast("bigint"))
+        .withColumn("entity", pmod(col("iid"), lit(50)).cast("bigint"))
+        .withColumn("plon", lag("lon", 1).over(w))
+        .withColumn("plat", lag("lat", 1).over(w))
+        .withColumn("brk", when(col("plon").isNull ||
+          (col("lon") - col("plon")) * (col("lon") - col("plon")) +
+          (col("lat") - col("plat")) * (col("lat") - col("plat")) > lit(d2), 1L)
+          .otherwise(0L))
+        .withColumn("seg", sum("brk").over(cum))
+        .groupBy("entity", "seg").agg(count(lit(1)).as("n"))
+        .groupBy("entity")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("n") >= 3, 1L).otherwise(0L)).as("n_dwell"),
+          max("n").as("max_seg_len"), sum("n").as("n_points"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -2892,6 +2958,58 @@ object SparkEntry {
          ${(1 to 5).map(iter).mkString(",\n         ")}
          SELECT id AS zone_id, CAST(r AS BIGINT) AS rank5 FROM r5"""
     },
+    // ground truth: the whole curation pipeline replayed relationally —
+    // AOI containment is the q07 BETWEEN, sharp comes from the fixture
+    // (the engine's recompute-equality pin makes n_gated catch any
+    // expression drift), dedup is the exact xor-popcount closure, the
+    // per-scene cap ranks by the same lowercase-hex md5
+    "q132_img_curation" ->
+      s"""WITH RECURSIVE aoi AS (SELECT * FROM $ZON WHERE zone_id = 'zone00000'),
+         g AS (SELECT i.image_id, string_split(i.caption, ' ')[5] AS scene,
+             f.sharp, i.phash
+           FROM $IMG i JOIN $IMGQ f USING (image_id), aoi z
+           WHERE i.lon BETWEEN z.xmin AND z.xmax
+             AND i.lat BETWEEN z.ymin AND z.ymax
+             AND CAST(i.w AS BIGINT) * i.h >= 1024),
+         pr AS (SELECT a.image_id AS pa, b.image_id AS pb FROM g a JOIN g b
+           ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 4),
+         edges AS (SELECT pa AS s, pb AS d FROM pr UNION SELECT pb, pa FROM pr),
+         cc(node, rep) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.rep FROM cc JOIN edges e ON e.s = cc.node),
+         reps AS (SELECT node, MIN(rep) AS rep FROM cc GROUP BY node),
+         kept AS (SELECT g.* FROM g LEFT JOIN reps r ON r.node = g.image_id
+           WHERE r.rep IS NULL OR r.rep = g.image_id),
+         fin AS (SELECT * FROM (SELECT kept.*, ROW_NUMBER() OVER
+             (PARTITION BY scene ORDER BY md5(image_id), image_id) AS rn FROM kept)
+           WHERE rn <= 500),
+         pre AS (SELECT scene, COUNT(*) AS n_gated FROM g GROUP BY 1)
+         SELECT f.scene, p.n_gated, COUNT(*) AS n_kept,
+           CAST(SUM(f.sharp) AS BIGINT) AS sum_sharp
+         FROM fin f JOIN pre p USING (scene)
+         GROUP BY 1, 2""",
+    // ground truth: identical lag + running-sum window over the same
+    // ordering; the break predicate is the same double arithmetic on the
+    // same materialized lon/lat bits in both engines
+    "q133_staypoints" ->
+      s"""WITH p AS (SELECT CAST(substring(image_id, 4, 8) AS BIGINT) AS iid,
+           CAST(substring(image_id, 4, 8) AS BIGINT) % 50 AS entity, lon, lat
+           FROM $IMG),
+         st AS (SELECT entity, iid, lon, lat,
+           LAG(lon) OVER (PARTITION BY entity ORDER BY iid) AS plon,
+           LAG(lat) OVER (PARTITION BY entity ORDER BY iid) AS plat FROM p),
+         br AS (SELECT entity, iid,
+           CASE WHEN plon IS NULL
+             OR (lon - plon)*(lon - plon) + (lat - plat)*(lat - plat) > CAST(0.04 AS DOUBLE)
+             THEN 1 ELSE 0 END AS brk FROM st),
+         sg AS (SELECT entity, SUM(brk) OVER (PARTITION BY entity ORDER BY iid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM br),
+         cnt AS (SELECT entity, seg, COUNT(*) AS n FROM sg GROUP BY 1, 2)
+         SELECT entity, COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dwell,
+           CAST(MAX(n) AS BIGINT) AS max_seg_len, CAST(SUM(n) AS BIGINT) AS n_points
+         FROM cnt GROUP BY 1""",
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence
