@@ -1170,6 +1170,22 @@ object SparkEntry {
           sum(when(col("n") >= 3, 1L).otherwise(0L)).as("n_dwell"),
           max("n").as("max_seg_len"), sum("n").as("n_points"))
     }),
+    // HILBERT CURVE INDEX (the stronger clustered-layout key: consecutive
+    // indices are ALWAYS grid-adjacent — no Morton quadrant-seam jumps;
+    // HilbertSpec proves unit-step continuity exhaustively and measures
+    // the locality win over Morton). Exercised over every image point at
+    // order 8; block sums pin every per-row index exactly.
+    "q134_hilbert" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensure(s, dir)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_hilbert",
+          call_function("st_tile_x", col("lon"), lit(8)),
+          call_function("st_tile_y", col("lat"), lit(8)),
+          lit(8)).as("h"))
+        .groupBy(expr("h DIV 4096").as("blk"))
+        .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -3010,6 +3026,33 @@ object SparkEntry {
            CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dwell,
            CAST(MAX(n) AS BIGINT) AS max_seg_len, CAST(SUM(n) AS BIGINT) AS n_points
          FROM cnt GROUP BY 1""",
+    // ground truth: the identical per-bit xy2d walk unrolled as one CTE
+    // per level (quadrant digit into d, reflect-and-swap rotation) — pure
+    // integer shifts/masks; tile coords reuse the proven tx/ty mirrors
+    "q134_hilbert" -> {
+      val order = 8
+      val n1 = (1L << order) - 1
+      def lvl(k: Int): String = {
+        val sb = order - 1 - k
+        val inc = (1L << sb) * (1L << sb)
+        s"""h${k + 1} AS (SELECT
+           d + $inc * (CASE WHEN ((x >> $sb) & 1) = 0 AND ((y >> $sb) & 1) = 0 THEN 0
+                            WHEN ((x >> $sb) & 1) = 0 THEN 1
+                            WHEN ((y >> $sb) & 1) = 1 THEN 2 ELSE 3 END) AS d,
+           CASE WHEN ((y >> $sb) & 1) = 0
+             THEN (CASE WHEN ((x >> $sb) & 1) = 1 THEN $n1 - y ELSE y END)
+             ELSE x END AS x,
+           CASE WHEN ((y >> $sb) & 1) = 0
+             THEN (CASE WHEN ((x >> $sb) & 1) = 1 THEN $n1 - x ELSE x END)
+             ELSE y END AS y
+           FROM h$k)"""
+      }
+      s"""WITH h0 AS (SELECT ${txSql("lon", order)} AS x, ${tySql("lat", order)} AS y,
+           CAST(0 AS BIGINT) AS d FROM $IMG),
+         ${(0 until order).map(lvl).mkString(",\n         ")}
+         SELECT d // 4096 AS blk, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS sum_h
+         FROM h$order GROUP BY 1"""
+    },
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence

@@ -77,6 +77,54 @@ object Cells {
   def mortonX(cell: Long): Long = compact(cell)
   def mortonY(cell: Long): Long = compact(cell >>> 1)
 
+  /**
+   * Hilbert-curve index of grid cell (tx, ty) on the 2^order × 2^order
+   * grid — the canonical per-bit xy2d walk (quadrant digit + reflect/swap
+   * rotation). Unlike Morton, CONSECUTIVE indices are always grid-adjacent
+   * (unit Manhattan step, HilbertSpec proves it exhaustively), which is
+   * what makes Hilbert the stronger clustered-layout key: a contiguous
+   * index range is a compact blob, never Morton's quadrant-seam jumps.
+   * Supports order ≤ 31 (d fits a non-negative Long).
+   */
+  def hilbert(tx: Long, ty: Long, order: Int): Long = {
+    require(order >= 1 && order <= 31, s"hilbert order out of range: $order")
+    val n = 1L << order
+    require(tx >= 0 && tx < n && ty >= 0 && ty < n, s"cell ($tx,$ty) outside 2^$order grid")
+    var x = tx; var y = ty; var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) { // reflect (rx==1) then swap
+        val nx = if (rx == 1L) n - 1 - y else y
+        val ny = if (rx == 1L) n - 1 - x else x
+        x = nx; y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse of [[hilbert]] — index d back to (tx, ty). Test/debug aid. */
+  def hilbertXY(d: Long, order: Int): (Long, Long) = {
+    val n = 1L << order
+    var x = 0L; var y = 0L; var t = d
+    var s = 1L
+    while (s < n) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx; y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
   /** Level-L cell id of a lon/lat point. */
   def cellId(lon: Double, lat: Double, level: Int): Long =
     morton(tileX(lon, level), tileY(lat, level))

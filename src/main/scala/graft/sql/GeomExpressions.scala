@@ -748,6 +748,22 @@ case class StMorton(left: Expression, right: Expression) extends BinaryExpressio
     defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.morton($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+/** st_hilbert(tx, ty, order) → Hilbert-curve index on the 2^order grid
+  * (the layout key whose consecutive values are ALWAYS grid-adjacent —
+  * see Cells.hilbert scaladoc; q134's oracle unrolls the identical
+  * per-bit walk as a CTE chain). */
+case class StHilbert(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.hilbert(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.hilbert($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
 case class StTileX(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType)

@@ -158,6 +158,7 @@ object GraftFunctions {
     "st_cell_ring" -> (e => StCellRing(e(0), e(1), e(2))),
     "st_cellid_norm" -> (e => StCellIdNorm(e(0), e(1), e(2))),
     "st_morton" -> (e => StMorton(e(0), e(1))),
+    "st_hilbert" -> (e => StHilbert(e(0), e(1), e(2))),
     "st_norm_x" -> (e => StNormX(e.head)),
     "st_norm_y" -> (e => StNormY(e.head)),
     // images (§2.6 #49)

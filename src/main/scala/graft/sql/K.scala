@@ -249,6 +249,7 @@ object K {
     wr(GeometryZM(LineString(Array(x1, y1, x2, y2)), Array(z1, z2), null))
 
   def morton(tx: Long, ty: Long): Long = graft.cell.Cells.morton(tx, ty)
+  def hilbert(tx: Long, ty: Long, order: Int): Long = graft.cell.Cells.hilbert(tx, ty, order)
 
   // ---- IVF (exact ANN; centroid blob rides in the plan, cached per JVM) ----
   def ivfAssign(emb: org.apache.spark.sql.catalyst.util.ArrayData, cents: Array[Byte]): Int = {
