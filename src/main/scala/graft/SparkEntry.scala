@@ -1186,6 +1186,35 @@ object SparkEntry {
         .groupBy(expr("h DIV 4096").as("blk"))
         .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
     }),
+    // MARCHING-SQUARES CONTOURS (gdal_contour's raster→vector core): the
+    // z=8 density raster thresholded at cnt ≥ 2; every 2×2 corner block
+    // classifies into the 16-case table (saddles 5/10 emit two segments,
+    // 0/15 none, the rest one). SPARSE formulation: only inside pixels
+    // exist — each explodes to the ≤4 blocks it corners (bit = corner
+    // index), one groupBy ORs the case together; empty blocks (case 0,
+    // the overwhelming majority of a 100 TB raster) are never
+    // materialized. Pure integer arithmetic end to end.
+    "q135_contours" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensure(s, dir)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
+          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
+        .groupBy("px", "py").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+        .select(explode(array(
+          struct(col("px").as("bx"), col("py").as("by"), lit(1L).as("bit")),
+          struct((col("px") - 1).as("bx"), col("py").as("by"), lit(2L).as("bit")),
+          struct((col("px") - 1).as("bx"), (col("py") - 1).as("by"), lit(4L).as("bit")),
+          struct(col("px").as("bx"), (col("py") - 1).as("by"), lit(8L).as("bit")))).as("c"))
+        .select(col("c.bx"), col("c.by"), col("c.bit"))
+        .groupBy("bx", "by")
+        .agg(sum("bit").as("mscase")) // each corner lands once per block: sum ≡ bit_or
+        .groupBy("mscase")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(expr("CASE WHEN mscase IN (5, 10) THEN 2 WHEN mscase = 15 THEN 0 ELSE 1 END"))
+            .as("n_segs"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -3053,6 +3082,23 @@ object SparkEntry {
          SELECT d // 4096 AS blk, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS sum_h
          FROM h$order GROUP BY 1"""
     },
+    // ground truth: same sparse corner-explode (UNION ALL of the 4 corner
+    // roles), same 16-case segment table — integer arithmetic throughout
+    "q135_contours" ->
+      s"""WITH pix AS (SELECT ${txSql("lon", 8)} AS px, ${tySql("lat", 8)} AS py FROM $IMG),
+         cnt AS (SELECT px, py, COUNT(*) AS cnt FROM pix GROUP BY 1, 2),
+         ins AS (SELECT px, py FROM cnt WHERE cnt >= 2),
+         corners AS (
+           SELECT px AS bx, py AS by, 1 AS bit FROM ins
+           UNION ALL SELECT px - 1, py, 2 FROM ins
+           UNION ALL SELECT px - 1, py - 1, 4 FROM ins
+           UNION ALL SELECT px, py - 1, 8 FROM ins),
+         blocks AS (SELECT bx, by, CAST(SUM(bit) AS BIGINT) AS mscase
+           FROM corners GROUP BY 1, 2)
+         SELECT mscase, COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN mscase IN (5, 10) THEN 2
+                         WHEN mscase = 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_segs
+         FROM blocks GROUP BY 1""",
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence
