@@ -1215,6 +1215,24 @@ object SparkEntry {
           sum(expr("CASE WHEN mscase IN (5, 10) THEN 2 WHEN mscase = 15 THEN 0 ELSE 1 END"))
             .as("n_segs"))
     }),
+    // EXACT DISTRIBUTED QUANTILES (data profiling): p50/p90/p99 of event
+    // value cents per type, as the smallest v whose cumulative count
+    // reaches ⌈p·n/100⌉ — integer arithmetic, deterministic ties. Scale
+    // shape: ONE shuffle to the distinct-value rollup (bounded by the
+    // value cardinality, not the row count), the window then runs over
+    // rollup rows only — never a full data sort, never approxQuantile.
+    "q136_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("v")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), centsOf(col("value")).as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(cum))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        .withColumn("p", explode(array(lit(50L), lit(90L), lit(99L))))
+        .where(col("cum") >= expr("(n * p + 99) DIV 100"))
+        .groupBy("event_type", "p").agg(min("v").as("qv"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -3099,6 +3117,21 @@ object SparkEntry {
            CAST(SUM(CASE WHEN mscase IN (5, 10) THEN 2
                          WHEN mscase = 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_segs
          FROM blocks GROUP BY 1""",
+    // ground truth: the same explicit rank definition (smallest v with
+    // cum ≥ ⌈p·n/100⌉) — NOT a builtin quantile function, so both engines
+    // share one pinned tie/interpolation rule
+    "q136_quantiles" ->
+      """WITH ev AS (SELECT event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+         cnt AS (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         cum AS (SELECT event_type, v,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n FROM cnt),
+         ps AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+         SELECT event_type, p, MIN(v) AS qv
+         FROM cum, ps WHERE cum >= (n * p + 99) // 100
+         GROUP BY 1, 2""",
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence
