@@ -1233,6 +1233,124 @@ object SparkEntry {
         .where(col("cum") >= expr("(n * p + 99) DIV 100"))
         .groupBy("event_type", "p").agg(min("v").as("qv"))
     }),
+    // TRIANGLE COUNT + clustering coefficient over the zone-adjacency
+    // graph — the standard DEGREE-ORIENTED algorithm: orient every edge
+    // from its (deg, id)-smaller endpoint, so each triangle has exactly
+    // ONE representation u→v→w with u→w, and per-vertex wedge fan-out is
+    // bounded by out-degree ≤ O(√m) even on skewed graphs (the naive
+    // node-iterator is quadratic in the hub degree; orientation is the
+    // 100 TB mitigation). Three equi-joins + one agg, all BIGINT; the
+    // coefficient rides as ppm so both engines use one integer rule.
+    "q137_triangles" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      val sym = SpatialJoins.polyJoin(z, z, level = 8)
+        .where(col("a_id") =!= col("b_id"))
+      val deg = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
+      val pz = graft.join.Graph.triangles(sym, "a_id", "b_id")
+        .select(col("id"), col("n_tri").as("nt"))
+      z.select(col("zone_id").as("id"))
+        .join(deg, Seq("id"), "left").join(pz, Seq("id"), "left")
+        .select(col("id").as("zone_id"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("nt"), lit(0L)).as("n_tri"))
+        .withColumn("cc_ppm",
+          expr("(2 * n_tri * 1000000) div GREATEST(deg * (deg - 1), 1)"))
+    }),
+    // BIGRAM-LM QUALITY SCORE (CCNet-style corpus-model signal): train an
+    // add-one-smoothed bigram transition model ON the corpus itself, then
+    // score each doc by its mean transition likelihood. Everything is ppm
+    // integer math — (c₂+1)·10⁶ div (c₁+V) — so there is no float-log
+    // ordering hazard and the DuckDB mirror is bit-exact. Scale shape:
+    // the model is vocab-bounded (≪ corpus), built by one shuffle; c₁ and
+    // V derive FROM the bigram rollup (no second corpus pass); the
+    // score join is a plain equi-join on (w1, w2) that AQE can skew-split.
+    "q138_lm_quality" -> ((s, dir) => {
+      val big = t(s, dir, "documents")
+        // the pinned six-char whitespace contract (= wsToksSql)
+        .withColumn("tk", split(trim(col("text"), " \t\n\u000B\f\r"),
+          "[ \\t\\n\\x0B\\f\\r]+"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 2
+               THEN transform(sequence(1, size(tk) - 1),
+                 i -> named_struct('w1', element_at(tk, i),
+                                   'w2', element_at(tk, i + 1)))
+               ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+             END""")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val v = c2.select(countDistinct("w2").as("vocab"))
+      val model = c2.join(c1, "w1").crossJoin(broadcast(v))
+        .withColumn("ppm", expr("((c2 + 1) * 1000000) div (c1 + vocab)"))
+        .select("w1", "w2", "ppm")
+      big.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_big"), sum("ppm").as("sum_ppm"))
+        .withColumn("score", expr("sum_ppm div n_big"))
+        .groupBy(expr("score div 250").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_big").as("sum_big"),
+          min("score").as("min_score"), max("score").as("max_score"))
+    }),
+    // TIME-SERIES RESAMPLE / GAP-FILL: linearly interpolate the event
+    // value onto a fixed hourly grid, per type — the lag-window + explode
+    // shape (one shuffle for the window, grid points generated inside the
+    // owning segment, never a time×series cross join). All arithmetic is
+    // BIGINT micros × cents; Spark `div` and DuckDB `//` share trunc-
+    // toward-zero semantics (verified), so interpolation is bit-exact.
+    "q139_resample" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("tu", "eid")
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id").as("eid"),
+          unix_micros(col("ts").cast("timestamp")).as("tu"),
+          centsOf(col("value")).as("vc"))
+        .withColumn("ptu", lag("tu", 1).over(w))
+        .withColumn("pvc", lag("vc", 1).over(w))
+        .where(col("ptu").isNotNull && col("tu") > col("ptu"))
+        // grid points g = k·3600e6 with ptu < g ≤ tu: each grid instant
+        // belongs to exactly one segment (half-open ownership)
+        .withColumn("k", explode(expr(
+          """CASE WHEN ptu div 3600000000 + 1 <= tu div 3600000000
+               THEN sequence(ptu div 3600000000 + 1, tu div 3600000000)
+               ELSE CAST(array() AS ARRAY<BIGINT>) END""")))
+        .select(col("event_type"), col("k").as("hour_idx"), expr(
+          "pvc + ((vc - pvc) * (k * 3600000000 - ptu)) div (tu - ptu)").as("vq"))
+    }),
+    // RASTER FOCAL GRADIENT (hillshade-family terrain op over the image
+    // heat field): central-difference gx/gy at every occupied z8 pixel
+    // via ONE 4-probe equi-join (explode E/W/N/S offsets on the rolled-up
+    // pixel side — bounded, never a neighborhood cross join), then an
+    // integer octant classification (flat = −1, 0..7 = E,NE,N,NW,W,SW,S,SE
+    // by sign + |gx| vs |gy| with the tie pinned to the diagonal). The
+    // whole op is two shuffles on pixel keys — the focal-statistics shape
+    // that scales to any raster because cost rides the OCCUPIED cells.
+    "q140_gradient" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensure(s, dir)
+      val px = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
+          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
+        .groupBy("px", "py").agg(count(lit(1)).as("c"))
+      val probes = px.select(col("px").as("cx"), col("py").as("cy"))
+        .withColumn("o", explode(expr(
+          """array(named_struct('dx', 1L, 'dy', 0L), named_struct('dx', -1L, 'dy', 0L),
+                   named_struct('dx', 0L, 'dy', 1L), named_struct('dx', 0L, 'dy', -1L))""")))
+        .select(col("cx"), col("cy"), col("o.dx").as("dx"), col("o.dy").as("dy"),
+          (col("cx") + col("o.dx")).as("px"), (col("cy") + col("o.dy")).as("py"))
+      probes.join(px, Seq("px", "py"))
+        .groupBy("cx", "cy")
+        .agg(sum(expr("dx * c")).as("gx"), sum(expr("dy * c")).as("gy"))
+        .withColumn("aspect", expr(
+          """CASE WHEN gx = 0 AND gy = 0 THEN -1L
+                  WHEN abs(gx) > abs(gy) THEN (CASE WHEN gx > 0 THEN 0L ELSE 4L END)
+                  WHEN abs(gy) > abs(gx) THEN (CASE WHEN gy > 0 THEN 2L ELSE 6L END)
+                  WHEN gx > 0 AND gy > 0 THEN 1L
+                  WHEN gx < 0 AND gy > 0 THEN 3L
+                  WHEN gx < 0 AND gy < 0 THEN 5L
+                  ELSE 7L END"""))
+        .groupBy("aspect")
+        .agg(count(lit(1)).as("n_pix"),
+          sum(expr("gx * gx + gy * gy")).as("sum_slope2"),
+          max(expr("gx * gx + gy * gy")).as("max_slope2"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -3132,6 +3250,97 @@ object SparkEntry {
          SELECT event_type, p, MIN(v) AS qv
          FROM cum, ps WHERE cum >= (n * p + 99) // 100
          GROUP BY 1, 2""",
+    // ground truth: rect-overlap adjacency (zones are rectangles, so
+    // st_intersects ≡ the BETWEEN test, same as q131's edge CTE), then
+    // the identical degree-oriented triangle join
+    "q137_triangles" ->
+      s"""WITH sym AS (SELECT a.zone_id AS s, b.zone_id AS d FROM $ZON a JOIN $ZON b
+             ON a.zone_id <> b.zone_id
+            AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+            AND a.ymin <= b.ymax AND b.ymin <= a.ymax),
+         deg AS (SELECT s AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+         o AS (SELECT sym.s AS u, sym.d AS v FROM sym
+           JOIN deg da ON da.id = sym.s JOIN deg db ON db.id = sym.d
+           WHERE da.deg < db.deg OR (da.deg = db.deg AND sym.s < sym.d)),
+         tri AS (SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc FROM o e1
+           JOIN o e2 ON e2.u = e1.v
+           JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pz AS (SELECT id, COUNT(*) AS nt FROM (
+             SELECT ta AS id FROM tri UNION ALL SELECT tb FROM tri
+             UNION ALL SELECT tc FROM tri) GROUP BY 1)
+         SELECT z.zone_id, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg,
+           CAST(COALESCE(p.nt, 0) AS BIGINT) AS n_tri,
+           CAST((2 * COALESCE(p.nt, 0) * 1000000)
+             // GREATEST(COALESCE(dg.deg, 0) * (COALESCE(dg.deg, 0) - 1), 1) AS BIGINT) AS cc_ppm
+         FROM $ZON z LEFT JOIN deg dg ON dg.id = z.zone_id
+         LEFT JOIN pz p ON p.id = z.zone_id""",
+    // ground truth: the same corpus-trained add-one bigram model in pure
+    // integer ppm arithmetic — c1/V derive from the c2 rollup exactly as
+    // the engine does, so both sides score identical transitions
+    "q138_lm_quality" ->
+      s"""WITH toks AS (SELECT doc_id, $wsToksSql AS tk FROM documents),
+         big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+                 FROM toks)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM c2),
+         model AS (SELECT w1, w2, ((c2 + 1) * 1000000) // (c1 + vocab) AS ppm
+           FROM c2 JOIN c1 USING (w1), v),
+         ds AS (SELECT doc_id, COUNT(*) AS n_big,
+             CAST(SUM(ppm) AS BIGINT) AS sum_ppm
+           FROM big JOIN model USING (w1, w2) GROUP BY 1),
+         sc AS (SELECT doc_id, n_big, sum_ppm // n_big AS score FROM ds)
+         SELECT CAST(score // 250 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_big) AS BIGINT) AS sum_big,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+         FROM sc GROUP BY 1""",
+    // ground truth: identical lag window + half-open grid ownership +
+    // trunc-division interpolation (DuckDB // and Spark div both truncate
+    // toward zero — verified on negatives)
+    "q139_resample" ->
+      """WITH ev AS (SELECT event_type, event_id AS eid, epoch_us(ts) AS tu,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         lg AS (SELECT event_type, tu, vc,
+           LAG(tu) OVER (PARTITION BY event_type ORDER BY tu, eid) AS ptu,
+           LAG(vc) OVER (PARTITION BY event_type ORDER BY tu, eid) AS pvc
+           FROM ev),
+         seg AS (SELECT * FROM lg WHERE ptu IS NOT NULL AND tu > ptu),
+         g AS (SELECT event_type, tu, vc, ptu, pvc,
+           unnest(generate_series(ptu // 3600000000 + 1, tu // 3600000000)) AS k
+           FROM seg)
+         SELECT event_type, CAST(k AS BIGINT) AS hour_idx,
+           CAST(pvc + ((vc - pvc) * (k * 3600000000 - ptu)) // (tu - ptu) AS BIGINT) AS vq
+         FROM g""",
+    // ground truth: the same z8 pixel rollup (txSql/tySql closed forms),
+    // 4-neighbor central differences rebuilt by LEFT-join lookups
+    // (missing neighbor = 0), identical octant CASE
+    "q140_gradient" -> {
+      def nb(dx: Int, dy: Int, alias: String) =
+        s"LEFT JOIN pix $alias ON $alias.px = p.px + ($dx) AND $alias.py = p.py + ($dy)"
+      s"""WITH pix AS (
+           SELECT ${txSql("lon", 8)} AS px, ${tySql("lat", 8)} AS py, COUNT(*) AS c
+           FROM $IMG GROUP BY 1, 2),
+         grad AS (SELECT p.px, p.py,
+             COALESCE(e.c, 0) - COALESCE(w.c, 0) AS gx,
+             COALESCE(n.c, 0) - COALESCE(s.c, 0) AS gy
+           FROM pix p ${nb(1, 0, "e")} ${nb(-1, 0, "w")}
+           ${nb(0, 1, "n")} ${nb(0, -1, "s")}
+           WHERE e.c IS NOT NULL OR w.c IS NOT NULL
+              OR n.c IS NOT NULL OR s.c IS NOT NULL),
+         cls AS (SELECT px, py, gx, gy,
+           CASE WHEN gx = 0 AND gy = 0 THEN -1
+                WHEN abs(gx) > abs(gy) THEN (CASE WHEN gx > 0 THEN 0 ELSE 4 END)
+                WHEN abs(gy) > abs(gx) THEN (CASE WHEN gy > 0 THEN 2 ELSE 6 END)
+                WHEN gx > 0 AND gy > 0 THEN 1
+                WHEN gx < 0 AND gy > 0 THEN 3
+                WHEN gx < 0 AND gy < 0 THEN 5
+                ELSE 7 END AS aspect FROM grad)
+         SELECT CAST(aspect AS BIGINT) AS aspect, COUNT(*) AS n_pix,
+           CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS sum_slope2,
+           CAST(MAX(gx * gx + gy * gy) AS BIGINT) AS max_slope2
+         FROM cls GROUP BY 1""" },
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence

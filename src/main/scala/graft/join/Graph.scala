@@ -175,4 +175,38 @@ object Graph {
     }
     rank
   }
+
+  /**
+   * Per-vertex triangle counts over an UNDIRECTED edge list — the
+   * DEGREE-ORIENTED algorithm: orient every edge from its
+   * (degree, id)-smaller endpoint, so each triangle has exactly one
+   * representation u→v→w with u→w present, and the wedge fan-out any
+   * single vertex generates is bounded by its OUT-degree — O(√m) after
+   * orientation even on power-law graphs. The naive node-iterator
+   * (join both edge orientations) generates deg² wedges at hubs, which
+   * is the quadratic blowup this orientation exists to avoid; at 100 TB
+   * hub degrees in the millions make that difference decisive.
+   * Three shuffle equi-joins + one aggregate, all BIGINT.
+   *
+   * @return (id, n_tri) for every vertex in at least one triangle;
+   *         triangle-free vertices are absent (callers left-join)
+   */
+  def triangles(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+      .where(col("s") =!= col("d")).distinct()
+    val deg = sym.groupBy(col("s").as("id")).agg(F.count(lit(1)).as("deg"))
+    val o = sym
+      .join(deg.select(col("id").as("s"), col("deg").as("da")), "s")
+      .join(deg.select(col("id").as("d"), col("deg").as("db")), "d")
+      .where(col("da") < col("db") ||
+        (col("da") === col("db") && col("s") < col("d")))
+      .select(col("s").as("u"), col("d").as("v"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .join(o.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+    tri.select(F.explode(F.array(col("ta"), col("tb"), col("tc"))).as("id"))
+      .groupBy("id").agg(F.count(lit(1)).as("n_tri"))
+  }
 }
