@@ -1351,6 +1351,91 @@ object SparkEntry {
           sum(expr("gx * gx + gy * gy")).as("sum_slope2"),
           max(expr("gx * gx + gy * gy")).as("max_slope2"))
     }),
+    // EDIT-DISTANCE-REFINED NEAR-DUP: MinHash-band candidates (the q18
+    // blocking — never all-pairs) refined by EXACT Levenshtein with a
+    // length-normalized keep rule (lev ≤ 20% of the longer text), all in
+    // integer arithmetic. Both engines run their built-in DP levenshtein;
+    // they agree char-for-char because the corpus is printable ASCII
+    // (verified: 0 non-ASCII rows — DuckDB's is byte-based, Spark's
+    // char-based, identical on this domain). Scale: candidates are
+    // band-bounded, each pair pays one O(len²) refine — the CPU-heavy
+    // refine rides AFTER blocking, the standard fuzzy-dedup shape.
+    "q141_editdist_refine" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = GeoTables.docsAug(s, dir)
+        .select(col("doc_id"), col("text"),
+          call_function("text_minhash", col("text"), lit(16)).as("sig"))
+        .withColumn("band", explode(call_function("lsh_bands", col("sig"), lit(4))))
+      val a = d.select(col("doc_id").as("a"), col("text").as("ta"), col("band"))
+      val b = d.select(col("doc_id").as("b"), col("text").as("tb"), col("band"))
+      a.join(b, "band").where(col("a") < col("b"))
+        .select("a", "b", "ta", "tb").distinct()
+        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("bigint"))
+        .where(expr("lev * 5 <= GREATEST(length(ta), length(tb))"))
+        .select(col("a"), col("b"), col("lev"))
+    }),
+    // RETENTION COHORTS (the classic activity analysis): cohort = each
+    // user's first active day, then distinct-active-user counts by
+    // (cohort, day offset). Two key-bounded shuffles (user-day distinct,
+    // per-user min) + one equi-join on user_id — at 100 TB the rollup is
+    // bounded by users × active days, never raw events.
+    "q142_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")) / lit(86400000000L))
+            .cast("bigint").as("day"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    // TILE OVERVIEW PYRAMID: roll the z8 occupancy raster up to z4 in ONE
+    // shuffle — every base pixel explodes its 5 ancestor keys (z, px>>k,
+    // py>>k) and a single aggregate builds every level at once, instead
+    // of 5 sequential parent-of rollups. This is the overview-building
+    // pass of a tile pipeline; cost rides the OCCUPIED base pixels × 5.
+    "q143_pyramid" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensure(s, dir)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("bx"),
+          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("by"))
+        .groupBy("bx", "by").agg(count(lit(1)).as("c"))
+        .withColumn("z", explode(expr("sequence(4L, 8L)")))
+        .select(col("z"),
+          expr("bx div shiftleft(1L, CAST(8 - z AS INT))").as("px"),
+          expr("by div shiftleft(1L, CAST(8 - z AS INT))").as("py"), col("c"))
+        .groupBy("z", "px", "py")
+        .agg(sum("c").as("n_img"), count(lit(1)).as("n_base_pix"))
+    }),
+    // PER-SOURCE DISTINCTIVE TERMS (domain-signature / corpus-drift
+    // signal): token lift = P(w | source) / P(w | corpus) in ppm integer
+    // math, top-5 per source by (lift, count, term) — fully deterministic.
+    // c_sw·T·10⁶ stays ≤ ~2^54 at these corpus sizes; a 100 TB corpus
+    // promotes the numerator to DECIMAL(38,0), same plan shape. One
+    // shuffle to (source, w), rollups derive from it; the final window
+    // runs per source over the c_sw ≥ 5 survivors only.
+    "q144_distinctive" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        // the pinned six-char whitespace contract (= wsToksSql)
+        .withColumn("tk", split(trim(col("text"), " \t\n\u000B\f\r"),
+          "[ \\t\\n\\x0B\\f\\r]+"))
+        .select(col("source"), explode(col("tk")).as("w"))
+      val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val st = sw.groupBy("source").agg(sum("c_sw").as("t_s"))
+      val tot = cw.select(sum("c_w").as("t"))
+      sw.join(cw, "w").join(st, "source").crossJoin(broadcast(tot))
+        .where(col("c_sw") >= 5)
+        .withColumn("lift_ppm", expr("(c_sw * t * 1000000) div (t_s * c_w)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(desc("lift_ppm"), desc("c_sw"), asc("w"))))
+        .where(col("rn") <= 5)
+        .select(col("source"), col("w"), col("c_sw"), col("lift_ppm"),
+          col("rn").cast("bigint").as("rn"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -3341,6 +3426,59 @@ object SparkEntry {
            CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS sum_slope2,
            CAST(MAX(gx * gx + gy * gy) AS BIGINT) AS max_slope2
          FROM cls GROUP BY 1""" },
+    // ground truth: band candidates from the materialized minhash fixture
+    // (the q18 oracle's own blocking — recompute-parity is pinned by q18
+    // passing), exact levenshtein refine; byte-vs-char semantics coincide
+    // because the corpus is pure printable ASCII
+    "q141_editdist_refine" ->
+      s"""WITH eb AS (SELECT doc_id, unnest(bands) AS band FROM $TFEAT),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM eb x JOIN eb y ON x.band = y.band AND x.doc_id < y.doc_id),
+         p AS (SELECT c.a, c.b, levenshtein(da.text, db.text) AS lev,
+             GREATEST(length(da.text), length(db.text)) AS mx
+           FROM cand c JOIN $DOCA da ON da.doc_id = c.a
+           JOIN $DOCA db ON db.doc_id = c.b)
+         SELECT a, b, CAST(lev AS BIGINT) AS lev FROM p WHERE lev * 5 <= mx""",
+    // ground truth: identical day bucketing (epoch_us // 86400e6) and
+    // first-day cohort definition
+    "q142_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day FROM events),
+         ch AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT c.cohort_day, CAST(e.day - c.cohort_day AS BIGINT) AS offset_days,
+           COUNT(*) AS n_users
+         FROM ev e JOIN ch c USING (user_id) GROUP BY 1, 2""",
+    // ground truth: same z8 rollup, same 5-ancestor explode, one aggregate
+    "q143_pyramid" ->
+      s"""WITH pix AS (
+           SELECT ${txSql("lon", 8)} AS bx, ${tySql("lat", 8)} AS by, COUNT(*) AS c
+           FROM $IMG GROUP BY 1, 2),
+         lv AS (SELECT unnest(generate_series(4, 8)) AS z),
+         up AS (SELECT CAST(z AS BIGINT) AS z,
+             bx // (1 << (8 - z)) AS px, by // (1 << (8 - z)) AS py, c
+           FROM pix, lv)
+         SELECT z, px, py, CAST(SUM(c) AS BIGINT) AS n_img,
+           COUNT(*) AS n_base_pix
+         FROM up GROUP BY 1, 2, 3""",
+    // ground truth: the same ppm lift and (lift, count, term) ranking —
+    // integer division everywhere, so no float ordering hazard
+    "q144_distinctive" ->
+      s"""WITH tok AS (SELECT source, unnest($wsToksSql) AS w FROM documents),
+         sw AS (SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY 1, 2),
+         cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+         st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM sw GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t FROM cw),
+         lf AS (SELECT sw.source, sw.w, sw.c_sw,
+             (sw.c_sw * tot.t * 1000000) // (st.t_s * cw.c_w) AS lift_ppm
+           FROM sw JOIN cw USING (w) JOIN st USING (source), tot
+           WHERE sw.c_sw >= 5),
+         rk AS (SELECT source, w, c_sw,
+             CAST(lift_ppm AS BIGINT) AS lift_ppm,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY lift_ppm DESC, c_sw DESC, w ASC) AS rn
+           FROM lf)
+         SELECT source, w, c_sw, lift_ppm, CAST(rn AS BIGINT) AS rn
+         FROM rk WHERE rn <= 5""",
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence
