@@ -1436,6 +1436,67 @@ object SparkEntry {
         .select(col("source"), col("w"), col("c_sw"), col("lift_ppm"),
           col("rn").cast("bigint").as("rn"))
     }),
+    // ORDERED FUNNEL (signup → view → click → purchase): each stage's
+    // entry time is the user's first matching event STRICTLY AFTER the
+    // previous stage — four per-user rollups chained by equi-joins on
+    // user_id, each a key-bounded shuffle (users, never raw events).
+    // Latencies stay BIGINT micros; one summary row per funnel stage.
+    "q145_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tu"))
+      def stage(prev: DataFrame, tPrev: String, typ: String, tCol: String) =
+        ev.where(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col(tPrev)), "user_id")
+          .where(col("tu") > col(tPrev))
+          .groupBy("user_id").agg(min("tu").as(tCol))
+          .join(prev, "user_id")
+      val s0 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tu").as("t0"))
+      val s1 = stage(s0, "t0", "view", "t1")
+      val s2 = stage(s1, "t1", "click", "t2")
+      val s3 = stage(s2, "t2", "purchase", "t3")
+      def row(name: String, df: DataFrame, tc: String, pc: String) =
+        df.agg(count(lit(1)).as("n_users"),
+            sum(col(tc) - col(pc)).as("sum_latency_us"))
+          .select(lit(name).as("stage"), col("n_users"), col("sum_latency_us"))
+      s0.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_signup").as("stage"), col("n_users"),
+          lit(0L).as("sum_latency_us"))
+        .unionAll(row("2_view", s1, "t1", "t0"))
+        .unionAll(row("3_click", s2, "t2", "t1"))
+        .unionAll(row("4_purchase", s3, "t3", "t2"))
+    }),
+    // RASTER BLOB LABELING (connected components over the hot-pixel
+    // raster — the blob-detection step of a heat/anomaly pipeline):
+    // hot z8 pixels (cnt ≥ 2), 4-adjacency edges from TWO shifted
+    // equi-joins (E and N probes — each undirected edge materializes
+    // once), components label = min pixel key, per-blob size/mass/bbox.
+    // Edges are raster-local (≤2 per pixel), so the component step is
+    // the same hash-min machinery q55/q61 run on dedup graphs.
+    "q146_blobs" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensure(s, dir)
+      val hot = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
+          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
+        .groupBy("px", "py").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+        .withColumn("pid", col("px") * 1024L + col("py"))
+      def shiftEdge(dx: Int, dy: Int) = hot.select(col("pid").as("a"),
+          (col("px") + dx).as("px"), (col("py") + dy).as("py"))
+        .join(hot.select(col("pid").as("b"), col("px"), col("py")), Seq("px", "py"))
+        .select("a", "b")
+      val pairs = shiftEdge(1, 0).unionAll(shiftEdge(0, 1))
+      val reps = graft.join.ImageDedup.components(pairs)
+        .withColumnRenamed("id", "pid")
+      hot.join(reps, Seq("pid"), "left")
+        .withColumn("blob", coalesce(col("rep"), col("pid")))
+        .groupBy("blob")
+        .agg(count(lit(1)).as("n_pix"), sum("cnt").as("mass"),
+          min("px").as("x0"), max("px").as("x1"),
+          min("py").as("y0"), max("py").as("y1"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -3479,6 +3540,50 @@ object SparkEntry {
            FROM lf)
          SELECT source, w, c_sw, lift_ppm, CAST(rn AS BIGINT) AS rn
          FROM rk WHERE rn <= 5""",
+    // ground truth: the same strictly-after chained stage mins; an empty
+    // stage yields COUNT 0 + NULL latency in both engines
+    "q145_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+         s0 AS (SELECT user_id, MIN(tu) AS t0 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         s1 AS (SELECT e.user_id, MIN(e.tu) AS t1, MIN(s0.t0) AS t0
+           FROM ev e JOIN s0 ON s0.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.tu > s0.t0 GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.tu) AS t2, MIN(s1.t1) AS t1
+           FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.tu > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.tu) AS t3, MIN(s2.t2) AS t2
+           FROM ev e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.tu > s2.t2 GROUP BY 1)
+         SELECT '1_signup' AS stage, COUNT(*) AS n_users,
+           CAST(0 AS BIGINT) AS sum_latency_us FROM s0
+         UNION ALL SELECT '2_view', COUNT(*), CAST(SUM(t1 - t0) AS BIGINT) FROM s1
+         UNION ALL SELECT '3_click', COUNT(*), CAST(SUM(t2 - t1) AS BIGINT) FROM s2
+         UNION ALL SELECT '4_purchase', COUNT(*), CAST(SUM(t3 - t2) AS BIGINT) FROM s3""",
+    // ground truth: same hot-pixel raster, E/N shifted adjacency, and the
+    // q132-style recursive min-label closure
+    "q146_blobs" ->
+      s"""WITH RECURSIVE pix AS (
+           SELECT ${txSql("lon", 8)} AS px, ${tySql("lat", 8)} AS py, COUNT(*) AS cnt
+           FROM $IMG GROUP BY 1, 2),
+         hot AS (SELECT px, py, cnt, px * 1024 + py AS pid FROM pix WHERE cnt >= 2),
+         e0 AS (SELECT h.pid AS a, n.pid AS b FROM hot h
+             JOIN hot n ON n.px = h.px + 1 AND n.py = h.py
+           UNION ALL SELECT h.pid, n.pid FROM hot h
+             JOIN hot n ON n.px = h.px AND n.py = h.py + 1),
+         edges AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0),
+         cc(node, rep) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, cc.rep FROM cc JOIN edges e ON e.s = cc.node),
+         reps AS (SELECT node, MIN(rep) AS rep FROM cc GROUP BY 1),
+         lab AS (SELECT h.px, h.py, h.cnt, COALESCE(r.rep, h.pid) AS blob
+           FROM hot h LEFT JOIN reps r ON r.node = h.pid)
+         SELECT CAST(blob AS BIGINT) AS blob, COUNT(*) AS n_pix,
+           CAST(SUM(cnt) AS BIGINT) AS mass,
+           CAST(MIN(px) AS BIGINT) AS x0, CAST(MAX(px) AS BIGINT) AS x1,
+           CAST(MIN(py) AS BIGINT) AS y0, CAST(MAX(py) AS BIGINT) AS y1
+         FROM lab GROUP BY 1""",
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence
