@@ -1497,6 +1497,39 @@ object SparkEntry {
           min("px").as("x0"), max("px").as("x1"),
           min("py").as("y0"), max("py").as("y1"))
     }),
+    // OLAP ROLLUP: hierarchical subtotals (type, day) → (type) → grand
+    // total in ONE pass — Spark expands the grouping sets before the
+    // shuffle (each row contributes to every level map-side), so the
+    // subtotal levels are free relative to separate queries. grouping()
+    // flags disambiguate NULL-as-subtotal from NULL data.
+    "q147_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts").cast("timestamp")) / lit(86400000000L))
+            .cast("bigint").as("day"),
+          centsOf(col("value")).as("vc"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
+          grouping(col("event_type")).cast("bigint").as("g_type"),
+          grouping(col("day")).cast("bigint").as("g_day"))
+    }),
+    // PIVOT (long → wide): per-day event counts fanned into one column
+    // per type — the reshape every analytics consumer asks for; Spark
+    // pivots in a single aggregate with map-side partials (values are
+    // enumerated, so no second pass to discover columns).
+    "q148_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select((unix_micros(col("ts").cast("timestamp")) / lit(86400000000L))
+            .cast("bigint").as("day"),
+          col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("signup", "view", "click", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("day"), col("signup").as("n_signup"), col("view").as("n_view"),
+          col("click").as("n_click"), col("purchase").as("n_purchase"),
+          col("error").as("n_error"))
+    }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
     // image pixel-count field from points in the 3×3 neighbor cells — a
@@ -3584,6 +3617,26 @@ object SparkEntry {
            CAST(MIN(px) AS BIGINT) AS x0, CAST(MAX(px) AS BIGINT) AS x1,
            CAST(MIN(py) AS BIGINT) AS y0, CAST(MAX(py) AS BIGINT) AS y1
          FROM lab GROUP BY 1""",
+    // ground truth: GROUP BY ROLLUP with GROUPING() flags — identical
+    // subtotal lattice in both engines
+    "q147_rollup" ->
+      """SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(epoch_us(ts) // 86400000000) AS BIGINT) AS g_day
+         FROM events GROUP BY ROLLUP (event_type, day)""",
+    // ground truth: conditional aggregation — the relational spelling of
+    // the same wide reshape
+    "q148_pivot" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY 1""",
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence
