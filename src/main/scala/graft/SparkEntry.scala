@@ -129,6 +129,23 @@ object SparkEntry {
   private val wsToksSql: String =
     """string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0b\f\r]+')"""
 
+  /** Spark mirror of [[wsToksSql]] — THE pinned six-char whitespace
+    * tokenizer. Every query tokenizing `text` must call this, never
+    * hand-copy the expression (review: 4 copies had accumulated). */
+  private def wsToks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(trim(c, " \t\n\u000B\f\r"), "[ \\t\\n\\x0B\\f\\r]+")
+
+  /** Occupied z8 pixel rollup (px, py, c) over the images table — the
+    * shared raster base of q116/q140/q143/q146 (review: 5 copies). */
+  private def z8Pixels(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.install(s)
+    GeoTables.ensure(s, dir)
+    s.read.parquet(GeoTables.imagesPath(dir))
+      .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
+        call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
+      .groupBy("px", "py").agg(count(lit(1)).as("c"))
+  }
+
   /** Shared q113/q114 oracle prefix: tokenize → index every 8-token
     * window → 60-bit md5-prefix signature, carrying `cols` through. */
   private def windowSigSql(cols: String): String =
@@ -864,7 +881,7 @@ object SparkEntry {
       val cap = 2048L
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
-          size(split(trim(col("text"), " \t\n\u000B\f\r"), "[ \\t\\n\\x0B\\f\\r]+"))
+          size(wsToks(col("text")))
             .cast("bigint").as("n_tok"))
       val maxId = docs.agg(max("doc_id")).head.getLong(0)
       val width = math.max(1L, (maxId + 1024L) / 1024L)
@@ -1195,12 +1212,7 @@ object SparkEntry {
     // the overwhelming majority of a 100 TB raster) are never
     // materialized. Pure integer arithmetic end to end.
     "q135_contours" -> ((s, dir) => {
-      GraftFunctions.install(s)
-      GeoTables.ensure(s, dir)
-      s.read.parquet(GeoTables.imagesPath(dir))
-        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
-          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
-        .groupBy("px", "py").agg(count(lit(1)).as("cnt"))
+      z8Pixels(s, dir).withColumnRenamed("c", "cnt")
         .where(col("cnt") >= 2)
         .select(explode(array(
           struct(col("px").as("bx"), col("py").as("by"), lit(1L).as("bit")),
@@ -1243,16 +1255,17 @@ object SparkEntry {
     // coefficient rides as ppm so both engines use one integer rule.
     "q137_triangles" -> ((s, dir) => {
       val z = GeoTables.zones(s, dir)
+      // polyJoin output is symmetric, distinct and (after the filter)
+      // irreflexive — canonical=true skips the re-symmetrize shuffle, and
+      // triangles() returns deg so the adjacency aggregates exactly once
       val sym = SpatialJoins.polyJoin(z, z, level = 8)
         .where(col("a_id") =!= col("b_id"))
-      val deg = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
-      val pz = graft.join.Graph.triangles(sym, "a_id", "b_id")
-        .select(col("id"), col("n_tri").as("nt"))
+      val td = graft.join.Graph.triangles(sym, "a_id", "b_id", canonical = true)
       z.select(col("zone_id").as("id"))
-        .join(deg, Seq("id"), "left").join(pz, Seq("id"), "left")
+        .join(td, Seq("id"), "left")
         .select(col("id").as("zone_id"),
           coalesce(col("deg"), lit(0L)).as("deg"),
-          coalesce(col("nt"), lit(0L)).as("n_tri"))
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
         .withColumn("cc_ppm",
           expr("(2 * n_tri * 1000000) div GREATEST(deg * (deg - 1), 1)"))
     }),
@@ -1267,8 +1280,7 @@ object SparkEntry {
     "q138_lm_quality" -> ((s, dir) => {
       val big = t(s, dir, "documents")
         // the pinned six-char whitespace contract (= wsToksSql)
-        .withColumn("tk", split(trim(col("text"), " \t\n\u000B\f\r"),
-          "[ \\t\\n\\x0B\\f\\r]+"))
+        .withColumn("tk", wsToks(col("text")))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(tk) >= 2
                THEN transform(sequence(1, size(tk) - 1),
@@ -1323,12 +1335,7 @@ object SparkEntry {
     // whole op is two shuffles on pixel keys — the focal-statistics shape
     // that scales to any raster because cost rides the OCCUPIED cells.
     "q140_gradient" -> ((s, dir) => {
-      GraftFunctions.install(s)
-      GeoTables.ensure(s, dir)
-      val px = s.read.parquet(GeoTables.imagesPath(dir))
-        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
-          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
-        .groupBy("px", "py").agg(count(lit(1)).as("c"))
+      val px = z8Pixels(s, dir)
       val probes = px.select(col("px").as("cx"), col("py").as("cy"))
         .withColumn("o", explode(expr(
           """array(named_struct('dx', 1L, 'dy', 0L), named_struct('dx', -1L, 'dy', 0L),
@@ -1362,14 +1369,19 @@ object SparkEntry {
     // refine rides AFTER blocking, the standard fuzzy-dedup shape.
     "q141_editdist_refine" -> ((s, dir) => {
       GraftFunctions.install(s)
-      val d = GeoTables.docsAug(s, dir)
-        .select(col("doc_id"), col("text"),
+      val docs = GeoTables.docsAug(s, dir)
+      val d = docs
+        .select(col("doc_id"),
           call_function("text_minhash", col("text"), lit(16)).as("sig"))
         .withColumn("band", explode(call_function("lsh_bands", col("sig"), lit(4))))
-      val a = d.select(col("doc_id").as("a"), col("text").as("ta"), col("band"))
-      val b = d.select(col("doc_id").as("b"), col("text").as("tb"), col("band"))
+      val a = d.select(col("doc_id").as("a"), col("band"))
+      val b = d.select(col("doc_id").as("b"), col("band"))
+      // dedup bare id pairs BEFORE pulling texts: the band join emits up
+      // to 4 rows per pair and texts are the wide payload (review)
       a.join(b, "band").where(col("a") < col("b"))
-        .select("a", "b", "ta", "tb").distinct()
+        .select("a", "b").distinct()
+        .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
         .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("bigint"))
         .where(expr("lev * 5 <= GREATEST(length(ta), length(tb))"))
         .select(col("a"), col("b"), col("lev"))
@@ -1382,8 +1394,7 @@ object SparkEntry {
     "q142_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"),
-          (unix_micros(col("ts").cast("timestamp")) / lit(86400000000L))
-            .cast("bigint").as("day"))
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
         .distinct()
       val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
       ev.join(cohort, "user_id")
@@ -1396,12 +1407,8 @@ object SparkEntry {
     // of 5 sequential parent-of rollups. This is the overview-building
     // pass of a tile pipeline; cost rides the OCCUPIED base pixels × 5.
     "q143_pyramid" -> ((s, dir) => {
-      GraftFunctions.install(s)
-      GeoTables.ensure(s, dir)
-      s.read.parquet(GeoTables.imagesPath(dir))
-        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("bx"),
-          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("by"))
-        .groupBy("bx", "by").agg(count(lit(1)).as("c"))
+      z8Pixels(s, dir)
+        .withColumnRenamed("px", "bx").withColumnRenamed("py", "by")
         .withColumn("z", explode(expr("sequence(4L, 8L)")))
         .select(col("z"),
           expr("bx div shiftleft(1L, CAST(8 - z AS INT))").as("px"),
@@ -1419,8 +1426,7 @@ object SparkEntry {
     "q144_distinctive" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         // the pinned six-char whitespace contract (= wsToksSql)
-        .withColumn("tk", split(trim(col("text"), " \t\n\u000B\f\r"),
-          "[ \\t\\n\\x0B\\f\\r]+"))
+        .withColumn("tk", wsToks(col("text")))
         .select(col("source"), explode(col("tk")).as("w"))
       val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
       val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
@@ -1475,12 +1481,7 @@ object SparkEntry {
     // Edges are raster-local (≤2 per pixel), so the component step is
     // the same hash-min machinery q55/q61 run on dedup graphs.
     "q146_blobs" -> ((s, dir) => {
-      GraftFunctions.install(s)
-      GeoTables.ensure(s, dir)
-      val hot = s.read.parquet(GeoTables.imagesPath(dir))
-        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
-          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
-        .groupBy("px", "py").agg(count(lit(1)).as("cnt"))
+      val hot = z8Pixels(s, dir).withColumnRenamed("c", "cnt")
         .where(col("cnt") >= 2)
         .withColumn("pid", col("px") * 1024L + col("py"))
       def shiftEdge(dx: Int, dy: Int) = hot.select(col("pid").as("a"),
@@ -1505,8 +1506,7 @@ object SparkEntry {
     "q147_rollup" -> ((s, dir) => {
       t(s, dir, "events")
         .select(col("event_type"),
-          (unix_micros(col("ts").cast("timestamp")) / lit(86400000000L))
-            .cast("bigint").as("day"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
           centsOf(col("value")).as("vc"))
         .rollup("event_type", "day")
         .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
@@ -1519,8 +1519,7 @@ object SparkEntry {
     // enumerated, so no second pass to discover columns).
     "q148_pivot" -> ((s, dir) => {
       t(s, dir, "events")
-        .select((unix_micros(col("ts").cast("timestamp")) / lit(86400000000L))
-            .cast("bigint").as("day"),
+        .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
           col("event_type"))
         .groupBy("day")
         .pivot("event_type", Seq("signup", "view", "click", "purchase", "error"))
@@ -1572,11 +1571,7 @@ object SparkEntry {
     // the finished raster artifact (counts + hot bitmask) a tile server
     // would publish.
     "q116_heat_raster" -> ((s, dir) => {
-      GraftFunctions.install(s)
-      val px = s.read.parquet(GeoTables.imagesPath(dir))
-        .select(call_function("st_tile_x", col("lon"), lit(8)).cast("bigint").as("px"),
-          call_function("st_tile_y", col("lat"), lit(8)).cast("bigint").as("py"))
-        .groupBy("px", "py").agg(count(lit(1)).as("cnt"))
+      val px = z8Pixels(s, dir).withColumnRenamed("c", "cnt")
         .select(expr("px div 16").as("tx"), expr("py div 16").as("ty"),
           ((col("py") % 16) * 16 + (col("px") % 16)).as("i"),
           col("cnt"), (col("cnt") >= 3).as("hot"))
@@ -1620,8 +1615,7 @@ object SparkEntry {
       t(s, dir, "documents")
         // the pinned six-char whitespace contract (= Text.wsTokens /
         // wsToksSql): explicit class on BOTH engines, never \s
-        .withColumn("tk", split(trim(col("text"), " \t\n\u000B\f\r"),
-          "[ \\t\\n\\x0B\\f\\r]+"))
+        .withColumn("tk", wsToks(col("text")))
         .select(col("doc_id"), explode(array(lit(2), lit(5))).as("n"), col("tk"))
         .select(col("doc_id"), col("n"), explode(expr(
           """CASE WHEN size(tk) >= n

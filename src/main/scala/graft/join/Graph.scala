@@ -188,13 +188,20 @@ object Graph {
    * hub degrees in the millions make that difference decisive.
    * Three shuffle equi-joins + one aggregate, all BIGINT.
    *
-   * @return (id, n_tri) for every vertex in at least one triangle;
-   *         triangle-free vertices are absent (callers left-join)
+   * @param canonical the input is ALREADY symmetric, distinct and
+   *        irreflexive (e.g. [[SpatialJoins.polyJoin]] output) — skips
+   *        the symmetrize+distinct shuffle entirely (review)
+   * @return (id, deg, n_tri) for every vertex with deg ≥ 1 — deg is
+   *         returned so callers don't re-aggregate the adjacency;
+   *         triangle-free vertices carry n_tri = 0
    */
-  def triangles(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
-      .where(col("s") =!= col("d")).distinct()
+  def triangles(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                canonical: Boolean = false): DataFrame = {
+    val sym =
+      if (canonical) edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      else edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+        .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+        .where(col("s") =!= col("d")).distinct()
     val deg = sym.groupBy(col("s").as("id")).agg(F.count(lit(1)).as("deg"))
     val o = sym
       .join(deg.select(col("id").as("s"), col("deg").as("da")), "s")
@@ -206,7 +213,9 @@ object Graph {
       .join(o.as("e2"), col("e1.v") === col("e2.u"))
       .join(o.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
-    tri.select(F.explode(F.array(col("ta"), col("tb"), col("tc"))).as("id"))
+    val pv = tri.select(F.explode(F.array(col("ta"), col("tb"), col("tc"))).as("id"))
       .groupBy("id").agg(F.count(lit(1)).as("n_tri"))
+    deg.join(pv, Seq("id"), "left")
+      .select(col("id"), col("deg"), F.coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 }

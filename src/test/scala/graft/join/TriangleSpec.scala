@@ -18,6 +18,14 @@ class TriangleSpec extends AnyFunSuite {
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     Graph.triangles(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+  }
+
+  /** deg returned by triangles() must equal the undirected degree. */
+  private def runDeg(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangles(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -52,6 +60,19 @@ class TriangleSpec extends AnyFunSuite {
   test("duplicate and reversed input edges count once") {
     val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 2L), (0L, 1L))
     assert(run(e) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    assert(runDeg(e) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("canonical input (pre-symmetrized) matches the default path") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 3L))
+    val sym = (e ++ e.map(_.swap)).distinct
+    val viaCanonical = Graph.triangles(sym.toDF("src", "dst"), canonical = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDefault = Graph.triangles(e.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCanonical == viaDefault)
   }
 
   test("20 random graphs match driver brute force; 3|sum invariant") {
