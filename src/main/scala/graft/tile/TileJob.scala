@@ -63,16 +63,20 @@ object TileJob {
   /** The tile-assignment projection shared by the batch job and the
     * streaming ingest: bucket (coarse Morton cell), tile x/y, fine cell,
     * and the per-row pHash revalidation. */
-  private def tileProjection(df: DataFrame, zoom: Int, bucketLevel: Int): DataFrame =
+  private def tileProjection(df: DataFrame, zoom: Int, bucketLevel: Int,
+                             extraCols: Seq[String] = Nil): DataFrame =
     df.withColumn("bucket",
         call_function("st_cellid", col("lon"), col("lat"), lit(bucketLevel)))
       .withColumn("tx", call_function("st_tile_x", col("lon"), lit(zoom)))
       .withColumn("ty", call_function("st_tile_y", col("lat"), lit(zoom)))
       .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(zoom)))
       .withColumn("phash_ok", call_function("img_phash", col("bytes")) === col("phash"))
-      .select(col("bucket"), col("image_id"), col("caption"), col("w"), col("h"),
-        col("fmt"), col("lon"), col("lat"), col("cell"), col("tx"), col("ty"),
-        col("phash"), col("phash_ok"))
+      // add-column evolution (opt-in so the core table layout stays
+      // byte-stable): named batch columns beyond the core contract ride
+      // through to the table files — the ingest side of ADD COLUMN
+      .select((Seq("bucket", "image_id", "caption", "w", "h",
+        "fmt", "lon", "lat", "cell", "tx", "ty",
+        "phash", "phash_ok") ++ extraCols).map(col): _*)
 
   /**
    * EXACTLY-ONCE streaming micro-batch append (the `foreachBatch` +
@@ -90,7 +94,8 @@ object TileJob {
    */
   def ingestBatch(spark: SparkSession, batch: DataFrame, outRoot: String,
                   batchId: Long, zoom: Int = 8, bucketLevel: Int = 2,
-                  runId: String = "stream"): IceLite.Snapshot = {
+                  runId: String = "stream",
+                  extraCols: Seq[String] = Nil): IceLite.Snapshot = {
     GraftFunctions.install(spark)
     val jobId = s"$runId-$batchId"
     val prev = IceLite.currentSnapshot(outRoot)
@@ -120,7 +125,7 @@ object TileJob {
         s"ingest marker $marker exists but the table has no current snapshot"))
 
     val base = s"$outRoot/data-s$batchId"
-    tileProjection(batch, zoom, bucketLevel)
+    tileProjection(batch, zoom, bucketLevel, extraCols)
       .sortWithinPartitions("bucket", "cell", "image_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(base)
 
@@ -265,10 +270,16 @@ object TileJob {
     // accumulates one entry per micro-batch per bucket, and a per-entry
     // union would grow the plan with stream length — per-bucket it stays
     // bounded by the bucket count like the batch table
+    // mergeSchema + allowMissingColumns: an evolved table holds entries
+    // written before a column was added; a plain read takes ONE footer's
+    // schema nondeterministically (dropping the added column from the
+    // rewrite = data loss), and strict unionByName throws across buckets
+    // of different widths. The rewrite materializes the UNION schema with
+    // NULLs for pre-evolution rows — Iceberg's rewrite-at-current-schema.
     selected.map { case (b, es) =>
-        spark.read.parquet(es.map(_.dataDir): _*)
+        spark.read.option("mergeSchema", "true").parquet(es.map(_.dataDir): _*)
           .withColumn("bucket", lit(b.toLong)) }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .repartition(selected.size, col("bucket"))
       .sortWithinPartitions("bucket", "cell", "image_id")
       // overwrite: a compaction that crashed between write and commit
@@ -335,6 +346,25 @@ object TileJob {
     val dirs = snap.buckets.map(_.dataDir).filter(d => Files.exists(Paths.get(d)))
     if (dirs.isEmpty) readCurrent(spark, outRoot).limit(0)
     else spark.read.parquet(dirs: _*)
+  }
+
+  /** SCHEMA EVOLUTION on read (the Iceberg add-column contract): bucket
+    * files written before a column was added lack it on disk; plain
+    * `spark.read.parquet(dirs)` picks ONE file's schema nondeterministically
+    * — the added column silently vanishes whenever an old file wins.
+    * `mergeSchema` unions every file footer instead, and rows from
+    * pre-evolution files carry NULL in the added columns — exactly the
+    * read-side semantics an Iceberg catalog serves after ADD COLUMN.
+    * Scale note: footer-union cost rides the FILE count (manifest-bounded
+    * here), not rows; type changes / renames are out of scope (the
+    * add-column path is the one a training pipeline actually takes when
+    * it starts logging a new feature). Old snapshots read via [[readAt]]
+    * keep their own narrower schema — time travel is schema-faithful. */
+  def readEvolved(spark: SparkSession, outRoot: String): DataFrame = {
+    val snap = IceLite.currentSnapshot(outRoot)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at $outRoot"))
+    val dirs = snap.buckets.map(_.dataDir).filter(d => Files.exists(Paths.get(d)))
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Manifest-driven pruning: only buckets whose cell range intersects. */
