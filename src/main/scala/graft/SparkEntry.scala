@@ -1024,15 +1024,17 @@ object SparkEntry {
       val cap = 64L
       val pts = s.read.parquet(GeoTables.imagesPath(dir))
         .select(call_function("st_quadkey", col("lon"), col("lat"), lit(maxZ)).as("qk"))
-      var counts = pts.groupBy("qk").agg(count(lit(1)).as("c"))
-      var all = counts.withColumn("z", lit(maxZ))
-      var z = maxZ
-      while (z > 1) {
-        z -= 1
-        counts = counts.groupBy(expr(s"substring(qk, 1, $z)").as("qk"))
-          .agg(sum("c").as("c"))
-        all = all.union(counts.withColumn("z", lit(z)))
-      }
+      // ONE leaf rollup + ONE explode-to-ancestors rollup (a per-level
+      // union chain re-evaluates the point scan once PER LEVEL — Spark
+      // does not dedupe common subplans across union branches); ancestor
+      // rows ≤ maxZ · leaf count, so the second shuffle stays cell-sized
+      // cell-sized (≤ min(n_pts, 4^maxZ) rows) — checkpointed so the two
+      // consumers (leaf list, ancestor rollup) scan the points exactly once
+      val leafCounts = pts.groupBy("qk").agg(count(lit(1)).as("c")).localCheckpoint()
+      val all = leafCounts
+        .withColumn("z", explode(array((1 to maxZ).map(lit(_)): _*)))
+        .groupBy(col("z"), expr("substring(qk, 1, z)").as("qk"))
+        .agg(sum("c").as("c"))
       val leaves = all.where(col("z") === maxZ).select(col("qk").as("leaf"))
       val anc = leaves
         .withColumn("z", explode(array((1 to maxZ).map(lit(_)): _*)))
@@ -1139,6 +1141,10 @@ object SparkEntry {
           level = 8, zonesCountHint = 1)
         .select(col("image_id"), col("bytes"), col("w"), col("h"),
           col("caption"), col("phash"))
+      // materialized once: gated feeds THREE consumers (near-dup pairs,
+      // the kept/fin path, the per-scene pre-gate counts) and its decode +
+      // sharpness recompute is the expensive stage — without the
+      // checkpoint every consumer re-decodes the AOI images
       val gated = inAoi.join(feat, "image_id")
         .withColumn("scene", split(col("caption"), " ")(4))
         .withColumn("sharp_rt", call_function("img_sharpness",
@@ -1147,6 +1153,7 @@ object SparkEntry {
         .where(col("sharp_rt") === col("sharp") && col("ph_rt") === col("phash") &&
           col("w").cast("bigint") * col("h") >= 1024L)
         .select("image_id", "scene", "sharp", "phash")
+        .localCheckpoint()
       val pairs = graft.join.ImageDedup.nearDup(gated, "image_id", "phash", maxHamming = 4)
       val reps = graft.join.ImageDedup.components(pairs)
       val kept = gated

@@ -63,8 +63,14 @@ object TileJob {
   /** The tile-assignment projection shared by the batch job and the
     * streaming ingest: bucket (coarse Morton cell), tile x/y, fine cell,
     * and the per-row pHash revalidation. */
+  private val coreCols = Seq("bucket", "image_id", "caption", "w", "h",
+    "fmt", "lon", "lat", "cell", "tx", "ty", "phash", "phash_ok")
+
   private def tileProjection(df: DataFrame, zoom: Int, bucketLevel: Int,
-                             extraCols: Seq[String] = Nil): DataFrame =
+                             extraCols: Seq[String] = Nil): DataFrame = {
+    val clash = extraCols.filter(c => coreCols.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"extraCols ${clash.mkString(",")} collide with core table columns")
     df.withColumn("bucket",
         call_function("st_cellid", col("lon"), col("lat"), lit(bucketLevel)))
       .withColumn("tx", call_function("st_tile_x", col("lon"), lit(zoom)))
@@ -74,9 +80,8 @@ object TileJob {
       // add-column evolution (opt-in so the core table layout stays
       // byte-stable): named batch columns beyond the core contract ride
       // through to the table files — the ingest side of ADD COLUMN
-      .select((Seq("bucket", "image_id", "caption", "w", "h",
-        "fmt", "lon", "lat", "cell", "tx", "ty",
-        "phash", "phash_ok") ++ extraCols).map(col): _*)
+      .select((coreCols ++ extraCols).map(col): _*)
+  }
 
   /**
    * EXACTLY-ONCE streaming micro-batch append (the `foreachBatch` +

@@ -74,6 +74,12 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     compDirs.foreach { d =>
       assert(spark.read.parquet(d).columns.contains("quality"), d)
     }
+    // reserved-name collision is rejected loudly, not silently duplicated
+    val ex = intercept[IllegalArgumentException] {
+      TileJob.ingestBatch(spark, neu, root, batchId = 9, zoom = 6,
+        extraCols = Seq("bucket"))
+    }
+    assert(ex.getMessage.contains("collide"))
     images.unpersist()
   }
 }
