@@ -1,7 +1,7 @@
 package graft.tile
 
 import graft.sql.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -281,10 +281,7 @@ object TileJob {
     // rewrite = data loss), and strict unionByName throws across buckets
     // of different widths. The rewrite materializes the UNION schema with
     // NULLs for pre-evolution rows — Iceberg's rewrite-at-current-schema.
-    selected.map { case (b, es) =>
-        spark.read.option("mergeSchema", "true").parquet(es.map(_.dataDir): _*)
-          .withColumn("bucket", lit(b.toLong)) }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    bucketUnion(spark, selected)
       .repartition(selected.size, col("bucket"))
       .sortWithinPartitions("bucket", "cell", "image_id")
       // overwrite: a compaction that crashed between write and commit
@@ -327,6 +324,284 @@ object TileJob {
       else None
     }
     val out = IceLite.Snapshot(newId, snap.snapshotId, s"compact-${snap.jobId}", entries)
+    IceLite.commit(outRoot, out)
+    out
+  }
+
+  /** ONE multi-path scan per bucket over its manifest entries, bucket id as
+    * a literal column (dir-name partition columns are not stored in the
+    * files), at the table's UNION schema (mergeSchema + allowMissingColumns
+    * — see [[compact]]'s evolution note). Plan size rides the bucket count,
+    * never the entry (micro-batch) count. */
+  private def bucketUnion(spark: SparkSession,
+      groups: Seq[(Int, Seq[IceLite.BucketEntry])]): DataFrame =
+    groups.map { case (b, es) =>
+        spark.read.option("mergeSchema", "true").parquet(es.map(_.dataDir): _*)
+          .withColumn("bucket", lit(b.toLong)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Verify freshly rewritten bucket dirs against manifest-derived
+    * expectations BEFORE a snapshot publishes them: row count and
+    * order-independent xxhash64 XOR checksum must match per bucket.
+    * `expected` maps bucket → (rows, checksum); buckets expecting 0 rows
+    * must have no dir at all (partitionBy writes nothing for them). */
+  private def verifyRewrite(spark: SparkSession, op: String,
+      newDir: Int => String, expected: Seq[(Int, (Long, Long))]): Unit = {
+    val nonEmpty = expected.filter(_._2._1 > 0)
+    val back =
+      if (nonEmpty.isEmpty) Map.empty[Long, (Long, Long)]
+      else nonEmpty.map { case (b, _) => spark.read.parquet(newDir(b))
+          .withColumn("bucket", lit(b.toLong)) }
+        .reduce(_ unionByName _)
+        .withColumn("cs", checksumCol)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), IceLite.mask53(r.getLong(2)))))
+        .toMap
+    expected.foreach { case (b, (expRows, expCs)) =>
+      if (expRows == 0) {
+        if (Files.exists(Paths.get(newDir(b))))
+          throw new IllegalStateException(
+            s"$op verify failed for bucket $b: expected empty, dir exists — not committed")
+      } else {
+        val (rows, cs) = back.getOrElse(b.toLong, (-1L, -1L))
+        if (rows != expRows || cs != expCs)
+          throw new IllegalStateException(
+            s"$op verify failed for bucket $b: rows $rows vs $expRows, " +
+              s"checksum $cs vs $expCs — not committed")
+      }
+    }
+  }
+
+  /** Manifest entries after a copy-on-write rewrite: each touched bucket's
+    * entries collapse to ONE entry at the FIRST slot of that bucket (or
+    * drop entirely when the rewrite left it empty); untouched entries pass
+    * through byte-identical. */
+  private def replaceEntries(snap: IceLite.Snapshot,
+      repl: Map[Int, Option[IceLite.BucketEntry]]): Seq[IceLite.BucketEntry] = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    snap.buckets.flatMap { b =>
+      if (b.rows == 0 || !repl.contains(b.bucket)) Some(b)
+      else if (seen.add(b.bucket)) repl(b.bucket)
+      else None
+    }
+  }
+
+  /**
+   * ROW-LEVEL DELETE, copy-on-write (Iceberg's COW `DELETE FROM ... WHERE`):
+   * rows where `cond` is TRUE disappear from the new snapshot — rows where
+   * it is false OR NULL are kept, the SQL DELETE contract (a predicate on
+   * an added column is NULL on pre-evolution rows, which must survive).
+   *
+   * Only buckets that actually contain matches are rewritten (to a fresh
+   * immutable `data-d<snapId>` dir); every rewrite is VERIFIED before the
+   * commit publishes: the expected kept-checksum is derived from the
+   * manifest in the same scan that finds the matches (old XOR deleted —
+   * XOR commutes with the 53-bit mask), so a rewrite that drops or
+   * duplicates even one row aborts with nothing published. Untouched
+   * buckets keep their files byte-identical. Old snapshots still reference
+   * the old dirs — time travel shows deleted rows exactly as committed;
+   * the hard-delete (GDPR reclaim) is [[IceLite.expireSnapshots]] retiring
+   * the superseded dirs. Scale: one distributed match scan (Parquet
+   * pushdown prunes where `cond` allows) + a rewrite of matched buckets
+   * only — write amplification is bounded by match locality, not table
+   * size.
+   */
+  def deleteWhere(spark: SparkSession, outRoot: String,
+                  cond: Column): IceLite.Snapshot = {
+    val snap = IceLite.currentSnapshot(outRoot)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at $outRoot"))
+    val grouped = snap.buckets.filter(_.rows > 0).groupBy(_.bucket).toSeq.sortBy(_._1)
+    if (grouped.isEmpty) return snap
+    // NULL never deletes: SQL's WHERE keeps only TRUE, so the delete set is
+    // cond IS TRUE and the kept set is its complement
+    val del = coalesce(cond, lit(false))
+
+    // ONE pass: per-bucket match count, matched-row checksum, kept stats
+    val stats = bucketUnion(spark, grouped)
+      .withColumn("_del", del)
+      .withColumn("_cs", checksumCol)
+      .groupBy("bucket")
+      .agg(sum(when(col("_del"), 1L).otherwise(0L)).as("n_del"),
+        expr("bit_xor(CASE WHEN _del THEN _cs END)").as("del_cs"),
+        count(lit(1)).as("n_all"),
+        min(when(!col("_del"), col("cell"))).as("cmin"),
+        max(when(!col("_del"), col("cell"))).as("cmax"))
+      .collect()
+      .map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MaxValue else r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5))))
+      .toMap
+    val affected = grouped.filter { case (b, _) => stats(b)._1 > 0 }
+    if (affected.isEmpty) return snap
+
+    val newId = snap.snapshotId + 1
+    val newRoot = s"$outRoot/data-d$newId"
+    def newDir(b: Int): String = s"$newRoot/bucket=$b"
+    // filter the FULL union to affected buckets rather than re-unioning
+    // only them: the union schema must match the stats scan exactly (a
+    // cond like `added_col IS NULL` matches rows in buckets whose files
+    // lack the column — a narrower union would fail to resolve it), and
+    // each source carries its bucket as a literal, so the optimizer folds
+    // the IN-filter per source and prunes non-affected scans entirely
+    bucketUnion(spark, grouped)
+      .where(col("bucket").isInCollection(affected.map(_._1.toLong)))
+      .where(!del)
+      .repartition(affected.size, col("bucket"))
+      .sortWithinPartitions("bucket", "cell", "image_id")
+      // overwrite: a crashed delete leaves data-d<id> orphaned; the retry
+      // recomputes the same id and must reclaim it (compact's contract)
+      .write.mode("overwrite").partitionBy("bucket").parquet(newRoot)
+
+    val expected = affected.map { case (b, es) =>
+      val (nDel, delCs, nAll, _, _) = stats(b)
+      val oldCs = es.map(_.checksum).reduce(_ ^ _)
+      b -> ((nAll - nDel, IceLite.mask53(oldCs ^ delCs)))
+    }
+    verifyRewrite(spark, "delete", newDir, expected)
+
+    val repl = affected.map { case (b, es) =>
+      val (nDel, delCs, nAll, cmin, cmax) = stats(b)
+      val rows = nAll - nDel
+      val cs = IceLite.mask53(es.map(_.checksum).reduce(_ ^ _) ^ delCs)
+      b -> (if (rows == 0) None
+      else Some(IceLite.BucketEntry(b, rows, cs, cmin, cmax, newDir(b),
+        es.flatMap(_.lineage) :+ IceLite.LineageRow("delete", b, nAll, rows, cs))))
+    }.toMap
+    val out = IceLite.Snapshot(newId, snap.snapshotId,
+      s"delete-${snap.jobId}", replaceEntries(snap, repl))
+    IceLite.commit(outRoot, out)
+    out
+  }
+
+  /**
+   * MERGE / UPSERT, copy-on-write (Iceberg's `MERGE INTO ... WHEN MATCHED
+   * THEN UPDATE WHEN NOT MATCHED THEN INSERT`, keyed on image_id): every
+   * update row REPLACES the table row carrying its image_id — wherever
+   * that row lives, so a changed lon/lat hops buckets correctly (the old
+   * copy is keyed out by id while the new copy lands in its recomputed
+   * bucket) — and ids the table has never seen INSERT. Updates must be
+   * unique by image_id (a MERGE with two sources for one target row is
+   * ambiguous — Iceberg throws, and so do we). Update rows run the same
+   * tile projection as ingest (bucket/tile/cell assignment + pHash
+   * revalidation); `extraCols` rides through for evolved tables.
+   *
+   * Write amplification is bounded by MATCH locality, not insert volume:
+   * only buckets that lose a row (a matched id) are rewritten; buckets
+   * that merely RECEIVE inserts get an appended entry (the streaming-
+   * ingest multi-entry shape — [[compact]] merges them later), so a
+   * pure-insert merge writes exactly its own rows.
+   *
+   * Same verify-before-publish contract as [[deleteWhere]]: expected
+   * checksum = old XOR removed XOR added per bucket, derived independently
+   * of the rewrite it checks. Untouched buckets keep their files;
+   * time travel to pre-merge snapshots is unaffected.
+   */
+  def mergeUpsert(spark: SparkSession, outRoot: String, updates: DataFrame,
+                  zoom: Int = 8, bucketLevel: Int = 2,
+                  extraCols: Seq[String] = Nil): IceLite.Snapshot = {
+    val snap = IceLite.currentSnapshot(outRoot)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at $outRoot"))
+    // materialized once: read by the uniqueness probe, the add-side stats,
+    // and the rewrite union (the projection re-decodes images otherwise)
+    val proj = tileProjection(updates, zoom, bucketLevel, extraCols)
+      .localCheckpoint()
+    val dup = proj.groupBy("image_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeUpsert updates must be unique by image_id (duplicate: ${dup.headOption.map(_.get(0))})")
+
+    // add-side stats per TARGET bucket (new tile assignment of each update)
+    val addStats = proj.withColumn("_cs", checksumCol)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_add"), expr("bit_xor(_cs)").as("add_cs"),
+        min("cell").as("cmin"), max("cell").as("cmax"))
+      .collect()
+      .map(r => r.getAs[Long]("bucket").toInt ->
+        ((r.getAs[Long]("n_add"), r.getAs[Long]("add_cs"),
+          r.getAs[Long]("cmin"), r.getAs[Long]("cmax"))))
+      .toMap
+
+    val grouped = snap.buckets.filter(_.rows > 0).groupBy(_.bucket).toSeq.sortBy(_._1)
+    val ids = proj.select(col("image_id").as("_mid")).distinct()
+    // matched-side stats per EXISTING bucket (rows keyed out by id); no
+    // broadcast hint — AQE converts the shuffle join when the id side is
+    // small, and a billion-row MERGE source must not OOM the driver
+    val matchStats =
+      if (grouped.isEmpty) Map.empty[Int, (Long, Long, Long, Long, Long)]
+      else bucketUnion(spark, grouped)
+        .join(ids.withColumn("_hit", lit(true)),
+          col("image_id") === col("_mid"), "left")
+        .withColumn("_del", coalesce(col("_hit"), lit(false)))
+        .withColumn("_cs", checksumCol)
+        .groupBy("bucket")
+        .agg(sum(when(col("_del"), 1L).otherwise(0L)).as("n_del"),
+          expr("bit_xor(CASE WHEN _del THEN _cs END)").as("del_cs"),
+          count(lit(1)).as("n_all"),
+          min(when(!col("_del"), col("cell"))).as("cmin"),
+          max(when(!col("_del"), col("cell"))).as("cmax"))
+        .collect()
+        .map(r => r.getLong(0).toInt ->
+          ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) Long.MaxValue else r.getLong(4),
+            if (r.isNullAt(5)) Long.MinValue else r.getLong(5))))
+        .toMap
+
+    val byBucket = grouped.toMap
+    val rewriteB = matchStats.filter(_._2._1 > 0).keySet.toSeq.sorted
+    val touched = (rewriteB ++ addStats.keySet).distinct.sorted
+    if (touched.isEmpty) return snap
+
+    val newId = snap.snapshotId + 1
+    val newRoot = s"$outRoot/data-m$newId"
+    def newDir(b: Int): String = s"$newRoot/bucket=$b"
+    // one write job: rewritten buckets carry kept-old + added rows;
+    // insert-only buckets carry ONLY added rows (their old files stay)
+    val keptOld = {
+      val existing = rewriteB.flatMap(b => byBucket.get(b).map(b -> _))
+      if (existing.isEmpty) None
+      else Some(bucketUnion(spark, existing)
+        .join(ids, col("image_id") === col("_mid"), "left_anti"))
+    }
+    keptOld.map(_.unionByName(proj, allowMissingColumns = true)).getOrElse(proj)
+      .repartition(touched.size, col("bucket"))
+      .sortWithinPartitions("bucket", "cell", "image_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(newRoot)
+
+    val expected = touched.map { b =>
+      val (nAdd, addCs, _, _) = addStats.getOrElse(b, (0L, 0L, Long.MaxValue, Long.MinValue))
+      if (!rewriteB.contains(b)) b -> ((nAdd, IceLite.mask53(addCs)))
+      else {
+        val (nDel, delCs, nAll, _, _) = matchStats(b)
+        val oldCs = byBucket(b).map(_.checksum).reduce(_ ^ _)
+        b -> ((nAll - nDel + nAdd, IceLite.mask53(oldCs ^ delCs ^ addCs)))
+      }
+    }
+    verifyRewrite(spark, "merge", newDir, expected)
+
+    val expMap = expected.toMap
+    // rewritten buckets REPLACE their entries; insert-only buckets APPEND
+    // one entry (the ingestBatch multi-entry shape, compact merges later)
+    val repl = rewriteB.map { b =>
+      val (rows, cs) = expMap(b)
+      val (_, _, nAll, kmin, kmax) = matchStats(b)
+      val (_, _, amin, amax) = addStats.getOrElse(b, (0L, 0L, Long.MaxValue, Long.MinValue))
+      b -> (if (rows == 0) None
+      else Some(IceLite.BucketEntry(b, rows, cs,
+        math.min(kmin, amin), math.max(kmax, amax), newDir(b),
+        byBucket(b).flatMap(_.lineage) :+
+          IceLite.LineageRow("merge", b, nAll, rows, cs))))
+    }.toMap
+    val appended = touched.filterNot(rewriteB.contains).map { b =>
+      val (rows, cs) = expMap(b)
+      val (_, _, amin, amax) = addStats(b)
+      IceLite.BucketEntry(b, rows, cs, amin, amax, newDir(b),
+        Seq(IceLite.LineageRow("merge-insert", b, rows, rows, cs)))
+    }
+    val out = IceLite.Snapshot(newId, snap.snapshotId,
+      s"merge-${snap.jobId}", replaceEntries(snap, repl) ++ appended)
     IceLite.commit(outRoot, out)
     out
   }
