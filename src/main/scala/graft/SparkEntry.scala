@@ -33,6 +33,7 @@ object SparkEntry {
   private val MDEL = "read_parquet('/tmp/graft_geo/sf0.01/media_delta.parquet/*.parquet')"
   private val GNODE = "read_parquet('/tmp/graft_geo/sf0.01/grid_nodes.parquet/*.parquet')"
   private val IMGQ = "read_parquet('/tmp/graft_geo/sf0.01/img_quality.parquet/*.parquet')"
+  private val IMGC = "read_parquet('/tmp/graft_geo/sf0.01/img_color.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -1535,6 +1536,75 @@ object SparkEntry {
         .select(col("day"), col("signup").as("n_signup"), col("view").as("n_view"),
           col("click").as("n_click"), col("purchase").as("n_purchase"),
           col("error").as("n_error"))
+    }),
+    // OLAP CUBE: the FULL subtotal lattice over (type, day) — rollup's
+    // hierarchy plus the day-only marginal, all four grouping sets
+    // expanded before ONE shuffle (each row contributes to every set
+    // map-side; at 100 TB the 4× map fan-out beats four separate scans).
+    // GROUPING flags disambiguate subtotal NULLs from data NULLs.
+    "q149_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+          centsOf(col("value")).as("vc"))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
+          grouping(col("event_type")).cast("bigint").as("g_type"),
+          grouping(col("day")).cast("bigint").as("g_day"))
+    }),
+    // POLYGON TRIANGULATION (mesh/tessellation for rendering and exact
+    // area decomposition — PostGIS ST_TriangulatePolygon): each zone
+    // becomes a concave L-hexagon whose corners snap to the 2^-16 dyadic
+    // grid AT THE ORIGIN (coords ≤ ~33° on a 2^-17 grid → every shoelace
+    // product stays inside the 53-bit exact window), so each triangle
+    // area is an exact multiple of 2^-35 and the quantized sum matches
+    // the 0.75·w·h closed form bit-for-bit. Ear clipping emits exactly
+    // n−2 = 4 triangles. Row-parallel, one agg shuffle.
+    "q150_triangulate" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("w", expr(
+          "FLOOR(xmax * 65536.0D) / 65536.0D - FLOOR(xmin * 65536.0D) / 65536.0D"))
+        .withColumn("h", expr(
+          "FLOOR(ymax * 65536.0D) / 65536.0D - FLOOR(ymin * 65536.0D) / 65536.0D"))
+        .withColumn("tris", call_function("st_triangulate",
+          call_function("st_makepolygon", array(
+            lit(0.0), lit(0.0), col("w"), lit(0.0),
+            col("w"), col("h") / lit(2.0), col("w") / lit(2.0), col("h") / lit(2.0),
+            col("w") / lit(2.0), col("h"), lit(0.0), col("h")))))
+        .select(col("zone_id"), explode(col("tris")).as("tri"))
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(expr("CAST(st_area(tri) * 34359738368.0D AS BIGINT)")).as("area_q"))
+    }),
+    // DOMINANT-COLOR HISTOGRAM (palette curation / diversity balancing):
+    // 64-bin 4×4×4 RGB histogram per decoded image; dominant bin = FIRST
+    // max — the deterministic tie rule Spark's array_position and the
+    // fixture loop share. Recompute pin (the q126 pattern): dominant bin,
+    // its count, and the conservation total (Σ bins = w·h) must equal the
+    // materialized fixture row-for-row — n_exact == n == n_conserve.
+    // Row-parallel decode + one agg shuffle; the histogram never leaves
+    // the row, so nothing wide shuffles.
+    "q151_colorhist" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgColor(s, dir)
+      val fix = s.read.parquet(GeoTables.imgColorPath(dir))
+        .select(col("image_id"), col("dom_bin").as("f_dom"),
+          col("dom_cnt").as("f_cnt"), col("n_px").as("f_npx"))
+      GeoTables.images(s, dir)
+        .withColumn("hist", call_function("img_colorhist64",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("dom_rt", expr("CAST(array_position(hist, array_max(hist)) AS BIGINT) - 1"))
+        .withColumn("cnt_rt", expr("array_max(hist)"))
+        .withColumn("tot_rt", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .join(fix, "image_id")
+        .groupBy(col("dom_rt").as("dom_bin"))
+        .agg(count(lit(1)).as("n"),
+          sum("cnt_rt").as("sum_domc"),
+          sum(when(col("dom_rt") === col("f_dom") && col("cnt_rt") === col("f_cnt") &&
+            col("tot_rt") === col("f_npx"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("tot_rt") === col("w").cast("bigint") * col("h"), 1L)
+            .otherwise(0L)).as("n_conserve"))
     }),
     // IDW INTERPOLATION (gdal_grid-style inverse-distance weighting,
     // cell-local): occupied 1024×512 lon/lat grid nodes interpolate the
@@ -3638,6 +3708,36 @@ object SparkEntry {
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
          FROM events GROUP BY 1""",
+    // ground truth: GROUP BY CUBE — the identical four-set lattice
+    "q149_cube" ->
+      """SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(epoch_us(ts) // 86400000000) AS BIGINT) AS g_day
+         FROM events GROUP BY CUBE (event_type, day)""",
+    // ground truth: closed forms — an n-vertex hole-free simple polygon
+    // triangulates into exactly n−2 triangles, and the dyadic L-hexagon's
+    // area is 0.75·w·h EXACTLY (w,h snap to the 2^-16 grid, so every
+    // product in both engines stays inside the 53-bit exact window and
+    // the ×2^35 quantization is an integer, not a rounding)
+    "q150_triangulate" ->
+      s"""SELECT zone_id, CAST(4 AS BIGINT) AS n_tri,
+           CAST(CAST(0.75 AS DOUBLE)
+              * (FLOOR(xmax * 65536.0) / 65536.0 - FLOOR(xmin * 65536.0) / 65536.0)
+              * (FLOOR(ymax * 65536.0) / 65536.0 - FLOOR(ymin * 65536.0) / 65536.0)
+              * 34359738368.0 AS BIGINT) AS area_q
+         FROM $ZON""",
+    // the engine recomputes dominant bin / count / conservation total
+    // through img_colorhist64 and compares against these materialized
+    // columns row-by-row — any recompute divergence breaks n_exact == n,
+    // any pixel loss breaks n_conserve == n
+    "q151_colorhist" ->
+      s"""SELECT dom_bin, COUNT(*) AS n,
+           CAST(SUM(dom_cnt) AS BIGINT) AS sum_domc,
+           COUNT(*) AS n_exact, COUNT(*) AS n_conserve
+         FROM $IMGC GROUP BY 1""",
     // the engine recomputes sharp/sharp_blur through SQL expressions and
     // compares against these materialized columns row-by-row (n_exact);
     // the oracle reads the fixture directly — any recompute divergence

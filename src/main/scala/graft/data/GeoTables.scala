@@ -351,6 +351,36 @@ object GeoTables {
   // ---- image-quality fixture (blur/sharpness filter oracle) ----
 
   def imgQualityPath(sfDir: String): String = s"${baseDir(sfDir)}/img_quality.parquet"
+  def imgColorPath(sfDir: String): String = s"${baseDir(sfDir)}/img_color.parquet"
+
+  final case class ImgColorRow(image_id: String, dom_bin: Long, dom_cnt: Long, n_px: Long)
+
+  /** Dominant-color fixture: 64-bin 4×4×4 RGB histogram per decoded image,
+    * dominant bin by FIRST max (the tie rule Spark's array_position shares),
+    * plus the conservation total. The engine recomputes all three through
+    * the SQL surface and q151 pins row-for-row equality. */
+  def ensureImgColor(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGCOLOR_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val rgb = Images.decode(bytes)._3
+        val hist = Images.colorHist64(rgb)
+        var bi = 0; var bc = -1L; var tot = 0L
+        var k = 0
+        while (k < 64) {
+          if (hist(k) > bc) { bc = hist(k); bi = k }
+          tot += hist(k); k += 1
+        }
+        ImgColorRow(id, bi.toLong, bc, tot)
+      }
+      .write.mode("overwrite").parquet(imgColorPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGCOLOR_DONE"))
+  }
 
   final case class ImgQualityRow(image_id: String, sharp: Long, sharp_blur: Long)
 

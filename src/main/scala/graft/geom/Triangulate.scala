@@ -427,4 +427,130 @@ object Triangulate {
       (if (ring.isEmpty) Polygon(Array.empty) else Polygon(Array(ring))): Geometry
     }.toArray
   }
+
+  // ---------- constrained polygon triangulation (ear clipping) ----------
+
+  /** Exact orientation sign of the corner a→b→c: float fast path with a
+    * relative-error filter, BigDecimal fallback (the same remedy as
+    * delaunayIndexed's predicates — BigDecimal +,−,× are exact on double
+    * inputs, so the determinant SIGN is exact). */
+  private def orientXY(ax: Double, ay: Double, bx: Double, by: Double,
+                       cx: Double, cy: Double): Int = {
+    val det = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val mag = (math.abs(bx - ax) + math.abs(by - ay)) *
+              (math.abs(cx - ax) + math.abs(cy - ay))
+    if (math.abs(det) > 1e-12 * mag) math.signum(det).toInt
+    else {
+      import java.math.BigDecimal
+      def bd(v: Double) = new BigDecimal(v)
+      bd(bx).subtract(bd(ax)).multiply(bd(cy).subtract(bd(ay)))
+        .subtract(bd(by).subtract(bd(ay)).multiply(bd(cx).subtract(bd(ax)))).signum()
+    }
+  }
+
+  /** EAR-CLIP triangulation of one simple hole-free closed ring: CCW
+    * triangles whose disjoint union is the ring's polygon — exactly n−2
+    * of them after collinear/duplicate-vertex cleaning (a collinear
+    * corner EXPOSED by clipping is removed without emitting its zero-area
+    * sliver, so degenerate triangles never appear in the output). The
+    * two-ears theorem guarantees progress on simple input; a ring that
+    * exposes no ear (self-intersecting) throws. O(n²) in the RING's
+    * vertex count — a per-row bound, never data size (st_subdivide is
+    * the tool that keeps n small at scale). */
+  private def earClipRing(closed: Array[Double]): ArrayBuffer[Geometry] = {
+    // strip the closing vertex, consecutive duplicates, collinear runs
+    var xs = ArrayBuffer.empty[Double]; var ys = ArrayBuffer.empty[Double]
+    val m = closed.length / 2 - 1
+    var i = 0
+    while (i < m) {
+      val x = closed(2 * i); val y = closed(2 * i + 1)
+      if (xs.isEmpty || xs.last != x || ys.last != y) { xs += x; ys += y }
+      i += 1
+    }
+    if (xs.length >= 2 && xs.head == xs.last && ys.head == ys.last) {
+      xs = xs.dropRight(1); ys = ys.dropRight(1)
+    }
+    var changed = true
+    while (changed && xs.length > 2) {
+      changed = false
+      var k = 0
+      while (k < xs.length && xs.length > 2) {
+        val p = (k + xs.length - 1) % xs.length; val nx = (k + 1) % xs.length
+        if (orientXY(xs(p), ys(p), xs(k), ys(k), xs(nx), ys(nx)) == 0) {
+          xs.remove(k); ys.remove(k); changed = true
+        } else k += 1
+      }
+    }
+    val out = ArrayBuffer.empty[Geometry]
+    val n0 = xs.length
+    if (n0 < 3) return out
+    // normalize to CCW (shoelace)
+    var area2 = 0.0
+    i = 0
+    while (i < n0) {
+      val j = (i + 1) % n0
+      area2 += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    if (area2 < 0) { xs = xs.reverse; ys = ys.reverse }
+
+    val alive = ArrayBuffer.tabulate(n0)(identity)
+    def emit(a: Int, b: Int, c: Int): Unit =
+      out += Polygon(Array(Array(xs(a), ys(a), xs(b), ys(b), xs(c), ys(c), xs(a), ys(a))))
+    while (alive.length > 3) {
+      val n = alive.length
+      var clipped = false
+      var k = 0
+      while (k < n && !clipped) {
+        val a = alive((k + n - 1) % n); val b = alive(k); val c = alive((k + 1) % n)
+        val o = orientXY(xs(a), ys(a), xs(b), ys(b), xs(c), ys(c))
+        if (o == 0) {
+          // collinear corner exposed by earlier clips: zero-area ear —
+          // remove the vertex, emit nothing (the region is unchanged)
+          alive.remove(k); clipped = true
+        } else if (o > 0) {
+          // convex corner: an ear iff no other alive vertex lies in or on
+          // the candidate triangle (on-edge blocks — clipping through it
+          // would strand that vertex on a seam)
+          var blocked = false
+          var t = 0
+          while (t < n && !blocked) {
+            val p = alive(t)
+            if (p != a && p != b && p != c &&
+              orientXY(xs(a), ys(a), xs(b), ys(b), xs(p), ys(p)) >= 0 &&
+              orientXY(xs(b), ys(b), xs(c), ys(c), xs(p), ys(p)) >= 0 &&
+              orientXY(xs(c), ys(c), xs(a), ys(a), xs(p), ys(p)) >= 0) blocked = true
+            t += 1
+          }
+          if (!blocked) { emit(a, b, c); alive.remove(k); clipped = true }
+        }
+        k += 1
+      }
+      if (!clipped)
+        throw new IllegalArgumentException(
+          "st_triangulate: no ear found — ring is not a simple polygon")
+    }
+    emit(alive(0), alive(1), alive(2))
+    out
+  }
+
+  /** Constrained triangulation of hole-free polygonal geometry (PostGIS
+    * ST_TriangulatePolygon's role): each part becomes its n−2 ear-clip
+    * triangles (general position; collinear corners clean away first).
+    * Holes are out of scope — cut or difference them away first (throws
+    * loudly rather than returning a wrong tessellation). */
+  def triangulatePolygon(g: Geometry): Array[Geometry] = g match {
+    case p: Polygon =>
+      require(p.rings.length <= 1,
+        "st_triangulate: polygons with holes are not supported — st_cut or st_difference the holes away first")
+      if (p.isEmpty) Array.empty else earClipRing(p.rings(0)).toArray
+    case mp: MultiPolygon =>
+      mp.polys.flatMap { rings =>
+        require(rings.length <= 1,
+          "st_triangulate: polygons with holes are not supported — st_cut or st_difference the holes away first")
+        if (rings.isEmpty) Nil else earClipRing(rings(0))
+      }
+    case _ => throw new IllegalArgumentException(
+      s"st_triangulate expects polygonal input, got type ${g.typeCode}")
+  }
 }

@@ -466,6 +466,22 @@ object Images {
     * in ONE image). 0 for constant images and for images thinner than
     * 3 px (no interior). The standard blur-detection feature: a blurred
     * copy scores strictly lower on any non-constant interior. */
+  /** 64-bin RGB color histogram (4×4×4 — top 2 bits of each channel):
+    * bin = (r>>6)<<4 | (g>>6)<<2 | (b>>6). Counts sum to the pixel count;
+    * exact integers, so cross-engine comparison needs no tolerance. The
+    * curation signal behind dominant-color dedup/diversity balancing. */
+  def colorHist64(rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](64)
+    var i = 0
+    while (i + 2 < rgb.length) {
+      val bin = (((rgb(i) & 0xFF) >> 6) << 4) | (((rgb(i + 1) & 0xFF) >> 6) << 2) |
+        ((rgb(i + 2) & 0xFF) >> 6)
+      out(bin) += 1L
+      i += 3
+    }
+    out
+  }
+
   def sharpness(w: Int, h: Int, rgb: Array[Byte]): Long = {
     if (w < 3 || h < 3 || w * h * 3 != rgb.length) return 0L
     val lum = new Array[Int](w * h)

@@ -1021,6 +1021,17 @@ case class ImgSharpness(first: Expression, second: Expression, third: Expression
     copy(a, b, c)
 }
 
+/** (rgb) → 64-bin 4×4×4 RGB color histogram as array<bigint>; counts sum
+  * to the pixel count (exact integers — no cross-engine tolerance). */
+case class ImgColorHist(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.imgColorHist64(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class ImgResize(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true
@@ -1473,6 +1484,31 @@ case class StDelaunay(child: Expression) extends UnaryExpression with ExpectsInp
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(K.delaunay(v.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_triangulate(geom) → array<binary> of CCW triangles whose disjoint
+  * union is the (hole-free) polygon — exactly n−2 per general-position
+  * ring, by ear clipping (PostGIS ST_TriangulatePolygon's role). */
+case class StTriangulate(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.triangulate(v.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_makepolygon(array<double>) — shell polygon from a flat
+  * [x0,y0,x1,y1,...] coordinate array, closed automatically (PostGIS
+  * ST_MakePolygon's constructor role, without the string round-trip that
+  * would cost double→text→double precision). */
+case class StMakePolygon(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    K.makePolygon(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

@@ -124,6 +124,8 @@ object GraftFunctions {
     "st_hausdorff_distance" -> (e => StHausdorff(e(0), e(1))),
     "st_frechet_distance" -> (e => StFrechet(e(0), e(1))),
     "st_delaunay" -> (e => StDelaunay(e.head)),
+    "st_triangulate" -> (e => StTriangulate(e.head)),
+    "st_makepolygon" -> (e => StMakePolygon(e.head)),
     "st_line_interpolate_point" -> (e => StLineInterpolate(e(0), e(1))),
     "st_line_locate_point" -> (e => StLineLocate(e(0), e(1), e(2))),
     "st_line_substring" -> (e => StLineSubstring(e(0), e(1), e(2))),
@@ -187,6 +189,7 @@ object GraftFunctions {
     "img_luma_mean" -> (e => ImgLumaMean(e.head)),
     "img_boxblur_rgb" -> (e => ImgBoxBlur(e(0), e(1), e(2))),
     "img_sharpness" -> (e => ImgSharpness(e(0), e(1), e(2))),
+    "img_colorhist64" -> (e => ImgColorHist(e.head)),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
     // multimodal opaque-binary columns (GMV1 container; stub codec)
     "media_kind" -> (e => MediaKind(e.head)),

@@ -327,6 +327,16 @@ object K {
   def lineSubstring(b: Array[Byte], f1: Double, f2: Double): Array[Byte] =
     wr(Ops.lineSubstring(rdFull(b), f1, f2)) // Z/M interpolate through
   def delaunay(b: Array[Byte]): Array[Array[Byte]] = Triangulate.delaunay(rd(b)).map(wr)
+  def triangulate(b: Array[Byte]): Array[Array[Byte]] =
+    Triangulate.triangulatePolygon(rd(b)).map(wr)
+  def makePolygon(xy: Array[Double]): Array[Byte] = {
+    require(xy.length >= 6 && xy.length % 2 == 0,
+      s"st_makepolygon needs a flat [x0,y0,x1,y1,...] array of >=3 points, got ${xy.length} values")
+    val closed =
+      if (xy(0) == xy(xy.length - 2) && xy(1) == xy(xy.length - 1)) xy
+      else xy ++ Array(xy(0), xy(1))
+    wr(Polygon(Array(closed)))
+  }
   def voronoi(b: Array[Byte]): Array[Array[Byte]] = Triangulate.voronoi(rd(b)).map(wr)
   def voronoiEnv(b: Array[Byte], envGeom: Array[Byte]): Array[Array[Byte]] =
     Triangulate.voronoi(rd(b), Some(rd(envGeom).envelope)).map(wr)
@@ -572,4 +582,5 @@ object K {
   def imgLumaMean(rgb: Array[Byte]): Double = Images.lumaMean(rgb)
   def imgBoxBlur3(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = Images.boxBlur3Rgb(w, h, rgb)
   def imgSharpness(rgb: Array[Byte], w: Int, h: Int): Long = Images.sharpness(w, h, rgb)
+  def imgColorHist64(rgb: Array[Byte]): Array[Long] = Images.colorHist64(rgb)
 }

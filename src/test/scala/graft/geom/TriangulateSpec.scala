@@ -161,4 +161,79 @@ class TriangulateSpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-6, s"cell area $a vs JTS $b")
     }
   }
+
+  // ---------------- ear-clip polygon triangulation ----------------
+
+  test("ear clip: dyadic L-hexagon — exactly 4 triangles, exact 0.75wh area") {
+    val (w, h) = (3.0, 2.0)
+    val ring = Array(0.0, 0.0, w, 0.0, w, h / 2, w / 2, h / 2, w / 2, h, 0.0, h, 0.0, 0.0)
+    val tris = Triangulate.triangulatePolygon(Polygon(Array(ring)))
+    assert(tris.length == 4)
+    assert(tris.map(Ops.area).sum == 0.75 * w * h) // dyadic — bit exact
+    tris.foreach(t => assert(Ops.area(t) > 0))
+  }
+
+  test("ear clip: random star polygons — n-2 triangles covering the polygon") {
+    var state = 314159L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    (0 until 120).foreach { trial =>
+      val n = 4 + (frac() * 28).toInt
+      // sorted angles + positive radii ⇒ star-shaped ⇒ simple
+      val angs = Seq.fill(n)(frac() * 2 * math.Pi).sorted.distinct
+      if (angs.length >= 4) {
+        val pts = angs.map { a =>
+          val r = 0.4 + 0.6 * frac()
+          (math.rint(r * math.cos(a) * 1e6) / 1e6, math.rint(r * math.sin(a) * 1e6) / 1e6)
+        }.distinct
+        val ringStr = (pts :+ pts.head).map { case (x, y) => s"$x $y" }.mkString(", ")
+        val jts = reader.read(s"POLYGON (($ringStr))")
+        if (pts.length >= 4 && jts.isValid) {
+          val g = Wkt.read(s"POLYGON (($ringStr))")
+          val tris = Triangulate.triangulatePolygon(g)
+          assert(tris.length == pts.length - 2, s"trial $trial count")
+          val sum = tris.map(Ops.area).sum
+          assert(math.abs(sum - jts.getArea) <= 1e-9 * math.max(1.0, jts.getArea),
+            s"trial $trial area $sum vs ${jts.getArea}")
+          // every triangle sits inside the polygon (centroid containment —
+          // triangles tile the interior, so centroids are interior points)
+          tris.foreach { t =>
+            assert(Ops.area(t) > 0, s"trial $trial degenerate triangle")
+            val c = Ops.centroid(t)
+            assert(jts.contains(reader.read(Wkt.write(c))), s"trial $trial escape")
+          }
+        }
+      }
+    }
+  }
+
+  test("ear clip: reflex comb polygon (many concavities)") {
+    // teeth: (0,0)(10,0)(10,4) then 5 downward notches along the top
+    val top = (0 until 5).flatMap { i =>
+      val x = 9.0 - 2 * i
+      Seq((x, 4.0), (x - 0.5, 1.0), (x - 1.0, 4.0))
+    }
+    val pts = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 4.0)) ++ top.drop(1)
+    val ringStr = (pts :+ pts.head).map { case (x, y) => s"$x $y" }.mkString(", ")
+    val jts = reader.read(s"POLYGON (($ringStr))")
+    assert(jts.isValid)
+    val tris = Triangulate.triangulatePolygon(Wkt.read(s"POLYGON (($ringStr))"))
+    assert(tris.length == pts.length - 2)
+    assert(math.abs(tris.map(Ops.area).sum - jts.getArea) < 1e-9)
+  }
+
+  test("ear clip: collinear vertices clean away; holes and lines throw") {
+    // square with a redundant mid-edge vertex: 5 verts → cleaned 4 → 2 tris
+    val g = Wkt.read("POLYGON ((0 0, 1 0, 2 0, 2 2, 0 2, 0 0))")
+    val tris = Triangulate.triangulatePolygon(g)
+    assert(tris.length == 2)
+    assert(tris.map(Ops.area).sum == 4.0)
+    val holed = Wkt.read(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assertThrows[IllegalArgumentException](Triangulate.triangulatePolygon(holed))
+    assertThrows[IllegalArgumentException](
+      Triangulate.triangulatePolygon(Wkt.read("LINESTRING (0 0, 1 1)")))
+  }
 }

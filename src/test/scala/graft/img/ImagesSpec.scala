@@ -39,6 +39,22 @@ class ImagesSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(out, Images.resizeRgb(64, 64, rgb, 16, 16)))
   }
 
+  test("colorHist64: pixel conservation, solid-color single bin, bin math") {
+    // solid mid-gray (128,128,128) → every pixel in bin (2,2,2) = 42
+    val solid = Array.fill(10 * 7 * 3)(128.toByte)
+    val hs = Images.colorHist64(solid)
+    assert(hs(42) == 70L && hs.sum == 70L)
+    // pure channel extremes hit the corner bins
+    assert(Images.colorHist64(Array(255.toByte, 0.toByte, 0.toByte))(48) == 1L) // r=3 → 3<<4
+    assert(Images.colorHist64(Array(0.toByte, 255.toByte, 0.toByte))(12) == 1L) // g=3 → 3<<2
+    assert(Images.colorHist64(Array(0.toByte, 0.toByte, 255.toByte))(3) == 1L)
+    // synthetic image: conservation + determinism
+    val rgb = Images.synthRgb(7L, 32, 32)
+    val h1 = Images.colorHist64(rgb)
+    assert(h1.sum == 32L * 32L)
+    assert(java.util.Arrays.equals(h1, Images.colorHist64(rgb)))
+  }
+
   test("geo table positions re-derive from image index (engine-side assert)") {
     // FIXTURES §F2: lon/lat are materialized for the oracle; the engine must
     // recompute them identically from the id-derived index
