@@ -457,8 +457,9 @@ object Triangulate {
     * exposes no ear (self-intersecting) throws. O(n²) in the RING's
     * vertex count — a per-row bound, never data size (st_subdivide is
     * the tool that keeps n small at scale). */
-  private def earClipRing(closed: Array[Double]): ArrayBuffer[Geometry] = {
-    // strip the closing vertex, consecutive duplicates, collinear runs
+  /** Open a closed ring: strip the closing vertex and consecutive
+    * duplicates, normalize winding (`ccw` selects the target). */
+  private def openRing(closed: Array[Double], ccw: Boolean): (ArrayBuffer[Double], ArrayBuffer[Double]) = {
     var xs = ArrayBuffer.empty[Double]; var ys = ArrayBuffer.empty[Double]
     val m = closed.length / 2 - 1
     var i = 0
@@ -470,6 +471,21 @@ object Triangulate {
     if (xs.length >= 2 && xs.head == xs.last && ys.head == ys.last) {
       xs = xs.dropRight(1); ys = ys.dropRight(1)
     }
+    var area2 = 0.0
+    i = 0
+    while (i < xs.length) {
+      val j = (i + 1) % xs.length
+      area2 += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    if ((area2 < 0) == ccw) { xs = xs.reverse; ys = ys.reverse }
+    (xs, ys)
+  }
+
+  private def earClipRing(closed: Array[Double]): ArrayBuffer[Geometry] = {
+    var (xs, ys) = openRing(closed, ccw = true)
+    // clean collinear runs (a hole-free ring only — bridged rings carry
+    // structural zero-width seams that must survive to the clip loop)
     var changed = true
     while (changed && xs.length > 2) {
       changed = false
@@ -481,18 +497,14 @@ object Triangulate {
         } else k += 1
       }
     }
+    earClipOpen(xs, ys)
+  }
+
+  /** The clip loop proper, over an open CCW vertex list. */
+  private def earClipOpen(xs: ArrayBuffer[Double], ys: ArrayBuffer[Double]): ArrayBuffer[Geometry] = {
     val out = ArrayBuffer.empty[Geometry]
     val n0 = xs.length
     if (n0 < 3) return out
-    // normalize to CCW (shoelace)
-    var area2 = 0.0
-    i = 0
-    while (i < n0) {
-      val j = (i + 1) % n0
-      area2 += xs(i) * ys(j) - xs(j) * ys(i)
-      i += 1
-    }
-    if (area2 < 0) { xs = xs.reverse; ys = ys.reverse }
 
     val alive = ArrayBuffer.tabulate(n0)(identity)
     def emit(a: Int, b: Int, c: Int): Unit =
@@ -516,7 +528,14 @@ object Triangulate {
           var t = 0
           while (t < n && !blocked) {
             val p = alive(t)
-            if (p != a && p != b && p != c &&
+            // a vertex COINCIDENT with a corner never blocks: bridge
+            // splicing (holes) doubles the two bridge endpoints, and the
+            // twin sitting exactly on a corner is the seam itself, not an
+            // obstruction (the earcut rule)
+            val twin = (xs(p) == xs(a) && ys(p) == ys(a)) ||
+              (xs(p) == xs(b) && ys(p) == ys(b)) ||
+              (xs(p) == xs(c) && ys(p) == ys(c))
+            if (p != a && p != b && p != c && !twin &&
               orientXY(xs(a), ys(a), xs(b), ys(b), xs(p), ys(p)) >= 0 &&
               orientXY(xs(b), ys(b), xs(c), ys(c), xs(p), ys(p)) >= 0 &&
               orientXY(xs(c), ys(c), xs(a), ys(a), xs(p), ys(p)) >= 0) blocked = true
@@ -530,27 +549,125 @@ object Triangulate {
         throw new IllegalArgumentException(
           "st_triangulate: no ear found — ring is not a simple polygon")
     }
-    emit(alive(0), alive(1), alive(2))
+    // the last corner of a bridged ring can be a collapsed seam — never
+    // emit a zero-area triangle
+    if (orientXY(xs(alive(0)), ys(alive(0)), xs(alive(1)), ys(alive(1)),
+        xs(alive(2)), ys(alive(2))) != 0)
+      emit(alive(0), alive(1), alive(2))
     out
   }
 
-  /** Constrained triangulation of hole-free polygonal geometry (PostGIS
-    * ST_TriangulatePolygon's role): each part becomes its n−2 ear-clip
-    * triangles (general position; collinear corners clean away first).
-    * Holes are out of scope — cut or difference them away first (throws
-    * loudly rather than returning a wrong tessellation). */
+  /** Proper/degenerate segment-crossing test used by the hole-bridge
+    * visibility search: true when (p1,p2) and (q1,q2) cross at an interior
+    * point, touch at a non-shared endpoint, or overlap collinearly. Shared
+    * endpoints (coincident coordinates) do not block. */
+  private def segsBlock(p1x: Double, p1y: Double, p2x: Double, p2y: Double,
+                        q1x: Double, q1y: Double, q2x: Double, q2y: Double): Boolean = {
+    def shared(ax: Double, ay: Double, bx: Double, by: Double) = ax == bx && ay == by
+    if (shared(p1x, p1y, q1x, q1y) || shared(p1x, p1y, q2x, q2y) ||
+        shared(p2x, p2y, q1x, q1y) || shared(p2x, p2y, q2x, q2y)) return false
+    val o1 = orientXY(p1x, p1y, p2x, p2y, q1x, q1y)
+    val o2 = orientXY(p1x, p1y, p2x, p2y, q2x, q2y)
+    val o3 = orientXY(q1x, q1y, q2x, q2y, p1x, p1y)
+    val o4 = orientXY(q1x, q1y, q2x, q2y, p2x, p2y)
+    if (o1 * o2 < 0 && o3 * o4 < 0) return true
+    @inline def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
+                      px: Double, py: Double): Boolean =
+      math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+        math.min(ay, by) <= py && py <= math.max(ay, by)
+    (o1 == 0 && onSeg(p1x, p1y, p2x, p2y, q1x, q1y)) ||
+      (o2 == 0 && onSeg(p1x, p1y, p2x, p2y, q2x, q2y)) ||
+      (o3 == 0 && onSeg(q1x, q1y, q2x, q2y, p1x, p1y)) ||
+      (o4 == 0 && onSeg(q1x, q1y, q2x, q2y, p2x, p2y))
+  }
+
+  /** Earcut-style hole elimination: splice every hole into the outer ring
+    * with a zero-width bridge at a mutually VISIBLE vertex pair, producing
+    * one pinched ring the clip loop handles via the coincident-corner seam
+    * rule. Holes are processed by ascending min-x and each bridges from
+    * its min-x vertex toward smaller x, so a bridge can never cross a
+    * not-yet-spliced hole (their interiors lie at larger x). Visibility is
+    * decided by exact-sign crossing tests against every edge of the
+    * current outer ring and the hole itself — O(n²) per hole, a per-row
+    * polygon bound. */
+  private def bridgeHoles(shell: Array[Double], holes: Seq[Array[Double]]): (ArrayBuffer[Double], ArrayBuffer[Double]) = {
+    var (ox, oy) = openRing(shell, ccw = true)
+    val opened = holes.map(h => openRing(h, ccw = false)).filter(_._1.length >= 3)
+      .sortBy { case (hx, _) => hx.min }
+    opened.foreach { case (hx, hy) =>
+      // hole anchor: min-x vertex (ties by min y, then first index)
+      var m = 0
+      var i = 1
+      while (i < hx.length) {
+        if (hx(i) < hx(m) || (hx(i) == hx(m) && hy(i) < hy(m))) m = i
+        i += 1
+      }
+      val mx = hx(m); val my = hy(m)
+      // nearest visible outer vertex at x <= mx
+      var best = -1; var bestD = Double.PositiveInfinity
+      var v = 0
+      while (v < ox.length) {
+        if (ox(v) <= mx) {
+          val d = (ox(v) - mx) * (ox(v) - mx) + (oy(v) - my) * (oy(v) - my)
+          if (d < bestD) {
+            var blocked = false
+            var e = 0
+            while (e < ox.length && !blocked) {
+              val f = (e + 1) % ox.length
+              if (segsBlock(mx, my, ox(v), oy(v), ox(e), oy(e), ox(f), oy(f))) blocked = true
+              e += 1
+            }
+            e = 0
+            while (e < hx.length && !blocked) {
+              val f = (e + 1) % hx.length
+              if (segsBlock(mx, my, ox(v), oy(v), hx(e), hy(e), hx(f), hy(f))) blocked = true
+              e += 1
+            }
+            if (!blocked) { best = v; bestD = d }
+          }
+        }
+        v += 1
+      }
+      if (best < 0)
+        throw new IllegalArgumentException(
+          "st_triangulate: no visible bridge vertex for a hole — polygon is not valid")
+      // splice after `best`: hole cycle from m back to m, then the bridge
+      // return to the outer vertex (both endpoints doubled — the seam)
+      val nx = ArrayBuffer.empty[Double]; val ny = ArrayBuffer.empty[Double]
+      var k = 0
+      while (k <= best) { nx += ox(k); ny += oy(k); k += 1 }
+      k = 0
+      while (k <= hx.length) { // inclusive: m reappears at the end
+        val idx = (m + k) % hx.length
+        nx += hx(idx); ny += hy(idx); k += 1
+      }
+      nx += ox(best); ny += oy(best)
+      k = best + 1
+      while (k < ox.length) { nx += ox(k); ny += oy(k); k += 1 }
+      ox = nx; oy = ny
+    }
+    (ox, oy)
+  }
+
+  /** Constrained triangulation of polygonal geometry (PostGIS
+    * ST_TriangulatePolygon's role): each part becomes ear-clip triangles
+    * whose disjoint union is the part — exactly n−2 per general-position
+    * hole-free ring; holed parts first splice every hole into the shell
+    * with zero-width bridges (earcut's elimination), then clip the
+    * pinched ring. */
   def triangulatePolygon(g: Geometry): Array[Geometry] = g match {
     case p: Polygon =>
-      require(p.rings.length <= 1,
-        "st_triangulate: polygons with holes are not supported — st_cut or st_difference the holes away first")
-      if (p.isEmpty) Array.empty else earClipRing(p.rings(0)).toArray
+      if (p.isEmpty) Array.empty else triangulateRings(p.rings).toArray
     case mp: MultiPolygon =>
-      mp.polys.flatMap { rings =>
-        require(rings.length <= 1,
-          "st_triangulate: polygons with holes are not supported — st_cut or st_difference the holes away first")
-        if (rings.isEmpty) Nil else earClipRing(rings(0))
-      }
+      mp.polys.flatMap(rings => if (rings.isEmpty) Nil else triangulateRings(rings))
     case _ => throw new IllegalArgumentException(
       s"st_triangulate expects polygonal input, got type ${g.typeCode}")
   }
+
+  private def triangulateRings(rings: Array[Array[Double]]): ArrayBuffer[Geometry] =
+    if (rings.length == 1) earClipRing(rings(0))
+    else {
+      val (xs, ys) = bridgeHoles(rings(0), rings.toSeq.tail)
+      earClipOpen(xs, ys)
+    }
 }

@@ -1488,8 +1488,9 @@ case class StDelaunay(child: Expression) extends UnaryExpression with ExpectsInp
 }
 
 /** st_triangulate(geom) → array<binary> of CCW triangles whose disjoint
-  * union is the (hole-free) polygon — exactly n−2 per general-position
-  * ring, by ear clipping (PostGIS ST_TriangulatePolygon's role). */
+  * union is the polygon — exactly n−2 per general-position hole-free
+  * ring, by ear clipping; holes splice in via earcut-style zero-width
+  * bridges first (PostGIS ST_TriangulatePolygon's role). */
 case class StTriangulate(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)

@@ -224,16 +224,76 @@ class TriangulateSpec extends AnyFunSuite {
     assert(math.abs(tris.map(Ops.area).sum - jts.getArea) < 1e-9)
   }
 
-  test("ear clip: collinear vertices clean away; holes and lines throw") {
+  test("ear clip: collinear vertices clean away; lines throw") {
     // square with a redundant mid-edge vertex: 5 verts → cleaned 4 → 2 tris
     val g = Wkt.read("POLYGON ((0 0, 1 0, 2 0, 2 2, 0 2, 0 0))")
     val tris = Triangulate.triangulatePolygon(g)
     assert(tris.length == 2)
     assert(tris.map(Ops.area).sum == 4.0)
-    val holed = Wkt.read(
-      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
-    assertThrows[IllegalArgumentException](Triangulate.triangulatePolygon(holed))
     assertThrows[IllegalArgumentException](
       Triangulate.triangulatePolygon(Wkt.read("LINESTRING (0 0, 1 1)")))
+  }
+
+  test("ear clip with holes: exact dyadic areas, triangles stay in the face") {
+    val holed = Wkt.read(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    val jts = reader.read(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    val tris = Triangulate.triangulatePolygon(holed)
+    assert(tris.map(Ops.area).sum == 15.0) // dyadic coords — bit exact
+    // 10-vertex bridged ring → ≤8 triangles; collapsed seam ears may skip
+    assert(tris.length >= 7 && tris.length <= 8)
+    tris.foreach { t =>
+      assert(Ops.area(t) > 0)
+      assert(jts.covers(reader.read(Wkt.write(Ops.centroid(t)))))
+    }
+    // two holes, one off-center (bridge order by min-x exercised)
+    val two = "POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0)," +
+      " (1 1, 2 1, 2 2, 1 2, 1 1), (5 2, 6.5 2, 6.5 3, 5 3, 5 2))"
+    val tris2 = Triangulate.triangulatePolygon(Wkt.read(two))
+    assert(tris2.map(Ops.area).sum == 32.0 - 1.0 - 1.5)
+    val jts2 = reader.read(two)
+    tris2.foreach(t =>
+      assert(jts2.covers(reader.read(Wkt.write(Ops.centroid(t))))))
+  }
+
+  test("ear clip with holes: random shell/hole fuzz vs JTS area") {
+    var state = 987654321L
+    def frac(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble
+    }
+    var ran = 0
+    (0 until 80).foreach { trial =>
+      // star shell of radius ~[4,10]; star hole of radius ~[0.5,1.5] at center
+      def star(n: Int, r0: Double, r1: Double, cx: Double, cy: Double): Seq[(Double, Double)] = {
+        val angs = Seq.fill(n)(frac() * 2 * math.Pi).sorted.distinct
+        angs.map { a =>
+          val r = r0 + (r1 - r0) * frac()
+          (math.rint((cx + r * math.cos(a)) * 1e6) / 1e6,
+            math.rint((cy + r * math.sin(a)) * 1e6) / 1e6)
+        }.distinct
+      }
+      val sh = star(6 + (frac() * 10).toInt, 4, 10, 0, 0)
+      val hl = star(4 + (frac() * 6).toInt, 0.5, 1.5, 0, 0)
+      if (sh.length >= 4 && hl.length >= 4) {
+        def ring(pts: Seq[(Double, Double)]) =
+          (pts :+ pts.head).map { case (x, y) => s"$x $y" }.mkString(", ")
+        val wkt = s"POLYGON ((${ring(sh)}), (${ring(hl)}))"
+        val jts = reader.read(wkt)
+        if (jts.isValid) {
+          ran += 1
+          val tris = Triangulate.triangulatePolygon(Wkt.read(wkt))
+          val sum = tris.map(Ops.area).sum
+          assert(math.abs(sum - jts.getArea) <= 1e-9 * jts.getArea,
+            s"trial $trial area $sum vs ${jts.getArea}")
+          tris.foreach { t =>
+            assert(Ops.area(t) > 0)
+            assert(jts.covers(reader.read(Wkt.write(Ops.centroid(t)))), s"trial $trial escape")
+          }
+        }
+      }
+    }
+    assert(ran >= 40, s"only $ran valid fuzz cases ran")
   }
 }

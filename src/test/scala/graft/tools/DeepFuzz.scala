@@ -342,13 +342,48 @@ object DeepFuzz {
     }
   }
 
+  /** Ear-clip triangulation vs JTS: area conservation, positive parts,
+    * centroid containment; hole-free rings additionally pin the n−2
+    * count. Every other case gets a star hole (bridge splicing path). */
+  def triangulateCase(): Unit = {
+    val shell = star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)
+    val withHole = nextInt(2) == 0
+    val wkt =
+      if (!withHole) s"POLYGON ((${ringStr(shell)}))"
+      else {
+        val hole = star(5.5 + frac(), 5.5 + frac(), 0.4 + frac() * 0.4)
+        s"POLYGON ((${ringStr(shell)}), (${ringStr(hole)}))"
+      }
+    val jg = reader.read(wkt)
+    if (!jg.isValid) return
+    try {
+      val tris = Triangulate.triangulatePolygon(Wkt.read(wkt))
+      val sum = tris.map(Ops.area).sum
+      check(math.abs(sum - jg.getArea) <= 1e-9 * math.max(1.0, jg.getArea),
+        s"triangulate area $sum vs ${jg.getArea}: $wkt")
+      if (!withHole)
+        check(tris.length == shell.length / 2 - 1 - 2,
+          s"triangulate count ${tris.length} vs n-2: $wkt")
+      tris.foreach { t =>
+        check(Ops.area(t) > 0, s"degenerate triangle: $wkt")
+        check(jg.covers(reader.read(Wkt.write(Ops.centroid(t)))),
+          s"triangle centroid escaped: $wkt")
+      }
+    } catch {
+      case e: Exception => check(cond = false, s"triangulate threw ${e.getMessage}: $wkt")
+    }
+  }
+
+  private def ringStr(closed: Array[Double]): String =
+    closed.grouped(2).map(p => s"${p(0)} ${p(1)}").mkString(", ")
+
   def main(args: Array[String]): Unit = {
     state = if (args.length > 0) args(0).toLong else 99991L
     val n = if (args.length > 1) args(1).toInt else 50000
     val t0 = System.nanoTime()
     var i = 0
     while (i < n) {
-      (i % 14) match {
+      (i % 15) match {
         case 0 => // concave star overlay (float coords)
           overlayCase(
             Wkt.write(Polygon(Array(star(5 + frac() * 2, 5 + frac() * 2, 3 + frac() * 2)))),
@@ -372,6 +407,7 @@ object DeepFuzz {
         case 11 => utilCase()
         case 12 => validCase()
         case 13 => dwithinCase()
+        case 14 => triangulateCase()
         case _ => // web-mercator magnitude overlay (snap-grid adaptation).
           // Tolerance 1e-5: at 1e7 coordinate magnitude the snap grid is
           // ~2e-6 absolute, so a thin sliver's area differs from JTS's
