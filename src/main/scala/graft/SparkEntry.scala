@@ -419,6 +419,56 @@ object SparkEntry {
       s.read.parquet(outDir).select(col("s_id"), col("p_id"))
     }),
 
+    // STREAM-STREAM watermarked LEFT OUTER join, end-to-end: the
+    // enrichment shape where the left stream is the system of record —
+    // every signup emits exactly once, with its within-±30min purchases
+    // or with nulls once the watermark proves no match can still arrive.
+    // Outer rows are WITHHELD until the watermark passes their window, so
+    // the fixture appends a far-future sentinel pair as the last file
+    // (later modTime → final batch): the closing no-data batch advances
+    // the watermark past all real data and flushes every withheld null.
+    // Oracle: the batch LEFT JOIN — completeness is exactly what it pins.
+    "q152_stream_outer_join" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      import org.apache.spark.sql.streaming.Trigger
+      GeoTables.ensure(s, dir)
+      val base = GeoTables.baseDir(dir)
+      val outDir = s"$base/stream_ssjo_out"
+      val ckDir = s"$base/stream_ssjo_ck"
+      val evPath = s"$base/stream_ssjo_src"
+      rmTree(outDir); rmTree(ckDir); rmTree(evPath)
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+      ev0.repartition(6).write.mode("overwrite").parquet(evPath)
+      // sentinel signup+purchase at max(ts)+4000d, user -1 (append = later
+      // modTime = last micro-batch; watermark 3650d lands 350d past the
+      // real corpus, flushing all outer state)
+      ev0.agg(max(col("ts")).as("mts"))
+        .select(explode(array(lit("signup"), lit("purchase"))).as("event_type"), col("mts"))
+        .select(when(col("event_type") === "signup", lit(-1L)).otherwise(lit(-2L)).as("event_id"),
+          (col("mts") + expr("INTERVAL 4000 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .write.mode("append").parquet(evPath)
+      val schema = s.read.parquet(evPath).schema
+      def src(tpe: String, pfx: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(evPath)
+        .where(col("event_type") === tpe)
+        .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
+          col("ts").cast("timestamp").as(s"${pfx}_ts"))
+      val joined = graft.streaming.Streams.streamStreamLeftOuter(
+        src("signup", "s"), src("purchase", "p"),
+        "s_user", "p_user", "s_ts", "p_ts",
+        watermark = "3650 days", within = "30 minutes")
+      val q = joined.select("s_id", "s_user", "p_id").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).where(col("s_user") >= 0)
+        .select(col("s_id"), coalesce(col("p_id"), lit(-1L)).as("p_id"))
+    }),
+
     // near-dup CLUSTERS: hash-min connected components over the pigeonhole
     // pairs → cluster-size histogram (the keep-one-per-cluster end-step)
     "q55_dedup_components" -> ((s, dir) => {
@@ -4423,6 +4473,14 @@ object SparkEntry {
            ON s.user_id = p.user_id
           AND s.event_type = 'signup' AND p.event_type = 'purchase'
           AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE""",
+    // ground truth: the batch LEFT JOIN — the streaming run must emit
+    // every signup exactly once (matched pairs AND watermark-flushed nulls)
+    "q152_stream_outer_join" ->
+      """SELECT s.event_id AS s_id, COALESCE(p.event_id, -1) AS p_id
+         FROM events s LEFT JOIN events p
+           ON p.event_type = 'purchase' AND p.user_id = s.user_id
+          AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
+         WHERE s.event_type = 'signup'""",
     "q16_langid_hist" ->
       s"""SELECT lang_pred AS predicted, COUNT(*) AS n,
          CAST(SUM(quality_c) AS BIGINT) AS quality_c

@@ -130,6 +130,27 @@ object Streams {
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
   }
 
+  /**
+   * Watermarked STREAM-STREAM LEFT OUTER join: like [[streamStreamJoin]]
+   * but unmatched left rows EMIT with nulls once the watermark passes
+   * their join window — the enrichment shape where the left stream is the
+   * system of record (every ingested image appears exactly once, with or
+   * without its annotation). State stays watermark-bounded on both sides;
+   * the null row for a left element is withheld until no future right row
+   * could match it, so a terminating run must advance the final watermark
+   * past the data (the q152 sentinel pattern) or accept withheld tails.
+   */
+  def streamStreamLeftOuter(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTs: String, rightTs: String,
+                            watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(leftKey) === r(rightKey) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $within") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"), "leftOuter")
+  }
+
   // ---------------- custom state (mapGroupsWithState) ----------------
 
   /** Running per-cell accumulator carried across micro-batches. */
