@@ -123,6 +123,49 @@ object SparkEntry {
     }
   }
 
+  /** Shared stream-stream join scaffold (q67/q152): stage the events table
+    * as a 6-file source dir (3 files/trigger ⇒ 2+ real micro-batches per
+    * side at bounded trigger count), optionally append a far-future
+    * sentinel signup+purchase pair as the LAST file (later modTime → final
+    * batch; its event time advances the closing watermark past all real
+    * data, flushing withheld outer state), build the join from the typed
+    * source constructor, and run it through an AvailableNow parquet sink.
+    * Returns the sink read back. */
+  private def runStreamPairJoin(s: SparkSession, dir: String, name: String,
+      sentinel: Boolean)(
+      joinOf: ((String, String) => DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    GeoTables.ensure(s, dir)
+    val base = GeoTables.baseDir(dir)
+    val outDir = s"$base/${name}_out"
+    val ckDir = s"$base/${name}_ck"
+    val evPath = s"$base/${name}_src"
+    rmTree(outDir); rmTree(ckDir); rmTree(evPath)
+    val ev0 = s.read.parquet(s"$dir/events.parquet")
+    ev0.repartition(6).write.mode("overwrite").parquet(evPath)
+    if (sentinel)
+      ev0.agg(max(col("ts")).as("mts"))
+        .select(explode(array(lit("signup"), lit("purchase"))).as("event_type"), col("mts"))
+        .select(when(col("event_type") === "signup", lit(-1L)).otherwise(lit(-2L)).as("event_id"),
+          (col("mts") + expr("INTERVAL 4000 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .write.mode("append").parquet(evPath)
+    val schema = s.read.parquet(evPath).schema
+    def src(tpe: String, pfx: String): DataFrame = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3")
+      .parquet(evPath)
+      .where(col("event_type") === tpe)
+      .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
+        col("ts").cast("timestamp").as(s"${pfx}_ts")) // NTZ → TIMESTAMP: watermarks demand it; session tz is pinned UTC so the instant is unchanged
+    val q = joinOf(src).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
   /** DuckDB fragment of the pinned six-char whitespace tokenization
     * contract (mirrors Text.wsTokens — RE2 \s ≠ Java \s on \x0B, Java
     * trim strips ≤ U+0020, so both sides spell the class out literally).
@@ -385,38 +428,13 @@ object SparkEntry {
     // under a tight watermark is pinned separately by StreamingSpec.
     "q67_stream_interval_join" -> ((s, dir) => {
       GraftFunctions.install(s)
-      import org.apache.spark.sql.streaming.Trigger
-      GeoTables.ensure(s, dir)
-      val base = GeoTables.baseDir(dir)
-      val outDir = s"$base/stream_ssj_out"
-      val ckDir = s"$base/stream_ssj_ck"
-      rmTree(outDir); rmTree(ckDir)
-      // file-source streams need a DIRECTORY; split the events table into
-      // parts so maxFilesPerTrigger=1 drives real multi-batch progress
-      val evPath = s"$base/stream_ssj_src"
-      rmTree(evPath)
-      s.read.parquet(s"$dir/events.parquet").repartition(6)
-        .write.mode("overwrite").parquet(evPath)
-      val schema = s.read.parquet(evPath).schema
-      // 3 files/trigger over 6 files = 2+ micro-batches per side — real
-      // cross-batch state, but bounded trigger count (each trigger pays
-      // fixed scheduling cost: this is the suite's most overhead-bound row)
-      def src(tpe: String, pfx: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "3")
-        .parquet(evPath)
-        .where(col("event_type") === tpe)
-        .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
-          col("ts").cast("timestamp").as(s"${pfx}_ts")) // NTZ → TIMESTAMP: watermarks demand it; session tz is pinned UTC so the instant is unchanged
-      val joined = graft.streaming.Streams.streamStreamJoin(
-        src("signup", "s"), src("purchase", "p"),
-        "s_user", "p_user", "s_ts", "p_ts",
-        watermark = "3650 days", within = "30 minutes")
-      val q = joined.select("s_id", "p_id").writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckDir)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(outDir).select(col("s_id"), col("p_id"))
+      runStreamPairJoin(s, dir, "stream_ssj", sentinel = false) { src =>
+        graft.streaming.Streams.streamStreamJoin(
+          src("signup", "s"), src("purchase", "p"),
+          "s_user", "p_user", "s_ts", "p_ts",
+          watermark = "3650 days", within = "30 minutes")
+          .select("s_id", "p_id")
+      }.select(col("s_id"), col("p_id"))
     }),
 
     // STREAM-STREAM watermarked LEFT OUTER join, end-to-end: the
@@ -430,42 +448,13 @@ object SparkEntry {
     // Oracle: the batch LEFT JOIN — completeness is exactly what it pins.
     "q152_stream_outer_join" -> ((s, dir) => {
       GraftFunctions.install(s)
-      import org.apache.spark.sql.streaming.Trigger
-      GeoTables.ensure(s, dir)
-      val base = GeoTables.baseDir(dir)
-      val outDir = s"$base/stream_ssjo_out"
-      val ckDir = s"$base/stream_ssjo_ck"
-      val evPath = s"$base/stream_ssjo_src"
-      rmTree(outDir); rmTree(ckDir); rmTree(evPath)
-      val ev0 = s.read.parquet(s"$dir/events.parquet")
-      ev0.repartition(6).write.mode("overwrite").parquet(evPath)
-      // sentinel signup+purchase at max(ts)+4000d, user -1 (append = later
-      // modTime = last micro-batch; watermark 3650d lands 350d past the
-      // real corpus, flushing all outer state)
-      ev0.agg(max(col("ts")).as("mts"))
-        .select(explode(array(lit("signup"), lit("purchase"))).as("event_type"), col("mts"))
-        .select(when(col("event_type") === "signup", lit(-1L)).otherwise(lit(-2L)).as("event_id"),
-          (col("mts") + expr("INTERVAL 4000 DAYS")).as("ts"),
-          lit(-1L).as("user_id"), col("event_type"),
-          lit(0.0).as("value"), lit("").as("props"))
-        .write.mode("append").parquet(evPath)
-      val schema = s.read.parquet(evPath).schema
-      def src(tpe: String, pfx: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "3")
-        .parquet(evPath)
-        .where(col("event_type") === tpe)
-        .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
-          col("ts").cast("timestamp").as(s"${pfx}_ts"))
-      val joined = graft.streaming.Streams.streamStreamLeftOuter(
-        src("signup", "s"), src("purchase", "p"),
-        "s_user", "p_user", "s_ts", "p_ts",
-        watermark = "3650 days", within = "30 minutes")
-      val q = joined.select("s_id", "s_user", "p_id").writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckDir)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(outDir).where(col("s_user") >= 0)
+      runStreamPairJoin(s, dir, "stream_ssjo", sentinel = true) { src =>
+        graft.streaming.Streams.streamStreamLeftOuter(
+          src("signup", "s"), src("purchase", "p"),
+          "s_user", "p_user", "s_ts", "p_ts",
+          watermark = "3650 days", within = "30 minutes")
+          .select("s_id", "s_user", "p_id")
+      }.where(col("s_user") >= 0) // drop the watermark-flush sentinel
         .select(col("s_id"), coalesce(col("p_id"), lit(-1L)).as("p_id"))
     }),
 
@@ -1078,9 +1067,9 @@ object SparkEntry {
       // ONE leaf rollup + ONE explode-to-ancestors rollup (a per-level
       // union chain re-evaluates the point scan once PER LEVEL — Spark
       // does not dedupe common subplans across union branches); ancestor
-      // rows ≤ maxZ · leaf count, so the second shuffle stays cell-sized
-      // cell-sized (≤ min(n_pts, 4^maxZ) rows) — checkpointed so the two
-      // consumers (leaf list, ancestor rollup) scan the points exactly once
+      // rows ≤ maxZ · leaf count. The leaf rollup (≤ min(n_pts, 4^maxZ)
+      // rows) is checkpointed so its two consumers (leaf list, ancestor
+      // rollup) scan the points exactly once
       val leafCounts = pts.groupBy("qk").agg(count(lit(1)).as("c")).localCheckpoint()
       val all = leafCounts
         .withColumn("z", explode(array((1 to maxZ).map(lit(_)): _*)))

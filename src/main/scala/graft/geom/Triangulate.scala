@@ -594,7 +594,7 @@ object Triangulate {
     var (ox, oy) = openRing(shell, ccw = true)
     val opened = holes.map(h => openRing(h, ccw = false)).filter(_._1.length >= 3)
       .sortBy { case (hx, _) => hx.min }
-    opened.foreach { case (hx, hy) =>
+    opened.zipWithIndex.foreach { case ((hx, hy), hi) =>
       // hole anchor: min-x vertex (ties by min y, then first index)
       var m = 0
       var i = 1
@@ -603,31 +603,53 @@ object Triangulate {
         i += 1
       }
       val mx = hx(m); val my = hy(m)
-      // nearest visible outer vertex at x <= mx
-      var best = -1; var bestD = Double.PositiveInfinity
-      var v = 0
-      while (v < ox.length) {
-        if (ox(v) <= mx) {
-          val d = (ox(v) - mx) * (ox(v) - mx) + (oy(v) - my) * (oy(v) - my)
-          if (d < bestD) {
-            var blocked = false
-            var e = 0
-            while (e < ox.length && !blocked) {
-              val f = (e + 1) % ox.length
-              if (segsBlock(mx, my, ox(v), oy(v), ox(e), oy(e), ox(f), oy(f))) blocked = true
-              e += 1
+      // nearest visible outer vertex; first pass restricts to x <= anchor
+      // (a leftward bridge can't cross a not-yet-spliced hole, whose
+      // interior lies at larger x), the FALLBACK pass admits any vertex
+      // but then must test visibility against the remaining holes too
+      // (shell pockets can occlude every leftward vertex)
+      def findVisible(restrictX: Boolean): Int = {
+        var best = -1; var bestD = Double.PositiveInfinity
+        var v = 0
+        while (v < ox.length) {
+          if (!restrictX || ox(v) <= mx) {
+            val d = (ox(v) - mx) * (ox(v) - mx) + (oy(v) - my) * (oy(v) - my)
+            if (d < bestD) {
+              var blocked = false
+              var e = 0
+              while (e < ox.length && !blocked) {
+                val f = (e + 1) % ox.length
+                if (segsBlock(mx, my, ox(v), oy(v), ox(e), oy(e), ox(f), oy(f))) blocked = true
+                e += 1
+              }
+              e = 0
+              while (e < hx.length && !blocked) {
+                val f = (e + 1) % hx.length
+                if (segsBlock(mx, my, ox(v), oy(v), hx(e), hy(e), hx(f), hy(f))) blocked = true
+                e += 1
+              }
+              if (!restrictX && !blocked) {
+                var oi = hi + 1
+                while (oi < opened.length && !blocked) {
+                  val (rx, ry) = opened(oi)
+                  e = 0
+                  while (e < rx.length && !blocked) {
+                    val f = (e + 1) % rx.length
+                    if (segsBlock(mx, my, ox(v), oy(v), rx(e), ry(e), rx(f), ry(f))) blocked = true
+                    e += 1
+                  }
+                  oi += 1
+                }
+              }
+              if (!blocked) { best = v; bestD = d }
             }
-            e = 0
-            while (e < hx.length && !blocked) {
-              val f = (e + 1) % hx.length
-              if (segsBlock(mx, my, ox(v), oy(v), hx(e), hy(e), hx(f), hy(f))) blocked = true
-              e += 1
-            }
-            if (!blocked) { best = v; bestD = d }
           }
+          v += 1
         }
-        v += 1
+        best
       }
+      var best = findVisible(restrictX = true)
+      if (best < 0) best = findVisible(restrictX = false)
       if (best < 0)
         throw new IllegalArgumentException(
           "st_triangulate: no visible bridge vertex for a hole — polygon is not valid")

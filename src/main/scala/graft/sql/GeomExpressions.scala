@@ -1508,8 +1508,17 @@ case class StMakePolygon(child: Expression) extends UnaryExpression with Expects
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(v: Any): Any =
-    K.makePolygon(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"st_makepolygon: null coordinate at position $i")
+      i += 1
+    }
+    K.makePolygon(arr.toDoubleArray())
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

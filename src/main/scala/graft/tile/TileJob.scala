@@ -290,40 +290,18 @@ object TileJob {
       .write.mode("overwrite").partitionBy("bucket").parquet(newRoot)
 
     // verify the rewrite against the committed manifest BEFORE publishing
-    val back = selected.map { case (b, _) => spark.read.parquet(newDir(b))
-        .withColumn("bucket", lit(b.toLong)) }
-      .reduce(_ unionByName _)
-      .withColumn("cs", checksumCol)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"))
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), IceLite.mask53(r.getLong(2)))))
-      .toMap
-    selected.foreach { case (b, es) =>
-      val expRows = es.map(_.rows).sum
-      val expCs = es.map(_.checksum).reduce(_ ^ _)
-      val (rows, cs) = back.getOrElse(b.toLong, (-1L, -1L))
-      if (rows != expRows || cs != expCs)
-        throw new IllegalStateException(
-          s"compaction verify failed for bucket $b: " +
-            s"rows $rows vs $expRows, checksum $cs vs $expCs — not committed")
-    }
+    verifyRewrite(spark, "compaction", newDir, selected.map { case (b, es) =>
+      b -> ((es.map(_.rows).sum, es.map(_.checksum).reduce(_ ^ _)))
+    })
 
     val merged = selected.map { case (b, es) =>
       val rows = es.map(_.rows).sum; val cs = es.map(_.checksum).reduce(_ ^ _)
-      b -> IceLite.BucketEntry(b, rows, cs,
+      b -> (Some(IceLite.BucketEntry(b, rows, cs,
         es.map(_.cellMin).min, es.map(_.cellMax).max, newDir(b),
-        es.flatMap(_.lineage) :+ IceLite.LineageRow("compact", b, rows, rows, cs))
+        es.flatMap(_.lineage) :+ IceLite.LineageRow("compact", b, rows, rows, cs))): Option[IceLite.BucketEntry])
     }.toMap
-    // in-place: the merged entry takes the FIRST slot of its bucket;
-    // later same-bucket entries drop — manifest order is preserved
-    val seen = scala.collection.mutable.Set.empty[Int]
-    val entries = snap.buckets.flatMap { b =>
-      if (b.rows == 0 || !merged.contains(b.bucket)) Some(b)
-      else if (seen.add(b.bucket)) Some(merged(b.bucket))
-      else None
-    }
-    val out = IceLite.Snapshot(newId, snap.snapshotId, s"compact-${snap.jobId}", entries)
+    val out = IceLite.Snapshot(newId, snap.snapshotId, s"compact-${snap.jobId}",
+      replaceEntries(snap, merged))
     IceLite.commit(outRoot, out)
     out
   }
@@ -504,9 +482,26 @@ object TileJob {
                   extraCols: Seq[String] = Nil): IceLite.Snapshot = {
     val snap = IceLite.currentSnapshot(outRoot)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot at $outRoot"))
+    val grouped = snap.buckets.filter(_.rows > 0).groupBy(_.bucket).toSeq.sortBy(_._1)
+    // EVOLVED columns ride through automatically on MERGE (a matched row is
+    // REPLACED wholesale — projecting the update down to core columns would
+    // silently blank evolved values the verify checksum cannot see, since
+    // it hashes core columns only). Updates that lack an evolved table
+    // column are rejected: the caller must carry it (explicit NULLs if
+    // blanking is intended), the Iceberg MERGE schema-match contract.
+    val evolved: Seq[String] =
+      if (grouped.isEmpty) Nil
+      else bucketUnion(spark, grouped).columns.toSeq
+        .filterNot(c => coreCols.contains(c))
+    val missing = evolved.filterNot(c =>
+      updates.columns.contains(c) || extraCols.contains(c))
+    require(missing.isEmpty,
+      s"mergeUpsert updates lack evolved table column(s) ${missing.mkString(",")} — " +
+        "supply them (explicit NULLs if blanking is intended)")
+    val rideThrough = (extraCols ++ evolved).distinct
     // materialized once: read by the uniqueness probe, the add-side stats,
     // and the rewrite union (the projection re-decodes images otherwise)
-    val proj = tileProjection(updates, zoom, bucketLevel, extraCols)
+    val proj = tileProjection(updates, zoom, bucketLevel, rideThrough)
       .localCheckpoint()
     val dup = proj.groupBy("image_id").agg(count(lit(1)).as("n"))
       .where(col("n") > 1).limit(1).collect()
@@ -524,7 +519,6 @@ object TileJob {
           r.getAs[Long]("cmin"), r.getAs[Long]("cmax"))))
       .toMap
 
-    val grouped = snap.buckets.filter(_.rows > 0).groupBy(_.bucket).toSeq.sortBy(_._1)
     val ids = proj.select(col("image_id").as("_mid")).distinct()
     // matched-side stats per EXISTING bucket (rows keyed out by id); no
     // broadcast hint — AQE converts the shuffle join when the id side is

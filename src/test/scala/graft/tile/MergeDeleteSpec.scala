@@ -73,6 +73,41 @@ class MergeDeleteSpec extends AnyFunSuite {
     images.unpersist()
   }
 
+  test("mergeUpsert on an evolved table: evolved values ride through; missing column rejects") {
+    spark.sparkContext.setLogLevel("WARN")
+    GeoTables.ensure(spark, sfDir)
+    val images = spark.read.parquet(GeoTables.imagesPath(sfDir))
+      .orderBy("image_id").limit(40).cache()
+    val old = images.limit(20)
+    val neu = images.orderBy(desc("image_id")).limit(20)
+      .withColumn("quality", (length(col("caption")) % 7).cast("long"))
+    val root = Files.createTempDirectory("cowmergeev").toString
+    TileJob.ingestBatch(spark, old, root, batchId = 0, zoom = 6)
+    TileJob.ingestBatch(spark, neu, root, batchId = 1, zoom = 6,
+      extraCols = Seq("quality"))
+
+    // updates WITHOUT the evolved column would silently blank it (the
+    // verify checksum hashes core columns only) — rejected loudly instead
+    val ex = intercept[IllegalArgumentException] {
+      TileJob.mergeUpsert(spark, root, old.limit(3), zoom = 6)
+    }
+    assert(ex.getMessage.contains("evolved"))
+
+    // updates carrying it: matched rows take the fresh value, everyone
+    // else (incl. the NULL pre-evolution rows) is untouched
+    val upd = neu.orderBy("image_id").limit(3)
+      .withColumn("caption", concat(col("caption"), lit(" v2")))
+      .withColumn("quality", lit(99L))
+    TileJob.mergeUpsert(spark, root, upd, zoom = 6)
+    val ev = TileJob.readEvolved(spark, root)
+    assert(ev.count() == 40)
+    assert(ev.where(col("quality") === 99L).count() == 3)
+    assert(ev.where(col("quality") === 99L)
+      .where(!col("caption").endsWith(" v2")).count() == 0)
+    assert(ev.where(col("quality").isNull).count() == 20)
+    images.unpersist()
+  }
+
   test("mergeUpsert: replace in place, bucket hop, insert append, dup reject") {
     spark.sparkContext.setLogLevel("WARN")
     GeoTables.ensure(spark, sfDir)
