@@ -458,6 +458,34 @@ object SparkEntry {
         .select(col("s_id"), coalesce(col("p_id"), lit(-1L)).as("p_id"))
     }),
 
+    // KMV (bottom-K) DISTINCT SKETCH — the 100 TB COUNT(DISTINCT): exact
+    // when the group is small (array length < K), (K-1)·2^60/h_K when
+    // saturated, O(K) state per group, mergeable partials (map-side
+    // combine). ORACLE-able because the sketch is a deterministic
+    // set-function of the shared 60-bit md5-prefix hash — DuckDB mirrors
+    // the whole thing with ORDER BY hash LIMIT K. Per source: the text
+    // sketch saturates (hundreds of docs) → estimator path; the lang
+    // sketch stays tiny → exact-under-K path. The estimate is never
+    // trusted blindly: n_k/kth are in the output so the oracle pins the
+    // sketch CONTENT, not just the derived number.
+    "q154_kmv_distinct" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      t(s, dir, "documents")
+        .select(col("source"),
+          call_function("md5_sig60", col("text")).as("hv"),
+          call_function("md5_sig60", col("lang")).as("lv"))
+        .groupBy("source")
+        .agg(call_function("kmv_minhashes", col("hv"), lit(64)).as("mins"),
+          call_function("kmv_minhashes", col("lv"), lit(64)).as("lmins"))
+        .select(col("source"),
+          size(col("mins")).cast("bigint").as("n_k"),
+          expr("CASE WHEN size(mins) = 64 THEN element_at(mins, 64) ELSE -1L END").as("kth"),
+          expr("CASE WHEN size(mins) < 64 THEN CAST(size(mins) AS BIGINT) " +
+            "ELSE CAST(FLOOR(63.0D * 1152921504606846976.0D / CAST(element_at(mins, 64) AS DOUBLE)) AS BIGINT) END")
+            .as("est_q"),
+          size(col("lmins")).cast("bigint").as("n_lang"))
+    }),
+
     // near-dup CLUSTERS: hash-min connected components over the pigeonhole
     // pairs → cluster-size histogram (the keep-one-per-cluster end-step)
     "q55_dedup_components" -> ((s, dir) => {
@@ -4470,6 +4498,26 @@ object SparkEntry {
            ON p.event_type = 'purchase' AND p.user_id = s.user_id
           AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
          WHERE s.event_type = 'signup'""",
+    // ground truth: the KMV sketch is a pure set-function of the shared
+    // md5-prefix hash — bottom-64 DISTINCT per group via a rank window;
+    // kth/est only when saturated (rank-64 row exists)
+    "q154_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv FROM documents),
+         l AS (SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(lang), 1, 15)) AS BIGINT) AS lv FROM documents),
+         r AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+         g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_k,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS kth
+           FROM r WHERE rn <= 64 GROUP BY source),
+         lg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lang FROM l GROUP BY source)
+         SELECT g.source, n_k, COALESCE(kth, -1) AS kth,
+           CASE WHEN n_k < 64 THEN n_k
+                ELSE CAST(FLOOR(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT)
+           END AS est_q,
+           n_lang
+         FROM g JOIN lg USING (source)""",
     "q16_langid_hist" ->
       s"""SELECT lang_pred AS predicted, COUNT(*) AS n,
          CAST(SUM(quality_c) AS BIGINT) AS quality_c

@@ -235,6 +235,11 @@ object GraftFunctions {
     "st_union_agg" -> (e => StUnionAgg(e.head)),
     "st_union_points_agg" -> (e => StUnionPointsAgg(e.head)),
     "st_line_agg" -> (e => StLineAgg(e(0), e(1), e(2))),
+    // bounded mergeable sketches (scale path for distinct / runtime pruning)
+    "kmv_minhashes" -> (e => KmvMinhashes(e(0), e(1))),
+    "bloom_agg" -> (e => BloomAgg(e(0), e(1), e(2))),
+    "bloom_contains" -> (e => BloomContains(e(0), e(1), e(2))),
+    "md5_sig60" -> (e => Md5Sig60(e.head)),
     "st_asmvt_agg" -> (e => StAsMvtAgg(e(0), e(1)))
   )
 

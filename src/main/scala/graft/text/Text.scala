@@ -177,6 +177,20 @@ object Text {
     out
   }
 
+  /** 60-bit md5-prefix signature of raw UTF-8 bytes — the single-value
+    * sibling of the window signature above, same DuckDB mirror:
+    * CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT). Drives the KMV /
+    * Bloom sketches, whose determinism contract needs a hash both
+    * engines compute bit-identically. */
+  def md5Sig60(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+    h >>> 4
+  }
+
   /** Tokenizer with an EXPLICIT cross-engine whitespace contract for the
     * signature operators: tokens are maximal runs of characters outside
     * { \t \n \x0B \f \r ' ' } — the same six-char class the DuckDB
