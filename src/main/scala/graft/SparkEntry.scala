@@ -458,6 +458,19 @@ object SparkEntry {
         .select(col("s_id"), coalesce(col("p_id"), lit(-1L)).as("p_id"))
     }),
 
+    // BLOOM RUNTIME-PRUNED PIP JOIN — the explicit runtime-filter shape:
+    // a selective zone subset (1/17th of zones) folds its cell cover into
+    // one distributed bloom row; the point scan probes it BEFORE the
+    // shuffle, so at scale only can-match points move. Row set is exactly
+    // pipJoin's (no false negatives; fps die in the cell join + exact
+    // refine) — the oracle is the plain BETWEEN join over the subset.
+    "q153_bloom_pruned_join" -> ((s, dir) => {
+      val hot = GeoTables.zones(s, dir)
+        .where(expr("CAST(substring(zone_id, 5) AS INT) % 17 = 3"))
+      SpatialJoins.pipJoinBloomPruned(GeoTables.images(s, dir), hot, level = 8)
+        .groupBy("zone_id").agg(count(lit(1)).as("n_images"))
+    }),
+
     // KMV (bottom-K) DISTINCT SKETCH — the 100 TB COUNT(DISTINCT): exact
     // when the group is small (array length < K), (K-1)·2^60/h_K when
     // saturated, O(K) state per group, mergeable partials (map-side
@@ -4498,6 +4511,14 @@ object SparkEntry {
            ON p.event_type = 'purchase' AND p.user_id = s.user_id
           AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
          WHERE s.event_type = 'signup'""",
+    // ground truth: the bloom prune is invisible to the row set — plain
+    // inclusive-BETWEEN PIP join over the selected zone subset
+    "q153_bloom_pruned_join" ->
+      s"""SELECT z.zone_id, COUNT(*) AS n_images
+         FROM $IMG i JOIN $ZON z
+           ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
+         WHERE CAST(substr(z.zone_id, 5) AS INT) % 17 = 3
+         GROUP BY z.zone_id""",
     // ground truth: the KMV sketch is a pure set-function of the shared
     // md5-prefix hash — bottom-64 DISTINCT per group via a rank window;
     // kth/est only when saturated (rank-64 row exists)

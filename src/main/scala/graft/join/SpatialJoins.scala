@@ -105,6 +105,40 @@ object SpatialJoins {
   }
 
   /**
+   * PIP join with BLOOM runtime pruning of the point scan (the explicit
+   * form of Spark's runtime row-level filtering, composable with any
+   * graft join). The at-scale scenario is the NON-broadcastable zone
+   * side: the cover join must shuffle every point, so a selective zone
+   * subset still pays a full-corpus shuffle. Here the cover's cell set
+   * is folded DISTRIBUTED into one bloom bit-array row (bloom_agg —
+   * partials OR together, nothing collects to the driver), broadcast to
+   * the point scan, and bloom_contains drops non-candidate points
+   * BEFORE the shuffle — the fact side shuffles only what can match.
+   * Correctness never depends on the filter (no false negatives; false
+   * positives fall to the exact cell equi-join + st_intersects_xy
+   * refine), so the row set is bit-identical to [[pipJoin]].
+   */
+  def pipJoinBloomPruned(images: DataFrame, zones: DataFrame, level: Int = 8,
+                         nbits: Int = 1 << 20, nhashes: Int = 7): DataFrame = {
+    val spark = images.sparkSession
+    GraftFunctions.install(spark)
+    val cover = zoneCover(zones, level)
+      .select(col("zone_id"), col("zone_geom"), col("cell"))
+    val bloomDf = cover.agg(
+      call_function("bloom_agg", col("cell"), lit(nbits), lit(nhashes)).as("bl"))
+    val pts = images
+      .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(level)))
+      .join(broadcast(bloomDf))
+      .where(call_function("bloom_contains", col("bl"), col("cell"), lit(nhashes)))
+      .drop("bl")
+    // deliberately NO broadcast of the cover: this is the shuffle-join
+    // path the bloom prune exists for (small-zone cases should call
+    // pipJoin, which dispatches to broadcast on its own)
+    pts.join(cover, "cell")
+      .where(call_function("st_intersects_xy", col("zone_geom"), col("lon"), col("lat")))
+  }
+
+  /**
    * Fixed-radius distance join ("all images within d of each zone") —
    * the most common production spatial-join predicate (judge r4 missing
    * #1). Same one-scan shape as [[pipJoin]]: the geometry side covers its
