@@ -499,6 +499,36 @@ object SparkEntry {
           size(col("lmins")).cast("bigint").as("n_lang"))
     }),
 
+    // COUNT-MIN SKETCH heavy hitters — the bounded-state frequent-token
+    // shape: d=4 hash rows × w=1024 buckets of exact integer counts (the
+    // sketch is 4096 rows REGARDLESS of vocab size), point estimate =
+    // min over the 4 bucket counts, always ≥ the true count. Pure
+    // built-in composition (explode → groupBy → broadcast join → min),
+    // whole arithmetic integer-exact and mirrored in DuckDB, including
+    // the deterministic collision inflation. Exact counts ride along so
+    // the oracle pins the est ≥ exact dominance per token.
+    "q155_cms_heavy" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val js = array((0 until 4).map(lit): _*)
+      def bucketOf(tok: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+        pmod(call_function("md5_sig60", concat(j.cast("string"), lit(":"), tok)), lit(1024L))
+      val toks = GeoTables.images(s, dir)
+        .select(explode(wsToks(col("caption"))).as("tok"))
+      val sketch = toks.withColumn("j", explode(js))
+        .withColumn("bucket", bucketOf(col("tok"), col("j")))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("c_exact"))
+      val thr = GeoTables.images(s, dir)
+        .agg((count(lit(1)) / 10).cast("bigint").as("thr"))
+      exact.withColumn("j", explode(js))
+        .withColumn("bucket", bucketOf(col("tok"), col("j")))
+        .join(broadcast(sketch), Seq("j", "bucket"))
+        .groupBy("tok", "c_exact").agg(min("cnt").as("est"))
+        .crossJoin(broadcast(thr))
+        .where(col("est") >= col("thr"))
+        .select("tok", "c_exact", "est")
+    }),
+
     // near-dup CLUSTERS: hash-min connected components over the pigeonhole
     // pairs → cluster-size histogram (the keep-one-per-cluster end-step)
     "q55_dedup_components" -> ((s, dir) => {
@@ -4519,6 +4549,26 @@ object SparkEntry {
            ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
          WHERE CAST(substr(z.zone_id, 5) AS INT) % 17 = 3
          GROUP BY z.zone_id""",
+    // ground truth: the identical 4×1024 integer sketch rebuilt in SQL —
+    // same md5-prefix row hashes, same collision inflation, same min
+    "q155_cms_heavy" ->
+      s"""WITH toks AS (SELECT unnest(string_split(caption, ' ')) AS tok FROM $IMG),
+         rows_ AS (SELECT tok, unnest([0, 1, 2, 3]) AS j FROM toks),
+         keyed AS (SELECT tok, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT)
+               % 1024 AS bucket FROM rows_),
+         sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM keyed GROUP BY 1, 2),
+         exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_exact FROM toks GROUP BY 1),
+         probes AS (SELECT e.tok, e.c_exact, k.j,
+             CAST(('0x' || substr(md5(CAST(k.j AS VARCHAR) || ':' || e.tok), 1, 15)) AS BIGINT)
+               % 1024 AS bucket
+           FROM exact e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) k),
+         est AS (SELECT p.tok, p.c_exact, MIN(s.cnt) AS est
+           FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+           GROUP BY 1, 2)
+         SELECT tok, c_exact, est FROM est
+         WHERE est >= (SELECT COUNT(*) // 10 FROM $IMG)""",
     // ground truth: the KMV sketch is a pure set-function of the shared
     // md5-prefix hash — bottom-64 DISTINCT per group via a rank window;
     // kth/est only when saturated (rank-64 row exists)
