@@ -34,6 +34,7 @@ object SparkEntry {
   private val GNODE = "read_parquet('/tmp/graft_geo/sf0.01/grid_nodes.parquet/*.parquet')"
   private val IMGQ = "read_parquet('/tmp/graft_geo/sf0.01/img_quality.parquet/*.parquet')"
   private val IMGC = "read_parquet('/tmp/graft_geo/sf0.01/img_color.parquet/*.parquet')"
+  private val XMOD = "read_parquet('/tmp/graft_geo/sf0.01/xmodal.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -527,6 +528,29 @@ object SparkEntry {
         .crossJoin(broadcast(thr))
         .where(col("est") >= col("thr"))
         .select("tok", "c_exact", "est")
+    }),
+
+    // CROSS-MODAL DEDUP — the image+caption conjunction a multimodal
+    // training pipeline actually needs: candidates come from the pHash
+    // pigeonhole bands (scales as the band join, never O(n²)), then the
+    // exact gate requires BOTH modalities to agree — hamming ≤ 4 on the
+    // image AND token-set Jaccard ≥ ½ on the caption, the latter in pure
+    // integer form (2·|∩| ≥ |∪|, no float ratio to disagree on). The
+    // fixture plants phash-near variants whose captions only sometimes
+    // survive the text gate, so the conjunction does real work.
+    "q156_xmodal_dedup" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val xm = GeoTables.xmodal(s, dir)
+      val pairs = graft.join.ImageDedup.nearDup(xm, "id", "phash", maxHamming = 4)
+      val caps = xm.select(col("id"), array_distinct(wsToks(col("caption"))).as("tk"))
+      pairs
+        .join(caps.select(col("id").as("a"), col("tk").as("tka")), "a")
+        .join(caps.select(col("id").as("b"), col("tk").as("tkb")), "b")
+        .withColumn("n_inter", size(array_intersect(col("tka"), col("tkb"))).cast("bigint"))
+        .withColumn("n_union",
+          (size(col("tka")) + size(col("tkb"))).cast("bigint") - col("n_inter"))
+        .where(col("n_inter") * 2 >= col("n_union"))
+        .select("a", "b", "hamming", "n_inter", "n_union")
     }),
 
     // near-dup CLUSTERS: hash-min connected components over the pigeonhole
@@ -4569,6 +4593,20 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT tok, c_exact, est FROM est
          WHERE est >= (SELECT COUNT(*) // 10 FROM $IMG)""",
+    // ground truth: brute-force both gates over the fixture — xor
+    // popcount for the image side, distinct-token-list intersection for
+    // the caption side, same integer 2·|∩| ≥ |∪| inequality
+    "q156_xmodal_dedup" ->
+      s"""WITH t AS (SELECT id, phash,
+             list_distinct(string_split(caption, ' ')) AS tk FROM $XMOD)
+         SELECT x.id AS a, y.id AS b,
+           CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming,
+           CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS n_inter,
+           CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS n_union
+         FROM t x JOIN t y ON x.id < y.id
+         WHERE bit_count(xor(x.phash, y.phash)) <= 4
+           AND 2 * len(list_intersect(x.tk, y.tk))
+               >= len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))""",
     // ground truth: the KMV sketch is a pure set-function of the shared
     // md5-prefix hash — bottom-64 DISTINCT per group via a rank window;
     // kth/est only when saturated (rank-64 row exists)

@@ -260,6 +260,67 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_NEARDUP_DONE"))
   }
 
+  def xmodalPath(sfDir: String): String = s"${baseDir(sfDir)}/xmodal.parquet"
+
+  final case class XmodalRow(id: String, phash: Long, caption: String)
+
+  def xmodal(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureXmodal(spark, sfDir)
+    spark.read.parquet(xmodalPath(sfDir))
+  }
+
+  /** Cross-modal near-dup fixture (additive, own marker): image+caption
+    * rows where every 10th row gets a planted variant that is ALWAYS a
+    * pHash near-dup (1–4 deterministic bit flips, the ensureNearDup
+    * recipe) but only SOMETIMES a caption near-dup — even-indexed plants
+    * keep the caption verbatim, odd-indexed ones pass it through
+    * variantText (1–4 OOV token substitutions), so the cross-modal
+    * conjunction in q156 has pairs that pass the image gate and fail the
+    * text gate and vice-versa nothing is ever a text-only near-dup (base
+    * captions are pairwise distinct). */
+  def ensureXmodal(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_XMODAL_DONE"))) return
+    import spark.implicits._
+    val n = math.min(3000L, nImages(sfDir)).toInt
+    val baseRows = spark.read.parquet(imagesPath(sfDir))
+      .select("image_id", "phash", "caption").orderBy("image_id").limit(n)
+      .collect().map(r => XmodalRow(r.getString(0), r.getLong(1), r.getString(2)))
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val variants = baseRows.zipWithIndex.collect { case (row, i) if i % 10 == 0 =>
+      val flips = 1 + (i / 10) % 4
+      var v = row.phash
+      var h = mix(row.phash ^ i)
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (seen.size < flips) {
+        h = mix(h)
+        val pos = (h >>> 58).toInt
+        if (!seen.contains(pos)) { seen += pos; v ^= 1L << pos }
+      }
+      // even plants: caption verbatim (J=1). Odd plants: replace the
+      // k = 1 + (i/10) % 5 leading tokens with OOV — on the 9-token
+      // captions k ≤ 3 keeps 2·|∩| ≥ |∪| (passes) and k ∈ {4,5} fails,
+      // so the text gate genuinely rejects some phash-near pairs.
+      val cap = if ((i / 10) % 2 == 0) row.caption
+      else {
+        val toks = row.caption.split(' ')
+        val k = math.min(toks.length, 1 + (i / 10) % 5)
+        (0 until k).foreach(j => toks(j) = s"zq${i}x$j")
+        toks.mkString(" ")
+      }
+      XmodalRow(s"${row.id}_v", v, cap)
+    }
+    spark.createDataset((baseRows ++ variants).toSeq).toDF()
+      .repartition(4).write.mode("overwrite").parquet(xmodalPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_XMODAL_DONE"))
+  }
+
   // ---------------- text-dedup fixtures (q16–q20 exact oracles) ----------------
   //
   // The r3 judge ruling: language-ID / MinHash / SimHash / shingle values
