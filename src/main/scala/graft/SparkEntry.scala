@@ -35,6 +35,7 @@ object SparkEntry {
   private val IMGQ = "read_parquet('/tmp/graft_geo/sf0.01/img_quality.parquet/*.parquet')"
   private val IMGC = "read_parquet('/tmp/graft_geo/sf0.01/img_color.parquet/*.parquet')"
   private val XMOD = "read_parquet('/tmp/graft_geo/sf0.01/xmodal.parquet/*.parquet')"
+  private val IMGS = "read_parquet('/tmp/graft_geo/sf0.01/img_ssim.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -528,6 +529,34 @@ object SparkEntry {
         .crossJoin(broadcast(thr))
         .where(col("est") >= col("thr"))
         .select("tok", "c_exact", "est")
+    }),
+
+    // SSIM perceptual quality (Wang et al. mean 8×8-block structural
+    // similarity, luma channel, ×1e6 floor-quantized): the re-encode /
+    // augmentation quality gate PSNR (q11) doesn't capture — contrast
+    // and structure terms, not just pixel MSE. Recompute pin (q126
+    // pattern): self-SSIM must be EXACTLY 1e6 on every image (identical
+    // inputs give a bitwise-1.0 block ratio), blur-SSIM must equal the
+    // fixture row-for-row and never exceed self. Row-parallel decode,
+    // one agg shuffle.
+    "q157_ssim" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgSsim(s, dir)
+      val fix = s.read.parquet(GeoTables.imgSsimPath(dir))
+        .select(col("image_id"), col("ssim_self").as("f_self"), col("ssim_blur").as("f_blur"))
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("blur", call_function("img_boxblur_rgb", col("rgb"), col("w"), col("h")))
+        .withColumn("s_self", call_function("img_ssim_rgb", col("rgb"), col("rgb"), col("w"), col("h")))
+        .withColumn("s_blur", call_function("img_ssim_rgb", col("rgb"), col("blur"), col("w"), col("h")))
+        .join(fix, "image_id")
+        .groupBy(expr("s_blur div 10000").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum("s_blur").as("sum_ssim"),
+          sum(when(col("s_self") === col("f_self") && col("s_blur") === col("f_blur"), 1L)
+            .otherwise(0L)).as("n_exact"),
+          sum(when(col("s_self") === 1000000L, 1L).otherwise(0L)).as("n_self_one"),
+          sum(when(col("s_blur") <= col("s_self"), 1L).otherwise(0L)).as("n_blur_le"))
     }),
 
     // CROSS-MODAL DEDUP — the image+caption conjunction a multimodal
@@ -4593,6 +4622,13 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT tok, c_exact, est FROM est
          WHERE est >= (SELECT COUNT(*) // 10 FROM $IMG)""",
+    // ground truth: the fixture materializes both SSIMs through the same
+    // kernel; every invariant column is a COUNT(*) closed form
+    "q157_ssim" ->
+      s"""SELECT ssim_blur // 10000 AS bucket, COUNT(*) AS n,
+           CAST(SUM(ssim_blur) AS BIGINT) AS sum_ssim,
+           COUNT(*) AS n_exact, COUNT(*) AS n_self_one, COUNT(*) AS n_blur_le
+         FROM $IMGS GROUP BY 1""",
     // ground truth: brute-force both gates over the fixture — xor
     // popcount for the image side, distinct-token-list intersection for
     // the caption side, same integer 2·|∩| ≥ |∪| inequality

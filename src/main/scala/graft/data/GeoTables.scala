@@ -443,6 +443,30 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGCOLOR_DONE"))
   }
 
+  def imgSsimPath(sfDir: String): String = s"${baseDir(sfDir)}/img_ssim.parquet"
+
+  final case class ImgSsimRow(image_id: String, ssim_self: Long, ssim_blur: Long)
+
+  /** Per-image SSIM fixture through the SAME kernel the SQL expression
+    * calls (the q126/q151 recompute-pin pattern): self-SSIM (exactly
+    * 1e6 by construction) and SSIM against the 3×3 box-blurred image. */
+  def ensureImgSsim(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGSSIM_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes", "w", "h")
+      .as[(String, Array[Byte], Int, Int)]
+      .map { case (id, bytes, w, h) =>
+        val rgb = Images.decode(bytes)._3
+        ImgSsimRow(id, Images.ssimQ(w, h, rgb, rgb),
+          Images.ssimQ(w, h, rgb, Images.boxBlur3Rgb(w, h, rgb)))
+      }
+      .write.mode("overwrite").parquet(imgSsimPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGSSIM_DONE"))
+  }
+
   final case class ImgQualityRow(image_id: String, sharp: Long, sharp_blur: Long)
 
   /** Materializes per-image Laplacian sharpness (raw and after one 3×3

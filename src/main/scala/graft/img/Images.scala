@@ -482,6 +482,53 @@ object Images {
     out
   }
 
+  /** Mean 8×8-block SSIM over the luma channel, quantized ×1e6 (floor).
+    * Wang et al.'s structural-similarity formula per non-overlapping
+    * block (partial edge blocks included; K1=0.01, K2=0.03, L=255),
+    * averaged in raster block order — a deterministic scan, so the
+    * fixture loop and the SQL expression agree bit-for-bit. Identical
+    * inputs give EXACTLY 1.0 per block (numerator and denominator are
+    * the same double expression), hence exactly 1_000_000. */
+  def ssimQ(w: Int, h: Int, a: Array[Byte], b: Array[Byte]): Long = {
+    require(a.length == w * h * 3 && b.length == w * h * 3,
+      s"ssim over mismatched buffers: ${a.length}/${b.length} vs ${w}x$h")
+    val C1 = 6.5025 // (0.01*255)^2
+    val C2 = 58.5225 // (0.03*255)^2
+    var total = 0.0
+    var nb = 0
+    var by = 0
+    while (by < h) {
+      var bx = 0
+      while (bx < w) {
+        val bw = math.min(8, w - bx)
+        val bh = math.min(8, h - by)
+        var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0; var sab = 0.0
+        var y = by
+        while (y < by + bh) {
+          var x = bx
+          while (x < bx + bw) {
+            val k = (y * w + x) * 3
+            val la = luma(a(k) & 0xFF, a(k + 1) & 0xFF, a(k + 2) & 0xFF).toDouble
+            val lb = luma(b(k) & 0xFF, b(k + 1) & 0xFF, b(k + 2) & 0xFF).toDouble
+            sa += la; sb += lb; saa += la * la; sbb += lb * lb; sab += la * lb
+            x += 1
+          }
+          y += 1
+        }
+        val n = (bw * bh).toDouble
+        val ma = sa / n; val mb = sb / n
+        val va = saa / n - ma * ma; val vb = sbb / n - mb * mb
+        val cab = sab / n - ma * mb
+        total += ((2 * ma * mb + C1) * (2 * cab + C2)) /
+          ((ma * ma + mb * mb + C1) * (va + vb + C2))
+        nb += 1
+        bx += 8
+      }
+      by += 8
+    }
+    math.floor(total / nb * 1e6).toLong
+  }
+
   def sharpness(w: Int, h: Int, rgb: Array[Byte]): Long = {
     if (w < 3 || h < 3 || w * h * 3 != rgb.length) return 0L
     val lum = new Array[Int](w * h)

@@ -1021,6 +1021,24 @@ case class ImgSharpness(first: Expression, second: Expression, third: Expression
     copy(a, b, c)
 }
 
+/** (rgbA, rgbB, w, h) → mean 8×8-block luma SSIM ×1e6 floor-quantized
+  * (Images.ssimQ) — the perceptual-quality gate for re-encode/augment
+  * pipelines; exactly 1_000_000 on identical inputs. */
+case class ImgSsim(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    K.imgSsimQ(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Int], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.sql.K.imgSsimQ($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(a, b, c, d)
+}
+
 /** (rgb) → 64-bin 4×4×4 RGB color histogram as array<bigint>; counts sum
   * to the pixel count (exact integers — no cross-engine tolerance). */
 case class ImgColorHist(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {

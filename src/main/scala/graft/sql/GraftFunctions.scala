@@ -190,6 +190,7 @@ object GraftFunctions {
     "img_boxblur_rgb" -> (e => ImgBoxBlur(e(0), e(1), e(2))),
     "img_sharpness" -> (e => ImgSharpness(e(0), e(1), e(2))),
     "img_colorhist64" -> (e => ImgColorHist(e.head)),
+    "img_ssim_rgb" -> (e => ImgSsim(e(0), e(1), e(2), e(3))),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
     // multimodal opaque-binary columns (GMV1 container; stub codec)
     "media_kind" -> (e => MediaKind(e.head)),
