@@ -559,6 +559,35 @@ object SparkEntry {
           sum(when(col("s_blur") <= col("s_self"), 1L).otherwise(0L)).as("n_blur_le"))
     }),
 
+    // DETERMINISTIC AUGMENTATION with involution proofs — the training-
+    // data augment pass where the POLICY itself is a pure function of the
+    // row key (md5-prefix % 3 → hflip / vflip / rot180), so any executor,
+    // any retry, any cluster size produces the same augmented corpus.
+    // Per (aug, fmt): every aug must undo itself exactly (rot180 = the
+    // hflip∘vflip composition, undone by re-applying it) and every aug is
+    // a pixel PERMUTATION (64-bin color histogram unchanged). The oracle
+    // derives the policy split arithmetically and the invariants as
+    // COUNT(*) closed forms.
+    "q158_augment" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      def fl(c: org.apache.spark.sql.Column, horiz: Boolean) =
+        call_function("img_flip_rgb", c, col("w"), col("h"), lit(horiz))
+      def augOf(c: org.apache.spark.sql.Column) =
+        when(col("aug_id") === 0, fl(c, true))
+          .when(col("aug_id") === 1, fl(c, false))
+          .otherwise(fl(fl(c, true), false))
+      GeoTables.images(s, dir)
+        .withColumn("aug_id", pmod(call_function("md5_sig60", col("image_id")), lit(3L)))
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("aug", augOf(col("rgb")))
+        .withColumn("undo", augOf(col("aug")))
+        .groupBy("aug_id", "fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(when(md5(col("undo")) === md5(col("rgb")), 1L).otherwise(0L)).as("n_inv"),
+          sum(when(call_function("img_colorhist64", col("aug"))
+            === call_function("img_colorhist64", col("rgb")), 1L).otherwise(0L)).as("n_hist"))
+    }),
+
     // CROSS-MODAL DEDUP — the image+caption conjunction a multimodal
     // training pipeline actually needs: candidates come from the pHash
     // pigeonhole bands (scales as the band join, never O(n²)), then the
@@ -4622,6 +4651,12 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT tok, c_exact, est FROM est
          WHERE est >= (SELECT COUNT(*) // 10 FROM $IMG)""",
+    // ground truth: the md5-policy split is pure arithmetic; involution
+    // and histogram-permutation invariants are COUNT(*) closed forms
+    "q158_augment" ->
+      s"""SELECT CAST(('0x' || substr(md5(image_id), 1, 15)) AS BIGINT) % 3 AS aug_id,
+           fmt, COUNT(*) AS n, COUNT(*) AS n_inv, COUNT(*) AS n_hist
+         FROM $IMG GROUP BY 1, 2""",
     // ground truth: the fixture materializes both SSIMs through the same
     // kernel; every invariant column is a COUNT(*) closed form
     "q157_ssim" ->
