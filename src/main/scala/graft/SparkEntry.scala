@@ -611,6 +611,39 @@ object SparkEntry {
         .select("a", "b", "hamming", "n_inter", "n_union")
     }),
 
+    // KMV SET OPERATIONS — union / Jaccard / intersection cardinality of
+    // two corpora from O(K) sketch state (the theta-sketch trick): merge
+    // two bottom-K sketches by re-taking the bottom-K of their union;
+    // Jaccard ≈ |union-sketch ∩ A ∩ B| / K; intersection = Jaccard ×
+    // union estimate. Per-source token vocabularies overlap heavily, so
+    // the estimates do real work. The pair stage is pure built-in array
+    // algebra over the 20 tiny sketches (array_union/sort/slice/
+    // intersect) — sketch once, compare all pairs without touching the
+    // corpus again. Oracle: rank-window bottom-K + list ops, same math.
+    "q159_kmv_setops" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val sk = t(s, dir, "documents")
+        .select(col("source"), explode(wsToks(col("text"))).as("tok"))
+        .withColumn("hv", call_function("md5_sig60", col("tok")))
+        .groupBy("source")
+        .agg(call_function("kmv_minhashes", col("hv"), lit(256)).as("mins"))
+      val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+      val b = sk.select(col("source").as("src_b"), col("mins").as("mb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("mu", expr("slice(array_sort(array_union(ma, mb)), 1, 256)"))
+        .withColumn("n_union_k", size(col("mu")).cast("bigint"))
+        .withColumn("kth", expr(
+          "CASE WHEN size(mu) = 256 THEN element_at(mu, 256) ELSE -1L END"))
+        .withColumn("est_union", expr(
+          "CASE WHEN size(mu) < 256 THEN CAST(size(mu) AS BIGINT) " +
+            "ELSE CAST(FLOOR(255.0D * 1152921504606846976.0D / CAST(element_at(mu, 256) AS DOUBLE)) AS BIGINT) END"))
+        .withColumn("n_inter_k",
+          size(expr("array_intersect(array_intersect(mu, ma), mb)")).cast("bigint"))
+        .withColumn("est_inter", expr(
+          "CAST(FLOOR(CAST(n_inter_k AS DOUBLE) * CAST(est_union AS DOUBLE) / CAST(n_union_k AS DOUBLE)) AS BIGINT)"))
+        .select("src_a", "src_b", "n_union_k", "kth", "est_union", "n_inter_k", "est_inter")
+    }),
+
     // near-dup CLUSTERS: hash-min connected components over the pigeonhole
     // pairs → cluster-size histogram (the keep-one-per-cluster end-step)
     "q55_dedup_components" -> ((s, dir) => {
@@ -4623,6 +4656,34 @@ object SparkEntry {
            ON p.event_type = 'purchase' AND p.user_id = s.user_id
           AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
          WHERE s.event_type = 'signup'""",
+    // ground truth: bottom-256 of the distinct token hashes per source
+    // via a rank window, then the identical list algebra per pair —
+    // est_union is floored to BIGINT in its own layer so est_inter
+    // consumes exactly the integer the engine does
+    "q159_kmv_setops" ->
+      s"""WITH h AS (SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+           FROM (SELECT source, unnest($wsToksSql) AS tok FROM documents)),
+         r AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+         k AS (SELECT source, list(hv ORDER BY hv) AS mins
+           FROM r WHERE rn <= 256 GROUP BY source),
+         p AS (SELECT x.source AS src_a, y.source AS src_b, x.mins AS ma, y.mins AS mb
+           FROM k x JOIN k y ON x.source < y.source),
+         u AS (SELECT src_a, src_b, ma, mb,
+             (list_sort(list_distinct(ma || mb)))[1:256] AS mu FROM p),
+         e AS (SELECT src_a, src_b, ma, mb, mu,
+             CAST(len(mu) AS BIGINT) AS n_union_k,
+             CAST(CASE WHEN len(mu) = 256 THEN mu[256] ELSE -1 END AS BIGINT) AS kth,
+             CASE WHEN len(mu) < 256 THEN CAST(len(mu) AS BIGINT)
+                  ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / CAST(mu[256] AS DOUBLE)) AS BIGINT)
+             END AS est_union,
+             CAST(len(list_intersect(list_intersect(mu, ma), mb)) AS BIGINT) AS n_inter_k
+           FROM u)
+         SELECT src_a, src_b, n_union_k, kth, est_union, n_inter_k,
+           CAST(FLOOR(CAST(n_inter_k AS DOUBLE) * CAST(est_union AS DOUBLE)
+                / CAST(n_union_k AS DOUBLE)) AS BIGINT) AS est_inter
+         FROM e""",
     // ground truth: the bloom prune is invisible to the row set — plain
     // inclusive-BETWEEN PIP join over the selected zone subset
     "q153_bloom_pruned_join" ->
