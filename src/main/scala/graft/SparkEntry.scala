@@ -611,6 +611,48 @@ object SparkEntry {
         .select("a", "b", "hamming", "n_inter", "n_union")
     }),
 
+    // STREAMING KMV — the bounded distinct sketch running INSIDE a
+    // Structured Streaming aggregation: per-hour distinct-user sketches
+    // whose O(K) buffers serialize through the state store between
+    // micro-batches and merge across them (the TypedImperativeAggregate
+    // contract doing double duty as streaming state). Multi-batch
+    // AvailableNow over the events files, Complete mode to a memory
+    // sink; the final emission must equal the batch sketch exactly —
+    // order- and batch-boundary-independence is precisely the KMV
+    // set-function guarantee the oracle pins per hour.
+    "q160_stream_kmv" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      import org.apache.spark.sql.streaming.Trigger
+      GeoTables.ensure(s, dir)
+      // file-source streams need a DIRECTORY: materialize the events
+      // table as a 6-file source dir (the runStreamPairJoin scaffold)
+      val evPath = s"${GeoTables.baseDir(dir)}/stream_kmv_src"
+      rmTree(evPath)
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(6).write.mode("overwrite").parquet(evPath)
+      val schema = s.read.parquet(evPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2") // several micro-batches, not one
+        .parquet(evPath)
+        .withColumn("ts_tz", col("ts").cast("timestamp"))
+        .withColumn("hv", call_function("md5_sig60", col("user_id").cast("string")))
+        .groupBy(window(col("ts_tz"), "1 hour").as("w"))
+        .agg(call_function("kmv_minhashes", col("hv"), lit(32)).as("mins"),
+          count(lit(1)).as("n_events"))
+      s.sql("DROP VIEW IF EXISTS stream_kmv_tbl")
+      val q = stream.writeStream
+        .format("memory").queryName("stream_kmv_tbl")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_kmv_tbl")
+        .select(unix_micros(col("w.start")).as("hour_us"),
+          size(col("mins")).cast("bigint").as("n_k"),
+          expr("element_at(mins, size(mins))").as("kth"),
+          col("n_events"))
+    }),
+
     // KMV SET OPERATIONS — union / Jaccard / intersection cardinality of
     // two corpora from O(K) sketch state (the theta-sketch trick): merge
     // two bottom-K sketches by re-taking the bottom-K of their union;
@@ -4656,6 +4698,21 @@ object SparkEntry {
            ON p.event_type = 'purchase' AND p.user_id = s.user_id
           AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
          WHERE s.event_type = 'signup'""",
+    // ground truth: the per-hour batch KMV (bottom-32 distinct user
+    // hashes via rank window) — the streaming run must converge to it
+    // regardless of micro-batch boundaries
+    "q160_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+           FROM events),
+         r AS (SELECT hour_us, hv,
+             row_number() OVER (PARTITION BY hour_us ORDER BY hv) AS rn FROM h),
+         k AS (SELECT hour_us, CAST(COUNT(*) AS BIGINT) AS n_k, MAX(hv) AS kth
+           FROM r WHERE rn <= 32 GROUP BY hour_us),
+         e AS (SELECT epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
+             COUNT(*) AS n_events FROM events GROUP BY 1)
+         SELECT k.hour_us, k.n_k, k.kth, e.n_events
+         FROM k JOIN e USING (hour_us)""",
     // ground truth: bottom-256 of the distinct token hashes per source
     // via a rank window, then the identical list algebra per pair —
     // est_union is floored to BIGINT in its own layer so est_inter
