@@ -550,7 +550,10 @@ object SparkEntry {
         .withColumn("s_self", call_function("img_ssim_rgb", col("rgb"), col("rgb"), col("w"), col("h")))
         .withColumn("s_blur", call_function("img_ssim_rgb", col("rgb"), col("blur"), col("w"), col("h")))
         .join(fix, "image_id")
-        .groupBy(expr("s_blur div 10000").as("bucket"))
+        // pmod form == floor division for ANY sign, matching DuckDB's
+        // `//` even if a pathological image ever made SSIM negative
+        // (`div` truncates toward zero — latent divergence, review)
+        .groupBy(expr("(s_blur - pmod(s_blur, 10000L)) div 10000L").as("bucket"))
         .agg(count(lit(1)).as("n"),
           sum("s_blur").as("sum_ssim"),
           sum(when(col("s_self") === col("f_self") && col("s_blur") === col("f_blur"), 1L)
@@ -583,7 +586,9 @@ object SparkEntry {
         .withColumn("undo", augOf(col("aug")))
         .groupBy("aug_id", "fmt")
         .agg(count(lit(1)).as("n"),
-          sum(when(md5(col("undo")) === md5(col("rgb")), 1L).otherwise(0L)).as("n_inv"),
+          // direct byte equality on BinaryType — cheaper than hashing two
+          // full RGB buffers per row and collision-free (review)
+          sum(when(col("undo") === col("rgb"), 1L).otherwise(0L)).as("n_inv"),
           sum(when(call_function("img_colorhist64", col("aug"))
             === call_function("img_colorhist64", col("rgb")), 1L).otherwise(0L)).as("n_hist"))
     }),

@@ -220,6 +220,21 @@ object GeoTables {
     spark.read.parquet(nearDupImagesPath(sfDir))
   }
 
+  /** 1–`flips` deterministic bit flips seeded by (phash, index) — the ONE
+    * planted-variant recipe shared by the q12 near-dup and q156 xmodal
+    * fixtures (review: two verbatim copies incl. a 4th splitmix64 clone). */
+  private def plantedPhashVariant(ph: Long, i: Int, flips: Int): Long = {
+    var v = ph
+    var h = Images.splitmix64(ph ^ i)
+    val seen = scala.collection.mutable.Set.empty[Int]
+    while (seen.size < flips) {
+      h = Images.splitmix64(h)
+      val pos = (h >>> 58).toInt // 0..63
+      if (!seen.contains(pos)) { seen += pos; v ^= 1L << pos }
+    }
+    v
+  }
+
   /**
    * Near-duplicate pHash fixture (additive, own marker — mirrors the tri
    * pattern): the synthetic phashes are near-uniform (min pairwise hamming
@@ -237,23 +252,8 @@ object GeoTables {
     val baseRows = spark.read.parquet(imagesPath(sfDir))
       .select("image_id", "phash").orderBy("image_id").limit(n)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
     val variants = baseRows.zipWithIndex.collect { case ((id, ph), i) if i % 10 == 0 =>
-      val flips = 1 + (i / 10) % 4
-      var v = ph
-      var h = mix(ph ^ i)
-      val seen = scala.collection.mutable.Set.empty[Int]
-      while (seen.size < flips) {
-        h = mix(h)
-        val pos = (h >>> 58).toInt // 0..63
-        if (!seen.contains(pos)) { seen += pos; v ^= 1L << pos }
-      }
-      (s"${id}_v", v)
+      (s"${id}_v", plantedPhashVariant(ph, i, 1 + (i / 10) % 4))
     }
     spark.createDataset((baseRows ++ variants).toSeq).toDF("id", "phash")
       .repartition(4).write.mode("overwrite").parquet(nearDupImagesPath(sfDir))
@@ -287,22 +287,8 @@ object GeoTables {
     val baseRows = spark.read.parquet(imagesPath(sfDir))
       .select("image_id", "phash", "caption").orderBy("image_id").limit(n)
       .collect().map(r => XmodalRow(r.getString(0), r.getLong(1), r.getString(2)))
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
     val variants = baseRows.zipWithIndex.collect { case (row, i) if i % 10 == 0 =>
-      val flips = 1 + (i / 10) % 4
-      var v = row.phash
-      var h = mix(row.phash ^ i)
-      val seen = scala.collection.mutable.Set.empty[Int]
-      while (seen.size < flips) {
-        h = mix(h)
-        val pos = (h >>> 58).toInt
-        if (!seen.contains(pos)) { seen += pos; v ^= 1L << pos }
-      }
+      val v = plantedPhashVariant(row.phash, i, 1 + (i / 10) % 4)
       // even plants: caption verbatim (J=1). Odd plants: replace the
       // k = 1 + (i/10) % 5 leading tokens with OOV — on the 9-token
       // captions k ≤ 3 keeps 2·|∩| ≥ |∪| (passes) and k ∈ {4,5} fails,

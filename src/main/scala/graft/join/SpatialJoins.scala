@@ -122,15 +122,24 @@ object SpatialJoins {
                          nbits: Int = 1 << 20, nhashes: Int = 7): DataFrame = {
     val spark = images.sparkSession
     GraftFunctions.install(spark)
+    // materialized once: read by the distributed bloom build AND the
+    // shuffle-join side (review: two plan branches would re-parse every
+    // zone's WKT and re-explode its cover)
     val cover = zoneCover(zones, level)
       .select(col("zone_id"), col("zone_geom"), col("cell"))
-    val bloomDf = cover.agg(
+      .localCheckpoint()
+    // The bit array is BUILT distributed (partials OR together); only the
+    // finished nbits/8-byte result crosses to the driver — Spark's own
+    // runtime-filter shape. It is then inlined as a CONSTANT into the
+    // scan filter: joining the one-row DataFrame instead would make the
+    // codegen'd filter re-copy the full bit array out of the joined row
+    // for EVERY fact row (review: ~128 KB × rows of pure arraycopy).
+    val bloomBits = cover.agg(
       call_function("bloom_agg", col("cell"), lit(nbits), lit(nhashes)).as("bl"))
+      .head().getAs[Array[Byte]](0)
     val pts = images
       .withColumn("cell", call_function("st_cellid", col("lon"), col("lat"), lit(level)))
-      .join(broadcast(bloomDf))
-      .where(call_function("bloom_contains", col("bl"), col("cell"), lit(nhashes)))
-      .drop("bl")
+      .where(call_function("bloom_contains", lit(bloomBits), col("cell"), lit(nhashes)))
     // deliberately NO broadcast of the cover: this is the shuffle-join
     // path the bloom prune exists for (small-zone cases should call
     // pipJoin, which dispatches to broadcast on its own)

@@ -182,8 +182,17 @@ object Text {
     * CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT). Drives the KMV /
     * Bloom sketches, whose determinism contract needs a hash both
     * engines compute bit-identically. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Sig60(bytes: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // per-thread digest, reset per call (review: getInstance allocates a
+    // provider lookup + object on a per-row hot path — q155 hashes 4×
+    // per token occurrence)
+    val md = md5Local.get()
+    md.reset()
     val d = md.digest(bytes)
     var h = 0L
     var b = 0
