@@ -306,6 +306,80 @@ object TileJob {
     out
   }
 
+  /**
+   * PARTITION-SPEC EVOLUTION (Iceberg's `REPLACE PARTITION FIELD`), COW:
+   * rewrite the table at a NEW bucket level. Each row's new bucket
+   * derives from its STORED fine cell (`st_cell_parent(cell, zoom,
+   * newLevel)`) — cells nest, so no lon/lat recompute and no decode.
+   *
+   * Two passes, deliberately: pass 1 aggregates expected per-new-bucket
+   * stats (rows, XOR checksum, cell range) reading ONLY the narrow
+   * columns (Parquet pruning skips `bytes`); pass 2 rewrites. Before
+   * anything publishes, (a) pass 1's totals must CONSERVE the manifest's
+   * global row count and XOR checksum exactly — a split/merge cannot
+   * invent or drop a row — and (b) the written files are read back and
+   * verified per new bucket ([[verifyRewrite]]). Old snapshots keep
+   * referencing the old layout: time travel still reads it, and
+   * [[IceLite.expireSnapshots]] reclaims it. Scale: write amplification
+   * is the table size ONCE — the explicit cost of changing partition
+   * layout, paid without taking the table offline.
+   */
+  def rebucket(spark: SparkSession, outRoot: String, zoom: Int,
+               newBucketLevel: Int): IceLite.Snapshot = {
+    GraftFunctions.install(spark)
+    require(newBucketLevel >= 0 && newBucketLevel <= zoom,
+      s"newBucketLevel $newBucketLevel out of range [0, zoom=$zoom]")
+    val snap = IceLite.currentSnapshot(outRoot)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at $outRoot"))
+    val live = snap.buckets.filter(_.rows > 0)
+    if (live.isEmpty) return snap
+    val grouped = live.groupBy(_.bucket).toSeq.sortBy(_._1)
+    val newId = snap.snapshotId + 1
+    val newRoot = s"$outRoot/data-r$newId"
+    def newDir(b: Int): String = s"$newRoot/bucket=$b"
+    val src = bucketUnion(spark, grouped)
+      .drop("bucket")
+      .withColumn("bucket", call_function("st_cell_parent",
+        col("cell"), lit(zoom), lit(newBucketLevel)))
+
+    val expected = src
+      .withColumn("cs", checksumCol)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(cs)").as("cs"),
+        min("cell").as("cmin"), max("cell").as("cmax"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), IceLite.mask53(r.getLong(2)), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    // global conservation vs the COMMITTED manifest before any write
+    val expRows = expected.values.map(_._1).sum
+    val expCs = IceLite.mask53(expected.values.map(_._2).reduce(_ ^ _))
+    val oldRows = live.map(_.rows).sum
+    val oldCs = IceLite.mask53(live.map(_.checksum).reduce(_ ^ _))
+    if (expRows != oldRows || expCs != oldCs)
+      throw new IllegalStateException(
+        s"rebucket conservation failed: rows $expRows vs $oldRows, " +
+          s"checksum $expCs vs $oldCs — nothing written")
+
+    val nParts = math.max(spark.sparkContext.defaultParallelism, expected.size)
+    src.repartitionByRange(nParts, col("bucket"), col("cell"), col("image_id"))
+      .sortWithinPartitions("bucket", "cell", "image_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(newRoot)
+
+    verifyRewrite(spark, "rebucket", newDir,
+      expected.toSeq.sortBy(_._1).map { case (b, (r, cs, _, _)) => b.toInt -> ((r, cs)) })
+
+    val entries = expected.toSeq.sortBy(_._1).map { case (b, (r, cs, cmin, cmax)) =>
+      IceLite.BucketEntry(b.toInt, r, cs, cmin, cmax, newDir(b.toInt),
+        Seq(IceLite.LineageRow(s"rebucket-L$newBucketLevel", b.toInt, r, r, cs)))
+    }
+    val out = IceLite.Snapshot(newId, snap.snapshotId,
+      s"rebucket-L$newBucketLevel-${snap.jobId}", entries)
+    IceLite.commit(outRoot, out)
+    out
+  }
+
   /** ONE multi-path scan per bucket over its manifest entries, bucket id as
     * a literal column (dir-name partition columns are not stored in the
     * files), at the table's UNION schema (mergeSchema + allowMissingColumns
