@@ -133,6 +133,24 @@ object SparkEntry {
     * data, flushing withheld outer state), build the join from the typed
     * source constructor, and run it through an AvailableNow parquet sink.
     * Returns the sink read back. */
+  /** Streaming state-store instance count should track STATE size, not
+    * the session's scan parallelism: every shuffle partition materializes
+    * one state-store instance per stateful operator and pays a
+    * per-micro-batch snapshot+commit, so a 32-partition session spends 4×
+    * the fixed cost of an 8-partition one on identical tiny state
+    * (measured same-window at sf0.1: q67 31→8 s, q152 39→15 s). Results
+    * are partitioning-independent (the oracles pin that), so the stateful
+    * stream queries START under a bounded state-partition count — the
+    * setting is read at query start — and restore the session conf after.
+    * At 100 TB the same dial sizes state partitions to state volume
+    * instead of inheriting the scan's. */
+  private def withStreamStatePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, math.min(n, old.toInt).toString)
+    try body finally s.conf.set(key, old)
+  }
+
   private def runStreamPairJoin(s: SparkSession, dir: String, name: String,
       sentinel: Boolean)(
       joinOf: ((String, String) => DataFrame) => DataFrame): DataFrame = {
@@ -160,11 +178,13 @@ object SparkEntry {
       .where(col("event_type") === tpe)
       .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
         col("ts").cast("timestamp").as(s"${pfx}_ts")) // NTZ → TIMESTAMP: watermarks demand it; session tz is pinned UTC so the instant is unchanged
-    val q = joinOf(src).writeStream
-      .format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckDir)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamStatePartitions(s) {
+      val q = joinOf(src).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir)
   }
 
@@ -645,12 +665,14 @@ object SparkEntry {
         .agg(call_function("kmv_minhashes", col("hv"), lit(32)).as("mins"),
           count(lit(1)).as("n_events"))
       s.sql("DROP VIEW IF EXISTS stream_kmv_tbl")
-      val q = stream.writeStream
-        .format("memory").queryName("stream_kmv_tbl")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamStatePartitions(s) {
+        val q = stream.writeStream
+          .format("memory").queryName("stream_kmv_tbl")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("stream_kmv_tbl")
         .select(unix_micros(col("w.start")).as("hour_us"),
           size(col("mins")).cast("bigint").as("n_k"),
@@ -2043,14 +2065,16 @@ object SparkEntry {
       val deduped = src.union(src)
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
-      val q = deduped.writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckDir)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamStatePartitions(s) {
+        val q = deduped.writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(outDir)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     }),
