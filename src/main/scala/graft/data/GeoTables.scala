@@ -429,6 +429,56 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGCOLOR_DONE"))
   }
 
+  def imgEdgePath(sfDir: String): String = s"${baseDir(sfDir)}/img_edge.parquet"
+
+  final case class ImgEdgeRow(image_id: String, edge_cnt: Long, grad_sum: Long,
+                              octs: Array[Long], dom_oct: Long)
+
+  /** Sobel edge-profile fixture through the SAME kernel the SQL
+    * expression calls (q151 recompute-pin pattern): per-image edge count,
+    * gradient sum, 8-octant orientation histogram, and the dominant
+    * octant by FIRST max (1-based — the tie rule Spark's array_position
+    * and DuckDB's list_position share). */
+  def ensureImgEdge(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGEDGE_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes", "w", "h")
+      .as[(String, Array[Byte], Int, Int)]
+      .map { case (id, bytes, w, h) =>
+        val es = Images.sobelStats(w, h, Images.decode(bytes)._3)
+        val octs = es.slice(2, 10)
+        var bi = 0; var bc = -1L; var k = 0
+        while (k < 8) { if (octs(k) > bc) { bc = octs(k); bi = k }; k += 1 }
+        ImgEdgeRow(id, es(0), es(1), octs, bi.toLong + 1)
+      }
+      .write.mode("overwrite").parquet(imgEdgePath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGEDGE_DONE"))
+  }
+
+  def imgExpoPath(sfDir: String): String = s"${baseDir(sfDir)}/img_expo.parquet"
+
+  final case class ImgExpoRow(image_id: String, hist: Array[Long], n_px: Long)
+
+  /** 16-bin luma-histogram (exposure) fixture through the same kernel. */
+  def ensureImgExpo(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGEXPO_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val hist = Images.lumaHist16(Images.decode(bytes)._3)
+        ImgExpoRow(id, hist, hist.sum)
+      }
+      .write.mode("overwrite").parquet(imgExpoPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGEXPO_DONE"))
+  }
+
   def imgSsimPath(sfDir: String): String = s"${baseDir(sfDir)}/img_ssim.parquet"
 
   final case class ImgSsimRow(image_id: String, ssim_self: Long, ssim_blur: Long)

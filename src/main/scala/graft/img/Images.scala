@@ -529,6 +529,70 @@ object Images {
     math.floor(total / nb * 1e6).toLong
   }
 
+  /** Sobel edge profile on integer luma — the HOG-flavored curation
+    * signal (edge density + orientation mix) that separates texture-rich
+    * from flat/synthetic images. For every interior pixel: 3×3 Sobel
+    * gx/gy; a pixel is an edge when its L1 magnitude |gx|+|gy| ≥ 128.
+    * Returns [edge_count, grad_sum, oct0..oct7]: grad_sum = Σ magnitude
+    * over edge pixels, octk = edge pixels whose direction lies in octant
+    * k (0=E,1=NE,2=N,3=NW,4=W,5=SW,6=S,7=SE). Octant boundaries at 22.5°
+    * use the exact integer test 29·|minor| ≤ 12·|major| (12/29 ≈
+    * tan 22.5°), so the whole feature is pure integer math —
+    * bit-identical across JVMs and shuffle orders, and Σ octk ==
+    * edge_count by construction. */
+  def sobelStats(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](10)
+    if (w < 3 || h < 3 || w * h * 3 != rgb.length) return out
+    val lum = new Array[Int](w * h)
+    var i = 0
+    var p = 0
+    while (p < w * h) {
+      lum(p) = luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF)
+      i += 3; p += 1
+    }
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c = y * w + x
+        val gx = (lum(c - w + 1) + 2 * lum(c + 1) + lum(c + w + 1)) -
+          (lum(c - w - 1) + 2 * lum(c - 1) + lum(c + w - 1))
+        // positive gy points UP (toward row 0 = north), matching the
+        // raster-gradient octant convention in q140
+        val gy = (lum(c - w - 1) + 2 * lum(c - w) + lum(c - w + 1)) -
+          (lum(c + w - 1) + 2 * lum(c + w) + lum(c + w + 1))
+        val ax = math.abs(gx); val ay = math.abs(gy)
+        val mag = ax + ay
+        if (mag >= 128) {
+          out(0) += 1L
+          out(1) += mag.toLong
+          val oct =
+            if (29 * ay <= 12 * ax) { if (gx > 0) 0 else 4 }          // within 22.5° of x-axis
+            else if (29 * ax <= 12 * ay) { if (gy > 0) 2 else 6 }     // within 22.5° of y-axis
+            else if (gx > 0) { if (gy > 0) 1 else 7 }                 // diagonals by sign
+            else { if (gy > 0) 3 else 5 }
+          out(2 + oct) += 1L
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 16-bin luma histogram (bin = luma >> 4) — the exposure profile
+    * behind over/under-exposure curation gates. Counts sum to the pixel
+    * count; exact integers, no cross-engine tolerance needed. */
+  def lumaHist16(rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](16)
+    var i = 0
+    while (i + 2 < rgb.length) {
+      out(luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF) >> 4) += 1L
+      i += 3
+    }
+    out
+  }
+
   def sharpness(w: Int, h: Int, rgb: Array[Byte]): Long = {
     if (w < 3 || h < 3 || w * h * 3 != rgb.length) return 0L
     val lum = new Array[Int](w * h)

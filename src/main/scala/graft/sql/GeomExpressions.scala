@@ -1050,6 +1050,30 @@ case class ImgColorHist(child: Expression) extends UnaryExpression with ExpectsI
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Sobel edge profile [edge_count, grad_sum, oct0..oct7] over a decoded
+  * RGB buffer (args: rgb, w, h) — see Images.sobelStats. */
+case class ImgEdgeStats(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.imgEdgeStats(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+/** 16-bin luma histogram (exposure profile) over a decoded RGB buffer. */
+case class ImgLumaHist16(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.imgLumaHist16(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class ImgResize(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

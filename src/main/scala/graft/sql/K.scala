@@ -584,4 +584,6 @@ object K {
   def imgSharpness(rgb: Array[Byte], w: Int, h: Int): Long = Images.sharpness(w, h, rgb)
   def imgSsimQ(a: Array[Byte], b: Array[Byte], w: Int, h: Int): Long = Images.ssimQ(w, h, a, b)
   def imgColorHist64(rgb: Array[Byte]): Array[Long] = Images.colorHist64(rgb)
+  def imgEdgeStats(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.sobelStats(w, h, rgb)
+  def imgLumaHist16(rgb: Array[Byte]): Array[Long] = Images.lumaHist16(rgb)
 }
