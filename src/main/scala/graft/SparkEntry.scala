@@ -36,6 +36,8 @@ object SparkEntry {
   private val IMGC = "read_parquet('/tmp/graft_geo/sf0.01/img_color.parquet/*.parquet')"
   private val XMOD = "read_parquet('/tmp/graft_geo/sf0.01/xmodal.parquet/*.parquet')"
   private val IMGS = "read_parquet('/tmp/graft_geo/sf0.01/img_ssim.parquet/*.parquet')"
+  private val IMGE = "read_parquet('/tmp/graft_geo/sf0.01/img_edge.parquet/*.parquet')"
+  private val IMGX = "read_parquet('/tmp/graft_geo/sf0.01/img_expo.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -3246,6 +3248,255 @@ object SparkEntry {
           floor(call_function("st_ymin", col("off")) * 1e6).cast("bigint").as("oy1"),
           floor(call_function("st_xmax", col("off")) * 1e6).cast("bigint").as("ox2"),
           floor(call_function("st_ymax", col("off")) * 1e6).cast("bigint").as("oy2"))
+    }),
+
+    // ---------------- bitmap-index segment algebra (r5 s10) ----------------
+    // The OLAP audience-analysis shape: per segment, an EXACT bitmap of
+    // member ids in roaring-style containers — key (hi = id div 2^16,
+    // word = (id div 64) mod 1024) and a 64-bit word built with bit_or —
+    // so a segment of any id range is O(members/64) words, never a
+    // member list. Pairwise AND/OR cardinalities are then ONE equi-join
+    // on the word coordinate + bit_count sums (pure built-ins, whole-
+    // stage codegen; no distinct-pair blowup: cost rides shared words).
+    // At 10^12 ids this is the layout bitmap indexes (Druid, Pinot,
+    // ClickHouse) shuffle — membership compressed 64× before any join.
+    "q161_bitmap_segments" -> ((s, dir) =>
+      graft.sql.SketchOps.bitmapPairs(
+        t(s, dir, "events").select("event_type", "user_id"),
+        seg = "event_type", id = "user_id")),
+
+    // ---------------- HyperLogLog distinct sketch (r5 s10) ----------------
+    // Completes the mergeable-summary family (KMV q154/q159, Bloom q153,
+    // CMS q155): p=6 → 64 registers over the shared 60-bit md5 hash —
+    // register = top 6 bits, rho = leading-zero count of the 54-bit
+    // remainder + 1, computed EXACTLY in both engines by an iterated
+    // OR-smear + bit_count (no float log2 at integer boundaries). The
+    // harmonic denominator is held as the INTEGER Z·2^55 (≤ 64·2^55 =
+    // 2^61, overflow-safe) so the only float op is one constant/double
+    // division, identical IEEE in Spark and DuckDB. State is 64 registers
+    // per group regardless of cardinality — the 100 TB distinct-count
+    // shape (map-side combine via max per register).
+    "q162_hll_distinct" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val exact = t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      graft.sql.SketchOps.hll64(
+        t(s, dir, "events").select(col("event_type"),
+          call_function("md5_sig60", col("user_id").cast("string")).as("hv")),
+        group = "event_type", hash = "hv")
+        .join(exact, "event_type")
+    }),
+
+    // ---------------- per-domain curation caps (r5 s10) ----------------
+    // The web-corpus anti-boilerplate rule (C4/RefinedWeb style): cap how
+    // many documents any one domain contributes, keeping the best first.
+    // Domain is derived deterministically from the shared md5 hash (both
+    // engines rebuild it bit-identically); cap = ceil(sqrt(n_domain)) so
+    // mega-domains contribute sublinearly. One hash shuffle + windows —
+    // no driver state; at 100 TB the window partitions by domain, which
+    // is exactly the key the data skews on, so the salting/AQE machinery
+    // (q52) applies unchanged if one domain dominates.
+    "q163_domain_cap" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = t(s, dir, "documents")
+        .withColumn("domain", concat(col("source"), lit("-"),
+          pmod(call_function("md5_sig60", col("doc_id").cast("string")), lit(7L)).cast("string")))
+      val w = Window.partitionBy("domain").orderBy(desc("n_chars"), asc("doc_id"))
+      d.withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("domain")))
+        .where(col("rn") <= ceil(sqrt(col("nd").cast("double"))).cast("bigint"))
+        .groupBy("domain")
+        .agg(max("nd").as("n_docs"), count(lit(1)).as("n_kept"),
+          sum("n_chars").as("kept_chars"),
+          max(when(col("rn") === 1, col("doc_id"))).as("best_doc"))
+    }),
+
+    // ---------------- interval coverage (union length) (r5 s10) ----------------
+    // Classic sweep as a WINDOW, not a self-join: each event opens an
+    // interval [start, start + f(value)); an island starts where start
+    // exceeds the running max of all previous ends; covered time = sum of
+    // island extents. All integer microseconds (the cents trick for
+    // time), one shuffle on user_id, O(1) state per row — the shape that
+    // replaces the quadratic overlap self-join at any scale.
+    "q164_interval_cover" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("st"),
+          centsOf(col("value")).as("vc"))
+        .withColumn("en", col("st") + (pmod(col("vc"), lit(3600L)) + 300L) * 1000000L)
+      val w = Window.partitionBy("user_id").orderBy("st", "event_id")
+      ev.withColumn("pmax", max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl", sum(when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+          .otherwise(0L)).over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min("st").as("s0"), max("en").as("e1"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e1") - col("s0")).as("covered_us"),
+          max(col("e1") - col("s0")).as("longest_us"))
+    }),
+
+    // ---------------- deterministic priority sampling (r5 s10) ----------------
+    // Cluster-size-independent sampling, two flavors in one pass: uniform
+    // k-per-group = bottom-k by a salted hash (an exact reservoir sample
+    // reproducible on ANY partitioning), and weighted (sequential
+    // Poisson / Ohlsson) = bottom-k by hash/weight, which makes
+    // inclusion probability ∝ n_chars. No RNG, no driver state; rerun
+    // on 1 or 1000 executors returns the identical sample — the property
+    // training-data pipelines need for auditable subsets.
+    "q165_priority_sample" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val d = t(s, dir, "documents")
+        .withColumn("hv", call_function("md5_sig60",
+          concat(lit("smp:"), col("doc_id").cast("string"))))
+      val wu = Window.partitionBy("source").orderBy(asc("hv"), asc("doc_id"))
+      val ww = Window.partitionBy("source")
+        .orderBy(expr("CAST(hv AS DOUBLE) / CAST(n_chars + 1 AS DOUBLE)").asc, col("doc_id").asc)
+      d.withColumn("u_rank", row_number().over(wu).cast("bigint"))
+        .withColumn("w_rank", row_number().over(ww).cast("bigint"))
+        .where(col("u_rank") <= 8 || col("w_rank") <= 8)
+        .select(col("source"), col("doc_id"),
+          when(col("u_rank") <= 8, col("u_rank")).otherwise(-1L).as("u_rank"),
+          when(col("w_rank") <= 8, col("w_rank")).otherwise(-1L).as("w_rank"))
+    }),
+
+    // ---------------- Sobel edge/orientation profile (r5 s10) ----------------
+    // HOG-flavored curation signal: per-image edge density + 8-octant
+    // gradient-orientation histogram (22.5° boundaries by the exact
+    // integer test 29·|minor| ≤ 12·|major|), recompute-pinned against the
+    // fixture (q151 pattern: engine re-derives through the SQL surface,
+    // n_exact counts row-for-row agreement on all ten integers, and the
+    // Σocts == edge_count conservation rides as n_conserve). Row-parallel
+    // decode, one agg shuffle — the per-row feature-extraction shape.
+    "q166_edge_profile" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgEdge(s, dir)
+      val fix = s.read.parquet(GeoTables.imgEdgePath(dir))
+        .select(col("image_id"), col("edge_cnt").as("f_cnt"), col("grad_sum").as("f_sum"),
+          col("octs").as("f_octs"), col("dom_oct").as("f_dom"))
+      GeoTables.images(s, dir)
+        .withColumn("es", call_function("img_edge_stats",
+          call_function("img_rgb", col("bytes")), col("w"), col("h")))
+        .withColumn("cnt_rt", expr("element_at(es, 1)"))
+        .withColumn("sum_rt", expr("element_at(es, 2)"))
+        .withColumn("octs_rt", expr("slice(es, 3, 8)"))
+        .withColumn("dom_rt", expr("CAST(array_position(octs_rt, array_max(octs_rt)) AS BIGINT)"))
+        .join(fix, "image_id")
+        .groupBy(col("dom_rt").as("dom_oct"))
+        .agg(count(lit(1)).as("n"),
+          sum("cnt_rt").as("sum_edges"),
+          sum("sum_rt").as("sum_grad"),
+          sum(when(col("cnt_rt") === col("f_cnt") && col("sum_rt") === col("f_sum") &&
+            col("octs_rt") === col("f_octs") && col("dom_rt") === col("f_dom"), 1L)
+            .otherwise(0L)).as("n_exact"),
+          sum(when(expr("aggregate(octs_rt, 0L, (a, x) -> a + x)") === col("cnt_rt"), 1L)
+            .otherwise(0L)).as("n_conserve"))
+    }),
+
+    // ---------------- luma-exposure histogram (r5 s10) ----------------
+    // 16-bin luma histogram per image (exposure profile), grouped by the
+    // dominant bin; under/over-exposure mass (bottom/top two bins) rides
+    // as exact sums. element_at (1-based) everywhere so Spark and
+    // DuckDB index the same slots.
+    "q167_exposure" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgExpo(s, dir)
+      val fix = s.read.parquet(GeoTables.imgExpoPath(dir))
+        .select(col("image_id"), col("hist").as("f_hist"), col("n_px").as("f_npx"))
+      GeoTables.images(s, dir)
+        .withColumn("hist", call_function("img_luma_hist16",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("npx_rt", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .withColumn("und", expr("element_at(hist, 1) + element_at(hist, 2)"))
+        .withColumn("ovr", expr("element_at(hist, 15) + element_at(hist, 16)"))
+        .withColumn("dom_rt", expr("CAST(array_position(hist, array_max(hist)) AS BIGINT)"))
+        .join(fix, "image_id")
+        .groupBy(col("dom_rt").as("dom_bin"))
+        .agg(count(lit(1)).as("n"),
+          sum("und").as("sum_under"),
+          sum("ovr").as("sum_over"),
+          sum(when(col("hist") === col("f_hist") && col("npx_rt") === col("f_npx"), 1L)
+            .otherwise(0L)).as("n_exact"),
+          sum(when(col("npx_rt") === col("w").cast("bigint") * col("h"), 1L)
+            .otherwise(0L)).as("n_conserve"))
+    }),
+
+    // ---------------- training-shard export packing (r5 s10) ----------------
+    // The WebDataset/tar-shard layout decision: pack images into ~256 KiB
+    // shards that preserve SPATIAL locality (shards keyed by z4 tile, so
+    // a reader touching a region touches few shards). Greedy running-byte
+    // packing: an image goes to the shard of its cumulative END byte —
+    // one window per tile partition, deterministic on any cluster. At
+    // 10^12 images the window partitions by tile (thousands of cells),
+    // never a global sort; skewed tiles shard-split by the same math.
+    "q168_shard_pack" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = Window.partitionBy("tx", "ty").orderBy("image_id")
+      GeoTables.images(s, dir)
+        .select(col("image_id"),
+          length(col("bytes")).cast("bigint").as("nbytes"),
+          call_function("st_tile_x", col("lon"), lit(4)).as("tx"),
+          call_function("st_tile_y", col("lat"), lit(4)).as("ty"))
+        .withColumn("cum", sum("nbytes").over(w))
+        .withColumn("shard", expr("(cum - 1) div 262144"))
+        .groupBy("tx", "ty", "shard")
+        .agg(count(lit(1)).as("n_images"), sum("nbytes").as("shard_bytes"),
+          min("image_id").as("first_id"), max("image_id").as("last_id"))
+    }),
+
+    // ---------------- event-transition (Markov) matrix (r5 s10) ----------------
+    // Per-user next-event via ONE lead window, then global transition
+    // counts + per-source probabilities (ppm integer division) + rank of
+    // each destination. Two shuffles (user window, src-dst agg) — the
+    // sessionized-behavior-model shape at any scale.
+    "q169_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = t(s, dir, "events")
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("src").agg(sum("n").as("n_src"))
+      val wr = Window.partitionBy("src").orderBy(desc("n"), asc("dst"))
+      tr.join(tot, "src")
+        .withColumn("p_ppm", expr("(n * 1000000) div n_src"))
+        .withColumn("rk", row_number().over(wr).cast("bigint"))
+        .select("src", "dst", "n", "n_src", "p_ppm", "rk")
+    }),
+
+    // ---------------- streaming hopping-window aggregate (r5 s10) ----------------
+    // Overlapping (2h window / 1h slide) per-type aggregation through
+    // Structured Streaming — each event feeds TWO windows; Complete mode
+    // (state = all windows × types, bounded by the time range) across
+    // several micro-batches must equal the batch double-explode oracle:
+    // the hop-assignment identity window(t, 2h, 1h) ∈ {hourFloor(t)−1h,
+    // hourFloor(t)} is what the oracle rebuilds arithmetically.
+    "q170_stream_hopping" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      GeoTables.ensure(s, dir)
+      val evPath = s"${GeoTables.baseDir(dir)}/stream_hop_src"
+      rmTree(evPath)
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(6).write.mode("overwrite").parquet(evPath)
+      val schema = s.read.parquet(evPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(evPath)
+        .withColumn("ts_tz", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts_tz"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_cents"))
+      s.sql("DROP VIEW IF EXISTS stream_hop_tbl")
+      withStreamStatePartitions(s) {
+        val q = stream.writeStream
+          .format("memory").queryName("stream_hop_tbl")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table("stream_hop_tbl")
+        .select(unix_micros(col("w.start")).as("hour_us"),
+          col("event_type"), col("n"), col("sum_cents"))
     })
   )
 
@@ -4972,7 +5223,157 @@ object SparkEntry {
            JOIN tf sa ON sa.doc_id = i.a
            JOIN tf sb ON sb.doc_id = i.b)
          SELECT a, b, CAST(FLOOR(jac * 10000.0 + 0.5) AS BIGINT) AS jac_c
-         FROM j WHERE jac >= 0.1"""
+         FROM j WHERE jac >= 0.1""",
+
+    // exact ground truth: plain COUNT(DISTINCT) set algebra — the oracle
+    // never touches bitmaps, so it independently proves the container
+    // decomposition + bit_count arithmetic
+    "q161_bitmap_segments" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+         c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+         p AS (SELECT a.event_type AS ta, b.event_type AS tb, a.n AS n_a, b.n AS n_b
+               FROM c a JOIN c b ON a.event_type < b.event_type),
+         i AS (SELECT x.event_type AS ta, y.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS n_inter
+               FROM s x JOIN s y ON x.user_id = y.user_id AND x.event_type < y.event_type
+               GROUP BY 1, 2)
+         SELECT p.ta, p.tb, p.n_a, p.n_b,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS n_union,
+           (COALESCE(i.n_inter, 0) * 1000000) // (p.n_a + p.n_b - COALESCE(i.n_inter, 0)) AS jac_ppm
+         FROM p LEFT JOIN i ON i.ta = p.ta AND i.tb = p.tb""",
+
+    // register replay: same 60-bit hash, same top-6-bit register split,
+    // same iterated OR-smear leading-zero count, same integer Z; the only
+    // float op is the single constant/double division (e0 literals force
+    // DOUBLE — DuckDB parses bare decimals as DECIMAL)
+    "q162_hll_distinct" ->
+      """WITH h AS (SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events),
+         r0 AS (SELECT event_type, hv // 18014398509481984 AS reg, hv % 18014398509481984 AS s FROM h),
+         r1 AS (SELECT event_type, reg, s | (s >> 1) AS s FROM r0),
+         r2 AS (SELECT event_type, reg, s | (s >> 2) AS s FROM r1),
+         r3 AS (SELECT event_type, reg, s | (s >> 4) AS s FROM r2),
+         r4 AS (SELECT event_type, reg, s | (s >> 8) AS s FROM r3),
+         r5 AS (SELECT event_type, reg, s | (s >> 16) AS s FROM r4),
+         r6 AS (SELECT event_type, reg, s | (s >> 32) AS s FROM r5),
+         mx AS (SELECT event_type, reg, MAX(CAST(55 - bit_count(s) AS BIGINT)) AS mr
+                FROM r6 GROUP BY 1, 2),
+         ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+             MAX(mr) AS max_rho, CAST(SUM(mr) AS BIGINT) AS sum_rho,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mr AS INT)) AS BIGINT) AS z_nz
+           FROM mx GROUP BY 1),
+         ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+                FROM events GROUP BY 1)
+         SELECT ag.event_type, n_nonzero, 64 - n_nonzero AS n_zero, max_rho, sum_rho,
+           z_nz + (64 - n_nonzero) * 36028797018963968 AS z_int,
+           CAST(FLOOR(((0.709e0 * 4096.0e0) * 36028797018963968.0e0) /
+                CAST(z_nz + (64 - n_nonzero) * 36028797018963968 AS DOUBLE)) AS BIGINT) AS est_raw,
+           n_exact
+         FROM ag JOIN ex ON ex.event_type = ag.event_type""",
+
+    "q163_domain_cap" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+             source || '-' || CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 7 AS VARCHAR) AS domain
+           FROM documents),
+         r AS (SELECT domain, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY domain) AS nd FROM d)
+         SELECT domain, CAST(MAX(nd) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS best_doc
+         FROM r WHERE rn <= CAST(CEIL(SQRT(CAST(nd AS DOUBLE))) AS BIGINT) GROUP BY 1""",
+
+    "q164_interval_cover" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         iv AS (SELECT user_id, event_id, st, st + ((vc % 3600) + 300) * 1000000 AS en FROM ev),
+         mk AS (SELECT user_id, event_id, st, en,
+             MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+         il AS (SELECT user_id, st, en,
+             SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY st, event_id) AS isl FROM mk),
+         g AS (SELECT user_id, isl, MIN(st) AS s0, MAX(en) AS e1 FROM il GROUP BY 1, 2)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e1 - s0) AS BIGINT) AS covered_us,
+           CAST(MAX(e1 - s0) AS BIGINT) AS longest_us
+         FROM g GROUP BY 1""",
+
+    "q165_priority_sample" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+             CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS u_rank,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY CAST(hv AS DOUBLE) / CAST(n_chars + 1 AS DOUBLE), doc_id) AS w_rank
+           FROM d)
+         SELECT source, doc_id,
+           CASE WHEN u_rank <= 8 THEN CAST(u_rank AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS u_rank,
+           CASE WHEN w_rank <= 8 THEN CAST(w_rank AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w_rank
+         FROM r WHERE u_rank <= 8 OR w_rank <= 8""",
+
+    // the oracle re-derives the dominant octant from the fixture list
+    // with the SAME first-max rule (list_position of list_max, 1-based);
+    // n_exact/n_conserve collapse to COUNT(*) because the fixture IS the
+    // kernel output — any engine recompute divergence breaks the group
+    // counts themselves
+    "q166_edge_profile" ->
+      s"""WITH e AS (SELECT image_id, edge_cnt, grad_sum,
+             CAST(list_position(octs, list_max(octs)) AS BIGINT) AS dom_oct
+           FROM $IMGE)
+         SELECT dom_oct, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(edge_cnt) AS BIGINT) AS sum_edges,
+           CAST(SUM(grad_sum) AS BIGINT) AS sum_grad,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_conserve
+         FROM e GROUP BY 1""",
+
+    "q167_exposure" ->
+      s"""WITH e AS (SELECT image_id, n_px,
+             hist[1] + hist[2] AS und, hist[15] + hist[16] AS ovr,
+             CAST(list_position(hist, list_max(hist)) AS BIGINT) AS dom_bin
+           FROM $IMGX)
+         SELECT dom_bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(und) AS BIGINT) AS sum_under,
+           CAST(SUM(ovr) AS BIGINT) AS sum_over,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_conserve
+         FROM e GROUP BY 1""",
+
+    "q168_shard_pack" ->
+      s"""WITH i AS (SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nbytes,
+             ${txSql("lon", 4)} AS tx, ${tySql("lat", 4)} AS ty FROM $IMG),
+         c AS (SELECT tx, ty, image_id, nbytes,
+             SUM(nbytes) OVER (PARTITION BY tx, ty ORDER BY image_id) AS cum FROM i),
+         sh AS (SELECT tx, ty, image_id, nbytes, (cum - 1) // 262144 AS shard FROM c)
+         SELECT tx, ty, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+           MIN(image_id) AS first_id, MAX(image_id) AS last_id
+         FROM sh GROUP BY 1, 2, 3""",
+
+    "q169_markov" ->
+      """WITH tr AS (SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           FROM events),
+         g AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+               FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM g GROUP BY 1)
+         SELECT g.src, g.dst, g.n, tot.n_src, (g.n * 1000000) // tot.n_src AS p_ppm,
+           CAST(ROW_NUMBER() OVER (PARTITION BY g.src ORDER BY g.n DESC, g.dst) AS BIGINT) AS rk
+         FROM g JOIN tot ON tot.src = g.src""",
+
+    // batch double-explode ground truth for the 2h/1h hop: each event's
+    // two owning windows start at hourFloor(t) and hourFloor(t) − 1h
+    "q170_stream_hopping" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS tu,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         x AS (SELECT event_type, tu, vc, unnest([0, 1]) AS k FROM ev),
+         w AS (SELECT event_type, ((tu // 3600000000) - k) * 3600000000 AS hour_us, vc FROM x)
+         SELECT hour_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vc) AS BIGINT) AS sum_cents
+         FROM w GROUP BY 1, 2"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
