@@ -38,6 +38,7 @@ object SparkEntry {
   private val IMGS = "read_parquet('/tmp/graft_geo/sf0.01/img_ssim.parquet/*.parquet')"
   private val IMGE = "read_parquet('/tmp/graft_geo/sf0.01/img_edge.parquet/*.parquet')"
   private val IMGX = "read_parquet('/tmp/graft_geo/sf0.01/img_expo.parquet/*.parquet')"
+  private val IMGT = "read_parquet('/tmp/graft_geo/sf0.01/img_thumb.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -3497,6 +3498,114 @@ object SparkEntry {
       s.table("stream_hop_tbl")
         .select(unix_micros(col("w.start")).as("hour_us"),
           col("event_type"), col("n"), col("sum_cents"))
+    }),
+
+    // ---------------- spatial ANTI-join (r5 s10) ----------------
+    // "Everything OUTSIDE every zone" — the unzoned/offshore curation
+    // filter. Composed Spark-first: the accelerated PIP join produces
+    // matched ids, a left_anti equi-join removes them (Catalyst keeps
+    // both sides columnar; the anti side never decodes geometry). Same
+    // cover machinery as q07 → same 100 TB plan, one extra hash anti.
+    "q171_pip_anti" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val matched = SpatialJoins.pipJoin(GeoTables.images(s, dir),
+        GeoTables.zones(s, dir), level = 8)
+        .select(col("image_id")).distinct()
+      GeoTables.images(s, dir)
+        .join(matched, Seq("image_id"), "left_anti")
+        .select(col("image_id"),
+          call_function("st_tile_x", col("lon"), lit(3)).as("tx"),
+          call_function("st_tile_y", col("lat"), lit(3)).as("ty"))
+    }),
+
+    // ---------------- spatial balancing cap (r5 s10) ----------------
+    // Training-data spatial de-bias: keep at most K=16 images per z5
+    // cell, chosen by deterministic hash order (a per-cell reservoir —
+    // reproducible on any cluster size, no RNG). Dense metros contribute
+    // K, sparse cells keep everything; one window per cell partition.
+    "q172_spatial_balance" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w = Window.partitionBy("tx", "ty").orderBy("hv", "image_id")
+      GeoTables.images(s, dir)
+        .select(col("image_id"),
+          call_function("st_tile_x", col("lon"), lit(5)).as("tx"),
+          call_function("st_tile_y", col("lat"), lit(5)).as("ty"),
+          call_function("md5_sig60", col("image_id")).as("hv"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 16)
+        .groupBy("tx", "ty")
+        // xor-fold, not sum: 16 values below 2^60 can overflow a sum
+        .agg(count(lit(1)).as("n_kept"), expr("bit_xor(hv)").as("hv_x"),
+          min("image_id").as("first_id"))
+    }),
+
+    // ---------------- thumbnail (mipmap) consistency (r5 s10) ----------------
+    // The export-time thumbnailing pass: decode → 16×16 area resize →
+    // thumbnail phash + md5, recompute-pinned against the fixture
+    // (kernels identical, so t_phash/t_md5 must match byte-for-byte);
+    // grouped by the full-size↔thumbnail phash hamming bucket — the
+    // perceptual-stability profile of the resize. Row-parallel, one agg.
+    "q173_thumbnail" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgThumb(s, dir)
+      val fix = s.read.parquet(GeoTables.imgThumbPath(dir))
+        .select(col("image_id"), col("t_phash").as("f_tp"),
+          col("t_md5").as("f_md5"), col("f_ham"))
+      GeoTables.images(s, dir)
+        .withColumn("thumb", call_function("img_resize_rgb", col("bytes"), lit(16), lit(16)))
+        .withColumn("tp", call_function("img_phash_rgb", col("thumb"), lit(16), lit(16)))
+        .withColumn("tmd5", md5(col("thumb")))
+        .withColumn("ham", expr("CAST(bit_count(tp ^ phash) AS BIGINT)"))
+        .join(fix, "image_id")
+        .groupBy(expr("ham div 8").as("ham_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum("ham").as("sum_ham"),
+          sum(when(col("tp") === col("f_tp") && col("tmd5") === col("f_md5") &&
+            col("ham") === col("f_ham"), 1L).otherwise(0L)).as("n_exact"))
+    }),
+
+    // ---------------- PMI collocations (r5 s10) ----------------
+    // Caption collocation mining: within-caption distinct-token pairs
+    // (per-row fan-out bounded by caption length² — never a corpus
+    // cross join), unigram counts broadcast back in, association as the
+    // INTEGER lift ratio n_ab·N·10⁶ div (n_a·n_b) (PMI without the log —
+    // order-preserving, exact in both engines; no float-log hazard).
+    // Corpus size N rides a broadcast single-row aggregate (q80 rule:
+    // no driver-side count). The collocation/phrase-mining shape: two
+    // token-keyed shuffles regardless of corpus size.
+    "q174_pmi" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val toks = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id"), explode(array_distinct(wsToks(col("caption")))).as("tok"))
+      val tot = s.read.parquet(GeoTables.imagesPath(dir)).agg(count(lit(1)).as("n_docs"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      val pairs = toks.select(col("image_id"), col("tok").as("ta"))
+        .join(toks.select(col("image_id"), col("tok").as("tb")), "image_id")
+        .where(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 50)
+      pairs
+        .join(uni.select(col("tok").as("ta"), col("n_t").as("n_a")), "ta")
+        .join(uni.select(col("tok").as("tb"), col("n_t").as("n_b")), "tb")
+        .crossJoin(broadcast(tot))
+        .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(n_ab * n_docs * 1000000) div (n_a * n_b)").as("lift_ppm"))
+    }),
+
+    // ---------------- k-anonymity audit (r5 s10) ----------------
+    // Privacy curation gate: quasi-identifier = (lang, source, length
+    // band); a QI group with < 3 members is re-identification risk.
+    // Per (lang, source): group count, risky-group count, risky rows —
+    // the suppression-budget report. Two aggs on the QI key; at 100 TB
+    // the QI key is the shuffle key, nothing else moves.
+    "q175_k_anon" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"), expr("n_chars div 500").as("band"))
+        .agg(count(lit(1)).as("ng"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ng") < 3, 1L).otherwise(0L)).as("n_risky_groups"),
+          sum(when(col("ng") < 3, col("ng")).otherwise(0L)).as("n_risky_docs"))
     })
   )
 
@@ -5373,7 +5482,50 @@ object SparkEntry {
          w AS (SELECT event_type, ((tu // 3600000000) - k) * 3600000000 AS hour_us, vc FROM x)
          SELECT hour_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(vc) AS BIGINT) AS sum_cents
-         FROM w GROUP BY 1, 2"""
+         FROM w GROUP BY 1, 2""",
+
+    "q171_pip_anti" ->
+      s"""SELECT i.image_id, ${txSql("i.lon", 3)} AS tx, ${tySql("i.lat", 3)} AS ty
+         FROM $IMG i WHERE NOT EXISTS (SELECT 1 FROM $ZON z
+           WHERE i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax)""",
+
+    "q172_spatial_balance" ->
+      s"""WITH d AS (SELECT image_id,
+             CAST(('0x' || substr(md5(image_id), 1, 15)) AS BIGINT) AS hv,
+             ${txSql("lon", 5)} AS tx, ${tySql("lat", 5)} AS ty FROM $IMG),
+         r AS (SELECT tx, ty, image_id, hv,
+             ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY hv, image_id) AS rn FROM d)
+         SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(BIT_XOR(hv) AS BIGINT) AS hv_x, MIN(image_id) AS first_id
+         FROM r WHERE rn <= 16 GROUP BY 1, 2""",
+
+    "q173_thumbnail" ->
+      s"""SELECT f_ham // 8 AS ham_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f_ham) AS BIGINT) AS sum_ham,
+           CAST(COUNT(*) AS BIGINT) AS n_exact
+         FROM $IMGT GROUP BY 1""",
+
+    "q174_pmi" ->
+      s"""WITH tk AS (SELECT DISTINCT image_id, unnest(string_split(caption, ' ')) AS tok
+           FROM $IMG),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM $IMG),
+         uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM tk GROUP BY 1),
+         pr AS (SELECT a.tok AS ta, b.tok AS tb, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM tk a JOIN tk b ON a.image_id = b.image_id AND a.tok < b.tok
+           GROUP BY 1, 2 HAVING COUNT(*) >= 50)
+         SELECT pr.ta, pr.tb, pr.n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+           (pr.n_ab * tot.n_docs * 1000000) // (ua.n_t * ub.n_t) AS lift_ppm
+         FROM pr JOIN uni ua ON ua.tok = pr.ta
+           JOIN uni ub ON ub.tok = pr.tb CROSS JOIN tot""",
+
+    "q175_k_anon" ->
+      """WITH g AS (SELECT lang, source, n_chars // 500 AS band,
+             CAST(COUNT(*) AS BIGINT) AS ng
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN ng < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+           CAST(SUM(CASE WHEN ng < 3 THEN ng ELSE 0 END) AS BIGINT) AS n_risky_docs
+         FROM g GROUP BY 1, 2"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

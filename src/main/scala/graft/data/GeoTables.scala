@@ -479,6 +479,35 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGEXPO_DONE"))
   }
 
+  def imgThumbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_thumb.parquet"
+
+  final case class ImgThumbRow(image_id: String, t_phash: Long, t_md5: String, f_ham: Long)
+
+  /** 16×16 thumbnail fixture through the SAME decode→resize kernels the
+    * SQL surface composes (img_resize_rgb → img_phash_rgb / md5):
+    * thumbnail phash, thumbnail md5 (lowercase hex, Spark's md5()
+    * convention), and the hamming distance to the stored full-size
+    * phash — the mipmap-consistency signal. */
+  def ensureImgThumb(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGTHUMB_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes", "phash")
+      .as[(String, Array[Byte], Long)]
+      .map { case (id, bytes, ph) =>
+        val (w, h, rgb) = Images.decode(bytes)
+        val thumb = Images.resizeRgb(w, h, rgb, 16, 16)
+        val tp = Images.phashOfRgb(16, 16, thumb)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(thumb)
+        val hex = md.map(b => f"${b & 0xFF}%02x").mkString
+        ImgThumbRow(id, tp, hex, java.lang.Long.bitCount(ph ^ tp).toLong)
+      }
+      .write.mode("overwrite").parquet(imgThumbPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGTHUMB_DONE"))
+  }
+
   def imgSsimPath(sfDir: String): String = s"${baseDir(sfDir)}/img_ssim.parquet"
 
   final case class ImgSsimRow(image_id: String, ssim_self: Long, ssim_blur: Long)
