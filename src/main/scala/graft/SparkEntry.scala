@@ -3606,6 +3606,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_groups"),
           sum(when(col("ng") < 3, 1L).otherwise(0L)).as("n_risky_groups"),
           sum(when(col("ng") < 3, col("ng")).otherwise(0L)).as("n_risky_docs"))
+    }),
+
+    // ---------------- streaming HLL distinct-users (r5 s10) ----------------
+    // The q160 pattern with the OTHER mergeable sketch: per-hour
+    // hll_registers aggregation through Structured Streaming — 512-byte
+    // register buffers serialize through the state store and merge
+    // across micro-batches by element-wise max, so the Complete-mode
+    // emission equals the batch sketch for every hour (register values
+    // are a set function of the inputs). Final n_nonzero/Z/estimate are
+    // derived from the array with built-ins; the oracle replays the
+    // register pipeline per hour arithmetically.
+    "q176_stream_hll" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      import org.apache.spark.sql.streaming.Trigger
+      GeoTables.ensure(s, dir)
+      val evPath = s"${GeoTables.baseDir(dir)}/stream_hll_src"
+      rmTree(evPath)
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(6).write.mode("overwrite").parquet(evPath)
+      val schema = s.read.parquet(evPath).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(evPath)
+        .withColumn("ts_tz", col("ts").cast("timestamp"))
+        .withColumn("hv", call_function("md5_sig60", col("user_id").cast("string")))
+        .groupBy(window(col("ts_tz"), "1 hour").as("w"))
+        .agg(call_function("hll_registers", col("hv")).as("regs"),
+          count(lit(1)).as("n_events"))
+      s.sql("DROP VIEW IF EXISTS stream_hll_tbl")
+      withStreamStatePartitions(s) {
+        val q = stream.writeStream
+          .format("memory").queryName("stream_hll_tbl")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table("stream_hll_tbl")
+        .select(unix_micros(col("w.start")).as("hour_us"),
+          expr("CAST(size(filter(regs, r -> r > 0)) AS BIGINT)").as("n_nonzero"),
+          expr("aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, CAST(55 - r AS INT)))").as("z_int"),
+          col("n_events"))
+        .withColumn("est_raw", expr(
+          "CAST(FLOOR(((0.709D * 4096.0D) * 36028797018963968.0D) / CAST(z_int AS DOUBLE)) AS BIGINT)"))
     })
   )
 
@@ -5525,7 +5569,34 @@ object SparkEntry {
          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(SUM(CASE WHEN ng < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
            CAST(SUM(CASE WHEN ng < 3 THEN ng ELSE 0 END) AS BIGINT) AS n_risky_docs
-         FROM g GROUP BY 1, 2"""
+         FROM g GROUP BY 1, 2""",
+
+    // per-hour replay of the q162 register arithmetic (same smear, same
+    // integer Z, same single float division)
+    "q176_stream_hll" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+           FROM events),
+         r0 AS (SELECT hour_us, hv // 18014398509481984 AS reg,
+                hv % 18014398509481984 AS s FROM h),
+         r1 AS (SELECT hour_us, reg, s | (s >> 1) AS s FROM r0),
+         r2 AS (SELECT hour_us, reg, s | (s >> 2) AS s FROM r1),
+         r3 AS (SELECT hour_us, reg, s | (s >> 4) AS s FROM r2),
+         r4 AS (SELECT hour_us, reg, s | (s >> 8) AS s FROM r3),
+         r5 AS (SELECT hour_us, reg, s | (s >> 16) AS s FROM r4),
+         r6 AS (SELECT hour_us, reg, s | (s >> 32) AS s FROM r5),
+         mx AS (SELECT hour_us, reg, MAX(CAST(55 - bit_count(s) AS BIGINT)) AS mr
+                FROM r6 GROUP BY 1, 2),
+         ag AS (SELECT hour_us, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mr AS INT)) AS BIGINT) AS z_nz
+           FROM mx GROUP BY 1),
+         ne AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1)
+         SELECT ag.hour_us, n_nonzero,
+           z_nz + (64 - n_nonzero) * 36028797018963968 AS z_int, n_events,
+           CAST(FLOOR(((0.709e0 * 4096.0e0) * 36028797018963968.0e0) /
+                CAST(z_nz + (64 - n_nonzero) * 36028797018963968 AS DOUBLE)) AS BIGINT) AS est_raw
+         FROM ag JOIN ne ON ne.hour_us = ag.hour_us"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -240,6 +240,7 @@ object GraftFunctions {
     "st_line_agg" -> (e => StLineAgg(e(0), e(1), e(2))),
     // bounded mergeable sketches (scale path for distinct / runtime pruning)
     "kmv_minhashes" -> (e => KmvMinhashes(e(0), e(1))),
+    "hll_registers" -> (e => HllRegisters(e.head)),
     "bloom_agg" -> (e => BloomAgg(e(0), e(1), e(2))),
     "bloom_contains" -> (e => BloomContains(e(0), e(1), e(2))),
     "md5_sig60" -> (e => Md5Sig60(e.head)),

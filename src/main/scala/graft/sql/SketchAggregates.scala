@@ -174,6 +174,62 @@ case class BloomAgg(child: Expression, bitsExpr: Expression, hashExpr: Expressio
     copy(child = cs(0), bitsExpr = cs(1), hashExpr = cs(2))
 }
 
+/**
+ * hll_registers(hash) → the 64 HyperLogLog registers (p=6) as
+ * ArrayType(Long): register r = max over routed hashes of rho (leading-
+ * zero count of the 54-bit remainder + 1; 0 = never touched). State is a
+ * FIXED 64-long array per group regardless of cardinality, merge is
+ * element-wise max — the canonical mergeable distinct sketch, safe
+ * through the streaming state store (buffers serialize as 512 bytes).
+ * Produces exactly the register values SketchOps.hll64 derives
+ * relationally (spec-pinned), so the DuckDB oracle replays it with the
+ * same smear arithmetic.
+ */
+case class HllRegisters(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+  override def update(b: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val hv = v.asInstanceOf[Long]
+      val reg = (hv >>> 54).toInt & 63 // top 6 of the 60-bit hash
+      // w < 2^54 → nlz(w) ≥ 10; rho = 55 − msb_pos = nlz − 9 (w = 0 → 55)
+      val rho = java.lang.Long.numberOfLeadingZeros(hv & ((1L << 54) - 1)) - 9L
+      if (rho > b(reg)) b(reg) = rho
+    }
+    b
+  }
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { if (o(i) > b(i)) b(i) = o(i); i += 1 }
+    b
+  }
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b.clone())
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
+    var i = 0
+    while (i < 64) { bb.putLong(b(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](64)
+    var i = 0
+    while (i < 64) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+  override def withNewMutableAggBufferOffset(n: Int): HllRegisters = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllRegisters = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}
+
 /** bloom_contains(bits, key, nhashes) → BOOLEAN; stays in whole-stage
   * codegen (static-call kernel) — it sits on the 100%-of-rows fact scan. */
 case class BloomContains(first: Expression, second: Expression, third: Expression)

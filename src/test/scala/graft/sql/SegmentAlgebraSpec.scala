@@ -98,6 +98,22 @@ class SegmentAlgebraSpec extends AnyFunSuite {
     assert(math.abs(got._6 - n.toDouble) / n < 0.26, s"est=${got._6}")
   }
 
+  test("hll_registers aggregate == relational hll64 registers (and partition-invariant)") {
+    val s = spark
+    GraftFunctions.install(s)
+    import s.implicits._
+    val hashes = (0 until 8000).map(i => graft.text.Text.md5Sig60(s"u$i".getBytes("UTF-8")))
+    def viaAgg(parts: Int): (Long, Long) = {
+      val regs = hashes.toDF("hv").repartition(parts)
+        .agg(call_function("hll_registers", col("hv"))).head.getSeq[Long](0)
+      assert(regs.length == 64)
+      (regs.count(_ > 0L).toLong, regs.map(r => 1L << (55 - r)).sum)
+    }
+    val rel = SketchOps.hll64(hashes.map(("g", _)).toDF("grp0", "hv"), "grp0", "hv").head
+    assert(viaAgg(1) == ((rel.getLong(1), rel.getLong(5))))
+    assert(viaAgg(9) == ((rel.getLong(1), rel.getLong(5))))
+  }
+
   test("hll64: registers saturate monotonically (superset never lowers rho or raises Z)") {
     val s = spark
     import s.implicits._
