@@ -727,4 +727,68 @@ object TileJob {
     else spark.read.parquet(dirs: _*)
       .where(col("cell") >= cellMin && col("cell") <= cellMax)
   }
+
+  /** The manifest-level prune behind [[snapshotDiff]]: data dirs present
+    * in one snapshot but not the other. Data files are IMMUTABLE (every
+    * mutation writes new dirs and republishes the manifest), so a bucket
+    * entry pointing at the same dir in both snapshots provably carries
+    * identical rows and is never read — incremental-diff cost rides the
+    * CHANGED buckets only. */
+  private[tile] def changedDirs(from: IceLite.Snapshot, to: IceLite.Snapshot): (Seq[String], Seq[String]) = {
+    val f = from.buckets.map(_.dataDir).toSet
+    val t = to.buckets.map(_.dataDir).toSet
+    def live(ds: Seq[String]) = ds.filter(d => Files.exists(Paths.get(d)))
+    (live(from.buckets.collect { case b if !t.contains(b.dataDir) => b.dataDir }.distinct),
+     live(to.buckets.collect { case b if !f.contains(b.dataDir) => b.dataDir }.distinct))
+  }
+
+  /** CDC CHANGELOG between two committed snapshots — Iceberg's
+    * incremental/changelog scan: one row per changed image_id with
+    * op ∈ insert | delete | update. Buckets whose manifest entry points
+    * at the same immutable data dir in both snapshots are pruned WITHOUT
+    * reading (see [[changedDirs]]); inside the changed set, a full outer
+    * join on image_id compares an all-columns fingerprint (footer-union
+    * reads, so evolved columns participate; binary columns hash via md5,
+    * everything else via a null-sentineled string cast). Rows that moved
+    * buckets with identical content (e.g. rebucket) correctly vanish
+    * from the changelog. At 10^12 rows an incremental consumer pays for
+    * the delta, never the table. */
+  def snapshotDiff(spark: SparkSession, outRoot: String,
+                   fromId: Long, toId: Long): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    val from = IceLite.snapshotById(outRoot, fromId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $fromId at $outRoot"))
+    val to = IceLite.snapshotById(outRoot, toId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $toId at $outRoot"))
+    val (fDirs, tDirs) = changedDirs(from, to)
+    val empty = spark.range(0).select(lit("insert").as("op"), lit("").as("image_id"))
+    def rd(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+    (rd(fDirs), rd(tDirs)) match {
+      case (None, None) => empty.limit(0)
+      case (a, b) =>
+        // fingerprint over the union of both sides' columns, sorted by
+        // name; a side missing a column contributes the null sentinel
+        val types = (a.toSeq ++ b.toSeq)
+          .flatMap(_.schema.fields.map(f => f.name -> f.dataType)).toMap
+        val names = types.keys.toSeq.sorted.filter(_ != "image_id")
+        def fp(df: DataFrame): Column = xxhash64(names.map { n =>
+          if (!df.columns.contains(n)) lit("\u0000missing")
+          else if (types(n) == BinaryType) md5(col(n))
+          else coalesce(col(n).cast("string"), lit("\u0000null"))
+        }: _*)
+        def side(df: Option[DataFrame], hname: String): DataFrame = df match {
+          case Some(d) => d.select(col("image_id"), fp(d).as(hname))
+          case None => spark.range(0).select(lit("").as("image_id"), lit(0L).as(hname))
+        }
+        side(a, "h_from").join(side(b, "h_to"), Seq("image_id"), "full_outer")
+          .select(col("image_id"),
+            when(col("h_from").isNull, "insert")
+              .when(col("h_to").isNull, "delete")
+              .when(col("h_from") =!= col("h_to"), "update").as("op"))
+          .where(col("op").isNotNull)
+          .select("op", "image_id")
+    }
+  }
 }
