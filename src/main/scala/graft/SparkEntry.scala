@@ -3650,6 +3650,45 @@ object SparkEntry {
           col("n_events"))
         .withColumn("est_raw", expr(
           "CAST(FLOOR(((0.709D * 4096.0D) * 36028797018963968.0D) / CAST(z_int AS DOUBLE)) AS BIGINT)"))
+    }),
+
+    // ---------------- one-pass column profiler (r5 s10) ----------------
+    // The data-quality report: per column, row/non-null/exact-distinct
+    // counts and binary-collation min/max — ONE scan via stack (unpivot),
+    // one shuffle on the column name. At 100 TB exact distinct per
+    // column is the expensive term; hll_registers / kmv_minhashes drop
+    // in as the bounded-state substitute on the same unpivoted shape.
+    "q177_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(expr("stack(5, 'doc_id', CAST(doc_id AS STRING), 'text', text, " +
+          "'lang', lang, 'source', source, 'n_chars', CAST(n_chars AS STRING)) AS (cname, v)"))
+        .groupBy("cname")
+        .agg(count(lit(1)).as("n"), count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("n_distinct"),
+          min("v").as("vmin"), max("v").as("vmax"))
+    }),
+
+    // ---------------- histogram quantile estimator (r5 s10) ----------------
+    // The MERGEABLE quantile shape (q136 is the exact path): a fixed
+    // equi-width histogram (1000-cent bins — bounded state, map-side
+    // combinable) + cumulative window; the p-quantile estimate is the
+    // lower bound of the first bin whose cumulative count reaches p·n.
+    // Deterministic integer math end-to-end; the estimate error is
+    // bounded by the bin width by construction.
+    "q178_hist_quantile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), centsOf(col("value")).as("vc"))
+      val cum = ev.groupBy(col("event_type"), expr("vc div 1000").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("event_type").orderBy("bin")))
+      val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      cum.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          (min(when(col("cum") * 100 >= col("n") * 50, col("bin"))) * 1000).as("p50_cents"),
+          (min(when(col("cum") * 100 >= col("n") * 90, col("bin"))) * 1000).as("p90_cents"),
+          (min(when(col("cum") * 100 >= col("n") * 99, col("bin"))) * 1000).as("p99_cents"))
     })
   )
 
@@ -5596,7 +5635,35 @@ object SparkEntry {
            z_nz + (64 - n_nonzero) * 36028797018963968 AS z_int, n_events,
            CAST(FLOOR(((0.709e0 * 4096.0e0) * 36028797018963968.0e0) /
                 CAST(z_nz + (64 - n_nonzero) * 36028797018963968 AS DOUBLE)) AS BIGINT) AS est_raw
-         FROM ag JOIN ne ON ne.hour_us = ag.hour_us"""
+         FROM ag JOIN ne ON ne.hour_us = ag.hour_us""",
+
+    "q177_profile" ->
+      """WITH u AS (
+           SELECT 'doc_id' AS cname, CAST(doc_id AS VARCHAR) AS v FROM documents
+           UNION ALL SELECT 'text', text FROM documents
+           UNION ALL SELECT 'lang', lang FROM documents
+           UNION ALL SELECT 'source', source FROM documents
+           UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+         SELECT cname, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           MIN(v) AS vmin, MAX(v) AS vmax
+         FROM u GROUP BY 1""",
+
+    "q178_hist_quantile" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         hs AS (SELECT event_type, vc // 1000 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+                FROM ev GROUP BY 1, 2),
+         cm AS (SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM hs),
+         tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1)
+         SELECT cm.event_type, MAX(tt.n) AS n,
+           MIN(CASE WHEN cum * 100 >= tt.n * 50 THEN bin END) * 1000 AS p50_cents,
+           MIN(CASE WHEN cum * 100 >= tt.n * 90 THEN bin END) * 1000 AS p90_cents,
+           MIN(CASE WHEN cum * 100 >= tt.n * 99 THEN bin END) * 1000 AS p99_cents
+         FROM cm JOIN tt ON tt.event_type = cm.event_type
+         GROUP BY 1"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
