@@ -116,6 +116,37 @@ object SparkEntry {
   private def txSql(lon: String, z: Int): String = tileSql(s"(($lon + 180.0)/360.0)", z)
   private def tySql(lat: String, z: Int): String = tileSql(nySql(lat), z)
 
+  /** Shared harness of the Complete-mode streaming aggregation queries
+    * (q160 KMV / q170 hopping / q176 HLL): materialize events as a
+    * 6-file source dir, run the caller's aggregation through AvailableNow
+    * micro-batches (2 files per trigger → several batches, state merging
+    * across them) into a memory sink, return the final table. One place
+    * owns the trigger/sink/partition wiring (review: 3 hand copies). */
+  private def runStreamCompleteAgg(s: SparkSession, dir: String, tag: String)
+      (build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    GeoTables.ensure(s, dir)
+    val evPath = s"${GeoTables.baseDir(dir)}/stream_${tag}_src"
+    rmTree(evPath)
+    s.read.parquet(s"$dir/events.parquet")
+      .repartition(6).write.mode("overwrite").parquet(evPath)
+    val schema = s.read.parquet(evPath).schema
+    val stream = build(s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2") // several micro-batches, not one
+      .parquet(evPath))
+    val tbl = s"stream_${tag}_tbl"
+    s.sql(s"DROP VIEW IF EXISTS $tbl")
+    withStreamStatePartitions(s) {
+      val q = stream.writeStream
+        .format("memory").queryName(tbl)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(tbl)
+  }
+
   /** Recursive delete for the streaming queries' scratch out/checkpoint
     * dirs (Files.walk holds a directory fd until closed). */
   private def rmTree(p: String): Unit = {
@@ -650,33 +681,12 @@ object SparkEntry {
     // set-function guarantee the oracle pins per hour.
     "q160_stream_kmv" -> ((s, dir) => {
       GraftFunctions.install(s)
-      import org.apache.spark.sql.streaming.Trigger
-      GeoTables.ensure(s, dir)
-      // file-source streams need a DIRECTORY: materialize the events
-      // table as a 6-file source dir (the runStreamPairJoin scaffold)
-      val evPath = s"${GeoTables.baseDir(dir)}/stream_kmv_src"
-      rmTree(evPath)
-      s.read.parquet(s"$dir/events.parquet")
-        .repartition(6).write.mode("overwrite").parquet(evPath)
-      val schema = s.read.parquet(evPath).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2") // several micro-batches, not one
-        .parquet(evPath)
+      runStreamCompleteAgg(s, dir, "kmv")(src => src
         .withColumn("ts_tz", col("ts").cast("timestamp"))
         .withColumn("hv", call_function("md5_sig60", col("user_id").cast("string")))
         .groupBy(window(col("ts_tz"), "1 hour").as("w"))
         .agg(call_function("kmv_minhashes", col("hv"), lit(32)).as("mins"),
-          count(lit(1)).as("n_events"))
-      s.sql("DROP VIEW IF EXISTS stream_kmv_tbl")
-      withStreamStatePartitions(s) {
-        val q = stream.writeStream
-          .format("memory").queryName("stream_kmv_tbl")
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table("stream_kmv_tbl")
+          count(lit(1)).as("n_events")))
         .select(unix_micros(col("w.start")).as("hour_us"),
           size(col("mins")).cast("bigint").as("n_k"),
           expr("element_at(mins, size(mins))").as("kth"),
@@ -3473,29 +3483,10 @@ object SparkEntry {
     // the hop-assignment identity window(t, 2h, 1h) ∈ {hourFloor(t)−1h,
     // hourFloor(t)} is what the oracle rebuilds arithmetically.
     "q170_stream_hopping" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      GeoTables.ensure(s, dir)
-      val evPath = s"${GeoTables.baseDir(dir)}/stream_hop_src"
-      rmTree(evPath)
-      s.read.parquet(s"$dir/events.parquet")
-        .repartition(6).write.mode("overwrite").parquet(evPath)
-      val schema = s.read.parquet(evPath).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(evPath)
+      runStreamCompleteAgg(s, dir, "hop")(src => src
         .withColumn("ts_tz", col("ts").cast("timestamp"))
         .groupBy(window(col("ts_tz"), "2 hours", "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_cents"))
-      s.sql("DROP VIEW IF EXISTS stream_hop_tbl")
-      withStreamStatePartitions(s) {
-        val q = stream.writeStream
-          .format("memory").queryName("stream_hop_tbl")
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table("stream_hop_tbl")
+        .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_cents")))
         .select(unix_micros(col("w.start")).as("hour_us"),
           col("event_type"), col("n"), col("sum_cents"))
     }),
@@ -3619,31 +3610,12 @@ object SparkEntry {
     // register pipeline per hour arithmetically.
     "q176_stream_hll" -> ((s, dir) => {
       GraftFunctions.install(s)
-      import org.apache.spark.sql.streaming.Trigger
-      GeoTables.ensure(s, dir)
-      val evPath = s"${GeoTables.baseDir(dir)}/stream_hll_src"
-      rmTree(evPath)
-      s.read.parquet(s"$dir/events.parquet")
-        .repartition(6).write.mode("overwrite").parquet(evPath)
-      val schema = s.read.parquet(evPath).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(evPath)
+      runStreamCompleteAgg(s, dir, "hll")(src => src
         .withColumn("ts_tz", col("ts").cast("timestamp"))
         .withColumn("hv", call_function("md5_sig60", col("user_id").cast("string")))
         .groupBy(window(col("ts_tz"), "1 hour").as("w"))
         .agg(call_function("hll_registers", col("hv")).as("regs"),
-          count(lit(1)).as("n_events"))
-      s.sql("DROP VIEW IF EXISTS stream_hll_tbl")
-      withStreamStatePartitions(s) {
-        val q = stream.writeStream
-          .format("memory").queryName("stream_hll_tbl")
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table("stream_hll_tbl")
+          count(lit(1)).as("n_events")))
         .select(unix_micros(col("w.start")).as("hour_us"),
           expr("CAST(size(filter(regs, r -> r > 0)) AS BIGINT)").as("n_nonzero"),
           expr("aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, CAST(55 - r AS INT)))").as("z_int"),

@@ -737,9 +737,18 @@ object TileJob {
   private[tile] def changedDirs(from: IceLite.Snapshot, to: IceLite.Snapshot): (Seq[String], Seq[String]) = {
     val f = from.buckets.map(_.dataDir).toSet
     val t = to.buckets.map(_.dataDir).toSet
-    def live(ds: Seq[String]) = ds.filter(d => Files.exists(Paths.get(d)))
-    (live(from.buckets.collect { case b if !t.contains(b.dataDir) => b.dataDir }.distinct),
-     live(to.buckets.collect { case b if !f.contains(b.dataDir) => b.dataDir }.distinct))
+    // empty buckets (rows == 0) legitimately have no dir; a rows > 0
+    // entry whose dir is gone is data loss / out-of-band GC — failing
+    // loudly beats silently emitting a truncated (wrong) changelog
+    def live(es: Seq[IceLite.BucketEntry]): Seq[String] = {
+      val ds = es.filter(_.rows > 0).map(_.dataDir).distinct
+      val missing = ds.filterNot(d => Files.exists(Paths.get(d)))
+      require(missing.isEmpty,
+        s"snapshotDiff: manifest references missing data dirs (GC'd or lost?): ${missing.mkString(", ")}")
+      ds
+    }
+    (live(from.buckets.filterNot(b => t.contains(b.dataDir))),
+     live(to.buckets.filterNot(b => f.contains(b.dataDir))))
   }
 
   /** CDC CHANGELOG between two committed snapshots — Iceberg's
@@ -768,15 +777,23 @@ object TileJob {
     (rd(fDirs), rd(tDirs)) match {
       case (None, None) => empty.limit(0)
       case (a, b) =>
-        // fingerprint over the union of both sides' columns, sorted by
-        // name; a side missing a column contributes the null sentinel
+        // Fingerprint over the union of both sides' columns, sorted by
+        // name. ONE sentinel for both "column absent from this side's
+        // schema" and "value is NULL": Iceberg's ADD COLUMN produces no
+        // CDC rows, so a rewrite that merely materializes a new all-NULL
+        // column must fingerprint identically to the pre-evolution file
+        // (distinct sentinels would flag every untouched row as an
+        // update). Every branch is coalesced -- xxhash64 SKIPS null
+        // children rather than hashing them, so an uncoalesced md5(null)
+        // would silently drop the column from the hash.
         val types = (a.toSeq ++ b.toSeq)
           .flatMap(_.schema.fields.map(f => f.name -> f.dataType)).toMap
         val names = types.keys.toSeq.sorted.filter(_ != "image_id")
+        val nullSentinel = lit("\u0000null")
         def fp(df: DataFrame): Column = xxhash64(names.map { n =>
-          if (!df.columns.contains(n)) lit("\u0000missing")
-          else if (types(n) == BinaryType) md5(col(n))
-          else coalesce(col(n).cast("string"), lit("\u0000null"))
+          if (!df.columns.contains(n)) nullSentinel
+          else if (types(n) == BinaryType) coalesce(md5(col(n)), nullSentinel)
+          else coalesce(col(n).cast("string"), nullSentinel)
         }: _*)
         def side(df: Option[DataFrame], hname: String): DataFrame = df match {
           case Some(d) => d.select(col("image_id"), fp(d).as(hname))

@@ -46,7 +46,8 @@ class EdgeSpec extends AnyFunSuite {
     assert(es(0) == expect)
     assert(es(1) == 1020L * expect)
     assert(es(2 + 6) == expect)       // gy = north − south < 0 → S (octant 6)
-    assert(es.slice(2, 8).forall(_ == 0L))
+    // every OTHER octant must be zero (indices 2..9 except 2+6)
+    assert(es.indices.drop(2).filter(_ != 2 + 6).forall(es(_) == 0L))
   }
 
   test("45° ramp: every interior pixel is an SE edge (gx=128, gy=-128)") {
