@@ -3661,6 +3661,43 @@ object SparkEntry {
           (min(when(col("cum") * 100 >= col("n") * 50, col("bin"))) * 1000).as("p50_cents"),
           (min(when(col("cum") * 100 >= col("n") * 90, col("bin"))) * 1000).as("p90_cents"),
           (min(when(col("cum") * 100 >= col("n") * 99, col("bin"))) * 1000).as("p99_cents"))
+    }),
+
+    // ---------------- choropleth density normalization (r5 s10) ----------------
+    // The map-visualization staple: per-zone image counts from the
+    // accelerated PIP join, normalized by zone AREA (raw counts mislead
+    // when polygons differ in size). Zones with zero matches stay in the
+    // output (left join + coalesce). Density quantized through one
+    // shared-order double expression so both engines emit identical bits.
+    "q179_choropleth" -> ((s, dir) => {
+      val cnt = SpatialJoins.pipJoin(GeoTables.images(s, dir),
+        GeoTables.zones(s, dir), level = 8)
+        .groupBy("zone_id").agg(count(lit(1)).as("n0"))
+      GeoTables.zones(s, dir)
+        .join(cnt, Seq("zone_id"), "left")
+        .withColumn("n_images", coalesce(col("n0"), lit(0L)))
+        .select(col("zone_id"), col("n_images"),
+          centsOf((col("xmax") - col("xmin")) * (col("ymax") - col("ymin"))).as("area_c"),
+          expr("CAST(FLOOR(CAST(n_images AS DOUBLE) * 1000000.0D / " +
+            "((xmax - xmin) * (ymax - ymin))) AS BIGINT)").as("dens_q"))
+    }),
+
+    // ---------------- storage audit (r5 s10) ----------------
+    // The table-layout report that sizes every export decision: per
+    // (fmt, w, h) encoded-byte totals, min/max, integer bytes-per-pixel
+    // ppm, and the projected 256 KiB shard count. One agg over scan-only
+    // columns (bytes never leaves the scan except through length()).
+    "q180_storage_audit" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("fmt"), col("w"), col("h"),
+          length(col("bytes")).cast("bigint").as("nb"))
+        .groupBy("fmt", "w", "h")
+        .agg(count(lit(1)).as("n"), sum("nb").as("tot_bytes"),
+          min("nb").as("min_bytes"), max("nb").as("max_bytes"))
+        .withColumn("bpp_ppm",
+          expr("(tot_bytes * 1000000) div (n * CAST(w AS BIGINT) * h)"))
+        .withColumn("n_shards", expr("(tot_bytes + 262143) div 262144"))
     })
   )
 
@@ -5635,7 +5672,28 @@ object SparkEntry {
            MIN(CASE WHEN cum * 100 >= tt.n * 90 THEN bin END) * 1000 AS p90_cents,
            MIN(CASE WHEN cum * 100 >= tt.n * 99 THEN bin END) * 1000 AS p99_cents
          FROM cm JOIN tt ON tt.event_type = cm.event_type
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "q179_choropleth" ->
+      s"""WITH c AS (SELECT z.zone_id, CAST(COUNT(i.image_id) AS BIGINT) AS n_images
+           FROM $ZON z LEFT JOIN $IMG i
+             ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
+           GROUP BY 1)
+         SELECT z.zone_id, c.n_images,
+           CAST(FLOOR((z.xmax - z.xmin) * (z.ymax - z.ymin) * 100 + 0.5) AS BIGINT) AS area_c,
+           CAST(FLOOR(CAST(c.n_images AS DOUBLE) * 1000000.0e0 /
+             ((z.xmax - z.xmin) * (z.ymax - z.ymin))) AS BIGINT) AS dens_q
+         FROM $ZON z JOIN c ON c.zone_id = z.zone_id""",
+
+    "q180_storage_audit" ->
+      s"""SELECT fmt, w, h, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(bytes)) AS BIGINT) AS tot_bytes,
+           CAST(MIN(octet_length(bytes)) AS BIGINT) AS min_bytes,
+           CAST(MAX(octet_length(bytes)) AS BIGINT) AS max_bytes,
+           (CAST(SUM(octet_length(bytes)) AS BIGINT) * 1000000)
+             // (COUNT(*) * CAST(w AS BIGINT) * h) AS bpp_ppm,
+           (CAST(SUM(octet_length(bytes)) AS BIGINT) + 262143) // 262144 AS n_shards
+         FROM $IMG GROUP BY 1, 2, 3"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
