@@ -3698,6 +3698,65 @@ object SparkEntry {
         .withColumn("bpp_ppm",
           expr("(tot_bytes * 1000000) div (n * CAST(w AS BIGINT) * h)"))
         .withColumn("n_shards", expr("(tot_bytes + 262143) div 262144"))
+    }),
+
+    // ---------------- last-touch attribution (r5 s11) ----------------
+    // Each purchase is credited to the user's most recent click/view
+    // within a 24 h lookback; no qualifying touch → "direct". ONE
+    // user-keyed window (a single shuffle) carries the last touch's
+    // timestamp and channel forward; money in exact cents, latency in
+    // exact integer microseconds so both engines agree bit-for-bit.
+    "q181_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tu"), col("value"))
+        .withColumn("t_tu", last(when(isTouch, col("tu")), ignoreNulls = true).over(w))
+        .withColumn("t_ch", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("attributed",
+          col("t_tu").isNotNull && col("tu") - col("t_tu") <= lit(86400000000L))
+        .withColumn("channel", when(col("attributed"), col("t_ch")).otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conv"),
+          cents(col("value")).as("rev_cents"),
+          sum(when(col("attributed"), col("tu") - col("t_tu")).otherwise(lit(0L)))
+            .as("lat_us"))
+    }),
+
+    // ---------------- user-activity / bot audit (r5 s11) ----------------
+    // The crawler/bot curation gate: per-user event count, distinct
+    // active days, distinct event types, sub-minute burst count, and the
+    // EXACT doubled median inter-event gap (middle one/two ranked gaps —
+    // ×2 keeps the even-count average in integers). Two user-keyed
+    // windows over the same shuffle key; flags users whose median gap is
+    // under 2 h. Everything integer so the DuckDB mirror is bit-exact.
+    "q182_bot_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),  col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tu"))
+      val wo = Window.partitionBy("user_id").orderBy("tu", "event_id")
+      val gaps = ev
+        .withColumn("gap", col("tu") - lag("tu", 1).over(wo))
+        .where(col("gap").isNotNull)
+      val wg = Window.partitionBy("user_id").orderBy("gap", "tu", "event_id")
+      val med = gaps
+        .withColumn("rn", row_number().over(wg))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("user_id")))
+        .where(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+        .groupBy("user_id")
+        .agg(expr("sum(gap) * 2 div count(1)").as("med2x_us"))
+      val burst = gaps.groupBy("user_id")
+        .agg(sum(when(col("gap") < lit(60000000L), 1L).otherwise(0L)).as("n_burst"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          countDistinct(expr("tu div 86400000000")).as("n_days"),
+          countDistinct(col("event_type")).as("n_types"))
+        .join(med, Seq("user_id"), "left")
+        .join(burst, Seq("user_id"), "left")
+        .withColumn("is_fast", coalesce(col("med2x_us") < lit(2L * 7200000000L), lit(false)))
     })
   )
 
@@ -5693,7 +5752,54 @@ object SparkEntry {
            (CAST(SUM(octet_length(bytes)) AS BIGINT) * 1000000)
              // (COUNT(*) * CAST(w AS BIGINT) * h) AS bpp_ppm,
            (CAST(SUM(octet_length(bytes)) AS BIGINT) + 262143) // 262144 AS n_shards
-         FROM $IMG GROUP BY 1, 2, 3"""
+         FROM $IMG GROUP BY 1, 2, 3""",
+
+    "q181_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, value
+           FROM events),
+         w AS (SELECT *,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN tu END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_tu,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ch
+           FROM ev),
+         p AS (SELECT
+             CASE WHEN t_tu IS NOT NULL AND tu - t_tu <= 86400000000 THEN t_ch
+                  ELSE 'direct' END AS channel,
+             value,
+             CASE WHEN t_tu IS NOT NULL AND tu - t_tu <= 86400000000 THEN tu - t_tu
+                  ELSE 0 END AS lat
+           FROM w WHERE event_type = 'purchase')
+         SELECT channel, COUNT(*) AS n_conv,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(SUM(lat) AS BIGINT) AS lat_us
+         FROM p GROUP BY 1""",
+
+    "q182_bot_audit" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events),
+         g AS (SELECT user_id, event_id, tu,
+             tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+           FROM ev),
+         g2 AS (SELECT * FROM g WHERE gap IS NOT NULL),
+         r AS (SELECT user_id, gap,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap, tu, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS m
+           FROM g2),
+         med AS (SELECT user_id, CAST(SUM(gap) * 2 // COUNT(*) AS BIGINT) AS med2x_us
+           FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
+         burst AS (SELECT user_id,
+             CAST(SUM(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst
+           FROM g2 GROUP BY 1),
+         st AS (SELECT user_id, COUNT(*) AS n_ev,
+             COUNT(DISTINCT tu // 86400000000) AS n_days,
+             COUNT(DISTINCT event_type) AS n_types
+           FROM ev GROUP BY 1)
+         SELECT st.user_id, st.n_ev, st.n_days, st.n_types,
+           med.med2x_us, burst.n_burst,
+           COALESCE(med.med2x_us < 14400000000, FALSE) AS is_fast
+         FROM st LEFT JOIN med USING (user_id) LEFT JOIN burst USING (user_id)"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
