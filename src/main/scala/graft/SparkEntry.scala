@@ -3757,6 +3757,33 @@ object SparkEntry {
         .join(med, Seq("user_id"), "left")
         .join(burst, Seq("user_id"), "left")
         .withColumn("is_fast", coalesce(col("med2x_us") < lit(2L * 7200000000L), lit(false)))
+    }),
+
+    // ---------------- raster-mask morphology (r5 s11) ----------------
+    // Buffer/shrink at raster resolution — the tile-mask analog of
+    // st_buffer for Raptor-style zonal pipelines: Chebyshev dilate/erode
+    // (separable two-pass square element, exact) over the q57 zone masks.
+    // Oracle: a rasterized rect zone is a product of one X run and one Y
+    // run, so dilated/eroded popcounts have closed forms on the clipped
+    // run bounds — mirrored in SQL via per-pixel-center BETWEEN tests.
+    "q183_morphology" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("g", call_function("st_geomfromwkt", col("wkt")))
+        .withColumn("tx", call_function("st_tile_x",
+          (col("xmin") + col("xmax")) / 2, lit(6)))
+        .withColumn("ty", call_function("st_tile_y",
+          (col("ymin") + col("ymax")) / 2, lit(6)))
+        .withColumn("mask", call_function("st_rasterize_mask",
+          col("g"), lit(6), col("tx"), col("ty"), lit(16)))
+        .select(col("zone_id"),
+          call_function("mask_popcount", col("mask")).cast("bigint").as("n_pix"),
+          call_function("mask_popcount",
+            call_function("mask_dilate", col("mask"), lit(16), lit(2)))
+            .cast("bigint").as("n_dil"),
+          call_function("mask_popcount",
+            call_function("mask_erode", col("mask"), lit(16), lit(2)))
+            .cast("bigint").as("n_ero"))
     })
   )
 
@@ -5799,7 +5826,36 @@ object SparkEntry {
          SELECT st.user_id, st.n_ev, st.n_days, st.n_types,
            med.med2x_us, burst.n_burst,
            COALESCE(med.med2x_us < 14400000000, FALSE) AS is_fast
-         FROM st LEFT JOIN med USING (user_id) LEFT JOIN burst USING (user_id)"""
+         FROM st LEFT JOIN med USING (user_id) LEFT JOIN burst USING (user_id)""",
+
+    "q183_morphology" -> {
+      val cx = "((xmin + xmax)/2)"
+      val cy = "((ymin + ymax)/2)"
+      val txS = txSql(cx, 6)
+      val tyS = tySql(cy, 6)
+      def testX(i: Int) =
+        s"((((tx + ($i + 0.5)/16.0)/64.0)*360.0 - 180.0) BETWEEN xmin AND xmax)"
+      def testY(j: Int) =
+        s"(DEGREES(2*ATAN(EXP(PI()*(1 - 2*((ty + ($j + 0.5)/16.0)/64.0)))) - PI()/2) BETWEEN ymin AND ymax)"
+      val x0 = (0 until 16).map(i => s"(CASE WHEN ${testX(i)} THEN $i ELSE 99 END)")
+        .mkString("LEAST(", ", ", ")")
+      val x1 = (0 until 16).map(i => s"(CASE WHEN ${testX(i)} THEN $i ELSE -1 END)")
+        .mkString("GREATEST(", ", ", ")")
+      val y0 = (0 until 16).map(j => s"(CASE WHEN ${testY(j)} THEN $j ELSE 99 END)")
+        .mkString("LEAST(", ", ", ")")
+      val y1 = (0 until 16).map(j => s"(CASE WHEN ${testY(j)} THEN $j ELSE -1 END)")
+        .mkString("GREATEST(", ", ", ")")
+      s"""WITH z AS (SELECT zone_id, xmin, ymin, xmax, ymax,
+             $txS AS tx, $tyS AS ty FROM $ZON),
+         runs AS (SELECT zone_id, $x0 AS x0, $x1 AS x1, $y0 AS y0, $y1 AS y1 FROM z)
+         SELECT zone_id,
+           CAST(GREATEST(0, x1 - x0 + 1) * GREATEST(0, y1 - y0 + 1) AS BIGINT) AS n_pix,
+           CAST((CASE WHEN x1 >= x0 THEN LEAST(15, x1 + 2) - GREATEST(0, x0 - 2) + 1 ELSE 0 END)
+              * (CASE WHEN y1 >= y0 THEN LEAST(15, y1 + 2) - GREATEST(0, y0 - 2) + 1 ELSE 0 END)
+             AS BIGINT) AS n_dil,
+           CAST(GREATEST(0, x1 - x0 - 3) * GREATEST(0, y1 - y0 - 3) AS BIGINT) AS n_ero
+         FROM runs"""
+    }
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

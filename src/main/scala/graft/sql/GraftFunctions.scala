@@ -183,6 +183,8 @@ object GraftFunctions {
     "st_chaikin" -> (e => StChaikin(e(0), e(1))),
     "st_inscribedcircle" -> (e => StInscribedCircle(e(0), e(1))),
     "mask_popcount" -> (e => MaskPopcount(e.head)),
+    "mask_dilate" -> (e => MaskDilate(e(0), e(1), e(2))),
+    "mask_erode" -> (e => MaskErode(e(0), e(1), e(2))),
     "img_gray_rgb" -> (e => ImgGray(e.head)),
     "img_flip_rgb" -> (e => ImgFlip(e)),
     "img_crop_rgb" -> (e => ImgCrop(e)),

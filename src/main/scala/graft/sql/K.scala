@@ -554,6 +554,54 @@ object K {
     s
   }
 
+  /** Chebyshev dilation by radius r on a size×size tile bit mask (bit
+    * j*size+i, the [[rasterizeMask]] layout): output pixel set iff ANY
+    * input pixel lies in the (2r+1)×(2r+1) square around it. Outside-tile
+    * pixels are 0 (zero padding). The square element is separable, so two
+    * 1-D max passes — O(size²·r), not O(size²·r²). */
+  def maskDilate(mask: Array[Byte], size: Int, r: Int): Array[Byte] =
+    morph(mask, size, r, erode = false)
+
+  /** Chebyshev erosion by radius r: output pixel set iff EVERY pixel of
+    * its (2r+1)×(2r+1) square is set. Zero padding, so anything within r
+    * of the tile border erodes away (standard border semantics — callers
+    * that need cross-tile morphology dilate the QUERY geometry instead). */
+  def maskErode(mask: Array[Byte], size: Int, r: Int): Array[Byte] =
+    morph(mask, size, r, erode = true)
+
+  private def morph(mask: Array[Byte], size: Int, r: Int, erode: Boolean): Array[Byte] = {
+    require(size > 0 && size <= 4096 && mask.length == (size * size + 7) / 8,
+      s"mask/size mismatch: ${mask.length} bytes for size $size")
+    require(r >= 0 && r <= size, s"morphology radius out of range: $r")
+    @inline def get(m: Array[Byte], bit: Int): Boolean = (m(bit >> 3) & (1 << (bit & 7))) != 0
+    def pass(src: Array[Byte], horizontal: Boolean): Array[Byte] = {
+      val out = new Array[Byte](src.length)
+      var j = 0
+      while (j < size) {
+        var i = 0
+        while (i < size) {
+          var acc = erode
+          var d = -r
+          while (d <= r && acc == erode) { // early exit once decided
+            val x = (if (horizontal) i else j) + d
+            val in = x >= 0 && x < size &&
+              get(src, if (horizontal) j * size + x else x * size + i)
+            acc = if (erode) acc && in else acc || in
+            d += 1
+          }
+          if (acc) {
+            val bit = j * size + i
+            out(bit >> 3) = (out(bit >> 3) | (1 << (bit & 7))).toByte
+          }
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+    pass(pass(mask, horizontal = true), horizontal = false)
+  }
+
   // ---- images (§2.6 #49) ----
   def imgWidth(bytes: Array[Byte]): Int = Images.decode(bytes)._1
   def imgHeight(bytes: Array[Byte]): Int = Images.decode(bytes)._2
