@@ -808,4 +808,49 @@ object TileJob {
           .select("op", "image_id")
     }
   }
+
+  /** The per-tile aggregate the incremental maintainer keeps: row count
+    * and width sum per (tx, ty). ONE definition shared by the full
+    * recompute and the incremental path, so equality between them is a
+    * real invariant rather than two copies drifting. */
+  def tileAggOf(df: DataFrame): DataFrame =
+    df.groupBy("tx", "ty")
+      .agg(count(lit(1)).as("n_img"), sum(col("w").cast("long")).as("sum_w"))
+
+  def tileAggAt(spark: SparkSession, outRoot: String, snapshotId: Long): DataFrame =
+    tileAggOf(readAt(spark, outRoot, snapshotId))
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the consumer the CDC
+    * machinery exists for: advance a per-tile aggregate from snapshot
+    * `fromId` to `toId` reading ONLY the buckets whose data dirs changed
+    * ([[changedDirs]] prune, same as [[snapshotDiff]]). Count/sum are
+    * self-inverting, so the delta is one union-with-sign aggregate:
+    * removed-dir rows at −1, added-dir rows at +1, summed per key, then
+    * full-outer-merged into the previous MV; keys whose count reaches 0
+    * drop out (a full recompute would not emit them). Rewrites that
+    * merely move identical rows (compact, rebucket) produce a zero delta
+    * and leave the MV bit-identical. At 10^12 rows the maintainer pays
+    * for the delta buckets, never the table — the full recompute exists
+    * only as the spec's ground truth. */
+  def incrementalTileAgg(spark: SparkSession, outRoot: String, prev: DataFrame,
+                         fromId: Long, toId: Long): DataFrame = {
+    val from = IceLite.snapshotById(outRoot, fromId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $fromId at $outRoot"))
+    val to = IceLite.snapshotById(outRoot, toId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $toId at $outRoot"))
+    val (fDirs, tDirs) = changedDirs(from, to)
+    val sides = Seq(fDirs -> -1L, tDirs -> 1L).collect { case (dirs, sgn) if dirs.nonEmpty =>
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .select(col("tx"), col("ty"), lit(sgn).as("sgn"), col("w").cast("long").as("w"))
+    }
+    if (sides.isEmpty) return prev
+    val delta = sides.reduce(_ unionByName _)
+      .groupBy("tx", "ty")
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("w")).as("dw"))
+    prev.join(delta, Seq("tx", "ty"), "full_outer")
+      .select(col("tx"), col("ty"),
+        (coalesce(col("n_img"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_img"),
+        (coalesce(col("sum_w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("sum_w"))
+      .where(col("n_img") > 0)
+  }
 }
