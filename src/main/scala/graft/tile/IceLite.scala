@@ -230,4 +230,47 @@ object IceLite {
     else Files.list(meta).iterator().asScala.map(_.getFileName.toString)
       .filter(n => n.startsWith("snap-") && n.endsWith(".json")).toSeq.sorted
   }
+
+  /**
+   * Orphan-file cleanup (Iceberg `remove_orphan_files` analog): delete
+   * data dirs under `<root>/data` that NO committed snapshot references —
+   * the leftovers of commits that crashed after writing data but before
+   * publishing their manifest (the commit protocol's documented stranding
+   * point), and of ingest retries whose overwrite target moved. Distinct
+   * from [[expireSnapshots]], which walks manifests: this walks the DATA
+   * tree and subtracts every manifest. The unit of reclamation is the
+   * per-commit dir two levels down (`data-sN/bucket=B` for batch ingests,
+   * `data/bucket=B` for the base layout) — exactly the granularity
+   * manifests reference, so a referenced dir is never partially deleted.
+   * Readers only follow manifests, so this is safe to run concurrently
+   * with queries; like Iceberg, it must NOT run concurrently with an
+   * in-flight COMMIT (whose dirs are not yet referenced). Returns the
+   * deleted dirs, sorted.
+   */
+  def removeOrphanFiles(root: String): Seq[String] = {
+    val referenced: Set[Path] = listSnapshots(root).flatMap { n =>
+      fromJson(new String(Files.readAllBytes(metaDir(root).resolve(n)),
+        StandardCharsets.UTF_8)).buckets.map(b => Paths.get(b.dataDir).normalize.toAbsolutePath)
+    }.toSet
+    val rootP = Paths.get(root).normalize.toAbsolutePath
+    // candidate units: every dir whose PARENT chain starts at root and
+    // that matches the manifest-reference depth (root/<dataRoot>/<bucket>)
+    val candidates = Files.list(rootP).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString != "meta")
+      .flatMap(d => Files.list(d).iterator().asScala.filter(Files.isDirectory(_)))
+      .map(_.normalize.toAbsolutePath).toSeq
+    val orphans = candidates.filterNot { c =>
+      // a dir is live if any manifest references it OR a parent/child of
+      // it (layout variants keep reference depth flexible without ever
+      // deleting a referenced tree)
+      referenced.exists(r => r.startsWith(c) || c.startsWith(r))
+    }.sortBy(_.toString)
+    orphans.foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    orphans.map(_.toString)
+  }
 }
