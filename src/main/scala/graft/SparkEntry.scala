@@ -3742,20 +3742,22 @@ object SparkEntry {
         .withColumn("gap", col("tu") - lag("tu", 1).over(wo))
         .where(col("gap").isNotNull)
       val wg = Window.partitionBy("user_id").orderBy("gap", "tu", "event_id")
-      val med = gaps
+      // median and burst both ride the ranked-gap rows: ONE aggregate
+      // with a mid-row guard instead of two aggregates + two joins
+      val gstats = gaps
         .withColumn("rn", row_number().over(wg))
         .withColumn("m", count(lit(1)).over(Window.partitionBy("user_id")))
-        .where(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
         .groupBy("user_id")
-        .agg(expr("sum(gap) * 2 div count(1)").as("med2x_us"))
-      val burst = gaps.groupBy("user_id")
-        .agg(sum(when(col("gap") < lit(60000000L), 1L).otherwise(0L)).as("n_burst"))
+        .agg(
+          expr("sum(CASE WHEN rn = (m + 1) div 2 OR rn = m div 2 + 1 THEN gap END) * 2" +
+               " div count(CASE WHEN rn = (m + 1) div 2 OR rn = m div 2 + 1 THEN 1 END)")
+            .as("med2x_us"),
+          sum(when(col("gap") < lit(60000000L), 1L).otherwise(0L)).as("n_burst"))
       ev.groupBy("user_id")
         .agg(count(lit(1)).as("n_ev"),
           countDistinct(expr("tu div 86400000000")).as("n_days"),
           countDistinct(col("event_type")).as("n_types"))
-        .join(med, Seq("user_id"), "left")
-        .join(burst, Seq("user_id"), "left")
+        .join(gstats, Seq("user_id"), "left")
         .withColumn("is_fast", coalesce(col("med2x_us") < lit(2L * 7200000000L), lit(false)))
     }),
 
@@ -5814,21 +5816,29 @@ object SparkEntry {
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap, tu, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY user_id) AS m
            FROM g2),
-         med AS (SELECT user_id, CAST(SUM(gap) * 2 // COUNT(*) AS BIGINT) AS med2x_us
-           FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
-         burst AS (SELECT user_id,
+         gs AS (SELECT user_id,
+             CAST(SUM(CASE WHEN rn = (m + 1) // 2 OR rn = m // 2 + 1 THEN gap END) * 2
+               // COUNT(CASE WHEN rn = (m + 1) // 2 OR rn = m // 2 + 1 THEN 1 END)
+               AS BIGINT) AS med2x_us,
              CAST(SUM(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst
-           FROM g2 GROUP BY 1),
+           FROM r GROUP BY 1),
          st AS (SELECT user_id, COUNT(*) AS n_ev,
              COUNT(DISTINCT tu // 86400000000) AS n_days,
              COUNT(DISTINCT event_type) AS n_types
            FROM ev GROUP BY 1)
          SELECT st.user_id, st.n_ev, st.n_days, st.n_types,
-           med.med2x_us, burst.n_burst,
-           COALESCE(med.med2x_us < 14400000000, FALSE) AS is_fast
-         FROM st LEFT JOIN med USING (user_id) LEFT JOIN burst USING (user_id)""",
+           gs.med2x_us, gs.n_burst,
+           COALESCE(gs.med2x_us < 14400000000, FALSE) AS is_fast
+         FROM st LEFT JOIN gs USING (user_id)""",
 
     "q183_morphology" -> {
+      // pixel-center latitude: 2*ATAN(EXP(t))-PI()/2 here vs the engine's
+      // atan(sinh(t)) (and Java's Math.sinh matches NO closed exp form
+      // bitwise — 282/1999 samples differ at 1 ulp), so the BETWEEN tests
+      // cannot be op-order-pinned. Measured closure instead: min
+      // |pixel-center − zone bound| over sf0.01+sf0.1 = 1.26e-4°, ten
+      // orders above the ≤3e-14° cross-engine disagreement. Same formula
+      // and argument as q57.
       val cx = "((xmin + xmax)/2)"
       val cy = "((ymin + ymax)/2)"
       val txS = txSql(cx, 6)

@@ -248,17 +248,42 @@ object IceLite {
    * deleted dirs, sorted.
    */
   def removeOrphanFiles(root: String): Seq[String] = {
+    // real paths on BOTH sides: the deleting direction of this op means a
+    // path-alias mismatch (relative manifest dir + different CWD, or a
+    // symlinked root) must resolve or ABORT — misclassifying a live dir
+    // as orphan is data loss. Manifest dirs written by another process's
+    // CWD resolve via the root-relative fallback; a referenced dir that
+    // exists nowhere fails loudly (same contract as changedDirs).
+    val rootP = Paths.get(root).toRealPath()
+    def listDirs(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toList
+      finally s.close()
+    }
     val referenced: Set[Path] = listSnapshots(root).flatMap { n =>
-      fromJson(new String(Files.readAllBytes(metaDir(root).resolve(n)),
-        StandardCharsets.UTF_8)).buckets.map(b => Paths.get(b.dataDir).normalize.toAbsolutePath)
+      val snap = fromJson(new String(Files.readAllBytes(metaDir(root).resolve(n)),
+        StandardCharsets.UTF_8))
+      snap.buckets.filter(_.rows > 0).map { b =>
+        val raw = Paths.get(b.dataDir)
+        // in-root resolution FIRST: TileJob always writes under root, so
+        // the last two components (<dataRoot>/<bucket>) under rootP are
+        // authoritative; the raw path is only a fallback and may be
+        // CWD-dependent if it was stored relative
+        val tries = (if (raw.getNameCount >= 2)
+            Seq(rootP.resolve(raw.subpath(raw.getNameCount - 2, raw.getNameCount).toString))
+          else Nil) :+ raw
+        tries.find(Files.exists(_)).map(_.toRealPath()).getOrElse(
+          throw new IllegalStateException(
+            s"removeOrphanFiles: snapshot $n references unresolvable dir ${b.dataDir} " +
+            s"— refusing to sweep (a wrong resolution here deletes live data)"))
+      }
     }.toSet
-    val rootP = Paths.get(root).normalize.toAbsolutePath
     // candidate units: every dir whose PARENT chain starts at root and
     // that matches the manifest-reference depth (root/<dataRoot>/<bucket>)
-    val candidates = Files.list(rootP).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString != "meta")
-      .flatMap(d => Files.list(d).iterator().asScala.filter(Files.isDirectory(_)))
-      .map(_.normalize.toAbsolutePath).toSeq
+    val candidates = listDirs(rootP)
+      .filter(_.getFileName.toString != "meta")
+      .flatMap(listDirs)
+      .map(_.toRealPath())
     val orphans = candidates.filterNot { c =>
       // a dir is live if any manifest references it OR a parent/child of
       // it (layout variants keep reference depth flexible without ever
