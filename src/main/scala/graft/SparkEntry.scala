@@ -3786,6 +3786,37 @@ object SparkEntry {
           call_function("mask_popcount",
             call_function("mask_erode", col("mask"), lit(16), lit(2)))
             .cast("bigint").as("n_ero"))
+    }),
+
+    // ---------------- raster overlay algebra (r5 s11) ----------------
+    // Zonal AND/OR/XOR over same-tile masks — the raster analog of the
+    // vector overlay family: each zone vs itself shifted east by half
+    // its width (deterministic guaranteed-overlap pair; measured bound
+    // margin to pixel centers 9.0e-5°, same closure as q183). Oracle =
+    // run-overlap closed forms; n_or/n_xor are derived from inclusion-
+    // exclusion in BOTH engines, so the identity is pinned, not assumed.
+    "q184_mask_overlay" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val w2 = (col("xmax") - col("xmin")) / 2
+      val base = GeoTables.zones(s, dir)
+        .withColumn("tx", call_function("st_tile_x",
+          (col("xmin") + col("xmax")) / 2, lit(6)))
+        .withColumn("ty", call_function("st_tile_y",
+          (col("ymin") + col("ymax")) / 2, lit(6)))
+        .withColumn("ma", call_function("st_rasterize_mask",
+          call_function("st_geomfromwkt", col("wkt")),
+          lit(6), col("tx"), col("ty"), lit(16)))
+        .withColumn("mb", call_function("st_rasterize_mask",
+          call_function("st_makeenvelope",
+            col("xmin") + w2, col("ymin"), col("xmax") + w2, col("ymax")),
+          lit(6), col("tx"), col("ty"), lit(16)))
+      base.select(col("zone_id"),
+        call_function("mask_popcount",
+          call_function("mask_and", col("ma"), col("mb"))).cast("bigint").as("n_and"),
+        call_function("mask_popcount",
+          call_function("mask_or", col("ma"), col("mb"))).cast("bigint").as("n_or"),
+        call_function("mask_popcount",
+          call_function("mask_xor", col("ma"), col("mb"))).cast("bigint").as("n_xor"))
     })
   )
 
@@ -5865,6 +5896,40 @@ object SparkEntry {
              AS BIGINT) AS n_dil,
            CAST(GREATEST(0, x1 - x0 - 3) * GREATEST(0, y1 - y0 - 3) AS BIGINT) AS n_ero
          FROM runs"""
+    },
+
+    "q184_mask_overlay" -> {
+      val cx = "((xmin + xmax)/2)"
+      val cy = "((ymin + ymax)/2)"
+      val txS = txSql(cx, 6)
+      val tyS = tySql(cy, 6)
+      def cen(i: Int) = s"((((tx + ($i + 0.5)/16.0)/64.0)*360.0 - 180.0))"
+      def testX(i: Int) = s"(${cen(i)} BETWEEN xmin AND xmax)"
+      def testBX(i: Int) =
+        s"(${cen(i)} BETWEEN xmin + (xmax - xmin)/2 AND xmax + (xmax - xmin)/2)"
+      def testY(j: Int) =
+        s"(DEGREES(2*ATAN(EXP(PI()*(1 - 2*((ty + ($j + 0.5)/16.0)/64.0)))) - PI()/2) BETWEEN ymin AND ymax)"
+      def lo(test: Int => String) = (0 until 16)
+        .map(i => s"(CASE WHEN ${test(i)} THEN $i ELSE 99 END)").mkString("LEAST(", ", ", ")")
+      def hi(test: Int => String) = (0 until 16)
+        .map(i => s"(CASE WHEN ${test(i)} THEN $i ELSE -1 END)").mkString("GREATEST(", ", ", ")")
+      s"""WITH z AS (SELECT zone_id, xmin, ymin, xmax, ymax,
+             $txS AS tx, $tyS AS ty FROM $ZON),
+         runs AS (SELECT zone_id,
+             ${lo(testX)} AS x0, ${hi(testX)} AS x1,
+             ${lo(testBX)} AS bx0, ${hi(testBX)} AS bx1,
+             ${lo(testY)} AS y0, ${hi(testY)} AS y1 FROM z),
+         n AS (SELECT zone_id,
+             GREATEST(0, x1 - x0 + 1) AS gxa,
+             GREATEST(0, bx1 - bx0 + 1) AS gxb,
+             GREATEST(0, LEAST(x1, bx1) - GREATEST(x0, bx0) + 1) AS gxab,
+             GREATEST(0, y1 - y0 + 1) AS gy
+           FROM runs)
+         SELECT zone_id,
+           CAST(gxab * gy AS BIGINT) AS n_and,
+           CAST((gxa + gxb - gxab) * gy AS BIGINT) AS n_or,
+           CAST((gxa + gxb - 2 * gxab) * gy AS BIGINT) AS n_xor
+         FROM n"""
     }
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.

@@ -952,6 +952,25 @@ case class MaskPopcount(child: Expression) extends GeomUnary {
   override def nullSafeEval(v: Any): Any = K.maskPopcount(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Same-tile mask set algebra — codegen'd byte-wise kernels. */
+case class MaskAnd(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "maskAnd"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.maskAnd(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class MaskOr(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "maskOr"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.maskOr(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+case class MaskXor(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "maskXor"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.maskXor(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 /** (mask, size, r) → Chebyshev-dilated tile mask (square element). */
 case class MaskDilate(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes with CodegenFallback {

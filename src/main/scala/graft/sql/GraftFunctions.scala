@@ -185,6 +185,9 @@ object GraftFunctions {
     "mask_popcount" -> (e => MaskPopcount(e.head)),
     "mask_dilate" -> (e => MaskDilate(e(0), e(1), e(2))),
     "mask_erode" -> (e => MaskErode(e(0), e(1), e(2))),
+    "mask_and" -> (e => MaskAnd(e(0), e(1))),
+    "mask_or" -> (e => MaskOr(e(0), e(1))),
+    "mask_xor" -> (e => MaskXor(e(0), e(1))),
     "img_gray_rgb" -> (e => ImgGray(e.head)),
     "img_flip_rgb" -> (e => ImgFlip(e)),
     "img_crop_rgb" -> (e => ImgCrop(e)),

@@ -554,6 +554,22 @@ object K {
     s
   }
 
+  /** Raster overlay algebra on same-tile bit masks: the Raptor-style
+    * zonal AND/OR/XOR whose popcounts are intersection / union /
+    * symmetric-difference pixel areas. Lengths must match (same tile,
+    * same resolution) — silently zero-extending would hide a caller bug. */
+  def maskAnd(a: Array[Byte], b: Array[Byte]): Array[Byte] = maskZip(a, b, (x, y) => x & y)
+  def maskOr(a: Array[Byte], b: Array[Byte]): Array[Byte] = maskZip(a, b, (x, y) => x | y)
+  def maskXor(a: Array[Byte], b: Array[Byte]): Array[Byte] = maskZip(a, b, (x, y) => x ^ y)
+
+  private def maskZip(a: Array[Byte], b: Array[Byte], f: (Int, Int) => Int): Array[Byte] = {
+    require(a.length == b.length, s"mask length mismatch: ${a.length} vs ${b.length}")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = f(a(i), b(i)).toByte; i += 1 }
+    out
+  }
+
   /** Chebyshev dilation by radius r on a size×size tile bit mask (bit
     * j*size+i, the [[rasterizeMask]] layout): output pixel set iff ANY
     * input pixel lies in the (2r+1)×(2r+1) square around it. Outside-tile

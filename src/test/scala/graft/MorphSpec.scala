@@ -63,6 +63,24 @@ class MorphSpec extends AnyFunSuite {
     assert(K.maskDilate(ero, size, r).toSeq == m.toSeq)
   }
 
+  test("mask set algebra: bit-exact vs per-bit brute; inclusion-exclusion holds") {
+    val size = 16
+    for (seed <- 1L to 5L) {
+      val a = randMask(size, seed, 70)
+      val b = randMask(size, seed + 100, 70)
+      val and = K.maskAnd(a, b); val or = K.maskOr(a, b); val xor = K.maskXor(a, b)
+      for (bit <- 0 until size * size) {
+        assert(get(and, bit) == (get(a, bit) && get(b, bit)))
+        assert(get(or, bit) == (get(a, bit) || get(b, bit)))
+        assert(get(xor, bit) == (get(a, bit) ^ get(b, bit)))
+      }
+      assert(K.maskPopcount(or) == K.maskPopcount(and) + K.maskPopcount(xor))
+      assert(K.maskPopcount(and) + K.maskPopcount(or) ==
+        K.maskPopcount(a) + K.maskPopcount(b))
+    }
+    intercept[IllegalArgumentException](K.maskAnd(new Array[Byte](32), new Array[Byte](8)))
+  }
+
   test("edge cases: r=0 identity, empty mask fixed point, full dilation saturates") {
     val size = 16
     val m = randMask(size, 42L, 60)
