@@ -13,11 +13,15 @@ import org.apache.spark.sql.expressions.Window
  * Exactness argument: every vector x in bucket j satisfies
  * angle(x, c_j) ≤ r_j (the bucket's angular radius), so by the spherical
  * triangle inequality cos(q, x) ≤ cos(max(0, angle(q, c_j) − r_j)) =: bound_j.
- * After probing enough buckets to hold k candidates, any bucket with
- * bound_j < kth_best − ε cannot contain a better match; ε = 1e-3 absorbs
- * the ≤2e-5 difference between the double-precision bound metric and the
- * quantized-integer ranking metric (components ≤ 1, dim 64 ⇒ quantized
- * cosine deviates from exact by < 2·√64·5e-4/1e3·... « ε).
+ * Angles are angles of the NORMALIZED vectors — radii come from
+ * `vec_ivf_cos` (dot/‖x‖ against the unit centroid) and the query angle
+ * divides by ‖q‖; feeding raw dots to acos silently clamps to radius 0
+ * whenever ‖x‖ > 1 and breaks the bound on unnormalized data (caught by
+ * vecfuzz, r5 s11). After probing enough buckets to hold k candidates,
+ * any bucket with bound_j < kth_best − ε cannot contain a better match;
+ * ε = quantEps(dim, minNorm) ≥ the worst-case gap between the
+ * double-precision bound metric and the quantized-integer ranking metric
+ * (derivation at quantEps; slack only ever adds probed buckets).
  *
  * 100 TB shape (r4): nBuckets ~ √n (configurable cap) so pruning power
  * grows with the corpus; centroids train DISTRIBUTED (Lloyd rounds =
@@ -29,7 +33,19 @@ import org.apache.spark.sql.expressions.Window
  */
 object AnnIndex {
 
+  /** Floor of the bound slack between the full-precision geometric bound
+    * and the quantized ranking metric. */
   val EPS = 1e-3
+
+  /** Norm-aware bound slack (vecfuzz r5 s11: unnormalized jitter-1.5
+    * vectors exceeded the former 1e-3 constant). Per-component
+    * quantization is ±5e-4, so with ‖v‖₁ ≤ √dim·‖v‖:
+    * |cos_q − cos| ≤ 5e-4·(‖q‖₁+‖x‖₁)/(‖q‖‖x‖) + |cos|·(norm rel-err)
+    *              ≤ 1e-3·√dim·(1/‖q‖ + 1/‖x‖) ≤ 2e-3·√dim/minNorm.
+    * quantEps doubles that for second-order headroom. Slack only ever
+    * ADDS probed buckets — never drops one — so oversizing is safe. */
+  def quantEps(dim: Int, minNorm: Double): Double =
+    math.max(EPS, 4e-3 * math.sqrt(dim.toDouble) / math.max(minNorm, 1e-12))
 
   // ---------------- centroid plumbing ----------------
 
@@ -182,9 +198,17 @@ object AnnIndex {
       .withColumn("bucket", call_function("vec_ivf_assign", col("embedding"), lit(centBytes)))
       .withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
 
-    val radii = assigned.groupBy("bucket")
-      .agg(min(call_function("vec_ivf_dot", col("embedding"), lit(centBytes), col("bucket"))).as("mincos"))
-      .collect().map(r => r.getInt(0) -> clampAcos(r.getDouble(1))).toMap
+    // radius = max member ANGLE to the (unit) centroid — computed from the
+    // full-precision COSINE (vec_ivf_cos normalizes by ‖x‖; the raw dot is
+    // NOT a cosine for unnormalized embeddings and clamps to radius 0 —
+    // vecfuzz r5 s11). minnrm feeds the norm-aware quantization slack.
+    val radStats = assigned.groupBy("bucket")
+      .agg(min(call_function("vec_ivf_cos", col("embedding"), lit(centBytes), col("bucket"))).as("mincos_n"),
+        min(call_function("vec_norm", col("embedding"))).as("minnrm"))
+      .collect().map(r => r.getInt(0) -> ((clampAcos(r.getDouble(1)), r.getDouble(2)))).toMap
+    val radii = radStats.map { case (b, (r, _)) => b -> r }
+    val eps = quantEps(if (cents.isEmpty) 1 else cents(0).length,
+      radStats.values.map(_._2).foldLeft(Double.MaxValue)(math.min))
 
     // bucket pairs whose angular bound clears tau (both orientations so the
     // a<b id filter never drops a cross-bucket pair)
@@ -198,7 +222,7 @@ object AnnIndex {
         while (k < ci.length) { d += ci(k) * cj(k); k += 1 }
         clampAcos(d)
       }
-      if math.cos(math.max(0.0, theta - radii(i) - radii(j))) >= tau - EPS
+      if math.cos(math.max(0.0, theta - radii(i) - radii(j))) >= tau - eps
       p <- if (i == j) Seq((i, j)) else Seq((i, j), (j, i))
     } yield p
     val bp = broadcast(bucketPairs.toDF("ba", "bb"))
@@ -240,20 +264,25 @@ object AnnIndex {
       .withColumn("bucket", call_function("vec_ivf_assign", col("embedding"), lit(centBytes)))
       .withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
 
-    // bucket stats: row count + angular radius (min cosine to own centroid)
-    val stats = assigned.groupBy("bucket")
+    // bucket stats: row count + angular radius (min full-precision COSINE
+    // to own centroid — see cosineNearDup's note) + min norm for the slack
+    val rows = assigned.groupBy("bucket")
       .agg(count(lit(1)).as("cnt"),
-        min(call_function("vec_ivf_dot", col("embedding"), lit(centBytes), col("bucket"))).as("mincos"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), clampAcos(r.getDouble(2))))).toMap
+        min(call_function("vec_ivf_cos", col("embedding"), lit(centBytes), col("bucket"))).as("mincos_n"),
+        min(call_function("vec_norm", col("embedding"))).as("minnrm"))
+      .collect()
+    val stats = rows.map(r => r.getInt(0) -> ((r.getLong(1), clampAcos(r.getDouble(2))))).toMap
+    val eps = quantEps(if (cents.isEmpty) 1 else cents(0).length,
+      rows.map(_.getDouble(3)).foldLeft(Double.MaxValue)(math.min))
 
-    topKCore(assigned, cents, stats, queryPred, k, maxQueries)
+    topKCore(assigned, cents, stats, queryPred, k, maxQueries, eps)
   }
 
   /** Exact two-round probe over an already-assigned vector set — shared by
     * the ad-hoc path (topK) and the persisted layout (topKIndexed). */
   private def topKCore(assigned: DataFrame, cents: Array[Array[Double]],
                        stats: Map[Int, (Long, Double)], queryPred: Column,
-                       k: Int, maxQueries: Int): DataFrame = {
+                       k: Int, maxQueries: Int, eps: Double): DataFrame = {
     val spark = assigned.sparkSession
 
     // query rows — the collect is bounded so a too-wide queryPred fails
@@ -270,14 +299,20 @@ object AnnIndex {
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
 
-    // per-(query, bucket) upper bound on achievable cosine
-    def bounds(q: Array[Double]): Array[(Int, Double)] =
+    // per-(query, bucket) upper bound on achievable cosine — the query
+    // angle uses the NORMALIZED dot (queries, like members, are arbitrary-
+    // norm vectors; centroids are unit)
+    def bounds(q: Array[Double]): Array[(Int, Double)] = {
+      var s = 0.0; var i0 = 0
+      while (i0 < q.length) { s += q(i0) * q(i0); i0 += 1 }
+      val qn = math.max(math.sqrt(s), 1e-300)
       stats.toArray.map { case (j, (_, r)) =>
         var d = 0.0; var i = 0
         while (i < q.length) { d += q(i) * cents(j)(i); i += 1 }
-        val theta = clampAcos(d)
+        val theta = clampAcos(d / qn)
         j -> math.cos(math.max(0.0, theta - r))
       }.sortBy(-_._2)
+    }
 
     val qBounds = qRows.map { case (id, q) => id -> bounds(q) }.toMap
 
@@ -317,7 +352,7 @@ object AnnIndex {
     // round 2: any unprobed bucket whose bound clears kth − ε
     val finalPairs = qBounds.toSeq.flatMap { case (id, bs) =>
       val probed = round1(id)
-      val cut = kth.getOrElse(id, Double.NegativeInfinity) - EPS
+      val cut = kth.getOrElse(id, Double.NegativeInfinity) - eps
       bs.filter { case (j, b) => probed.contains(j) || b >= cut }.map(p => id -> p._1)
     }
 
@@ -358,9 +393,13 @@ object AnnIndex {
       .withColumn("bucket", call_function("vec_ivf_assign", col("embedding"), lit(centBytes)))
       .withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
     Bucketed.writeBucketed(assigned, vecTable(tag), s"$dir/vectors", "bucket", buckets)
+    // mincos_n (NORMALIZED cosine radius) + minnrm: the column names are
+    // the format version — a stale raw-dot stats file fails the reader's
+    // schema check loudly instead of silently loosening/tightening bounds
     spark.table(vecTable(tag)).groupBy("bucket")
       .agg(count(lit(1)).as("cnt"),
-        min(call_function("vec_ivf_dot", col("embedding"), lit(centBytes), col("bucket"))).as("mincos"))
+        min(call_function("vec_ivf_cos", col("embedding"), lit(centBytes), col("bucket"))).as("mincos_n"),
+        min(call_function("vec_norm", col("embedding"))).as("minnrm"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats.parquet")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -374,8 +413,14 @@ object AnnIndex {
     GraftFunctions.install(spark)
     val centBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/centroids.bin"))
     val cents = unpackCached(centBytes)
-    val stats = spark.read.parquet(s"$dir/stats.parquet")
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), clampAcos(r.getDouble(2))))).toMap
-    topKCore(spark.table(vecTable(tag)), cents, stats, queryPred, k, maxQueries)
+    val statsDf = spark.read.parquet(s"$dir/stats.parquet")
+    require(statsDf.columns.contains("mincos_n") && statsDf.columns.contains("minnrm"),
+      s"$dir/stats.parquet is a pre-normalization index layout (raw-dot radii) — " +
+        "rebuild it with AnnIndex.writeIndex")
+    val rows = statsDf.select("bucket", "cnt", "mincos_n", "minnrm").collect()
+    val stats = rows.map(r => r.getInt(0) -> ((r.getLong(1), clampAcos(r.getDouble(2))))).toMap
+    val eps = quantEps(if (cents.isEmpty) 1 else cents(0).length,
+      rows.map(_.getDouble(3)).foldLeft(Double.MaxValue)(math.min))
+    topKCore(spark.table(vecTable(tag)), cents, stats, queryPred, k, maxQueries, eps)
   }
 }

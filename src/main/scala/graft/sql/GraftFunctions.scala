@@ -232,6 +232,8 @@ object GraftFunctions {
     "vec_cosine" -> (e => VecCosine(e(0), e(1))),
     "vec_ivf_assign" -> (e => VecIvfAssign(e(0), e(1))),
     "vec_ivf_dot" -> (e => VecIvfDot(e(0), e(1), e(2))),
+    "vec_ivf_cos" -> (e => VecIvfCos(e(0), e(1), e(2))),
+    "vec_norm" -> (e => VecNorm(e.head)),
     "vec_pq_encode" -> (e => VecPqEncode(e(0), e(1))),
     "vec_pq_radius" -> (e => VecPqRadius(e(0), e(1), e(2))),
     "vec_pq_adc" -> (e => VecPqAdc(e(0), e(1))),

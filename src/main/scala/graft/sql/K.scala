@@ -275,6 +275,30 @@ object K {
     d
   }
 
+  /** Full-precision COSINE to centroid j (centroids are unit vectors, the
+    * embedding is NOT assumed normalized — vecfuzz r5 s11 caught the raw
+    * dot being fed to acos, which silently clamps to radius 0 whenever
+    * ‖x‖ > 1 and breaks the IVF exactness bound on unnormalized data). */
+  def ivfCos(emb: org.apache.spark.sql.catalyst.util.ArrayData, cents: Array[Byte], j: Int): Double = {
+    val c = graft.join.AnnIndex.unpackCached(cents)(j)
+    var d = 0.0; var s = 0.0; var i = 0
+    val n = math.min(c.length, emb.numElements())
+    while (i < n) {
+      val v = emb.getFloat(i).toDouble
+      d += v * c(i); s += v * v
+      i += 1
+    }
+    d / math.max(math.sqrt(s), 1e-300)
+  }
+
+  /** Full-precision L2 norm of a float vector (for norm-aware bound slack). */
+  def vecNorm(emb: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var s = 0.0; var i = 0
+    val n = emb.numElements()
+    while (i < n) { val v = emb.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
   // ---- binary overlay (§2.3, staged) ----
   // Z/M inputs: the 2D core runs on the stripped view, then
   // ZmOps.populateOverlay restores the attribute streams (r4) — exact at

@@ -306,6 +306,33 @@ case class VecIvfDot(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** vec_ivf_cos(embedding, centroidBlob, bucket) → full-precision cosine to
+  * that (unit) centroid — the radius-stat metric; the embedding is NOT
+  * assumed normalized. */
+case class VecIvfCos(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    graft.sql.K.ivfCos(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.ivfCos($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
+/** vec_norm(embedding) → full-precision L2 norm. */
+case class VecNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = graft.sql.K.vecNorm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.sql.K.vecNorm($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** vec_pq_encode(embedding, codebookBlob) → m PQ code bytes (argmin per
   * subspace in the quantized-integer space; see graft.join.Pq). */
 case class VecPqEncode(left: Expression, right: Expression) extends BinaryExpression

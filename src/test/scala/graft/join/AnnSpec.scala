@@ -102,4 +102,41 @@ class AnnSpec extends AnyFunSuite {
     // at or under the cap it still runs
     assert(AnnIndex.topK(e, col("vec_id") < 8, k = 3, maxQueries = 100).count() == 24)
   }
+
+  test("UNNORMALIZED vectors stay exact (vecfuzz r5 s11 regression: raw-dot radii)") {
+    // the exact failing configuration vecfuzz seed 550211 config#7 found:
+    // jitter-1.5 vectors with norms ≫ 1 made the raw centroid dot clamp to
+    // angular radius 0, pruning the bucket that held query 647's true rank-6
+    // neighbor (245). Pinned verbatim so the normalization can't regress.
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val (n, dim, clusters, jitter, k) = (1483, 8, 18, 1.5f, 7)
+    val local = new scala.util.Random(-2997407156234220200L)
+    val rows = (0L until n.toLong).map { i =>
+      val c = (i % clusters).toInt
+      (i, Array.tabulate(dim)(j =>
+        math.sin((c + 1) * (j + 1) * 0.7).toFloat + (local.nextFloat() - 0.5f) * jitter))
+    }
+    val e = rows.toDF("vec_id", "embedding").cache()
+    val pred = pmod(col("vec_id"), lit(17)) === 1
+
+    val withNorm = e.withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
+    val q = withNorm.where(pred)
+      .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_vec").orderBy(desc("cos"), asc("p_vec"))
+    val brute = withNorm.select(col("vec_id").as("p_vec"), col("embedding"), col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(q))
+      .withColumn("dot_q", call_function("vec_dot_q", col("q_emb"), col("embedding")))
+      .withColumn("cos", col("dot_q") / sqrt(col("q_nrm").cast("double") * col("p_nrm").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("q_vec"), col("p_vec"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val got = AnnIndex.topK(e, pred, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"diff: ${(got diff brute).take(4)} / ${(brute diff got).take(4)}")
+    e.unpersist()
+  }
 }
