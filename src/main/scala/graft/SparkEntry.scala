@@ -3817,8 +3817,79 @@ object SparkEntry {
           call_function("mask_or", col("ma"), col("mb"))).cast("bigint").as("n_or"),
         call_function("mask_popcount",
           call_function("mask_xor", col("ma"), col("mb"))).cast("bigint").as("n_xor"))
+    }),
+
+    // ---------------- BPE tokenizer training (r5 s12) ----------------
+    // Learns the merge table FROM the corpus (the Sennrich byte-pair
+    // loop) — the corpus is scanned once for word counts; every round
+    // then runs over the vocab-bounded word frame with exactly ONE
+    // argmax row collected (the KMeans bounded-driver contract). The
+    // sentinel string-rewrite merge is byte-identical in both engines,
+    // so the oracle replays all 10 rounds exactly (per-round pair-count
+    // CTE → deterministic argmax → recursive leftmost strpos/substr
+    // rewrite). See graft.text.Bpe for the 100 TB cost shape.
+    "q185_bpe_train" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      graft.text.Bpe.trainDf(s, s.read.parquet(s"$dir/documents.parquet"),
+        "text", rounds = 10)
+    }),
+
+    // ---------------- robust volume-anomaly audit (r5 s12) ----------------
+    // Hourly event volumes flagged by the operations-standard robust
+    // z-score (|x − median| > 2.5·1.4826·MAD), computed EXACTLY: the
+    // doubled-median (sum of the ranked middle rows — the q182 machinery)
+    // keeps every intermediate integer, and the 2.5·1.4826 threshold
+    // folds to 1e5·dev2 > 185325·mad4 with dev2 = 2|x−med|, mad4 = 4·MAD.
+    // The windowed ranking partitions by event type over a series whose
+    // length is calendar-bounded (hours of history), not data-bounded.
+    "q186_anomaly" -> ((s, dir) => {
+      val hours = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy("event_type")
+      def med2Of(src: DataFrame, v: String, out: String): DataFrame = src
+        .withColumn("rn", row_number().over(byType.orderBy(col(v).asc, col("h").asc)))
+        .withColumn("m", count(lit(1)).over(byType))
+        .where(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+        .groupBy("event_type").agg(expr(s"sum($v) * 2 div count(1)").as(out))
+      val dev = hours.join(med2Of(hours, "n", "med2"), "event_type")
+        .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+      dev.join(med2Of(dev, "dev2", "mad4"), "event_type")
+        .select(col("event_type"), col("h"), col("n"), col("dev2"), col("mad4"),
+          (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
+    }),
+
+    // ---------------- EWMA volume forecast (r5 s12) ----------------
+    // Exponentially-weighted hourly forecast per event type with α=1/4
+    // over the last 17 hours, EXACT: s_t = (x_t + 3·s_{t-1})/4 unrolls to
+    // u = Σ c_t·x_t with integer weights c_0 = 3^16, c_t = 4^(t-1)·3^(16-t)
+    // (Σ c_t = 4^16), so the forecast is the integer u/2^32 — no float
+    // recurrence, both engines sum the same longs in any order.
+    "q187_ewma" -> ((s, dir) => {
+      val carr = array(ewmaCoefs.map(lit): _*)
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("h").desc)))
+        .where(col("rk") <= 17)
+        .withColumn("tt", lit(17) - col("rk"))
+        .groupBy("event_type")
+        .agg(sum(element_at(carr, col("tt") + 1) * col("n")).as("u"),
+          count(lit(1)).as("n_hours"), max(col("h")).as("h_last"))
+        .where(col("n_hours") === 17)
+        .select(col("event_type"), col("u"),
+          expr("(u * 1000) div 4294967296").as("forecast_milli"), col("h_last"))
     })
   )
+
+  /** q187's integer EWMA weights: c_0 = 3^16, c_t = 4^(t-1)·3^(16-t). */
+  private val ewmaCoefs: IndexedSeq[Long] = {
+    def p(b: Long, e: Int): Long = (1 to e).foldLeft(1L)((acc, _) => acc * b)
+    (0 to 16).map(tt => if (tt == 0) p(3, 16) else p(4, tt - 1) * p(3, 16 - tt))
+  }
 
   /** q93's oracle: KMeans.cluster replayed exactly in SQL — Lloyd with
     * integer-microdegree centroid sums (partition-order-independent, so
@@ -5930,8 +6001,92 @@ object SparkEntry {
            CAST((gxa + gxb - gxab) * gy AS BIGINT) AS n_or,
            CAST((gxa + gxb - 2 * gxab) * gy AS BIGINT) AS n_xor
          FROM n"""
+    },
+
+    "q185_bpe_train" -> bpeOracleSql(10),
+
+    "q186_anomaly" ->
+      """WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             COUNT(*) AS n FROM events GROUP BY 1, 2),
+         r1 AS (SELECT event_type, h, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m FROM hrs),
+         med AS (SELECT event_type, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2
+           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
+         dev AS (SELECT hrs.event_type, h, n, ABS(n * 2 - med2) AS dev2
+           FROM hrs JOIN med ON hrs.event_type = med.event_type),
+         r2 AS (SELECT event_type, h, dev2,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m FROM dev),
+         mad AS (SELECT event_type, CAST(SUM(dev2) * 2 // COUNT(*) AS BIGINT) AS mad4
+           FROM r2 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1)
+         SELECT dev.event_type, CAST(h AS BIGINT) AS h, n, dev2, mad4,
+           dev2 * 100000 > mad4 * 185325 AS anom
+         FROM dev JOIN mad ON dev.event_type = mad.event_type""",
+
+    "q187_ewma" -> {
+      val cases = ewmaCoefs.zipWithIndex
+        .map { case (c, tt) => s"WHEN $tt THEN $c" }.mkString(" ")
+      s"""WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             COUNT(*) AS n FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, h, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC) AS rk
+           FROM hrs),
+         l AS (SELECT event_type, h, n, 17 - rk AS tt FROM r WHERE rk <= 17),
+         u AS (SELECT event_type, SUM((CASE tt $cases END) * n) AS u,
+             COUNT(*) AS nh, MAX(h) AS h_last FROM l GROUP BY 1)
+         SELECT event_type, CAST(u AS BIGINT) AS u,
+           CAST(u * 1000 // 4294967296 AS BIGINT) AS forecast_milli,
+           CAST(h_last AS BIGINT) AS h_last
+         FROM u WHERE nh = 17"""
     }
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
+
+  /** q185's oracle: Bpe.train replayed exactly — unrolled per-round CTEs
+    * (weighted pair counts → deterministic argmax → recursive leftmost
+    * strpos/substr merge). MATERIALIZED is load-bearing: without it DuckDB
+    * inlines each round into the next and re-evaluates the upstream chain
+    * exponentially. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val s = new StringBuilder(
+      """WITH RECURSIVE words AS MATERIALIZED (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(regexp_replace(lower(text),
+          '[^a-z0-9]+', ' ', 'g'), ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY 1),
+      enc0 AS MATERIALIZED (SELECT word, freq,
+        '|' || regexp_replace(word, '(.)', '\1|', 'g') AS enc FROM words)""")
+    (1 to rounds).foreach { r =>
+      val p = r - 1
+      s.append(s""",
+      pairs$r AS MATERIALIZED (
+        SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+        FROM (SELECT string_split(trim(enc, '|'), '|') AS s, freq FROM enc$p),
+             UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2),
+      best$r AS MATERIALIZED (
+        SELECT a, b, cnt FROM pairs$r ORDER BY cnt DESC, a, b LIMIT 1),
+      m$r(word, freq, enc, n) AS (
+        SELECT word, freq, enc, 0 FROM enc$p
+        UNION ALL
+        SELECT word, freq,
+          substr(enc, 1, pos - 1) || '|' || a || b || '|' ||
+            substr(enc, pos + 3 + length(a) + length(b)),
+          n + 1
+        FROM (SELECT m.word, m.freq, m.enc, m.n, b.a, b.b,
+                strpos(m.enc, '|' || b.a || '|' || b.b || '|') AS pos
+              FROM m$r m CROSS JOIN best$r b)
+        WHERE pos > 0),
+      enc$r AS MATERIALIZED (
+        SELECT word, freq, arg_max(enc, n) AS enc FROM m$r GROUP BY 1, 2)""")
+    }
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, a, b, cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s.append("\nSELECT CAST(round AS BIGINT) AS round, a, b," +
+      " CAST(cnt AS BIGINT) AS cnt FROM (" + sel + ")")
+    s.toString
+  }
 }

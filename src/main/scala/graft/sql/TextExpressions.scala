@@ -448,3 +448,21 @@ case class TextNormalize(child: Expression) extends UnaryExpression with Expects
       s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.text.Text.normalize($c.toString()))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** text_bpe_merge(enc, a, b): apply one learned BPE merge to a
+  * sentinel-encoded symbol string (see Text.mergePair / graft.text.Bpe). */
+case class TextBpeMerge(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(e: Any, a: Any, b: Any): Any =
+    UTF8String.fromString(Text.mergePair(e.asInstanceOf[UTF8String].toString,
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, a, b) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.Text.mergePair($e.toString(), $a.toString(), $b.toString()))")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}

@@ -386,4 +386,25 @@ object Text {
     val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     wsP.matcher(nfc.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
   }
+
+  /** Apply one BPE merge (a,b)→ab to a sentinel-encoded symbol string
+    * "|s1|s2|...|": rewrite the LEFTMOST "|a|b|" to "|ab|" until none
+    * remains. Rescan-from-start ≡ the classic greedy left-to-right pass
+    * (a merge never creates an occurrence earlier than the one it
+    * replaced: the changed pairs are (x,ab)/(ab,y) and ab ≠ a, ab ≠ b),
+    * and is exactly the Bpe oracle's recursive strpos/substr rewrite —
+    * both engines produce identical bytes. */
+  def mergePair(enc: String, a: String, b: String): String = {
+    val pat = "|" + a + "|" + b + "|"
+    val rep = "|" + a + b + "|"
+    val sb = new java.lang.StringBuilder(enc)
+    var i = sb.indexOf(pat)
+    while (i >= 0) {
+      sb.replace(i, i + pat.length, rep)
+      // the next leftmost occurrence cannot start before i (see above),
+      // so resuming the scan at i is exact and keeps each pass O(n)
+      i = sb.indexOf(pat, i)
+    }
+    sb.toString
+  }
 }
