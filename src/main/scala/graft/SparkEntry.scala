@@ -3882,6 +3882,56 @@ object SparkEntry {
         .where(col("n_hours") === 17)
         .select(col("event_type"), col("u"),
           expr("(u * 1000) div 4294967296").as("forecast_milli"), col("h_last"))
+    }),
+
+    // ---------------- lead-lag cross-correlation (r5 s12) ----------------
+    // Which event type LEADS which: the integer cross-correlation proxy
+    // Σ_h n_a(h)·n_b(h+lag) for lags −6..+6 h over the hourly volume
+    // series (only co-present hours contribute — an inner equi-join on
+    // the shifted hour). One shuffle join keyed on the hour; the series
+    // is calendar-bounded, the lag fan-out a 13× literal explode.
+    "q188_leadlag" -> ((s, dir) => {
+      val hours = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val a = hours
+        .select(col("event_type").as("ta"), col("h"), col("n").as("na"))
+        .withColumn("lag", explode(expr("sequence(-6, 6)")))
+        .withColumn("hb", col("h") + col("lag"))
+      val b = hours
+        .select(col("event_type").as("tb"), col("h").as("hb"), col("n").as("nb"))
+      a.join(b, Seq("hb")).where(col("ta") =!= col("tb"))
+        .groupBy(col("ta"), col("tb"), col("lag").cast("bigint").as("lag"))
+        .agg(sum(col("na") * col("nb")).as("dot"), count(lit(1)).as("n_hours"))
+    }),
+
+    // ---------------- hot-cell skew audit (r5 s12) ----------------
+    // The salting planner's inputs as a first-class query: per-cell image
+    // counts at level 8, then EXACT integer concentration stats — top-1 /
+    // top-10 share ppm and the Gini coefficient as
+    // Σ(2·rank − m − 1)·n_rank · 1e6 / (m·total) over counts ranked asc.
+    // The ranked pass is CELL-bounded (≤ 4^8 = 65,536 rows at level 8 —
+    // a single-partition window over the aggregate, never the data).
+    "q189_skew_audit" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val cells = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(call_function("st_cellid", col("lon"), col("lat"), lit(8)).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").asc, col("cell").asc)))
+        .withColumn("rkd", row_number().over(Window.orderBy(col("n").desc, col("cell").desc)))
+        .withColumn("m", expr("count(1) OVER ()"))
+        .agg(
+          max("m").as("n_cells"),
+          sum("n").as("total"),
+          sum(when(col("rkd") === 1, col("n"))).as("top1"),
+          sum(when(col("rkd") <= 10, col("n"))).as("top10"),
+          sum((col("rk") * lit(2L) - col("m") - lit(1L)) * col("n")).as("gini_num"))
+        .select(col("n_cells"), col("total"),
+          expr("top1 * 1000000 div total").as("top1_ppm"),
+          expr("top10 * 1000000 div total").as("top10_ppm"),
+          expr("gini_num * 1000000 div (n_cells * total)").as("gini_ppm"))
     })
   )
 
@@ -6039,6 +6089,36 @@ object SparkEntry {
            CAST(u * 1000 // 4294967296 AS BIGINT) AS forecast_milli,
            CAST(h_last AS BIGINT) AS h_last
          FROM u WHERE nh = 17"""
+    },
+
+    "q188_leadlag" ->
+      """WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             COUNT(*) AS n FROM events GROUP BY 1, 2),
+         al AS (SELECT event_type AS ta, h, n AS na, l AS lag
+           FROM hrs, UNNEST(generate_series(-6, 6)) AS u(l))
+         SELECT ta, b.event_type AS tb, CAST(lag AS BIGINT) AS lag,
+           CAST(SUM(na * b.n) AS BIGINT) AS dot, COUNT(*) AS n_hours
+         FROM al JOIN hrs b ON al.h + al.lag = b.h AND al.ta <> b.event_type
+         GROUP BY 1, 2, 3""",
+
+    "q189_skew_audit" -> {
+      val cell = graft.cell.Cells.mortonSqlExpr("lon", "lat", 8)
+      s"""WITH cells AS (SELECT $cell AS cell, COUNT(*) AS n FROM $IMG GROUP BY 1),
+         r AS (SELECT cell, n,
+             ROW_NUMBER() OVER (ORDER BY n ASC, cell ASC) AS rk,
+             ROW_NUMBER() OVER (ORDER BY n DESC, cell DESC) AS rkd,
+             COUNT(*) OVER () AS m
+           FROM cells),
+         agg AS (SELECT MAX(m) AS n_cells, SUM(n) AS total,
+             SUM(CASE WHEN rkd = 1 THEN n END) AS top1,
+             SUM(CASE WHEN rkd <= 10 THEN n END) AS top10,
+             SUM((rk * 2 - m - 1) * n) AS gini_num
+           FROM r)
+         SELECT CAST(n_cells AS BIGINT) AS n_cells, CAST(total AS BIGINT) AS total,
+           CAST(top1 * 1000000 // total AS BIGINT) AS top1_ppm,
+           CAST(top10 * 1000000 // total AS BIGINT) AS top10_ppm,
+           CAST(gini_num * 1000000 // (n_cells * total) AS BIGINT) AS gini_ppm
+         FROM agg"""
     }
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
