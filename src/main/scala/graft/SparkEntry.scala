@@ -3932,6 +3932,18 @@ object SparkEntry {
           expr("top1 * 1000000 div total").as("top1_ppm"),
           expr("top10 * 1000000 div total").as("top10_ppm"),
           expr("gini_num * 1000000 div (n_cells * total)").as("gini_ppm"))
+    }),
+
+    // ---------------- learned-BPE corpus tokenization (r5 s12) ----------------
+    // The train→apply composition: learn 10 merges (q185's loop), then
+    // budget every document under the learned vocabulary — the merges
+    // fold into one codegen'd projection over the DISTINCT-word frame
+    // (10 chained text_bpe_merge calls), docs join word→count once.
+    "q190_bpe_tokenize" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.text.Bpe.train(docs, "text", rounds = 10)
+      graft.text.Bpe.tokenize(docs, "doc_id", "text", merges)
     })
   )
 
@@ -6119,7 +6131,9 @@ object SparkEntry {
            CAST(top10 * 1000000 // total AS BIGINT) AS top10_ppm,
            CAST(gini_num * 1000000 // (n_cells * total) AS BIGINT) AS gini_ppm
          FROM agg"""
-    }
+    },
+
+    "q190_bpe_tokenize" -> bpeTokenizeOracleSql(10)
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
@@ -6130,6 +6144,31 @@ object SparkEntry {
     * inlines each round into the next and re-evaluates the upstream chain
     * exponentially. */
   private def bpeOracleSql(rounds: Int): String = {
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, a, b, cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    bpeCtes(rounds) +
+      "\nSELECT CAST(round AS BIGINT) AS round, a, b," +
+      " CAST(cnt AS BIGINT) AS cnt FROM (" + sel + ")"
+  }
+
+  /** q190's oracle: the same learned chain, then corpus token counts
+    * under the final encoding (sentinels − 1 per word, summed per doc). */
+  private def bpeTokenizeOracleSql(rounds: Int): String = {
+    bpeCtes(rounds) + s""",
+      wt AS (SELECT word,
+          length(enc) - length(replace(enc, '|', '')) - 1 AS n_tok
+        FROM enc$rounds),
+      dw AS (SELECT doc_id, t AS word
+        FROM (SELECT doc_id, unnest(string_split(regexp_replace(lower(text),
+          '[^a-z0-9]+', ' ', 'g'), ' ')) AS t FROM documents)
+        WHERE t <> '')
+      SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM dw JOIN wt USING (word) GROUP BY 1"""
+  }
+
+  /** Shared CTE chain for q185/q190 (see bpeOracleSql notes). */
+  private def bpeCtes(rounds: Int): String = {
     val s = new StringBuilder(
       """WITH RECURSIVE words AS MATERIALIZED (
         SELECT t AS word, COUNT(*) AS freq
@@ -6162,11 +6201,6 @@ object SparkEntry {
       enc$r AS MATERIALIZED (
         SELECT word, freq, arg_max(enc, n) AS enc FROM m$r GROUP BY 1, 2)""")
     }
-    val sel = (1 to rounds)
-      .map(r => s"SELECT $r AS round, a, b, cnt FROM best$r")
-      .mkString("\nUNION ALL\n")
-    s.append("\nSELECT CAST(round AS BIGINT) AS round, a, b," +
-      " CAST(cnt AS BIGINT) AS cnt FROM (" + sel + ")")
     s.toString
   }
 }

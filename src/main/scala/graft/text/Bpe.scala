@@ -90,4 +90,29 @@ object Bpe {
       .map(m => (m.round.toLong, m.a, m.b, m.cnt))
       .toDF("round", "a", "b", "cnt")
   }
+
+  /** Tokenize the corpus under a learned merge table: per doc, the token
+    * count after applying every merge in order (the train→apply
+    * composition a data pipeline runs to budget sequences). The merges
+    * fold into ONE projection over the distinct-word frame (rounds chained
+    * `text_bpe_merge` calls — still a single codegen'd stage); docs then
+    * join word→token-count once. Token count of an encoded word is its
+    * sentinel count − 1. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[Merge]): DataFrame = {
+    val docWords = docs
+      .select(col(idCol).as("doc_id"), explode(split(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " ")).as("word"))
+      .where(col("word") =!= "")
+    val encAll = merges.foldLeft[org.apache.spark.sql.Column](
+      concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|"))) {
+      (e, m) => call_function("text_bpe_merge", e, lit(m.a), lit(m.b))
+    }
+    val wordTokens = docWords.select("word").distinct()
+      .withColumn("n_tok",
+        (length(encAll) - length(translate(encAll, "|", "")) - 1).cast("long"))
+    docWords.join(wordTokens, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+  }
 }

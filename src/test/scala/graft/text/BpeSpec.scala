@@ -85,6 +85,39 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("tokenize matches a per-word reference application of the merges") {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.install(spark)
+    import spark.implicits._
+    val docs = Seq(
+      "the cat sat on the mat", "aaa aaab abab table stable tablet",
+      "low lower lowest low low", "banana bandana ban").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", rounds = 8)
+    val got = Bpe.tokenize(df, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // reference: apply each merge greedily to every word's symbol list
+    def applyMerges(word: String): Int = {
+      var syms = word.map(_.toString).toList
+      merges.foreach { m =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.a && syms(i + 1) == m.b) {
+            out += m.a + m.b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ")
+      assert(got(id) == (ws.length.toLong, ws.map(applyMerges).sum.toLong))
+    }
+  }
+
   test("train stops early when every word fuses to one symbol") {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.install(spark)
