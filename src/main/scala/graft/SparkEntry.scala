@@ -97,6 +97,35 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Hourly event volumes on a ZERO-FILLED calendar spine: one row per
+    * (event_type, hour) over the table's [min, max] hour range, absent
+    * hours n = 0 — so silence is a row (q186 flags outages) and lag/
+    * window arithmetic spans real calendar hours (q187/q188). Spine size
+    * = types × calendar hours: bounded by history, not data volume. */
+  private def hourlySpine(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    ev.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(expr("sequence(h0, h1)")).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+
+  /** Spine CTEs for the q186/q187/q188 oracles (mirrors hourlySpine). */
+  private val HRS_SPINE_SQL =
+    """hrs0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         COUNT(*) AS n FROM events GROUP BY 1, 2),
+       bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs0),
+       spine AS (SELECT et.event_type, g.h
+         FROM (SELECT DISTINCT event_type FROM events) et, bounds,
+              UNNEST(generate_series(bounds.h0, bounds.h1)) AS g(h)),
+       hrs AS (SELECT sp.event_type, sp.h, COALESCE(h0.n, 0) AS n
+         FROM spine sp LEFT JOIN hrs0 h0
+           ON sp.event_type = h0.event_type AND sp.h = h0.h)"""
+
   private def cents(c: org.apache.spark.sql.Column) =
     sum(floor(c * lit(100) + lit(0.5)).cast("bigint"))
 
@@ -3840,13 +3869,12 @@ object SparkEntry {
     // doubled-median (sum of the ranked middle rows — the q182 machinery)
     // keeps every intermediate integer, and the 2.5·1.4826 threshold
     // folds to 1e5·dev2 > 185325·mad4 with dev2 = 2|x−med|, mad4 = 4·MAD.
-    // The windowed ranking partitions by event type over a series whose
-    // length is calendar-bounded (hours of history), not data-bounded.
+    // Runs over the ZERO-FILLED spine (hourlySpine) so total silence —
+    // the outage an ops audit exists to catch — is a flaggable row, not
+    // a missing one (review s12). The windowed ranking partitions by
+    // event type over a series that is calendar-bounded, not data-bounded.
     "q186_anomaly" -> ((s, dir) => {
-      val hours = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-        .agg(count(lit(1)).as("n"))
+      val hours = hourlySpine(s, dir)
       val byType = Window.partitionBy("event_type")
       def med2Of(src: DataFrame, v: String, out: String): DataFrame = src
         .withColumn("rn", row_number().over(byType.orderBy(col(v).asc, col("h").asc)))
@@ -3862,39 +3890,35 @@ object SparkEntry {
 
     // ---------------- EWMA volume forecast (r5 s12) ----------------
     // Exponentially-weighted hourly forecast per event type with α=1/4
-    // over the last 17 hours, EXACT: s_t = (x_t + 3·s_{t-1})/4 unrolls to
-    // u = Σ c_t·x_t with integer weights c_0 = 3^16, c_t = 4^(t-1)·3^(16-t)
-    // (Σ c_t = 4^16), so the forecast is the integer u/2^32 — no float
-    // recurrence, both engines sum the same longs in any order.
+    // over the last 17 CALENDAR hours (zero-filled spine — a silent hour
+    // decays the forecast instead of stretching the window; review s12),
+    // EXACT: s_t = (x_t + 3·s_{t-1})/4 unrolls to u = Σ c_t·x_t with
+    // integer weights c_0 = 3^16, c_t = 4^(t-1)·3^(16-t) (Σ c_t = 4^16),
+    // so the forecast is the integer u/2^32 — no float recurrence. The
+    // milli scaling splits u before multiplying (q div + r·1000 div) so
+    // it cannot overflow a long at any volume (review s12).
     "q187_ewma" -> ((s, dir) => {
       val carr = array(ewmaCoefs.map(lit): _*)
-      t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("h").desc)))
-        .where(col("rk") <= 17)
-        .withColumn("tt", lit(17) - col("rk"))
+      val spine = hourlySpine(s, dir)
+      spine.crossJoin(broadcast(spine.agg(max("h").as("h1"))))
+        .where(col("h") >= col("h1") - 16)
+        .withColumn("tt", (col("h") - (col("h1") - 16)).cast("int"))
         .groupBy("event_type")
         .agg(sum(element_at(carr, col("tt") + 1) * col("n")).as("u"),
-          count(lit(1)).as("n_hours"), max(col("h")).as("h_last"))
-        .where(col("n_hours") === 17)
+          max(col("h")).as("h_last"))
         .select(col("event_type"), col("u"),
-          expr("(u * 1000) div 4294967296").as("forecast_milli"), col("h_last"))
+          expr("(u div 4294967296) * 1000 + ((u % 4294967296) * 1000) div 4294967296")
+            .as("forecast_milli"), col("h_last"))
     }),
 
     // ---------------- lead-lag cross-correlation (r5 s12) ----------------
     // Which event type LEADS which: the integer cross-correlation proxy
-    // Σ_h n_a(h)·n_b(h+lag) for lags −6..+6 h over the hourly volume
-    // series (only co-present hours contribute — an inner equi-join on
-    // the shifted hour). One shuffle join keyed on the hour; the series
-    // is calendar-bounded, the lag fan-out a 13× literal explode.
+    // Σ_h n_a(h)·n_b(h+lag) for lags −6..+6 h over the zero-filled hourly
+    // volume series (silent hours contribute 0; n_hours is the spine
+    // overlap). One shuffle join keyed on the hour; the series is
+    // calendar-bounded, the lag fan-out a 13× literal explode.
     "q188_leadlag" -> ((s, dir) => {
-      val hours = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-        .agg(count(lit(1)).as("n"))
+      val hours = hourlySpine(s, dir)
       val a = hours
         .select(col("event_type").as("ta"), col("h"), col("n").as("na"))
         .withColumn("lag", explode(expr("sequence(-6, 6)")))
@@ -3929,9 +3953,9 @@ object SparkEntry {
           sum(when(col("rkd") <= 10, col("n"))).as("top10"),
           sum((col("rk") * lit(2L) - col("m") - lit(1L)) * col("n")).as("gini_num"))
         .select(col("n_cells"), col("total"),
-          expr("top1 * 1000000 div total").as("top1_ppm"),
-          expr("top10 * 1000000 div total").as("top10_ppm"),
-          expr("gini_num * 1000000 div (n_cells * total)").as("gini_ppm"))
+          expr(ppmDivSql("top1", "total")).as("top1_ppm"),
+          expr(ppmDivSql("top10", "total")).as("top10_ppm"),
+          expr(ppmDivSql("gini_num", "(n_cells * total)")).as("gini_ppm"))
     }),
 
     // ---------------- learned-BPE corpus tokenization (r5 s12) ----------------
@@ -3946,6 +3970,20 @@ object SparkEntry {
       graft.text.Bpe.tokenize(docs, "doc_id", "text", merges)
     })
   )
+
+  /** Exact floor(x·1e6/den) in pure longs for x ≤ den: base-100 long
+    * division in three steps, so no intermediate exceeds den·100 — safe
+    * while den ≤ 9.2e16 (q189: 65,536 cells × 1.4e12 rows), where the
+    * naive x*1000000 wraps at x > 9.2e12 while the DuckDB oracle's
+    * HUGEINT stays exact (review s12). */
+  private def ppmDivSql(x: String, den: String): String = {
+    val a1 = s"(($x * 100) div $den)"
+    val r1 = s"(($x * 100) % $den)"
+    val a2 = s"(($r1 * 100) div $den)"
+    val r2 = s"(($r1 * 100) % $den)"
+    val a3 = s"(($r2 * 100) div $den)"
+    s"($a1 * 10000 + $a2 * 100 + $a3)"
+  }
 
   /** q187's integer EWMA weights: c_0 = 3^16, c_t = 4^(t-1)·3^(16-t). */
   private val ewmaCoefs: IndexedSeq[Long] = {
@@ -6068,8 +6106,7 @@ object SparkEntry {
     "q185_bpe_train" -> bpeOracleSql(10),
 
     "q186_anomaly" ->
-      """WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
-             COUNT(*) AS n FROM events GROUP BY 1, 2),
+      s"""WITH $HRS_SPINE_SQL,
          r1 AS (SELECT event_type, h, n,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, h) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS m FROM hrs),
@@ -6089,23 +6126,19 @@ object SparkEntry {
     "q187_ewma" -> {
       val cases = ewmaCoefs.zipWithIndex
         .map { case (c, tt) => s"WHEN $tt THEN $c" }.mkString(" ")
-      s"""WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
-             COUNT(*) AS n FROM events GROUP BY 1, 2),
-         r AS (SELECT event_type, h, n,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC) AS rk
-           FROM hrs),
-         l AS (SELECT event_type, h, n, 17 - rk AS tt FROM r WHERE rk <= 17),
+      s"""WITH $HRS_SPINE_SQL,
+         l AS (SELECT event_type, h, n, h - (h1 - 16) AS tt
+           FROM hrs, bounds WHERE h >= h1 - 16),
          u AS (SELECT event_type, SUM((CASE tt $cases END) * n) AS u,
-             COUNT(*) AS nh, MAX(h) AS h_last FROM l GROUP BY 1)
+             MAX(h) AS h_last FROM l GROUP BY 1)
          SELECT event_type, CAST(u AS BIGINT) AS u,
            CAST(u * 1000 // 4294967296 AS BIGINT) AS forecast_milli,
            CAST(h_last AS BIGINT) AS h_last
-         FROM u WHERE nh = 17"""
+         FROM u"""
     },
 
     "q188_leadlag" ->
-      """WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
-             COUNT(*) AS n FROM events GROUP BY 1, 2),
+      s"""WITH $HRS_SPINE_SQL,
          al AS (SELECT event_type AS ta, h, n AS na, l AS lag
            FROM hrs, UNNEST(generate_series(-6, 6)) AS u(l))
          SELECT ta, b.event_type AS tb, CAST(lag AS BIGINT) AS lag,

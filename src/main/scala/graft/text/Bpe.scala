@@ -40,17 +40,27 @@ object Bpe {
 
   final case class Merge(round: Int, a: String, b: String, cnt: Long)
 
+  /** (doc_id, word) rows: [a-z0-9]+ tokenization (the q80 corpus
+    * convention) — the ONE definition train and tokenize share; the
+    * oracle CTEs mirror it character-for-character. */
+  private def docWords(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(split(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " ")).as("word"))
+      .where(col("word") =!= "")
+
+  /** Sentinel seed encoding of `word`: "|c1|c2|...|". */
+  private def sentinelEnc: org.apache.spark.sql.Column =
+    concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|"))
+
   /** Learn `rounds` merges from `docs(textCol)`; [a-z0-9]+ word
     * tokenization (the q80 corpus convention). */
   def train(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1 && rounds <= 4096, s"rounds=$rounds out of [1,4096]")
-    val words = docs
-      .select(explode(split(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " ")).as("word"))
-      .where(col("word") =!= "")
+    val idCol = docs.columns.head // any column works: only words are kept
+    val words = docWords(docs, idCol, textCol)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var enc = words
-      .withColumn("enc", concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")))
+      .withColumn("enc", sentinelEnc)
       .select("freq", "enc")
       .localCheckpoint(true) // vocab-bounded; cuts corpus lineage
     val merges = Seq.newBuilder[Merge]
@@ -100,18 +110,14 @@ object Bpe {
     * sentinel count − 1. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[Merge]): DataFrame = {
-    val docWords = docs
-      .select(col(idCol).as("doc_id"), explode(split(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " ")).as("word"))
-      .where(col("word") =!= "")
-    val encAll = merges.foldLeft[org.apache.spark.sql.Column](
-      concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|"))) {
+    val dw = docWords(docs, idCol, textCol)
+    val encAll = merges.foldLeft[org.apache.spark.sql.Column](sentinelEnc) {
       (e, m) => call_function("text_bpe_merge", e, lit(m.a), lit(m.b))
     }
-    val wordTokens = docWords.select("word").distinct()
+    val wordTokens = dw.select("word").distinct()
       .withColumn("n_tok",
         (length(encAll) - length(translate(encAll, "|", "")) - 1).cast("long"))
-    docWords.join(wordTokens, "word")
+    dw.join(wordTokens, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
   }
