@@ -3958,6 +3958,51 @@ object SparkEntry {
           expr(ppmDivSql("gini_num", "(n_cells * total)")).as("gini_ppm"))
     }),
 
+    // ---------------- spatial hard-negative mining (r5 s12) ----------------
+    // Contrastive-training data prep: for each image, the most confusable
+    // OTHER caption among spatially co-located images — candidates pair
+    // through (cell, caption-token) posting lists with a df≤64 bucket cap
+    // (frequent tokens never pair: the q20 df-cap shape, so candidate
+    // count is Σ_bucket df² with df bounded — never all-pairs-per-cell),
+    // then an exact integer token-Jaccard refine picks the top-1 hardest
+    // negative per image (jac_ppm desc, neighbor id asc).
+    "q191_hard_negatives" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val toks = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id"),
+          call_function("st_cellid", col("lon"), col("lat"), lit(8)).as("cell"),
+          explode(array_distinct(split(
+            regexp_replace(lower(col("caption")), "[^a-z0-9]+", " "), " "))).as("tok"))
+        .where(col("tok") =!= "")
+      val cards = toks.groupBy("image_id").agg(count(lit(1)).as("card"))
+      val post = toks.join(
+        toks.groupBy("cell", "tok").agg(count(lit(1)).as("df")).where(col("df") <= 64),
+        Seq("cell", "tok"))
+      val cand = post.as("x").join(post.as("y"),
+          col("x.cell") === col("y.cell") && col("x.tok") === col("y.tok") &&
+            col("x.image_id") < col("y.image_id"))
+        .select(col("x.image_id").as("ia"), col("y.image_id").as("ib"))
+        .distinct()
+      val inter = cand
+        .join(toks.select(col("image_id").as("ia"), col("tok")), "ia")
+        .join(toks.select(col("image_id").as("ib"), col("tok")), Seq("ib", "tok"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      val scored = inter
+        .join(cards.select(col("image_id").as("ia"), col("card").as("ca")), "ia")
+        .join(cards.select(col("image_id").as("ib"), col("card").as("cb")), "ib")
+        .withColumn("uni", col("ca") + col("cb") - col("inter"))
+        .where(col("inter") < col("uni")) // identical token sets are not negatives
+      val both = scored.select(col("ia").as("image_id"), col("ib").as("neg_id"),
+          col("inter"), col("uni"))
+        .unionAll(scored.select(col("ib").as("image_id"), col("ia").as("neg_id"),
+          col("inter"), col("uni")))
+        .withColumn("jac_ppm", expr("inter * 1000000 div uni"))
+      both.withColumn("rn", row_number().over(Window.partitionBy("image_id")
+          .orderBy(col("jac_ppm").desc, col("neg_id").asc)))
+        .where(col("rn") === 1)
+        .select(col("image_id"), col("neg_id"), col("inter"), col("uni"), col("jac_ppm"))
+    }),
+
     // ---------------- learned-BPE corpus tokenization (r5 s12) ----------------
     // The train→apply composition: learn 10 merges (q185's loop), then
     // budget every document under the learned vocabulary — the merges
@@ -6166,7 +6211,46 @@ object SparkEntry {
          FROM agg"""
     },
 
-    "q190_bpe_tokenize" -> bpeTokenizeOracleSql(10)
+    "q190_bpe_tokenize" -> bpeTokenizeOracleSql(10),
+
+    "q191_hard_negatives" -> {
+      val cell = graft.cell.Cells.mortonSqlExpr("lon", "lat", 8)
+      s"""WITH toks AS MATERIALIZED (
+           SELECT DISTINCT image_id, $cell AS cell, t AS tok
+           FROM (SELECT image_id, lon, lat, unnest(string_split(
+             regexp_replace(lower(caption), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t
+             FROM $IMG)
+           WHERE t <> ''),
+         cards AS MATERIALIZED (SELECT image_id, COUNT(*) AS card FROM toks GROUP BY 1),
+         capped AS MATERIALIZED (SELECT cell, tok FROM toks GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+         post AS MATERIALIZED (SELECT t.image_id, t.cell, t.tok
+           FROM toks t JOIN capped c ON t.cell = c.cell AND t.tok = c.tok),
+         cand AS MATERIALIZED (SELECT DISTINCT x.image_id AS ia, y.image_id AS ib
+           FROM post x JOIN post y
+             ON x.cell = y.cell AND x.tok = y.tok AND x.image_id < y.image_id),
+         inter AS MATERIALIZED (SELECT c.ia, c.ib, COUNT(*) AS inter
+           FROM cand c
+           JOIN toks a ON a.image_id = c.ia
+           JOIN toks b ON b.image_id = c.ib AND b.tok = a.tok
+           GROUP BY 1, 2),
+         scored AS MATERIALIZED (SELECT i.ia, i.ib, i.inter,
+             ca.card + cb.card - i.inter AS uni
+           FROM inter i
+           JOIN cards ca ON ca.image_id = i.ia
+           JOIN cards cb ON cb.image_id = i.ib
+           WHERE i.inter < ca.card + cb.card - i.inter),
+         sym AS MATERIALIZED (
+           SELECT ia AS image_id, ib AS neg_id, inter, uni FROM scored
+           UNION ALL
+           SELECT ib AS image_id, ia AS neg_id, inter, uni FROM scored),
+         ranked AS (SELECT image_id, neg_id, inter, uni,
+             inter * 1000000 // uni AS jac_ppm,
+             ROW_NUMBER() OVER (PARTITION BY image_id
+               ORDER BY inter * 1000000 // uni DESC, neg_id ASC) AS rn
+           FROM sym)
+         SELECT image_id, neg_id, inter, uni, CAST(jac_ppm AS BIGINT) AS jac_ppm
+         FROM ranked WHERE rn = 1"""
+    }
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -127,6 +127,42 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.map(m => (m.a, m.b, m.cnt)) == Seq(("a", "b", 4L)))
   }
 
+  test("mergePair fuzz: string rewrite tracks the symbol-list reference through chained merges") {
+    var st = 0x5eedL
+    def next(n: Int): Int = {
+      st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+      ((st >>> 11) % n).toInt
+    }
+    def listMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    (1 to 4000).foreach { _ =>
+      // run-heavy alphabet {a,b,c} words up to 14 chars
+      val word = (0 until (1 + next(14))).map(_ => ('a' + next(3)).toChar).mkString
+      var syms = word.map(_.toString).toList
+      var enc = "|" + word.map(c => s"$c|").mkString
+      (1 to 5).foreach { _ =>
+        if (syms.length >= 2) {
+          // pick a RANDOM adjacent pair actually present (so merges chain
+          // into multi-char symbols and can collide with runs)
+          val k = next(syms.length - 1)
+          val (a, b) = (syms(k), syms(k + 1))
+          syms = listMerge(syms, a, b)
+          enc = Text.mergePair(enc, a, b)
+          assert(enc == "|" + syms.map(x => s"$x|").mkString,
+            s"word=$word merge=($a,$b)")
+        }
+      }
+    }
+  }
+
   test("ewma weights: the integer closed form equals the s_t recurrence") {
     // mirrors SparkEntry.ewmaCoefs (q187): c_0 = 3^16, c_t = 4^(t-1)*3^(16-t)
     def p(b: Long, e: Int): Long = (1 to e).foldLeft(1L)((acc, _) => acc * b)
