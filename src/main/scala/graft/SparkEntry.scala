@@ -3958,6 +3958,26 @@ object SparkEntry {
           expr(ppmDivSql("gini_num", "(n_cells * total)")).as("gini_ppm"))
     }),
 
+    // ---------------- tonal diversity (r5 s12) ----------------
+    // Gini–Simpson index over the 16-bin luma histogram — the
+    // integer-exact diversity measure (1 − Σp², no logs): flat/clipped
+    // exposures score low, well-spread tonal ranges high. The engine
+    // recomputes the histogram kernel per image; the oracle derives the
+    // identical value from the recompute-pinned img_expo fixture (the
+    // q167 consistency contract). ssq·1e6 stays in a long for npx ≤ 3e6
+    // pixels (fixture images are 2048 px).
+    "q192_tonal_diversity" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgExpo(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("hist", call_function("img_luma_hist16",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("ssq", expr("aggregate(hist, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("npx", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .select(col("image_id"), col("fmt"), col("npx"), col("ssq"),
+          expr("1000000 - (ssq * 1000000) div (npx * npx)").as("simpson_ppm"))
+    }),
+
     // ---------------- spatial hard-negative mining (r5 s12) ----------------
     // Contrastive-training data prep: for each image, the most confusable
     // OTHER caption among spatially co-located images — candidates pair
@@ -6212,6 +6232,16 @@ object SparkEntry {
     },
 
     "q190_bpe_tokenize" -> bpeTokenizeOracleSql(10),
+
+    "q192_tonal_diversity" ->
+      s"""WITH px AS (SELECT image_id, SUM(CAST(v AS BIGINT) * v) AS ssq,
+             SUM(v) AS npx
+           FROM (SELECT image_id, unnest(hist) AS v FROM $IMGX) GROUP BY 1)
+         SELECT i.image_id, i.fmt, CAST(px.npx AS BIGINT) AS npx,
+           CAST(px.ssq AS BIGINT) AS ssq,
+           CAST(1000000 - (px.ssq * 1000000) // (px.npx * px.npx) AS BIGINT)
+             AS simpson_ppm
+         FROM px JOIN $IMG i ON px.image_id = i.image_id""",
 
     "q191_hard_negatives" -> {
       val cell = graft.cell.Cells.mortonSqlExpr("lon", "lat", 8)
