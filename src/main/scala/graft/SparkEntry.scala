@@ -4012,10 +4012,13 @@ object SparkEntry {
         .join(cards.select(col("image_id").as("ib"), col("card").as("cb")), "ib")
         .withColumn("uni", col("ca") + col("cb") - col("inter"))
         .where(col("inter") < col("uni")) // identical token sets are not negatives
-      val both = scored.select(col("ia").as("image_id"), col("ib").as("neg_id"),
+      // one evaluation of `scored`: explode both directions instead of a
+      // unionAll (which would duplicate the whole candidate-join subtree)
+      val both = scored.select(explode(array(
+          struct(col("ia").as("image_id"), col("ib").as("neg_id")),
+          struct(col("ib").as("image_id"), col("ia").as("neg_id")))).as("p"),
           col("inter"), col("uni"))
-        .unionAll(scored.select(col("ib").as("image_id"), col("ia").as("neg_id"),
-          col("inter"), col("uni")))
+        .select(col("p.image_id"), col("p.neg_id"), col("inter"), col("uni"))
         .withColumn("jac_ppm", expr("inter * 1000000 div uni"))
       both.withColumn("rn", row_number().over(Window.partitionBy("image_id")
           .orderBy(col("jac_ppm").desc, col("neg_id").asc)))
