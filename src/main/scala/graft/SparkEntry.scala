@@ -114,6 +114,42 @@ object SparkEntry {
       .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("n"))
   }
 
+  /** q186/q193's exact robust z-score over an (event_type, h, n) series:
+    * doubled-median + 4·MAD via ranked middle rows; |x − med| >
+    * 2.5·1.4826·MAD folded to the integer 1e5·dev2 > 185325·mad4. */
+  private def robustAnomaly(hours: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    def med2Of(src: DataFrame, v: String, out: String): DataFrame = src
+      .withColumn("rn", row_number().over(byType.orderBy(col(v).asc, col("h").asc)))
+      .withColumn("m", count(lit(1)).over(byType))
+      .where(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+      .groupBy("event_type").agg(expr(s"sum($v) * 2 div count(1)").as(out))
+    val dev = hours.join(med2Of(hours, "n", "med2"), "event_type")
+      .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+    dev.join(med2Of(dev, "dev2", "mad4"), "event_type")
+      .select(col("event_type"), col("h"), col("n"), col("dev2"), col("mad4"),
+        (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
+  }
+
+  /** q186/q193's shared oracle (robustAnomaly replayed over the spine). */
+  private lazy val ANOM_ORACLE_SQL =
+    s"""WITH $HRS_SPINE_SQL,
+       r1 AS (SELECT event_type, h, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, h) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m FROM hrs),
+       med AS (SELECT event_type, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2
+         FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
+       dev AS (SELECT hrs.event_type, h, n, ABS(n * 2 - med2) AS dev2
+         FROM hrs JOIN med ON hrs.event_type = med.event_type),
+       r2 AS (SELECT event_type, h, dev2,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, h) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m FROM dev),
+       mad AS (SELECT event_type, CAST(SUM(dev2) * 2 // COUNT(*) AS BIGINT) AS mad4
+         FROM r2 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1)
+       SELECT dev.event_type, CAST(h AS BIGINT) AS h, n, dev2, mad4,
+         dev2 * 100000 > mad4 * 185325 AS anom
+       FROM dev JOIN mad ON dev.event_type = mad.event_type"""
+
   /** Spine CTEs for the q186/q187/q188 oracles (mirrors hourlySpine). */
   private val HRS_SPINE_SQL =
     """hrs0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
@@ -3873,20 +3909,7 @@ object SparkEntry {
     // the outage an ops audit exists to catch — is a flaggable row, not
     // a missing one (review s12). The windowed ranking partitions by
     // event type over a series that is calendar-bounded, not data-bounded.
-    "q186_anomaly" -> ((s, dir) => {
-      val hours = hourlySpine(s, dir)
-      val byType = Window.partitionBy("event_type")
-      def med2Of(src: DataFrame, v: String, out: String): DataFrame = src
-        .withColumn("rn", row_number().over(byType.orderBy(col(v).asc, col("h").asc)))
-        .withColumn("m", count(lit(1)).over(byType))
-        .where(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
-        .groupBy("event_type").agg(expr(s"sum($v) * 2 div count(1)").as(out))
-      val dev = hours.join(med2Of(hours, "n", "med2"), "event_type")
-        .withColumn("dev2", abs(col("n") * 2 - col("med2")))
-      dev.join(med2Of(dev, "dev2", "mad4"), "event_type")
-        .select(col("event_type"), col("h"), col("n"), col("dev2"), col("mad4"),
-          (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
-    }),
+    "q186_anomaly" -> ((s, dir) => robustAnomaly(hourlySpine(s, dir))),
 
     // ---------------- EWMA volume forecast (r5 s12) ----------------
     // Exponentially-weighted hourly forecast per event type with α=1/4
@@ -3956,6 +3979,32 @@ object SparkEntry {
           expr(ppmDivSql("top1", "total")).as("top1_ppm"),
           expr(ppmDivSql("top10", "total")).as("top10_ppm"),
           expr(ppmDivSql("gini_num", "(n_cells * total)")).as("gini_ppm"))
+    }),
+
+    // ---------------- streaming anomaly audit (r5 s12) ----------------
+    // q186's robust z-score fed by a Structured Streaming Complete-mode
+    // hourly aggregation: the stateful hour×type counts accumulate across
+    // micro-batches through the state store, then the exact median/MAD
+    // flagging runs as the batch post-pass over the final emission. The
+    // zero-filled spine is rebuilt from the STREAMED counts' [min, max],
+    // so the result equals q186 exactly (same oracle) — batch-boundary
+    // independence of the whole anomaly path.
+    "q193_stream_anomaly" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "anom") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      // fresh attribute ids: the spine both aggregates the sink AND joins
+      // back to it — referencing the memory-sink View twice trips
+      // conflicting-reference resolution, so re-wrap its rows once
+      val counts = s.createDataFrame(sink.rdd, sink.schema)
+      val hours = counts.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(explode(expr("sequence(h0, h1)")).as("h"))
+        .crossJoin(counts.select("event_type").distinct())
+        .join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("n"))
+      robustAnomaly(hours)
     }),
 
     // ---------------- tonal diversity (r5 s12) ----------------
@@ -6173,24 +6222,10 @@ object SparkEntry {
 
     "q185_bpe_train" -> bpeOracleSql(10),
 
-    "q186_anomaly" ->
-      s"""WITH $HRS_SPINE_SQL,
-         r1 AS (SELECT event_type, h, n,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, h) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS m FROM hrs),
-         med AS (SELECT event_type, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2
-           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
-         dev AS (SELECT hrs.event_type, h, n, ABS(n * 2 - med2) AS dev2
-           FROM hrs JOIN med ON hrs.event_type = med.event_type),
-         r2 AS (SELECT event_type, h, dev2,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, h) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS m FROM dev),
-         mad AS (SELECT event_type, CAST(SUM(dev2) * 2 // COUNT(*) AS BIGINT) AS mad4
-           FROM r2 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1)
-         SELECT dev.event_type, CAST(h AS BIGINT) AS h, n, dev2, mad4,
-           dev2 * 100000 > mad4 * 185325 AS anom
-         FROM dev JOIN mad ON dev.event_type = mad.event_type""",
-
+    "q186_anomaly" -> ANOM_ORACLE_SQL,
+    // streaming Complete-mode emission == batch, so the SAME oracle pins
+    // the whole streamed anomaly path
+    "q193_stream_anomaly" -> ANOM_ORACLE_SQL,
     "q187_ewma" -> {
       val cases = ewmaCoefs.zipWithIndex
         .map { case (c, tt) => s"WHEN $tt THEN $c" }.mkString(" ")
