@@ -114,16 +114,45 @@ object SparkEntry {
       .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("n"))
   }
 
+  /** Doubled median (sum of the ranked middle rows — exact integers) of
+    * `v` per `parts` group, ties broken by `h`: med2 = 2·median keeps odd
+    * AND even group sizes integer (the q182 machinery, generalized in s13
+    * so q198's hour-of-day seasonal profile can partition by (type, hod)
+    * while its MAD partitions by type alone). `sum(v)*2 div count(1)` is
+    * an EXACT division: count is 1 or 2, and for 2 the ×2 cancels it. */
+  private def med2By(src: DataFrame, parts: Seq[String], v: String,
+                     out: String): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*)
+    src
+      .withColumn("rn", row_number().over(w.orderBy(col(v).asc, col("h").asc)))
+      .withColumn("m", count(lit(1)).over(w))
+      .where(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+      .groupBy(parts.map(col): _*)
+      .agg(expr(s"sum($v) * 2 div count(1)").as(out))
+  }
+
+  /** Exact trunc-toward-zero (x·1000)/den for SIGNED x and den > 0 in
+    * pure 64-bit arithmetic: sign-split (so truncation agrees between
+    * Spark `div` and DuckDB `//` regardless of their negative-operand
+    * conventions), then 1000 = 8·125 in two steps so the largest
+    * intermediate is |x|·8 — safe while |x| ≤ 1.15e18 (q194's intercept
+    * numerator sn·den peaks ~2e16 at sf0.1). `idiv` is the engine's
+    * integer-division operator (Spark "div", DuckDB "//"). */
+  private def milliDivSql(x: String, den: String, idiv: String): String = {
+    def nn(v: String) = {
+      val a1 = s"((($v) * 8) $idiv ($den))"
+      val r1 = s"((($v) * 8) % ($den))"
+      s"($a1 * 125 + ($r1 * 125) $idiv ($den))"
+    }
+    s"(CASE WHEN ($x) >= 0 THEN ${nn(x)} ELSE -${nn(s"-($x)")} END)"
+  }
+
   /** q186/q193's exact robust z-score over an (event_type, h, n) series:
     * doubled-median + 4·MAD via ranked middle rows; |x − med| >
     * 2.5·1.4826·MAD folded to the integer 1e5·dev2 > 185325·mad4. */
   private def robustAnomaly(hours: DataFrame): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-    def med2Of(src: DataFrame, v: String, out: String): DataFrame = src
-      .withColumn("rn", row_number().over(byType.orderBy(col(v).asc, col("h").asc)))
-      .withColumn("m", count(lit(1)).over(byType))
-      .where(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
-      .groupBy("event_type").agg(expr(s"sum($v) * 2 div count(1)").as(out))
+    def med2Of(src: DataFrame, v: String, out: String): DataFrame =
+      med2By(src, Seq("event_type"), v, out)
     val dev = hours.join(med2Of(hours, "n", "med2"), "event_type")
       .withColumn("dev2", abs(col("n") * 2 - col("med2")))
     dev.join(med2Of(dev, "dev2", "mad4"), "event_type")
@@ -4085,6 +4114,128 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val merges = graft.text.Bpe.train(docs, "text", rounds = 10)
       graft.text.Bpe.tokenize(docs, "doc_id", "text", merges)
+    }),
+
+    // ---------------- exact OLS volume trend (r5 s13) ----------------
+    // Per-type least-squares trend of hourly volume over the zero-filled
+    // spine, EXACT: with t = h − min(h), slope = (m·Σtn − Σt·Σn)/den and
+    // intercept = (Σn·Σt² − Σt·Σtn)/den, den = m·Σt² − (Σt)² — all
+    // integer sums; the milli quantization is the shared sign-split
+    // 8·125 ladder (milliDivSql), so both engines truncate identically
+    // for NEGATIVE slopes too. One scan, one 5-row aggregate; every
+    // intermediate ≤ ~2e13·8 at sf0.1 (long-safe to ~1e5× that volume).
+    "q194_ols_trend" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val sums = hours
+        .crossJoin(broadcast(hours.agg(min("h").as("h0"))))
+        .withColumn("t", col("h") - col("h0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum("t").as("sx"),
+          sum(col("t") * col("t")).as("sxx"), sum("n").as("sy"),
+          sum(col("t") * col("n")).as("sxy"))
+      sums.select(col("event_type"), col("m"), col("sy"),
+        expr(milliDivSql("m * sxy - sx * sy", "m * sxx - sx * sx", "div"))
+          .as("slope_milli"),
+        expr(milliDivSql("sy * sxx - sx * sxy", "m * sxx - sx * sx", "div"))
+          .as("intercept_milli"))
+    }),
+
+    // ---------------- Theil–Sen robust trend (r5 s13) ----------------
+    // The robust companion to q194: the median of all pairwise hourly
+    // slopes (n_b − n_a)/(h_b − h_a), per event type, reported as the
+    // exact DOUBLED median of the milli-quantized pair slopes (med2By —
+    // integers end-to-end, even group sizes stay exact). The pair
+    // fan-out is CALENDAR-bounded: types × C(hours,2) ≈ 259k rows/type
+    // for a 30-day window at ANY data volume — it grows with history
+    // length squared, never with row count; the per-pair tie key
+    // ha·1e5+hb is collision-free because hb spans < 1e5 hours.
+    "q195_theilsen" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val a = hours.select(col("event_type"), col("h").as("ha"), col("n").as("na"))
+      val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
+      val pairs = a.join(b, Seq("event_type")).where(col("ha") < col("hb"))
+        .select(col("event_type"), (col("ha") * 100000L + col("hb")).as("h"),
+          expr(milliDivSql("nb - na", "hb - ha", "div")).as("v"))
+      pairs.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+        .join(med2By(pairs, Seq("event_type"), "v", "slope_milli2"), "event_type")
+    }),
+
+    // ---------------- seasonal anomaly audit (r5 s13) ----------------
+    // q186's robust z-score with an HOUR-OF-DAY seasonal baseline: the
+    // per-(type, h%24) doubled median is the expected diurnal profile,
+    // deviations deseasonalize against it, and the MAD gate runs per
+    // type over the deseasonalized series — so a 3am spike is flagged
+    // against 3am's norm, not the whole day's (the med2By generalization:
+    // the median partitions by (type, hod), the MAD by type alone).
+    "q198_seasonal_anomaly" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir).withColumn("hod", col("h") % 24)
+      val dev = hours
+        .join(med2By(hours, Seq("event_type", "hod"), "n", "med2s"),
+          Seq("event_type", "hod"))
+        .withColumn("dev2", abs(col("n") * 2 - col("med2s")))
+      dev.join(med2By(dev, Seq("event_type"), "dev2", "mad4"), "event_type")
+        .select(col("event_type"), col("h"), col("hod"), col("n"), col("med2s"),
+          col("dev2"), col("mad4"),
+          (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
+    }),
+
+    // ---------------- LSH calibration S-curve (r5 s13) ----------------
+    // Measures the q18 banding config against ground truth: over LABELED
+    // pairs — every planted near-dup (doc, doc+VARIANT_OFFSET) plus the
+    // consecutive-id far-pair control — compute the exact shingle
+    // Jaccard and the positional band agreement (4 bands of 4 minhashes),
+    // then bucket by Jaccard decile: n_collide/n_pairs per bucket IS the
+    // empirical S-curve P(candidate | J), the number that decides whether
+    // a banding config catches dups at the target threshold before
+    // running it on 10⁸ docs. Linear in corpus size: the pair set is one
+    // row per labeled pair (never all-pairs), intersections arrive as
+    // pair counts through the exploded-shingle equi-join (the q20 shape).
+    "q196_lsh_calibration" -> ((s, dir) => {
+      val tf = GeoTables.textFeatures(s, dir).select("doc_id", "bands", "shingles")
+      val exd = tf.select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+      val nd = exd.groupBy("doc_id").agg(count(lit(1)).as("ndist"))
+      val ids = tf.select("doc_id")
+      val off = GeoTables.VARIANT_OFFSET
+      val pairs = ids.where(col("doc_id") < off && col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + off).as("b"),
+            lit("dup").as("label"))
+        .unionAll(ids.where(col("doc_id") < off)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"),
+            lit("rand").as("label")))
+        .join(ids.select(col("doc_id").as("b")), "b") // drop absent partners
+      val inter = pairs
+        .join(exd.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(exd.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+        .join(nd.select(col("doc_id").as("a"), col("ndist").as("na")), "a")
+        .join(nd.select(col("doc_id").as("b"), col("ndist").as("nb")), "b")
+        .join(tf.select(col("doc_id").as("a"), col("bands").as("ba")), "a")
+        .join(tf.select(col("doc_id").as("b"), col("bands").as("bb")), "b")
+        .withColumn("bands_match", (1 to 4).map(i =>
+          (element_at(col("ba"), i) === element_at(col("bb"), i)).cast("long"))
+          .reduce(_ + _))
+        .withColumn("jac_ppm", expr("(inter * 1000000) div (na + nb - inter)"))
+        .groupBy(col("label"), expr("jac_ppm div 100000").as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("bands_match") >= 1).cast("long")).as("n_collide"),
+          sum("bands_match").as("sum_band_matches"))
+    }),
+
+    // ---------------- buffered spatial block-CV split (r5 s13) ----------------
+    // Leakage-safe evaluation prep (Roberts et al. 2017 blocked CV):
+    // every image keyed to a 5-fold split by its 1°-cell's content-stable
+    // md5 (nearby samples share a fold), with rows within 0.25° of
+    // ANOTHER fold's territory flagged leaky — dropping them guarantees
+    // no training sample sits inside an eval fold's buffer. ONE scalar
+    // projection: no join, no shuffle; the 8-neighbor check is
+    // exhaustive while buffer ≤ cell size (SpatialCvSpec pins it against
+    // the all-cells brute force).
+    "q197_spatial_cv" -> ((s, dir) => {
+      graft.cell.SpatialCv
+        .split(s.read.parquet(GeoTables.imagesPath(dir)), "lon", "lat")
+        .select(col("image_id"), col("ix"), col("iy"), col("fold"), col("leaky"))
     })
   )
 
@@ -6318,10 +6469,120 @@ object SparkEntry {
            FROM sym)
          SELECT image_id, neg_id, inter, uni, CAST(jac_ppm AS BIGINT) AS jac_ppm
          FROM ranked WHERE rn = 1"""
+    },
+
+    "q194_ols_trend" ->
+      s"""WITH $HRS_SPINE_SQL,
+         tt AS (SELECT event_type, h - (SELECT MIN(h) FROM hrs) AS t, n FROM hrs),
+         sums AS (SELECT event_type, COUNT(*) AS m,
+             CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t * t) AS BIGINT) AS sxx,
+             CAST(SUM(n) AS BIGINT) AS sy, CAST(SUM(t * n) AS BIGINT) AS sxy
+           FROM tt GROUP BY 1)
+         SELECT event_type, m, sy,
+           CAST(${milliDivSql("m * sxy - sx * sy", "m * sxx - sx * sx", "//")} AS BIGINT)
+             AS slope_milli,
+           CAST(${milliDivSql("sy * sxx - sx * sxy", "m * sxx - sx * sx", "//")} AS BIGINT)
+             AS intercept_milli
+         FROM sums""",
+
+    "q195_theilsen" ->
+      s"""WITH $HRS_SPINE_SQL,
+         p AS (SELECT a.event_type, a.h * 100000 + b.h AS hk,
+             CAST(${milliDivSql("b.n - a.n", "b.h - a.h", "//")} AS BIGINT) AS v
+           FROM hrs a JOIN hrs b
+             ON a.event_type = b.event_type AND a.h < b.h),
+         r AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, hk) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m FROM p),
+         med AS (SELECT event_type, CAST(SUM(v) * 2 // COUNT(*) AS BIGINT) AS slope_milli2
+           FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
+         np AS (SELECT event_type, COUNT(*) AS n_pairs FROM p GROUP BY 1)
+         SELECT np.event_type, n_pairs, slope_milli2
+         FROM np JOIN med ON np.event_type = med.event_type""",
+
+    "q198_seasonal_anomaly" ->
+      s"""WITH $HRS_SPINE_SQL,
+         hh AS (SELECT event_type, h, h % 24 AS hod, n FROM hrs),
+         r1 AS (SELECT event_type, hod, h, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY n, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, hod) AS m FROM hh),
+         seas AS (SELECT event_type, hod, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2s
+           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2),
+         dev AS (SELECT hh.event_type, hh.h, hh.hod, hh.n, seas.med2s,
+             ABS(hh.n * 2 - seas.med2s) AS dev2
+           FROM hh JOIN seas ON hh.event_type = seas.event_type AND hh.hod = seas.hod),
+         r2 AS (SELECT event_type, h, dev2,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m FROM dev),
+         mad AS (SELECT event_type, CAST(SUM(dev2) * 2 // COUNT(*) AS BIGINT) AS mad4
+           FROM r2 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1)
+         SELECT dev.event_type, CAST(dev.h AS BIGINT) AS h, CAST(dev.hod AS BIGINT) AS hod,
+           dev.n, dev.med2s, dev.dev2, mad.mad4,
+           dev.dev2 * 100000 > mad.mad4 * 185325 AS anom
+         FROM dev JOIN mad ON dev.event_type = mad.event_type""",
+
+    // ground truth: the same labeled pair set brute-forced — exact
+    // distinct-shingle intersections via unnest, positional band equality
+    // over the materialized 4-band fixture arrays (1-indexed both engines)
+    "q196_lsh_calibration" ->
+      s"""WITH tf AS (SELECT doc_id, bands, shingles FROM $TFEAT),
+         exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM tf),
+         nd AS (SELECT doc_id, COUNT(*) AS ndist FROM exd GROUP BY 1),
+         ids AS (SELECT doc_id FROM tf),
+         pr0 AS (
+           SELECT doc_id AS a, doc_id + 10000000 AS b, 'dup' AS label
+           FROM ids WHERE doc_id < 10000000 AND doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id, doc_id + 1, 'rand' FROM ids WHERE doc_id < 10000000),
+         pr AS (SELECT pr0.* FROM pr0 JOIN ids ON ids.doc_id = pr0.b),
+         i AS (SELECT pr.a, pr.b, COUNT(*) AS inter
+           FROM pr JOIN exd xa ON xa.doc_id = pr.a
+           JOIN exd xb ON xb.doc_id = pr.b AND xb.sh = xa.sh
+           GROUP BY 1, 2),
+         s AS (SELECT pr.label, COALESCE(i.inter, 0) AS inter,
+             na.ndist AS na, nb.ndist AS nb,
+             (CASE WHEN ta.bands[1] = tb.bands[1] THEN 1 ELSE 0 END +
+              CASE WHEN ta.bands[2] = tb.bands[2] THEN 1 ELSE 0 END +
+              CASE WHEN ta.bands[3] = tb.bands[3] THEN 1 ELSE 0 END +
+              CASE WHEN ta.bands[4] = tb.bands[4] THEN 1 ELSE 0 END) AS bands_match
+           FROM pr LEFT JOIN i ON i.a = pr.a AND i.b = pr.b
+           JOIN nd na ON na.doc_id = pr.a JOIN nd nb ON nb.doc_id = pr.b
+           JOIN tf ta ON ta.doc_id = pr.a JOIN tf tb ON tb.doc_id = pr.b)
+         SELECT label,
+           CAST((inter * 1000000) // (na + nb - inter) // 100000 AS BIGINT) AS decile,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN bands_match >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collide,
+           CAST(SUM(bands_match) AS BIGINT) AS sum_band_matches
+         FROM s GROUP BY 1, 2""",
+
+    "q197_spatial_cv" -> {
+      val offs = for { ox <- -1 to 1; oy <- -1 to 1 if ox != 0 || oy != 0 } yield (ox, oy)
+      val leak = offs.map { case (ox, oy) =>
+        val jx = s"(ix + ($ox))"; val jy = s"(iy + ($oy))"
+        val dx = s"GREATEST(-180.0 + $jx - lon, lon - (-180.0 + ($jx + 1)), 0.0)"
+        val dy = s"GREATEST(-90.0 + $jy - lat, lat - (-90.0 + ($jy + 1)), 0.0)"
+        s"($jx >= 0 AND $jx <= 359 AND $jy >= 0 AND $jy <= 179 AND " +
+          s"${cvFoldSql(jx, jy)} <> fold AND $dx * $dx + $dy * $dy <= 0.0625)"
+      }.mkString("(", " OR ", ")")
+      s"""WITH b AS (SELECT image_id, lon, lat,
+           CAST(LEAST(GREATEST(FLOOR(lon + 180.0), 0), 359) AS BIGINT) AS ix,
+           CAST(LEAST(GREATEST(FLOOR(lat + 90.0), 0), 179) AS BIGINT) AS iy
+           FROM $IMG),
+         f AS (SELECT image_id, lon, lat, ix, iy,
+           CAST(${cvFoldSql("ix", "iy")} AS BIGINT) AS fold FROM b)
+         SELECT image_id, ix, iy, fold, CAST($leak AS BIGINT) AS leaky FROM f"""
     }
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
+
+  /** DuckDB mirror of [[graft.cell.SpatialCv.foldOf]]: lowercase-hex md5
+    * of "ix_iy", first 8 chars against the i/5 thresholds. */
+  private def cvFoldSql(ix: String, iy: String): String = {
+    val h = s"substr(md5(CAST($ix AS VARCHAR) || '_' || CAST($iy AS VARCHAR)), 1, 8)"
+    s"(CASE WHEN $h < '33333333' THEN 0 WHEN $h < '66666666' THEN 1" +
+      s" WHEN $h < '99999999' THEN 2 WHEN $h < 'cccccccc' THEN 3 ELSE 4 END)"
+  }
 
   /** q185's oracle: Bpe.train replayed exactly — unrolled per-round CTEs
     * (weighted pair counts → deterministic argmax → recursive leftmost
