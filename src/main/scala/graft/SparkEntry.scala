@@ -4133,11 +4133,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("m"), sum("t").as("sx"),
           sum(col("t") * col("t")).as("sxx"), sum("n").as("sy"),
           sum(col("t") * col("n")).as("sxy"))
-      sums.select(col("event_type"), col("m"), col("sy"),
-        expr(milliDivSql("m * sxy - sx * sy", "m * sxx - sx * sx", "div"))
-          .as("slope_milli"),
-        expr(milliDivSql("sy * sxx - sx * sxy", "m * sxx - sx * sx", "div"))
-          .as("intercept_milli"))
+      sums.where(col("m") > 1) // den = m·Σt²−(Σt)² > 0 needs ≥ 2 hours
+        .select(col("event_type"), col("m"), col("sy"),
+          expr(milliDivSql("m * sxy - sx * sy", "m * sxx - sx * sx", "div"))
+            .as("slope_milli"),
+          expr(milliDivSql("sy * sxx - sx * sxy", "m * sxx - sx * sx", "div"))
+            .as("intercept_milli"))
     }),
 
     // ---------------- Theil–Sen robust trend (r5 s13) ----------------
@@ -6479,11 +6480,12 @@ object SparkEntry {
              CAST(SUM(n) AS BIGINT) AS sy, CAST(SUM(t * n) AS BIGINT) AS sxy
            FROM tt GROUP BY 1)
          SELECT event_type, m, sy,
+           -- den > 0 guarded by m > 1 below (mirrors the engine)
            CAST(${milliDivSql("m * sxy - sx * sy", "m * sxx - sx * sx", "//")} AS BIGINT)
              AS slope_milli,
            CAST(${milliDivSql("sy * sxx - sx * sxy", "m * sxx - sx * sx", "//")} AS BIGINT)
              AS intercept_milli
-         FROM sums""",
+         FROM sums WHERE m > 1""",
 
     "q195_theilsen" ->
       s"""WITH $HRS_SPINE_SQL,
@@ -6530,10 +6532,11 @@ object SparkEntry {
          nd AS (SELECT doc_id, COUNT(*) AS ndist FROM exd GROUP BY 1),
          ids AS (SELECT doc_id FROM tf),
          pr0 AS (
-           SELECT doc_id AS a, doc_id + 10000000 AS b, 'dup' AS label
-           FROM ids WHERE doc_id < 10000000 AND doc_id % 5 = 0
+           SELECT doc_id AS a, doc_id + ${GeoTables.VARIANT_OFFSET} AS b, 'dup' AS label
+           FROM ids WHERE doc_id < ${GeoTables.VARIANT_OFFSET} AND doc_id % 5 = 0
            UNION ALL
-           SELECT doc_id, doc_id + 1, 'rand' FROM ids WHERE doc_id < 10000000),
+           SELECT doc_id, doc_id + 1, 'rand' FROM ids
+           WHERE doc_id < ${GeoTables.VARIANT_OFFSET}),
          pr AS (SELECT pr0.* FROM pr0 JOIN ids ON ids.doc_id = pr0.b),
          i AS (SELECT pr.a, pr.b, COUNT(*) AS inter
            FROM pr JOIN exd xa ON xa.doc_id = pr.a
