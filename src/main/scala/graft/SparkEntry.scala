@@ -4237,6 +4237,110 @@ object SparkEntry {
       graft.cell.SpatialCv
         .split(s.read.parquet(GeoTables.imagesPath(dir)), "lon", "lat")
         .select(col("image_id"), col("ix"), col("iy"), col("fold"), col("leaky"))
+    }),
+
+    // ---------------- class-balance upsampling (r5 s13) ----------------
+    // Deterministic weighted upsampling of minority classes to the
+    // majority count: each row replicates tgt div n_c times plus one
+    // stochastic copy decided by its md5 point in [0, 2^52) against the
+    // exact threshold (tgt mod n_c)/n_c — the q123 Bernoulli contract,
+    // with the 2^52 product split into two 2^26 steps so the threshold
+    // stays exact in longs for class sizes to ~1.4e11 rows. Content-
+    // stable (resharding can't change who replicates), one broadcast
+    // join + one explode — no shuffle of the fact table.
+    "q199_class_rebalance" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir)).select("image_id", "fmt")
+      val per = img.groupBy("fmt").agg(count(lit(1)).as("n_c"))
+      val tgt = per.agg(max("n_c").as("tgt"))
+      val spec = per.crossJoin(broadcast(tgt))
+        .withColumn("base", expr("tgt div n_c"))
+        .withColumn("e", expr("tgt % n_c"))
+        .withColumn("thr", expr(
+          "((e * 67108864) div n_c) * 67108864 + (((e * 67108864) % n_c) * 67108864) div n_c"))
+      img.join(broadcast(spec), "fmt")
+        .withColumn("u", expr(
+          "CAST(CONV(SUBSTRING(md5(image_id), 1, 13), 16, 10) AS BIGINT)"))
+        .withColumn("reps", col("base") + when(col("u") < col("thr"), 1L).otherwise(0L))
+        .select(col("image_id"), col("fmt"), col("reps"),
+          explode(expr("sequence(1L, reps)")).as("copy"))
+    }),
+
+    // ---------------- purged walk-forward CV (r5 s13) ----------------
+    // The temporal leakage-safe split (q197's time axis): five expanding-
+    // window folds over the event-day range — fold k trains on days
+    // < b_k − 1, PURGES the embargo day [b_k − 1, b_k) (samples whose
+    // look-ahead features would peek into the test window), and tests on
+    // [b_k, b_k + 4). ONE scan + a broadcast 5-row fold spec; rows after
+    // a fold's test window simply don't join that fold.
+    "q200_purged_cv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      val folds = ev.agg(min("day").as("d0"))
+        .select(col("d0"), explode(expr("sequence(0L, 4L)")).as("fold"))
+        .withColumn("b", col("d0") + lit(10L) + col("fold") * 4L)
+      ev.crossJoin(broadcast(folds))
+        .withColumn("role",
+          when(col("day") < col("b") - 1, "train")
+            .when(col("day") < col("b"), "purged")
+            .when(col("day") < col("b") + 4, "test"))
+        .where(col("role").isNotNull)
+        .select(col("fold"), col("event_id"), col("day"), col("role"))
+    }),
+
+    // ---------------- kNN label-noise audit (r5 s13) ----------------
+    // Mislabeled-sample detection by neighborhood agreement (the
+    // confident-learning prep step): for each probe image, the fraction
+    // of its 8 spatial nearest neighbors sharing its class label (fmt) —
+    // rows with low agreement are label-noise candidates. Rides the q10
+    // kNN ring-expansion machinery (k = 9 including self, self filtered
+    // after — both engines rank by (d2, p_id) so the cut is identical).
+    "q201_label_noise" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("nx"), col("ny"), col("fmt"),
+          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
+      val queries = img.where(col("iid") % 500 === 0).select("id", "nx", "ny")
+      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+      SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 9, level = level)
+        .where(col("p_id") =!= col("q_id"))
+        .join(img.select(col("id").as("q_id"), col("fmt").as("q_fmt")), "q_id")
+        .join(img.select(col("id").as("p_id"), col("fmt").as("p_fmt")), "p_id")
+        .groupBy(col("q_id").as("image_id"), col("q_fmt").as("fmt"))
+        .agg(count(lit(1)).as("n_nbr"),
+          sum((col("p_fmt") === col("q_fmt")).cast("long")).as("n_agree"))
+        .withColumn("agree_ppm", expr("(n_agree * 1000000) div n_nbr"))
+    }),
+
+    // ---------------- tile median-luma composite (r5 s13) ----------------
+    // The cloud-free-composite shape of remote sensing as an exact
+    // integer query: per z8 tile, the doubled median of member images'
+    // mean luma (Σ bin·count ×1000 div n_px over the 16-bin histogram,
+    // recomputed through the decode kernel — the q167/q192 consistency
+    // contract; the oracle derives the same value from the
+    // recompute-pinned img_expo fixture). Median machinery is med2By
+    // keyed by tile, tie-broken by image_id.
+    "q202_tile_median_luma" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgExpo(s, dir)
+      val m = GeoTables.images(s, dir)
+        .withColumn("hist", call_function("img_luma_hist16",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("lsum", expr(
+          "aggregate(zip_with(hist, sequence(0, 15), (n, b) -> CAST(n AS BIGINT) * b), 0L, (a, x) -> a + x)"))
+        .withColumn("npx", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .select(
+          least(floor(col("nx") * 256).cast("bigint"), lit(255L)).as("tx"),
+          least(floor(col("ny") * 256).cast("bigint"), lit(255L)).as("ty"),
+          expr("(lsum * 1000) div npx").as("v"), col("image_id").as("h"))
+      // med2By inlined so the group size rides the SAME window pass —
+      // the decode-heavy subtree is evaluated exactly once
+      val w = Window.partitionBy("tx", "ty")
+      m.withColumn("rn", row_number().over(w.orderBy(col("v").asc, col("h").asc)))
+        .withColumn("mm", count(lit(1)).over(w))
+        .where(col("rn") === expr("(mm + 1) div 2") || col("rn") === expr("mm div 2 + 1"))
+        .groupBy("tx", "ty")
+        .agg(max("mm").as("n_imgs"), expr("sum(v) * 2 div count(1)").as("med_luma2"))
     })
   )
 
@@ -6574,7 +6678,74 @@ object SparkEntry {
          f AS (SELECT image_id, lon, lat, ix, iy,
            CAST(${cvFoldSql("ix", "iy")} AS BIGINT) AS fold FROM b)
          SELECT image_id, ix, iy, fold, CAST($leak AS BIGINT) AS leaky FROM f"""
-    }
+    },
+
+    // ground truth: same per-class base/threshold arithmetic (the 2^26
+    // ladder keeps the q123 md5-Bernoulli threshold exact in BIGINTs),
+    // replication replayed via generate_series
+    "q199_class_rebalance" ->
+      s"""WITH per AS (SELECT fmt, COUNT(*) AS n_c FROM $IMG GROUP BY 1),
+         tgt AS (SELECT MAX(n_c) AS tgt FROM per),
+         spec AS (SELECT fmt, n_c, tgt // n_c AS base, tgt % n_c AS e,
+             ((tgt % n_c * 67108864) // n_c) * 67108864 +
+               ((tgt % n_c * 67108864) % n_c) * 67108864 // n_c AS thr
+           FROM per, tgt),
+         r AS (SELECT i.image_id, i.fmt,
+             s.base + (CASE WHEN CAST(('0x' || substr(md5(i.image_id), 1, 13)) AS BIGINT)
+               < s.thr THEN 1 ELSE 0 END) AS reps
+           FROM $IMG i JOIN spec s ON i.fmt = s.fmt)
+         SELECT image_id, fmt, CAST(reps AS BIGINT) AS reps, CAST(c AS BIGINT) AS copy
+         FROM r, UNNEST(generate_series(1, reps)) AS u(c)""",
+
+    "q200_purged_cv" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         folds AS (SELECT f AS fold, (SELECT MIN(day) FROM ev) + 10 + f * 4 AS b
+           FROM UNNEST(generate_series(0, 4)) AS u(f)),
+         r AS (SELECT fold, event_id, day,
+             CASE WHEN day < b - 1 THEN 'train'
+                  WHEN day < b THEN 'purged'
+                  WHEN day < b + 4 THEN 'test' END AS role
+           FROM ev, folds)
+         SELECT CAST(fold AS BIGINT) AS fold, event_id, CAST(day AS BIGINT) AS day, role
+         FROM r WHERE role IS NOT NULL""",
+
+    // ground truth: the q10 brute-force kNN (same (d2, p_id) rank order),
+    // k = 9 with the self row filtered after ranking, then agreement
+    "q201_label_noise" ->
+      s"""WITH img AS (SELECT image_id, nx, ny, fmt,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
+         q AS (SELECT * FROM img WHERE iid % 500 = 0),
+         d AS (SELECT q.image_id AS q_id, q.fmt AS q_fmt,
+             p.image_id AS p_id, p.fmt AS p_fmt,
+             (p.nx - q.nx)*(p.nx - q.nx) + (p.ny - q.ny)*(p.ny - q.ny) AS d2
+           FROM q, img p),
+         r AS (SELECT q_id, q_fmt, p_id, p_fmt,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, p_id ASC) AS rank
+           FROM d),
+         k AS (SELECT * FROM r WHERE rank <= 9 AND p_id <> q_id)
+         SELECT q_id AS image_id, q_fmt AS fmt, COUNT(*) AS n_nbr,
+           CAST(SUM(CASE WHEN p_fmt = q_fmt THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN p_fmt = q_fmt THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS agree_ppm
+         FROM k GROUP BY 1, 2""",
+
+    // ground truth: mean luma from the recompute-pinned img_expo fixture
+    // (hist[i] is 1-indexed; bin index = i - 1), same doubled median
+    "q202_tile_median_luma" ->
+      s"""WITH x AS (SELECT image_id,
+             CAST(SUM(hist[i] * (i - 1)) AS BIGINT) AS lsum,
+             CAST(SUM(hist[i]) AS BIGINT) AS npx
+           FROM $IMGX, UNNEST(generate_series(1, 16)) AS u(i) GROUP BY 1),
+         mm AS (SELECT LEAST(CAST(FLOOR(i.nx * 256) AS BIGINT), 255) AS tx,
+             LEAST(CAST(FLOOR(i.ny * 256) AS BIGINT), 255) AS ty,
+             (x.lsum * 1000) // x.npx AS v, i.image_id AS h
+           FROM x JOIN $IMG i ON x.image_id = i.image_id),
+         r AS (SELECT tx, ty, v,
+             ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY v, h) AS rn,
+             COUNT(*) OVER (PARTITION BY tx, ty) AS gs FROM mm)
+         SELECT tx, ty, CAST(MAX(gs) AS BIGINT) AS n_imgs,
+           CAST(SUM(v) * 2 // COUNT(*) AS BIGINT) AS med_luma2
+         FROM r WHERE rn = (gs + 1) // 2 OR rn = gs // 2 + 1 GROUP BY 1, 2"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
