@@ -4341,8 +4341,143 @@ object SparkEntry {
         .where(col("rn") === expr("(mm + 1) div 2") || col("rn") === expr("mm div 2 + 1"))
         .groupBy("tx", "ty")
         .agg(max("mm").as("n_imgs"), expr("sum(v) * 2 div count(1)").as("med_luma2"))
+    }),
+
+    // ---------------- global Moran's I (r5 s13) ----------------
+    // The ESDA companion to q124's Getis–Ord: spatial autocorrelation of
+    // image density over the 1024×512 lattice, queen contiguity. The
+    // z-form expands so every term is DATA-bounded: Σw·z_i·z_j =
+    // X − 2μY + μ²W with X = Σ adjacent occupied-pair products (the 8×
+    // explode equi-join — empty cells contribute only through the
+    // closed-form constants), Y = Σ deg_i·c_i (lattice-clip degree), and
+    // W = ΣΣw_ij = 3070·1534 − 524288 the closed-form queen edge count.
+    // X, Y, s1, s2 are exact BIGINTs; Moran's I is ONE shared double
+    // formula over them (IEEE-identical in both engines), ppm-quantized.
+    "q203_moran" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = latticeCells(s, dir)
+      val glob = cells.agg(count(lit(1)).as("n_occ"), sum("c").as("s1"),
+        sum(expr("c * c")).as("s2"),
+        sum(expr(s"($LAT_KK - 1) * c")).as("y"))
+      val x = latticeNbr(cells)
+        .join(cells.select(col("gx").as("jx"), col("gy").as("jy"), col("c").as("cj")),
+          Seq("jx", "jy"))
+        .agg(sum(expr("ci * cj")).as("x"))
+      glob.crossJoin(x)
+        .select(col("n_occ"), col("s1"), col("s2"), col("x"), col("y"),
+          lit(LAT_W).as("w"), expr(MORAN_PPM_SQL).as("i_ppm"))
+    }),
+
+    // ---------------- local Moran / LISA (r5 s13) ----------------
+    // Anselin's local indicator per OCCUPIED cell: the HH/LL/HL/LH
+    // cluster/outlier quadrant is decided by EXACT integer signs
+    // (z_i ∝ N·c_i − s1; lagged z ∝ N·Σnbr_c − s1·deg_i — empty
+    // neighbors enter through the closed-form degree), the magnitude
+    // ships as the shared ppm-quantized double formula. Row count =
+    // occupied cells: tracks data density, never the lattice.
+    "q204_lisa" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = latticeCells(s, dir)
+      val glob = cells.agg(sum("c").as("s1"), sum(expr("c * c")).as("s2"))
+      val nb = latticeNbr(cells).groupBy(col("jx").as("gx"), col("jy").as("gy"))
+        .agg(sum("ci").as("nb_c"))
+      cells.join(nb, Seq("gx", "gy"), "left").na.fill(0L, Seq("nb_c"))
+        .crossJoin(broadcast(glob))
+        .withColumn("deg", expr(s"$LAT_KK - 1"))
+        .withColumn("zn", expr("524288 * c - s1"))
+        .withColumn("lz", expr("524288 * nb_c - s1 * deg"))
+        .select(col("gx"), col("gy"), col("c"), col("nb_c"), col("deg"),
+          col("zn"), col("lz"), expr(LISA_PPM_SQL).as("i_ppm"),
+          expr("""CASE WHEN zn > 0 AND lz > 0 THEN 'HH'
+                       WHEN zn < 0 AND lz < 0 THEN 'LL'
+                       WHEN zn > 0 AND lz < 0 THEN 'HL'
+                       WHEN zn < 0 AND lz > 0 THEN 'LH'
+                       ELSE 'NA' END""").as("quad"))
+    }),
+
+    // ---------------- directional distribution / SDE (r5 s13) ----------------
+    // The standard-deviational-ellipse audit per zone (ArcGIS
+    // "Directional Distribution"): point offsets from the zone center
+    // quantized to EXACT millidegree integers (so the shuffle's reduction
+    // order can't perturb the sums — the q93 contract), covariance
+    // cleared of the mean via C = n·Σq² − (Σq)², eigenvalues through the
+    // ONE shared sqrt formula (milli-quantized), orientation shipped as
+    // the exact integer pair (2·Cxy, Cxx − Cyy) = tan(2θ) — no atan2,
+    // whose libm rounding differs across engines.
+    "q205_sde" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      val asg = SpatialJoins.pipJoin(
+          GeoTables.images(s, dir).select("image_id", "lon", "lat"), z, level = 8)
+        .select("zone_id", "lon", "lat")
+        .join(broadcast(z.select("zone_id", "xmin", "ymin", "xmax", "ymax")), "zone_id")
+      asg
+        .withColumn("dx", expr("CAST(FLOOR((lon - (xmin + xmax) * 0.5) * 1000.0) AS BIGINT)"))
+        .withColumn("dy", expr("CAST(FLOOR((lat - (ymin + ymax) * 0.5) * 1000.0) AS BIGINT)"))
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(expr("dx * dx")).as("sxx"), sum(expr("dy * dy")).as("syy"),
+          sum(expr("dx * dy")).as("sxy"))
+        .withColumn("cxx", expr("n * sxx - sx * sx"))
+        .withColumn("cyy", expr("n * syy - sy * sy"))
+        .withColumn("cxy", expr("n * sxy - sx * sy"))
+        .select(col("zone_id"), col("n"), col("sx"), col("sy"),
+          col("cxx"), col("cyy"), col("cxy"),
+          expr(lamMilliSql("+")).as("lam1_milli"),
+          expr(lamMilliSql("-")).as("lam2_milli"),
+          (col("cxy") * 2).as("orient_num"),
+          (col("cxx") - col("cyy")).as("orient_den"))
     })
   )
+
+  // ---- q203/q204 lattice helpers (the q124 binning, shared) ----
+
+  /** Occupied 1024×512 lattice cells with image counts. */
+  private def latticeCells(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(GeoTables.imagesPath(dir))
+      .select(expr("CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT)").as("gx"),
+        expr("CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT)").as("gy"))
+      .groupBy("gx", "gy").agg(count(lit(1)).as("c"))
+
+  /** The 8 queen-neighbor positions of each occupied cell (out-of-lattice
+    * positions never join back to an occupied cell, so no clip needed). */
+  private def latticeNbr(cells: DataFrame): DataFrame = cells
+    .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+    .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+    .where(!(col("dx") === 0L && col("dy") === 0L))
+    .select((col("gx") + col("dx")).as("jx"), (col("gy") + col("dy")).as("jy"),
+      col("c").as("ci"))
+
+  /** Lattice-clipped 3×3 window size of cell (gx, gy) — q124's kk. */
+  private val LAT_KK =
+    "((LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) * (LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1))"
+
+  /** Closed-form queen edge count over the full 1024×512 lattice:
+    * Σ_i deg_i = (Σ_gx kx)(Σ_gy ky) − N with kx = 2 on the two edge
+    * columns else 3 → (2·2 + 1022·3)·(2·2 + 510·3) − 524288. */
+  private val LAT_W = 3070L * 1534L - 524288L // = 4185092
+
+  /** Moran's I over the exact integer components, ppm-quantized — the
+    * IDENTICAL formula text runs in both engines (q124 contract). */
+  private val MORAN_PPM_SQL =
+    s"""CAST(FLOOR(1e6 * ((524288e0 / ${LAT_W}e0) *
+       ((CAST(x AS DOUBLE) - 2e0 * (CAST(s1 AS DOUBLE) / 524288e0) * CAST(y AS DOUBLE)
+         + (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0) * ${LAT_W}e0)
+        / (CAST(s2 AS DOUBLE) - 524288e0 * (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)))))
+       AS BIGINT)"""
+
+  /** Local Moran magnitude: I_i = zn·ln / (N·s2 − s1²), ppm-quantized. */
+  private val LISA_PPM_SQL =
+    """CAST(FLOOR(1e6 * (CAST(zn AS DOUBLE) * CAST(lz AS DOUBLE)
+       / (524288e0 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))))
+       AS BIGINT)"""
+
+  /** SDE eigenvalue (milli, in millidegree² units): the ± branch of
+    * (Cxx + Cyy ± √((Cxx−Cyy)² + 4Cxy²)) / (2n²). */
+  private def lamMilliSql(sign: String): String =
+    s"""CAST(FLOOR(1e3 * ((CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE) $sign
+       SQRT((CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE)) * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
+         + 4e0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)))
+       / (2e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT)"""
 
   /** Exact floor(x·1e6/den) in pure longs for x ≤ den: base-100 long
     * division in three steps, so no intermediate exceeds den·100 — safe
@@ -6745,10 +6880,88 @@ object SparkEntry {
              COUNT(*) OVER (PARTITION BY tx, ty) AS gs FROM mm)
          SELECT tx, ty, CAST(MAX(gs) AS BIGINT) AS n_imgs,
            CAST(SUM(v) * 2 // COUNT(*) AS BIGINT) AS med_luma2
-         FROM r WHERE rn = (gs + 1) // 2 OR rn = gs // 2 + 1 GROUP BY 1, 2"""
+         FROM r WHERE rn = (gs + 1) // 2 OR rn = gs // 2 + 1 GROUP BY 1, 2""",
+
+    // ground truth: same z-form decomposition over exact integers; the
+    // final double expression is the SAME text both engines evaluate
+    "q203_moran" ->
+      s"""WITH $LAT_CELLS_SQL,
+         gstat AS (SELECT COUNT(*) AS n_occ, CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(SUM(($LAT_KK - 1) * c) AS BIGINT) AS y
+           FROM cells),
+         nbr AS (SELECT gx + dx.v AS jx, gy + dy.v AS jy, c AS ci
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dy
+           WHERE NOT (dx.v = 0 AND dy.v = 0)),
+         xx AS (SELECT CAST(SUM(n.ci * c2.c) AS BIGINT) AS x
+           FROM nbr n JOIN cells c2 ON n.jx = c2.gx AND n.jy = c2.gy)
+         SELECT n_occ, s1, s2, x, y, CAST($LAT_W AS BIGINT) AS w,
+           $MORAN_PPM_SQL AS i_ppm
+         FROM gstat, xx""",
+
+    "q204_lisa" ->
+      s"""WITH $LAT_CELLS_SQL,
+         gstat AS (SELECT CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2 FROM cells),
+         contrib AS (SELECT gx + dx.v AS jx, gy + dy.v AS jy, c AS ci
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dy
+           WHERE NOT (dx.v = 0 AND dy.v = 0)),
+         nb AS (SELECT jx AS gx, jy AS gy, CAST(SUM(ci) AS BIGINT) AS nb_c
+           FROM contrib GROUP BY 1, 2),
+         cellsd AS (SELECT gx, gy, c, CAST($LAT_KK - 1 AS BIGINT) AS deg FROM cells),
+         base AS (SELECT cellsd.gx, cellsd.gy, c,
+             COALESCE(nb.nb_c, 0) AS nb_c, deg, s1, s2
+           FROM cellsd LEFT JOIN nb ON cellsd.gx = nb.gx AND cellsd.gy = nb.gy, gstat),
+         zz AS (SELECT gx, gy, c, nb_c, deg,
+             524288 * c - s1 AS zn, 524288 * nb_c - s1 * deg AS lz, s1, s2
+           FROM base)
+         SELECT gx, gy, c, nb_c, deg, CAST(zn AS BIGINT) AS zn, CAST(lz AS BIGINT) AS lz,
+           $LISA_PPM_SQL AS i_ppm,
+           CASE WHEN zn > 0 AND lz > 0 THEN 'HH'
+                WHEN zn < 0 AND lz < 0 THEN 'LL'
+                WHEN zn > 0 AND lz < 0 THEN 'HL'
+                WHEN zn < 0 AND lz > 0 THEN 'LH'
+                ELSE 'NA' END AS quad
+         FROM zz""",
+
+    // ground truth: inclusive-rect assignment (the q07 rule), identical
+    // millidegree quantization and shared eigenvalue formula
+    "q205_sde" ->
+      s"""WITH a AS (SELECT z.zone_id, i.lon, i.lat, z.xmin, z.xmax, z.ymin, z.ymax
+           FROM $IMG i JOIN $ZON z
+             ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax),
+         d AS (SELECT zone_id,
+             CAST(FLOOR((lon - (xmin + xmax) * 0.5) * 1000.0) AS BIGINT) AS dx,
+             CAST(FLOOR((lat - (ymin + ymax) * 0.5) * 1000.0) AS BIGINT) AS dy
+           FROM a),
+         g AS (SELECT zone_id, COUNT(*) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx, CAST(SUM(dy * dy) AS BIGINT) AS syy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+           FROM d GROUP BY 1),
+         cc AS (SELECT zone_id, n, sx, sy,
+             n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy,
+             n * sxy - sx * sy AS cxy FROM g)
+         SELECT zone_id, n, sx, sy,
+           CAST(cxx AS BIGINT) AS cxx, CAST(cyy AS BIGINT) AS cyy, CAST(cxy AS BIGINT) AS cxy,
+           ${lamMilliSql("+")} AS lam1_milli,
+           ${lamMilliSql("-")} AS lam2_milli,
+           CAST(cxy * 2 AS BIGINT) AS orient_num,
+           CAST(cxx - cyy AS BIGINT) AS orient_den
+         FROM cc"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
+
+  /** Occupied-lattice CTE shared by the q203/q204 oracles (q124 binning). */
+  private val LAT_CELLS_SQL =
+    s"""pts AS (SELECT CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS gx,
+         CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT) AS gy FROM $IMG),
+       cells AS (SELECT gx, gy, COUNT(*) AS c FROM pts GROUP BY 1, 2)"""
 
   /** DuckDB mirror of [[graft.cell.SpatialCv.foldOf]]: lowercase-hex md5
     * of "ix_iy", first 8 chars against the i/5 thresholds. */
