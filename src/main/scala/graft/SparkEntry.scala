@@ -107,11 +107,22 @@ object SparkEntry {
       .select(col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
     val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
-    ev.agg(min("h").as("h0"), max("h").as("h1"))
+    // bounds and the type roster derive from the TINY counts aggregate,
+    // not the fact table — every spine consumer scans events exactly once
+    // (plan audit s13: the old 3-scan shape read a 100 TB table 3× per
+    // spine, 6× in q195's self-join; counts carries the same h range and
+    // type set by construction)
+    counts.agg(min("h").as("h0"), max("h").as("h1"))
       .select(explode(expr("sequence(h0, h1)")).as("h"))
-      .crossJoin(ev.select("event_type").distinct())
+      .crossJoin(counts.select("event_type").distinct())
       .join(counts, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("n"))
+      // types × calendar-hours rows, materialized ONCE: the spine's
+      // consumers self-join it with its own aggregates (median/MAD,
+      // pairwise slopes), and Catalyst re-evaluates each reference —
+      // q186's plan read the fact table 12× before this (plan audit
+      // s13; the q132 localCheckpoint precedent)
+      .localCheckpoint()
   }
 
   /** Doubled median (sum of the ranked middle rows — exact integers) of
