@@ -4203,8 +4203,15 @@ object SparkEntry {
     // row per labeled pair (never all-pairs), intersections arrive as
     // pair counts through the exploded-shingle equi-join (the q20 shape).
     "q196_lsh_calibration" -> ((s, dir) => {
-      val tf = GeoTables.textFeatures(s, dir).select("doc_id", "bands", "shingles")
-      val exd = tf.select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+      // two materialized derivations (plan audit s13: the declarative form
+      // re-scanned text_features 12× through the pair/band/shingle
+      // references) — calibration runs on a sample corpus by design, so
+      // both frames are small
+      val tf = GeoTables.textFeatures(s, dir).select("doc_id", "bands")
+        .localCheckpoint()
+      val exd = GeoTables.textFeatures(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+        .localCheckpoint()
       val nd = exd.groupBy("doc_id").agg(count(lit(1)).as("ndist"))
       val ids = tf.select("doc_id")
       val off = GeoTables.VARIANT_OFFSET
@@ -4442,12 +4449,16 @@ object SparkEntry {
 
   // ---- q203/q204 lattice helpers (the q124 binning, shared) ----
 
-  /** Occupied 1024×512 lattice cells with image counts. */
+  /** Occupied 1024×512 lattice cells with image counts — materialized
+    * once (≤ 524,288 rows): q203/q204 reference the cells 3× each
+    * (globals, the 8× neighbor explode, the join-back), and without the
+    * checkpoint every reference re-scans the fact table. */
   private def latticeCells(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(GeoTables.imagesPath(dir))
       .select(expr("CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT)").as("gx"),
         expr("CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT)").as("gy"))
       .groupBy("gx", "gy").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
 
   /** The 8 queen-neighbor positions of each occupied cell (out-of-lattice
     * positions never join back to an occupied cell, so no clip needed). */
