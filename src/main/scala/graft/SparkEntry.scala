@@ -4361,6 +4361,71 @@ object SparkEntry {
         .agg(max("mm").as("n_imgs"), expr("sum(v) * 2 div count(1)").as("med_luma2"))
     }),
 
+    // ---------------- areal interpolation (r5 s13) ----------------
+    // The GIS re-zoning op: per-zone image counts redistributed to a 4°
+    // grid by EXACT rect-overlap area weights (zone ∩ cell widths are
+    // GREATEST/LEAST closed forms — no geometry kernel needed for
+    // axis-aligned zoning). Each (zone, cell) share is milli-quantized
+    // BEFORE the sum, so the aggregate is an exact integer and shuffle
+    // order can't perturb it. Fan-out = zone area / cell area (≤ 36
+    // cells/zone here) — data-bounded, never lattice-bounded.
+    "q206_areal_interp" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      val cnt = SpatialJoins.pipJoin(
+          GeoTables.images(s, dir).select("image_id", "lon", "lat"), z, level = 8)
+        .groupBy("zone_id").agg(count(lit(1)).as("n_z"))
+      z.join(cnt, "zone_id")
+        .withColumn("gx", explode(expr(
+          "sequence(GREATEST(CAST(FLOOR((xmin + 180.0) / 4.0) AS BIGINT), 0L), LEAST(CAST(FLOOR((xmax + 180.0) / 4.0) AS BIGINT), 89L))")))
+        .withColumn("gy", explode(expr(
+          "sequence(GREATEST(CAST(FLOOR((ymin + 90.0) / 4.0) AS BIGINT), 0L), LEAST(CAST(FLOOR((ymax + 90.0) / 4.0) AS BIGINT), 44L))")))
+        .withColumn("ox", expr(
+          "LEAST(xmax, -180.0 + (gx + 1) * 4.0) - GREATEST(xmin, -180.0 + gx * 4.0)"))
+        .withColumn("oy", expr(
+          "LEAST(ymax, -90.0 + (gy + 1) * 4.0) - GREATEST(ymin, -90.0 + gy * 4.0)"))
+        .where(col("ox") > 0 && col("oy") > 0)
+        .withColumn("est_milli", expr(
+          "CAST(FLOOR(CAST(n_z AS DOUBLE) * 1000.0 * (ox * oy) / ((xmax - xmin) * (ymax - ymin))) AS BIGINT)"))
+        .groupBy("gx", "gy")
+        .agg(count(lit(1)).as("n_zones"), sum("est_milli").as("est_milli"))
+    }),
+
+    // ---------------- co-location quotient (r5 s13) ----------------
+    // Leslie & Kronenfeld's CLQ over the q201 probe sample: how much
+    // more often class A's 8 nearest neighbors are class B than global
+    // class shares predict (CLQ > 1e6 ppm = attraction, < = repulsion).
+    // Per-probe neighbor shares are exact integer ppm; the normalizer
+    // (N−1)/N_B folds in as one integer multiply-divide. Probes of A
+    // with zero B neighbors count in the denominator (n_probes_a is
+    // per-class, not per-pair).
+    "q207_colocation" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("nx"), col("ny"), col("fmt"),
+          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
+      val glob = img.groupBy("fmt").agg(count(lit(1)).as("n_b"))
+        .crossJoin(broadcast(img.agg(count(lit(1)).as("n_tot"))))
+      val queries = img.where(col("iid") % 500 === 0).select("id", "nx", "ny")
+      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+      val nn = SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 9, level = level)
+        .where(col("p_id") =!= col("q_id"))
+        .join(img.select(col("id").as("q_id"), col("fmt").as("fmt_a")), "q_id")
+        .join(img.select(col("id").as("p_id"), col("fmt").as("fmt_b")), "p_id")
+        .localCheckpoint() // three consumers below; knn is the heavy subtree
+      val per = nn.groupBy("q_id", "fmt_a", "fmt_b").agg(count(lit(1)).as("c_b"))
+      val nbr = per.groupBy("q_id").agg(sum("c_b").as("n_nbr"))
+      val nprobe = nn.select("q_id", "fmt_a").distinct()
+        .groupBy("fmt_a").agg(count(lit(1)).as("n_probes_a"))
+      per.join(nbr, "q_id")
+        .withColumn("share_ppm", expr("c_b * 1000000 div n_nbr"))
+        .groupBy("fmt_a", "fmt_b").agg(sum("share_ppm").as("sum_share_ppm"))
+        .join(broadcast(nprobe), "fmt_a")
+        .join(broadcast(glob.select(col("fmt").as("fmt_b"), col("n_b"), col("n_tot"))), "fmt_b")
+        .withColumn("clq_ppm", expr("(sum_share_ppm * (n_tot - 1)) div (n_probes_a * n_b)"))
+        .select(col("fmt_a"), col("fmt_b"), col("n_probes_a"), col("sum_share_ppm"),
+          col("n_b"), col("clq_ppm"))
+    }),
+
     // ---------------- global Moran's I (r5 s13) ----------------
     // The ESDA companion to q124's Getis–Ord: spatial autocorrelation of
     // image density over the 1024×512 lattice, queen contiguity. The
@@ -6974,7 +7039,61 @@ object SparkEntry {
            ${lamMilliSql("-")} AS lam2_milli,
            CAST(cxy * 2 AS BIGINT) AS orient_num,
            CAST(cxx - cyy AS BIGINT) AS orient_den
-         FROM cc"""
+         FROM cc""",
+
+    // ground truth: inclusive-rect PIP counts (q07 rule), lateral
+    // generate_series cell fan-out, identical closed-form overlap widths
+    "q206_areal_interp" ->
+      s"""WITH cnt AS (SELECT z.zone_id, COUNT(*) AS n_z
+           FROM $IMG i JOIN $ZON z
+             ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
+           GROUP BY 1),
+         zc AS (SELECT z.zone_id, z.xmin, z.xmax, z.ymin, z.ymax, cnt.n_z
+           FROM $ZON z JOIN cnt ON z.zone_id = cnt.zone_id),
+         e AS (SELECT zone_id, n_z, xmin, xmax, ymin, ymax, gx, gy
+           FROM zc,
+             UNNEST(generate_series(GREATEST(CAST(FLOOR((xmin + 180.0) / 4.0) AS BIGINT), 0),
+               LEAST(CAST(FLOOR((xmax + 180.0) / 4.0) AS BIGINT), 89))) AS ux(gx),
+             UNNEST(generate_series(GREATEST(CAST(FLOOR((ymin + 90.0) / 4.0) AS BIGINT), 0),
+               LEAST(CAST(FLOOR((ymax + 90.0) / 4.0) AS BIGINT), 44))) AS uy(gy)),
+         p AS (SELECT gx, gy, n_z, xmin, xmax, ymin, ymax,
+             LEAST(xmax, -180.0 + (gx + 1) * 4.0) - GREATEST(xmin, -180.0 + gx * 4.0) AS ox,
+             LEAST(ymax, -90.0 + (gy + 1) * 4.0) - GREATEST(ymin, -90.0 + gy * 4.0) AS oy
+           FROM e),
+         q AS (SELECT gx, gy,
+             CAST(FLOOR(CAST(n_z AS DOUBLE) * 1000.0 * (ox * oy) / ((xmax - xmin) * (ymax - ymin))) AS BIGINT) AS est_milli
+           FROM p WHERE ox > 0 AND oy > 0)
+         SELECT gx, gy, COUNT(*) AS n_zones, CAST(SUM(est_milli) AS BIGINT) AS est_milli
+         FROM q GROUP BY 1, 2""",
+
+    // ground truth: the q201 brute-force kNN, shares and the CLQ
+    // normalizer in the identical integer order
+    "q207_colocation" ->
+      s"""WITH img AS (SELECT image_id, nx, ny, fmt,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
+         gl AS (SELECT fmt AS fmt_b, COUNT(*) AS n_b,
+             (SELECT COUNT(*) FROM img) AS n_tot FROM img GROUP BY 1),
+         q AS (SELECT * FROM img WHERE iid % 500 = 0),
+         d AS (SELECT q.image_id AS q_id, q.fmt AS fmt_a,
+             p.image_id AS p_id, p.fmt AS fmt_b,
+             (p.nx - q.nx)*(p.nx - q.nx) + (p.ny - q.ny)*(p.ny - q.ny) AS d2
+           FROM q, img p),
+         r AS (SELECT q_id, fmt_a, p_id, fmt_b,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, p_id ASC) AS rank
+           FROM d),
+         nn AS (SELECT * FROM r WHERE rank <= 9 AND p_id <> q_id),
+         per AS (SELECT q_id, fmt_a, fmt_b, COUNT(*) AS c_b
+           FROM nn GROUP BY 1, 2, 3),
+         nbr AS (SELECT q_id, CAST(SUM(c_b) AS BIGINT) AS n_nbr FROM per GROUP BY 1),
+         np AS (SELECT fmt_a, COUNT(*) AS n_probes_a
+           FROM (SELECT DISTINCT q_id, fmt_a FROM nn) GROUP BY 1),
+         s AS (SELECT per.fmt_a, per.fmt_b,
+             CAST(SUM(per.c_b * 1000000 // nbr.n_nbr) AS BIGINT) AS sum_share_ppm
+           FROM per JOIN nbr ON per.q_id = nbr.q_id GROUP BY 1, 2)
+         SELECT s.fmt_a, s.fmt_b, np.n_probes_a, s.sum_share_ppm, gl.n_b,
+           CAST((s.sum_share_ppm * (gl.n_tot - 1)) // (np.n_probes_a * gl.n_b) AS BIGINT)
+             AS clq_ppm
+         FROM s JOIN np ON s.fmt_a = np.fmt_a JOIN gl ON s.fmt_b = gl.fmt_b"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
