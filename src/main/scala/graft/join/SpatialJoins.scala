@@ -410,7 +410,13 @@ object SpatialJoins {
         .drop("dx", "dy")
 
     // ---- sparse side: exact neighbor counts -------------------------------
-    val sparsePts = pts.join(denseCells.select("cx", "cy"), Seq("cx", "cy"), "left_anti")
+    // minPts = 1 (clusterWithin) ⇒ every occupied cell is dense, so the
+    // sparse side is provably empty. Declaring it statically (limit 0 →
+    // Catalyst's PropagateEmptyRelation folds every downstream sparse
+    // join/union to an empty LocalRelation) erases ~4 s of empty-frame
+    // checkpoint/join jobs per call (q129 profile, s13).
+    val sparsePtsRaw = pts.join(denseCells.select("cx", "cy"), Seq("cx", "cy"), "left_anti")
+    val sparsePts = if (minPts == 1) sparsePtsRaw.limit(0) else sparsePtsRaw
     // Chebyshev-≤1 contribution: all those points are within eps (G2)
     val nearN = shifted(cells.where(col("n") < minPts).select("cx", "cy"), off9, "ncx", "ncy")
       .join(cells.select(col("cx").as("ncx"), col("cy").as("ncy"), col("n")), Seq("ncx", "ncy"))
