@@ -4314,19 +4314,10 @@ object SparkEntry {
     // kNN ring-expansion machinery (k = 9 including self, self filtered
     // after — both engines rank by (d2, p_id) so the cut is identical).
     "q201_label_noise" -> ((s, dir) => {
-      GeoTables.ensure(s, dir)
-      val img = s.read.parquet(GeoTables.imagesPath(dir))
-        .select(col("image_id").as("id"), col("nx"), col("ny"), col("fmt"),
-          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
-      val queries = img.where(col("iid") % 500 === 0).select("id", "nx", "ny")
-      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
-      SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 9, level = level)
-        .where(col("p_id") =!= col("q_id"))
-        .join(img.select(col("id").as("q_id"), col("fmt").as("q_fmt")), "q_id")
-        .join(img.select(col("id").as("p_id"), col("fmt").as("p_fmt")), "p_id")
-        .groupBy(col("q_id").as("image_id"), col("q_fmt").as("fmt"))
+      knnLabeled(s, dir)
+        .groupBy(col("q_id").as("image_id"), col("fmt_a").as("fmt"))
         .agg(count(lit(1)).as("n_nbr"),
-          sum((col("p_fmt") === col("q_fmt")).cast("long")).as("n_agree"))
+          sum((col("fmt_b") === col("fmt_a")).cast("long")).as("n_agree"))
         .withColumn("agree_ppm", expr("(n_agree * 1000000) div n_nbr"))
     }),
 
@@ -4375,6 +4366,11 @@ object SparkEntry {
           GeoTables.images(s, dir).select("image_id", "lon", "lat"), z, level = 8)
         .groupBy("zone_id").agg(count(lit(1)).as("n_z"))
       z.join(cnt, "zone_id")
+        // explicit precondition (review s13): out-of-domain rects would
+        // make Spark's sequence() DESCEND where DuckDB's generate_series
+        // is empty — the filter is mirrored in the oracle
+        .where(col("xmin") >= -180.0 && col("xmax") <= 180.0 &&
+          col("ymin") >= -90.0 && col("ymax") <= 90.0)
         .withColumn("gx", explode(expr(
           "sequence(GREATEST(CAST(FLOOR((xmin + 180.0) / 4.0) AS BIGINT), 0L), LEAST(CAST(FLOOR((xmax + 180.0) / 4.0) AS BIGINT), 89L))")))
         .withColumn("gy", explode(expr(
@@ -4399,18 +4395,10 @@ object SparkEntry {
     // with zero B neighbors count in the denominator (n_probes_a is
     // per-class, not per-pair).
     "q207_colocation" -> ((s, dir) => {
-      GeoTables.ensure(s, dir)
       val img = s.read.parquet(GeoTables.imagesPath(dir))
-        .select(col("image_id").as("id"), col("nx"), col("ny"), col("fmt"),
-          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
       val glob = img.groupBy("fmt").agg(count(lit(1)).as("n_b"))
         .crossJoin(broadcast(img.agg(count(lit(1)).as("n_tot"))))
-      val queries = img.where(col("iid") % 500 === 0).select("id", "nx", "ny")
-      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
-      val nn = SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 9, level = level)
-        .where(col("p_id") =!= col("q_id"))
-        .join(img.select(col("id").as("q_id"), col("fmt").as("fmt_a")), "q_id")
-        .join(img.select(col("id").as("p_id"), col("fmt").as("fmt_b")), "p_id")
+      val nn = knnLabeled(s, dir)
         .localCheckpoint() // three consumers below; knn is the heavy subtree
       val per = nn.groupBy("q_id", "fmt_a", "fmt_b").agg(count(lit(1)).as("c_b"))
       val nbr = per.groupBy("q_id").agg(sum("c_b").as("n_nbr"))
@@ -4421,7 +4409,11 @@ object SparkEntry {
         .groupBy("fmt_a", "fmt_b").agg(sum("share_ppm").as("sum_share_ppm"))
         .join(broadcast(nprobe), "fmt_a")
         .join(broadcast(glob.select(col("fmt").as("fmt_b"), col("n_b"), col("n_tot"))), "fmt_b")
-        .withColumn("clq_ppm", expr("(sum_share_ppm * (n_tot - 1)) div (n_probes_a * n_b)"))
+        // mean share FIRST, then the (N−1)/N_B normalizer: mean ≤ 1e6,
+        // so the product stays a long to n_tot ≤ 9.2e12 rows (review
+        // s13: sum_share_ppm·(n_tot−1) wrapped at ~7.6e7 images)
+        .withColumn("clq_ppm", expr(
+          "((sum_share_ppm div n_probes_a) * (n_tot - 1)) div n_b"))
         .select(col("fmt_a"), col("fmt_b"), col("n_probes_a"), col("sum_share_ppm"),
           col("n_b"), col("clq_ppm"))
     }),
@@ -4481,12 +4473,15 @@ object SparkEntry {
     // ---------------- directional distribution / SDE (r5 s13) ----------------
     // The standard-deviational-ellipse audit per zone (ArcGIS
     // "Directional Distribution"): point offsets from the zone center
-    // quantized to EXACT millidegree integers (so the shuffle's reduction
+    // quantized to EXACT centidegree integers (so the shuffle's reduction
     // order can't perturb the sums — the q93 contract), covariance
     // cleared of the mean via C = n·Σq² − (Σq)², eigenvalues through the
     // ONE shared sqrt formula (milli-quantized), orientation shipped as
     // the exact integer pair (2·Cxy, Cxx − Cyy) = tan(2θ) — no atan2,
-    // whose libm rounding differs across engines.
+    // whose libm rounding differs across engines. Long-safety envelope
+    // (review s13): |dq| ≤ w/2·100 ≤ 1090 on the 21.8°-widest fixture
+    // zone, so C = n·Σq² − (Σq)² stays exact while n_zone ≤ ~2.7e9 rows
+    // (millidegrees wrapped at ~2.8e5 — the sf1 hot zone).
     "q205_sde" -> ((s, dir) => {
       val z = GeoTables.zones(s, dir)
       val asg = SpatialJoins.pipJoin(
@@ -4494,8 +4489,8 @@ object SparkEntry {
         .select("zone_id", "lon", "lat")
         .join(broadcast(z.select("zone_id", "xmin", "ymin", "xmax", "ymax")), "zone_id")
       asg
-        .withColumn("dx", expr("CAST(FLOOR((lon - (xmin + xmax) * 0.5) * 1000.0) AS BIGINT)"))
-        .withColumn("dy", expr("CAST(FLOOR((lat - (ymin + ymax) * 0.5) * 1000.0) AS BIGINT)"))
+        .withColumn("dx", expr("CAST(FLOOR((lon - (xmin + xmax) * 0.5) * 100.0) AS BIGINT)"))
+        .withColumn("dy", expr("CAST(FLOOR((lat - (ymin + ymax) * 0.5) * 100.0) AS BIGINT)"))
         .groupBy("zone_id")
         .agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
           sum(expr("dx * dx")).as("sxx"), sum(expr("dy * dy")).as("syy"),
@@ -4511,6 +4506,23 @@ object SparkEntry {
           (col("cxx") - col("cyy")).as("orient_den"))
     })
   )
+
+  /** Shared q201/q207 prelude: every 500th image probes its k = 9
+    * nearest (incl. self, filtered after ranking — both engines cut at
+    * the same (d2, p_id) order), labeled with both endpoint classes.
+    * Returns (q_id, fmt_a, p_id, fmt_b). */
+  private def knnLabeled(s: SparkSession, dir: String): DataFrame = {
+    GeoTables.ensure(s, dir)
+    val img = s.read.parquet(GeoTables.imagesPath(dir))
+      .select(col("image_id").as("id"), col("nx"), col("ny"), col("fmt"),
+        substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
+    val queries = img.where(col("iid") % 500 === 0).select("id", "nx", "ny")
+    val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+    SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 9, level = level)
+      .where(col("p_id") =!= col("q_id"))
+      .join(img.select(col("id").as("q_id"), col("fmt").as("fmt_a")), "q_id")
+      .join(img.select(col("id").as("p_id"), col("fmt").as("fmt_b")), "p_id")
+  }
 
   // ---- q203/q204 lattice helpers (the q124 binning, shared) ----
 
@@ -7022,8 +7034,8 @@ object SparkEntry {
            FROM $IMG i JOIN $ZON z
              ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax),
          d AS (SELECT zone_id,
-             CAST(FLOOR((lon - (xmin + xmax) * 0.5) * 1000.0) AS BIGINT) AS dx,
-             CAST(FLOOR((lat - (ymin + ymax) * 0.5) * 1000.0) AS BIGINT) AS dy
+             CAST(FLOOR((lon - (xmin + xmax) * 0.5) * 100.0) AS BIGINT) AS dx,
+             CAST(FLOOR((lat - (ymin + ymax) * 0.5) * 100.0) AS BIGINT) AS dy
            FROM a),
          g AS (SELECT zone_id, COUNT(*) AS n,
              CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
@@ -7049,7 +7061,9 @@ object SparkEntry {
              ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
            GROUP BY 1),
          zc AS (SELECT z.zone_id, z.xmin, z.xmax, z.ymin, z.ymax, cnt.n_z
-           FROM $ZON z JOIN cnt ON z.zone_id = cnt.zone_id),
+           FROM $ZON z JOIN cnt ON z.zone_id = cnt.zone_id
+           WHERE z.xmin >= -180.0 AND z.xmax <= 180.0
+             AND z.ymin >= -90.0 AND z.ymax <= 90.0),
          e AS (SELECT zone_id, n_z, xmin, xmax, ymin, ymax, gx, gy
            FROM zc,
              UNNEST(generate_series(GREATEST(CAST(FLOOR((xmin + 180.0) / 4.0) AS BIGINT), 0),
@@ -7091,7 +7105,7 @@ object SparkEntry {
              CAST(SUM(per.c_b * 1000000 // nbr.n_nbr) AS BIGINT) AS sum_share_ppm
            FROM per JOIN nbr ON per.q_id = nbr.q_id GROUP BY 1, 2)
          SELECT s.fmt_a, s.fmt_b, np.n_probes_a, s.sum_share_ppm, gl.n_b,
-           CAST((s.sum_share_ppm * (gl.n_tot - 1)) // (np.n_probes_a * gl.n_b) AS BIGINT)
+           CAST(((s.sum_share_ppm // np.n_probes_a) * (gl.n_tot - 1)) // gl.n_b AS BIGINT)
              AS clq_ppm
          FROM s JOIN np ON s.fmt_a = np.fmt_a JOIN gl ON s.fmt_b = gl.fmt_b"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
