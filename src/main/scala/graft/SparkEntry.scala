@@ -4418,6 +4418,24 @@ object SparkEntry {
           col("n_b"), col("clq_ppm"))
     }),
 
+    // ---------------- geodesic kNN (r5 s13) ----------------
+    // The great-circle kNN: every 500th image probes its 6 nearest by
+    // haversine METERS (q10's kNN ranks planar mercator-normalized
+    // distance, which distorts toward the poles — this is the
+    // production "nearest in km" ask). Radius-doubling over the proven
+    // polar-safe geoRadiusJoin cover; both engines rank by the
+    // identical (haversine, p_id) order.
+    "q208_knn_geodesic" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("lon"), col("lat"),
+          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
+      val queries = img.where(col("iid") % 500 === 0).select("id", "lon", "lat")
+      SpatialJoins.knnSphere(img.select("id", "lon", "lat"), queries, k = 6)
+        .select(col("q_id"), col("p_id"), col("rank"),
+          floor(col("dist_m") * 1000.0).cast("bigint").as("dist_mm"))
+    }),
+
     // ---------------- global Moran's I (r5 s13) ----------------
     // The ESDA companion to q124's Getis–Ord: spatial autocorrelation of
     // image density over the 1024×512 lattice, queen contiguity. The
@@ -6981,6 +6999,21 @@ object SparkEntry {
            CAST(SUM(v) * 2 // COUNT(*) AS BIGINT) AS med_luma2
          FROM r WHERE rn = (gs + 1) // 2 OR rn = gs // 2 + 1 GROUP BY 1, 2""",
 
+    // ground truth: brute-force haversine kNN (K.distanceSphere mirrored
+    // term-for-term, the q89 contract), same (dist, p_id) rank order
+    "q208_knn_geodesic" ->
+      s"""WITH img AS (SELECT image_id, lon, lat,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
+         q AS (SELECT * FROM img WHERE iid % 500 = 0),
+         d AS (SELECT q.image_id AS q_id, p.image_id AS p_id,
+             ${geoDistSql("q.lon", "q.lat", "p.lon", "p.lat")} AS dist
+           FROM q, img p),
+         r AS (SELECT q_id, p_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, p_id) AS rank FROM d)
+         SELECT q_id, p_id, CAST(rank AS BIGINT) AS rank,
+           CAST(FLOOR(dist * 1000.0) AS BIGINT) AS dist_mm
+         FROM r WHERE rank <= 6""",
+
     // ground truth: same z-form decomposition over exact integers; the
     // final double expression is the SAME text both engines evaluate
     "q203_moran" ->
@@ -7117,6 +7150,15 @@ object SparkEntry {
     s"""pts AS (SELECT CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS gx,
          CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT) AS gy FROM $IMG),
        cells AS (SELECT gx, gy, COUNT(*) AS c FROM pts GROUP BY 1, 2)"""
+
+  /** DuckDB mirror of K.distanceSphere (haversine, R = 6371008.8) —
+    * term-for-term: dphi as a difference OF radians, dlon as radians OF
+    * the difference (float-sensitive order, the q89 contract). */
+  private def geoDistSql(lon1: String, lat1: String, lon2: String, lat2: String): String =
+    s"""(2.0 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+       SIN((RADIANS($lat2) - RADIANS($lat1)) / 2) * SIN((RADIANS($lat2) - RADIANS($lat1)) / 2)
+       + COS(RADIANS($lat1)) * COS(RADIANS($lat2))
+         * SIN(RADIANS($lon2 - $lon1) / 2) * SIN(RADIANS($lon2 - $lon1) / 2)))))"""
 
   /** DuckDB mirror of [[graft.cell.SpatialCv.foldOf]]: lowercase-hex md5
     * of "ix_iy", first 8 chars against the i/5 thresholds. */

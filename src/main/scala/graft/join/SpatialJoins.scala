@@ -275,6 +275,66 @@ object SpatialJoins {
   }
 
   /**
+   * Geodesic kNN — the great-circle companion of [[knn]]: for each query
+   * point the k nearest points by haversine meters (R = 6371008.8, the
+   * q39 oracle sphere), ties broken by point id. Exactness is the
+   * radius-cap argument: a round at radius r keeps EVERY point within r
+   * great-circle meters ([[geoRadiusJoin]]'s conservative polar-safe
+   * cover), so a query with ≥ k candidates at r has its true k nearest
+   * among them; queries that miss k re-run at 2r over the SHRINKING
+   * pending set — a driver loop of ≤ log₂(maxR/r0) cover-join rounds.
+   * The first radius comes from global density (the cap expected to
+   * hold ~4k points under a uniform spread); radii cap at
+   * geoRadiusJoin's proven 1500 km margin and the call REQUIRES
+   * satisfaction inside it — a corpus whose k-th neighbor sits beyond
+   * 1500 km wants a coarser plan, not a bigger cover box.
+   *
+   * @param points  (id, lon, lat)
+   * @param queries (id, lon, lat)
+   * @return (q_id, p_id, dist_m, rank) with rank 1..k per query
+   */
+  def knnSphere(points: DataFrame, queries: DataFrame, k: Int, level: Int = 8,
+                r0Meters: Double = 0.0): DataFrame = {
+    require(k >= 1, s"bad knnSphere k=$k")
+    val spark = points.sparkSession
+    GraftFunctions.install(spark)
+    val maxR = 1500000.0
+    val n = math.max(points.count(), 1L)
+    val earth = 4.0 * math.Pi * 6371008.8 * 6371008.8
+    val guess = math.sqrt(4.0 * k * earth / (n.toDouble * math.Pi))
+    var r = math.min(maxR, math.max(if (r0Meters > 0) r0Meters else guess, 1000.0))
+    val qn = queries.count()
+    var pending = queries.select(col("id").as("site_id"), col("lon").as("site_lon"),
+      col("lat").as("site_lat")).localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var ranAtCap = false
+    while (!pending.isEmpty) {
+      require(!ranAtCap, s"knnSphere: some query's $k-th neighbor lies beyond the " +
+        s"${maxR / 1000.0} km cover-margin cap — use a coarser plan for data this sparse")
+      val hits = geoRadiusJoin(points, pending, r, level, sitesCountHint = qn)
+        .select(col("site_id").as("q_id"), col("id").as("p_id"),
+          call_function("st_distance_sphere", col("site_lon"), col("site_lat"),
+            col("lon"), col("lat")).as("dist_m"))
+      val byQ = Window.partitionBy("q_id")
+      val ranked = hits
+        .withColumn("rank", row_number().over(byQ.orderBy(col("dist_m").asc, col("p_id").asc)))
+        .withColumn("cnt", count(lit(1)).over(byQ))
+      val done = ranked.where(col("cnt") >= k && col("rank") <= k)
+        .select(col("q_id"), col("p_id"), col("dist_m"),
+          col("rank").cast("long").as("rank"))
+        .localCheckpoint()
+      acc += done
+      pending = pending.join(done.select(col("q_id").as("site_id")).distinct(),
+        Seq("site_id"), "left_anti").localCheckpoint()
+      if (r >= maxR) ranAtCap = true
+      r = math.min(maxR, r * 2.0)
+    }
+    acc.reduceOption(_.unionByName(_)).getOrElse(
+      queries.limit(0).select(col("id").as("q_id"), col("id").as("p_id"),
+        lit(0.0).as("dist_m"), lit(0L).as("rank")))
+  }
+
+  /**
    * Geometry × geometry fixed-radius join (the zones-vs-zones dwithin
    * shape): side A covers its d-EXPANDED envelope, side B covers itself,
    * shuffle equi-join on cell, pair dedup BEFORE the one exact
