@@ -4436,6 +4436,78 @@ object SparkEntry {
           floor(col("dist_m") * 1000.0).cast("bigint").as("dist_mm"))
     }),
 
+    // ---------------- Ripley's K ladder (r5 s13) ----------------
+    // The ESDA clustering-scale profile: exact within-d pair counts for
+    // a ladder of radii (0.0005°..0.004°), K̂(d) = A·2·n_d/(n(n−1)) with
+    // A = the 360×180 world rectangle. Pairs come from ONE 3×3
+    // grid-blocked self-join at cell size = d_max (exhaustive for every
+    // rung since d ≤ cell size), and only the four COUNTS aggregate —
+    // the pair set streams through whole-stage codegen, never
+    // materializes. The milli quantization is the shared sign-split
+    // ladder; 129600·n_pairs stays a long to ~7e13 pairs.
+    "q209_ripley" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val pts = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("lon"), col("lat"),
+          floor(col("lon") / 0.004).cast("long").as("cx"),
+          floor(col("lat") / 0.004).cast("long").as("cy"))
+      val a = pts
+        .select(col("id").as("a"), col("lon").as("alon"), col("lat").as("alat"),
+          col("cx"), col("cy"))
+        .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
+        .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
+        .select(col("a"), col("alon"), col("alat"),
+          (col("cx") + col("dx")).as("bcx"), (col("cy") + col("dy")).as("bcy"))
+      val pairs = a.join(pts.select(col("id").as("b"), col("lon").as("blon"),
+          col("lat").as("blat"), col("cx").as("bcx"), col("cy").as("bcy")),
+          Seq("bcx", "bcy"))
+        .where(col("a") < col("b"))
+        .withColumn("d2", expr(
+          "(alon - blon)*(alon - blon) + (alat - blat)*(alat - blat)"))
+      pairs.agg(
+          sum(expr("CAST(d2 <= 0.0005 * 0.0005 AS BIGINT)")).as("c500"),
+          sum(expr("CAST(d2 <= 0.001 * 0.001 AS BIGINT)")).as("c1000"),
+          sum(expr("CAST(d2 <= 0.002 * 0.002 AS BIGINT)")).as("c2000"),
+          sum(expr("CAST(d2 <= 0.004 * 0.004 AS BIGINT)")).as("c4000"))
+        .crossJoin(broadcast(pts.agg(count(lit(1)).as("n"))))
+        .selectExpr(
+          "stack(4, 500L, c500, 1000L, c1000, 2000L, c2000, 4000L, c4000) AS (d_micro, n_pairs)",
+          "n")
+        .select(col("d_micro"), col("n"), col("n_pairs"),
+          expr(milliDivSql("129600 * n_pairs", "n * (n - 1)", "div")).as("k_milli"))
+    }),
+
+    // ---------------- Clark–Evans NN index (r5 s13) ----------------
+    // Dispersion test over the probe sample: each probe's
+    // nearest-neighbor distance in the normalized mercator unit square
+    // (knn k = 2 including self, self filtered, min distance — exact
+    // even when a coordinate duplicate outranks the self row), quantized
+    // to nano units so the sum is an order-safe integer; R =
+    // mean_NN·2·√n ppm (R < 1e6 clustered, ≈1e6 Poisson, > dispersed) —
+    // one shared double formula over exact integers.
+    "q210_clark_evans" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("nx"), col("ny"),
+          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
+      val queries = img.where(col("iid") % 50 === 0).select("id", "nx", "ny")
+      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+      val nn = SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 2,
+          level = level)
+        .where(col("p_id") =!= col("q_id"))
+        .join(img.select(col("id").as("q_id"), col("nx").as("qx"), col("ny").as("qy")), "q_id")
+        .join(img.select(col("id").as("p_id"), col("nx").as("px"), col("ny").as("py")), "p_id")
+        .groupBy("q_id")
+        .agg(min(expr(
+          "CAST(FLOOR(SQRT((qx - px)*(qx - px) + (qy - py)*(qy - py)) * 1000000000.0) AS BIGINT)"))
+          .as("dq"))
+      nn.agg(count(lit(1)).as("n_probes"), sum("dq").as("sum_dq"))
+        .crossJoin(broadcast(img.agg(count(lit(1)).as("n"))))
+        .select(col("n_probes"), col("n"), col("sum_dq"),
+          expr("""CAST(FLOOR(1e6 * (CAST(sum_dq AS DOUBLE) / CAST(n_probes AS DOUBLE) / 1000000000.0)
+                 * 2.0 * SQRT(CAST(n AS DOUBLE))) AS BIGINT)""").as("r_ppm"))
+    }),
+
     // ---------------- global Moran's I (r5 s13) ----------------
     // The ESDA companion to q124's Getis–Ord: spatial autocorrelation of
     // image density over the 1024×512 lattice, queen contiguity. The
@@ -7013,6 +7085,49 @@ object SparkEntry {
          SELECT q_id, p_id, CAST(rank AS BIGINT) AS rank,
            CAST(FLOOR(dist * 1000.0) AS BIGINT) AS dist_mm
          FROM r WHERE rank <= 6""",
+
+    // ground truth: same 3×3 grid-blocked pair counting (exhaustive for
+    // d ≤ cell size), identical squared-literal thresholds
+    "q209_ripley" -> {
+      val pcte =
+        s"""WITH p AS (SELECT image_id AS id, lon, lat,
+             CAST(FLOOR(lon / 0.004) AS BIGINT) AS cx,
+             CAST(FLOOR(lat / 0.004) AS BIGINT) AS cy FROM $IMG),
+           nn AS (SELECT COUNT(*) AS n FROM p),
+           d AS (SELECT (a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat) AS d2
+             FROM p a,
+               UNNEST(generate_series(-1, 1)) AS ux(dx),
+               UNNEST(generate_series(-1, 1)) AS uy(dy), p b
+             WHERE b.cx = a.cx + ux.dx AND b.cy = a.cy + uy.dy AND a.id < b.id),
+           c AS (SELECT
+               CAST(SUM(CASE WHEN d2 <= 0.0005 * 0.0005 THEN 1 ELSE 0 END) AS BIGINT) AS c500,
+               CAST(SUM(CASE WHEN d2 <= 0.001 * 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS c1000,
+               CAST(SUM(CASE WHEN d2 <= 0.002 * 0.002 THEN 1 ELSE 0 END) AS BIGINT) AS c2000,
+               CAST(SUM(CASE WHEN d2 <= 0.004 * 0.004 THEN 1 ELSE 0 END) AS BIGINT) AS c4000
+             FROM d)"""
+      def rung(micro: Int, c: String) =
+        s"""SELECT CAST($micro AS BIGINT) AS d_micro, CAST(n AS BIGINT) AS n, $c AS n_pairs,
+           CAST(${milliDivSql(s"129600 * $c", "n * (n - 1)", "//")} AS BIGINT) AS k_milli
+           FROM c, nn"""
+      pcte + "\n" + Seq(rung(500, "c500"), rung(1000, "c1000"),
+        rung(2000, "c2000"), rung(4000, "c4000")).mkString("\nUNION ALL\n")
+    },
+
+    // ground truth: per-probe brute-force min over ALL other points —
+    // the quantization is monotone, so min commutes with it
+    "q210_clark_evans" ->
+      s"""WITH img AS (SELECT image_id AS id, nx, ny,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
+         q AS (SELECT * FROM img WHERE iid % 50 = 0),
+         nnq AS (SELECT q.id,
+             MIN(CAST(FLOOR(SQRT((q.nx - p.nx)*(q.nx - p.nx) + (q.ny - p.ny)*(q.ny - p.ny)) * 1000000000.0) AS BIGINT)) AS dq
+           FROM q, img p WHERE p.id <> q.id GROUP BY 1),
+         s AS (SELECT COUNT(*) AS n_probes, CAST(SUM(dq) AS BIGINT) AS sum_dq FROM nnq),
+         t AS (SELECT COUNT(*) AS n FROM img)
+         SELECT n_probes, CAST(n AS BIGINT) AS n, sum_dq,
+           CAST(FLOOR(1e6 * (CAST(sum_dq AS DOUBLE) / CAST(n_probes AS DOUBLE) / 1000000000.0)
+                * 2.0 * SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS r_ppm
+         FROM s, t""",
 
     // ground truth: same z-form decomposition over exact integers; the
     // final double expression is the SAME text both engines evaluate
