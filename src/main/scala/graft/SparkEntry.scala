@@ -39,6 +39,7 @@ object SparkEntry {
   private val IMGE = "read_parquet('/tmp/graft_geo/sf0.01/img_edge.parquet/*.parquet')"
   private val IMGX = "read_parquet('/tmp/graft_geo/sf0.01/img_expo.parquet/*.parquet')"
   private val IMGT = "read_parquet('/tmp/graft_geo/sf0.01/img_thumb.parquet/*.parquet')"
+  private val IMGEQ = "read_parquet('/tmp/graft_geo/sf0.01/img_eq.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -4436,6 +4437,28 @@ object SparkEntry {
           floor(col("dist_m") * 1000.0).cast("bigint").as("dist_mm"))
     }),
 
+    // ---------------- histogram equalization (r5 s13) ----------------
+    // Exposure normalization as an EXACT kernel: per-channel integer
+    // equalization (Gonzalez–Woods cdf map, constant channels identity),
+    // recomputed through the SQL surface and byte-pinned against the
+    // recompute fixture (md5 of the equalized buffer — the q173
+    // contract); the analytics payload is the tonal-diversity LIFT
+    // (q192's Gini–Simpson over the equalized histogram). Row-parallel,
+    // one scan, stays in the decode pipeline.
+    "q211_equalize" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgEq(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("eq", call_function("img_equalize_rgb",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("eq_md5", md5(col("eq")))
+        .withColumn("hist", call_function("img_luma_hist16", col("eq")))
+        .withColumn("ssq", expr("aggregate(hist, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("npx", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .select(col("image_id"), col("eq_md5"), col("npx"),
+          expr("1000000 - (ssq * 1000000) div (npx * npx)").as("eq_simpson_ppm"))
+    }),
+
     // ---------------- Ripley's K ladder (r5 s13) ----------------
     // The ESDA clustering-scale profile: exact within-d pair counts for
     // a ladder of radii (0.0005°..0.004°), K̂(d) = A·2·n_d/(n(n−1)) with
@@ -7085,6 +7108,17 @@ object SparkEntry {
          SELECT q_id, p_id, CAST(rank AS BIGINT) AS rank,
            CAST(FLOOR(dist * 1000.0) AS BIGINT) AS dist_mm
          FROM r WHERE rank <= 6""",
+
+    // ground truth: the recompute-pinned img_eq fixture — md5 pins the
+    // equalized buffer byte-for-byte, the diversity derives from its hist
+    "q211_equalize" ->
+      s"""WITH px AS (SELECT image_id, SUM(CAST(v AS BIGINT) * v) AS ssq,
+             SUM(v) AS npx
+           FROM (SELECT image_id, unnest(eq_hist) AS v FROM $IMGEQ) GROUP BY 1)
+         SELECT e.image_id, e.eq_md5, CAST(px.npx AS BIGINT) AS npx,
+           CAST(1000000 - (px.ssq * 1000000) // (px.npx * px.npx) AS BIGINT)
+             AS eq_simpson_ppm
+         FROM $IMGEQ e JOIN px ON px.image_id = e.image_id""",
 
     // ground truth: same 3×3 grid-blocked pair counting (exhaustive for
     // d ≤ cell size), identical squared-literal thresholds

@@ -508,6 +508,31 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGTHUMB_DONE"))
   }
 
+  def imgEqPath(sfDir: String): String = s"${baseDir(sfDir)}/img_eq.parquet"
+
+  final case class ImgEqRow(image_id: String, eq_md5: String, eq_hist: Array[Long])
+
+  /** Histogram-equalization fixture through the SAME kernels the SQL
+    * surface composes (img_equalize_rgb → md5 / img_luma_hist16): the
+    * equalized buffer's md5 (lowercase hex, Spark's md5() convention)
+    * and its 16-bin luma histogram — the q211 consistency contract. */
+  def ensureImgEq(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGEQ_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val eq = Images.equalizeRgb(Images.decode(bytes)._3)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(eq)
+        ImgEqRow(id, md.map(b => f"${b & 0xFF}%02x").mkString, Images.lumaHist16(eq))
+      }
+      .write.mode("overwrite").parquet(imgEqPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGEQ_DONE"))
+  }
+
   def imgSsimPath(sfDir: String): String = s"${baseDir(sfDir)}/img_ssim.parquet"
 
   final case class ImgSsimRow(image_id: String, ssim_self: Long, ssim_blur: Long)

@@ -580,6 +580,42 @@ object Images {
     out
   }
 
+  /** Per-channel histogram equalization — the classic integer formula
+    * out = ⌊(cdf(v) − cdf_min)·255 / (n − cdf_min)⌋ with cdf_min the cdf
+    * at the channel's first occupied level (Gonzalez–Woods convention).
+    * A CONSTANT channel maps to itself (the formula's 0/0 case —
+    * identity keeps flat images flat instead of blackening them).
+    * Deterministic pure-integer map → byte-exact across engines/runs. */
+  def equalizeRgb(rgb: Array[Byte]): Array[Byte] = {
+    val n = rgb.length / 3
+    if (n == 0) return rgb.clone()
+    val out = new Array[Byte](rgb.length)
+    var c = 0
+    while (c < 3) {
+      val hist = new Array[Long](256)
+      var i = c
+      while (i < rgb.length) { hist(rgb(i) & 0xFF) += 1; i += 3 }
+      val map = new Array[Int](256)
+      var cdf = 0L
+      var cdfMin = -1L
+      var v = 0
+      while (v < 256) {
+        cdf += hist(v)
+        if (cdfMin < 0 && hist(v) > 0) cdfMin = cdf
+        // cdfMin < 0: below the first occupied level (value never occurs);
+        // n == cdfMin: constant channel — both map to identity
+        map(v) =
+          if (cdfMin < 0 || n == cdfMin) v
+          else (((cdf - cdfMin) * 255L) / (n - cdfMin)).toInt
+        v += 1
+      }
+      i = c
+      while (i < rgb.length) { out(i) = map(rgb(i) & 0xFF).toByte; i += 3 }
+      c += 1
+    }
+    out
+  }
+
   /** 16-bin luma histogram (bin = luma >> 4) — the exposure profile
     * behind over/under-exposure curation gates. Counts sum to the pixel
     * count; exact integers, no cross-engine tolerance needed. */

@@ -840,6 +840,13 @@ case class ImgRgb(child: Expression) extends GeomUnary {
   override def nullSafeEval(v: Any): Any = K.imgRgb(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Per-channel integer histogram equalization over a decoded RGB buffer
+  * (see Images.equalizeRgb — constant channels are identity). */
+case class ImgEqualize(child: Expression) extends GeomUnary {
+  def fn = "imgEqualizeRgb"; override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = K.imgEqualizeRgb(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
 case class ImgPhash(child: Expression) extends GeomUnary {
   def fn = "imgPhash"; override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = K.imgPhash(v.asInstanceOf[Array[Byte]])
