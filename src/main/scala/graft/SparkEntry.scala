@@ -40,6 +40,7 @@ object SparkEntry {
   private val IMGX = "read_parquet('/tmp/graft_geo/sf0.01/img_expo.parquet/*.parquet')"
   private val IMGT = "read_parquet('/tmp/graft_geo/sf0.01/img_thumb.parquet/*.parquet')"
   private val IMGEQ = "read_parquet('/tmp/graft_geo/sf0.01/img_eq.parquet/*.parquet')"
+  private val IMGWB = "read_parquet('/tmp/graft_geo/sf0.01/img_wb.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -4459,6 +4460,29 @@ object SparkEntry {
           expr("1000000 - (ssq * 1000000) div (npx * npx)").as("eq_simpson_ppm"))
     }),
 
+    // ---------------- gray-world white-balance audit (r5 s13) ----------------
+    // Color-cast curation gate: exact per-channel byte sums (gray-world
+    // statistic — a cast-free image has near-equal channel means), gains
+    // anchored on green as integer ppm (sg·1e6 div max(s_c, 1)), tint
+    // classified by the strongest-mean channel with the first-max tie
+    // rule. Recomputed through the decode kernel; the oracle derives the
+    // identical integers from the recompute-pinned img_wb fixture.
+    "q212_whitebalance" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgWb(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("cs", call_function("img_channel_sums",
+          call_function("img_rgb", col("bytes"))))
+        .select(col("image_id"),
+          expr("cs[0]").as("sr"), expr("cs[1]").as("sg"),
+          expr("cs[2]").as("sb"), expr("cs[3]").as("npx"))
+        .withColumn("gain_r_ppm", expr("(sg * 1000000) div GREATEST(sr, 1)"))
+        .withColumn("gain_b_ppm", expr("(sg * 1000000) div GREATEST(sb, 1)"))
+        .withColumn("tint", expr(
+          """CASE WHEN sr >= sg AND sr >= sb THEN 'r'
+                  WHEN sg >= sb THEN 'g' ELSE 'b' END"""))
+    }),
+
     // ---------------- Ripley's K ladder (r5 s13) ----------------
     // The ESDA clustering-scale profile: exact within-d pair counts for
     // a ladder of radii (0.0005°..0.004°), K̂(d) = A·2·n_d/(n(n−1)) with
@@ -7108,6 +7132,16 @@ object SparkEntry {
          SELECT q_id, p_id, CAST(rank AS BIGINT) AS rank,
            CAST(FLOOR(dist * 1000.0) AS BIGINT) AS dist_mm
          FROM r WHERE rank <= 6""",
+
+    // ground truth: the recompute-pinned img_wb fixture, identical
+    // integer gains and first-max tint rule
+    "q212_whitebalance" ->
+      s"""SELECT image_id, sr, sg, sb, npx,
+           CAST((sg * 1000000) // GREATEST(sr, 1) AS BIGINT) AS gain_r_ppm,
+           CAST((sg * 1000000) // GREATEST(sb, 1) AS BIGINT) AS gain_b_ppm,
+           CASE WHEN sr >= sg AND sr >= sb THEN 'r'
+                WHEN sg >= sb THEN 'g' ELSE 'b' END AS tint
+         FROM $IMGWB""",
 
     // ground truth: the recompute-pinned img_eq fixture — md5 pins the
     // equalized buffer byte-for-byte, the diversity derives from its hist

@@ -533,6 +533,28 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGEQ_DONE"))
   }
 
+  def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"
+
+  final case class ImgWbRow(image_id: String, sr: Long, sg: Long, sb: Long, npx: Long)
+
+  /** Gray-world white-balance fixture: exact per-channel byte sums
+    * through the SAME kernel img_channel_sums wraps (q212 contract). */
+  def ensureImgWb(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGWB_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val s = Images.channelSums(Images.decode(bytes)._3)
+        ImgWbRow(id, s(0), s(1), s(2), s(3))
+      }
+      .write.mode("overwrite").parquet(imgWbPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGWB_DONE"))
+  }
+
   def imgSsimPath(sfDir: String): String = s"${baseDir(sfDir)}/img_ssim.parquet"
 
   final case class ImgSsimRow(image_id: String, ssim_self: Long, ssim_blur: Long)

@@ -616,6 +616,22 @@ object Images {
     out
   }
 
+  /** Per-channel byte sums [Σr, Σg, Σb, n_px] — the gray-world
+    * white-balance statistic (exact integers; a cast-free image has
+    * near-equal channel means). */
+  def channelSums(rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](4)
+    var i = 0
+    while (i + 2 < rgb.length) {
+      out(0) += rgb(i) & 0xFF
+      out(1) += rgb(i + 1) & 0xFF
+      out(2) += rgb(i + 2) & 0xFF
+      out(3) += 1
+      i += 3
+    }
+    out
+  }
+
   /** 16-bin luma histogram (bin = luma >> 4) — the exposure profile
     * behind over/under-exposure curation gates. Counts sum to the pixel
     * count; exact integers, no cross-engine tolerance needed. */

@@ -840,6 +840,18 @@ case class ImgRgb(child: Expression) extends GeomUnary {
   override def nullSafeEval(v: Any): Any = K.imgRgb(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+/** Per-channel byte sums [Σr, Σg, Σb, n_px] over a decoded RGB buffer
+  * (see Images.channelSums — the gray-world white-balance statistic). */
+case class ImgChannelSums(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.imgChannelSums(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Per-channel integer histogram equalization over a decoded RGB buffer
   * (see Images.equalizeRgb — constant channels are identity). */
 case class ImgEqualize(child: Expression) extends GeomUnary {
