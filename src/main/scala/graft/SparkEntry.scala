@@ -192,6 +192,32 @@ object SparkEntry {
          dev2 * 100000 > mad4 * 185325 AS anom
        FROM dev JOIN mad ON dev.event_type = mad.event_type"""
 
+  /** q124/q213's shared oracle (Getis-Ord z over the lattice counts;
+    * streamed Complete-mode emission == batch, q193 pattern). */
+  private lazy val HOTSPOT_ORACLE_SQL =
+    s"""WITH pts AS (SELECT CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
+           CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT) AS pgy FROM $IMG),
+         cells AS (SELECT pgx, pgy, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+         gstats AS (SELECT CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2 FROM cells),
+         nbr AS (SELECT pgx + dx.x AS gx, pgy + dy.y AS gy, c,
+             CASE WHEN dx.x = 0 AND dy.y = 0 THEN c ELSE 0 END AS own
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS x) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS y) dy
+           WHERE pgx + dx.x BETWEEN 0 AND 1023 AND pgy + dy.y BETWEEN 0 AND 511),
+         agg AS (SELECT gx, gy, CAST(SUM(c) AS BIGINT) AS wi,
+             CAST(SUM(own) AS BIGINT) AS c_own FROM nbr GROUP BY 1, 2),
+         z AS (SELECT gx, gy, c_own, wi,
+             CAST((LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) *
+                  (LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1) AS BIGINT) AS kk,
+             s1, s2 FROM agg, gstats),
+         q AS (SELECT gx, gy, c_own, wi, kk,
+             CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) /
+               (SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) *
+                SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT) AS zq
+           FROM z)
+         SELECT gx, gy, c_own, wi, kk, zq FROM q WHERE zq >= 1960"""
+
   /** Spine CTEs for the q186/q187/q188 oracles (mirrors hourlySpine). */
   private val HRS_SPINE_SQL =
     """hrs0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
@@ -231,12 +257,22 @@ object SparkEntry {
     * owns the trigger/sink/partition wiring (review: 3 hand copies). */
   private def runStreamCompleteAgg(s: SparkSession, dir: String, tag: String)
       (build: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     GeoTables.ensure(s, dir)
-    val evPath = s"${GeoTables.baseDir(dir)}/stream_${tag}_src"
+    runStreamCompleteAggFrom(s, s.read.parquet(s"$dir/events.parquet"),
+      s"${tag}_${GeoTables.sfName(dir)}")(build)
+  }
+
+  /** The q160/q170/q176/q193 Complete-mode harness over an ARBITRARY
+    * source frame (q213 streams the images' narrow lon/lat projection):
+    * materialize as a 6-file dir, stream 2 files/trigger through
+    * AvailableNow into a memory sink, return the final table. */
+  private def runStreamCompleteAggFrom(s: SparkSession, srcDf: DataFrame, rawTag: String)
+      (build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = rawTag.replaceAll("[^A-Za-z0-9_]", "_") // "sf0.01" → identifier-safe
+    val evPath = s"/tmp/graft_geo/stream_${tag}_src"
     rmTree(evPath)
-    s.read.parquet(s"$dir/events.parquet")
-      .repartition(6).write.mode("overwrite").parquet(evPath)
+    srcDf.repartition(6).write.mode("overwrite").parquet(evPath)
     val schema = s.read.parquet(evPath).schema
     val stream = build(s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2") // several micro-batches, not one
@@ -1356,30 +1392,32 @@ object SparkEntry {
     // tracks data density, not lattice resolution.
     "q124_hotspot" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
-      val cells = s.read.parquet(GeoTables.imagesPath(dir))
+      hotspotZ(s.read.parquet(GeoTables.imagesPath(dir))
         .select(expr("CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT)").as("pgx"),
           expr("CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT)").as("pgy"))
-        .groupBy("pgx", "pgy").agg(count(lit(1)).as("c"))
-      val glob = cells.agg(sum("c").as("s1"), sum(expr("c * c")).as("s2"))
-      val nbr = cells
-        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select((col("pgx") + col("dx")).as("gx"), (col("pgy") + col("dy")).as("gy"),
-          col("c"),
-          when(col("dx") === 0L && col("dy") === 0L, col("c")).otherwise(0L).as("own"))
-        .where(col("gx").between(0L, 1023L) && col("gy").between(0L, 511L))
-      nbr.groupBy("gx", "gy")
-        .agg(sum("c").as("wi"), sum("own").as("c_own"))
-        .crossJoin(broadcast(glob))
-        .withColumn("kk", expr(
-          "(LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) * " +
-          "(LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1)"))
-        .withColumn("zq", expr(
-          "CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) / " +
-          "(SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) * " +
-          "SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT)"))
-        .where(col("zq") >= 1960L)
-        .select("gx", "gy", "c_own", "wi", "kk", "zq")
+        .groupBy("pgx", "pgy").agg(count(lit(1)).as("c")))
+    }),
+
+    // ---------------- streaming hot-spot detection (r5 s13) ----------------
+    // q124's Getis–Ord z-scores fed by a Structured Streaming
+    // Complete-mode lattice aggregation: per-cell counts accumulate
+    // across micro-batches through the state store, the exact z-score
+    // post-pass runs over the final emission, and the result equals
+    // q124 exactly (SAME oracle) — batch-boundary independence of the
+    // whole spatial-statistics path, the q193 pattern on the spatial
+    // axis. Only the narrow (lon, lat) projection streams.
+    "q213_stream_hotspot" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val pts = s.read.parquet(GeoTables.imagesPath(dir)).select("lon", "lat")
+      val sink = runStreamCompleteAggFrom(s, pts,
+          s"hot_${GeoTables.sfName(dir)}") { src =>
+        src.groupBy(
+            expr("CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT)").as("pgx"),
+            expr("CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT)").as("pgy"))
+          .agg(count(lit(1)).as("c"))
+      }
+      // fresh attribute ids (q193 note): the post-pass self-joins the sink
+      hotspotZ(s.createDataFrame(sink.rdd, sink.schema))
     }),
     // SPATIAL-NETWORK SHORTEST PATH: BFS hop distance from the hot zone
     // over the zone-adjacency graph (edges = q68's rect-intersects pairs
@@ -4644,6 +4682,32 @@ object SparkEntry {
     })
   )
 
+  /** q124/q213's shared Getis–Ord post-pass over (pgx, pgy, c) lattice
+    * counts: exact integer window sums, the one fixed double z-score
+    * expression, hot cells at z ≥ 1.96. */
+  private def hotspotZ(cells: DataFrame): DataFrame = {
+    val glob = cells.agg(sum("c").as("s1"), sum(expr("c * c")).as("s2"))
+    val nbr = cells
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("pgx") + col("dx")).as("gx"), (col("pgy") + col("dy")).as("gy"),
+        col("c"),
+        when(col("dx") === 0L && col("dy") === 0L, col("c")).otherwise(0L).as("own"))
+      .where(col("gx").between(0L, 1023L) && col("gy").between(0L, 511L))
+    nbr.groupBy("gx", "gy")
+      .agg(sum("c").as("wi"), sum("own").as("c_own"))
+      .crossJoin(broadcast(glob))
+      .withColumn("kk", expr(
+        "(LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) * " +
+        "(LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1)"))
+      .withColumn("zq", expr(
+        "CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) / " +
+        "(SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) * " +
+        "SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT)"))
+      .where(col("zq") >= 1960L)
+      .select("gx", "gy", "c_own", "wi", "kk", "zq")
+  }
+
   /** Shared q201/q207 prelude: every 500th image probes its k = 9
     * nearest (incl. self, filtered after ranking — both engines cut at
     * the same (d2, p_id) order), labeled with both endpoint classes.
@@ -5054,29 +5118,7 @@ object SparkEntry {
     // exact-integer window sums; the z-score is the identical double
     // expression over exact integers in both engines (IEEE +,-,*,/ and a
     // correctly-rounded SQRT are bit-deterministic), then milli-quantized
-    "q124_hotspot" ->
-      s"""WITH pts AS (SELECT CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
-           CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT) AS pgy FROM $IMG),
-         cells AS (SELECT pgx, pgy, COUNT(*) AS c FROM pts GROUP BY 1, 2),
-         gstats AS (SELECT CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2 FROM cells),
-         nbr AS (SELECT pgx + dx.x AS gx, pgy + dy.y AS gy, c,
-             CASE WHEN dx.x = 0 AND dy.y = 0 THEN c ELSE 0 END AS own
-           FROM cells,
-             (SELECT unnest(generate_series(-1, 1)) AS x) dx,
-             (SELECT unnest(generate_series(-1, 1)) AS y) dy
-           WHERE pgx + dx.x BETWEEN 0 AND 1023 AND pgy + dy.y BETWEEN 0 AND 511),
-         agg AS (SELECT gx, gy, CAST(SUM(c) AS BIGINT) AS wi,
-             CAST(SUM(own) AS BIGINT) AS c_own FROM nbr GROUP BY 1, 2),
-         z AS (SELECT gx, gy, c_own, wi,
-             CAST((LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) *
-                  (LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1) AS BIGINT) AS kk,
-             s1, s2 FROM agg, gstats),
-         q AS (SELECT gx, gy, c_own, wi, kk,
-             CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) /
-               (SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) *
-                SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT) AS zq
-           FROM z)
-         SELECT gx, gy, c_own, wi, kk, zq FROM q WHERE zq >= 1960""",
+    "q124_hotspot" -> HOTSPOT_ORACLE_SQL,
     // ground truth: recursive-CTE level exploration (UNION dedupes
     // (node,dist) pairs, so work is bounded by |E|·depth), MIN(dist) per
     // node = BFS hop distance; the engine's convergence `require` plus the
@@ -7132,6 +7174,10 @@ object SparkEntry {
          SELECT q_id, p_id, CAST(rank AS BIGINT) AS rank,
            CAST(FLOOR(dist * 1000.0) AS BIGINT) AS dist_mm
          FROM r WHERE rank <= 6""",
+
+    // streaming Complete-mode emission == batch lattice counts, so the
+    // SAME oracle pins the whole streamed hot-spot path (q193 pattern)
+    "q213_stream_hotspot" -> HOTSPOT_ORACLE_SQL,
 
     // ground truth: the recompute-pinned img_wb fixture, identical
     // integer gains and first-max tint rule
