@@ -4529,7 +4529,8 @@ object SparkEntry {
     // rung since d ≤ cell size), and only the four COUNTS aggregate —
     // the pair set streams through whole-stage codegen, never
     // materializes. The milli quantization is the shared sign-split
-    // ladder; 129600·n_pairs stays a long to ~7e13 pairs.
+    // ladder, whose ×8 intermediate bounds 129600·n_pairs·8 ≤ 2^63 —
+    // long-safe to ~8.9e12 within-d pairs per rung (review s13).
     "q209_ripley" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
       val pts = s.read.parquet(GeoTables.imagesPath(dir))

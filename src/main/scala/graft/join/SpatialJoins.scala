@@ -299,11 +299,21 @@ object SpatialJoins {
     val spark = points.sparkSession
     GraftFunctions.install(spark)
     val maxR = 1500000.0
-    val n = math.max(points.count(), 1L)
-    val earth = 4.0 * math.Pi * 6371008.8 * 6371008.8
-    val guess = math.sqrt(4.0 * k * earth / (n.toDouble * math.Pi))
-    var r = math.min(maxR, math.max(if (r0Meters > 0) r0Meters else guess, 1000.0))
-    val qn = queries.count()
+    // k ≤ n fail-fast via a k-BOUNDED probe (review s13: without it a
+    // k > n call burned ~11 futile doubling rounds before a misleading
+    // beyond-cap error), and the full count only when the density guess
+    // is actually wanted — a caller supplying r0Meters skips that job
+    require(points.limit(k).count() >= k,
+      s"knnSphere: k=$k exceeds the point count")
+    var r = math.max(if (r0Meters > 0) r0Meters else {
+      val n = math.max(points.count(), 1L)
+      val earth = 4.0 * math.Pi * 6371008.8 * 6371008.8
+      math.sqrt(4.0 * k * earth / (n.toDouble * math.Pi))
+    }, 1000.0)
+    r = math.min(maxR, r)
+    // bounded probe (the fewDims pattern): exact when ≤ 100k, and the
+    // 100001 sentinel correctly fails geoRadiusJoin's broadcast test
+    val qn = queries.limit(100001).count()
     var pending = queries.select(col("id").as("site_id"), col("lon").as("site_lon"),
       col("lat").as("site_lat")).localCheckpoint()
     val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

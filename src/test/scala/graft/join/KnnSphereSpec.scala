@@ -72,9 +72,19 @@ class KnnSphereSpec extends AnyFunSuite {
   test("empty query set returns an empty frame with the contract schema") {
     import spark.implicits._
     val out = SpatialJoins.knnSphere(
-      Seq(("a", 0.0, 0.0)).toDF("id", "lon", "lat"),
+      Seq(("a", 0.0, 0.0), ("b", 1.0, 1.0), ("c", 2.0, 2.0)).toDF("id", "lon", "lat"),
       Seq.empty[(String, Double, Double)].toDF("id", "lon", "lat"), k = 3)
     assert(out.columns.toSeq == Seq("q_id", "p_id", "dist_m", "rank"))
     assert(out.count() == 0)
+  }
+
+  test("k > point count fails fast with the right diagnosis") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoins.knnSphere(
+        Seq(("a", 0.0, 0.0)).toDF("id", "lon", "lat"),
+        Seq(("q", 0.0, 0.0)).toDF("id", "lon", "lat"), k = 3)
+    }
+    assert(e.getMessage.contains("exceeds the point count"))
   }
 }
