@@ -4476,6 +4476,30 @@ object SparkEntry {
           floor(col("dist_m") * 1000.0).cast("bigint").as("dist_mm"))
     }),
 
+    // ---------------- seasonal-trend decomposition (r5 s13) ----------------
+    // Classical decomposition of the hourly volume series, EXACT: trend
+    // = the centered 25-hour moving mean (dense zero-filled spine ⇒ the
+    // ROWS frame IS the calendar window), seasonal = the per-(type,
+    // h%24) doubled median of the detrended series, residual the exact
+    // remainder — every component carried at an integer scale (×50 for
+    // detrended, ×100 for seasonal/residual: 100·n = 4·sum25 + sea100 +
+    // res100 identically). Edges without a full window are dropped in
+    // both engines. One window pass + the med2By machinery.
+    "q214_decompose" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+      val t = hourlySpine(s, dir)
+        .withColumn("sum25", sum("n").over(w))
+        .withColumn("cnt25", count(lit(1)).over(w))
+        .where(col("cnt25") === 25)
+        .withColumn("hod", col("h") % 24)
+        .withColumn("dt50", col("n") * 50 - col("sum25") * 2)
+      t.join(med2By(t, Seq("event_type", "hod"), "dt50", "sea100"),
+          Seq("event_type", "hod"))
+        .select(col("event_type"), col("h"), col("hod"), col("n"), col("sum25"),
+          col("dt50"), col("sea100"),
+          (col("n") * 100 - col("sum25") * 4 - col("sea100")).as("res100"))
+    }),
+
     // ---------------- histogram equalization (r5 s13) ----------------
     // Exposure normalization as an EXACT kernel: per-channel integer
     // equalization (Gonzalez–Woods cdf map, constant channels identity),
@@ -7179,6 +7203,27 @@ object SparkEntry {
     // streaming Complete-mode emission == batch lattice counts, so the
     // SAME oracle pins the whole streamed hot-spot path (q193 pattern)
     "q213_stream_hotspot" -> HOTSPOT_ORACLE_SQL,
+
+    "q214_decompose" ->
+      s"""WITH $HRS_SPINE_SQL,
+         t AS (SELECT event_type, h, h % 24 AS hod, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS sum25,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cnt25
+           FROM hrs),
+         tf AS (SELECT event_type, h, hod, n, sum25, n * 50 - sum25 * 2 AS dt50
+           FROM t WHERE cnt25 = 25),
+         r1 AS (SELECT event_type, hod, h, dt50,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY dt50, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, hod) AS m FROM tf),
+         sea AS (SELECT event_type, hod, CAST(SUM(dt50) * 2 // COUNT(*) AS BIGINT) AS sea100
+           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2)
+         SELECT tf.event_type, CAST(tf.h AS BIGINT) AS h, CAST(tf.hod AS BIGINT) AS hod,
+           tf.n, CAST(tf.sum25 AS BIGINT) AS sum25, CAST(tf.dt50 AS BIGINT) AS dt50,
+           sea.sea100,
+           CAST(tf.n * 100 - tf.sum25 * 4 - sea.sea100 AS BIGINT) AS res100
+         FROM tf JOIN sea ON tf.event_type = sea.event_type AND tf.hod = sea.hod""",
 
     // ground truth: the recompute-pinned img_wb fixture, identical
     // integer gains and first-max tint rule
