@@ -218,6 +218,16 @@ object SparkEntry {
            FROM z)
          SELECT gx, gy, c_own, wi, kk, zq FROM q WHERE zq >= 1960"""
 
+  /** q215's shared ACF ratio: Σ(n_t−μ)(n_{t+k}−μ) / Σ(n−μ)² over the
+    * exact integer components, ppm-quantized — identical formula text in
+    * both engines (μ = s1/m folded in as doubles). */
+  private val ACF_PPM_SQL =
+    """CAST(FLOOR(1e6 *
+       ((CAST(sxy AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+         + CAST(cnt AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+        / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))))
+       AS BIGINT)"""
+
   /** Spine CTEs for the q186/q187/q188 oracles (mirrors hourlySpine). */
   private val HRS_SPINE_SQL =
     """hrs0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
@@ -4476,6 +4486,34 @@ object SparkEntry {
           floor(col("dist_m") * 1000.0).cast("bigint").as("dist_mm"))
     }),
 
+    // ---------------- autocorrelation function (r5 s13) ----------------
+    // Mean-centered ACF of the hourly volume series for lags 1..24 —
+    // the diagnostics companion to q188's cross-correlation and q214's
+    // decomposition (a 24 h peak = diurnal seasonality; slow decay =
+    // trend). Exact integer components per (type, lag): the lag-pair
+    // product sum plus head/tail boundary sums (the lag window drops k
+    // rows, so Σ(n_t−μ)(n_{t+k}−μ) = sxy − μ(sh+st) + cnt·μ²); the ppm
+    // ratio is ONE shared double formula over them (the q124/q203
+    // contract). One self-join keyed on the hour, 24× literal explode —
+    // calendar-bounded like the whole spine family.
+    "q215_acf" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val glob = hours.groupBy("event_type").agg(count(lit(1)).as("m"),
+        sum("n").as("s1"), sum(expr("n * n")).as("s2"))
+      val a = hours
+        .select(col("event_type"), col("h"), col("n").as("na"))
+        .withColumn("lag", explode(expr("sequence(1L, 24L)")))
+        .withColumn("hb", col("h") + col("lag"))
+      val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
+      a.join(b, Seq("event_type", "hb"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("cnt"), sum(expr("na * nb")).as("sxy"),
+          sum("na").as("sh"), sum("nb").as("st"))
+        .join(broadcast(glob), "event_type")
+        .select(col("event_type"), col("lag"), col("cnt"), col("sxy"),
+          col("sh"), col("st"), expr(ACF_PPM_SQL).as("acf_ppm"))
+    }),
+
     // ---------------- seasonal-trend decomposition (r5 s13) ----------------
     // Classical decomposition of the hourly volume series, EXACT: trend
     // = the centered 25-hour moving mean (dense zero-filled spine ⇒ the
@@ -7203,6 +7241,20 @@ object SparkEntry {
     // streaming Complete-mode emission == batch lattice counts, so the
     // SAME oracle pins the whole streamed hot-spot path (q193 pattern)
     "q213_stream_hotspot" -> HOTSPOT_ORACLE_SQL,
+
+    "q215_acf" ->
+      s"""WITH $HRS_SPINE_SQL,
+         g AS (SELECT event_type, COUNT(*) AS m, CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2 FROM hrs GROUP BY 1),
+         p AS (SELECT a.event_type, l AS lag, COUNT(*) AS cnt,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(SUM(a.n) AS BIGINT) AS sh, CAST(SUM(b.n) AS BIGINT) AS st
+           FROM hrs a, UNNEST(generate_series(1, 24)) AS u(l)
+           JOIN hrs b ON b.event_type = a.event_type AND b.h = a.h + l
+           GROUP BY 1, 2)
+         SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.cnt, p.sxy, p.sh, p.st,
+           $ACF_PPM_SQL AS acf_ppm
+         FROM p JOIN g ON p.event_type = g.event_type""",
 
     "q214_decompose" ->
       s"""WITH $HRS_SPINE_SQL,
