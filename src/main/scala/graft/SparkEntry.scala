@@ -4486,6 +4486,37 @@ object SparkEntry {
           floor(col("dist_m") * 1000.0).cast("bigint").as("dist_mm"))
     }),
 
+    // ---------------- Kendall rank correlation (r5 s13) ----------------
+    // τ-a between every pair of event-type hourly series — the robust
+    // (rank-based) companion to q188's product cross-correlation:
+    // concordant/discordant counts over all C(hours,2) hour pairs,
+    // EXACT integers end-to-end (sign products, no ranks to average);
+    // ties count in the denominator (τ-a). Fan-out = type-pairs ×
+    // C(hours,2) — calendar-bounded like q195, never data-bounded. The
+    // ppm quantization sign-splits so truncation agrees cross-engine
+    // for negative τ.
+    "q216_kendall" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val w = hours.select(col("event_type").as("ta"), col("h"), col("n").as("na"))
+        .join(hours.select(col("event_type").as("tb"), col("h"), col("n").as("nb")), "h")
+        .where(col("ta") < col("tb"))
+      val x = w.select(col("ta"), col("tb"), col("h").as("t"),
+        col("na").as("nat"), col("nb").as("nbt"))
+      val y = w.select(col("ta"), col("tb"), col("h").as("u"),
+        col("na").as("nau"), col("nb").as("nbu"))
+      x.join(y, Seq("ta", "tb")).where(col("t") < col("u"))
+        .withColumn("sgn", expr(
+          """(CASE WHEN nat > nau THEN 1 WHEN nat < nau THEN -1 ELSE 0 END) *
+             (CASE WHEN nbt > nbu THEN 1 WHEN nbt < nbu THEN -1 ELSE 0 END)"""))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(sgn = 1 AS BIGINT)")).as("conc"),
+          sum(expr("CAST(sgn = -1 AS BIGINT)")).as("disc"))
+        .withColumn("tau_ppm", expr(
+          """CASE WHEN conc >= disc THEN ((conc - disc) * 1000000) div n_pairs
+             ELSE -(((disc - conc) * 1000000) div n_pairs) END"""))
+    }),
+
     // ---------------- autocorrelation function (r5 s13) ----------------
     // Mean-centered ACF of the hourly volume series for lags 1..24 —
     // the diagnostics companion to q188's cross-correlation and q214's
@@ -7241,6 +7272,24 @@ object SparkEntry {
     // streaming Complete-mode emission == batch lattice counts, so the
     // SAME oracle pins the whole streamed hot-spot path (q193 pattern)
     "q213_stream_hotspot" -> HOTSPOT_ORACLE_SQL,
+
+    "q216_kendall" ->
+      s"""WITH $HRS_SPINE_SQL,
+         w AS (SELECT a.event_type AS ta, b.event_type AS tb, a.h,
+             a.n AS na, b.n AS nb
+           FROM hrs a JOIN hrs b ON a.h = b.h AND a.event_type < b.event_type),
+         p AS (SELECT x.ta, x.tb,
+             (CASE WHEN x.na > y.na THEN 1 WHEN x.na < y.na THEN -1 ELSE 0 END) *
+             (CASE WHEN x.nb > y.nb THEN 1 WHEN x.nb < y.nb THEN -1 ELSE 0 END) AS sgn
+           FROM w x JOIN w y ON x.ta = y.ta AND x.tb = y.tb AND x.h < y.h),
+         c AS (SELECT ta, tb, COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc
+           FROM p GROUP BY 1, 2)
+         SELECT ta, tb, n_pairs, conc, disc,
+           CAST(CASE WHEN conc >= disc THEN ((conc - disc) * 1000000) // n_pairs
+             ELSE -(((disc - conc) * 1000000) // n_pairs) END AS BIGINT) AS tau_ppm
+         FROM c""",
 
     "q215_acf" ->
       s"""WITH $HRS_SPINE_SQL,
