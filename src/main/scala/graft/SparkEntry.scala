@@ -173,6 +173,35 @@ object SparkEntry {
         (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
   }
 
+  /** q198/q217's exact hour-of-day seasonal audit over an
+    * (event_type, h, n) series: per-(type, hod) doubled-median baseline,
+    * per-type MAD over the deseasonalized deviations. */
+  private def seasonalAnomaly(hours0: DataFrame): DataFrame = {
+    val hours = hours0.withColumn("hod", col("h") % 24)
+    val dev = hours
+      .join(med2By(hours, Seq("event_type", "hod"), "n", "med2s"),
+        Seq("event_type", "hod"))
+      .withColumn("dev2", abs(col("n") * 2 - col("med2s")))
+    dev.join(med2By(dev, Seq("event_type"), "dev2", "mad4"), "event_type")
+      .select(col("event_type"), col("h"), col("hod"), col("n"), col("med2s"),
+        col("dev2"), col("mad4"),
+        (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
+  }
+
+  /** Zero-filled spine rebuilt from STREAMED (event_type, h, cnt) rows
+    * (q193/q217): fresh attribute ids first — the spine both aggregates
+    * the memory-sink View and joins back to it, which trips
+    * conflicting-reference resolution otherwise. */
+  private def spineFromCounts(s: SparkSession, sink: DataFrame): DataFrame = {
+    val counts = s.createDataFrame(sink.rdd, sink.schema)
+    counts.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(expr("sequence(h0, h1)")).as("h"))
+      .crossJoin(counts.select("event_type").distinct())
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("n"))
+      .localCheckpoint()
+  }
+
   /** q186/q193's shared oracle (robustAnomaly replayed over the spine). */
   private lazy val ANOM_ORACLE_SQL =
     s"""WITH $HRS_SPINE_SQL,
@@ -227,6 +256,29 @@ object SparkEntry {
          + CAST(cnt AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
         / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))))
        AS BIGINT)"""
+
+  /** q198/q217's shared oracle (seasonalAnomaly replayed over the
+    * spine; streamed Complete-mode emission == batch). */
+  private lazy val SEAS_ORACLE_SQL =
+    s"""WITH $HRS_SPINE_SQL,
+         hh AS (SELECT event_type, h, h % 24 AS hod, n FROM hrs),
+         r1 AS (SELECT event_type, hod, h, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY n, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, hod) AS m FROM hh),
+         seas AS (SELECT event_type, hod, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2s
+           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2),
+         dev AS (SELECT hh.event_type, hh.h, hh.hod, hh.n, seas.med2s,
+             ABS(hh.n * 2 - seas.med2s) AS dev2
+           FROM hh JOIN seas ON hh.event_type = seas.event_type AND hh.hod = seas.hod),
+         r2 AS (SELECT event_type, h, dev2,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m FROM dev),
+         mad AS (SELECT event_type, CAST(SUM(dev2) * 2 // COUNT(*) AS BIGINT) AS mad4
+           FROM r2 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1)
+         SELECT dev.event_type, CAST(dev.h AS BIGINT) AS h, CAST(dev.hod AS BIGINT) AS hod,
+           dev.n, dev.med2s, dev.dev2, mad.mad4,
+           dev.dev2 * 100000 > mad.mad4 * 185325 AS anom
+         FROM dev JOIN mad ON dev.event_type = mad.event_type"""
 
   /** Spine CTEs for the q186/q187/q188 oracles (mirrors hourlySpine). */
   private val HRS_SPINE_SQL =
@@ -4085,16 +4137,7 @@ object SparkEntry {
           expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
           .agg(count(lit(1)).as("cnt"))
       }
-      // fresh attribute ids: the spine both aggregates the sink AND joins
-      // back to it — referencing the memory-sink View twice trips
-      // conflicting-reference resolution, so re-wrap its rows once
-      val counts = s.createDataFrame(sink.rdd, sink.schema)
-      val hours = counts.agg(min("h").as("h0"), max("h").as("h1"))
-        .select(explode(expr("sequence(h0, h1)")).as("h"))
-        .crossJoin(counts.select("event_type").distinct())
-        .join(counts, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("n"))
-      robustAnomaly(hours)
+      robustAnomaly(spineFromCounts(s, sink))
     }),
 
     // ---------------- tonal diversity (r5 s12) ----------------
@@ -4229,16 +4272,21 @@ object SparkEntry {
     // type over the deseasonalized series — so a 3am spike is flagged
     // against 3am's norm, not the whole day's (the med2By generalization:
     // the median partitions by (type, hod), the MAD by type alone).
-    "q198_seasonal_anomaly" -> ((s, dir) => {
-      val hours = hourlySpine(s, dir).withColumn("hod", col("h") % 24)
-      val dev = hours
-        .join(med2By(hours, Seq("event_type", "hod"), "n", "med2s"),
-          Seq("event_type", "hod"))
-        .withColumn("dev2", abs(col("n") * 2 - col("med2s")))
-      dev.join(med2By(dev, Seq("event_type"), "dev2", "mad4"), "event_type")
-        .select(col("event_type"), col("h"), col("hod"), col("n"), col("med2s"),
-          col("dev2"), col("mad4"),
-          (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
+    "q198_seasonal_anomaly" -> ((s, dir) => seasonalAnomaly(hourlySpine(s, dir))),
+
+    // ---------------- streamed seasonal anomaly (r5 s13) ----------------
+    // q198's hour-of-day audit fed by the Complete-mode streamed hourly
+    // counts (the q193/q213 pattern's third member): the spine rebuilds
+    // from the STREAMED [min, max], the seasonal median/MAD gate runs as
+    // the batch post-pass, and the result equals q198 exactly (SAME
+    // oracle) — batch-boundary independence of the seasonal path too.
+    "q217_stream_seasonal" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "seas") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      seasonalAnomaly(spineFromCounts(s, sink))
     }),
 
     // ---------------- LSH calibration S-curve (r5 s13) ----------------
@@ -7113,26 +7161,8 @@ object SparkEntry {
          SELECT np.event_type, n_pairs, slope_milli2
          FROM np JOIN med ON np.event_type = med.event_type""",
 
-    "q198_seasonal_anomaly" ->
-      s"""WITH $HRS_SPINE_SQL,
-         hh AS (SELECT event_type, h, h % 24 AS hod, n FROM hrs),
-         r1 AS (SELECT event_type, hod, h, n,
-             ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY n, h) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type, hod) AS m FROM hh),
-         seas AS (SELECT event_type, hod, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2s
-           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2),
-         dev AS (SELECT hh.event_type, hh.h, hh.hod, hh.n, seas.med2s,
-             ABS(hh.n * 2 - seas.med2s) AS dev2
-           FROM hh JOIN seas ON hh.event_type = seas.event_type AND hh.hod = seas.hod),
-         r2 AS (SELECT event_type, h, dev2,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, h) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS m FROM dev),
-         mad AS (SELECT event_type, CAST(SUM(dev2) * 2 // COUNT(*) AS BIGINT) AS mad4
-           FROM r2 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1)
-         SELECT dev.event_type, CAST(dev.h AS BIGINT) AS h, CAST(dev.hod AS BIGINT) AS hod,
-           dev.n, dev.med2s, dev.dev2, mad.mad4,
-           dev.dev2 * 100000 > mad.mad4 * 185325 AS anom
-         FROM dev JOIN mad ON dev.event_type = mad.event_type""",
+    "q198_seasonal_anomaly" -> SEAS_ORACLE_SQL,
+    "q217_stream_seasonal" -> SEAS_ORACLE_SQL,
 
     // ground truth: the same labeled pair set brute-forced — exact
     // distinct-shingle intersections via unnest, positional band equality
