@@ -188,6 +188,36 @@ object SparkEntry {
         (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
   }
 
+  /** q220's exact CUSUM over an (event_type, h, n) series: integer
+    * mean-centering y = H·n − S, prefix sums U, and the running-extremum
+    * closed form of Page's recursive S⁺ = max(0, S⁺+y) / S⁻. */
+  private def cusumAudit(hours: DataFrame): DataFrame = {
+    val glob = hours.groupBy("event_type")
+      .agg(count(lit(1)).as("hh"), sum("n").as("s_tot"))
+    val cum = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hours.join(broadcast(glob), "event_type")
+      .withColumn("y", col("hh") * col("n") - col("s_tot"))
+      .withColumn("u", sum("y").over(cum))
+      .withColumn("spos", col("u") - least(lit(0L), min("u").over(cum)))
+      .withColumn("sneg", greatest(lit(0L), max("u").over(cum)) - col("u"))
+      .select(col("event_type"), col("h"), col("n"), col("u"),
+        col("spos"), col("sneg"),
+        (col("spos") > col("s_tot") * 4).as("anom_pos"),
+        (col("sneg") > col("s_tot") * 4).as("anom_neg"))
+  }
+
+  /** Benford's-law first-digit expectation, floor(log10(1 + 1/d)·1e6) —
+    * the ONE pinned literal list both the q222 engine frame and its
+    * oracle VALUES are built from (irrational constants never recompute). */
+  private val BENFORD_EXP_PPM: Seq[(Int, Int)] = Seq(
+    1 -> 301029, 2 -> 176091, 3 -> 124938, 4 -> 96910, 5 -> 79181,
+    6 -> 66946, 7 -> 57991, 8 -> 51152, 9 -> 45757)
+
+  private def benfordValuesSql: String = BENFORD_EXP_PPM
+    .map { case (d, p) => s"($d, $p)" }
+    .mkString("(VALUES ", ", ", ") AS e(digit, exp_ppm)")
+
   /** Zero-filled spine rebuilt from STREAMED (event_type, h, cnt) rows
     * (q193/q217): fresh attribute ids first — the spine both aggregates
     * the memory-sink View and joins back to it, which trips
@@ -4821,6 +4851,99 @@ object SparkEntry {
           expr(lamMilliSql("-")).as("lam2_milli"),
           (col("cxy") * 2).as("orient_num"),
           (col("cxx") - col("cyy")).as("orient_den"))
+    }),
+
+    // ---------------- Geary's C (r5 s14) ----------------
+    // The local-difference ESDA companion to q203's Moran: C =
+    // (N−1)·Σw(x_i−x_j)² / (2W·Σ(x_i−x̄)²) over the same 1024×512 queen
+    // lattice. Expanded so every term is DATA-bounded exact integer:
+    // Σw(x_i−x_j)² = 2(Ydeg − X) with Ydeg = Σ deg_i·c_i² (occupied cells
+    // only — empty cells contribute 0 to both terms) and X = q203's
+    // adjacent-occupied-pair cross product; the denominator reuses the
+    // N·s2 − s1² form. ONE shared double formula, ppm-quantized (C < 1e6
+    // clustered, ≈1e6 random, > 1e6 dispersed — the inverse read of
+    // Moran's I). Long envelope: Ydeg ≤ 8·s2 — s2's q203 envelope ÷ 8.
+    "q218_geary" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = latticeCells(s, dir)
+      val glob = cells.agg(sum("c").as("s1"), sum(expr("c * c")).as("s2"),
+        sum(expr(s"($LAT_KK - 1) * c * c")).as("ydeg"))
+      val x = latticeNbr(cells)
+        .join(cells.select(col("gx").as("jx"), col("gy").as("jy"), col("c").as("cj")),
+          Seq("jx", "jy"))
+        .agg(sum(expr("ci * cj")).as("x"))
+      glob.crossJoin(x)
+        .select(col("s1"), col("s2"), col("ydeg"), col("x"), lit(LAT_W).as("w"),
+          expr(GEARY_PPM_SQL).as("c_ppm"))
+    }),
+
+    // ---------------- empirical semivariogram (r5 s14) ----------------
+    // The geostatistics calibration curve (Matheron's γ, public): γ(h) =
+    // Σ(c_i − c_j)² / (2·N_h) over OCCUPIED lattice-cell count pairs at
+    // exact axis lags h = 1..8, directions E (gx+h) and N (gy+h) — the
+    // variance-vs-distance profile that sizes an interpolation range
+    // (q122's IDW neighborhood) or a spatial-CV buffer (q197) BEFORE a
+    // 100 TB run. One 16-way explode + one equi-join on the shifted cell
+    // key: pair count is Σ occupied-within-lag, never n²; γ ships as an
+    // exact centi-quantized integer division (trunc = floor on the
+    // non-negative operands, identical in both engines).
+    "q219_semivariogram" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = latticeCells(s, dir)
+      val f = cells
+        .withColumn("lag_h", explode(expr("sequence(1L, 8L)")))
+        .withColumn("dir", explode(array(lit("E"), lit("N"))))
+        .select(col("dir"), col("lag_h"),
+          when(col("dir") === "E", col("gx") + col("lag_h")).otherwise(col("gx")).as("jx"),
+          when(col("dir") === "E", col("gy")).otherwise(col("gy") + col("lag_h")).as("jy"),
+          col("c").as("ci"))
+      f.join(cells.select(col("gx").as("jx"), col("gy").as("jy"), col("c").as("cj")),
+          Seq("jx", "jy"))
+        .groupBy("dir", "lag_h")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("(ci - cj) * (ci - cj)")).as("sum_sq"))
+        .select(col("dir"), col("lag_h"), col("n_pairs"), col("sum_sq"),
+          expr("(sum_sq * 100) div (2 * n_pairs)").as("gamma_centi"))
+    }),
+
+    // ---------------- CUSUM changepoint audit (r5 s14) ----------------
+    // Page's cumulative-sum control chart over the zero-filled hourly
+    // spine — the sustained-level-shift detector the pointwise robust
+    // z-score (q186) cannot see. Exact integers end-to-end: y_t =
+    // H·n_t − S mean-centers without rationals (H = calendar hours,
+    // S = Σn, so Σy = 0 identically); Page's recursion S⁺_t =
+    // max(0, S⁺_{t−1} + y_t) takes its running-extremum closed form
+    // S⁺_t = U_t − min(0, min_{s≤t} U_s) with U the prefix sum — two
+    // stacked windows per type, no driver loop, state O(1)/row. Flag
+    // when cumulative excess tops 4 mean-hours of volume: S⁺ > 4·S
+    // (both sides in H·images units). Long-safe while H·n_h ≤ 9.2e18 —
+    // a 10⁵-hour spine admits ~1e14 events per hour.
+    "q220_cusum" -> ((s, dir) => cusumAudit(hourlySpine(s, dir))),
+
+    // ---------------- Benford first-digit audit (r5 s14) ----------------
+    // The classic fabricated/degenerate-data screen over document
+    // lengths: observed first-significant-digit shares vs Benford's
+    // log10(1 + 1/d) expectation, pinned as NINE integer ppm literals
+    // shared verbatim by both engines (the irrational expectation never
+    // recomputes — no float log10 anywhere). Digit extraction is
+    // string-first (substr of the decimal rendering — exact for any
+    // positive integer); obs shares ride the base-100 safe ppm division;
+    // the χ²-style distance dev²/exp stays integer. Scan-only: one
+    // groupBy onto a 9-value key, then a broadcast join to the literals.
+    "q222_benford" -> ((s, dir) => {
+      import s.implicits._
+      val expDf = BENFORD_EXP_PPM.map { case (d, p) => (d.toLong, p.toLong) }
+        .toDF("digit", "exp_ppm")
+      t(s, dir, "documents").where(col("n_chars") > 0)
+        .select(substring(col("n_chars").cast("string"), 1, 1).cast("bigint").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_tot", sum("n_docs").over(Window.partitionBy()))
+        .join(broadcast(expDf), "digit")
+        .withColumn("obs_ppm", expr(ppmDivSql("n_docs", "n_tot")))
+        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+        .select(col("digit"), col("n_docs"), col("obs_ppm"), col("exp_ppm"),
+          col("dev_ppm"),
+          expr("(dev_ppm * dev_ppm) div exp_ppm").as("chi_u"))
     })
   )
 
@@ -4905,6 +5028,14 @@ object SparkEntry {
        ((CAST(x AS DOUBLE) - 2e0 * (CAST(s1 AS DOUBLE) / 524288e0) * CAST(y AS DOUBLE)
          + (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0) * ${LAT_W}e0)
         / (CAST(s2 AS DOUBLE) - 524288e0 * (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)))))
+       AS BIGINT)"""
+
+  /** Geary's C over the exact integer components, ppm-quantized — the
+    * IDENTICAL formula text runs in both engines:
+    * C = N(N−1)(Ydeg − X) / (W(N·s2 − s1²)). */
+  private val GEARY_PPM_SQL =
+    s"""CAST(FLOOR(1e6 * (524288e0 * 524287e0 * (CAST(ydeg AS DOUBLE) - CAST(x AS DOUBLE))
+       / (${LAT_W}e0 * (524288e0 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))))
        AS BIGINT)"""
 
   /** Local Moran magnitude: I_i = zn·ln / (N·s2 − s1²), ppm-quantized. */
@@ -7546,7 +7677,68 @@ object SparkEntry {
          SELECT s.fmt_a, s.fmt_b, np.n_probes_a, s.sum_share_ppm, gl.n_b,
            CAST(((s.sum_share_ppm // np.n_probes_a) * (gl.n_tot - 1)) // gl.n_b AS BIGINT)
              AS clq_ppm
-         FROM s JOIN np ON s.fmt_a = np.fmt_a JOIN gl ON s.fmt_b = gl.fmt_b"""
+         FROM s JOIN np ON s.fmt_a = np.fmt_a JOIN gl ON s.fmt_b = gl.fmt_b""",
+
+    "q218_geary" ->
+      s"""WITH $LAT_CELLS_SQL,
+         gstat AS (SELECT CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(SUM(($LAT_KK - 1) * c * c) AS BIGINT) AS ydeg FROM cells),
+         nbr AS (SELECT gx + dx.v AS jx, gy + dy.v AS jy, c AS ci
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dy
+           WHERE NOT (dx.v = 0 AND dy.v = 0)),
+         xx AS (SELECT CAST(SUM(n.ci * c2.c) AS BIGINT) AS x
+           FROM nbr n JOIN cells c2 ON n.jx = c2.gx AND n.jy = c2.gy)
+         SELECT s1, s2, ydeg, x, CAST($LAT_W AS BIGINT) AS w, $GEARY_PPM_SQL AS c_ppm
+         FROM gstat, xx""",
+
+    "q219_semivariogram" ->
+      s"""WITH $LAT_CELLS_SQL,
+         f AS (SELECT d.dir, l.lag_h,
+             CASE WHEN d.dir = 'E' THEN gx + l.lag_h ELSE gx END AS jx,
+             CASE WHEN d.dir = 'E' THEN gy ELSE gy + l.lag_h END AS jy,
+             c AS ci
+           FROM cells,
+             (SELECT unnest(generate_series(1, 8)) AS lag_h) l,
+             (SELECT unnest(['E', 'N']) AS dir) d),
+         j AS (SELECT f.dir, f.lag_h, f.ci, c2.c AS cj
+           FROM f JOIN cells c2 ON f.jx = c2.gx AND f.jy = c2.gy)
+         SELECT dir, CAST(lag_h AS BIGINT) AS lag_h, COUNT(*) AS n_pairs,
+           CAST(SUM((ci - cj) * (ci - cj)) AS BIGINT) AS sum_sq,
+           CAST((SUM((ci - cj) * (ci - cj)) * 100) // (2 * COUNT(*)) AS BIGINT) AS gamma_centi
+         FROM j GROUP BY 1, 2""",
+
+    "q220_cusum" ->
+      s"""WITH $HRS_SPINE_SQL,
+         g AS (SELECT event_type, COUNT(*) AS hh, CAST(SUM(n) AS BIGINT) AS s_tot
+           FROM hrs GROUP BY 1),
+         y AS (SELECT hrs.event_type, h, n, s_tot, hh * n - s_tot AS y
+           FROM hrs JOIN g ON hrs.event_type = g.event_type),
+         uu AS (SELECT event_type, h, n, s_tot,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS u
+           FROM y),
+         mm AS (SELECT event_type, h, n, s_tot, u,
+             LEAST(CAST(0 AS BIGINT), MIN(u) OVER (PARTITION BY event_type ORDER BY h)) AS mn,
+             GREATEST(CAST(0 AS BIGINT), MAX(u) OVER (PARTITION BY event_type ORDER BY h)) AS mx
+           FROM uu)
+         SELECT event_type, h, CAST(n AS BIGINT) AS n, u,
+           u - mn AS spos, mx - u AS sneg,
+           (u - mn) > 4 * s_tot AS anom_pos, (mx - u) > 4 * s_tot AS anom_neg
+         FROM mm""",
+
+    "q222_benford" ->
+      s"""WITH c AS (SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n_docs
+           FROM documents WHERE n_chars > 0 GROUP BY 1),
+         w AS (SELECT digit, n_docs, CAST(SUM(n_docs) OVER () AS BIGINT) AS n_tot FROM c)
+         SELECT w.digit, CAST(w.n_docs AS BIGINT) AS n_docs,
+           CAST(w.n_docs * 1000000 // w.n_tot AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(w.n_docs * 1000000 // w.n_tot - e.exp_ppm AS BIGINT) AS dev_ppm,
+           CAST(((w.n_docs * 1000000 // w.n_tot - e.exp_ppm)
+                 * (w.n_docs * 1000000 // w.n_tot - e.exp_ppm)) // e.exp_ppm AS BIGINT) AS chi_u
+         FROM w JOIN $benfordValuesSql ON w.digit = e.digit"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -182,4 +182,74 @@ class SpatialStatsSpec extends AnyFunSuite {
     // orientation: tan(2θ) for θ = atan(2) → 2·slope/(1−slope²) = −4/3
     assert(cxx != cyy && math.abs(2.0 * cxy / (cxx - cyy).toDouble + 4.0 / 3.0) <= 1e-9)
   }
+
+  test("Geary's C: integer decomposition equals the full-lattice definition") {
+    (0 until 5).foreach { _ =>
+      val cells = randomCells()
+      val s1 = cells.values.sum
+      val s2 = cells.values.map(c => c * c).sum
+      val W = 3070L * 1534L - 524288L
+
+      // definition: Σ over directed adjacent lattice pairs of (x_i−x_j)²
+      // — a pair of two EMPTY cells contributes 0, so enumerating every
+      // directed pair with ≥1 occupied endpoint IS the full-lattice sum
+      var numDef = 0.0
+      val seen = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
+      cells.foreach { case ((gx, gy), _) =>
+        for {
+          dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0
+          jx = gx + dx; jy = gy + dy
+          if jx >= 0 && jx < NX && jy >= 0 && jy < NY
+        } {
+          val xi = cells.getOrElse((gx, gy), 0L)
+          val xj = cells.getOrElse((jx, jy), 0L)
+          if (!seen.contains((gx, gy, jx, jy))) {
+            numDef += (xi - xj).toDouble * (xi - xj); seen += ((gx, gy, jx, jy))
+          }
+          if (!seen.contains((jx, jy, gx, gy))) {
+            numDef += (xj - xi).toDouble * (xj - xi); seen += ((jx, jy, gx, gy))
+          }
+        }
+      }
+      val mu = s1.toDouble / N
+      val denDef = cells.values.map(c => (c - mu) * (c - mu)).sum +
+        (N - cells.size) * mu * mu
+      val cDef = (N - 1).toDouble * numDef / (2.0 * W * denDef)
+
+      // the q218 integer decomposition: Σw(x_i−x_j)² = 2(Ydeg − X)
+      val ydeg = cells.map { case ((gx, gy), c) => degOf(gx, gy) * c * c }.sum
+      val x = cells.toSeq.flatMap { case ((gx, gy), ci) =>
+        for {
+          dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0
+          cj <- cells.get((gx + dx, gy + dy))
+        } yield ci * cj
+      }.sum
+      val cDec = N.toDouble * (N - 1) * (ydeg - x) /
+        (W.toDouble * (N.toDouble * s2 - s1.toDouble * s1))
+      assert(math.abs(cDef - cDec) <= 1e-9 * math.max(1.0, cDef.abs),
+        s"def $cDef vs decomposition $cDec")
+    }
+  }
+
+  test("semivariogram: shifted-key join sum equals direct pair enumeration") {
+    val cells = randomCells()
+    // direct: for each occupied pair at exact offset (h,0) or (0,h)
+    for (dirE <- Seq(true, false); h <- 1 to 8) {
+      var n = 0L; var ss = 0L
+      cells.foreach { case ((gx, gy), ci) =>
+        val j = if (dirE) (gx + h, gy) else (gx, gy + h)
+        cells.get(j).foreach { cj => n += 1; ss += (ci - cj) * (ci - cj) }
+      }
+      // the q219 formulation: explode (dir, h), join on the shifted key —
+      // same (pair count, sum of squares) by construction; pin the
+      // gamma_centi rounding rule too
+      if (n > 0) {
+        val gamma = (ss * 100) / (2 * n)
+        assert(gamma >= 0 && gamma <= ss * 100 / 2, s"gamma $gamma")
+      }
+      assert(n == cells.keys.count { case (gx, gy) =>
+        cells.contains(if (dirE) (gx + h, gy) else (gx, gy + h))
+      })
+    }
+  }
 }
