@@ -232,6 +232,26 @@ object SparkEntry {
       .localCheckpoint()
   }
 
+  /** q220/q226's shared oracle (cusumAudit replayed over the spine —
+    * streamed == batch is the whole q226 claim). */
+  private lazy val CUSUM_ORACLE_SQL =
+    s"""WITH $HRS_SPINE_SQL,
+       g AS (SELECT event_type, COUNT(*) AS hh, CAST(SUM(n) AS BIGINT) AS s_tot
+         FROM hrs GROUP BY 1),
+       y AS (SELECT hrs.event_type, h, n, s_tot, hh * n - s_tot AS y
+         FROM hrs JOIN g ON hrs.event_type = g.event_type),
+       uu AS (SELECT event_type, h, n, s_tot,
+           CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS u
+         FROM y),
+       mm AS (SELECT event_type, h, n, s_tot, u,
+           LEAST(CAST(0 AS BIGINT), MIN(u) OVER (PARTITION BY event_type ORDER BY h)) AS mn,
+           GREATEST(CAST(0 AS BIGINT), MAX(u) OVER (PARTITION BY event_type ORDER BY h)) AS mx
+         FROM uu)
+       SELECT event_type, h, CAST(n AS BIGINT) AS n, u,
+         u - mn AS spos, mx - u AS sneg,
+         (u - mn) > 4 * s_tot AS anom_pos, (mx - u) > 4 * s_tot AS anom_neg
+       FROM mm"""
+
   /** q186/q193's shared oracle (robustAnomaly replayed over the spine). */
   private lazy val ANOM_ORACLE_SQL =
     s"""WITH $HRS_SPINE_SQL,
@@ -4944,8 +4964,193 @@ object SparkEntry {
         .select(col("digit"), col("n_docs"), col("obs_ppm"), col("exp_ppm"),
           col("dev_ppm"),
           expr("(dev_ppm * dev_ppm) div exp_ppm").as("chi_u"))
+    }),
+
+    // ---------------- Otsu threshold (r5 s14) ----------------
+    // Per-image automatic binarization threshold over the 16-bin luma
+    // histogram (Otsu 1979, public): argmax over the 15 splits of the
+    // between-class variance σ²_b(t) = (m0·w1 − m1·w0)² / (w0·w1) — every
+    // component an EXACT integer from the decoded histogram (m ≤ 61440,
+    // w ≤ 4096 ⇒ num² ≤ 6.3e16, long-safe), the argmax ranked by the ONE
+    // shared double ratio (identical IEEE division both engines), ties to
+    // the smaller split. Decode + per-image array math only — scan-
+    // parallel, zero shuffles beyond the thin argmax window.
+    "q221_otsu" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgExpo(s, dir) // the oracle replays the pinned hist
+      GeoTables.images(s, dir)
+        .withColumn("hist", call_function("img_luma_hist16",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("npx", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .withColumn("m_tot", expr(
+          "aggregate(zip_with(hist, sequence(1L, 16L), (v, b) -> v * (b - 1)), 0L, (a, x) -> a + x)"))
+        .withColumn("t", explode(expr("sequence(1, 15)")))
+        .withColumn("w0", expr("aggregate(slice(hist, 1, t), 0L, (a, x) -> a + x)"))
+        .withColumn("m0", expr(
+          "aggregate(zip_with(slice(hist, 1, t), sequence(1L, CAST(t AS BIGINT)), (v, b) -> v * (b - 1)), 0L, (a, x) -> a + x)"))
+        .withColumn("w1", col("npx") - col("w0"))
+        .withColumn("m1", col("m_tot") - col("m0"))
+        .where(col("w0") > 0 && col("w1") > 0)
+        .withColumn("num", col("m0") * col("w1") - col("m1") * col("w0"))
+        .withColumn("sq", col("num") * col("num"))
+        .withColumn("den", col("w0") * col("w1"))
+        .withColumn("rn", row_number().over(Window.partitionBy("image_id")
+          .orderBy((col("sq").cast("double") / col("den").cast("double")).desc,
+            col("t").asc)))
+        .where(col("rn") === 1)
+        .select(col("image_id"), col("t").cast("bigint").as("t_star"),
+          col("w0"), col("w1"), col("sq"), col("den"))
+    }),
+
+    // ---------------- spatially distinctive caption terms (r5 s14) ----------------
+    // q144's lift machinery keyed by GEOGRAPHY: which caption tokens
+    // over-index inside each zone vs the zoned corpus — the multimodal
+    // "what is photographed WHERE" audit (and the spatial-leakage screen
+    // for caption-conditioned training: a token with lift ≫ 1e6 lets a
+    // model infer location from text). One PIP assignment (the q07 cover
+    // join), one explode, three key-bounded aggregates; the lift is the
+    // exact integer (c_zw·T·10⁶) div (T_z·c_w) — q144's envelope.
+    "q223_spatial_terms" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val tok = SpatialJoins.pipJoin(GeoTables.images(s, dir),
+          GeoTables.zones(s, dir), level = 8)
+        .select(col("zone_id"), explode(split(
+          regexp_replace(lower(col("caption")), "[^a-z0-9]+", " "), " ")).as("term"))
+        .where(col("term") =!= "")
+      val zw = tok.groupBy("zone_id", "term").agg(count(lit(1)).as("c_zw"))
+      val cw = zw.groupBy("term").agg(sum("c_zw").as("c_w"))
+      val tz = zw.groupBy("zone_id").agg(sum("c_zw").as("t_z"))
+      val tot = cw.select(sum("c_w").as("t"))
+      zw.join(cw, "term").join(tz, "zone_id").crossJoin(broadcast(tot))
+        .where(col("c_zw") >= 3)
+        .withColumn("lift_ppm", expr("(c_zw * t * 1000000) div (t_z * c_w)"))
+        .withColumn("rn", row_number().over(Window.partitionBy("zone_id")
+          .orderBy(desc("lift_ppm"), desc("c_zw"), asc("term"))))
+        .where(col("rn") <= 3)
+        .select(col("zone_id"), col("term"), col("c_zw"), col("lift_ppm"),
+          col("rn").cast("bigint").as("rn"))
+    }),
+
+    // ---------------- k-core decomposition (r5 s14) ----------------
+    // The graph-density peel over the occupied-lattice queen adjacency
+    // (q203's cells): iteratively remove cells with < K occupied
+    // neighbors until fixpoint — the dense-region skeleton that survives
+    // any removal order (k-core uniqueness). Engine runs KCORE_ROUNDS
+    // synchronized rounds (each: two equi-joins onto the shrinking
+    // active set + one count aggregate, the q55 propagation shape) and
+    // REQUIRES fixpoint inside them — the oracle replays the identical
+    // rounds as unrolled MATERIALIZED CTEs (the q93/q185 contract).
+    // Scale: round count = peel depth (data property, not size);
+    // per-round cost rides the active subgraph only.
+    "q224_kcore" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      // COARSER 256×128 lattice than q203's: the peel wants a graph with
+      // real interior density (occupied-cell queen degree ~8·occupancy);
+      // at the gate SF the fine lattice is 3% occupied → empty 3-core,
+      // while 256×128 sits near critical occupancy — the deepest peel
+      // (measured 17 rounds) and the most selective core (4101 of 12518)
+      val cells = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(expr("CAST(FLOOR((lon + 180.0)/360.0 * 256) AS BIGINT)").as("gx"),
+          expr("CAST(FLOOR((lat + 90.0)/180.0 * 128) AS BIGINT)").as("gy"))
+        .groupBy("gx", "gy").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val edges = cells
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .where(!(col("dx") === 0L && col("dy") === 0L))
+        .select(col("gx").as("ax"), col("gy").as("ay"),
+          (col("gx") + col("dx")).as("bx"), (col("gy") + col("dy")).as("by"))
+        .join(cells.select(col("gx").as("bx"), col("gy").as("by")), Seq("bx", "by"))
+        .localCheckpoint()
+      def coreDeg(active: DataFrame): DataFrame = edges
+        .join(active.select(col("gx").as("ax"), col("gy").as("ay")), Seq("ax", "ay"))
+        .join(active.select(col("gx").as("bx"), col("gy").as("by")), Seq("bx", "by"))
+        .groupBy(col("ax").as("gx"), col("ay").as("gy"))
+        .agg(count(lit(1)).as("deg"))
+      var active = cells.select("gx", "gy").localCheckpoint()
+      (1 to KCORE_ROUNDS).foreach { _ =>
+        val next = coreDeg(active).where(col("deg") >= KCORE_K)
+          .select("gx", "gy").localCheckpoint()
+        // STATS FIREWALL (the ImageDedup round-loop lesson): the
+        // checkpointed LogicalRDD inherits the pre-checkpoint ESTIMATED
+        // stats — two joins per round square the size estimate, and
+        // Catalyst ends up multiplying million-digit BigInts by round ~8.
+        // Rebuilding from the RDD resets the leaf to default stats.
+        active = s.createDataFrame(next.rdd, next.schema)
+      }
+      val fin = coreDeg(active).localCheckpoint()
+      require(fin.where(col("deg") < KCORE_K).isEmpty,
+        s"k-core not converged within $KCORE_ROUNDS rounds — raise KCORE_ROUNDS")
+      fin
+    }),
+
+    // ---------------- Mann–Whitney U (r5 s14) ----------------
+    // The nonparametric does-type-A-pay-more-than-B test over event
+    // values, every type pair: U from DOUBLED midranks so ties stay
+    // integer (2U_A = Σ_v n_A(v)·(2·Σ_{w<v} n_B(w) + n_B(v))), computed
+    // from per-(type, cent) counts — the merge is ONE window over the
+    // unioned count rows ordered (value, side), side 'A' first so the
+    // running B-sum at an A row is exactly the strictly-below count.
+    // 2U_A + 2U_B = 2·n_A·n_B pins the complement; AUC = U/(n_A·n_B)
+    // ships via the base-100 safe ppm division. Value-bounded state:
+    // everything after the first aggregate rides distinct cents × types.
+    "q225_mannwhitney" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "vc").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // referenced 3× (A side, B side, sizes)
+      val types = cnt.select("et").distinct()
+      val pairs = types.select(col("et").as("ta"))
+        .join(types.select(col("et").as("tb")), col("ta") < col("tb"))
+      val st = pairs.join(cnt.withColumnRenamed("et", "ta"), "ta")
+        .select(col("ta"), col("tb"), col("vc"), col("n"), lit("A").as("side"))
+        .unionByName(pairs.join(cnt.withColumnRenamed("et", "tb"), "tb")
+          .select(col("ta"), col("tb"), col("vc"), col("n"), lit("B").as("side")))
+      val wOrd = Window.partitionBy("ta", "tb").orderBy(col("vc").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val u = st
+        .withColumn("cum_b", sum(when(col("side") === "B", col("n"))
+          .otherwise(0L)).over(wOrd))
+        .withColumn("b_at", sum(when(col("side") === "B", col("n"))
+          .otherwise(0L)).over(Window.partitionBy("ta", "tb", "vc")))
+        .where(col("side") === "A")
+        .groupBy("ta", "tb")
+        .agg(sum(expr("n * (cum_b * 2 + b_at)")).as("u2_a"))
+      val sizes = cnt.groupBy("et").agg(sum("n").as("m"))
+      u.join(sizes.select(col("et").as("ta"), col("m").as("n_a")), "ta")
+        .join(sizes.select(col("et").as("tb"), col("m").as("n_b")), "tb")
+        .withColumn("u2_b", col("n_a") * col("n_b") * 2 - col("u2_a"))
+        .withColumn("auc_ppm", expr(ppmDivSql("u2_a", "(2 * n_a * n_b)")))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+          col("u2_a"), col("u2_b"), col("auc_ppm"))
+    }),
+
+    // ---------------- streamed CUSUM (r5 s14) ----------------
+    // q220's changepoint audit fed by the Complete-mode streamed hourly
+    // counts (the q193/q213/q217 pattern — fourth streamed==batch
+    // member): state-store counts merge across micro-batches, the spine
+    // and Page post-pass run as a batch job on the final table, and the
+    // result equals q220's oracle EXACTLY — batch-boundary independence
+    // of the whole detection path.
+    "q226_stream_cusum" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "cusum") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      cusumAudit(spineFromCounts(s, sink))
     })
   )
+
+  /** q224's peel depth bound and core threshold (oracle unrolls the same
+    * rounds; the engine REQUIRES fixpoint inside them). */
+  private val KCORE_K = 3
+  // gate-SF peel depth measured 17 (256×128, sf0.01 — near the site-
+  // percolation critical occupancy, the slowest regime); denser SFs
+  // converge in ≤5. 24 leaves headroom; the engine's fixpoint `require`
+  // turns an exceeded bound into a loud abort, never a wrong answer.
+  private val KCORE_ROUNDS = 24
 
   /** q124/q213's shared Getis–Ord post-pass over (pgx, pgy, c) lattice
     * counts: exact integer window sums, the one fixed double z-score
@@ -7709,23 +7914,8 @@ object SparkEntry {
            CAST((SUM((ci - cj) * (ci - cj)) * 100) // (2 * COUNT(*)) AS BIGINT) AS gamma_centi
          FROM j GROUP BY 1, 2""",
 
-    "q220_cusum" ->
-      s"""WITH $HRS_SPINE_SQL,
-         g AS (SELECT event_type, COUNT(*) AS hh, CAST(SUM(n) AS BIGINT) AS s_tot
-           FROM hrs GROUP BY 1),
-         y AS (SELECT hrs.event_type, h, n, s_tot, hh * n - s_tot AS y
-           FROM hrs JOIN g ON hrs.event_type = g.event_type),
-         uu AS (SELECT event_type, h, n, s_tot,
-             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS u
-           FROM y),
-         mm AS (SELECT event_type, h, n, s_tot, u,
-             LEAST(CAST(0 AS BIGINT), MIN(u) OVER (PARTITION BY event_type ORDER BY h)) AS mn,
-             GREATEST(CAST(0 AS BIGINT), MAX(u) OVER (PARTITION BY event_type ORDER BY h)) AS mx
-           FROM uu)
-         SELECT event_type, h, CAST(n AS BIGINT) AS n, u,
-           u - mn AS spos, mx - u AS sneg,
-           (u - mn) > 4 * s_tot AS anom_pos, (mx - u) > 4 * s_tot AS anom_neg
-         FROM mm""",
+    "q220_cusum" -> CUSUM_ORACLE_SQL,
+    "q226_stream_cusum" -> CUSUM_ORACLE_SQL,
 
     "q222_benford" ->
       s"""WITH c AS (SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit,
@@ -7738,10 +7928,123 @@ object SparkEntry {
            CAST(w.n_docs * 1000000 // w.n_tot - e.exp_ppm AS BIGINT) AS dev_ppm,
            CAST(((w.n_docs * 1000000 // w.n_tot - e.exp_ppm)
                  * (w.n_docs * 1000000 // w.n_tot - e.exp_ppm)) // e.exp_ppm AS BIGINT) AS chi_u
-         FROM w JOIN $benfordValuesSql ON w.digit = e.digit"""
+         FROM w JOIN $benfordValuesSql ON w.digit = e.digit""",
+
+    // ground truth: the recompute-pinned img_expo histograms (q167 proves
+    // fixture == engine recompute), identical integer components and the
+    // ONE shared double ratio for the argmax
+    "q221_otsu" ->
+      s"""WITH e AS (SELECT image_id, i.i AS bin, hist[i.i] AS v
+           FROM $IMGX, (SELECT unnest(generate_series(1, 16)) AS i) i),
+         g AS (SELECT image_id, CAST(SUM(v) AS BIGINT) AS npx,
+             CAST(SUM(v * (bin - 1)) AS BIGINT) AS m_tot FROM e GROUP BY 1),
+         c AS (SELECT e.image_id, t.t,
+             CAST(SUM(CASE WHEN e.bin <= t.t THEN e.v ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN e.bin <= t.t THEN e.v * (e.bin - 1) ELSE 0 END) AS BIGINT) AS m0
+           FROM e, (SELECT unnest(generate_series(1, 15)) AS t) t
+           GROUP BY 1, 2),
+         k AS (SELECT c.image_id, c.t, w0, g.npx - w0 AS w1, m0, g.m_tot - m0 AS m1
+           FROM c JOIN g ON c.image_id = g.image_id),
+         v AS (SELECT image_id, t, w0, w1,
+             (m0 * w1 - m1 * w0) * (m0 * w1 - m1 * w0) AS sq, w0 * w1 AS den
+           FROM k WHERE w0 > 0 AND w1 > 0),
+         r AS (SELECT image_id, t, w0, w1, sq, den,
+             ROW_NUMBER() OVER (PARTITION BY image_id
+               ORDER BY CAST(sq AS DOUBLE) / CAST(den AS DOUBLE) DESC, t ASC) AS rn
+           FROM v)
+         SELECT image_id, CAST(t AS BIGINT) AS t_star, w0, w1,
+           CAST(sq AS BIGINT) AS sq, CAST(den AS BIGINT) AS den
+         FROM r WHERE rn = 1""",
+
+    // ground truth: inclusive-rect PIP (q07 rule) + the q191 caption
+    // token contract + q144's exact integer lift
+    "q223_spatial_terms" ->
+      s"""WITH a AS (SELECT z.zone_id, i.caption
+           FROM $IMG i JOIN $ZON z
+             ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax),
+         tok AS (SELECT zone_id, t AS term
+           FROM (SELECT zone_id, unnest(string_split(
+               regexp_replace(lower(caption), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t FROM a)
+           WHERE t <> ''),
+         zw AS (SELECT zone_id, term, COUNT(*) AS c_zw FROM tok GROUP BY 1, 2),
+         cw AS (SELECT term, CAST(SUM(c_zw) AS BIGINT) AS c_w FROM zw GROUP BY 1),
+         tz AS (SELECT zone_id, CAST(SUM(c_zw) AS BIGINT) AS t_z FROM zw GROUP BY 1),
+         tt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t FROM cw),
+         l AS (SELECT zw.zone_id, zw.term, zw.c_zw,
+             CAST((zw.c_zw * tt.t * 1000000) // (tz.t_z * cw.c_w) AS BIGINT) AS lift_ppm
+           FROM zw JOIN cw ON zw.term = cw.term JOIN tz ON zw.zone_id = tz.zone_id, tt
+           WHERE zw.c_zw >= 3),
+         r AS (SELECT zone_id, term, c_zw, lift_ppm,
+             ROW_NUMBER() OVER (PARTITION BY zone_id
+               ORDER BY lift_ppm DESC, c_zw DESC, term ASC) AS rn
+           FROM l)
+         SELECT zone_id, term, CAST(c_zw AS BIGINT) AS c_zw, lift_ppm,
+           CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= 3""",
+
+    "q224_kcore" -> kcoreOracleSql(KCORE_K, KCORE_ROUNDS),
+
+    "q225_mannwhitney" ->
+      """WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         cnt AS (SELECT et, vc, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         ty AS (SELECT DISTINCT et FROM cnt),
+         pairs AS (SELECT a.et AS ta, b.et AS tb FROM ty a JOIN ty b ON a.et < b.et),
+         st AS (SELECT p.ta, p.tb, c.vc, c.n, 'A' AS side
+             FROM pairs p JOIN cnt c ON c.et = p.ta
+           UNION ALL
+           SELECT p.ta, p.tb, c.vc, c.n, 'B' AS side
+             FROM pairs p JOIN cnt c ON c.et = p.tb),
+         sc AS (SELECT ta, tb, vc, n, side,
+             SUM(CASE WHEN side = 'B' THEN n ELSE 0 END) OVER
+               (PARTITION BY ta, tb ORDER BY vc, side ROWS UNBOUNDED PRECEDING) AS cum_b,
+             SUM(CASE WHEN side = 'B' THEN n ELSE 0 END) OVER
+               (PARTITION BY ta, tb, vc) AS b_at
+           FROM st),
+         u AS (SELECT ta, tb, CAST(SUM(n * (cum_b * 2 + b_at)) AS BIGINT) AS u2_a
+           FROM sc WHERE side = 'A' GROUP BY 1, 2),
+         sz AS (SELECT et, CAST(SUM(n) AS BIGINT) AS m FROM cnt GROUP BY 1)
+         SELECT u.ta, u.tb, a.m AS n_a, b.m AS n_b, u.u2_a,
+           2 * a.m * b.m - u.u2_a AS u2_b,
+           CAST(u.u2_a * 1000000 // (2 * a.m * b.m) AS BIGINT) AS auc_ppm
+         FROM u JOIN sz a ON a.et = u.ta JOIN sz b ON b.et = u.tb"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
+
+  /** q224's oracle: the identical peel replayed as `rounds` unrolled
+    * MATERIALIZED CTEs over the 256×128 occupied-cell queen adjacency
+    * (MATERIALIZED is load-bearing — the inlined form re-evaluates
+    * rounds exponentially, the q185 lesson). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH pts AS (SELECT CAST(FLOOR((lon + 180.0)/360.0 * 256) AS BIGINT) AS gx,
+           CAST(FLOOR((lat + 90.0)/180.0 * 128) AS BIGINT) AS gy FROM $IMG),
+         cells AS MATERIALIZED (SELECT gx, gy FROM pts GROUP BY 1, 2),
+         sh AS (SELECT gx AS ax, gy AS ay, gx + dx.v AS bx, gy + dy.v AS by
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dy
+           WHERE NOT (dx.v = 0 AND dy.v = 0)),
+         edges AS MATERIALIZED (SELECT sh.ax, sh.ay, sh.bx, sh.by
+           FROM sh JOIN cells o ON sh.bx = o.gx AND sh.by = o.gy),
+         a0 AS MATERIALIZED (SELECT gx, gy FROM cells)""")
+    (1 to rounds).foreach { r =>
+      sb.append(s""",
+         a$r AS MATERIALIZED (SELECT e.ax AS gx, e.ay AS gy
+           FROM edges e
+           JOIN a${r - 1} x ON e.ax = x.gx AND e.ay = x.gy
+           JOIN a${r - 1} y ON e.bx = y.gx AND e.by = y.gy
+           GROUP BY 1, 2 HAVING COUNT(*) >= $k)""")
+    }
+    sb.append(s"""
+         SELECT e.ax AS gx, e.ay AS gy, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM edges e
+         JOIN a$rounds x ON e.ax = x.gx AND e.ay = x.gy
+         JOIN a$rounds y ON e.bx = y.gx AND e.by = y.gy
+         GROUP BY 1, 2""")
+    sb.toString
+  }
 
   /** Occupied-lattice CTE shared by the q203/q204 oracles (q124 binning). */
   private val LAT_CELLS_SQL =

@@ -56,6 +56,100 @@ class AuditStatsSpec extends AnyFunSuite {
     assert(base.max - s / h <= 5)
   }
 
+  test("Mann-Whitney doubled-midrank formula equals brute-force pair counting") {
+    (0 until 200).foreach { _ =>
+      val na = 1 + rnd.nextInt(30); val nb = 1 + rnd.nextInt(30)
+      // small value domain to force plenty of ties
+      val a = Array.fill(na)(rnd.nextInt(8).toLong)
+      val b = Array.fill(nb)(rnd.nextInt(8).toLong)
+      // definition: 2U_A = Σ pairs 2·[x>y] + 1·[x=y]
+      var u2Def = 0L
+      for (x <- a; y <- b) u2Def += (if (x > y) 2 else if (x == y) 1 else 0)
+      // the q225 formulation over per-value counts
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val u2Dec = ca.map { case (v, n) =>
+        val below = cb.filter(_._1 < v).values.sum
+        n * (2 * below + cb.getOrElse(v, 0L))
+      }.sum
+      assert(u2Def == u2Dec)
+      // complement identity the query ships: 2U_A + 2U_B = 2·n_A·n_B
+      var u2b = 0L
+      for (y <- b; x <- a) u2b += (if (y > x) 2 else if (y == x) 1 else 0)
+      assert(u2Def + u2b == 2L * na * nb)
+    }
+  }
+
+  test("Otsu sq/den ranking equals the definition-level argmax") {
+    (0 until 500).foreach { _ =>
+      val hist = Array.fill(16)(rnd.nextInt(60).toLong)
+      val npx = hist.sum
+      val mTot = hist.zipWithIndex.map { case (v, b) => v * b }.sum
+      if (npx > 0) {
+        // definition: maximize w0·w1·(μ0−μ1)² over valid splits
+        val cand = (1 to 15).flatMap { t =>
+          val w0 = hist.take(t).sum; val w1 = npx - w0
+          if (w0 > 0 && w1 > 0) {
+            val m0 = hist.take(t).zipWithIndex.map { case (v, b) => v * b }.sum
+            val m1 = mTot - m0
+            val mu0 = m0.toDouble / w0; val mu1 = m1.toDouble / w1
+            val sigma = w0.toDouble * w1 * (mu0 - mu1) * (mu0 - mu1)
+            val num = m0 * w1 - m1 * w0
+            Some((t, sigma, num * num, w0 * w1))
+          } else None
+        }
+        if (cand.nonEmpty) {
+          val byDef = cand.minBy { case (t, s, _, _) => (-s, t) }._1
+          val byDec = cand.minBy { case (t, _, sq, den) =>
+            (-(sq.toDouble / den), t) }._1
+          // (m0·w1 − m1·w0)²/(w0·w1) = w0·w1·(μ0−μ1)² exactly: the two
+          // rankings may differ only through double rounding of the two
+          // algebraically-equal forms — the DECISION both engines share
+          // is the sq/den form, so pin the forms against each other
+          val defVals = cand.map { case (_, s, _, _) => s }
+          val decVals = cand.map { case (_, _, sq, den) => sq.toDouble / den }
+          defVals.zip(decVals).foreach { case (s, d) =>
+            assert(math.abs(s - d) <= 1e-6 * math.max(1.0, s.abs)) }
+          if (byDef != byDec) {
+            // only legal on a near-tie of the two float forms
+            val s1 = cand.find(_._1 == byDef).get._2
+            val s2 = cand.find(_._1 == byDec).get._2
+            assert(math.abs(s1 - s2) <= 1e-6 * math.max(1.0, s1.abs))
+          }
+        }
+      }
+    }
+  }
+
+  test("k-core synchronized rounds equal arbitrary-order sequential peeling") {
+    (0 until 50).foreach { _ =>
+      // random graph on 40 vertices
+      val n = 40; val k = 3
+      val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+      (0 until 120).foreach { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a != b) { adj(a) += b; adj(b) += a }
+      }
+      // synchronized rounds (the q224 shape)
+      var act = (0 until n).toSet
+      var stable = false
+      while (!stable) {
+        val next = act.filter(v => adj(v).count(act) >= k)
+        stable = next == act; act = next
+      }
+      // sequential peel in random order
+      val seq = scala.collection.mutable.Set((0 until n): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        rnd.shuffle((0 until n).toList).foreach { v =>
+          if (seq(v) && adj(v).count(seq) < k) { seq -= v; changed = true }
+        }
+      }
+      assert(act == seq.toSet, "k-core must be order-independent")
+    }
+  }
+
   test("Benford ppm literals equal floor(log10(1 + 1/d) * 1e6)") {
     val sql = SparkEntry.oracleSql("q222_benford")
     (1 to 9).foreach { d =>
