@@ -5140,6 +5140,91 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
       }
       cusumAudit(spineFromCounts(s, sink))
+    }),
+
+    // ---------------- Spearman rank correlation (r5 s14) ----------------
+    // The tie-aware monotone-association companion to q216's Kendall:
+    // per type, hourly counts become DOUBLED midranks (2·min_rank +
+    // ties − 1 — integer for every tie pattern), then Pearson over the
+    // integer rank series per type pair: num = H·Σxy − Σx·Σy and the two
+    // variance terms are exact BIGINTs (r2 ≤ 2H ⇒ H·Σx² ≤ 4H⁴, long-safe
+    // to H ≈ 1.2e4 calendar hours ≈ 1.4 years), ρ ships as the ONE
+    // shared double formula with an exact-integer zero-variance guard.
+    // Calendar-bounded: everything after the spine is H × types².
+    "q227_spearman" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val ranked = hours
+        .withColumn("r_min", rank().over(
+          Window.partitionBy("event_type").orderBy("n")))
+        .withColumn("c_at", count(lit(1)).over(
+          Window.partitionBy("event_type", "n")))
+        .withColumn("r2", col("r_min") * 2 + col("c_at") - 1)
+        .select(col("event_type"), col("h"), col("r2"))
+      ranked.select(col("event_type").as("ta"), col("h"), col("r2").as("x"))
+        .join(ranked.select(col("event_type").as("tb"), col("h"), col("r2").as("y")),
+          Seq("h"))
+        .where(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("hh"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"))
+        .select(col("ta"), col("tb"), col("hh"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy"), expr(SPEARMAN_PPM_SQL).as("rho_ppm"))
+    }),
+
+    // ---------------- rotation augmentation closure (r5 s14) ----------------
+    // img_rotate90_rgb completes the dihedral augmentation surface the
+    // q158 policy samples from (hflip/vflip/rot180 + now the two 90°
+    // rotations): per image the query PROVES the group algebra on real
+    // decoded buffers — rot90⁴ = identity (exact byte equality), rot90² =
+    // rot180 = hflip∘vflip (the two compositions agree bit-for-bit), and
+    // rotation is a pixel permutation (colorhist64 conserved). Scan-only
+    // decode work; the oracle pins every check at 100% by construction.
+    "q228_rot90" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("r1", call_function("img_rotate90_rgb", col("rgb"), col("w"), col("h")))
+        .withColumn("r2", call_function("img_rotate90_rgb", col("r1"), col("h"), col("w")))
+        .withColumn("r3", call_function("img_rotate90_rgb", col("r2"), col("w"), col("h")))
+        .withColumn("r4", call_function("img_rotate90_rgb", col("r3"), col("h"), col("w")))
+        .withColumn("rot180", call_function("img_flip_rgb",
+          call_function("img_flip_rgb", col("rgb"), col("w"), col("h"), lit(true)),
+          col("w"), col("h"), lit(false)))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r4") === col("rgb"), 1L).otherwise(0L)).as("n_id4"),
+          sum(when(col("r2") === col("rot180"), 1L).otherwise(0L)).as("n_rot180"),
+          sum(when(call_function("img_colorhist64", col("r1")) ===
+            call_function("img_colorhist64", col("rgb")), 1L).otherwise(0L)).as("n_hist"))
+    }),
+
+    // ---------------- TextRank keywords (r5 s14) ----------------
+    // Mihalcea–Tarau keyword extraction as a COMPOSITION: the caption
+    // token-adjacency graph (bigram co-occurrence, symmetrized, the q191
+    // token contract) through the SAME integer PageRank q131 runs on the
+    // zone graph — 0.15·1e9 base, floor-div damping, 5 synchronized
+    // rounds — then the top-20 by (rank, token). Vocab-bounded: the graph
+    // is tokens², not captions; the oracle replays all 5 rounds with
+    // identical BIGINT arithmetic.
+    "q229_textrank" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val toks = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(expr("filter(split(regexp_replace(lower(caption), '[^a-z0-9]+', ' '), ' '), x -> x != '')").as("ts"))
+      val big = toks.where(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+             i -> named_struct('s', element_at(ts, i), 'd', element_at(ts, i + 1)))""")).as("p"))
+        .select(col("p.s").as("s"), col("p.d").as("d"))
+      val sym = big.unionByName(
+        big.select(col("d").as("s"), col("s").as("d"))).distinct()
+      val verts = toks.select(explode(col("ts")).as("id")).distinct()
+      graft.join.Graph.pagerank(sym, "s", "d", vertices = verts)
+        // vocab-bounded global window (≤ distinct tokens rows)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("r"), asc("id"))))
+        .where(col("rn") <= 20)
+        .select(col("id").as("token"), col("r").as("rank5"),
+          col("rn").cast("bigint").as("rn"))
     })
   )
 
@@ -5234,6 +5319,17 @@ object SparkEntry {
          + (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0) * ${LAT_W}e0)
         / (CAST(s2 AS DOUBLE) - 524288e0 * (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)))))
        AS BIGINT)"""
+
+  /** Spearman's ρ over the exact integer doubled-midrank components, one
+    * shared double formula + integer zero-variance guard (q227). */
+  private val SPEARMAN_PPM_SQL =
+    """CASE WHEN (hh * sxx - sx * sx) > 0 AND (hh * syy - sy * sy) > 0
+       THEN CAST(FLOOR(1e6 *
+         ((CAST(hh AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (SQRT(CAST(hh AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * SQRT(CAST(hh AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))))
+         AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END"""
 
   /** Geary's C over the exact integer components, ppm-quantized — the
     * IDENTICAL formula text runs in both engines:
@@ -8007,10 +8103,65 @@ object SparkEntry {
          SELECT u.ta, u.tb, a.m AS n_a, b.m AS n_b, u.u2_a,
            2 * a.m * b.m - u.u2_a AS u2_b,
            CAST(u.u2_a * 1000000 // (2 * a.m * b.m) AS BIGINT) AS auc_ppm
-         FROM u JOIN sz a ON a.et = u.ta JOIN sz b ON b.et = u.tb"""
+         FROM u JOIN sz a ON a.et = u.ta JOIN sz b ON b.et = u.tb""",
+
+    "q227_spearman" ->
+      s"""WITH $HRS_SPINE_SQL,
+         rk AS (SELECT event_type, h,
+             CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY n)
+               + COUNT(*) OVER (PARTITION BY event_type, n) - 1 AS BIGINT) AS r2
+           FROM hrs),
+         p AS (SELECT a.event_type AS ta, b.event_type AS tb, a.r2 AS x, b.r2 AS y
+           FROM rk a JOIN rk b ON a.h = b.h AND a.event_type < b.event_type),
+         g AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS hh,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM p GROUP BY 1, 2)
+         SELECT ta, tb, hh, sx, sy, sxx, syy, sxy, $SPEARMAN_PPM_SQL AS rho_ppm
+         FROM g""",
+
+    // every algebraic check holds by construction — the oracle pins 100%
+    // (the q11 contract: a single kernel defect zeroes a counter)
+    "q228_rot90" ->
+      s"""SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_id4, COUNT(*) AS n_rot180,
+         COUNT(*) AS n_hist
+         FROM $IMG GROUP BY 1""",
+
+    "q229_textrank" -> textrankOracleSql(5)
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
+
+  /** q229's oracle: the caption bigram graph + q131's integer PageRank
+    * replayed as `rounds` unrolled CTEs (identical BIGINT floor-div). */
+  private def textrankOracleSql(rounds: Int): String = {
+    def iter(kk: Int): String =
+      s"""r$kk AS MATERIALIZED (SELECT v.id,
+         CAST(150000000 AS BIGINT) + COALESCE(SUM((85 * (p.r // dg.deg)) // 100), 0) AS r
+         FROM v LEFT JOIN e ON e.d = v.id
+         LEFT JOIN deg dg ON dg.s = e.s
+         LEFT JOIN r${kk - 1} p ON p.id = e.s
+         GROUP BY 1)"""
+    s"""WITH tk AS MATERIALIZED (SELECT list_filter(string_split(
+           regexp_replace(lower(caption), '[^a-z0-9]+', ' ', 'g'), ' '),
+           x -> x <> '') AS ts FROM $IMG),
+       big AS (SELECT ts[g.i] AS s, ts[g.i + 1] AS d
+         FROM tk, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+         WHERE len(ts) >= 2),
+       e AS MATERIALIZED (SELECT DISTINCT s, d FROM
+         (SELECT s, d FROM big UNION ALL SELECT d AS s, s AS d FROM big)
+         WHERE s <> d),
+       v AS MATERIALIZED (SELECT DISTINCT unnest(ts) AS id FROM tk),
+       deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+       r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM v),
+       ${(1 to rounds).map(iter).mkString(",\n       ")}
+       SELECT token, rank5, rn FROM (
+         SELECT id AS token, CAST(r AS BIGINT) AS rank5,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id ASC) AS BIGINT) AS rn
+         FROM r$rounds)
+       WHERE rn <= 20"""
+  }
 
   /** q224's oracle: the identical peel replayed as `rounds` unrolled
     * MATERIALIZED CTEs over the 256×128 occupied-cell queen adjacency

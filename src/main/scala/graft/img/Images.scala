@@ -365,6 +365,28 @@ object Images {
     out
   }
 
+  /** Clockwise 90° rotation of a row-major RGB buffer: output is h-wide,
+    * w-tall (dims swap); dst(x', y') = src(y', h − 1 − x') — a pure pixel
+    * permutation (every histogram conserved), with rot90⁴ = identity and
+    * rot90² = rot180 = hflip∘vflip (pinned in AugmentSpec + q228). */
+  def rotate90Rgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"bad rgb buffer ${rgb.length} for ${w}x$h")
+    val out = new Array[Byte](rgb.length)
+    val ow = h // output width
+    var yn = 0
+    while (yn < w) { // output height = w
+      var xn = 0
+      while (xn < ow) {
+        val si = ((h - 1 - xn) * w + yn) * 3
+        val di = (yn * ow + xn) * 3
+        out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+        xn += 1
+      }
+      yn += 1
+    }
+    out
+  }
+
   /** Axis-aligned crop, clamped to the image bounds. */
   def cropRgb(w: Int, h: Int, rgb: Array[Byte],
               x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] = {

@@ -1037,6 +1037,20 @@ case class ImgFlip(children: Seq[Expression]) extends Expression with ExpectsInp
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
 }
+/** (rgb, w, h) → clockwise-90°-rotated rgb (h-wide, w-tall — dims swap). */
+case class ImgRotate90(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else K.imgRotate90(vs(0).asInstanceOf[Array[Byte]], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(c)
+}
 /** (rgb, w, h, x0, y0, cw, ch) → cropped rgb (bounds-clamped). */
 case class ImgCrop(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

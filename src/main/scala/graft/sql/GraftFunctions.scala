@@ -192,6 +192,7 @@ object GraftFunctions {
     "mask_xor" -> (e => MaskXor(e(0), e(1))),
     "img_gray_rgb" -> (e => ImgGray(e.head)),
     "img_flip_rgb" -> (e => ImgFlip(e)),
+    "img_rotate90_rgb" -> (e => ImgRotate90(e)),
     "img_crop_rgb" -> (e => ImgCrop(e)),
     "img_luma_mean" -> (e => ImgLumaMean(e.head)),
     "img_boxblur_rgb" -> (e => ImgBoxBlur(e(0), e(1), e(2))),

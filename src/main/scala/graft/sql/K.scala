@@ -665,6 +665,8 @@ object K {
   def imgGray(rgb: Array[Byte]): Array[Byte] = Images.grayRgb(rgb)
   def imgFlip(rgb: Array[Byte], w: Int, h: Int, horizontal: Boolean): Array[Byte] =
     Images.flipRgb(w, h, rgb, horizontal)
+  def imgRotate90(rgb: Array[Byte], w: Int, h: Int): Array[Byte] =
+    Images.rotate90Rgb(w, h, rgb)
   def imgCrop(rgb: Array[Byte], w: Int, h: Int, x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] =
     Images.cropRgb(w, h, rgb, x0, y0, cw, ch)
   def imgLumaMean(rgb: Array[Byte]): Double = Images.lumaMean(rgb)

@@ -150,6 +150,50 @@ class AuditStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("Spearman doubled midranks: tie-free case equals the 1 - 6*sum(d^2) form") {
+    (0 until 100).foreach { _ =>
+      val n = 3 + rnd.nextInt(40)
+      // tie-free series: distinct values via a shuffled permutation
+      val xs = rnd.shuffle((1 to n).toList).map(_.toLong)
+      val ys = rnd.shuffle((1 to n).toList).map(_.toLong)
+      def rank2(v: Seq[Long]): Seq[Long] = {
+        val sorted = v.sorted
+        v.map { x =>
+          val below = sorted.count(_ < x); val at = sorted.count(_ == x)
+          2L * (below + 1) + at - 1
+        }
+      }
+      val rx = rank2(xs); val ry = rank2(ys)
+      val hh = n.toLong
+      val sx = rx.sum; val sy = ry.sum
+      val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val rhoDec = (hh.toDouble * sxy - sx.toDouble * sy) /
+        (math.sqrt(hh.toDouble * sxx - sx.toDouble * sx) *
+         math.sqrt(hh.toDouble * syy - sy.toDouble * sy))
+      // classic tie-free formula over SINGLE ranks (the doubled ranks are
+      // an affine transform, so Pearson is unchanged)
+      val d2 = rx.zip(ry).map { case (a, b) => ((a - b) / 2.0) * ((a - b) / 2.0) }.sum
+      val rhoDef = 1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n - 1))
+      assert(math.abs(rhoDec - rhoDef) <= 1e-9, s"$rhoDec vs $rhoDef")
+    }
+  }
+
+  test("Spearman doubled midranks are integers equal to 2x the average tied rank") {
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(30)
+      val v = Array.fill(n)(rnd.nextInt(6).toLong) // heavy ties
+      val sorted = v.sorted
+      v.foreach { x =>
+        val below = sorted.count(_ < x); val at = sorted.count(_ == x)
+        // positions below+1 .. below+at share the average (2·below+at+1)/2
+        val avg2 = 2.0 * (below + 1 + below + at) / 2.0
+        val r2 = 2L * (below + 1) + at - 1
+        assert(r2.toDouble == avg2)
+      }
+    }
+  }
+
   test("Benford ppm literals equal floor(log10(1 + 1/d) * 1e6)") {
     val sql = SparkEntry.oracleSql("q222_benford")
     (1 to 9).foreach { d =>
