@@ -41,6 +41,7 @@ object SparkEntry {
   private val IMGT = "read_parquet('/tmp/graft_geo/sf0.01/img_thumb.parquet/*.parquet')"
   private val IMGEQ = "read_parquet('/tmp/graft_geo/sf0.01/img_eq.parquet/*.parquet')"
   private val IMGWB = "read_parquet('/tmp/graft_geo/sf0.01/img_wb.parquet/*.parquet')"
+  private val IMGMED = "read_parquet('/tmp/graft_geo/sf0.01/img_med.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -5225,6 +5226,135 @@ object SparkEntry {
         .where(col("rn") <= 20)
         .select(col("id").as("token"), col("r").as("rank5"),
           col("rn").cast("bigint").as("rn"))
+    }),
+
+    // ---------------- chi-square independence (r5 s14) ----------------
+    // Is event mix independent of day-of-week? The categorical-drift
+    // gate of a feature audit: the event_type × dow contingency table
+    // (dow as pure epoch-day integer arithmetic — no engine calendar
+    // function disagreement), per-cell exact integer d = o·n − r·c,
+    // contributions micro-quantized by the ONE shared double formula
+    // and integer-summed (q206 ordering contract), Cramér's V on top.
+    // The only data-bounded pass is the first groupBy; everything after
+    // rides the types×7 contingency rows.
+    "q230_chisq" -> ((s, dir) => {
+      chiSquareAudit(t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7").as("dow"))
+        .groupBy("et", "dow").agg(count(lit(1)).as("cnt")))
+    }),
+
+    // ---------------- streamed chi-square (r5 s14) ----------------
+    // q230's independence audit fed by the Complete-mode streamed
+    // (type, dow) counts — fifth streamed==batch member (q193/q213/
+    // q217/q226 pattern), first on the categorical-association axis:
+    // state-store counts merge across micro-batches, the contingency
+    // post-pass runs as a batch job on the final table, and the result
+    // equals q230's oracle EXACTLY.
+    "q231_stream_chisq" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "chisq") { src =>
+        src.groupBy(col("event_type").as("et"),
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7").as("dow"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      chiSquareAudit(s.createDataFrame(sink.rdd, sink.schema))
+    }),
+
+    // ---------------- two-sample Kolmogorov–Smirnov (r5 s14) ----------------
+    // The distribution-SHAPE companion to q225's Mann–Whitney (AUC reads
+    // location; KS reads any difference): per type pair, D = max over
+    // the pooled support of |F_A − F_B|, kept exact as the integer
+    // numerator max|n_b·cum_a − n_a·cum_b| over the shared value-cents
+    // grid — NO doubles anywhere, the statistic ships as the base-100
+    // safe ppm division (den = n_a·n_b ≤ 9.2e16 ⇒ ~3e8 rows/type).
+    // Value-bounded state: after the first aggregate everything rides
+    // distinct cents × type pairs.
+    "q232_ks" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "vc").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // referenced 3× (A side, B side, sizes)
+      val types = cnt.select("et").distinct()
+      val pairs = types.select(col("et").as("ta"))
+        .join(types.select(col("et").as("tb")), col("ta") < col("tb"))
+      val st = pairs.join(cnt.withColumnRenamed("et", "ta"), "ta")
+        .select(col("ta"), col("tb"), col("vc"), col("cnt").as("na"), lit(0L).as("nb"))
+        .unionByName(pairs.join(cnt.withColumnRenamed("et", "tb"), "tb")
+          .select(col("ta"), col("tb"), col("vc"), lit(0L).as("na"), col("cnt").as("nb")))
+        .groupBy("ta", "tb", "vc").agg(sum("na").as("na"), sum("nb").as("nb"))
+      val wc = Window.partitionBy("ta", "tb").orderBy(col("vc").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = st
+        .withColumn("ca", sum("na").over(wc))
+        .withColumn("cb", sum("nb").over(wc))
+      val sizes = cnt.groupBy("et").agg(sum("cnt").as("m"))
+      cum.join(sizes.select(col("et").as("ta"), col("m").as("n_a")), "ta")
+        .join(sizes.select(col("et").as("tb"), col("m").as("n_b")), "tb")
+        .withColumn("dd", abs(col("n_b") * col("ca") - col("n_a") * col("cb")))
+        .groupBy("ta", "tb", "n_a", "n_b")
+        .agg(max("dd").as("d_num"))
+        .withColumn("ks_ppm", expr(ppmDivSql("d_num", "(n_a * n_b)")))
+        .select("ta", "tb", "n_a", "n_b", "d_num", "ks_ppm")
+    }),
+
+    // ---------------- median-filter denoise audit (r5 s14) ----------------
+    // img_median3_rgb (3×3 per-channel median, replicate border — the
+    // salt-and-pepper denoiser) through the decode kernel, with the
+    // edge-preservation payload: Laplacian sharpness before/after and
+    // the signed drop in milli (sign-split ladder — the median can
+    // RAISE sharpness on noise-dominated tiles). The oracle derives the
+    // identical integers from the recompute-pinned img_med fixture
+    // (the q211 contract: a single kernel defect changes the md5).
+    "q233_median3" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgMed(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("med", call_function("img_median3_rgb", col("rgb"), col("w"), col("h")))
+        .select(col("image_id"), md5(col("med")).as("med_md5"),
+          call_function("img_sharpness", col("rgb"), col("w"), col("h")).as("sharp_before"),
+          call_function("img_sharpness", col("med"), col("w"), col("h")).as("sharp_after"))
+        .withColumn("drop_milli", expr(milliDivSql(
+          "(sharp_before - sharp_after)", "GREATEST(sharp_before, 1)", "div")))
+    }),
+
+    // ---------------- k-distance-ratio outlier audit (r5 s14) ----------------
+    // LOF's scale-honest core (Breunig et al.'s lrd replaced by the
+    // k-distance ratio — exact in integers where lrd's nested rationals
+    // are not): every 500th image probes its 8 neighbors through the
+    // q10 ring-expansion kNN (both engines cut at the same (d2, p_id)
+    // rank, q201 contract), each NEIGHBOR's own 8-NN radius comes from
+    // a second kNN over just the neighbor roster (~8·n/500 queries —
+    // sample-bounded, never all-points), distances quantize monotonically
+    // to nano units (q210 contract), and the score is the exact integer
+    // ratio kd·cnt / Σ_nbr kd_nbr in milli — ≥1.5× the neighborhood
+    // radius flags the isolation outlier a curation pass drops.
+    "q234_outlier_knn" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("nx"), col("ny"),
+          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
+      val pts = img.select("id", "nx", "ny")
+      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+      val probes = img.where(col("iid") % 500 === 0).select("id", "nx", "ny")
+      val qd = "CAST(FLOOR(SQRT(d2) * 1000000000.0) AS BIGINT)"
+      val nnQ = SpatialJoins.knn(pts, probes, k = 9, level = level)
+        .where(col("p_id") =!= col("q_id"))
+        .withColumn("qd", expr(qd))
+        .localCheckpoint() // referenced twice (neighbor roster, the join)
+      val nbrs = nnQ.select(col("p_id").as("id")).distinct().join(pts, "id")
+      val kdN = SpatialJoins.knn(pts, nbrs.select("id", "nx", "ny"), k = 9, level = level)
+        .where(col("p_id") =!= col("q_id"))
+        .withColumn("qd", expr(qd))
+        .groupBy(col("q_id").as("p_id")).agg(max("qd").as("kd_n"))
+      nnQ.join(kdN, "p_id")
+        .groupBy("q_id")
+        .agg(max("qd").as("kd_nano"), count(lit(1)).as("cnt"), sum("kd_n").as("sum_nbr"))
+        .withColumn("ratio_milli", expr(milliDivSql(
+          "(kd_nano * cnt)", "GREATEST(sum_nbr, 1)", "div")))
+        .withColumn("outlier", col("ratio_milli") >= 1500L)
+        .select("q_id", "kd_nano", "cnt", "sum_nbr", "ratio_milli", "outlier")
     })
   )
 
@@ -5319,6 +5449,76 @@ object SparkEntry {
          + (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0) * ${LAT_W}e0)
         / (CAST(s2 AS DOUBLE) - 524288e0 * (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)))))
        AS BIGINT)"""
+
+  /** q230/q231's per-cell chi-square contribution, micro-quantized: with
+    * the exact integers d = o·n − r·c, the cell's (O−E)²/E equals
+    * d²/(n·r·c). d² would wrap the long at n ≈ 3e9 events, so the ratio
+    * runs as ONE shared double formula (the q124 contract — identical
+    * IEEE ops on identical integer inputs give identical bigints), and
+    * the per-cell bigints integer-sum order-safely (the q206 pattern:
+    * quantize BEFORE the sum). */
+  private val CHI2_CELL_MICRO_SQL =
+    """CAST(FLOOR(1e6 * ((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+       / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE)) * CAST(c AS DOUBLE)))) AS BIGINT)"""
+
+  /** Cramér's V from the summed cell contributions — one shared double
+    * sqrt formula over (chi2_micro, n, nr, nc); the GREATEST guards the
+    * degenerate 1×k table. */
+  private val CHI2_V_PPM_SQL =
+    """CAST(FLOOR(1e6 * SQRT((CAST(chi2_micro AS DOUBLE) / 1e6)
+       / (CAST(n AS DOUBLE) * CAST(GREATEST(LEAST(nr - 1, nc - 1), 1) AS DOUBLE)))) AS BIGINT)"""
+
+  /** q230/q231's shared chi-square-of-independence post-pass over
+    * (et, dow, cnt) contingency counts: zero-fill the roster cross
+    * (absent cells still carry expectation r·c/n), window-sum the
+    * margins, per-cell micro contributions, one output row. Every step
+    * after the caller's aggregate rides the CONTINGENCY table (types ×
+    * 7 rows — cardinality-bounded, so the empty-partition window is a
+    * deliberate single-task frame, not a scale hazard; the data-bounded
+    * work is the caller's one groupBy). Long-safe while o·n ≤ 9.2e18,
+    * i.e. ~3e9 events; beyond, lift o and n to DECIMAL(38,0). */
+  private def chiSquareAudit(counts0: DataFrame): DataFrame = {
+    val counts = counts0.localCheckpoint() // tiny; referenced 3× below
+    val full = counts.select("et").distinct()
+      .crossJoin(counts.select("dow").distinct())
+      .join(counts, Seq("et", "dow"), "left")
+      .select(col("et"), col("dow"), coalesce(col("cnt"), lit(0L)).as("o"))
+    full
+      .withColumn("r", sum("o").over(Window.partitionBy("et")))
+      .withColumn("c", sum("o").over(Window.partitionBy("dow")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+      .withColumn("d", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("cell_micro", expr(CHI2_CELL_MICRO_SQL))
+      .agg(max("n").as("n"),
+        countDistinct("et").as("nr"), countDistinct("dow").as("nc"),
+        sum("cell_micro").as("chi2_micro"))
+      .select(col("n"), col("nr"), col("nc"),
+        expr("(nr - 1) * (nc - 1)").as("dof"),
+        col("chi2_micro"), expr(CHI2_V_PPM_SQL).as("v_ppm"))
+  }
+
+  /** q230/q231's shared oracle (chiSquareAudit replayed — streamed ==
+    * batch is the whole q231 claim, the q193/q213/q217/q226 pattern). */
+  private lazy val CHI2_ORACLE_SQL =
+    s"""WITH ev AS (SELECT event_type AS et,
+           (epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events),
+       cnt AS (SELECT et, dow, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+       f AS (SELECT a.et, b.dow, COALESCE(c.cnt, 0) AS o
+         FROM (SELECT DISTINCT et FROM cnt) a
+         CROSS JOIN (SELECT DISTINCT dow FROM cnt) b
+         LEFT JOIN cnt c ON c.et = a.et AND c.dow = b.dow),
+       cells AS (SELECT et, dow, o,
+           SUM(o) OVER (PARTITION BY et) AS r,
+           SUM(o) OVER (PARTITION BY dow) AS c,
+           SUM(o) OVER () AS n FROM f),
+       dd AS (SELECT et, dow, o, r, c, n, o * n - r * c AS d FROM cells),
+       cm AS (SELECT et, dow, n, $CHI2_CELL_MICRO_SQL AS cell_micro FROM dd),
+       agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT et) AS BIGINT) AS nr,
+           CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc,
+           CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro FROM cm)
+       SELECT n, nr, nc, (nr - 1) * (nc - 1) AS dof, chi2_micro,
+         $CHI2_V_PPM_SQL AS v_ppm FROM agg"""
 
   /** Spearman's ρ over the exact integer doubled-midrank components, one
     * shared double formula + integer zero-variance guard (q227). */
@@ -8128,7 +8328,83 @@ object SparkEntry {
          COUNT(*) AS n_hist
          FROM $IMG GROUP BY 1""",
 
-    "q229_textrank" -> textrankOracleSql(5)
+    "q229_textrank" -> textrankOracleSql(5),
+
+    "q230_chisq" -> CHI2_ORACLE_SQL,
+    // streamed == batch: the SAME oracle pins batch-boundary independence
+    "q231_stream_chisq" -> CHI2_ORACLE_SQL,
+
+    // ground truth: identical integer cumsum/max machinery — no doubles
+    // anywhere in the statistic, the ppm is the same exact floor division
+    "q232_ks" ->
+      """WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         cnt AS (SELECT et, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+         ty AS (SELECT DISTINCT et FROM cnt),
+         pairs AS (SELECT a.et AS ta, b.et AS tb FROM ty a JOIN ty b ON a.et < b.et),
+         st AS (SELECT ta, tb, vc, SUM(na) AS na, SUM(nb) AS nb FROM (
+             SELECT p.ta, p.tb, c.vc, c.cnt AS na, 0 AS nb
+               FROM pairs p JOIN cnt c ON c.et = p.ta
+             UNION ALL
+             SELECT p.ta, p.tb, c.vc, 0, c.cnt
+               FROM pairs p JOIN cnt c ON c.et = p.tb)
+           GROUP BY 1, 2, 3),
+         cum AS (SELECT ta, tb, vc,
+             SUM(na) OVER (PARTITION BY ta, tb ORDER BY vc ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb) OVER (PARTITION BY ta, tb ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cb
+           FROM st),
+         sz AS (SELECT et, CAST(SUM(cnt) AS BIGINT) AS m FROM cnt GROUP BY 1),
+         dd AS (SELECT cum.ta, cum.tb, a.m AS n_a, b.m AS n_b,
+             ABS(b.m * ca - a.m * cb) AS dd
+           FROM cum JOIN sz a ON a.et = cum.ta JOIN sz b ON b.et = cum.tb)
+         SELECT ta, tb, n_a, n_b, CAST(MAX(dd) AS BIGINT) AS d_num,
+           CAST(MAX(dd) * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm
+         FROM dd GROUP BY 1, 2, 3, 4""",
+
+    // ground truth: the recompute-pinned img_med fixture (q211 contract)
+    "q233_median3" ->
+      s"""SELECT image_id, med_md5, sharp_before, sharp_after,
+         CAST(${milliDivSql("(sharp_before - sharp_after)",
+           "GREATEST(sharp_before, 1)", "//")} AS BIGINT) AS drop_milli
+         FROM $IMGMED""",
+
+    // ground truth: brute-force incl-self rank over (d2, p_id) then the
+    // self filter (the q201 cut), neighbor radii brute-forced over ALL
+    // points, identical nano quantization and milli ladder
+    "q234_outlier_knn" ->
+      s"""WITH img AS (SELECT image_id AS id, nx, ny,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
+         q AS (SELECT * FROM img WHERE iid % 500 = 0),
+         nnq AS (SELECT * FROM (
+             SELECT q.id AS q_id, p.id AS p_id,
+               (q.nx - p.nx)*(q.nx - p.nx) + (q.ny - p.ny)*(q.ny - p.ny) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                 ORDER BY (q.nx - p.nx)*(q.nx - p.nx) + (q.ny - p.ny)*(q.ny - p.ny), p.id) AS rk
+             FROM q, img p) WHERE rk <= 9 AND p_id <> q_id),
+         nb AS (SELECT DISTINCT p_id AS id FROM nnq),
+         nbp AS (SELECT i.id, i.nx, i.ny FROM img i JOIN nb ON nb.id = i.id),
+         nnn AS (SELECT * FROM (
+             SELECT n.id AS q_id, p.id AS p_id,
+               (n.nx - p.nx)*(n.nx - p.nx) + (n.ny - p.ny)*(n.ny - p.ny) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY n.id
+                 ORDER BY (n.nx - p.nx)*(n.nx - p.nx) + (n.ny - p.ny)*(n.ny - p.ny), p.id) AS rk
+             FROM nbp n, img p) WHERE rk <= 9 AND p_id <> q_id),
+         kdn AS (SELECT q_id AS p_id,
+             MAX(CAST(FLOOR(SQRT(d2) * 1000000000.0) AS BIGINT)) AS kd_n
+           FROM nnn GROUP BY 1),
+         j AS (SELECT nnq.q_id,
+             CAST(FLOOR(SQRT(nnq.d2) * 1000000000.0) AS BIGINT) AS qd, kdn.kd_n
+           FROM nnq JOIN kdn ON kdn.p_id = nnq.p_id),
+         g AS (SELECT q_id, CAST(MAX(qd) AS BIGINT) AS kd_nano,
+             CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(kd_n) AS BIGINT) AS sum_nbr
+           FROM j GROUP BY 1),
+         r AS (SELECT q_id, kd_nano, cnt, sum_nbr,
+             CAST(${milliDivSql("(kd_nano * cnt)", "GREATEST(sum_nbr, 1)", "//")}
+               AS BIGINT) AS ratio_milli
+           FROM g)
+         SELECT q_id, kd_nano, cnt, sum_nbr, ratio_milli,
+           (ratio_milli >= 1500) AS outlier
+         FROM r"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -533,6 +533,34 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGEQ_DONE"))
   }
 
+  def imgMedPath(sfDir: String): String = s"${baseDir(sfDir)}/img_med.parquet"
+
+  final case class ImgMedRow(image_id: String, med_md5: String,
+                             sharp_before: Long, sharp_after: Long)
+
+  /** Median-filter fixture through the SAME kernels the SQL surface
+    * composes (img_median3_rgb → md5, img_sharpness before/after): the
+    * q230 consistency contract — a single kernel defect changes the
+    * buffer md5 or the edge-energy drop. */
+  def ensureImgMed(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGMED_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, rgb) = Images.decode(bytes)
+        val med = Images.median3Rgb(w, h, rgb)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(med)
+        ImgMedRow(id, md.map(b => f"${b & 0xFF}%02x").mkString,
+          Images.sharpness(w, h, rgb), Images.sharpness(w, h, med))
+      }
+      .write.mode("overwrite").parquet(imgMedPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGMED_DONE"))
+  }
+
   def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"
 
   final case class ImgWbRow(image_id: String, sr: Long, sg: Long, sb: Long, npx: Long)

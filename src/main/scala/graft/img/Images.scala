@@ -482,6 +482,55 @@ object Images {
     out
   }
 
+  /** 3×3 median filter per channel, replicate border (the boxBlur3
+    * clamp convention) — the salt-and-pepper denoiser of the classic
+    * image-quality toolchain (Tukey's median smoothing, public): impulse
+    * noise vanishes while step edges survive, so sharpness drops far
+    * less than under the box blur on clean images. Pure integer
+    * (insertion sort over the 9-neighborhood, lower median = element 4
+    * of the sorted run): deterministic across JVMs and shuffle orders. */
+  def median3Rgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    if (w * h * 3 != rgb.length) return rgb.clone()
+    val out = new Array[Byte](rgb.length)
+    val win = new Array[Int](9)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          var k = 0
+          var dy = -1
+          while (dy <= 1) {
+            val sy = math.max(0, math.min(h - 1, y + dy))
+            var dx = -1
+            while (dx <= 1) {
+              val sx = math.max(0, math.min(w - 1, x + dx))
+              win(k) = rgb((sy * w + sx) * 3 + c) & 0xFF
+              k += 1
+              dx += 1
+            }
+            dy += 1
+          }
+          // insertion sort, 9 elements; median = win(4)
+          var i = 1
+          while (i < 9) {
+            val v = win(i)
+            var j = i - 1
+            while (j >= 0 && win(j) > v) { win(j + 1) = win(j); j -= 1 }
+            win(j + 1) = v
+            i += 1
+          }
+          out((y * w + x) * 3 + c) = win(4).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Laplacian sharpness: Σ over interior pixels of
     * (4·center − up − down − left − right)² on integer luma. Exact BIGINT
     * (|lap| ≤ 2040 so lap² ≤ ~4.2e6/pixel — overflow needs ~2e12 pixels

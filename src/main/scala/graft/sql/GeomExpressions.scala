@@ -1081,6 +1081,20 @@ case class ImgBoxBlur(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+/** (rgb, w, h) → 3×3 median-filtered rgb (replicate border, lower
+  * median; codegen'd: one static call) — the salt-and-pepper denoiser. */
+case class ImgMedian3(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.imgMedian3(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.imgMedian3($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
 /** (rgb, w, h) → Laplacian sharpness, exact BIGINT (blur-filter feature). */
 case class ImgSharpness(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {

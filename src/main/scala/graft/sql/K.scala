@@ -671,6 +671,7 @@ object K {
     Images.cropRgb(w, h, rgb, x0, y0, cw, ch)
   def imgLumaMean(rgb: Array[Byte]): Double = Images.lumaMean(rgb)
   def imgBoxBlur3(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = Images.boxBlur3Rgb(w, h, rgb)
+  def imgMedian3(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = Images.median3Rgb(w, h, rgb)
   def imgSharpness(rgb: Array[Byte], w: Int, h: Int): Long = Images.sharpness(w, h, rgb)
   def imgSsimQ(a: Array[Byte], b: Array[Byte], w: Int, h: Int): Long = Images.ssimQ(w, h, a, b)
   def imgColorHist64(rgb: Array[Byte]): Array[Long] = Images.colorHist64(rgb)
