@@ -5355,6 +5355,124 @@ object SparkEntry {
           "(kd_nano * cnt)", "GREATEST(sum_nbr, 1)", "div")))
         .withColumn("outlier", col("ratio_milli") >= 1500L)
         .select("q_id", "kd_nano", "cnt", "sum_nbr", "ratio_milli", "outlier")
+    }),
+
+    // ---------------- 1-D Wasserstein / earth-mover distance (r5 s14) ----------------
+    // q232's KS reads the WORST cdf gap; W₁ = ∫|F_A − F_B| dv reads the
+    // TOTAL transport work — the drift metric that decides a retraining
+    // trigger (small persistent shift moves W₁ but not KS). On the pooled
+    // value-cents grid |F_A − F_B| is piecewise constant, so W₁ is EXACT
+    // in integers: Σ |n_b·ca − n_a·cb| · (next_vc − vc), one lead window
+    // over the same cum frame as KS. Value-bounded state after the first
+    // aggregate; milli in value units via the sign-split ladder (long
+    // envelope: emd_num ≤ 1.15e18 ⇒ n_a·n_b·range_cents bounded — at
+    // 3e4 rows/type and a 1e5-cent range that is ~9e13, three orders in
+    // hand; n_a·n_b·100 ≤ 9.2e18 caps types at ~3e8 rows each).
+    "q235_emd" -> ((s, dir) => {
+      emdAudit(t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "vc").agg(count(lit(1)).as("cnt")))
+    }),
+
+    // ---------------- quadrat analysis / variance-mean ratio (r5 s14) ----------------
+    // The density-based point-pattern companion to q210's Clark–Evans
+    // (NN-based) and q209's Ripley (distance-ladder): VMR of image counts
+    // over the FULL 1024×512 lattice, empty cells included through closed
+    // forms only — Var/mean = (W·Σc² − n²)/(W·n) with W = 524288, Σc²
+    // data-bounded over occupied cells. EXACT integer numerator (Var ≥ 0
+    // ⇒ num ≥ 0), milli via the sign-split ladder; VMR ≈ 1000 Poisson,
+    // > clustered, < dispersed. One count-shuffle; one row out. Long
+    // envelope: W·Σc² exact while Σc² ≤ 1.76e13 (hottest-cell count
+    // ~4.2e6 even if ALL mass is one cell at sf10-scale n).
+    "q236_quadrat" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      latticeCells(s, dir)
+        .agg(count(lit(1)).as("n_occ"), sum("c").as("n"),
+          sum(expr("c * c")).as("s2"))
+        .withColumn("num", expr("524288 * s2 - n * n"))
+        .select(col("n"), col("n_occ"), col("s2"),
+          expr(milliDivSql("num", "(524288 * n)", "div")).as("vmr_milli"))
+    }),
+
+    // ---------------- Wald–Wolfowitz runs test (r5 s14) ----------------
+    // Randomness audit of each type's hourly volume series: sign of the
+    // EXACT deviation 2n − med2 vs the doubled median (zero ties dropped
+    // — they have no sign), runs counted by one lag window over calendar
+    // order, n⁺/n⁻ exact. Too FEW runs = regime persistence (the CUSUM
+    // family's cheap cousin), too MANY = oscillation. z ships from ONE
+    // shared double formula over (r, n1, n2) — the q124 contract — with
+    // the degenerate one-sided series guarded to NULL. Spine-bounded
+    // after the hourlySpine aggregate.
+    "q237_runs" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val sgn = hours.join(med2By(hours, Seq("event_type"), "n", "med2"), "event_type")
+        .withColumn("sg", expr("CASE WHEN 2 * n > med2 THEN 1 WHEN 2 * n < med2 THEN -1 END"))
+        .where(col("sg").isNotNull)
+      sgn
+        .withColumn("prev", lag("sg", 1).over(
+          Window.partitionBy("event_type").orderBy("h")))
+        .groupBy("event_type")
+        .agg(sum(expr("CASE WHEN prev IS NULL OR sg <> prev THEN 1 ELSE 0 END")).as("r"),
+          sum(expr("CASE WHEN sg = 1 THEN 1 ELSE 0 END")).as("n1"),
+          sum(expr("CASE WHEN sg = -1 THEN 1 ELSE 0 END")).as("n2"))
+        .withColumn("z_milli", expr(RUNS_Z_MILLI_SQL))
+        .select("event_type", "r", "n1", "n2", "z_milli")
+    }),
+
+    // ---------------- join-count statistics (r5 s14) ----------------
+    // The BINARY-mark ESDA member (Moran/Geary read interval marks): each
+    // occupied lattice cell is hot iff c·n_occ > s1 (strictly above the
+    // occupied-cell mean — an exact integer test), and the queen-adjacent
+    // occupied pairs split into BB/BW/WW counts, each DOUBLED (both
+    // directions of the q203 explode-join) so everything stays integer.
+    // Clustering of the hot mark reads as BB2 above its free-sampling
+    // expectation E[BB2] = J2·(n_hot/n_occ)² — shipped as the exact pair
+    // (bb2·n_occ², j2·n_hot²) a consumer compares, no division at all.
+    "q238_joincount" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = latticeCells(s, dir)
+      val glob = cells.agg(sum("c").as("s1"), count(lit(1)).as("n_occ"))
+      val marked = cells.crossJoin(broadcast(glob))
+        .withColumn("hot", (col("c") * col("n_occ")) > col("s1"))
+        .select("gx", "gy", "c", "hot")
+      val nbr = marked
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .where(!(col("dx") === 0L && col("dy") === 0L))
+        .select((col("gx") + col("dx")).as("jx"), (col("gy") + col("dy")).as("jy"),
+          col("hot").as("hi"))
+      val pairs = nbr.join(
+        marked.select(col("gx").as("jx"), col("gy").as("jy"), col("hot").as("hj")),
+        Seq("jx", "jy"))
+      pairs.agg(
+          sum(expr("CASE WHEN hi AND hj THEN 1 ELSE 0 END")).as("bb2"),
+          sum(expr("CASE WHEN hi <> hj THEN 1 ELSE 0 END")).as("bw2"),
+          sum(expr("CASE WHEN NOT hi AND NOT hj THEN 1 ELSE 0 END")).as("ww2"))
+        .crossJoin(broadcast(marked.agg(count(lit(1)).as("n_occ"),
+          sum(expr("CASE WHEN hot THEN 1 ELSE 0 END")).as("n_hot"))))
+        .withColumn("j2", col("bb2") + col("bw2") + col("ww2"))
+        .select(col("n_occ"), col("n_hot"), col("bb2"), col("bw2"), col("ww2"),
+          col("j2"),
+          (col("bb2") * col("n_occ") * col("n_occ")).as("bb2_scaled"),
+          (col("j2") * col("n_hot") * col("n_hot")).as("ebb2_scaled"))
+    }),
+
+    // ---------------- streamed Wasserstein drift (r5 s14) ----------------
+    // q235's transport-distance drift gate fed by Complete-mode streamed
+    // (type, value-cents) counts — sixth streamed==batch member
+    // (q193/q213/q217/q226/q231), first on the distribution-distance
+    // axis: state-store counts merge across micro-batches (state =
+    // distinct cents × types, value-bounded), the pooled-grid post-pass
+    // runs as a batch job on the final table, and the result equals
+    // q235's oracle EXACTLY.
+    "q239_stream_emd" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "emd") { src =>
+        src.groupBy(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      emdAudit(s.createDataFrame(sink.rdd, sink.schema))
     })
   )
 
@@ -5496,6 +5614,84 @@ object SparkEntry {
         expr("(nr - 1) * (nc - 1)").as("dof"),
         col("chi2_micro"), expr(CHI2_V_PPM_SQL).as("v_ppm"))
   }
+
+  /** q237's Wald–Wolfowitz z over the exact integers (r, n1, n2): μ =
+    * 1 + 2n1n2/N, σ² = 2n1n2(2n1n2−N)/(N²(N−1)) — ONE shared double
+    * formula (q124 contract), milli-quantized; NULL when a side is empty
+    * or N = 1 (σ = 0). */
+  private val RUNS_Z_MILLI_SQL =
+    """CASE WHEN n1 = 0 OR n2 = 0 OR (n1 + n2) = 1 THEN NULL
+       ELSE CAST(FLOOR(1000 * ((CAST(r AS DOUBLE)
+         - (1e0 + 2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+        / SQRT((2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             * (2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+              * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+              * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1e0)))))
+       AS BIGINT) END""".stripMargin
+
+  /** q235/q239's shared W₁ post-pass over (et, vc, cnt) value-cents
+    * counts: pooled grid per type pair, cumulative counts, |F_A − F_B|
+    * integrated EXACTLY as Σ |n_b·ca − n_a·cb| · gap (piecewise-constant
+    * cdf gap × next-grid-point distance — the last grid point carries
+    * gap 0). Everything after the caller's aggregate rides distinct
+    * cents × type pairs. */
+  private def emdAudit(counts0: DataFrame): DataFrame = {
+    val cnt = counts0.localCheckpoint() // referenced 3× (A side, B side, sizes)
+    val types = cnt.select("et").distinct()
+    val pairs = types.select(col("et").as("ta"))
+      .join(types.select(col("et").as("tb")), col("ta") < col("tb"))
+    val st = pairs.join(cnt.withColumnRenamed("et", "ta"), "ta")
+      .select(col("ta"), col("tb"), col("vc"), col("cnt").as("na"), lit(0L).as("nb"))
+      .unionByName(pairs.join(cnt.withColumnRenamed("et", "tb"), "tb")
+        .select(col("ta"), col("tb"), col("vc"), lit(0L).as("na"), col("cnt").as("nb")))
+      .groupBy("ta", "tb", "vc").agg(sum("na").as("na"), sum("nb").as("nb"))
+    val wp = Window.partitionBy("ta", "tb").orderBy(col("vc").asc)
+    val cum = st
+      .withColumn("ca", sum("na").over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum("nb").over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap", coalesce(lead("vc", 1).over(wp) - col("vc"), lit(0L)))
+    val sizes = cnt.groupBy("et").agg(sum("cnt").as("m"))
+    cum.join(sizes.select(col("et").as("ta"), col("m").as("n_a")), "ta")
+      .join(sizes.select(col("et").as("tb"), col("m").as("n_b")), "tb")
+      .withColumn("term", abs(col("n_b") * col("ca") - col("n_a") * col("cb")) * col("gap"))
+      .groupBy("ta", "tb", "n_a", "n_b")
+      .agg(sum("term").as("emd_num"))
+      .withColumn("emd_milli", expr(milliDivSql("emd_num", "(n_a * n_b * 100)", "div")))
+      .select("ta", "tb", "n_a", "n_b", "emd_num", "emd_milli")
+  }
+
+  /** q235/q239's shared oracle (emdAudit replayed — streamed == batch is
+    * the whole q239 claim). */
+  private lazy val EMD_ORACLE_SQL =
+    s"""WITH ev AS (SELECT event_type AS et,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       cnt AS (SELECT et, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+       ty AS (SELECT DISTINCT et FROM cnt),
+       pairs AS (SELECT a.et AS ta, b.et AS tb FROM ty a JOIN ty b ON a.et < b.et),
+       st AS (SELECT ta, tb, vc, SUM(na) AS na, SUM(nb) AS nb FROM (
+           SELECT p.ta, p.tb, c.vc, c.cnt AS na, 0 AS nb
+             FROM pairs p JOIN cnt c ON c.et = p.ta
+           UNION ALL
+           SELECT p.ta, p.tb, c.vc, 0, c.cnt
+             FROM pairs p JOIN cnt c ON c.et = p.tb)
+         GROUP BY 1, 2, 3),
+       cum AS (SELECT ta, tb, vc,
+           SUM(na) OVER (PARTITION BY ta, tb ORDER BY vc ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb) OVER (PARTITION BY ta, tb ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cb,
+           COALESCE(LEAD(vc) OVER (PARTITION BY ta, tb ORDER BY vc) - vc, 0) AS gap
+         FROM st),
+       sz AS (SELECT et, CAST(SUM(cnt) AS BIGINT) AS m FROM cnt GROUP BY 1),
+       dd AS (SELECT cum.ta, cum.tb, a.m AS n_a, b.m AS n_b,
+           ABS(b.m * ca - a.m * cb) * gap AS term
+         FROM cum JOIN sz a ON a.et = cum.ta JOIN sz b ON b.et = cum.tb),
+       g AS (SELECT ta, tb, n_a, n_b, CAST(SUM(term) AS BIGINT) AS emd_num
+         FROM dd GROUP BY 1, 2, 3, 4)
+       SELECT ta, tb, n_a, n_b, emd_num,
+         CAST(${milliDivSql("emd_num", "(n_a * n_b * 100)", "//")} AS BIGINT) AS emd_milli
+       FROM g"""
 
   /** q230/q231's shared oracle (chiSquareAudit replayed — streamed ==
     * batch is the whole q231 claim, the q193/q213/q217/q226 pattern). */
@@ -8404,7 +8600,75 @@ object SparkEntry {
            FROM g)
          SELECT q_id, kd_nano, cnt, sum_nbr, ratio_milli,
            (ratio_milli >= 1500) AS outlier
-         FROM r"""
+         FROM r""",
+
+    "q235_emd" -> EMD_ORACLE_SQL,
+    // streamed == batch: the SAME oracle pins state-merge correctness
+    "q239_stream_emd" -> EMD_ORACLE_SQL,
+
+    // ground truth: identical closed-form lattice algebra — W = 524288
+    // cells, empty cells only through n² and W
+    "q236_quadrat" ->
+      s"""WITH $LAT_CELLS_SQL,
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS s2
+           FROM cells)
+         SELECT n, n_occ, s2,
+           CAST(${milliDivSql("(524288 * s2 - n * n)", "(524288 * n)", "//")}
+             AS BIGINT) AS vmr_milli
+         FROM g""",
+
+    // ground truth: identical doubled-median sign + lag-run machinery;
+    // the z replays the ONE shared formula text
+    "q237_runs" ->
+      s"""WITH $HRS_SPINE_SQL,
+         r1 AS (SELECT event_type, h, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m FROM hrs),
+         med AS (SELECT event_type, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2
+           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
+         sgn AS (SELECT hrs.event_type, h,
+             CASE WHEN 2 * n > med2 THEN 1 WHEN 2 * n < med2 THEN -1 END AS sg
+           FROM hrs JOIN med ON hrs.event_type = med.event_type),
+         sq AS (SELECT event_type, h, sg,
+             LAG(sg) OVER (PARTITION BY event_type ORDER BY h) AS prev
+           FROM sgn WHERE sg IS NOT NULL),
+         agg AS (SELECT event_type,
+             CAST(SUM(CASE WHEN prev IS NULL OR sg <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM sq GROUP BY 1)
+         SELECT event_type, r, n1, n2,
+           $RUNS_Z_MILLI_SQL AS z_milli
+         FROM agg""",
+
+    // ground truth: identical hot mark (c·n_occ > s1) + doubled queen
+    // adjacency counts — pure integers end to end
+    "q238_joincount" ->
+      s"""WITH $LAT_CELLS_SQL,
+         g AS (SELECT CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(COUNT(*) AS BIGINT) AS n_occ FROM cells),
+         marked AS (SELECT gx, gy, c, (c * g.n_occ > g.s1) AS hot FROM cells, g),
+         nbr AS (SELECT gx + dx.v AS jx, gy + dy.v AS jy, hot AS hi
+           FROM marked,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dy
+           WHERE NOT (dx.v = 0 AND dy.v = 0)),
+         pr AS (SELECT n.hi, m2.hot AS hj
+           FROM nbr n JOIN marked m2 ON n.jx = m2.gx AND n.jy = m2.gy),
+         cnts AS (SELECT
+             CAST(SUM(CASE WHEN hi AND hj THEN 1 ELSE 0 END) AS BIGINT) AS bb2,
+             CAST(SUM(CASE WHEN hi <> hj THEN 1 ELSE 0 END) AS BIGINT) AS bw2,
+             CAST(SUM(CASE WHEN NOT hi AND NOT hj THEN 1 ELSE 0 END) AS BIGINT) AS ww2
+           FROM pr),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+           FROM marked)
+         SELECT n_occ, n_hot, bb2, bw2, ww2,
+           bb2 + bw2 + ww2 AS j2,
+           bb2 * n_occ * n_occ AS bb2_scaled,
+           (bb2 + bw2 + ww2) * n_hot * n_hot AS ebb2_scaled
+         FROM cnts, tot"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
