@@ -42,6 +42,7 @@ object SparkEntry {
   private val IMGEQ = "read_parquet('/tmp/graft_geo/sf0.01/img_eq.parquet/*.parquet')"
   private val IMGWB = "read_parquet('/tmp/graft_geo/sf0.01/img_wb.parquet/*.parquet')"
   private val IMGMED = "read_parquet('/tmp/graft_geo/sf0.01/img_med.parquet/*.parquet')"
+  private val IMGDIT = "read_parquet('/tmp/graft_geo/sf0.01/img_dither.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -5473,6 +5474,117 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
       }
       emdAudit(s.createDataFrame(sink.rdd, sink.schema))
+    }),
+
+    // ---------------- exposure entropy (r5 s14) ----------------
+    // Shannon entropy of the 16-bin luma histogram — the information-
+    // theoretic exposure gate (q192's Gini–Simpson reads collision
+    // probability; entropy penalizes missing tonal range harder): each
+    // occupied bin's −p·ln p quantized to micro-nats by the ONE shared
+    // double formula (the q89 empirical transcendental contract: both
+    // engines run the identical LN text on identical integers) and
+    // integer-summed order-safely (q206 pattern — 16 bins, never a
+    // reduction-order hazard). flat < 0.5 nat ≈ synthetic/blank frames a
+    // curation pass drops. Scan-parallel decode; one agg shuffle.
+    "q240_entropy" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgExpo(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("hist", call_function("img_luma_hist16",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("npx", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .select(col("image_id"), col("npx"), posexplode(col("hist")))
+        .withColumnRenamed("col", "k")
+        .where(col("k") > 0)
+        .withColumn("ent", expr(entMicroSql("k", "npx")))
+        .groupBy("image_id", "npx")
+        .agg(count(lit(1)).as("n_bins"), sum("ent").as("ent_micro"))
+        .withColumn("flat", col("ent_micro") < 500000L)
+        .select("image_id", "npx", "n_bins", "ent_micro", "flat")
+    }),
+
+    // ---------------- Floyd–Steinberg dither audit (r5 s14) ----------------
+    // img_dither_rgb (error-diffusion to {0,255}³, conserving integer
+    // shares — the classic print/e-ink preprocessing kernel) through the
+    // decode path, with the distortion payload: on-pixel count from the
+    // exact channel sums (all bytes ∈ {0,255} ⇒ Σbytes = 255·n_on) and
+    // the L1 distortion via the new img_sad. The oracle derives identical
+    // integers from the recompute-pinned img_dither fixture (q211/q233
+    // contract: a single diffusion defect changes the md5 or the SAD).
+    "q241_dither" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgDither(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("dit", call_function("img_dither_rgb", col("rgb"), col("w"), col("h")))
+        .withColumn("cs", call_function("img_channel_sums", col("dit")))
+        .select(col("image_id"), md5(col("dit")).as("dit_md5"),
+          expr("(element_at(cs, 1) + element_at(cs, 2) + element_at(cs, 3)) div 255").as("n_on"),
+          call_function("img_sad", col("rgb"), col("dit")).as("sad"))
+    }),
+
+    // ---------------- Wilcoxon signed-rank (r5 s14) ----------------
+    // The PAIRED companion to q225's Mann–Whitney: per type pair, do the
+    // two hourly volume series differ, hour matched to hour? Exact
+    // integer machinery end to end — d = n_a − n_b on the shared spine
+    // (zero diffs dropped, they carry no sign), |d| ranked by DOUBLED
+    // midranks (q227's r2 = 2·rank_min + ties − 1, so W⁺ stays integer),
+    // tie correction Σ(t³−t) exact, z from ONE shared double formula
+    // with the tie-corrected variance. Calendar-bounded fan-out:
+    // pairs × spine hours.
+    "q242_wilcoxon" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val d = hours.select(col("event_type").as("ta"), col("h"), col("n").as("na"))
+        .join(hours.select(col("event_type").as("tb"), col("h"), col("n").as("nb")),
+          Seq("h"))
+        .where(col("ta") < col("tb"))
+        .withColumn("d", col("na") - col("nb"))
+        .where(col("d") =!= 0L)
+        .withColumn("ad", abs(col("d")))
+      val ranked = d
+        .withColumn("r_min", rank().over(
+          Window.partitionBy("ta", "tb").orderBy("ad")))
+        .withColumn("c_at", count(lit(1)).over(
+          Window.partitionBy("ta", "tb", "ad")))
+        .withColumn("r2", col("r_min") * 2 + col("c_at") - 1)
+      val ties = d.groupBy("ta", "tb", "ad").agg(count(lit(1)).as("t"))
+        .groupBy("ta", "tb").agg(sum(expr("t * t * t - t")).as("tie"))
+      ranked.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("nn"),
+          sum(expr("CASE WHEN d > 0 THEN r2 ELSE 0 END")).as("w2"))
+        .join(ties, Seq("ta", "tb"))
+        .withColumn("z_milli", expr(WILCOXON_Z_MILLI_SQL))
+        .select("ta", "tb", "nn", "w2", "tie", "z_milli")
+    }),
+
+    // ---------------- mutual information (r5 s14) ----------------
+    // The information-theoretic read of q230's contingency table: how
+    // many nats does day-of-week carry about event mix? Per occupied
+    // cell (o > 0 — empty cells contribute exactly 0) the term
+    // (o/n)·ln(o·n/(r·c)) quantizes to micro-nats by the ONE shared
+    // formula, then integer-sums; margin entropies ride the DISTINCT
+    // margin rows the same way, so a consumer forms normalized MI from
+    // three exact bigints. Data-bounded work = the one groupBy; the
+    // post-pass rides types × 7 rows.
+    "q243_mutualinfo" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7").as("dow"))
+        .groupBy("et", "dow").agg(count(lit(1)).as("o"))
+        .localCheckpoint() // tiny; referenced by cells + both margins
+      val m = counts
+        .withColumn("r", sum("o").over(Window.partitionBy("et")))
+        .withColumn("c", sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", sum("o").over(Window.partitionBy()))
+      val hr = m.select("et", "r", "n").distinct()
+        .agg(sum(expr(entMicroSql("r", "n"))).as("hr_micro"))
+      val hc = m.select("dow", "c", "n").distinct()
+        .agg(sum(expr(entMicroSql("c", "n"))).as("hc_micro"))
+      m.withColumn("mi_cell", expr(MI_CELL_MICRO_SQL))
+        .agg(max("n").as("n"), count(lit(1)).as("n_cells"),
+          sum("mi_cell").as("mi_micro"))
+        .crossJoin(hr).crossJoin(hc)
+        .select("n", "n_cells", "mi_micro", "hr_micro", "hc_micro")
     })
   )
 
@@ -5631,6 +5743,36 @@ object SparkEntry {
               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1e0)))))
        AS BIGINT) END""".stripMargin
+
+  /** q240/q243's per-item Shannon term −p·ln p in micro-nats, p = k/n:
+    * ONE shared double formula over exact integers (transcendental
+    * agreement rests on the q89 empirical contract — both engines run
+    * the identical LN text), quantized BEFORE the order-safe integer
+    * sum (q206 pattern). k = n ⇒ ln 1 = 0 exactly. */
+  private def entMicroSql(k: String, n: String): String =
+    s"""CAST(FLOOR(1e6 * ((CAST($k AS DOUBLE) / CAST($n AS DOUBLE))
+       * LN(CAST($n AS DOUBLE) / CAST($k AS DOUBLE)))) AS BIGINT)"""
+
+  /** q243's per-cell pointwise-MI term (o/n)·ln(o·n/(r·c)) in micro-nats
+    * — negative for under-represented cells, FLOOR agrees (toward −∞ in
+    * both engines). */
+  private val MI_CELL_MICRO_SQL =
+    """CAST(FLOOR(1e6 * ((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+       * LN((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+            / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))))) AS BIGINT)"""
+
+  /** q242's normal-approximation z over the exact integers (w2 = doubled
+    * W⁺, nn, tie = Σ(t³−t)): E[2W⁺] = n(n+1)/2, Var(2W⁺) =
+    * n(n+1)(2n+1)/6 − tie/12 (> 0 for every n ≥ 1, all-tied included) —
+    * ONE shared double formula, milli-quantized. */
+  private val WILCOXON_Z_MILLI_SQL =
+    """CASE WHEN nn = 0 THEN NULL
+       ELSE CAST(FLOOR(1000 * ((CAST(w2 AS DOUBLE)
+         - CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1e0) / 2e0)
+        / SQRT(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1e0)
+             * (2e0 * CAST(nn AS DOUBLE) + 1e0) / 6e0
+           - CAST(tie AS DOUBLE) / 12e0)))
+       AS BIGINT) END"""
 
   /** q235/q239's shared W₁ post-pass over (et, vc, cnt) value-cents
     * counts: pooled grid per type pair, cumulative counts, |F_A − F_B|
@@ -8668,7 +8810,66 @@ object SparkEntry {
            bb2 + bw2 + ww2 AS j2,
            bb2 * n_occ * n_occ AS bb2_scaled,
            (bb2 + bw2 + ww2) * n_hot * n_hot AS ebb2_scaled
-         FROM cnts, tot"""
+         FROM cnts, tot""",
+
+    // ground truth: the recompute-pinned img_expo histograms — identical
+    // per-bin micro-nat terms, integer-summed
+    "q240_entropy" ->
+      s"""WITH b AS (SELECT image_id, n_px AS npx, UNNEST(hist) AS k FROM $IMGX),
+         nz AS (SELECT image_id, npx, k FROM b WHERE k > 0)
+         SELECT image_id, CAST(npx AS BIGINT) AS npx,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(${entMicroSql("k", "npx")}) AS BIGINT) AS ent_micro,
+           (CAST(SUM(${entMicroSql("k", "npx")}) AS BIGINT) < 500000) AS flat
+         FROM nz GROUP BY 1, 2""",
+
+    // ground truth: the recompute-pinned img_dither fixture (on_sum =
+    // Σ dithered bytes = 255·n_on exactly — every byte is 0 or 255)
+    "q241_dither" ->
+      s"""SELECT image_id, dit_md5, on_sum // 255 AS n_on, sad
+         FROM $IMGDIT""",
+
+    // ground truth: identical doubled-midrank + tie machinery; the z
+    // replays the ONE shared formula text
+    "q242_wilcoxon" ->
+      s"""WITH $HRS_SPINE_SQL,
+         d AS (SELECT a.event_type AS ta, b.event_type AS tb, a.h,
+             a.n - b.n AS d, ABS(a.n - b.n) AS ad
+           FROM hrs a JOIN hrs b ON a.h = b.h AND a.event_type < b.event_type
+           WHERE a.n <> b.n),
+         rk AS (SELECT ta, tb, d, ad,
+             RANK() OVER (PARTITION BY ta, tb ORDER BY ad) AS r_min,
+             COUNT(*) OVER (PARTITION BY ta, tb, ad) AS c_at
+           FROM d),
+         tg AS (SELECT ta, tb, CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM
+             (SELECT ta, tb, ad, COUNT(*) AS t FROM d GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         w AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN d > 0 THEN 2 * r_min + c_at - 1 ELSE 0 END) AS BIGINT) AS w2
+           FROM rk GROUP BY 1, 2),
+         agg AS (SELECT w.ta, w.tb, nn, w2, tie
+           FROM w JOIN tg ON w.ta = tg.ta AND w.tb = tg.tb)
+         SELECT ta, tb, nn, w2, tie,
+           $WILCOXON_Z_MILLI_SQL AS z_milli
+         FROM agg""",
+
+    // ground truth: identical margin windows + per-cell micro-nat terms
+    "q243_mutualinfo" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events),
+         cnt AS (SELECT et, dow, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+         m AS (SELECT et, dow, o,
+             SUM(o) OVER (PARTITION BY et) AS r,
+             SUM(o) OVER (PARTITION BY dow) AS c,
+             SUM(o) OVER () AS n FROM cnt),
+         hr AS (SELECT CAST(SUM(${entMicroSql("r", "n")}) AS BIGINT) AS hr_micro
+           FROM (SELECT DISTINCT et, r, n FROM m)),
+         hc AS (SELECT CAST(SUM(${entMicroSql("c", "n")}) AS BIGINT) AS hc_micro
+           FROM (SELECT DISTINCT dow, c, n FROM m)),
+         agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM($MI_CELL_MICRO_SQL) AS BIGINT) AS mi_micro FROM m)
+         SELECT n, n_cells, mi_micro, hr_micro, hc_micro FROM agg, hr, hc"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -561,6 +561,34 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGMED_DONE"))
   }
 
+  def imgDitherPath(sfDir: String): String = s"${baseDir(sfDir)}/img_dither.parquet"
+
+  final case class ImgDitherRow(image_id: String, dit_md5: String,
+                                on_sum: Long, sad: Long)
+
+  /** Floyd–Steinberg fixture through the SAME kernels the SQL surface
+    * composes (img_dither_rgb → md5, channel sums, img_sad) — the q241
+    * consistency contract: a single diffusion defect changes the buffer
+    * md5 or the L1 distortion. */
+  def ensureImgDither(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGDIT_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, rgb) = Images.decode(bytes)
+        val dit = Images.ditherFsRgb(w, h, rgb)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(dit)
+        ImgDitherRow(id, md.map(b => f"${b & 0xFF}%02x").mkString,
+          Images.channelSums(dit).take(3).sum, Images.sad(rgb, dit))
+      }
+      .write.mode("overwrite").parquet(imgDitherPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGDIT_DONE"))
+  }
+
   def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"
 
   final case class ImgWbRow(image_id: String, sr: Long, sg: Long, sb: Long, npx: Long)

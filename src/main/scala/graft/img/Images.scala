@@ -531,6 +531,64 @@ object Images {
     out
   }
 
+  /** Floyd–Steinberg error-diffusion dither per channel to the 1-bit
+    * palette {0, 255} (the classic 1976 kernel, public): raster order
+    * (top→bottom, left→right), threshold at 128, quantization error e
+    * pushed right 7/16, down-left 3/16, down 5/16, down-right 1/16 —
+    * each share as Java integer division e·k/16 (truncation toward
+    * zero, so negative errors round symmetrically) with the final
+    * residue e − Σshares added to the right neighbor so the diffusion
+    * conserves total error exactly. Pure integers end to end:
+    * deterministic across JVMs and shuffle orders. Serial per image
+    * (error diffusion is inherently sequential) — row-parallel across
+    * the corpus like every decode kernel. */
+  def ditherFsRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    if (w * h * 3 != rgb.length) return rgb.clone()
+    val out = new Array[Byte](rgb.length)
+    val acc = new Array[Int](rgb.length) // accumulated diffused error
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val i = (y * w + x) * 3 + c
+          val v = (rgb(i) & 0xFF) + acc(i)
+          val o = if (v < 128) 0 else 255
+          out(i) = o.toByte
+          val e = v - o
+          val e3 = e * 3 / 16; val e5 = e * 5 / 16; val e1 = e / 16
+          val e7 = e - e3 - e5 - e1 // conserve: right gets the residue
+          if (x + 1 < w) acc(i + 3) += e7
+          if (y + 1 < h) {
+            val d = ((y + 1) * w + x) * 3 + c
+            if (x > 0) acc(d - 3) += e3
+            acc(d) += e5
+            if (x + 1 < w) acc(d + 3) += e1
+          }
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Sum of absolute byte differences Σ|a_i − b_i| (exact BIGINT; −1 on
+    * length mismatch) — the L1 distortion a dither/denoise audit pairs
+    * with PSNR's L2. */
+  def sad(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a.length != b.length) return -1L
+    var s = 0L
+    var i = 0
+    while (i < a.length) {
+      s += math.abs((a(i) & 0xFF) - (b(i) & 0xFF))
+      i += 1
+    }
+    s
+  }
+
   /** Laplacian sharpness: Σ over interior pixels of
     * (4·center − up − down − left − right)² on integer luma. Exact BIGINT
     * (|lap| ≤ 2040 so lap² ≤ ~4.2e6/pixel — overflow needs ~2e12 pixels

@@ -1095,6 +1095,29 @@ case class ImgMedian3(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+/** (rgb, w, h) → Floyd–Steinberg 1-bit dithered rgb (raster order,
+  * conserving integer error shares; codegen'd: one static call). */
+case class ImgDitherFs(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    K.imgDitherFs(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.sql.K.imgDitherFs($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+/** (a, b) → Σ|a_i − b_i| exact BIGINT; −1 on length mismatch — the L1
+  * distortion companion to img_psnr's L2. */
+case class ImgSad(left: Expression, right: Expression) extends GeomBinary {
+  def fn = "imgSad"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.imgSad(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
 /** (rgb, w, h) → Laplacian sharpness, exact BIGINT (blur-filter feature). */
 case class ImgSharpness(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {

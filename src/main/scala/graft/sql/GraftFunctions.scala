@@ -197,6 +197,8 @@ object GraftFunctions {
     "img_luma_mean" -> (e => ImgLumaMean(e.head)),
     "img_boxblur_rgb" -> (e => ImgBoxBlur(e(0), e(1), e(2))),
     "img_median3_rgb" -> (e => ImgMedian3(e(0), e(1), e(2))),
+    "img_dither_rgb" -> (e => ImgDitherFs(e(0), e(1), e(2))),
+    "img_sad" -> (e => ImgSad(e(0), e(1))),
     "img_sharpness" -> (e => ImgSharpness(e(0), e(1), e(2))),
     "img_colorhist64" -> (e => ImgColorHist(e.head)),
     "img_edge_stats" -> (e => ImgEdgeStats(e(0), e(1), e(2))),

@@ -672,6 +672,8 @@ object K {
   def imgLumaMean(rgb: Array[Byte]): Double = Images.lumaMean(rgb)
   def imgBoxBlur3(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = Images.boxBlur3Rgb(w, h, rgb)
   def imgMedian3(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = Images.median3Rgb(w, h, rgb)
+  def imgDitherFs(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = Images.ditherFsRgb(w, h, rgb)
+  def imgSad(a: Array[Byte], b: Array[Byte]): Long = Images.sad(a, b)
   def imgSharpness(rgb: Array[Byte], w: Int, h: Int): Long = Images.sharpness(w, h, rgb)
   def imgSsimQ(a: Array[Byte], b: Array[Byte], w: Int, h: Int): Long = Images.ssimQ(w, h, a, b)
   def imgColorHist64(rgb: Array[Byte]): Array[Long] = Images.colorHist64(rgb)
