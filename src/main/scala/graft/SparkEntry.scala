@@ -4953,19 +4953,9 @@ object SparkEntry {
     // the χ²-style distance dev²/exp stays integer. Scan-only: one
     // groupBy onto a 9-value key, then a broadcast join to the literals.
     "q222_benford" -> ((s, dir) => {
-      import s.implicits._
-      val expDf = BENFORD_EXP_PPM.map { case (d, p) => (d.toLong, p.toLong) }
-        .toDF("digit", "exp_ppm")
-      t(s, dir, "documents").where(col("n_chars") > 0)
+      benfordAudit(s, t(s, dir, "documents").where(col("n_chars") > 0)
         .select(substring(col("n_chars").cast("string"), 1, 1).cast("bigint").as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("n_docs"))
-        .withColumn("n_tot", sum("n_docs").over(Window.partitionBy()))
-        .join(broadcast(expDf), "digit")
-        .withColumn("obs_ppm", expr(ppmDivSql("n_docs", "n_tot")))
-        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
-        .select(col("digit"), col("n_docs"), col("obs_ppm"), col("exp_ppm"),
-          col("dev_ppm"),
-          expr("(dev_ppm * dev_ppm) div exp_ppm").as("chi_u"))
+        .groupBy("digit").agg(count(lit(1)).as("n_docs")))
     }),
 
     // ---------------- Otsu threshold (r5 s14) ----------------
@@ -5271,27 +5261,14 @@ object SparkEntry {
     // Value-bounded state: after the first aggregate everything rides
     // distinct cents × type pairs.
     "q232_ks" -> ((s, dir) => {
-      val cnt = t(s, dir, "events")
-        .select(col("event_type").as("et"),
-          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
-        .groupBy("et", "vc").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // referenced 3× (A side, B side, sizes)
-      val types = cnt.select("et").distinct()
-      val pairs = types.select(col("et").as("ta"))
-        .join(types.select(col("et").as("tb")), col("ta") < col("tb"))
-      val st = pairs.join(cnt.withColumnRenamed("et", "ta"), "ta")
-        .select(col("ta"), col("tb"), col("vc"), col("cnt").as("na"), lit(0L).as("nb"))
-        .unionByName(pairs.join(cnt.withColumnRenamed("et", "tb"), "tb")
-          .select(col("ta"), col("tb"), col("vc"), lit(0L).as("na"), col("cnt").as("nb")))
-        .groupBy("ta", "tb", "vc").agg(sum("na").as("na"), sum("nb").as("nb"))
       val wc = Window.partitionBy("ta", "tb").orderBy(col("vc").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = st
+      typePairValueCounts(t(s, dir, "events")
+          .select(col("event_type").as("et"),
+            expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+          .groupBy("et", "vc").agg(count(lit(1)).as("cnt")))
         .withColumn("ca", sum("na").over(wc))
         .withColumn("cb", sum("nb").over(wc))
-      val sizes = cnt.groupBy("et").agg(sum("cnt").as("m"))
-      cum.join(sizes.select(col("et").as("ta"), col("m").as("n_a")), "ta")
-        .join(sizes.select(col("et").as("tb"), col("m").as("n_b")), "tb")
         .withColumn("dd", abs(col("n_b") * col("ca") - col("n_a") * col("cb")))
         .groupBy("ta", "tb", "n_a", "n_b")
         .agg(max("dd").as("d_num"))
@@ -5585,6 +5562,104 @@ object SparkEntry {
           sum("mi_cell").as("mi_micro"))
         .crossJoin(hr).crossJoin(hc)
         .select("n", "n_cells", "mi_micro", "hr_micro", "hc_micro")
+    }),
+
+    // ---------------- Jensen–Shannon drift (r5 s14) ----------------
+    // The BOUNDED divergence companion to q235's Wasserstein: per type
+    // pair, JSD between the value distributions on the shared cents grid
+    // — the drift metric LM-data pipelines threshold (symmetric, finite
+    // even on disjoint supports, √JSD a metric). Each grid point's two
+    // KL-to-mixture halves quantize to micro-nats by the ONE shared
+    // formula over exact integer counts (jsd2_micro = 2·JSD·1e6, max
+    // 2·ln 2·1e6 ≈ 1386294). Same value-bounded shape as q232/q235:
+    // one data-bounded aggregate, then distinct cents × type pairs.
+    "q244_jsd" -> ((s, dir) => {
+      typePairValueCounts(t(s, dir, "events")
+          .select(col("event_type").as("et"),
+            expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+          .groupBy("et", "vc").agg(count(lit(1)).as("cnt")))
+        .withColumn("term_a", expr(jsdTermMicroSql("na", "n_a", "nb", "n_b")))
+        .withColumn("term_b", expr(jsdTermMicroSql("nb", "n_b", "na", "n_a")))
+        .groupBy("ta", "tb", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_grid"),
+          sum(expr("term_a + term_b")).as("jsd2_micro"))
+        .select("ta", "tb", "n_a", "n_b", "n_grid", "jsd2_micro")
+    }),
+
+    // ---------------- average precision (r5 s14) ----------------
+    // Ranking-quality eval: per event type, the average precision of
+    // `value` as a one-vs-rest retrieval score (the PR-curve area — the
+    // metric that, unlike q225's AUC, weights the top of the ranking
+    // where a curation pipeline actually cuts). Ties resolved
+    // PESSIMISTICALLY (within a tied score, negatives rank first — a
+    // deterministic convention both engines share; no arbitrary row
+    // order can perturb the result). Per-positive precision tp/rank
+    // quantizes ppm by the base-100 ladder (exact while rank ≤ 9.2e16),
+    // then integer-sums; the explode is one row per POSITIVE — linear
+    // in data, never pairwise.
+    "q245_avgprec" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "vc").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // referenced 2× (grid + per-type counts)
+      val grid = cnt.groupBy("vc").agg(sum("cnt").as("na"))
+      val f = cnt.select("et").distinct().crossJoin(grid)
+        .join(cnt, Seq("et", "vc"), "left")
+        .select(col("et"), col("vc"), coalesce(col("cnt"), lit(0L)).as("n1"),
+          (col("na") - coalesce(col("cnt"), lit(0L))).as("n0"))
+      val wd = Window.partitionBy("et").orderBy(col("vc").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      f.withColumn("tp0", coalesce(sum("n1").over(wd), lit(0L)))
+        .withColumn("c0", coalesce(sum(expr("n1 + n0")).over(wd), lit(0L)))
+        .where(col("n1") > 0)
+        .withColumn("i", explode(expr("sequence(1L, n1)")))
+        .withColumn("p_ppm", expr(ppmDivSql("(tp0 + i)", "(c0 + n0 + i)")))
+        .groupBy("et")
+        .agg(count(lit(1)).as("n_pos"), sum("p_ppm").as("ap_sum_ppm"))
+        .withColumn("ap_ppm", expr("ap_sum_ppm div n_pos"))
+        .select("et", "n_pos", "ap_sum_ppm", "ap_ppm")
+    }),
+
+    // ---------------- calibration audit / ECE bins (r5 s14) ----------------
+    // Expected-calibration-error prep over a DETERMINISTIC synthetic
+    // scorer (the q199 md5 machinery: conf = first 52 md5 bits → 2⁻²⁰
+    // units; label ~ Bernoulli(conf²) from the next 52 bits — a
+    // knowably-overconfident model, so the audit has signal). Per
+    // confidence decile: n, Σconf, positives, and the |avg conf −
+    // empirical rate| gap in ppm via the base-100 ladder (exact while
+    // n·2²⁰ ≤ 9.2e16, i.e. ~8.8e10 rows/bin). ONE scan, one 10-row
+    // aggregate — the ECE itself is Σ n·gap/N in the consumer.
+    "q246_ece" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(expr("CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT) div 4294967296").as("conf"),
+          expr("CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 14, 13), 16, 10) AS BIGINT) div 4294967296").as("v20"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .groupBy(expr("(conf * 10) div 1048576").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("conf").as("sum_conf"),
+          sum("lbl").as("n_pos"))
+        .withColumn("conf_ppm", expr(ppmDivSql("sum_conf", "(n * 1048576)")))
+        .withColumn("pos_ppm", expr(ppmDivSql("n_pos", "n")))
+        .withColumn("gap_ppm", expr(ppmDivSql(
+          "abs(sum_conf - n_pos * 1048576)", "(n * 1048576)")))
+        .select("bin", "n", "sum_conf", "n_pos", "conf_ppm", "pos_ppm", "gap_ppm")
+    }),
+
+    // ---------------- streamed Benford audit (r5 s14) ----------------
+    // q222's first-digit fraud/synthesis screen fed by Complete-mode
+    // streamed digit counts — sixth streamed==batch member (q193/q213/
+    // q217/q226/q231 pattern), first over the DOCUMENTS source: the
+    // state store carries ≤ 9 digit rows, micro-batches merge counts,
+    // and the post-pass equals q222's oracle EXACTLY.
+    "q247_stream_benford" -> ((s, dir) => {
+      val sink = runStreamCompleteAggFrom(s,
+        t(s, dir, "documents").where(col("n_chars") > 0)
+          .select(substring(col("n_chars").cast("string"), 1, 1)
+            .cast("bigint").as("digit")),
+        s"benford_${GeoTables.sfName(dir)}") { src =>
+        src.groupBy("digit").agg(count(lit(1)).as("n_docs"))
+      }
+      benfordAudit(s, s.createDataFrame(sink.rdd, sink.schema))
     })
   )
 
@@ -5698,6 +5773,24 @@ object SparkEntry {
     """CAST(FLOOR(1e6 * SQRT((CAST(chi2_micro AS DOUBLE) / 1e6)
        / (CAST(n AS DOUBLE) * CAST(GREATEST(LEAST(nr - 1, nc - 1), 1) AS DOUBLE)))) AS BIGINT)"""
 
+  /** q222/q247's shared first-digit-law post-pass over (digit, n_docs)
+    * counts: observed vs Benford expectation in ppm plus the per-digit
+    * χ²-style deviation units. Rides ≤ 9 rows after the caller's one
+    * data-bounded aggregate. */
+  private def benfordAudit(s: SparkSession, counts: DataFrame): DataFrame = {
+    import s.implicits._
+    val expDf = BENFORD_EXP_PPM.map { case (d, p) => (d.toLong, p.toLong) }
+      .toDF("digit", "exp_ppm")
+    counts
+      .withColumn("n_tot", sum("n_docs").over(Window.partitionBy()))
+      .join(broadcast(expDf), "digit")
+      .withColumn("obs_ppm", expr(ppmDivSql("n_docs", "n_tot")))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("digit"), col("n_docs"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"),
+        expr("(dev_ppm * dev_ppm) div exp_ppm").as("chi_u"))
+  }
+
   /** q230/q231's shared chi-square-of-independence post-pass over
     * (et, dow, cnt) contingency counts: zero-fill the roster cross
     * (absent cells still carry expectation r·c/n), window-sum the
@@ -5753,6 +5846,20 @@ object SparkEntry {
     s"""CAST(FLOOR(1e6 * ((CAST($k AS DOUBLE) / CAST($n AS DOUBLE))
        * LN(CAST($n AS DOUBLE) / CAST($k AS DOUBLE)))) AS BIGINT)"""
 
+  /** q244's per-grid-point KL-to-mixture term (k/nk)·ln(2·k·no /
+    * (k·no + o·nk)) in micro-nats — the Jensen–Shannon halves. Zero when
+    * k = 0 (lim p·ln p = 0, guarded so neither engine evaluates LN(0));
+    * ln 2 when the other side is empty. ONE shared double formula over
+    * exact integers, quantized BEFORE the order-safe integer sum (q206
+    * pattern). Integer products stay exact while k·no ≤ 9.2e18 (~3e9
+    * events/type); beyond, lift the products to DECIMAL(38,0). */
+  private def jsdTermMicroSql(k: String, nk: String, o: String, no: String): String =
+    s"""(CASE WHEN $k = 0 THEN 0
+       ELSE CAST(FLOOR(1e6 * ((CAST($k AS DOUBLE) / CAST($nk AS DOUBLE))
+         * LN((2e0 * CAST($k * $no AS DOUBLE))
+              / (CAST($k * $no AS DOUBLE) + CAST($o * $nk AS DOUBLE)))))
+       AS BIGINT) END)"""
+
   /** q243's per-cell pointwise-MI term (o/n)·ln(o·n/(r·c)) in micro-nats
     * — negative for under-represented cells, FLOOR agrees (toward −∞ in
     * both engines). */
@@ -5774,13 +5881,12 @@ object SparkEntry {
            - CAST(tie AS DOUBLE) / 12e0)))
        AS BIGINT) END"""
 
-  /** q235/q239's shared W₁ post-pass over (et, vc, cnt) value-cents
-    * counts: pooled grid per type pair, cumulative counts, |F_A − F_B|
-    * integrated EXACTLY as Σ |n_b·ca − n_a·cb| · gap (piecewise-constant
-    * cdf gap × next-grid-point distance — the last grid point carries
-    * gap 0). Everything after the caller's aggregate rides distinct
+  /** q232/q235/q244's shared prelude over (et, vc, cnt) value-cents
+    * counts: per type pair, the POOLED grid with both sides' counts and
+    * totals — (ta, tb, vc, na, nb, n_a, n_b). Value-bounded: after the
+    * caller's one data-bounded aggregate everything rides distinct
     * cents × type pairs. */
-  private def emdAudit(counts0: DataFrame): DataFrame = {
+  private def typePairValueCounts(counts0: DataFrame): DataFrame = {
     val cnt = counts0.localCheckpoint() // referenced 3× (A side, B side, sizes)
     val types = cnt.select("et").distinct()
     val pairs = types.select(col("et").as("ta"))
@@ -5790,20 +5896,44 @@ object SparkEntry {
       .unionByName(pairs.join(cnt.withColumnRenamed("et", "tb"), "tb")
         .select(col("ta"), col("tb"), col("vc"), lit(0L).as("na"), col("cnt").as("nb")))
       .groupBy("ta", "tb", "vc").agg(sum("na").as("na"), sum("nb").as("nb"))
+    val sizes = cnt.groupBy("et").agg(sum("cnt").as("m"))
+    st.join(sizes.select(col("et").as("ta"), col("m").as("n_a")), "ta")
+      .join(sizes.select(col("et").as("tb"), col("m").as("n_b")), "tb")
+  }
+
+  /** q235/q239's shared W₁ post-pass over (et, vc, cnt) value-cents
+    * counts: pooled grid per type pair, cumulative counts, |F_A − F_B|
+    * integrated EXACTLY as Σ |n_b·ca − n_a·cb| · gap (piecewise-constant
+    * cdf gap × next-grid-point distance — the last grid point carries
+    * gap 0). Everything after the caller's aggregate rides distinct
+    * cents × type pairs. */
+  private def emdAudit(counts0: DataFrame): DataFrame = {
     val wp = Window.partitionBy("ta", "tb").orderBy(col("vc").asc)
-    val cum = st
+    typePairValueCounts(counts0)
       .withColumn("ca", sum("na").over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cb", sum("nb").over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("gap", coalesce(lead("vc", 1).over(wp) - col("vc"), lit(0L)))
-    val sizes = cnt.groupBy("et").agg(sum("cnt").as("m"))
-    cum.join(sizes.select(col("et").as("ta"), col("m").as("n_a")), "ta")
-      .join(sizes.select(col("et").as("tb"), col("m").as("n_b")), "tb")
       .withColumn("term", abs(col("n_b") * col("ca") - col("n_a") * col("cb")) * col("gap"))
       .groupBy("ta", "tb", "n_a", "n_b")
       .agg(sum("term").as("emd_num"))
       .withColumn("emd_milli", expr(milliDivSql("emd_num", "(n_a * n_b * 100)", "div")))
       .select("ta", "tb", "n_a", "n_b", "emd_num", "emd_milli")
   }
+
+  /** q222/q247's shared oracle (benfordAudit replayed — streamed == batch
+    * is the whole q247 claim). */
+  private lazy val BENFORD_ORACLE_SQL =
+    s"""WITH c AS (SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           COUNT(*) AS n_docs
+         FROM documents WHERE n_chars > 0 GROUP BY 1),
+       w AS (SELECT digit, n_docs, CAST(SUM(n_docs) OVER () AS BIGINT) AS n_tot FROM c)
+       SELECT w.digit, CAST(w.n_docs AS BIGINT) AS n_docs,
+         CAST(w.n_docs * 1000000 // w.n_tot AS BIGINT) AS obs_ppm,
+         CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         CAST(w.n_docs * 1000000 // w.n_tot - e.exp_ppm AS BIGINT) AS dev_ppm,
+         CAST(((w.n_docs * 1000000 // w.n_tot - e.exp_ppm)
+               * (w.n_docs * 1000000 // w.n_tot - e.exp_ppm)) // e.exp_ppm AS BIGINT) AS chi_u
+       FROM w JOIN $benfordValuesSql ON w.digit = e.digit"""
 
   /** q235/q239's shared oracle (emdAudit replayed — streamed == batch is
     * the whole q239 claim). */
@@ -5896,12 +6026,18 @@ object SparkEntry {
     * while den ≤ 9.2e16 (q189: 65,536 cells × 1.4e12 rows), where the
     * naive x*1000000 wraps at x > 9.2e12 while the DuckDB oracle's
     * HUGEINT stays exact (review s12). */
-  private def ppmDivSql(x: String, den: String): String = {
-    val a1 = s"(($x * 100) div $den)"
+  private def ppmDivSql(x: String, den: String): String =
+    ppmDivSqlI(x, den, "div")
+
+  /** ppmDivSql with the engine's integer-division operator made explicit
+    * (Spark "div", DuckDB "//") so oracle text can replay it verbatim
+    * (q245/q246 — the milliDivSql convention). */
+  private def ppmDivSqlI(x: String, den: String, idiv: String): String = {
+    val a1 = s"(($x * 100) $idiv $den)"
     val r1 = s"(($x * 100) % $den)"
-    val a2 = s"(($r1 * 100) div $den)"
+    val a2 = s"(($r1 * 100) $idiv $den)"
     val r2 = s"(($r1 * 100) % $den)"
-    val a3 = s"(($r2 * 100) div $den)"
+    val a3 = s"(($r2 * 100) $idiv $den)"
     s"($a1 * 10000 + $a2 * 100 + $a3)"
   }
 
@@ -8551,18 +8687,8 @@ object SparkEntry {
     "q220_cusum" -> CUSUM_ORACLE_SQL,
     "q226_stream_cusum" -> CUSUM_ORACLE_SQL,
 
-    "q222_benford" ->
-      s"""WITH c AS (SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-             COUNT(*) AS n_docs
-           FROM documents WHERE n_chars > 0 GROUP BY 1),
-         w AS (SELECT digit, n_docs, CAST(SUM(n_docs) OVER () AS BIGINT) AS n_tot FROM c)
-         SELECT w.digit, CAST(w.n_docs AS BIGINT) AS n_docs,
-           CAST(w.n_docs * 1000000 // w.n_tot AS BIGINT) AS obs_ppm,
-           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
-           CAST(w.n_docs * 1000000 // w.n_tot - e.exp_ppm AS BIGINT) AS dev_ppm,
-           CAST(((w.n_docs * 1000000 // w.n_tot - e.exp_ppm)
-                 * (w.n_docs * 1000000 // w.n_tot - e.exp_ppm)) // e.exp_ppm AS BIGINT) AS chi_u
-         FROM w JOIN $benfordValuesSql ON w.digit = e.digit""",
+    "q222_benford" -> BENFORD_ORACLE_SQL,
+    "q247_stream_benford" -> BENFORD_ORACLE_SQL,
 
     // ground truth: the recompute-pinned img_expo histograms (q167 proves
     // fixture == engine recompute), identical integer components and the
@@ -8869,7 +8995,75 @@ object SparkEntry {
          agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
              CAST(COUNT(*) AS BIGINT) AS n_cells,
              CAST(SUM($MI_CELL_MICRO_SQL) AS BIGINT) AS mi_micro FROM m)
-         SELECT n, n_cells, mi_micro, hr_micro, hc_micro FROM agg, hr, hc"""
+         SELECT n, n_cells, mi_micro, hr_micro, hc_micro FROM agg, hr, hc""",
+
+    // ground truth: identical pooled-grid machinery + the ONE shared
+    // guarded KL-to-mixture term text
+    "q244_jsd" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         cnt AS (SELECT et, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+         ty AS (SELECT DISTINCT et FROM cnt),
+         pairs AS (SELECT a.et AS ta, b.et AS tb FROM ty a JOIN ty b ON a.et < b.et),
+         st AS (SELECT ta, tb, vc, CAST(SUM(na) AS BIGINT) AS na,
+             CAST(SUM(nb) AS BIGINT) AS nb FROM (
+             SELECT p.ta, p.tb, c.vc, c.cnt AS na, 0 AS nb
+               FROM pairs p JOIN cnt c ON c.et = p.ta
+             UNION ALL
+             SELECT p.ta, p.tb, c.vc, 0, c.cnt
+               FROM pairs p JOIN cnt c ON c.et = p.tb)
+           GROUP BY 1, 2, 3),
+         sz AS (SELECT et, CAST(SUM(cnt) AS BIGINT) AS m FROM cnt GROUP BY 1),
+         j AS (SELECT st.ta, st.tb, st.vc, st.na, st.nb, a.m AS n_a, b.m AS n_b
+           FROM st JOIN sz a ON a.et = st.ta JOIN sz b ON b.et = st.tb)
+         SELECT ta, tb, n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_grid,
+           CAST(SUM(${jsdTermMicroSql("na", "n_a", "nb", "n_b")}
+                  + ${jsdTermMicroSql("nb", "n_b", "na", "n_a")}) AS BIGINT) AS jsd2_micro
+         FROM j GROUP BY 1, 2, 3, 4""",
+
+    // ground truth: identical zero-filled grid, desc-cumulative windows,
+    // pessimistic tie order, per-positive ppm ladder
+    "q245_avgprec" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         cnt AS (SELECT et, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+         grid AS (SELECT vc, CAST(SUM(cnt) AS BIGINT) AS na FROM cnt GROUP BY 1),
+         f AS (SELECT ty.et, g.vc, COALESCE(c.cnt, 0) AS n1,
+             g.na - COALESCE(c.cnt, 0) AS n0
+           FROM (SELECT DISTINCT et FROM cnt) ty CROSS JOIN grid g
+           LEFT JOIN cnt c ON c.et = ty.et AND c.vc = g.vc),
+         w AS (SELECT et, vc, n1, n0,
+             COALESCE(SUM(n1) OVER (PARTITION BY et ORDER BY vc DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp0,
+             COALESCE(SUM(n1 + n0) OVER (PARTITION BY et ORDER BY vc DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+           FROM f),
+         e AS (SELECT et, CAST(tp0 + u.i AS BIGINT) AS tp,
+             CAST(c0 + n0 + u.i AS BIGINT) AS rk
+           FROM w, UNNEST(generate_series(1, n1)) AS u(i) WHERE n1 > 0),
+         agg AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_pos,
+             CAST(SUM(${ppmDivSqlI("tp", "rk", "//")}) AS BIGINT) AS ap_sum_ppm
+           FROM e GROUP BY 1)
+         SELECT et, n_pos, ap_sum_ppm,
+           CAST(ap_sum_ppm // n_pos AS BIGINT) AS ap_ppm FROM agg""",
+
+    // ground truth: identical md5-bit scorer/labeler and ppm ladders
+    "q246_ece" ->
+      s"""WITH d AS (SELECT
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) // 4294967296 AS conf,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 14, 13)) AS BIGINT) // 4294967296 AS v20
+           FROM documents),
+         s AS (SELECT conf,
+             CASE WHEN v20 < (conf * conf) // 1048576 THEN 1 ELSE 0 END AS lbl
+           FROM d),
+         b AS (SELECT (conf * 10) // 1048576 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conf) AS BIGINT) AS sum_conf, CAST(SUM(lbl) AS BIGINT) AS n_pos
+           FROM s GROUP BY 1)
+         SELECT CAST(bin AS BIGINT) AS bin, n, sum_conf, n_pos,
+           CAST(${ppmDivSqlI("sum_conf", "(n * 1048576)", "//")} AS BIGINT) AS conf_ppm,
+           CAST(${ppmDivSqlI("n_pos", "n", "//")} AS BIGINT) AS pos_ppm,
+           CAST(${ppmDivSqlI("abs(sum_conf - n_pos * 1048576)", "(n * 1048576)", "//")} AS BIGINT) AS gap_ppm
+         FROM b"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
