@@ -5202,7 +5202,7 @@ object SparkEntry {
     "q229_textrank" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
       val toks = s.read.parquet(GeoTables.imagesPath(dir))
-        .select(expr("filter(split(regexp_replace(lower(caption), '[^a-z0-9]+', ' '), ' '), x -> x != '')").as("ts"))
+        .select(expr(tokExpr("caption")).as("ts"))
       val big = toks.where(size(col("ts")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(ts) - 1),
@@ -5660,6 +5660,109 @@ object SparkEntry {
         src.groupBy("digit").agg(count(lit(1)).as("n_docs"))
       }
       benfordAudit(s, s.createDataFrame(sink.rdd, sink.schema))
+    }),
+
+    // ---------------- BLEU-2 variant similarity (r5 s14) ----------------
+    // Caption/doc-pair overlap scoring (the augmentation-quality /
+    // paraphrase-mining eval): per planted variant (docs_aug, q113's
+    // fixture), clipped 1-/2-gram precisions vs the original — the exact
+    // integer components of BLEU-2 (Papineni 2002, public) — plus the
+    // score itself from ONE shared double formula (brevity penalty ×
+    // √(p1·p2), ppm). Work is explode + equi-join per gram occurrence —
+    // linear in corpus tokens, pairs ride doc_id equality (never fuzzy).
+    "q248_bleu" -> ((s, dir) => {
+      val aug = GeoTables.docsAug(s, dir)
+        .select(col("doc_id"), expr(tokExpr("text")).as("ts"))
+      val pairs = aug.where(col("doc_id") >= GeoTables.VARIANT_OFFSET)
+        .select((col("doc_id") - GeoTables.VARIANT_OFFSET).as("doc_id"),
+          col("ts").as("cts"))
+        .join(aug.where(col("doc_id") < GeoTables.VARIANT_OFFSET)
+          .select(col("doc_id"), col("ts").as("rts")), "doc_id")
+        .localCheckpoint() // referenced by both gram levels + the tail join
+      def gramCounts(arr: String, side: String): DataFrame = {
+        val uni = pairs.select(col("doc_id"), lit(1L).as("lvl"),
+          explode(col(arr)).as("g"))
+        val big = pairs.where(size(col(arr)) >= 2)
+          .select(col("doc_id"), lit(2L).as("lvl"), explode(expr(
+            s"transform(sequence(1, size($arr) - 1), i -> concat(element_at($arr, i), ' ', element_at($arr, i + 1)))")).as("g"))
+        uni.unionByName(big).groupBy("doc_id", "lvl", "g")
+          .agg(count(lit(1)).as(side))
+      }
+      val m = gramCounts("cts", "c").join(gramCounts("rts", "r"),
+          Seq("doc_id", "lvl", "g"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("lvl") === 1, least(col("c"), col("r"))).otherwise(0L)).as("n1_m"),
+          sum(when(col("lvl") === 2, least(col("c"), col("r"))).otherwise(0L)).as("n2_m"))
+      pairs.select(col("doc_id"), size(col("cts")).cast("long").as("c_len"),
+          size(col("rts")).cast("long").as("r_len"))
+        .join(m, Seq("doc_id"), "left")
+        .withColumn("n1_m", coalesce(col("n1_m"), lit(0L)))
+        .withColumn("n2_m", coalesce(col("n2_m"), lit(0L)))
+        .withColumn("bleu_ppm", expr(BLEU2_PPM_SQL))
+        .select("doc_id", "c_len", "r_len", "n1_m", "n2_m", "bleu_ppm")
+    }),
+
+    // ---------------- retrieval recall@10 + nDCG@10 (r5 s14) ----------------
+    // Embedding-space retrieval eval (the recall curve a training run
+    // tracks): each probe's EXACT top-10 cosine neighbors through the
+    // IVF bucket-probe index (q21's bound-guaranteed machinery — never
+    // brute force on the engine side; ranks 2..11, the rank-1 self row
+    // dropped by position so ties stay deterministic), scored for label
+    // agreement: hits@10, DCG and ideal-DCG in micro units via the ONE
+    // shared 1/log2(pos+1) term text over integer positions.
+    "q249_retrieval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lab = emb.select(col("vec_id"), col("label"))
+      val ql = lab.join(lab.groupBy("label").agg(count(lit(1)).as("n_lab")), "label")
+        .select(col("vec_id").as("q_vec"), col("label").as("q_label"),
+          (col("n_lab") - 1).as("n_same"))
+      graft.join.AnnIndex.topK(emb, col("vec_id") < 50, k = 11)
+        .where(col("rank") >= 2)
+        .join(lab.select(col("vec_id").as("p_vec"), col("label").as("p_label")), "p_vec")
+        .join(ql, "q_vec")
+        .withColumn("pos", col("rank") - 1)
+        .withColumn("rel", (col("p_label") === col("q_label")).cast("long"))
+        .withColumn("dg", col("rel") * expr(dcgTermMicroSql("pos")))
+        .groupBy("q_vec", "n_same")
+        .agg(sum("rel").as("hits10"), sum("dg").as("dcg_micro"))
+        .withColumn("idcg_micro", expr(
+          s"""CASE WHEN n_same < 1 THEN 0L
+             ELSE aggregate(sequence(1L, least(n_same, 10L)), 0L,
+               (a, i) -> a + ${dcgTermMicroSql("i")}) END"""))
+        .select("q_vec", "n_same", "hits10", "dcg_micro", "idcg_micro")
+    }),
+
+    // ---------------- bigram-LM perplexity filter (r5 s14) ----------------
+    // The CCNet-style LM quality gate: train an add-one-smoothed bigram
+    // model ON the corpus (c2/c1 aggregates + the vocab count as a
+    // broadcast single-row aggregate — no driver scalar), then score
+    // every document's cross-entropy Σ ln((c1+V)/(c2+1)) in exact
+    // micro-nats (per-bigram terms quantized by the ONE shared formula,
+    // integer-summed). Work = one token explode + two key-partitioned
+    // aggregates + two equi-joins — linear in corpus tokens; `hard`
+    // flags docs above 5 nats/bigram (the filter's cut).
+    "q250_perplexity" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), expr(tokExpr("text")).as("ts"))
+        .localCheckpoint() // referenced by bigrams + the vocab aggregate
+      val bi = toks.where(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+             i -> named_struct('w1', element_at(ts, i), 'w2', element_at(ts, i + 1)))""")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint() // referenced 3× (c2, c1, the per-doc stream)
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vdf = toks.select(explode(col("ts")).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vdf))
+        .withColumn("t_micro", expr(
+          "CAST(FLOOR(1e6 * LN(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE))) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), sum("t_micro").as("ce_micro"))
+        .withColumn("hard", col("ce_micro") > col("n_big") * lit(5000000L))
+        .select("doc_id", "n_big", "ce_micro", "hard")
     })
   )
 
@@ -5845,6 +5948,37 @@ object SparkEntry {
   private def entMicroSql(k: String, n: String): String =
     s"""CAST(FLOOR(1e6 * ((CAST($k AS DOUBLE) / CAST($n AS DOUBLE))
        * LN(CAST($n AS DOUBLE) / CAST($k AS DOUBLE)))) AS BIGINT)"""
+
+  /** q229/q248/q250's shared word tokenizer (Spark side): lowercase,
+    * split on non-alphanumeric runs, drop empties — mirrored in the
+    * oracles by the identical DuckDB regexp text. */
+  private def tokExpr(c: String): String =
+    s"filter(split(regexp_replace(lower($c), '[^a-z0-9]+', ' '), ' '), x -> x != '')"
+
+  /** The DuckDB mirror of tokExpr. */
+  private def tokSqlD(c: String): String =
+    s"list_filter(string_split(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
+
+  /** q248's BLEU-2 over the exact integer components (c_len, r_len,
+    * n1_m, n2_m; n1_tot = c_len, n2_tot = c_len − 1): brevity penalty ×
+    * √(p1·p2), ONE shared double formula, ppm-quantized; 0 when either
+    * precision is 0 (log-BLEU undefined — the standard unsmoothed
+    * convention). */
+  private val BLEU2_PPM_SQL =
+    """CASE WHEN c_len < 2 OR n1_m = 0 OR n2_m = 0 THEN 0
+       ELSE CAST(FLOOR(1e6
+         * (CASE WHEN c_len < r_len
+              THEN EXP(1e0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+              ELSE 1e0 END)
+         * SQRT((CAST(n1_m AS DOUBLE) / CAST(c_len AS DOUBLE))
+              * (CAST(n2_m AS DOUBLE) / CAST(c_len - 1 AS DOUBLE))))
+       AS BIGINT) END"""
+
+  /** q249's per-position discounted-gain term 1e6/log2(pos+1) — ONE
+    * shared double formula over integer positions (log2 of small exact
+    * integers, identical both engines). */
+  private def dcgTermMicroSql(pos: String): String =
+    s"CAST(FLOOR(1e6 / LOG2(CAST($pos AS DOUBLE) + 1e0)) AS BIGINT)"
 
   /** q244's per-grid-point KL-to-mixture term (k/nk)·ln(2·k·no /
     * (k·no + o·nk)) in micro-nats — the Jensen–Shannon halves. Zero when
@@ -9063,7 +9197,97 @@ object SparkEntry {
            CAST(${ppmDivSqlI("sum_conf", "(n * 1048576)", "//")} AS BIGINT) AS conf_ppm,
            CAST(${ppmDivSqlI("n_pos", "n", "//")} AS BIGINT) AS pos_ppm,
            CAST(${ppmDivSqlI("abs(sum_conf - n_pos * 1048576)", "(n * 1048576)", "//")} AS BIGINT) AS gap_ppm
-         FROM b"""
+         FROM b""",
+
+    // ground truth: identical tokenizer, clipped gram counts, and the
+    // ONE shared BLEU-2 formula text
+    "q248_bleu" ->
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, ${tokSqlD("text")} AS ts FROM $DOCA),
+         pr AS MATERIALIZED (SELECT c.doc_id - 10000000 AS doc_id,
+             c.ts AS cts, r.ts AS rts
+           FROM tk c JOIN tk r ON c.doc_id - 10000000 = r.doc_id
+           WHERE c.doc_id >= 10000000),
+         cg AS (SELECT doc_id, lvl, g, COUNT(*) AS c FROM (
+             SELECT doc_id, 1 AS lvl, UNNEST(cts) AS g FROM pr
+             UNION ALL
+             SELECT doc_id, 2 AS lvl, cts[u.i] || ' ' || cts[u.i + 1] AS g
+               FROM pr, UNNEST(generate_series(1, len(cts) - 1)) AS u(i)
+               WHERE len(cts) >= 2) GROUP BY 1, 2, 3),
+         rg AS (SELECT doc_id, lvl, g, COUNT(*) AS r FROM (
+             SELECT doc_id, 1 AS lvl, UNNEST(rts) AS g FROM pr
+             UNION ALL
+             SELECT doc_id, 2 AS lvl, rts[u.i] || ' ' || rts[u.i + 1] AS g
+               FROM pr, UNNEST(generate_series(1, len(rts) - 1)) AS u(i)
+               WHERE len(rts) >= 2) GROUP BY 1, 2, 3),
+         m AS (SELECT cg.doc_id,
+             CAST(SUM(CASE WHEN cg.lvl = 1 THEN LEAST(cg.c, rg.r) ELSE 0 END) AS BIGINT) AS n1_m,
+             CAST(SUM(CASE WHEN cg.lvl = 2 THEN LEAST(cg.c, rg.r) ELSE 0 END) AS BIGINT) AS n2_m
+           FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.lvl = rg.lvl AND cg.g = rg.g
+           GROUP BY 1),
+         base AS (SELECT pr.doc_id, CAST(len(cts) AS BIGINT) AS c_len,
+             CAST(len(rts) AS BIGINT) AS r_len,
+             COALESCE(m.n1_m, 0) AS n1_m, COALESCE(m.n2_m, 0) AS n2_m
+           FROM pr LEFT JOIN m ON pr.doc_id = m.doc_id)
+         SELECT doc_id, c_len, r_len, n1_m, n2_m,
+           CAST($BLEU2_PPM_SQL AS BIGINT) AS bleu_ppm FROM base""",
+
+    // ground truth: q21's integer-quantized brute-force cosine ranking
+    // extended to ranks 2..11 + the shared discounted-gain term text
+    "q249_retrieval" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+           list_sum(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS nrm
+           FROM embeddings),
+         pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+           list_sum(list_transform(list_zip(q.embedding, p.embedding),
+             s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS dot_q,
+           q.nrm AS q_nrm, p.nrm AS p_nrm
+           FROM e q, e p WHERE q.vec_id < 50),
+         top AS (SELECT q_vec, p_vec, rank FROM (
+           SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
+             ORDER BY CAST(dot_q AS DOUBLE)/SQRT(CAST(q_nrm AS DOUBLE)*CAST(p_nrm AS DOUBLE)) DESC,
+                      p_vec ASC) AS BIGINT) AS rank
+           FROM pairs) WHERE rank BETWEEN 2 AND 11),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         lc AS (SELECT label, COUNT(*) AS n_lab FROM lab GROUP BY 1),
+         ql AS (SELECT l.vec_id AS q_vec, l.label AS q_label,
+             CAST(lc.n_lab - 1 AS BIGINT) AS n_same
+           FROM lab l JOIN lc ON l.label = lc.label),
+         j AS (SELECT t.q_vec, ql.n_same, t.rank - 1 AS pos,
+             CASE WHEN pl.label = ql.q_label THEN 1 ELSE 0 END AS rel
+           FROM top t JOIN lab pl ON pl.vec_id = t.p_vec
+           JOIN ql ON ql.q_vec = t.q_vec),
+         agg AS (SELECT q_vec, n_same, CAST(SUM(rel) AS BIGINT) AS hits10,
+             CAST(SUM(rel * ${dcgTermMicroSql("pos")}) AS BIGINT) AS dcg_micro
+           FROM j GROUP BY 1, 2)
+         SELECT q_vec, n_same, hits10, dcg_micro,
+           CAST(COALESCE(list_sum(list_transform(
+             generate_series(1, LEAST(n_same, 10)),
+             i -> ${dcgTermMicroSql("i")})), 0) AS BIGINT) AS idcg_micro
+         FROM agg""",
+
+    // ground truth: identical tokenizer, c2/c1/V aggregates, and the
+    // ONE shared smoothed-bigram log-term text
+    "q250_perplexity" ->
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, ${tokSqlD("text")} AS ts FROM documents),
+         bi AS MATERIALIZED (SELECT doc_id, ts[u.i] AS w1, ts[u.i + 1] AS w2
+           FROM tk, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+           WHERE len(ts) >= 2),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+         vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+           (SELECT UNNEST(ts) AS tok FROM tk)),
+         j AS (SELECT bi.doc_id,
+             CAST(FLOOR(1e6 * LN(CAST(c1.c1 + vv.v AS DOUBLE)
+               / CAST(c2.c2 + 1 AS DOUBLE))) AS BIGINT) AS t_micro
+           FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+           JOIN c1 ON bi.w1 = c1.w1, vv)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(t_micro) AS BIGINT) AS ce_micro,
+           (CAST(SUM(t_micro) AS BIGINT) > CAST(COUNT(*) AS BIGINT) * 5000000) AS hard
+         FROM j GROUP BY 1"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
