@@ -43,6 +43,7 @@ object SparkEntry {
   private val IMGWB = "read_parquet('/tmp/graft_geo/sf0.01/img_wb.parquet/*.parquet')"
   private val IMGMED = "read_parquet('/tmp/graft_geo/sf0.01/img_med.parquet/*.parquet')"
   private val IMGDIT = "read_parquet('/tmp/graft_geo/sf0.01/img_dither.parquet/*.parquet')"
+  private val IMGM = "read_parquet('/tmp/graft_geo/sf0.01/img_moments.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -5763,6 +5764,113 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_big"), sum("t_micro").as("ce_micro"))
         .withColumn("hard", col("ce_micro") > col("n_big") * lit(5000000L))
         .select("doc_id", "n_big", "ce_micro", "hard")
+    }),
+
+    // ---------------- image central moments (r5 s14) ----------------
+    // Shape descriptors through the decode path: raw luma moment sums
+    // (img_moments — one pass per image, scan-parallel) folded to the
+    // s-scaled central moments s·μ20, s·μ02, s·μ11 as EXACT integers
+    // (μpq·s = s·s_pq − s_p·s_q; long-safe to ~4096² px). The
+    // orientation/eccentricity inputs of a crop/dedup pipeline;
+    // MomentsSpec pins the rot90 transport (μ20 ↔ μ02, μ11 → −μ11).
+    "q251_moments" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgMoments(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("mom", call_function("img_moments",
+          call_function("img_rgb", col("bytes")), col("w"), col("h")))
+        .select(col("image_id"),
+          expr("element_at(mom, 1)").as("n_px"),
+          expr("element_at(mom, 2)").as("s"),
+          expr("element_at(mom, 2) * element_at(mom, 5) - element_at(mom, 3) * element_at(mom, 3)").as("mu20s"),
+          expr("element_at(mom, 2) * element_at(mom, 6) - element_at(mom, 4) * element_at(mom, 4)").as("mu02s"),
+          expr("element_at(mom, 2) * element_at(mom, 7) - element_at(mom, 3) * element_at(mom, 4)").as("mu11s"))
+    }),
+
+    // ---------------- HITS hubs & authorities (r5 s14) ----------------
+    // The link-analysis companion to q229's PageRank on the caption
+    // bigram graph, DIRECTED this time (hubs = words that precede many
+    // distinct words, authorities = words many distinct words precede).
+    // Integer-exact: 4 rounds of sum + ppm renormalization through the
+    // base-100 ladder (Graph.hits), oracle replays the rounds unrolled.
+    // Per round: two shuffle equi-joins + two aggregates + a broadcast
+    // single-row total — vocab-bounded after the one corpus scan.
+    "q252_hits" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val toks = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(expr(tokExpr("caption")).as("ts"))
+      val big = toks.where(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+             i -> named_struct('s', element_at(ts, i), 'd', element_at(ts, i + 1)))""")).as("p"))
+        .select(col("p.s").as("s"), col("p.d").as("d"))
+      val verts = toks.select(explode(col("ts")).as("id")).distinct()
+      val sc = graft.join.Graph.hits(big, "s", "d", vertices = verts, iters = 4)
+      sc.select(col("id"), lit("auth").as("kind"), col("a_ppm").as("score_ppm"))
+        .unionByName(sc.select(col("id"), lit("hub").as("kind"),
+          col("h_ppm").as("score_ppm")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("kind").orderBy(desc("score_ppm"), asc("id"))))
+        .where(col("rn") <= 10)
+        .select(col("kind"), col("id").as("token"), col("score_ppm"),
+          col("rn").cast("bigint").as("rn"))
+    }),
+
+    // ---------------- COCO-style mask RLE (r5 s14) ----------------
+    // The instance-segmentation mask encoding a training pipeline ships
+    // instead of raw rasters: each zone's z6 center-tile bit mask
+    // (q183's closure argument — pixel centers clear zone bounds by
+    // ≥1.26e-4°) run-length encoded background-first (mask_rle). The
+    // oracle builds the EXPECTED run list closed-form from the rect
+    // bounds — leading zero kept when the mask touches bit 0, zero
+    // tail trimmed, full-width rows merging into one run — so a single
+    // off-by-one in the kernel's bit walk breaks the string equality.
+    "q253_rle" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.zones(s, dir)
+        .withColumn("tx", call_function("st_tile_x",
+          (col("xmin") + col("xmax")) / 2, lit(6)))
+        .withColumn("ty", call_function("st_tile_y",
+          (col("ymin") + col("ymax")) / 2, lit(6)))
+        .withColumn("mask", call_function("st_rasterize_mask",
+          call_function("st_geomfromwkt", col("wkt")),
+          lit(6), col("tx"), col("ty"), lit(16)))
+        .withColumn("rle", call_function("mask_rle", col("mask"), lit(256)))
+        .select(col("zone_id"),
+          size(col("rle")).cast("bigint").as("n_runs"),
+          expr("array_join(transform(rle, x -> CAST(x AS STRING)), ',')").as("rle_str"),
+          call_function("mask_popcount", col("mask")).cast("bigint").as("n_pix"))
+    }),
+
+    // ---------------- rhumb-line navigation (r5 s14) ----------------
+    // Loxodrome distance + constant bearing between consecutive image
+    // pairs (st_rhumb_distance / st_rhumb_bearing — the constant-course
+    // metric st_distance_sphere's great circle doesn't give; Bowditch,
+    // public), with the great-circle distance alongside so the consumer
+    // reads the loxodrome excess directly. Kernel operation order
+    // mirrors the oracle's SQL text exactly (q89 transcendental
+    // contract — RADIANS/DEGREES spelled as x/180·π and x·180/π);
+    // meters / milli-degrees quantization. Scan + one equi-join on the
+    // derived pair key — codegen'd scalar kernels, zero extra state.
+    "q254_rhumb" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(substring(col("image_id"), 4, 8).cast("bigint").as("iid"),
+          col("image_id"), col("lon"), col("lat"))
+      img.where(col("iid") % 2 === 0)
+        .select(col("iid"), col("image_id").as("id_a"),
+          col("lon").as("lon1"), col("lat").as("lat1"))
+        .join(img.where(col("iid") % 2 === 1)
+          .select((col("iid") - 1).as("iid"), col("image_id").as("id_b"),
+            col("lon").as("lon2"), col("lat").as("lat2")), "iid")
+        .select(col("id_a"), col("id_b"),
+          floor(call_function("st_rhumb_distance",
+            col("lon1"), col("lat1"), col("lon2"), col("lat2"))).cast("bigint").as("rhumb_m"),
+          floor(call_function("st_rhumb_bearing",
+            col("lon1"), col("lat1"), col("lon2"), col("lat2")) * 1000).cast("bigint").as("bear_milli"),
+          floor(call_function("st_distance_sphere",
+            col("lon1"), col("lat1"), col("lon2"), col("lat2"))).cast("bigint").as("gc_m"))
     })
   )
 
@@ -9287,10 +9395,132 @@ object SparkEntry {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
            CAST(SUM(t_micro) AS BIGINT) AS ce_micro,
            (CAST(SUM(t_micro) AS BIGINT) > CAST(COUNT(*) AS BIGINT) * 5000000) AS hard
-         FROM j GROUP BY 1"""
+         FROM j GROUP BY 1""",
+
+    // ground truth: the recompute-pinned img_moments fixture + identical
+    // integer central-moment folds
+    "q251_moments" ->
+      s"""SELECT image_id, mom[1] AS n_px, mom[2] AS s,
+         mom[2] * mom[5] - mom[3] * mom[3] AS mu20s,
+         mom[2] * mom[6] - mom[4] * mom[4] AS mu02s,
+         mom[2] * mom[7] - mom[3] * mom[4] AS mu11s
+         FROM $IMGM""",
+
+    "q252_hits" -> hitsOracleSql(4),
+
+    // ground truth: closed-form run list from the rect bounds (q183's
+    // x0/x1/y0/y1 machinery) — leading zero kept, zero tail trimmed,
+    // full-width rows merged
+    "q253_rle" -> {
+      val cx = "((xmin + xmax)/2)"
+      val cy = "((ymin + ymax)/2)"
+      val txS = txSql(cx, 6)
+      val tyS = tySql(cy, 6)
+      def testX(i: Int) =
+        s"((((tx + ($i + 0.5)/16.0)/64.0)*360.0 - 180.0) BETWEEN xmin AND xmax)"
+      def testY(j: Int) =
+        s"(DEGREES(2*ATAN(EXP(PI()*(1 - 2*((ty + ($j + 0.5)/16.0)/64.0)))) - PI()/2) BETWEEN ymin AND ymax)"
+      val x0 = (0 until 16).map(i => s"(CASE WHEN ${testX(i)} THEN $i ELSE 99 END)")
+        .mkString("LEAST(", ", ", ")")
+      val x1 = (0 until 16).map(i => s"(CASE WHEN ${testX(i)} THEN $i ELSE -1 END)")
+        .mkString("GREATEST(", ", ", ")")
+      val y0 = (0 until 16).map(j => s"(CASE WHEN ${testY(j)} THEN $j ELSE 99 END)")
+        .mkString("LEAST(", ", ", ")")
+      val y1 = (0 until 16).map(j => s"(CASE WHEN ${testY(j)} THEN $j ELSE -1 END)")
+        .mkString("GREATEST(", ", ", ")")
+      s"""WITH z AS (SELECT zone_id, xmin, ymin, xmax, ymax,
+             $txS AS tx, $tyS AS ty FROM $ZON),
+         runs AS (SELECT zone_id, $x0 AS x0, $x1 AS x1, $y0 AS y0, $y1 AS y1 FROM z),
+         built AS (SELECT zone_id,
+             CASE WHEN x1 < x0 OR y1 < y0 THEN [CAST(256 AS BIGINT)]
+               WHEN x1 - x0 = 15 THEN
+                 [CAST(y0 * 16 AS BIGINT), CAST((y1 - y0 + 1) * 16 AS BIGINT),
+                  CAST(256 - y0 * 16 - (y1 - y0 + 1) * 16 AS BIGINT)]
+               ELSE list_concat(list_concat(
+                 [CAST(y0 * 16 + x0 AS BIGINT)],
+                 flatten(list_transform(generate_series(1, y1 - y0),
+                   g -> [CAST(x1 - x0 + 1 AS BIGINT), CAST(15 - (x1 - x0) AS BIGINT)]))),
+                 [CAST(x1 - x0 + 1 AS BIGINT),
+                  CAST(256 - (y0 * 16 + x0) - (y1 - y0) * 16 - (x1 - x0 + 1) AS BIGINT)])
+             END AS l,
+             GREATEST(0, x1 - x0 + 1) * GREATEST(0, y1 - y0 + 1) AS np FROM runs),
+         trimmed AS (SELECT zone_id, np,
+             CASE WHEN l[len(l)] = 0 THEN l[1:len(l) - 1] ELSE l END AS rle FROM built)
+         SELECT zone_id, CAST(len(rle) AS BIGINT) AS n_runs,
+           array_to_string(rle, ',') AS rle_str, CAST(np AS BIGINT) AS n_pix
+         FROM trimmed"""
+    },
+
+    // ground truth: the identical loxodrome formula text (RADIANS/
+    // DEGREES spelled x/180·π and x·180/π to mirror the JVM exactly)
+    // + q39's proven haversine text for the great-circle column
+    "q254_rhumb" ->
+      s"""WITH img AS (SELECT image_id,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid, lon, lat FROM $IMG),
+         p AS (SELECT a.iid, a.image_id AS id_a, b.image_id AS id_b,
+             a.lon AS lon1, a.lat AS lat1, b.lon AS lon2, b.lat AS lat2
+           FROM img a JOIN img b ON b.iid = a.iid + 1 WHERE a.iid % 2 = 0),
+         c AS (SELECT id_a, id_b, lon1, lat1, lon2, lat2,
+             (lat2 / 180.0 * PI()) - (lat1 / 180.0 * PI()) AS df,
+             ((CASE WHEN lon2 - lon1 > 180 THEN lon2 - lon1 - 360
+                    WHEN lon2 - lon1 < -180 THEN lon2 - lon1 + 360
+                    ELSE lon2 - lon1 END) / 180.0 * PI()) AS dl,
+             CASE WHEN lat1 = lat2 THEN COS(lat1 / 180.0 * PI())
+                  ELSE ((lat2 / 180.0 * PI()) - (lat1 / 180.0 * PI()))
+                    / LN(TAN(PI()/4 + (lat2 / 180.0 * PI())/2)
+                       / TAN(PI()/4 + (lat1 / 180.0 * PI())/2)) END AS q,
+             LN(TAN(PI()/4 + (lat2 / 180.0 * PI())/2)
+              / TAN(PI()/4 + (lat1 / 180.0 * PI())/2)) AS dpsi
+           FROM p)
+         SELECT id_a, id_b,
+           CAST(FLOOR(6371008.8 * SQRT(df*df + q*q*dl*dl)) AS BIGINT) AS rhumb_m,
+           CAST(FLOOR((ATAN2(dl, dpsi) * 180.0 / PI()) * 1000) AS BIGINT) AS bear_milli,
+           CAST(FLOOR(2.0 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+             SIN((RADIANS(lat2) - RADIANS(lat1))/2) * SIN((RADIANS(lat2) - RADIANS(lat1))/2)
+             + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+               * SIN(RADIANS(lon2 - lon1)/2) * SIN(RADIANS(lon2 - lon1)/2))))) AS BIGINT) AS gc_m
+         FROM c"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
+
+  /** q252's oracle: the DIRECTED caption bigram graph + Graph.hits
+    * replayed as `rounds` unrolled CTE pairs — identical BIGINT sums and
+    * the identical base-100 ppm renormalization ladder each half-round. */
+  private def hitsOracleSql(rounds: Int): String = {
+    def ppmD(x: String, t: String) =
+      s"""CASE WHEN $t = 0 THEN 0 ELSE
+         (($x * 100) // $t) * 10000 + ((($x * 100) % $t) * 100 // $t) * 100
+         + (((($x * 100) % $t) * 100 % $t) * 100 // $t) END"""
+    def half(out: String, in: String, joinEnd: String, otherEnd: String) =
+      s"""${out}r AS (SELECT v.id, CAST(COALESCE(SUM(p.sc), 0) AS BIGINT) AS raw
+         FROM v LEFT JOIN e ON e.$otherEnd = v.id
+         LEFT JOIN $in p ON p.id = e.$joinEnd
+         GROUP BY 1),
+         ${out}t AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM ${out}r),
+         $out AS MATERIALIZED (SELECT id, CAST(${ppmD("raw", "t")} AS BIGINT) AS sc
+           FROM ${out}r, ${out}t)"""
+    val roundsSql = (1 to rounds).map(k =>
+      half(s"a$k", s"h${k - 1}", "s", "d") + ",\n       " +
+        half(s"h$k", s"a$k", "d", "s"))
+      .mkString(",\n       ")
+    s"""WITH tk AS MATERIALIZED (SELECT ${tokSqlD("caption")} AS ts FROM $IMG),
+       big AS (SELECT ts[g.i] AS s, ts[g.i + 1] AS d
+         FROM tk, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+         WHERE len(ts) >= 2),
+       e AS MATERIALIZED (SELECT DISTINCT s, d FROM big WHERE s <> d),
+       v AS MATERIALIZED (SELECT DISTINCT unnest(ts) AS id FROM tk),
+       h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS sc FROM v),
+       $roundsSql
+       SELECT kind, token, score_ppm, rn FROM (
+         SELECT kind, token, score_ppm,
+           CAST(ROW_NUMBER() OVER (PARTITION BY kind
+             ORDER BY score_ppm DESC, token ASC) AS BIGINT) AS rn
+         FROM (SELECT 'auth' AS kind, id AS token, sc AS score_ppm FROM a$rounds
+               UNION ALL
+               SELECT 'hub' AS kind, id AS token, sc AS score_ppm FROM h$rounds))
+       WHERE rn <= 10"""
+  }
 
   /** q229's oracle: the caption bigram graph + q131's integer PageRank
     * replayed as `rounds` unrolled CTEs (identical BIGINT floor-div). */

@@ -479,6 +479,28 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGEXPO_DONE"))
   }
 
+  def imgMomPath(sfDir: String): String = s"${baseDir(sfDir)}/img_moments.parquet"
+
+  final case class ImgMomRow(image_id: String, mom: Array[Long])
+
+  /** Raw luma moment sums fixture through the same kernel (the
+    * q167/q221 recompute contract: fixture == in-query recompute). */
+  def ensureImgMoments(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGMOM_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, rgb) = Images.decode(bytes)
+        ImgMomRow(id, Images.moments(rgb, w, h))
+      }
+      .write.mode("overwrite").parquet(imgMomPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGMOM_DONE"))
+  }
+
   def imgThumbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_thumb.parquet"
 
   final case class ImgThumbRow(image_id: String, t_phash: Long, t_md5: String, f_ham: Long)

@@ -403,6 +403,29 @@ object Images {
     out
   }
 
+  /** Raw luma moment sums [n, s, sx, sy, sxx, syy, sxy] over a decoded
+    * RGB buffer (x = column, y = row, integer Rec.601 luma) — the exact
+    * integer inputs of image central moments / orientation (Hu 1962,
+    * public). Long-safe while n·255·max(w,h)² ≤ 9.2e18, i.e. any image
+    * up to ~4096² px at full luma. */
+  def moments(rgb: Array[Byte], w: Int, h: Int): Array[Long] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w*$h*3")
+    var s = 0L; var sx = 0L; var sy = 0L
+    var sxx = 0L; var syy = 0L; var sxy = 0L
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF).toLong
+        s += l; sx += x * l; sy += y * l
+        sxx += x.toLong * x * l; syy += y.toLong * y * l; sxy += x.toLong * y * l
+        x += 1; i += 3
+      }
+      y += 1
+    }
+    Array(w.toLong * h, s, sx, sy, sxx, syy, sxy)
+  }
+
   /** Mean integer luma over all pixels (quality-filter feature). */
   def lumaMean(rgb: Array[Byte]): Double = {
     val n = rgb.length / 3

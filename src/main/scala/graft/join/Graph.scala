@@ -177,6 +177,59 @@ object Graph {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg 1999, public) over a DIRECTED
+   * edge list, integer-exact: each half-round sums the opposite score
+   * across the edge relation (one shuffle equi-join + one aggregate),
+   * then renormalizes to ppm of the global total via the base-100
+   * long-division ladder — exact while raw·100 fits a long, i.e. hub
+   * in-mass to ~9.2e16. The global total rides a broadcast single-row
+   * aggregate (no driver scalar); every round localCheckpoints through
+   * the [[ImageDedup.components]] stats firewall. A bounded `iters`
+   * (oracle replays the same rounds unrolled) — HITS converges
+   * geometrically, and exactness demands a fixed round count, not a
+   * tolerance.
+   *
+   * @return (id, a_ppm, h_ppm) for every vertex
+   */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+           vertices: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"bad hits iters=$iters")
+    def rebuild(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    // exact floor(raw·1e6/t) in pure longs (base-100, three steps);
+    // t = 0 (edgeless graph) yields 0 — mirrored in the oracle text
+    val ppm =
+      """CASE WHEN t = 0 THEN 0 ELSE
+         ((raw * 100) DIV t) * 10000 + (((raw * 100) % t) * 100 DIV t) * 100
+         + ((((raw * 100) % t) * 100 % t) * 100 DIV t) END"""
+    val v = rebuild(vertices.select(col("id")).distinct())
+    val e = rebuild(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .where(col("s") =!= col("d")).distinct())
+    def half(score: DataFrame, joinKey: String, otherEnd: String): DataFrame = {
+      val raw = v.join(
+        e.join(score.withColumnRenamed("id", joinKey), joinKey)
+          .groupBy(col(otherEnd).as("id")).agg(F.sum("sc").as("raw0")),
+        Seq("id"), "left")
+        .select(col("id"), F.coalesce(col("raw0"), lit(0L)).as("raw"))
+      val tot = raw.agg(F.sum("raw").as("t"))
+      rebuild(raw.crossJoin(F.broadcast(tot))
+        .select(col("id"), F.expr(ppm).as("sc")))
+    }
+    var h = v.withColumn("sc", lit(1000000L))
+    var a: DataFrame = h
+    var k = 0
+    while (k < iters) {
+      k += 1
+      a = half(h, "s", "d") // authority: sum of in-neighbor hub scores
+      h = half(a, "d", "s") // hub: sum of out-neighbor authority scores
+    }
+    a.select(col("id"), col("sc").as("a_ppm"))
+      .join(h.select(col("id"), col("sc").as("h_ppm")), "id")
+  }
+
+  /**
    * Per-vertex triangle counts over an UNDIRECTED edge list — the
    * DEGREE-ORIENTED algorithm: orient every edge from its
    * (degree, id)-smaller endpoint, so each triangle has exactly one

@@ -399,6 +399,40 @@ case class StDistanceSphere(first: Expression, second: Expression, third: Expres
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): Expression = copy(a, b, c, d)
 }
+/** Rhumb-line distance in meters over (lon1, lat1, lon2, lat2) — the
+  * loxodrome companion to st_distance_sphere (see K.rhumbDistance). */
+case class StRhumbDistance(first: Expression, second: Expression, third: Expression,
+                           fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    K.rhumbDistance(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.sql.K.rhumbDistance($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+}
+/** Rhumb-line bearing in degrees from north over (lon1, lat1, lon2, lat2)
+  * (see K.rhumbBearing). */
+case class StRhumbBearing(first: Expression, second: Expression, third: Expression,
+                          fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    K.rhumbBearing(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.sql.K.rhumbBearing($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+}
 /** ST_Expand: envelope dilated by d as a rect polygon (cover target for
   * distance joins — a superset of the geometry's d-dilation). */
 case class StExpand(left: Expression, right: Expression) extends BinaryExpression
@@ -852,6 +886,31 @@ case class ImgChannelSums(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** (rgb, w, h) → raw luma moment sums [n, s, sx, sy, sxx, syy, sxy]
+  * (see Images.moments — exact integer central-moment inputs). */
+case class ImgMoments(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.imgMoments(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+/** (mask, nBits) → COCO-style background-first run counts
+  * (see K.maskRle). */
+case class MaskRle(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(K.maskRle(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
 /** Per-channel integer histogram equalization over a decoded RGB buffer
   * (see Images.equalizeRgb — constant channels are identity). */
 case class ImgEqualize(child: Expression) extends GeomUnary {

@@ -185,6 +185,10 @@ object GraftFunctions {
     "st_chaikin" -> (e => StChaikin(e(0), e(1))),
     "st_inscribedcircle" -> (e => StInscribedCircle(e(0), e(1))),
     "mask_popcount" -> (e => MaskPopcount(e.head)),
+    "mask_rle" -> (e => MaskRle(e(0), e(1))),
+    "img_moments" -> (e => ImgMoments(e(0), e(1), e(2))),
+    "st_rhumb_distance" -> (e => StRhumbDistance(e(0), e(1), e(2), e(3))),
+    "st_rhumb_bearing" -> (e => StRhumbBearing(e(0), e(1), e(2), e(3))),
     "mask_dilate" -> (e => MaskDilate(e(0), e(1), e(2))),
     "mask_erode" -> (e => MaskErode(e(0), e(1), e(2))),
     "mask_and" -> (e => MaskAnd(e(0), e(1))),

@@ -189,6 +189,37 @@ object K {
     2.0 * R * math.asin(math.min(1.0, math.sqrt(s)))
   }
 
+  /** Rhumb-line (loxodrome) distance in METERS (Bowditch, public; mean
+    * sphere R = 6371008.8): the constant-bearing sailing distance the
+    * great-circle [[distanceSphere]] doesn't give. Operation order
+    * mirrors the q254 oracle's SQL text exactly (the q89 transcendental
+    * contract); longitude difference wrapped to (−180, 180] in DEGREES
+    * before conversion so both engines branch on identical doubles. */
+  def rhumbDistance(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val f1 = math.toRadians(lat1); val f2 = math.toRadians(lat2)
+    val df = f2 - f1
+    val dld0 = lon2 - lon1
+    val dld = if (dld0 > 180.0) dld0 - 360.0
+      else if (dld0 < -180.0) dld0 + 360.0 else dld0
+    val dl = math.toRadians(dld)
+    val q = if (lat1 == lat2) math.cos(f1)
+      else df / math.log(math.tan(math.Pi / 4 + f2 / 2) / math.tan(math.Pi / 4 + f1 / 2))
+    6371008.8 * math.sqrt(df * df + q * q * dl * dl)
+  }
+
+  /** Rhumb-line (constant) bearing in DEGREES clockwise from north,
+    * atan2 convention in [−180, 180]. Same shared-text contract as
+    * [[rhumbDistance]]; atan2(0, 0) = 0 for coincident points. */
+  def rhumbBearing(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val f1 = math.toRadians(lat1); val f2 = math.toRadians(lat2)
+    val dld0 = lon2 - lon1
+    val dld = if (dld0 > 180.0) dld0 - 360.0
+      else if (dld0 < -180.0) dld0 + 360.0 else dld0
+    val dl = math.toRadians(dld)
+    val dpsi = math.log(math.tan(math.Pi / 4 + f2 / 2) / math.tan(math.Pi / 4 + f1 / 2))
+    math.toDegrees(math.atan2(dl, dpsi))
+  }
+
   // ---- measures ----
   def distance(a: Array[Byte], b: Array[Byte]): Double = Pred.distance(rd(a), rd(b))
   def area(b: Array[Byte]): Double = Ops.area(rd(b))
@@ -570,6 +601,30 @@ object K {
     }
     out
   }
+
+  /** COCO-style RLE of a tile bit mask (bit j·size+i, the
+    * [[rasterizeMask]] row-major layout): run counts in flattened-bit
+    * order starting with BACKGROUND (first count 0 if bit 0 is set —
+    * the COCO convention), no zero interior or trailing runs, counts
+    * always summing to nBits. The instance-segmentation mask encoding
+    * a training pipeline ships instead of raw rasters. */
+  def maskRle(mask: Array[Byte], nBits: Int): Array[Long] = {
+    require(nBits > 0 && nBits <= mask.length * 8,
+      s"nBits $nBits out of range for mask of ${mask.length * 8} bits")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cur = false; var run = 0L; var i = 0
+    while (i < nBits) {
+      val bit = ((mask(i >> 3) >> (i & 7)) & 1) == 1
+      if (bit == cur) run += 1
+      else { out += run; cur = bit; run = 1L }
+      i += 1
+    }
+    out += run
+    out.toArray
+  }
+
+  def imgMoments(rgb: Array[Byte], w: Int, h: Int): Array[Long] =
+    Images.moments(rgb, w, h)
 
   def maskPopcount(mask: Array[Byte]): Int = {
     var s = 0
