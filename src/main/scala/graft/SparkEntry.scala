@@ -44,6 +44,7 @@ object SparkEntry {
   private val IMGMED = "read_parquet('/tmp/graft_geo/sf0.01/img_med.parquet/*.parquet')"
   private val IMGDIT = "read_parquet('/tmp/graft_geo/sf0.01/img_dither.parquet/*.parquet')"
   private val IMGM = "read_parquet('/tmp/graft_geo/sf0.01/img_moments.parquet/*.parquet')"
+  private val MEDZ = "read_parquet('/tmp/graft_geo/sf0.01/media_zcr.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -309,6 +310,50 @@ object SparkEntry {
          + CAST(cnt AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
         / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))))
        AS BIGINT)"""
+
+  /** q255's Yule–Walker AR(2) surface over q215's exact integer lag
+    * components (cnt/sxy/sh/st at lags 1–2, global m/s1/s2, last two
+    * spine values xn/xn1): φ1 = r1(1−r2)/(1−r1²), φ2 = (r2−r1²)/(1−r1²),
+    * forecast = μ + φ1(xN−μ) + φ2(xN−1−μ) — ONE shared double formula
+    * per output, milli-quantized; NULL when cov₀ ≤ 0 or |r1| = 1. */
+  private def ar2MilliSql(out: String): String = {
+    val mu = "(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))"
+    def cov(k: Int) =
+      s"(CAST(sxy$k AS DOUBLE) - $mu * (CAST(sh$k AS DOUBLE) + CAST(st$k AS DOUBLE)) + CAST(cnt$k AS DOUBLE) * $mu * $mu)"
+    val cov0 = s"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * $mu)"
+    val r1 = s"(${cov(1)} / $cov0)"
+    val r2 = s"(${cov(2)} / $cov0)"
+    val den = s"(1e0 - $r1 * $r1)"
+    val phi1 = s"($r1 * (1e0 - $r2) / $den)"
+    val phi2 = s"(($r2 - $r1 * $r1) / $den)"
+    val body = out match {
+      case "phi1" => phi1
+      case "phi2" => phi2
+      case "fc" =>
+        s"($mu + $phi1 * (CAST(xn AS DOUBLE) - $mu) + $phi2 * (CAST(xn1 AS DOUBLE) - $mu))"
+    }
+    s"""CASE WHEN $cov0 <= 0 OR $den = 0 THEN NULL
+       ELSE CAST(FLOOR(1000 * $body) AS BIGINT) END"""
+  }
+
+  /** q257's per-bin PSI term (pa−pb)·ln(pa/pb) in micro-nats with
+    * add-one smoothing (pa = (na+1)/(n_a+10), 10 = bin count) — ONE
+    * shared double formula over exact integer products; long-safe while
+    * (na+1)·(n_b+10) ≤ 9.2e18 (~3e9 rows/type), beyond lift to
+    * DECIMAL(38,0). */
+  private val PSI_TERM_MICRO_SQL =
+    """CAST(FLOOR(1e6 * ((CAST(na + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE)
+         - CAST(nb + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE))
+       * LN(CAST((na + 1) * (n_b + 10) AS DOUBLE)
+          / CAST((nb + 1) * (n_a + 10) AS DOUBLE)))) AS BIGINT)"""
+
+  /** q180/q256's shared storage post-pass over per-(fmt, w, h)
+    * (n, tot_bytes, min_bytes, max_bytes) aggregates: bytes/pixel ppm
+    * and the projected 256 KiB shard count. */
+  private def storageAudit(agged: DataFrame): DataFrame = agged
+    .withColumn("bpp_ppm",
+      expr("(tot_bytes * 1000000) div (n * CAST(w AS BIGINT) * h)"))
+    .withColumn("n_shards", expr("(tot_bytes + 262143) div 262144"))
 
   /** q198/q217's shared oracle (seasonalAnomaly replayed over the
     * spine; streamed Complete-mode emission == batch). */
@@ -3949,15 +3994,12 @@ object SparkEntry {
     // columns (bytes never leaves the scan except through length()).
     "q180_storage_audit" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
-      s.read.parquet(GeoTables.imagesPath(dir))
+      storageAudit(s.read.parquet(GeoTables.imagesPath(dir))
         .select(col("fmt"), col("w"), col("h"),
           length(col("bytes")).cast("bigint").as("nb"))
         .groupBy("fmt", "w", "h")
         .agg(count(lit(1)).as("n"), sum("nb").as("tot_bytes"),
-          min("nb").as("min_bytes"), max("nb").as("max_bytes"))
-        .withColumn("bpp_ppm",
-          expr("(tot_bytes * 1000000) div (n * CAST(w AS BIGINT) * h)"))
-        .withColumn("n_shards", expr("(tot_bytes + 262143) div 262144"))
+          min("nb").as("min_bytes"), max("nb").as("max_bytes")))
     }),
 
     // ---------------- last-touch attribution (r5 s11) ----------------
@@ -5871,6 +5913,124 @@ object SparkEntry {
             col("lon1"), col("lat1"), col("lon2"), col("lat2")) * 1000).cast("bigint").as("bear_milli"),
           floor(call_function("st_distance_sphere",
             col("lon1"), col("lat1"), col("lon2"), col("lat2"))).cast("bigint").as("gc_m"))
+    }),
+
+    // ---------------- AR(2) Yule–Walker forecast (r5 s14) ----------------
+    // The model-fitting step on top of q215's ACF: per event type, the
+    // AR(2) coefficients from the Yule–Walker equations over the EXACT
+    // integer covariance components (q215's lag machinery at lags 1–2),
+    // plus the one-step-ahead volume forecast from the spine's last two
+    // hours. φ/forecast are ONE shared double formula each over the
+    // integers, milli-quantized; NULL on a constant series (cov₀ = 0)
+    // or |r₁| = 1. Calendar-bounded: one lag self-join + three tiny
+    // broadcast joins.
+    "q255_ar2" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val glob = hours.groupBy("event_type").agg(count(lit(1)).as("m"),
+        sum("n").as("s1"), sum(expr("n * n")).as("s2"))
+      val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
+      val lagged = hours.select(col("event_type"), col("h"), col("n").as("na"))
+        .withColumn("lag", explode(expr("sequence(1L, 2L)")))
+        .withColumn("hb", col("h") + col("lag"))
+        .join(b, Seq("event_type", "hb"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("cnt"), sum(expr("na * nb")).as("sxy"),
+          sum("na").as("sh"), sum("nb").as("st"))
+      def lagCols(k: Int) = lagged.where(col("lag") === k)
+        .select(col("event_type"), col("cnt").as(s"cnt$k"), col("sxy").as(s"sxy$k"),
+          col("sh").as(s"sh$k"), col("st").as(s"st$k"))
+      val tail = hours.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("h"))))
+        .where(col("rn") <= 2)
+        .groupBy("event_type")
+        .agg(sum(when(col("rn") === 1, col("n")).otherwise(0L)).as("xn"),
+          sum(when(col("rn") === 2, col("n")).otherwise(0L)).as("xn1"))
+      lagCols(1).join(lagCols(2), "event_type")
+        .join(broadcast(glob), "event_type").join(broadcast(tail), "event_type")
+        .select(col("event_type"), col("cnt1"), col("sxy1"), col("sh1"), col("st1"),
+          col("cnt2"), col("sxy2"), col("sh2"), col("st2"),
+          col("m"), col("s1"), col("s2"), col("xn"), col("xn1"),
+          expr(ar2MilliSql("phi1")).as("phi1_milli"),
+          expr(ar2MilliSql("phi2")).as("phi2_milli"),
+          expr(ar2MilliSql("fc")).as("fc_milli"))
+    }),
+
+    // ---------------- streamed storage audit (r5 s14) ----------------
+    // q180's per-(fmt, w, h) byte accounting fed by Complete-mode
+    // streamed aggregates over the image table's NARROW metadata
+    // projection (bytes reduced to length() before the stream source, so
+    // the state store carries counts, not pixels) — seventh
+    // streamed==batch member, first on the storage/ingest-monitoring
+    // axis; equals q180's oracle EXACTLY.
+    "q256_stream_storage" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val sink = runStreamCompleteAggFrom(s,
+        s.read.parquet(GeoTables.imagesPath(dir))
+          .select(col("fmt"), col("w"), col("h"),
+            length(col("bytes")).cast("bigint").as("nb")),
+        s"storage_${GeoTables.sfName(dir)}") { src =>
+        src.groupBy("fmt", "w", "h")
+          .agg(count(lit(1)).as("n"), sum("nb").as("tot_bytes"),
+            min("nb").as("min_bytes"), max("nb").as("max_bytes"))
+      }
+      storageAudit(s.createDataFrame(sink.rdd, sink.schema))
+    }),
+
+    // ---------------- population stability index (r5 s14) ----------------
+    // THE industry feature-drift gate (PSI), exact: global value-decile
+    // bins from the pooled cents grid (bin = ((cum−1)·10) div N — a pure
+    // integer rule both engines share), per-type bin counts, and per
+    // type pair Σ (pa−pb)·ln(pa/pb) with add-one smoothing so empty
+    // bins stay finite — each bin's term micro-quantized by the ONE
+    // shared formula over exact integer products, then integer-summed.
+    // Data-bounded work = the one groupBy; the decile window rides the
+    // value-bounded distinct-cents grid.
+    "q257_psi" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "vc").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // referenced 3× (grid cuts, per-type bins, sizes)
+      // single-task cumulative over the DISTINCT-cents grid — value-
+      // bounded (the q222 n_tot window contract), never data-bounded
+      val wg = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = cnt.groupBy("vc").agg(sum("cnt").as("c"))
+        .withColumn("cum", sum("c").over(wg))
+        .withColumn("nn", sum("c").over(Window.partitionBy()))
+        .select(col("vc"), expr("least(9L, ((cum - 1) * 10) div nn)").as("bin"))
+      val byBin = cnt.join(grid, "vc").groupBy("et", "bin").agg(sum("cnt").as("nbin"))
+      val sizes = cnt.groupBy("et").agg(sum("cnt").as("sz"))
+      val pairs = sizes.select(col("et").as("ta"), col("sz").as("n_a"))
+        .join(sizes.select(col("et").as("tb"), col("sz").as("n_b")), col("ta") < col("tb"))
+      pairs.crossJoin(s.range(0, 10).select(col("id").as("bin")))
+        .join(byBin.select(col("et").as("ta"), col("bin"), col("nbin").as("na")),
+          Seq("ta", "bin"), "left")
+        .join(byBin.select(col("et").as("tb"), col("bin"), col("nbin").as("nb")),
+          Seq("tb", "bin"), "left")
+        .withColumn("na", coalesce(col("na"), lit(0L)))
+        .withColumn("nb", coalesce(col("nb"), lit(0L)))
+        .withColumn("term", expr(PSI_TERM_MICRO_SQL))
+        .groupBy("ta", "tb", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_bins"), sum("term").as("psi_micro"))
+        .select("ta", "tb", "n_a", "n_b", "n_bins", "psi_micro")
+    }),
+
+    // ---------------- audio zero-crossing windows (r5 s14) ----------------
+    // The DSP companion to q63's RMS energy: per non-overlapping 800-
+    // sample window, the exact integer zero-crossing count through the
+    // GMV1/WAV decode path (audio_zcr_windows — speech/noise/tone
+    // discrimination for audio curation). The oracle is the
+    // media_zcr fixture computed from the PRE-encoding synth arrays, so
+    // it pins the codec round-trip AND the window kernel. Scan +
+    // explode — row-parallel, zero shuffles.
+    "q258_zcr" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureMediaZcr(s, dir)
+      GeoTables.media(s, dir).where(col("kind") === "audio")
+        .select(col("media_id"),
+          posexplode(call_function("audio_zcr_windows", col("bytes"), lit(800))))
+        .select(col("media_id"), col("pos").cast("bigint").as("wi"),
+          col("col").as("zcr"))
     })
   )
 
@@ -6161,6 +6321,18 @@ object SparkEntry {
       .withColumn("emd_milli", expr(milliDivSql("emd_num", "(n_a * n_b * 100)", "div")))
       .select("ta", "tb", "n_a", "n_b", "emd_num", "emd_milli")
   }
+
+  /** q180/q256's shared oracle (storageAudit replayed — streamed ==
+    * batch is the whole q256 claim). */
+  private lazy val STORAGE_ORACLE_SQL =
+    s"""SELECT fmt, w, h, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(octet_length(bytes)) AS BIGINT) AS tot_bytes,
+       CAST(MIN(octet_length(bytes)) AS BIGINT) AS min_bytes,
+       CAST(MAX(octet_length(bytes)) AS BIGINT) AS max_bytes,
+       (CAST(SUM(octet_length(bytes)) AS BIGINT) * 1000000)
+         // (COUNT(*) * CAST(w AS BIGINT) * h) AS bpp_ppm,
+       (CAST(SUM(octet_length(bytes)) AS BIGINT) + 262143) // 262144 AS n_shards
+     FROM $IMG GROUP BY 1, 2, 3"""
 
   /** q222/q247's shared oracle (benfordAudit replayed — streamed == batch
     * is the whole q247 claim). */
@@ -8251,15 +8423,8 @@ object SparkEntry {
              ((z.xmax - z.xmin) * (z.ymax - z.ymin))) AS BIGINT) AS dens_q
          FROM $ZON z JOIN c ON c.zone_id = z.zone_id""",
 
-    "q180_storage_audit" ->
-      s"""SELECT fmt, w, h, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(octet_length(bytes)) AS BIGINT) AS tot_bytes,
-           CAST(MIN(octet_length(bytes)) AS BIGINT) AS min_bytes,
-           CAST(MAX(octet_length(bytes)) AS BIGINT) AS max_bytes,
-           (CAST(SUM(octet_length(bytes)) AS BIGINT) * 1000000)
-             // (COUNT(*) * CAST(w AS BIGINT) * h) AS bpp_ppm,
-           (CAST(SUM(octet_length(bytes)) AS BIGINT) + 262143) // 262144 AS n_shards
-         FROM $IMG GROUP BY 1, 2, 3""",
+    "q180_storage_audit" -> STORAGE_ORACLE_SQL,
+    "q256_stream_storage" -> STORAGE_ORACLE_SQL,
 
     "q181_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, value
@@ -9479,7 +9644,70 @@ object SparkEntry {
              SIN((RADIANS(lat2) - RADIANS(lat1))/2) * SIN((RADIANS(lat2) - RADIANS(lat1))/2)
              + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
                * SIN(RADIANS(lon2 - lon1)/2) * SIN(RADIANS(lon2 - lon1)/2))))) AS BIGINT) AS gc_m
-         FROM c"""
+         FROM c""",
+
+    // ground truth: identical lag components over the spine + the ONE
+    // shared Yule–Walker formula text per output
+    "q255_ar2" ->
+      s"""WITH $HRS_SPINE_SQL,
+         gstat AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+           FROM hrs GROUP BY 1),
+         lg AS (SELECT a.event_type, l.lag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(SUM(a.n) AS BIGINT) AS sh, CAST(SUM(b.n) AS BIGINT) AS st
+           FROM hrs a CROSS JOIN (SELECT unnest([1, 2]) AS lag) l
+           JOIN hrs b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+           GROUP BY 1, 2),
+         l1 AS (SELECT event_type, cnt AS cnt1, sxy AS sxy1, sh AS sh1, st AS st1
+           FROM lg WHERE lag = 1),
+         l2 AS (SELECT event_type, cnt AS cnt2, sxy AS sxy2, sh AS sh2, st AS st2
+           FROM lg WHERE lag = 2),
+         tl AS (SELECT event_type,
+             CAST(SUM(CASE WHEN rn = 1 THEN n ELSE 0 END) AS BIGINT) AS xn,
+             CAST(SUM(CASE WHEN rn = 2 THEN n ELSE 0 END) AS BIGINT) AS xn1
+           FROM (SELECT event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC) AS rn
+             FROM hrs) WHERE rn <= 2 GROUP BY 1),
+         j AS (SELECT l1.event_type, cnt1, sxy1, sh1, st1, cnt2, sxy2, sh2, st2,
+             m, s1, s2, xn, xn1
+           FROM l1 JOIN l2 USING (event_type) JOIN gstat USING (event_type)
+           JOIN tl USING (event_type))
+         SELECT event_type, cnt1, sxy1, sh1, st1, cnt2, sxy2, sh2, st2,
+           m, s1, s2, xn, xn1,
+           ${ar2MilliSql("phi1")} AS phi1_milli,
+           ${ar2MilliSql("phi2")} AS phi2_milli,
+           ${ar2MilliSql("fc")} AS fc_milli
+         FROM j""",
+
+    // ground truth: identical integer decile rule + the ONE shared
+    // smoothed PSI term text
+    "q257_psi" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         cnt AS (SELECT et, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+         grid AS (SELECT vc,
+             LEAST(9, ((SUM(c) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) - 1) * 10)
+               // (SUM(c) OVER ()) ) AS bin
+           FROM (SELECT vc, SUM(cnt) AS c FROM cnt GROUP BY 1)),
+         bybin AS (SELECT cnt.et, grid.bin, CAST(SUM(cnt.cnt) AS BIGINT) AS nbin
+           FROM cnt JOIN grid ON cnt.vc = grid.vc GROUP BY 1, 2),
+         sz AS (SELECT et, CAST(SUM(cnt) AS BIGINT) AS sz FROM cnt GROUP BY 1),
+         pr AS (SELECT a.et AS ta, a.sz AS n_a, b.et AS tb, b.sz AS n_b
+           FROM sz a JOIN sz b ON a.et < b.et),
+         f AS (SELECT pr.ta, pr.tb, pr.n_a, pr.n_b, g.bin,
+             COALESCE(ba.nbin, 0) AS na, COALESCE(bb.nbin, 0) AS nb
+           FROM pr CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+           LEFT JOIN bybin ba ON ba.et = pr.ta AND ba.bin = g.bin
+           LEFT JOIN bybin bb ON bb.et = pr.tb AND bb.bin = g.bin)
+         SELECT ta, tb, n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM($PSI_TERM_MICRO_SQL) AS BIGINT) AS psi_micro
+         FROM f GROUP BY 1, 2, 3, 4""",
+
+    // ground truth: the media_zcr fixture computed from the pre-encoding
+    // synth arrays (pins codec round-trip + window kernel)
+    "q258_zcr" ->
+      s"""SELECT media_id, wi, zcr FROM $MEDZ"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

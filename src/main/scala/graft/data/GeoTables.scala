@@ -804,6 +804,31 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_MEDIA_DELTA_DONE_V1"))
   }
 
+  def mediaZcrPath(sfDir: String): String = s"${baseDir(sfDir)}/media_zcr.parquet"
+
+  final case class MediaZcrRow(media_id: Long, wi: Long, zcr: Long)
+
+  /** q258's expected zero-crossing counts, computed from the PRE-encoding
+    * synth arrays (mediaRow's contract: the engine must re-derive them by
+    * DECODING the GMV1/WAV container — so the oracle pins the codec
+    * round-trip AND the window kernel). */
+  def ensureMediaZcr(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensureMedia(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_MEDIA_ZCR_DONE"))) return
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    spark.range(0, nMedia(sfDir), 1, parts)
+      .filter(_ % 2 == 1) // audio rows (mediaRow: odd ids)
+      .flatMap { i =>
+        val ns = 4000 + (i % 7).toInt * 1000
+        graft.img.Media.audioZcrOf(graft.img.Media.synthSamples(i, ns), 800)
+          .zipWithIndex.map { case (z, wi) => MediaZcrRow(i, wi.toLong, z) }
+      }
+      .write.mode("overwrite").parquet(mediaZcrPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_MEDIA_ZCR_DONE"))
+  }
+
   /** Additive fixture (own VERSIONED marker, mirrors the textfeat pattern
     * — bump the suffix when the synthesis changes so stale dirs regen). */
   def ensureMedia(spark: SparkSession, sfDir: String): Unit = synchronized {

@@ -355,6 +355,26 @@ object Media {
   def audioRmsWindows(b: Array[Byte], win: Int): Array[Double] =
     audioRmsOf(pcm(b), win)
 
+  /** Zero-crossing count per non-overlapping `win`-sample window
+    * (trailing partial dropped — the audioRmsOf framing): crossings
+    * counted where the sign (s < 0) flips between consecutive samples
+    * INSIDE the window. Exact integers — the speech/noise/tone
+    * discrimination feature beside the RMS energy. */
+  def audioZcrWindows(b: Array[Byte], win: Int): Array[Long] =
+    audioZcrOf(pcm(b), win)
+
+  def audioZcrOf(s: Array[Short], win: Int): Array[Long] = {
+    require(win > 0, "window must be positive")
+    val nw = s.length / win
+    Array.tabulate(nw) { w =>
+      var c = 0L
+      var i = w * win + 1
+      val end = w * win + win
+      while (i < end) { if ((s(i) < 0) != (s(i - 1) < 0)) c += 1; i += 1 }
+      c
+    }
+  }
+
   def audioRmsOf(s: Array[Short], win: Int): Array[Double] = {
     require(win > 0, "window must be positive")
     val nw = s.length / win

@@ -215,6 +215,7 @@ object GraftFunctions {
     "media_frame" -> (e => MediaFrame(e(0), e(1))),
     "media_frame_sample" -> (e => MediaFrameSample(e(0), e(1))),
     "audio_rms_windows" -> (e => AudioRmsWindows(e(0), e(1))),
+    "audio_zcr_windows" -> (e => AudioZcrWindows(e(0), e(1))),
     "img_phash_rgb" -> (e => ImgPhashRgb(e(0), e(1), e(2))),
     "img_phash256" -> (e => ImgPhash256(e.head)),
     "img_phash256_rgb" -> (e => ImgPhash256Rgb(e(0), e(1), e(2))),

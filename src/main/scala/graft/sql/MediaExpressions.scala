@@ -128,6 +128,21 @@ case class ImgPhash256Rgb(first: Expression, second: Expression, third: Expressi
     copy(a, b, c)
 }
 
+/** audio_zcr_windows(bytes, win) → array<long> zero-crossing counts per
+  * window (exact integers; see Media.audioZcrOf). */
+case class AudioZcrWindows(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(Media.audioZcrWindows(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.img.Media.audioZcrWindows($a, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** audio_rms_windows(bytes, win) → array<double> RMS per window. */
 case class AudioRmsWindows(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes {
