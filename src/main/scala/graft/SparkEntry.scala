@@ -6031,6 +6031,56 @@ object SparkEntry {
           posexplode(call_function("audio_zcr_windows", col("bytes"), lit(800))))
         .select(col("media_id"), col("pos").cast("bigint").as("wi"),
           col("col").as("zcr"))
+    }),
+
+    // ---------------- shingle containment (r5 s14) ----------------
+    // The ASYMMETRIC near-dup read q20's Jaccard can't give: per planted
+    // variant pair, C(base→variant) = |S_b ∩ S_v| / |S_b| over distinct
+    // 4-shingles — the sub-document/quote-detection statistic (a page
+    // EMBEDDING another scores high containment at low Jaccard).
+    // Row-local array ops on the text_features fixture (no explode on
+    // the engine side — the shingle sets are per-doc bounded), exact
+    // integer counts + the base-100 ppm ladder; NULL when a side is
+    // shingle-free (doc shorter than the shingle width).
+    "q259_containment" -> ((s, dir) => {
+      val tf = GeoTables.textFeatures(s, dir).select("doc_id", "shingles")
+      tf.where(col("doc_id") >= GeoTables.VARIANT_OFFSET)
+        .select((col("doc_id") - GeoTables.VARIANT_OFFSET).as("doc_id"),
+          col("shingles").as("sv"))
+        .join(tf.where(col("doc_id") < GeoTables.VARIANT_OFFSET)
+          .select(col("doc_id"), col("shingles").as("sb")), "doc_id")
+        .select(col("doc_id"),
+          size(expr("array_distinct(sb)")).cast("bigint").as("na"),
+          size(expr("array_distinct(sv)")).cast("bigint").as("nb"),
+          size(expr("array_intersect(sb, sv)")).cast("bigint").as("ni"))
+        .withColumn("cont_ppm", expr(
+          s"CASE WHEN na = 0 THEN NULL ELSE ${ppmDivSql("ni", "na")} END"))
+        .withColumn("jac_ppm", expr(
+          s"CASE WHEN na + nb - ni = 0 THEN NULL ELSE ${ppmDivSql("ni", "(na + nb - ni)")} END"))
+        .select("doc_id", "na", "nb", "ni", "cont_ppm", "jac_ppm")
+    }),
+
+    // ---------------- dedup precision/recall eval (r5 s14) ----------------
+    // The eval harness FOR the dedup operator itself: run the q12
+    // pigeonhole near-dup join at hamming ≤ 6 over the planted fixture,
+    // score predicted pairs against the known planted (id, id_v) truth
+    // — precision/recall in exact ppm, the number that decides a
+    // threshold BEFORE the 10¹²-image run. Truth derives from the
+    // fixture's id convention ('_v' suffix) in both engines; the
+    // canonical a < b pair order makes (base, variant) the join key.
+    "q260_dedup_eval" -> ((s, dir) => {
+      val nd = GeoTables.nearDupImages(s, dir)
+      val pred = graft.join.ImageDedup.nearDup(nd, "id", "phash", maxHamming = 6)
+      val truth = nd.where(col("id").endsWith("_v"))
+        .select(expr("substring(id, 1, length(id) - 2)").as("a"), col("id").as("b"))
+      pred.join(truth.withColumn("planted", lit(1L)), Seq("a", "b"), "left")
+        .withColumn("planted", coalesce(col("planted"), lit(0L)))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .groupBy("n_true")
+        .agg(count(lit(1)).as("n_pred"), sum("planted").as("n_tp"))
+        .select(col("n_pred"), col("n_true"), col("n_tp"),
+          expr(ppmDivSql("n_tp", "n_pred")).as("precision_ppm"),
+          expr(ppmDivSql("n_tp", "n_true")).as("recall_ppm"))
     })
   )
 
@@ -9707,7 +9757,51 @@ object SparkEntry {
     // ground truth: the media_zcr fixture computed from the pre-encoding
     // synth arrays (pins codec round-trip + window kernel)
     "q258_zcr" ->
-      s"""SELECT media_id, wi, zcr FROM $MEDZ"""
+      s"""SELECT media_id, wi, zcr FROM $MEDZ""",
+
+    // ground truth: distinct-shingle counts by explode + equi-join over
+    // the same text_features fixture (independent machinery from the
+    // engine's row-local array ops)
+    "q259_containment" ->
+      s"""WITH v AS (SELECT doc_id - 10000000 AS doc_id, shingles
+           FROM $TFEAT WHERE doc_id >= 10000000),
+         b AS (SELECT doc_id, shingles FROM $TFEAT WHERE doc_id < 10000000),
+         bd AS (SELECT DISTINCT b.doc_id, u.sh FROM b, UNNEST(b.shingles) AS u(sh)),
+         vd AS (SELECT DISTINCT v.doc_id, u.sh FROM v, UNNEST(v.shingles) AS u(sh)),
+         ca AS (SELECT doc_id, COUNT(*) AS na FROM bd GROUP BY 1),
+         cb AS (SELECT doc_id, COUNT(*) AS nb FROM vd GROUP BY 1),
+         ci AS (SELECT bd.doc_id, COUNT(*) AS ni FROM bd
+           JOIN vd ON bd.doc_id = vd.doc_id AND bd.sh = vd.sh GROUP BY 1),
+         j AS (SELECT v.doc_id, CAST(COALESCE(ca.na, 0) AS BIGINT) AS na,
+             CAST(COALESCE(cb.nb, 0) AS BIGINT) AS nb,
+             CAST(COALESCE(ci.ni, 0) AS BIGINT) AS ni
+           FROM (SELECT DISTINCT doc_id FROM v) v
+           LEFT JOIN ca USING (doc_id) LEFT JOIN cb USING (doc_id)
+           LEFT JOIN ci USING (doc_id))
+         SELECT doc_id, na, nb, ni,
+           CASE WHEN na = 0 THEN NULL
+             ELSE CAST(${ppmDivSqlI("ni", "na", "//")} AS BIGINT) END AS cont_ppm,
+           CASE WHEN na + nb - ni = 0 THEN NULL
+             ELSE CAST(${ppmDivSqlI("ni", "(na + nb - ni)", "//")} AS BIGINT) END AS jac_ppm
+         FROM j""",
+
+    // ground truth: brute-force all-pairs hamming + the id-convention
+    // planted truth (the q12 oracle pattern, scored)
+    "q260_dedup_eval" ->
+      s"""WITH pred AS (SELECT a.id AS a, b.id AS b FROM $NDUP a JOIN $NDUP b
+           ON a.id < b.id WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+         truth AS (SELECT substr(id, 1, length(id) - 2) AS a, id AS b
+           FROM $NDUP WHERE ends_with(id, '_v')),
+         m AS (SELECT pred.a, pred.b,
+             CASE WHEN t.b IS NOT NULL THEN 1 ELSE 0 END AS planted
+           FROM pred LEFT JOIN truth t ON t.a = pred.a AND t.b = pred.b),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred,
+             CAST(SUM(planted) AS BIGINT) AS n_tp FROM m),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+         SELECT n_pred, n_true, n_tp,
+           CAST(${ppmDivSqlI("n_tp", "n_pred", "//")} AS BIGINT) AS precision_ppm,
+           CAST(${ppmDivSqlI("n_tp", "n_true", "//")} AS BIGINT) AS recall_ppm
+         FROM agg, tt"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
