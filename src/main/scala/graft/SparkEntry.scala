@@ -347,6 +347,35 @@ object SparkEntry {
        * LN(CAST((na + 1) * (n_b + 10) AS DOUBLE)
           / CAST((nb + 1) * (n_a + 10) AS DOUBLE)))) AS BIGINT)"""
 
+  /** q257/q262's shared PSI post-pass over (et, vc, cnt) value-cents
+    * counts: global integer decile bins (bin = ((cum−1)·10) div N over
+    * the pooled distinct-cents grid — value-bounded single-task window,
+    * the q222 n_tot contract), per-type bin counts, and the add-one-
+    * smoothed micro-nat term per (pair, bin), integer-summed. */
+  private def psiAudit(s: SparkSession, counts0: DataFrame): DataFrame = {
+    val cnt = counts0.localCheckpoint() // referenced 3× (grid, bins, sizes)
+    val wg = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cnt.groupBy("vc").agg(sum("cnt").as("c"))
+      .withColumn("cum", sum("c").over(wg))
+      .withColumn("nn", sum("c").over(Window.partitionBy()))
+      .select(col("vc"), expr("least(9L, ((cum - 1) * 10) div nn)").as("bin"))
+    val byBin = cnt.join(grid, "vc").groupBy("et", "bin").agg(sum("cnt").as("nbin"))
+    val sizes = cnt.groupBy("et").agg(sum("cnt").as("sz"))
+    val pairs = sizes.select(col("et").as("ta"), col("sz").as("n_a"))
+      .join(sizes.select(col("et").as("tb"), col("sz").as("n_b")), col("ta") < col("tb"))
+    pairs.crossJoin(s.range(0, 10).select(col("id").as("bin")))
+      .join(byBin.select(col("et").as("ta"), col("bin"), col("nbin").as("na")),
+        Seq("ta", "bin"), "left")
+      .join(byBin.select(col("et").as("tb"), col("bin"), col("nbin").as("nb")),
+        Seq("tb", "bin"), "left")
+      .withColumn("na", coalesce(col("na"), lit(0L)))
+      .withColumn("nb", coalesce(col("nb"), lit(0L)))
+      .withColumn("term", expr(PSI_TERM_MICRO_SQL))
+      .groupBy("ta", "tb", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_bins"), sum("term").as("psi_micro"))
+      .select("ta", "tb", "n_a", "n_b", "n_bins", "psi_micro")
+  }
+
   /** q180/q256's shared storage post-pass over per-(fmt, w, h)
     * (n, tot_bytes, min_bytes, max_bytes) aggregates: bytes/pixel ppm
     * and the projected 256 KiB shard count. */
@@ -5986,33 +6015,10 @@ object SparkEntry {
     // Data-bounded work = the one groupBy; the decile window rides the
     // value-bounded distinct-cents grid.
     "q257_psi" -> ((s, dir) => {
-      val cnt = t(s, dir, "events")
+      psiAudit(s, t(s, dir, "events")
         .select(col("event_type").as("et"),
           expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
-        .groupBy("et", "vc").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // referenced 3× (grid cuts, per-type bins, sizes)
-      // single-task cumulative over the DISTINCT-cents grid — value-
-      // bounded (the q222 n_tot window contract), never data-bounded
-      val wg = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val grid = cnt.groupBy("vc").agg(sum("cnt").as("c"))
-        .withColumn("cum", sum("c").over(wg))
-        .withColumn("nn", sum("c").over(Window.partitionBy()))
-        .select(col("vc"), expr("least(9L, ((cum - 1) * 10) div nn)").as("bin"))
-      val byBin = cnt.join(grid, "vc").groupBy("et", "bin").agg(sum("cnt").as("nbin"))
-      val sizes = cnt.groupBy("et").agg(sum("cnt").as("sz"))
-      val pairs = sizes.select(col("et").as("ta"), col("sz").as("n_a"))
-        .join(sizes.select(col("et").as("tb"), col("sz").as("n_b")), col("ta") < col("tb"))
-      pairs.crossJoin(s.range(0, 10).select(col("id").as("bin")))
-        .join(byBin.select(col("et").as("ta"), col("bin"), col("nbin").as("na")),
-          Seq("ta", "bin"), "left")
-        .join(byBin.select(col("et").as("tb"), col("bin"), col("nbin").as("nb")),
-          Seq("tb", "bin"), "left")
-        .withColumn("na", coalesce(col("na"), lit(0L)))
-        .withColumn("nb", coalesce(col("nb"), lit(0L)))
-        .withColumn("term", expr(PSI_TERM_MICRO_SQL))
-        .groupBy("ta", "tb", "n_a", "n_b")
-        .agg(count(lit(1)).as("n_bins"), sum("term").as("psi_micro"))
-        .select("ta", "tb", "n_a", "n_b", "n_bins", "psi_micro")
+        .groupBy("et", "vc").agg(count(lit(1)).as("cnt")))
     }),
 
     // ---------------- audio zero-crossing windows (r5 s14) ----------------
@@ -6081,6 +6087,49 @@ object SparkEntry {
         .select(col("n_pred"), col("n_true"), col("n_tp"),
           expr(ppmDivSql("n_tp", "n_pred")).as("precision_ppm"),
           expr(ppmDivSql("n_tp", "n_true")).as("recall_ppm"))
+    }),
+
+    // ---------------- bounding-box IoU eval (r5 s14) ----------------
+    // Detection-eval prep: each zone rect vs a DETERMINISTIC jittered
+    // "prediction" (shift ±25%, scale 75–124% — pure integer arithmetic
+    // on the zone-id digits, so both engines synthesize identical
+    // doubles), scored by intersection-over-union. Overlap areas
+    // quantize to centi⁻² units BEFORE the base-100 ppm ratio (the q206
+    // closed-form rect-overlap contract; sum ≥ 2·inter keeps the
+    // quantized ratio ≤ 1), hit@0.5 on top. Scan-only — one projection.
+    "q261_iou" -> ((s, dir) => {
+      GeoTables.zones(s, dir)
+        .withColumn("z", expr("CAST(substring(zone_id, 5, 5) AS BIGINT)"))
+        .withColumn("px0", expr("xmin + (xmax - xmin) * ((z * 37 % 100) - 50) / 200.0"))
+        .withColumn("py0", expr("ymin + (ymax - ymin) * ((z * 53 % 100) - 50) / 200.0"))
+        .withColumn("px1", expr("px0 + (xmax - xmin) * (75 + (z * 71 % 50)) / 100.0"))
+        .withColumn("py1", expr("py0 + (ymax - ymin) * (75 + (z * 89 % 50)) / 100.0"))
+        .withColumn("inter", expr(
+          "GREATEST(0.0, LEAST(xmax, px1) - GREATEST(xmin, px0)) * " +
+          "GREATEST(0.0, LEAST(ymax, py1) - GREATEST(ymin, py0))"))
+        .withColumn("ia_c", expr("CAST(FLOOR(inter * 10000) AS BIGINT)"))
+        .withColumn("ua_c", expr(
+          "CAST(FLOOR(((xmax - xmin) * (ymax - ymin) + (px1 - px0) * (py1 - py0)) * 10000) AS BIGINT) - ia_c"))
+        .withColumn("iou_ppm", expr(
+          s"CASE WHEN ua_c = 0 THEN NULL ELSE ${ppmDivSql("ia_c", "ua_c")} END"))
+        .select(col("zone_id"), col("ia_c"), col("ua_c"), col("iou_ppm"),
+          (col("iou_ppm") >= 500000L).as("hit50"))
+    }),
+
+    // ---------------- streamed PSI drift gate (r5 s14) ----------------
+    // q257's population-stability audit fed by Complete-mode streamed
+    // (type, cents) counts — eighth streamed==batch member, and the one
+    // that matters operationally: PSI is precisely the statistic a
+    // production feature-drift monitor evaluates ONLINE. State rides
+    // distinct (type, cents) rows; the post-pass equals q257's oracle
+    // EXACTLY.
+    "q262_stream_psi" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "psi") { src =>
+        src.select(col("event_type").as("et"),
+            expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+          .groupBy("et", "vc").agg(count(lit(1)).as("cnt"))
+      }
+      psiAudit(s, s.createDataFrame(sink.rdd, sink.schema))
     })
   )
 
@@ -6371,6 +6420,30 @@ object SparkEntry {
       .withColumn("emd_milli", expr(milliDivSql("emd_num", "(n_a * n_b * 100)", "div")))
       .select("ta", "tb", "n_a", "n_b", "emd_num", "emd_milli")
   }
+
+  /** q257/q262's shared oracle (psiAudit replayed — streamed == batch
+    * is the whole q262 claim). */
+  private lazy val PSI_ORACLE_SQL =
+    s"""WITH ev AS (SELECT event_type AS et,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       cnt AS (SELECT et, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+       grid AS (SELECT vc,
+           LEAST(9, ((SUM(c) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) - 1) * 10)
+             // (SUM(c) OVER ()) ) AS bin
+         FROM (SELECT vc, SUM(cnt) AS c FROM cnt GROUP BY 1)),
+       bybin AS (SELECT cnt.et, grid.bin, CAST(SUM(cnt.cnt) AS BIGINT) AS nbin
+         FROM cnt JOIN grid ON cnt.vc = grid.vc GROUP BY 1, 2),
+       sz AS (SELECT et, CAST(SUM(cnt) AS BIGINT) AS sz FROM cnt GROUP BY 1),
+       pr AS (SELECT a.et AS ta, a.sz AS n_a, b.et AS tb, b.sz AS n_b
+         FROM sz a JOIN sz b ON a.et < b.et),
+       f AS (SELECT pr.ta, pr.tb, pr.n_a, pr.n_b, g.bin,
+           COALESCE(ba.nbin, 0) AS na, COALESCE(bb.nbin, 0) AS nb
+         FROM pr CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+         LEFT JOIN bybin ba ON ba.et = pr.ta AND ba.bin = g.bin
+         LEFT JOIN bybin bb ON bb.et = pr.tb AND bb.bin = g.bin)
+       SELECT ta, tb, n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM($PSI_TERM_MICRO_SQL) AS BIGINT) AS psi_micro
+       FROM f GROUP BY 1, 2, 3, 4"""
 
   /** q180/q256's shared oracle (storageAudit replayed — streamed ==
     * batch is the whole q256 claim). */
@@ -9732,27 +9805,37 @@ object SparkEntry {
 
     // ground truth: identical integer decile rule + the ONE shared
     // smoothed PSI term text
-    "q257_psi" ->
-      s"""WITH ev AS (SELECT event_type AS et,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
-         cnt AS (SELECT et, vc, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
-         grid AS (SELECT vc,
-             LEAST(9, ((SUM(c) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) - 1) * 10)
-               // (SUM(c) OVER ()) ) AS bin
-           FROM (SELECT vc, SUM(cnt) AS c FROM cnt GROUP BY 1)),
-         bybin AS (SELECT cnt.et, grid.bin, CAST(SUM(cnt.cnt) AS BIGINT) AS nbin
-           FROM cnt JOIN grid ON cnt.vc = grid.vc GROUP BY 1, 2),
-         sz AS (SELECT et, CAST(SUM(cnt) AS BIGINT) AS sz FROM cnt GROUP BY 1),
-         pr AS (SELECT a.et AS ta, a.sz AS n_a, b.et AS tb, b.sz AS n_b
-           FROM sz a JOIN sz b ON a.et < b.et),
-         f AS (SELECT pr.ta, pr.tb, pr.n_a, pr.n_b, g.bin,
-             COALESCE(ba.nbin, 0) AS na, COALESCE(bb.nbin, 0) AS nb
-           FROM pr CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
-           LEFT JOIN bybin ba ON ba.et = pr.ta AND ba.bin = g.bin
-           LEFT JOIN bybin bb ON bb.et = pr.tb AND bb.bin = g.bin)
-         SELECT ta, tb, n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_bins,
-           CAST(SUM($PSI_TERM_MICRO_SQL) AS BIGINT) AS psi_micro
-         FROM f GROUP BY 1, 2, 3, 4""",
+    "q257_psi" -> PSI_ORACLE_SQL,
+    "q262_stream_psi" -> PSI_ORACLE_SQL,
+
+    // ground truth: the identical deterministic-jitter + rect-overlap
+    // closed-form text over the zone table
+    "q261_iou" ->
+      s"""WITH p AS (SELECT zone_id, xmin, ymin, xmax, ymax,
+             CAST(substring(zone_id, 5, 5) AS BIGINT) AS z FROM $ZON),
+         b AS (SELECT zone_id, xmin, ymin, xmax, ymax,
+             xmin + (xmax - xmin) * ((z * 37 % 100) - 50) / 200.0 AS px0,
+             ymin + (ymax - ymin) * ((z * 53 % 100) - 50) / 200.0 AS py0,
+             z FROM p),
+         c AS (SELECT zone_id, xmin, ymin, xmax, ymax, px0, py0,
+             px0 + (xmax - xmin) * (75 + (z * 71 % 50)) / 100.0 AS px1,
+             py0 + (ymax - ymin) * (75 + (z * 89 % 50)) / 100.0 AS py1
+           FROM b),
+         d AS (SELECT zone_id, xmin, ymin, xmax, ymax, px0, py0, px1, py1,
+             GREATEST(0.0, LEAST(xmax, px1) - GREATEST(xmin, px0)) *
+             GREATEST(0.0, LEAST(ymax, py1) - GREATEST(ymin, py0)) AS inter
+           FROM c),
+         e AS (SELECT zone_id,
+             CAST(FLOOR(inter * 10000) AS BIGINT) AS ia_c,
+             CAST(FLOOR(((xmax - xmin) * (ymax - ymin) + (px1 - px0) * (py1 - py0)) * 10000) AS BIGINT)
+               - CAST(FLOOR(inter * 10000) AS BIGINT) AS ua_c
+           FROM d)
+         SELECT zone_id, ia_c, ua_c,
+           CASE WHEN ua_c = 0 THEN NULL
+             ELSE CAST(${ppmDivSqlI("ia_c", "ua_c", "//")} AS BIGINT) END AS iou_ppm,
+           (CASE WHEN ua_c = 0 THEN NULL
+             ELSE CAST(${ppmDivSqlI("ia_c", "ua_c", "//")} AS BIGINT) END) >= 500000 AS hit50
+         FROM e""",
 
     // ground truth: the media_zcr fixture computed from the pre-encoding
     // synth arrays (pins codec round-trip + window kernel)
