@@ -6130,6 +6130,53 @@ object SparkEntry {
           .groupBy("et", "vc").agg(count(lit(1)).as("cnt"))
       }
       psiAudit(s, s.createDataFrame(sink.rdd, sink.schema))
+    }),
+
+    // ---------------- best-F1 threshold selection (r5 s14) ----------------
+    // The deploy-time decision on top of q246's calibration audit: sweep
+    // every distinct confidence value as a ≥-threshold, score F1 =
+    // 2TP/(TP+FP+P) from exact cumulative integers, argmax by the ONE
+    // shared double ratio (the q221 Otsu argmax contract), ties to the
+    // HIGHER threshold. The sweep window rides distinct conf values —
+    // capped at 2²⁰ by the scorer's own quantization, so value-bounded
+    // at any corpus size.
+    "q263_best_f1" -> ((s, dir) => {
+      val sc = t(s, dir, "documents")
+        .select(expr("CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT) div 4294967296").as("conf"),
+          expr("CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 14, 13), 16, 10) AS BIGINT) div 4294967296").as("v20"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .groupBy("conf").agg(count(lit(1)).as("n"), sum("lbl").as("np"))
+      val wd = Window.orderBy(col("conf").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sc.withColumn("cumn", sum("n").over(wd))
+        .withColumn("tp", sum("np").over(wd))
+        .withColumn("p", sum("np").over(Window.partitionBy()))
+        .withColumn("rn", row_number().over(Window.orderBy(
+          expr("(CAST(tp AS DOUBLE) * 2) / CAST(cumn + p AS DOUBLE)").desc,
+          col("conf").desc)))
+        .where(col("rn") === 1)
+        .select(col("conf").as("t_star"), col("tp"),
+          (col("cumn") - col("tp")).as("fp"), (col("p") - col("tp")).as("fn"),
+          expr(ppmDivSql("(2 * tp)", "(cumn + p)")).as("f1_ppm"))
+    }),
+
+    // ---------------- embedding hubness audit (r5 s14) ----------------
+    // The high-dimensional pathology check retrieval pipelines owe their
+    // users: the k-occurrence histogram (how many vectors each vector
+    // retrieves into its exact top-10) — a heavy right tail = hub points
+    // that poison kNN labels and near-dup graphs. Rides the IVF index's
+    // EXACT top-k with every vector as a probe (bounded-collect
+    // contract: the probe set fails loudly past 8192 — at corpus scale
+    // a pipeline runs this on a sample, which is what the audit needs).
+    // Zero-occurrence anti-hubs are rows too.
+    "q264_hubness" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val occ = graft.join.AnnIndex.topK(emb, lit(true), k = 11)
+        .where(col("rank") >= 2)
+        .groupBy("p_vec").agg(count(lit(1)).as("k_occ"))
+      emb.select(col("vec_id").as("p_vec")).join(occ, Seq("p_vec"), "left")
+        .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))
+        .groupBy("k_occ").agg(count(lit(1)).as("n_vecs"))
     })
   )
 
@@ -9884,7 +9931,57 @@ object SparkEntry {
          SELECT n_pred, n_true, n_tp,
            CAST(${ppmDivSqlI("n_tp", "n_pred", "//")} AS BIGINT) AS precision_ppm,
            CAST(${ppmDivSqlI("n_tp", "n_true", "//")} AS BIGINT) AS recall_ppm
-         FROM agg, tt"""
+         FROM agg, tt""",
+
+    // ground truth: identical md5 scorer, cumulative sweep, and the ONE
+    // shared F1 argmax ratio text
+    "q263_best_f1" ->
+      s"""WITH d AS (SELECT
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) // 4294967296 AS conf,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 14, 13)) AS BIGINT) // 4294967296 AS v20
+           FROM documents),
+         sc AS (SELECT conf, COUNT(*) AS n,
+             SUM(CASE WHEN v20 < (conf * conf) // 1048576 THEN 1 ELSE 0 END) AS np
+           FROM d GROUP BY 1),
+         cum AS (SELECT conf,
+             CAST(SUM(n) OVER (ORDER BY conf DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+             CAST(SUM(np) OVER (ORDER BY conf DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+             CAST(SUM(np) OVER () AS BIGINT) AS p
+           FROM sc),
+         r AS (SELECT conf, cumn, tp, p,
+             ROW_NUMBER() OVER (ORDER BY
+               (CAST(tp AS DOUBLE) * 2) / CAST(cumn + p AS DOUBLE) DESC,
+               conf DESC) AS rn
+           FROM cum)
+         SELECT conf AS t_star, tp, cumn - tp AS fp, p - tp AS fn,
+           CAST(${ppmDivSqlI("(2 * tp)", "(cumn + p)", "//")} AS BIGINT) AS f1_ppm
+         FROM r WHERE rn = 1""",
+
+    // ground truth: q249's brute-force exact top-k with every vector as
+    // a probe, k-occurrence histogram with zero-occurrence rows kept
+    "q264_hubness" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           list_sum(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS nrm
+           FROM embeddings),
+         pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+           list_sum(list_transform(list_zip(q.embedding, p.embedding),
+             s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS dot_q,
+           q.nrm AS q_nrm, p.nrm AS p_nrm
+           FROM e q, e p),
+         top AS (SELECT q_vec, p_vec FROM (
+           SELECT q_vec, p_vec, ROW_NUMBER() OVER (PARTITION BY q_vec
+             ORDER BY CAST(dot_q AS DOUBLE)/SQRT(CAST(q_nrm AS DOUBLE)*CAST(p_nrm AS DOUBLE)) DESC,
+                      p_vec ASC) AS rank
+           FROM pairs) WHERE rank BETWEEN 2 AND 11),
+         occ AS (SELECT a.vec_id AS p_vec,
+             CAST(COALESCE(c.k_occ, 0) AS BIGINT) AS k_occ
+           FROM embeddings a LEFT JOIN
+             (SELECT p_vec, COUNT(*) AS k_occ FROM top GROUP BY 1) c
+           ON c.p_vec = a.vec_id)
+         SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM occ GROUP BY 1"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
