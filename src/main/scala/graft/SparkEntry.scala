@@ -45,6 +45,7 @@ object SparkEntry {
   private val IMGDIT = "read_parquet('/tmp/graft_geo/sf0.01/img_dither.parquet/*.parquet')"
   private val IMGM = "read_parquet('/tmp/graft_geo/sf0.01/img_moments.parquet/*.parquet')"
   private val MEDZ = "read_parquet('/tmp/graft_geo/sf0.01/media_zcr.parquet/*.parquet')"
+  private val IMGG = "read_parquet('/tmp/graft_geo/sf0.01/img_gamma.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -6177,6 +6178,54 @@ object SparkEntry {
       emb.select(col("vec_id").as("p_vec")).join(occ, Seq("p_vec"), "left")
         .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))
         .groupBy("k_occ").agg(count(lit(1)).as("n_vecs"))
+    }),
+
+    // ---------------- Zipf slope audit (r5 s14) ----------------
+    // Corpus naturalness check: the log-log OLS slope over the top-1000
+    // token ranks — natural text sits near −1, templated/synthetic
+    // corpora flatten or steepen it. Per-rank log coordinates quantize
+    // to milli-nats by the shared LN text (q206 ordering), the moment
+    // sums stay exact integers (long-safe to 1e12-token vocabularies),
+    // slope by the sign-split milli ladder, intercept derived FROM the
+    // fitted slope so no intermediate exceeds ~3.5e10. Rank window is
+    // vocab-bounded (the q229 contract); NULL on a degenerate 1-rank
+    // corpus.
+    "q265_zipf" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(expr(tokExpr("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+      freq.withColumn("rank", row_number().over(Window.orderBy(desc("f"), asc("tok"))))
+        .where(col("rank") <= 1000)
+        .withColumn("x", expr("CAST(FLOOR(1000 * LN(CAST(rank AS DOUBLE))) AS BIGINT)"))
+        .withColumn("y", expr("CAST(FLOOR(1000 * LN(CAST(f AS DOUBLE))) AS BIGINT)"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .withColumn("slope_milli", expr(
+          s"""CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE ${milliDivSql("n * sxy - sx * sy", "n * sxx - sx * sx", "div")} END"""))
+        .withColumn("icept_micro", expr(
+          """CASE WHEN sy * 1000 - slope_milli * sx >= 0
+             THEN (sy * 1000 - slope_milli * sx) div n
+             ELSE -((-(sy * 1000 - slope_milli * sx)) div n) END"""))
+        .select("n", "sx", "sy", "sxy", "sxx", "slope_milli", "icept_micro")
+    }),
+
+    // ---------------- gamma tone curve (r5 s14) ----------------
+    // img_gamma_rgb at γ = 2.2 through the decode path — the display-
+    // calibration/augmentation kernel beside equalize (q211) and dither
+    // (q241), byte-pinned by md5 against the recompute fixture with the
+    // channel-sum + L1-distortion payload. Scan-parallel, zero shuffles.
+    "q266_gamma" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgGamma(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("gam", call_function("img_gamma_rgb", col("rgb"), lit(2200)))
+        .withColumn("cs", call_function("img_channel_sums", col("gam")))
+        .select(col("image_id"), md5(col("gam")).as("gam_md5"),
+          expr("element_at(cs, 1)").as("sr"), expr("element_at(cs, 2)").as("sg"),
+          expr("element_at(cs, 3)").as("sb"),
+          call_function("img_sad", col("rgb"), col("gam")).as("sad"))
     })
   )
 
@@ -9981,7 +10030,34 @@ object SparkEntry {
            FROM embeddings a LEFT JOIN
              (SELECT p_vec, COUNT(*) AS k_occ FROM top GROUP BY 1) c
            ON c.p_vec = a.vec_id)
-         SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM occ GROUP BY 1"""
+         SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM occ GROUP BY 1""",
+
+    // ground truth: identical tokenizer/rank/quantized-log machinery +
+    // the identical sign-split divisions
+    "q265_zipf" ->
+      s"""WITH tk AS (SELECT unnest(${tokSqlD("text")}) AS tok FROM documents),
+         fr AS (SELECT tok, COUNT(*) AS f FROM tk GROUP BY 1),
+         rk AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS rank FROM fr),
+         q AS (SELECT CAST(FLOOR(1000 * LN(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+             CAST(FLOOR(1000 * LN(CAST(f AS DOUBLE))) AS BIGINT) AS y
+           FROM rk WHERE rank <= 1000),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx FROM q),
+         sl AS (SELECT n, sx, sy, sxy, sxx,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+               ELSE ${milliDivSql("n * sxy - sx * sy", "n * sxx - sx * sx", "//")} END AS slope_milli
+           FROM agg)
+         SELECT n, sx, sy, sxy, sxx, CAST(slope_milli AS BIGINT) AS slope_milli,
+           CAST(CASE WHEN sy * 1000 - slope_milli * sx >= 0
+             THEN (sy * 1000 - slope_milli * sx) // n
+             ELSE -((-(sy * 1000 - slope_milli * sx)) // n) END AS BIGINT) AS icept_micro
+         FROM sl""",
+
+    // ground truth: the recompute-pinned img_gamma fixture
+    "q266_gamma" ->
+      s"""SELECT image_id, gam_md5, cs[1] AS sr, cs[2] AS sg, cs[3] AS sb, sad
+         FROM $IMGG"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

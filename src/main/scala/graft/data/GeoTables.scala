@@ -479,6 +479,33 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGEXPO_DONE"))
   }
 
+  def imgGammaPath(sfDir: String): String = s"${baseDir(sfDir)}/img_gamma.parquet"
+
+  final case class ImgGammaRow(image_id: String, gam_md5: String,
+                               cs: Array[Long], sad: Long)
+
+  /** Gamma-2.2 tone-curve fixture through the same kernel (q167/q221
+    * recompute contract): md5 of the mapped buffer pins every byte, the
+    * channel sums + L1 distortion carry the analytics payload. */
+  def ensureImgGamma(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGGAMMA_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val rgb = Images.decode(bytes)._3
+        val gam = Images.gammaRgb(rgb, 2200)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(gam)
+          .map(b => f"${b & 0xFF}%02x").mkString
+        ImgGammaRow(id, md, Images.channelSums(gam), Images.sad(rgb, gam))
+      }
+      .write.mode("overwrite").parquet(imgGammaPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGGAMMA_DONE"))
+  }
+
   def imgMomPath(sfDir: String): String = s"${baseDir(sfDir)}/img_moments.parquet"
 
   final case class ImgMomRow(image_id: String, mom: Array[Long])

@@ -738,6 +738,25 @@ object Images {
     * A CONSTANT channel maps to itself (the formula's 0/0 case —
     * identity keeps flat images flat instead of blackening them).
     * Deterministic pure-integer map → byte-exact across engines/runs. */
+  /** Gamma tone curve v′ = round(255·(v/255)^γ), γ = gammaMilli/1000 —
+    * LUT-driven (256 pow calls per invocation, not per pixel), the
+    * display-calibration / augmentation kernel beside equalize/dither.
+    * γ = 1 is the exact identity; 0 and 255 are fixed points for any γ. */
+  def gammaRgb(rgb: Array[Byte], gammaMilli: Int): Array[Byte] = {
+    require(gammaMilli > 0, s"gamma must be positive, got $gammaMilli")
+    val g = gammaMilli / 1000.0
+    val lut = new Array[Byte](256)
+    var v = 0
+    while (v < 256) {
+      lut(v) = math.min(255L, math.floor(255.0 * math.pow(v / 255.0, g) + 0.5).toLong).toByte
+      v += 1
+    }
+    val out = new Array[Byte](rgb.length)
+    var i = 0
+    while (i < rgb.length) { out(i) = lut(rgb(i) & 0xFF); i += 1 }
+    out
+  }
+
   def equalizeRgb(rgb: Array[Byte]): Array[Byte] = {
     val n = rgb.length / 3
     if (n == 0) return rgb.clone()

@@ -911,6 +911,19 @@ case class MaskRle(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }
+/** (rgb, gamma_milli) → gamma tone curve (see Images.gammaRgb). */
+case class ImgGamma(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    K.imgGammaRgb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.K.imgGammaRgb($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
 /** Per-channel integer histogram equalization over a decoded RGB buffer
   * (see Images.equalizeRgb — constant channels are identity). */
 case class ImgEqualize(child: Expression) extends GeomUnary {

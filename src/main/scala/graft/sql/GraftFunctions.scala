@@ -168,6 +168,7 @@ object GraftFunctions {
     "img_height" -> (e => ImgHeight(e.head)),
     "img_rgb" -> (e => ImgRgb(e.head)),
     "img_equalize_rgb" -> (e => ImgEqualize(e.head)),
+    "img_gamma_rgb" -> (e => ImgGamma(e(0), e(1))),
     "img_channel_sums" -> (e => ImgChannelSums(e.head)),
     "img_phash" -> (e => ImgPhash(e.head)),
     "img_psnr" -> (e => ImgPsnr(e(0), e(1))),

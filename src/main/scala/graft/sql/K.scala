@@ -735,5 +735,7 @@ object K {
   def imgEdgeStats(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.sobelStats(w, h, rgb)
   def imgLumaHist16(rgb: Array[Byte]): Array[Long] = Images.lumaHist16(rgb)
   def imgEqualizeRgb(rgb: Array[Byte]): Array[Byte] = Images.equalizeRgb(rgb)
+  def imgGammaRgb(rgb: Array[Byte], gammaMilli: Int): Array[Byte] =
+    Images.gammaRgb(rgb, gammaMilli)
   def imgChannelSums(rgb: Array[Byte]): Array[Long] = Images.channelSums(rgb)
 }
