@@ -34,6 +34,9 @@ object Bench {
     GeoTables.ensureNearDup(spark, sfDir)  // planted pHash variants, untimed
     GeoTables.ensureTextFeat(spark, sfDir) // docs_aug + text_features, untimed
     GeoTables.ensureMedia(spark, sfDir)    // GMV1 media fixture, untimed
+    GeoTables.ensureImgMoments(spark, sfDir) // moments fixture, untimed
+    GeoTables.ensureImgGamma(spark, sfDir)   // gamma fixture, untimed
+    GeoTables.ensureMediaZcr(spark, sfDir)   // zcr fixture, untimed
 
     // warm-up: flagship join + the headline q07 itself (JIT, codegen,
     // parquet footers — the driver-visible q07 number should reflect warm

@@ -213,8 +213,14 @@ object Graph {
           .groupBy(col(otherEnd).as("id")).agg(F.sum("sc").as("raw0")),
         Seq("id"), "left")
         .select(col("id"), F.coalesce(col("raw0"), lit(0L)).as("raw"))
-      val tot = raw.agg(F.sum("raw").as("t"))
-      rebuild(raw.crossJoin(F.broadcast(tot))
+      // global total as an empty-frame window, NOT a separate aggregate
+      // job — an agg+crossJoin re-evaluates the join subtree twice per
+      // half-round (once for the total, once for the checkpoint
+      // materialize; measured 24.5 s → window form at sf0.1). The
+      // single-task window frame is vocab-bounded (the q222 contract).
+      rebuild(raw
+        .withColumn("t", F.sum("raw").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
         .select(col("id"), F.expr(ppm).as("sc")))
     }
     var h = v.withColumn("sc", lit(1000000L))
