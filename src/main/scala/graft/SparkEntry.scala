@@ -6233,6 +6233,119 @@ object SparkEntry {
           expr("element_at(cs, 1)").as("sr"), expr("element_at(cs, 2)").as("sg"),
           expr("element_at(cs, 3)").as("sb"),
           call_function("img_sad", col("rgb"), col("gam")).as("sad"))
+    }),
+
+    // ---------------- Kruskal–Wallis H (r5 s15) ----------------
+    // The k-group generalization of q225's Mann–Whitney: do event values
+    // differ ACROSS ALL types at once? Exact value-bounded machinery —
+    // global doubled midranks computed from per-(type, cent) counts (for
+    // a distinct cent with tv total occurrences after cumb smaller ones,
+    // r2 = 2·cumb + tv + 1 = twice the shared midrank), so nothing after
+    // the first aggregate exceeds distinct-cents × types rows. Per-group
+    // q_i = ⌊SR_i²/n_i⌋ = ⌊sr2_i²/(4·n_i)⌋ (one deterministic per-group
+    // double op, then ORDER-SAFE integer sum across groups); H and the
+    // tie-corrected H_c ship via ONE shared double formula evaluated
+    // verbatim in both engines. Long-safe: q_i ≤ n_i·(2N+1)²/4 ~ N³,
+    // tsum ≤ N³ — fine to N ~ 2e6 events (sf0.1 ≈ 6e4).
+    "q267_kruskal" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "vc").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // referenced twice (global ranks, group sums)
+      val tot = cnt.groupBy("vc").agg(sum("n").as("tv"))
+      val wv = Window.orderBy(col("vc").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r2v = tot
+        .withColumn("cumb", coalesce(sum("tv").over(wv), lit(0L)))
+        .withColumn("r2", col("cumb") * 2 + col("tv") + 1)
+      val grp = cnt.join(r2v.select("vc", "r2"), "vc")
+        .groupBy("et").agg(sum("n").as("ni"), sum(expr("n * r2")).as("sr2"))
+        .withColumn("q", expr(
+          "CAST(FLOOR((CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE)) / " +
+          "(4e0 * CAST(ni AS DOUBLE))) AS BIGINT)"))
+        .localCheckpoint() // referenced twice (rows, qsum)
+      val glob = tot
+        .agg(sum("tv").as("nn"), sum(expr("tv * tv * tv - tv")).as("tsum"))
+        .crossJoin(grp.agg(sum("q").as("qsum")))
+        .withColumn("h_milli", expr(kwHSql))
+        .withColumn("hc_milli", expr(kwHcSql))
+        .select("nn", "tsum", "h_milli", "hc_milli")
+      grp.select(col("et"), col("ni"), col("sr2"), col("q"))
+        .crossJoin(broadcast(glob))
+    }),
+
+    // ---------------- permutation entropy (r5 s14→15) ----------------
+    // Bandt–Pompe order-3 ordinal complexity of each type's hourly volume
+    // series: every consecutive hour triple maps to one of 6 ordinal
+    // patterns (ties broken by time index — earlier hour ranks smaller,
+    // so the comparison set is pure integer CASE arithmetic), and the
+    // Shannon entropy of the pattern distribution ships through q240's
+    // entMicroSql contract (per-pattern micro-nats floored THEN integer-
+    // summed — order-safe across the ≤6 patterns). pe_ppm normalizes by
+    // ⌊1e6·ln 6⌋ = 1791759: ~1e6 = white noise, 0 = monotone. State
+    // after the spine: types × 6 rows.
+    "q268_perment" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val codes = hourlySpine(s, dir)
+        .withColumn("n1", lead("n", 1).over(w))
+        .withColumn("n2", lead("n", 2).over(w))
+        .where(col("n2").isNotNull)
+        .withColumn("code", expr(
+          """((CASE WHEN n > n1 THEN 1 ELSE 0 END)
+             + (CASE WHEN n > n2 THEN 1 ELSE 0 END)) * 9
+             + ((CASE WHEN n1 >= n THEN 1 ELSE 0 END)
+             + (CASE WHEN n1 > n2 THEN 1 ELSE 0 END)) * 3
+             + (CASE WHEN n2 >= n THEN 1 ELSE 0 END)
+             + (CASE WHEN n2 >= n1 THEN 1 ELSE 0 END)"""))
+        .groupBy(col("event_type"), col("code")).agg(count(lit(1)).as("c"))
+      val m = codes.groupBy("event_type")
+        .agg(sum("c").as("m"), count(lit(1)).as("n_pat"))
+      codes.join(m, "event_type")
+        .withColumn("ent", expr(entMicroSql("c", "m")))
+        .groupBy("event_type", "m", "n_pat")
+        .agg(sum("ent").as("pe_micro"))
+        .withColumn("pe_ppm", expr("pe_micro * 1000000 div 1791759"))
+    }),
+
+    // ---------------- winsorized / trimmed mean (r5 s15) ----------------
+    // The outlier-robust per-type value averages every curation report
+    // wants next to q186's anomaly flags — exact and VALUE-BOUNDED: from
+    // (type, cent, n) counts with a per-type cumulative, the 5% cut k =
+    // m div 20, lo/hi = the (k+1)-th / (m−k)-th smallest cents read off
+    // the cumulative interval that covers each rank, the trimmed sum via
+    // per-value clipped-run overlap |[k+1, m−k] ∩ [cumb+1, cumb+n]| (the
+    // q183 closed-form trick), the winsorized sum via n·clamp(vc, lo, hi).
+    // Means ship exact through milliDivSql (m − 2k ≥ 1 always).
+    "q269_winsor" -> ((s, dir) => {
+      val wq = Window.partitionBy("et").orderBy(col("vc").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wp = Window.partitionBy("et")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cb = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "vc").agg(count(lit(1)).as("n"))
+        .withColumn("cumb", coalesce(sum("n").over(wq), lit(0L)))
+        .withColumn("m", sum("n").over(wp))
+        .withColumn("k", expr("m div 20"))
+        .withColumn("lo", max(when(
+          col("cumb") <= col("k") && col("k") < col("cumb") + col("n"),
+          col("vc"))).over(wp))
+        .withColumn("hi", max(when(
+          col("cumb") < col("m") - col("k") &&
+            col("m") - col("k") <= col("cumb") + col("n"),
+          col("vc"))).over(wp))
+        .withColumn("tn", greatest(lit(0L),
+          least(col("m") - col("k"), col("cumb") + col("n")) -
+            greatest(col("k") + lit(1L), col("cumb") + lit(1L)) + lit(1L)))
+      cb.groupBy(col("et").as("event_type"))
+        .agg(max("m").as("m"), max("k").as("k"),
+          max("lo").as("lo_cent"), max("hi").as("hi_cent"),
+          sum(expr("tn * vc")).as("trim_sum"),
+          sum(expr("n * GREATEST(LEAST(vc, hi), lo)")).as("win_sum"))
+        .withColumn("trim_milli", expr(milliDivSql("trim_sum", "(m - 2 * k)", "div")))
+        .withColumn("win_milli", expr(milliDivSql("win_sum", "m", "div")))
     })
   )
 
@@ -6418,6 +6531,26 @@ object SparkEntry {
   private def entMicroSql(k: String, n: String): String =
     s"""CAST(FLOOR(1e6 * ((CAST($k AS DOUBLE) / CAST($n AS DOUBLE))
        * LN(CAST($n AS DOUBLE) / CAST($k AS DOUBLE)))) AS BIGINT)"""
+
+  /** q267's Kruskal–Wallis H in milli, from integer (qsum, nn): the ONE
+    * shared double formula (q205 contract — identical text both engines).
+    * H = 12/(N(N+1))·Σ SR_i²/n_i − 3(N+1) with Σ SR_i²/n_i = qsum. */
+  private val kwHSql =
+    """CAST(FLOOR(12e3 * CAST(qsum AS DOUBLE)
+       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1e0))
+       - 3e3 * (CAST(nn AS DOUBLE) + 1e0)) AS BIGINT)"""
+
+  /** Tie-corrected H_c = H / (1 − tsum/(N³−N)); all-tied degenerates
+    * (N³−N = tsum) report 0. Integer guard first, doubles after. */
+  private val kwHcSql =
+    """CAST(CASE WHEN nn * nn * nn - nn - tsum <= 0 THEN 0 ELSE
+       FLOOR((12e3 * CAST(qsum AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1e0))
+         - 3e3 * (CAST(nn AS DOUBLE) + 1e0))
+       * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+          - CAST(nn AS DOUBLE))
+       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+          - CAST(nn AS DOUBLE) - CAST(tsum AS DOUBLE))) END AS BIGINT)"""
 
   /** q229/q248/q250's shared word tokenizer (Spark side): lowercase,
     * split on non-alphanumeric runs, drop empties — mirrored in the
@@ -10064,7 +10197,90 @@ object SparkEntry {
     // ground truth: the recompute-pinned img_gamma fixture
     "q266_gamma" ->
       s"""SELECT image_id, gam_md5, cs[1] AS sr, cs[2] AS sg, cs[3] AS sb, sad
-         FROM $IMGG"""
+         FROM $IMGG""",
+
+    // ground truth: identical doubled-midrank construction from the same
+    // per-cent counts; h/hc via the SAME shared double formula text
+    "q267_kruskal" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         cnt AS (SELECT et, vc, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+         tot AS (SELECT vc, CAST(SUM(n) AS BIGINT) AS tv FROM cnt GROUP BY 1),
+         r2v AS (SELECT vc, tv, CAST(COALESCE(SUM(tv) OVER
+               (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cumb
+           FROM tot),
+         r2 AS (SELECT vc, cumb * 2 + tv + 1 AS r2 FROM r2v),
+         grp AS (SELECT c.et, CAST(SUM(c.n) AS BIGINT) AS ni,
+             CAST(SUM(c.n * r.r2) AS BIGINT) AS sr2
+           FROM cnt c JOIN r2 r ON c.vc = r.vc GROUP BY 1),
+         g2 AS (SELECT et, ni, sr2,
+             CAST(FLOOR((CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE))
+               / (4e0 * CAST(ni AS DOUBLE))) AS BIGINT) AS q
+           FROM grp),
+         gkw AS (SELECT
+             (SELECT CAST(SUM(tv) AS BIGINT) FROM tot) AS nn,
+             (SELECT CAST(SUM(tv * tv * tv - tv) AS BIGINT) FROM tot) AS tsum,
+             (SELECT CAST(SUM(q) AS BIGINT) FROM g2) AS qsum)
+         SELECT g2.et, g2.ni, g2.sr2, g2.q, gkw.nn, gkw.tsum,
+           $kwHSql AS h_milli, $kwHcSql AS hc_milli
+         FROM g2, gkw""",
+
+    // ground truth: identical CASE comparison set over the shared spine;
+    // per-pattern entropy terms floored then integer-summed (q240 contract)
+    "q268_perment" ->
+      s"""WITH $HRS_SPINE_SQL,
+         tri AS (SELECT event_type, n,
+             LEAD(n, 1) OVER (PARTITION BY event_type ORDER BY h) AS n1,
+             LEAD(n, 2) OVER (PARTITION BY event_type ORDER BY h) AS n2
+           FROM hrs),
+         pat AS (SELECT event_type,
+             ((CASE WHEN n > n1 THEN 1 ELSE 0 END)
+              + (CASE WHEN n > n2 THEN 1 ELSE 0 END)) * 9
+             + ((CASE WHEN n1 >= n THEN 1 ELSE 0 END)
+              + (CASE WHEN n1 > n2 THEN 1 ELSE 0 END)) * 3
+             + (CASE WHEN n2 >= n THEN 1 ELSE 0 END)
+             + (CASE WHEN n2 >= n1 THEN 1 ELSE 0 END) AS code
+           FROM tri WHERE n2 IS NOT NULL),
+         codes AS (SELECT event_type, code, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pat GROUP BY 1, 2),
+         mm AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_pat FROM codes GROUP BY 1),
+         pe AS (SELECT c.event_type, mm.m, mm.n_pat,
+             CAST(SUM(${entMicroSql("c.c", "mm.m")}) AS BIGINT) AS pe_micro
+           FROM codes c JOIN mm ON c.event_type = mm.event_type
+           GROUP BY 1, 2, 3)
+         SELECT event_type, m, n_pat, pe_micro,
+           pe_micro * 1000000 // 1791759 AS pe_ppm FROM pe""",
+
+    // ground truth: the same cumulative-interval rank reads and clipped-
+    // run overlap from the same per-cent counts — integers end to end
+    "q269_winsor" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         cnt AS (SELECT et, vc, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+         c AS (SELECT et, vc, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY et ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+             CAST(SUM(n) OVER (PARTITION BY et) AS BIGINT) AS m
+           FROM cnt),
+         c2 AS (SELECT *, m // 20 AS k FROM c),
+         cb AS (SELECT *,
+             MAX(CASE WHEN cumb <= k AND k < cumb + n THEN vc END)
+               OVER (PARTITION BY et) AS lo,
+             MAX(CASE WHEN cumb < m - k AND m - k <= cumb + n THEN vc END)
+               OVER (PARTITION BY et) AS hi,
+             GREATEST(0, LEAST(m - k, cumb + n) - GREATEST(k + 1, cumb + 1) + 1) AS tn
+           FROM c2),
+         agg AS (SELECT et AS event_type, MAX(m) AS m, MAX(k) AS k,
+             MAX(lo) AS lo_cent, MAX(hi) AS hi_cent,
+             CAST(SUM(tn * vc) AS BIGINT) AS trim_sum,
+             CAST(SUM(n * GREATEST(LEAST(vc, hi), lo)) AS BIGINT) AS win_sum
+           FROM cb GROUP BY 1)
+         SELECT event_type, m, k, lo_cent, hi_cent, trim_sum, win_sum,
+           ${milliDivSql("trim_sum", "(m - 2 * k)", "//")} AS trim_milli,
+           ${milliDivSql("win_sum", "m", "//")} AS win_milli
+         FROM agg"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
