@@ -480,6 +480,36 @@ object SparkEntry {
     s.table(tbl)
   }
 
+  /** q271's Append-mode sibling of runStreamCompleteAggFrom: same 6-file
+    * staging and AvailableNow cadence, but the build's output rows APPEND
+    * into the memory sink (stateful operators like dropDuplicates emit
+    * each row exactly once across micro-batches). */
+  private def runStreamAppend(s: SparkSession, dir: String, rawTag: String)
+      (build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    GeoTables.ensure(s, dir)
+    val tag = s"${rawTag}_${GeoTables.sfName(dir)}".replaceAll("[^A-Za-z0-9_]", "_")
+    val evPath = s"/tmp/graft_geo/stream_${tag}_src"
+    rmTree(evPath)
+    s.read.parquet(s"$dir/events.parquet")
+      .repartition(6).write.mode("overwrite").parquet(evPath)
+    val schema = s.read.parquet(evPath).schema
+    val stream = build(s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(evPath))
+    val tbl = s"stream_${tag}_tbl"
+    s.sql(s"DROP VIEW IF EXISTS $tbl")
+    withStreamStatePartitions(s) {
+      val q = stream.writeStream
+        .format("memory").queryName(tbl)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(tbl)
+  }
+
   /** Recursive delete for the streaming queries' scratch out/checkpoint
     * dirs (Files.walk holds a directory fd until closed). */
   private def rmTree(p: String): Unit = {
@@ -6346,6 +6376,73 @@ object SparkEntry {
           sum(expr("n * GREATEST(LEAST(vc, hi), lo)")).as("win_sum"))
         .withColumn("trim_milli", expr(milliDivSql("trim_sum", "(m - 2 * k)", "div")))
         .withColumn("win_milli", expr(milliDivSql("win_sum", "m", "div")))
+    }),
+
+    // ---------------- label-propagation communities (r5 s15) ----------------
+    // Raghavan-style community detection made DETERMINISTIC: on q224's
+    // 256×128 occupied-cell queen graph, every node starts as its own
+    // community (lab = gx·128 + gy) and LPA_ROUNDS synchronous rounds
+    // re-label each node to its neighbors' modal label, ties → min label,
+    // isolated nodes keep their own. No fixpoint claim (synchronous LPA
+    // can 2-cycle) — the spec IS the round count, and the oracle replays
+    // the identical rounds as unrolled MATERIALIZED CTEs (q224/q252
+    // contract). Per-round cost: one edges×labels join, graph-bounded
+    // (≤ 8·32768 edge rows at ANY data scale); the same stats firewall
+    // as q224 keeps Catalyst's size estimates from compounding.
+    "q270_labelprop" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(expr("CAST(FLOOR((lon + 180.0)/360.0 * 256) AS BIGINT)").as("gx"),
+          expr("CAST(FLOOR((lat + 90.0)/180.0 * 128) AS BIGINT)").as("gy"))
+        .groupBy("gx", "gy").agg(count(lit(1)).as("c"))
+        .select("gx", "gy")
+        .localCheckpoint()
+      val edges = cells
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .where(!(col("dx") === 0L && col("dy") === 0L))
+        .select(col("gx").as("ax"), col("gy").as("ay"),
+          (col("gx") + col("dx")).as("bx"), (col("gy") + col("dy")).as("by"))
+        .join(cells.select(col("gx").as("bx"), col("gy").as("by")), Seq("bx", "by"))
+        .localCheckpoint()
+      var lab = cells.withColumn("lab", col("gx") * 128 + col("gy")).localCheckpoint()
+      (1 to LPA_ROUNDS).foreach { _ =>
+        val best = edges
+          .join(lab.select(col("gx").as("bx"), col("gy").as("by"), col("lab")),
+            Seq("bx", "by"))
+          .groupBy(col("ax"), col("ay"), col("lab")).agg(count(lit(1)).as("cc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("ax", "ay").orderBy(col("cc").desc, col("lab").asc)))
+          .where(col("rn") === 1)
+          .select(col("ax").as("gx"), col("ay").as("gy"), col("lab").as("nl"))
+        val next = lab.join(best, Seq("gx", "gy"), "left")
+          .select(col("gx"), col("gy"), coalesce(col("nl"), col("lab")).as("lab"))
+          .localCheckpoint()
+        lab = s.createDataFrame(next.rdd, next.schema) // stats firewall (q224)
+      }
+      lab.join(lab.groupBy("lab").agg(count(lit(1)).as("sz")), "lab")
+        .select("gx", "gy", "lab", "sz")
+    }),
+
+    // ---------------- streamed exact dedup (r5 s15) ----------------
+    // Structured Streaming's STATEFUL DEDUP operator (dropDuplicates on
+    // key columns, Append mode) over the events feed: the streamed
+    // distinct (event_type, value-cent, day) row set equals batch
+    // DISTINCT exactly and independently of micro-batch boundaries —
+    // the state store carries one entry per distinct key (value-bounded:
+    // types × cents × days), each key emits on first sight, and
+    // projecting to ONLY the key columns removes any first-row-wins
+    // nondeterminism. At 100 TB the same pipeline takes
+    // dropDuplicatesWithinWatermark + an event-time watermark to bound
+    // state by the dup-arrival horizon instead of key cardinality —
+    // exactness then holds for dups within the horizon (documented
+    // tradeoff); the oracle pins the unbounded-exact contract.
+    "q271_stream_dedup" -> ((s, dir) => {
+      runStreamAppend(s, dir, "dedup")(src => src
+        .select(col("event_type"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+        .dropDuplicates("event_type", "vc", "day"))
     })
   )
 
@@ -6357,6 +6454,10 @@ object SparkEntry {
   // converge in ≤5. 24 leaves headroom; the engine's fixpoint `require`
   // turns an exceeded bound into a loud abort, never a wrong answer.
   private val KCORE_ROUNDS = 24
+
+  /** q270's synchronous label-propagation round count — the spec, not a
+    * convergence bound (the oracle unrolls exactly these rounds). */
+  private val LPA_ROUNDS = 6
 
   /** q124/q213's shared Getis–Ord post-pass over (pgx, pgy, c) lattice
     * counts: exact integer window sums, the one fixed double z-score
@@ -10280,7 +10381,16 @@ object SparkEntry {
          SELECT event_type, m, k, lo_cent, hi_cent, trim_sum, win_sum,
            ${milliDivSql("trim_sum", "(m - 2 * k)", "//")} AS trim_milli,
            ${milliDivSql("win_sum", "m", "//")} AS win_milli
-         FROM agg"""
+         FROM agg""",
+
+    "q270_labelprop" -> lpaOracleSql(LPA_ROUNDS),
+
+    // ground truth: streamed dedup == batch DISTINCT on the same keys
+    // (batch-boundary independence — each key emits exactly once)
+    "q271_stream_dedup" ->
+      """SELECT DISTINCT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+         epoch_us(ts) // 86400000000 AS day FROM events"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
@@ -10384,6 +10494,42 @@ object SparkEntry {
          JOIN a$rounds x ON e.ax = x.gx AND e.ay = x.gy
          JOIN a$rounds y ON e.bx = y.gx AND e.by = y.gy
          GROUP BY 1, 2""")
+    sb.toString
+  }
+
+  /** q270's oracle: the identical synchronous LPA rounds replayed as
+    * unrolled MATERIALIZED CTE triples (neighbor-label counts → modal
+    * label with min tie-break → relabel with isolated-keep) over the same
+    * 256×128 occupied-cell queen adjacency as kcoreOracleSql. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH pts AS (SELECT CAST(FLOOR((lon + 180.0)/360.0 * 256) AS BIGINT) AS gx,
+           CAST(FLOOR((lat + 90.0)/180.0 * 128) AS BIGINT) AS gy FROM $IMG),
+         cells AS MATERIALIZED (SELECT gx, gy FROM pts GROUP BY 1, 2),
+         sh AS (SELECT gx AS ax, gy AS ay, gx + dx.v AS bx, gy + dy.v AS by
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS v) dy
+           WHERE NOT (dx.v = 0 AND dy.v = 0)),
+         edges AS MATERIALIZED (SELECT sh.ax, sh.ay, sh.bx, sh.by
+           FROM sh JOIN cells o ON sh.bx = o.gx AND sh.by = o.gy),
+         l0 AS MATERIALIZED (SELECT gx, gy, gx * 128 + gy AS lab FROM cells)""")
+    (1 to rounds).foreach { r =>
+      sb.append(s""",
+         n$r AS (SELECT e.ax, e.ay, l.lab, COUNT(*) AS cc
+           FROM edges e JOIN l${r - 1} l ON e.bx = l.gx AND e.by = l.gy
+           GROUP BY 1, 2, 3),
+         b$r AS (SELECT ax, ay, lab FROM (
+             SELECT ax, ay, lab, ROW_NUMBER() OVER
+               (PARTITION BY ax, ay ORDER BY cc DESC, lab ASC) AS rn FROM n$r)
+           WHERE rn = 1),
+         l$r AS MATERIALIZED (SELECT p.gx, p.gy, COALESCE(b.lab, p.lab) AS lab
+           FROM l${r - 1} p LEFT JOIN b$r b ON b.ax = p.gx AND b.ay = p.gy)""")
+    }
+    sb.append(s"""
+         SELECT l.gx, l.gy, CAST(l.lab AS BIGINT) AS lab, sz.sz
+         FROM l$rounds l JOIN (SELECT lab, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM l$rounds GROUP BY 1) sz ON sz.lab = l.lab""")
     sb.toString
   }
 
