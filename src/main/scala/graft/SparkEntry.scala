@@ -6424,6 +6424,54 @@ object SparkEntry {
         .select("gx", "gy", "lab", "sz")
     }),
 
+    // ---------------- Holt linear-trend smoothing (r5 s15) ----------------
+    // Double exponential smoothing (the trend-aware sibling of q187's
+    // EWMA) over each type's hourly series, exact by construction: state
+    // lives in integer MILLI units and every step quantizes through the
+    // sign-split div-4 (α = β = 1/4), so the recursion is pure 64-bit
+    // arithmetic — no float drift to match. Spark folds the CALENDAR-
+    // BOUNDED series with one codegen'd higher-order aggregate() per type
+    // (array size = spine hours, never data volume); the oracle replays
+    // the identical recursion as a DuckDB recursive CTE. Init: l₀ = x₀,
+    // b₀ = x₁ − x₀ (both milli); per-hour (l, b) ship for every step.
+    "q272_holt" -> ((s, dir) => {
+      hourlySpine(s, dir)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+        .where(expr("size(sn) >= 2"))
+        .select(col("event_type"), explode(expr(holtFoldSql)).as("x"))
+        .select(col("event_type"), col("x.h").as("h"), col("x.n").as("n"),
+          col("x.l").as("l_milli"), col("x.b").as("b_milli"))
+    }),
+
+    // ---------------- Cohen's kappa rater agreement (r5 s15) ----------------
+    // Chance-corrected agreement between two independent document-quality
+    // raters (A: n_chars ≥ 200; B: ≥ 40 tokens through the q229 shared
+    // tokenizer) per language — the audit that tells a curation pipeline
+    // whether its cheap gate and its expensive gate measure the SAME
+    // thing. Exact integer rational end to end: from the 2×2 contingency
+    // (a, b, c, d), κ = ((a+d)·n − pe_num)/(n² − pe_num) with pe_num =
+    // (a+b)(a+c) + (c+d)(b+d), shipped via the signed base-100 ppm
+    // ladder (long-safe while n ≤ 3e6 per language). One scan, one
+    // aggregate; constant-rater degenerates (den = 0) report 0.
+    "q273_kappa" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          expr("CAST(n_chars >= 200 AS INT)").as("ra"),
+          expr(s"CAST(size(${tokExpr("text")}) >= 40 AS INT)").as("rb"))
+        .groupBy("lang").agg(
+          sum(expr("ra * rb")).as("a"),
+          sum(expr("ra * (1 - rb)")).as("b"),
+          sum(expr("(1 - ra) * rb")).as("c"),
+          sum(expr("(1 - ra) * (1 - rb)")).as("d"))
+        .withColumn("n", expr("a + b + c + d"))
+        .withColumn("pe_num", expr("(a + b) * (a + c) + (c + d) * (b + d)"))
+        .withColumn("num", expr("(a + d) * n - pe_num"))
+        .withColumn("den", expr("n * n - pe_num"))
+        .withColumn("kappa_ppm", expr(signedPpmSql("num", "den", "div")))
+        .select("lang", "a", "b", "c", "d", "n", "num", "den", "kappa_ppm")
+    }),
+
     // ---------------- streamed exact dedup (r5 s15) ----------------
     // Structured Streaming's STATEFUL DEDUP operator (dropDuplicates on
     // key columns, Append mode) over the events feed: the streamed
@@ -6902,6 +6950,57 @@ object SparkEntry {
     * HUGEINT stays exact (review s12). */
   private def ppmDivSql(x: String, den: String): String =
     ppmDivSqlI(x, den, "div")
+
+  /** Signed ppm division with a den ≤ 0 guard: the kappa/correlation
+    * shape — sign-split so Spark div and DuckDB // agree on negatives
+    * (the milliDivSql convention), 0 on degenerate denominators. */
+  private def signedPpmSql(x: String, den: String, idiv: String): String =
+    s"""(CASE WHEN ($den) <= 0 THEN 0 WHEN ($x) >= 0
+       THEN ${ppmDivSqlI(x, den, idiv)}
+       ELSE -${ppmDivSqlI(s"(0 - ($x))", den, idiv)} END)"""
+
+  /** q272's sign-split integer div-4 (α = β = 1/4 smoothing steps agree
+    * between Spark `div` and DuckDB `//` regardless of sign). */
+  private def div4Sql(x: String, idiv: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) $idiv 4 ELSE -((-($x)) $idiv 4) END)"
+
+  /** q272's Spark-side Holt fold: one aggregate() over the sorted
+    * (h, n) series, accumulator = the full per-step state array. */
+  private val holtFoldSql: String = {
+    val lp = "element_at(acc, -1).l"
+    val bp = "element_at(acc, -1).b"
+    val lNew = div4Sql(s"x.n * 1000 + 3 * ($lp + $bp)", "div")
+    val bNew = div4Sql(s"$lNew - $lp + 3 * $bp", "div")
+    s"""aggregate(
+       slice(sn, 2, size(sn) - 1),
+       array(named_struct('h', sn[0].h, 'n', sn[0].n,
+         'l', sn[0].n * 1000L, 'b', (sn[1].n - sn[0].n) * 1000L)),
+       (acc, x) -> concat(acc, array(named_struct(
+         'h', x.h, 'n', x.n, 'l', $lNew, 'b', $bNew))))"""
+  }
+
+  /** q272's oracle: the identical milli-unit Holt recursion replayed as a
+    * DuckDB recursive CTE over the shared spine (same div-4 sign split). */
+  private lazy val holtOracleSql: String = {
+    val lNew = div4Sql("x.n * 1000 + 3 * (st.l + st.b)", "//")
+    val bNew = div4Sql(s"$lNew - st.l + 3 * st.b", "//")
+    s"""WITH RECURSIVE $HRS_SPINE_SQL,
+       idx AS (SELECT event_type, h, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1 AS rn
+         FROM hrs),
+       st AS (
+         SELECT i0.event_type, CAST(0 AS BIGINT) AS rn, i0.h, i0.n,
+           CAST(i0.n * 1000 AS BIGINT) AS l,
+           CAST((i1.n - i0.n) * 1000 AS BIGINT) AS b
+         FROM idx i0 JOIN idx i1 ON i1.event_type = i0.event_type AND i1.rn = 1
+         WHERE i0.rn = 0
+         UNION ALL
+         SELECT x.event_type, CAST(x.rn AS BIGINT) AS rn, x.h, x.n,
+           CAST($lNew AS BIGINT) AS l, CAST($bNew AS BIGINT) AS b
+         FROM st JOIN idx x ON x.event_type = st.event_type AND x.rn = st.rn + 1)
+       SELECT event_type, CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n,
+         l AS l_milli, b AS b_milli FROM st"""
+  }
 
   /** ppmDivSql with the engine's integer-division operator made explicit
     * (Spark "div", DuckDB "//") so oracle text can replay it verbatim
@@ -10384,6 +10483,28 @@ object SparkEntry {
          FROM agg""",
 
     "q270_labelprop" -> lpaOracleSql(LPA_ROUNDS),
+
+    "q272_holt" -> holtOracleSql,
+
+    // ground truth: the identical integer contingency + the same signed
+    // ppm ladder text (len() == size() on the shared tokenizer output)
+    "q273_kappa" ->
+      s"""WITH r AS (SELECT lang,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(${tokSqlD("text")}) >= 40 THEN 1 ELSE 0 END AS rb
+           FROM documents),
+         ct AS (SELECT lang, CAST(SUM(ra * rb) AS BIGINT) AS a,
+             CAST(SUM(ra * (1 - rb)) AS BIGINT) AS b,
+             CAST(SUM((1 - ra) * rb) AS BIGINT) AS c,
+             CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS d
+           FROM r GROUP BY 1),
+         k AS (SELECT lang, a, b, c, d, a + b + c + d AS n,
+             (a + b) * (a + c) + (c + d) * (b + d) AS pe_num FROM ct)
+         SELECT lang, a, b, c, d, n,
+           (a + d) * n - pe_num AS num,
+           n * n - pe_num AS den,
+           ${signedPpmSql("((a + d) * n - pe_num)", "(n * n - pe_num)", "//")} AS kappa_ppm
+         FROM k""",
 
     // ground truth: streamed dedup == batch DISTINCT on the same keys
     // (batch-boundary independence — each key emits exactly once)
