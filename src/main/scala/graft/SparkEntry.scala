@@ -6472,6 +6472,42 @@ object SparkEntry {
         .select("lang", "a", "b", "c", "d", "n", "num", "den", "kappa_ppm")
     }),
 
+    // ---------------- simplified silhouette (r5 s15) ----------------
+    // Clustering-quality audit for q93's k-means labeling: per point,
+    // a = d² to its own cluster's centroid, b = min d² to any other
+    // centroid, s = (b − a)/max(a, b) — the centroid-based silhouette
+    // (Hruschka's simplified variant; the O(n²) pairwise original is not
+    // a 100 TB shape, this is one broadcast of k rows + one narrow map).
+    // Exact: centroids in trunc-div integer micro-units from the
+    // partition-order-proof micro sums, d² kibi-reduced (div 1024) so
+    // the signed ppm ladder stays in 64 bits at world-span distances,
+    // per-cluster mean via trunc division. Oracle replays Lloyd (the
+    // q93 CTE chain) + the identical integer post-pass.
+    "q274_silhouette" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val asg = graft.join.KMeans.cluster(
+          s.read.parquet(GeoTables.imagesPath(dir)), "image_id", k = 5, rounds = 2)
+        .select(col("id"), col("cluster"),
+          expr("CAST(FLOOR(lon * 1e6 + 0.5) AS BIGINT)").as("xu"),
+          expr("CAST(FLOOR(lat * 1e6 + 0.5) AS BIGINT)").as("yu"))
+        .localCheckpoint() // referenced twice (centroids, distances)
+      val cents = asg.groupBy("cluster")
+        .agg(sum("xu").as("sx"), sum("yu").as("sy"), count(lit(1)).as("cn"))
+        .select(col("cluster").as("j"),
+          expr(tdivSql("sx", "cn", "div")).as("cx"),
+          expr(tdivSql("sy", "cn", "div")).as("cy"))
+      asg.crossJoin(broadcast(cents))
+        .withColumn("d2k", expr(
+          "((xu - cx) * (xu - cx) + (yu - cy) * (yu - cy)) div 1024"))
+        .groupBy("id", "cluster")
+        .agg(max(when(col("j") === col("cluster"), col("d2k"))).as("a2"),
+          min(when(col("j") =!= col("cluster"), col("d2k"))).as("b2"))
+        .withColumn("s_ppm", expr(signedPpmSql("(b2 - a2)", "GREATEST(a2, b2)", "div")))
+        .groupBy(col("cluster").cast("bigint").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum("s_ppm").as("sum_s"))
+        .withColumn("mean_s_ppm", expr(tdivSql("sum_s", "n", "div")))
+    }),
+
     // ---------------- streamed exact dedup (r5 s15) ----------------
     // Structured Streaming's STATEFUL DEDUP operator (dropDuplicates on
     // key columns, Append mode) over the events feed: the streamed
@@ -6959,10 +6995,15 @@ object SparkEntry {
        THEN ${ppmDivSqlI(x, den, idiv)}
        ELSE -${ppmDivSqlI(s"(0 - ($x))", den, idiv)} END)"""
 
+  /** Sign-split trunc-toward-zero integer division (Spark `div` and
+    * DuckDB `//` agree on it regardless of their negative conventions —
+    * the milliDivSql convention, bare). den must be > 0. */
+  private def tdivSql(x: String, den: String, idiv: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) $idiv ($den) ELSE -((-($x)) $idiv ($den)) END)"
+
   /** q272's sign-split integer div-4 (α = β = 1/4 smoothing steps agree
     * between Spark `div` and DuckDB `//` regardless of sign). */
-  private def div4Sql(x: String, idiv: String): String =
-    s"(CASE WHEN ($x) >= 0 THEN ($x) $idiv 4 ELSE -((-($x)) $idiv 4) END)"
+  private def div4Sql(x: String, idiv: String): String = tdivSql(x, "4", idiv)
 
   /** q272's Spark-side Holt fold: one aggregate() over the sorted
     * (h, n) series, accumulator = the full per-step state array. */
@@ -7024,7 +7065,9 @@ object SparkEntry {
     * integer-microdegree centroid sums (partition-order-independent, so
     * the doubles match bit-for-bit), argmin ties to the smallest cluster,
     * `rounds` unrolled update CTEs, empty clusters carried. */
-  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+  /** The Lloyd replay CTE chain shared by the q93/q274 oracles: WITH …
+    * up to `afinal` (image_id, lon, lat, cluster) — callers append tails. */
+  private def kmeansCtesSql(k: Int, rounds: Int): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (SELECT image_id, lon, lat, j AS cluster FROM (
          SELECT p.image_id, p.lon, p.lat, c.j,
@@ -7051,9 +7094,40 @@ object SparkEntry {
       cents = s"c$r"
     }
     ctes.append(",\n" + assign("afinal", cents))
-    ctes.append("\nSELECT image_id, CAST(cluster AS BIGINT) AS cluster FROM afinal")
     ctes.toString
   }
+
+  private def kmeansOracleSql(k: Int, rounds: Int): String =
+    kmeansCtesSql(k, rounds) +
+      "\nSELECT image_id, CAST(cluster AS BIGINT) AS cluster FROM afinal"
+
+  /** q274's oracle: the Lloyd replay + the identical integer silhouette
+    * post-pass (trunc-div centroids, kibi-reduced d², signed ppm). */
+  private def silhouetteOracleSql(k: Int, rounds: Int): String =
+    kmeansCtesSql(k, rounds) + s""",
+       spts AS (SELECT image_id, cluster,
+           CAST(FLOOR(lon * 1e6 + 0.5) AS BIGINT) AS xu,
+           CAST(FLOOR(lat * 1e6 + 0.5) AS BIGINT) AS yu FROM afinal),
+       cen0 AS (SELECT cluster AS j, CAST(SUM(xu) AS BIGINT) AS sx,
+           CAST(SUM(yu) AS BIGINT) AS sy, CAST(COUNT(*) AS BIGINT) AS cn
+         FROM spts GROUP BY 1),
+       scents AS (SELECT j, ${tdivSql("sx", "cn", "//")} AS cx,
+           ${tdivSql("sy", "cn", "//")} AS cy FROM cen0),
+       sd AS (SELECT p.image_id, p.cluster, c.j,
+           ((p.xu - c.cx) * (p.xu - c.cx) + (p.yu - c.cy) * (p.yu - c.cy)) // 1024 AS d2k
+         FROM spts p CROSS JOIN scents c),
+       sab AS (SELECT image_id, cluster,
+           MAX(CASE WHEN j = cluster THEN d2k END) AS a2,
+           MIN(CASE WHEN j <> cluster THEN d2k END) AS b2
+         FROM sd GROUP BY 1, 2),
+       ssp AS (SELECT cluster,
+           ${signedPpmSql("(b2 - a2)", "GREATEST(a2, b2)", "//")} AS s_ppm
+         FROM sab),
+       sagg AS (SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s_ppm) AS BIGINT) AS sum_s
+         FROM ssp GROUP BY 1)
+       SELECT cluster, n, sum_s, ${tdivSql("sum_s", "n", "//")} AS mean_s_ppm
+       FROM sagg"""
 
   def oracleSql: Map[String, String] = Map(
     "q93_kmeans" -> kmeansOracleSql(5, 2),
@@ -10485,6 +10559,8 @@ object SparkEntry {
     "q270_labelprop" -> lpaOracleSql(LPA_ROUNDS),
 
     "q272_holt" -> holtOracleSql,
+
+    "q274_silhouette" -> silhouetteOracleSql(5, 2),
 
     // ground truth: the identical integer contingency + the same signed
     // ppm ladder text (len() == size() on the shared tokenizer output)
