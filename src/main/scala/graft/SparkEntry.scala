@@ -46,6 +46,7 @@ object SparkEntry {
   private val IMGM = "read_parquet('/tmp/graft_geo/sf0.01/img_moments.parquet/*.parquet')"
   private val MEDZ = "read_parquet('/tmp/graft_geo/sf0.01/media_zcr.parquet/*.parquet')"
   private val IMGG = "read_parquet('/tmp/graft_geo/sf0.01/img_gamma.parquet/*.parquet')"
+  private val IMGGLCM = "read_parquet('/tmp/graft_geo/sf0.01/img_glcm.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -6472,6 +6473,32 @@ object SparkEntry {
         .select("lang", "a", "b", "c", "d", "n", "num", "den", "kappa_ppm")
     }),
 
+    // ---------------- GLCM texture features (r5 s15) ----------------
+    // Haralick texture through the decode path: img_glcm8 counts the
+    // symmetric horizontal 8-level co-occurrence matrix per image, and
+    // the classic features derive as PURE INTEGER folds over the 64
+    // counts — contrast Σc·(i−j)², energy Σc², homogeneity
+    // Σ⌊1000c/(1+|i−j|)⌋ (per-bin floor then order-safe sum), total
+    // 2·h·(w−1). The blur-vs-texture payload a caption-image curation
+    // gate wants (smooth sky vs busy street). Oracle reads the fixture
+    // recomputed through the SAME kernel on the Dataset (non-SQL) path —
+    // the q233/q241 contract: a single co-occurrence defect changes an
+    // integer. Scan-only decode work, no shuffle beyond the group.
+    "q275_glcm" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgGlcm(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("g", call_function("img_glcm8",
+          call_function("img_rgb", col("bytes")), col("w"), col("h")))
+        .select(col("image_id"), posexplode(col("g")))
+        .withColumn("i", expr("pos div 8")).withColumn("j", expr("pos % 8"))
+        .groupBy("image_id").agg(
+          sum(expr("col * (i - j) * (i - j)")).as("contrast"),
+          sum(expr("col * col")).as("energy"),
+          sum(expr("(col * 1000) div (1 + abs(i - j))")).as("homog_milli"),
+          sum("col").as("n_pairs"))
+    }),
+
     // ---------------- simplified silhouette (r5 s15) ----------------
     // Clustering-quality audit for q93's k-means labeling: per point,
     // a = d² to its own cluster's centroid, b = min d² to any other
@@ -10561,6 +10588,12 @@ object SparkEntry {
     "q272_holt" -> holtOracleSql,
 
     "q274_silhouette" -> silhouetteOracleSql(5, 2),
+
+    // recompute-pinned: the fixture derives the same integers through the
+    // same kernel on the Dataset path (q233/q241 contract)
+    "q275_glcm" ->
+      s"""SELECT image_id, contrast, energy, homog_milli, n_pairs
+         FROM $IMGGLCM""",
 
     // ground truth: the identical integer contingency + the same signed
     // ppm ladder text (len() == size() on the shared tokenizer output)

@@ -638,6 +638,42 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGDIT_DONE"))
   }
 
+  def imgGlcmPath(sfDir: String): String = s"${baseDir(sfDir)}/img_glcm.parquet"
+
+  final case class ImgGlcmRow(image_id: String, contrast: Long, energy: Long,
+                              homog_milli: Long, n_pairs: Long)
+
+  /** GLCM texture fixture through the SAME kernel the SQL surface
+    * composes (img_glcm8 → contrast/energy/homogeneity/total): the q230
+    * consistency contract — a single co-occurrence defect (w/h swap,
+    * off-by-one pair walk, asymmetry) changes at least one integer. */
+  def ensureImgGlcm(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGGLCM_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, rgb) = Images.decode(bytes)
+        val g = Images.glcm8(w, h, rgb)
+        var contrast = 0L; var energy = 0L; var homog = 0L; var tot = 0L
+        var k = 0
+        while (k < 64) {
+          val i = k / 8; val j = k % 8; val c = g(k)
+          contrast += c * (i - j) * (i - j)
+          energy += c * c
+          homog += (c * 1000L) / (1 + math.abs(i - j))
+          tot += c
+          k += 1
+        }
+        ImgGlcmRow(id, contrast, energy, homog, tot)
+      }
+      .write.mode("overwrite").parquet(imgGlcmPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGGLCM_DONE"))
+  }
+
   def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"
 
   final case class ImgWbRow(image_id: String, sr: Long, sg: Long, sb: Long, npx: Long)

@@ -803,6 +803,32 @@ object Images {
     out
   }
 
+  /** 8×8 gray-level co-occurrence matrix (Haralick texture): luma
+    * quantized to 8 levels (>> 5), each horizontal pixel pair (x, x+1)
+    * counted SYMMETRICALLY (both (a,b) and (b,a) — bin index a·8 + b),
+    * so the matrix is its own transpose and Σ = 2·h·(w−1). Exact
+    * integers; texture payloads (contrast, energy, homogeneity) derive
+    * from the counts downstream. Degenerate inputs (w < 2, length
+    * mismatch) return all zeros, never throw. */
+  def glcm8(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](64)
+    if (w < 2 || h < 1 || w * h * 3 != rgb.length) return out
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prev = -1
+      while (x < w) {
+        val i = (y * w + x) * 3
+        val v = luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF) >> 5
+        if (prev >= 0) { out(prev * 8 + v) += 1L; out(v * 8 + prev) += 1L }
+        prev = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** 16-bin luma histogram (bin = luma >> 4) — the exposure profile
     * behind over/under-exposure curation gates. Counts sum to the pixel
     * count; exact integers, no cross-engine tolerance needed. */

@@ -1247,6 +1247,20 @@ case class ImgEdgeStats(first: Expression, second: Expression, third: Expression
     copy(a, b, c)
 }
 
+/** 8×8 symmetric horizontal GLCM (Haralick texture counts) over a
+  * decoded RGB buffer — 64 longs, bin a·8 + b. */
+case class ImgGlcm8(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.imgGlcm8(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 /** 16-bin luma histogram (exposure profile) over a decoded RGB buffer. */
 case class ImgLumaHist16(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

@@ -734,6 +734,7 @@ object K {
   def imgColorHist64(rgb: Array[Byte]): Array[Long] = Images.colorHist64(rgb)
   def imgEdgeStats(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.sobelStats(w, h, rgb)
   def imgLumaHist16(rgb: Array[Byte]): Array[Long] = Images.lumaHist16(rgb)
+  def imgGlcm8(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.glcm8(w, h, rgb)
   def imgEqualizeRgb(rgb: Array[Byte]): Array[Byte] = Images.equalizeRgb(rgb)
   def imgGammaRgb(rgb: Array[Byte], gammaMilli: Int): Array[Byte] =
     Images.gammaRgb(rgb, gammaMilli)
