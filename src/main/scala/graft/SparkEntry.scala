@@ -47,6 +47,7 @@ object SparkEntry {
   private val MEDZ = "read_parquet('/tmp/graft_geo/sf0.01/media_zcr.parquet/*.parquet')"
   private val IMGG = "read_parquet('/tmp/graft_geo/sf0.01/img_gamma.parquet/*.parquet')"
   private val IMGGLCM = "read_parquet('/tmp/graft_geo/sf0.01/img_glcm.parquet/*.parquet')"
+  private val IMGTEX = "read_parquet('/tmp/graft_geo/sf0.01/img_tex.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -6554,6 +6555,78 @@ object SparkEntry {
           expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"),
           expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
         .dropDuplicates("event_type", "vc", "day"))
+    }),
+
+    // ---------------- LBP texture profile (r5 s16) ----------------
+    // Rotation-variant LBP₈,₁ (Ojala 2002) — the micro-texture companion
+    // to q275's GLCM co-occurrence: per image, total interior patterns,
+    // mass in UNIFORM patterns (≤2 circular 0↔1 transitions — the texton
+    // share a curation gate thresholds on), and the dominant pattern.
+    // The uniform predicate and the dominant tie-break (smallest pattern)
+    // are computed IN SQL over the kernel's 256-bin histogram —
+    // bit_count(p ^ rotl8(p)) ≤ 2 — so a histogram-layout defect can't
+    // hide; the oracle reads the same-kernel recompute fixture.
+    // One scan, decode once, row-parallel — scales like every per-image map.
+    "q276_lbp" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgTex(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("lh", call_function("img_lbp_hist",
+          call_function("img_rgb", col("bytes")), col("w"), col("h")))
+        .select(col("image_id"), posexplode(col("lh")))
+        .groupBy("image_id").agg(
+          sum("col").as("lbp_n"),
+          sum(expr("CASE WHEN bit_count(pos ^ ((pos * 2) % 256 + pos div 128)) <= 2 " +
+            "THEN col ELSE 0 END")).as("lbp_uniform"),
+          max(struct(col("col").as("c"), (-col("pos")).cast("long").as("np"))).as("mx"))
+        .select(col("image_id"), col("lbp_n"), col("lbp_uniform"),
+          (-col("mx.np")).as("lbp_top"), col("mx.c").as("lbp_topc"))
+    }),
+
+    // ---------------- Harris corner response (r5 s16) ----------------
+    // Integer Harris (k = 1/16 cleared of the division): R = 16·det(M) −
+    // tr²(M) over 3×3-summed Sobel structure tensors — the keypoint-
+    // density curation signal (synthetic/flat imagery has near-zero
+    // corner density; photographic content doesn't). Deterministic
+    // arg-max (first in scan order); |R| < 2⁵³ proved in the kernel
+    // scaladoc so the Long arithmetic can't wrap. Oracle = same-kernel
+    // recompute fixture (q230 contract). Row-parallel single scan.
+    "q277_harris" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgTex(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("ha", call_function("img_harris",
+          call_function("img_rgb", col("bytes")), col("w"), col("h")))
+        .select(col("image_id"),
+          expr("element_at(ha, 1)").as("ha_eval"),
+          expr("element_at(ha, 2)").as("ha_pos"),
+          expr("element_at(ha, 3)").as("ha_rmax"),
+          expr("element_at(ha, 4)").as("ha_x"),
+          expr("element_at(ha, 5)").as("ha_y"))
+    }),
+
+    // ---------------- hue-sector color profile (r5 s16) ----------------
+    // Exact integer HSV sector decomposition (no division: the ⌊hue/60°⌋
+    // bin falls out of channel comparisons, max-tie priority r>g>b) —
+    // the color-cast/duotone curation signal next to q212's gray-world
+    // white balance. Dominant chromatic sector via array_position over
+    // the 6 hue bins (1-based, first-max = smallest index in BOTH
+    // engines). Oracle recomputes dominance in SQL from the fixture's
+    // per-bin counts, so the query's dominance arithmetic is itself
+    // cross-checked, not just copied.
+    "q278_hue" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgTex(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("hh", call_function("img_hue_hist",
+          call_function("img_rgb", col("bytes"))))
+        .withColumn("hs", expr("slice(hh, 1, 6)"))
+        .select(col("image_id"),
+          expr("element_at(hh, 1)").as("h0"), expr("element_at(hh, 2)").as("h1"),
+          expr("element_at(hh, 3)").as("h2"), expr("element_at(hh, 4)").as("h3"),
+          expr("element_at(hh, 5)").as("h4"), expr("element_at(hh, 6)").as("h5"),
+          expr("element_at(hh, 7)").as("gray"),
+          expr("array_position(hs, array_max(hs))").as("dom_sector"))
     })
   )
 
@@ -10620,7 +10693,25 @@ object SparkEntry {
     "q271_stream_dedup" ->
       """SELECT DISTINCT event_type,
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
-         epoch_us(ts) // 86400000000 AS day FROM events"""
+         epoch_us(ts) // 86400000000 AS day FROM events""",
+
+    // recompute-pinned (q230 contract): the fixture derives the same
+    // integers through the same kernels on the Dataset path; the uniform
+    // predicate and the dominant tie-break live in the fixture's scaladoc
+    "q276_lbp" ->
+      s"""SELECT image_id, lbp_n, lbp_uniform, lbp_top, lbp_topc FROM $IMGTEX""",
+
+    "q277_harris" ->
+      s"""SELECT image_id, ha_eval, ha_pos, ha_rmax, ha_x, ha_y FROM $IMGTEX""",
+
+    // dominance recomputed IN SQL from the fixture's per-bin counts, so
+    // the query's array_position arithmetic is cross-checked (1-based,
+    // first max — identical in list_position)
+    "q278_hue" ->
+      s"""SELECT image_id, h0, h1, h2, h3, h4, h5, gray,
+           CAST(list_position([h0, h1, h2, h3, h4, h5],
+                              greatest(h0, h1, h2, h3, h4, h5)) AS BIGINT) AS dom_sector
+         FROM $IMGTEX"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

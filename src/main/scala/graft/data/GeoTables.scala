@@ -674,6 +674,51 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGGLCM_DONE"))
   }
 
+  def imgTexPath(sfDir: String): String = s"${baseDir(sfDir)}/img_tex.parquet"
+
+  final case class ImgTexRow(image_id: String,
+                             lbp_n: Long, lbp_uniform: Long, lbp_top: Long, lbp_topc: Long,
+                             ha_eval: Long, ha_pos: Long, ha_rmax: Long, ha_x: Long, ha_y: Long,
+                             h0: Long, h1: Long, h2: Long, h3: Long, h4: Long, h5: Long,
+                             gray: Long)
+
+  /** Texture/corner/hue fixture through the SAME kernels the SQL surface
+    * composes (img_lbp_hist / img_harris / img_hue_hist) — one decode
+    * pass, the q230 recompute-pin contract for q276/q277/q278. The LBP
+    * uniform predicate here mirrors the query's SQL text exactly:
+    * bit_count(p XOR rotl8(p)) ≤ 2, rotl8(p) = (p·2) mod 256 + p div 128;
+    * the top pattern ties to the smallest index. */
+  def ensureImgTex(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGTEX_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, rgb) = Images.decode(bytes)
+        val lbp = Images.lbpHist(w, h, rgb)
+        var n = 0L; var uni = 0L; var top = 0L; var topc = -1L
+        var p = 0
+        while (p < 256) {
+          val c = lbp(p)
+          n += c
+          val rot = (p * 2) % 256 + p / 128
+          if (java.lang.Integer.bitCount(p ^ rot) <= 2) uni += c
+          if (c > topc) { topc = c; top = p }
+          p += 1
+        }
+        val ha = Images.harris(w, h, rgb)
+        val hu = Images.hueHist(rgb)
+        ImgTexRow(id, n, uni, top, topc,
+          ha(0), ha(1), ha(2), ha(3), ha(4),
+          hu(0), hu(1), hu(2), hu(3), hu(4), hu(5), hu(6))
+      }
+      .write.mode("overwrite").parquet(imgTexPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGTEX_DONE"))
+  }
+
   def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"
 
   final case class ImgWbRow(image_id: String, sr: Long, sg: Long, sb: Long, npx: Long)

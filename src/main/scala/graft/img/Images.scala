@@ -842,6 +842,135 @@ object Images {
     out
   }
 
+  /** 256-bin local-binary-pattern histogram (Ojala et al. 2002, public) —
+    * the rotation-variant LBP₈,₁ texture descriptor that complements
+    * glcm8's co-occurrence view. Per INTERIOR pixel the 8 neighbours are
+    * read clockwise from the top-left (TL,T,TR,R,BR,B,BL,L → bits 0..7);
+    * a bit is set when neighbour luma ≥ centre luma, so a flat image is
+    * all pattern 255 (every comparison ties high). Pure integer counts;
+    * histogram total = (w−2)·(h−2). */
+  def lbpHist(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](256)
+    if (w < 3 || h < 3 || w * h * 3 != rgb.length) return out
+    val lum = new Array[Int](w * h)
+    var i = 0; var p = 0
+    while (p < w * h) {
+      lum(p) = luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF)
+      i += 3; p += 1
+    }
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c = y * w + x
+        val cv = lum(c)
+        var pat = 0
+        if (lum(c - w - 1) >= cv) pat |= 1
+        if (lum(c - w) >= cv) pat |= 2
+        if (lum(c - w + 1) >= cv) pat |= 4
+        if (lum(c + 1) >= cv) pat |= 8
+        if (lum(c + w + 1) >= cv) pat |= 16
+        if (lum(c + w) >= cv) pat |= 32
+        if (lum(c + w - 1) >= cv) pat |= 64
+        if (lum(c - 1) >= cv) pat |= 128
+        out(pat) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Harris corner response (Harris & Stephens 1988, public), exact
+    * integer variant: Sobel gradients on the luma plane, structure
+    * tensor summed over the 3×3 window, and k = 1/16 cleared of the
+    * division — R = 16·(Sxx·Syy − Sxy²) − (Sxx+Syy)², so corners are
+    * R > 0, edges strongly negative, flat exactly 0. Evaluated where
+    * the full window of Sobel values exists (x,y ∈ 2..w−3/2..h−3).
+    * Returns [n_eval, n_pos, r_max, x_max, y_max] with the arg-max the
+    * FIRST maximum in row-major scan order (deterministic ties); all
+    * zeros when no pixel qualifies. Magnitude proof: |g| ≤ 1020 ⇒
+    * window sums < 2²⁴ ⇒ |R| < 2⁵³ — no Long overflow. */
+  def harris(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](5)
+    if (w < 5 || h < 5 || w * h * 3 != rgb.length) return out
+    val lum = new Array[Int](w * h)
+    var i = 0; var p = 0
+    while (p < w * h) {
+      lum(p) = luma(rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF)
+      i += 3; p += 1
+    }
+    // Sobel per interior pixel (same stencil + sign convention as sobelStats)
+    val gxA = new Array[Int](w * h); val gyA = new Array[Int](w * h)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c = y * w + x
+        gxA(c) = (lum(c - w + 1) + 2 * lum(c + 1) + lum(c + w + 1)) -
+          (lum(c - w - 1) + 2 * lum(c - 1) + lum(c + w - 1))
+        gyA(c) = (lum(c - w - 1) + 2 * lum(c - w) + lum(c - w + 1)) -
+          (lum(c + w - 1) + 2 * lum(c + w) + lum(c + w + 1))
+        x += 1
+      }
+      y += 1
+    }
+    var rMax = Long.MinValue; var xm = 0L; var ym = 0L
+    var nEval = 0L; var nPos = 0L
+    y = 2
+    while (y < h - 2) {
+      var x = 2
+      while (x < w - 2) {
+        var sxx = 0L; var syy = 0L; var sxy = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val c = (y + dy) * w + (x + dx)
+            val gx = gxA(c).toLong; val gy = gyA(c).toLong
+            sxx += gx * gx; syy += gy * gy; sxy += gx * gy
+            dx += 1
+          }
+          dy += 1
+        }
+        val tr = sxx + syy
+        val r = 16L * (sxx * syy - sxy * sxy) - tr * tr
+        nEval += 1L
+        if (r > 0L) nPos += 1L
+        if (r > rMax) { rMax = r; xm = x; ym = y }
+        x += 1
+      }
+      y += 1
+    }
+    if (nEval == 0L) return out
+    out(0) = nEval; out(1) = nPos; out(2) = rMax; out(3) = xm; out(4) = ym
+    out
+  }
+
+  /** 6-sector hue histogram + achromatic bin, exact integer HSV sector
+    * decomposition: M = max(r,g,b) with tie priority r > g > b, C = M−m;
+    * C = 0 → bin 6 (gray). Otherwise the sector index falls out of pure
+    * comparisons (no division): M=r → bin 0 if g ≥ b else 5; M=g →
+    * bin 2 if b ≥ r else 1; M=b → bin 4 if r ≥ g else 3 — i.e. bin =
+    * ⌊hue/60°⌋ for interior hues; the three two-channel-tie boundary
+    * hues resolve via the comparisons above (yellow 60° → 0,
+    * cyan 180° → 2, magenta 300° → 5). Counts sum to the pixel count. */
+  def hueHist(rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](7)
+    var i = 0
+    while (i + 2 < rgb.length) {
+      val r = rgb(i) & 0xFF; val g = rgb(i + 1) & 0xFF; val b = rgb(i + 2) & 0xFF
+      val m = math.min(r, math.min(g, b))
+      val bin =
+        if (r >= g && r >= b) { if (r == m) 6 else if (g >= b) 0 else 5 }
+        else if (g >= b) { if (b >= r) 2 else 1 }
+        else { if (r >= g) 4 else 3 }
+      out(bin) += 1L
+      i += 3
+    }
+    out
+  }
+
   def sharpness(w: Int, h: Int, rgb: Array[Byte]): Long = {
     if (w < 3 || h < 3 || w * h * 3 != rgb.length) return 0L
     val lum = new Array[Int](w * h)

@@ -209,6 +209,9 @@ object GraftFunctions {
     "img_edge_stats" -> (e => ImgEdgeStats(e(0), e(1), e(2))),
     "img_luma_hist16" -> (e => ImgLumaHist16(e.head)),
     "img_glcm8" -> (e => ImgGlcm8(e(0), e(1), e(2))),
+    "img_lbp_hist" -> (e => ImgLbpHist(e(0), e(1), e(2))),
+    "img_harris" -> (e => ImgHarris(e(0), e(1), e(2))),
+    "img_hue_hist" -> (e => ImgHueHist(e.head)),
     "img_ssim_rgb" -> (e => ImgSsim(e(0), e(1), e(2), e(3))),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
     // multimodal opaque-binary columns (GMV1 container; stub codec)

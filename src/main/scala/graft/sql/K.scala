@@ -735,6 +735,9 @@ object K {
   def imgEdgeStats(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.sobelStats(w, h, rgb)
   def imgLumaHist16(rgb: Array[Byte]): Array[Long] = Images.lumaHist16(rgb)
   def imgGlcm8(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.glcm8(w, h, rgb)
+  def imgLbpHist(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.lbpHist(w, h, rgb)
+  def imgHarris(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.harris(w, h, rgb)
+  def imgHueHist(rgb: Array[Byte]): Array[Long] = Images.hueHist(rgb)
   def imgEqualizeRgb(rgb: Array[Byte]): Array[Byte] = Images.equalizeRgb(rgb)
   def imgGammaRgb(rgb: Array[Byte], gammaMilli: Int): Array[Byte] =
     Images.gammaRgb(rgb, gammaMilli)
