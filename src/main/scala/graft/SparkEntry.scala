@@ -6627,6 +6627,68 @@ object SparkEntry {
           expr("element_at(hh, 5)").as("h4"), expr("element_at(hh, 6)").as("h5"),
           expr("element_at(hh, 7)").as("gray"),
           expr("array_position(hs, array_max(hs))").as("dom_sector"))
+    }),
+
+    // ---------------- one-way ANOVA F (r5 s16) ----------------
+    // Does event value differ BY TYPE more than within types? — the
+    // parametric sibling of q267's Kruskal–Wallis, over the same exact
+    // integer cents. Per-group components (nᵢ, Σvc, Σvc², qᵢ =
+    // ⌊(Σvc)²/nᵢ⌋ — the q267 floored-quotient contract) are exact
+    // bigints off ONE aggregate; SSB = Σqᵢ − S²/N and SSW = SS − Σqᵢ
+    // feed one shared double formula (q124 contract) for F (milli) and
+    // η² (ppm). Long-safe while Σvc² ≤ 9.2e18 — ~9e8 rows at vc ≈ 1e5;
+    // beyond, lift ssi to DECIMAL(38,0) or center values first.
+    "q279_anova" -> ((s, dir) => {
+      val g = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("ni"), sum("vc").as("si"),
+          sum(expr("vc * vc")).as("ssi"))
+        .withColumn("q", expr(
+          "CAST(FLOOR((CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) / " +
+          "CAST(ni AS DOUBLE)) AS BIGINT)"))
+        .localCheckpoint() // tiny (one row per type); referenced twice
+      val glob = g.agg(sum("ni").as("nn"), count(lit(1)).as("kk"),
+          sum("si").as("s1"), sum("ssi").as("ss"), sum("q").as("qsum"))
+        .withColumn("f_milli", expr(ANOVA_F_MILLI_SQL))
+        .withColumn("eta2_ppm", expr(ANOVA_ETA2_PPM_SQL))
+        .select("nn", "kk", "f_milli", "eta2_ppm")
+      g.select("et", "ni", "si", "ssi", "q").crossJoin(broadcast(glob))
+    }),
+
+    // ---------------- Brier score decomposition (r5 s16) ----------------
+    // Murphy's reliability/resolution/uncertainty split of the Brier
+    // score over q246's DETERMINISTIC synthetic scorer (conf = first 52
+    // md5 bits → 2⁻²⁰ units, label ~ Bernoulli(conf²)) — the calibration
+    // report's second page. Per-row (conf − y·2²⁰)² quantizes to 2⁻²⁰
+    // units BEFORE the sum (q206 pattern — order-safe, long-safe to
+    // 8.8e12 rows); per-decile reliability/resolution terms and the
+    // global Brier/uncertainty ride shared double formulas over the
+    // exact integer bin components. Murphy identity (REL − RES + UNC =
+    // Brier) holds to quantization, a consumer-checkable invariant.
+    "q280_brier" -> ((s, dir) => {
+      val bins = t(s, dir, "documents")
+        .select(expr(MD5CONF_SQL("div")).as("conf"),
+          expr(MD5V20_SQL("div")).as("v20"))
+        .withColumn("lbl",
+          (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .withColumn("bq", expr(
+          "((conf - lbl * 1048576) * (conf - lbl * 1048576)) div 1048576"))
+        .groupBy(expr("(conf * 10) div 1048576").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("conf").as("sum_conf"),
+          sum("lbl").as("n_pos"), sum("bq").as("bq_sum"))
+        .localCheckpoint() // ≤ 10 rows; referenced twice
+      val glob = bins.agg(sum("n").as("n_tot"), sum("n_pos").as("y_tot"),
+          sum("bq_sum").as("bq_tot"))
+        .withColumn("brier_ppm", expr(ppmDivSql("bq_tot", "(n_tot * 1048576)")))
+        .withColumn("unc_ppm", expr(BRIER_UNC_PPM_SQL))
+        .select("n_tot", "y_tot", "brier_ppm", "unc_ppm")
+      bins.crossJoin(broadcast(glob))
+        .withColumn("rel_micro", expr(BRIER_REL_MICRO_SQL))
+        .withColumn("res_micro", expr(BRIER_RES_MICRO_SQL))
+        .select("bin", "n", "sum_conf", "n_pos", "bq_sum", "n_tot", "y_tot",
+          "brier_ppm", "unc_ppm", "rel_micro", "res_micro")
     })
   )
 
@@ -6836,6 +6898,65 @@ object SparkEntry {
           - CAST(nn AS DOUBLE))
        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
           - CAST(nn AS DOUBLE) - CAST(tsum AS DOUBLE))) END AS BIGINT)"""
+
+  /** q279's one-way ANOVA F over exact integer components (nn = N,
+    * kk = groups, s1 = ΣΣvc, ss = ΣΣvc², qsum = Σ⌊(Σvc)²/nᵢ⌋): SSB =
+    * qsum − s1²/N, SSW = ss − qsum — ONE shared double formula (q124
+    * contract), milli-quantized; NULL when k < 2, N = k, or SSW ≤ 0
+    * (zero within-group variance). */
+  private val ANOVA_F_MILLI_SQL =
+    """CASE WHEN kk < 2 OR nn <= kk
+         OR (CAST(ss AS DOUBLE) - CAST(qsum AS DOUBLE)) <= 0e0 THEN NULL
+       ELSE CAST(FLOOR(1000 * (((CAST(qsum AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))
+          / (CAST(kk AS DOUBLE) - 1e0))
+         / ((CAST(ss AS DOUBLE) - CAST(qsum AS DOUBLE))
+          / (CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE))))) AS BIGINT) END"""
+
+  /** q279's η² = SSB/SST ppm — same components, same contract; NULL on
+    * zero total variance. */
+  private val ANOVA_ETA2_PPM_SQL =
+    """CASE WHEN (CAST(ss AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) <= 0e0
+       THEN NULL
+       ELSE CAST(FLOOR(1e6 * (CAST(qsum AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))
+         / (CAST(ss AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)))
+         AS BIGINT) END"""
+
+  /** q246/q280's deterministic synthetic scorer: conf and the label draw
+    * v20, each 52 md5 bits reduced to 2⁻²⁰ units (the q199 md5
+    * machinery). One definition per engine dialect — Spark parses hex
+    * via CONV, DuckDB via the 0x-prefix cast; both yield the identical
+    * integer, pinned by q246's green row since s14. */
+  private def MD5CONF_SQL(idiv: String): String =
+    if (idiv == "div")
+      "CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT) div 4294967296"
+    else
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) // 4294967296"
+  private def MD5V20_SQL(idiv: String): String =
+    if (idiv == "div")
+      "CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 14, 13), 16, 10) AS BIGINT) div 4294967296"
+    else
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 14, 13)) AS BIGINT) // 4294967296"
+
+  /** q280's per-bin Murphy terms over exact integers — reliability
+    * n·(c̄_b − ȳ_b)² = (sum_conf/2²⁰ − n_pos)²/n and resolution
+    * n·(ȳ_b − ȳ)², each ONE shared double formula (q124 contract),
+    * micro-quantized per bin before the ≤10-row consumer sum. */
+  private val BRIER_REL_MICRO_SQL =
+    """CAST(FLOOR(1e6 * (((CAST(sum_conf AS DOUBLE) / 1048576e0) - CAST(n_pos AS DOUBLE))
+       * ((CAST(sum_conf AS DOUBLE) / 1048576e0) - CAST(n_pos AS DOUBLE)))
+       / CAST(n AS DOUBLE)) AS BIGINT)"""
+  private val BRIER_RES_MICRO_SQL =
+    """CAST(FLOOR(1e6 * CAST(n AS DOUBLE)
+       * ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(y_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+       * ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(y_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))))
+       AS BIGINT)"""
+  private val BRIER_UNC_PPM_SQL =
+    """CAST(FLOOR(1e6 * (CAST(y_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       * (1e0 - CAST(y_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))) AS BIGINT)"""
 
   /** q229/q248/q250's shared word tokenizer (Spark side): lowercase,
     * split on non-alphanumeric runs, drop empties — mirrored in the
@@ -10711,7 +10832,51 @@ object SparkEntry {
       s"""SELECT image_id, h0, h1, h2, h3, h4, h5, gray,
            CAST(list_position([h0, h1, h2, h3, h4, h5],
                               greatest(h0, h1, h2, h3, h4, h5)) AS BIGINT) AS dom_sector
-         FROM $IMGTEX"""
+         FROM $IMGTEX""",
+
+    // ground truth: identical integer components (floored per-group
+    // quotient — the q267 contract) + the SAME F/η² formula text
+    "q279_anova" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         g AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(vc) AS BIGINT) AS si,
+             CAST(SUM(vc * vc) AS BIGINT) AS ssi FROM ev GROUP BY 1),
+         g2 AS (SELECT et, ni, si, ssi,
+             CAST(FLOOR((CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+               / CAST(ni AS DOUBLE)) AS BIGINT) AS q FROM g),
+         gl AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS kk, CAST(SUM(si) AS BIGINT) AS s1,
+             CAST(SUM(ssi) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qsum
+           FROM g2)
+         SELECT g2.et, g2.ni, g2.si, g2.ssi, g2.q, gl.nn, gl.kk,
+           CAST($ANOVA_F_MILLI_SQL AS BIGINT) AS f_milli,
+           CAST($ANOVA_ETA2_PPM_SQL AS BIGINT) AS eta2_ppm
+         FROM g2, gl""",
+
+    // ground truth: q246's scorer + per-row quantized Brier terms + the
+    // SAME Murphy-term formula text
+    "q280_brier" ->
+      s"""WITH d AS (SELECT ${MD5CONF_SQL("//")} AS conf,
+             ${MD5V20_SQL("//")} AS v20 FROM documents),
+         s AS (SELECT conf,
+             CASE WHEN v20 < (conf * conf) // 1048576 THEN 1 ELSE 0 END AS lbl
+           FROM d),
+         b AS (SELECT (conf * 10) // 1048576 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conf) AS BIGINT) AS sum_conf, CAST(SUM(lbl) AS BIGINT) AS n_pos,
+             CAST(SUM(((conf - lbl * 1048576) * (conf - lbl * 1048576)) // 1048576)
+               AS BIGINT) AS bq_sum
+           FROM s GROUP BY 1),
+         g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(n_pos) AS BIGINT) AS y_tot,
+             CAST(SUM(bq_sum) AS BIGINT) AS bq_tot FROM b)
+         SELECT CAST(b.bin AS BIGINT) AS bin, b.n, b.sum_conf, b.n_pos, b.bq_sum,
+           g.n_tot, g.y_tot,
+           CAST(${ppmDivSqlI("bq_tot", "(n_tot * 1048576)", "//")} AS BIGINT) AS brier_ppm,
+           $BRIER_UNC_PPM_SQL AS unc_ppm,
+           $BRIER_REL_MICRO_SQL AS rel_micro,
+           $BRIER_RES_MICRO_SQL AS res_micro
+         FROM b, g"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
