@@ -6689,6 +6689,59 @@ object SparkEntry {
         .withColumn("res_micro", expr(BRIER_RES_MICRO_SQL))
         .select("bin", "n", "sum_conf", "n_pos", "bq_sum", "n_tot", "y_tot",
           "brier_ppm", "unc_ppm", "rel_micro", "res_micro")
+    }),
+
+    // ---------------- link prediction / Adamic–Adar (r5 s16) ----------------
+    // Missing-edge candidates on the undirected caption token graph —
+    // the related-concept miner behind tag suggestion and query
+    // expansion (Liben-Nowell & Kleinberg 2003, public). Candidates are
+    // the length-2 paths through MIDDLE tokens with 2 ≤ deg ≤ 32 (the
+    // q191 df-cap argument: candidate volume Σ_m deg_m² ≤ 32·Σdeg =
+    // 64·|E| — linear in edges, never per-token all-pairs); existing
+    // edges drop by anti-join; common-neighbor counts are exact integers
+    // and each middle's Adamic–Adar term ⌊1e6/ln(deg_m)⌋ quantizes
+    // BEFORE the order-safe integer sum (q206 pattern; ln by the q89
+    // shared-transcendental contract). cn ≥ 2 keeps the report to
+    // genuinely-supported suggestions.
+    "q281_linkpred" -> ((s, dir) => {
+      val big = captionEdges(s, dir)
+      val adj = big.select(col("a").as("u"), col("b").as("m"))
+        .unionByName(big.select(col("b").as("u"), col("a").as("m")))
+      val deg = adj.groupBy(col("m").as("id")).agg(count(lit(1)).as("deg"))
+      val mid = adj.join(
+        deg.where(col("deg") >= 2 && col("deg") <= 32)
+          .select(col("id").as("m"), col("deg")), "m")
+      val l = mid.select(col("m"), col("u").as("ua"), col("deg"))
+      val r = mid.select(col("m"), col("u").as("ub"))
+      l.join(r, "m").where(col("ua") < col("ub"))
+        .withColumn("aa_t",
+          expr("CAST(FLOOR(1e6 / LN(CAST(deg AS DOUBLE))) AS BIGINT)"))
+        .groupBy(col("ua").as("a"), col("ub").as("b"))
+        .agg(count(lit(1)).as("cn"), sum("aa_t").as("aa_micro"))
+        .join(big, Seq("a", "b"), "left_anti")
+        .where(col("cn") >= 2)
+    }),
+
+    // ---------------- degree assortativity (r5 s16) ----------------
+    // Newman's degree-mixing coefficient of the same graph — do hubs
+    // link to hubs (r > 0) or to leaves (r < 0)? One Pearson correlation
+    // over the symmetrized edge list's endpoint degrees: exact integer
+    // sums (M' = 2|E|, Σd_u, Σd_u·d_v, Σd_u²; by symmetry the x and y
+    // moments coincide, so four sums suffice) + ONE shared double
+    // formula (q124 contract), milli-quantized; NULL on zero variance
+    // (regular graphs). Long-safe while Σd² ≤ 9.2e18 (deg ≤ ~2e6 at
+    // 1e6 edges); token graphs are heavy-tailed — expect r < 0.
+    "q282_assort" -> ((s, dir) => {
+      val big = captionEdges(s, dir)
+      val adj = big.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(big.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      adj.join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+        .agg(count(lit(1)).as("m2"), sum("du").as("sx"),
+          sum(expr("du * dv")).as("sxy"), sum(expr("du * du")).as("sxx"))
+        .withColumn("r_milli", expr(ASSORT_R_MILLI_SQL))
+        .select("m2", "sx", "sxy", "sxx", "r_milli")
     })
   )
 
@@ -6898,6 +6951,39 @@ object SparkEntry {
           - CAST(nn AS DOUBLE))
        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
           - CAST(nn AS DOUBLE) - CAST(tsum AS DOUBLE))) END AS BIGINT)"""
+
+  /** q281/q282's shared graph prelude: the UNDIRECTED caption token
+    * graph — q252's bigram pairs with self-loops dropped, canonicalized
+    * (a < b) and dedup'd. Materialized once per caller: each consumer
+    * references it 2–3× (adjacency, degrees, exclusion anti-join). */
+  private def captionEdges(s: SparkSession, dir: String): DataFrame = {
+    GeoTables.ensure(s, dir)
+    s.read.parquet(GeoTables.imagesPath(dir))
+      .select(expr(tokExpr("caption")).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+           i -> named_struct('s', element_at(ts, i), 'd', element_at(ts, i + 1)))""")).as("p"))
+      .where(col("p.s") =!= col("p.d"))
+      .select(least(col("p.s"), col("p.d")).as("a"),
+        greatest(col("p.s"), col("p.d")).as("b"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** q282's assortativity r over the exact integer edge-moment sums —
+    * ONE shared double formula (q124 contract), milli-quantized; NULL
+    * on zero degree variance. */
+  private val ASSORT_R_MILLI_SQL =
+    """CASE WHEN (CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+         * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))) <= 0e0 THEN NULL
+       ELSE CAST(FLOOR(1000 * ((CAST(sxy AS DOUBLE) / CAST(m2 AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)))
+         / (CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))))) AS BIGINT) END"""
 
   /** q279's one-way ANOVA F over exact integer components (nn = N,
     * kk = groups, s1 = ΣΣvc, ss = ΣΣvc², qsum = Σ⌊(Σvc)²/nᵢ⌋): SSB =
@@ -10876,7 +10962,51 @@ object SparkEntry {
            $BRIER_UNC_PPM_SQL AS unc_ppm,
            $BRIER_REL_MICRO_SQL AS rel_micro,
            $BRIER_RES_MICRO_SQL AS res_micro
-         FROM b, g"""
+         FROM b, g""",
+
+    // ground truth: identical tokenizer, canonical undirected dedup, the
+    // same deg cap, and the same floored per-middle AA term
+    "q281_linkpred" ->
+      s"""WITH tk AS MATERIALIZED (SELECT ${tokSqlD("caption")} AS ts FROM $IMG),
+         big AS MATERIALIZED (SELECT DISTINCT
+             LEAST(ts[i], ts[i + 1]) AS a, GREATEST(ts[i], ts[i + 1]) AS b
+           FROM tk, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+           WHERE ts[i] <> ts[i + 1]),
+         adj AS (SELECT a AS u, b AS m FROM big
+           UNION ALL SELECT b AS u, a AS m FROM big),
+         deg AS (SELECT m AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM adj GROUP BY 1),
+         mid AS MATERIALIZED (SELECT adj.u, adj.m, deg.deg
+           FROM adj JOIN deg ON deg.id = adj.m
+           WHERE deg.deg BETWEEN 2 AND 32),
+         cand AS (SELECT l.u AS a, r.u AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(CAST(FLOOR(1e6 / LN(CAST(l.deg AS DOUBLE))) AS BIGINT))
+               AS BIGINT) AS aa_micro
+           FROM mid l JOIN mid r ON l.m = r.m AND l.u < r.u
+           GROUP BY 1, 2)
+         SELECT c.a, c.b, c.cn, c.aa_micro FROM cand c
+         LEFT JOIN big e ON e.a = c.a AND e.b = c.b
+         WHERE e.a IS NULL AND c.cn >= 2""",
+
+    // ground truth: same symmetrized edge list, same integer moment
+    // sums, and the SAME r formula text
+    "q282_assort" ->
+      s"""WITH tk AS MATERIALIZED (SELECT ${tokSqlD("caption")} AS ts FROM $IMG),
+         big AS MATERIALIZED (SELECT DISTINCT
+             LEAST(ts[i], ts[i + 1]) AS a, GREATEST(ts[i], ts[i + 1]) AS b
+           FROM tk, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+           WHERE ts[i] <> ts[i + 1]),
+         adj AS (SELECT a AS u, b AS v FROM big
+           UNION ALL SELECT b AS u, a AS v FROM big),
+         deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM adj GROUP BY 1),
+         p AS (SELECT du.deg AS du, dv.deg AS dv FROM adj
+           JOIN deg du ON du.id = adj.u JOIN deg dv ON dv.id = adj.v),
+         sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(du * dv) AS BIGINT) AS sxy,
+             CAST(SUM(du * du) AS BIGINT) AS sxx FROM p)
+         SELECT m2, sx, sxy, sxx,
+           CAST($ASSORT_R_MILLI_SQL AS BIGINT) AS r_milli FROM sums"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
