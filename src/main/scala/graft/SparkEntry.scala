@@ -6742,6 +6742,76 @@ object SparkEntry {
           sum(expr("du * dv")).as("sxy"), sum(expr("du * du")).as("sxx"))
         .withColumn("r_milli", expr(ASSORT_R_MILLI_SQL))
         .select("m2", "sx", "sxy", "sxx", "r_milli")
+    }),
+
+    // ---------------- int8 quantization audit (r5 s16) ----------------
+    // The storage decision every embedding table faces: per-dimension
+    // symmetric int8 quantization (scale = max|x| per dim — the
+    // faiss-style calibration) with EXACT integer arithmetic end-to-end
+    // in the q21 milli-unit domain: m = ⌊x·1000+0.5⌋, q = round-half-
+    // away(m·127/sc) by the sign-split ladder (Spark div == DuckDB //
+    // on the non-negative numerators), reconstruction error m·127 −
+    // q·sc in (milli·127) units. Per-dim rows: scale, Σerr², mean err²
+    // (the bits-vs-recall table), max|q| ≤ 127 as a self-check column.
+    // One explode + a 64-row broadcast join + one agg — linear, no
+    // doubles anywhere.
+    "q283_int8quant" -> ((s, dir) => {
+      val m = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
+          expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)").as("m"))
+      val sc = m.groupBy("dim").agg(max(abs(col("m"))).as("sc"))
+      m.join(broadcast(sc), "dim")
+        .withColumn("qv", expr(INT8_Q_SQL("div")))
+        .withColumn("err", expr("m * 127 - qv * sc"))
+        .groupBy("dim", "sc")
+        .agg(count(lit(1)).as("n"), sum(expr("err * err")).as("sum_e2"),
+          max(abs(col("qv"))).as("max_absq"))
+        .withColumn("mean_e2", expr("sum_e2 div n"))
+        .select("dim", "sc", "n", "sum_e2", "mean_e2", "max_absq")
+    }),
+
+    // ---------------- Matryoshka truncation eval (r5 s16) ----------------
+    // Can the first 16 of 64 dims stand in for the full vector at
+    // retrieval time (Kusupati 2022's matryoshka question, the
+    // dim-budget knob every ANN deployment tunes)? Top-1 anchor
+    // agreement between full-dim and prefix-16 cosine over a 16-anchor
+    // broadcast panel: integer milli-unit dots (order-free exactness —
+    // the q21 contract), the shared double cosine ORDER with aid
+    // tie-break, per-label agreement ppm. Probe×anchor is linear in
+    // probes (16× fan-out, broadcast side bounded).
+    "q284_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))").as("mq"))
+      val anch = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("aid"), col("mq").as("amq"))
+      val sims = e.where(col("vec_id") >= 16)
+        .select(col("vec_id").as("pid"), col("label"), col("mq"))
+        .join(broadcast(anch), lit(true))
+        .withColumn("dotf", expr(intDotSql("mq", "amq")))
+        .withColumn("dotp", expr(intDotSql("slice(mq, 1, 16)", "slice(amq, 1, 16)")))
+        .withColumn("nf", expr(intDotSql("mq", "mq")))
+        .withColumn("naf", expr(intDotSql("amq", "amq")))
+        .withColumn("np", expr(intDotSql("slice(mq, 1, 16)", "slice(mq, 1, 16)")))
+        .withColumn("nap", expr(intDotSql("slice(amq, 1, 16)", "slice(amq, 1, 16)")))
+        .localCheckpoint() // referenced by both rankings
+      def ord(dot: String, nq: String, na: String) = expr(
+        s"CAST($dot AS DOUBLE) / SQRT(CAST($nq AS DOUBLE) * CAST($na AS DOUBLE))")
+      val f1 = sims.withColumn("rf", row_number().over(Window.partitionBy("pid")
+          .orderBy(ord("dotf", "nf", "naf").desc, col("aid").asc)))
+        .where(col("rf") === 1)
+        .select(col("pid"), col("label"), col("aid").as("a_full"))
+      val p1 = sims.withColumn("rp", row_number().over(Window.partitionBy("pid")
+          .orderBy(ord("dotp", "np", "nap").desc, col("aid").asc)))
+        .where(col("rp") === 1)
+        .select(col("pid"), col("aid").as("a_pre"))
+      f1.join(p1, "pid")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("a_full") === col("a_pre"), 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("agree_ppm", expr(ppmDivSql("n_agree", "n_probes")))
+        .select("label", "n_probes", "n_agree", "agree_ppm")
     })
   )
 
@@ -6970,6 +7040,19 @@ object SparkEntry {
       .distinct()
       .localCheckpoint()
   }
+
+  /** q283's sign-split round-half-away int8 code q = round(m·127/sc):
+    * numerators stay non-negative, so Spark div and DuckDB // agree;
+    * sc = 0 (an all-zero dimension) codes to 0. */
+  private def INT8_Q_SQL(idiv: String): String =
+    s"""CASE WHEN sc = 0 THEN 0
+       WHEN m >= 0 THEN (2 * m * 127 + sc) $idiv (2 * sc)
+       ELSE -((2 * (-m) * 127 + sc) $idiv (2 * sc)) END"""
+
+  /** q284's exact integer dot product over milli-quantized vectors
+    * (Spark dialect; the oracle's list_sum/list_transform mirror). */
+  private def intDotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
   /** q282's assortativity r over the exact integer edge-moment sums —
     * ONE shared double formula (q124 contract), milli-quantized; NULL
@@ -11006,7 +11089,55 @@ object SparkEntry {
              CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(du * dv) AS BIGINT) AS sxy,
              CAST(SUM(du * du) AS BIGINT) AS sxx FROM p)
          SELECT m2, sx, sxy, sxx,
-           CAST($ASSORT_R_MILLI_SQL AS BIGINT) AS r_milli FROM sums"""
+           CAST($ASSORT_R_MILLI_SQL AS BIGINT) AS r_milli FROM sums""",
+
+    // ground truth: identical milli quantization, the same sign-split
+    // rounding ladder, and integer error algebra throughout
+    "q283_int8quant" ->
+      s"""WITH m AS (SELECT vec_id, i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS m
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+         sc AS (SELECT i, CAST(MAX(ABS(m)) AS BIGINT) AS sc FROM m GROUP BY 1),
+         q AS (SELECT m.i, m.m, sc.sc,
+             CAST(${INT8_Q_SQL("//")} AS BIGINT) AS qv
+           FROM m JOIN sc ON sc.i = m.i),
+         e AS (SELECT i, sc, qv, m * 127 - qv * sc AS err FROM q)
+         SELECT CAST(i AS BIGINT) AS dim, sc, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(err * err) AS BIGINT) AS sum_e2,
+           CAST(SUM(err * err) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_e2,
+           CAST(MAX(ABS(qv)) AS BIGINT) AS max_absq
+         FROM e GROUP BY 1, 2""",
+
+    // ground truth: identical integer dots (list order immaterial — the
+    // sums are exact), the SAME cosine ORDER BY text, aid tie-break
+    "q284_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS mq
+           FROM embeddings),
+         a AS (SELECT vec_id AS aid, mq AS amq FROM e WHERE vec_id < 16),
+         p AS (SELECT vec_id AS pid, label, mq FROM e WHERE vec_id >= 16),
+         s AS MATERIALIZED (SELECT pid, label, aid,
+             list_sum(list_transform(list_zip(mq, amq), z -> z[1] * z[2])) AS dotf,
+             list_sum(list_transform(list_zip(mq[1:16], amq[1:16]), z -> z[1] * z[2])) AS dotp,
+             list_sum(list_transform(mq, x -> x * x)) AS nf,
+             list_sum(list_transform(amq, x -> x * x)) AS naf,
+             list_sum(list_transform(mq[1:16], x -> x * x)) AS np,
+             list_sum(list_transform(amq[1:16], x -> x * x)) AS nap
+           FROM p, a),
+         rf AS (SELECT pid, label, aid, ROW_NUMBER() OVER (PARTITION BY pid
+             ORDER BY CAST(dotf AS DOUBLE) / SQRT(CAST(nf AS DOUBLE) * CAST(naf AS DOUBLE)) DESC,
+                      aid ASC) AS r FROM s),
+         rp AS (SELECT pid, aid, ROW_NUMBER() OVER (PARTITION BY pid
+             ORDER BY CAST(dotp AS DOUBLE) / SQRT(CAST(np AS DOUBLE) * CAST(nap AS DOUBLE)) DESC,
+                      aid ASC) AS r FROM s),
+         ag AS (SELECT f.label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN f.aid = g.aid THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           FROM rf f JOIN rp g ON g.pid = f.pid AND g.r = 1
+           WHERE f.r = 1 GROUP BY 1)
+         SELECT label, n_probes, n_agree,
+           CAST(${ppmDivSqlI("n_agree", "n_probes", "//")} AS BIGINT) AS agree_ppm
+         FROM ag"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
