@@ -4015,19 +4015,10 @@ object SparkEntry {
     // Deterministic integer math end-to-end; the estimate error is
     // bounded by the bin width by construction.
     "q178_hist_quantile" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      histQuantiles(t(s, dir, "events")
         .select(col("event_type"), centsOf(col("value")).as("vc"))
-      val cum = ev.groupBy(col("event_type"), expr("vc div 1000").as("bin"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(
-          Window.partitionBy("event_type").orderBy("bin")))
-      val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      cum.join(tot, "event_type")
-        .groupBy("event_type")
-        .agg(max("n").as("n"),
-          (min(when(col("cum") * 100 >= col("n") * 50, col("bin"))) * 1000).as("p50_cents"),
-          (min(when(col("cum") * 100 >= col("n") * 90, col("bin"))) * 1000).as("p90_cents"),
-          (min(when(col("cum") * 100 >= col("n") * 99, col("bin"))) * 1000).as("p99_cents"))
+        .groupBy(col("event_type"), expr("vc div 1000").as("bin"))
+        .agg(count(lit(1)).as("c")))
     }),
 
     // ---------------- choropleth density normalization (r5 s10) ----------------
@@ -6812,6 +6803,56 @@ object SparkEntry {
           sum(when(col("a_full") === col("a_pre"), 1L).otherwise(0L)).as("n_agree"))
         .withColumn("agree_ppm", expr(ppmDivSql("n_agree", "n_probes")))
         .select("label", "n_probes", "n_agree", "agree_ppm")
+    }),
+
+    // ---------------- streamed histogram quantiles (r5 s16) ----------------
+    // q178's mergeable equi-width quantile estimator fed by Complete-mode
+    // streamed (type, bin) counts — ninth streamed==batch member
+    // (q193/q213/q217/q226/q231/q247/q256/q262 pattern): the state store
+    // carries the BOUNDED bin table, micro-batches merge counts, and the
+    // shared histQuantiles post-pass equals q178's oracle EXACTLY — the
+    // latency dashboard a production monitor keeps online.
+    "q285_stream_quantile" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "histq") { src =>
+        src.select(col("event_type"), centsOf(col("value")).as("vc"))
+          .groupBy(col("event_type"), expr("vc div 1000").as("bin"))
+          .agg(count(lit(1)).as("c"))
+      }
+      histQuantiles(s.createDataFrame(sink.rdd, sink.schema))
+    }),
+
+    // ---------------- Friedman rank test (r5 s16) ----------------
+    // The blocked sibling of q267's Kruskal–Wallis: does event TYPE
+    // shift daily value volume once day-of-week is controlled for?
+    // Blocks = the 7 epoch-arithmetic dows (q230's calendar-free dow),
+    // treatments = event types, cell value = Σvc (zero-filled cross so
+    // every block ranks every treatment). Doubled average ranks r2 =
+    // 2·(#smaller) + #tied + 1 are exact integers off two windows on
+    // the k×7 CELL table (cardinality-bounded — the data-bounded work
+    // is the one groupBy); χ²_F ships through one shared double
+    // formula. Per-type rank sums + the global statistic.
+    "q286_friedman" -> ((s, dir) => {
+      val cell0 = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7").as("dow"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et", "dow").agg(sum("vc").as("v0"))
+        .localCheckpoint() // k×7 rows; referenced 3× by the zero-fill
+      val cell = cell0.select("et").distinct()
+        .crossJoin(cell0.select("dow").distinct())
+        .join(cell0, Seq("et", "dow"), "left")
+        .select(col("et"), col("dow"), coalesce(col("v0"), lit(0L)).as("v"))
+      val byType = cell
+        .withColumn("rk", rank().over(Window.partitionBy("dow").orderBy("v")))
+        .withColumn("tt", count(lit(1)).over(Window.partitionBy("dow", "v")))
+        .withColumn("r2", expr("2 * (rk - 1) + tt + 1"))
+        .groupBy("et").agg(count(lit(1)).as("nb_t"), sum("r2").as("r2_sum"))
+        .localCheckpoint() // k rows; referenced twice
+      val glob = byType.agg(count(lit(1)).as("kk"), max("nb_t").as("nb"),
+          sum(expr("r2_sum * r2_sum")).as("ssr2"))
+        .withColumn("chi2_milli", expr(FRIEDMAN_MILLI_SQL))
+        .select("kk", "nb", "chi2_milli")
+      byType.select("et", "r2_sum").crossJoin(broadcast(glob))
     })
   )
 
@@ -7040,6 +7081,52 @@ object SparkEntry {
       .distinct()
       .localCheckpoint()
   }
+
+  /** q178/q285's shared oracle (streamed == batch — the q180/q256
+    * STORAGE_ORACLE_SQL precedent). */
+  private val HISTQ_ORACLE_SQL =
+    """WITH ev AS (SELECT event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       hs AS (SELECT event_type, vc // 1000 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+       cm AS (SELECT event_type, bin, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM hs),
+       tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1)
+       SELECT cm.event_type, MAX(tt.n) AS n,
+         MIN(CASE WHEN cum * 100 >= tt.n * 50 THEN bin END) * 1000 AS p50_cents,
+         MIN(CASE WHEN cum * 100 >= tt.n * 90 THEN bin END) * 1000 AS p90_cents,
+         MIN(CASE WHEN cum * 100 >= tt.n * 99 THEN bin END) * 1000 AS p99_cents
+       FROM cm JOIN tt ON tt.event_type = cm.event_type
+       GROUP BY 1"""
+
+  /** q178/q285's shared post-pass over (event_type, bin, c) histogram
+    * counts: per-type cumulative + total via two windows on the BOUNDED
+    * bin table, p-quantile estimate = lower bound of the first bin whose
+    * cumulative reaches p·n (s16: factored so the streamed q285 replays
+    * it over Complete-mode state — the n-join of the old q178 shape
+    * became a window, same integers). */
+  private def histQuantiles(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("nn", sum("c").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("nn").as("n"),
+        (min(when(col("cum") * 100 >= col("nn") * 50, col("bin"))) * 1000).as("p50_cents"),
+        (min(when(col("cum") * 100 >= col("nn") * 90, col("bin"))) * 1000).as("p90_cents"),
+        (min(when(col("cum") * 100 >= col("nn") * 99, col("bin"))) * 1000).as("p99_cents"))
+
+  /** q286's Friedman statistic from the exact doubled-rank sums: with
+    * R_j = r2_sum_j/2, χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) =
+    * 3·Σr2²/(nk(k+1)) − 3n(k+1) — ONE shared double formula (q124
+    * contract), milli-quantized; the classic no-correction form over
+    * average ranks (ties in block sums are measure-zero-rare and the
+    * statistic is then conservative — documented, not corrected). */
+  private val FRIEDMAN_MILLI_SQL =
+    """CASE WHEN kk < 2 OR nb < 1 THEN NULL
+       ELSE CAST(FLOOR(1000 * (3e0 * CAST(ssr2 AS DOUBLE)
+           / (CAST(nb AS DOUBLE) * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))
+         - 3e0 * CAST(nb AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))) AS BIGINT) END"""
 
   /** q283's sign-split round-half-away int8 code q = round(m·127/sc):
     * numerators stay non-negative, so Spark div and DuckDB // agree;
@@ -9420,20 +9507,8 @@ object SparkEntry {
            MIN(v) AS vmin, MAX(v) AS vmax
          FROM u GROUP BY 1""",
 
-    "q178_hist_quantile" ->
-      """WITH ev AS (SELECT event_type,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
-         hs AS (SELECT event_type, vc // 1000 AS bin, CAST(COUNT(*) AS BIGINT) AS c
-                FROM ev GROUP BY 1, 2),
-         cm AS (SELECT event_type, bin, c,
-             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM hs),
-         tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1)
-         SELECT cm.event_type, MAX(tt.n) AS n,
-           MIN(CASE WHEN cum * 100 >= tt.n * 50 THEN bin END) * 1000 AS p50_cents,
-           MIN(CASE WHEN cum * 100 >= tt.n * 90 THEN bin END) * 1000 AS p90_cents,
-           MIN(CASE WHEN cum * 100 >= tt.n * 99 THEN bin END) * 1000 AS p99_cents
-         FROM cm JOIN tt ON tt.event_type = cm.event_type
-         GROUP BY 1""",
+    "q178_hist_quantile" -> HISTQ_ORACLE_SQL,
+    "q285_stream_quantile" -> HISTQ_ORACLE_SQL,
 
     "q179_choropleth" ->
       s"""WITH c AS (SELECT z.zone_id, CAST(COUNT(i.image_id) AS BIGINT) AS n_images
@@ -11137,7 +11212,33 @@ object SparkEntry {
            WHERE f.r = 1 GROUP BY 1)
          SELECT label, n_probes, n_agree,
            CAST(${ppmDivSqlI("n_agree", "n_probes", "//")} AS BIGINT) AS agree_ppm
-         FROM ag"""
+         FROM ag""",
+
+    // ground truth: identical zero-filled cells, RANK/tie windows, and
+    // the SAME χ²_F formula text
+    "q286_friedman" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         c0 AS (SELECT et, dow, CAST(SUM(vc) AS BIGINT) AS v0
+           FROM ev GROUP BY 1, 2),
+         cell AS (SELECT e.et, d.dow, COALESCE(c0.v0, 0) AS v
+           FROM (SELECT DISTINCT et FROM c0) e
+           CROSS JOIN (SELECT DISTINCT dow FROM c0) d
+           LEFT JOIN c0 ON c0.et = e.et AND c0.dow = d.dow),
+         r AS (SELECT et,
+             RANK() OVER (PARTITION BY dow ORDER BY v) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY dow, v) AS BIGINT) AS tt
+           FROM cell),
+         bt AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nb_t,
+             CAST(SUM(2 * (rk - 1) + tt + 1) AS BIGINT) AS r2_sum
+           FROM r GROUP BY 1),
+         gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+             CAST(MAX(nb_t) AS BIGINT) AS nb,
+             CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS ssr2 FROM bt)
+         SELECT bt.et, bt.r2_sum, gl.kk, gl.nb,
+           CAST($FRIEDMAN_MILLI_SQL AS BIGINT) AS chi2_milli
+         FROM bt, gl"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
