@@ -6853,6 +6853,53 @@ object SparkEntry {
         .withColumn("chi2_milli", expr(FRIEDMAN_MILLI_SQL))
         .select("kk", "nb", "chi2_milli")
       byType.select("et", "r2_sum").crossJoin(broadcast(glob))
+    }),
+
+    // ---------------- partial autocorrelation (r5 s16) ----------------
+    // PACF lags 1–4 via Durbin–Levinson over q215's EXACT ACF — the
+    // AR-order picker next to q255's fixed AR(2). Definition choice
+    // that makes exactness possible: the recursion's inputs are the
+    // ppm-QUANTIZED ρ values (q215's published numbers — stable under
+    // reduction order), re-promoted to doubles; every step is then one
+    // shared formula text over identical integers (q124 contract), so
+    // both engines walk the identical IEEE path. Division guards NULL
+    // the degenerate |φ·ρ| = 1 denominators; NULL propagates upward.
+    // State after the spine: types × 4 lag rows, then one row per type.
+    "q287_pacf" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val glob = hours.groupBy("event_type").agg(count(lit(1)).as("m"),
+        sum("n").as("s1"), sum(expr("n * n")).as("s2"))
+      val a = hours.select(col("event_type"), col("h"), col("n").as("na"))
+        .withColumn("lag", explode(expr("sequence(1L, 4L)")))
+        .withColumn("hb", col("h") + col("lag"))
+      val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
+      a.join(b, Seq("event_type", "hb"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("cnt"), sum(expr("na * nb")).as("sxy"),
+          sum("na").as("sh"), sum("nb").as("st"))
+        .join(broadcast(glob), "event_type")
+        .select(col("event_type"), col("lag"), expr(ACF_PPM_SQL).as("r"))
+        .groupBy("event_type")
+        .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+          max(when(col("lag") === 2, col("r"))).as("r2"),
+          max(when(col("lag") === 3, col("r"))).as("r3"),
+          max(when(col("lag") === 4, col("r"))).as("r4"))
+        .withColumn("pr1", expr("CAST(r1 AS DOUBLE) / 1e6"))
+        .withColumn("pr2", expr("CAST(r2 AS DOUBLE) / 1e6"))
+        .withColumn("pr3", expr("CAST(r3 AS DOUBLE) / 1e6"))
+        .withColumn("pr4", expr("CAST(r4 AS DOUBLE) / 1e6"))
+        .withColumn("c11", col("pr1"))
+        .withColumn("c22", expr(DL22_SQL))
+        .withColumn("c21", expr("c11 - c22 * c11"))
+        .withColumn("c33", expr(DL33_SQL))
+        .withColumn("c31", expr("c21 - c33 * c22"))
+        .withColumn("c32", expr("c22 - c33 * c21"))
+        .withColumn("c44", expr(DL44_SQL))
+        .select(col("event_type"), col("r1"), col("r2"), col("r3"), col("r4"),
+          expr(pacfMicroSql("c11")).as("pacf1_micro"),
+          expr(pacfMicroSql("c22")).as("pacf2_micro"),
+          expr(pacfMicroSql("c33")).as("pacf3_micro"),
+          expr(pacfMicroSql("c44")).as("pacf4_micro"))
     })
   )
 
@@ -7127,6 +7174,22 @@ object SparkEntry {
        ELSE CAST(FLOOR(1000 * (3e0 * CAST(ssr2 AS DOUBLE)
            / (CAST(nb AS DOUBLE) * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))
          - 3e0 * CAST(nb AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))) AS BIGINT) END"""
+
+  /** q287's Durbin–Levinson steps over the ppm-quantized ρ columns
+    * pr1..pr4 and the previous-order coefficients — each ONE shared
+    * formula text; zero denominators NULL (and propagate). */
+  private val DL22_SQL =
+    """CASE WHEN (1e0 - c11 * pr1) = 0e0 THEN NULL
+       ELSE (pr2 - c11 * pr1) / (1e0 - c11 * pr1) END"""
+  private val DL33_SQL =
+    """CASE WHEN (1e0 - c21 * pr1 - c22 * pr2) = 0e0 THEN NULL
+       ELSE (pr3 - c21 * pr2 - c22 * pr1) / (1e0 - c21 * pr1 - c22 * pr2) END"""
+  private val DL44_SQL =
+    """CASE WHEN (1e0 - c31 * pr1 - c32 * pr2 - c33 * pr3) = 0e0 THEN NULL
+       ELSE (pr4 - c31 * pr3 - c32 * pr2 - c33 * pr1)
+          / (1e0 - c31 * pr1 - c32 * pr2 - c33 * pr3) END"""
+  private def pacfMicroSql(c: String): String =
+    s"CAST(FLOOR(1e6 * $c) AS BIGINT)"
 
   /** q283's sign-split round-half-away int8 code q = round(m·127/sc):
     * numerators stay non-negative, so Spark div and DuckDB // agree;
@@ -11238,7 +11301,43 @@ object SparkEntry {
              CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS ssr2 FROM bt)
          SELECT bt.et, bt.r2_sum, gl.kk, gl.nb,
            CAST($FRIEDMAN_MILLI_SQL AS BIGINT) AS chi2_milli
-         FROM bt, gl"""
+         FROM bt, gl""",
+
+    // ground truth: q215's exact ACF machinery at lags 1–4 + the SAME
+    // Durbin–Levinson step texts over the identical quantized ρ inputs
+    "q287_pacf" ->
+      s"""WITH $HRS_SPINE_SQL,
+         g AS (SELECT event_type, COUNT(*) AS m, CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2 FROM hrs GROUP BY 1),
+         p AS (SELECT a.event_type, l AS lag, COUNT(*) AS cnt,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(SUM(a.n) AS BIGINT) AS sh, CAST(SUM(b.n) AS BIGINT) AS st
+           FROM hrs a, UNNEST(generate_series(1, 4)) AS u(l)
+           JOIN hrs b ON b.event_type = a.event_type AND b.h = a.h + l
+           GROUP BY 1, 2),
+         rr AS (SELECT p.event_type, p.lag, $ACF_PPM_SQL AS r
+           FROM p JOIN g ON p.event_type = g.event_type),
+         pv AS (SELECT event_type,
+             CAST(MAX(CASE WHEN lag = 1 THEN r END) AS BIGINT) AS r1,
+             CAST(MAX(CASE WHEN lag = 2 THEN r END) AS BIGINT) AS r2,
+             CAST(MAX(CASE WHEN lag = 3 THEN r END) AS BIGINT) AS r3,
+             CAST(MAX(CASE WHEN lag = 4 THEN r END) AS BIGINT) AS r4
+           FROM rr GROUP BY 1),
+         d0 AS (SELECT *, CAST(r1 AS DOUBLE) / 1e6 AS pr1,
+             CAST(r2 AS DOUBLE) / 1e6 AS pr2, CAST(r3 AS DOUBLE) / 1e6 AS pr3,
+             CAST(r4 AS DOUBLE) / 1e6 AS pr4 FROM pv),
+         d1 AS (SELECT *, pr1 AS c11 FROM d0),
+         d2 AS (SELECT *, $DL22_SQL AS c22 FROM d1),
+         d3 AS (SELECT *, c11 - c22 * c11 AS c21 FROM d2),
+         d4 AS (SELECT *, $DL33_SQL AS c33 FROM d3),
+         d5 AS (SELECT *, c21 - c33 * c22 AS c31, c22 - c33 * c21 AS c32 FROM d4),
+         d6 AS (SELECT *, $DL44_SQL AS c44 FROM d5)
+         SELECT event_type, r1, r2, r3, r4,
+           ${pacfMicroSql("c11")} AS pacf1_micro,
+           ${pacfMicroSql("c22")} AS pacf2_micro,
+           ${pacfMicroSql("c33")} AS pacf3_micro,
+           ${pacfMicroSql("c44")} AS pacf4_micro
+         FROM d6"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
