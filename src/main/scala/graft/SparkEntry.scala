@@ -298,9 +298,7 @@ object SparkEntry {
                   (LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1) AS BIGINT) AS kk,
              s1, s2 FROM agg, gstats),
          q AS (SELECT gx, gy, c_own, wi, kk,
-             CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) /
-               (SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) *
-                SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT) AS zq
+             $GETIS_ZQ_SQL AS zq
            FROM z)
          SELECT gx, gy, c_own, wi, kk, zq FROM q WHERE zq >= 1960"""
 
@@ -6900,6 +6898,57 @@ object SparkEntry {
           expr(pacfMicroSql("c22")).as("pacf2_micro"),
           expr(pacfMicroSql("c33")).as("pacf3_micro"),
           expr(pacfMicroSql("c44")).as("pacf4_micro"))
+    }),
+
+    // ---------------- emerging hot-spot analysis (r5 s16) ----------------
+    // The space-time cube on top of q124: the corpus splits into 4
+    // deterministic epochs (iid % 4 — the q261 id-digit convention),
+    // Getis–Ord Gi* runs PER SLICE (identical z text, per-slice s1/s2),
+    // and each cell's 4-slice z series classifies via the exact integer
+    // Mann–Kendall S = Σ_{i<j} sign(z_j − z_i) ∈ [−6, 6]: 'new' (only
+    // the last slice hot), 'intensifying'/'cooling' (hot now, monotone
+    // trend up/down), 'persistent', 'former'. Cells must carry a z in
+    // all 4 slices (the cube's complete-history contract); only cells
+    // ever hot ship. Work = 4 × the q124 shape — one 9× explode join
+    // and a per-slice broadcast global; the MK step is 6 integer signs
+    // on a pivoted row, no extra shuffle beyond the (gx, gy) pivot.
+    "q288_emerging" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val cells = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(expr("CAST(substring(image_id, 4, 8) AS BIGINT) % 4").as("t"),
+          expr("CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT)").as("pgx"),
+          expr("CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT)").as("pgy"))
+        .groupBy("t", "pgx", "pgy").agg(count(lit(1)).as("c"))
+      val glob = cells.groupBy("t")
+        .agg(sum("c").as("s1"), sum(expr("c * c")).as("s2"))
+      val z = cells
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("t"), (col("pgx") + col("dx")).as("gx"),
+          (col("pgy") + col("dy")).as("gy"), col("c"))
+        .where(col("gx").between(0L, 1023L) && col("gy").between(0L, 511L))
+        .groupBy("t", "gx", "gy").agg(sum("c").as("wi"))
+        .join(broadcast(glob), "t")
+        .withColumn("kk", expr(
+          "(LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) * " +
+          "(LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1)"))
+        .withColumn("zq", expr(GETIS_ZQ_SQL))
+      z.groupBy("gx", "gy")
+        .agg(count(lit(1)).as("nt"),
+          max(when(col("t") === 0, col("zq"))).as("z0"),
+          max(when(col("t") === 1, col("zq"))).as("z1"),
+          max(when(col("t") === 2, col("zq"))).as("z2"),
+          max(when(col("t") === 3, col("zq"))).as("z3"))
+        .where(col("nt") === 4)
+        .withColumn("s_mk", expr(MK4_SQL))
+        .withColumn("n_hot", expr(
+          """CASE WHEN z0 >= 1960 THEN 1 ELSE 0 END
+             + CASE WHEN z1 >= 1960 THEN 1 ELSE 0 END
+             + CASE WHEN z2 >= 1960 THEN 1 ELSE 0 END
+             + CASE WHEN z3 >= 1960 THEN 1 ELSE 0 END"""))
+        .where(col("n_hot") >= 1)
+        .withColumn("class", expr(EMERGING_CLASS_SQL))
+        .select("gx", "gy", "z0", "z1", "z2", "z3", "s_mk", "n_hot", "class")
     })
   )
 
@@ -6934,10 +6983,7 @@ object SparkEntry {
       .withColumn("kk", expr(
         "(LEAST(gx + 1, 1023) - GREATEST(gx - 1, 0) + 1) * " +
         "(LEAST(gy + 1, 511) - GREATEST(gy - 1, 0) + 1)"))
-      .withColumn("zq", expr(
-        "CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) / " +
-        "(SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) * " +
-        "SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT)"))
+      .withColumn("zq", expr(GETIS_ZQ_SQL))
       .where(col("zq") >= 1960L)
       .select("gx", "gy", "c_own", "wi", "kk", "zq")
   }
@@ -7174,6 +7220,31 @@ object SparkEntry {
        ELSE CAST(FLOOR(1000 * (3e0 * CAST(ssr2 AS DOUBLE)
            / (CAST(nb AS DOUBLE) * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))
          - 3e0 * CAST(nb AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))) AS BIGINT) END"""
+
+  /** q124/q213/q288's Gi* z-score text over (wi, kk, s1, s2) — the one
+    * shared double formula (s16: factored for the per-slice q288 reuse;
+    * q124's literal copies retired). */
+  private val GETIS_ZQ_SQL =
+    "CAST(FLOOR(1e3 * (CAST(wi AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(kk AS DOUBLE) / 524288e0) / " +
+    "(SQRT(CAST(s2 AS DOUBLE) / 524288e0 - (CAST(s1 AS DOUBLE) / 524288e0) * (CAST(s1 AS DOUBLE) / 524288e0)) * " +
+    "SQRT((524288e0 * CAST(kk AS DOUBLE) - CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)) / 524287e0))) AS BIGINT)"
+
+  /** q288's Mann–Kendall S over the pivoted 4-slice z columns: six
+    * integer pair signs, identical CASE text in both engines. */
+  private val MK4_SQL = Seq(("z1", "z0"), ("z2", "z0"), ("z3", "z0"),
+      ("z2", "z1"), ("z3", "z1"), ("z3", "z2"))
+    .map { case (a, b) =>
+      s"(CASE WHEN $a > $b THEN 1 WHEN $a < $b THEN -1 ELSE 0 END)" }
+    .mkString(" + ")
+
+  /** q288's ESRI-style category over (z3, n_hot, s_mk) — exact integer
+    * CASE, shared text. */
+  private val EMERGING_CLASS_SQL =
+    """CASE WHEN z3 >= 1960 AND n_hot = 1 THEN 'new'
+       WHEN z3 >= 1960 AND s_mk > 0 THEN 'intensifying'
+       WHEN z3 >= 1960 AND s_mk < 0 THEN 'cooling'
+       WHEN z3 >= 1960 THEN 'persistent'
+       ELSE 'former' END"""
 
   /** q287's Durbin–Levinson steps over the ppm-quantized ρ columns
     * pr1..pr4 and the previous-order coefficients — each ONE shared
@@ -11337,7 +11408,45 @@ object SparkEntry {
            ${pacfMicroSql("c22")} AS pacf2_micro,
            ${pacfMicroSql("c33")} AS pacf3_micro,
            ${pacfMicroSql("c44")} AS pacf4_micro
-         FROM d6"""
+         FROM d6""",
+
+    // ground truth: the q124 oracle shape per slice + the SAME MK sign /
+    // classification texts over the pivoted z columns
+    "q288_emerging" ->
+      s"""WITH pts AS (SELECT CAST(substr(image_id, 4, 8) AS BIGINT) % 4 AS t,
+             CAST(FLOOR((lon + 180.0)/360.0 * 1024) AS BIGINT) AS pgx,
+             CAST(FLOOR((lat + 90.0)/180.0 * 512) AS BIGINT) AS pgy FROM $IMG),
+         cells AS (SELECT t, pgx, pgy, COUNT(*) AS c FROM pts GROUP BY 1, 2, 3),
+         gstats AS (SELECT t, CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2 FROM cells GROUP BY 1),
+         nbr AS (SELECT t, pgx + dx.x AS gx, pgy + dy.y AS gy, c
+           FROM cells,
+             (SELECT unnest(generate_series(-1, 1)) AS x) dx,
+             (SELECT unnest(generate_series(-1, 1)) AS y) dy
+           WHERE pgx + dx.x BETWEEN 0 AND 1023 AND pgy + dy.y BETWEEN 0 AND 511),
+         agg AS (SELECT t, gx, gy, CAST(SUM(c) AS BIGINT) AS wi
+           FROM nbr GROUP BY 1, 2, 3),
+         z AS (SELECT a.t, a.gx, a.gy, a.wi,
+             CAST((LEAST(a.gx + 1, 1023) - GREATEST(a.gx - 1, 0) + 1) *
+                  (LEAST(a.gy + 1, 511) - GREATEST(a.gy - 1, 0) + 1) AS BIGINT) AS kk,
+             g.s1, g.s2 FROM agg a JOIN gstats g ON g.t = a.t),
+         q AS (SELECT t, gx, gy, $GETIS_ZQ_SQL AS zq FROM z),
+         pv AS (SELECT gx, gy, COUNT(*) AS nt,
+             CAST(MAX(CASE WHEN t = 0 THEN zq END) AS BIGINT) AS z0,
+             CAST(MAX(CASE WHEN t = 1 THEN zq END) AS BIGINT) AS z1,
+             CAST(MAX(CASE WHEN t = 2 THEN zq END) AS BIGINT) AS z2,
+             CAST(MAX(CASE WHEN t = 3 THEN zq END) AS BIGINT) AS z3
+           FROM q GROUP BY 1, 2),
+         mk AS (SELECT gx, gy, z0, z1, z2, z3,
+             CAST($MK4_SQL AS BIGINT) AS s_mk,
+             CAST(CASE WHEN z0 >= 1960 THEN 1 ELSE 0 END
+               + CASE WHEN z1 >= 1960 THEN 1 ELSE 0 END
+               + CASE WHEN z2 >= 1960 THEN 1 ELSE 0 END
+               + CASE WHEN z3 >= 1960 THEN 1 ELSE 0 END AS BIGINT) AS n_hot
+           FROM pv WHERE nt = 4)
+         SELECT gx, gy, z0, z1, z2, z3, s_mk, n_hot,
+           $EMERGING_CLASS_SQL AS class
+         FROM mk WHERE n_hot >= 1"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
