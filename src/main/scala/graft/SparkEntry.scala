@@ -6628,22 +6628,12 @@ object SparkEntry {
     // η² (ppm). Long-safe while Σvc² ≤ 9.2e18 — ~9e8 rows at vc ≈ 1e5;
     // beyond, lift ssi to DECIMAL(38,0) or center values first.
     "q279_anova" -> ((s, dir) => {
-      val g = t(s, dir, "events")
+      anovaAudit(t(s, dir, "events")
         .select(col("event_type").as("et"),
           expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
         .groupBy("et")
         .agg(count(lit(1)).as("ni"), sum("vc").as("si"),
-          sum(expr("vc * vc")).as("ssi"))
-        .withColumn("q", expr(
-          "CAST(FLOOR((CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) / " +
-          "CAST(ni AS DOUBLE)) AS BIGINT)"))
-        .localCheckpoint() // tiny (one row per type); referenced twice
-      val glob = g.agg(sum("ni").as("nn"), count(lit(1)).as("kk"),
-          sum("si").as("s1"), sum("ssi").as("ss"), sum("q").as("qsum"))
-        .withColumn("f_milli", expr(ANOVA_F_MILLI_SQL))
-        .withColumn("eta2_ppm", expr(ANOVA_ETA2_PPM_SQL))
-        .select("nn", "kk", "f_milli", "eta2_ppm")
-      g.select("et", "ni", "si", "ssi", "q").crossJoin(broadcast(glob))
+          sum(expr("vc * vc")).as("ssi")))
     }),
 
     // ---------------- Brier score decomposition (r5 s16) ----------------
@@ -6949,6 +6939,24 @@ object SparkEntry {
         .where(col("n_hot") >= 1)
         .withColumn("class", expr(EMERGING_CLASS_SQL))
         .select("gx", "gy", "z0", "z1", "z2", "z3", "s_mk", "n_hot", "class")
+    }),
+
+    // ---------------- streamed ANOVA (r5 s16) ----------------
+    // q279's between-type variance gate fed by Complete-mode streamed
+    // per-type moment rows — tenth streamed==batch member: the state
+    // store carries ONE row per type (count/Σvc/Σvc² merge across
+    // micro-batches), the shared anovaAudit post-pass equals q279's
+    // oracle EXACTLY — the "did the type mix shift?" monitor runs
+    // online with k rows of state.
+    "q289_stream_anova" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "anova") { src =>
+        src.select(col("event_type").as("et"),
+            expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+          .groupBy("et")
+          .agg(count(lit(1)).as("ni"), sum("vc").as("si"),
+            sum(expr("vc * vc")).as("ssi"))
+      }
+      anovaAudit(s.createDataFrame(sink.rdd, sink.schema))
     })
   )
 
@@ -7220,6 +7228,45 @@ object SparkEntry {
        ELSE CAST(FLOOR(1000 * (3e0 * CAST(ssr2 AS DOUBLE)
            / (CAST(nb AS DOUBLE) * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))
          - 3e0 * CAST(nb AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))) AS BIGINT) END"""
+
+  /** q279/q289's shared oracle (streamed == batch — the HISTQ precedent):
+    * identical integer components (floored per-group quotient, the q267
+    * contract) + the SAME F/η² formula text. */
+  private lazy val ANOVA_ORACLE_SQL =
+    s"""WITH ev AS (SELECT event_type AS et,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       g AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS ni,
+           CAST(SUM(vc) AS BIGINT) AS si,
+           CAST(SUM(vc * vc) AS BIGINT) AS ssi FROM ev GROUP BY 1),
+       g2 AS (SELECT et, ni, si, ssi,
+           CAST(FLOOR((CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+             / CAST(ni AS DOUBLE)) AS BIGINT) AS q FROM g),
+       gl AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+           CAST(COUNT(*) AS BIGINT) AS kk, CAST(SUM(si) AS BIGINT) AS s1,
+           CAST(SUM(ssi) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qsum
+         FROM g2)
+       SELECT g2.et, g2.ni, g2.si, g2.ssi, g2.q, gl.nn, gl.kk,
+         CAST($ANOVA_F_MILLI_SQL AS BIGINT) AS f_milli,
+         CAST($ANOVA_ETA2_PPM_SQL AS BIGINT) AS eta2_ppm
+       FROM g2, gl"""
+
+  /** q279/q289's shared ANOVA post-pass over per-group moment rows
+    * (et, ni, si, ssi): the floored per-group quotient q, then the
+    * global F/η² row cross-joined back (s16: factored so the streamed
+    * q289 replays it over Complete-mode state). */
+  private def anovaAudit(moments: DataFrame): DataFrame = {
+    val g = moments
+      .withColumn("q", expr(
+        "CAST(FLOOR((CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) / " +
+        "CAST(ni AS DOUBLE)) AS BIGINT)"))
+      .localCheckpoint() // tiny (one row per type); referenced twice
+    val glob = g.agg(sum("ni").as("nn"), count(lit(1)).as("kk"),
+        sum("si").as("s1"), sum("ssi").as("ss"), sum("q").as("qsum"))
+      .withColumn("f_milli", expr(ANOVA_F_MILLI_SQL))
+      .withColumn("eta2_ppm", expr(ANOVA_ETA2_PPM_SQL))
+      .select("nn", "kk", "f_milli", "eta2_ppm")
+    g.select("et", "ni", "si", "ssi", "q").crossJoin(broadcast(glob))
+  }
 
   /** q124/q213/q288's Gi* z-score text over (wi, kk, s1, s2) — the one
     * shared double formula (s16: factored for the per-slice q288 reuse;
@@ -11213,24 +11260,10 @@ object SparkEntry {
          FROM $IMGTEX""",
 
     // ground truth: identical integer components (floored per-group
-    // quotient — the q267 contract) + the SAME F/η² formula text
-    "q279_anova" ->
-      s"""WITH ev AS (SELECT event_type AS et,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
-         g AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS ni,
-             CAST(SUM(vc) AS BIGINT) AS si,
-             CAST(SUM(vc * vc) AS BIGINT) AS ssi FROM ev GROUP BY 1),
-         g2 AS (SELECT et, ni, si, ssi,
-             CAST(FLOOR((CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
-               / CAST(ni AS DOUBLE)) AS BIGINT) AS q FROM g),
-         gl AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
-             CAST(COUNT(*) AS BIGINT) AS kk, CAST(SUM(si) AS BIGINT) AS s1,
-             CAST(SUM(ssi) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qsum
-           FROM g2)
-         SELECT g2.et, g2.ni, g2.si, g2.ssi, g2.q, gl.nn, gl.kk,
-           CAST($ANOVA_F_MILLI_SQL AS BIGINT) AS f_milli,
-           CAST($ANOVA_ETA2_PPM_SQL AS BIGINT) AS eta2_ppm
-         FROM g2, gl""",
+    // quotient — the q267 contract) + the SAME F/η² formula text;
+    // q289 streams the identical moments (streamed == batch)
+    "q279_anova" -> ANOVA_ORACLE_SQL,
+    "q289_stream_anova" -> ANOVA_ORACLE_SQL,
 
     // ground truth: q246's scorer + per-row quantized Brier terms + the
     // SAME Murphy-term formula text
