@@ -6957,6 +6957,40 @@ object SparkEntry {
             sum(expr("vc * vc")).as("ssi"))
       }
       anovaAudit(s.createDataFrame(sink.rdd, sink.schema))
+    }),
+
+    // ---------------- bootstrap confidence interval (r5 s16) ----------------
+    // Error bars for q186's headline per-type mean — DETERMINISTIC
+    // half-sample bootstrap (Efron 1979, public; the md5 machinery of
+    // q199): resample b ∈ [0, 52) keeps a row iff bit b of its 52
+    // event-id md5 bits is set (each resample an independent ~n/2
+    // subsample, content-stable under reshuffles), the 52 resample
+    // means rank exactly (milliDivSql, ties by b), and the CI is the
+    // 2nd/51st ranked mean (≈ the 2.5 %/97.5 % percentile at B = 52).
+    // The ×52 explode is map-side — partial aggregation combines it to
+    // types × 52 rows before any shuffle; everything after rides that
+    // bounded table.
+    "q290_bootstrap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"),
+          expr("CAST(CONV(SUBSTRING(md5(CAST(event_id AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h52"))
+      val res = ev
+        .withColumn("b", explode(expr("sequence(0, 51)")))
+        .where(expr("(h52 div CAST(POW(2, b) AS BIGINT)) % 2 = 1"))
+        .groupBy("et", "b")
+        .agg(count(lit(1)).as("nb"), sum("vc").as("sb"))
+        .withColumn("mean_milli", expr(milliDivSql("sb", "nb", "div")))
+        .localCheckpoint() // types × 52 rows; referenced twice (lo, hi)
+      val ranked = res.withColumn("rk", row_number().over(
+        Window.partitionBy("et").orderBy(col("mean_milli").asc, col("b").asc)))
+      ev.groupBy("et").agg(count(lit(1)).as("n"), sum("vc").as("sv"))
+        .withColumn("mean_all_milli", expr(milliDivSql("sv", "n", "div")))
+        .select("et", "n", "mean_all_milli")
+        .join(ranked.where(col("rk") === 2)
+          .select(col("et"), col("mean_milli").as("lo_milli")), "et")
+        .join(ranked.where(col("rk") === 51)
+          .select(col("et"), col("mean_milli").as("hi_milli")), "et")
     })
   )
 
@@ -11479,7 +11513,34 @@ object SparkEntry {
            FROM pv WHERE nt = 4)
          SELECT gx, gy, z0, z1, z2, z3, s_mk, n_hot,
            $EMERGING_CLASS_SQL AS class
-         FROM mk WHERE n_hot >= 1"""
+         FROM mk WHERE n_hot >= 1""",
+
+    // ground truth: identical md5 bit draws, the shared milli division
+    // ladder, and the same rank-2/rank-51 percentile convention
+    "q290_bootstrap" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h52
+           FROM events),
+         res AS (SELECT et, b, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(vc) AS BIGINT) AS sb
+           FROM ev, UNNEST(generate_series(0, 51)) AS u(b)
+           WHERE (h52 // CAST(POW(2, b) AS BIGINT)) % 2 = 1
+           GROUP BY 1, 2),
+         mm AS (SELECT et, b,
+             CAST(${milliDivSql("sb", "nb", "//")} AS BIGINT) AS mean_milli
+           FROM res),
+         rk AS (SELECT et, b, mean_milli,
+             ROW_NUMBER() OVER (PARTITION BY et ORDER BY mean_milli, b) AS rk
+           FROM mm),
+         f AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS sv FROM ev GROUP BY 1)
+         SELECT f.et, f.n,
+           CAST(${milliDivSql("f.sv", "f.n", "//")} AS BIGINT) AS mean_all_milli,
+           lo.mean_milli AS lo_milli, hi.mean_milli AS hi_milli
+         FROM f
+         JOIN rk lo ON lo.et = f.et AND lo.rk = 2
+         JOIN rk hi ON hi.et = f.et AND hi.rk = 51"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
