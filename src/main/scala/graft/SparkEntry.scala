@@ -6991,6 +6991,32 @@ object SparkEntry {
           .select(col("et"), col("mean_milli").as("lo_milli")), "et")
         .join(ranked.where(col("rk") === 51)
           .select(col("et"), col("mean_milli").as("hi_milli")), "et")
+    }),
+
+    // ---------------- 3-3-2 palette audit (r5 s16) ----------------
+    // Color-quantization planning for a palette export (GIF-style 8-bit
+    // 3-3-2): per image the EXACT distinct-code count, dominant code +
+    // count, the L1 quantization error the export would incur, and the
+    // dominant-color share (ppm over w·h — recomputed relationally in
+    // BOTH engines from different bases: the query from the kernel
+    // array + the images table, the oracle from the fixture columns, so
+    // the share arithmetic is cross-checked, not copied). Decode-once
+    // row-parallel kernel, histogram semantics pixel-order independent
+    // (PaletteSpec pins rot90 invariance + an independent groupBy
+    // reference).
+    "q291_palette" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgTex(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("pl", call_function("img_pal332",
+          call_function("img_rgb", col("bytes"))))
+        .select(col("image_id"),
+          expr("element_at(pl, 1)").as("pal_n"),
+          expr("element_at(pl, 2)").as("pal_top"),
+          expr("element_at(pl, 3)").as("pal_topc"),
+          expr("element_at(pl, 4)").as("pal_qerr"),
+          expr(ppmDivSql("element_at(pl, 3)",
+            "(CAST(w AS BIGINT) * CAST(h AS BIGINT))")).as("dom_ppm"))
     })
   )
 
@@ -11540,7 +11566,15 @@ object SparkEntry {
            lo.mean_milli AS lo_milli, hi.mean_milli AS hi_milli
          FROM f
          JOIN rk lo ON lo.et = f.et AND lo.rk = 2
-         JOIN rk hi ON hi.et = f.et AND hi.rk = 51"""
+         JOIN rk hi ON hi.et = f.et AND hi.rk = 51""",
+
+    // recompute-pinned (q230 contract) for the kernel columns; dom_ppm
+    // recomputed IN SQL from the fixture + the images table's w·h
+    "q291_palette" ->
+      s"""SELECT t.image_id, t.pal_n, t.pal_top, t.pal_topc, t.pal_qerr,
+           CAST(${ppmDivSqlI("t.pal_topc", "(CAST(i.w AS BIGINT) * CAST(i.h AS BIGINT))", "//")}
+             AS BIGINT) AS dom_ppm
+         FROM $IMGTEX t JOIN $IMG i ON i.image_id = t.image_id"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

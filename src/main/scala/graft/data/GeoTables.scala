@@ -680,7 +680,8 @@ object GeoTables {
                              lbp_n: Long, lbp_uniform: Long, lbp_top: Long, lbp_topc: Long,
                              ha_eval: Long, ha_pos: Long, ha_rmax: Long, ha_x: Long, ha_y: Long,
                              h0: Long, h1: Long, h2: Long, h3: Long, h4: Long, h5: Long,
-                             gray: Long)
+                             gray: Long,
+                             pal_n: Long, pal_top: Long, pal_topc: Long, pal_qerr: Long)
 
   /** Texture/corner/hue fixture through the SAME kernels the SQL surface
     * composes (img_lbp_hist / img_harris / img_hue_hist) — one decode
@@ -691,7 +692,8 @@ object GeoTables {
   def ensureImgTex(spark: SparkSession, sfDir: String): Unit = synchronized {
     ensure(spark, sfDir)
     val base = baseDir(sfDir)
-    if (Files.exists(Paths.get(s"$base/_IMGTEX_DONE"))) return
+    // v2 marker: the s16 palette columns force stale v1 fixtures to regen
+    if (Files.exists(Paths.get(s"$base/_IMGTEX2_DONE"))) return
     import spark.implicits._
     images(spark, sfDir)
       .select("image_id", "bytes")
@@ -711,12 +713,14 @@ object GeoTables {
         }
         val ha = Images.harris(w, h, rgb)
         val hu = Images.hueHist(rgb)
+        val pl = Images.pal332(rgb)
         ImgTexRow(id, n, uni, top, topc,
           ha(0), ha(1), ha(2), ha(3), ha(4),
-          hu(0), hu(1), hu(2), hu(3), hu(4), hu(5), hu(6))
+          hu(0), hu(1), hu(2), hu(3), hu(4), hu(5), hu(6),
+          pl(0), pl(1), pl(2), pl(3))
       }
       .write.mode("overwrite").parquet(imgTexPath(sfDir))
-    Files.createFile(Paths.get(s"$base/_IMGTEX_DONE"))
+    Files.createFile(Paths.get(s"$base/_IMGTEX2_DONE"))
   }
 
   def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"

@@ -971,6 +971,34 @@ object Images {
     out
   }
 
+  /** 3-3-2 palette audit of a decoded RGB buffer: [distinct palette
+    * codes used, dominant code (ties → smallest code), its count,
+    * Σ per-pixel |r−rc|+|g−gc|+|b−bc| against the bin centers
+    * rc = (r>>5)·32+16, gc = (g>>5)·32+16, bc = (b>>6)·64+32] — the
+    * exact L1 error an 8-bit palette export would incur. Pixel-order
+    * independent by construction (pure histogram). */
+  def pal332(rgb: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](256)
+    var qerr = 0L
+    var i = 0
+    while (i + 2 < rgb.length) {
+      val r = rgb(i) & 0xFF; val g = rgb(i + 1) & 0xFF; val b = rgb(i + 2) & 0xFF
+      hist(((r >> 5) << 5) | ((g >> 5) << 2) | (b >> 6)) += 1L
+      qerr += math.abs(r - ((r >> 5) * 32 + 16)) +
+        math.abs(g - ((g >> 5) * 32 + 16)) +
+        math.abs(b - ((b >> 6) * 64 + 32))
+      i += 3
+    }
+    var nd = 0L; var top = 0L; var topc = -1L
+    var c = 0
+    while (c < 256) {
+      if (hist(c) > 0) nd += 1
+      if (hist(c) > topc) { topc = hist(c); top = c }
+      c += 1
+    }
+    Array(nd, top, topc, qerr)
+  }
+
   def sharpness(w: Int, h: Int, rgb: Array[Byte]): Long = {
     if (w < 3 || h < 3 || w * h * 3 != rgb.length) return 0L
     val lum = new Array[Int](w * h)

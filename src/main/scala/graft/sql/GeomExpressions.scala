@@ -1297,6 +1297,17 @@ case class ImgHueHist(child: Expression) extends UnaryExpression with ExpectsInp
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** 3-3-2 palette audit [n_distinct, top_code, top_count, l1_qerr] over a
+  * decoded RGB buffer. */
+case class ImgPal332(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.imgPal332(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** 16-bin luma histogram (exposure profile) over a decoded RGB buffer. */
 case class ImgLumaHist16(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true
