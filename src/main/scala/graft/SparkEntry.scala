@@ -7017,6 +7017,30 @@ object SparkEntry {
           expr("element_at(pl, 4)").as("pal_qerr"),
           expr(ppmDivSql("element_at(pl, 3)",
             "(CAST(w AS BIGINT) * CAST(h AS BIGINT))")).as("dom_ppm"))
+    }),
+
+    // ---------------- dynamic time warping (r5 s16) ----------------
+    // Which event types follow the same temporal SHAPE even when their
+    // peaks drift by hours? — exact integer DTW (Sakoe–Chiba 1978,
+    // public; steps {up, left, diag}, cost |aᵢ−bⱼ|) between every type
+    // pair's hourly series. The O(n²)-per-pair DP is CALENDAR-bounded
+    // (n = spine hours, never data volume) and runs row-locally in the
+    // seq_dtw kernel over collect_list'd series — pairs = C(k, 2) rows
+    // total. The oracle replays the identical recurrence as a
+    // recursive-CTE anti-diagonal wavefront (each diagonal depends only
+    // on the previous two, carried as lists — no intra-step
+    // dependency), so engine and oracle walk different algorithmic
+    // shapes to the same exact integers; DtwSpec adds a third,
+    // full-table reference.
+    "q292_dtw" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val ser = hourlySpine(s, dir)
+        .groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(h, n))), x -> x.n)").as("sn"))
+      ser.as("a").join(ser.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          expr("CAST(size(a.sn) AS BIGINT)").as("n_hours"),
+          call_function("seq_dtw", col("a.sn"), col("b.sn")).as("dtw"))
     })
   )
 
@@ -7288,6 +7312,41 @@ object SparkEntry {
        ELSE CAST(FLOOR(1000 * (3e0 * CAST(ssr2 AS DOUBLE)
            / (CAST(nb AS DOUBLE) * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))
          - 3e0 * CAST(nb AS DOUBLE) * (CAST(kk AS DOUBLE) + 1e0))) AS BIGINT) END"""
+
+  /** q292's oracle: DTW as a recursive-CTE anti-diagonal wavefront.
+    * Cell (i, j) lives on diagonal d = i + j at list position
+    * j − max(1, d − n) + 1; its three predecessors sit on diagonals d−1
+    * (up: same j; left: j−1) and d−2 (diag: j−1). The guarded extract
+    * turns every out-of-rectangle neighbor into the kernel's INF
+    * (including idx < 1, which DuckDB would otherwise wrap to the list
+    * tail). n is the SHARED spine length, so the answer cell (n, n) is
+    * diagonal 2n's single entry. */
+  private lazy val dtwOracleSql: String = {
+    val INF = "2305843009213693951"
+    def at(lst: String, idx: String) =
+      s"COALESCE(CASE WHEN ($idx) >= 1 THEN $lst[CAST($idx AS BIGINT)] ELSE NULL END, $INF)"
+    val up = at("cur", "j - GREATEST(1, d - n) + 1")
+    val lf = at("cur", "j - 1 - GREATEST(1, d - n) + 1")
+    val dg = at("prev", "j - 1 - GREATEST(1, d - 1 - n) + 1")
+    s"""WITH RECURSIVE $HRS_SPINE_SQL,
+       ser AS MATERIALIZED (SELECT event_type, list(n ORDER BY h) AS sn,
+           CAST(COUNT(*) AS BIGINT) AS n FROM hrs GROUP BY 1),
+       pr AS MATERIALIZED (SELECT a.event_type AS ta, b.event_type AS tb,
+           a.sn AS sa, b.sn AS sb, a.n AS n
+         FROM ser a JOIN ser b ON a.event_type < b.event_type),
+       st(ta, tb, n, sa, sb, d, cur, prev) AS (
+         SELECT ta, tb, n, sa, sb, 2,
+           [CAST(abs(sa[1] - sb[1]) AS BIGINT)], CAST([] AS BIGINT[])
+         FROM pr
+         UNION ALL
+         SELECT ta, tb, n, sa, sb, d + 1,
+           list_transform(generate_series(GREATEST(1, d + 1 - n), LEAST(n, d)),
+             j -> CAST(abs(sa[d + 1 - j] - sb[j]) AS BIGINT)
+                  + LEAST($up, $lf, $dg)),
+           cur
+         FROM st WHERE d < 2 * n)
+       SELECT ta, tb, n AS n_hours, cur[1] AS dtw FROM st WHERE d = 2 * n"""
+  }
 
   /** q279/q289's shared oracle (streamed == batch — the HISTQ precedent):
     * identical integer components (floored per-group quotient, the q267
@@ -11574,7 +11633,13 @@ object SparkEntry {
       s"""SELECT t.image_id, t.pal_n, t.pal_top, t.pal_topc, t.pal_qerr,
            CAST(${ppmDivSqlI("t.pal_topc", "(CAST(i.w AS BIGINT) * CAST(i.h AS BIGINT))", "//")}
              AS BIGINT) AS dom_ppm
-         FROM $IMGTEX t JOIN $IMG i ON i.image_id = t.image_id"""
+         FROM $IMGTEX t JOIN $IMG i ON i.image_id = t.image_id""",
+
+    // ground truth: the identical DTW recurrence replayed as a
+    // recursive-CTE anti-diagonal wavefront — diagonal d+1 depends only
+    // on diagonals d and d−1 (carried as lists; no intra-diagonal
+    // dependency), out-of-rectangle neighbors pinned to the same INF
+    "q292_dtw" -> dtwOracleSql
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -743,4 +743,33 @@ object K {
   def imgGammaRgb(rgb: Array[Byte], gammaMilli: Int): Array[Byte] =
     Images.gammaRgb(rgb, gammaMilli)
   def imgChannelSums(rgb: Array[Byte]): Array[Long] = Images.channelSums(rgb)
+
+  /** Exact integer DTW distance (q292): steps {up, left, diag}, cost
+    * |aᵢ − bⱼ|, full (n, m) alignment. Rolling-row DP — O(n·m) time,
+    * O(m) space; series are calendar-bounded (the hourly spine), so the
+    * quadratic is bounded by history, never by data volume. Empty
+    * input → −1 (no alignment). INF = MaxValue/4 keeps c + best from
+    * wrapping. */
+  def seqDtw(a: Array[Long], b: Array[Long]): Long = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return -1L
+    val INF = Long.MaxValue / 4
+    val row = Array.fill(m + 1)(INF)
+    row(0) = 0L // D(0,0); D(0,j>0) = D(i>0,0) = INF
+    var i = 1
+    while (i <= n) {
+      var prevDiag = row(0) // D(i-1, j-1) as j advances
+      row(0) = INF
+      var j = 1
+      while (j <= m) {
+        val tmp = row(j) // D(i-1, j)
+        val best = math.min(math.min(row(j), row(j - 1)), prevDiag)
+        row(j) = math.abs(a(i - 1) - b(j - 1)) + best
+        prevDiag = tmp
+        j += 1
+      }
+      i += 1
+    }
+    row(m)
+  }
 }

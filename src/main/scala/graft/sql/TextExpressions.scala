@@ -466,3 +466,19 @@ case class TextBpeMerge(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }
+
+/** Exact integer dynamic-time-warping distance between two long series
+  * (q292): delegates to the rolling-row DP in graft.sql.K — per-pair
+  * row-local work, bounded by the calendar-length series. */
+case class SeqDtw(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.sql.K.seqDtw(a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
