@@ -7041,6 +7041,36 @@ object SparkEntry {
         .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
           expr("CAST(size(a.sn) AS BIGINT)").as("n_hours"),
           call_function("seq_dtw", col("a.sn"), col("b.sn")).as("dtw"))
+    }),
+
+    // ---------------- ROUGE-L variant scoring (r5 s16) ----------------
+    // The summarization/paraphrase eval next to q248's BLEU-2 (Lin 2004,
+    // public): per planted variant pair, the EXACT LCS length through
+    // the seq_lcs kernel, precision/recall over the token counts, and
+    // F1 = 2·lcs/(n_c + n_r) (the harmonic mean collapses to one exact
+    // integer ladder — no floating point anywhere). Work is one
+    // doc_id-equality join (never fuzzy) + a row-local DP bounded by
+    // token counts. The oracle replays the recurrence as the q292
+    // wavefront (GREATEST over the carried diagonals); LcsSpec pins the
+    // kernel to the textbook branch form.
+    "q293_rouge" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      val aug = GeoTables.docsAug(s, dir)
+        .select(col("doc_id"), expr(tokExpr("text")).as("ts"))
+      aug.where(col("doc_id") >= GeoTables.VARIANT_OFFSET)
+        .select((col("doc_id") - GeoTables.VARIANT_OFFSET).as("doc_id"),
+          col("ts").as("cts"))
+        .join(aug.where(col("doc_id") < GeoTables.VARIANT_OFFSET)
+          .select(col("doc_id"), col("ts").as("rts")), "doc_id")
+        .where(size(col("cts")) >= 1 && size(col("rts")) >= 1)
+        .withColumn("lcs", call_function("seq_lcs", col("cts"), col("rts")))
+        .select(col("doc_id"),
+          expr("CAST(size(cts) AS BIGINT)").as("n_c"),
+          expr("CAST(size(rts) AS BIGINT)").as("n_r"),
+          col("lcs"))
+        .withColumn("p_ppm", expr(ppmDivSql("lcs", "n_c")))
+        .withColumn("r_ppm", expr(ppmDivSql("lcs", "n_r")))
+        .withColumn("f1_ppm", expr(ppmDivSql("(2 * lcs)", "(n_c + n_r)")))
     })
   )
 
@@ -7346,6 +7376,42 @@ object SparkEntry {
            cur
          FROM st WHERE d < 2 * n)
        SELECT ta, tb, n AS n_hours, cur[1] AS dtw FROM st WHERE d = 2 * n"""
+  }
+
+  /** q293's oracle: LCS as the q292 anti-diagonal wavefront with
+    * max-composition. Out-of-rectangle neighbors coalesce to 0 — exactly
+    * the textbook L(0, j) = L(i, 0) = 0 boundary — and the per-pair
+    * rectangle is (nc, nr), so the answer cell (nc, nr) is diagonal
+    * nc + nr's single entry. */
+  private lazy val lcsOracleSql: String = {
+    def at(lst: String, idx: String) =
+      s"COALESCE(CASE WHEN ($idx) >= 1 THEN $lst[CAST($idx AS BIGINT)] ELSE NULL END, 0)"
+    val up = at("cur", "j - GREATEST(1, d - nc) + 1")
+    val lf = at("cur", "j - 1 - GREATEST(1, d - nc) + 1")
+    val dg = at("prev", "j - 1 - GREATEST(1, d - 1 - nc) + 1")
+    s"""WITH RECURSIVE tk AS MATERIALIZED (SELECT doc_id, ${tokSqlD("text")} AS ts FROM $DOCA),
+       pr AS MATERIALIZED (SELECT c.doc_id - 10000000 AS doc_id,
+           c.ts AS sa, r.ts AS sb,
+           CAST(len(c.ts) AS BIGINT) AS nc, CAST(len(r.ts) AS BIGINT) AS nr
+         FROM tk c JOIN tk r ON c.doc_id - 10000000 = r.doc_id
+         WHERE c.doc_id >= 10000000 AND len(c.ts) >= 1 AND len(r.ts) >= 1),
+       st(doc_id, nc, nr, sa, sb, d, cur, prev) AS (
+         SELECT doc_id, nc, nr, sa, sb, 2,
+           [CAST(CASE WHEN sa[1] = sb[1] THEN 1 ELSE 0 END AS BIGINT)],
+           CAST([] AS BIGINT[])
+         FROM pr
+         UNION ALL
+         SELECT doc_id, nc, nr, sa, sb, d + 1,
+           list_transform(generate_series(GREATEST(1, d + 1 - nc), LEAST(nr, d)),
+             j -> GREATEST($up, $lf,
+                  $dg + CAST(CASE WHEN sa[d + 1 - j] = sb[j] THEN 1 ELSE 0 END AS BIGINT))),
+           cur
+         FROM st WHERE d < nc + nr)
+       SELECT doc_id, nc AS n_c, nr AS n_r, cur[1] AS lcs,
+         CAST(${ppmDivSqlI("cur[1]", "nc", "//")} AS BIGINT) AS p_ppm,
+         CAST(${ppmDivSqlI("cur[1]", "nr", "//")} AS BIGINT) AS r_ppm,
+         CAST(${ppmDivSqlI("(2 * cur[1])", "(nc + nr)", "//")} AS BIGINT) AS f1_ppm
+       FROM st WHERE d = nc + nr"""
   }
 
   /** q279/q289's shared oracle (streamed == batch — the HISTQ precedent):
@@ -11639,7 +11705,12 @@ object SparkEntry {
     // recursive-CTE anti-diagonal wavefront — diagonal d+1 depends only
     // on diagonals d and d−1 (carried as lists; no intra-diagonal
     // dependency), out-of-rectangle neighbors pinned to the same INF
-    "q292_dtw" -> dtwOracleSql
+    "q292_dtw" -> dtwOracleSql,
+
+    // ground truth: the q292 wavefront with max-composition and
+    // 0-boundaries (which ARE the LCS base row/column), rectangular
+    // per-pair extents
+    "q293_rouge" -> lcsOracleSql
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

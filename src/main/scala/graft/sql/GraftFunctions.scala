@@ -234,6 +234,7 @@ object GraftFunctions {
     "text_token_count_bpe" -> (e => TextTokenCountBpe(e.head)),
     "text_bpe_merge" -> (e => TextBpeMerge(e(0), e(1), e(2))),
     "seq_dtw" -> (e => SeqDtw(e(0), e(1))),
+    "seq_lcs" -> (e => SeqLcs(e(0), e(1))),
     "text_fingerprint" -> (e => TextFingerprint(e.head)),
     "text_simhash" -> (e => TextSimhash(e.head)),
     "text_simhash128" -> (e => TextSimhash128(e.head)),

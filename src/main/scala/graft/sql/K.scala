@@ -750,6 +750,30 @@ object K {
     * quadratic is bounded by history, never by data volume. Empty
     * input → −1 (no alignment). INF = MaxValue/4 keeps c + best from
     * wrapping. */
+  /** Exact longest-common-subsequence length (q293 ROUGE-L): rolling-row
+    * DP in the oracle's GREATEST(up, left, diag + eq) form (equivalent
+    * to the textbook branch — LcsSpec pins both). Null elements compare
+    * unequal to everything. */
+  def seqLcs(a: Array[AnyRef], b: Array[AnyRef]): Long = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return 0L
+    val row = new Array[Long](m + 1) // row = L(i-1, *), zeros = L(0, *)
+    var i = 1
+    while (i <= n) {
+      var prevDiag = row(0) // L(i-1, j-1) as j advances
+      var j = 1
+      while (j <= m) {
+        val tmp = row(j) // L(i-1, j)
+        val eq = if (a(i - 1) != null && a(i - 1).equals(b(j - 1))) 1L else 0L
+        row(j) = math.max(math.max(row(j), row(j - 1)), prevDiag + eq)
+        prevDiag = tmp
+        j += 1
+      }
+      i += 1
+    }
+    row(m)
+  }
+
   def seqDtw(a: Array[Long], b: Array[Long]): Long = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return -1L

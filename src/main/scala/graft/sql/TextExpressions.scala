@@ -482,3 +482,19 @@ case class SeqDtw(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }
+
+/** Exact LCS length between two token arrays (q293 ROUGE-L): the same
+  * rolling-row shape as SeqDtw, max-composition instead of min. */
+case class SeqLcs(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.sql.K.seqLcs(
+      a.asInstanceOf[ArrayData].toObjectArray(StringType),
+      b.asInstanceOf[ArrayData].toObjectArray(StringType))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
