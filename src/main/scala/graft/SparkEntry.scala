@@ -7071,6 +7071,44 @@ object SparkEntry {
         .withColumn("p_ppm", expr(ppmDivSql("lcs", "n_c")))
         .withColumn("r_ppm", expr(ppmDivSql("lcs", "n_r")))
         .withColumn("f1_ppm", expr(ppmDivSql("(2 * lcs)", "(n_c + n_r)")))
+    }),
+
+    // ---------------- Viterbi regime decode (r5 s16) ----------------
+    // Two-state volume-regime segmentation of each type's hourly series
+    // (Viterbi 1967, public) — the decoded-path complement to q220's
+    // CUSUM score: regime levels are the EXACT rank-selected quartiles
+    // (single-row picks at ⌈m/4⌉-style ranks — no averaging, both
+    // engines cut the identical (n, h) order), per-hour cost |n − qₖ|,
+    // switch penalty λ = max(1, IQR/2), and the DP folds left-to-right
+    // carrying (cost, switches) per state with the deterministic
+    // stay-on-tie rule. Integer end-to-end; the oracle replays the
+    // identical recursion as a recursive CTE (the q272 Holt shape).
+    // Output: final regime (tie → low), its path cost and switch count.
+    "q294_viterbi" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val w = Window.partitionBy("event_type")
+      val ranked = hours
+        .withColumn("rn", row_number().over(w.orderBy(col("n").asc, col("h").asc)))
+        .withColumn("m", count(lit(1)).over(w))
+      val qs = ranked
+        .where(col("rn") === expr("GREATEST(1, (m + 2) div 4)")
+          || col("rn") === expr("GREATEST(1, (3 * m + 2) div 4)"))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === expr("GREATEST(1, (m + 2) div 4)"),
+            col("n"))).as("q25"),
+          min(when(col("rn") === expr("GREATEST(1, (3 * m + 2) div 4)"),
+            col("n"))).as("q75"))
+        .withColumn("lam", expr("GREATEST(1L, (q75 - q25) div 2)"))
+      hours.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+        .join(qs, "event_type")
+        .select(col("event_type"), expr("CAST(size(sn) AS BIGINT)").as("n_hours"),
+          col("q25"), col("q75"), col("lam"), expr(viterbiFoldSql).as("vs"))
+        .select(col("event_type"), col("n_hours"), col("q25"), col("q75"),
+          col("lam"),
+          expr("CASE WHEN vs.v0 <= vs.v1 THEN 0L ELSE 1L END").as("regime"),
+          expr("CASE WHEN vs.v0 <= vs.v1 THEN vs.s0 ELSE vs.s1 END").as("n_switches"),
+          expr("LEAST(vs.v0, vs.v1)").as("cost"))
     })
   )
 
@@ -7376,6 +7414,71 @@ object SparkEntry {
            cur
          FROM st WHERE d < 2 * n)
        SELECT ta, tb, n AS n_hours, cur[1] AS dtw FROM st WHERE d = 2 * n"""
+  }
+
+  /** q294's Spark-side Viterbi fold: one aggregate() over the sorted
+    * (h, n) series carrying (v0, s0, v1, s1) — best path cost and
+    * switch count per state, stay-on-tie (the q272 Holt fold shape). */
+  private val viterbiFoldSql: String = {
+    val nv0 = "ABS(x.n - q25) + LEAST(acc.v0, acc.v1 + lam)"
+    val ns0 = "CASE WHEN acc.v0 <= acc.v1 + lam THEN acc.s0 ELSE acc.s1 + 1 END"
+    val nv1 = "ABS(x.n - q75) + LEAST(acc.v1, acc.v0 + lam)"
+    val ns1 = "CASE WHEN acc.v1 <= acc.v0 + lam THEN acc.s1 ELSE acc.s0 + 1 END"
+    s"""aggregate(
+       slice(sn, 2, size(sn) - 1),
+       named_struct('v0', CAST(ABS(sn[0].n - q25) AS BIGINT), 's0', 0L,
+                    'v1', CAST(ABS(sn[0].n - q75) AS BIGINT), 's1', 0L),
+       (acc, x) -> named_struct(
+         'v0', CAST($nv0 AS BIGINT), 's0', CAST($ns0 AS BIGINT),
+         'v1', CAST($nv1 AS BIGINT), 's1', CAST($ns1 AS BIGINT)))"""
+  }
+
+  /** q294's oracle: the identical integer Viterbi recursion replayed as
+    * a DuckDB recursive CTE over the shared spine (the q272 shape) —
+    * same rank-selected quartiles, same stay-on-tie comparisons. */
+  private lazy val viterbiOracleSql: String = {
+    val nv0 = "ABS(x.n - q.q25) + LEAST(st.v0, st.v1 + q.lam)"
+    val ns0 = "CASE WHEN st.v0 <= st.v1 + q.lam THEN st.s0 ELSE st.s1 + 1 END"
+    val nv1 = "ABS(x.n - q.q75) + LEAST(st.v1, st.v0 + q.lam)"
+    val ns1 = "CASE WHEN st.v1 <= st.v0 + q.lam THEN st.s1 ELSE st.s0 + 1 END"
+    s"""WITH RECURSIVE $HRS_SPINE_SQL,
+       rkd AS (SELECT event_type, h, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, h) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+         FROM hrs),
+       qs AS (SELECT event_type,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, (m + 2) // 4) THEN n END)
+             AS BIGINT) AS q25,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, (3 * m + 2) // 4) THEN n END)
+             AS BIGINT) AS q75
+         FROM rkd GROUP BY 1),
+       q2 AS (SELECT event_type, q25, q75,
+           CAST(GREATEST(1, (q75 - q25) // 2) AS BIGINT) AS lam FROM qs),
+       idx AS (SELECT event_type, h, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1 AS rn
+         FROM hrs),
+       mx AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh
+         FROM hrs GROUP BY 1),
+       st AS (
+         SELECT i0.event_type, CAST(0 AS BIGINT) AS rn,
+           CAST(ABS(i0.n - q.q25) AS BIGINT) AS v0, CAST(0 AS BIGINT) AS s0,
+           CAST(ABS(i0.n - q.q75) AS BIGINT) AS v1, CAST(0 AS BIGINT) AS s1
+         FROM idx i0 JOIN q2 q ON q.event_type = i0.event_type
+         WHERE i0.rn = 0
+         UNION ALL
+         SELECT x.event_type, CAST(x.rn AS BIGINT),
+           CAST($nv0 AS BIGINT), CAST($ns0 AS BIGINT),
+           CAST($nv1 AS BIGINT), CAST($ns1 AS BIGINT)
+         FROM st JOIN idx x ON x.event_type = st.event_type
+           AND x.rn = st.rn + 1
+         JOIN q2 q ON q.event_type = st.event_type)
+       SELECT st.event_type, mx.nh AS n_hours, q2.q25, q2.q75, q2.lam,
+         CAST(CASE WHEN v0 <= v1 THEN 0 ELSE 1 END AS BIGINT) AS regime,
+         CAST(CASE WHEN v0 <= v1 THEN s0 ELSE s1 END AS BIGINT) AS n_switches,
+         CAST(LEAST(v0, v1) AS BIGINT) AS cost
+       FROM st JOIN mx ON mx.event_type = st.event_type
+       JOIN q2 ON q2.event_type = st.event_type
+       WHERE st.rn = mx.nh - 1"""
   }
 
   /** q293's oracle: LCS as the q292 anti-diagonal wavefront with
@@ -11710,7 +11813,11 @@ object SparkEntry {
     // ground truth: the q292 wavefront with max-composition and
     // 0-boundaries (which ARE the LCS base row/column), rectangular
     // per-pair extents
-    "q293_rouge" -> lcsOracleSql
+    "q293_rouge" -> lcsOracleSql,
+
+    // ground truth: identical rank-selected quartiles + the identical
+    // integer Viterbi recursion as a recursive CTE (q272 shape)
+    "q294_viterbi" -> viterbiOracleSql
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
