@@ -7109,6 +7109,82 @@ object SparkEntry {
           expr("CASE WHEN vs.v0 <= vs.v1 THEN 0L ELSE 1L END").as("regime"),
           expr("CASE WHEN vs.v0 <= vs.v1 THEN vs.s0 ELSE vs.s1 END").as("n_switches"),
           expr("LEAST(vs.v0, vs.v1)").as("cost"))
+    }),
+
+    // ---------------- Brown–Forsythe spread test (r5 s17) ----------------
+    // Homogeneity-of-variance check UNDER q279's ANOVA — the assumption
+    // audit that decides whether the F test's pooled denominator is
+    // even meaningful (Brown & Forsythe 1974, public; the
+    // median-centered Levene variant). Per-event deviation z2 =
+    // |2·vc − med2(type)| stays exact through the doubled-median
+    // machinery (med2By — rank-selected middle rows, never averaged
+    // floats), then the SAME one-way ANOVA post-pass runs on the
+    // deviations (anovaAudit — shared F/η² formula text). Work = one
+    // median window + one moment aggregate; group count is
+    // type-bounded.
+    "q295_levene" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("et"), col("event_id").as("h"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val dev = ev.join(med2By(ev, Seq("et"), "vc", "med2"), "et")
+        .withColumn("z2", abs(col("vc") * 2 - col("med2")))
+      anovaAudit(dev.groupBy("et")
+        .agg(count(lit(1)).as("ni"), sum("z2").as("si"),
+          sum(expr("z2 * z2")).as("ssi")))
+        .withColumnRenamed("f_milli", "bf_milli")
+    }),
+
+    // ---------------- McNemar paired-classifier test (r5 s17) ----------------
+    // Which of two quality gates should ship? — the paired test on the
+    // SAME documents (McNemar 1947, public): classifier A = q246's
+    // deterministic scorer at conf ≥ 2¹⁹, classifier B = the length
+    // heuristic ntok ≥ 56 (the corpus median), ground truth = the
+    // synthetic Bernoulli(conf²) label. Only the discordant counts
+    // matter: χ² = (b − c)²/(b + c), exact integers end-to-end with
+    // the milli ladder (numerator is a square — never negative). One
+    // scan, one global aggregate.
+    "q296_mcnemar" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(expr(MD5CONF_SQL("div")).as("conf"),
+          expr(MD5V20_SQL("div")).as("v20"),
+          expr(s"size(${tokExpr("text")})").as("ntok"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .withColumn("ca", (col("conf") >= 524288L).cast("long"))
+        .withColumn("cb", (col("ntok") >= 56).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN ca = lbl AND cb <> lbl THEN 1L ELSE 0L END")).as("b"),
+          sum(expr("CASE WHEN ca <> lbl AND cb = lbl THEN 1L ELSE 0L END")).as("c"),
+          sum(expr("CASE WHEN ca = lbl THEN 1L ELSE 0L END")).as("n_a_ok"),
+          sum(expr("CASE WHEN cb = lbl THEN 1L ELSE 0L END")).as("n_b_ok"))
+        .withColumn("chi2_milli", expr(
+          s"""CASE WHEN b + c = 0 THEN NULL
+             ELSE ${milliDivSql("(b - c) * (b - c)", "(b + c)", "div")} END"""))
+    }),
+
+    // ---------------- Cochran's Q (r5 s17) ----------------
+    // Do k=3 binary curation gates agree beyond chance across the same
+    // documents? (Cochran 1950, public — the k-treatment extension of
+    // McNemar.) Gates: f1 = n_chars ≥ 280, f2 = text mentions 'spark'
+    // (a topic gate), f3 = ntok ≥ 56. The statistic clears to pure
+    // integers:
+    // Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²) with column totals Cⱼ,
+    // per-doc row totals Rᵢ, N = ΣCⱼ — numerator ≥ 0 by Cauchy–Schwarz,
+    // milli ladder, NULL on the degenerate all-{0,k} denominator. One
+    // scan; ΣRᵢ² rides the same aggregate.
+    "q297_cochranq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select((col("n_chars") >= 280).cast("long").as("f1"),
+          expr("CASE WHEN text LIKE '%spark%' THEN 1L ELSE 0L END").as("f2"),
+          (expr(s"size(${tokExpr("text")})") >= 56).cast("long").as("f3"))
+        .withColumn("r", expr("f1 + f2 + f3"))
+        .agg(count(lit(1)).as("n_docs"), sum("f1").as("c1"),
+          sum("f2").as("c2"), sum("f3").as("c3"),
+          sum(expr("r * r")).as("sr2"))
+        .withColumn("nn", expr("c1 + c2 + c3"))
+        .withColumn("q_milli", expr(
+          s"""CASE WHEN 3 * nn - sr2 = 0 THEN NULL
+             ELSE ${milliDivSql("2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nn * nn)",
+               "(3 * nn - sr2)", "div")} END"""))
     })
   )
 
@@ -11817,7 +11893,77 @@ object SparkEntry {
 
     // ground truth: identical rank-selected quartiles + the identical
     // integer Viterbi recursion as a recursive CTE (q272 shape)
-    "q294_viterbi" -> viterbiOracleSql
+    "q294_viterbi" -> viterbiOracleSql,
+
+    // ground truth: identical doubled-median deviations (ranked middle
+    // rows, event_id tiebreak) + the SAME shared F/η² formula text over
+    // the deviation moments
+    "q295_levene" ->
+      s"""WITH ev AS (SELECT event_type AS et, event_id AS h,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         r1 AS (SELECT et, h, vc,
+             ROW_NUMBER() OVER (PARTITION BY et ORDER BY vc, h) AS rn,
+             COUNT(*) OVER (PARTITION BY et) AS m FROM ev),
+         md AS (SELECT et, CAST(SUM(vc) * 2 // COUNT(*) AS BIGINT) AS med2
+           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1),
+         z AS (SELECT ev.et, ABS(ev.vc * 2 - md.med2) AS z2
+           FROM ev JOIN md ON md.et = ev.et),
+         g AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(z2) AS BIGINT) AS si,
+             CAST(SUM(z2 * z2) AS BIGINT) AS ssi FROM z GROUP BY 1),
+         g2 AS (SELECT et, ni, si, ssi,
+             CAST(FLOOR((CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+               / CAST(ni AS DOUBLE)) AS BIGINT) AS q FROM g),
+         gl AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS kk, CAST(SUM(si) AS BIGINT) AS s1,
+             CAST(SUM(ssi) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS qsum
+           FROM g2)
+         SELECT g2.et, g2.ni, g2.si, g2.ssi, g2.q, gl.nn, gl.kk,
+           CAST($ANOVA_F_MILLI_SQL AS BIGINT) AS bf_milli,
+           CAST($ANOVA_ETA2_PPM_SQL AS BIGINT) AS eta2_ppm
+         FROM g2, gl""",
+
+    // ground truth: same scorer/label/heuristic definitions, same
+    // discordant-count χ² milli ladder
+    "q296_mcnemar" ->
+      s"""WITH d AS (SELECT ${MD5CONF_SQL("//")} AS conf,
+             ${MD5V20_SQL("//")} AS v20,
+             len(${tokSqlD("text")}) AS ntok, text FROM documents),
+         f AS (SELECT conf, v20, ntok,
+             CASE WHEN v20 < (conf * conf) // 1048576 THEN 1 ELSE 0 END AS lbl,
+             CASE WHEN conf >= 524288 THEN 1 ELSE 0 END AS ca,
+             CASE WHEN ntok >= 56 THEN 1 ELSE 0 END AS cb FROM d),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ca = lbl AND cb <> lbl THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN ca <> lbl AND cb = lbl THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN ca = lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_a_ok,
+             CAST(SUM(CASE WHEN cb = lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_b_ok
+           FROM f)
+         SELECT n, b, c, n_a_ok, n_b_ok,
+           CAST(CASE WHEN b + c = 0 THEN NULL
+             ELSE ${milliDivSql("(b - c) * (b - c)", "(b + c)", "//")} END
+             AS BIGINT) AS chi2_milli
+         FROM ag""",
+
+    // ground truth: same three gate definitions, same integer-cleared
+    // Q = (k−1)(kΣCⱼ²−N²)/(kN−ΣRᵢ²) milli ladder
+    "q297_cochranq" ->
+      s"""WITH f AS (SELECT
+             CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS f2,
+             CASE WHEN len(${tokSqlD("text")}) >= 56 THEN 1 ELSE 0 END AS f3
+           FROM documents),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(f1) AS BIGINT) AS c1, CAST(SUM(f2) AS BIGINT) AS c2,
+             CAST(SUM(f3) AS BIGINT) AS c3,
+             CAST(SUM((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT) AS sr2
+           FROM f),
+         a2 AS (SELECT n_docs, c1, c2, c3, sr2, c1 + c2 + c3 AS nn FROM ag)
+         SELECT n_docs, c1, c2, c3, sr2, nn,
+           CAST(CASE WHEN 3 * nn - sr2 = 0 THEN NULL
+             ELSE ${milliDivSql("2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nn * nn)",
+               "(3 * nn - sr2)", "//")} END AS BIGINT) AS q_milli
+         FROM a2"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
