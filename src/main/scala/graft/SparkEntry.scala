@@ -195,6 +195,84 @@ object SparkEntry {
         (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
   }
 
+  /** q215/q298's shared oracle (streamed == batch — the HISTQ/ANOVA
+    * precedent): identical lag-pair integer sums + the SAME ratio text. */
+  private lazy val ACF_ORACLE_SQL =
+    s"""WITH $HRS_SPINE_SQL,
+       g AS (SELECT event_type, COUNT(*) AS m, CAST(SUM(n) AS BIGINT) AS s1,
+           CAST(SUM(n * n) AS BIGINT) AS s2 FROM hrs GROUP BY 1),
+       p AS (SELECT a.event_type, l AS lag, COUNT(*) AS cnt,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+           CAST(SUM(a.n) AS BIGINT) AS sh, CAST(SUM(b.n) AS BIGINT) AS st
+         FROM hrs a, UNNEST(generate_series(1, 24)) AS u(l)
+         JOIN hrs b ON b.event_type = a.event_type AND b.h = a.h + l
+         GROUP BY 1, 2)
+       SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.cnt, p.sxy, p.sh, p.st,
+         $ACF_PPM_SQL AS acf_ppm
+       FROM p JOIN g ON p.event_type = g.event_type"""
+
+  /** q214/q299's shared oracle: identical trend window + doubled-median
+    * seasonal + integer residual identity. */
+  private lazy val DECOMP_ORACLE_SQL =
+    s"""WITH $HRS_SPINE_SQL,
+       t AS (SELECT event_type, h, h % 24 AS hod, n,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS sum25,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cnt25
+         FROM hrs),
+       tf AS (SELECT event_type, h, hod, n, sum25, n * 50 - sum25 * 2 AS dt50
+         FROM t WHERE cnt25 = 25),
+       r1 AS (SELECT event_type, hod, h, dt50,
+           ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY dt50, h) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, hod) AS m FROM tf),
+       sea AS (SELECT event_type, hod, CAST(SUM(dt50) * 2 // COUNT(*) AS BIGINT) AS sea100
+         FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2)
+       SELECT tf.event_type, CAST(tf.h AS BIGINT) AS h, CAST(tf.hod AS BIGINT) AS hod,
+         tf.n, CAST(tf.sum25 AS BIGINT) AS sum25, CAST(tf.dt50 AS BIGINT) AS dt50,
+         sea.sea100,
+         CAST(tf.n * 100 - tf.sum25 * 4 - sea.sea100 AS BIGINT) AS res100
+       FROM tf JOIN sea ON tf.event_type = sea.event_type AND tf.hod = sea.hod"""
+
+  /** q215/q298's exact ACF lags 1–24 over an (event_type, h, n) series:
+    * mean-centered lag-pair/boundary sums as integers, one shared double
+    * ratio ppm (s17: factored so the streamed q298 replays it over
+    * Complete-mode state — the q193/q217 pattern). */
+  private def acfAudit(hours: DataFrame): DataFrame = {
+    val glob = hours.groupBy("event_type").agg(count(lit(1)).as("m"),
+      sum("n").as("s1"), sum(expr("n * n")).as("s2"))
+    val a = hours
+      .select(col("event_type"), col("h"), col("n").as("na"))
+      .withColumn("lag", explode(expr("sequence(1L, 24L)")))
+      .withColumn("hb", col("h") + col("lag"))
+    val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
+    a.join(b, Seq("event_type", "hb"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("cnt"), sum(expr("na * nb")).as("sxy"),
+        sum("na").as("sh"), sum("nb").as("st"))
+      .join(broadcast(glob), "event_type")
+      .select(col("event_type"), col("lag"), col("cnt"), col("sxy"),
+        col("sh"), col("st"), expr(ACF_PPM_SQL).as("acf_ppm"))
+  }
+
+  /** q214/q299's exact classical decomposition over an (event_type, h, n)
+    * series: centered 25-hour trend window, per-(type, hod) doubled-median
+    * seasonal, integer residual (100·n = 4·sum25 + sea100 + res100). */
+  private def decomposeAudit(hours: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    val t = hours
+      .withColumn("sum25", sum("n").over(w))
+      .withColumn("cnt25", count(lit(1)).over(w))
+      .where(col("cnt25") === 25)
+      .withColumn("hod", col("h") % 24)
+      .withColumn("dt50", col("n") * 50 - col("sum25") * 2)
+    t.join(med2By(t, Seq("event_type", "hod"), "dt50", "sea100"),
+        Seq("event_type", "hod"))
+      .select(col("event_type"), col("h"), col("hod"), col("n"), col("sum25"),
+        col("dt50"), col("sea100"),
+        (col("n") * 100 - col("sum25") * 4 - col("sea100")).as("res100"))
+  }
+
   /** q220's exact CUSUM over an (event_type, h, n) series: integer
     * mean-centering y = H·n − S, prefix sums U, and the running-extremum
     * closed form of Page's recursive S⁺ = max(0, S⁺+y) / S⁻. */
@@ -4721,23 +4799,7 @@ object SparkEntry {
     // ratio is ONE shared double formula over them (the q124/q203
     // contract). One self-join keyed on the hour, 24× literal explode —
     // calendar-bounded like the whole spine family.
-    "q215_acf" -> ((s, dir) => {
-      val hours = hourlySpine(s, dir)
-      val glob = hours.groupBy("event_type").agg(count(lit(1)).as("m"),
-        sum("n").as("s1"), sum(expr("n * n")).as("s2"))
-      val a = hours
-        .select(col("event_type"), col("h"), col("n").as("na"))
-        .withColumn("lag", explode(expr("sequence(1L, 24L)")))
-        .withColumn("hb", col("h") + col("lag"))
-      val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
-      a.join(b, Seq("event_type", "hb"))
-        .groupBy("event_type", "lag")
-        .agg(count(lit(1)).as("cnt"), sum(expr("na * nb")).as("sxy"),
-          sum("na").as("sh"), sum("nb").as("st"))
-        .join(broadcast(glob), "event_type")
-        .select(col("event_type"), col("lag"), col("cnt"), col("sxy"),
-          col("sh"), col("st"), expr(ACF_PPM_SQL).as("acf_ppm"))
-    }),
+    "q215_acf" -> ((s, dir) => acfAudit(hourlySpine(s, dir))),
 
     // ---------------- seasonal-trend decomposition (r5 s13) ----------------
     // Classical decomposition of the hourly volume series, EXACT: trend
@@ -4748,20 +4810,7 @@ object SparkEntry {
     // detrended, ×100 for seasonal/residual: 100·n = 4·sum25 + sea100 +
     // res100 identically). Edges without a full window are dropped in
     // both engines. One window pass + the med2By machinery.
-    "q214_decompose" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
-      val t = hourlySpine(s, dir)
-        .withColumn("sum25", sum("n").over(w))
-        .withColumn("cnt25", count(lit(1)).over(w))
-        .where(col("cnt25") === 25)
-        .withColumn("hod", col("h") % 24)
-        .withColumn("dt50", col("n") * 50 - col("sum25") * 2)
-      t.join(med2By(t, Seq("event_type", "hod"), "dt50", "sea100"),
-          Seq("event_type", "hod"))
-        .select(col("event_type"), col("h"), col("hod"), col("n"), col("sum25"),
-          col("dt50"), col("sea100"),
-          (col("n") * 100 - col("sum25") * 4 - col("sea100")).as("res100"))
-    }),
+    "q214_decompose" -> ((s, dir) => decomposeAudit(hourlySpine(s, dir))),
 
     // ---------------- histogram equalization (r5 s13) ----------------
     // Exposure normalization as an EXACT kernel: per-channel integer
@@ -7185,6 +7234,35 @@ object SparkEntry {
           s"""CASE WHEN 3 * nn - sr2 = 0 THEN NULL
              ELSE ${milliDivSql("2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nn * nn)",
                "(3 * nn - sr2)", "div")} END"""))
+    }),
+
+    // ---------------- streamed ACF (r5 s17) ----------------
+    // q215's autocorrelation function fed by Complete-mode streamed
+    // (type, hour) counts — streamed==batch member ELEVEN: the online
+    // seasonality monitor. State rides distinct (type, hour) rows
+    // (calendar-bounded); the post-pass is acfAudit, the SAME code and
+    // the SAME oracle as q215.
+    "q298_stream_acf" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "acf") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      acfAudit(spineFromCounts(s, sink))
+    }),
+
+    // ---------------- streamed seasonal-trend decomposition (r5 s17) ----------------
+    // q214's classical decomposition over the streamed spine —
+    // streamed==batch member TWELVE: trend/seasonal/residual split
+    // maintained online from the same calendar-bounded hourly state.
+    // Post-pass = decomposeAudit, oracle = q214's.
+    "q299_stream_decompose" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "decomp") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      decomposeAudit(spineFromCounts(s, sink))
     })
   )
 
@@ -10477,40 +10555,9 @@ object SparkEntry {
              ELSE -(((disc - conc) * 1000000) // n_pairs) END AS BIGINT) AS tau_ppm
          FROM c""",
 
-    "q215_acf" ->
-      s"""WITH $HRS_SPINE_SQL,
-         g AS (SELECT event_type, COUNT(*) AS m, CAST(SUM(n) AS BIGINT) AS s1,
-             CAST(SUM(n * n) AS BIGINT) AS s2 FROM hrs GROUP BY 1),
-         p AS (SELECT a.event_type, l AS lag, COUNT(*) AS cnt,
-             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
-             CAST(SUM(a.n) AS BIGINT) AS sh, CAST(SUM(b.n) AS BIGINT) AS st
-           FROM hrs a, UNNEST(generate_series(1, 24)) AS u(l)
-           JOIN hrs b ON b.event_type = a.event_type AND b.h = a.h + l
-           GROUP BY 1, 2)
-         SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.cnt, p.sxy, p.sh, p.st,
-           $ACF_PPM_SQL AS acf_ppm
-         FROM p JOIN g ON p.event_type = g.event_type""",
+    "q215_acf" -> ACF_ORACLE_SQL,
 
-    "q214_decompose" ->
-      s"""WITH $HRS_SPINE_SQL,
-         t AS (SELECT event_type, h, h % 24 AS hod, n,
-             SUM(n) OVER (PARTITION BY event_type ORDER BY h
-               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS sum25,
-             COUNT(*) OVER (PARTITION BY event_type ORDER BY h
-               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cnt25
-           FROM hrs),
-         tf AS (SELECT event_type, h, hod, n, sum25, n * 50 - sum25 * 2 AS dt50
-           FROM t WHERE cnt25 = 25),
-         r1 AS (SELECT event_type, hod, h, dt50,
-             ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY dt50, h) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type, hod) AS m FROM tf),
-         sea AS (SELECT event_type, hod, CAST(SUM(dt50) * 2 // COUNT(*) AS BIGINT) AS sea100
-           FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2)
-         SELECT tf.event_type, CAST(tf.h AS BIGINT) AS h, CAST(tf.hod AS BIGINT) AS hod,
-           tf.n, CAST(tf.sum25 AS BIGINT) AS sum25, CAST(tf.dt50 AS BIGINT) AS dt50,
-           sea.sea100,
-           CAST(tf.n * 100 - tf.sum25 * 4 - sea.sea100 AS BIGINT) AS res100
-         FROM tf JOIN sea ON tf.event_type = sea.event_type AND tf.hod = sea.hod""",
+    "q214_decompose" -> DECOMP_ORACLE_SQL,
 
     // ground truth: the recompute-pinned img_wb fixture, identical
     // integer gains and first-max tint rule
@@ -11963,7 +12010,14 @@ object SparkEntry {
            CAST(CASE WHEN 3 * nn - sr2 = 0 THEN NULL
              ELSE ${milliDivSql("2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nn * nn)",
                "(3 * nn - sr2)", "//")} END AS BIGINT) AS q_milli
-         FROM a2"""
+         FROM a2""",
+
+    // ground truth: the SAME oracle as q215 — streamed == batch is the
+    // whole claim (eleventh member)
+    "q298_stream_acf" -> ACF_ORACLE_SQL,
+
+    // ground truth: the SAME oracle as q214 (twelfth member)
+    "q299_stream_decompose" -> DECOMP_ORACLE_SQL
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
