@@ -195,6 +195,62 @@ object SparkEntry {
         (col("dev2") * lit(100000L) > col("mad4") * lit(185325L)).as("anom"))
   }
 
+  /** q249/q300's shared oracle prelude: brute-force exact cosine top-10
+    * per probe + label relevance — CTEs e/pairs/top/lab/lc/ql ending at
+    * the judged table j(q_vec, n_same, pos, rel). */
+  private lazy val RETR_JUDGED_SQL =
+    s"""e AS (SELECT vec_id, embedding,
+         list_sum(list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
+              * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS nrm
+         FROM embeddings),
+       pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
+         list_sum(list_transform(list_zip(q.embedding, p.embedding),
+           s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
+              * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS dot_q,
+         q.nrm AS q_nrm, p.nrm AS p_nrm
+         FROM e q, e p WHERE q.vec_id < 50),
+       top AS (SELECT q_vec, p_vec, rank FROM (
+         SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
+           ORDER BY CAST(dot_q AS DOUBLE)/SQRT(CAST(q_nrm AS DOUBLE)*CAST(p_nrm AS DOUBLE)) DESC,
+                    p_vec ASC) AS BIGINT) AS rank
+         FROM pairs) WHERE rank BETWEEN 2 AND 11),
+       lab AS (SELECT vec_id, label FROM embeddings),
+       lc AS (SELECT label, COUNT(*) AS n_lab FROM lab GROUP BY 1),
+       ql AS (SELECT l.vec_id AS q_vec, l.label AS q_label,
+           CAST(lc.n_lab - 1 AS BIGINT) AS n_same
+         FROM lab l JOIN lc ON l.label = lc.label),
+       j AS (SELECT t.q_vec, ql.n_same, t.rank - 1 AS pos,
+           CASE WHEN pl.label = ql.q_label THEN 1 ELSE 0 END AS rel
+         FROM top t JOIN lab pl ON pl.vec_id = t.p_vec
+         JOIN ql ON ql.q_vec = t.q_vec)"""
+
+  /** q301's N_h·S_h weight = √(v2·n/(n−1)) floor-quantized — ONE shared
+    * sqrt text (q205 contract); 0 on a degenerate single-row stratum. */
+  private val NEYMAN_WQ_SQL =
+    """CASE WHEN ni < 2 THEN 0
+       ELSE CAST(FLOOR(SQRT(CAST(v2 AS DOUBLE) * CAST(ni AS DOUBLE)
+         / (CAST(ni AS DOUBLE) - 1e0))) AS BIGINT) END"""
+
+  /** q249/q300's shared judged-retrieval prelude: exact IVF top-10 per
+    * probe (vec_id < 50), positions 1–10 labeled rel ∈ {0, 1} by
+    * query-label match, n_same = achievable relevant count (s17:
+    * factored so MRR/hit-rate ride the same ranking the nDCG row
+    * proved). */
+  private def retrievalJudged(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val lab = emb.select(col("vec_id"), col("label"))
+    val ql = lab.join(lab.groupBy("label").agg(count(lit(1)).as("n_lab")), "label")
+      .select(col("vec_id").as("q_vec"), col("label").as("q_label"),
+        (col("n_lab") - 1).as("n_same"))
+    graft.join.AnnIndex.topK(emb, col("vec_id") < 50, k = 11)
+      .where(col("rank") >= 2)
+      .join(lab.select(col("vec_id").as("p_vec"), col("label").as("p_label")), "p_vec")
+      .join(ql, "q_vec")
+      .withColumn("pos", col("rank") - 1)
+      .withColumn("rel", (col("p_label") === col("q_label")).cast("long"))
+  }
+
   /** q215/q298's shared oracle (streamed == batch — the HISTQ/ANOVA
     * precedent): identical lag-pair integer sums + the SAME ratio text. */
   private lazy val ACF_ORACLE_SQL =
@@ -5854,17 +5910,7 @@ object SparkEntry {
     // agreement: hits@10, DCG and ideal-DCG in micro units via the ONE
     // shared 1/log2(pos+1) term text over integer positions.
     "q249_retrieval" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val lab = emb.select(col("vec_id"), col("label"))
-      val ql = lab.join(lab.groupBy("label").agg(count(lit(1)).as("n_lab")), "label")
-        .select(col("vec_id").as("q_vec"), col("label").as("q_label"),
-          (col("n_lab") - 1).as("n_same"))
-      graft.join.AnnIndex.topK(emb, col("vec_id") < 50, k = 11)
-        .where(col("rank") >= 2)
-        .join(lab.select(col("vec_id").as("p_vec"), col("label").as("p_label")), "p_vec")
-        .join(ql, "q_vec")
-        .withColumn("pos", col("rank") - 1)
-        .withColumn("rel", (col("p_label") === col("q_label")).cast("long"))
+      retrievalJudged(s, dir)
         .withColumn("dg", col("rel") * expr(dcgTermMicroSql("pos")))
         .groupBy("q_vec", "n_same")
         .agg(sum("rel").as("hits10"), sum("dg").as("dcg_micro"))
@@ -7263,6 +7309,47 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
       }
       decomposeAudit(spineFromCounts(s, sink))
+    }),
+
+    // ---------------- retrieval MRR / hit-rate (r5 s17) ----------------
+    // The leaderboard metrics next to q249's nDCG, over the SAME judged
+    // ranking (retrievalJudged — exact IVF top-10, label relevance):
+    // first relevant position per probe, reciprocal rank in exact
+    // micro units (10⁶ div pos — identical trunc division both
+    // engines), hit@1 / hit@3. Zero-relevant probes are rows too
+    // (rr_micro = 0) — the metric a recall dashboard actually averages.
+    "q300_mrr" -> ((s, dir) => {
+      retrievalJudged(s, dir)
+        .groupBy("q_vec", "n_same")
+        .agg(min(when(col("rel") === 1L, col("pos"))).as("first_rel_pos"))
+        .withColumn("rr_micro",
+          coalesce(expr("1000000 div first_rel_pos"), lit(0L)))
+        .withColumn("hit1", coalesce(col("first_rel_pos") === 1L, lit(false)))
+        .withColumn("hit3", coalesce(col("first_rel_pos") <= 3L, lit(false)))
+    }),
+
+    // ---------------- Neyman stratified allocation (r5 s17) ----------------
+    // How should a 1000-row eval sample split across event types? —
+    // optimal (minimum-variance) stratified allocation n_h ∝ N_h·S_h
+    // (Neyman 1934, public). Per-stratum moments stay exact longs
+    // (v2 = n·Σx² − (Σx)² = n(n−1)·sample-variance — long-safe to
+    // ~1e8 rows/stratum at cents ≤ 1e5); N_h·S_h = √(v2·n/(n−1))
+    // floor-quantizes by ONE shared sqrt text (q205 contract), then
+    // the allocation is pure integer: (1000·w_h) div Σw. One scan,
+    // stratum-bounded state.
+    "q301_neyman" -> ((s, dir) => {
+      val g = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .groupBy("et").agg(count(lit(1)).as("ni"), sum("vc").as("si"),
+          sum(expr("vc * vc")).as("ssi"))
+        .withColumn("v2", expr("ni * ssi - si * si"))
+        .withColumn("wq", expr(NEYMAN_WQ_SQL))
+        .localCheckpoint() // stratum-bounded; referenced by its own sum
+      g.crossJoin(broadcast(g.agg(sum("wq").as("wsum"))))
+        .withColumn("alloc", expr(
+          "CASE WHEN wsum = 0 THEN 0L ELSE (1000 * wq) div wsum END"))
+        .select("et", "ni", "si", "ssi", "v2", "wq", "alloc")
     })
   )
 
@@ -11197,31 +11284,7 @@ object SparkEntry {
     // ground truth: q21's integer-quantized brute-force cosine ranking
     // extended to ranks 2..11 + the shared discounted-gain term text
     "q249_retrieval" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-           list_sum(list_transform(embedding,
-             x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
-                * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS nrm
-           FROM embeddings),
-         pairs AS (SELECT q.vec_id AS q_vec, p.vec_id AS p_vec,
-           list_sum(list_transform(list_zip(q.embedding, p.embedding),
-             s -> CAST(FLOOR(CAST(s[1] AS DOUBLE)*1000 + 0.5) AS BIGINT)
-                * CAST(FLOOR(CAST(s[2] AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS dot_q,
-           q.nrm AS q_nrm, p.nrm AS p_nrm
-           FROM e q, e p WHERE q.vec_id < 50),
-         top AS (SELECT q_vec, p_vec, rank FROM (
-           SELECT q_vec, p_vec, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec
-             ORDER BY CAST(dot_q AS DOUBLE)/SQRT(CAST(q_nrm AS DOUBLE)*CAST(p_nrm AS DOUBLE)) DESC,
-                      p_vec ASC) AS BIGINT) AS rank
-           FROM pairs) WHERE rank BETWEEN 2 AND 11),
-         lab AS (SELECT vec_id, label FROM embeddings),
-         lc AS (SELECT label, COUNT(*) AS n_lab FROM lab GROUP BY 1),
-         ql AS (SELECT l.vec_id AS q_vec, l.label AS q_label,
-             CAST(lc.n_lab - 1 AS BIGINT) AS n_same
-           FROM lab l JOIN lc ON l.label = lc.label),
-         j AS (SELECT t.q_vec, ql.n_same, t.rank - 1 AS pos,
-             CASE WHEN pl.label = ql.q_label THEN 1 ELSE 0 END AS rel
-           FROM top t JOIN lab pl ON pl.vec_id = t.p_vec
-           JOIN ql ON ql.q_vec = t.q_vec),
+      s"""WITH $RETR_JUDGED_SQL,
          agg AS (SELECT q_vec, n_same, CAST(SUM(rel) AS BIGINT) AS hits10,
              CAST(SUM(rel * ${dcgTermMicroSql("pos")}) AS BIGINT) AS dcg_micro
            FROM j GROUP BY 1, 2)
@@ -12017,7 +12080,37 @@ object SparkEntry {
     "q298_stream_acf" -> ACF_ORACLE_SQL,
 
     // ground truth: the SAME oracle as q214 (twelfth member)
-    "q299_stream_decompose" -> DECOMP_ORACLE_SQL
+    "q299_stream_decompose" -> DECOMP_ORACLE_SQL,
+
+    // ground truth: the q249 brute-force judged ranking + identical
+    // first-position/reciprocal-rank integer arithmetic
+    "q300_mrr" ->
+      s"""WITH $RETR_JUDGED_SQL,
+         agg AS (SELECT q_vec, n_same,
+             MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel_pos
+           FROM j GROUP BY 1, 2)
+         SELECT q_vec, n_same, CAST(first_rel_pos AS BIGINT) AS first_rel_pos,
+           CAST(COALESCE(1000000 // first_rel_pos, 0) AS BIGINT) AS rr_micro,
+           COALESCE(first_rel_pos = 1, FALSE) AS hit1,
+           COALESCE(first_rel_pos <= 3, FALSE) AS hit3
+         FROM agg""",
+
+    // ground truth: identical integer moments + the SAME N_h·S_h sqrt
+    // text + the same integer allocation division
+    "q301_neyman" ->
+      s"""WITH ev AS (SELECT event_type AS et,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         g AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(vc) AS BIGINT) AS si,
+             CAST(SUM(vc * vc) AS BIGINT) AS ssi FROM ev GROUP BY 1),
+         g2 AS (SELECT et, ni, si, ssi, ni * ssi - si * si AS v2 FROM g),
+         g3 AS (SELECT et, ni, si, ssi, v2,
+             CAST($NEYMAN_WQ_SQL AS BIGINT) AS wq FROM g2),
+         ws AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum FROM g3)
+         SELECT g3.et, g3.ni, g3.si, g3.ssi, g3.v2, g3.wq,
+           CAST(CASE WHEN ws.wsum = 0 THEN 0
+             ELSE (1000 * g3.wq) // ws.wsum END AS BIGINT) AS alloc
+         FROM g3, ws"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
