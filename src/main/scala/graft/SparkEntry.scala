@@ -232,6 +232,107 @@ object SparkEntry {
        ELSE CAST(FLOOR(SQRT(CAST(v2 AS DOUBLE) * CAST(ni AS DOUBLE)
          / (CAST(ni AS DOUBLE) - 1e0))) AS BIGINT) END"""
 
+  /** q302's Spark-side greedy NMS fold: one aggregate() over the
+    * score-sorted box list carrying the kept sublist; a candidate is
+    * suppressed iff some KEPT box overlaps it at IoU ≥ ½, decided by
+    * the division-free 3·inter ≥ areaA + areaB integer form. */
+  private val nmsFoldSql: String = {
+    val inter = "GREATEST(0L, LEAST(k.bx1, b.bx1) - GREATEST(k.bx0, b.bx0)) * " +
+      "GREATEST(0L, LEAST(k.by1, b.by1) - GREATEST(k.by0, b.by0))"
+    val areas = "(k.bx1 - k.bx0) * (k.by1 - k.by0) + (b.bx1 - b.bx0) * (b.by1 - b.by0)"
+    s"""aggregate(bs,
+       CAST(array() AS ARRAY<STRUCT<negs: BIGINT, j: BIGINT,
+         bx0: BIGINT, by0: BIGINT, bx1: BIGINT, by1: BIGINT>>),
+       (acc, b) -> CASE WHEN exists(acc, k -> 3 * ($inter) >= $areas)
+         THEN acc ELSE array_append(acc, b) END)"""
+  }
+
+  /** q302's oracle: the greedy pass unrolled over the five rank-pivoted
+    * boxes — keep flag kᵣ = no KEPT earlier rank overlaps at IoU ≥ ½
+    * (same division-free integer predicate), chained CTEs adding one
+    * flag each (a different algorithmic shape from the engine's fold —
+    * the q292 contract). */
+  private lazy val nmsOracleSql: String = {
+    def ov(a: Int, b: Int) =
+      s"""(3 * (GREATEST(0, LEAST(x1$a, x1$b) - GREATEST(x0$a, x0$b))
+         * GREATEST(0, LEAST(y1$a, y1$b) - GREATEST(y0$a, y0$b)))
+         >= (x1$a - x0$a) * (y1$a - y0$a) + (x1$b - x0$b) * (y1$b - y0$b))"""
+    val piv = (1 to 5).flatMap { r =>
+      Seq(s"MIN(CASE WHEN rn = $r THEN bx0 END) AS x0$r",
+        s"MIN(CASE WHEN rn = $r THEN by0 END) AS y0$r",
+        s"MIN(CASE WHEN rn = $r THEN bx1 END) AS x1$r",
+        s"MIN(CASE WHEN rn = $r THEN by1 END) AS y1$r",
+        s"MIN(CASE WHEN rn = $r THEN j END) AS j$r")
+    }.mkString(", ")
+    def keptTerm(r: Int, what: String) = s"CASE WHEN k$r THEN $what ELSE 0 END"
+    val mask = (1 to 5).map(r => keptTerm(r,
+      s"(CASE j$r WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END)"))
+      .mkString(" + ")
+    val area = (1 to 5).map(r => keptTerm(r, s"(x1$r - x0$r) * (y1$r - y0$r)"))
+      .mkString(" + ")
+    val nk = (1 to 5).map(r => keptTerm(r, "1")).mkString(" + ")
+    s"""WITH zz AS (SELECT zone_id, CAST(substr(zone_id, 5, 5) AS BIGINT) AS z,
+           CAST(FLOOR(xmin * 10000) AS BIGINT) AS xi0,
+           CAST(FLOOR(ymin * 10000) AS BIGINT) AS yi0,
+           CAST(FLOOR(xmax * 10000) AS BIGINT) - CAST(FLOOR(xmin * 10000) AS BIGINT) AS wi,
+           CAST(FLOOR(ymax * 10000) AS BIGINT) - CAST(FLOOR(ymin * 10000) AS BIGINT) AS hi
+         FROM $ZON),
+       bx AS (SELECT zone_id,  u.j,
+           xi0 + (wi * ((z * 31 + u.j * 17) % 40)) // 100 AS bx0,
+           yi0 + (hi * ((z * 53 + u.j * 29) % 40)) // 100 AS by0,
+           GREATEST(1, (wi * (30 + (z * 7 + u.j * 23) % 50)) // 100) AS bw,
+           GREATEST(1, (hi * (30 + (z * 11 + u.j * 43) % 50)) // 100) AS bh,
+           -((z * 37 + u.j * 101) % 997) AS negs
+         FROM zz, UNNEST(generate_series(0, 4)) AS u(j)),
+       rk AS (SELECT zone_id, j, bx0, by0, bx0 + bw AS bx1, by0 + bh AS by1,
+           ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY negs, j) AS rn
+         FROM bx),
+       pv AS (SELECT zone_id, $piv FROM rk GROUP BY 1),
+       f1 AS (SELECT *, TRUE AS k1 FROM pv),
+       f2 AS (SELECT *, NOT ${ov(1, 2)} AS k2 FROM f1),
+       f3 AS (SELECT *, NOT (${ov(1, 3)} OR (k2 AND ${ov(2, 3)})) AS k3 FROM f2),
+       f4 AS (SELECT *, NOT (${ov(1, 4)} OR (k2 AND ${ov(2, 4)})
+           OR (k3 AND ${ov(3, 4)})) AS k4 FROM f3),
+       f5 AS (SELECT *, NOT (${ov(1, 5)} OR (k2 AND ${ov(2, 5)})
+           OR (k3 AND ${ov(3, 5)}) OR (k4 AND ${ov(4, 5)})) AS k5 FROM f4)
+       SELECT zone_id, CAST($nk AS BIGINT) AS n_kept,
+         CAST($mask AS BIGINT) AS kept_mask, CAST($area AS BIGINT) AS kept_area
+       FROM f5"""
+  }
+
+  /** q210/q303's shared oracle prelude: brute-force per-probe NN
+    * distance, identical nano quantization — CTEs img/q/nnq. */
+  private lazy val NNQ_SQL =
+    s"""img AS (SELECT image_id AS id, nx, ny,
+         CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
+       q AS (SELECT * FROM img WHERE iid % 50 = 0),
+       nnq AS (SELECT q.id,
+           MIN(CAST(FLOOR(SQRT((q.nx - p.nx)*(q.nx - p.nx) + (q.ny - p.ny)*(q.ny - p.ny)) * 1000000000.0) AS BIGINT)) AS dq
+         FROM q, img p WHERE p.id <> q.id GROUP BY 1)"""
+
+  /** q210/q303's per-probe nearest-neighbor distance frame (q_id, dq):
+    * every 50th image probes the full point set through the ring-
+    * expansion kNN (k = 2 incl. self), distances nano-quantized AFTER
+    * the exact min (monotone — commutes; the q210 contract; s17:
+    * factored so the G-function ladder rides the same probes). */
+  private def probeNnDq(s: SparkSession, dir: String): DataFrame = {
+    GeoTables.ensure(s, dir)
+    val img = s.read.parquet(GeoTables.imagesPath(dir))
+      .select(col("image_id").as("id"), col("nx"), col("ny"),
+        substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
+    val queries = img.where(col("iid") % 50 === 0).select("id", "nx", "ny")
+    val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+    SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 2,
+        level = level)
+      .where(col("p_id") =!= col("q_id"))
+      .join(img.select(col("id").as("q_id"), col("nx").as("qx"), col("ny").as("qy")), "q_id")
+      .join(img.select(col("id").as("p_id"), col("nx").as("px"), col("ny").as("py")), "p_id")
+      .groupBy("q_id")
+      .agg(min(expr(
+        "CAST(FLOOR(SQRT((qx - px)*(qx - px) + (qy - py)*(qy - py)) * 1000000000.0) AS BIGINT)"))
+        .as("dq"))
+  }
+
   /** q249/q300's shared judged-retrieval prelude: exact IVF top-10 per
     * probe (vec_id < 50), positions 1–10 labeled rel ∈ {0, 1} by
     * query-label match, n_same = achievable relevant count (s17:
@@ -4966,20 +5067,9 @@ object SparkEntry {
     "q210_clark_evans" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
       val img = s.read.parquet(GeoTables.imagesPath(dir))
-        .select(col("image_id").as("id"), col("nx"), col("ny"),
-          substring(col("image_id"), 4, 8).cast("bigint").as("iid"))
-      val queries = img.where(col("iid") % 50 === 0).select("id", "nx", "ny")
-      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
-      val nn = SpatialJoins.knn(img.select("id", "nx", "ny"), queries, k = 2,
-          level = level)
-        .where(col("p_id") =!= col("q_id"))
-        .join(img.select(col("id").as("q_id"), col("nx").as("qx"), col("ny").as("qy")), "q_id")
-        .join(img.select(col("id").as("p_id"), col("nx").as("px"), col("ny").as("py")), "p_id")
-        .groupBy("q_id")
-        .agg(min(expr(
-          "CAST(FLOOR(SQRT((qx - px)*(qx - px) + (qy - py)*(qy - py)) * 1000000000.0) AS BIGINT)"))
-          .as("dq"))
-      nn.agg(count(lit(1)).as("n_probes"), sum("dq").as("sum_dq"))
+        .select(col("image_id").as("id"), col("nx"), col("ny"))
+      probeNnDq(s, dir)
+        .agg(count(lit(1)).as("n_probes"), sum("dq").as("sum_dq"))
         .crossJoin(broadcast(img.agg(count(lit(1)).as("n"))))
         .select(col("n_probes"), col("n"), col("sum_dq"),
           expr("""CAST(FLOOR(1e6 * (CAST(sum_dq AS DOUBLE) / CAST(n_probes AS DOUBLE) / 1000000000.0)
@@ -7350,6 +7440,65 @@ object SparkEntry {
         .withColumn("alloc", expr(
           "CASE WHEN wsum = 0 THEN 0L ELSE (1000 * wq) div wsum END"))
         .select("et", "ni", "si", "ssi", "v2", "wq", "alloc")
+    }),
+
+    // ---------------- greedy non-maximum suppression (r5 s17) ----------------
+    // The detector post-processing step every vision training pipeline
+    // runs (Felzenszwalb et al. 2010, public): per zone, five
+    // deterministic candidate boxes (integer 1e4-unit coords + scores
+    // derived from the zone id — the q261 synthesis pattern), greedy
+    // NMS at IoU ≥ 0.5. EXACT integers throughout: IoU ≥ ½ ⇔
+    // 3·inter ≥ areaA + areaB (no division); the score-ordered greedy
+    // pass runs row-locally as an aggregate() fold carrying the kept
+    // list (bounded — ≤5 boxes/zone), so work is one scan + one
+    // per-zone fold, embarrassingly parallel at any corpus size. The
+    // oracle walks a DIFFERENT shape: the five rank-pivoted keep flags
+    // unrolled as chained CTEs (the q292 two-shapes contract).
+    "q302_nms" -> ((s, dir) => {
+      val bx = GeoTables.zones(s, dir)
+        .withColumn("z", expr("CAST(substring(zone_id, 5, 5) AS BIGINT)"))
+        .withColumn("xi0", expr("CAST(FLOOR(xmin * 10000) AS BIGINT)"))
+        .withColumn("yi0", expr("CAST(FLOOR(ymin * 10000) AS BIGINT)"))
+        .withColumn("wi", expr("CAST(FLOOR(xmax * 10000) AS BIGINT) - xi0"))
+        .withColumn("hi", expr("CAST(FLOOR(ymax * 10000) AS BIGINT) - yi0"))
+        .withColumn("j", explode(expr("sequence(0L, 4L)")))
+        .withColumn("bx0", expr("xi0 + (wi * ((z * 31 + j * 17) % 40)) div 100"))
+        .withColumn("by0", expr("yi0 + (hi * ((z * 53 + j * 29) % 40)) div 100"))
+        .withColumn("bx1", expr("bx0 + GREATEST(1L, (wi * (30 + (z * 7 + j * 23) % 50)) div 100)"))
+        .withColumn("by1", expr("by0 + GREATEST(1L, (hi * (30 + (z * 11 + j * 43) % 50)) div 100)"))
+        .withColumn("negs", expr("-((z * 37 + j * 101) % 997)"))
+      bx.groupBy("zone_id")
+        .agg(sort_array(collect_list(struct(col("negs"), col("j"),
+          col("bx0"), col("by0"), col("bx1"), col("by1")))).as("bs"))
+        .select(col("zone_id"), expr(nmsFoldSql).as("kept"))
+        .select(col("zone_id"),
+          expr("CAST(size(kept) AS BIGINT)").as("n_kept"),
+          expr("""aggregate(kept, 0L, (a, k) -> a + (CASE k.j
+             WHEN 0 THEN 1L WHEN 1 THEN 2L WHEN 2 THEN 4L
+             WHEN 3 THEN 8L ELSE 16L END))""").as("kept_mask"),
+          expr("aggregate(kept, 0L, (a, k) -> a + (k.bx1 - k.bx0) * (k.by1 - k.by0))")
+            .as("kept_area"))
+    }),
+
+    // ---------------- nearest-neighbor G-function (r5 s17) ----------------
+    // The distance-CDF companion to q210's Clark–Evans index and q209's
+    // Ripley K (Diggle 1983, public): G(r) = P(NN distance ≤ r) over
+    // the SAME probe sample and the SAME exact nano-quantized NN
+    // distances (probeNnDq). The radius ladder derives from the data by
+    // integer arithmetic — m = mean NN distance (trunc div), r ∈
+    // {m/2, m, 2m, 4m} — so both engines cut identical thresholds;
+    // counts and the ppm ratio are exact integers.
+    "q303_gfunction" -> ((s, dir) => {
+      val nn = probeNnDq(s, dir)
+      val mean = nn.agg(count(lit(1)).as("n_probes"), sum("dq").as("sum_dq"))
+        .withColumn("m", expr("sum_dq div n_probes"))
+      nn.crossJoin(broadcast(mean))
+        .withColumn("k", explode(expr("sequence(1L, 4L)")))
+        .withColumn("r_nano", expr(
+          "CASE WHEN k = 1 THEN m div 2 WHEN k = 2 THEN m WHEN k = 3 THEN 2 * m ELSE 4 * m END"))
+        .groupBy("k", "r_nano", "n_probes")
+        .agg(sum(expr("CASE WHEN dq <= r_nano THEN 1L ELSE 0L END")).as("n_le"))
+        .withColumn("g_ppm", expr(ppmDivSql("n_le", "n_probes")))
     })
   )
 
@@ -10697,12 +10846,7 @@ object SparkEntry {
     // ground truth: per-probe brute-force min over ALL other points —
     // the quantization is monotone, so min commutes with it
     "q210_clark_evans" ->
-      s"""WITH img AS (SELECT image_id AS id, nx, ny,
-             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid FROM $IMG),
-         q AS (SELECT * FROM img WHERE iid % 50 = 0),
-         nnq AS (SELECT q.id,
-             MIN(CAST(FLOOR(SQRT((q.nx - p.nx)*(q.nx - p.nx) + (q.ny - p.ny)*(q.ny - p.ny)) * 1000000000.0) AS BIGINT)) AS dq
-           FROM q, img p WHERE p.id <> q.id GROUP BY 1),
+      s"""WITH $NNQ_SQL,
          s AS (SELECT COUNT(*) AS n_probes, CAST(SUM(dq) AS BIGINT) AS sum_dq FROM nnq),
          t AS (SELECT COUNT(*) AS n FROM img)
          SELECT n_probes, CAST(n AS BIGINT) AS n, sum_dq,
@@ -12110,7 +12254,29 @@ object SparkEntry {
          SELECT g3.et, g3.ni, g3.si, g3.ssi, g3.v2, g3.wq,
            CAST(CASE WHEN ws.wsum = 0 THEN 0
              ELSE (1000 * g3.wq) // ws.wsum END AS BIGINT) AS alloc
-         FROM g3, ws"""
+         FROM g3, ws""",
+
+    // ground truth: same box synthesis + the greedy pass unrolled over
+    // rank-pivoted columns (different shape, same integers)
+    "q302_nms" -> nmsOracleSql,
+
+    // ground truth: brute-force NN distances (q210 prelude) + identical
+    // integer radius ladder and ppm counts
+    "q303_gfunction" ->
+      s"""WITH $NNQ_SQL,
+         s AS (SELECT COUNT(*) AS n_probes, CAST(SUM(dq) AS BIGINT) AS sum_dq FROM nnq),
+         mm AS (SELECT n_probes, sum_dq // n_probes AS m FROM s),
+         r AS (SELECT u.k,
+             CAST(CASE WHEN u.k = 1 THEN m // 2 WHEN u.k = 2 THEN m
+               WHEN u.k = 3 THEN 2 * m ELSE 4 * m END AS BIGINT) AS r_nano,
+             CAST(n_probes AS BIGINT) AS n_probes
+           FROM mm, UNNEST(generate_series(1, 4)) AS u(k)),
+         g AS (SELECT r.k, r.r_nano, r.n_probes,
+             CAST(SUM(CASE WHEN nnq.dq <= r.r_nano THEN 1 ELSE 0 END) AS BIGINT) AS n_le
+           FROM r, nnq GROUP BY 1, 2, 3)
+         SELECT CAST(k AS BIGINT) AS k, r_nano, n_probes, n_le,
+           CAST(${ppmDivSqlI("n_le", "n_probes", "//")} AS BIGINT) AS g_ppm
+         FROM g"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
