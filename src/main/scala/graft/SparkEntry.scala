@@ -48,6 +48,7 @@ object SparkEntry {
   private val IMGG = "read_parquet('/tmp/graft_geo/sf0.01/img_gamma.parquet/*.parquet')"
   private val IMGGLCM = "read_parquet('/tmp/graft_geo/sf0.01/img_glcm.parquet/*.parquet')"
   private val IMGTEX = "read_parquet('/tmp/graft_geo/sf0.01/img_tex.parquet/*.parquet')"
+  private val IMGHAAR = "read_parquet('/tmp/graft_geo/sf0.01/img_haar.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -7499,6 +7500,32 @@ object SparkEntry {
         .groupBy("k", "r_nano", "n_probes")
         .agg(sum(expr("CASE WHEN dq <= r_nano THEN 1L ELSE 0L END")).as("n_le"))
         .withColumn("g_ppm", expr(ppmDivSql("n_le", "n_probes")))
+    }),
+
+    // ---------------- Haar subband energy profile (r5 s17) ----------------
+    // Wavelet texture fingerprint through the decode path: two-level
+    // unnormalized 2D Haar over the 16×16 luma thumbnail (img_haar —
+    // exact integer subband energies; Mallat 1989, public), plus the
+    // detail-mass share det_ppm — the band-energy curation signal that
+    // separates flat/synthetic renders (LL-concentrated) from
+    // photographic content. Row-parallel one-scan kernel; the oracle
+    // derives the identical values from the recompute-pinned fixture
+    // and re-derives det_ppm relationally (the q291 two-bases pattern);
+    // HaarSpec pins the kernel to an independent per-2×2-block
+    // closed-form reference plus flip/rot90 band transport.
+    "q304_haar" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgHaar(s, dir)
+      GeoTables.images(s, dir)
+        .withColumn("e", call_function("img_haar",
+          call_function("img_rgb", col("bytes")), col("w"), col("h")))
+        .select(col("image_id"),
+          expr("e[0]").as("ll2"), expr("e[1]").as("lh2"), expr("e[2]").as("hl2"),
+          expr("e[3]").as("hh2"), expr("e[4]").as("lh1"), expr("e[5]").as("hl1"),
+          expr("e[6]").as("hh1"))
+        .withColumn("det_ppm", expr(ppmDivSql(
+          "(lh1 + hl1 + hh1 + lh2 + hl2 + hh2)",
+          "GREATEST(ll2 + lh2 + hl2 + hh2 + lh1 + hl1 + hh1, 1)")))
     })
   )
 
@@ -12276,7 +12303,16 @@ object SparkEntry {
            FROM r, nnq GROUP BY 1, 2, 3)
          SELECT CAST(k AS BIGINT) AS k, r_nano, n_probes, n_le,
            CAST(${ppmDivSqlI("n_le", "n_probes", "//")} AS BIGINT) AS g_ppm
-         FROM g"""
+         FROM g""",
+
+    // ground truth: the recompute-pinned img_haar fixture; det_ppm
+    // re-derived relationally from the pinned integer energies
+    "q304_haar" ->
+      s"""SELECT image_id, ll2, lh2, hl2, hh2, lh1, hl1, hh1,
+           CAST(${ppmDivSqlI("(lh1 + hl1 + hh1 + lh2 + hl2 + hh2)",
+             "GREATEST(ll2 + lh2 + hl2 + hh2 + lh1 + hl1 + hh1, 1)", "//")}
+             AS BIGINT) AS det_ppm
+         FROM $IMGHAAR"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -723,6 +723,32 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGTEX2_DONE"))
   }
 
+  def imgHaarPath(sfDir: String): String = s"${baseDir(sfDir)}/img_haar.parquet"
+
+  final case class ImgHaarRow(image_id: String, w: Long, h: Long,
+                              ll2: Long, lh2: Long, hl2: Long, hh2: Long,
+                              lh1: Long, hl1: Long, hh1: Long)
+
+  /** Haar subband-energy fixture through the SAME kernel img_haar wraps
+    * (q212 recompute-pin contract). */
+  def ensureImgHaar(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGHAAR_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (w, h, rgb) = Images.decode(bytes)
+        val e = Images.haarEnergy(w, h, rgb)
+        ImgHaarRow(id, w.toLong, h.toLong,
+          e(0), e(1), e(2), e(3), e(4), e(5), e(6))
+      }
+      .write.mode("overwrite").parquet(imgHaarPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGHAAR_DONE"))
+  }
+
   def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"
 
   final case class ImgWbRow(image_id: String, sr: Long, sg: Long, sb: Long, npx: Long)

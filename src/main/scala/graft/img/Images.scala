@@ -999,6 +999,75 @@ object Images {
     Array(nd, top, topc, qerr)
   }
 
+  /** Two-level unnormalized 2D Haar transform energies over the 16×16
+    * area-averaged luma thumbnail: [e_ll2, e_lh2, e_hl2, e_hh2, e_lh1,
+    * e_hl1, e_hh1], each the exact integer Σcoef² of its subband
+    * (Haar 1910 / Mallat 1989, public). Unnormalized sums/diffs keep
+    * every coefficient an integer: |level-1| ≤ 4·255, |level-2| ≤
+    * 16·255, so Σcoef² < 2³² — long arithmetic can't wrap. The texture
+    * fingerprint behind band-energy curation (flat renders concentrate
+    * in LL; photographs carry detail-band mass). */
+  def haarEnergy(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](7)
+    if (w < 1 || h < 1 || w * h * 3 != rgb.length) return out
+    val th = resizeRgb(w, h, rgb, 16, 16)
+    val a = new Array[Int](256)
+    var p = 0
+    while (p < 256) {
+      a(p) = luma(th(p * 3) & 0xFF, th(p * 3 + 1) & 0xFF, th(p * 3 + 2) & 0xFF)
+      p += 1
+    }
+    // one separable level on the n×n top-left block of the 16-stride
+    // buffer: rows (sum|diff) then columns; subbands land in quadrants
+    def level(src: Array[Int], n: Int): Array[Int] = {
+      val t = new Array[Int](256)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n / 2) {
+          val u = src(y * 16 + 2 * x); val v = src(y * 16 + 2 * x + 1)
+          t(y * 16 + x) = u + v
+          t(y * 16 + n / 2 + x) = u - v
+          x += 1
+        }
+        y += 1
+      }
+      val o = new Array[Int](256)
+      var x = 0
+      while (x < n) {
+        var yy = 0
+        while (yy < n / 2) {
+          val u = t(2 * yy * 16 + x); val v = t((2 * yy + 1) * 16 + x)
+          o(yy * 16 + x) = u + v
+          o((n / 2 + yy) * 16 + x) = u - v
+          yy += 1
+        }
+        x += 1
+      }
+      o
+    }
+    def bandE(b: Array[Int], x0: Int, y0: Int, n: Int): Long = {
+      var s = 0L
+      var y = y0
+      while (y < y0 + n) {
+        var x = x0
+        while (x < x0 + n) { val c = b(y * 16 + x); s += c.toLong * c; x += 1 }
+        y += 1
+      }
+      s
+    }
+    val l1 = level(a, 16)
+    out(4) = bandE(l1, 8, 0, 8) // LH1: row-diff quadrant
+    out(5) = bandE(l1, 0, 8, 8) // HL1: col-diff quadrant
+    out(6) = bandE(l1, 8, 8, 8) // HH1
+    val l2 = level(l1, 8)
+    out(0) = bandE(l2, 0, 0, 4)
+    out(1) = bandE(l2, 4, 0, 4)
+    out(2) = bandE(l2, 0, 4, 4)
+    out(3) = bandE(l2, 4, 4, 4)
+    out
+  }
+
   def sharpness(w: Int, h: Int, rgb: Array[Byte]): Long = {
     if (w < 3 || h < 3 || w * h * 3 != rgb.length) return 0L
     val lum = new Array[Int](w * h)

@@ -1287,6 +1287,20 @@ case class ImgHarris(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** Two-level Haar subband energies [ll2, lh2, hl2, hh2, lh1, hl1, hh1]
+  * over the 16×16 luma thumbnail of a decoded RGB buffer. */
+case class ImgHaar(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    new GenericArrayData(K.imgHaar(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Int], c.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 /** 6-sector hue histogram + achromatic bin over a decoded RGB buffer. */
 case class ImgHueHist(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

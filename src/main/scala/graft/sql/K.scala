@@ -738,6 +738,7 @@ object K {
   def imgLbpHist(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.lbpHist(w, h, rgb)
   def imgHarris(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.harris(w, h, rgb)
   def imgHueHist(rgb: Array[Byte]): Array[Long] = Images.hueHist(rgb)
+  def imgHaar(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.haarEnergy(w, h, rgb)
   def imgPal332(rgb: Array[Byte]): Array[Long] = Images.pal332(rgb)
   def imgEqualizeRgb(rgb: Array[Byte]): Array[Byte] = Images.equalizeRgb(rgb)
   def imgGammaRgb(rgb: Array[Byte], gammaMilli: Int): Array[Byte] =
