@@ -7526,6 +7526,51 @@ object SparkEntry {
         .withColumn("det_ppm", expr(ppmDivSql(
           "(lh1 + hl1 + hh1 + lh2 + hl2 + hh2)",
           "GREATEST(ll2 + lh2 + hl2 + hh2 + lh1 + hl1 + hh1, 1)")))
+    }),
+
+    // ---------------- isotonic calibration / PAV (r5 s17) ----------------
+    // The monotone recalibration map on top of q246's reliability audit
+    // (Zadrozny & Elkan 2002; Ayer et al. 1955, public): the isotonic
+    // fit over the 10 confidence bins via the EXACT minimax identity
+    // fitted(i) = max_{j≤i} min_{k≥i} rate(j..k) — the unique PAV
+    // solution, computed relationally with no sequential pooling loop.
+    // Interval rates ppm-quantize from exact cumulative integers; floor
+    // is monotone, so max∘min commutes with the quantization and the
+    // result IS the true PAV fit ppm-floored (IsotonicSpec pins this
+    // against a rational-arithmetic pooling reference). All work after
+    // the one corpus scan is bin-bounded (≤10³ interval rows at any
+    // corpus size).
+    "q305_isotonic" -> ((s, dir) => {
+      val bins = t(s, dir, "documents")
+        .select(expr(MD5CONF_SQL("div")).as("conf"),
+          expr(MD5V20_SQL("div")).as("v20"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .groupBy(expr("(conf * 10) div 1048576").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("lbl").as("n_pos"))
+        .localCheckpoint() // ≤ 10 rows; referenced by cum + the i grid
+      val w = Window.orderBy("bin") // bin-bounded single partition (≤10 rows)
+      val cum = bins
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cp", sum("n_pos").over(w))
+        .withColumn("cn", sum("n").over(w))
+        .localCheckpoint()
+      val c0 = cum.select(col("rn"), col("cp"), col("cn"))
+        .unionByName(s.range(1).select(lit(0).cast("int").as("rn"),
+          lit(0L).as("cp"), lit(0L).as("cn")))
+      val rates = c0.as("a").join(cum.as("b"), col("a.rn") < col("b.rn"))
+        .select((col("a.rn") + 1).as("j"), col("b.rn").as("k"),
+          (col("b.cp") - col("a.cp")).as("np"),
+          (col("b.cn") - col("a.cn")).as("nn"))
+        .withColumn("r_ppm", expr(ppmDivSql("np", "nn")))
+      val grid = cum.select(col("rn").as("i"), col("bin"), col("n"),
+        col("n_pos"))
+      grid.join(rates, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "bin", "n", "n_pos", "j")
+        .agg(min("r_ppm").as("mn"))
+        .groupBy("i", "bin", "n", "n_pos")
+        .agg(max("mn").as("iso_ppm"))
+        .withColumn("raw_ppm", expr(ppmDivSql("n_pos", "n")))
+        .select("bin", "n", "n_pos", "raw_ppm", "iso_ppm")
     })
   )
 
@@ -12312,7 +12357,37 @@ object SparkEntry {
            CAST(${ppmDivSqlI("(lh1 + hl1 + hh1 + lh2 + hl2 + hh2)",
              "GREATEST(ll2 + lh2 + hl2 + hh2 + lh1 + hl1 + hh1, 1)", "//")}
              AS BIGINT) AS det_ppm
-         FROM $IMGHAAR"""
+         FROM $IMGHAAR""",
+
+    // ground truth: same scorer bins, same minimax identity over the
+    // same ppm-quantized interval rates
+    "q305_isotonic" ->
+      s"""WITH d AS (SELECT ${MD5CONF_SQL("//")} AS conf,
+             ${MD5V20_SQL("//")} AS v20 FROM documents),
+         bn AS (SELECT (conf * 10) // 1048576 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v20 < (conf * conf) // 1048576
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM d GROUP BY 1),
+         cm AS (SELECT bin, n, n_pos,
+             CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS rn,
+             CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
+             CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn FROM bn),
+         c0 AS (SELECT rn, cp, cn FROM cm
+           UNION ALL SELECT 0, 0, 0),
+         rt AS (SELECT a.rn + 1 AS j, b.rn AS k,
+             b.cp - a.cp AS np, b.cn - a.cn AS nn
+           FROM c0 a JOIN cm b ON a.rn < b.rn),
+         rp AS (SELECT j, k,
+             CAST(${ppmDivSqlI("np", "nn", "//")} AS BIGINT) AS r_ppm FROM rt),
+         mn AS (SELECT g.rn AS i, g.bin, g.n, g.n_pos, rp.j,
+             MIN(rp.r_ppm) AS mn
+           FROM cm g JOIN rp ON rp.j <= g.rn AND rp.k >= g.rn
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT bin, n, n_pos,
+           CAST(${ppmDivSqlI("n_pos", "n", "//")} AS BIGINT) AS raw_ppm,
+           CAST(MAX(mn) AS BIGINT) AS iso_ppm
+         FROM mn GROUP BY 1, 2, 3"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
