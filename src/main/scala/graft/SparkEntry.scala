@@ -7531,23 +7531,24 @@ object SparkEntry {
     // ---------------- isotonic calibration / PAV (r5 s17) ----------------
     // The monotone recalibration map on top of q246's reliability audit
     // (Zadrozny & Elkan 2002; Ayer et al. 1955, public): the isotonic
-    // fit over the 10 confidence bins via the EXACT minimax identity
+    // fit over 25 confidence bins (fine enough that sampling noise
+    // produces real violations to pool) via the EXACT minimax identity
     // fitted(i) = max_{j≤i} min_{k≥i} rate(j..k) — the unique PAV
     // solution, computed relationally with no sequential pooling loop.
     // Interval rates ppm-quantize from exact cumulative integers; floor
     // is monotone, so max∘min commutes with the quantization and the
     // result IS the true PAV fit ppm-floored (IsotonicSpec pins this
     // against a rational-arithmetic pooling reference). All work after
-    // the one corpus scan is bin-bounded (≤10³ interval rows at any
-    // corpus size).
+    // the one corpus scan is bin-bounded (≤25³ ≈ 1.6e4 interval rows at
+    // any corpus size).
     "q305_isotonic" -> ((s, dir) => {
       val bins = t(s, dir, "documents")
         .select(expr(MD5CONF_SQL("div")).as("conf"),
           expr(MD5V20_SQL("div")).as("v20"))
         .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
-        .groupBy(expr("(conf * 10) div 1048576").as("bin"))
+        .groupBy(expr("(conf * 25) div 1048576").as("bin"))
         .agg(count(lit(1)).as("n"), sum("lbl").as("n_pos"))
-        .localCheckpoint() // ≤ 10 rows; referenced by cum + the i grid
+        .localCheckpoint() // ≤ 25 rows; referenced by cum + the i grid
       val w = Window.orderBy("bin") // bin-bounded single partition (≤10 rows)
       val cum = bins
         .withColumn("rn", row_number().over(w))
@@ -12364,7 +12365,7 @@ object SparkEntry {
     "q305_isotonic" ->
       s"""WITH d AS (SELECT ${MD5CONF_SQL("//")} AS conf,
              ${MD5V20_SQL("//")} AS v20 FROM documents),
-         bn AS (SELECT (conf * 10) // 1048576 AS bin,
+         bn AS (SELECT (conf * 25) // 1048576 AS bin,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN v20 < (conf * conf) // 1048576
                THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
