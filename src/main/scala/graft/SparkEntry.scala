@@ -226,6 +226,28 @@ object SparkEntry {
          FROM top t JOIN lab pl ON pl.vec_id = t.p_vec
          JOIN ql ON ql.q_vec = t.q_vec)"""
 
+  /** q306's unit-heading component: floor(10⁶·c/‖(dx, dy)‖) — ONE
+    * shared sqrt text (q205 contract); callers filter zero-length
+    * steps first. */
+  private def UNIT_MICRO_SQL(c: String): String =
+    s"""CAST(FLOOR(1e6 * CAST($c AS DOUBLE)
+       / SQRT(CAST(dx AS DOUBLE) * CAST(dx AS DOUBLE)
+            + CAST(dy AS DOUBLE) * CAST(dy AS DOUBLE))) AS BIGINT)"""
+
+  /** q307's Gini gain over (nl, pl, nt, pt): with purity(n, p) =
+    * (p² + (n−p)²)/n, gain = (purity_L + purity_R − purity_parent)/nt —
+    * ONE shared double formula (q124 contract); callers guarantee
+    * 1 ≤ nl < nt. */
+  private val GINI_GAIN_SQL =
+    """((CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+        + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)) / CAST(nl AS DOUBLE)
+      + (CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+        + CAST((nt - nl) - (pt - pl) AS DOUBLE) * CAST((nt - nl) - (pt - pl) AS DOUBLE))
+        / CAST(nt - nl AS DOUBLE)
+      - (CAST(pt AS DOUBLE) * CAST(pt AS DOUBLE)
+        + CAST(nt - pt AS DOUBLE) * CAST(nt - pt AS DOUBLE)) / CAST(nt AS DOUBLE))
+      / CAST(nt AS DOUBLE)"""
+
   /** q301's N_h·S_h weight = √(v2·n/(n−1)) floor-quantized — ONE shared
     * sqrt text (q205 contract); 0 on a degenerate single-row stratum. */
   private val NEYMAN_WQ_SQL =
@@ -391,6 +413,18 @@ object SparkEntry {
          sea.sea100,
          CAST(tf.n * 100 - tf.sum25 * 4 - sea.sea100 AS BIGINT) AS res100
        FROM tf JOIN sea ON tf.event_type = sea.event_type AND tf.hod = sea.hod"""
+
+  /** q272/q308's exact milli-unit Holt fold over an (event_type, h, n)
+    * series (s17: factored so the streamed q308 replays it over
+    * Complete-mode state). */
+  private def holtAudit(hours: DataFrame): DataFrame =
+    hours
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+      .where(expr("size(sn) >= 2"))
+      .select(col("event_type"), explode(expr(holtFoldSql)).as("x"))
+      .select(col("event_type"), col("x.h").as("h"), col("x.n").as("n"),
+        col("x.l").as("l_milli"), col("x.b").as("b_milli"))
 
   /** q215/q298's exact ACF lags 1–24 over an (event_type, h, n) series:
     * mean-centered lag-pair/boundary sums as integers, one shared double
@@ -6611,15 +6645,7 @@ object SparkEntry {
     // (array size = spine hours, never data volume); the oracle replays
     // the identical recursion as a DuckDB recursive CTE. Init: l₀ = x₀,
     // b₀ = x₁ − x₀ (both milli); per-hour (l, b) ship for every step.
-    "q272_holt" -> ((s, dir) => {
-      hourlySpine(s, dir)
-        .groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
-        .where(expr("size(sn) >= 2"))
-        .select(col("event_type"), explode(expr(holtFoldSql)).as("x"))
-        .select(col("event_type"), col("x.h").as("h"), col("x.n").as("n"),
-          col("x.l").as("l_milli"), col("x.b").as("b_milli"))
-    }),
+    "q272_holt" -> ((s, dir) => holtAudit(hourlySpine(s, dir))),
 
     // ---------------- Cohen's kappa rater agreement (r5 s15) ----------------
     // Chance-corrected agreement between two independent document-quality
@@ -7572,6 +7598,80 @@ object SparkEntry {
         .agg(max("mn").as("iso_ppm"))
         .withColumn("raw_ppm", expr(ppmDivSql("n_pos", "n")))
         .select("bin", "n", "n_pos", "raw_ppm", "iso_ppm")
+    }),
+
+    // ---------------- Rayleigh directionality test (r5 s17) ----------------
+    // Do entity trajectories drift in a preferred compass direction, or
+    // wander isotropically? — circular statistics over the q103 tracks
+    // (Rayleigh 1880 / Mardia 1972, public). Each step's unit heading
+    // (dx, dy)/‖·‖ micro-quantizes by ONE shared sqrt text (q205
+    // contract — no angles, no atan2); resultant components are exact
+    // integer sums; the Rayleigh statistic z = n·R̄² ships as the milli
+    // ladder over (Σux² + Σuy²)/(n·10¹²). One lag window per entity —
+    // one shuffle, row-parallel after it.
+    "q306_rayleigh" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val w = Window.partitionBy("entity").orderBy("iid")
+      s.read.parquet(GeoTables.imagesPath(dir))
+        .withColumn("iid", substring(col("image_id"), 4, 8).cast("bigint"))
+        .withColumn("entity", pmod(col("iid"), lit(50)).cast("bigint"))
+        .select(col("entity"), col("iid"), col("lon"), col("lat"))
+        .withColumn("dx", col("lon") - lag("lon", 1).over(w))
+        .withColumn("dy", col("lat") - lag("lat", 1).over(w))
+        .where(col("dx").isNotNull && (col("dx") =!= 0.0 || col("dy") =!= 0.0))
+        .withColumn("ux", expr(UNIT_MICRO_SQL("dx")))
+        .withColumn("uy", expr(UNIT_MICRO_SQL("dy")))
+        .groupBy("entity")
+        .agg(count(lit(1)).as("n_steps"), sum("ux").as("sx"), sum("uy").as("sy"))
+        .withColumn("z_milli", expr(milliDivSql("(sx * sx + sy * sy)",
+          "(n_steps * 1000000000000)", "div")))
+        .withColumn("directional", col("z_milli") >= 2996L) // z ≥ ~3: p ≲ 0.05
+    }),
+
+    // ---------------- CART decision-stump split (r5 s17) ----------------
+    // The one-feature tree-learning primitive (Breiman et al. 1984,
+    // public): the Gini-optimal threshold on q246's scorer for its
+    // synthetic label. Sweep = every distinct conf value as a
+    // ≤-threshold (value-bounded at 2²⁰ rows by the scorer's own
+    // quantization); left/right class counts are exact cumulative
+    // integers; purity Σ(pos² + neg²)/n per side and the parent Gini
+    // ride ONE shared double formula (the q221 Otsu argmax contract),
+    // ties to the LOWER threshold. Output: the chosen split, its
+    // confusion counts and the Gini gain in ppm.
+    "q307_stump" -> ((s, dir) => {
+      val sc = t(s, dir, "documents")
+        .select(expr(MD5CONF_SQL("div")).as("conf"),
+          expr(MD5V20_SQL("div")).as("v20"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .groupBy("conf").agg(count(lit(1)).as("n"), sum("lbl").as("np"))
+      val wd = Window.orderBy(col("conf").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sc.withColumn("nl", sum("n").over(wd))
+        .withColumn("pl", sum("np").over(wd))
+        .withColumn("nt", sum("n").over(Window.partitionBy()))
+        .withColumn("pt", sum("np").over(Window.partitionBy()))
+        .where(col("nl") < col("nt")) // a split must leave a right side
+        .withColumn("gain", expr(GINI_GAIN_SQL))
+        .withColumn("rn", row_number().over(Window.orderBy(
+          col("gain").desc, col("conf").asc)))
+        .where(col("rn") === 1)
+        .select(col("conf").as("t_star"), col("nl"), col("pl"),
+          (col("nt") - col("nl")).as("nr"), (col("pt") - col("pl")).as("pr"),
+          col("nt"), col("pt"),
+          expr(s"CAST(FLOOR(1e6 * ($GINI_GAIN_SQL)) AS BIGINT)").as("gain_ppm"))
+    }),
+
+    // ---------------- streamed Holt smoothing (r5 s17) ----------------
+    // q272's linear-trend filter fed by Complete-mode streamed hourly
+    // counts — streamed==batch member THIRTEEN: the online level/trend
+    // tracker. Post-pass = holtAudit, oracle = q272's.
+    "q308_stream_holt" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "holt") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      holtAudit(spineFromCounts(s, sink))
     })
   )
 
@@ -12388,7 +12488,55 @@ object SparkEntry {
          SELECT bin, n, n_pos,
            CAST(${ppmDivSqlI("n_pos", "n", "//")} AS BIGINT) AS raw_ppm,
            CAST(MAX(mn) AS BIGINT) AS iso_ppm
-         FROM mn GROUP BY 1, 2, 3"""
+         FROM mn GROUP BY 1, 2, 3""",
+
+    // ground truth: identical lag-window headings, the SAME unit-vector
+    // sqrt text, identical milli ladder
+    "q306_rayleigh" ->
+      s"""WITH img AS (SELECT image_id, lon, lat,
+             CAST(substr(image_id, 4, 8) AS BIGINT) AS iid,
+             CAST(substr(image_id, 4, 8) AS BIGINT) % 50 AS entity FROM $IMG),
+         st AS (SELECT entity, iid,
+             lon - LAG(lon) OVER (PARTITION BY entity ORDER BY iid) AS dx,
+             lat - LAG(lat) OVER (PARTITION BY entity ORDER BY iid) AS dy
+           FROM img),
+         fs AS (SELECT entity, dx, dy FROM st
+           WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)),
+         u AS (SELECT entity, ${UNIT_MICRO_SQL("dx")} AS ux,
+             ${UNIT_MICRO_SQL("dy")} AS uy FROM fs),
+         g AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_steps,
+             CAST(SUM(ux) AS BIGINT) AS sx, CAST(SUM(uy) AS BIGINT) AS sy
+           FROM u GROUP BY 1)
+         SELECT entity, n_steps, sx, sy,
+           CAST(${milliDivSql("(sx * sx + sy * sy)",
+             "(n_steps * 1000000000000)", "//")} AS BIGINT) AS z_milli,
+           (CAST(${milliDivSql("(sx * sx + sy * sy)",
+             "(n_steps * 1000000000000)", "//")} AS BIGINT) >= 2996) AS directional
+         FROM g""",
+
+    // ground truth: identical cumulative class counts + the SAME Gini
+    // gain text and (gain desc, conf asc) argmax
+    "q307_stump" ->
+      s"""WITH d AS (SELECT ${MD5CONF_SQL("//")} AS conf,
+             ${MD5V20_SQL("//")} AS v20 FROM documents),
+         sc AS (SELECT conf, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v20 < (conf * conf) // 1048576
+               THEN 1 ELSE 0 END) AS BIGINT) AS np
+           FROM d GROUP BY 1),
+         cw AS (SELECT conf,
+             CAST(SUM(n) OVER (ORDER BY conf) AS BIGINT) AS nl,
+             CAST(SUM(np) OVER (ORDER BY conf) AS BIGINT) AS pl,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(np) OVER () AS BIGINT) AS pt FROM sc),
+         fl AS (SELECT *, $GINI_GAIN_SQL AS gain FROM cw WHERE nl < nt),
+         rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, conf ASC) AS rn
+           FROM fl)
+         SELECT conf AS t_star, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt,
+           CAST(FLOOR(1e6 * gain) AS BIGINT) AS gain_ppm
+         FROM rk WHERE rn = 1""",
+
+    // ground truth: the SAME oracle as q272 (thirteenth member)
+    "q308_stream_holt" -> holtOracleSql
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
