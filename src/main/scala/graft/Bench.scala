@@ -37,6 +37,7 @@ object Bench {
     GeoTables.ensureImgMoments(spark, sfDir) // moments fixture, untimed
     GeoTables.ensureImgGamma(spark, sfDir)   // gamma fixture, untimed
     GeoTables.ensureMediaZcr(spark, sfDir)   // zcr fixture, untimed
+    GeoTables.ensureImgHaar(spark, sfDir)    // Haar-energy fixture, untimed
 
     // warm-up: flagship join + the headline q07 itself (JIT, codegen,
     // parquet footers — the driver-visible q07 number should reflect warm

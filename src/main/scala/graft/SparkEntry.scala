@@ -248,6 +248,52 @@ object SparkEntry {
         + CAST(nt - pt AS DOUBLE) * CAST(nt - pt AS DOUBLE)) / CAST(nt AS DOUBLE))
       / CAST(nt AS DOUBLE)"""
 
+  /** q255/q313's shared oracle (streamed == batch — the ANOVA/Holt
+    * precedent): identical lag-moment integers + the SAME Yule-Walker
+    * formula texts. */
+  private lazy val AR2_ORACLE_SQL =
+    s"""WITH $HRS_SPINE_SQL,
+       gstat AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+         FROM hrs GROUP BY 1),
+       lg AS (SELECT a.event_type, l.lag, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+           CAST(SUM(a.n) AS BIGINT) AS sh, CAST(SUM(b.n) AS BIGINT) AS st
+         FROM hrs a CROSS JOIN (SELECT unnest([1, 2]) AS lag) l
+         JOIN hrs b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+         GROUP BY 1, 2),
+       l1 AS (SELECT event_type, cnt AS cnt1, sxy AS sxy1, sh AS sh1, st AS st1
+         FROM lg WHERE lag = 1),
+       l2 AS (SELECT event_type, cnt AS cnt2, sxy AS sxy2, sh AS sh2, st AS st2
+         FROM lg WHERE lag = 2),
+       tl AS (SELECT event_type,
+           CAST(SUM(CASE WHEN rn = 1 THEN n ELSE 0 END) AS BIGINT) AS xn,
+           CAST(SUM(CASE WHEN rn = 2 THEN n ELSE 0 END) AS BIGINT) AS xn1
+         FROM (SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC) AS rn
+           FROM hrs) WHERE rn <= 2 GROUP BY 1),
+       j AS (SELECT l1.event_type, cnt1, sxy1, sh1, st1, cnt2, sxy2, sh2, st2,
+           m, s1, s2, xn, xn1
+         FROM l1 JOIN l2 USING (event_type) JOIN gstat USING (event_type)
+         JOIN tl USING (event_type))
+       SELECT event_type, cnt1, sxy1, sh1, st1, cnt2, sxy2, sh2, st2,
+         m, s1, s2, xn, xn1,
+         ${ar2MilliSql("phi1")} AS phi1_milli,
+         ${ar2MilliSql("phi2")} AS phi2_milli,
+         ${ar2MilliSql("fc")} AS fc_milli
+       FROM j"""
+
+  /** q309's Matthews correlation over the exact confusion integers —
+    * ONE shared double formula (q124 contract), milli-quantized; NULL
+    * on any zero margin. */
+  private val MCC_MILLI_SQL =
+    """CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0 OR (tn + fp) = 0 OR (tn + fn) = 0
+       THEN NULL
+       ELSE CAST(FLOOR(1000 * (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+           - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+         / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+              * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))) AS BIGINT) END"""
+
   /** q301's N_h·S_h weight = √(v2·n/(n−1)) floor-quantized — ONE shared
     * sqrt text (q205 contract); 0 on a degenerate single-row stratum. */
   private val NEYMAN_WQ_SQL =
@@ -413,6 +459,40 @@ object SparkEntry {
          sea.sea100,
          CAST(tf.n * 100 - tf.sum25 * 4 - sea.sea100 AS BIGINT) AS res100
        FROM tf JOIN sea ON tf.event_type = sea.event_type AND tf.hod = sea.hod"""
+
+  /** q255/q313's exact Yule-Walker AR(2) fit + one-step forecast over an
+    * (event_type, h, n) series (s17: factored so the streamed q313
+    * replays it over Complete-mode state). */
+  private def ar2Audit(hours: DataFrame): DataFrame = {
+      val glob = hours.groupBy("event_type").agg(count(lit(1)).as("m"),
+
+        sum("n").as("s1"), sum(expr("n * n")).as("s2"))
+      val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
+      val lagged = hours.select(col("event_type"), col("h"), col("n").as("na"))
+        .withColumn("lag", explode(expr("sequence(1L, 2L)")))
+        .withColumn("hb", col("h") + col("lag"))
+        .join(b, Seq("event_type", "hb"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("cnt"), sum(expr("na * nb")).as("sxy"),
+          sum("na").as("sh"), sum("nb").as("st"))
+      def lagCols(k: Int) = lagged.where(col("lag") === k)
+        .select(col("event_type"), col("cnt").as(s"cnt$k"), col("sxy").as(s"sxy$k"),
+          col("sh").as(s"sh$k"), col("st").as(s"st$k"))
+      val tail = hours.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("h"))))
+        .where(col("rn") <= 2)
+        .groupBy("event_type")
+        .agg(sum(when(col("rn") === 1, col("n")).otherwise(0L)).as("xn"),
+          sum(when(col("rn") === 2, col("n")).otherwise(0L)).as("xn1"))
+      lagCols(1).join(lagCols(2), "event_type")
+        .join(broadcast(glob), "event_type").join(broadcast(tail), "event_type")
+        .select(col("event_type"), col("cnt1"), col("sxy1"), col("sh1"), col("st1"),
+          col("cnt2"), col("sxy2"), col("sh2"), col("st2"),
+          col("m"), col("s1"), col("s2"), col("xn"), col("xn1"),
+          expr(ar2MilliSql("phi1")).as("phi1_milli"),
+          expr(ar2MilliSql("phi2")).as("phi2_milli"),
+          expr(ar2MilliSql("fc")).as("fc_milli"))
+  }
 
   /** q272/q308's exact milli-unit Holt fold over an (event_type, h, n)
     * series (s17: factored so the streamed q308 replays it over
@@ -6198,37 +6278,7 @@ object SparkEntry {
     // integers, milli-quantized; NULL on a constant series (cov₀ = 0)
     // or |r₁| = 1. Calendar-bounded: one lag self-join + three tiny
     // broadcast joins.
-    "q255_ar2" -> ((s, dir) => {
-      val hours = hourlySpine(s, dir)
-      val glob = hours.groupBy("event_type").agg(count(lit(1)).as("m"),
-        sum("n").as("s1"), sum(expr("n * n")).as("s2"))
-      val b = hours.select(col("event_type"), col("h").as("hb"), col("n").as("nb"))
-      val lagged = hours.select(col("event_type"), col("h"), col("n").as("na"))
-        .withColumn("lag", explode(expr("sequence(1L, 2L)")))
-        .withColumn("hb", col("h") + col("lag"))
-        .join(b, Seq("event_type", "hb"))
-        .groupBy("event_type", "lag")
-        .agg(count(lit(1)).as("cnt"), sum(expr("na * nb")).as("sxy"),
-          sum("na").as("sh"), sum("nb").as("st"))
-      def lagCols(k: Int) = lagged.where(col("lag") === k)
-        .select(col("event_type"), col("cnt").as(s"cnt$k"), col("sxy").as(s"sxy$k"),
-          col("sh").as(s"sh$k"), col("st").as(s"st$k"))
-      val tail = hours.withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(desc("h"))))
-        .where(col("rn") <= 2)
-        .groupBy("event_type")
-        .agg(sum(when(col("rn") === 1, col("n")).otherwise(0L)).as("xn"),
-          sum(when(col("rn") === 2, col("n")).otherwise(0L)).as("xn1"))
-      lagCols(1).join(lagCols(2), "event_type")
-        .join(broadcast(glob), "event_type").join(broadcast(tail), "event_type")
-        .select(col("event_type"), col("cnt1"), col("sxy1"), col("sh1"), col("st1"),
-          col("cnt2"), col("sxy2"), col("sh2"), col("st2"),
-          col("m"), col("s1"), col("s2"), col("xn"), col("xn1"),
-          expr(ar2MilliSql("phi1")).as("phi1_milli"),
-          expr(ar2MilliSql("phi2")).as("phi2_milli"),
-          expr(ar2MilliSql("fc")).as("fc_milli"))
-    }),
-
+    "q255_ar2" -> ((s, dir) => ar2Audit(hourlySpine(s, dir))),
     // ---------------- streamed storage audit (r5 s14) ----------------
     // q180's per-(fmt, w, h) byte accounting fed by Complete-mode
     // streamed aggregates over the image table's NARROW metadata
@@ -7672,6 +7722,71 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
       }
       holtAudit(spineFromCounts(s, sink))
+    }),
+
+    // ---------------- Matthews correlation / Youden J (r5 s17) ----------------
+    // The imbalance-robust single-number eval of the shipped q246-scorer
+    // gate at conf ≥ 2¹⁹ (Matthews 1975; Youden 1950, public): exact
+    // integer confusion counts; MCC = (tp·tn − fp·fn)/√(Πmargins) by
+    // ONE shared double formula (NULL on a zero margin); sensitivity/
+    // specificity/Youden/balanced-accuracy ride the exact milli ladder.
+    // One scan, one global aggregate.
+    "q309_mcc" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(expr(MD5CONF_SQL("div")).as("conf"),
+          expr(MD5V20_SQL("div")).as("v20"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .withColumn("prd", (col("conf") >= 524288L).cast("long"))
+        .agg(sum(expr("CASE WHEN prd = 1 AND lbl = 1 THEN 1L ELSE 0L END")).as("tp"),
+          sum(expr("CASE WHEN prd = 1 AND lbl = 0 THEN 1L ELSE 0L END")).as("fp"),
+          sum(expr("CASE WHEN prd = 0 AND lbl = 1 THEN 1L ELSE 0L END")).as("fn"),
+          sum(expr("CASE WHEN prd = 0 AND lbl = 0 THEN 1L ELSE 0L END")).as("tn"))
+        .withColumn("sens_milli", expr(milliDivSql("tp", "GREATEST(tp + fn, 1)", "div")))
+        .withColumn("spec_milli", expr(milliDivSql("tn", "GREATEST(tn + fp, 1)", "div")))
+        .withColumn("youden_milli", expr("sens_milli + spec_milli - 1000"))
+        .withColumn("balacc_milli", expr("(sens_milli + spec_milli) div 2"))
+        .withColumn("mcc_milli", expr(MCC_MILLI_SQL))
+    }),
+
+    // ---------------- cumulative gains / lift table (r5 s17) ----------------
+    // The targeting report over the scorer's descending-confidence
+    // deciles (cumulative-gains chart, public ML-eval folklore): decile
+    // membership is the exact integer rule d = (cum_before·10) div n_tot
+    // over the value-bounded distinct-conf rollup (never a full-table
+    // row_number), capture and lift ride exact cumulative integers.
+    "q310_gains" -> ((s, dir) => {
+      val sc = t(s, dir, "documents")
+        .select(expr(MD5CONF_SQL("div")).as("conf"),
+          expr(MD5V20_SQL("div")).as("v20"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .groupBy("conf").agg(count(lit(1)).as("n"), sum("lbl").as("np"))
+      val wd = Window.orderBy(col("conf").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sc.withColumn("cumn", sum("n").over(wd))
+        .withColumn("cump", sum("np").over(wd))
+        .withColumn("nt", sum("n").over(Window.partitionBy()))
+        .withColumn("pt", sum("np").over(Window.partitionBy()))
+        .withColumn("decile", expr("((cumn - n) * 10) div nt"))
+        .groupBy("decile")
+        .agg(sum("n").as("n"), sum("np").as("n_pos"),
+          max("cumn").as("cum_n"), max("cump").as("cum_pos"),
+          max("nt").as("nt"), max("pt").as("pt"))
+        .withColumn("capture_ppm", expr(ppmDivSql("cum_pos", "pt")))
+        .withColumn("lift_milli", expr(milliDivSql("(cum_pos * nt)",
+          "(cum_n * pt)", "div")))
+    }),
+
+    // ---------------- streamed AR(2) forecast (r5 s17) ----------------
+    // q255's Yule–Walker fit + one-step forecast over the streamed
+    // spine — streamed==batch member FOURTEEN. Post-pass = ar2Audit,
+    // oracle = q255's.
+    "q313_stream_ar2" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "ar2") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      ar2Audit(spineFromCounts(s, sink))
     })
   )
 
@@ -11718,37 +11833,7 @@ object SparkEntry {
 
     // ground truth: identical lag components over the spine + the ONE
     // shared Yule–Walker formula text per output
-    "q255_ar2" ->
-      s"""WITH $HRS_SPINE_SQL,
-         gstat AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
-             CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
-           FROM hrs GROUP BY 1),
-         lg AS (SELECT a.event_type, l.lag, CAST(COUNT(*) AS BIGINT) AS cnt,
-             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
-             CAST(SUM(a.n) AS BIGINT) AS sh, CAST(SUM(b.n) AS BIGINT) AS st
-           FROM hrs a CROSS JOIN (SELECT unnest([1, 2]) AS lag) l
-           JOIN hrs b ON b.event_type = a.event_type AND b.h = a.h + l.lag
-           GROUP BY 1, 2),
-         l1 AS (SELECT event_type, cnt AS cnt1, sxy AS sxy1, sh AS sh1, st AS st1
-           FROM lg WHERE lag = 1),
-         l2 AS (SELECT event_type, cnt AS cnt2, sxy AS sxy2, sh AS sh2, st AS st2
-           FROM lg WHERE lag = 2),
-         tl AS (SELECT event_type,
-             CAST(SUM(CASE WHEN rn = 1 THEN n ELSE 0 END) AS BIGINT) AS xn,
-             CAST(SUM(CASE WHEN rn = 2 THEN n ELSE 0 END) AS BIGINT) AS xn1
-           FROM (SELECT event_type, n,
-               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC) AS rn
-             FROM hrs) WHERE rn <= 2 GROUP BY 1),
-         j AS (SELECT l1.event_type, cnt1, sxy1, sh1, st1, cnt2, sxy2, sh2, st2,
-             m, s1, s2, xn, xn1
-           FROM l1 JOIN l2 USING (event_type) JOIN gstat USING (event_type)
-           JOIN tl USING (event_type))
-         SELECT event_type, cnt1, sxy1, sh1, st1, cnt2, sxy2, sh2, st2,
-           m, s1, s2, xn, xn1,
-           ${ar2MilliSql("phi1")} AS phi1_milli,
-           ${ar2MilliSql("phi2")} AS phi2_milli,
-           ${ar2MilliSql("fc")} AS fc_milli
-         FROM j""",
+    "q255_ar2" -> AR2_ORACLE_SQL,
 
     // ground truth: identical integer decile rule + the ONE shared
     // smoothed PSI term text
@@ -12536,7 +12621,57 @@ object SparkEntry {
          FROM rk WHERE rn = 1""",
 
     // ground truth: the SAME oracle as q272 (thirteenth member)
-    "q308_stream_holt" -> holtOracleSql
+    "q308_stream_holt" -> holtOracleSql,
+
+    // ground truth: same gate/label, same confusion integers, the SAME
+    // MCC text and milli ladders
+    "q309_mcc" ->
+      s"""WITH d AS (SELECT ${MD5CONF_SQL("//")} AS conf,
+             ${MD5V20_SQL("//")} AS v20 FROM documents),
+         f AS (SELECT CASE WHEN v20 < (conf * conf) // 1048576 THEN 1 ELSE 0 END AS lbl,
+             CASE WHEN conf >= 524288 THEN 1 ELSE 0 END AS prd FROM d),
+         cf AS (SELECT
+             CAST(SUM(CASE WHEN prd = 1 AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN prd = 1 AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN prd = 0 AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN prd = 0 AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM f),
+         m AS (SELECT tp, fp, fn, tn,
+             CAST(${milliDivSql("tp", "GREATEST(tp + fn, 1)", "//")} AS BIGINT) AS sens_milli,
+             CAST(${milliDivSql("tn", "GREATEST(tn + fp, 1)", "//")} AS BIGINT) AS spec_milli
+           FROM cf)
+         SELECT tp, fp, fn, tn, sens_milli, spec_milli,
+           sens_milli + spec_milli - 1000 AS youden_milli,
+           (sens_milli + spec_milli) // 2 AS balacc_milli,
+           CAST($MCC_MILLI_SQL AS BIGINT) AS mcc_milli
+         FROM m""",
+
+    // ground truth: identical distinct-conf cumulative windows + the
+    // same integer decile rule, capture ppm and lift milli
+    "q310_gains" ->
+      s"""WITH d AS (SELECT ${MD5CONF_SQL("//")} AS conf,
+             ${MD5V20_SQL("//")} AS v20 FROM documents),
+         sc AS (SELECT conf, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v20 < (conf * conf) // 1048576
+               THEN 1 ELSE 0 END) AS BIGINT) AS np
+           FROM d GROUP BY 1),
+         cw AS (SELECT conf, n, np,
+             CAST(SUM(n) OVER (ORDER BY conf DESC) AS BIGINT) AS cumn,
+             CAST(SUM(np) OVER (ORDER BY conf DESC) AS BIGINT) AS cump,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(np) OVER () AS BIGINT) AS pt FROM sc),
+         dc AS (SELECT ((cumn - n) * 10) // nt AS decile,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(MAX(cumn) AS BIGINT) AS cum_n, CAST(MAX(cump) AS BIGINT) AS cum_pos,
+             CAST(MAX(nt) AS BIGINT) AS nt, CAST(MAX(pt) AS BIGINT) AS pt
+           FROM cw GROUP BY 1)
+         SELECT decile, n, n_pos, cum_n, cum_pos, nt, pt,
+           CAST(${ppmDivSqlI("cum_pos", "pt", "//")} AS BIGINT) AS capture_ppm,
+           CAST(${milliDivSql("(cum_pos * nt)", "(cum_n * pt)", "//")} AS BIGINT) AS lift_milli
+         FROM dc""",
+
+    // ground truth: the SAME oracle as q255 (fourteenth member)
+    "q313_stream_ar2" -> AR2_ORACLE_SQL
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
