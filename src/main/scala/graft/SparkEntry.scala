@@ -7787,6 +7787,38 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
       }
       ar2Audit(spineFromCounts(s, sink))
+    }),
+
+    // ---------------- origin–destination flow matrix (r5 s17) ----------------
+    // The classic movement-analytics product over the q103 trajectories:
+    // each entity's first/last fix (min_by/max_by on the unique ordinal
+    // — one shuffle on entity) zone-assigned by broadcast rect
+    // containment (ties to the smallest zone_id, off-zone → 'none'),
+    // flows = count per (o_zone, d_zone). Zones broadcast, entities ≪
+    // fixes — the matrix is zone²-bounded at any corpus size.
+    "q311_od_matrix" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val z = GeoTables.zones(s, dir)
+        .select("zone_id", "xmin", "xmax", "ymin", "ymax")
+      val ends = s.read.parquet(GeoTables.imagesPath(dir))
+        .withColumn("iid", substring(col("image_id"), 4, 8).cast("bigint"))
+        .withColumn("entity", pmod(col("iid"), lit(50)).cast("bigint"))
+        .groupBy("entity")
+        .agg(min_by(col("lon"), col("iid")).as("olon"),
+          min_by(col("lat"), col("iid")).as("olat"),
+          max_by(col("lon"), col("iid")).as("dlon"),
+          max_by(col("lat"), col("iid")).as("dlat"))
+        .localCheckpoint() // entity-bounded; probed twice
+      def zoneOf(px: String, py: String, out: String) = ends
+        .join(broadcast(z),
+          col(px) >= col("xmin") && col(px) <= col("xmax") &&
+          col(py) >= col("ymin") && col(py) <= col("ymax"), "left")
+        .groupBy("entity")
+        .agg(coalesce(min("zone_id"), lit("none")).as(out))
+      zoneOf("olon", "olat", "o_zone")
+        .join(zoneOf("dlon", "dlat", "d_zone"), "entity")
+        .groupBy("o_zone", "d_zone")
+        .agg(count(lit(1)).as("n_flows"))
     })
   )
 
@@ -12671,7 +12703,30 @@ object SparkEntry {
          FROM dc""",
 
     // ground truth: the SAME oracle as q255 (fourteenth member)
-    "q313_stream_ar2" -> AR2_ORACLE_SQL
+    "q313_stream_ar2" -> AR2_ORACLE_SQL,
+
+    // ground truth: arg_min/arg_max endpoints on the unique ordinal +
+    // identical inclusive rect containment and smallest-zone tie rule
+    "q311_od_matrix" ->
+      s"""WITH img AS (SELECT CAST(substr(image_id, 4, 8) AS BIGINT) AS iid,
+             CAST(substr(image_id, 4, 8) AS BIGINT) % 50 AS entity, lon, lat
+           FROM $IMG),
+         e AS (SELECT entity,
+             arg_min(lon, iid) AS olon, arg_min(lat, iid) AS olat,
+             arg_max(lon, iid) AS dlon, arg_max(lat, iid) AS dlat
+           FROM img GROUP BY 1),
+         oz AS (SELECT e.entity, COALESCE(MIN(z.zone_id), 'none') AS o_zone
+           FROM e LEFT JOIN $ZON z
+             ON e.olon >= z.xmin AND e.olon <= z.xmax
+            AND e.olat >= z.ymin AND e.olat <= z.ymax
+           GROUP BY 1),
+         dz AS (SELECT e.entity, COALESCE(MIN(z.zone_id), 'none') AS d_zone
+           FROM e LEFT JOIN $ZON z
+             ON e.dlon >= z.xmin AND e.dlon <= z.xmax
+            AND e.dlat >= z.ymin AND e.dlat <= z.ymax
+           GROUP BY 1)
+         SELECT oz.o_zone, dz.d_zone, CAST(COUNT(*) AS BIGINT) AS n_flows
+         FROM oz JOIN dz USING (entity) GROUP BY 1, 2"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
