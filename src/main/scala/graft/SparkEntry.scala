@@ -49,6 +49,7 @@ object SparkEntry {
   private val IMGGLCM = "read_parquet('/tmp/graft_geo/sf0.01/img_glcm.parquet/*.parquet')"
   private val IMGTEX = "read_parquet('/tmp/graft_geo/sf0.01/img_tex.parquet/*.parquet')"
   private val IMGHAAR = "read_parquet('/tmp/graft_geo/sf0.01/img_haar.parquet/*.parquet')"
+  private val IMGMC = "read_parquet('/tmp/graft_geo/sf0.01/img_mc.parquet/*.parquet')"
 
   // ---- engineered rectangle-pair fixture (oracle-constant topology) ----
   // Six B-variants of each zone rect A, built with arithmetic both engines
@@ -7819,6 +7820,36 @@ object SparkEntry {
         .join(zoneOf("dlon", "dlat", "d_zone"), "entity")
         .groupBy("o_zone", "d_zone")
         .agg(count(lit(1)).as("n_flows"))
+    }),
+
+    // ---------------- median-cut palette quantization (r5 s17) ----------------
+    // Heckbert's adaptive-palette reduction through the decode path —
+    // the DATA-DRIVEN sibling of q291's fixed 3-3-2 grid: three
+    // value-threshold split rounds to ≤8 boxes (img_mediancut; pixel-
+    // order invariant by construction, MedianCutSpec pins it), exact
+    // integer box means and total L1 quantization error. The payload is
+    // the palette-compression cost: ratio_milli = adaptive-8 error /
+    // 256-cell 3-3-2 error (q291 kernel, recomputed in this one
+    // projection) — how much error 1/32 of the palette buys.
+    // Row-parallel one-scan kernel.
+    "q312_mediancut" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureImgMc(s, dir)
+      GeoTables.ensureImgTex(s, dir) // the oracle's qerr_332 source
+      GeoTables.images(s, dir)
+        .withColumn("rgb", call_function("img_rgb", col("bytes")))
+        .withColumn("mc", call_function("img_mediancut", col("rgb")))
+        .withColumn("pl", call_function("img_pal332", col("rgb")))
+        .select(col("image_id"), col("w"), col("h"),
+          expr("mc[0]").as("n_colors"), expr("mc[1]").as("dom_count"),
+          expr("mc[2]").as("dom_r"), expr("mc[3]").as("dom_g"),
+          expr("mc[4]").as("dom_b"), expr("mc[5]").as("l1_qerr"),
+          expr("pl[3]").as("qerr_332"))
+        .withColumn("dom_ppm", expr(ppmDivSql("dom_count",
+          "(CAST(w AS BIGINT) * CAST(h AS BIGINT))")))
+        .withColumn("ratio_milli", expr(milliDivSql("l1_qerr",
+          "GREATEST(qerr_332, 1)", "div")))
+        .drop("w", "h")
     })
   )
 
@@ -12726,7 +12757,20 @@ object SparkEntry {
             AND e.dlat >= z.ymin AND e.dlat <= z.ymax
            GROUP BY 1)
          SELECT oz.o_zone, dz.d_zone, CAST(COUNT(*) AS BIGINT) AS n_flows
-         FROM oz JOIN dz USING (entity) GROUP BY 1, 2"""
+         FROM oz JOIN dz USING (entity) GROUP BY 1, 2""",
+
+    // ground truth: the recompute-pinned img_mc fixture; dom_ppm and the
+    // compression-cost ratio re-derived relationally (q291 two-bases
+    // pattern, grid error from the q291-pinned img_tex fixture)
+    "q312_mediancut" ->
+      s"""SELECT t.image_id, t.n_colors, t.dom_count, t.dom_r, t.dom_g,
+           t.dom_b, t.l1_qerr, x.pal_qerr AS qerr_332,
+           CAST(${ppmDivSqlI("t.dom_count",
+             "(CAST(i.w AS BIGINT) * CAST(i.h AS BIGINT))", "//")} AS BIGINT) AS dom_ppm,
+           CAST(${milliDivSql("t.l1_qerr", "GREATEST(x.pal_qerr, 1)", "//")}
+             AS BIGINT) AS ratio_milli
+         FROM $IMGMC t JOIN $IMG i ON i.image_id = t.image_id
+         JOIN $IMGTEX x ON x.image_id = t.image_id"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )

@@ -749,6 +749,29 @@ object GeoTables {
     Files.createFile(Paths.get(s"$base/_IMGHAAR_DONE"))
   }
 
+  def imgMcPath(sfDir: String): String = s"${baseDir(sfDir)}/img_mc.parquet"
+
+  final case class ImgMcRow(image_id: String, n_colors: Long, dom_count: Long,
+                            dom_r: Long, dom_g: Long, dom_b: Long, l1_qerr: Long)
+
+  /** Median-cut palette fixture through the SAME kernel img_mediancut
+    * wraps (q212 recompute-pin contract). */
+  def ensureImgMc(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val base = baseDir(sfDir)
+    if (Files.exists(Paths.get(s"$base/_IMGMC_DONE"))) return
+    import spark.implicits._
+    images(spark, sfDir)
+      .select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = Images.medianCut8(Images.decode(bytes)._3)
+        ImgMcRow(id, m(0), m(1), m(2), m(3), m(4), m(5))
+      }
+      .write.mode("overwrite").parquet(imgMcPath(sfDir))
+    Files.createFile(Paths.get(s"$base/_IMGMC_DONE"))
+  }
+
   def imgWbPath(sfDir: String): String = s"${baseDir(sfDir)}/img_wb.parquet"
 
   final case class ImgWbRow(image_id: String, sr: Long, sg: Long, sb: Long, npx: Long)

@@ -999,6 +999,70 @@ object Images {
     Array(nd, top, topc, qerr)
   }
 
+  /** Deterministic median-cut palette quantization to ≤8 colors
+    * (Heckbert 1982, public): three split rounds; each box splits on
+    * its widest channel (tie order R, G, B) at the value-threshold
+    * lower median t = min(median, max−1), members c ≤ t left —
+    * decisions depend only on VALUES, so the result is pixel-order
+    * invariant; constant boxes stay leaves. Returns [n_colors,
+    * dom_count, dom_r, dom_g, dom_b, l1_qerr] with box means floor-
+    * divided and the exact integer L1 error to the assigned mean. */
+  def medianCut8(rgb: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](6)
+    val n = rgb.length / 3
+    if (n == 0 || rgb.length % 3 != 0) return out
+    def ch(i: Int, c: Int): Int = rgb(i * 3 + c) & 0xFF
+    var boxes: Vector[Array[Int]] = Vector(Array.tabulate(n)(identity))
+    var round = 0
+    while (round < 3) {
+      boxes = boxes.flatMap { b =>
+        val mn = Array(255, 255, 255); val mx = Array(0, 0, 0)
+        b.foreach { i =>
+          var c = 0
+          while (c < 3) {
+            val v = ch(i, c)
+            if (v < mn(c)) mn(c) = v
+            if (v > mx(c)) mx(c) = v
+            c += 1
+          }
+        }
+        val ranges = Array(mx(0) - mn(0), mx(1) - mn(1), mx(2) - mn(2))
+        val wc = if (ranges(0) >= ranges(1) && ranges(0) >= ranges(2)) 0
+          else if (ranges(1) >= ranges(2)) 1 else 2
+        if (ranges(wc) == 0) Vector(b) // constant box: leaf
+        else {
+          val hist = new Array[Int](256)
+          b.foreach(i => hist(ch(i, wc)) += 1)
+          val half = (b.length + 1) / 2
+          var t = 0; var cum = 0
+          while (cum < half) { cum += hist(t); t += 1 }
+          t -= 1
+          if (t >= mx(wc)) t = mx(wc) - 1
+          Vector(b.filter(i => ch(i, wc) <= t), b.filter(i => ch(i, wc) > t))
+        }
+      }
+      round += 1
+    }
+    out(0) = boxes.size.toLong
+    var qerr = 0L
+    var domCount = -1L; var domR = 0L; var domG = 0L; var domB = 0L
+    boxes.foreach { b =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      b.foreach { i => sr += ch(i, 0); sg += ch(i, 1); sb += ch(i, 2) }
+      val mr = sr / b.length; val mg = sg / b.length; val mb = sb / b.length
+      b.foreach { i =>
+        qerr += math.abs(ch(i, 0) - mr) + math.abs(ch(i, 1) - mg) +
+          math.abs(ch(i, 2) - mb)
+      }
+      if (b.length > domCount) {
+        domCount = b.length.toLong; domR = mr; domG = mg; domB = mb
+      }
+    }
+    out(1) = domCount; out(2) = domR; out(3) = domG; out(4) = domB
+    out(5) = qerr
+    out
+  }
+
   /** Two-level unnormalized 2D Haar transform energies over the 16×16
     * area-averaged luma thumbnail: [e_ll2, e_lh2, e_hl2, e_hh2, e_lh1,
     * e_hl1, e_hh1], each the exact integer Σcoef² of its subband

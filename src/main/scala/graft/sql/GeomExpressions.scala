@@ -1301,6 +1301,17 @@ case class ImgHaar(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** Median-cut ≤8-color palette audit [n_colors, dom_count, dom_r,
+  * dom_g, dom_b, l1_qerr] over a decoded RGB buffer. */
+case class ImgMedianCut8(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(K.imgMedianCut8(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** 6-sector hue histogram + achromatic bin over a decoded RGB buffer. */
 case class ImgHueHist(child: Expression) extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def nullIntolerant: Boolean = true

@@ -214,6 +214,7 @@ object GraftFunctions {
     "img_hue_hist" -> (e => ImgHueHist(e.head)),
     "img_pal332" -> (e => ImgPal332(e.head)),
     "img_haar" -> (e => ImgHaar(e(0), e(1), e(2))),
+    "img_mediancut" -> (e => ImgMedianCut8(e.head)),
     "img_ssim_rgb" -> (e => ImgSsim(e(0), e(1), e(2), e(3))),
     "bit_hamming" -> (e => BitHamming(e(0), e(1))),
     // multimodal opaque-binary columns (GMV1 container; stub codec)

@@ -739,6 +739,7 @@ object K {
   def imgHarris(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.harris(w, h, rgb)
   def imgHueHist(rgb: Array[Byte]): Array[Long] = Images.hueHist(rgb)
   def imgHaar(rgb: Array[Byte], w: Int, h: Int): Array[Long] = Images.haarEnergy(w, h, rgb)
+  def imgMedianCut8(rgb: Array[Byte]): Array[Long] = Images.medianCut8(rgb)
   def imgPal332(rgb: Array[Byte]): Array[Long] = Images.pal332(rgb)
   def imgEqualizeRgb(rgb: Array[Byte]): Array[Byte] = Images.equalizeRgb(rgb)
   def imgGammaRgb(rgb: Array[Byte], gammaMilli: Int): Array[Byte] =
