@@ -284,6 +284,21 @@ object SparkEntry {
          ${ar2MilliSql("fc")} AS fc_milli
        FROM j"""
 
+  /** q314's beta-binomial MoM shrinkage over (pos, n, k, sr, sr2): with
+    * m = sr/k/10⁶ and v = (sr2/k − (sr/k)²)/10¹² over the ppm-quantized
+    * per-source rates, τ = m(1−m)/v − 1, shrunk = (pos + mτ)/(n + τ) —
+    * ONE shared double formula (q287 quantized-inputs contract); NULL
+    * when k < 2, v ≤ 0 or τ ≤ 0 (no meaningful prior). */
+  private val EB_SHRUNK_MILLI_SQL = {
+    val m = "(CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e6)"
+    val v = "((CAST(sr2 AS DOUBLE) / CAST(k AS DOUBLE) " +
+      "- (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))) / 1e12)"
+    val tau = s"($m * (1e0 - $m) / $v - 1e0)"
+    s"""CASE WHEN k < 2 OR $v <= 0e0 OR $tau <= 0e0 THEN NULL
+       ELSE CAST(FLOOR(1000 * (CAST(pos AS DOUBLE) + $m * $tau)
+         / (CAST(n AS DOUBLE) + $tau)) AS BIGINT) END"""
+  }
+
   /** q309's Matthews correlation over the exact confusion integers —
     * ONE shared double formula (q124 contract), milli-quantized; NULL
     * on any zero margin. */
@@ -7850,6 +7865,65 @@ object SparkEntry {
         .withColumn("ratio_milli", expr(milliDivSql("l1_qerr",
           "GREATEST(qerr_332, 1)", "div")))
         .drop("w", "h")
+    }),
+
+    // ---------------- empirical-Bayes rate shrinkage (r5 s17) ----------------
+    // Per-source positive-rate estimates a curation dashboard can trust
+    // at ANY source size (Efron & Morris 1975; beta-binomial method of
+    // moments, public): raw per-source rates ppm-quantize from exact
+    // integers; the across-source mean/variance of those quantized
+    // rates are exact integer sums; prior strength τ = m(1−m)/v − 1 and
+    // the shrunken (pos + α)/(n + τ) ride ONE shared double formula
+    // (q287's quantized-inputs contract). Sources with τ undefined
+    // (zero between-source variance) report NULL and fall back to raw.
+    // One scan + a source-bounded aggregate.
+    "q314_shrinkage" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("source"),
+          expr(MD5CONF_SQL("div")).as("conf"), expr(MD5V20_SQL("div")).as("v20"))
+        .withColumn("lbl", (col("v20") < expr("(conf * conf) div 1048576")).cast("long"))
+        .groupBy("source").agg(count(lit(1)).as("n"), sum("lbl").as("pos"))
+        .withColumn("r_ppm", expr(ppmDivSql("pos", "n")))
+        .localCheckpoint() // source-bounded; referenced twice
+      val glob = src.agg(count(lit(1)).as("k"), sum("r_ppm").as("sr"),
+        sum(expr("r_ppm * r_ppm")).as("sr2"))
+      src.crossJoin(broadcast(glob))
+        .withColumn("shrunk_milli", expr(EB_SHRUNK_MILLI_SQL))
+    }),
+
+    // ---------------- grid-join selectivity audit (r5 s17) ----------------
+    // The planner statistic behind every cell-cover spatial join: how
+    // many candidate pairs does a 4° grid join generate per zone, and
+    // what fraction survive exact containment? est = Σ_covered-cells
+    // point-count (closed-form integer cell ranges over the zone rect —
+    // the q206 lateral fan-out, never a point×zone cross join), actual
+    // = exact inclusive containment through the SAME grid equi-join.
+    // sel_ppm tells which zones want a finer cover level — the audit a
+    // 100 TB cover-level chooser reads.
+    "q315_join_card" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val pts = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("lon"), col("lat"),
+          expr("CAST(FLOOR((lon + 180.0) / 4.0) AS BIGINT)").as("gx"),
+          expr("CAST(FLOOR((lat + 90.0) / 4.0) AS BIGINT)").as("gy"))
+      val cellCounts = pts.groupBy("gx", "gy").agg(count(lit(1)).as("np"))
+      val zcells = GeoTables.zones(s, dir)
+        .select(col("zone_id"), col("xmin"), col("xmax"), col("ymin"), col("ymax"))
+        .withColumn("gx", explode(expr(
+          """sequence(CAST(FLOOR((xmin + 180.0) / 4.0) AS BIGINT),
+                      CAST(FLOOR((xmax + 180.0) / 4.0) AS BIGINT))""")))
+        .withColumn("gy", explode(expr(
+          """sequence(CAST(FLOOR((ymin + 90.0) / 4.0) AS BIGINT),
+                      CAST(FLOOR((ymax + 90.0) / 4.0) AS BIGINT))""")))
+      val est = zcells.join(cellCounts, Seq("gx", "gy"))
+        .groupBy("zone_id").agg(sum("np").as("est_pairs"))
+      val actual = zcells.join(pts, Seq("gx", "gy"))
+        .where(col("lon") >= col("xmin") && col("lon") <= col("xmax") &&
+          col("lat") >= col("ymin") && col("lat") <= col("ymax"))
+        .groupBy("zone_id").agg(count(lit(1)).as("n_actual"))
+      est.join(actual, Seq("zone_id"), "left")
+        .withColumn("n_actual", coalesce(col("n_actual"), lit(0L)))
+        .withColumn("sel_ppm", expr(ppmDivSql("n_actual", "GREATEST(est_pairs, 1)")))
     })
   )
 
@@ -12770,7 +12844,54 @@ object SparkEntry {
            CAST(${milliDivSql("t.l1_qerr", "GREATEST(x.pal_qerr, 1)", "//")}
              AS BIGINT) AS ratio_milli
          FROM $IMGMC t JOIN $IMG i ON i.image_id = t.image_id
-         JOIN $IMGTEX x ON x.image_id = t.image_id"""
+         JOIN $IMGTEX x ON x.image_id = t.image_id""",
+
+    // ground truth: identical quantized rates and moment integers + the
+    // SAME shrinkage formula text
+    "q314_shrinkage" ->
+      s"""WITH d AS (SELECT source, ${MD5CONF_SQL("//")} AS conf,
+             ${MD5V20_SQL("//")} AS v20 FROM documents),
+         g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v20 < (conf * conf) // 1048576
+               THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM d GROUP BY 1),
+         g2 AS (SELECT source, n, pos,
+             CAST(${ppmDivSqlI("pos", "n", "//")} AS BIGINT) AS r_ppm FROM g),
+         gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(r_ppm) AS BIGINT) AS sr,
+             CAST(SUM(r_ppm * r_ppm) AS BIGINT) AS sr2 FROM g2)
+         SELECT g2.source, g2.n, g2.pos, g2.r_ppm, gl.k, gl.sr, gl.sr2,
+           CAST($EB_SHRUNK_MILLI_SQL AS BIGINT) AS shrunk_milli
+         FROM g2, gl""",
+
+    // ground truth: identical closed-form 4° cell ranges, grid counts,
+    // inclusive containment and selectivity ppm
+    "q315_join_card" ->
+      s"""WITH pts AS (SELECT lon, lat,
+             CAST(FLOOR((lon + 180.0) / 4.0) AS BIGINT) AS gx,
+             CAST(FLOOR((lat + 90.0) / 4.0) AS BIGINT) AS gy FROM $IMG),
+         cc AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS np
+           FROM pts GROUP BY 1, 2),
+         zc AS (SELECT z.zone_id, z.xmin, z.xmax, z.ymin, z.ymax, u.gx, v.gy
+           FROM $ZON z,
+             LATERAL UNNEST(generate_series(
+               CAST(FLOOR((z.xmin + 180.0) / 4.0) AS BIGINT),
+               CAST(FLOOR((z.xmax + 180.0) / 4.0) AS BIGINT))) AS u(gx),
+             LATERAL UNNEST(generate_series(
+               CAST(FLOOR((z.ymin + 90.0) / 4.0) AS BIGINT),
+               CAST(FLOOR((z.ymax + 90.0) / 4.0) AS BIGINT))) AS v(gy)),
+         est AS (SELECT zone_id, CAST(SUM(cc.np) AS BIGINT) AS est_pairs
+           FROM zc JOIN cc ON cc.gx = zc.gx AND cc.gy = zc.gy GROUP BY 1),
+         act AS (SELECT zc.zone_id, CAST(COUNT(*) AS BIGINT) AS n_actual
+           FROM zc JOIN pts ON pts.gx = zc.gx AND pts.gy = zc.gy
+           WHERE pts.lon >= zc.xmin AND pts.lon <= zc.xmax
+             AND pts.lat >= zc.ymin AND pts.lat <= zc.ymax
+           GROUP BY 1)
+         SELECT est.zone_id, est.est_pairs,
+           CAST(COALESCE(act.n_actual, 0) AS BIGINT) AS n_actual,
+           CAST(${ppmDivSqlI("COALESCE(act.n_actual, 0)",
+             "GREATEST(est.est_pairs, 1)", "//")} AS BIGINT) AS sel_ppm
+         FROM est LEFT JOIN act ON act.zone_id = est.zone_id"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
