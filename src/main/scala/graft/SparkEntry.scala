@@ -7924,6 +7924,84 @@ object SparkEntry {
       est.join(actual, Seq("zone_id"), "left")
         .withColumn("n_actual", coalesce(col("n_actual"), lit(0L)))
         .withColumn("sel_ppm", expr(ppmDivSql("n_actual", "GREATEST(est_pairs, 1)")))
+    }),
+
+    // ---------------- Jenks natural breaks (r5 s17) ----------------
+    // The default choropleth classifier of every desktop GIS (Jenks
+    // 1967 / Fisher 1958 optimal 1-D partition, public): split the 100
+    // zone image-counts into k = 4 classes minimizing total within-class
+    // SSD. Interval cost = ((c·ΔS2 − ΔS1²)·1000) div c — EXACT integer
+    // from cumulative sums (long-safe while Σ-per-class c·ΔS2 ≤ 9.2e15,
+    // i.e. zone counts to ~3e5 at 100 zones; a 100 TB run feeds
+    // pre-scaled densities); the DP runs as THREE relational min-joins
+    // over the zone-bounded (i, j) cost table — never a sequential
+    // loop — and the class starts backtrack through three deterministic
+    // (cost, i)-argmin reductions (ties to the smallest start). Output:
+    // the three break values and the optimal total cost.
+    "q316_jenks" -> ((s, dir) => {
+      val cnt = SpatialJoins.pipJoin(GeoTables.images(s, dir),
+        GeoTables.zones(s, dir), level = 8)
+        .groupBy("zone_id").agg(count(lit(1)).as("n0"))
+      val dens = GeoTables.zones(s, dir)
+        .join(cnt, Seq("zone_id"), "left")
+        .select(col("zone_id"), coalesce(col("n0"), lit(0L)).as("x"))
+      val vals = dens
+        .withColumn("rn", row_number().over(Window.orderBy(col("x"), col("zone_id"))))
+        .withColumn("s1", sum("x").over(Window.orderBy("rn")))
+        .withColumn("s2", sum(expr("x * x")).over(Window.orderBy("rn")))
+        .select("rn", "x", "s1", "s2")
+        .localCheckpoint() // zone-bounded (100 rows); referenced 5×
+      val c0 = vals.select(col("rn"), col("s1"), col("s2"))
+        .unionByName(s.range(1).select(lit(0).cast("int").as("rn"),
+          lit(0L).as("s1"), lit(0L).as("s2")))
+      val cost = c0.as("a").join(vals.as("b"), col("a.rn") < col("b.rn"))
+        .select((col("a.rn") + 1).as("i"), col("b.rn").as("j"), expr(
+          """((CAST(b.rn - a.rn AS BIGINT) * (b.s2 - a.s2)
+             - (b.s1 - a.s1) * (b.s1 - a.s1)) * 1000)
+             div CAST(b.rn - a.rn AS BIGINT)""").as("c"))
+        .localCheckpoint() // ≤ V²/2 rows, referenced 6×
+      val d1 = cost.where(col("i") === 1).select(col("j"), col("c").as("d"))
+      def step(prev: DataFrame): DataFrame = cost.where(col("i") >= 2)
+        .join(prev.select(col("j").as("jp"), col("d").as("dp")),
+          col("jp") === col("i") - 1)
+        .groupBy("j").agg(min(expr("dp + c")).as("d"))
+      val d2 = step(d1).localCheckpoint()
+      val d3 = step(d2).localCheckpoint()
+      val vmax = vals.agg(max("rn").as("vv")).localCheckpoint()
+      def argmin(prev: DataFrame, ends: DataFrame, endExpr: String,
+                 out: String, carry: Seq[String]) =
+        cost.where(col("i") >= 2)
+          .crossJoin(broadcast(ends)).where(col("j") === expr(endExpr))
+          .join(prev.select(col("j").as("jp"), col("d").as("dp")),
+            col("jp") === col("i") - 1)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(expr("dp + c").asc, col("i").asc)))
+          .where(col("rk") === 1)
+          .select((col("i").as(out) +: carry.map(col)): _*)
+      val p4 = cost.where(col("i") >= 2)
+        .crossJoin(broadcast(vmax)).where(col("j") === col("vv"))
+        .join(d3.select(col("j").as("jp"), col("d").as("dp")),
+          col("jp") === col("i") - 1)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(expr("dp + c").asc, col("i").asc)))
+        .where(col("rk") === 1)
+        .select(col("i").as("i4"), expr("dp + c").as("total_cost1000"))
+        .localCheckpoint()
+      val p3 = argmin(d2, p4, "i4 - 1", "i3", Seq("i4", "total_cost1000"))
+        .localCheckpoint()
+      val p2 = argmin(d1, p3, "i3 - 1", "i2",
+        Seq("i3", "i4", "total_cost1000"))
+      p2.crossJoin(broadcast(vmax))
+        .join(vals.select(col("rn"), col("x").as("b1")),
+          col("rn") === col("i2") - 1).drop("rn")
+        .join(vals.select(col("rn"), col("x").as("b2")),
+          col("rn") === col("i3") - 1).drop("rn")
+        .join(vals.select(col("rn"), col("x").as("b3")),
+          col("rn") === col("i4") - 1).drop("rn")
+        .select(col("vv").cast("long").as("n_vals"),
+          col("i2").cast("long").as("i2"), col("i3").cast("long").as("i3"),
+          col("i4").cast("long").as("i4"),
+          col("b1"), col("b2"), col("b3"), col("total_cost1000"))
     })
   )
 
@@ -12891,7 +12969,54 @@ object SparkEntry {
            CAST(COALESCE(act.n_actual, 0) AS BIGINT) AS n_actual,
            CAST(${ppmDivSqlI("COALESCE(act.n_actual, 0)",
              "GREATEST(est.est_pairs, 1)", "//")} AS BIGINT) AS sel_ppm
-         FROM est LEFT JOIN act ON act.zone_id = est.zone_id"""
+         FROM est LEFT JOIN act ON act.zone_id = est.zone_id""",
+
+    // ground truth: the identical exact-integer interval costs and the
+    // identical three min-join DP + (cost, i)-argmin backtrack (q179's
+    // containment semantics for the zone counts)
+    "q316_jenks" ->
+      s"""WITH cz AS (SELECT z.zone_id, CAST(COUNT(i.image_id) AS BIGINT) AS x
+           FROM $ZON z LEFT JOIN $IMG i
+             ON i.lon BETWEEN z.xmin AND z.xmax AND i.lat BETWEEN z.ymin AND z.ymax
+           GROUP BY 1),
+         vals AS (SELECT x,
+             CAST(ROW_NUMBER() OVER (ORDER BY x, zone_id) AS BIGINT) AS rn,
+             CAST(SUM(x) OVER (ORDER BY x, zone_id) AS BIGINT) AS s1,
+             CAST(SUM(x * x) OVER (ORDER BY x, zone_id) AS BIGINT) AS s2
+           FROM cz),
+         c0 AS (SELECT rn, s1, s2 FROM vals UNION ALL SELECT 0, 0, 0),
+         cost AS (SELECT a.rn + 1 AS i, b.rn AS j,
+             (((b.rn - a.rn) * (b.s2 - a.s2)
+               - (b.s1 - a.s1) * (b.s1 - a.s1)) * 1000) // (b.rn - a.rn) AS c
+           FROM c0 a JOIN vals b ON a.rn < b.rn),
+         d1 AS (SELECT j, c AS d FROM cost WHERE i = 1),
+         d2 AS (SELECT cost.j, MIN(d1.d + cost.c) AS d FROM cost
+           JOIN d1 ON d1.j = cost.i - 1 WHERE cost.i >= 2 GROUP BY 1),
+         d3 AS (SELECT cost.j, MIN(d2.d + cost.c) AS d FROM cost
+           JOIN d2 ON d2.j = cost.i - 1 WHERE cost.i >= 2 GROUP BY 1),
+         vm AS (SELECT MAX(rn) AS vv FROM vals),
+         p4 AS (SELECT cost.i AS i4, d3.d + cost.c AS total_cost1000
+           FROM cost JOIN vm ON cost.j = vm.vv
+           JOIN d3 ON d3.j = cost.i - 1
+           WHERE cost.i >= 2
+           ORDER BY d3.d + cost.c, cost.i LIMIT 1),
+         p3 AS (SELECT cost.i AS i3 FROM cost
+           JOIN p4 ON cost.j = p4.i4 - 1
+           JOIN d2 ON d2.j = cost.i - 1
+           WHERE cost.i >= 2
+           ORDER BY d2.d + cost.c, cost.i LIMIT 1),
+         p2 AS (SELECT cost.i AS i2 FROM cost
+           JOIN p3 ON cost.j = p3.i3 - 1
+           JOIN d1 ON d1.j = cost.i - 1
+           WHERE cost.i >= 2
+           ORDER BY d1.d + cost.c, cost.i LIMIT 1)
+         SELECT CAST(vm.vv AS BIGINT) AS n_vals,
+           CAST(p2.i2 AS BIGINT) AS i2, CAST(p3.i3 AS BIGINT) AS i3,
+           CAST(p4.i4 AS BIGINT) AS i4,
+           v1.x AS b1, v2.x AS b2, v3.x AS b3,
+           CAST(p4.total_cost1000 AS BIGINT) AS total_cost1000
+         FROM vm, p2, p3, p4, vals v1, vals v2, vals v3
+         WHERE v1.rn = p2.i2 - 1 AND v2.rn = p3.i3 - 1 AND v3.rn = p4.i4 - 1"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
