@@ -299,6 +299,40 @@ object SparkEntry {
          / (CAST(n AS DOUBLE) + $tau)) AS BIGINT) END"""
   }
 
+  /** q319's synthetic-probe draw: 20 md5 bits of the range index at
+    * string position `pos` (Spark dialect; the q199/q246 machinery —
+    * the oracle mirrors with the 0x-prefix cast). */
+  private def synU20Sql(pos: String): String =
+    s"CAST(CONV(SUBSTRING(md5(CAST(id AS STRING)), $pos, 13), 16, 10) AS BIGINT) div 4294967296"
+
+  /** q318's oracle: Gonzalez greedy replayed as 8 chained CTE rounds —
+    * exact integer squared L2 over the q21 milli-quantized embeddings,
+    * (d2 DESC, vec_id ASC) argmax each round. */
+  private lazy val fpsOracleSql: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    val rounds = (2 to 8).map { r =>
+      s"""c$r AS (SELECT vec_id AS cid, d2 FROM m${r - 1}
+           ORDER BY d2 DESC, vec_id LIMIT 1),
+         m$r AS (SELECT m.vec_id,
+             LEAST(m.d2, ${d2("e.q", "ce.q")}) AS d2
+           FROM m${r - 1} m JOIN e ON e.vec_id = m.vec_id
+           JOIN e ce ON ce.vec_id = (SELECT cid FROM c$r))"""
+    }.mkString(",\n         ")
+    val out = (2 to 8).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS k, cid AS vec_id, CAST(d2 AS BIGINT) AS r2 FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       c1 AS (SELECT vec_id AS cid, q AS cq FROM e ORDER BY vec_id LIMIT 1),
+       m1 AS (SELECT e.vec_id, ${d2("e.q", "c1.cq")} AS d2 FROM e, c1),
+       $rounds
+       SELECT CAST(1 AS BIGINT) AS k, cid AS vec_id, CAST(0 AS BIGINT) AS r2 FROM c1
+       UNION ALL $out"""
+  }
+
   /** q309's Matthews correlation over the exact confusion integers —
     * ONE shared double formula (q124 contract), milli-quantized; NULL
     * on any zero margin. */
@@ -508,6 +542,38 @@ object SparkEntry {
           expr(ar2MilliSql("phi1")).as("phi1_milli"),
           expr(ar2MilliSql("phi2")).as("phi2_milli"),
           expr(ar2MilliSql("fc")).as("fc_milli"))
+  }
+
+  /** q187/q317's shared oracle (streamed == batch): identical coefficient
+    * ladder over the last 17 spine hours. */
+  private lazy val EWMA_ORACLE_SQL = {
+    val cases = ewmaCoefs.zipWithIndex
+      .map { case (c, tt) => s"WHEN $tt THEN $c" }.mkString(" ")
+    s"""WITH $HRS_SPINE_SQL,
+       l AS (SELECT event_type, h, n, h - (h1 - 16) AS tt
+         FROM hrs, bounds WHERE h >= h1 - 16),
+       u AS (SELECT event_type, SUM((CASE tt $cases END) * n) AS u,
+           MAX(h) AS h_last FROM l GROUP BY 1)
+       SELECT event_type, CAST(u AS BIGINT) AS u,
+         CAST(u * 1000 // 4294967296 AS BIGINT) AS forecast_milli,
+         CAST(h_last AS BIGINT) AS h_last
+       FROM u"""
+  }
+
+  /** q187/q317's exact integer EWMA forecast over an (event_type, h, n)
+    * series (s17: factored so the streamed q317 replays it over
+    * Complete-mode state). */
+  private def ewmaAudit(spine: DataFrame): DataFrame = {
+    val carr = array(ewmaCoefs.map(lit): _*)
+    spine.crossJoin(broadcast(spine.agg(max("h").as("h1"))))
+      .where(col("h") >= col("h1") - 16)
+      .withColumn("tt", (col("h") - (col("h1") - 16)).cast("int"))
+      .groupBy("event_type")
+      .agg(sum(element_at(carr, col("tt") + 1) * col("n")).as("u"),
+        max(col("h")).as("h_last"))
+      .select(col("event_type"), col("u"),
+        expr("(u div 4294967296) * 1000 + ((u % 4294967296) * 1000) div 4294967296")
+          .as("forecast_milli"), col("h_last"))
   }
 
   /** q272/q308's exact milli-unit Holt fold over an (event_type, h, n)
@@ -4574,19 +4640,7 @@ object SparkEntry {
     // so the forecast is the integer u/2^32 — no float recurrence. The
     // milli scaling splits u before multiplying (q div + r·1000 div) so
     // it cannot overflow a long at any volume (review s12).
-    "q187_ewma" -> ((s, dir) => {
-      val carr = array(ewmaCoefs.map(lit): _*)
-      val spine = hourlySpine(s, dir)
-      spine.crossJoin(broadcast(spine.agg(max("h").as("h1"))))
-        .where(col("h") >= col("h1") - 16)
-        .withColumn("tt", (col("h") - (col("h1") - 16)).cast("int"))
-        .groupBy("event_type")
-        .agg(sum(element_at(carr, col("tt") + 1) * col("n")).as("u"),
-          max(col("h")).as("h_last"))
-        .select(col("event_type"), col("u"),
-          expr("(u div 4294967296) * 1000 + ((u % 4294967296) * 1000) div 4294967296")
-            .as("forecast_milli"), col("h_last"))
-    }),
+    "q187_ewma" -> ((s, dir) => ewmaAudit(hourlySpine(s, dir))),
 
     // ---------------- lead-lag cross-correlation (r5 s12) ----------------
     // Which event type LEADS which: the integer cross-correlation proxy
@@ -8002,6 +8056,90 @@ object SparkEntry {
           col("i2").cast("long").as("i2"), col("i3").cast("long").as("i3"),
           col("i4").cast("long").as("i4"),
           col("b1"), col("b2"), col("b3"), col("total_cost1000"))
+    }),
+
+    // ---------------- streamed EWMA forecast (r5 s17) ----------------
+    // q187's integer EWMA over the streamed spine — streamed==batch
+    // member FIFTEEN. Post-pass = ewmaAudit, oracle = q187's.
+    "q317_stream_ewma" -> ((s, dir) => {
+      val sink = runStreamCompleteAgg(s, dir, "ewma") { src =>
+        src.groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      ewmaAudit(spineFromCounts(s, sink))
+    }),
+
+    // ---------------- farthest-point core-set sampling (r5 s17) ----------------
+    // Gonzalez's 2-approximate k-center greedy (1985, public) — the
+    // diverse-subset selector behind core-set training-data curation:
+    // start at the smallest vec_id, repeatedly take the vector farthest
+    // (max min-distance, ties to the smallest id) from the chosen set.
+    // Distances are EXACT integer squared L2 over the q21 milli-
+    // quantized embeddings; each of the 7 rounds is one join against
+    // the SINGLE new center + a running min — k full passes, never
+    // k·n² (at corpus scale this runs on a probe sample, the q264
+    // contract). The driver holds exactly one (id, d2) row per round —
+    // a bounded-collect contract. Output: selection order with the
+    // covering-radius sequence (non-increasing by construction).
+    "q318_fps" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))").as("q"))
+        .localCheckpoint() // scanned k times; quantize once
+      def d2To(center: DataFrame) = emb.crossJoin(broadcast(center))
+        .select(col("vec_id"), expr(
+          "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)").as("d2"))
+      val c1 = emb.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"))
+      var chosen = Seq((c1.select("c_id").first().getLong(0), 0L))
+      var mind = d2To(c1)
+      for (_ <- 2 to 8) {
+        val nxt = mind.orderBy(col("d2").desc, col("vec_id").asc).limit(1).first()
+        chosen = chosen :+ ((nxt.getLong(0), nxt.getLong(1)))
+        val cn = emb.where(col("vec_id") === nxt.getLong(0))
+          .select(col("q").as("cq"))
+        mind = mind.join(d2To(cn).withColumnRenamed("d2", "d2n"), "vec_id")
+          .select(col("vec_id"), least(col("d2"), col("d2n")).as("d2"))
+          .localCheckpoint() // 8 bounded rounds; keeps lineage flat
+      }
+      import s.implicits._
+      chosen.zipWithIndex
+        .map { case ((id, r2), i) => (i.toLong + 1, id, r2) }
+        .toDF("k", "vec_id", "r2")
+    }),
+
+    // ---------------- Hopkins clusterability statistic (r5 s17) ----------------
+    // Is the image point field clustered at all, or CSR? (Hopkins &
+    // Skellam 1954, public.) u = NN distances from 400 deterministic
+    // md5-uniform probes in the unit square to the data (ring-expansion
+    // kNN k = 1); w = the q210 probe sample's NN distances within the
+    // data (probeNnDq — SAME machinery, SAME nano quantization);
+    // H = Σu/(Σu + Σw) in exact ppm. H → 1 for clustered data,
+    // ~0.5 for CSR. Probe counts are fixed — scale-free by design.
+    "q319_hopkins" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(col("image_id").as("id"), col("nx"), col("ny"))
+      val syn = s.range(400)
+        .select(col("id"), expr(synU20Sql("1")).as("u1"),
+          expr(synU20Sql("14")).as("u2"))
+        .select(concat(lit("hp"), col("id")).as("id"),
+          expr("CAST(u1 AS DOUBLE) / 1048576e0").as("nx"),
+          expr("CAST(u2 AS DOUBLE) / 1048576e0").as("ny"))
+      val level = (math.log(GeoTables.nImages(dir).toDouble) / math.log(4.0)).toInt
+      val u = SpatialJoins.knn(img, syn, k = 1, level = level)
+        .join(syn.select(col("id").as("q_id"), col("nx").as("qx"), col("ny").as("qy")), "q_id")
+        .join(img.select(col("id").as("p_id"), col("nx").as("px"), col("ny").as("py")), "p_id")
+        .groupBy("q_id")
+        .agg(min(expr(
+          "CAST(FLOOR(SQRT((qx - px)*(qx - px) + (qy - py)*(qy - py)) * 1000000000.0) AS BIGINT)"))
+          .as("du"))
+        .agg(count(lit(1)).as("m_syn"), sum("du").as("su"))
+      val w = probeNnDq(s, dir)
+        .agg(count(lit(1)).as("m_real"), sum("dq").as("sw"))
+      u.crossJoin(w)
+        .withColumn("h_ppm", expr(ppmDivSql("su", "(su + sw)")))
     })
   )
 
@@ -11010,19 +11148,7 @@ object SparkEntry {
     // streaming Complete-mode emission == batch, so the SAME oracle pins
     // the whole streamed anomaly path
     "q193_stream_anomaly" -> ANOM_ORACLE_SQL,
-    "q187_ewma" -> {
-      val cases = ewmaCoefs.zipWithIndex
-        .map { case (c, tt) => s"WHEN $tt THEN $c" }.mkString(" ")
-      s"""WITH $HRS_SPINE_SQL,
-         l AS (SELECT event_type, h, n, h - (h1 - 16) AS tt
-           FROM hrs, bounds WHERE h >= h1 - 16),
-         u AS (SELECT event_type, SUM((CASE tt $cases END) * n) AS u,
-             MAX(h) AS h_last FROM l GROUP BY 1)
-         SELECT event_type, CAST(u AS BIGINT) AS u,
-           CAST(u * 1000 // 4294967296 AS BIGINT) AS forecast_milli,
-           CAST(h_last AS BIGINT) AS h_last
-         FROM u"""
-    },
+    "q187_ewma" -> EWMA_ORACLE_SQL,
 
     "q188_leadlag" ->
       s"""WITH $HRS_SPINE_SQL,
@@ -13016,7 +13142,37 @@ object SparkEntry {
            v1.x AS b1, v2.x AS b2, v3.x AS b3,
            CAST(p4.total_cost1000 AS BIGINT) AS total_cost1000
          FROM vm, p2, p3, p4, vals v1, vals v2, vals v3
-         WHERE v1.rn = p2.i2 - 1 AND v2.rn = p3.i3 - 1 AND v3.rn = p4.i4 - 1"""
+         WHERE v1.rn = p2.i2 - 1 AND v2.rn = p3.i3 - 1 AND v3.rn = p4.i4 - 1""",
+
+    // ground truth: the SAME oracle as q187 (fifteenth member)
+    "q317_stream_ewma" -> EWMA_ORACLE_SQL,
+
+    // ground truth: the greedy replayed as 8 chained CTE rounds over the
+    // identical quantized-integer distances and tie order
+    "q318_fps" -> fpsOracleSql,
+
+    // ground truth: brute-force NN on both probe sets — synthetic
+    // md5-uniform probes mirrored bit-for-bit, identical nano
+    // quantization and ppm ratio
+    "q319_hopkins" ->
+      s"""WITH $NNQ_SQL,
+         syn AS (SELECT i,
+             CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 13)) AS BIGINT)
+               // 4294967296 AS DOUBLE) / 1048576e0 AS nx,
+             CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 14, 13)) AS BIGINT)
+               // 4294967296 AS DOUBLE) / 1048576e0 AS ny
+           FROM range(400) t(i)),
+         nu AS (SELECT s.i,
+             MIN(CAST(FLOOR(SQRT((s.nx - p.nx)*(s.nx - p.nx)
+               + (s.ny - p.ny)*(s.ny - p.ny)) * 1000000000.0) AS BIGINT)) AS du
+           FROM syn s, img p GROUP BY 1),
+         us AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_syn,
+             CAST(SUM(du) AS BIGINT) AS su FROM nu),
+         ws AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_real,
+             CAST(SUM(dq) AS BIGINT) AS sw FROM nnq)
+         SELECT us.m_syn, us.su, ws.m_real, ws.sw,
+           CAST(${ppmDivSqlI("us.su", "(us.su + ws.sw)", "//")} AS BIGINT) AS h_ppm
+         FROM us, ws"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
