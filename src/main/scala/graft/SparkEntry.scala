@@ -8140,6 +8140,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("m_real"), sum("dq").as("sw"))
       u.crossJoin(w)
         .withColumn("h_ppm", expr(ppmDivSql("su", "(su + sw)")))
+    }),
+
+    // ---------------- Good–Turing frequency audit (r5 s17) ----------------
+    // The vocabulary-mass report behind every smoothed LM and every
+    // "how much of this corpus is unseen-tail" curation question (Good
+    // 1953, public), over TRIGRAMS — the n-gram order where this corpus
+    // has a genuine singleton tail (the unigram vocab is template-
+    // bounded): the frequency-of-frequencies table N_r for r ≤ 10, the
+    // Good–Turing adjusted counts r* = (r+1)·N_{r+1}/N_r (exact milli
+    // ladder, NULL where the successor bucket is empty) and the
+    // unseen-mass estimate p₀ = N₁/N in exact ppm. Two vocab-bounded
+    // aggregates after the one n-gram explode.
+    "q320_goodturing" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(expr(tokExpr("text")).as("ts"))
+        .where(size(col("ts")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 2),
+             i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1),
+                         ' ', element_at(ts, i + 2)))""")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // vocab-bounded; feeds ff + glob
+      val ff = c.groupBy("c").agg(count(lit(1)).as("n_r"))
+        .localCheckpoint() // ≤ max-count rows; self-joined
+      val glob = c.agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"))
+        .crossJoin(broadcast(ff.where(col("c") === 1)
+          .select(col("n_r").as("n1"))))
+      ff.where(col("c") <= 10)
+        .join(ff.select((col("c") - 1).as("c"), col("n_r").as("n_r1")), Seq("c"), "left")
+        .crossJoin(broadcast(glob))
+        .select(col("c").as("r"), col("n_r"), col("n_r1"),
+          col("n_types"), col("n_tokens"), col("n1"))
+        .withColumn("rstar_milli", expr(
+          s"""CASE WHEN n_r1 IS NULL THEN NULL
+             ELSE ${milliDivSql("(r + 1) * n_r1", "n_r", "div")} END"""))
+        .withColumn("p0_ppm", expr(ppmDivSql("n1", "n_tokens")))
     })
   )
 
@@ -13172,7 +13208,27 @@ object SparkEntry {
              CAST(SUM(dq) AS BIGINT) AS sw FROM nnq)
          SELECT us.m_syn, us.su, ws.m_real, ws.sw,
            CAST(${ppmDivSqlI("us.su", "(us.su + ws.sw)", "//")} AS BIGINT) AS h_ppm
-         FROM us, ws"""
+         FROM us, ws""",
+
+    // ground truth: identical tokenizer, freq-of-freq integers, milli/ppm
+    // ladders
+    "q320_goodturing" ->
+      s"""WITH ts AS (SELECT ${tokSqlD("text")} AS ts FROM documents),
+         tk AS (SELECT ts[u.i] || ' ' || ts[u.i + 1] || ' ' || ts[u.i + 2] AS tok
+           FROM ts, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+         c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+         ff AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_r FROM c GROUP BY 1),
+         gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS n_tokens FROM c),
+         n1 AS (SELECT n_r AS n1 FROM ff WHERE c = 1)
+         SELECT f.c AS r, f.n_r, f2.n_r AS n_r1, gl.n_types, gl.n_tokens, n1.n1,
+           CAST(CASE WHEN f2.n_r IS NULL THEN NULL
+             ELSE ${milliDivSql("(f.c + 1) * f2.n_r", "f.n_r", "//")} END
+             AS BIGINT) AS rstar_milli,
+           CAST(${ppmDivSqlI("n1.n1", "gl.n_tokens", "//")} AS BIGINT) AS p0_ppm
+         FROM ff f LEFT JOIN ff f2 ON f2.c = f.c + 1, gl, n1
+         WHERE f.c <= 10"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
