@@ -38,6 +38,7 @@ object Bench {
     GeoTables.ensureImgGamma(spark, sfDir)   // gamma fixture, untimed
     GeoTables.ensureMediaZcr(spark, sfDir)   // zcr fixture, untimed
     GeoTables.ensureImgHaar(spark, sfDir)    // Haar-energy fixture, untimed
+    GeoTables.ensureImgMc(spark, sfDir)      // median-cut fixture, untimed
 
     // warm-up: flagship join + the headline q07 itself (JIT, codegen,
     // parquet footers — the driver-visible q07 number should reflect warm
