@@ -284,6 +284,14 @@ object SparkEntry {
          ${ar2MilliSql("fc")} AS fc_milli
        FROM j"""
 
+  /** q321's between-segment contrast (m·S_t − t·S_m)²/(t·(m−t)) — ONE
+    * shared double formula over exact integer components (q221 argmax
+    * contract); callers guarantee 1 ≤ t < m. */
+  private val BINSEG_SCORE_SQL =
+    """((CAST(m AS DOUBLE) * CAST(st AS DOUBLE) - CAST(t AS DOUBLE) * CAST(sm AS DOUBLE))
+      * (CAST(m AS DOUBLE) * CAST(st AS DOUBLE) - CAST(t AS DOUBLE) * CAST(sm AS DOUBLE)))
+      / (CAST(t AS DOUBLE) * (CAST(m AS DOUBLE) - CAST(t AS DOUBLE)))"""
+
   /** q314's beta-binomial MoM shrinkage over (pos, n, k, sr, sr2): with
     * m = sr/k/10⁶ and v = (sr2/k − (sr/k)²)/10¹² over the ppm-quantized
     * per-source rates, τ = m(1−m)/v − 1, shrunk = (pos + mτ)/(n + τ) —
@@ -8176,6 +8184,88 @@ object SparkEntry {
           s"""CASE WHEN n_r1 IS NULL THEN NULL
              ELSE ${milliDivSql("(r + 1) * n_r1", "n_r", "div")} END"""))
         .withColumn("p0_ppm", expr(ppmDivSql("n1", "n_tokens")))
+    }),
+
+    // ---------------- binary-segmentation changepoint (r5 s17) ----------------
+    // WHERE did each type's volume regime shift? — the argmax complement
+    // to q220's CUSUM score (Scott & Knott 1974 binary segmentation,
+    // public): over the hourly spine, the top-1 split t maximizes the
+    // between-segment contrast (m·S_t − t·S_m)²/(t·(m−t)) — exact
+    // integer numerator components, ONE shared double score (the q221
+    // Otsu argmax contract), ties to the EARLIER hour. One window pass
+    // over the calendar-bounded spine.
+    "q321_binseg" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val w = Window.partitionBy("event_type").orderBy("h")
+      hours
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("st", sum("n").over(w))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("sm", sum("n").over(Window.partitionBy("event_type")))
+        .where(col("t") < col("m"))
+        .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+          .orderBy(expr(BINSEG_SCORE_SQL).desc, col("t").asc)))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("h").as("split_h"), col("t"), col("m"),
+          col("st"), col("sm"),
+          expr(s"CAST(FLOOR($BINSEG_SCORE_SQL) AS BIGINT)").as("score_floor"),
+          expr(milliDivSql("st", "t", "div")).as("mean_pre_milli"),
+          expr(milliDivSql("(sm - st)", "(m - t)", "div")).as("mean_post_milli"))
+    }),
+
+    // ---------------- split-conformal interval audit (r5 s17) ----------------
+    // Distribution-free prediction intervals for hourly volumes (Vovk
+    // et al. 2005; split conformal, public): the predictor is q198's
+    // per-(type, hod) doubled-median baseline, nonconformity r =
+    // |2n − med2s| (exact integers), calibration = EVEN spine hours,
+    // q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration r (exact rank
+    // select — the med2By machinery's cousin), and the audit reports
+    // empirical coverage of q̂ on the ODD hours in exact ppm (expected
+    // ≈ 90% when exchangeability holds). One window pass + two
+    // type-bounded aggregates.
+    "q322_conformal" -> ((s, dir) => {
+      val hours = hourlySpine(s, dir)
+      val dev = hours.withColumn("hod", col("h") % 24)
+        .join(med2By(hours.withColumn("hod", col("h") % 24),
+          Seq("event_type", "hod"), "n", "med2s"), Seq("event_type", "hod"))
+        .withColumn("r", abs(col("n") * 2 - col("med2s")))
+        .localCheckpoint() // spine-bounded; split twice
+      val cal = dev.where(col("h") % 2 === 0)
+      val qhat = cal
+        .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("r").asc, col("h").asc)))
+        .withColumn("nc", count(lit(1)).over(Window.partitionBy("event_type")))
+        .where(col("rk") === expr("LEAST(nc, (9 * (nc + 1) + 9) div 10)"))
+        .select(col("event_type"), col("nc").as("n_calib"), col("r").as("qhat2"))
+      dev.where(col("h") % 2 === 1)
+        .join(qhat, "event_type")
+        .groupBy("event_type", "n_calib", "qhat2")
+        .agg(count(lit(1)).as("n_test"),
+          sum(expr("CASE WHEN r <= qhat2 THEN 1L ELSE 0L END")).as("n_cover"))
+        .withColumn("cover_ppm", expr(ppmDivSql("n_cover", "n_test")))
+    }),
+
+    // ---------------- Pareto skyline (r5 s17) ----------------
+    // The multi-objective selection primitive (Börzsönyi et al. 2001
+    // skyline operator, public): documents maximizing (quality-conf,
+    // token count) jointly — no other doc ≥ on both axes and > on one.
+    // Per conf class keep M(c) = max ntok; a doc survives iff ntok =
+    // M(c) AND every strictly-higher class tops out BELOW it (running
+    // max over the VALUE-BOUNDED class table — never the O(n²)
+    // dominance join, which is exactly what the DuckDB oracle replays
+    // as NOT EXISTS). Equal-point duplicates all survive (dominance is
+    // strict), matching the oracle's semantics.
+    "q323_skyline" -> ((s, dir) => {
+      val sc = t(s, dir, "documents")
+        .select(col("doc_id"), expr(MD5CONF_SQL("div")).as("conf"),
+          expr(s"CAST(size(${tokExpr("text")}) AS BIGINT)").as("ntok"))
+      val h = sc.groupBy("conf").agg(max("ntok").as("mx"))
+        .withColumn("hmax", max("mx").over(Window.orderBy(col("conf").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      sc.join(broadcast(h), "conf")
+        .where(col("ntok") === col("mx") &&
+          (col("hmax").isNull || col("ntok") > col("hmax")))
+        .select("doc_id", "conf", "ntok")
     })
   )
 
@@ -13228,7 +13318,64 @@ object SparkEntry {
              AS BIGINT) AS rstar_milli,
            CAST(${ppmDivSqlI("n1.n1", "gl.n_tokens", "//")} AS BIGINT) AS p0_ppm
          FROM ff f LEFT JOIN ff f2 ON f2.c = f.c + 1, gl, n1
-         WHERE f.c <= 10"""
+         WHERE f.c <= 10""",
+
+    // ground truth: identical spine windows + the SAME contrast text and
+    // (score desc, t asc) argmax
+    "q321_binseg" ->
+      s"""WITH $HRS_SPINE_SQL,
+         wz AS (SELECT event_type, h, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS t,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS st,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS sm
+           FROM hrs),
+         fl AS (SELECT * FROM wz WHERE t < m),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY $BINSEG_SCORE_SQL DESC, t) AS rk FROM fl)
+         SELECT event_type, CAST(h AS BIGINT) AS split_h, t, m, st, sm,
+           CAST(FLOOR($BINSEG_SCORE_SQL) AS BIGINT) AS score_floor,
+           CAST(${milliDivSql("st", "t", "//")} AS BIGINT) AS mean_pre_milli,
+           CAST(${milliDivSql("(sm - st)", "(m - t)", "//")} AS BIGINT) AS mean_post_milli
+         FROM rk WHERE rk = 1""",
+
+    // ground truth: identical baseline/nonconformity integers, identical
+    // rank select and even/odd split
+    "q322_conformal" ->
+      s"""WITH $HRS_SPINE_SQL,
+         sp AS (SELECT event_type, h, h % 24 AS hod, n FROM hrs),
+         r1 AS (SELECT event_type, hod, h, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY n, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, hod) AS mm FROM sp),
+         md AS (SELECT event_type, hod, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2s
+           FROM r1 WHERE rn = (mm + 1) // 2 OR rn = mm // 2 + 1 GROUP BY 1, 2),
+         dv AS (SELECT sp.event_type, sp.h, ABS(sp.n * 2 - md.med2s) AS r
+           FROM sp JOIN md ON md.event_type = sp.event_type AND md.hod = sp.hod),
+         qr AS (SELECT event_type, CAST(r AS BIGINT) AS qhat2,
+             CAST(nc AS BIGINT) AS n_calib FROM (
+             SELECT event_type, r, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, h) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS nc
+             FROM dv WHERE h % 2 = 0)
+           WHERE rk = LEAST(nc, (9 * (nc + 1) + 9) // 10)),
+         tst AS (SELECT dv.event_type, qr.n_calib, qr.qhat2,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN dv.r <= qr.qhat2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cover
+           FROM dv JOIN qr ON qr.event_type = dv.event_type
+           WHERE dv.h % 2 = 1 GROUP BY 1, 2, 3)
+         SELECT event_type, n_calib, qhat2, n_test, n_cover,
+           CAST(${ppmDivSqlI("n_cover", "n_test", "//")} AS BIGINT) AS cover_ppm
+         FROM tst""",
+
+    // ground truth: the O(n²) NOT EXISTS dominance definition — a
+    // different algorithmic shape from the engine's class-max windows
+    "q323_skyline" ->
+      s"""WITH d AS (SELECT doc_id, ${MD5CONF_SQL("//")} AS conf,
+             CAST(len(${tokSqlD("text")}) AS BIGINT) AS ntok FROM documents)
+         SELECT a.doc_id, a.conf, a.ntok FROM d a
+         WHERE NOT EXISTS (SELECT 1 FROM d b
+           WHERE b.conf >= a.conf AND b.ntok >= a.ntok
+             AND (b.conf > a.conf OR b.ntok > a.ntok))"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
