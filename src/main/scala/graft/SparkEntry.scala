@@ -227,11 +227,14 @@ object SparkEntry {
          FROM top t JOIN lab pl ON pl.vec_id = t.p_vec
          JOIN ql ON ql.q_vec = t.q_vec)"""
 
-  /** q306's unit-heading component: floor(10⁶·c/‖(dx, dy)‖) — ONE
+  /** q306's unit-heading component: floor(10³·c/‖(dx, dy)‖) — ONE
     * shared sqrt text (q205 contract); callers filter zero-length
-    * steps first. */
-  private def UNIT_MICRO_SQL(c: String): String =
-    s"""CAST(FLOOR(1e6 * CAST($c AS DOUBLE)
+    * steps first. MILLI units (review s17): |Σu| ≤ 10³·n keeps
+    * sx² + sy² ≤ 2e6·n², inside milliDivSql's |x| ≤ 1.15e18 envelope
+    * to n ≈ 7.6e8 steps/entity — micro units wrapped at ~760
+    * direction-aligned steps. */
+  private def UNIT_MILLI_SQL(c: String): String =
+    s"""CAST(FLOOR(1e3 * CAST($c AS DOUBLE)
        / SQRT(CAST(dx AS DOUBLE) * CAST(dx AS DOUBLE)
             + CAST(dy AS DOUBLE) * CAST(dy AS DOUBLE))) AS BIGINT)"""
 
@@ -566,6 +569,20 @@ object SparkEntry {
          CAST(u * 1000 // 4294967296 AS BIGINT) AS forecast_milli,
          CAST(h_last AS BIGINT) AS h_last
        FROM u"""
+  }
+
+  /** The streamed==batch members' shared source: hourly (event_type, h)
+    * counts aggregated through Complete-mode micro-batches, rebuilt into
+    * the zero-filled spine (review s17: one definition for the eight
+    * copies — a change to the hour bucketing now lands everywhere). */
+  private def streamedHourlySpine(s: SparkSession, dir: String,
+                                  tag: String): DataFrame = {
+    val sink = runStreamCompleteAgg(s, dir, tag) { src =>
+      src.groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    spineFromCounts(s, sink)
   }
 
   /** q187/q317's exact integer EWMA forecast over an (event_type, h, n)
@@ -4706,12 +4723,7 @@ object SparkEntry {
     // so the result equals q186 exactly (same oracle) — batch-boundary
     // independence of the whole anomaly path.
     "q193_stream_anomaly" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "anom") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      robustAnomaly(spineFromCounts(s, sink))
+      robustAnomaly(streamedHourlySpine(s, dir, "anom"))
     }),
 
     // ---------------- tonal diversity (r5 s12) ----------------
@@ -4855,12 +4867,7 @@ object SparkEntry {
     // the batch post-pass, and the result equals q198 exactly (SAME
     // oracle) — batch-boundary independence of the seasonal path too.
     "q217_stream_seasonal" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "seas") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      seasonalAnomaly(spineFromCounts(s, sink))
+      seasonalAnomaly(streamedHourlySpine(s, dir, "seas"))
     }),
 
     // ---------------- LSH calibration S-curve (r5 s13) ----------------
@@ -5608,12 +5615,7 @@ object SparkEntry {
     // result equals q220's oracle EXACTLY — batch-boundary independence
     // of the whole detection path.
     "q226_stream_cusum" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "cusum") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      cusumAudit(spineFromCounts(s, sink))
+      cusumAudit(streamedHourlySpine(s, dir, "cusum"))
     }),
 
     // ---------------- Spearman rank correlation (r5 s14) ----------------
@@ -7534,12 +7536,7 @@ object SparkEntry {
     // (calendar-bounded); the post-pass is acfAudit, the SAME code and
     // the SAME oracle as q215.
     "q298_stream_acf" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "acf") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      acfAudit(spineFromCounts(s, sink))
+      acfAudit(streamedHourlySpine(s, dir, "acf"))
     }),
 
     // ---------------- streamed seasonal-trend decomposition (r5 s17) ----------------
@@ -7548,12 +7545,7 @@ object SparkEntry {
     // maintained online from the same calendar-bounded hourly state.
     // Post-pass = decomposeAudit, oracle = q214's.
     "q299_stream_decompose" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "decomp") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      decomposeAudit(spineFromCounts(s, sink))
+      decomposeAudit(streamedHourlySpine(s, dir, "decomp"))
     }),
 
     // ---------------- retrieval MRR / hit-rate (r5 s17) ----------------
@@ -7703,7 +7695,7 @@ object SparkEntry {
         .groupBy(expr("(conf * 25) div 1048576").as("bin"))
         .agg(count(lit(1)).as("n"), sum("lbl").as("n_pos"))
         .localCheckpoint() // ≤ 25 rows; referenced by cum + the i grid
-      val w = Window.orderBy("bin") // bin-bounded single partition (≤10 rows)
+      val w = Window.orderBy("bin") // bin-bounded single partition (≤25 rows)
       val cum = bins
         .withColumn("rn", row_number().over(w))
         .withColumn("cp", sum("n_pos").over(w))
@@ -7732,11 +7724,13 @@ object SparkEntry {
     // Do entity trajectories drift in a preferred compass direction, or
     // wander isotropically? — circular statistics over the q103 tracks
     // (Rayleigh 1880 / Mardia 1972, public). Each step's unit heading
-    // (dx, dy)/‖·‖ micro-quantizes by ONE shared sqrt text (q205
-    // contract — no angles, no atan2); resultant components are exact
-    // integer sums; the Rayleigh statistic z = n·R̄² ships as the milli
-    // ladder over (Σux² + Σuy²)/(n·10¹²). One lag window per entity —
-    // one shuffle, row-parallel after it.
+    // (dx, dy)/‖·‖ MILLI-quantizes by ONE shared sqrt text (q205
+    // contract — no angles, no atan2; milli not micro so the squared
+    // resultant stays inside the milli-ladder envelope to ~7.6e8
+    // steps/entity, review s17); resultant components are exact integer
+    // sums; the Rayleigh statistic z = n·R̄² ships as the milli ladder
+    // over (Σux² + Σuy²)/(n·10⁶). One lag window per entity — one
+    // shuffle, row-parallel after it.
     "q306_rayleigh" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
       val w = Window.partitionBy("entity").orderBy("iid")
@@ -7747,12 +7741,12 @@ object SparkEntry {
         .withColumn("dx", col("lon") - lag("lon", 1).over(w))
         .withColumn("dy", col("lat") - lag("lat", 1).over(w))
         .where(col("dx").isNotNull && (col("dx") =!= 0.0 || col("dy") =!= 0.0))
-        .withColumn("ux", expr(UNIT_MICRO_SQL("dx")))
-        .withColumn("uy", expr(UNIT_MICRO_SQL("dy")))
+        .withColumn("ux", expr(UNIT_MILLI_SQL("dx")))
+        .withColumn("uy", expr(UNIT_MILLI_SQL("dy")))
         .groupBy("entity")
         .agg(count(lit(1)).as("n_steps"), sum("ux").as("sx"), sum("uy").as("sy"))
         .withColumn("z_milli", expr(milliDivSql("(sx * sx + sy * sy)",
-          "(n_steps * 1000000000000)", "div")))
+          "(n_steps * 1000000)", "div")))
         .withColumn("directional", col("z_milli") >= 2996L) // z ≥ ~3: p ≲ 0.05
     }),
 
@@ -7794,12 +7788,7 @@ object SparkEntry {
     // counts — streamed==batch member THIRTEEN: the online level/trend
     // tracker. Post-pass = holtAudit, oracle = q272's.
     "q308_stream_holt" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "holt") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      holtAudit(spineFromCounts(s, sink))
+      holtAudit(streamedHourlySpine(s, dir, "holt"))
     }),
 
     // ---------------- Matthews correlation / Youden J (r5 s17) ----------------
@@ -7859,12 +7848,7 @@ object SparkEntry {
     // spine — streamed==batch member FOURTEEN. Post-pass = ar2Audit,
     // oracle = q255's.
     "q313_stream_ar2" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "ar2") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      ar2Audit(spineFromCounts(s, sink))
+      ar2Audit(streamedHourlySpine(s, dir, "ar2"))
     }),
 
     // ---------------- origin–destination flow matrix (r5 s17) ----------------
@@ -8070,12 +8054,7 @@ object SparkEntry {
     // q187's integer EWMA over the streamed spine — streamed==batch
     // member FIFTEEN. Post-pass = ewmaAudit, oracle = q187's.
     "q317_stream_ewma" -> ((s, dir) => {
-      val sink = runStreamCompleteAgg(s, dir, "ewma") { src =>
-        src.groupBy(col("event_type"),
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
-          .agg(count(lit(1)).as("cnt"))
-      }
-      ewmaAudit(spineFromCounts(s, sink))
+      ewmaAudit(streamedHourlySpine(s, dir, "ewma"))
     }),
 
     // ---------------- farthest-point core-set sampling (r5 s17) ----------------
@@ -8122,9 +8101,13 @@ object SparkEntry {
     // Skellam 1954, public.) u = NN distances from 400 deterministic
     // md5-uniform probes in the unit square to the data (ring-expansion
     // kNN k = 1); w = the q210 probe sample's NN distances within the
-    // data (probeNnDq — SAME machinery, SAME nano quantization);
-    // H = Σu/(Σu + Σw) in exact ppm. H → 1 for clustered data,
-    // ~0.5 for CSR. Probe counts are fixed — scale-free by design.
+    // data (probeNnDq — SAME machinery, SAME nano quantization). The
+    // two probe sets have DIFFERENT sizes (400 vs every-50th image —
+    // review s17), so H uses the mean-based form ū/(ū + w̄), cleared of
+    // divisions by cross-multiplication: H = su·mw/(su·mw + sw·mu) in
+    // exact ppm (long-safe while su·mw ≤ 9.2e16 — nano-sums ≤ 4e11
+    // against probe counts to ~2e5). H → 1 for clustered data, ~0.5
+    // for CSR at any scale.
     "q319_hopkins" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
       val img = s.read.parquet(GeoTables.imagesPath(dir))
@@ -8147,7 +8130,8 @@ object SparkEntry {
       val w = probeNnDq(s, dir)
         .agg(count(lit(1)).as("m_real"), sum("dq").as("sw"))
       u.crossJoin(w)
-        .withColumn("h_ppm", expr(ppmDivSql("su", "(su + sw)")))
+        .withColumn("h_ppm", expr(ppmDivSql("(su * m_real)",
+          "(su * m_real + sw * m_syn)")))
     }),
 
     // ---------------- Good–Turing frequency audit (r5 s17) ----------------
@@ -8215,29 +8199,30 @@ object SparkEntry {
 
     // ---------------- split-conformal interval audit (r5 s17) ----------------
     // Distribution-free prediction intervals for hourly volumes (Vovk
-    // et al. 2005; split conformal, public): the predictor is q198's
-    // per-(type, hod) doubled-median baseline, nonconformity r =
-    // |2n − med2s| (exact integers), calibration = EVEN spine hours,
+    // et al. 2005; split conformal, public) with a strict THREE-WAY
+    // hour split (review s17 — fitting on the calibration or test fold
+    // voids the guarantee): the predictor is the per-(type, hod)
+    // doubled-median baseline fit on h%3=0 hours ONLY, nonconformity
+    // r = |2n − med2s| (exact integers), calibration = h%3=1 hours,
     // q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration r (exact rank
-    // select — the med2By machinery's cousin), and the audit reports
-    // empirical coverage of q̂ on the ODD hours in exact ppm (expected
-    // ≈ 90% when exchangeability holds). One window pass + two
-    // type-bounded aggregates.
+    // select), and the audit reports empirical coverage of q̂ on the
+    // h%3=2 hours in exact ppm (≈ 90% under exchangeability). One
+    // window pass + two type-bounded aggregates.
     "q322_conformal" -> ((s, dir) => {
-      val hours = hourlySpine(s, dir)
-      val dev = hours.withColumn("hod", col("h") % 24)
-        .join(med2By(hours.withColumn("hod", col("h") % 24),
-          Seq("event_type", "hod"), "n", "med2s"), Seq("event_type", "hod"))
+      val hours = hourlySpine(s, dir).withColumn("hod", col("h") % 24)
+        .withColumn("fold", expr("(h div 24) % 3"))
+      val base = med2By(hours.where(col("fold") === 0),
+        Seq("event_type", "hod"), "n", "med2s")
+      val dev = hours.join(base, Seq("event_type", "hod"))
         .withColumn("r", abs(col("n") * 2 - col("med2s")))
         .localCheckpoint() // spine-bounded; split twice
-      val cal = dev.where(col("h") % 2 === 0)
-      val qhat = cal
+      val qhat = dev.where(col("fold") === 1)
         .withColumn("rk", row_number().over(Window.partitionBy("event_type")
           .orderBy(col("r").asc, col("h").asc)))
         .withColumn("nc", count(lit(1)).over(Window.partitionBy("event_type")))
         .where(col("rk") === expr("LEAST(nc, (9 * (nc + 1) + 9) div 10)"))
         .select(col("event_type"), col("nc").as("n_calib"), col("r").as("qhat2"))
-      dev.where(col("h") % 2 === 1)
+      dev.where(col("fold") === 2)
         .join(qhat, "event_type")
         .groupBy("event_type", "n_calib", "qhat2")
         .agg(count(lit(1)).as("n_test"),
@@ -13054,16 +13039,16 @@ object SparkEntry {
            FROM img),
          fs AS (SELECT entity, dx, dy FROM st
            WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)),
-         u AS (SELECT entity, ${UNIT_MICRO_SQL("dx")} AS ux,
-             ${UNIT_MICRO_SQL("dy")} AS uy FROM fs),
+         u AS (SELECT entity, ${UNIT_MILLI_SQL("dx")} AS ux,
+             ${UNIT_MILLI_SQL("dy")} AS uy FROM fs),
          g AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_steps,
              CAST(SUM(ux) AS BIGINT) AS sx, CAST(SUM(uy) AS BIGINT) AS sy
            FROM u GROUP BY 1)
          SELECT entity, n_steps, sx, sy,
            CAST(${milliDivSql("(sx * sx + sy * sy)",
-             "(n_steps * 1000000000000)", "//")} AS BIGINT) AS z_milli,
+             "(n_steps * 1000000)", "//")} AS BIGINT) AS z_milli,
            (CAST(${milliDivSql("(sx * sx + sy * sy)",
-             "(n_steps * 1000000000000)", "//")} AS BIGINT) >= 2996) AS directional
+             "(n_steps * 1000000)", "//")} AS BIGINT) >= 2996) AS directional
          FROM g""",
 
     // ground truth: identical cumulative class counts + the SAME Gini
@@ -13297,7 +13282,8 @@ object SparkEntry {
          ws AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_real,
              CAST(SUM(dq) AS BIGINT) AS sw FROM nnq)
          SELECT us.m_syn, us.su, ws.m_real, ws.sw,
-           CAST(${ppmDivSqlI("us.su", "(us.su + ws.sw)", "//")} AS BIGINT) AS h_ppm
+           CAST(${ppmDivSqlI("(us.su * ws.m_real)",
+             "(us.su * ws.m_real + ws.sw * us.m_syn)", "//")} AS BIGINT) AS h_ppm
          FROM us, ws""",
 
     // ground truth: identical tokenizer, freq-of-freq integers, milli/ppm
@@ -13343,26 +13329,28 @@ object SparkEntry {
     // rank select and even/odd split
     "q322_conformal" ->
       s"""WITH $HRS_SPINE_SQL,
-         sp AS (SELECT event_type, h, h % 24 AS hod, n FROM hrs),
+         sp AS (SELECT event_type, h, h % 24 AS hod, (h // 24) % 3 AS fold, n
+           FROM hrs),
          r1 AS (SELECT event_type, hod, h, n,
              ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY n, h) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type, hod) AS mm FROM sp),
+             COUNT(*) OVER (PARTITION BY event_type, hod) AS mm
+           FROM sp WHERE fold = 0),
          md AS (SELECT event_type, hod, CAST(SUM(n) * 2 // COUNT(*) AS BIGINT) AS med2s
            FROM r1 WHERE rn = (mm + 1) // 2 OR rn = mm // 2 + 1 GROUP BY 1, 2),
-         dv AS (SELECT sp.event_type, sp.h, ABS(sp.n * 2 - md.med2s) AS r
+         dv AS (SELECT sp.event_type, sp.h, sp.fold, ABS(sp.n * 2 - md.med2s) AS r
            FROM sp JOIN md ON md.event_type = sp.event_type AND md.hod = sp.hod),
          qr AS (SELECT event_type, CAST(r AS BIGINT) AS qhat2,
              CAST(nc AS BIGINT) AS n_calib FROM (
              SELECT event_type, r, h,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, h) AS rk,
                COUNT(*) OVER (PARTITION BY event_type) AS nc
-             FROM dv WHERE h % 2 = 0)
+             FROM dv WHERE fold = 1)
            WHERE rk = LEAST(nc, (9 * (nc + 1) + 9) // 10)),
          tst AS (SELECT dv.event_type, qr.n_calib, qr.qhat2,
              CAST(COUNT(*) AS BIGINT) AS n_test,
              CAST(SUM(CASE WHEN dv.r <= qr.qhat2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cover
            FROM dv JOIN qr ON qr.event_type = dv.event_type
-           WHERE dv.h % 2 = 1 GROUP BY 1, 2, 3)
+           WHERE dv.fold = 2 GROUP BY 1, 2, 3)
          SELECT event_type, n_calib, qhat2, n_test, n_cover,
            CAST(${ppmDivSqlI("n_cover", "n_test", "//")} AS BIGINT) AS cover_ppm
          FROM tst""",
