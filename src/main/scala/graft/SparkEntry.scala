@@ -287,6 +287,35 @@ object SparkEntry {
          ${ar2MilliSql("fc")} AS fc_milli
        FROM j"""
 
+  /** q324's great-circle corridor trig over (lon1..lat3) degree columns —
+    * ONE shared text per quantity (Spark SQL and DuckDB share the IEEE
+    * SIN/COS/ASIN/ACOS/ATAN2/RADIANS surface, the q89 contract).
+    * d13 = angular distance A→P; th1x = initial bearings; the
+    * cross-track angle and along-track distance carry the standard
+    * clamped compositions. */
+  private val XT_D13_SQL =
+    """(2 * ASIN(LEAST(1.0, SQRT(
+       SIN((RADIANS(lat3) - RADIANS(lat1)) / 2) * SIN((RADIANS(lat3) - RADIANS(lat1)) / 2)
+       + COS(RADIANS(lat1)) * COS(RADIANS(lat3))
+         * SIN(RADIANS(lon3 - lon1) / 2) * SIN(RADIANS(lon3 - lon1) / 2)))))"""
+  private def xtBearingSql(lon: String, lat: String): String =
+    s"""ATAN2(SIN(RADIANS($lon - lon1)) * COS(RADIANS($lat)),
+       COS(RADIANS(lat1)) * SIN(RADIANS($lat))
+       - SIN(RADIANS(lat1)) * COS(RADIANS($lat)) * COS(RADIANS($lon - lon1)))"""
+  private lazy val XT_ANG_SQL =
+    s"""(ASIN(LEAST(1.0, GREATEST(-1.0, SIN($XT_D13_SQL)
+       * SIN((${xtBearingSql("lon3", "lat3")}) - (${xtBearingSql("lon2", "lat2")}))))))"""
+  private lazy val XT_ATD_SQL =
+    s"""(ACOS(LEAST(1.0, GREATEST(-1.0,
+       COS($XT_D13_SQL) / COS($XT_ANG_SQL)))))"""
+
+  /** q326's cosine-to-centroid score over exact integer (dot, nrm) —
+    * ONE shared double text, micro-quantized; an all-zero centroid
+    * (nrm = 0) scores sentinel-low deterministically. */
+  private val NCM_SCORE_SQL =
+    """CASE WHEN nrm = 0 THEN -2000000000
+       ELSE CAST(FLOOR(1e6 * CAST(dot AS DOUBLE) / SQRT(CAST(nrm AS DOUBLE))) AS BIGINT) END"""
+
   /** q321's between-segment contrast (m·S_t − t·S_m)²/(t·(m−t)) — ONE
     * shared double formula over exact integer components (q221 argmax
     * contract); callers guarantee 1 ≤ t < m. */
@@ -8251,6 +8280,109 @@ object SparkEntry {
         .where(col("ntok") === col("mx") &&
           (col("hmax").isNull || col("ntok") > col("hmax")))
         .select("doc_id", "conf", "ntok")
+    }),
+
+    // ---------------- cross-track / along-track distance (r5 s17) ----------------
+    // The route-corridor primitive next to q254's rhumb navigation
+    // (Bowditch / the aviation formulary, public): for each (A, B, P)
+    // triple of consecutive images, P's great-circle cross-track
+    // deviation from route A→B and its along-track progress — the
+    // geofence test "did the vehicle leave the corridor". ONE shared
+    // trig text evaluates in both engines (Spark SQL and DuckDB share
+    // SIN/COS/ATAN2/ASIN IEEE semantics — the q89 contract), outputs
+    // floor-quantized meters on R = 6371008.8. Row-parallel, one scan.
+    "q324_xtrack" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val img = s.read.parquet(GeoTables.imagesPath(dir))
+        .select(substring(col("image_id"), 4, 8).cast("bigint").as("iid"),
+          col("image_id"), col("lon"), col("lat"))
+      img.where(col("iid") % 4 === 0)
+        .select(col("iid"), col("image_id").as("id_a"),
+          col("lon").as("lon1"), col("lat").as("lat1"))
+        .join(img.select((col("iid") - 1).as("iid"),
+          col("lon").as("lon2"), col("lat").as("lat2")), "iid")
+        .join(img.select((col("iid") - 2).as("iid"),
+          col("lon").as("lon3"), col("lat").as("lat3")), "iid")
+        .select(col("id_a"),
+          expr(s"CAST(FLOOR($XT_D13_SQL * 6371008.8) AS BIGINT)").as("d13_m"),
+          expr(s"CAST(FLOOR(ABS($XT_ANG_SQL) * 6371008.8) AS BIGINT)").as("xtd_m"),
+          expr(s"CAST(FLOOR($XT_ATD_SQL * 6371008.8) AS BIGINT)").as("atd_m"))
+    }),
+
+    // ---------------- Heaps' law vocabulary growth (r5 s17) ----------------
+    // How fast does the corpus vocabulary grow — the V(n) ∝ n^β check
+    // that separates natural text (β ≈ 0.4–0.6) from templated content
+    // (Heaps 1978, public), the growth-side companion to q265's Zipf
+    // slope. Exact machinery: per-token FIRST document (one min
+    // aggregate), cumulative tokens/vocab at the ten doc-count decile
+    // cuts (rank-selected doc ids), log–log points micro-nat-quantized
+    // by the shared LN text, slope by the integer OLS ladder (the q194
+    // division machinery). All post-explode work is vocab-bounded.
+    "q325_heaps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr(s"CAST(size(${tokExpr("text")}) AS BIGINT)").as("ntok"))
+        .localCheckpoint() // doc-bounded; ranked + prefix-summed
+      val ranked = docs
+        .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("ctok", sum("ntok").over(Window.orderBy("doc_id")))
+      val dec = ranked
+        .withColumn("k", explode(expr("sequence(1L, 10L)")))
+        .where(col("rn") === expr("(k * nd + 9) div 10"))
+        .select(col("k"), col("doc_id").as("d_k"), col("ctok").as("toks"))
+        .localCheckpoint() // 10 rows
+      val fd = t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(tokExpr("text"))).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("fd"))
+      val pts = fd.crossJoin(broadcast(dec))
+        .where(col("fd") <= col("d_k"))
+        .groupBy("k", "d_k", "toks")
+        .agg(count(lit(1)).as("vocab"))
+        .withColumn("lx", expr("CAST(FLOOR(1e6 * LN(CAST(toks AS DOUBLE))) AS BIGINT)"))
+        .withColumn("ly", expr("CAST(FLOOR(1e6 * LN(CAST(vocab AS DOUBLE))) AS BIGINT)"))
+        .localCheckpoint() // 10 rows; referenced by the slope aggregate
+      val slope = pts.agg(count(lit(1)).as("np"), sum("lx").as("sx"),
+          sum("ly").as("sy"), sum(expr("lx * ly")).as("sxy"),
+          sum(expr("lx * lx")).as("sxx"))
+        .withColumn("beta_milli", expr(
+          s"""CASE WHEN np * sxx - sx * sx = 0 THEN NULL
+             ELSE ${milliDivSql("(np * sxy - sx * sy)", "(np * sxx - sx * sx)", "div")} END"""))
+        .select("beta_milli")
+      pts.crossJoin(broadcast(slope))
+        .select("k", "d_k", "toks", "vocab", "lx", "ly", "beta_milli")
+    }),
+
+    // ---------------- nearest-class-mean eval (r5 s17) ----------------
+    // The embedding-quality litmus every representation pipeline runs
+    // (Rocchio 1971 / NCM classifier, public): class centroids as EXACT
+    // integer sums of the q21 milli-quantized vectors, every vector
+    // scored by cosine-to-centroid — quantized per (vector, class) by
+    // ONE shared double text over exact integer dot/norms (the q249
+    // ranking contract), argmax ties to the smaller label. Reports the
+    // label-bounded confusion matrix plus overall accuracy; work = one
+    // scan × a broadcast class table.
+    "q326_ncm" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"), expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))").as("q"))
+        .localCheckpoint() // scanned twice (centroids + scoring)
+      val cent = emb.groupBy(col("label").as("c"))
+        .agg(expr("aggregate(collect_list(q), CAST(NULL AS ARRAY<BIGINT>), " +
+          "(acc, v) -> CASE WHEN acc IS NULL THEN v ELSE zip_with(acc, v, (a, b) -> a + b) END)").as("sc"),
+          count(lit(1)).as("nc"))
+        .withColumn("nrm", expr(
+          "aggregate(zip_with(sc, sc, (a, b) -> a * b), 0L, (x, v) -> x + v)"))
+      emb.crossJoin(broadcast(cent))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q, sc, (a, b) -> a * b), 0L, (x, v) -> x + v)"))
+        .withColumn("score", expr(NCM_SCORE_SQL))
+        .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("score").desc, col("c").asc)))
+        .where(col("rk") === 1)
+        .groupBy(col("label"), col("c").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_label", sum("n").over(Window.partitionBy("label")))
+        .withColumn("correct", col("label") === col("pred"))
     })
   )
 
@@ -13363,7 +13495,85 @@ object SparkEntry {
          SELECT a.doc_id, a.conf, a.ntok FROM d a
          WHERE NOT EXISTS (SELECT 1 FROM d b
            WHERE b.conf >= a.conf AND b.ntok >= a.ntok
-             AND (b.conf > a.conf OR b.ntok > a.ntok))"""
+             AND (b.conf > a.conf OR b.ntok > a.ntok))""",
+
+    // ground truth: the SAME trig text over the mirrored triple join
+    "q324_xtrack" ->
+      s"""WITH img AS (SELECT CAST(substr(image_id, 4, 8) AS BIGINT) AS iid,
+             image_id, lon, lat FROM $IMG),
+         tr AS (SELECT a.image_id AS id_a,
+             a.lon AS lon1, a.lat AS lat1, b.lon AS lon2, b.lat AS lat2,
+             p.lon AS lon3, p.lat AS lat3
+           FROM img a JOIN img b ON b.iid = a.iid + 1
+           JOIN img p ON p.iid = a.iid + 2
+           WHERE a.iid % 4 = 0)
+         SELECT id_a,
+           CAST(FLOOR($XT_D13_SQL * 6371008.8) AS BIGINT) AS d13_m,
+           CAST(FLOOR(ABS($XT_ANG_SQL) * 6371008.8) AS BIGINT) AS xtd_m,
+           CAST(FLOOR($XT_ATD_SQL * 6371008.8) AS BIGINT) AS atd_m
+         FROM tr""",
+
+    // ground truth: identical first-document aggregate, decile rank
+    // selects, shared LN quantization and integer OLS ladder
+    "q325_heaps" ->
+      s"""WITH dd AS (SELECT doc_id,
+             CAST(len(${tokSqlD("text")}) AS BIGINT) AS ntok FROM documents),
+         rk AS (SELECT doc_id, ntok,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nd,
+             CAST(SUM(ntok) OVER (ORDER BY doc_id) AS BIGINT) AS ctok FROM dd),
+         dec AS (SELECT u.k, doc_id AS d_k, ctok AS toks
+           FROM rk, UNNEST(generate_series(1, 10)) AS u(k)
+           WHERE rn = (u.k * nd + 9) // 10),
+         fd AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS fd FROM (
+             SELECT doc_id, UNNEST(${tokSqlD("text")}) AS tok FROM documents)
+           GROUP BY 1),
+         pts AS (SELECT dec.k, dec.d_k, dec.toks,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(FLOOR(1e6 * LN(CAST(dec.toks AS DOUBLE))) AS BIGINT) AS lx
+           FROM fd JOIN dec ON fd.fd <= dec.d_k GROUP BY 1, 2, 3),
+         p2 AS (SELECT k, d_k, toks, vocab, lx,
+             CAST(FLOOR(1e6 * LN(CAST(vocab AS DOUBLE))) AS BIGINT) AS ly FROM pts),
+         sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx FROM p2),
+         bm AS (SELECT CAST(CASE WHEN np * sxx - sx * sx = 0 THEN NULL
+             ELSE ${milliDivSql("(np * sxy - sx * sy)", "(np * sxx - sx * sx)", "//")} END
+             AS BIGINT) AS beta_milli FROM sl)
+         SELECT p2.k, p2.d_k, p2.toks, p2.vocab, p2.lx, p2.ly, bm.beta_milli
+         FROM p2, bm""",
+
+    // ground truth: identical integer centroid sums (per-dim UNNEST
+    // rebuild), the SAME cosine score text and (score desc, c asc)
+    // argmax, identical confusion rollup
+    "q326_ncm" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         dims AS (SELECT e.label AS c, u.i,
+             CAST(SUM(e.q[u.i]) AS BIGINT) AS sv
+           FROM e, UNNEST(generate_series(1, len(e.q))) AS u(i) GROUP BY 1, 2),
+         cent AS (SELECT c, list(sv ORDER BY i) AS sc FROM dims GROUP BY 1),
+         c2 AS (SELECT c, sc,
+             CAST(list_sum(list_transform(sc, x -> x * x)) AS BIGINT) AS nrm
+           FROM cent),
+         scored AS (SELECT e.vec_id, e.label, c2.c,
+             CAST(list_sum(list_transform(list_zip(e.q, c2.sc),
+               s -> s[1] * s[2])) AS BIGINT) AS dot, c2.nrm
+           FROM e, c2),
+         best AS (SELECT vec_id, label, c AS pred FROM (
+             SELECT vec_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ($NCM_SCORE_SQL) DESC, c) AS rk
+             FROM scored) WHERE rk = 1),
+         cf AS (SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+           FROM best GROUP BY 1, 2)
+         SELECT label, pred, n,
+           CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS n_label,
+           (label = pred) AS correct
+         FROM cf"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
   )
