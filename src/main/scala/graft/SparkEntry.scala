@@ -527,10 +527,10 @@ object SparkEntry {
          $ACF_PPM_SQL AS acf_ppm
        FROM p JOIN g ON p.event_type = g.event_type"""
 
-  /** q214/q299's shared oracle: identical trend window + doubled-median
-    * seasonal + integer residual identity. */
-  private lazy val DECOMP_ORACLE_SQL =
-    s"""WITH $HRS_SPINE_SQL,
+  /** q214/q299/q327's shared decomposition CTE chain, ending at
+    * dcmp(event_type, h, hod, n, sum25, dt50, sea100, res100). */
+  private lazy val DECOMP_CTES_SQL =
+    s"""$HRS_SPINE_SQL,
        t AS (SELECT event_type, h, h % 24 AS hod, n,
            SUM(n) OVER (PARTITION BY event_type ORDER BY h
              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS sum25,
@@ -543,12 +543,19 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY dt50, h) AS rn,
            COUNT(*) OVER (PARTITION BY event_type, hod) AS m FROM tf),
        sea AS (SELECT event_type, hod, CAST(SUM(dt50) * 2 // COUNT(*) AS BIGINT) AS sea100
-         FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2)
-       SELECT tf.event_type, CAST(tf.h AS BIGINT) AS h, CAST(tf.hod AS BIGINT) AS hod,
+         FROM r1 WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY 1, 2),
+       dcmp AS (SELECT tf.event_type, CAST(tf.h AS BIGINT) AS h,
+         CAST(tf.hod AS BIGINT) AS hod,
          tf.n, CAST(tf.sum25 AS BIGINT) AS sum25, CAST(tf.dt50 AS BIGINT) AS dt50,
          sea.sea100,
          CAST(tf.n * 100 - tf.sum25 * 4 - sea.sea100 AS BIGINT) AS res100
-       FROM tf JOIN sea ON tf.event_type = sea.event_type AND tf.hod = sea.hod"""
+       FROM tf JOIN sea ON tf.event_type = sea.event_type AND tf.hod = sea.hod)"""
+
+  /** q214/q299's shared oracle: identical trend window + doubled-median
+    * seasonal + integer residual identity. */
+  private lazy val DECOMP_ORACLE_SQL =
+    s"""WITH $DECOMP_CTES_SQL
+       SELECT event_type, h, hod, n, sum25, dt50, sea100, res100 FROM dcmp"""
 
   /** q255/q313's exact Yule-Walker AR(2) fit + one-step forecast over an
     * (event_type, h, n) series (s17: factored so the streamed q313
@@ -8383,6 +8390,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .withColumn("n_label", sum("n").over(Window.partitionBy("label")))
         .withColumn("correct", col("label") === col("pred"))
+    }),
+
+    // ---------------- Durbin–Watson residual audit (r5 s17) ----------------
+    // Did q214's trend+seasonal decomposition actually whiten the
+    // series? — the DW statistic over its integer residuals (Durbin &
+    // Watson 1950, public): DW = Σ(eₜ − eₜ₋₁)²/Σeₜ² in the exact milli
+    // ladder, lag pairs only across CONTIGUOUS interior hours (the
+    // centered window drops the spine edges). DW ≈ 2 ⇒ white; ≪ 2 ⇒
+    // leftover positive autocorrelation. One lag window over the
+    // calendar-bounded residual frame.
+    "q327_dw" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("h")
+      decomposeAudit(hourlySpine(s, dir))
+        .withColumn("ph", lag("h", 1).over(w))
+        .withColumn("pres", lag("res100", 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum(expr("res100 * res100")).as("sse"),
+          sum(expr("""CASE WHEN ph = h - 1
+            THEN (res100 - pres) * (res100 - pres) ELSE 0L END""")).as("sdd"),
+          sum(expr("CASE WHEN ph = h - 1 THEN 1L ELSE 0L END")).as("n_pairs"))
+        .withColumn("dw_milli", expr(
+          s"""CASE WHEN sse = 0 THEN NULL
+             ELSE ${milliDivSql("sdd", "sse", "div")} END"""))
+    }),
+
+    // ---------------- language-ID confusion eval (r5 s17) ----------------
+    // The accuracy report for the q16 language heuristic against the
+    // corpus's LABELED lang column — the eval that decides whether the
+    // cheap n-gram gate can route documents at all: full label-bounded
+    // confusion matrix + per-language row totals. One scan; the oracle
+    // reads the recompute-pinned text_features lang_pred (the q16
+    // contract) so the kernel is cross-checked end to end.
+    "q328_langid_eval" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      GeoTables.ensureTextFeat(s, dir) // the oracle's lang_pred source
+      t(s, dir, "documents")
+        .select(col("lang"), call_function("text_lang_id", col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .withColumn("n_lang", sum("n").over(Window.partitionBy("lang")))
+        .withColumn("correct", col("lang") === col("pred"))
     })
   )
 
@@ -13573,6 +13620,37 @@ object SparkEntry {
          SELECT label, pred, n,
            CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS n_label,
            (label = pred) AS correct
+         FROM cf""",
+
+    // ground truth: the shared decomposition CTEs + identical contiguous
+    // lag-pair integers and milli ladder
+    "q327_dw" ->
+      s"""WITH $DECOMP_CTES_SQL,
+         lg AS (SELECT event_type, h, res100,
+             LAG(h) OVER (PARTITION BY event_type ORDER BY h) AS ph,
+             LAG(res100) OVER (PARTITION BY event_type ORDER BY h) AS pres
+           FROM dcmp),
+         ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(res100 * res100) AS BIGINT) AS sse,
+             CAST(SUM(CASE WHEN ph = h - 1
+               THEN (res100 - pres) * (res100 - pres) ELSE 0 END) AS BIGINT) AS sdd,
+             CAST(SUM(CASE WHEN ph = h - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+           FROM lg GROUP BY 1)
+         SELECT event_type, n_hours, sse, sdd, n_pairs,
+           CAST(CASE WHEN sse = 0 THEN NULL
+             ELSE ${milliDivSql("sdd", "sse", "//")} END AS BIGINT) AS dw_milli
+         FROM ag""",
+
+    // ground truth: the recompute-pinned lang_pred fixture column joined
+    // to the labeled lang, identical confusion rollup
+    "q328_langid_eval" ->
+      s"""WITH cf AS (SELECT d.lang, tf.lang_pred AS pred,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents d JOIN $TFEAT tf ON tf.doc_id = d.doc_id
+           GROUP BY 1, 2)
+         SELECT lang, pred, n,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+           (lang = pred) AS correct
          FROM cf"""
     // q25: buffer-chain constants are oracled in their own row; non-SQL
     // semantics (streaming #42, resume #51) stay pinned in ScalaTest.
