@@ -607,6 +607,46 @@ object SparkEntry {
        FROM u"""
   }
 
+  /** q321/q329's shared oracle (streamed == batch): identical spine
+    * windows + the SAME contrast text and (score desc, t asc) argmax. */
+  private lazy val BINSEG_ORACLE_SQL =
+    s"""WITH $HRS_SPINE_SQL,
+       wz AS (SELECT event_type, h, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS t,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS st,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+           CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS sm
+         FROM hrs),
+       fl AS (SELECT * FROM wz WHERE t < m),
+       rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY $BINSEG_SCORE_SQL DESC, t) AS rk FROM fl)
+       SELECT event_type, CAST(h AS BIGINT) AS split_h, t, m, st, sm,
+         CAST(FLOOR($BINSEG_SCORE_SQL) AS BIGINT) AS score_floor,
+         CAST(${milliDivSql("st", "t", "//")} AS BIGINT) AS mean_pre_milli,
+         CAST(${milliDivSql("(sm - st)", "(m - t)", "//")} AS BIGINT) AS mean_post_milli
+       FROM rk WHERE rk = 1"""
+
+  /** q321/q329's top-1 binary-segmentation split over an (event_type,
+    * h, n) series (s17: factored so the streamed q329 replays it over
+    * Complete-mode state). */
+  private def binsegAudit(hours: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    hours
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("st", sum("n").over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("sm", sum("n").over(Window.partitionBy("event_type")))
+      .where(col("t") < col("m"))
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(expr(BINSEG_SCORE_SQL).desc, col("t").asc)))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("h").as("split_h"), col("t"), col("m"),
+        col("st"), col("sm"),
+        expr(s"CAST(FLOOR($BINSEG_SCORE_SQL) AS BIGINT)").as("score_floor"),
+        expr(milliDivSql("st", "t", "div")).as("mean_pre_milli"),
+        expr(milliDivSql("(sm - st)", "(m - t)", "div")).as("mean_post_milli"))
+  }
+
   /** The streamed==batch members' shared source: hourly (event_type, h)
     * counts aggregated through Complete-mode micro-batches, rebuilt into
     * the zero-filled spine (review s17: one definition for the eight
@@ -8214,24 +8254,7 @@ object SparkEntry {
     // integer numerator components, ONE shared double score (the q221
     // Otsu argmax contract), ties to the EARLIER hour. One window pass
     // over the calendar-bounded spine.
-    "q321_binseg" -> ((s, dir) => {
-      val hours = hourlySpine(s, dir)
-      val w = Window.partitionBy("event_type").orderBy("h")
-      hours
-        .withColumn("t", row_number().over(w).cast("long"))
-        .withColumn("st", sum("n").over(w))
-        .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
-        .withColumn("sm", sum("n").over(Window.partitionBy("event_type")))
-        .where(col("t") < col("m"))
-        .withColumn("rk", row_number().over(Window.partitionBy("event_type")
-          .orderBy(expr(BINSEG_SCORE_SQL).desc, col("t").asc)))
-        .where(col("rk") === 1)
-        .select(col("event_type"), col("h").as("split_h"), col("t"), col("m"),
-          col("st"), col("sm"),
-          expr(s"CAST(FLOOR($BINSEG_SCORE_SQL) AS BIGINT)").as("score_floor"),
-          expr(milliDivSql("st", "t", "div")).as("mean_pre_milli"),
-          expr(milliDivSql("(sm - st)", "(m - t)", "div")).as("mean_post_milli"))
-    }),
+    "q321_binseg" -> ((s, dir) => binsegAudit(hourlySpine(s, dir))),
 
     // ---------------- split-conformal interval audit (r5 s17) ----------------
     // Distribution-free prediction intervals for hourly volumes (Vovk
@@ -8430,7 +8453,14 @@ object SparkEntry {
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .withColumn("n_lang", sum("n").over(Window.partitionBy("lang")))
         .withColumn("correct", col("lang") === col("pred"))
-    })
+    }),
+
+    // ---------------- streamed changepoint (r5 s17) ----------------
+    // q321's binary-segmentation split over the streamed spine —
+    // streamed==batch member SIXTEEN: the online "did the regime shift,
+    // and when" monitor. Post-pass = binsegAudit, oracle = q321's.
+    "q329_stream_binseg" -> ((s, dir) =>
+      binsegAudit(streamedHourlySpine(s, dir, "binseg")))
   )
 
   /** q224's peel depth bound and core threshold (oracle unrolls the same
@@ -13487,22 +13517,10 @@ object SparkEntry {
 
     // ground truth: identical spine windows + the SAME contrast text and
     // (score desc, t asc) argmax
-    "q321_binseg" ->
-      s"""WITH $HRS_SPINE_SQL,
-         wz AS (SELECT event_type, h, n,
-             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS t,
-             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS st,
-             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
-             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS sm
-           FROM hrs),
-         fl AS (SELECT * FROM wz WHERE t < m),
-         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-             ORDER BY $BINSEG_SCORE_SQL DESC, t) AS rk FROM fl)
-         SELECT event_type, CAST(h AS BIGINT) AS split_h, t, m, st, sm,
-           CAST(FLOOR($BINSEG_SCORE_SQL) AS BIGINT) AS score_floor,
-           CAST(${milliDivSql("st", "t", "//")} AS BIGINT) AS mean_pre_milli,
-           CAST(${milliDivSql("(sm - st)", "(m - t)", "//")} AS BIGINT) AS mean_post_milli
-         FROM rk WHERE rk = 1""",
+    "q321_binseg" -> BINSEG_ORACLE_SQL,
+
+    // ground truth: the SAME oracle as q321 (sixteenth member)
+    "q329_stream_binseg" -> BINSEG_ORACLE_SQL,
 
     // ground truth: identical baseline/nonconformity integers, identical
     // rank select and even/odd split
