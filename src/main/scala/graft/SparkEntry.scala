@@ -607,6 +607,45 @@ object SparkEntry {
        FROM u"""
   }
 
+  /** q330's oracle: the identical quantized power iteration replayed as
+    * eight chained CTE rounds (the q318 fps pattern) — same scatter
+    * integers, same ≤10⁶ quantization, same trunc-division max-norm
+    * renormalization and Rayleigh milli ladder. */
+  private lazy val pcaOracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (SELECT a.i, CAST(SUM(a.a * v.v) AS BIGINT) AS w
+           FROM aq a JOIN $pv v ON v.i = a.j GROUP BY 1),
+         m$r AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w$r),
+         v$r AS MATERIALIZED (SELECT i, CAST(${tdivSql("(w * 1000)", "mx", "//")} AS BIGINT) AS v
+           FROM w$r, m$r)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       px AS MATERIALIZED (SELECT u.i, w.j, e.q[u.i] * e.q[w.j] AS p
+         FROM e, UNNEST(generate_series(1, len(e.q))) AS u(i),
+           UNNEST(generate_series(1, len(e.q))) AS w(j)),
+       gm AS MATERIALIZED (SELECT i, j, CAST(SUM(p) AS BIGINT) AS gv,
+           CAST(COUNT(*) AS BIGINT) AS n FROM px GROUP BY 1, 2),
+       sm AS MATERIALIZED (SELECT u.i, CAST(SUM(e.q[u.i]) AS BIGINT) AS s
+         FROM e, UNNEST(generate_series(1, len(e.q))) AS u(i) GROUP BY 1),
+       a0 AS MATERIALIZED (SELECT gm.i, gm.j, gm.n * gm.gv - si.s * sj.s AS a
+         FROM gm JOIN sm si ON si.i = gm.i JOIN sm sj ON sj.i = gm.j),
+       scq AS (SELECT GREATEST(MAX(ABS(a)) // 1000000, 1) AS sc FROM a0),
+       aq AS MATERIALIZED (SELECT i, j, CAST(${tdivSql("a", "sc", "//")} AS BIGINT) AS a
+         FROM a0, scq),
+       v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM aq),
+       $rounds,
+       wf AS MATERIALIZED (SELECT a.i, CAST(SUM(a.a * v.v) AS BIGINT) AS w
+         FROM aq a JOIN v8 v ON v.i = a.j GROUP BY 1),
+       lm AS (SELECT CAST(${milliDivSql("num", "den", "//")} AS BIGINT) AS lam_milli
+         FROM (SELECT CAST(SUM(v.v * wf.w) AS BIGINT) AS num,
+             CAST(SUM(v.v * v.v) AS BIGINT) AS den
+           FROM v8 v JOIN wf ON wf.i = v.i))
+       SELECT v8.i, v8.v, lm.lam_milli FROM v8, lm"""
+  }
+
   /** q321/q329's shared oracle (streamed == batch): identical spine
     * windows + the SAME contrast text and (score desc, t asc) argmax. */
   private lazy val BINSEG_ORACLE_SQL =
@@ -8461,6 +8500,61 @@ object SparkEntry {
     // and when" monitor. Post-pass = binsegAudit, oracle = q321's.
     "q329_stream_binseg" -> ((s, dir) =>
       binsegAudit(streamedHourlySpine(s, dir, "binseg")))
+    ,
+
+    // ---------------- PCA top component / power iteration (r5 s17) ----------------
+    // The whitening/anisotropy gate every embedding pipeline runs (von
+    // Mises 1929 power iteration, public): the covariance's dominant
+    // direction and Rayleigh quotient, EXACT and deterministic — the
+    // scatter matrix n·G − S·Sᵀ from integer milli-vector sums (one
+    // (i, j)-keyed aggregate, dim²-bounded; the accumulation is
+    // long-safe to n ≈ 7.6e5 vectors at |q| ≤ 4000 — above that a
+    // pipeline runs on a sample, the q264 contract), quantized to ≤10⁶
+    // entries (quantized-inputs contract: matvec products then fit
+    // longs), EIGHT max-norm-renormalized integer matvec rounds
+    // (each one join + one aggregate over the 64²-row matrix — never
+    // per-vector state), trunc-division renormalization shared by both
+    // engines. Output: the 64 direction components ×1000 and the
+    // Rayleigh λ ratio in exact milli (anisotropy = how much variance
+    // the top axis hoards). Oracle = the identical recursion as eight
+    // chained CTEs.
+    "q330_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(expr(
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))").as("q"))
+      val pairs = emb
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(q)),
+             i -> transform(sequence(1, size(q)),
+               j -> named_struct('i', i, 'j', j,
+                 'p', element_at(q, i) * element_at(q, j)))))""")).as("x"))
+        .groupBy(col("x.i").as("i"), col("x.j").as("j"))
+        .agg(sum("x.p").as("g"), count(lit(1)).as("n"))
+      val sums = emb.select(explode(expr(
+          """transform(sequence(1, size(q)),
+             i -> named_struct('i', i, 'v', element_at(q, i)))""")).as("x"))
+        .groupBy(col("x.i").as("i")).agg(sum("x.v").as("s"))
+      val a0 = pairs
+        .join(sums.select(col("i"), col("s").as("si")), "i")
+        .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
+        .select(col("i"), col("j"), expr("n * g - si * sj").as("a"))
+      val aq = a0.crossJoin(broadcast(
+          a0.agg(expr("GREATEST(MAX(ABS(a)) div 1000000, 1)").as("sc"))))
+        .select(col("i"), col("j"), expr(tdivSql("a", "sc", "div")).as("a"))
+        .localCheckpoint() // 64² rows; joined 9×
+      def matvec(v: DataFrame) = aq
+        .join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i").agg(sum(expr("a * v")).as("w"))
+      def renorm(w: DataFrame) = w.crossJoin(broadcast(
+          w.agg(expr("GREATEST(MAX(ABS(w)), 1)").as("mx"))))
+        .select(col("i"), expr(tdivSql("w * 1000", "mx", "div")).as("v"))
+      var v = aq.select(col("i")).distinct().select(col("i"), lit(1000L).as("v"))
+      for (_ <- 1 to 8) v = renorm(matvec(v)).localCheckpoint()
+      val wf = matvec(v)
+      val lam = v.join(wf, "i")
+        .agg(sum(expr("v * w")).as("num"), sum(expr("v * v")).as("den"))
+        .select(expr(milliDivSql("num", "den", "div")).as("lam_milli"))
+      v.crossJoin(broadcast(lam)).select("i", "v", "lam_milli")
+    })
   )
 
   /** q224's peel depth bound and core threshold (oracle unrolls the same
@@ -13521,6 +13615,10 @@ object SparkEntry {
 
     // ground truth: the SAME oracle as q321 (sixteenth member)
     "q329_stream_binseg" -> BINSEG_ORACLE_SQL,
+
+    // ground truth: the identical quantized power iteration as eight
+    // chained CTE rounds
+    "q330_pca" -> pcaOracleSql,
 
     // ground truth: identical baseline/nonconformity integers, identical
     // rank select and even/odd split
