@@ -646,6 +646,24 @@ object SparkEntry {
        SELECT v8.i, v8.v, lm.lam_milli FROM v8, lm"""
   }
 
+  /** q219/q331's shared oracle CTE chain ending at
+    * emp(dir, lag_h, n_pairs, sum_sq, gamma_centi). */
+  private lazy val VARIO_EMP_SQL =
+    s"""$LAT_CELLS_SQL,
+       f AS (SELECT d.dir, l.lag_h,
+           CASE WHEN d.dir = 'E' THEN gx + l.lag_h ELSE gx END AS jx,
+           CASE WHEN d.dir = 'E' THEN gy ELSE gy + l.lag_h END AS jy,
+           c AS ci
+         FROM cells,
+           (SELECT unnest(generate_series(1, 8)) AS lag_h) l,
+           (SELECT unnest(['E', 'N']) AS dir) d),
+       j AS (SELECT f.dir, f.lag_h, f.ci, c2.c AS cj
+         FROM f JOIN cells c2 ON f.jx = c2.gx AND f.jy = c2.gy),
+       emp AS (SELECT dir, CAST(lag_h AS BIGINT) AS lag_h, COUNT(*) AS n_pairs,
+         CAST(SUM((ci - cj) * (ci - cj)) AS BIGINT) AS sum_sq,
+         CAST((SUM((ci - cj) * (ci - cj)) * 100) // (2 * COUNT(*)) AS BIGINT) AS gamma_centi
+       FROM j GROUP BY 1, 2)"""
+
   /** q321/q329's shared oracle (streamed == batch): identical spine
     * windows + the SAME contrast text and (score desc, t asc) argmax. */
   private lazy val BINSEG_ORACLE_SQL =
@@ -664,6 +682,28 @@ object SparkEntry {
          CAST(${milliDivSql("st", "t", "//")} AS BIGINT) AS mean_pre_milli,
          CAST(${milliDivSql("(sm - st)", "(m - t)", "//")} AS BIGINT) AS mean_post_milli
        FROM rk WHERE rk = 1"""
+
+  /** q219/q331's empirical directional semivariogram over the occupied
+    * lattice: exact integer pair sums, γ in centi units (s17: factored
+    * so the model fit consumes the identical empirical table). */
+  private def semivariogramEmpirical(s: SparkSession, dir: String): DataFrame = {
+    GeoTables.ensure(s, dir)
+    val cells = latticeCells(s, dir)
+    val f = cells
+      .withColumn("lag_h", explode(expr("sequence(1L, 8L)")))
+      .withColumn("dir", explode(array(lit("E"), lit("N"))))
+      .select(col("dir"), col("lag_h"),
+        when(col("dir") === "E", col("gx") + col("lag_h")).otherwise(col("gx")).as("jx"),
+        when(col("dir") === "E", col("gy")).otherwise(col("gy") + col("lag_h")).as("jy"),
+        col("c").as("ci"))
+    f.join(cells.select(col("gx").as("jx"), col("gy").as("jy"), col("c").as("cj")),
+        Seq("jx", "jy"))
+      .groupBy("dir", "lag_h")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("(ci - cj) * (ci - cj)")).as("sum_sq"))
+      .select(col("dir"), col("lag_h"), col("n_pairs"), col("sum_sq"),
+        expr("(sum_sq * 100) div (2 * n_pairs)").as("gamma_centi"))
+  }
 
   /** q321/q329's top-1 binary-segmentation split over an (event_type,
     * h, n) series (s17: factored so the streamed q329 replays it over
@@ -5513,24 +5553,7 @@ object SparkEntry {
     // key: pair count is Σ occupied-within-lag, never n²; γ ships as an
     // exact centi-quantized integer division (trunc = floor on the
     // non-negative operands, identical in both engines).
-    "q219_semivariogram" -> ((s, dir) => {
-      GeoTables.ensure(s, dir)
-      val cells = latticeCells(s, dir)
-      val f = cells
-        .withColumn("lag_h", explode(expr("sequence(1L, 8L)")))
-        .withColumn("dir", explode(array(lit("E"), lit("N"))))
-        .select(col("dir"), col("lag_h"),
-          when(col("dir") === "E", col("gx") + col("lag_h")).otherwise(col("gx")).as("jx"),
-          when(col("dir") === "E", col("gy")).otherwise(col("gy") + col("lag_h")).as("jy"),
-          col("c").as("ci"))
-      f.join(cells.select(col("gx").as("jx"), col("gy").as("jy"), col("c").as("cj")),
-          Seq("jx", "jy"))
-        .groupBy("dir", "lag_h")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(expr("(ci - cj) * (ci - cj)")).as("sum_sq"))
-        .select(col("dir"), col("lag_h"), col("n_pairs"), col("sum_sq"),
-          expr("(sum_sq * 100) div (2 * n_pairs)").as("gamma_centi"))
-    }),
+    "q219_semivariogram" -> ((s, dir) => semivariogramEmpirical(s, dir)),
 
     // ---------------- CUSUM changepoint audit (r5 s14) ----------------
     // Page's cumulative-sum control chart over the zero-filled hourly
@@ -8554,6 +8577,41 @@ object SparkEntry {
         .agg(sum(expr("v * w")).as("num"), sum(expr("v * v")).as("den"))
         .select(expr(milliDivSql("num", "den", "div")).as("lam_milli"))
       v.crossJoin(broadcast(lam)).select("i", "v", "lam_milli")
+    }),
+
+    // ---------------- variogram model fit (r5 s17) ----------------
+    // The kriging prerequisite on top of q219's empirical directional
+    // semivariogram (Matheron 1963 spherical model, public): fit
+    // γ(h) = c0 + c1·(1.5h/a − 0.5(h/a)³ clamped at a) per direction
+    // by EXACT grid search — range a ∈ 1..8 cells, sill/nugget
+    // candidates as eighths of the empirical max (data-derived but
+    // integer-deterministic), the spherical term cleared to the exact
+    // trunc division (1500ha² − 500h³) div a³, SSE in exact longs
+    // (long-safe while γ ≤ 3e9 centi — beyond that the lattice counts
+    // themselves want rescaling). Grid = 192 combos/direction ×
+    // 8 lags — bounded at any data size; argmin ties (sse, a, c0, c1).
+    "q331_variofit" -> ((s, dir) => {
+      val emp = semivariogramEmpirical(s, dir)
+        .select(col("dir"), col("lag_h"), col("gamma_centi"))
+        .localCheckpoint() // 16 rows; grid-joined + max-scanned
+      val grid = emp.groupBy("dir").agg(max("gamma_centi").as("smax"))
+        .withColumn("a", explode(expr("sequence(1L, 8L)")))
+        .withColumn("k1", explode(expr("sequence(1L, 8L)")))
+        .withColumn("k0", explode(expr("sequence(0L, 2L)")))
+        .select(col("dir"), col("a"),
+          expr("(smax * k0) div 8").as("c0"), expr("(smax * k1) div 8").as("c1"))
+      grid.join(emp, "dir")
+        .withColumn("t_milli", expr(
+          """CASE WHEN lag_h >= a THEN 1000L
+             ELSE (1500 * lag_h * a * a - 500 * lag_h * lag_h * lag_h)
+               div (a * a * a) END"""))
+        .withColumn("m", expr("c0 + (c1 * t_milli) div 1000"))
+        .groupBy("dir", "a", "c0", "c1")
+        .agg(sum(expr("(gamma_centi - m) * (gamma_centi - m)")).as("sse"))
+        .withColumn("rk", row_number().over(Window.partitionBy("dir")
+          .orderBy(col("sse").asc, col("a").asc, col("c0").asc, col("c1").asc)))
+        .where(col("rk") === 1)
+        .select("dir", "a", "c0", "c1", "sse")
     })
   )
 
@@ -12040,20 +12098,8 @@ object SparkEntry {
          FROM gstat, xx""",
 
     "q219_semivariogram" ->
-      s"""WITH $LAT_CELLS_SQL,
-         f AS (SELECT d.dir, l.lag_h,
-             CASE WHEN d.dir = 'E' THEN gx + l.lag_h ELSE gx END AS jx,
-             CASE WHEN d.dir = 'E' THEN gy ELSE gy + l.lag_h END AS jy,
-             c AS ci
-           FROM cells,
-             (SELECT unnest(generate_series(1, 8)) AS lag_h) l,
-             (SELECT unnest(['E', 'N']) AS dir) d),
-         j AS (SELECT f.dir, f.lag_h, f.ci, c2.c AS cj
-           FROM f JOIN cells c2 ON f.jx = c2.gx AND f.jy = c2.gy)
-         SELECT dir, CAST(lag_h AS BIGINT) AS lag_h, COUNT(*) AS n_pairs,
-           CAST(SUM((ci - cj) * (ci - cj)) AS BIGINT) AS sum_sq,
-           CAST((SUM((ci - cj) * (ci - cj)) * 100) // (2 * COUNT(*)) AS BIGINT) AS gamma_centi
-         FROM j GROUP BY 1, 2""",
+      s"""WITH $VARIO_EMP_SQL
+         SELECT dir, lag_h, n_pairs, sum_sq, gamma_centi FROM emp""",
 
     "q220_cusum" -> CUSUM_ORACLE_SQL,
     "q226_stream_cusum" -> CUSUM_ORACLE_SQL,
@@ -13619,6 +13665,32 @@ object SparkEntry {
     // ground truth: the identical quantized power iteration as eight
     // chained CTE rounds
     "q330_pca" -> pcaOracleSql,
+
+    // ground truth: the shared empirical CTEs + identical integer grid,
+    // spherical-term division and (sse, a, c0, c1) argmin
+    "q331_variofit" ->
+      s"""WITH $VARIO_EMP_SQL,
+         sx AS (SELECT dir, CAST(MAX(gamma_centi) AS BIGINT) AS smax
+           FROM emp GROUP BY 1),
+         gr AS (SELECT sx.dir, CAST(a.a AS BIGINT) AS a,
+             (sx.smax * k0.k0) // 8 AS c0, (sx.smax * k1.k1) // 8 AS c1
+           FROM sx,
+             (SELECT unnest(generate_series(1, 8)) AS a) a,
+             (SELECT unnest(generate_series(1, 8)) AS k1) k1,
+             (SELECT unnest(generate_series(0, 2)) AS k0) k0),
+         ms AS (SELECT gr.dir, gr.a, gr.c0, gr.c1, e.gamma_centi,
+             gr.c0 + (gr.c1 * (CASE WHEN e.lag_h >= gr.a THEN 1000
+               ELSE (1500 * e.lag_h * gr.a * gr.a
+                 - 500 * e.lag_h * e.lag_h * e.lag_h)
+                 // (gr.a * gr.a * gr.a) END)) // 1000 AS m
+           FROM gr JOIN emp e ON e.dir = gr.dir),
+         ss AS (SELECT dir, a, c0, c1,
+             CAST(SUM((gamma_centi - m) * (gamma_centi - m)) AS BIGINT) AS sse
+           FROM ms GROUP BY 1, 2, 3, 4),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dir
+             ORDER BY sse, a, c0, c1) AS rk FROM ss)
+         SELECT dir, a, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1, sse
+         FROM rk WHERE rk = 1""",
 
     // ground truth: identical baseline/nonconformity integers, identical
     // rank select and even/odd split
