@@ -726,6 +726,51 @@ object SparkEntry {
         expr(milliDivSql("(sm - st)", "(m - t)", "div")).as("mean_post_milli"))
   }
 
+  /** q311/q332's shared oracle (streamed == batch): arg_min/arg_max
+    * endpoints + identical containment and tie rules. */
+  private lazy val OD_ORACLE_SQL =
+    s"""WITH img AS (SELECT CAST(substr(image_id, 4, 8) AS BIGINT) AS iid,
+             CAST(substr(image_id, 4, 8) AS BIGINT) % 50 AS entity, lon, lat
+           FROM $IMG),
+         e AS (SELECT entity,
+             arg_min(lon, iid) AS olon, arg_min(lat, iid) AS olat,
+             arg_max(lon, iid) AS dlon, arg_max(lat, iid) AS dlat
+           FROM img GROUP BY 1),
+         oz AS (SELECT e.entity, COALESCE(MIN(z.zone_id), 'none') AS o_zone
+           FROM e LEFT JOIN $ZON z
+             ON e.olon >= z.xmin AND e.olon <= z.xmax
+            AND e.olat >= z.ymin AND e.olat <= z.ymax
+           GROUP BY 1),
+         dz AS (SELECT e.entity, COALESCE(MIN(z.zone_id), 'none') AS d_zone
+           FROM e LEFT JOIN $ZON z
+             ON e.dlon >= z.xmin AND e.dlon <= z.xmax
+            AND e.dlat >= z.ymin AND e.dlat <= z.ymax
+           GROUP BY 1)
+         SELECT oz.o_zone, dz.d_zone, CAST(COUNT(*) AS BIGINT) AS n_flows
+         FROM oz JOIN dz USING (entity) GROUP BY 1, 2"""
+
+  /** q311/q332's OD flow post-pass over per-entity endpoint rows
+    * (entity, olon, olat, dlon, dlat): broadcast rect containment with
+    * the smallest-zone tie rule, off-zone -> 'none', flows per
+    * (o_zone, d_zone) (s17: factored so the streamed q332 replays it
+    * over Complete-mode min_by/max_by state). */
+  private def odMatrixAudit(s: SparkSession, dir: String,
+                            endsIn: DataFrame): DataFrame = {
+    val z = GeoTables.zones(s, dir)
+      .select("zone_id", "xmin", "xmax", "ymin", "ymax")
+    val ends = endsIn.localCheckpoint() // entity-bounded; probed twice
+    def zoneOf(px: String, py: String, out: String) = ends
+      .join(broadcast(z),
+        col(px) >= col("xmin") && col(px) <= col("xmax") &&
+        col(py) >= col("ymin") && col(py) <= col("ymax"), "left")
+      .groupBy("entity")
+      .agg(coalesce(min("zone_id"), lit("none")).as(out))
+    zoneOf("olon", "olat", "o_zone")
+      .join(zoneOf("dlon", "dlat", "d_zone"), "entity")
+      .groupBy("o_zone", "d_zone")
+      .agg(count(lit(1)).as("n_flows"))
+  }
+
   /** The streamed==batch members' shared source: hourly (event_type, h)
     * counts aggregated through Complete-mode micro-batches, rebuilt into
     * the zero-filled spine (review s17: one definition for the eight
@@ -7998,8 +8043,6 @@ object SparkEntry {
     // fixes — the matrix is zone²-bounded at any corpus size.
     "q311_od_matrix" -> ((s, dir) => {
       GeoTables.ensure(s, dir)
-      val z = GeoTables.zones(s, dir)
-        .select("zone_id", "xmin", "xmax", "ymin", "ymax")
       val ends = s.read.parquet(GeoTables.imagesPath(dir))
         .withColumn("iid", substring(col("image_id"), 4, 8).cast("bigint"))
         .withColumn("entity", pmod(col("iid"), lit(50)).cast("bigint"))
@@ -8008,17 +8051,7 @@ object SparkEntry {
           min_by(col("lat"), col("iid")).as("olat"),
           max_by(col("lon"), col("iid")).as("dlon"),
           max_by(col("lat"), col("iid")).as("dlat"))
-        .localCheckpoint() // entity-bounded; probed twice
-      def zoneOf(px: String, py: String, out: String) = ends
-        .join(broadcast(z),
-          col(px) >= col("xmin") && col(px) <= col("xmax") &&
-          col(py) >= col("ymin") && col(py) <= col("ymax"), "left")
-        .groupBy("entity")
-        .agg(coalesce(min("zone_id"), lit("none")).as(out))
-      zoneOf("olon", "olat", "o_zone")
-        .join(zoneOf("dlon", "dlat", "d_zone"), "entity")
-        .groupBy("o_zone", "d_zone")
-        .agg(count(lit(1)).as("n_flows"))
+      odMatrixAudit(s, dir, ends)
     }),
 
     // ---------------- median-cut palette quantization (r5 s17) ----------------
@@ -8612,6 +8645,31 @@ object SparkEntry {
           .orderBy(col("sse").asc, col("a").asc, col("c0").asc, col("c1").asc)))
         .where(col("rk") === 1)
         .select("dir", "a", "c0", "c1", "sse")
+    }),
+
+    // ---------------- streamed OD flow matrix (r5 s17) ----------------
+    // q311's origin–destination flows fed by Complete-mode streamed
+    // per-entity endpoint state — streamed==batch member SEVENTEEN and
+    // the second GEO one (q213's precedent): min_by/max_by on the
+    // unique ordinal merge exactly across micro-batches (entity-bounded
+    // state), then the SAME zone-assignment post-pass (odMatrixAudit)
+    // against q311's oracle. Streams the images table's NARROW
+    // (iid, entity, lon, lat) projection.
+    "q332_stream_od" -> ((s, dir) => {
+      GeoTables.ensure(s, dir)
+      val src = s.read.parquet(GeoTables.imagesPath(dir))
+        .withColumn("iid", substring(col("image_id"), 4, 8).cast("bigint"))
+        .withColumn("entity", pmod(col("iid"), lit(50)).cast("bigint"))
+        .select("iid", "entity", "lon", "lat")
+      val sink = runStreamCompleteAggFrom(s, src,
+          s"od_${GeoTables.sfName(dir)}") { st =>
+        st.groupBy("entity")
+          .agg(min_by(col("lon"), col("iid")).as("olon"),
+            min_by(col("lat"), col("iid")).as("olat"),
+            max_by(col("lon"), col("iid")).as("dlon"),
+            max_by(col("lat"), col("iid")).as("dlat"))
+      }
+      odMatrixAudit(s, dir, s.createDataFrame(sink.rdd, sink.schema))
     })
   )
 
@@ -13476,26 +13534,7 @@ object SparkEntry {
 
     // ground truth: arg_min/arg_max endpoints on the unique ordinal +
     // identical inclusive rect containment and smallest-zone tie rule
-    "q311_od_matrix" ->
-      s"""WITH img AS (SELECT CAST(substr(image_id, 4, 8) AS BIGINT) AS iid,
-             CAST(substr(image_id, 4, 8) AS BIGINT) % 50 AS entity, lon, lat
-           FROM $IMG),
-         e AS (SELECT entity,
-             arg_min(lon, iid) AS olon, arg_min(lat, iid) AS olat,
-             arg_max(lon, iid) AS dlon, arg_max(lat, iid) AS dlat
-           FROM img GROUP BY 1),
-         oz AS (SELECT e.entity, COALESCE(MIN(z.zone_id), 'none') AS o_zone
-           FROM e LEFT JOIN $ZON z
-             ON e.olon >= z.xmin AND e.olon <= z.xmax
-            AND e.olat >= z.ymin AND e.olat <= z.ymax
-           GROUP BY 1),
-         dz AS (SELECT e.entity, COALESCE(MIN(z.zone_id), 'none') AS d_zone
-           FROM e LEFT JOIN $ZON z
-             ON e.dlon >= z.xmin AND e.dlon <= z.xmax
-            AND e.dlat >= z.ymin AND e.dlat <= z.ymax
-           GROUP BY 1)
-         SELECT oz.o_zone, dz.d_zone, CAST(COUNT(*) AS BIGINT) AS n_flows
-         FROM oz JOIN dz USING (entity) GROUP BY 1, 2""",
+    "q311_od_matrix" -> OD_ORACLE_SQL,
 
     // ground truth: the recompute-pinned img_mc fixture; dom_ppm and the
     // compression-cost ratio re-derived relationally (q291 two-bases
@@ -13665,6 +13704,10 @@ object SparkEntry {
     // ground truth: the identical quantized power iteration as eight
     // chained CTE rounds
     "q330_pca" -> pcaOracleSql,
+
+    // ground truth: the SAME oracle as q311 (seventeenth member, the
+    // second geo one)
+    "q332_stream_od" -> OD_ORACLE_SQL,
 
     // ground truth: the shared empirical CTEs + identical integer grid,
     // spherical-term division and (sse, a, c0, c1) argmin
