@@ -260,9 +260,15 @@ object AnnIndex {
     val cents = fitCentroids(base, maxBuckets)
     val centBytes = packCentroids(cents)
 
+    // assignment is the expensive per-row expression (√n centroid dots per
+    // vector) and the frame is read by FIVE downstream jobs (bucket stats,
+    // the query collect, both probe rounds × two sides) — materialize it
+    // ONCE instead of re-assigning per scan (r6; the persisted-index path
+    // topKIndexed stores the assignment for the same reason)
     val assigned = base
       .withColumn("bucket", call_function("vec_ivf_assign", col("embedding"), lit(centBytes)))
       .withColumn("nrm", call_function("vec_dot_q", col("embedding"), col("embedding")))
+      .localCheckpoint()
 
     // bucket stats: row count + angular radius (min full-precision COSINE
     // to own centroid — see cosineNearDup's note) + min norm for the slack

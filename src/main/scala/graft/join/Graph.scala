@@ -146,13 +146,22 @@ object Graph {
    * @param vertices one column `id` — the full vertex set (isolated
    *                 vertices keep the base score)
    */
+  /** @param boundedVertices caller-asserted: the vertex set is bounded by
+    *        something other than data volume (a token vocabulary, a fixed
+    *        lattice) — the per-round rank/degree frames are then BROADCAST
+    *        so the edge list never shuffles across iterations (r6; a
+    *        checkpointed frame carries no size stats, so without the hint
+    *        every round pays a sort-merge shuffle of the edges). Leave
+    *        false when vertices scale with the data (document/image ids). */
   def pagerank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               vertices: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+               vertices: DataFrame, iters: Int = 5, scale: Long = 1000000000L,
+               boundedVertices: Boolean = false): DataFrame = {
     require(iters >= 0 && scale > 0, s"bad pagerank params iters=$iters scale=$scale")
     def rebuild(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint(true)
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
+    def bc(df: DataFrame): DataFrame = if (boundedVertices) F.broadcast(df) else df
     val v = rebuild(vertices.select(col("id")).distinct())
     val e = rebuild(
       edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
@@ -163,13 +172,13 @@ object Graph {
     var k = 0
     while (k < iters) {
       k += 1
-      val contrib = e.join(deg, "s")
-        .join(rank.select(col("id").as("s"), col("r")), "s")
+      val contrib = e.join(bc(deg), "s")
+        .join(bc(rank.select(col("id").as("s"), col("r"))), "s")
         .select(col("d").as("id"),
           F.expr("(85 * (r DIV deg)) DIV 100").as("c")) // pure BIGINT floor-div
         .groupBy("id").agg(F.sum("c").as("in_mass"))
       rank = rebuild(
-        v.join(contrib, Seq("id"), "left")
+        v.join(bc(contrib), Seq("id"), "left")
           .select(col("id"),
             (lit(base) + F.coalesce(col("in_mass"), lit(0L))).as("r")))
     }
@@ -192,12 +201,16 @@ object Graph {
    * @return (id, a_ppm, h_ppm) for every vertex
    */
   def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-           vertices: DataFrame, iters: Int = 4): DataFrame = {
+           vertices: DataFrame, iters: Int = 4,
+           boundedVertices: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 16, s"bad hits iters=$iters")
     def rebuild(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint(true)
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
+    // see pagerank's boundedVertices note — broadcast the vocab-bounded
+    // score frame so the edge relation never shuffles per half-round (r6)
+    def bc(df: DataFrame): DataFrame = if (boundedVertices) F.broadcast(df) else df
     // exact floor(raw·1e6/t) in pure longs (base-100, three steps);
     // t = 0 (edgeless graph) yields 0 — mirrored in the oracle text
     val ppm =
@@ -209,8 +222,8 @@ object Graph {
       .where(col("s") =!= col("d")).distinct())
     def half(score: DataFrame, joinKey: String, otherEnd: String): DataFrame = {
       val raw = v.join(
-        e.join(score.withColumnRenamed("id", joinKey), joinKey)
-          .groupBy(col(otherEnd).as("id")).agg(F.sum("sc").as("raw0")),
+        bc(e.join(bc(score.withColumnRenamed("id", joinKey)), joinKey)
+          .groupBy(col(otherEnd).as("id")).agg(F.sum("sc").as("raw0"))),
         Seq("id"), "left")
         .select(col("id"), F.coalesce(col("raw0"), lit(0L)).as("raw"))
       // global total as an empty-frame window, NOT a separate aggregate

@@ -286,8 +286,12 @@ object Pq {
                    kCodes: Int, maxQueries: Int): (DataFrame, DataFrame) = {
     val base = emb.select(col("vec_id"), col("embedding"))
     val cbBytes = train(base, m, kCodes)
-    // the one full-corpus projection; writeSketch persists exactly this
-    val sketch = sketchOf(base, cbBytes)
+    // the one full-corpus projection; writeSketch persists exactly this.
+    // Materialized ONCE (r6): probeCore scans the sketch twice (adc round
+    // + survivor gate), and without the checkpoint each scan re-runs the
+    // full encode+radius projection — the exact cost the persisted-sketch
+    // path exists to avoid.
+    val sketch = sketchOf(base, cbBytes).localCheckpoint()
     probeCore(sketch, base, cbBytes, queryPred, k, maxQueries)
   }
 
@@ -357,12 +361,16 @@ object Pq {
     // ONE coarse-assignment scan per row: encode once, derive the bucket
     // from the single code byte (conv-on-hex is stock Spark — no second
     // argmin pass; code-review r5 s4)
+    // both encode+radius projections run ONCE (r6): the bucketed write and
+    // the stats rollup below each scan `sk`, and without the checkpoint the
+    // second scan re-encodes the whole corpus against both codebooks
     val sk = base
       .withColumn("ccode", call_function("vec_pq_encode", col("embedding"), lit(coarse)))
       .withColumn("bucket", conv(hex(substring(col("ccode"), 1, 1)), 16, 10).cast("int"))
       .withColumn("rc", call_function("vec_pq_radius", col("embedding"), lit(coarse), col("ccode")))
       .withColumn("codes", call_function("vec_pq_encode", col("embedding"), lit(fine)))
       .withColumn("r", call_function("vec_pq_radius", col("embedding"), lit(fine), col("codes")))
+      .localCheckpoint()
     Bucketed.writeBucketed(sk.select(col("vec_id"), col("bucket"), col("codes"), col("r")),
       sketchTable(tag), s"$dir/sketch", "bucket", buckets)
     sk.groupBy("bucket")

@@ -325,13 +325,16 @@ object SpatialJoins {
         .select(col("site_id").as("q_id"), col("id").as("p_id"),
           call_function("st_distance_sphere", col("site_lon"), col("site_lat"),
             col("lon"), col("lat")).as("dist_m"))
-      val byQ = Window.partitionBy("q_id")
-      val ranked = hits
-        .withColumn("rank", row_number().over(byQ.orderBy(col("dist_m").asc, col("p_id").asc)))
-        .withColumn("cnt", count(lit(1)).over(byQ))
-      val done = ranked.where(col("cnt") >= k && col("rank") <= k)
-        .select(col("q_id"), col("p_id"), col("dist_m"),
-          col("rank").cast("long").as("rank"))
+      // per-query top-k + in-radius count in ONE map-side-combinable
+      // aggregate (r6): the former rank/cnt window pair shipped every
+      // radius-join hit across the exchange; topk_pairs ships ≤ k per
+      // query per map task, and size(tk) = k ⟺ the old cnt ≥ k gate
+      val done = hits.groupBy("q_id")
+        .agg(call_function("topk_pairs", col("dist_m"), col("p_id"), lit(k)).as("tk"))
+        .where(size(col("tk")) === k)
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), col("col.i").as("p_id"), col("col.o").as("dist_m"),
+          (col("pos") + 1).cast("long").as("rank"))
         .localCheckpoint()
       acc += done
       pending = pending.join(done.select(col("q_id").as("site_id")).distinct(),
@@ -772,7 +775,15 @@ object SpatialJoins {
     // once the annulus would cover a large fraction of the grid, probing
     // mostly-empty cells costs more than scanning all points once
     val bruteCutoff = math.max(4L, n / 4)
-    while (remaining.nonEmpty && hi <= bruteCutoff) {
+    // Early-brute switch (r6): one ring round and the terminal exact scan
+    // cost about one distributed job each, so once the surviving frontier
+    // is small enough that remaining × nPts distance evals fit one cheap
+    // job, more doubling rounds only add scheduling latency. The budget is
+    // COMPUTE-bounded (pair evals), so at 10^12 points the switch only
+    // fires for near-empty frontiers — the ring loop stays the scale path.
+    def bruteNow(rem: Int): Boolean =
+      rem > 0 && rem.toLong <= bruteBudget / math.max(nPts, 1L)
+    while (remaining.nonEmpty && hi <= bruteCutoff && !bruteNow(remaining.length)) {
       // candidate (cell → query) pairs for this round's annuli (deduped:
       // antimeridian wrap can map two dx offsets to the same cell)
       val cellPairs = remaining.iterator.flatMap { q =>
@@ -805,10 +816,15 @@ object SpatialJoins {
           .select(col("q_id"), col("p_id"),
             ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
              (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
-        // server-side top-k per query bounds the collect
-        val w = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
-        val top = got.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-          .select("q_id", "p_id", "d2").collect()
+        // server-side top-k per query bounds the collect — via the
+        // map-side-combinable topk_pairs aggregate (r6): a row_number
+        // window ships EVERY candidate row across the exchange (tens of
+        // millions on clustered data), the bounded aggregate only
+        // n_queries·k per map task
+        val top = got.groupBy("q_id")
+          .agg(call_function("topk_pairs", col("d2"), col("p_id"), lit(k)).as("tk"))
+          .select(col("q_id"), explode(col("tk")).as("e"))
+          .select(col("q_id"), col("e.i").as("p_id"), col("e.o").as("d2")).collect()
         top.foreach { row =>
           val qid = row.getString(0)
           val cur = acc.getOrElse(qid, Array.empty)
@@ -833,21 +849,34 @@ object SpatialJoins {
       hi = math.min(math.max(lo + 1, math.min(hi * 2, annulusCap(lo, remaining.length))), 2 * n)
     }
     if (remaining.nonEmpty) {
-      // sparse-region stragglers: one exact distributed scan replaces their state
+      // sparse-region stragglers: one exact distributed scan replaces their
+      // state — ranked by topk_pairs so only n_queries·k rows cross the
+      // exchange (r6), never the full pts × frontier candidate set
       val qmeta = spark.createDataset(remaining.toSeq.map(q => (q.id, q.nx, q.ny)))
         .toDF("q_id", "nx", "ny")
-      val w = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
       val brute = pts.crossJoin(broadcast(qmeta))
         .select(col("q_id"), col("p_id"),
           ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
            (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
-        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-        .select("q_id", "p_id", "d2", "rank").collect()
+        .groupBy("q_id")
+        .agg(call_function("topk_pairs", col("d2"), col("p_id"), lit(k)).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), col("col.i").as("p_id"), col("col.o").as("d2"),
+          (col("pos") + 1).as("rank")).collect()
       brute.foreach(r => out += ((r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))))
     }
     pts.unpersist()
     spark.createDataset(out.toSeq).toDF("q_id", "p_id", "d2", "rank")
   }
+
+  /** Pair-eval budget for the terminal exact scan (r6): remaining-frontier
+    * × point-count distance evaluations below this run as ONE distributed
+    * scan instead of further doubling rounds. 2^24 ≈ 16.8M pair evals is a
+    * sub-second job at any partitioning; because the bound divides by the
+    * ACTUAL point count, a 10^12-point corpus only ever brute-scans for a
+    * handful of stragglers — exactly the sparse-region tail the scan was
+    * already the fallback for. */
+  private[join] val bruteBudget: Long = 1L << 24
 
   /** Per-round driver budget for the small-Q annulus (judge r4 #8): the
     * (cell, query) probe tuples for annulus [lo, hi) are materialized
@@ -864,14 +893,20 @@ object SpatialJoins {
 
   /** First annulus upper bound: enough rings that an average-density
     * neighborhood holds k points INSIDE the termination radius (hi-1
-    * rings), i.e. (2(hi-1)+1)² · density ≳ k with a 2× safety margin for
-    * local thinness. Sparse grids start wider (fewer doubling rounds =
-    * fewer distributed jobs); ultra-sparse ones exceed bruteCutoff and go
-    * straight to the exact full scan. */
+    * rings). The bound the done-check actually tests is the INSCRIBED
+    * CIRCLE of radius (hi-1)·cellSize, so size that circle — not the
+    * probed square — to hold 2k expected points (2× margin for local
+    * thinness): π·(hi-1)²·density ≥ 2k  ⇒  hi = 1 + ⌈√(2k/(π·density))⌉.
+    * (r6: the previous square-window sizing under-covered the circle for
+    * k ≥ 5 and most queries paid one extra doubling round; extra initial
+    * rings only add broadcast probe tuples, never a new job.) Sparse
+    * grids start wider (fewer doubling rounds = fewer distributed jobs);
+    * ultra-sparse ones exceed bruteCutoff and go straight to the exact
+    * full scan. */
   private[join] def initialHi(k: Int, nPts: Long, nCellsPerAxis: Long): Long = {
     val density = nPts.toDouble / (nCellsPerAxis.toDouble * nCellsPerAxis.toDouble)
-    val need = math.sqrt(2.0 * k / math.max(density, 1e-300)) // window side in cells
-    math.max(2L, 1L + math.ceil((need - 1.0) / 2.0).toLong)
+    val rNeed = math.sqrt(2.0 * k / (math.Pi * math.max(density, 1e-300)))
+    math.max(2L, 1L + math.ceil(rNeed).toLong)
   }
 
   /**
@@ -905,31 +940,68 @@ object SpatialJoins {
       .persist()
 
     var frontier = qAll
+    var frontierCnt = qAll.count()
+    val dbg = sys.env.contains("GRAFT_KNN_DEBUG")
+    var tTick = System.nanoTime()
+    def tick(tag: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"[knnLarge] $tag%-18s +${(now - tTick) / 1e9}%.2fs (frontier=$frontierCnt)")
+      tTick = now
+    }
+    tick("setup")
     var cands: DataFrame = null // (q_id, nx, ny, p_id, d2) — global top-k so far
     var lo = 0L
     var hi = initialHi(k, nPts, n) // density-adaptive first annulus (see knn)
     val bruteCutoff = math.max(4L, n / 4)
-    val wTop = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
 
-    while (hi <= bruteCutoff && !frontier.isEmpty) {
-      // annulus cells [lo, hi) per frontier query, via two sequence explodes
-      val probe = frontier
+    // early-brute switch (r6, same rule as `knn`): once frontier × nPts
+    // pair evals fit one cheap job, the terminal exact scan beats more
+    // doubling rounds — compute-bounded, so it never fires for a large
+    // frontier over a large corpus
+    def bruteNow: Boolean = frontierCnt > 0 && frontierCnt <= bruteBudget / math.max(nPts, 1L)
+
+    while (hi <= bruteCutoff && frontierCnt > 0 && !bruteNow) {
+      // annulus cells [lo, hi) per frontier query, via two sequence explodes.
+      // When the dx span 2hi−1 ≤ n, (dx, dy) pairs map to DISTINCT cells
+      // (pmod residues can't collide within one period), so the wrap-dedup
+      // distinct — a full shuffle of the probe set — is skipped (r6).
+      val probe0 = frontier
         .withColumn("dx", explode(sequence(lit(-(hi - 1)), lit(hi - 1))))
         .withColumn("dy", explode(sequence(lit(-(hi - 1)), lit(hi - 1))))
         .where(greatest(abs(col("dx")), abs(col("dy"))) >= lo)
         .where(col("cy") + col("dy") >= 0 && col("cy") + col("dy") < n)
         .withColumn("cell", call_function("st_morton",
           pmod(col("cx") + col("dx"), lit(n)), col("cy") + col("dy")))
-        .select("q_id", "nx", "ny", "cell").distinct()
+        .select("q_id", "nx", "ny", "cell")
+      val probe1 = if (2 * hi - 1 <= n) probe0 else probe0.distinct()
+      // the probe side is exactly frontierCnt · ((2hi−1)² − (2lo−1)²) rows
+      // — a KNOWN count, so broadcast it whenever it fits a sane relation
+      // (≤ 2²² rows ≈ tens of MB) and the cached point index never
+      // shuffles; a larger frontier falls back to the shuffle join (r6:
+      // without the hint the checkpoint-backed frontier has no stats and
+      // every round sort-merge-shuffled the full point index)
+      val annulus = (2 * hi - 1) * (2 * hi - 1) -
+        (if (lo == 0) 0L else (2 * lo - 1) * (2 * lo - 1))
+      val probe = if (frontierCnt * math.max(annulus, 1L) <= (1L << 22)) broadcast(probe1) else probe1
       val fresh = pts.join(probe, "cell")
         .select(col("q_id"), col("nx"), col("ny"), col("p_id"),
           ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
            (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
+      // per-query top-k via the map-side-combinable topk_pairs aggregate
+      // (r6): the former row_number window shipped EVERY candidate row
+      // across the exchange — 33M rows for this round at sf0.1 on
+      // clustered data, of which the top-k kept 8k; the bounded aggregate
+      // ships n_queries·k pairs per map task
       val merged = (if (cands == null) fresh else cands.select("q_id", "nx", "ny", "p_id", "d2").union(fresh))
-        .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+        .groupBy("q_id", "nx", "ny")
+        .agg(call_function("topk_pairs", col("d2"), col("p_id"), lit(k)).as("tk"))
+        .select(col("q_id"), col("nx"), col("ny"), posexplode(col("tk")))
+        .select(col("q_id"), col("nx"), col("ny"), col("col.i").as("p_id"),
+          col("col.o").as("d2"), (col("pos") + 1).as("rank"))
         .localCheckpoint(true) // cut the per-round lineage growth
       if (cands != null) cands.unpersist()
       cands = merged
+      tick(s"round hi=$hi merge")
       // satisfied: k candidates whose kth distance is inside the probed radius
       val bound = ((hi - 1).toDouble * cellSize) * ((hi - 1).toDouble * cellSize)
       val solved = cands.groupBy("q_id")
@@ -937,16 +1009,21 @@ object SpatialJoins {
         .where(col("cnt") >= k && col("kth") <= bound)
         .select("q_id")
       frontier = qAll.join(solved, Seq("q_id"), "left_anti")
+      frontierCnt = frontier.count() // one job — replaces the isEmpty probe
+      tick(s"round hi=$hi solved")
       lo = hi
       hi = math.min(hi * 2, 2 * n)
     }
-    if (!frontier.isEmpty) {
+    if (frontierCnt > 0) {
+      tick("pre-brute")
       // sparse-region stragglers: exact distributed scan (points × remaining
       // queries); still no driver-side per-query state
       val brute = bruteTopK(pts, frontier, k)
-      val keep = cands.join(frontier.select("q_id"), Seq("q_id"), "left_anti")
-      cands = keep.select("q_id", "nx", "ny", "p_id", "d2", "rank")
-        .union(brute.select("q_id", "nx", "ny", "p_id", "d2", "rank"))
+      cands =
+        if (cands == null) brute.select("q_id", "nx", "ny", "p_id", "d2", "rank")
+        else cands.join(frontier.select("q_id"), Seq("q_id"), "left_anti")
+          .select("q_id", "nx", "ny", "p_id", "d2", "rank")
+          .union(brute.select("q_id", "nx", "ny", "p_id", "d2", "rank"))
     }
     pts.unpersist()
     cands.select(col("q_id"), col("p_id"), col("d2"), col("rank").cast("int").as("rank"))
@@ -960,12 +1037,17 @@ object SpatialJoins {
    * Package-visible so KnnLargeSpec can assert the build side on the plan.
    */
   private[join] def bruteTopK(pts: DataFrame, frontier: DataFrame, k: Int): DataFrame = {
-    val wTop = Window.partitionBy("q_id").orderBy(col("d2"), col("p_id"))
+    // ranked via topk_pairs (r6): only n_queries·k rows cross the
+    // exchange instead of the full pts × frontier candidate set
     pts.crossJoin(broadcast(frontier.select(col("q_id"), col("nx"), col("ny"))))
       .select(col("q_id"), col("nx"), col("ny"), col("p_id"),
         ((col("p_nx") - col("nx")) * (col("p_nx") - col("nx")) +
          (col("p_ny") - col("ny")) * (col("p_ny") - col("ny"))).as("d2"))
-      .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+      .groupBy("q_id", "nx", "ny")
+      .agg(call_function("topk_pairs", col("d2"), col("p_id"), lit(k)).as("tk"))
+      .select(col("q_id"), col("nx"), col("ny"), posexplode(col("tk")))
+      .select(col("q_id"), col("nx"), col("ny"), col("col.i").as("p_id"),
+        col("col.o").as("d2"), (col("pos") + 1).as("rank"))
   }
 
   /**

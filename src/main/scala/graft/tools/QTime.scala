@@ -21,13 +21,16 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.GraftFunctions.install(spark)
     graft.data.GeoTables.ensure(spark, sfDir)
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
-      (1 to reps).foreach { r =>
-        val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[$name rep$r] n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val prefixes = prefix.split(",").toSeq
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => prefixes.exists(n.startsWith) }
+      .foreach { case (name, fn) =>
+        (1 to reps).foreach { r =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, sfDir).count()
+          println(f"[$name rep$r] n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
       }
-    }
     spark.stop()
   }
 }
