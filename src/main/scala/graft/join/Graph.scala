@@ -53,12 +53,18 @@ object Graph {
     var settled = rebuild(sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)))
     var frontier = settled.select("id")
+    var frontierN = settled.count()
     var round = 0
-    var grew = !frontier.isEmpty
+    var grew = frontierN > 0
+    // the frontier's count is measured every round anyway — broadcast it
+    // into the edge join while it fits (r6, the pagerank gate); a frontier
+    // beyond the cap takes the shuffle path
+    def bc(df: DataFrame): DataFrame =
+      if (frontierN <= maxBroadcastVerts) F.broadcast(df) else df
     while (grew && round < maxRounds) {
       round += 1
       val nxt = rebuild(
-        e.join(frontier.select(col("id").as("s")), "s")
+        e.join(bc(frontier.select(col("id").as("s"))), "s")
           .select(col("d").as("id")).distinct()
           .join(settled.select("id"), Seq("id"), "left_anti")
           .withColumn("dist", lit(round.toLong)))
@@ -67,6 +73,7 @@ object Graph {
       if (grew) {
         settled = rebuild(settled.union(nxt))
         frontier = nxt.select("id")
+        frontierN = n
       }
     }
     // an exhausted round budget with a live frontier means distances past
@@ -100,11 +107,15 @@ object Graph {
     var dist = rebuild(sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)))
     var frontier = dist
+    var frontierN = dist.count()
     var round = 0
-    var live = !frontier.isEmpty
+    var live = frontierN > 0
+    // count-gated frontier broadcast, as in bfsHops (r6)
+    def bc(df: DataFrame): DataFrame =
+      if (frontierN <= maxBroadcastVerts) F.broadcast(df) else df
     while (live && round < maxRounds) {
       round += 1
-      val cand = e.join(frontier.select(col("id").as("s"), col("dist").as("fd")), "s")
+      val cand = e.join(bc(frontier.select(col("id").as("s"), col("dist").as("fd"))), "s")
         .groupBy(col("d").as("id")).agg(F.min(col("fd") + col("w")).as("nd"))
       val improved = rebuild(
         cand.join(dist, Seq("id"), "left")
@@ -119,6 +130,7 @@ object Graph {
               F.when(col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist")),
                 col("nd")).otherwise(col("dist")).as("dist")))
         frontier = improved
+        frontierN = n
       }
     }
     require(!live,
@@ -146,23 +158,26 @@ object Graph {
    * @param vertices one column `id` — the full vertex set (isolated
    *                 vertices keep the base score)
    */
-  /** @param boundedVertices caller-asserted: the vertex set is bounded by
-    *        something other than data volume (a token vocabulary, a fixed
-    *        lattice) — the per-round rank/degree frames are then BROADCAST
-    *        so the edge list never shuffles across iterations (r6; a
-    *        checkpointed frame carries no size stats, so without the hint
-    *        every round pays a sort-merge shuffle of the edges). Leave
-    *        false when vertices scale with the data (document/image ids). */
+  /** Per-round score/degree frames are vertex-sized and narrow; when the
+    * MEASURED vertex count fits a sane broadcast relation they are hinted
+    * broadcast so the edge list never shuffles across iterations (r6; a
+    * checkpointed frame carries no size stats, so AQE cannot make this
+    * call itself and every round paid a sort-merge shuffle of the edges).
+    * Counting the already-checkpointed vertex RDD is one cheap local job;
+    * vertex sets beyond the cap fall back to the shuffle path — the
+    * correct shape when vertices scale with the data. */
+  private val maxBroadcastVerts = 1L << 20
+
   def pagerank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               vertices: DataFrame, iters: Int = 5, scale: Long = 1000000000L,
-               boundedVertices: Boolean = false): DataFrame = {
+               vertices: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
     require(iters >= 0 && scale > 0, s"bad pagerank params iters=$iters scale=$scale")
     def rebuild(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint(true)
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
-    def bc(df: DataFrame): DataFrame = if (boundedVertices) F.broadcast(df) else df
     val v = rebuild(vertices.select(col("id")).distinct())
+    val smallV = v.count() <= maxBroadcastVerts
+    def bc(df: DataFrame): DataFrame = if (smallV) F.broadcast(df) else df
     val e = rebuild(
       edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
         .where(col("s") =!= col("d")).distinct())
@@ -201,16 +216,12 @@ object Graph {
    * @return (id, a_ppm, h_ppm) for every vertex
    */
   def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-           vertices: DataFrame, iters: Int = 4,
-           boundedVertices: Boolean = false): DataFrame = {
+           vertices: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 16, s"bad hits iters=$iters")
     def rebuild(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint(true)
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
-    // see pagerank's boundedVertices note — broadcast the vocab-bounded
-    // score frame so the edge relation never shuffles per half-round (r6)
-    def bc(df: DataFrame): DataFrame = if (boundedVertices) F.broadcast(df) else df
     // exact floor(raw·1e6/t) in pure longs (base-100, three steps);
     // t = 0 (edgeless graph) yields 0 — mirrored in the oracle text
     val ppm =
@@ -218,6 +229,10 @@ object Graph {
          ((raw * 100) DIV t) * 10000 + (((raw * 100) % t) * 100 DIV t) * 100
          + ((((raw * 100) % t) * 100 % t) * 100 DIV t) END"""
     val v = rebuild(vertices.select(col("id")).distinct())
+    // count-gated broadcast of the per-half-round score frames — see
+    // pagerank's maxBroadcastVerts note (r6)
+    val smallV = v.count() <= maxBroadcastVerts
+    def bc(df: DataFrame): DataFrame = if (smallV) F.broadcast(df) else df
     val e = rebuild(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .where(col("s") =!= col("d")).distinct())
     def half(score: DataFrame, joinKey: String, otherEnd: String): DataFrame = {
