@@ -1198,7 +1198,8 @@ object SparkEntry {
     * setting is read at query start — and restore the session conf after.
     * At 100 TB the same dial sizes state partitions to state volume
     * instead of inheriting the scan's. */
-  private def withStreamStatePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+  private def withStreamStatePartitions[T](s: SparkSession,
+      n: Int = sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS", "8").toInt)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, math.min(n, old.toInt).toString)

@@ -347,13 +347,18 @@ object AnnIndex {
         .withColumn("cos", col("dot_q") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
     }
 
-    val w = Window.partitionBy("q_vec").orderBy(desc("cos"), asc("vec_id"))
+    // per-query ranking via the map-side-combinable topk_pairs aggregate
+    // on the NEGATED cosine (ascending (−cos, vec_id) ≡ the former
+    // row_number over (cos DESC, vec_id ASC)) — candidate rows no longer
+    // cross the exchange, only n_queries·k pairs per map task (r6)
+    def topkOf(df: DataFrame, kk: Int): DataFrame = df
+      .groupBy("q_vec")
+      .agg(call_function("topk_pairs", negate(col("cos")), col("vec_id"), lit(kk)).as("tk"))
     val pairs1 = round1.toSeq.flatMap { case (id, js) => js.map(id -> _) }
-    val kth = probeDf(pairs1)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") === k)
-      .select(col("q_vec"), col("cos"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kth = topkOf(probeDf(pairs1), k)
+      .where(size(col("tk")) === k)
+      .select(col("q_vec"), element_at(col("tk"), k).getField("o").as("negcos"))
+      .collect().map(r => r.getLong(0) -> -r.getDouble(1)).toMap
 
     // round 2: any unprobed bucket whose bound clears kth − ε
     val finalPairs = qBounds.toSeq.flatMap { case (id, bs) =>
@@ -362,10 +367,9 @@ object AnnIndex {
       bs.filter { case (j, b) => probed.contains(j) || b >= cut }.map(p => id -> p._1)
     }
 
-    probeDf(finalPairs)
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("q_vec"), col("vec_id").as("p_vec"), col("rank"))
+    topkOf(probeDf(finalPairs), k)
+      .select(col("q_vec"), posexplode(col("tk")))
+      .select(col("q_vec"), col("col.i").as("p_vec"), (col("pos") + 1).cast("bigint").as("rank"))
   }
 
   // ---------------- persisted layout: build once, probe many ----------------

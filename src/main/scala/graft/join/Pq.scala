@@ -421,7 +421,10 @@ object Pq {
 
     val qemb = broadcast(base.where(queryPred)
       .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))
-    val wd = Window.partitionBy("q_vec").orderBy(asc("d2"), asc("vec_id"))
+    // map-side-combinable per-query ranking, as in probeCore (r6)
+    def topkOf(df: DataFrame, ord: org.apache.spark.sql.Column, kk: Int): DataFrame = df
+      .groupBy("q_vec")
+      .agg(call_function("topk_pairs", ord, col("vec_id"), lit(kk)).as("tk"))
     val sketch = spark.table(sketchTable(tag))
 
     def probeDf(pairs: Seq[(Long, Int)]): DataFrame = {
@@ -446,16 +449,17 @@ object Pq {
         take
       }.map(_._1).toSet
     }
-    val wAdc = Window.partitionBy("q_vec").orderBy(asc("adc"), asc("vec_id"))
     val pairs1 = round1.toSeq.flatMap { case (id, js) => js.map(id -> _) }
-    val cut = probeDf(pairs1)
-      .withColumn("rn", row_number().over(wAdc))
-      .where(col("rn") <= math.max(2 * k, k + 4))
-      .join(qemb, "q_vec").join(base, "vec_id")
-      .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding")))
-      .withColumn("rk", row_number().over(wd))
-      .where(col("rk") === k)
-      .select(col("q_vec"), sqrt(col("d2").cast("double")).as("dk"))
+    val cut = topkOf(
+        topkOf(probeDf(pairs1), col("adc"), math.max(2 * k, k + 4))
+          .select(col("q_vec"), explode(col("tk")).as("e"))
+          .select(col("q_vec"), col("e.i").as("vec_id"))
+          .join(qemb, "q_vec").join(base, "vec_id")
+          .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding"))),
+        col("d2"), k)
+      .where(size(col("tk")) === k)
+      .select(col("q_vec"),
+        sqrt(element_at(col("tk"), k).getField("o").cast("double")).as("dk"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
     // round 2: buckets whose bound clears D_k + ε (round-1 buckets always
@@ -467,14 +471,15 @@ object Pq {
     }
     val dkDf = broadcast(qs.map { case (id, _) =>
       (id, cut.getOrElse(id, Double.MaxValue)) }.toSeq.toDF("q_vec", "dk"))
-    probeDf(pairs2)
-      .join(dkDf, "q_vec")
-      .where(greatest(sqrt(col("adc").cast("double")) - col("r"), lit(0.0)) <= col("dk") + lit(1e-6))
-      .join(qemb, "q_vec").join(base, "vec_id")
-      .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(wd).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("q_vec"), col("vec_id").as("p_vec"), col("rank"))
+    topkOf(
+        probeDf(pairs2)
+          .join(dkDf, "q_vec")
+          .where(greatest(sqrt(col("adc").cast("double")) - col("r"), lit(0.0)) <= col("dk") + lit(1e-6))
+          .join(qemb, "q_vec").join(base, "vec_id")
+          .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding"))),
+        col("d2"), k)
+      .select(col("q_vec"), posexplode(col("tk")))
+      .select(col("q_vec"), col("col.i").as("p_vec"), (col("pos") + 1).cast("bigint").as("rank"))
   }
 
   private def probeCore(sketch: DataFrame, base: DataFrame, cbBytes: Array[Byte],
@@ -496,20 +501,30 @@ object Pq {
 
     val qemb = broadcast(base.where(queryPred)
       .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))
-    val wd = Window.partitionBy("q_vec").orderBy(asc("d2"), asc("vec_id"))
+
+    // per-query candidate ranking via the map-side-combinable topk_pairs
+    // aggregate (r6): the former row_number windows shipped every
+    // (sketch row × query) candidate across the exchange; the bounded
+    // aggregate ships n_queries·k pairs per map task
+    def topkOf(df: DataFrame, ord: org.apache.spark.sql.Column, kk: Int): DataFrame = df
+      .groupBy("q_vec")
+      .agg(call_function("topk_pairs", ord, col("vec_id"), lit(kk)).as("tk"))
 
     // round 1: best-adc candidates → exact kth distance D_k (upper bound
     // on the true kth distance, since candidates ⊆ corpus)
-    val wAdc = Window.partitionBy("q_vec").orderBy(asc("adc"), asc("vec_id"))
-    val cand1 = sketch.crossJoin(broadcast(luts.toDF("q_vec", "lut")))
-      .withColumn("adc", call_function("vec_pq_adc", col("codes"), col("lut")))
-      .withColumn("rn", row_number().over(wAdc))
-      .where(col("rn") <= math.max(2 * k, k + 4))
-    val cut = cand1.join(qemb, "q_vec").join(base, "vec_id")
-      .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding")))
-      .withColumn("rk", row_number().over(wd))
-      .where(col("rk") === k)
-      .select(col("q_vec"), sqrt(col("d2").cast("double")).as("dk"))
+    val cand1 = topkOf(
+        sketch.crossJoin(broadcast(luts.toDF("q_vec", "lut")))
+          .withColumn("adc", call_function("vec_pq_adc", col("codes"), col("lut"))),
+        col("adc"), math.max(2 * k, k + 4))
+      .select(col("q_vec"), explode(col("tk")).as("e"))
+      .select(col("q_vec"), col("e.i").as("vec_id"))
+    val cut = topkOf(
+        cand1.join(qemb, "q_vec").join(base, "vec_id")
+          .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding"))),
+        col("d2"), k)
+      .where(size(col("tk")) === k)
+      .select(col("q_vec"),
+        sqrt(element_at(col("tk"), k).getField("o").cast("double")).as("dk"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
     // round 2: lower-bound gate sqrt(adc) − r ≤ D_k + ε keeps a provable
@@ -520,11 +535,12 @@ object Pq {
       .withColumn("adc", call_function("vec_pq_adc", col("codes"), col("lut")))
       .where(greatest(sqrt(col("adc").cast("double")) - col("r"), lit(0.0)) <= col("dk") + lit(1e-6))
 
-    val out = surv.join(qemb, "q_vec").join(base, "vec_id")
-      .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(wd).cast("bigint"))
-      .where(col("rank") <= k)
-      .select(col("q_vec"), col("vec_id").as("p_vec"), col("rank"))
+    val out = topkOf(
+        surv.join(qemb, "q_vec").join(base, "vec_id")
+          .withColumn("d2", call_function("vec_l2_q", col("q_emb"), col("embedding"))),
+        col("d2"), k)
+      .select(col("q_vec"), posexplode(col("tk")))
+      .select(col("q_vec"), col("col.i").as("p_vec"), (col("pos") + 1).cast("bigint").as("rank"))
     (out, surv)
   }
 }
