@@ -168,8 +168,11 @@ object Graph {
     * correct shape when vertices scale with the data. */
   private val maxBroadcastVerts = 1L << 20
 
+  /** @param canonical the edge list is ALREADY distinct and irreflexive —
+    *        skips the internal distinct shuffle (the triangles contract). */
   def pagerank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               vertices: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+               vertices: DataFrame, iters: Int = 5, scale: Long = 1000000000L,
+               canonical: Boolean = false): DataFrame = {
     require(iters >= 0 && scale > 0, s"bad pagerank params iters=$iters scale=$scale")
     def rebuild(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint(true)
@@ -178,9 +181,9 @@ object Graph {
     val v = rebuild(vertices.select(col("id")).distinct())
     val smallV = v.count() <= maxBroadcastVerts
     def bc(df: DataFrame): DataFrame = if (smallV) F.broadcast(df) else df
+    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
     val e = rebuild(
-      edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-        .where(col("s") =!= col("d")).distinct())
+      if (canonical) e0 else e0.where(col("s") =!= col("d")).distinct())
     val deg = rebuild(e.groupBy("s").agg(F.count(lit(1)).as("deg")))
     val base = scale * 15L / 100L
     var rank = v.withColumn("r", lit(scale))
