@@ -746,12 +746,6 @@ object K {
     Images.gammaRgb(rgb, gammaMilli)
   def imgChannelSums(rgb: Array[Byte]): Array[Long] = Images.channelSums(rgb)
 
-  /** Exact integer DTW distance (q292): steps {up, left, diag}, cost
-    * |aᵢ − bⱼ|, full (n, m) alignment. Rolling-row DP — O(n·m) time,
-    * O(m) space; series are calendar-bounded (the hourly spine), so the
-    * quadratic is bounded by history, never by data volume. Empty
-    * input → −1 (no alignment). INF = MaxValue/4 keeps c + best from
-    * wrapping. */
   /** Exact longest-common-subsequence length (q293 ROUGE-L): rolling-row
     * DP in the oracle's GREATEST(up, left, diag + eq) form (equivalent
     * to the textbook branch — LcsSpec pins both). Null elements compare
@@ -776,6 +770,12 @@ object K {
     row(m)
   }
 
+  /** Exact integer DTW distance (q292): steps {up, left, diag}, cost
+    * |aᵢ − bⱼ|, full (n, m) alignment. Rolling-row DP — O(n·m) time,
+    * O(m) space; series are calendar-bounded (the hourly spine), so the
+    * quadratic is bounded by history, never by data volume. Empty
+    * input → −1 (no alignment). INF = MaxValue/4 keeps c + best from
+    * wrapping. */
   def seqDtw(a: Array[Long], b: Array[Long]): Long = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return -1L

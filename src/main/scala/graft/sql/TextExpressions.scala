@@ -476,9 +476,19 @@ case class SeqDtw(left: Expression, right: Expression) extends BinaryExpression
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    graft.sql.K.seqDtw(a.asInstanceOf[ArrayData].toLongArray(),
-      b.asInstanceOf[ArrayData].toLongArray())
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    // null ELEMENTS return NULL instead of the former toLongArray NPE
+    // (ADVICE r5 — q292's spine inputs are never null, so results are
+    // unchanged; this hardens the public SQL surface only)
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < ad.numElements()) { if (ad.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < bd.numElements()) { if (bd.isNullAt(i)) return null; i += 1 }
+    graft.sql.K.seqDtw(ad.toLongArray(), bd.toLongArray())
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }
