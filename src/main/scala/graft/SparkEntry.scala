@@ -5003,10 +5003,14 @@ object SparkEntry {
           col("inter"), col("uni"))
         .select(col("p.image_id"), col("p.neg_id"), col("inter"), col("uni"))
         .withColumn("jac_ppm", expr("inter * 1000000 div uni"))
-      both.withColumn("rn", row_number().over(Window.partitionBy("image_id")
-          .orderBy(col("jac_ppm").desc, col("neg_id").asc)))
-        .where(col("rn") === 1)
-        .select(col("image_id"), col("neg_id"), col("inter"), col("uni"), col("jac_ppm"))
+      // per-image argmax via map-side-combinable min_by on the ordering
+      // struct (−jac_ppm, neg_id) ≡ the former (jac_ppm DESC, neg_id ASC)
+      // rank-1 window — candidate rows no longer cross the exchange (r6)
+      both.groupBy("image_id")
+        .agg(min_by(struct(col("neg_id"), col("inter"), col("uni"), col("jac_ppm")),
+          struct(negate(col("jac_ppm")).as("nj"), col("neg_id"))).as("b"))
+        .select(col("image_id"), col("b.neg_id").as("neg_id"), col("b.inter").as("inter"),
+          col("b.uni").as("uni"), col("b.jac_ppm").as("jac_ppm"))
     }),
 
     // ---------------- learned-BPE corpus tokenization (r5 s12) ----------------
@@ -5673,12 +5677,20 @@ object SparkEntry {
         .withColumn("num", col("m0") * col("w1") - col("m1") * col("w0"))
         .withColumn("sq", col("num") * col("num"))
         .withColumn("den", col("w0") * col("w1"))
-        .withColumn("rn", row_number().over(Window.partitionBy("image_id")
-          .orderBy((col("sq").cast("double") / col("den").cast("double")).desc,
-            col("t").asc)))
-        .where(col("rn") === 1)
-        .select(col("image_id"), col("t").cast("bigint").as("t_star"),
-          col("w0"), col("w1"), col("sq"), col("den"))
+        // per-image argmax via the map-side-combinable max_by instead of a
+        // row_number window over all 15 splits × images (r6): the ordering
+        // struct (ratio DESC via max, then smallest t via −t) is unique
+        // per image, so the argmax is deterministic and identical to the
+        // former window's (ratio DESC, t ASC) rank-1 row
+        .groupBy("image_id")
+        .agg(max_by(
+          struct(col("t").cast("bigint").as("t_star"), col("w0"), col("w1"),
+            col("sq"), col("den")),
+          struct((col("sq").cast("double") / col("den").cast("double")).as("r"),
+            negate(col("t")).as("nt"))).as("b"))
+        .select(col("image_id"), col("b.t_star").as("t_star"),
+          col("b.w0").as("w0"), col("b.w1").as("w1"),
+          col("b.sq").as("sq"), col("b.den").as("den"))
     }),
 
     // ---------------- spatially distinctive caption terms (r5 s14) ----------------
@@ -5696,7 +5708,11 @@ object SparkEntry {
         .select(col("zone_id"), explode(split(
           regexp_replace(lower(col("caption")), "[^a-z0-9]+", " "), " ")).as("term"))
         .where(col("term") =!= "")
+      // zw feeds THREE consumers (cw, tz, the final join) — materialized
+      // once so the PIP join + caption explode runs once, not three times
+      // (r6; zone×term-bounded rows)
       val zw = tok.groupBy("zone_id", "term").agg(count(lit(1)).as("c_zw"))
+        .localCheckpoint()
       val cw = zw.groupBy("term").agg(sum("c_zw").as("c_w"))
       val tz = zw.groupBy("zone_id").agg(sum("c_zw").as("t_z"))
       val tot = cw.select(sum("c_w").as("t"))
