@@ -238,22 +238,28 @@ object Graph {
     def bc(df: DataFrame): DataFrame = if (smallV) F.broadcast(df) else df
     val e = rebuild(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .where(col("s") =!= col("d")).distinct())
+    // Rounds carry a SPARSE score frame (r6): a vertex receiving no mass
+    // would score ppm(0) = 0 and contribute nothing to any later sum or
+    // to the global total, so the per-half-round `v` left-join + zero-fill
+    // is deferred to ONE final fill per side — each round is just
+    // edge-join → aggregate → renormalize.
     def half(score: DataFrame, joinKey: String, otherEnd: String): DataFrame = {
-      val raw = v.join(
-        bc(e.join(bc(score.withColumnRenamed("id", joinKey)), joinKey)
-          .groupBy(col(otherEnd).as("id")).agg(F.sum("sc").as("raw0"))),
-        Seq("id"), "left")
-        .select(col("id"), F.coalesce(col("raw0"), lit(0L)).as("raw"))
       // global total as an empty-frame window, NOT a separate aggregate
       // job — an agg+crossJoin re-evaluates the join subtree twice per
       // half-round (once for the total, once for the checkpoint
       // materialize; measured 24.5 s → window form at sf0.1). The
       // single-task window frame is vocab-bounded (the q222 contract).
-      rebuild(raw
-        .withColumn("t", F.sum("raw").over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("id"), F.expr(ppm).as("sc")))
+      rebuild(
+        e.join(bc(score.withColumnRenamed("id", joinKey)), joinKey)
+          .groupBy(col(otherEnd).as("id")).agg(F.sum("sc").as("raw"))
+          .withColumn("t", F.sum("raw").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("id"), F.expr(ppm).as("sc")))
     }
+    // absent vertex ⇒ score 0 (the sparse-rounds invariant above)
+    def fill(score: DataFrame, as: String): DataFrame =
+      v.join(bc(score), Seq("id"), "left")
+        .select(col("id"), F.coalesce(col("sc"), lit(0L)).as(as))
     var h = v.withColumn("sc", lit(1000000L))
     var a: DataFrame = h
     var k = 0
@@ -262,8 +268,7 @@ object Graph {
       a = half(h, "s", "d") // authority: sum of in-neighbor hub scores
       h = half(a, "d", "s") // hub: sum of out-neighbor authority scores
     }
-    a.select(col("id"), col("sc").as("a_ppm"))
-      .join(h.select(col("id"), col("sc").as("h_ppm")), "id")
+    fill(a, "a_ppm").join(fill(h, "h_ppm"), "id")
   }
 
   /**
